@@ -1,0 +1,257 @@
+package graft.translate
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Translates the pandas `DataFrame.query` predicate dialect (the language of
+ * the reference's `filter_rows` operation, reference operations/row.py:52-96)
+ * into a Spark `Column` predicate, so filters stay native Catalyst
+ * expressions (pushdown-able, codegen'd) instead of opaque UDFs.
+ *
+ * Supported surface (bounded by the reference docs + test corpus):
+ *   and / or / not  (also & | ~),   == != < <= > >=,   in / not in,
+ *   arithmetic + - * / %,  parentheses,  string/number literals,
+ *   `backtick quoted` column names,
+ *   col.str.contains('x'), col.str.startswith/endswith, col.str.len(),
+ *   col.str.lower()/upper(), col.isnull()/notnull(), col.isin([...]).
+ */
+object PandasQuery {
+
+  def compile(query: String): Column = new Parser(query).parseAll()
+
+  // ---------------------------------------------------------------- lexer
+  sealed trait Tok
+  case class TIdent(s: String) extends Tok
+  case class TNum(s: String) extends Tok
+  case class TStr(s: String) extends Tok
+  case class TOp(s: String) extends Tok
+  case object TEnd extends Tok
+
+  private def lex(in: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    val n = in.length
+    while (i < n) {
+      val c = in.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '`') {
+        val j = in.indexOf('`', i + 1)
+        require(j > 0, s"unterminated backtick in query: $in")
+        toks += TIdent(in.substring(i + 1, j)); i = j + 1
+      } else if (c == '\'' || c == '"') {
+        val sb = new StringBuilder; var j = i + 1
+        while (j < n && in.charAt(j) != c) {
+          if (in.charAt(j) == '\\' && j + 1 < n) { sb.append(in.charAt(j + 1)); j += 2 }
+          else { sb.append(in.charAt(j)); j += 1 }
+        }
+        require(j < n, s"unterminated string in query: $in")
+        toks += TStr(sb.toString); i = j + 1
+      } else if (c.isDigit || (c == '.' && i + 1 < n && in.charAt(i + 1).isDigit)) {
+        val j0 = i
+        while (i < n && (in.charAt(i).isDigit || in.charAt(i) == '.' ||
+          in.charAt(i) == 'e' || in.charAt(i) == 'E' ||
+          ((in.charAt(i) == '+' || in.charAt(i) == '-') && i > j0 &&
+            (in.charAt(i - 1) == 'e' || in.charAt(i - 1) == 'E')))) i += 1
+        toks += TNum(in.substring(j0, i))
+      } else if (c.isLetter || c == '_') {
+        val j0 = i
+        while (i < n && (in.charAt(i).isLetterOrDigit || in.charAt(i) == '_')) i += 1
+        toks += TIdent(in.substring(j0, i))
+      } else {
+        val two = if (i + 1 < n) in.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=", "//", "**").contains(two)) { toks += TOp(two); i += 2 }
+        else { toks += TOp(c.toString); i += 1 }
+      }
+    }
+    toks += TEnd
+    toks.result()
+  }
+
+  // --------------------------------------------------------------- parser
+  private class Parser(src: String) {
+    private val toks = lex(src)
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expectOp(s: String): Unit = next() match {
+      case TOp(`s`) => ()
+      case t => fail(s"expected '$s' but found $t")
+    }
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"pandas-query parse error in '$src': $msg")
+
+    def parseAll(): Column = {
+      val c = orExpr()
+      if (peek != TEnd) fail(s"trailing tokens at $peek")
+      c
+    }
+
+    private def orExpr(): Column = {
+      var l = andExpr()
+      var go = true
+      while (go) peek match {
+        case TIdent("or") | TOp("|") => next(); l = l || andExpr()
+        case _ => go = false
+      }
+      l
+    }
+
+    private def andExpr(): Column = {
+      var l = notExpr()
+      var go = true
+      while (go) peek match {
+        case TIdent("and") | TOp("&") => next(); l = l && notExpr()
+        case _ => go = false
+      }
+      l
+    }
+
+    private def notExpr(): Column = peek match {
+      case TIdent("not") | TOp("~") => next(); !notExpr()
+      case _ => cmpExpr()
+    }
+
+    private def cmpExpr(): Column = {
+      val l = addExpr()
+      peek match {
+        case TOp(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
+          next(); val r = addExpr()
+          op match {
+            case "==" => l === r
+            case "!=" => l =!= r
+            case "<"  => l < r
+            case "<=" => l <= r
+            case ">"  => l > r
+            case ">=" => l >= r
+          }
+        case TIdent("in") => next(); l.isin(listLiteral(): _*)
+        case TIdent("not") =>
+          next()
+          next() match {
+            case TIdent("in") => !l.isin(listLiteral(): _*)
+            case t => fail(s"expected 'in' after 'not', found $t")
+          }
+        case _ => l
+      }
+    }
+
+    private def addExpr(): Column = {
+      var l = mulExpr()
+      var go = true
+      while (go) peek match {
+        case TOp("+") => next(); l = l + mulExpr()
+        case TOp("-") => next(); l = l - mulExpr()
+        case _ => go = false
+      }
+      l
+    }
+
+    private def mulExpr(): Column = {
+      var l = unary()
+      var go = true
+      while (go) peek match {
+        case TOp("*") => next(); l = l * unary()
+        case TOp("/") => next(); l = l / unary()
+        case TOp("%") => next(); l = l % unary()
+        case _ => go = false
+      }
+      l
+    }
+
+    private def unary(): Column = peek match {
+      case TOp("-") => next(); negate(unary())
+      case _ => postfix()
+    }
+
+    private def negate(c: Column): Column = lit(0) - c
+
+    private def postfix(): Column = {
+      var base = primary()
+      var go = true
+      while (go) peek match {
+        case TOp(".") =>
+          next()
+          next() match {
+            case TIdent("str") =>
+              expectOp(".")
+              val m = next() match {
+                case TIdent(name) => name
+                case t => fail(s"expected str method, found $t")
+              }
+              base = strMethod(base, m)
+            case TIdent("isnull")  => expectOp("("); expectOp(")"); base = base.isNull
+            case TIdent("notnull") => expectOp("("); expectOp(")"); base = base.isNotNull
+            case TIdent("isna")    => expectOp("("); expectOp(")"); base = base.isNull
+            case TIdent("notna")   => expectOp("("); expectOp(")"); base = base.isNotNull
+            case TIdent("isin") =>
+              expectOp("(")
+              val vs = listLiteral()
+              expectOp(")")
+              base = base.isin(vs: _*)
+            case t => fail(s"unsupported method $t")
+          }
+        case _ => go = false
+      }
+      base
+    }
+
+    private def strMethod(base: Column, m: String): Column = {
+      expectOp("(")
+      m match {
+        case "contains" =>
+          val arg = strArg()
+          expectOp(")")
+          // pandas default is regex=True; the corpus uses plain substrings,
+          // which rlike handles identically for regex-free patterns.
+          base.rlike(arg)
+        case "startswith" => val a = strArg(); expectOp(")"); base.startsWith(a)
+        case "endswith"   => val a = strArg(); expectOp(")"); base.endsWith(a)
+        case "len"   => expectOp(")"); length(base)
+        case "lower" => expectOp(")"); lower(base)
+        case "upper" => expectOp(")"); upper(base)
+        case "strip" => expectOp(")"); trim(base)
+        case other => fail(s"unsupported .str.$other")
+      }
+    }
+
+    private def strArg(): String = next() match {
+      case TStr(s) => s
+      case t => fail(s"expected string literal, found $t")
+    }
+
+    private def listLiteral(): Seq[Any] = {
+      val open = next()
+      val closer = open match {
+        case TOp("[") => "]"
+        case TOp("(") => ")"
+        case t => fail(s"expected list literal, found $t")
+      }
+      val vs = Seq.newBuilder[Any]
+      var go = true
+      while (go) peek match {
+        case TOp(`closer`) => next(); go = false
+        case TOp(",") => next()
+        case TStr(s) => next(); vs += s
+        case TNum(s) => next(); vs += numValue(s)
+        case t => fail(s"bad list element $t")
+      }
+      vs.result()
+    }
+
+    private def numValue(s: String): Any =
+      if (s.contains('.') || s.contains('e') || s.contains('E')) s.toDouble else s.toLong
+
+    private def primary(): Column = next() match {
+      case TIdent("True")  => lit(true)
+      case TIdent("False") => lit(false)
+      case TIdent("None")  => lit(null)
+      case TIdent(name)    => col(name)
+      case TNum(s)         => lit(numValue(s))
+      case TStr(s)         => lit(s)
+      case TOp("(") =>
+        val c = orExpr(); expectOp(")"); c
+      case t => fail(s"unexpected token $t")
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.translate
+
+/**
+ * Translates Python strftime/strptime patterns (the dialect used by the
+ * reference's `date_format` operation, reference operations/column.py:411-414)
+ * into Java `DateTimeFormatter` patterns usable by Spark's
+ * `to_timestamp`/`date_format` functions.
+ *
+ * Only directives that appear in public strftime docs are mapped; unknown
+ * directives raise so config errors surface at compile time rather than as
+ * silently-wrong data.
+ */
+object Strftime {
+
+  private val mapping: Map[Char, String] = Map(
+    'Y' -> "yyyy", // 4-digit year
+    'y' -> "yy",   // 2-digit year
+    'm' -> "MM",   // zero-padded month
+    'd' -> "dd",   // zero-padded day
+    'H' -> "HH",   // 24h hour
+    'I' -> "hh",   // 12h hour
+    'M' -> "mm",   // minute
+    'S' -> "ss",   // second
+    'f' -> "SSSSSS", // microsecond
+    'j' -> "DDD",  // day of year
+    'a' -> "EEE",  // abbreviated weekday
+    'A' -> "EEEE", // full weekday
+    'b' -> "MMM",  // abbreviated month name
+    'B' -> "MMMM", // full month name
+    'p' -> "a",    // AM/PM
+    'z' -> "xx",   // UTC offset
+    'Z' -> "zz",   // timezone name
+    'G' -> "YYYY", // ISO year
+    'u' -> "e",    // ISO weekday (1..7)
+    'V' -> "ww",   // ISO week
+    '%' -> "%"     // literal percent
+  )
+
+  /** Convert a strftime pattern like "%b %d %Y" to "MMM dd yyyy". */
+  def toJavaPattern(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = {
+      if (lit.nonEmpty) {
+        val s = lit.toString
+        // Quote literal runs that contain letters so DateTimeFormatter does
+        // not interpret them as pattern characters.
+        if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
+        else out.append(s)
+        lit.clear()
+      }
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val d = fmt.charAt(i + 1)
+        mapping.get(d) match {
+          case Some(j) => flushLit(); out.append(j)
+          case None =>
+            throw new IllegalArgumentException(
+              s"unsupported strftime directive %$d in pattern '$fmt'")
+        }
+        i += 2
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+}
