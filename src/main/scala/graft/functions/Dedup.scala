@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Deduplication operators for training-data pipelines, in increasing
+ * fuzziness: exact (hash groupBy), n-gram Jaccard (inverted-index join),
+ * MinHash+LSH (banded candidate generation), SimHash (bit-signature), and
+ * embedding-cosine near-dup (see Similarity).
+ *
+ * Scale design: nothing here is O(n²) on the full corpus. Jaccard joins
+ * through an inverted index (token → doc) so cost follows the posting-list
+ * sizes; MinHash/LSH shuffles once on band keys; SimHash is a single narrow
+ * pass + band join. Skew guards: `maxDocFreq` drops stop-tokens whose
+ * posting lists would explode the join.
+ */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text hash with the
+    * representative (minimum) id and the duplicate count
+    * (hash-groupBy — the map-side partial aggregation makes this one
+    * cheap shuffle of (hash → count) pairs, not of documents). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word tokens per document. */
+  private def tokens(textCol: String): Column =
+    array_distinct(filter(split(lower(col(textCol)), " +"), w => length(w) > 0))
+
+  /** Distinct n-word shingles per document (the standard near-dup feature —
+    * word tokens alone are useless on a small vocabulary since every document
+    * shares them). Documents shorter than n words contribute one whole-text
+    * shingle so they are never silently dropped. */
+  private[functions] def shingles(textCol: String, n: Int = 3): Column = {
+    val ws = filter(split(lower(col(textCol)), " +"), w => length(w) > 0)
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    array_distinct(when(size(ws) >= n, grams).otherwise(array(concat_ws(" ", ws))))
+  }
+
+  /** Near-duplicate pairs by word-level Jaccard similarity ≥ `threshold`.
+    *
+    * Shape: explode distinct tokens → inverted index (token, id), self-join
+    * on token with id< id to count intersections, then join per-doc token
+    * counts to compute |A∪B| = |A|+|B|−|A∩B|. `maxDocFreq` (optional) drops
+    * tokens appearing in more than that many documents — the classic
+    * stop-token/skew guard that keeps posting lists bounded at corpus scale.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleSize: Int = 3,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
+    val docs = df.select(col(idCol).cast(LongType).as("id"), shingles(textCol, shingleSize).as("toks"))
+    val counts = docs.select(col("id"), size(col("toks")).cast(LongType).as("n_toks"))
+    val posting0 = docs.select(col("id"), explode(col("toks")).as("tok"))
+    val posting = maxDocFreq match {
+      case Some(cap) =>
+        val freq = posting0.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("tok")
+        posting0.join(broadcast(freq), "tok")
+      case None => posting0
+    }
+    val a = posting.toDF("a_id", "tok")
+    val b = posting.toDF("b_id", "tok")
+    val inter = a.join(b, Seq("tok")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.toDF("a_id", "a_n"), "a_id")
+      .join(counts.toDF("b_id", "b_n"), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("a_n") + col("b_n") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature column: for each of `numHashes` seeded xxhash64
+    * functions, the minimum hash over the document's distinct tokens.
+    * Pure higher-order-function expression — no UDF, no shuffle. */
+  def minhashSignature(textCol: String, numHashes: Int, shingleSize: Int = 3): Column = {
+    val toks = shingles(textCol, shingleSize)
+    // Single pass over the shingles with an array accumulator: one expression
+    // evaluation per row (64 separate array_min(transform(...)) columns would
+    // re-walk the shingle array per hash function and blow up codegen).
+    aggregate(toks, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), h => xxhash64(t, h)),
+        (a, b) => least(a, b)))
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact Jaccard.
+    *
+    * Signature of `numHashes` minhashes split into `bands`; documents
+    * sharing any band hash become candidates (one shuffle on (band, key)),
+    * then candidates are verified with exact token-set Jaccard ≥ threshold.
+    * At 100 TB this is THE scalable near-dup path: cost is
+    * O(n·sig + candidates), never O(n²).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val docs = df.select(col(idCol).cast(LongType).as("id"),
+      shingles(textCol, shingleSize).as("toks"), minhashSignature(textCol, numHashes, shingleSize).as("sig"))
+      .filter(size(col("toks")) > 0)
+
+    val bandKeys = docs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as(Seq("band", "key")))
+
+    val l = bandKeys.toDF("a_id", "band", "key")
+    val r = bandKeys.toDF("b_id", "band", "key")
+    val candidates = l.join(r, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    val toksById = docs.select(col("id"), col("toks"))
+    candidates
+      .join(toksById.toDF("a_id", "a_toks"), "a_id")
+      .join(toksById.toDF("b_id", "b_toks"), "b_id")
+      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))).cast(LongType))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("a_toks")) + size(col("b_toks")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the document's distinct tokens: per bit position,
+    * sum +1/−1 over token hashes and keep the sign. Hamming-close signatures
+    * ⇒ near-duplicate token sets. Single narrow pass, HOF expressions only. */
+  def simhash(textCol: String, shingleSize: Int = 3): Column = {
+    // Hash each shingle once, then one aggregate pass builds the 64 bit
+    // counters; the `finish` lambda binds the final accumulator ONCE and
+    // packs signs into a long. (Referencing the counter expression from a
+    // second aggregate would inline and re-evaluate it per bit — 64×.)
+    val hashes = transform(shingles(textCol, shingleSize), t => xxhash64(t))
+    aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        k => when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (a, b) => a + b),
+      acc => aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (s, k) => s + when(element_at(acc, k + 1) > 0, call_function("shiftleft", lit(1L), k)).otherwise(0L)))
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit signature into four
+    * 16-bit chunks (any equal chunk → candidate, catches all pairs with
+    * hamming distance ≤ 3 by pigeonhole), then verify exact hamming ≤
+    * `maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                   shingleSize: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).cast(LongType).as("id"), simhash(textCol, shingleSize).as("sig"))
+    val banded = docs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))).as(Seq("band", "chunk")))
+    val l = banded.toDF("a_id", "a_sig", "band", "chunk")
+    val r = banded.toDF("b_id", "b_sig", "band", "chunk")
+    l.join(r, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sig", "b_sig").distinct()
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming").cast(LongType).as("hamming"))
+  }
+}

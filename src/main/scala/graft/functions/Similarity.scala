@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Vector similarity search over an embedding column (`array<float>`):
+ * cosine primitives, brute-force top-k (the exact baseline), LSH-bucketed
+ * ANN (random hyperplanes) and embedding-cosine near-dup pairs — all pure
+ * Column expressions (zip_with/aggregate HOFs), no UDFs.
+ */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]; null when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na > 0 && nb > 0, d / (na * nb))
+  }
+
+  /** Exact brute-force top-k by cosine against a single query vector.
+    * One narrow scan + a driver-side k-row sort: the correctness baseline
+    * every ANN variant is measured against. At scale the scan distributes
+    * perfectly (no shuffle before the final top-k, which Spark executes as
+    * per-partition TakeOrdered + merge). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = typedlit(query)
+    df.select(col(idCol).cast(LongType).as("id"),
+        round(cosine(col(vecCol), q), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 sign — reproducible across the cluster with no RNG state. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    when(xxhash64(lit(plane), dim).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed into a
+    * long. Cosine-close vectors collide with high probability. */
+  def lshBucket(vecCol: Column, numPlanes: Int = 16): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val s = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets: score only vectors in the query's bucket
+    * (fall back to brute force if the bucket has < k hits is the caller's
+    * choice). The scale path: bucket key is computed in the scan, the
+    * bucket filter prunes before any sort. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, numPlanes: Int = 8): DataFrame = {
+    val q = typedlit(query)
+    val qBucket = lshBucket(q, numPlanes)
+    df.filter(lshBucket(col(vecCol), numPlanes) === qBucket)
+      .select(col(idCol).cast(LongType).as("id"),
+        round(cosine(col(vecCol), q), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs with similarity ≥ threshold.
+    * The `bucketed` variant prunes candidate pairs through LSH buckets
+    * (one shuffle on the bucket key) instead of the full cross join; the
+    * plain variant is the exact oracle-checkable version, to be bounded by
+    * the caller via pre-filtering. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                  bucketed: Boolean = false, numPlanes: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+    val (a, b) =
+      if (bucketed) {
+        val withB = base.withColumn("bucket", lshBucket(col("vec"), numPlanes))
+        (withB.toDF("a_id", "a_vec", "bucket"), withB.toDF("b_id", "b_vec", "bucket"))
+      } else (base.toDF("a_id", "a_vec"), base.toDF("b_id", "b_vec"))
+    val joined =
+      if (bucketed) a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      else a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    joined
+      .withColumn("cos_sim", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

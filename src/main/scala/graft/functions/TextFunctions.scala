@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language ID, and document fingerprinting.
+ *
+ * All are pure Column expressions (no UDFs): they stay inside whole-stage
+ * codegen / evaluate as vectorizable expressions per partition, so they scale
+ * linearly with input and never shuffle on their own.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization (multi-space safe). */
+  def words(text: Column): Column =
+    filter(split(text, " +"), w => length(w) > 0)
+
+  /** Whitespace token count, as BIGINT. */
+  def wordCount(text: Column): Column = size(words(text)).cast(LongType)
+
+  /** BPE-ish token count: runs of word chars count one token each, every
+    * other non-space character counts alone — the standard cheap
+    * pre-tokenizer upper bound. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]"), lit(0))).cast(LongType)
+
+  /** Mean word length, NULL for empty documents. */
+  def avgWordLength(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+  }
+
+  /** Ratio of tokens found in `stopwords` — high values indicate natural
+    * prose, near-zero indicates tables/code/noise. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      size(filter(ws, w => w.isInCollection(stopwords))).cast("double") / size(ws))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") / length(text))
+
+  /** Composite quality score in [0,1]: length band + stopword presence —
+    * the standard heuristic-filter shape (length, symbol ratio, stopword
+    * density) used by public web-corpus cleaning pipelines. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
+    val stopOk = when(coalesce(stopwordRatio(text, stopwords), lit(0.0)) > 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(coalesce(punctRatio(text), lit(0.0)) < 0.3, 1.0).otherwise(0.0)
+    round((lenOk + stopOk + punctOk) / 3.0, 4)
+  }
+
+  /** Stopword vote lists per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and public-knowledge. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es" -> Seq("el", "de", "y", "los", "las", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"),
+  )
+
+  /** Language ID: count stopword hits per language, pick the argmax with a
+    * fixed priority order for ties (list order above). Returns the language
+    * code, "und" when no list scores. */
+  def langId(text: Column): Column = {
+    val ws = words(lower(text))
+    val scores = langStopwords.map { case (lang, stops) =>
+      lang -> size(filter(ws, w => w.isInCollection(stops)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first matching WHEN wins → earlier languages take ties
+    coalesce(scores.map { case (lang, s) => when(s === best && s > 0, lit(lang)) } :+ lit("und"): _*)
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercased,
+    * punctuation stripped, whitespace collapsed). Identical fingerprints ⇒
+    * near-identical documents up to case/punct/spacing — the cheap exact
+    * stage of a dedup cascade. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+}

@@ -1,0 +1,395 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+import graft.translate.{PandasQuery, Strftime}
+import graft.template.RowTemplates
+
+/**
+ * The operator library: every dataflow operation of the reference engine
+ * (reference operations directory, inventory in SURVEY.md §2), re-expressed as
+ * declarative Spark transforms so Catalyst gets full visibility (pushdown,
+ * pruning, join selection). Config errors throw IllegalArgumentException with
+ * operator context, mirroring the reference's error_handler contract.
+ */
+object Ops {
+
+  private def err(op: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"`$op` operation: $msg")
+
+  // ------------------------------------------------------------- wildcards
+  /** fnmatch-style wildcard expansion against the current columns
+    * (reference nodes/node.py:207-241): `*` any run, `?` one char,
+    * `[seq]` char class. Non-wildcard patterns must match exactly. */
+  def matchWildcardColumns(all: Seq[String], patterns: Seq[String],
+                           raiseOnUnmatched: Boolean = true, op: String = "op"): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    patterns.foreach { p =>
+      if (p.exists(c => c == '*' || c == '?' || c == '[')) {
+        val rx = fnmatchToRegex(p)
+        val hits = all.filter(rx.matches)
+        out ++= hits
+      } else {
+        if (!all.contains(p)) {
+          if (raiseOnUnmatched) err(op, s"column `$p` not defined in the dataset (have: ${all.mkString(", ")})")
+        } else out += p
+      }
+    }
+    out.result().distinct
+  }
+
+  private def fnmatchToRegex(p: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append(".")
+        case '[' =>
+          val j = p.indexOf(']', i + 1)
+          if (j < 0) { sb.append("\\["); }
+          else { sb.append(p.substring(i, j + 1)); i = j }
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    sb.toString.r
+  }
+
+  // ====================================================== column operators
+
+  /** add_columns (reference operations/column.py:16-61): new columns from
+    * static strings or per-row Jinja templates. */
+  def addColumns(df: DataFrame, specs: Seq[(String, String)]): DataFrame =
+    specs.foldLeft(df) { case (d, (name, tpl)) =>
+      d.withColumn(name, RowTemplates.templateColumn(d, tpl))
+    }
+
+  /** modify_columns (column.py:64-122): rewrite existing columns; the Jinja
+    * context binds `value` to the current cell (plus the whole row). Supports
+    * wildcard column patterns. */
+  def modifyColumns(df: DataFrame, specs: Seq[(String, String)]): DataFrame =
+    specs.foldLeft(df) { case (d, (pattern, tpl)) =>
+      matchWildcardColumns(d.columns.toSeq, Seq(pattern), raiseOnUnmatched = true, "modify_columns")
+        .foldLeft(d)((dd, c) => dd.withColumn(c, RowTemplates.templateColumn(dd, tpl, bindValue = Some(c))))
+    }
+
+  /** duplicate_columns (column.py:125-159). */
+  def duplicateColumns(df: DataFrame, specs: Seq[(String, String)]): DataFrame =
+    specs.foldLeft(df) { case (d, (old, nw)) =>
+      if (!d.columns.contains(old)) err("duplicate_columns", s"column `$old` not defined")
+      d.withColumn(nw, col(old))
+    }
+
+  /** rename_columns (column.py:162-194). */
+  def renameColumns(df: DataFrame, mapping: Map[String, String]): DataFrame = {
+    mapping.keys.foreach(o => if (!df.columns.contains(o)) err("rename_columns", s"column `$o` not defined"))
+    df.withColumnsRenamed(mapping)
+  }
+
+  /** drop_columns (column.py:197-227), wildcards allowed. */
+  def dropColumns(df: DataFrame, patterns: Seq[String]): DataFrame = {
+    val cols = matchWildcardColumns(df.columns.toSeq, patterns, raiseOnUnmatched = false, "drop_columns")
+    df.drop(cols: _*)
+  }
+
+  /** keep_columns (column.py:230-254), wildcards allowed, errors on unmatched. */
+  def keepColumns(df: DataFrame, patterns: Seq[String]): DataFrame = {
+    val cols = matchWildcardColumns(df.columns.toSeq, patterns, raiseOnUnmatched = true, "keep_columns")
+    df.select(cols.map(col): _*)
+  }
+
+  /** combine_columns (column.py:257-289): string-concat with separator. */
+  def combineColumns(df: DataFrame, newName: String, columns: Seq[String], separator: String): DataFrame = {
+    val cols = matchWildcardColumns(df.columns.toSeq, columns, raiseOnUnmatched = true, "combine_columns")
+    df.withColumn(newName, concat_ws(separator, cols.map(c => col(c).cast(StringType)): _*))
+  }
+
+  /** map_values (column.py:293-368): exact-match dictionary replace —
+    * unmatched values pass through (pandas `.replace` semantics), so this is
+    * `element_at(map, col)` + coalesce, a codegen'd expression rather than a
+    * broadcast join for the typical small inline mapping. */
+  def mapValues(df: DataFrame, columns: Seq[String], mapping: Map[String, String]): DataFrame = {
+    val cols = matchWildcardColumns(df.columns.toSeq, columns, raiseOnUnmatched = true, "map_values")
+    val m = typedlit(mapping)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, coalesce(element_at(m, col(c).cast(StringType)), col(c))))
+  }
+
+  /** date_format (column.py:372-421): reparse from_format → to_format using
+    * the strftime translator. ignore_errors=false must FAIL on unparseable
+    * non-null input (pandas errors='raise'); Spark's to_timestamp returns
+    * null, so strict mode guards with raise_error. */
+  def dateFormat(df: DataFrame, columns: Seq[String], fromFormat: String, toFormat: String,
+                 ignoreErrors: Boolean = false): DataFrame = {
+    val fromJ = Strftime.toJavaPattern(fromFormat)
+    val toJ = Strftime.toJavaPattern(toFormat)
+    val cols = matchWildcardColumns(df.columns.toSeq, columns, raiseOnUnmatched = true, "date_format")
+    cols.foldLeft(df) { (d, c) =>
+      // try_to_timestamp: Spark 4 ANSI mode makes plain to_timestamp throw on
+      // the first bad value even when we want coerce-to-null semantics
+      val parsed = try_to_timestamp(col(c), lit(fromJ))
+      val out = date_format(parsed, toJ)
+      val guarded =
+        if (ignoreErrors) out
+        else when(col(c).isNotNull && parsed.isNull,
+          raise_error(concat(lit(s"date_format: cannot parse `$c` value '"), col(c), lit(s"' with format '$fromFormat'"))))
+          .otherwise(out)
+      d.withColumn(c, guarded)
+    }
+  }
+
+  /** snake_case_columns (column.py:425-473): camelCase → snake_case on all
+    * names; errors if two names collide after conversion. */
+  def snakeCaseColumns(df: DataFrame): DataFrame = {
+    val renamed = df.columns.map(snakeCase)
+    val dupes = renamed.groupBy(identity).collect { case (n, hits) if hits.length > 1 => n }
+    if (dupes.nonEmpty) err("snake_case_columns", s"column name collision after snake_casing: ${dupes.mkString(", ")}")
+    df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  def snakeCase(name: String): String = {
+    // public two-step camel→snake idiom: split acronym-word and word-Word
+    val s1 = "(.)([A-Z][a-z]+)".r.replaceAllIn(name, m => m.group(1) + "_" + m.group(2))
+    val s2 = "([a-z0-9])([A-Z])".r.replaceAllIn(s1, m => m.group(1) + "_" + m.group(2))
+    s2.replace(' ', '_').replace("__", "_").toLowerCase
+  }
+
+  /** lowercase_columns / uppercase_columns (column.py:475-483). */
+  def lowercaseColumns(df: DataFrame): DataFrame = df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+  def uppercaseColumns(df: DataFrame): DataFrame = df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
+
+  // ========================================================= row operators
+
+  /** distinct_rows (row.py:10-49): optional subset; keeps one row per key. */
+  def distinctRows(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    columns.foreach(c => if (!df.columns.contains(c)) err("distinct_rows", s"column `$c` not defined"))
+    if (columns.isEmpty) df.dropDuplicates() else df.dropDuplicates(columns)
+  }
+
+  /** filter_rows (row.py:52-96): pandas-query dialect predicate; `exclude`
+    * wraps in not(...). The translator compiles to a native Catalyst
+    * predicate (pushdown-able), with pandas two-valued null semantics. */
+  def filterRows(df: DataFrame, query: String, behavior: String = "include"): DataFrame = {
+    val pred = PandasQuery.compile(query)
+    behavior match {
+      case "include" => df.filter(pred)
+      case "exclude" => df.filter(!pred)
+      case other => err("filter_rows", s"`behavior` must be one of [include, exclude], not `$other`")
+    }
+  }
+
+  /** sort_rows (row.py:98-154): `+col`/`-col` prefixes; `descending` forces
+    * all directions descending. Global sort → range-partitioned exchange. */
+  def sortRows(df: DataFrame, columns: Seq[String], descending: Boolean = false): DataFrame = {
+    val keys = columns.map {
+      case c if c.startsWith("-") => (c.substring(1), false)
+      case c if c.startsWith("+") => (c.substring(1), true)
+      case c => (c, true)
+    }.map { case (c, asc) => (c, if (descending) false else asc) }
+    keys.foreach { case (c, _) => if (!df.columns.contains(c)) err("sort_rows", s"column `$c` not defined") }
+    df.orderBy(keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+  }
+
+  /** limit_rows (row.py:156-185): head(count+offset).tail(count). */
+  def limitRows(df: DataFrame, count: Int, offset: Int = 0): DataFrame = {
+    if (count < 1) err("limit_rows", "count for a limit operation must be a positive integer")
+    if (offset > 0) df.offset(offset).limit(count) else df.limit(count)
+  }
+
+  /** flatten (row.py:188-248): strip wrapper chars, split a stringified array
+    * on `separator`, trim each element, one output row per element (an empty
+    * string still yields one row holding ""). Pure split+explode — narrow,
+    * no shuffle. */
+  def flatten(df: DataFrame, flattenColumn: String, valueColumn: String,
+              separator: String = ",",
+              leftWrapper: String = "[\"'", rightWrapper: String = "\"']",
+              trimWhitespace: String = " \t\r\n\"'"): DataFrame = {
+    if (!df.columns.contains(flattenColumn)) err("flatten", s"column `$flattenColumn` not defined")
+    def cls(chars: String) = "[" + chars.flatMap(c => "\\" + c) + "]"
+    val stripped = regexp_replace(
+      regexp_replace(col(flattenColumn).cast(StringType), s"^${cls(leftWrapper)}+", ""),
+      s"${cls(rightWrapper)}+$$", "")
+    val parts = split(stripped, java.util.regex.Pattern.quote(separator), -1)
+    val trimmed = transform(parts, x =>
+      regexp_replace(regexp_replace(x, s"^${cls(trimWhitespace)}+", ""), s"${cls(trimWhitespace)}+$$", ""))
+    df.withColumn(valueColumn, explode(trimmed)).drop(flattenColumn)
+  }
+
+  // ================================================ join / union / reshape
+
+  /** join (dataframe.py:14-141): sequential binary equi-joins of the pipeline
+    * frame with named frames, with pandas `merge` semantics:
+    *  - same-name key columns merge into one (coalesced for outer);
+    *  - differently-named keys are both kept;
+    *  - colliding non-key columns are auto-suffixed `_x`/`_y`;
+    *  - optional per-side keep/drop pruning before the join (manual projection
+    *    in the reference; here it also helps Catalyst prune early).
+    * Catalyst picks broadcast/SMJ/SHJ; small dimension frames broadcast
+    * automatically under AQE. */
+  def join(left: DataFrame, rights: Seq[DataFrame], joinType: String,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftKeep: Seq[String] = Nil, leftDrop: Seq[String] = Nil,
+           rightKeep: Seq[String] = Nil, rightDrop: Seq[String] = Nil): DataFrame = {
+    if (!Seq("inner", "left", "right", "outer").contains(joinType))
+      err("join", s"`join_type` must be one of [inner, left, right, outer], not `$joinType`")
+    if (leftKeys.size != rightKeys.size) err("join", "left and right key counts differ")
+
+    def prune(df: DataFrame, keep: Seq[String], drop: Seq[String], keys: Seq[String], side: String): DataFrame =
+      if (keep.nonEmpty) {
+        keep.foreach(c => if (!df.columns.contains(c)) err("join", s"columns in `${side}_keep_columns` are not defined in the dataset"))
+        // preserve original column order for determinism (reference uses set union)
+        val wanted = (keep ++ keys).toSet
+        df.select(df.columns.filter(wanted.contains).map(col).toIndexedSeq: _*)
+      } else if (drop.nonEmpty) {
+        if (drop.exists(keys.contains)) err("join", s"you may not `${side}_drop_columns` that are part of the `${side}_key(s)`")
+        df.drop(drop: _*)
+      } else df
+
+    val l0 = prune(left, leftKeep, leftDrop, leftKeys, "left")
+    rights.foldLeft(l0) { (acc, right0) =>
+      val right = prune(right0, rightKeep, rightDrop, rightKeys, "right")
+      joinPandas(acc, right, joinType, leftKeys, rightKeys)
+    }
+  }
+
+  /** One pandas-semantics merge. */
+  def joinPandas(left: DataFrame, right: DataFrame, joinType: String,
+                 leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame = {
+    val keyPairs = leftKeys.zip(rightKeys)
+    val sameName = keyPairs.filter { case (a, b) => a == b }.map(_._1).toSet
+    // non-key collisions → _x/_y, as pandas suffixes them
+    val collisions = (left.columns.toSet intersect right.columns.toSet) -- sameName
+    val l = collisions.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + "_x"))
+    val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
+    val lk = leftKeys.map(k => if (collisions.contains(k)) k + "_x" else k)
+    val rk = rightKeys.map(k => if (collisions.contains(k)) k + "_y" else k)
+
+    val la = l.alias("l"); val ra = r.alias("r")
+    val cond = lk.zip(rk).map { case (a, b) => la(a) === ra(b) }.reduce(_ && _)
+    val joined = la.join(ra, cond, joinType)
+    // merge same-name key columns into one (coalesce covers right/outer rows)
+    val merged = sameName.foldLeft(joined) { (d, k) =>
+      d.withColumn(k + "__merged__", coalesce(la(k), ra(k)))
+    }
+    // select: left cols (same-name keys replaced by merged), then right cols minus same-name keys
+    val leftCols = l.columns.map { c =>
+      if (sameName.contains(c)) col(c + "__merged__").as(c) else la(c)
+    }
+    val rightCols = r.columns.filterNot(sameName.contains).map(ra(_))
+    merged.select((leftCols ++ rightCols).toIndexedSeq: _*)
+  }
+
+  /** union (dataframe.py:144-189): N-way concat; errors when column sets
+    * differ unless fill_missing_columns. */
+  def union(first: DataFrame, others: Seq[DataFrame], fillMissingColumns: Boolean = false): DataFrame =
+    others.foldLeft(first) { (acc, other) =>
+      if (!fillMissingColumns && acc.columns.toSet != other.columns.toSet)
+        err("union", s"dataframes to union do not share the same columns (use fill_missing_columns)")
+      acc.unionByName(other, allowMissingColumns = fillMissingColumns)
+    }
+
+  /** melt (dataframe.py:251-304): wide→long unpivot. */
+  def melt(df: DataFrame, idVars: Seq[String], valueVars: Seq[String] = Nil,
+           varName: String = "melt_variable", valueName: String = "melt_value"): DataFrame = {
+    val values = if (valueVars.nonEmpty) valueVars else df.columns.filterNot(idVars.contains).toSeq
+    df.unpivot(idVars.map(col).toArray, values.map(col).toArray, varName, valueName)
+  }
+
+  /** pivot (dataframe.py:306-411): long→wide with aggfunc=first; the
+    * reference pre-checks (rows_by+cols_by) uniqueness and errors telling the
+    * user to group_by first — we keep that contract. */
+  def pivot(df: DataFrame, rowsBy: Seq[String], colsBy: String, values: String,
+            checkUnique: Boolean = true): DataFrame = {
+    (rowsBy :+ colsBy :+ values).foreach(c => if (!df.columns.contains(c)) err("pivot", s"column `$c` not defined"))
+    if (checkUnique) {
+      val dup = df.groupBy((rowsBy :+ colsBy).map(col): _*).count().filter(col("count") > 1).isEmpty
+      if (!dup) err("pivot", "combinations of `rows_by` + `cols_by` are not unique; use group_by to aggregate first")
+    }
+    df.groupBy(rowsBy.map(col): _*).pivot(colsBy).agg(first(col(values)))
+  }
+
+  // ========================================================== aggregations
+
+  /** group_by (groupby.py:46-174): `create_columns: {name: "func(col,sep)"}`.
+    * The reference runs one groupby().apply per aggregate and merges the
+    * results; here the whole thing is a single groupBy().agg — one shuffle
+    * with map-side partial aggregation regardless of aggregate count. */
+  def groupBy(df: DataFrame, groupByColumns: Seq[String], createColumns: Seq[(String, String)]): DataFrame = {
+    groupByColumns.foreach(c => if (!df.columns.contains(c)) err("group_by", s"group-by column `$c` not in the dataset"))
+    val aggExprs = createColumns.map { case (name, funcSpec) => parseAgg(funcSpec, df.columns.toSeq).as(name) }
+    if (aggExprs.isEmpty) err("group_by", "create_columns must not be empty")
+    df.groupBy(groupByColumns.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    // NB the reference drops size-0 groups (groupby.py:137-138); Spark's
+    // groupBy never emits empty groups, so no filter is needed.
+  }
+
+  /** Parse the reference's `func(col,sep)` aggregate mini-language
+    * (groupby.py:95-98 regex) into a Column aggregate. Numeric aggregates
+    * coerce with cast-to-double; under Spark 4 ANSI mode a malformed numeric
+    * string raises — exactly the reference's pd.to_numeric(errors='raise')
+    * contract. Nulls flow through (pd.to_numeric(NaN) → NaN), which is where
+    * mean = sum/group-size differs from avg = sum/non-null-count
+    * (groupby.py:155). */
+  def parseAgg(spec: String, columns: Seq[String]): Column = {
+    val m = "([A-Za-z0-9_]*)\\(([A-Za-z0-9_]*)?,?(.*)?\\)".r.findFirstMatchIn(spec)
+      .getOrElse(err("group_by", s"cannot parse aggregate `$spec`"))
+    val (aggType, c, sep) = (m.group(1), Option(m.group(2)).getOrElse(""), Option(m.group(3)).getOrElse(""))
+    val needsCol = Set("agg", "aggregate", "max", "maximum", "min", "minimum", "sum",
+      "mean", "avg", "std", "stdev", "stddev", "var", "variance",
+      "str_min", "str_minimum", "str_max", "str_maximum", "json_array_agg")
+    if (needsCol.contains(aggType)) {
+      if (c.isEmpty) err("group_by", s"aggregation function `$aggType`(column) missing required column")
+      if (!columns.contains(c)) err("group_by", s"aggregation function `$aggType`($c) refers to a column $c which does not exist")
+    }
+    val num = col(c).cast(DoubleType)
+    aggType match {
+      case "agg" | "aggregate" => concat_ws(sep, collect_list(col(c).cast(StringType)))
+      case "json_array_agg" =>
+        if (sep == "str") to_json(collect_list(col(c).cast(StringType)))
+        else concat(lit("["), concat_ws(",", collect_list(col(c).cast(StringType))), lit("]"))
+      case "count" | "size" => count(lit(1))
+      case "min" | "minimum" => min(num)
+      case "max" | "maximum" => max(num)
+      case "str_min" | "str_minimum" => min(col(c).cast(StringType))
+      case "str_max" | "str_maximum" => max(col(c).cast(StringType))
+      case "sum" => sum(num)
+      case "mean" | "avg" => sum(num) / count(lit(1))
+      case "std" | "stdev" | "stddev" => stddev_samp(num)
+      case "var" | "variance" => var_samp(num)
+      case other => err("group_by", s"invalid aggregation function `$other` in `group_by` operation")
+    }
+  }
+
+  /** group_by_with_rank (groupby.py:12-43): 0-based cumulative count within
+    * groups, original rows preserved. The reference's order is dask encounter
+    * order (nondeterministic under repartition); we order by an explicit
+    * ordinal when given, else by all non-group columns for stability. */
+  def groupByWithRank(df: DataFrame, groupByColumns: Seq[String], rankColumn: String,
+                      orderBy: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    groupByColumns.foreach(c => if (!df.columns.contains(c)) err("group_by_with_rank", s"column `$c` not in the dataset"))
+    val ord = if (orderBy.nonEmpty) orderBy else df.columns.filterNot(groupByColumns.contains).toSeq
+    val w = Window.partitionBy(groupByColumns.map(col): _*).orderBy(ord.map(col): _*)
+    df.withColumn(rankColumn, row_number().over(w) - 1)
+  }
+
+  // ================================================== node-level features
+
+  /** `expect:` assertions (nodes/node.py:165-194): per-row Jinja boolean;
+    * the run fails if any row renders falsy. */
+  def expect(df: DataFrame, expectations: Seq[String], nodeName: String = "node"): Unit =
+    expectations.foreach { e =>
+      val pred = RowTemplates.templateColumn(df, "{% if " + e + " %}True{% else %}False{% endif %}")
+      val bad = df.filter(pred === lit("False")).count()
+      if (bad > 0)
+        throw new IllegalStateException(s"Expectation failed on $nodeName: `$e` ($bad failing rows)")
+    }
+
+  /** require_rows (node.py:124-143). */
+  def requireRows(df: DataFrame, n: Long, nodeName: String = "node"): Unit = {
+    val c = df.count()
+    if (c < n) throw new IllegalStateException(s"$nodeName: requires at least $n rows but has $c")
+  }
+}

@@ -42,8 +42,13 @@ object PandasQuery {
       } else if (c == '\'' || c == '"') {
         val sb = new StringBuilder; var j = i + 1
         while (j < n && in.charAt(j) != c) {
-          if (in.charAt(j) == '\\' && j + 1 < n) { sb.append(in.charAt(j + 1)); j += 2 }
-          else { sb.append(in.charAt(j)); j += 1 }
+          // Python string literals preserve unrecognized escapes, so only
+          // unescape the active quote char and backslash-backslash; a regex
+          // arg like '\d+' must keep its backslash (it reaches rlike intact).
+          if (in.charAt(j) == '\\' && j + 1 < n &&
+              (in.charAt(j + 1) == c || in.charAt(j + 1) == '\\')) {
+            sb.append(in.charAt(j + 1)); j += 2
+          } else { sb.append(in.charAt(j)); j += 1 }
         }
         require(j < n, s"unterminated string in query: $in")
         toks += TStr(sb.toString); i = j + 1
@@ -112,24 +117,32 @@ object PandasQuery {
       case _ => cmpExpr()
     }
 
+    // Null semantics (documented choice, matching the reference): pandas
+    // query with engine='python' evaluates comparisons on missing values
+    // two-valued — NaN == 5 → False, NaN != 5 → True, NaN < 5 → False —
+    // and the reference's `exclude` wraps the predicate in not(...). SQL
+    // three-valued logic would silently drop null rows from both the keep
+    // and the exclude sets. We therefore compile every comparison to a
+    // non-null boolean: <=> for equality, coalesce(_, false) for ordering,
+    // so not(pred) keeps null rows exactly like pandas.
     private def cmpExpr(): Column = {
       val l = addExpr()
       peek match {
         case TOp(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
           next(); val r = addExpr()
           op match {
-            case "==" => l === r
-            case "!=" => l =!= r
-            case "<"  => l < r
-            case "<=" => l <= r
-            case ">"  => l > r
-            case ">=" => l >= r
+            case "==" => l <=> r
+            case "!=" => !(l <=> r)
+            case "<"  => coalesce(l < r, lit(false))
+            case "<=" => coalesce(l <= r, lit(false))
+            case ">"  => coalesce(l > r, lit(false))
+            case ">=" => coalesce(l >= r, lit(false))
           }
-        case TIdent("in") => next(); l.isin(listLiteral(): _*)
+        case TIdent("in") => next(); coalesce(l.isin(listLiteral(): _*), lit(false))
         case TIdent("not") =>
           next()
           next() match {
-            case TIdent("in") => !l.isin(listLiteral(): _*)
+            case TIdent("in") => !coalesce(l.isin(listLiteral(): _*), lit(false))
             case t => fail(s"expected 'in' after 'not', found $t")
           }
         case _ => l
@@ -202,11 +215,15 @@ object PandasQuery {
         case "contains" =>
           val arg = strArg()
           expectOp(")")
-          // pandas default is regex=True; the corpus uses plain substrings,
-          // which rlike handles identically for regex-free patterns.
-          base.rlike(arg)
-        case "startswith" => val a = strArg(); expectOp(")"); base.startsWith(a)
-        case "endswith"   => val a = strArg(); expectOp(")"); base.endsWith(a)
+          // pandas default is regex=True; a NaN cell yields NaN which the
+          // query treats as False — hence the coalesce.
+          coalesce(base.rlike(arg), lit(false))
+        case "startswith" =>
+          val a = strArg(); expectOp(")")
+          coalesce(base.startsWith(a), lit(false))
+        case "endswith" =>
+          val a = strArg(); expectOp(")")
+          coalesce(base.endsWith(a), lit(false))
         case "len"   => expectOp(")"); length(base)
         case "lower" => expectOp(")"); lower(base)
         case "upper" => expectOp(")"); upper(base)

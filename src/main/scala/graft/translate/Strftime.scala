@@ -30,9 +30,10 @@ object Strftime {
     'p' -> "a",    // AM/PM
     'z' -> "xx",   // UTC offset
     'Z' -> "zz",   // timezone name
-    'G' -> "YYYY", // ISO year
-    'u' -> "e",    // ISO weekday (1..7)
-    'V' -> "ww",   // ISO week
+    // %G/%u/%V (ISO week-date fields) intentionally unmapped: Spark 3.0+
+    // rejects week-based pattern letters at runtime, and the locale-week
+    // Java letters are semantically wrong anyway. They fall through to the
+    // unsupported-directive error below.
     '%' -> "%"     // literal percent
   )
 
@@ -43,9 +44,11 @@ object Strftime {
     def flushLit(): Unit = {
       if (lit.nonEmpty) {
         val s = lit.toString
-        // Quote literal runs that contain letters so DateTimeFormatter does
-        // not interpret them as pattern characters.
-        if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
+        // Quote literal runs containing letters OR apostrophes so
+        // DateTimeFormatter neither interprets letters as pattern chars nor
+        // sees a bare ' as the start of an unterminated quoted section.
+        if (s.exists(c => c.isLetter || c == '\''))
+          out.append('\'').append(s.replace("'", "''")).append('\'')
         else out.append(s)
         lit.clear()
       }
@@ -53,6 +56,9 @@ object Strftime {
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
+      if (c == '%' && i + 1 >= fmt.length)
+        throw new IllegalArgumentException(
+          s"dangling % at end of strftime pattern '$fmt'")
       if (c == '%' && i + 1 < fmt.length) {
         val d = fmt.charAt(i + 1)
         mapping.get(d) match {

@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about database engines and query planners here"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 0
+    (4L, "short doc"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate with min-id representative") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    val dup = g.filter(col("dup_count") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 0L)
+    assert(dup.head.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("jaccardPairs finds near and exact dups above threshold, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact
+    assert(pairs.contains((0L, 1L))) // near
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhashLshPairs recall matches exact jaccard on this corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh == exact) // banded candidates + exact verify ⇒ no false positives; recall here is total
+  }
+
+  test("simhashPairs finds the exact dup at hamming 0 and the near dup within budget") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash of identical texts is identical; different texts differ") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash("text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(sigs(0L) != sigs(2L))
+  }
+
+  test("TextFunctions: counts, ratios, language id, fingerprint invariance") {
+    val one = Seq((1L, "The quick  brown fox, the END!")).toDF("id", "text")
+    val row = one.select(
+      TextFunctions.wordCount(col("text")),
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.langId(col("text")),
+      TextFunctions.fingerprint(col("text")),
+      TextFunctions.fingerprint(lit("the quick brown fox the end"))).head
+    assert(row.getLong(0) == 6L)   // whitespace words (double space collapsed)
+    assert(row.getLong(1) == 8L)   // 6 word-runs + ',' + '!'
+    assert(row.getString(2) == "en")
+    assert(row.getString(3) == row.getString(4)) // normalization invariance
+    val fr = Seq((1L, "le chat et la souris sont dans la maison")).toDF("id", "text")
+    assert(fr.select(TextFunctions.langId(col("text"))).head.getString(0) == "fr")
+  }
+
+  test("Similarity: cosine basics and brute-force top-k ordering") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val self = vecs.select(Similarity.cosine(col("embedding"), col("embedding"))).as[Double].collect()
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-9))
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      Seq(1.0f, 0.0f), 2).select("id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("Similarity: lsh bucket is deterministic and groups an identical vector with the query") {
+    val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val buckets = vecs.select(Similarity.lshBucket(col("embedding"), 8)).as[Long].collect()
+    assert(buckets(0) == buckets(1))
+  }
+
+  test("cosinePairs bucketed variant is a subset of exact pairs with identical scores") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9, bucketed = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+}

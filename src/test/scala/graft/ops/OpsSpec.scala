@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.SparkException
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("addColumns: static literal and Jinja template") {
+    val df = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    val out = Ops.addColumns(df, Seq("tag" -> "x", "both" -> "{{k}}-{{v}}", "calc" -> "{{ v|int * 10 }}"))
+    assert(out.columns.toSeq == Seq("k", "v", "tag", "both", "calc"))
+    assert(out.orderBy("k").collect().map(_.mkString(",")).toSeq == Seq("a,1,x,a-1,10", "b,2,x,b-2,20"))
+  }
+
+  test("modifyColumns binds {{value}} and sees the whole row") {
+    val df = Seq(("a", "1")).toDF("k", "v")
+    val out = Ops.modifyColumns(df, Seq("v" -> "{{value}}{{k}}"))
+    assert(out.head.getString(1) == "1a")
+  }
+
+  test("mapValues: exact match replace, unmatched passes through (pandas .replace)") {
+    val df = Seq("x", "y", "zz").toDF("c")
+    val out = Ops.mapValues(df, Seq("c"), Map("x" -> "X", "y" -> "Y"))
+    assert(out.as[String].collect().sorted.toSeq == Seq("X", "Y", "zz"))
+  }
+
+  test("wildcard column matching (fnmatch)") {
+    val cols = Seq("school_id", "school_name", "grade")
+    assert(Ops.matchWildcardColumns(cols, Seq("school_*")) == Seq("school_id", "school_name"))
+    assert(Ops.matchWildcardColumns(cols, Seq("grade?"), raiseOnUnmatched = false).isEmpty)
+    intercept[IllegalArgumentException](Ops.matchWildcardColumns(cols, Seq("nope")))
+  }
+
+  test("snakeCaseColumns handles camelCase and acronyms; collision errors") {
+    val df = Seq((1, 2, 3)).toDF("studentID", "schoolYear", "already_snake")
+    assert(Ops.snakeCaseColumns(df).columns.toSeq == Seq("student_id", "school_year", "already_snake"))
+    val clash = Seq((1, 2)).toDF("aB", "a_b")
+    intercept[IllegalArgumentException](Ops.snakeCaseColumns(clash))
+  }
+
+  test("dateFormat: reformat; strict mode fails on garbage; ignore_errors nulls it") {
+    val df = Seq("2024-01-15", "garbage").toDF("d")
+    val lenient = Ops.dateFormat(df, Seq("d"), "%Y-%m-%d", "%d/%m/%Y", ignoreErrors = true)
+    assert(lenient.as[String].collect().toSet == Set("15/01/2024", null))
+    val strict = Ops.dateFormat(df, Seq("d"), "%Y-%m-%d", "%d/%m/%Y")
+    val e = intercept[Exception](strict.collect()) // raise_error → SparkRuntimeException
+    assert(e.getMessage.contains("cannot parse"))
+  }
+
+  test("filterRows include/exclude with pandas null semantics") {
+    val df = Seq(("a", "5"), ("b", null)).toDF("k", "v")
+    assert(Ops.filterRows(df, "v == '5'").count() == 1)
+    // exclude keeps the null row (pandas: not(NaN == '5') → True)
+    assert(Ops.filterRows(df, "v == '5'", "exclude").select("k").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("sortRows with +/- prefixes and descending override") {
+    val df = Seq(("a", "2"), ("b", "1"), ("c", "2")).toDF("k", "v")
+    assert(Ops.sortRows(df, Seq("-v", "+k")).select("k").as[String].collect().toSeq == Seq("a", "c", "b"))
+    assert(Ops.sortRows(df, Seq("+v", "+k"), descending = true).select("k").as[String].collect().toSeq
+      == Seq("c", "a", "b"))
+  }
+
+  test("limitRows count+offset; count must be positive") {
+    val df = spark.range(10).toDF("i")
+    assert(Ops.limitRows(df.orderBy("i"), 3, 2).as[Long].collect().toSeq == Seq(2L, 3L, 4L))
+    intercept[IllegalArgumentException](Ops.limitRows(df, 0))
+  }
+
+  test("flatten: wrappers stripped, separator split, empty string keeps one row") {
+    val df = Seq((1, """["a", "b"]"""), (2, ""), (3, "solo")).toDF("id", "arr")
+    val out = Ops.flatten(df, "arr", "v").orderBy("id", "v")
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (1, "b"), (2, ""), (3, "solo")))
+  }
+
+  test("join: same-name keys merge into one column; outer coalesces both sides") {
+    val l = Seq(("k1", "lv1"), ("k2", "lv2")).toDF("k", "lv")
+    val r = Seq(("k2", "rv2"), ("k3", "rv3")).toDF("k", "rv")
+    val out = Ops.join(l, Seq(r), "outer", Seq("k"), Seq("k")).orderBy("k")
+    assert(out.columns.toSeq == Seq("k", "lv", "rv"))
+    assert(out.collect().map(_.mkString("|")).toSeq ==
+      Seq("k1|lv1|null", "k2|lv2|rv2", "k3|null|rv3"))
+  }
+
+  test("join: colliding non-key columns get _x/_y suffixes (pandas merge)") {
+    val l = Seq(("1", "L")).toDF("id", "name")
+    val r = Seq(("1", "R")).toDF("rid", "name")
+    val out = Ops.join(l, Seq(r), "inner", Seq("id"), Seq("rid"))
+    assert(out.columns.toSeq == Seq("id", "name_x", "rid", "name_y"))
+  }
+
+  test("join: keep/drop column pruning and key-drop guard") {
+    val l = Seq(("1", "a", "b")).toDF("id", "keep", "drop")
+    val r = Seq(("1", "x")).toDF("id", "rcol")
+    val kept = Ops.join(l, Seq(r), "inner", Seq("id"), Seq("id"), leftKeep = Seq("keep"))
+    assert(kept.columns.toSeq == Seq("id", "keep", "rcol"))
+    intercept[IllegalArgumentException](
+      Ops.join(l, Seq(r), "inner", Seq("id"), Seq("id"), leftDrop = Seq("id")))
+  }
+
+  test("union: column mismatch errors unless fill_missing_columns") {
+    val a = Seq(("1", "x")).toDF("id", "v")
+    val b = Seq("2").toDF("id")
+    intercept[IllegalArgumentException](Ops.union(a, Seq(b)))
+    val filled = Ops.union(a, Seq(b), fillMissingColumns = true).orderBy("id")
+    assert(filled.collect().map(_.mkString("|")).toSeq == Seq("1|x", "2|null"))
+  }
+
+  test("melt defaults: all non-id vars, melt_variable/melt_value names") {
+    val df = Seq(("1", "a", "b")).toDF("id", "c1", "c2")
+    val out = Ops.melt(df, Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "melt_variable", "melt_value"))
+    assert(out.count() == 2)
+  }
+
+  test("pivot: uniqueness pre-check errors like the reference") {
+    val dup = Seq(("r", "c", "1"), ("r", "c", "2")).toDF("row", "colv", "v")
+    intercept[IllegalArgumentException](Ops.pivot(dup, Seq("row"), "colv", "v"))
+    val ok = Seq(("r1", "A", "1"), ("r1", "B", "2"), ("r2", "A", "3")).toDF("row", "colv", "v")
+    val out = Ops.pivot(ok, Seq("row"), "colv", "v").orderBy("row")
+    assert(out.columns.toSeq == Seq("row", "A", "B"))
+    assert(out.collect().map(_.mkString("|")).toSeq == Seq("r1|1|2", "r2|3|null"))
+  }
+
+  test("melt then pivot round-trips") {
+    val df = Seq(("1", "a", "b"), ("2", "c", "d")).toDF("id", "c1", "c2")
+    val melted = Ops.melt(df, Seq("id"))
+    val back = Ops.pivot(melted, Seq("id"), "melt_variable", "melt_value").orderBy("id")
+    assert(back.columns.toSeq == Seq("id", "c1", "c2"))
+    assert(back.collect().map(_.mkString("|")).toSeq == Seq("1|a|b", "2|c|d"))
+  }
+
+  test("groupBy: mean is sum/size not avg (reference groupby.py:155)") {
+    // null cell: mean divides by group SIZE (3), plain AVG would use the
+    // non-null count (2). Garbage strings raise under ANSI — matching the
+    // reference's pd.to_numeric(errors='raise').
+    val df = Seq(("g", Some("2")), ("g", Some("4")), ("g", None)).toDF("k", "v")
+    val out = Ops.groupBy(df, Seq("k"), Seq("m" -> "mean(v)", "n" -> "count()", "s" -> "sum(v)"))
+    val row = out.head
+    assert(row.getDouble(1) == 2.0) // (2+4)/3, not 3.0
+    assert(row.getLong(2) == 3L)
+    assert(row.getDouble(3) == 6.0)
+    val garbage = Seq(("g", "x")).toDF("k", "v")
+    intercept[Exception](Ops.groupBy(garbage, Seq("k"), Seq("s" -> "sum(v)")).collect())
+  }
+
+  test("groupBy: agg concat, json_array_agg, str_min/max, std/var") {
+    val df = Seq(("g", "b"), ("g", "a")).toDF("k", "v")
+    val out = Ops.groupBy(df, Seq("k"), Seq(
+      "joined" -> "agg(v,;)", "js" -> "json_array_agg(v)", "jstr" -> "json_array_agg(v,str)",
+      "lo" -> "str_min(v)", "hi" -> "str_max(v)"))
+    val row = out.head
+    assert(Set("a;b", "b;a").contains(row.getString(1)))
+    assert(row.getString(4) == "a" && row.getString(5) == "b")
+    assert(row.getString(3).startsWith("[\""))
+    val bad = intercept[IllegalArgumentException](Ops.groupBy(df, Seq("k"), Seq("x" -> "median(v)")))
+    assert(bad.getMessage.contains("invalid aggregation function"))
+  }
+
+  test("groupByWithRank: 0-based cumcount within groups") {
+    val df = Seq(("g1", "a"), ("g1", "b"), ("g2", "c")).toDF("g", "v")
+    val out = Ops.groupByWithRank(df, Seq("g"), "rk", orderBy = Seq("v"))
+    assert(out.orderBy("g", "v").select("rk").as[Int].collect().toSeq == Seq(0, 1, 0))
+  }
+
+  test("expect and requireRows assertions") {
+    val df = Seq(("5", "ok")).toDF("n", "s")
+    Ops.expect(df, Seq("n|int > 4"))
+    intercept[IllegalStateException](Ops.expect(df, Seq("n|int > 10")))
+    Ops.requireRows(df, 1)
+    intercept[IllegalStateException](Ops.requireRows(df, 2))
+  }
+
+  test("distinctRows with subset keeps one row per key") {
+    val df = Seq(("a", "1"), ("a", "2"), ("b", "1")).toDF("k", "v")
+    assert(Ops.distinctRows(df, Seq("k")).count() == 2)
+    assert(Ops.distinctRows(df).count() == 3)
+  }
+}
