@@ -251,7 +251,7 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.42)),
+      Similarity.cosinePairsBlocked(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.42)),
 
     // ==================================================== similarity search
     "q_ann_topk" -> ((s, d) => {

@@ -52,9 +52,17 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleSize: Int = 3,
                    maxDocFreq: Option[Long] = None): DataFrame = {
+    // persist: the docs plan feeds the posting list (twice, via self-join)
+    // and the per-doc counts — without it the shingle expression re-evaluates
+    // per branch (no CSE across plan branches)
     val docs = df.select(col(idCol).cast(LongType).as("id"), shingles(textCol, shingleSize).as("toks"))
+      .persist()
     val counts = docs.select(col("id"), size(col("toks")).cast(LongType).as("n_toks"))
-    val posting0 = docs.select(col("id"), explode(col("toks")).as("tok"))
+    // hash shingles to 64-bit keys: the join/shuffle moves longs, not strings
+    // (intersection counts are unchanged — collisions at 64 bits are
+    // negligible and would only merge two shingles within the same pair)
+    val posting0 = docs.select(col("id"), explode(col("toks")).as("tok0"))
+      .select(col("id"), xxhash64(col("tok0")).as("tok"))
     val posting = maxDocFreq match {
       case Some(cap) =>
         val freq = posting0.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -105,6 +113,7 @@ object Dedup {
     val docs = df.select(col(idCol).cast(LongType).as("id"),
       shingles(textCol, shingleSize).as("toks"), minhashSignature(textCol, numHashes, shingleSize).as("sig"))
       .filter(size(col("toks")) > 0)
+      .persist() // sig+toks feed band keys AND both sides of the verify join
 
     val bandKeys = docs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -152,6 +161,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
                    shingleSize: Int = 3): DataFrame = {
     val docs = df.select(col(idCol).cast(LongType).as("id"), simhash(textCol, shingleSize).as("sig"))
+      .persist() // the signature feeds both sides of the band self-join
     val banded = docs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))).as(Seq("band", "chunk")))
