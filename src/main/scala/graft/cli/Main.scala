@@ -17,11 +17,15 @@ object Main {
     var selector = "*"
     var params = Map.empty[String, String]
     var outputDir: Option[String] = None
+    var force = false
+    var skipHashing = false
     var i = 1
     while (i < args.length) {
       args(i) match {
         case "-c" | "--config" => config = args(i + 1); i += 2
         case "-s" | "--select" => selector = args(i + 1); i += 2
+        case "-f" | "--force" => force = true; i += 1
+        case "-k" | "--skip-hashing" => skipHashing = true; i += 1
         case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
         case "-p" | "--params" =>
           params ++= args(i + 1).split(",").map { kv =>
@@ -34,11 +38,24 @@ object Main {
 
     cmd match {
       case "run" =>
+        val project = Config.load(config, params)
+        // incremental skip (reference earthmover.py:282-341 + exit 99)
+        val stateFile = project.config.get("state_file").map(v =>
+          java.nio.file.Paths.get(v.toString))
+        val hash = stateFile.filter(_ => !skipHashing)
+          .map(_ => graft.engine.RunsFile.computeHash(project, params, selector))
+        if (!force && stateFile.nonEmpty && hash.nonEmpty &&
+            graft.engine.RunsFile.shouldSkip(stateFile.get, hash.get)) {
+          println("skipping (no changes since last run) — use --force to run anyway")
+          sys.exit(99)
+        }
         val spark = session()
         try {
-          val result = new Engine(spark).run(config, selector, params,
+          val engine = new Engine(spark)
+          val result = engine.execute(engine.compile(project, selector),
             outputDir.map(java.nio.file.Paths.get(_)))
           result.written.foreach { case (node, path) => println(s"$node -> $path") }
+          (stateFile zip hash).foreach { case (f, h) => graft.engine.RunsFile.record(f, h) }
         } finally spark.stop()
       case "compile" =>
         // validate only; dump the compiled project like the reference's
@@ -66,5 +83,5 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft <run|compile> [-c config.yaml] [-s selector] [-p K=V,...] [--output-dir DIR]""")
+      """usage: graft <run|compile> [-c config.yaml] [-s selector] [-p K=V,...] [-f] [-k] [--output-dir DIR]""")
 }

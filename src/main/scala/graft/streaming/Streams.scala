@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/**
+ * Streaming operators over an event stream (schema compatible with the
+ * `events` testdata table: ts, user_id, event_type, value). The reference
+ * has no streaming surface (SURVEY.md §2.5 note) — these are the Spark-
+ * native extensions a pipeline at this scale needs: the same transforms
+ * work on `spark.read` (batch backfill) and `spark.readStream` (live), so
+ * one definition serves both paths.
+ *
+ * Scale: windowed aggregation is shuffle-on-(window,key) with partial
+ * aggregation; watermarks bound state; sessionization uses per-key state
+ * with event-time timeout so state size tracks ACTIVE keys, not history.
+ */
+object Streams {
+
+  /** Tumbling-window counts/sums per event type. Watermark bounds late data
+    * and lets Spark drop window state once the watermark passes. Works on
+    * batch and streaming frames alike. */
+  def windowedStats(events: DataFrame, window: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** Session windows per user with `gapMs` inactivity timeout, emitted when
+    * the session closes (state timeout on event-time + watermark). The
+    * canonical mapGroupsWithState shape: per-key state is one running
+    * session, so memory is O(active users). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming // captured as a plain boolean: the
+    // state function must not close over the Dataset itself (its logical
+    // plan does not serialize to executors)
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = List.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (streaming)
+                state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            // batch mode has no timeout pass: flush the open session now
+            if (!streaming) {
+              cur.foreach { s =>
+                closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+              }
+              state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dedup by key within the watermark horizon —
+    * `dropDuplicates` backed by state store, the streaming face of
+    * Dedup.exactGroups. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm.dropDuplicates(keyCols :+ "ts")
+  }
+}

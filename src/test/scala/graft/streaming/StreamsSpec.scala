@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import Streams._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val batch = Seq(
+    Event(ts(0), 1, "click", 1.0),
+    Event(ts(10), 1, "click", 2.0),   // same session (gap 10m < 30m)
+    Event(ts(120), 1, "view", 3.0),   // new session (gap 110m)
+    Event(ts(5), 2, "click", 4.0),
+  )
+
+  test("windowedStats works identically on a batch frame") {
+    val out = windowedStats(batch.toDF(), "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.length == 2) // (hour0, click), (hour2, view)
+    val first = out.head
+    assert(first.getAs[Timestamp]("window_start") == ts(0))
+    assert(first.getAs[Long]("n_events") == 3L) // u1 x2 + u2 x1 clicks in hour 0
+  }
+
+  test("sessionize batch: gap splits sessions, totals accumulate") {
+    val sessions = sessionize(batch.toDS(), gapMs = 30 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
+      Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+
+  test("windowedStats on a real stream emits watermarked windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedStats(mem.toDF(), "1 hour", watermark = "1 minute")
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      // push the watermark far past hour 0/2 so those windows finalize
+      mem.addData(Event(ts(600), 9, "noop", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test").collect()
+      assert(rows.length >= 2) // finalized: (hour0, click), (hour2, view)
+      val clicks0 = spark.table("win_test")
+        .filter(col("event_type") === "click" && col("window_start") === ts(0))
+        .head()
+      assert(clicks0.getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
+  test("sessionize on a real stream closes sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      mem.addData(Event(ts(600), 9, "noop", 0.0)) // advance watermark → timeouts fire
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.start.getTime)
+      assert(sessions.map(s => (s.n_events, s.total_value)).toSeq == Seq((2L, 3.0), (1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops in-horizon duplicates") {
+    val dup = batch ++ Seq(Event(ts(0), 1, "click", 1.0))
+    val out = dedupStream(dup.toDF(), Seq("user_id", "event_type"))
+    assert(out.count() == batch.size) // exact duplicate row collapsed
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.Multimodal
+
+  private def media(id: Long, seed: Int, n: Int): (Long, Array[Byte]) =
+    (id, Array.tabulate(n)(i => ((i * seed + seed) % 251).toByte))
+
+  test("extractFeatures: deterministic stub features, exact schema") {
+    val df = Seq(media(1, 3, 500), media(2, 7, 300), media(1, 3, 500).copy(_1 = 3L))
+      .toDF("media_id", "content")
+    val feats = Multimodal.extractFeatures(df, dim = 8).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    assert(feats(0).features.length == 8)
+    assert(feats(0).content_hash == feats(2).content_hash) // same bytes → same hash
+    assert(feats(0).content_hash != feats(1).content_hash)
+    assert(feats(0).features.toSeq == feats(2).features.toSeq)
+  }
+
+  test("exactPayloadGroups finds duplicate payloads") {
+    val df = Seq(media(1, 3, 500), media(2, 7, 300), media(3, 3, 500))
+      .toDF("media_id", "content")
+    val dup = Multimodal.exactPayloadGroups(df).filter(col("dup_count") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("sampleFrames emits n frames per row with frame numbers") {
+    val df = Seq(media(1, 3, 5000)).toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(df, n = 4, frameBytes = 100).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 100))
+  }
+}
