@@ -83,6 +83,69 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ------------------------------------------------- signature kernels
+  // Signature computation is linear per-document work, but higher-order-
+  // function expressions pay interpreted-lambda overhead per (token × hash):
+  // at 64 hashes that is ~50× slower than a tight JVM loop. The pairs
+  // functions therefore build signatures in a mapPartitions kernel; the
+  // Column variants below remain the public expression API.
+
+  /** Scala mirror of `shingles` (same tokenization, same first-occurrence
+    * distinct order). */
+  private[functions] def shinglesScala(text: String, n: Int): Array[String] = {
+    val ws = text.toLowerCase.split(" +").filter(_.nonEmpty)
+    val grams =
+      if (ws.length >= n) Array.tabulate(ws.length - n + 1)(i => ws.slice(i, i + n).mkString(" "))
+      else Array(ws.mkString(" "))
+    val seen = new java.util.LinkedHashSet[String]()
+    grams.foreach(seen.add)
+    seen.toArray(Array.empty[String])
+  }
+
+  /** FNV-1a 64-bit over UTF-8 + splitmix64 finalizer — deterministic,
+    * dependency-free, well-mixed for LSH. */
+  private[functions] def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  private[functions] def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Kernel: (id, distinct shingles, minhash signature) per document. */
+  private def docSignatures(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = shinglesScala(if (text == null) "" else text, shingleSize)
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          var t = 0
+          while (t < toks.length) {
+            val h0 = hash64(toks(t))
+            var i = 0
+            while (i < numHashes) {
+              val h = mix64(h0 ^ (i * 0x9e3779b97f4a7c15L))
+              if (h < sig(i)) sig(i) = h
+              i += 1
+            }
+            t += 1
+          }
+          (id, toks, sig)
+        }
+      }.toDF("id", "toks", "sig")
+  }
+
   /** MinHash signature column: for each of `numHashes` seeded xxhash64
     * functions, the minimum hash over the document's distinct tokens.
     * Pure higher-order-function expression — no UDF, no shuffle. */
@@ -110,8 +173,7 @@ object Dedup {
                       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val docs = df.select(col(idCol).cast(LongType).as("id"),
-      shingles(textCol, shingleSize).as("toks"), minhashSignature(textCol, numHashes, shingleSize).as("sig"))
+    val docs = docSignatures(df, idCol, textCol, numHashes, shingleSize)
       .filter(size(col("toks")) > 0)
       .persist() // sig+toks feed band keys AND both sides of the verify join
 
@@ -160,7 +222,30 @@ object Dedup {
     * `maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
                    shingleSize: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).cast(LongType).as("id"), simhash(textCol, shingleSize).as("sig"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast(LongType), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = shinglesScala(if (text == null) "" else text, shingleSize)
+          val counters = new Array[Int](64)
+          var t = 0
+          while (t < toks.length) {
+            val h = hash64(toks(t))
+            var k = 0
+            while (k < 64) {
+              if (((h >>> k) & 1L) == 1L) counters(k) += 1 else counters(k) -= 1
+              k += 1
+            }
+            t += 1
+          }
+          var sig = 0L
+          var k = 0
+          while (k < 64) { if (counters(k) > 0) sig |= (1L << k); k += 1 }
+          (id, sig)
+        }
+      }.toDF("id", "sig")
       .persist() // the signature feeds both sides of the band self-join
     val banded = docs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),

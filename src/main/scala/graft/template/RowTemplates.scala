@@ -30,9 +30,12 @@ object RowTemplates {
       case None =>
         val render = udf { json: String =>
           val base = Jinja.Json.parse(json).asInstanceOf[Map[String, Any]]
+          // __row_data__: the row's self-reference, as the reference injects
+          // for destination templates (util.py:82-85, destination.py:164-171)
+          val ctx0 = base + ("__row_data__" -> base)
           val ctx = bindValue match {
-            case Some(v) => base ++ extra + ("value" -> base.getOrElse(v, null))
-            case None => base ++ extra
+            case Some(v) => ctx0 ++ extra + ("value" -> base.getOrElse(v, null))
+            case None => ctx0 ++ extra
           }
           tpl.render(ctx)
         }
