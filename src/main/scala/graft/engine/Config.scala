@@ -85,7 +85,71 @@ object Config {
       case other => throw new IllegalArgumentException(
         s"config file is missing `version: 2` (found: $other) — incompatible project")
     }
-    Project(root, configDir)
+    Project(mergePackages(root, configDir, cliParams), configDir)
+  }
+
+  /** Package composition (reference earthmover.py:472-500 + package.py):
+    * each entry under `packages:` is loaded (recursively — packages can
+    * declare packages), its relative file paths rebased to the package
+    * directory, and deep-merged post-order with the PROJECT winning over
+    * packages and later packages over earlier ones. Only `local:` packages
+    * are supported (this build is offline; the reference also does git). */
+  private def mergePackages(root: Map[String, Any], configDir: Path,
+                            cliParams: Map[String, String]): Map[String, Any] =
+    root.get("packages") match {
+      case None => root
+      case Some(pkgsAny) =>
+        val pkgBase = asMap(pkgsAny).foldLeft(Map.empty[String, Any]) {
+          case (acc, (name, pcfgAny)) =>
+            val pcfg = asMap(pcfgAny)
+            val local = str(pcfg, "local").getOrElse(throw new IllegalArgumentException(
+              s"package `$name`: only `local:` packages are supported offline"))
+            val pdir = configDir.resolve(local).normalize()
+            val pfile = Seq("graft.yaml", "earthmover.yaml")
+              .map(pdir.resolve).find(Files.exists(_))
+              .getOrElse(throw new IllegalArgumentException(
+                s"package `$name`: no graft.yaml/earthmover.yaml under $pdir"))
+            val sub = compile(Files.readString(pfile), pdir, cliParams).raw
+            asMap(deepMerge(acc, rebasePaths(sub, pdir))) // later packages win over earlier
+        }
+        asMap(deepMerge(pkgBase, root.removed("packages"))) // the project wins
+    }
+
+  /** Recursive merge: mappings merge key-wise (the second argument wins on
+    * conflicts — YamlMapping.update parity, yaml_parser.py:16-31); any other
+    * value is replaced. */
+  private[engine] def deepMerge(base: Any, over: Any): Any = (base, over) match {
+    case (b: Map[_, _], o: Map[_, _]) =>
+      val bm = b.asInstanceOf[Map[String, Any]]
+      val om = o.asInstanceOf[Map[String, Any]]
+      val keys = bm.keys ++ om.keys.filterNot(bm.contains)
+      scala.collection.immutable.ListMap(keys.toSeq.map { k =>
+        k -> ((bm.get(k), om.get(k)) match {
+          case (Some(bv), Some(ov)) => deepMerge(bv, ov)
+          case (Some(bv), None) => bv
+          case (None, Some(ov)) => ov
+          case _ => null
+        })
+      }: _*)
+    case (_, o) => o
+  }
+
+  /** Rewrite a package's relative `file:` / `template:` / `map_file:` paths
+    * to absolute paths under the package directory (package.py:89-119). */
+  private def rebasePaths(doc: Map[String, Any], pdir: Path): Map[String, Any] = {
+    def abs(v: String): String = {
+      val p = Paths.get(v)
+      if (p.isAbsolute || v.contains("://")) v else pdir.resolve(v).normalize().toString
+    }
+    def walk(node: Any, key: String): Any = node match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
+        case (k, v: String) if Set("file", "template", "map_file", "colspec_file").contains(k) => k -> abs(v)
+        case (k, v) => k -> walk(v, k)
+      }
+      case l: List[_] => l.map(walk(_, key))
+      case other => other
+    }
+    walk(doc, "").asInstanceOf[Map[String, Any]]
   }
 
   /** `${NAME}` substitution that leaves unknown params intact

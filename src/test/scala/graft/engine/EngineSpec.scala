@@ -156,6 +156,47 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](cyclic.topologicalOrder)
   }
 
+  test("packages: local package merges under the project, paths rebased") {
+    val dir = Files.createTempDirectory("graft-pkg")
+    val pkgDir = Files.createDirectories(dir.resolve("pkg"))
+    Files.writeString(pkgDir.resolve("base.csv"), "a\n1\n")
+    Files.writeString(pkgDir.resolve("earthmover.yaml"),
+      """version: 2
+        |sources:
+        |  base:
+        |    file: base.csv
+        |transformations:
+        |  t:
+        |    source: $sources.base
+        |    operations:
+        |      - operation: add_columns
+        |        columns:
+        |          origin: pkg
+        |destinations:
+        |  out:
+        |    source: $transformations.t
+        |""".stripMargin)
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |config:
+        |  output_dir: OUT
+        |packages:
+        |  basepkg:
+        |    local: pkg
+        |transformations:
+        |  t:
+        |    source: $sources.base
+        |    operations:
+        |      - operation: add_columns
+        |        columns:
+        |          origin: project   # the project overrides the package
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
+    assert(lines.head == """{"a":"1","origin":"project"}""")
+  }
+
   test("multi-line sparse headers flatten to A__b names") {
     assert(Sources.flattenHeaders(Seq(
       Seq("Student", "", "School", ""),
