@@ -268,6 +268,30 @@ object SparkEntry {
       Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, numPlanes = 4)
     }),
 
+    // streaming operator exercised in batch mode (same code path runs on
+    // readStream; see StreamsSpec for the live-stream drive)
+    "q_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event]
+      graft.streaming.Streams.sessionize(ev)
+        .select(col("user_id"),
+          date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
+    // multimodal plumbing: text payloads as opaque binary content
+    // (deterministic stub decode — rows-only check, see MultimodalSpec)
+    "q_multimodal_features" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      graft.functions.Multimodal.extractFeatures(media, dim = 8)
+        .select("media_id", "n_bytes", "content_hash")
+    }),
+
     // ========================================================== destination
     "q_render_template" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -489,5 +513,23 @@ object SparkEntry {
 
     "q_render_template" ->
       """SELECT n_nationkey, '{"name": "' || n_name || '", "region": ' || n_regionkey || '}' AS rendered FROM nation""",
+
+    // epoch_ms matches java.sql.Timestamp.getTime millisecond truncation
+    "q_stream_sessions" ->
+      """WITH flags AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM flags)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM sess GROUP BY user_id, sid""",
   )
 }

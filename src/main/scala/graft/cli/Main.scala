@@ -19,6 +19,7 @@ object Main {
     var outputDir: Option[String] = None
     var force = false
     var skipHashing = false
+    var resultsFile: Option[String] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -26,6 +27,7 @@ object Main {
         case "-s" | "--select" => selector = args(i + 1); i += 2
         case "-f" | "--force" => force = true; i += 1
         case "-k" | "--skip-hashing" => skipHashing = true; i += 1
+        case "--results-file" => resultsFile = Some(args(i + 1)); i += 2
         case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
         case "-p" | "--params" =>
           params ++= args(i + 1).split(",").map { kv =>
@@ -51,11 +53,21 @@ object Main {
         }
         val spark = session()
         try {
+          val t0 = System.nanoTime()
           val engine = new Engine(spark)
           val result = engine.execute(engine.compile(project, selector),
-            outputDir.map(java.nio.file.Paths.get(_)))
+            outputDir.map(java.nio.file.Paths.get(_)),
+            collectCounts = resultsFile.nonEmpty)
           result.written.foreach { case (node, path) => println(s"$node -> $path") }
           (stateFile zip hash).foreach { case (f, h) => graft.engine.RunsFile.record(f, h) }
+          resultsFile.foreach { rf =>
+            // reference --results-file shape: per-node row_counts + timing
+            val rows = result.rowCounts.toSeq.sortBy(_._1)
+              .map { case (n, c) => s"""    "$n": $c""" }.mkString(",\n")
+            val json =
+              s"""{\n  "row_counts": {\n$rows\n  },\n  "seconds": ${(System.nanoTime() - t0) / 1e9}\n}\n"""
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(rf), json)
+          }
         } finally spark.stop()
       case "compile" =>
         // validate only; dump the compiled project like the reference's
@@ -83,5 +95,5 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft <run|compile> [-c config.yaml] [-s selector] [-p K=V,...] [-f] [-k] [--output-dir DIR]""")
+      """usage: graft <run|compile> [-c config.yaml] [-s selector] [-p K=V,...] [-f] [-k] [--output-dir DIR] [--results-file F]""")
 }

@@ -72,7 +72,11 @@ final class Engine(spark: SparkSession) {
   }
 
   // ------------------------------------------------------------- execute
-  def execute(plan: Plan, outputDir: Option[Path] = None, persistFanOut: Boolean = true): RunResult = {
+  /** Execute the plan. `collectCounts` additionally row-counts every node
+    * (the reference's --results-file epilogue, earthmover.py:409-419) —
+    * extra actions, so off by default. */
+  def execute(plan: Plan, outputDir: Option[Path] = None, persistFanOut: Boolean = true,
+              collectCounts: Boolean = false): RunResult = {
     val frames = scala.collection.mutable.Map[String, DataFrame]()
     val written = Map.newBuilder[String, Path]
     val counts = Map.newBuilder[String, Long]
@@ -99,6 +103,8 @@ final class Engine(spark: SparkSession) {
           val path = Destinations.write(src, name, cfg, outDir, plan.project.configDir)
           written += (full -> path)
       }
+      if (collectCounts && frames.contains(full))
+        counts += (full -> frames(full).count())
     }
     RunResult(written.result(), counts.result())
   }
