@@ -10,7 +10,10 @@ import graft.template.{Jinja, RowTemplates}
  * Destination writer (reference nodes/destination.py:47-182): render a Jinja
  * template once per row, write `{output_dir}/{name}.{extension}` with
  * optional header/footer (themselves Jinja, rendered against the first row)
- * and `linearize` (whitespace runs collapsed to single spaces).
+ * and `linearize` (default TRUE, destination.py:69): whitespace runs in the
+ * TEMPLATE SOURCE collapse to single spaces before compiling
+ * (destination.py:95-96) — data values keep their whitespace, which
+ * output-side collapsing would corrupt.
  *
  * Two output modes:
  *  - single-file (reference parity): rendering is distributed; the final
@@ -25,7 +28,7 @@ object Destinations {
 
   def write(df: DataFrame, name: String, cfg: Map[String, Any], outputDir: Path, configDir: Path): Path = {
     val extension = Config.str(cfg, "extension").getOrElse("jsonl")
-    val linearize = Config.bool(cfg, "linearize")
+    val linearize = Config.bool(cfg, "linearize", default = true)
     val partitioned = Config.bool(cfg, "partitioned")
 
     val rendered = renderColumn(df, cfg, configDir, linearize)
@@ -45,37 +48,68 @@ object Destinations {
       out.write.mode("overwrite").text(target.toString)
       target
     } else {
-      val firstRow: Map[String, Any] = df.limit(1).toJSON.collect().headOption
+      // First row only loaded when header/footer actually contain Jinja
+      // (destination.py:128-141); Jinja framing gets the row-render "\n",
+      // static framing is written verbatim (destination.py:143-159).
+      lazy val firstRow: Map[String, Any] = df.limit(1).toJSON.collect().headOption
         .map(j => Jinja.Json.parse(j).asInstanceOf[Map[String, Any]])
-        .getOrElse(Map.empty)
+        .getOrElse(df.columns.map(_ -> ("": Any)).toMap)
+      def writeFraming(w: java.io.Writer, tpl: String): Unit =
+        if (containsJinja(tpl)) { w.write(Jinja.render(tpl, firstRow)); w.write("\n") }
+        else w.write(tpl)
       val writer = Files.newBufferedWriter(target)
       try {
-        headerTpl.foreach { h => writer.write(Jinja.render(h, firstRow)); writer.write("\n") }
+        headerTpl.foreach(writeFraming(writer, _))
         val it = out.toLocalIterator()
         while (it.hasNext) {
           writer.write(it.next().getString(0))
           writer.write("\n")
         }
-        footerTpl.foreach { f => writer.write(Jinja.render(f, firstRow)); writer.write("\n") }
+        footerTpl.foreach(writeFraming(writer, _))
       } finally writer.close()
       target
     }
   }
 
+  /** util.py:55-70 `contains_jinja`. */
+  def containsJinja(s: String): Boolean =
+    (s.contains("{{") && s.contains("}}")) ||
+      (s.contains("{%") && s.contains("%}")) ||
+      (s.contains("{#") && s.contains("#}"))
+
   /** The per-row rendered line: template file if given, else the default
     * row-as-JSON-object (destination.py:62 DEFAULT_TEMPLATE) — which we
-    * compile to native to_json(struct(*)) instead of interpreting Jinja. */
-  def renderColumn(df: DataFrame, cfg: Map[String, Any], configDir: Path, linearize: Boolean): Column = {
-    val base = Config.str(cfg, "template") match {
+    * compile to a native concat of JSON-escaped fragments instead of
+    * interpreting Jinja. `linearize` collapses whitespace in the template
+    * SOURCE before compiling (destination.py:95-96). */
+  def renderColumn(df: DataFrame, cfg: Map[String, Any], configDir: Path, linearize: Boolean): Column =
+    Config.str(cfg, "template") match {
       case Some(tplPath) =>
         val p = { val x = Paths.get(tplPath); if (x.isAbsolute) x else configDir.resolve(tplPath) }
-        val source = Files.readString(p)
+        val source0 = Files.readString(p)
+        val source = if (linearize) source0.replaceAll("\\s+", " ") else source0
         RowTemplates.templateColumn(df, source)
       case None =>
-        // NaN/None → "" and primitives stringified at the sink
-        // (destination.py:21-58 cast_output_dtype)
-        to_json(struct(df.columns.map(c => coalesce(col(c).cast(StringType), lit("")).as(c)).toIndexedSeq: _*))
+        defaultTemplateColumn(df)
     }
-    if (linearize) trim(regexp_replace(base, "\\s+", " ")) else base
+
+  /** Native compilation of DEFAULT_TEMPLATE (destination.py:62): emits
+    * `{ "col": <tojson value>, ... }` — NaN/None → "" and primitives
+    * stringified first (destination.py:21-58 cast_output_dtype), so every
+    * value renders as a JSON string. Stays inside whole-stage codegen. */
+  private[engine] def defaultTemplateColumn(df: DataFrame): Column = {
+    val frags = df.columns.map { c =>
+      concat(lit("\"" + c + "\": "),
+        jsonQuote(coalesce(col(c).cast(StringType), lit(""))))
+    }
+    concat(lit("{ "), concat_ws(", ", frags.toIndexedSeq: _*), lit(" }"))
+  }
+
+  /** JSON-escape + quote one string value natively: to_json(named_struct)
+    * emits `{"v":<quoted>}` with no extra whitespace, so stripping the fixed
+    * 5-char prefix and 1-char suffix leaves the quoted scalar. */
+  private def jsonQuote(c: Column): Column = {
+    val j = to_json(struct(c.as("v")))
+    j.substr(lit(6), length(j) - lit(6))
   }
 }

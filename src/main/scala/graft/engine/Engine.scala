@@ -94,7 +94,8 @@ final class Engine(spark: SparkSession) {
         case "transformations" =>
           val primary = frames(resolveRef(Config.reqStr(cfg, "source", full)))
           val result = Config.asList(cfg.getOrElse("operations", Nil)).foldLeft(primary) {
-            (df, opAny) => applyOperation(df, Config.asMap(opAny), frames, full)
+            (df, opAny) => applyOperation(df, Config.asMap(opAny), frames, full,
+              plan.project.configDir)
           }
           val post = postProcess(result, cfg, full)
           frames(full) = if (persistFanOut && consumers(full) > 1) post.persist() else post
@@ -127,7 +128,8 @@ final class Engine(spark: SparkSession) {
   /** YAML `operation:` dispatch — the reference's 22-entry operation table
     * (operations/operation.py:30-58) mapped onto graft.ops.Ops. */
   def applyOperation(df: DataFrame, op: Map[String, Any],
-                     frames: collection.Map[String, DataFrame], ctx: String): DataFrame = {
+                     frames: collection.Map[String, DataFrame], ctx: String,
+                     configDir: Path = Paths.get(".")): DataFrame = {
     def colsOf(m: Map[String, Any]): Seq[String] =
       m.get("columns").map(Config.asList(_).map(_.toString))
         .orElse(m.get("column").map(c => Seq(c.toString)))
@@ -151,7 +153,7 @@ final class Engine(spark: SparkSession) {
       case "map_values" =>
         val mapping = op.get("mapping").map(Config.asMap(_).map { case (k, v) => k -> v.toString })
           .getOrElse(Config.str(op, "map_file") match {
-            case Some(f) => readMapFile(f)
+            case Some(f) => readMapFile(f, configDir)
             case None => throw new IllegalArgumentException(s"$ctx: map_values needs `mapping` or `map_file`")
           })
         Ops.mapValues(df, colsOf(op), mapping)
@@ -211,10 +213,14 @@ final class Engine(spark: SparkSession) {
   private def listOf(op: Map[String, Any], key: String): Seq[String] =
     Config.asList(op.getOrElse(key, Nil)).map(_.toString)
 
-  /** Two-column CSV/TSV map_file → mapping (column.py:349-368). */
-  private def readMapFile(file: String): Map[String, String] = {
+  /** Two-column CSV/TSV map_file → mapping (column.py:349-368). Resolved
+    * against the project's configDir — the same path RunsFile.computeHash
+    * hashes — so editing the real map_file invalidates the skip state. */
+  private def readMapFile(file: String, configDir: Path): Map[String, String] = {
     val sep = if (file.endsWith(".tsv")) "\t" else ","
-    val lines = java.nio.file.Files.readAllLines(Paths.get(file)).toArray(Array.empty[String])
+    val p0 = Paths.get(file)
+    val path = if (p0.isAbsolute) p0 else configDir.resolve(file)
+    val lines = java.nio.file.Files.readAllLines(path).toArray(Array.empty[String])
     lines.drop(1).filter(_.nonEmpty).map { l =>
       val p = l.split(java.util.regex.Pattern.quote(sep), 2)
       p(0) -> (if (p.length > 1) p(1) else "")

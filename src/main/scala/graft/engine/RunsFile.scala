@@ -19,7 +19,8 @@ object RunsFile {
 
   final case class RunHash(configHash: String, sourcesHash: String,
                            templatesHash: String, mapFilesHash: String,
-                           paramsHash: String, selector: String) {
+                           paramsHash: String, selector: String,
+                           hashable: Boolean = true) {
     def same(o: RunHash): Boolean =
       configHash == o.configHash && sourcesHash == o.sourcesHash &&
         templatesHash == o.templatesHash && mapFilesHash == o.mapFilesHash &&
@@ -53,7 +54,14 @@ object RunsFile {
         if (Files.exists(p) && Files.isRegularFile(p)) s"$f=${md5file(p)}" else s"$f=missing"
       }.mkString("\n"))
 
-    val sourceFiles = project.sources.values.flatMap(v => Config.str(Config.asMap(v), "file")).toSeq
+    val sourceCfgs = project.sources.values.map(Config.asMap).toSeq
+    val sourceFiles = sourceCfgs.flatMap(c => Config.str(c, "file"))
+    // Reference earthmover.py:295-303: connection-based sources cannot be
+    // hashed, and directory file-sources cannot be hashed efficiently — either
+    // forces a regenerate (skip disabled) because we cannot know if they changed.
+    val allHashable =
+      sourceCfgs.forall(c => Config.str(c, "file").nonEmpty) &&
+        sourceFiles.forall(f => !Files.isDirectory(resolved(f)))
     val templates = project.destinations.values.flatMap(v => Config.str(Config.asMap(v), "template")).toSeq
     val mapFiles = project.transformations.values.flatMap { t =>
       Config.asList(Config.asMap(t).getOrElse("operations", Nil))
@@ -67,6 +75,7 @@ object RunsFile {
       mapFilesHash = fileHashes(mapFiles),
       paramsHash = md5str(params.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")),
       selector = selector,
+      hashable = allHashable,
     )
   }
 
@@ -74,6 +83,7 @@ object RunsFile {
     * covering this one — we require equality for simplicity, documented)
     * matches all hashes → skip. */
   def shouldSkip(stateFile: Path, h: RunHash): Boolean = {
+    if (!h.hashable) return false // unhashable inputs → always regenerate
     if (!Files.exists(stateFile)) return false
     Files.readAllLines(stateFile).asScala.reverseIterator
       .map(_.split("\t", -1))

@@ -73,14 +73,17 @@ object Dedup {
     val a = posting.toDF("a_id", "tok")
     val b = posting.toDF("b_id", "tok")
     val joined = a.join(b, Seq("tok")).filter(col("a_id") < col("b_id"))
-    // When ids fit in 32 bits (checked on the already-persisted docs frame),
-    // pack the pair into one long so the heavy co-occurrence groupBy
-    // aggregates a single 8-byte key (~35% faster); otherwise group on the
-    // two-column key.
-    val maxIdRow = docs.agg(max(col("id"))).head
-    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+    // When ids fit in non-negative 32 bits (checked on the already-persisted
+    // docs frame — negative ids would corrupt the shiftleft/bitwiseAND
+    // packing silently), pack the pair into one long so the heavy
+    // co-occurrence groupBy aggregates a single 8-byte key (~35% faster);
+    // otherwise group on the two-column key.
+    val idRangeRow = docs.agg(min(col("id")), max(col("id"))).head
+    val (minId, maxId) =
+      if (idRangeRow.isNullAt(0)) (0L, 0L)
+      else (idRangeRow.getLong(0), idRangeRow.getLong(1))
     val inter =
-      if (maxId < Int.MaxValue.toLong)
+      if (minId >= 0L && maxId < Int.MaxValue.toLong)
         joined.select((shiftleft(col("a_id"), 32) + col("b_id")).as("pk"))
           .groupBy("pk").agg(count(lit(1)).as("n_common"))
           .select(shiftright(col("pk"), 32).as("a_id"),

@@ -808,7 +808,9 @@ object Jinja {
         s.charAt(i) match {
           case '{' =>
             i += 1; ws()
-            val m = Map.newBuilder[String, Any]
+            // VectorMap: keeps key insertion order (the reference's row dict
+            // iterates columns in row order — plain Map scrambles >4 keys)
+            val m = scala.collection.immutable.VectorMap.newBuilder[String, Any]
             if (s.charAt(i) == '}') { i += 1 }
             else {
               var go = true

@@ -31,8 +31,13 @@ object RowTemplates {
         val render = udf { json: String =>
           val base = Jinja.Json.parse(json).asInstanceOf[Map[String, Any]]
           // __row_data__: the row's self-reference, as the reference injects
-          // for destination templates (util.py:82-85, destination.py:164-171)
-          val ctx0 = base + ("__row_data__" -> base)
+          // for destination templates (util.py:82-85, destination.py:164-171).
+          // The reference's dict is cyclic (row_data['__row_data__'] =
+          // row_data); with immutable maps one level of self-nesting is
+          // enough for the documented DEFAULT_TEMPLATE idiom
+          // `__row_data__.pop('__row_data__').items()` — the pop returns the
+          // inner map, whose items are exactly the row's fields.
+          val ctx0 = base + ("__row_data__" -> (base + ("__row_data__" -> base)))
           val ctx = bindValue match {
             case Some(v) => ctx0 ++ extra + ("value" -> base.getOrElse(v, null))
             case None => ctx0 ++ extra

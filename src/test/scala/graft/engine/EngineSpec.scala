@@ -101,9 +101,10 @@ class EngineSpec extends SparkSpec {
 
     val summary = Files.readAllLines(outDir.resolve("zoo_summary.jsonl")).asScala.toList.sorted
     assert(summary.size == 1) // only Springfield has cats
-    assert(summary.head.contains(""""zoo":"Springfield""""))
-    assert(summary.head.contains(""""n_animals":"2""""))
-    assert(summary.head.contains(""""total_weight":"240.0""""))
+    // default template renders `{ "col": "value", ... }` (destination.py:62)
+    assert(summary.head.contains(""""zoo": "Springfield""""))
+    assert(summary.head.contains(""""n_animals": "2""""))
+    assert(summary.head.contains(""""total_weight": "240.0""""))
   }
 
   test("selector pruning runs only the selected destination subgraph") {
@@ -145,7 +146,7 @@ class EngineSpec extends SparkSpec {
     val out = dir.resolve("o")
     new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
     val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
-    assert(lines.head == """{"a":"1","fixed":"42"}""")
+    assert(lines.head == """{ "a": "1", "fixed": "42" }""")
   }
 
   test("version check and cycle detection") {
@@ -194,7 +195,83 @@ class EngineSpec extends SparkSpec {
     val out = dir.resolve("o")
     new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
     val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
-    assert(lines.head == """{"a":"1","origin":"project"}""")
+    assert(lines.head == """{ "a": "1", "origin": "project" }""")
+  }
+
+  test("linearize (default on) collapses the template source, never data values") {
+    val dir = Files.createTempDirectory("graft-lin")
+    Files.writeString(dir.resolve("d.csv"), "a,b\nx  y,z\n") // two spaces inside the value
+    Files.writeString(dir.resolve("t.jsont"),
+      "{\n    \"a\": \"{{a}}\",\n    \"b\": \"{{b}}\"\n}")
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |config:
+        |  output_dir: OUT
+        |sources:
+        |  d:
+        |    file: d.csv
+        |destinations:
+        |  out:
+        |    source: $sources.d
+        |    template: t.jsont
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
+    // template whitespace collapsed; the doubled space in the value survives
+    assert(lines.head == """{ "a": "x  y", "b": "z" }""")
+
+    // linearize: false keeps the template's own newlines
+    Files.writeString(dir.resolve("p2.yaml"),
+      Files.readString(dir.resolve("p.yaml")).replace("template: t.jsont",
+        "template: t.jsont\n    linearize: false"))
+    val out2 = dir.resolve("o2")
+    new Engine(spark).run(dir.resolve("p2.yaml").toString, outputDir = Some(out2))
+    val lines2 = Files.readAllLines(out2.resolve("out.jsonl")).asScala
+    assert(lines2.head == "{")
+  }
+
+  test("DEFAULT_TEMPLATE idiom renders through the Jinja engine identically to the native path") {
+    // the reference's documented destination default (destination.py:62):
+    // pop('__row_data__') must return the row's own fields, in column order
+    import spark.implicits._
+    val df = Seq(("1", "x  y", "c3", "c4", "c5", "c6"))
+      .toDF("a", "b", "c", "d", "e", "f") // >4 cols exercises map ordering
+    val tpl = """{ {% for col, val in __row_data__.pop('__row_data__').items() %}"{{ col }}": {{ val | tojson }}{% if not loop.last %}, {% endif %}{% endfor %} }"""
+    val viaJinja = df.select(graft.template.RowTemplates.templateColumn(df, tpl).as("v"))
+      .head.getString(0)
+    val viaNative = df.select(Destinations.defaultTemplateColumn(df).as("v"))
+      .head.getString(0)
+    assert(viaJinja == """{ "a": "1", "b": "x  y", "c": "c3", "d": "c4", "e": "c5", "f": "c6" }""")
+    assert(viaNative == viaJinja)
+  }
+
+  test("map_file resolves relative to the config directory, not the process CWD") {
+    val dir = Files.createTempDirectory("graft-mapfile")
+    Files.writeString(dir.resolve("d.csv"), "a\ncat\ndog\n")
+    Files.writeString(dir.resolve("m.csv"), "from,to\ncat,feline\ndog,canine\n")
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |config:
+        |  output_dir: OUT
+        |sources:
+        |  d:
+        |    file: d.csv
+        |transformations:
+        |  t:
+        |    source: $sources.d
+        |    operations:
+        |      - operation: map_values
+        |        column: a
+        |        map_file: m.csv
+        |destinations:
+        |  out:
+        |    source: $transformations.t
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala.toList.sorted
+    assert(lines == List("""{ "a": "canine" }""", """{ "a": "feline" }"""))
   }
 
   test("multi-line sparse headers flatten to A__b names") {

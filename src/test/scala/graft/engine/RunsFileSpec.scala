@@ -47,4 +47,45 @@ class RunsFileSpec extends AnyFunSuite {
     RunsFile.record(state, h2)
     assert(RunsFile.shouldSkip(state, h2))
   }
+
+  test("unhashable sources (connection / directory file) always regenerate") {
+    // connection-based source: no `file` to hash → never skip
+    // (reference earthmover.py:295-298)
+    val dir = Files.createTempDirectory("graft-state-conn")
+    val state = dir.resolve("state.csv")
+    val p = Config.compile(
+      """version: 2
+        |config:
+        |  state_file: state.csv
+        |sources:
+        |  remote:
+        |    connection: jdbc:postgresql://example/db
+        |    query: select 1
+        |destinations:
+        |  out:
+        |    source: $sources.remote
+        |""".stripMargin, dir)
+    val h = RunsFile.computeHash(p, Map.empty, "*")
+    assert(!h.hashable)
+    RunsFile.record(state, h)
+    assert(!RunsFile.shouldSkip(state, h)) // identical hashes, still no skip
+
+    // directory file source cannot be efficiently hashed either
+    // (earthmover.py:301-303)
+    val dir2 = Files.createTempDirectory("graft-state-dir")
+    Files.createDirectories(dir2.resolve("data"))
+    val pDir = Config.compile(
+      """version: 2
+        |config:
+        |  state_file: state.csv
+        |sources:
+        |  d:
+        |    file: data
+        |destinations:
+        |  out:
+        |    source: $sources.d
+        |""".stripMargin, dir2)
+    val hDir = RunsFile.computeHash(pDir, Map.empty, "*")
+    assert(!hDir.hashable)
+  }
 }

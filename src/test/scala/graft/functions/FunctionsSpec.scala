@@ -30,6 +30,17 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("jaccardPairs with negative ids falls back off the packed-long path correctly") {
+    // ids that would corrupt a shiftleft/bitwiseAND pack — results must match
+    // the same corpus with shifted non-negative ids
+    val negDocs = docs.withColumn("doc_id", col("doc_id") - lit(2L))
+    val pairs = Dedup.jaccardPairs(negDocs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((-2L, 1L))) // exact dup (0,3) shifted by -2
+    assert(pairs.contains((-2L, -1L))) // near dup (0,1) shifted by -2
+    assert(!pairs.exists { case (a, b) => a == 0L || b == 0L }) // unrelated doc 2 → 0
+  }
+
   test("minhashLshPairs recall matches exact jaccard on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
