@@ -60,9 +60,11 @@ object Dedup {
     val counts = docs.select(col("id"), size(col("toks")).cast(LongType).as("n_toks"))
     // hash shingles to 64-bit keys: the join/shuffle moves longs, not strings
     // (intersection counts are unchanged — collisions at 64 bits are
-    // negligible and would only merge two shingles within the same pair)
-    val posting0 = docs.select(col("id"), explode(col("toks")).as("tok0"))
-      .select(col("id"), xxhash64(col("tok0")).as("tok"))
+    // negligible and would only merge two shingles within the same pair).
+    // The doc's token count rides through the explode (narrow, no join) to
+    // power the length filter below.
+    val posting0 = docs.select(col("id"), size(col("toks")).as("n"), explode(col("toks")).as("tok0"))
+      .select(col("id"), col("n"), xxhash64(col("tok0")).as("tok"))
     val posting = maxDocFreq match {
       case Some(cap) =>
         val freq = posting0.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -70,9 +72,17 @@ object Dedup {
         posting0.join(broadcast(freq), "tok")
       case None => posting0
     }
-    val a = posting.toDF("a_id", "tok")
-    val b = posting.toDF("b_id", "tok")
-    val joined = a.join(b, Seq("tok")).filter(col("a_id") < col("b_id"))
+    val a = posting.toDF("a_id", "a_n", "tok")
+    val b = posting.toDF("b_id", "b_n", "tok")
+    // Length filter (exact, from the set-similarity-join literature):
+    // J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|),
+    // so min ≥ t·max. Applying it inside the join prunes pair events BEFORE
+    // the heavy co-occurrence shuffle — at corpus scale this is the
+    // difference between shuffling all co-occurrences and only plausible ones.
+    val joined = a.join(b, Seq("tok"))
+      .filter(col("a_id") < col("b_id") &&
+        least(col("a_n"), col("b_n")).cast("double") >=
+          lit(threshold) * greatest(col("a_n"), col("b_n")))
     // When ids fit in non-negative 32 bits (checked on the already-persisted
     // docs frame — negative ids would corrupt the shiftleft/bitwiseAND
     // packing silently), pack the pair into one long so the heavy
