@@ -51,11 +51,22 @@ object Destinations {
       // First row only loaded when header/footer actually contain Jinja
       // (destination.py:128-141); Jinja framing gets the row-render "\n",
       // static framing is written verbatim (destination.py:143-159).
-      lazy val firstRow: Map[String, Any] = df.limit(1).toJSON.collect().headOption
-        .map(j => Jinja.Json.parse(j).asInstanceOf[Map[String, Any]])
-        .getOrElse(df.columns.map(_ -> ("": Any)).toMap)
+      // toJSON omits null fields, but the reference maps NaN/None to ""
+      // (destination.py:57,164-169) — merge over a base of all columns → ""
+      // so framing variables never render as undefined.
+      lazy val firstRow: Map[String, Any] = {
+        val base: Map[String, Any] = df.columns.map(_ -> ("": Any)).toMap
+        base ++ df.limit(1).toJSON.collect().headOption
+          .map(j => Jinja.Json.parse(j).asInstanceOf[Map[String, Any]])
+          .getOrElse(Map.empty)
+      }
+      // Framing renders via render_row in the reference (destination.py:
+      // 143-146,164-170), which injects the row self-reference — mirror
+      // RowTemplates' one-level __row_data__ nesting.
+      lazy val framingCtx: Map[String, Any] =
+        firstRow + ("__row_data__" -> (firstRow + ("__row_data__" -> firstRow)))
       def writeFraming(w: java.io.Writer, tpl: String): Unit =
-        if (containsJinja(tpl)) { w.write(Jinja.render(tpl, firstRow)); w.write("\n") }
+        if (containsJinja(tpl)) { w.write(Jinja.render(tpl, framingCtx)); w.write("\n") }
         else w.write(tpl)
       val writer = Files.newBufferedWriter(target)
       try {

@@ -69,7 +69,9 @@ object Dedup {
       case Some(cap) =>
         val freq = posting0.groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("tok")
-        posting0.join(broadcast(freq), "tok")
+        // the using-column join moves `tok` to the front — restore the
+        // (id, n, tok) order the positional toDF renames below rely on
+        posting0.join(broadcast(freq), "tok").select("id", "n", "tok")
       case None => posting0
     }
     val a = posting.toDF("a_id", "a_n", "tok")

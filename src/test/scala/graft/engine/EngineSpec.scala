@@ -246,6 +246,23 @@ class EngineSpec extends SparkSpec {
     assert(viaNative == viaJinja)
   }
 
+  test("Jinja header/footer framing gets __row_data__ and renders nulls as empty strings") {
+    import spark.implicits._
+    // first row has a null in `a` — the reference's cast_output_dtype maps it
+    // to "" (destination.py:57,164-169), and framing renders via render_row,
+    // which injects the __row_data__ self-reference (destination.py:143-146)
+    val df = Seq((Option.empty[String], "v1"), (Some("x"), "v2")).toDF("a", "b")
+      .coalesce(1)
+    val dir = Files.createTempDirectory("graft-framing")
+    val cfg = Map[String, Any](
+      "header" -> "{% for k, v in __row_data__.pop('__row_data__').items() %}{{ k }}={{ v }};{% endfor %}",
+      "footer" -> "end:{{ a }}|{{ b }}")
+    val p = Destinations.write(df, "t", cfg, dir, dir)
+    val lines = Files.readAllLines(p).asScala
+    assert(lines.head == "a=;b=v1;")
+    assert(lines.last == "end:|v1")
+  }
+
   test("map_file resolves relative to the config directory, not the process CWD") {
     val dir = Files.createTempDirectory("graft-mapfile")
     Files.writeString(dir.resolve("d.csv"), "a\ncat\ndog\n")

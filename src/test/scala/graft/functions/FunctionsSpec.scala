@@ -41,6 +41,21 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 0L || b == 0L }) // unrelated doc 2 → 0
   }
 
+  test("jaccardPairs maxDocFreq: permissive cap matches uncapped; cap=1 kills all pairs") {
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // a cap larger than the corpus filters nothing — must be identical
+    val permissive = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+      maxDocFreq = Some(100L))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(permissive == uncapped && uncapped.nonEmpty)
+    // cap=1 drops every shingle shared by ≥2 docs — no co-occurrence survives
+    val strict = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+      maxDocFreq = Some(1L))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(strict.isEmpty)
+  }
+
   test("minhashLshPairs recall matches exact jaccard on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
