@@ -47,6 +47,14 @@ object Config {
     case other => throw new IllegalArgumentException(s"expected list, found $other")
   }
 
+  /** List-or-scalar: the reference accepts `id_vars: species` as shorthand
+    * for a one-element list (operations/dataframe.py melt/keep/drop). */
+  def asScalarList(v: Any): List[Any] = v match {
+    case l: List[_] => l
+    case null => Nil
+    case other => List(other)
+  }
+
   def str(m: Map[String, Any], key: String): Option[String] = m.get(key).map(_.toString)
   def reqStr(m: Map[String, Any], key: String, ctx: String): String =
     str(m, key).getOrElse(throw new IllegalArgumentException(s"$ctx: missing required `$key`"))

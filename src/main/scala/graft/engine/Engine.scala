@@ -131,7 +131,7 @@ final class Engine(spark: SparkSession) {
                      frames: collection.Map[String, DataFrame], ctx: String,
                      configDir: Path = Paths.get(".")): DataFrame = {
     def colsOf(m: Map[String, Any]): Seq[String] =
-      m.get("columns").map(Config.asList(_).map(_.toString))
+      m.get("columns").map(Config.asScalarList(_).map(_.toString))
         .orElse(m.get("column").map(c => Seq(c.toString)))
         .getOrElse(Nil)
     def pairs(key: String): Seq[(String, String)] =
@@ -151,7 +151,11 @@ final class Engine(spark: SparkSession) {
         Config.reqStr(op, "new_column", ctx), colsOf(op),
         Config.str(op, "separator").getOrElse(""))
       case "map_values" =>
-        val mapping = op.get("mapping").map(Config.asMap(_).map { case (k, v) => k -> v.toString })
+        // a null mapping value (`key:` with no value) maps to the empty
+        // string — the reference maps it to None/NaN, which stringifies to ""
+        // at every render site (destination.py:57)
+        val mapping = op.get("mapping").map(Config.asMap(_).map { case (k, v) =>
+          k -> Option(v).map(_.toString).getOrElse("") })
           .getOrElse(Config.str(op, "map_file") match {
             case Some(f) => readMapFile(f, configDir)
             case None => throw new IllegalArgumentException(s"$ctx: map_values needs `mapping` or `map_file`")
@@ -211,7 +215,7 @@ final class Engine(spark: SparkSession) {
       .getOrElse(throw new IllegalArgumentException(s"join: must define `${side}_key` or `${side}_keys`"))
 
   private def listOf(op: Map[String, Any], key: String): Seq[String] =
-    Config.asList(op.getOrElse(key, Nil)).map(_.toString)
+    Config.asScalarList(op.getOrElse(key, Nil)).map(_.toString)
 
   /** Two-column CSV/TSV map_file → mapping (column.py:349-368). Resolved
     * against the project's configDir — the same path RunsFile.computeHash

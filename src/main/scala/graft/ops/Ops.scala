@@ -123,7 +123,7 @@ object Ops {
     * null, so strict mode guards with raise_error. */
   def dateFormat(df: DataFrame, columns: Seq[String], fromFormat: String, toFormat: String,
                  ignoreErrors: Boolean = false): DataFrame = {
-    val fromJ = Strftime.toJavaPattern(fromFormat)
+    val fromJ = Strftime.toJavaParsePattern(fromFormat)
     val toJ = Strftime.toJavaPattern(toFormat)
     val cols = matchWildcardColumns(df.columns.toSeq, columns, raiseOnUnmatched = true, "date_format")
     cols.foldLeft(df) { (d, c) =>
@@ -254,7 +254,11 @@ object Ops {
     }
   }
 
-  /** One pandas-semantics merge. */
+  /** One pandas-semantics merge. Right-side key columns are renamed to
+    * unique temp names before the join so every column name in the joined
+    * frame is distinct — plain-name resolution then works even when both
+    * sides share lineage (a self-join, e.g. two branches of one source),
+    * where `df("col")` attribute resolution is ambiguous. */
   def joinPandas(left: DataFrame, right: DataFrame, joinType: String,
                  leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame = {
     val keyPairs = leftKeys.zip(rightKeys)
@@ -262,23 +266,28 @@ object Ops {
     // non-key collisions → _x/_y, as pandas suffixes them
     val collisions = (left.columns.toSet intersect right.columns.toSet) -- sameName
     val l = collisions.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + "_x"))
-    val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
+    val r0 = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_y"))
     val lk = leftKeys.map(k => if (collisions.contains(k)) k + "_x" else k)
-    val rk = rightKeys.map(k => if (collisions.contains(k)) k + "_y" else k)
+    val rk0 = rightKeys.map(k => if (collisions.contains(k)) k + "_y" else k)
 
-    val la = l.alias("l"); val ra = r.alias("r")
-    val cond = lk.zip(rk).map { case (a, b) => la(a) === ra(b) }.reduce(_ && _)
-    val joined = la.join(ra, cond, joinType)
-    // merge same-name key columns into one (coalesce covers right/outer rows)
-    val merged = sameName.foldLeft(joined) { (d, k) =>
-      d.withColumn(k + "__merged__", coalesce(la(k), ra(k)))
-    }
-    // select: left cols (same-name keys replaced by merged), then right cols minus same-name keys
+    // rename right keys colliding with left names to unique temp names
+    def tmp(k: String): String = s"__graft_rk_${k}__"
+    val needsTmp = rk0.filter(l.columns.contains).toSet
+    val r = needsTmp.foldLeft(r0)((d, k) => d.withColumnRenamed(k, tmp(k)))
+    val rk = rk0.map(k => if (needsTmp.contains(k)) tmp(k) else k)
+
+    val cond = lk.zip(rk).map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
+    val joined = l.join(r, cond, joinType)
+    // select: left cols (same-name keys coalesced over both sides, covering
+    // right/outer rows), then right cols minus the same-name keys
     val leftCols = l.columns.map { c =>
-      if (sameName.contains(c)) col(c + "__merged__").as(c) else la(c)
+      if (sameName.contains(c)) coalesce(col(c), col(tmp(c))).as(c) else col(c)
     }
-    val rightCols = r.columns.filterNot(sameName.contains).map(ra(_))
-    merged.select((leftCols ++ rightCols).toIndexedSeq: _*)
+    val rightCols = r.columns.filterNot(c => rk.contains(c) && sameName.contains(rightKeys(rk.indexOf(c)))).map(col)
+    val out = joined.select((leftCols ++ rightCols).toIndexedSeq: _*)
+    // a (rare) tmp-renamed key that is not a merged same-name key keeps its
+    // original name in the output
+    needsTmp.filterNot(sameName).foldLeft(out)((d, k) => d.withColumnRenamed(tmp(k), k))
   }
 
   /** union (dataframe.py:144-189): N-way concat; errors when column sets

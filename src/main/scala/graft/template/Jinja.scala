@@ -479,7 +479,7 @@ object Jinja {
                 }
                 rest = r
               case "for" =>
-                val m = "^for\\s+(.+?)\\s+in\\s+(.+)$".r.findFirstMatchIn(s)
+                val m = "(?s)^for\\s+(.+?)\\s+in\\s+(.+)$".r.findFirstMatchIn(s)
                   .getOrElse(throw new IllegalArgumentException(s"bad for: $s"))
                 val vars = m.group(1).split(",").map(_.trim).toList
                 val iter = ExprParser.parse(m.group(2))
@@ -487,7 +487,7 @@ object Jinja {
                 nodes += For(vars, iter, body)
                 rest = r2.tail
               case "set" =>
-                val m = "^set\\s+(\\w+)\\s*=\\s*(.+)$".r.findFirstMatchIn(s)
+                val m = "(?s)^set\\s+(\\w+)\\s*=\\s*(.+)$".r.findFirstMatchIn(s)
                   .getOrElse(throw new IllegalArgumentException(s"bad set: $s"))
                 nodes += Set(m.group(1), ExprParser.parse(m.group(2)))
                 rest = rest.tail

@@ -37,8 +37,23 @@ object Strftime {
     '%' -> "%"     // literal percent
   )
 
+  /** Parse-side directive overrides: Python strptime accepts unpadded
+    * numeric fields ("Jan 1 1875" parses under %d), so the parse pattern
+    * uses single-letter numeric fields, which java.time parses at 1-2
+    * digits (padded or not). Output formatting keeps the zero-padded forms. */
+  private val parseOverrides: Map[Char, String] = Map(
+    'm' -> "M", 'd' -> "d", 'H' -> "H", 'I' -> "h", 'M' -> "m",
+    'S' -> "s", 'j' -> "D")
+
+  /** Convert a strftime pattern to a java.time pattern for PARSING:
+    * numeric fields lenient about zero-padding, strptime-style. */
+  def toJavaParsePattern(fmt: String): String =
+    translate(fmt, mapping ++ parseOverrides)
+
   /** Convert a strftime pattern like "%b %d %Y" to "MMM dd yyyy". */
-  def toJavaPattern(fmt: String): String = {
+  def toJavaPattern(fmt: String): String = translate(fmt, mapping)
+
+  private def translate(fmt: String, mapping: Map[Char, String]): String = {
     val out = new StringBuilder
     val lit = new StringBuilder
     def flushLit(): Unit = {
