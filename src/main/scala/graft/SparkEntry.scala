@@ -238,8 +238,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
 
+    // maxDocFreq exercises the stop-token skew guard on the gate path (the
+    // oracle applies the same document-frequency cap)
     "q_dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.7,
+        maxDocFreq = Some(1000L))),
 
     // xxhash64-based signatures are not expressible in the DuckDB oracle →
     // rows-only checks; correctness is covered by ScalaTest (recall vs the
@@ -487,9 +490,12 @@ object SparkEntry {
                   ELSE array_to_string(w, ' ') END AS tok
            FROM idx),
          counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         kept AS (
+           SELECT toks.* FROM toks
+           JOIN (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1000) f USING (tok)),
          inter AS (
            SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
-           FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+           FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
            GROUP BY 1, 2)
          SELECT a_id, b_id, round(n_common::DOUBLE / (ca.n + cb.n - n_common), 4) AS jaccard
          FROM inter

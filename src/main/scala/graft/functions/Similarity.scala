@@ -73,50 +73,63 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact cosine near-duplicate pairs via a broadcast block kernel: one
-    * side is collected and broadcast as primitive arrays, the other side
-    * streams through mapPartitions computing dot products in tight JVM
-    * loops. ~100× the throughput of interpreted HOF expressions on a cross
-    * join, with identical double-precision results (same accumulation
-    * order). At 100 TB the caller tiles: iterate broadcast-sized blocks of
-    * one side against the full other side — cost stays O(n·m/block) scans
-    * with zero shuffle. Use `cosinePairs(bucketed = true)` when neither side
-    * blocks. */
+  /** Exact cosine near-duplicate pairs via a tiled broadcast block kernel:
+    * the id space is partitioned into `ceil(n / blockRows)` blocks by
+    * `id % numBlocks`; each block is collected and broadcast as primitive
+    * arrays (bounded driver memory — never the whole table), and the full
+    * distributed side streams through mapPartitions computing dot products
+    * in tight JVM loops against it. Each unordered pair (x < y) is emitted
+    * exactly once, by the block that owns y. ~100× the throughput of
+    * interpreted HOF expressions on a cross join, with identical
+    * double-precision results (same accumulation order). Total cost is the
+    * inherent O(n²/block) scans with zero shuffle; at 100 TB raise
+    * `blockRows` to the executor-broadcast budget, or use
+    * `cosinePairs(bucketed = true)` to prune candidates instead of scanning
+    * all pairs. */
   def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double, blockRows: Int = 200000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).cast(LongType), col(vecCol)).as[(Long, Array[Float])]
-    val side = vecs.collect()
-    val ids = side.map(_._1)
-    val mat = side.map(_._2)
-    val norms = mat.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(s)
-    }
-    val b = spark.sparkContext.broadcast((ids, mat, norms))
-    vecs.mapPartitions { it =>
-      val (bIds, bMat, bNorms) = b.value
-      it.flatMap { case (id, v) =>
+    val vecs = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+    val n = vecs.count()
+    val numBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+
+    val parts = (0 until numBlocks).map { blk =>
+      val side =
+        if (numBlocks == 1) vecs.collect()
+        else vecs.filter(pmod(col("id"), lit(numBlocks)) === blk).collect()
+      val ids = side.map(_._1)
+      val mat = side.map(_._2)
+      val norms = mat.map { v =>
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-        val vNorm = math.sqrt(s)
-        val out = List.newBuilder[(Long, Long, Double)]
-        var j = 0
-        while (j < bIds.length) {
-          if (bIds(j) > id && vNorm > 0 && bNorms(j) > 0) {
-            val w = bMat(j)
-            var dot = 0.0; var k = 0
-            while (k < v.length) { dot += v(k).toDouble * w(k).toDouble; k += 1 }
-            val sim = dot / (vNorm * bNorms(j))
-            if (sim >= threshold) out += ((id, bIds(j), sim))
-          }
-          j += 1
-        }
-        out.result()
+        math.sqrt(s)
       }
-    }.toDF("a_id", "b_id", "cos_sim")
+      val b = spark.sparkContext.broadcast((ids, mat, norms))
+      vecs.mapPartitions { it =>
+        val (bIds, bMat, bNorms) = b.value
+        it.flatMap { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          val vNorm = math.sqrt(s)
+          val out = List.newBuilder[(Long, Long, Double)]
+          var j = 0
+          while (j < bIds.length) {
+            if (bIds(j) > id && vNorm > 0 && bNorms(j) > 0) {
+              val w = bMat(j)
+              var dot = 0.0; var k = 0
+              while (k < v.length) { dot += v(k).toDouble * w(k).toDouble; k += 1 }
+              val sim = dot / (vNorm * bNorms(j))
+              if (sim >= threshold) out += ((id, bIds(j), sim))
+            }
+            j += 1
+          }
+          out.result()
+        }
+      }.toDF("a_id", "b_id", "cos_sim")
+    }
+    parts.reduce(_ union _)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 

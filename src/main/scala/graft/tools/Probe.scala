@@ -1,12 +1,13 @@
-// scratch perf probe: runMain graft.tools.Probe
-package graft.tools
+// scratch perf probe: runMain graft.functions.Probe
+package graft.functions
+// (package graft.functions for access to private[functions] kernels)
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.Dedup
+
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
@@ -16,10 +17,10 @@ object Probe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     time("warmup")(spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save())
-    time("minhash sig only")(docs.select(Dedup.minhashSignature("text", 64)).write.format("noop").mode("overwrite").save())
-    time("simhash sig only")(docs.select(Dedup.simhash("text")).write.format("noop").mode("overwrite").save())
     time("minhash full")(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7).write.format("noop").mode("overwrite").save())
     time("jaccard full")(Dedup.jaccardPairs(docs, "doc_id", "text", 0.7).write.format("noop").mode("overwrite").save())
+    time("jaccard capped")(Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFreq = Some(1000L))
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -112,6 +112,19 @@ class FunctionsSpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
   }
 
+  test("cosinePairsBlocked tiling: multi-block result identical to single-block") {
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")
+    val single = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // blockRows=7 forces 5 blocks — every unordered pair must appear exactly
+    // once (owned by the block containing the larger id) with the same score
+    val tiled = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", 0.9, blockRows = 7)
+    val tiledRows = tiled.as[(Long, Long, Double)].collect()
+    assert(tiledRows.length == tiledRows.toSet.size) // no pair duplicated across blocks
+    assert(tiledRows.toSet == single && single.nonEmpty)
+  }
+
   test("cosinePairs bucketed variant is a subset of exact pairs with identical scores") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")
