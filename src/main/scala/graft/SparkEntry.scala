@@ -38,6 +38,19 @@ object SparkEntry {
         .filter(col("l_quantity") < 5)
         .select("l_orderkey", "l_linenumber", "l_quantity")),
 
+    // xlsx round-trip: region written to a spreadsheet on the driver, read
+    // back through the Sources xlsx reader (all-string contract); the
+    // oracle reads the same rows straight from parquet
+    "q_source_xlsx" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+        .map(r => Seq(r.get(0).toString, r.getString(1))).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-region", ".xlsx")
+      graft.engine.Xlsx.write(f, Seq("r_regionkey", "r_name") +: rows)
+      graft.engine.Sources.read(s, "region_xlsx",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // ==================================================== column operators
     "q_add_columns" -> ((s, d) =>
       Ops.addColumns(t(s, d, "nation"),
@@ -291,8 +304,17 @@ object SparkEntry {
     "q_multimodal_features" -> ((s, d) => {
       val media = t(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      // n_bytes flows through the same mapPartitions kernel as the FNV
+      // hash/features (those stay spec-checked: not expressible in DuckDB)
       graft.functions.Multimodal.extractFeatures(media, dim = 8)
-        .select("media_id", "n_bytes", "content_hash")
+        .select("media_id", "n_bytes")
+    }),
+
+    // exact payload dedup over binary content (md5 hash-groupBy)
+    "q_multimodal_dedup" -> ((s, d) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      graft.functions.Multimodal.exactPayloadGroups(media)
     }),
 
     // ========================================================== destination
@@ -307,6 +329,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_source_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5",
+
+    "q_source_xlsx" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_add_columns" ->
       "SELECT n_nationkey, n_name, 'static' AS tag, n_name || '-' || n_regionkey AS combo FROM nation",
@@ -516,6 +541,38 @@ object SparkEntry {
          WHERE e.vec_id <> 0
          ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
          LIMIT 10""",
+
+    // The LSH bucket is fully deterministic: hyperplane components are the
+    // sign of xxhash64(plane, dim), dumped once (tools/DumpPlanes) and
+    // embedded as literal ±1 vectors, so DuckDB reproduces the exact bucket
+    // filter + rerank of Similarity.lshTopK(numPlanes = 4).
+    "q_ann_lsh" ->
+      """WITH planes AS (
+           SELECT * FROM (VALUES
+             (0, [1,-1,-1,-1,-1,1,1,-1,1,1,-1,-1,1,-1,-1,1,1,1,1,1,-1,1,1,-1,1,-1,1,-1,1,-1,1,1,1,1,1,-1,-1,1,1,-1,-1,1,-1,-1,1,-1,1,-1,-1,-1,1,1,-1,-1,1,1,1,1,-1,1,1,-1,-1,-1]::DOUBLE[]),
+             (1, [-1,1,-1,1,-1,-1,1,-1,-1,-1,1,1,-1,-1,1,-1,-1,1,1,1,-1,-1,-1,-1,1,-1,1,-1,-1,1,-1,-1,1,-1,-1,1,1,-1,-1,1,1,1,1,1,1,-1,-1,1,1,1,1,1,1,-1,1,1,1,1,1,-1,1,1,-1,-1]::DOUBLE[]),
+             (2, [-1,1,1,-1,-1,1,1,1,-1,1,1,-1,-1,-1,-1,-1,1,-1,-1,1,-1,1,-1,1,1,1,1,1,-1,1,1,1,-1,-1,-1,-1,1,1,-1,-1,1,-1,1,-1,-1,1,-1,-1,-1,1,1,1,-1,1,-1,-1,-1,-1,1,-1,1,1,-1,1]::DOUBLE[]),
+             (3, [-1,1,-1,-1,-1,-1,1,-1,1,-1,1,-1,-1,1,1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,1,-1,1,-1,-1,1,1,-1,1,1,-1,-1,1,1,-1,-1,-1,-1,-1,1,-1,1,1,-1,-1,-1,1,1,1,-1,1,1,-1,-1,-1,-1,1,1,-1]::DOUBLE[])
+           ) AS t(p, s)),
+         buckets AS (
+           SELECT e.vec_id,
+                  sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.s) > 0
+                           THEN (1::BIGINT << pl.p) ELSE 0 END) AS b
+           FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+         qb AS (SELECT b FROM buckets WHERE vec_id = 0),
+         q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS id,
+                round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+         FROM embeddings e, q, qb, buckets be
+         WHERE be.vec_id = e.vec_id AND e.vec_id <> 0 AND be.b = qb.b
+         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
+         LIMIT 10""",
+
+    "q_multimodal_features" ->
+      "SELECT doc_id AS media_id, octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents",
+
+    "q_multimodal_dedup" ->
+      "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
 
     "q_render_template" ->
       """SELECT n_nationkey, '{"name": "' || n_name || '", "region": ' || n_regionkey || '}' AS rendered FROM nation""",

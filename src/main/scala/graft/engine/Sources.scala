@@ -70,6 +70,7 @@ object Sources {
       case "xml" =>
         val rowTag = Config.str(cfg, "xpath").map(_.stripPrefix("//")).getOrElse("row")
         applyColumns(spark.read.format("xml").option("rowTag", rowTag).load(path), columns, rename = false)
+      case "xlsx" | "excel" => readExcel(spark, path, cfg, columns)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -147,6 +148,32 @@ object Sources {
         case n => n
       }
     }
+  }
+
+  /** Excel .xlsx (source.py:407 `pd.read_excel(sheet_name, keep_default_na=
+    * False, header, skiprows)`): driver-side ZIP+XML parse (see Xlsx), then
+    * parallelized into an all-string DataFrame. `sheet` (name or index),
+    * `skiprows`, `header_rows` (0 = headerless + `columns` naming, N>1 =
+    * flattened multi-line headers), `columns:` positional rename. */
+  private def readExcel(spark: SparkSession, path: String, cfg: Map[String, Any],
+                        columns: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val skiprows = Config.int(cfg, "skiprows").getOrElse(0)
+    val headerRows = Config.int(cfg, "header_rows").getOrElse(1)
+    val rows0 = Xlsx.readRows(path, Config.str(cfg, "sheet")).drop(skiprows)
+    val names: Seq[String] =
+      if (headerRows == 0) {
+        if (columns.isEmpty)
+          throw new IllegalArgumentException(s"headerless xlsx $path requires `columns`")
+        columns
+      } else flattenHeaders(rows0.take(headerRows))
+    val body = if (headerRows == 0) rows0 else rows0.drop(headerRows)
+    val width = names.size
+    val rows = body.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.padTo(width, "").take(width)))
+    val schema = StructType(names.map(n => StructField(n, StringType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    if (headerRows >= 1 && columns.nonEmpty) df.toDF(columns: _*) else df
   }
 
   /** Fixed-width: `colspecs` as [[start,end],...] (0-based, end-exclusive,

@@ -86,11 +86,54 @@ class SourcesSpec extends SparkSpec {
     assert(df.head.getString(1) == "2")
   }
 
+  test("xlsx: writer/reader round-trip, sheet + skiprows + headerless options") {
+    val dir = tmpDir
+    val f = dir.resolve("book.xlsx")
+    Xlsx.write(f, Seq(Seq("id", "name"), Seq("1", "ann"), Seq("2", "bob <&> b")), "People")
+    val df = Sources.read(spark, "b", Map("file" -> "book.xlsx"), dir)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("ann", "bob <&> b"))
+    // by sheet name
+    val byName = Sources.read(spark, "b", Map("file" -> "book.xlsx", "sheet" -> "People"), dir)
+    assert(byName.count() == 2)
+    intercept[IllegalArgumentException](
+      Sources.read(spark, "b", Map("file" -> "book.xlsx", "sheet" -> "Nope"), dir))
+    // skiprows drops leading junk; header_rows 0 + columns names a headerless sheet
+    Xlsx.write(f, Seq(Seq("junk"), Seq("1", "x"), Seq("2", "y")))
+    val named = Sources.read(spark, "b",
+      Map("file" -> "book.xlsx", "skiprows" -> 1, "header_rows" -> 0,
+        "columns" -> List("id", "val")), dir)
+    assert(named.columns.toSeq == Seq("id", "val"))
+    assert(named.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
+  test("xlsx: shared strings, numeric cells, booleans, and sparse cells parse") {
+    val dir = tmpDir
+    val f = dir.resolve("typed.xlsx")
+    // hand-built workbook exercising the parts the writer doesn't emit:
+    // sharedStrings (with rich-text runs), t="n" (default), t="b", gap cells
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/></Types>""")
+    put("_rels/.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml", """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""")
+    put("xl/sharedStrings.xml", """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2"><si><t>colA</t></si><si><r><t>two </t></r><r><t>runs</t></r></si></sst>""")
+    put("xl/worksheets/sheet1.xml", """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>colB</t></is></c><c r="C1" t="inlineStr"><is><t>colC</t></is></c></row><row r="2"><c r="A2"><v>42.5</v></c><c r="C2" t="b"><v>1</v></c></row><row r="3"><c r="A3" t="s"><v>1</v></c><c r="B3"><v>7</v></c><c r="C3" t="b"><v>0</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val df = Sources.read(spark, "t", Map("file" -> "typed.xlsx"), dir)
+    assert(df.columns.toSeq == Seq("colA", "colB", "colC"))
+    val rows = df.orderBy("colA").collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("42.5", "", "True"), ("two runs", "7", "False")))
+  }
+
   test("unsupported type errors clearly") {
     val dir = tmpDir
-    Files.writeString(dir.resolve("d.xlsx"), "not really excel")
+    Files.writeString(dir.resolve("d.sas7bdat"), "not a supported format")
     val e = intercept[IllegalArgumentException](
-      Sources.read(spark, "d", Map("file" -> "d.xlsx"), dir))
+      Sources.read(spark, "d", Map("file" -> "d.sas7bdat"), dir))
     assert(e.getMessage.contains("unsupported source file type"))
   }
 }
