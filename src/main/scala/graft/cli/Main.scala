@@ -1,32 +1,48 @@
 package graft.cli
 
 import org.apache.spark.sql.SparkSession
-import graft.engine.{Config, Engine}
+import graft.engine.{Config, Engine, Golden}
+import java.nio.file.{Files, Paths}
 
 /**
- * CLI front-end (reference earthmover/__main__.py): `run` and `compile`
- * commands with `-c/--config`, `-s/--select`, `-p/--params K=V,...`,
- * `--output-dir`. Exit codes: 0 ok, 1 error (99 = skipped is reserved for
- * the runs-file state feature).
+ * CLI front-end (reference earthmover/__main__.py): `run`, `compile`,
+ * `deps`, `clean`, `init` commands plus `-t` (acceptance suite), with
+ * `-c/--config`, `-s/--select`, `-p/--params K=V,...`, `--set path value
+ * ...`, `--output-dir`. Exit codes: 0 ok, 1 error, 99 = skipped via
+ * runs-file state.
  */
 object Main {
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { usage(); sys.exit(1) }
-    val cmd = args.head
-    var config = "graft.yaml"
+  private val DefaultConfigFiles = Seq("graft.yaml", "earthmover.yaml", "earthmover.yml")
+  private val CompiledYamlFile = "graft_compiled.yaml"
+
+  def main(args: Array[String]): Unit = sys.exit(dispatch(args))
+
+  /** Command dispatch returning the process exit code (testable in-process:
+    * no direct sys.exit). */
+  private[cli] final case class CliExit(code: Int) extends RuntimeException
+  def dispatch(args: Array[String]): Int = try { dispatch0(args); 0 }
+    catch { case CliExit(code) => code }
+
+  private def dispatch0(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); throw CliExit(1) }
+    var cmd: Option[String] = None
+    var config: Option[String] = None
     var selector = "*"
     var params = Map.empty[String, String]
+    var overrides = Seq.empty[(String, String)]
     var outputDir: Option[String] = None
     var force = false
     var skipHashing = false
+    var runTests = false
     var resultsFile: Option[String] = None
-    var i = 1
+    var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-c" | "--config" => config = args(i + 1); i += 2
+        case "-c" | "--config" => config = Some(args(i + 1)); i += 2
         case "-s" | "--select" => selector = args(i + 1); i += 2
         case "-f" | "--force" => force = true; i += 1
         case "-k" | "--skip-hashing" => skipHashing = true; i += 1
+        case "-t" | "--test" => runTests = true; i += 1
         case "--results-file" => resultsFile = Some(args(i + 1)); i += 2
         case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
         case "-p" | "--params" =>
@@ -34,13 +50,54 @@ object Main {
             val p = kv.split("=", 2); p(0) -> (if (p.length > 1) p(1) else "")
           }
           i += 2
-        case other => System.err.println(s"unknown argument: $other"); usage(); sys.exit(1)
+        case "--set" =>
+          // consume `key value` pairs until the next flag (argparse nargs="*")
+          var j = i + 1
+          while (j + 1 < args.length + 1 && j < args.length && !args(j).startsWith("-")) j += 1
+          val vals = args.slice(i + 1, j)
+          if (vals.length % 2 != 0) {
+            System.err.println("--set must be followed by key value pairs (key value key value ...)")
+            throw CliExit(1)
+          }
+          overrides ++= vals.grouped(2).map(p => p(0) -> p(1))
+          i = j
+        case flag if flag.startsWith("-") =>
+          System.err.println(s"unknown argument: $flag"); usage(); throw CliExit(1)
+        case word if cmd.isEmpty => cmd = Some(word); i += 1
+        case other =>
+          System.err.println(s"unknown argument: $other"); usage(); throw CliExit(1)
       }
     }
 
-    cmd match {
+    if (runTests) {
+      // reference -t: run the bundled acceptance project and diff expected/
+      val testsDir = sys.env.get("GRAFT_TESTS_DIR").map(Paths.get(_)).getOrElse(
+        Paths.get("/root/reference/earthmover/tests"))
+      if (!Files.isDirectory(testsDir)) {
+        System.err.println(s"tests directory not found: $testsDir (set GRAFT_TESTS_DIR)")
+        throw CliExit(1)
+      }
+      val (spark, owned) = session()
+      val failures = try Golden.runAll(spark, testsDir) finally if (owned) spark.stop()
+      if (failures.isEmpty) { println("tests passed successfully."); throw CliExit(0) }
+      else { failures.foreach(System.err.println); throw CliExit(1) }
+    }
+
+    def resolveConfig(): String = config.getOrElse {
+      DefaultConfigFiles.find(f => Files.isRegularFile(Paths.get(f))).getOrElse {
+        System.err.println(s"config file not specified with `-c`, and no default {${DefaultConfigFiles.mkString(", ")}} found")
+        throw CliExit(1)
+      }
+    }
+    def loadProject(): Config.Project = {
+      val p0 = Config.load(resolveConfig(), params)
+      if (overrides.isEmpty) p0
+      else p0.copy(raw = overrides.foldLeft(p0.raw) { case (r, (k, v)) => Config.setPath(r, k, v) })
+    }
+
+    cmd.getOrElse { usage(); throw CliExit(1) } match {
       case "run" =>
-        val project = Config.load(config, params)
+        val project = loadProject()
         // incremental skip (reference earthmover.py:282-341 + exit 99)
         val stateFile = project.config.get("state_file").map(v =>
           java.nio.file.Paths.get(v.toString))
@@ -49,9 +106,9 @@ object Main {
         if (!force && stateFile.nonEmpty && hash.nonEmpty &&
             graft.engine.RunsFile.shouldSkip(stateFile.get, hash.get)) {
           println("skipping (no changes since last run) — use --force to run anyway")
-          sys.exit(99)
+          throw CliExit(99)
         }
-        val spark = session()
+        val (spark, owned) = session()
         try {
           val t0 = System.nanoTime()
           val engine = new Engine(spark)
@@ -68,23 +125,111 @@ object Main {
               s"""{\n  "row_counts": {\n$rows\n  },\n  "seconds": ${(System.nanoTime() - t0) / 1e9}\n}\n"""
             java.nio.file.Files.writeString(java.nio.file.Paths.get(rf), json)
           }
-        } finally spark.stop()
+        } finally if (owned) spark.stop()
+
       case "compile" =>
-        // validate only; dump the compiled project like the reference's
-        // earthmover_compiled.yaml debugging aid
-        val project = Config.load(config, params)
-        val spark = session()
+        // validate, and write the composed project to disk like the
+        // reference's earthmover_compiled.yaml (earthmover.py:29,171-172)
+        val project = loadProject()
+        val (spark, owned) = session()
         try {
           new Engine(spark).compile(project, selector)
+          Files.writeString(Paths.get(CompiledYamlFile), Config.dumpYaml(project.raw))
           println(s"compiled OK: ${project.sources.size} sources, " +
             s"${project.transformations.size} transformations, ${project.destinations.size} destinations")
-        } finally spark.stop()
+          println(s"wrote $CompiledYamlFile")
+        } finally if (owned) spark.stop()
+
+      case "deps" =>
+        // reference deps clones git packages (package.py:141-211); this
+        // build is offline, so local packages need no install step and git
+        // packages are unsupported. Parse the raw YAML (not Config.load,
+        // which would throw on git packages before we can report them).
+        val doc =
+          try Config.asMap(Config.parseYaml(Files.readString(Paths.get(resolveConfig()))))
+          catch { case _: Exception => Map.empty[String, Any] }
+        val pkgs = doc.get("packages").map(Config.asMap).getOrElse(Map.empty)
+        if (pkgs.isEmpty) {
+          System.err.println("No packages have been defined!")
+          throw CliExit(1)
+        }
+        pkgs.foreach { case (name, cfgAny) =>
+          val cfg = Config.asMap(cfgAny)
+          if (cfg.contains("git"))
+            System.err.println(s"package `$name`: git packages are not supported in this offline build — vendor it locally and use `local:`")
+          else println(s"package `$name`: local package, nothing to install")
+        }
+        if (pkgs.values.exists(p => Config.asMap(p).contains("git"))) throw CliExit(1)
+
+      case "clean" =>
+        // remove run/compile artifacts (earthmover.py:579-602)
+        var noop = true
+        val project = loadProject()
+        val outDir = Paths.get(project.outputDir)
+        if (Files.isDirectory(outDir)) {
+          if (DefaultConfigFiles.exists(f => Files.isRegularFile(outDir.resolve(f))))
+            System.err.println(s"Not removing directory '$outDir' because it contains the project's config file")
+          else {
+            def rm(p: java.nio.file.Path): Unit = {
+              if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+              Files.deleteIfExists(p)
+            }
+            rm(outDir); noop = false
+          }
+        }
+        if (Files.deleteIfExists(Paths.get(CompiledYamlFile))) noop = false
+        if (noop) { System.err.println("Nothing to remove!"); throw CliExit(1) }
+
+      case "init" =>
+        // starter project (reference init.py)
+        val dir = Paths.get("graft_project")
+        if (Files.exists(dir)) { System.err.println(s"$dir already exists"); throw CliExit(1) }
+        Files.createDirectories(dir.resolve("sources"))
+        Files.createDirectories(dir.resolve("templates"))
+        Files.writeString(dir.resolve("sources").resolve("people.csv"),
+          "id,name\n1,ann\n2,bob\n")
+        Files.writeString(dir.resolve("templates").resolve("person.jsont"),
+          """{"id": "{{id}}", "name": "{{name}}"}""" + "\n")
+        Files.writeString(dir.resolve("graft.yaml"),
+          """version: 2
+            |
+            |config:
+            |  output_dir: ./output
+            |
+            |sources:
+            |  people:
+            |    file: sources/people.csv
+            |    header_rows: 1
+            |
+            |transformations:
+            |  people:
+            |    source: $sources.people
+            |    operations:
+            |      - operation: snake_case_columns
+            |
+            |destinations:
+            |  people:
+            |    source: $transformations.people
+            |    template: templates/person.jsont
+            |    extension: jsonl
+            |    linearize: True
+            |""".stripMargin)
+        println(s"Successfully initialized new project! Try:\n\ncd $dir\ngraft run\n")
+
       case other =>
-        System.err.println(s"unknown command: $other"); usage(); sys.exit(1)
+        System.err.println(s"unknown command: $other"); usage(); throw CliExit(1)
     }
   }
 
-  private def session(): SparkSession = SparkSession.builder()
+  /** (session, ownedByUs): reuse an already-running session (in-process
+    * callers, tests) and leave its lifecycle alone; otherwise build one and
+    * report ownership so the caller stops it. */
+  private def session(): (SparkSession, Boolean) = {
+    val preexisting = SparkSession.getDefaultSession.orElse(SparkSession.getActiveSession)
+    (preexisting.getOrElse(buildSession()), preexisting.isEmpty)
+  }
+
+  private def buildSession(): SparkSession = SparkSession.builder()
     .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
     .appName("graft")
     .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -95,5 +240,5 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft <run|compile> [-c config.yaml] [-s selector] [-p K=V,...] [-f] [-k] [--output-dir DIR] [--results-file F]""")
+      """usage: graft <run|compile|deps|clean|init> [-t] [-c config.yaml] [-s selector] [-p K=V,...] [--set path value ...] [-f] [-k] [--output-dir DIR] [--results-file F]""")
 }

@@ -189,6 +189,49 @@ object Config {
         }
     }
 
+  /** `--set a.b.c value` dotted-path override (YamlMapping.set_path,
+    * yaml_parser.py:34-41): intermediate mappings are created, the leaf is
+    * autocast (bool/float/int detection, yaml_parser.py:44-55). */
+  def setPath(root: Map[String, Any], path: String, value: String): Map[String, Any] = {
+    def go(node: Map[String, Any], pieces: List[String]): Map[String, Any] = pieces match {
+      case leaf :: Nil => node.updated(leaf, autocast(value))
+      case head :: rest =>
+        val child = node.get(head) match {
+          case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+          case _ => Map.empty[String, Any]
+        }
+        node.updated(head, go(child, rest))
+      case Nil => node
+    }
+    go(root, path.split("\\.").toList)
+  }
+
+  private[engine] def autocast(value: String): Any = {
+    val lower = value.toLowerCase
+    if (Seq("true", "yes", "on", "t", "y").contains(lower)) true
+    else if (Seq("false", "no", "off", "f", "n").contains(lower)) false
+    else if (value.contains("."))
+      try value.toDouble catch { case _: NumberFormatException => value }
+    else
+      try value.toInt catch { case _: NumberFormatException => value }
+  }
+
+  /** Dump a compiled project back to YAML (the reference's
+    * earthmover_compiled.yaml debugging aid, earthmover.py:29,171-172). */
+  def dumpYaml(doc: Map[String, Any]): String = {
+    def toJava(v: Any): Any = v match {
+      case m: Map[_, _] =>
+        val jm = new java.util.LinkedHashMap[String, Any]()
+        m.asInstanceOf[Map[String, Any]].foreach { case (k, x) => jm.put(k, toJava(x)) }
+        jm
+      case l: List[_] => l.map(toJava).asJava
+      case other => other
+    }
+    val opts = new org.yaml.snakeyaml.DumperOptions()
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new org.yaml.snakeyaml.Yaml(opts).dump(toJava(doc))
+  }
+
   /** snakeyaml → immutable Scala structures. */
   def parseYaml(text: String): Any = {
     val yaml = new org.yaml.snakeyaml.Yaml()

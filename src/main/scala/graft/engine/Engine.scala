@@ -199,8 +199,13 @@ final class Engine(spark: SparkSession) {
       case "group_by_with_rank" => Ops.groupByWithRank(df,
         listOf(op, "group_by_columns"), Config.reqStr(op, "rank_column", ctx))
       case "debug" =>
-        df.show(Config.int(op, "rows").getOrElse(10), truncate = false)
-        df
+        Ops.debug(df,
+          Config.str(op, "function").getOrElse("head"),
+          Config.int(op, "rows").getOrElse(5),
+          skipColumns = listOf(op, "skip_columns"),
+          keepColumns = op.get("keep_columns").map(Config.asScalarList(_).map(_.toString)),
+          transpose = Config.bool(op, "transpose"),
+          nodeName = ctx)
       case other => throw new IllegalArgumentException(s"$ctx: unknown operation `$other`")
     }
     Config.int(op, "repartition") match {

@@ -71,6 +71,7 @@ object Sources {
         val rowTag = Config.str(cfg, "xpath").map(_.stripPrefix("//")).getOrElse("row")
         applyColumns(spark.read.format("xml").option("rowTag", rowTag).load(path), columns, rename = false)
       case "xlsx" | "excel" => readExcel(spark, path, cfg, columns)
+      case "html" | "htm" => readHtml(spark, path, cfg, columns)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -174,6 +175,42 @@ object Sources {
     val schema = StructType(names.map(n => StructField(n, StringType)))
     val df = spark.createDataFrame(rows.asJava, schema)
     if (headerRows >= 1 && columns.nonEmpty) df.toDF(columns: _*) else df
+  }
+
+  /** HTML `<table>` scrape (source.py:410 `pd.read_html(match)[0]`):
+    * driver-side regex extraction of the first table whose text matches
+    * `match` (default any). An all-<th> first row becomes the header, like
+    * pandas' inference; otherwise columns are named by position. Driver-side
+    * is the right scale call: an HTML page is a human-sized artifact. */
+  private def readHtml(spark: SparkSession, path: String, cfg: Map[String, Any],
+                       columns: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val matchRe = Config.str(cfg, "match").getOrElse(".+").r
+    val html = Files.readString(Paths.get(path))
+    def unescape(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    def stripTags(s: String): String = unescape(s.replaceAll("(?s)<[^>]*>", "")).trim
+    val tableRe = "(?is)<table[^>]*>(.*?)</table>".r
+    val rowRe = "(?is)<tr[^>]*>(.*?)</tr>".r
+    val cellRe = "(?is)<(th|td)[^>]*>(.*?)</\\1>".r
+    val tables = tableRe.findAllMatchIn(html).map(_.group(1)).toVector
+    val picked = tables.find(t => matchRe.findFirstIn(stripTags(t)).nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"html $path: no <table> matching `${matchRe.pattern.pattern}` (${tables.size} tables found)"))
+    val rows: Vector[(Vector[String], Boolean)] = rowRe.findAllMatchIn(picked).map { r =>
+      val cells = cellRe.findAllMatchIn(r.group(1)).toVector
+      (cells.map(c => stripTags(c.group(2))), cells.nonEmpty && cells.forall(_.group(1).equalsIgnoreCase("th")))
+    }.toVector.filter(_._1.nonEmpty)
+    if (rows.isEmpty) throw new IllegalArgumentException(s"html $path: matched table has no rows")
+    val headerIsTh = rows.head._2
+    val names = if (headerIsTh) rows.head._1 else rows.head._1.indices.map(_.toString).toVector
+    val body = if (headerIsTh) rows.tail else rows
+    val width = names.size
+    val data = body.map(r => org.apache.spark.sql.Row.fromSeq(r._1.padTo(width, "").take(width)))
+    val schema = StructType(names.map(n => StructField(n, StringType)))
+    val df = spark.createDataFrame(data.asJava, schema)
+    applyColumns(df, columns, rename = columns.size == df.columns.size)
   }
 
   /** Fixed-width: `colspecs` as [[start,end],...] (0-based, end-exclusive,

@@ -386,6 +386,45 @@ object Ops {
 
   // ================================================== node-level features
 
+  /** `debug` operation (operations/dataframe.py:192-248): print a head/tail
+    * sample, describe() stats, or the column list — optionally column-subset
+    * (keep/skip) and transposed — and pass the data through unchanged.
+    * head/tail move only `rows` rows to the driver; describe aggregates
+    * distributed then prints the tiny stats frame. */
+  def debug(df: DataFrame, func: String = "head", rows: Int = 5,
+            skipColumns: Seq[String] = Nil, keepColumns: Option[Seq[String]] = None,
+            transpose: Boolean = false, nodeName: String = "debug"): DataFrame = {
+    if (!Seq("head", "tail", "describe", "columns").contains(func))
+      err("debug", s"debug type `$func` not defined")
+    val rowsStr = if (func == "head" || func == "tail") s" $rows" else ""
+    val transposeStr = if (transpose) ", Transpose" else ""
+    println(s"debug ($func$rowsStr$transposeStr) for $nodeName:")
+    if (func == "columns") { println(df.columns.mkString("[", ", ", "]")); return df }
+
+    val keep = keepColumns.filter(_.nonEmpty).getOrElse(df.columns.toSeq)
+    val selected = df.columns.filter(c => keep.contains(c) && !skipColumns.contains(c)).toSeq
+    val sub = df.select(selected.map(col): _*)
+    val sample: Array[org.apache.spark.sql.Row] = func match {
+      case "head" => sub.take(rows)
+      case "tail" => sub.tail(rows)
+      case _ => sub.describe().collect() // describe: summary column first
+    }
+    val header: Seq[String] =
+      if (func == "describe") "summary" +: selected else selected
+    val cells: Seq[Seq[String]] =
+      sample.toSeq.map(r => (0 until r.length).map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
+    val table: Seq[Seq[String]] =
+      if (transpose)
+        ("column" +: cells.indices.map(i => s"row$i")) +:
+          header.indices.map(c => header(c) +: cells.map(_(c)))
+      else header +: cells
+    val widths = table.transpose.map(_.map(_.length).max)
+    table.foreach { r =>
+      println(r.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString(" ").stripTrailing())
+    }
+    df
+  }
+
   /** `expect:` assertions (nodes/node.py:165-194): per-row Jinja boolean;
     * the run fails if any row renders falsy. */
   def expect(df: DataFrame, expectations: Seq[String], nodeName: String = "node"): Unit =

@@ -1,0 +1,110 @@
+package graft.cli
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** CLI drive tests through Main.dispatch (in-process exit codes; the shared
+  * test SparkSession is reused, never stopped, by the ownership guard). */
+class CliSpec extends SparkSpec {
+
+  // force the shared session to exist before any dispatch call
+  override def withFixture(test: NoArgTest) = { spark; super.withFixture(test) }
+
+  private def writeProject(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft-cli")
+    Files.writeString(dir.resolve("people.csv"), "id,name\n1,ann\n2,bob\n")
+    Files.writeString(dir.resolve("p.yaml"),
+      s"""version: 2
+         |config:
+         |  output_dir: ${dir.resolve("out")}
+         |sources:
+         |  people:
+         |    file: ${dir.resolve("people.csv")}
+         |destinations:
+         |  people:
+         |    source: $$sources.people
+         |    extension: jsonl
+         |""".stripMargin)
+    dir
+  }
+
+  test("compile writes graft_compiled.yaml; --set dotted overrides land in it") {
+    val dir = writeProject()
+    val compiled = Paths.get("graft_compiled.yaml")
+    Files.deleteIfExists(compiled)
+    try {
+      val code = Main.dispatch(Array("compile", "-c", dir.resolve("p.yaml").toString,
+        "--set", "config.tmp_dir", "/tmp/x", "config.show_graph", "True"))
+      assert(code == 0)
+      assert(Files.exists(compiled))
+      val yaml = Files.readString(compiled)
+      assert(yaml.contains("tmp_dir: /tmp/x"))
+      assert(yaml.contains("show_graph: true")) // autocast to boolean
+    } finally Files.deleteIfExists(compiled)
+  }
+
+  test("--set with an odd number of values errors") {
+    val dir = writeProject()
+    assert(Main.dispatch(Array("compile", "-c", dir.resolve("p.yaml").toString,
+      "--set", "config.tmp_dir")) == 1)
+  }
+
+  test("run honors a --set output_dir override") {
+    val dir = writeProject()
+    val altOut = dir.resolve("alt_out")
+    val code = Main.dispatch(Array("run", "-c", dir.resolve("p.yaml").toString,
+      "--set", "config.output_dir", altOut.toString))
+    assert(code == 0)
+    assert(Files.exists(altOut.resolve("people.jsonl")))
+  }
+
+  test("deps: no packages -> exit 1; git package -> exit 1; local -> exit 0") {
+    val dir = writeProject()
+    assert(Main.dispatch(Array("deps", "-c", dir.resolve("p.yaml").toString)) == 1)
+    Files.writeString(dir.resolve("git.yaml"),
+      "version: 2\npackages:\n  ext:\n    git: https://example.com/x.git\n")
+    assert(Main.dispatch(Array("deps", "-c", dir.resolve("git.yaml").toString)) == 1)
+    Files.createDirectories(dir.resolve("pkg"))
+    Files.writeString(dir.resolve("pkg").resolve("graft.yaml"), "version: 2\n")
+    Files.writeString(dir.resolve("local.yaml"),
+      "version: 2\npackages:\n  ext:\n    local: pkg\n")
+    assert(Main.dispatch(Array("deps", "-c", dir.resolve("local.yaml").toString)) == 0)
+  }
+
+  test("clean removes the output dir and compiled yaml, then reports nothing to remove") {
+    val dir = writeProject()
+    val cfg = dir.resolve("p.yaml").toString
+    assert(Main.dispatch(Array("run", "-c", cfg)) == 0)
+    assert(Files.exists(dir.resolve("out").resolve("people.jsonl")))
+    assert(Main.dispatch(Array("clean", "-c", cfg)) == 0)
+    assert(!Files.exists(dir.resolve("out")))
+    assert(Main.dispatch(Array("clean", "-c", cfg)) == 1) // nothing left
+  }
+
+  test("init scaffolds a runnable starter project") {
+    val scaffold = Paths.get("graft_project")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(scaffold)
+    try {
+      assert(Main.dispatch(Array("init")) == 0)
+      assert(Files.exists(scaffold.resolve("graft.yaml")))
+      assert(Main.dispatch(Array("init")) == 1) // already exists
+      val code = Main.dispatch(Array("run", "-c", scaffold.resolve("graft.yaml").toString,
+        "--set", "config.output_dir", scaffold.resolve("output").toString))
+      assert(code == 0)
+    } finally rm(scaffold)
+  }
+
+  test("-t runs the reference acceptance suite and passes") {
+    assume(Files.isDirectory(Paths.get("/root/reference/earthmover/tests")))
+    assert(Main.dispatch(Array("-t")) == 0)
+  }
+
+  test("unknown command and unknown flag exit 1") {
+    assert(Main.dispatch(Array("frobnicate")) == 1)
+    assert(Main.dispatch(Array("run", "--bogus")) == 1)
+  }
+}

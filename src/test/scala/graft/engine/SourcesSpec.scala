@@ -129,6 +129,29 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("42.5", "", "True"), ("two runs", "7", "False")))
   }
 
+  test("html: first matching <table> scrapes with th header, entities, match option") {
+    val dir = tmpDir
+    Files.writeString(dir.resolve("page.html"),
+      """<html><body>
+        |<table><tr><th>junk</th></tr><tr><td>nope</td></tr></table>
+        |<table id="data">
+        |  <tr><th>City</th><th>Pop</th></tr>
+        |  <tr><td>Cincinnati &amp; Co</td><td>831,438</td></tr>
+        |  <tr><td><b>Denver</b></td><td>915,735</td></tr>
+        |</table>
+        |</body></html>""".stripMargin)
+    val df = Sources.read(spark, "h",
+      Map("file" -> "page.html", "match" -> "Denver"), dir)
+    assert(df.columns.toSeq == Seq("City", "Pop"))
+    val rows = df.orderBy("City").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("Cincinnati & Co", "831,438"), ("Denver", "915,735")))
+    // no match → clear error; default match picks the first table
+    intercept[IllegalArgumentException](
+      Sources.read(spark, "h", Map("file" -> "page.html", "match" -> "Absent"), dir))
+    val first = Sources.read(spark, "h", Map("file" -> "page.html"), dir)
+    assert(first.columns.toSeq == Seq("junk"))
+  }
+
   test("unsupported type errors clearly") {
     val dir = tmpDir
     Files.writeString(dir.resolve("d.sas7bdat"), "not a supported format")

@@ -180,4 +180,28 @@ class OpsSpec extends SparkSpec {
     assert(Ops.distinctRows(df, Seq("k")).count() == 2)
     assert(Ops.distinctRows(df).count() == 3)
   }
+
+  test("debug operation: head/tail/describe/columns with keep/skip/transpose pass data through") {
+    val df = Seq(("1", "a", "x"), ("2", "b", "y"), ("3", "c", "z")).toDF("id", "v", "w")
+    def captured(f: => Any): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos))(f)
+      bos.toString("UTF-8")
+    }
+    val headOut = captured(assert(Ops.debug(df, "head", rows = 2).count() == 3))
+    assert(headOut.contains("debug (head 2)"))
+    assert(headOut.contains("id") && headOut.contains("1") && !headOut.contains("3"))
+    val tailOut = captured(Ops.debug(df.orderBy("id"), "tail", rows = 1))
+    assert(tailOut.contains("3") && !tailOut.contains("2 "))
+    val colsOut = captured(Ops.debug(df, "columns"))
+    assert(colsOut.contains("[id, v, w]"))
+    val keepOut = captured(Ops.debug(df, "head", rows = 3,
+      keepColumns = Some(Seq("id", "v")), skipColumns = Seq("v")))
+    assert(keepOut.contains("id") && !keepOut.contains("v "))
+    val transposed = captured(Ops.debug(df, "head", rows = 2, transpose = true))
+    assert(transposed.contains("column") && transposed.contains("row0"))
+    val descOut = captured(Ops.debug(df.select("id"), "describe"))
+    assert(descOut.contains("summary") && descOut.contains("mean"))
+    intercept[Exception](Ops.debug(df, "nope"))
+  }
 }
