@@ -192,7 +192,10 @@ final class Engine(spark: SparkSession) {
         valueName = Config.str(op, "value_name").getOrElse("melt_value"))
       case "pivot" => Ops.pivot(df,
         rowsBy = listOf(op, "rows_by"), colsBy = Config.reqStr(op, "cols_by", ctx),
-        values = Config.reqStr(op, "values", ctx))
+        values = Config.reqStr(op, "values", ctx),
+        // explicit `pivot_values` skips the discovery/uniqueness job —
+        // the scale path when the pivot column's domain is known
+        pivotValues = op.get("pivot_values").map(Config.asScalarList(_)))
       case "group_by" => Ops.groupBy(df, listOf(op, "group_by_columns"),
         Config.asMap(op.getOrElse("create_columns", Map.empty[String, Any]))
           .toSeq.map { case (k, v) => k -> v.toString })

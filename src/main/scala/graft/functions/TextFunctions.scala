@@ -69,15 +69,35 @@ object TextFunctions {
 
   /** Language ID: count stopword hits per language, pick the argmax with a
     * fixed priority order for ties (list order above). Returns the language
-    * code, "und" when no list scores. */
+    * code, "und" when no list scores.
+    *
+    * Single-pass formulation: one fold over the words accumulates all
+    * per-language counts, and the argmax happens in the aggregate's finish
+    * lambda, where the accumulator is a lambda variable (each reference is a
+    * cheap variable read). The naive shape — a filter+size per language
+    * referenced from `greatest` and every `when` — re-splits and re-scans
+    * the text ~3× per language because common-subexpression elimination
+    * does not reach interpreted higher-order functions. */
   def langId(text: Column): Column = {
     val ws = words(lower(text))
-    val scores = langStopwords.map { case (lang, stops) =>
-      lang -> size(filter(ws, w => w.isInCollection(stops)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first matching WHEN wins → earlier languages take ties
-    coalesce(scores.map { case (lang, s) => when(s === best && s > 0, lit(lang)) } :+ lit("und"): _*)
+    val n = langStopwords.size
+    aggregate(
+      ws,
+      array_repeat(lit(0), n),
+      (acc, w) => zip_with(
+        acc,
+        array(langStopwords.map { case (_, stops) =>
+          when(w.isInCollection(stops), 1).otherwise(0)
+        }: _*),
+        (a, b) => a + b),
+      acc => {
+        val scores = (0 until n).map(i => element_at(acc, i + 1))
+        val best = scores.reduce((a, b) => greatest(a, b))
+        // first matching WHEN wins → earlier languages take ties
+        coalesce(langStopwords.zip(scores).map { case ((lang, _), s) =>
+          when(s === best && s > 0, lit(lang))
+        } :+ lit("und"): _*)
+      })
   }
 
   /** Document fingerprint: md5 of the normalized text (lowercased,

@@ -310,13 +310,25 @@ object Ops {
     * reference pre-checks (rows_by+cols_by) uniqueness and errors telling the
     * user to group_by first — we keep that contract. */
   def pivot(df: DataFrame, rowsBy: Seq[String], colsBy: String, values: String,
-            checkUnique: Boolean = true): DataFrame = {
+            checkUnique: Boolean = true, pivotValues: Option[Seq[Any]] = None): DataFrame = {
     (rowsBy :+ colsBy :+ values).foreach(c => if (!df.columns.contains(c)) err("pivot", s"column `$c` not defined"))
-    if (checkUnique) {
-      val dup = df.groupBy((rowsBy :+ colsBy).map(col): _*).count().filter(col("count") > 1).isEmpty
-      if (!dup) err("pivot", "combinations of `rows_by` + `cols_by` are not unique; use group_by to aggregate first")
+    val vals: Seq[Any] = pivotValues.getOrElse {
+      // One job serves both the reference's uniqueness pre-check
+      // (dataframe.py pivot) and Spark's pivot-values discovery: aggregate
+      // (rowsBy+colsBy) counts, then fold to (colsBy value, max count) —
+      // ordered like Spark's own discovery so column order is unchanged.
+      // Passing explicit values below then skips the built-in discovery job
+      // (3 jobs → 2; with `pivot_values` configured, 1).
+      val summary = df.groupBy((rowsBy :+ colsBy).map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col(colsBy)).agg(max(col("__n")).as("__m"))
+        .orderBy(col(colsBy))
+        .collect()
+      if (checkUnique && summary.exists(_.getLong(1) > 1))
+        err("pivot", "combinations of `rows_by` + `cols_by` are not unique; use group_by to aggregate first")
+      summary.map(_.get(0)).toSeq
     }
-    df.groupBy(rowsBy.map(col): _*).pivot(colsBy).agg(first(col(values)))
+    df.groupBy(rowsBy.map(col): _*).pivot(colsBy, vals).agg(first(col(values)))
   }
 
   // ========================================================== aggregations
