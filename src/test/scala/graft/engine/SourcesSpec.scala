@@ -129,6 +129,29 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("42.5", "", "True"), ("two runs", "7", "False")))
   }
 
+  test("orc reader with column subset") {
+    val dir = tmpDir
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.orc(dir.resolve("d.orc").toString)
+    val df = Sources.read(spark, "o",
+      Map("file" -> "d.orc", "columns" -> List("id")), dir)
+    assert(df.columns.toSeq == Seq("id"))
+    assert(df.count() == 2)
+  }
+
+  test("json (multiLine array document) and xml (rowTag from xpath) readers") {
+    val dir = tmpDir
+    Files.writeString(dir.resolve("d.json"),
+      """[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]""")
+    val dj = Sources.read(spark, "j", Map("file" -> "d.json"), dir)
+    assert(dj.count() == 2 && dj.columns.sorted.toSeq == Seq("id", "v"))
+    Files.writeString(dir.resolve("d.xml"),
+      """<root><rec><id>1</id><v>a</v></rec><rec><id>2</id><v>b</v></rec></root>""")
+    val dx = Sources.read(spark, "x",
+      Map("file" -> "d.xml", "xpath" -> "//rec"), dir)
+    assert(dx.count() == 2 && dx.columns.sorted.toSeq == Seq("id", "v"))
+  }
+
   test("html: first matching <table> scrapes with th header, entities, match option") {
     val dir = tmpDir
     Files.writeString(dir.resolve("page.html"),
