@@ -72,6 +72,7 @@ object Sources {
         applyColumns(spark.read.format("xml").option("rowTag", rowTag).load(path), columns, rename = false)
       case "xlsx" | "excel" => readExcel(spark, path, cfg, columns)
       case "html" | "htm" => readHtml(spark, path, cfg, columns)
+      case "feather" | "arrow" => applyColumns(readFeather(spark, path), columns, rename = false)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -175,6 +176,57 @@ object Sources {
     val schema = StructType(names.map(n => StructField(n, StringType)))
     val df = spark.createDataFrame(rows.asJava, schema)
     if (headerRows >= 1 && columns.nonEmpty) df.toDF(columns: _*) else df
+  }
+
+  /** Feather v2 = Arrow IPC file (source.py:408 `pd.read_feather`):
+    * driver-side read through the Arrow Java libs Spark already ships,
+    * preserving native types for the common primitives — the same
+    * whole-file-on-one-process shape as the reference. Compressed files
+    * (lz4/zstd, the pyarrow defaults) decode via Arrow's compression
+    * factory over Spark's bundled codecs. */
+  private def readFeather(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    import org.apache.spark.sql.types._
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+      ch, alloc, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val fields = root.getSchema.getFields.asScala.toSeq
+      def sparkType(t: ArrowType): DataType = t match {
+        case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+        case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+        case _: ArrowType.Int => IntegerType
+        case f: ArrowType.FloatingPoint
+          if f.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE => DoubleType
+        case _: ArrowType.FloatingPoint => FloatType
+        case _: ArrowType.Bool => BooleanType
+        case _ => StringType
+      }
+      val schema = StructType(fields.map(f =>
+        StructField(f.getName, sparkType(f.getType), nullable = true)))
+      def convert(v: Any, dt: DataType): Any = (v, dt) match {
+        case (null, _) => null
+        case (x: java.lang.Number, IntegerType) => x.intValue()
+        case (x: java.lang.Number, LongType) => x.longValue()
+        case (x: java.lang.Number, DoubleType) => x.doubleValue()
+        case (x: java.lang.Number, FloatType) => x.floatValue()
+        case (x: java.lang.Boolean, BooleanType) => x
+        case (x, _) => x.toString
+      }
+      val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+      while (reader.loadNextBatch()) {
+        var i = 0
+        val n = root.getRowCount
+        while (i < n) {
+          rows += org.apache.spark.sql.Row.fromSeq(fields.indices.map(j =>
+            convert(root.getVector(j).getObject(i), schema(j).dataType)))
+          i += 1
+        }
+      }
+      spark.createDataFrame(rows.result().asJava, schema)
+    } finally { reader.close(); ch.close(); alloc.close() }
   }
 
   /** HTML `<table>` scrape (source.py:410 `pd.read_html(match)[0]`):

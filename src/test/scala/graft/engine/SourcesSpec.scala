@@ -129,6 +129,44 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("42.5", "", "True"), ("two runs", "7", "False")))
   }
 
+  test("feather/arrow IPC reader preserves native types and nulls") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir
+    val f = dir.resolve("d.feather")
+    val alloc = new RootAllocator()
+    val schema = new ASchema(List(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("score", FieldType.nullable(new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)), null),
+      new Field("name", FieldType.nullable(ArrowType.Utf8.INSTANCE), null)).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val ids = root.getVector("id").asInstanceOf[BigIntVector]
+    val scores = root.getVector("score").asInstanceOf[Float8Vector]
+    val names = root.getVector("name").asInstanceOf[VarCharVector]
+    ids.allocateNew(3); scores.allocateNew(3); names.allocateNew(3)
+    ids.setSafe(0, 1L); ids.setSafe(1, 2L); ids.setNull(2)
+    scores.setSafe(0, 0.5); scores.setNull(1); scores.setSafe(2, 2.25)
+    names.setSafe(0, "ann".getBytes("UTF-8")); names.setSafe(1, "bob".getBytes("UTF-8")); names.setNull(2)
+    root.setRowCount(3)
+    val chan = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val w = new ArrowFileWriter(root, null, chan)
+    w.start(); w.writeBatch(); w.end(); w.close(); chan.close(); root.close(); alloc.close()
+
+    val df = Sources.read(spark, "f", Map("file" -> "d.feather"), dir)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("id", "bigint"), ("score", "double"), ("name", "string")))
+    val rows = df.collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(rows == Set(
+      (Some(1L), Some(0.5), Some("ann")),
+      (Some(2L), None, Some("bob")),
+      (None, Some(2.25), None)))
+  }
+
   test("orc reader with column subset") {
     val dir = tmpDir
     import spark.implicits._
