@@ -88,6 +88,10 @@ final class Engine(spark: SparkSession) {
       val cfg = plan.nodeConfig(full)
       val section = full.takeWhile(_ != '.')
       val name = full.drop(section.length + 1)
+      nodeKeys.get(section).foreach { allowed =>
+        (cfg.keySet -- allowed).foreach(k =>
+          Console.err.println(s"[warn] Config `$k` not defined for node `$full`."))
+      }
       section match {
         case "sources" =>
           frames(full) = postProcess(Sources.read(spark, name, cfg, plan.project.configDir), cfg, full)
@@ -125,6 +129,60 @@ final class Engine(spark: SparkSession) {
     df
   }
 
+  /** Per-operation allowed config keys (the reference's `allowed_configs`
+    * tuples across operations/column.py, dataframe.py, groupby.py, row.py),
+    * plus this engine's documented extensions. Unknown keys warn —
+    * misspelled configs should not pass silently (node.py:63-69). */
+  /** Node-level allowed keys (node.py:28, source.py:28,108,463,527,
+    * transformation.py:12, destination.py:19,52 + engine extensions). */
+  private val nodeKeys: Map[String, Set[String]] = Map(
+    "sources" -> Set("debug", "expect", "require_rows", "show_progress", "repartition",
+      "chunksize", "optional", "optional_fields", "file", "type", "columns", "header_rows",
+      "fill_sparse_headers", "colspec_file", "colspecs", "colspec_headers", "widths", "names",
+      "rename_cols", "encoding", "sheet", "skiprows", "object_type", "match", "orientation",
+      "xpath", "connection", "query"),
+    "transformations" -> Set("debug", "expect", "require_rows", "show_progress", "repartition",
+      "operations", "source"),
+    "destinations" -> Set("debug", "expect", "require_rows", "show_progress", "repartition",
+      "source", "template", "extension", "linearize", "header", "footer", "partitioned"))
+
+  private val baseOpKeys = Set("operation", "repartition")
+  private val allowedOpKeys: Map[String, Set[String]] = Map(
+    "add_columns" -> Set("columns"),
+    "modify_columns" -> Set("columns"),
+    "duplicate_columns" -> Set("columns"),
+    "rename_columns" -> Set("columns"),
+    "drop_columns" -> Set("columns"),
+    "keep_columns" -> Set("columns"),
+    "combine_columns" -> Set("columns", "new_column", "separator"),
+    "map_values" -> Set("column", "columns", "mapping", "map_file"),
+    "date_format" -> Set("column", "columns", "from_format", "to_format", "ignore_errors", "exact_match"),
+    "snake_case_columns" -> Set(),
+    "lowercase_columns" -> Set(),
+    "uppercase_columns" -> Set(),
+    "join" -> Set("sources", "join_type", "left_keys", "left_key", "right_keys", "right_key",
+      "left_keep_columns", "left_drop_columns", "right_keep_columns", "right_drop_columns"),
+    "union" -> Set("sources", "fill_missing_columns"),
+    "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
+    "melt" -> Set("id_vars", "value_vars", "var_name", "value_name"),
+    "pivot" -> Set("rows_by", "cols_by", "values", "pivot_values"),
+    "group_by" -> Set("group_by_columns", "create_columns"),
+    "group_by_with_rank" -> Set("group_by_columns", "rank_column", "order_by"),
+    "distinct_rows" -> Set("column", "columns"),
+    "filter_rows" -> Set("query", "behavior"),
+    "sort_rows" -> Set("columns", "descending"),
+    "limit_rows" -> Set("count", "offset"),
+    "flatten" -> Set("flatten_column", "left_wrapper", "right_wrapper", "separator",
+      "value_column", "trim_whitespace"),
+  )
+
+  private def warnUnknownKeys(op: Map[String, Any], name: String, ctx: String): Unit =
+    allowedOpKeys.get(name).foreach { allowed =>
+      (op.keySet -- allowed -- baseOpKeys).foreach { k =>
+        Console.err.println(s"[warn] Config `$k` not defined for operation `$name` ($ctx).")
+      }
+    }
+
   /** YAML `operation:` dispatch — the reference's 22-entry operation table
     * (operations/operation.py:30-58) mapped onto graft.ops.Ops. */
   def applyOperation(df: DataFrame, op: Map[String, Any],
@@ -140,6 +198,7 @@ final class Engine(spark: SparkSession) {
       Config.asList(op.getOrElse("sources", Nil)).map(s => frames(resolveRef(s.toString)))
 
     val name = Config.reqStr(op, "operation", ctx)
+    warnUnknownKeys(op, name, ctx)
     val result = name match {
       case "add_columns" => Ops.addColumns(df, pairs("columns"))
       case "modify_columns" => Ops.modifyColumns(df, pairs("columns"))

@@ -263,6 +263,20 @@ class EngineSpec extends SparkSpec {
     assert(lines.last == "end:|v1")
   }
 
+  test("unknown operation/node config keys warn on stderr but do not fail") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    val df = Seq(("1", "a")).toDF("id", "v")
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(bos)) {
+      val out = engine.applyOperation(df,
+        Map("operation" -> "sort_rows", "columns" -> List("id"), "decsending" -> true),
+        Map.empty, "transformations.t")
+      assert(out.count() == 1)
+    }
+    assert(bos.toString.contains("Config `decsending` not defined for operation `sort_rows`"))
+  }
+
   test("map_file resolves relative to the config directory, not the process CWD") {
     val dir = Files.createTempDirectory("graft-mapfile")
     Files.writeString(dir.resolve("d.csv"), "a\ncat\ndog\n")
