@@ -45,9 +45,32 @@ object Sources {
         throw new IllegalArgumentException(s"source `$name`: must define `file` or `connection`")
     }
 
-    // optional_fields: columns guaranteed present, filled with "" (source.py:82-97)
     val optionalFields = Config.asList(cfg.getOrElse("optional_fields", Nil)).map(_.toString)
-    optionalFields.filterNot(df.columns.contains).foldLeft(df)((d, c) => d.withColumn(c, lit("")))
+    // `columns:` post-read semantics (source.py:189-216): positional RENAME
+    // only under `rename_cols: true` (counts must match); otherwise SUBSET
+    // selection, ignoring optional fields the file doesn't carry and
+    // erroring on truly missing columns. A headerless file (header_rows: 0,
+    // engine extension) already consumed `columns` as its schema names.
+    val headerless = cfg.get("header_rows").exists(v => !v.isInstanceOf[List[_]] && v.toString == "0")
+    val renamed =
+      if (columns.isEmpty || headerless) df
+      else if (Config.bool(cfg, "rename_cols")) {
+        if (df.columns.length != columns.size)
+          throw new IllegalArgumentException(
+            s"source `$name`: specified ${columns.size} `columns` but file has ${df.columns.length} columns")
+        df.toDF(columns: _*)
+      } else {
+        val undefinedOptional = optionalFields.toSet -- df.columns
+        val expected = columns.filterNot(undefinedOptional.contains)
+        val missing = expected.filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"source `$name`: one or more columns not found in dataset and not marked as optional using `optional_fields`: [${missing.mkString(", ")}]")
+        df.select(expected.map(col): _*)
+      }
+
+    // optional_fields: columns guaranteed present, filled with "" (source.py:82-97)
+    optionalFields.filterNot(renamed.columns.contains).foldLeft(renamed)((d, c) => d.withColumn(c, lit("")))
   }
 
   private def emptyFrame(spark: SparkSession, columns: Seq[String]): DataFrame = {
@@ -63,36 +86,35 @@ object Sources {
       case "csv" => readDelimited(spark, path, ",", cfg, columns)
       case "tsv" => readDelimited(spark, path, "\t", cfg, columns)
       case "txt" | "fixedwidth" => readFixedWidth(spark, path, cfg)
-      case "jsonl" | "ndjson" => applyColumns(spark.read.json(path), columns, rename = false)
-      case "json" => applyColumns(spark.read.option("multiLine", true).json(path), columns, rename = false)
-      case "parquet" => applyColumns(spark.read.parquet(path), columns, rename = false)
-      case "orc" => applyColumns(spark.read.orc(path), columns, rename = false)
+      case "jsonl" | "ndjson" => spark.read.json(path)
+      case "json" => spark.read.option("multiLine", true).json(path)
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
       case "xml" =>
         val rowTag = Config.str(cfg, "xpath").map(_.stripPrefix("//")).getOrElse("row")
-        applyColumns(spark.read.format("xml").option("rowTag", rowTag).load(path), columns, rename = false)
+        spark.read.format("xml").option("rowTag", rowTag).load(path)
       case "xlsx" | "excel" => readExcel(spark, path, cfg, columns)
-      case "html" | "htm" => readHtml(spark, path, cfg, columns)
-      case "feather" | "arrow" => applyColumns(readFeather(spark, path), columns, rename = false)
+      case "html" | "htm" => readHtml(spark, path, cfg)
+      case "feather" | "arrow" => readFeather(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
   }
 
-  /** `columns:` on structured formats subsets; on headered text formats it
-    * renames positionally (source.py:190-216). */
-  private def applyColumns(df: DataFrame, columns: Seq[String], rename: Boolean): DataFrame =
-    if (columns.isEmpty) df
-    else if (rename) df.toDF(columns: _*)
-    else df.select(columns.map(col): _*)
-
-  /** CSV/TSV with all-string schema, ""-preserving nulls, `header_rows`
-    * (0 = headerless, 1 = normal, N>1 = multi-line/sparse headers flattened
-    * to `A__b` names — source.py:334-401). `columns:` renames positionally
-    * when the file has headers, or names a headerless file. */
+  /** CSV/TSV with all-string schema, ""-preserving nulls.
+    *
+    * `header_rows` (source.py:334-401): an INT N means "the header is the
+    * single row N (1-based); skip the N-1 rows before it" (pandas
+    * `skiprows=N-1, header=0`); a LIST of 0-based row indices means a
+    * multi-line header flattened to `A__b` names, with upper rows
+    * forward-filled only under `fill_sparse_headers: true`, and data
+    * starting after the largest listed row. `header_rows: 0` (engine
+    * extension) reads headerless with `columns` as the schema names.
+    * `columns:` subset/rename happens post-read in `read`. */
   private def readDelimited(spark: SparkSession, path: String, sep: String,
                             cfg: Map[String, Any], columns: Seq[String]): DataFrame = {
-    val headerRows = Config.int(cfg, "header_rows").getOrElse(1)
     val encoding = Config.str(cfg, "encoding").getOrElse("UTF-8")
+    val fillSparse = Config.bool(cfg, "fill_sparse_headers")
     val base = spark.read
       .option("sep", sep)
       .option("encoding", encoding)
@@ -101,47 +123,54 @@ object Sources {
       .option("escape", "\"") // RFC-4180 doubled-quote escaping (pandas default)
       .option("inferSchema", false)
 
-    if (headerRows <= 1) {
-      val withHeader = base.option("header", headerRows == 1)
-      val schemaNames: Option[Seq[String]] =
-        if (headerRows == 0) {
-          if (columns.isEmpty)
-            throw new IllegalArgumentException(s"headerless file $path requires `columns`")
-          Some(columns)
-        } else None
-      val df0 = schemaNames match {
-        case Some(names) =>
-          withHeader.schema(StructType(names.map(n => StructField(n, StringType)))).csv(path)
-        case None =>
-          val df = withHeader.csv(path)
-          // all-string contract: header inference yields strings already
-          // (inferSchema=false), but normalize the schema explicitly
-          df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
-      }
-      val named = if (headerRows == 1 && columns.nonEmpty) df0.toDF(columns: _*) else df0
-      named.na.fill("") // unquoted empty cells arrive as null; the all-string
-      // model has no missing values (keep_default_na=False parity)
-    } else {
-      // multi-line headers: pre-read N header lines (driver, bounded), build
-      // flattened names; parse the remainder as a distributed dataset
+    def headerLines(n: Int): List[String] =
+      scala.io.Source.fromFile(path, encoding).getLines().take(n).toList
+    def splitLine(l: String): Seq[String] =
+      l.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+    /** Distributed body parse with known names, dropping the first `skip` lines. */
+    def body(names: Seq[String], skip: Int): DataFrame = {
       import spark.implicits._
-      val headerLines = scala.io.Source.fromFile(path, encoding).getLines().take(headerRows).toList
-      val names = flattenHeaders(headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1).toSeq))
-      val body = spark.read.textFile(path)
+      val lines = spark.read.textFile(path)
         .withColumn("__idx__", monotonically_increasing_id())
-        .filter(col("__idx__") >= headerRows).drop("__idx__").as[String]
-      val parsed = base.schema(StructType(names.map(n => StructField(n, StringType)))).csv(body)
-      (if (columns.nonEmpty) parsed.toDF(columns: _*) else parsed).na.fill("")
+        .filter(col("__idx__") >= skip).drop("__idx__").as[String]
+      base.schema(StructType(names.map(n => StructField(n, StringType)))).csv(lines).na.fill("")
+    }
+
+    cfg.getOrElse("header_rows", 1) match {
+      case l: List[_] =>
+        // multi-line header from the listed (0-based) rows
+        val idx = l.map(_.toString.toInt)
+        val pre = headerLines(idx.max + 1)
+        val names = flattenHeaders(idx.map(i => splitLine(pre(i))), fillSparse)
+        body(names, idx.max + 1)
+      case v if v.toString == "0" =>
+        if (columns.isEmpty)
+          throw new IllegalArgumentException(s"headerless file $path requires `columns`")
+        base.option("header", false)
+          .schema(StructType(columns.map(n => StructField(n, StringType)))).csv(path)
+          .na.fill("") // unquoted empty cells arrive as null; the all-string
+        // model has no missing values (keep_default_na=False parity)
+      case v if v.toString == "1" =>
+        val df = base.option("header", true).csv(path)
+        // all-string contract: header inference yields strings already
+        // (inferSchema=false), but normalize the schema explicitly
+        df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*).na.fill("")
+      case v =>
+        // header is the single row N; the rows before it are skipped junk
+        val n = v.toString.toInt
+        val names = flattenHeaders(Seq(splitLine(headerLines(n).last)), fillSparse)
+        body(names, n)
     }
   }
 
-  /** Sparse multi-row headers: forward-fill upper rows, then join per-column
-    * pieces with "__", skipping blanks (source.py:346-401). */
-  private[engine] def flattenHeaders(rows: Seq[Seq[String]]): Seq[String] = {
+  /** Multi-row headers flattened to `A__b` (source.py:346-401): upper rows
+    * forward-fill only when `fill` (fill_sparse_headers) is set; per-column
+    * pieces join with "__", skipping blanks. */
+  private[engine] def flattenHeaders(rows: Seq[Seq[String]], fill: Boolean = false): Seq[String] = {
     val width = rows.map(_.size).max
     val filled = rows.zipWithIndex.map { case (r, i) =>
       val padded = r.padTo(width, "")
-      if (i == rows.size - 1) padded // the last row is never forward-filled
+      if (!fill || i == rows.size - 1) padded.map(_.trim) // the last row is never forward-filled
       else padded.scanLeft("") { case (prev, cell) => if (cell.trim.isEmpty) prev else cell.trim }.tail
     }
     (0 until width).map { c =>
@@ -155,28 +184,37 @@ object Sources {
   /** Excel .xlsx (source.py:407 `pd.read_excel(sheet_name, keep_default_na=
     * False, header, skiprows)`): driver-side ZIP+XML parse (see Xlsx), then
     * parallelized into an all-string DataFrame. `sheet` (name or index),
-    * `skiprows`, `header_rows` (0 = headerless + `columns` naming, N>1 =
-    * flattened multi-line headers), `columns:` positional rename. */
+    * `skiprows` (engine extension, applied first), `header_rows` with the
+    * same semantics as delimited files (INT N = header is the single row N,
+    * rows before it skipped; LIST = multi-line flattened header honoring
+    * `fill_sparse_headers`; 0 = headerless + `columns` naming). `columns:`
+    * subset/rename happens post-read in `read`. */
   private def readExcel(spark: SparkSession, path: String, cfg: Map[String, Any],
                         columns: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val skiprows = Config.int(cfg, "skiprows").getOrElse(0)
-    val headerRows = Config.int(cfg, "header_rows").getOrElse(1)
+    val fillSparse = Config.bool(cfg, "fill_sparse_headers")
     val rows0 = Xlsx.readRows(path, Config.str(cfg, "sheet")).drop(skiprows)
-    val names: Seq[String] =
-      if (headerRows == 0) {
-        if (columns.isEmpty)
-          throw new IllegalArgumentException(s"headerless xlsx $path requires `columns`")
-        columns
-      } else flattenHeaders(rows0.take(headerRows))
-    val body = if (headerRows == 0) rows0 else rows0.drop(headerRows)
+    val (names: Seq[String], body: Seq[Vector[String]]) =
+      cfg.getOrElse("header_rows", 1) match {
+        case l: List[_] =>
+          val idx = l.map(_.toString.toInt)
+          (flattenHeaders(idx.map(rows0(_)), fillSparse), rows0.drop(idx.max + 1))
+        case v if v.toString == "0" =>
+          if (columns.isEmpty)
+            throw new IllegalArgumentException(s"headerless xlsx $path requires `columns`")
+          (columns, rows0)
+        case v =>
+          val n = v.toString.toInt
+          (flattenHeaders(Seq(rows0(n - 1)), fillSparse), rows0.drop(n))
+      }
     val width = names.size
     val rows = body.map(r =>
       org.apache.spark.sql.Row.fromSeq(r.padTo(width, "").take(width)))
     val schema = StructType(names.map(n => StructField(n, StringType)))
-    val df = spark.createDataFrame(rows.asJava, schema)
-    if (headerRows >= 1 && columns.nonEmpty) df.toDF(columns: _*) else df
+    spark.createDataFrame(rows.asJava, schema)
   }
+
 
   /** Feather v2 = Arrow IPC file (source.py:408 `pd.read_feather`):
     * driver-side read through the Arrow Java libs Spark already ships,
@@ -234,8 +272,7 @@ object Sources {
     * `match` (default any). An all-<th> first row becomes the header, like
     * pandas' inference; otherwise columns are named by position. Driver-side
     * is the right scale call: an HTML page is a human-sized artifact. */
-  private def readHtml(spark: SparkSession, path: String, cfg: Map[String, Any],
-                       columns: Seq[String]): DataFrame = {
+  private def readHtml(spark: SparkSession, path: String, cfg: Map[String, Any]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val matchRe = Config.str(cfg, "match").getOrElse(".+").r
     val html = Files.readString(Paths.get(path))
@@ -261,8 +298,7 @@ object Sources {
     val width = names.size
     val data = body.map(r => org.apache.spark.sql.Row.fromSeq(r._1.padTo(width, "").take(width)))
     val schema = StructType(names.map(n => StructField(n, StringType)))
-    val df = spark.createDataFrame(data.asJava, schema)
-    applyColumns(df, columns, rename = columns.size == df.columns.size)
+    spark.createDataFrame(data.asJava, schema)
   }
 
   /** Fixed-width: `colspecs` as [[start,end],...] (0-based, end-exclusive,

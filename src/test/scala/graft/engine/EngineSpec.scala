@@ -306,9 +306,14 @@ class EngineSpec extends SparkSpec {
   }
 
   test("multi-line sparse headers flatten to A__b names") {
-    assert(Sources.flattenHeaders(Seq(
+    val rows = Seq(
       Seq("Student", "", "School", ""),
-      Seq("id", "name", "id", "year"),
-    )) == Seq("Student__id", "Student__name", "School__id", "School__year"))
+      Seq("id", "name", "id", "year"))
+    // fill_sparse_headers forward-fills the upper rows (source.py:387-393)
+    assert(Sources.flattenHeaders(rows, fill = true) ==
+      Seq("Student__id", "Student__name", "School__id", "School__year"))
+    // default: blanks stay blank (fill_sparse_headers=False, source.py:349)
+    assert(Sources.flattenHeaders(rows) ==
+      Seq("Student__id", "name", "School__id", "year"))
   }
 }

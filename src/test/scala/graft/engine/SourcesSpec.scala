@@ -28,21 +28,49 @@ class SourcesSpec extends SparkSpec {
       Sources.read(spark, "d", Map("file" -> "d.csv", "header_rows" -> 0), dir))
   }
 
-  test("multi-line sparse headers flatten and body parses distributed") {
+  test("header_rows list: multi-line header flattens; fill_sparse_headers forward-fills") {
     val dir = tmpDir
     Files.writeString(dir.resolve("m.csv"),
       "Student,,School\nid,name,year\n1,ann,2024\n2,bob,2025\n")
-    val df = Sources.read(spark, "m", Map("file" -> "m.csv", "header_rows" -> 2), dir)
-    assert(df.columns.toSeq == Seq("Student__id", "Student__name", "School__year"))
-    assert(df.count() == 2)
+    val filled = Sources.read(spark, "m", Map("file" -> "m.csv",
+      "header_rows" -> List(0, 1), "fill_sparse_headers" -> true), dir)
+    assert(filled.columns.toSeq == Seq("Student__id", "Student__name", "School__year"))
+    assert(filled.count() == 2)
+    // default: no forward fill (fill_sparse_headers=False, source.py:349)
+    val sparse = Sources.read(spark, "m", Map("file" -> "m.csv",
+      "header_rows" -> List(0, 1)), dir)
+    assert(sparse.columns.toSeq == Seq("Student__id", "name", "School__year"))
   }
 
-  test("tsv via extension; columns rename positionally on headered files") {
+  test("header_rows int N: header is the single row N, junk rows before it skipped") {
+    val dir = tmpDir
+    Files.writeString(dir.resolve("j.csv"),
+      "some banner line,,\nid,name,year\n1,ann,2024\n")
+    val df = Sources.read(spark, "j", Map("file" -> "j.csv", "header_rows" -> 2), dir)
+    assert(df.columns.toSeq == Seq("id", "name", "year"))
+    assert(df.count() == 1)
+  }
+
+  test("tsv via extension; columns subsets by default, renames under rename_cols") {
     val dir = tmpDir
     Files.writeString(dir.resolve("d.tsv"), "x\ty\n1\t2\n")
-    val df = Sources.read(spark, "d",
-      Map("file" -> "d.tsv", "columns" -> List("a", "b")), dir)
-    assert(df.columns.toSeq == Seq("a", "b"))
+    val sub = Sources.read(spark, "d",
+      Map("file" -> "d.tsv", "columns" -> List("y")), dir)
+    assert(sub.columns.toSeq == Seq("y"))
+    val ren = Sources.read(spark, "d",
+      Map("file" -> "d.tsv", "columns" -> List("a", "b"), "rename_cols" -> true), dir)
+    assert(ren.columns.toSeq == Seq("a", "b"))
+    // rename with mismatched count, and subset of a missing column, both error
+    intercept[IllegalArgumentException](Sources.read(spark, "d",
+      Map("file" -> "d.tsv", "columns" -> List("a"), "rename_cols" -> true), dir))
+    val e = intercept[IllegalArgumentException](Sources.read(spark, "d",
+      Map("file" -> "d.tsv", "columns" -> List("x", "nope")), dir))
+    assert(e.getMessage.contains("optional_fields"))
+    // a missing column that IS optional is skipped by the subset, then filled ""
+    val opt = Sources.read(spark, "d",
+      Map("file" -> "d.tsv", "columns" -> List("x", "z"), "optional_fields" -> List("z")), dir)
+    assert(opt.columns.toSeq == Seq("x", "z"))
+    assert(opt.collect().map(_.getString(1)).toSeq == Seq(""))
   }
 
   test("fixedwidth with widths + names") {
