@@ -32,7 +32,7 @@ object Sources {
 
     val df = fileOpt match {
       case Some(path) if Files.exists(path) =>
-        readFile(spark, path.toString, cfg, columns)
+        readFile(spark, path.toString, cfg, columns, configDir)
       case Some(path) if optional =>
         emptyFrame(spark, columns)
       case Some(path) =>
@@ -79,15 +79,16 @@ object Sources {
   }
 
   /** Extension → reader (source.py:240-265 `_get_filetype`). */
-  def readFile(spark: SparkSession, path: String, cfg: Map[String, Any], columns: Seq[String]): DataFrame = {
+  def readFile(spark: SparkSession, path: String, cfg: Map[String, Any], columns: Seq[String],
+               configDir: java.nio.file.Path = Paths.get(".")): DataFrame = {
     val ext = Config.str(cfg, "type").getOrElse(
       path.substring(path.lastIndexOf('.') + 1).toLowerCase)
     ext match {
       case "csv" => readDelimited(spark, path, ",", cfg, columns)
       case "tsv" => readDelimited(spark, path, "\t", cfg, columns)
-      case "txt" | "fixedwidth" => readFixedWidth(spark, path, cfg)
+      case "txt" | "fixedwidth" => readFixedWidth(spark, path, cfg, configDir)
       case "jsonl" | "ndjson" => spark.read.json(path)
-      case "json" => spark.read.option("multiLine", true).json(path)
+      case "json" => readJson(spark, path, cfg)
       case "parquet" => spark.read.parquet(path)
       case "orc" => spark.read.orc(path)
       case "xml" =>
@@ -178,6 +179,41 @@ object Sources {
         case "" => s"_c$c"
         case n => n
       }
+    }
+  }
+
+  /** Whole-document JSON (source.py:412 `dd.read_json(typ, orient)`).
+    * A top-level ARRAY is records — read natively (distributed multiLine
+    * parse), which also matches pandas' lenient handling of lists under any
+    * orient. A top-level OBJECT follows `orientation`: `columns` (pandas
+    * default — {"col": {"rowKey": value}}) or `index` ({"rowKey": {"col":
+    * value}}); those documents are driver-parsed (bounded — a columns-dict
+    * is a small hand-made artifact), re-serialized as records and schema-
+    * inferred by the native reader so types match the records path. */
+  private def readJson(spark: SparkSession, path: String, cfg: Map[String, Any]): DataFrame = {
+    val in = Files.newBufferedReader(Paths.get(path))
+    val first = try {
+      var c = in.read()
+      while (c != -1 && Character.isWhitespace(c)) c = in.read()
+      c.toChar
+    } finally in.close()
+    if (first == '[') spark.read.option("multiLine", true).json(path)
+    else {
+      import graft.template.Jinja
+      val doc = Config.asMap(Jinja.Json.parse(Files.readString(Paths.get(path))))
+      val orient = Config.str(cfg, "orientation").getOrElse("columns")
+      val records: Seq[Map[String, Any]] = orient match {
+        case "columns" =>
+          val cols = doc.map { case (c, v) => c -> Config.asMap(v) }
+          val rowKeys = cols.values.flatMap(_.keys).toSeq.distinct
+          rowKeys.map(rk => cols.collect { case (c, m) if m.contains(rk) => c -> m(rk) }.toMap)
+        case "index" =>
+          doc.values.map(Config.asMap).toSeq
+        case other => throw new IllegalArgumentException(
+          s"json source $path: unsupported `orientation` `$other` (columns, index)")
+      }
+      import spark.implicits._
+      spark.read.json(spark.createDataset(records.map(Jinja.Json.write)))
     }
   }
 
@@ -301,21 +337,61 @@ object Sources {
     spark.createDataFrame(data.asJava, schema)
   }
 
-  /** Fixed-width: `colspecs` as [[start,end],...] (0-based, end-exclusive,
-    * pandas read_fwf convention) or `widths`, plus `names`
-    * (source.py:270-324). Implemented as substring projections over
-    * spark.read.text — narrow and codegen'd. */
-  private def readFixedWidth(spark: SparkSession, path: String, cfg: Map[String, Any]): DataFrame = {
-    val names = Config.asList(cfg.getOrElse("names", Nil)).map(_.toString)
-    val colspecs: Seq[(Int, Int)] =
-      if (cfg.contains("colspecs"))
-        Config.asList(cfg("colspecs")).map { s =>
-          val p = Config.asList(s).map(_.toString.toInt); (p(0), p(1))
+  /** Fixed-width (source.py:270-324): column layout from inline
+    * `colspecs` ([[start,end],...] 0-based end-exclusive, pandas read_fwf
+    * convention) or `widths`, with names from `columns` (reference name) or
+    * `names`; OR from a `colspec_file` CSV + `colspec_headers` mapping
+    * which of its columns hold name/start/end/width (start+end take
+    * precedence over width, as in the reference). Implemented as substring
+    * projections over spark.read.text — narrow and codegen'd. */
+  private def readFixedWidth(spark: SparkSession, path: String, cfg: Map[String, Any],
+                             configDir: java.nio.file.Path): DataFrame = {
+    val (names: Seq[String], colspecs: Seq[(Int, Int)]) = Config.str(cfg, "colspec_file") match {
+      case Some(cf) =>
+        val cfPath = { val p0 = Paths.get(cf); if (p0.isAbsolute) p0 else configDir.resolve(cf) }
+        if (!Files.exists(cfPath))
+          throw new IllegalArgumentException(s"colspec file '$cf' not found")
+        val lines = Files.readAllLines(cfPath).asScala.toVector.filter(_.nonEmpty)
+        val hdr = lines.head.split(",", -1).map(_.trim).toSeq
+        val rows = lines.tail.map(_.split(",", -1).map(_.trim).toSeq)
+        val ch = cfg.get("colspec_headers").map(Config.asMap).getOrElse(
+          throw new IllegalArgumentException("`colspec_headers` must be specified when supplying a colspec file"))
+        def idxOf(key: String): Option[Int] = ch.get(key).map { v =>
+          val i = hdr.indexOf(v.toString)
+          if (i < 0) throw new IllegalArgumentException(
+            s"colspec file '$cf' has no column `${v.toString}` (for colspec_headers.$key)")
+          i
         }
-      else if (cfg.contains("widths")) {
-        val widths = Config.asList(cfg("widths")).map(_.toString.toInt)
-        widths.scanLeft(0)(_ + _).sliding(2).map(p => (p(0), p(1))).toSeq
-      } else throw new IllegalArgumentException(s"fixedwidth source $path requires `colspecs` or `widths`")
+        val nameIdx = idxOf("name").getOrElse(
+          throw new IllegalArgumentException("a `name` column must be provided when supplying colspec_headers"))
+        val ns = rows.map(_(nameIdx))
+        (idxOf("start"), idxOf("end"), idxOf("width")) match {
+          // start/end take precedence over width (source.py:306-311)
+          case (Some(si), Some(ei), _) =>
+            (ns, rows.map(r => (r(si).toInt, r(ei).toInt)))
+          case (_, _, Some(wi)) =>
+            val widths = rows.map(_(wi).toInt)
+            (ns, widths.scanLeft(0)(_ + _).sliding(2).map(p => (p(0), p(1))).toSeq)
+          case _ => throw new IllegalArgumentException(
+            "either `width` or (`start`, `end`) must be specified when supplying colspec_headers")
+        }
+      case None =>
+        // inline: the reference names these via `columns` (we also accept `names`)
+        val ns = Config.asScalarList(cfg.getOrElse("columns",
+          cfg.getOrElse("names", Nil))).map(_.toString)
+        if (ns.isEmpty) throw new IllegalArgumentException(
+          s"No `colspec_file` specified for fixedwidth source $path. In this case, `columns` must be specified, and `colspecs` or `widths` must be specified")
+        val specs: Seq[(Int, Int)] =
+          if (cfg.contains("colspecs"))
+            Config.asList(cfg("colspecs")).map { sp =>
+              val p0 = Config.asList(sp).map(_.toString.toInt); (p0(0), p0(1))
+            }
+          else if (cfg.contains("widths")) {
+            val widths = Config.asList(cfg("widths")).map(_.toString.toInt)
+            widths.scanLeft(0)(_ + _).sliding(2).map(p => (p(0), p(1))).toSeq
+          } else throw new IllegalArgumentException(s"fixedwidth source $path requires `colspecs` or `widths`")
+        (ns, specs)
+    }
     if (names.size != colspecs.size)
       throw new IllegalArgumentException(s"fixedwidth: ${names.size} names but ${colspecs.size} colspecs")
     val headerRows = Config.int(cfg, "header_rows").getOrElse(0)
@@ -327,6 +403,7 @@ object Sources {
       trim(substring(col("value"), a + 1, b - a)).as(n)
     }.toIndexedSeq: _*)
   }
+
 
   /** FTP/URL source (reference nodes/source.py:457-518 FtpSource): fetch the
     * remote object once on the driver into a local temp file — exactly the

@@ -73,6 +73,36 @@ class SourcesSpec extends SparkSpec {
     assert(opt.collect().map(_.getString(1)).toSeq == Seq(""))
   }
 
+  test("fixedwidth with colspec_file + colspec_headers (start/end and width forms)") {
+    val dir = tmpDir
+    Files.writeString(dir.resolve("f.txt"), "ann  12\nbo   34\n")
+    Files.writeString(dir.resolve("layout.csv"),
+      "field,start_index,end_index,w\nname,0,5,5\nnum,5,7,2\n")
+    val bySpan = Sources.read(spark, "f", Map(
+      "file" -> "f.txt", "type" -> "fixedwidth", "colspec_file" -> "layout.csv",
+      "colspec_headers" -> Map("name" -> "field", "start" -> "start_index", "end" -> "end_index")), dir)
+    assert(bySpan.columns.toSeq == Seq("name", "num"))
+    assert(bySpan.orderBy("name").collect().map(_.getString(1)).toSeq == Seq("12", "34"))
+    val byWidth = Sources.read(spark, "f", Map(
+      "file" -> "f.txt", "type" -> "fixedwidth", "colspec_file" -> "layout.csv",
+      "colspec_headers" -> Map("name" -> "field", "width" -> "w")), dir)
+    assert(byWidth.orderBy("name").collect().map(_.getString(1)).toSeq == Seq("12", "34"))
+    intercept[IllegalArgumentException](Sources.read(spark, "f", Map(
+      "file" -> "f.txt", "type" -> "fixedwidth", "colspec_file" -> "nope.csv",
+      "colspec_headers" -> Map("name" -> "field", "width" -> "w")), dir))
+    intercept[IllegalArgumentException](Sources.read(spark, "f", Map(
+      "file" -> "f.txt", "type" -> "fixedwidth", "colspec_file" -> "layout.csv"), dir))
+  }
+
+  test("fixedwidth inline names via `columns` (reference spelling)") {
+    val dir = tmpDir
+    Files.writeString(dir.resolve("f.txt"), "ann  12\n")
+    val df = Sources.read(spark, "f", Map(
+      "file" -> "f.txt", "type" -> "fixedwidth",
+      "widths" -> List(5, 2), "columns" -> List("name", "num")), dir)
+    assert(df.columns.toSeq == Seq("name", "num"))
+  }
+
   test("fixedwidth with widths + names") {
     val dir = tmpDir
     Files.writeString(dir.resolve("f.txt"), "ann  12\nbo   34\n")
@@ -211,6 +241,18 @@ class SourcesSpec extends SparkSpec {
       """[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]""")
     val dj = Sources.read(spark, "j", Map("file" -> "d.json"), dir)
     assert(dj.count() == 2 && dj.columns.sorted.toSeq == Seq("id", "v"))
+    // pandas orientations on an object document: columns (default) and index
+    Files.writeString(dir.resolve("c.json"),
+      """{"id": {"r0": 1, "r1": 2}, "v": {"r0": "a", "r1": "b"}}""")
+    val dc = Sources.read(spark, "c", Map("file" -> "c.json"), dir)
+    assert(dc.columns.sorted.toSeq == Seq("id", "v"))
+    assert(dc.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    Files.writeString(dir.resolve("i.json"),
+      """{"r0": {"id": 1, "v": "a"}, "r1": {"id": 2, "v": "b"}}""")
+    val di = Sources.read(spark, "i",
+      Map("file" -> "i.json", "orientation" -> "index"), dir)
+    assert(di.count() == 2 && di.columns.sorted.toSeq == Seq("id", "v"))
     Files.writeString(dir.resolve("d.xml"),
       """<root><rec><id>1</id><v>a</v></rec><rec><id>2</id><v>b</v></rec></root>""")
     val dx = Sources.read(spark, "x",
