@@ -84,7 +84,17 @@ final class Engine(spark: SparkSession) {
     val consumers: Map[String, Int] =
       plan.dag.edges.groupBy(_._1).view.mapValues(_.size).toMap.withDefaultValue(0)
 
-    plan.dag.topologicalOrder.foreach { full =>
+    // show_progress (node.py:59-60): stage-level progress for the run's span
+    val showProgress = Config.bool(plan.project.config, "show_progress") ||
+      plan.dag.topologicalOrder.exists(f => Config.bool(plan.nodeConfig(f), "show_progress"))
+    val progress: Option[Progress] =
+      if (showProgress) {
+        val l = new Progress(Console.err) // capture the caller's stderr once
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
+
+    try plan.dag.topologicalOrder.foreach { full =>
       val cfg = plan.nodeConfig(full)
       val section = full.takeWhile(_ != '.')
       val name = full.drop(section.length + 1)
@@ -105,12 +115,15 @@ final class Engine(spark: SparkSession) {
           frames(full) = if (persistFanOut && consumers(full) > 1) post.persist() else post
         case "destinations" =>
           val src = frames(resolveRef(Config.reqStr(cfg, "source", full)))
+          // name the jobs so progress lines / Spark UI attribute to the node
+          spark.sparkContext.setJobDescription(s"graft: $full")
           val path = Destinations.write(src, name, cfg, outDir, plan.project.configDir)
+          spark.sparkContext.setJobDescription(null)
           written += (full -> path)
       }
       if (collectCounts && frames.contains(full))
         counts += (full -> frames(full).count())
-    }
+    } finally progress.foreach(spark.sparkContext.removeSparkListener)
     RunResult(written.result(), counts.result())
   }
 

@@ -263,6 +263,33 @@ class EngineSpec extends SparkSpec {
     assert(lines.last == "end:|v1")
   }
 
+  test("show_progress emits stage-level progress lines during a run") {
+    val dir = Files.createTempDirectory("graft-progress")
+    Files.writeString(dir.resolve("d.csv"), "a\n1\n2\n")
+    Files.writeString(dir.resolve("p.yaml"),
+      s"""version: 2
+         |config:
+         |  output_dir: ${dir.resolve("out")}
+         |  show_progress: True
+         |sources:
+         |  d:
+         |    file: d.csv
+         |destinations:
+         |  d:
+         |    source: $$sources.d
+         |    extension: jsonl
+         |""".stripMargin)
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(bos)) {
+      new Engine(spark).run(dir.resolve("p.yaml").toString)
+    }
+    // listener events are delivered on the bus thread; give them a moment
+    val deadline = System.nanoTime() + 5000000000L
+    while (!bos.toString.contains("[progress]") && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(bos.toString.contains("[progress] stage"))
+  }
+
   test("unknown operation/node config keys warn on stderr but do not fail") {
     import spark.implicits._
     val engine = new Engine(spark)
