@@ -263,6 +263,47 @@ class EngineSpec extends SparkSpec {
     assert(lines.last == "end:|v1")
   }
 
+  test("xlsx and html sources drive a full project run through the engine") {
+    val dir = Files.createTempDirectory("graft-newsrc")
+    Xlsx.write(dir.resolve("people.xlsx"),
+      Seq(Seq("id", "name"), Seq("1", "ann"), Seq("2", "bob")))
+    Files.writeString(dir.resolve("cities.html"),
+      """<table><tr><th>city</th><th>pop</th></tr>
+        |<tr><td>Denver</td><td>915</td></tr></table>""".stripMargin)
+    Files.writeString(dir.resolve("p.yaml"),
+      s"""version: 2
+         |config:
+         |  output_dir: ${dir.resolve("out")}
+         |sources:
+         |  people:
+         |    file: people.xlsx
+         |  cities:
+         |    file: cities.html
+         |transformations:
+         |  joined:
+         |    source: $$sources.people
+         |    operations:
+         |      - operation: add_columns
+         |        columns:
+         |          city: Denver
+         |      - operation: join
+         |        sources:
+         |          - $$sources.cities
+         |        join_type: inner
+         |        left_key: city
+         |        right_key: city
+         |destinations:
+         |  joined:
+         |    source: $$transformations.joined
+         |    extension: jsonl
+         |""".stripMargin)
+    val out = dir.resolve("out")
+    new Engine(spark).run(dir.resolve("p.yaml").toString)
+    val lines = Files.readAllLines(out.resolve("joined.jsonl")).asScala.toList.sorted
+    assert(lines.size == 2)
+    assert(lines.head.contains("\"name\": \"ann\"") && lines.head.contains("\"pop\": \"915\""))
+  }
+
   test("show_progress emits stage-level progress lines during a run") {
     val dir = Files.createTempDirectory("graft-progress")
     Files.writeString(dir.resolve("d.csv"), "a\n1\n2\n")

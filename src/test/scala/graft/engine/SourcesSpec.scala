@@ -283,6 +283,23 @@ class SourcesSpec extends SparkSpec {
     assert(first.columns.toSeq == Seq("junk"))
   }
 
+  test("sql source reads through JDBC (embedded Derby)") {
+    val dir = tmpDir
+    val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE people (id INT, name VARCHAR(20))")
+      st.execute("INSERT INTO people VALUES (1, 'ann'), (2, 'bob')")
+      st.close()
+    } finally conn.close()
+    val df = Sources.read(spark, "db", Map(
+      "connection" -> url,
+      "query" -> "SELECT id, name FROM people"), dir)
+    assert(df.orderBy("ID").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "ann"), (2, "bob")))
+  }
+
   test("unsupported type errors clearly") {
     val dir = tmpDir
     Files.writeString(dir.resolve("d.sas7bdat"), "not a supported format")
