@@ -269,6 +269,26 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosinePairsBlocked(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.42)),
 
+    // pairs → canonical duplicate groups (hash-min connected components)
+    "q_dedup_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7,
+        maxDocFreq = Some(1000L))
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+    }),
+
+    // deterministic content-hash sampling (reproducible corpus slicing)
+    "q_sample" -> ((s, d) =>
+      graft.functions.Sampling.hashSample(
+        t(s, d, "documents").select("doc_id", "text"), "text", 0.2)),
+
+    "q_sample_stratified" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        TF.langId(col("text")).as("lang_pred"))
+      graft.functions.Sampling.stratifiedHashSample(docs, "text", "lang_pred",
+        Map("en" -> 0.5), defaultRate = 0.1)
+    }),
+
     // ==================================================== similarity search
     "q_ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -527,6 +547,68 @@ object SparkEntry {
          JOIN counts ca ON ca.id = a_id
          JOIN counts cb ON cb.id = b_id
          WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7""",
+
+    // hash-min connected components ≡ min label reachable over symmetrized
+    // pair edges, which a recursive CTE computes directly
+    "q_dedup_groups" ->
+      """WITH RECURSIVE ws AS (
+           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+           FROM documents),
+         idx AS (
+           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
+         toks AS (
+           SELECT DISTINCT id,
+             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS tok
+           FROM idx),
+         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         kept AS (
+           SELECT toks.* FROM toks
+           JOIN (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1000) f USING (tok)),
+         inter AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN counts ca ON ca.id = a_id
+           JOIN counts cb ON cb.id = b_id
+           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, reach.r FROM reach, edges e WHERE e.src = reach.id)
+         SELECT id, min(r) AS group_rep FROM reach GROUP BY id""",
+
+    // threshold hex literals are Sampling.thresholdHex(rate):
+    // 0.2 → 33333333, 0.5 → 80000000, 0.1 → 19999999
+    "q_sample" ->
+      "SELECT doc_id, text FROM documents WHERE substr(md5(text), 1, 8) < '33333333'",
+
+    "q_sample_stratified" ->
+      """WITH scores AS (
+           SELECT doc_id, text,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','la','et','les','des','un','une','est'))) AS s_fr,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','de','y','los','las','un','una','es'))) AS s_es,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','das','und','ist','ein','eine','nicht'))) AS s_de,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN ('的','是','了','在','和','有','我','不'))) AS s_zh
+           FROM documents),
+         langs AS (
+           SELECT doc_id, text, CASE
+             WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred
+           FROM scores)
+         SELECT doc_id, text, lang_pred FROM langs
+         WHERE substr(md5(text), 1, 8) <
+           CASE WHEN lang_pred = 'en' THEN '80000000' ELSE '19999999' END""",
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -298,4 +298,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast(LongType).as("hamming"))
   }
+
+  /** Connected components over near-duplicate pairs: the step that turns
+    * pairwise similarity into canonical DOCUMENT GROUPS (one representative
+    * per duplicate cluster — what a training pipeline actually deduplicates
+    * by). Hash-min label propagation: every node starts labeled with its own
+    * id and repeatedly adopts the minimum label in its neighborhood until a
+    * fixed point. Near-dup clusters have tiny diameter, so this converges in
+    * a handful of O(|E|) shuffle rounds — never materializing anything
+    * super-linear — and each round is a plain join+groupBy Catalyst plan.
+    * Labels persist per round and the loop exits on a zero `changed` count
+    * (one cheap count per round, same pattern as GraphX/Pregel-style CC).
+    *
+    * `nodes`: every id that should appear in the output (singletons keep
+    * themselves as representative). Output: (id, group_rep). */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                          maxIterations: Int = 50): DataFrame = {
+    val ids = nodes.select(col(idCol).cast(LongType).as("id"))
+    // symmetrize once; both propagation directions in a single join per round
+    val edges = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+      .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("label")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select("id", "label").union(propagated)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("group_rep"))
+  }
 }

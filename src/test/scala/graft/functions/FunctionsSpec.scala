@@ -56,6 +56,30 @@ class FunctionsSpec extends SparkSpec {
     assert(strict.isEmpty)
   }
 
+  test("connectedComponents groups chained pairs, keeps singletons, min-id representative") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
+    // chain 0-1-2 (transitive), pair 3-4, singleton 5
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 3L)).toDF("a_id", "b_id")
+    val groups = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
+  test("hashSample is deterministic, monotone in rate, and stratified rates apply per stratum") {
+    val docs2 = (0L until 200L).map(i => (i, s"document number $i payload")).toDF("doc_id", "text")
+    val s20a = Sampling.hashSample(docs2, "text", 0.2).select("doc_id").as[Long].collect().toSet
+    val s20b = Sampling.hashSample(docs2, "text", 0.2).select("doc_id").as[Long].collect().toSet
+    assert(s20a == s20b && s20a.nonEmpty && s20a.size < 200)
+    val s50 = Sampling.hashSample(docs2, "text", 0.5).select("doc_id").as[Long].collect().toSet
+    assert(s20a.subsetOf(s50)) // nested samples: smaller rate ⊂ larger rate
+    assert(Sampling.hashSample(docs2, "text", 1.0).count() == 200)
+    assert(Sampling.hashSample(docs2, "text", 0.0).count() == 0)
+    val strat = docs2.withColumn("stratum", when(col("doc_id") < 100, "keep").otherwise("drop"))
+    val out = Sampling.stratifiedHashSample(strat, "text", "stratum",
+      Map("keep" -> 1.0), defaultRate = 0.0)
+    assert(out.select("doc_id").as[Long].collect().toSet == (0L until 100L).toSet)
+  }
+
   test("minhashLshPairs recall matches exact jaccard on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
