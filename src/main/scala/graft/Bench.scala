@@ -64,6 +64,9 @@ object Bench {
         try noop(fn(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
+      // drop caches persisted inside operators (dedup signature frames, CC
+      // labels) so queries don't evict each other and timings stay isolated
+      spark.catalog.clearCache()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -239,7 +239,8 @@ object SparkEntry {
         TF.fingerprint(col("text")).as("fingerprint"))),
 
     "q_lang_id" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))),
+      TF.withLangId(t(s, d, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "lang_pred")),
 
     "q_quality" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -283,8 +284,7 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "text"), "text", 0.2)),
 
     "q_sample_stratified" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
-        TF.langId(col("text")).as("lang_pred"))
+      val docs = TF.withLangId(t(s, d, "documents").select("doc_id", "text"), "text")
       graft.functions.Sampling.stratifiedHashSample(docs, "text", "lang_pred",
         Map("en" -> 0.5), defaultRate = 0.1)
     }),

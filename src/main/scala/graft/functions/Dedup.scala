@@ -314,13 +314,58 @@ object Dedup {
     * themselves as representative). Output: (id, group_rep). */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-                          maxIterations: Int = 50): DataFrame = {
+                          maxIterations: Int = 50,
+                          broadcastEdgeThreshold: Long = 1L << 20): DataFrame = {
     val ids = nodes.select(col(idCol).cast(LongType).as("id"))
-    // symmetrize once; both propagation directions in a single join per round
-    val edges = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
-      .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+    // materialize the pair list ONCE (it is usually an expensive similarity
+    // pipeline); the count that materializes it also picks the strategy
+    val p = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .persist()
+    val edgeCount = p.count()
+
+    if (edgeCount <= broadcastEdgeThreshold) {
+      // The normal corpus shape: the edge set after near-dup pair generation
+      // is orders of magnitude smaller than the corpus. Union-find on the
+      // driver (bounded by the threshold), then one broadcast join maps the
+      // touched ids; everything untouched keeps itself — a single narrow
+      // pass over the nodes, no iteration.
+      val edges = p.collect()
+      p.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      edges.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) } // min-id root
+      }
+      val mapping = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(x => (x.toLong, find(x)))
+        .filter { case (x, r) => x != r }
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val mapDf = mapping.toSeq.toDF("id", "rep")
+      return ids.join(broadcast(mapDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("group_rep"))
+    }
+
+    // distributed fallback for edge sets too large to collect: hash-min
+    // label propagation (see doc comment above)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = ids.select(col("id"), col("id").as("label")).persist()
+    // labels only ever DECREASE, so the label sum strictly decreases until
+    // the fixed point — one cheap agg action per round detects convergence
+    // (no extra join against the previous round's labels)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("label"))).head
+      if (row.isNullAt(0)) 0L else row.getLong(0) // null = empty node set
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -329,14 +374,14 @@ object Dedup {
       val next = labels.select("id", "label").union(propagated)
         .groupBy("id").agg(min(col("label")).as("label"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
-    edges.unpersist()
+    p.unpersist()
     labels.select(col("id"), col("label").as("group_rep"))
   }
 }

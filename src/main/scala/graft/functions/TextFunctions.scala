@@ -100,6 +100,51 @@ object TextFunctions {
       })
   }
 
+  /** DataFrame-level language ID appending `outCol`: a mapPartitions
+    * kernel with per-partition-initialized hash sets, semantically
+    * identical to the `langId` expression (same tokenization, same
+    * priority-ordered argmax) but ~an order of magnitude faster — the
+    * expression fold pays interpreted-lambda cost per word per language.
+    * Use the Column form for composability, this form for corpus passes. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 outCol: String = "lang_pred"): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, org.apache.spark.sql.types.StringType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val ti = df.schema.fieldIndex(textCol)
+    val langs = langStopwords.map(_._1).toArray
+    val stopSeqs = langStopwords.map(_._2.toArray).toArray
+    df.mapPartitions { it =>
+      // per-partition init: stopword hash sets built once
+      val sets = stopSeqs.map { ws =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add); s
+      }
+      it.map { row =>
+        val text = row.get(ti)
+        val ws = (if (text == null) "" else text.toString).toLowerCase.split(" +")
+        val scores = new Array[Int](sets.length)
+        var i = 0
+        while (i < ws.length) {
+          var l = 0
+          while (l < sets.length) {
+            if (sets(l).contains(ws(i))) scores(l) += 1
+            l += 1
+          }
+          i += 1
+        }
+        var best = 0; var bestIdx = -1
+        var l = 0
+        while (l < scores.length) {
+          if (scores(l) > best) { best = scores(l); bestIdx = l } // first max wins ties
+          l += 1
+        }
+        val lang = if (bestIdx < 0) "und" else langs(bestIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ lang)
+      }
+    }(enc)
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * punctuation stripped, whitespace collapsed). Identical fingerprints ⇒
     * near-identical documents up to case/punct/spacing — the cheap exact

@@ -17,10 +17,17 @@ object Probe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     time("warmup")(spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save())
-    time("minhash full")(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7).write.format("noop").mode("overwrite").save())
-    time("jaccard full")(Dedup.jaccardPairs(docs, "doc_id", "text", 0.7).write.format("noop").mode("overwrite").save())
-    time("jaccard capped")(Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFreq = Some(1000L))
-      .write.format("noop").mode("overwrite").save())
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFreq = Some(1000L))
+    time("pairs materialize")(println("  pairs: " + pairs.count()))
+    val pairsCached = pairs.persist()
+    pairsCached.count()
+    time("cc on cached pairs")(
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairsCached)
+        .write.format("noop").mode("overwrite").save())
+    time("cc full (uncached pairs)")(
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFreq = Some(1000L)))
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

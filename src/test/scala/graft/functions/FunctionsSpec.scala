@@ -56,13 +56,34 @@ class FunctionsSpec extends SparkSpec {
     assert(strict.isEmpty)
   }
 
+  test("withLangId kernel agrees with the langId expression") {
+    val texts = Seq(
+      (0L, "the cat is in the house and it is warm"),
+      (1L, "le chat est dans la maison et il est chaud"),
+      (2L, "xyzzy plugh"), // no stopwords → und
+      (3L, "un une"),      // fr/es tie on shared stopwords → first list wins
+      (4L, "")).toDF("doc_id", "text")
+    val viaExpr = texts.select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .as[(Long, String)].collect().toMap
+    val viaKernel = TextFunctions.withLangId(texts, "text").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(viaKernel == viaExpr)
+    assert(viaKernel(0L) == "en" && viaKernel(1L) == "fr" && viaKernel(2L) == "und")
+  }
+
   test("connectedComponents groups chained pairs, keeps singletons, min-id representative") {
     val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
     // chain 0-1-2 (transitive), pair 3-4, singleton 5
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 3L)).toDF("a_id", "b_id")
-    val groups = Dedup.connectedComponents(nodes, "id", pairs)
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L)
+    // broadcast union-find path (default) and distributed hash-min fallback
+    // (forced by a zero edge threshold) must agree
+    val viaBroadcast = Dedup.connectedComponents(nodes, "id", pairs)
       .as[(Long, Long)].collect().toMap
-    assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    val viaDistributed = Dedup.connectedComponents(nodes, "id", pairs,
+      broadcastEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(viaBroadcast == expected)
+    assert(viaDistributed == expected)
   }
 
   test("hashSample is deterministic, monotone in rate, and stratified rates apply per stratum") {
