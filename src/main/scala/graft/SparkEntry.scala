@@ -229,14 +229,18 @@ object SparkEntry {
     }),
 
     // ======================================================== text analysis
+    // word stats come from one kernel pass; token count and fingerprint
+    // stay native codegen'd expressions
     "q_text_stats" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        TF.wordCount(col("text")).as("n_words"),
-        TF.tokenCount(col("text")).as("n_tokens"),
-        round(TF.avgWordLength(col("text")), 4).as("avg_word_len"),
-        round(TF.stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to")), 4).as("stopword_ratio"),
-        TF.fingerprint(col("text")).as("fingerprint"))),
+      TF.withWordStats(t(s, d, "documents").select("doc_id", "text"), "text",
+          Seq("the", "a", "of", "and", "to"))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          round(col("avg_word_len"), 4).as("avg_word_len"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          TF.fingerprint(col("text")).as("fingerprint"))),
 
     "q_lang_id" -> ((s, d) =>
       TF.withLangId(t(s, d, "documents").select("doc_id", "text"), "text")

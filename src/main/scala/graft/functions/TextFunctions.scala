@@ -100,6 +100,43 @@ object TextFunctions {
       })
   }
 
+  /** DataFrame-level word statistics appending (n_words, avg_word_len,
+    * stopword_ratio) from ONE tokenization pass — the expression forms each
+    * re-split the text (interpreted HOFs are outside common-subexpression
+    * elimination), so a corpus pass pays the split 3×. Semantics identical
+    * to wordCount/avgWordLength/stopwordRatio (null avg/ratio for empty
+    * documents). */
+  def withWordStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    stopwords: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+      .add("n_words", LongType, nullable = false)
+      .add("avg_word_len", DoubleType, nullable = true)
+      .add("stopword_ratio", DoubleType, nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val ti = df.schema.fieldIndex(textCol)
+    val stopArr = stopwords.toArray
+    df.mapPartitions { it =>
+      val stops = new java.util.HashSet[String]()
+      stopArr.foreach(stops.add)
+      it.map { row =>
+        val text = row.get(ti)
+        val ws = (if (text == null) "" else text.toString).split(" +").filter(_.nonEmpty)
+        var chars = 0L; var hits = 0L
+        var i = 0
+        while (i < ws.length) {
+          chars += ws(i).length
+          if (stops.contains(ws(i))) hits += 1
+          i += 1
+        }
+        val n = ws.length.toLong
+        val avg: Any = if (n > 0) chars.toDouble / n else null
+        val ratio: Any = if (n > 0) hits.toDouble / n else null
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(n, avg, ratio))
+      }
+    }(enc)
+  }
+
   /** DataFrame-level language ID appending `outCol`: a mapPartitions
     * kernel with per-partition-initialized hash sets, semantically
     * identical to the `langId` expression (same tokenization, same

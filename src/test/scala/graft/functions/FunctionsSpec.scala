@@ -56,6 +56,24 @@ class FunctionsSpec extends SparkSpec {
     assert(strict.isEmpty)
   }
 
+  test("withWordStats kernel agrees with the wordCount/avgWordLength/stopwordRatio expressions") {
+    val texts = Seq(
+      (0L, "the quick brown fox and the lazy dog"),
+      (1L, "  doubled  spaces  here  "),
+      (2L, "")).toDF("doc_id", "text")
+    val stops = Seq("the", "a", "of", "and", "to")
+    val viaExpr = texts.select(col("doc_id"),
+      TextFunctions.wordCount(col("text")).as("n"),
+      TextFunctions.avgWordLength(col("text")).as("avg"),
+      TextFunctions.stopwordRatio(col("text"), stops).as("ratio"))
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
+    val viaKernel = TextFunctions.withWordStats(texts, "text", stops)
+      .select("doc_id", "n_words", "avg_word_len", "stopword_ratio")
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
+    assert(viaKernel == viaExpr)
+    assert(viaKernel(2L) == Seq(0L, null, null)) // empty doc → null avg/ratio
+  }
+
   test("withLangId kernel agrees with the langId expression") {
     val texts = Seq(
       (0L, "the cat is in the house and it is warm"),
