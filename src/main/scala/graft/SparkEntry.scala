@@ -237,7 +237,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           col("n_words"),
-          TF.tokenCount(col("text")).as("n_tokens"),
+          col("n_tokens"),
           round(col("avg_word_len"), 4).as("avg_word_len"),
           round(col("stopword_ratio"), 4).as("stopword_ratio"),
           TF.fingerprint(col("text")).as("fingerprint"))),

@@ -111,6 +111,7 @@ object TextFunctions {
     import org.apache.spark.sql.types._
     val schema = df.schema
       .add("n_words", LongType, nullable = false)
+      .add("n_tokens", LongType, nullable = false)
       .add("avg_word_len", DoubleType, nullable = true)
       .add("stopword_ratio", DoubleType, nullable = true)
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -119,9 +120,14 @@ object TextFunctions {
     df.mapPartitions { it =>
       val stops = new java.util.HashSet[String]()
       stopArr.foreach(stops.add)
+      // tokenCount's regex, compiled once per partition and COUNTED with a
+      // matcher loop — regexp_extract_all materializes every match into an
+      // array just to take its size
+      val tokenRe = java.util.regex.Pattern.compile("[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]")
       it.map { row =>
         val text = row.get(ti)
-        val ws = (if (text == null) "" else text.toString).split(" +").filter(_.nonEmpty)
+        val s = if (text == null) "" else text.toString
+        val ws = s.split(" +").filter(_.nonEmpty)
         var chars = 0L; var hits = 0L
         var i = 0
         while (i < ws.length) {
@@ -129,10 +135,13 @@ object TextFunctions {
           if (stops.contains(ws(i))) hits += 1
           i += 1
         }
+        var tokens = 0L
+        val m = tokenRe.matcher(s)
+        while (m.find()) tokens += 1
         val n = ws.length.toLong
         val avg: Any = if (n > 0) chars.toDouble / n else null
         val ratio: Any = if (n > 0) hits.toDouble / n else null
-        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(n, avg, ratio))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(n, tokens, avg, ratio))
       }
     }(enc)
   }

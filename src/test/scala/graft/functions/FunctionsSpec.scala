@@ -64,14 +64,15 @@ class FunctionsSpec extends SparkSpec {
     val stops = Seq("the", "a", "of", "and", "to")
     val viaExpr = texts.select(col("doc_id"),
       TextFunctions.wordCount(col("text")).as("n"),
+      TextFunctions.tokenCount(col("text")).as("toks"),
       TextFunctions.avgWordLength(col("text")).as("avg"),
       TextFunctions.stopwordRatio(col("text"), stops).as("ratio"))
       .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
     val viaKernel = TextFunctions.withWordStats(texts, "text", stops)
-      .select("doc_id", "n_words", "avg_word_len", "stopword_ratio")
+      .select("doc_id", "n_words", "n_tokens", "avg_word_len", "stopword_ratio")
       .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
     assert(viaKernel == viaExpr)
-    assert(viaKernel(2L) == Seq(0L, null, null)) // empty doc → null avg/ratio
+    assert(viaKernel(2L) == Seq(0L, 0L, null, null)) // empty doc → null avg/ratio
   }
 
   test("withLangId kernel agrees with the langId expression") {
