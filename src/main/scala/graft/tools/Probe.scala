@@ -16,18 +16,24 @@ object Probe {
       val t0 = System.nanoTime(); f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+    val TF = TextFunctions
     time("warmup")(spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save())
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFreq = Some(1000L))
-    time("pairs materialize")(println("  pairs: " + pairs.count()))
-    val pairsCached = pairs.persist()
-    pairsCached.count()
-    time("cc on cached pairs")(
-      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairsCached)
-        .write.format("noop").mode("overwrite").save())
-    time("cc full (uncached pairs)")(
-      Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
-          Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFreq = Some(1000L)))
-        .write.format("noop").mode("overwrite").save())
+    def viaKernel() = TF.withWordStats(docs.select("doc_id", "text"), "text",
+        Seq("the", "a", "of", "and", "to"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("avg_word_len"), 4).as("avg_word_len"),
+        round(col("stopword_ratio"), 4).as("stopword_ratio"),
+        TF.fingerprint(col("text")).as("fingerprint"))
+    def viaExpr() = docs.select(col("doc_id"),
+      TF.wordCount(col("text")).as("n_words"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      round(TF.avgWordLength(col("text")), 4).as("avg_word_len"),
+      round(TF.stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to")), 4).as("stopword_ratio"),
+      TF.fingerprint(col("text")).as("fingerprint"))
+    for (i <- 1 to 3) {
+      time(s"kernel $i")(viaKernel().write.format("noop").mode("overwrite").save())
+      time(s"expr $i")(viaExpr().write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }
