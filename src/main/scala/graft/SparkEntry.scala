@@ -262,12 +262,14 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.7,
         maxDocFreq = Some(1000L))),
 
-    // xxhash64-based signatures are not expressible in the DuckDB oracle →
-    // rows-only checks; correctness is covered by ScalaTest (recall vs the
-    // exact-jaccard pairs) instead.
+    // oracle = the exact ≥0.7 Jaccard pair set (LSH recall is 1.0 here and
+    // the verify step is exact — see the oracleSql comment); the signature
+    // internals stay spec-checked in FunctionsSpec
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
 
+    // hamming distance over xxhash64-based bit signatures has no DuckDB
+    // equivalent → rows-only check; covered by FunctionsSpec instead
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
@@ -339,6 +341,60 @@ object SparkEntry {
       val media = t(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
       graft.functions.Multimodal.exactPayloadGroups(media)
+    }),
+
+    // ================================================ corpus cleaning ops
+    // PII redaction over text with synthesized email/IP/phone per row (the
+    // raw corpus contains none — the construction makes the regexes fire)
+    "q_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.Corpus.redactPii(concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ip 10.0."), col("doc_id") % 256,
+          lit(".7 tel +155500"), col("doc_id"), lit("9"))).as("text"))),
+
+    // word-level repetition signals on the raw corpus
+    "q_rep_words" -> ((s, d) =>
+      graft.functions.Corpus.withRepetitionStats(
+          t(s, d, "documents").select("doc_id", "text"), "text")
+        .select(col("doc_id"),
+          round(col("word_rep_ratio"), 4).as("word_rep_ratio"),
+          round(col("top_ngram_char_ratio"), 4).as("top_ngram_char_ratio"))),
+
+    // line-level repetition signals on a constructed multi-line document
+    // (the raw corpus is single-line; the data-dependent prefix line makes
+    // some documents self-duplicate)
+    "q_rep_lines" -> ((s, d) => {
+      val built = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          substr(col("text"), lit(1), col("doc_id") % 300 + 1),
+          lit("shared footer line")).as("text"))
+      graft.functions.Corpus.withRepetitionStats(built, "text")
+        .select(col("doc_id"), col("n_lines"),
+          round(col("dup_line_ratio"), 4).as("dup_line_ratio"),
+          round(col("dup_line_char_ratio"), 4).as("dup_line_char_ratio"))
+    }),
+
+    // C4-style boilerplate removal: two injected footers (one universal,
+    // one on 2/3 of documents) must be removed, the per-document signature
+    // line must survive
+    "q_boilerplate" -> ((s, d) => {
+      val built = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("subscribe to our newsletter"),
+          when(col("doc_id") % 3 =!= 0, lit("copyright 2026 example corp")),
+          concat(lit("sig "), md5(col("text")))).as("text"))
+      graft.functions.Corpus.removeBoilerplate(built, "doc_id", "text", minDocs = 100L)
+        .select("doc_id", "text")
+    }),
+
+    // benchmark decontamination: the deterministic 20% hash sample is the
+    // "eval set"; the rest of the corpus is checked for 5-gram overlap
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val bench = graft.functions.Sampling.hashSample(docs, "text", 0.2)
+      val corpus = docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      graft.functions.Corpus.contamination(corpus, bench, "doc_id", "text", shingleSize = 5)
     }),
 
     // ========================================================== destination
@@ -662,6 +718,107 @@ object SparkEntry {
 
     "q_render_template" ->
       """SELECT n_nationkey, '{"name": "' || n_name || '", "region": ' || n_regionkey || '}' AS rendered FROM nation""",
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || doc_id || '@example.com ip 10.0.' || (doc_id % 256) || '.7 tel +155500' || doc_id || '9',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d\-]{6,}\d', '<PHONE>', 'g') AS text
+         FROM documents""",
+
+    "q_rep_words" ->
+      """WITH ws AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM ws WHERE len(w) >= 2)),
+         gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c * len(g)) AS rep_chars FROM gc GROUP BY 1),
+         base AS (SELECT doc_id, len(array_to_string(w, ' ')) AS total_chars,
+                  len(w) AS nw, len(list_distinct(w)) AS dw FROM ws)
+         SELECT b.doc_id,
+           round(1.0 - dw::DOUBLE / nw, 4) AS word_rep_ratio,
+           round(rep_chars::DOUBLE / total_chars, 4) AS top_ngram_char_ratio
+         FROM base b LEFT JOIN top t USING (doc_id)""",
+
+    "q_rep_lines" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text || chr(10) || substr(text, 1, (doc_id % 300 + 1)::INT)
+             || chr(10) || 'shared footer line' AS t
+           FROM documents),
+         lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS ln FROM docs2),
+         nl AS (SELECT doc_id, ln, len(ln) AS l, count(*) AS c FROM lines
+                WHERE len(trim(ln)) > 0 GROUP BY 1, 2, 3),
+         agg AS (SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS dups,
+                 sum((c - 1) * l) AS dup_chars, sum(c * l) AS tot_chars FROM nl GROUP BY 1)
+         SELECT doc_id, n_lines::BIGINT AS n_lines,
+           round(dups::DOUBLE / n_lines, 4) AS dup_line_ratio,
+           round(dup_chars::DOUBLE / tot_chars, 4) AS dup_line_char_ratio
+         FROM agg""",
+
+    "q_boilerplate" ->
+      """WITH built AS (
+           SELECT doc_id, text || chr(10) || 'subscribe to our newsletter' ||
+             CASE WHEN doc_id % 3 <> 0 THEN chr(10) || 'copyright 2026 example corp' ELSE '' END ||
+             chr(10) || 'sig ' || md5(text) AS t
+           FROM documents),
+         lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS ln,
+                   unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos FROM built),
+         boiler AS (SELECT ln FROM (SELECT ln, count(DISTINCT doc_id) AS df FROM lines
+                    WHERE len(trim(ln)) > 0 GROUP BY 1) WHERE df >= 100),
+         kept AS (SELECT doc_id, pos, ln FROM lines WHERE ln NOT IN (SELECT ln FROM boiler)),
+         agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t2 FROM kept GROUP BY 1)
+         SELECT b.doc_id, coalesce(a.t2, '') AS text
+         FROM built b LEFT JOIN agg a USING (doc_id)""",
+
+    "q_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE substr(md5(text), 1, 8) < '33333333'),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+         cw AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w FROM corpus),
+         ct AS (SELECT DISTINCT doc_id,
+                  CASE WHEN len(w) >= 5 THEN w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                       ELSE array_to_string(w, ' ') END AS tok
+                FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM cw)),
+         bw AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w FROM bench),
+         bt AS (SELECT DISTINCT
+                  CASE WHEN len(w) >= 5 THEN w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                       ELSE array_to_string(w, ' ') END AS tok
+                FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM bw))
+         SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+         FROM ct c JOIN bt b USING (tok) GROUP BY 1""",
+
+    // MinHash banding at these parameters (64 hashes / 16 bands, t≈0.7) has
+    // recall 1.0 on this corpus and the exact-Jaccard verify step discards
+    // every false candidate, so the result set IS the exact ≥0.7 pair set —
+    // which DuckDB computes directly (signatures themselves stay
+    // spec-checked: FNV/splitmix isn't expressible here). Unlike the
+    // q_dedup_jaccard oracle there is no document-frequency cap: the
+    // minhash path takes none.
+    "q_dedup_minhash" ->
+      """WITH ws AS (
+           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+           FROM documents),
+         idx AS (
+           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
+         toks AS (
+           SELECT DISTINCT id,
+             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS tok
+           FROM idx),
+         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         inter AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(n_common::DOUBLE / (ca.n + cb.n - n_common), 4) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.id = a_id
+         JOIN counts cb ON cb.id = b_id
+         WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7""",
 
     // epoch_ms matches java.sql.Timestamp.getTime millisecond truncation
     "q_stream_sessions" ->

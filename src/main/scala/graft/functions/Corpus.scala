@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+/**
+ * Corpus-cleaning operators for large-scale training-data pipelines — the
+ * passes that run between raw crawl and tokenizer: PII redaction,
+ * repetition/boilerplate quality signals (Gopher-style), cross-document
+ * boilerplate line removal (C4-style), and benchmark decontamination
+ * (n-gram overlap against an eval set).
+ *
+ * Scale design: per-document signals are single narrow passes (Column
+ * expressions or a one-pass mapPartitions kernel — no shuffle); the two
+ * corpus-level passes shuffle only on small keys (line hash / shingle hash),
+ * broadcast their small side, and never materialize anything super-linear.
+ */
+object Corpus {
+
+  // ------------------------------------------------------- PII redaction
+
+  /** Redact personally-identifying substrings: emails → `<EMAIL>`,
+    * IPv4 addresses → `<IP>`, phone-like digit runs → `<PHONE>`.
+    *
+    * Pure chained `regexp_replace` — codegen'd, no UDF, linear per row.
+    * Patterns deliberately avoid backtracking-only constructs
+    * (no lookaround, no backreferences) so the same pattern runs identically
+    * on RE2-based engines. Order matters: emails first (their local part may
+    * contain digits), then IPv4 (dotted quads — the phone class has no dot,
+    * so it can never span one), then bare digit runs.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\-]{6,}\\d", "<PHONE>")
+  }
+
+  // ------------------------------------------- repetition quality signals
+
+  /** Gopher-style repetition statistics, appended in ONE mapPartitions pass
+    * (the HOF-expression formulation re-splits the text per statistic —
+    * interpreted higher-order lambdas sit outside common-subexpression
+    * elimination, the same measurement that motivated
+    * [[TextFunctions.withWordStats]]):
+    *
+    *  - `n_lines`            non-empty lines (split on `lineDelim`)
+    *  - `dup_line_ratio`     fraction of lines that repeat an earlier line
+    *  - `dup_line_char_ratio` fraction of line characters inside repeats
+    *  - `word_rep_ratio`     1 − distinct words / words
+    *  - `top_ngram_char_ratio` max over word n-grams of
+    *                          occurrences × gram length, over the length of
+    *                          the single-space-normalized text — the "most
+    *                          frequently repeated n-gram" share
+    *
+    * High values on any of these are the standard machine-generated/spam
+    * signals used by public web-corpus cleaning pipelines. Ratios are NULL
+    * when the document has no lines / words / n-grams.
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String,
+                          lineDelim: String = "\n", ngram: Int = 2): DataFrame = {
+    val schema = df.schema
+      .add("n_lines", LongType, nullable = false)
+      .add("dup_line_ratio", DoubleType, nullable = true)
+      .add("dup_line_char_ratio", DoubleType, nullable = true)
+      .add("word_rep_ratio", DoubleType, nullable = true)
+      .add("top_ngram_char_ratio", DoubleType, nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val ti = df.schema.fieldIndex(textCol)
+    val delim = lineDelim
+    val n = ngram
+    df.mapPartitions { it =>
+      it.map { row =>
+        val text = row.get(ti)
+        val s = if (text == null) "" else text.toString
+
+        // line pass
+        val lines = s.split(java.util.regex.Pattern.quote(delim), -1)
+          .filter(_.trim.nonEmpty)
+        val lineCounts = new java.util.HashMap[String, Int]()
+        lines.foreach(l => lineCounts.merge(l, 1, Integer.sum))
+        var dupLines = 0L; var dupChars = 0L; var totChars = 0L
+        lineCounts.forEach { (l, c) =>
+          dupLines += c - 1
+          dupChars += (c - 1).toLong * l.length
+          totChars += c.toLong * l.length
+        }
+        val nLines = lines.length.toLong
+        val dupLineRatio: Any = if (nLines > 0) dupLines.toDouble / nLines else null
+        val dupLineCharRatio: Any = if (totChars > 0) dupChars.toDouble / totChars else null
+
+        // word pass (split on any whitespace — lines count as separators)
+        val ws = s.split("\\s+").filter(_.nonEmpty)
+        val distinctWords = new java.util.HashSet[String]()
+        var wordChars = 0L
+        ws.foreach { w => distinctWords.add(w); wordChars += w.length }
+        val wordRepRatio: Any =
+          if (ws.length > 0) 1.0 - distinctWords.size.toDouble / ws.length else null
+
+        // n-gram pass: max over grams of count × gram length (includes the
+        // joining spaces), over the normalized text length
+        var topNgram: Any = null
+        if (ws.length >= n) {
+          val gramCounts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= ws.length) {
+            val sb = new java.lang.StringBuilder(ws(i))
+            var k = 1
+            while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
+            gramCounts.merge(sb.toString, 1, Integer.sum)
+            i += 1
+          }
+          var maxRep = 0L
+          gramCounts.forEach { (g, c) =>
+            val rep = c.toLong * g.length
+            if (rep > maxRep) maxRep = rep
+          }
+          val normLen = wordChars + (ws.length - 1).toLong // single-space joined
+          topNgram = maxRep.toDouble / normLen
+        }
+
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++
+          Seq(nLines, dupLineRatio, dupLineCharRatio, wordRepRatio, topNgram))
+      }
+    }(enc)
+  }
+
+  // --------------------------------------------- boilerplate line removal
+
+  /** Remove lines that occur in at least `minDocs` DISTINCT documents —
+    * the C4-style cross-document boilerplate pass (navigation chrome,
+    * cookie banners, copyright footers). Returns `df` with `textCol`
+    * rebuilt from the surviving lines in original order; `idCol` must be
+    * unique per row.
+    *
+    * Shape: posexplode lines (narrow) → line-frequency aggregation (one
+    * shuffle on the line, map-side partial) → broadcast anti-join against
+    * the boilerplate set (bounded above by totalLines / minDocs, so small
+    * for any useful threshold) → regroup by document (second shuffle) with
+    * an order-restoring `array_sort` on (pos, line). Two shuffles total —
+    * the minimum for a corpus-frequency rewrite; nothing touches the driver.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        minDocs: Long, lineDelim: String = "\n"): DataFrame = {
+    val delimRe = java.util.regex.Pattern.quote(lineDelim)
+    val lines = df.select(col(idCol).as("__bp_id"),
+      posexplode(split(col(textCol), delimRe, -1)).as(Seq("__bp_pos", "__bp_line")))
+    val boiler = lines
+      .filter(length(trim(col("__bp_line"))) > 0)
+      .groupBy("__bp_line").agg(count_distinct(col("__bp_id")).as("__bp_df"))
+      .filter(col("__bp_df") >= minDocs)
+      .select("__bp_line")
+    val rebuilt = lines.join(broadcast(boiler), Seq("__bp_line"), "left_anti")
+      .groupBy("__bp_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__bp_pos"), col("__bp_line")))),
+          s => s.getField("__bp_line")),
+        lineDelim).as("__bp_text"))
+    // left join restores documents whose every line was boilerplate (→ "")
+    val joined = df.join(rebuilt, col(idCol) === col("__bp_id"), "left")
+    joined.select(df.columns.map {
+      case c if c == textCol => coalesce(col("__bp_text"), lit("")).as(textCol)
+      case c => joined(c)
+    }: _*)
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  /** (id, 64-bit shingle hash) pairs, distinct per document — the same
+    * tokenization/hash kernel as the Dedup signature paths
+    * ([[Dedup.shinglesScala]] + FNV/splitmix [[Dedup.hash64]]). */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          Dedup.shinglesScala(if (text == null) "" else text, shingleSize)
+            .iterator.map(t => (id, Dedup.hash64(t)))
+        }
+      }.toDF("id", "h")
+  }
+
+  /** Benchmark decontamination: documents of `corpus` that share at least
+    * one word `shingleSize`-gram with any document of `bench` (the eval /
+    * test set), with the count of distinct shared shingles — the standard
+    * n-gram-overlap contamination check run before training.
+    *
+    * Shape: both sides shingle in a mapPartitions kernel to 64-bit hashes
+    * (shuffling 8-byte keys, not strings; a collision could only add a
+    * spurious overlap at ~2⁻⁶⁴ per shingle pair). The bench side of a
+    * decontamination run is small by nature (an eval set), so its distinct
+    * shingle set is broadcast — the corpus side's only shuffle is the
+    * per-document count aggregation (map-side partial on 8-byte keys).
+    *
+    * Output: (`idCol`, n_overlap) for contaminated documents only.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleSize: Int = 5): DataFrame = {
+    val corpusShingles = shingleHashes(corpus, idCol, textCol, shingleSize)
+    val benchShingles = shingleHashes(bench, idCol, textCol, shingleSize)
+      .select("h").distinct()
+    // (id, h) is already distinct per document (shinglesScala dedups), so
+    // the post-join count needs no DISTINCT
+    corpusShingles.join(broadcast(benchShingles), Seq("h"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col(idCol), col("n_overlap"))
+  }
+}

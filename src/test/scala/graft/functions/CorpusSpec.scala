@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, IPv4s, and phone runs, leaves prose alone") {
+    val df = Seq(
+      "write to jane.doe+spam@mail.example.org today",
+      "server at 10.0.255.7 responded",
+      "call +1-555-000-1234 or 5550001234",
+      "nothing sensitive here, just 42 and 3.14",
+    ).toDF("text").select(Corpus.redactPii(col("text")).as("t"))
+    val out = df.as[String].collect()
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "server at <IP> responded")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "nothing sensitive here, just 42 and 3.14")
+  }
+
+  test("withRepetitionStats computes line and word repetition signals") {
+    val df = Seq(
+      (0L, "same line\nother line\nsame line"),   // 3 lines, 1 dup
+      (1L, "a b a b a b"),                        // heavy 2-gram repetition
+      (2L, "all words totally distinct here"),
+      (3L, ""),                                   // empty → nulls
+    ).toDF("id", "text")
+    val r = Corpus.withRepetitionStats(df, "text").collect()
+      .map(row => row.getLong(0) -> row).toMap
+
+    assert(r(0L).getAs[Long]("n_lines") == 3L)
+    assert(math.abs(r(0L).getAs[Double]("dup_line_ratio") - 1.0 / 3) < 1e-9)
+    // dup chars = len("same line") = 9; total = 9*2 + 10 = 28
+    assert(math.abs(r(0L).getAs[Double]("dup_line_char_ratio") - 9.0 / 28) < 1e-9)
+
+    // "a b a b a b": 6 words, 2 distinct → rep 2/3; top 2-gram "a b" ×3,
+    // len 3 → 9 / norm len 11
+    assert(math.abs(r(1L).getAs[Double]("word_rep_ratio") - 2.0 / 3) < 1e-9)
+    assert(math.abs(r(1L).getAs[Double]("top_ngram_char_ratio") - 9.0 / 11) < 1e-9)
+
+    assert(r(2L).getAs[Double]("word_rep_ratio") == 0.0)
+    assert(r(3L).getAs[Long]("n_lines") == 0L)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("dup_line_ratio")))
+    assert(r(3L).isNullAt(r(3L).fieldIndex("word_rep_ratio")))
+  }
+
+  test("removeBoilerplate strips frequent lines, keeps order, restores all-boiler docs") {
+    val df = Seq(
+      (0L, "unique zero\nshared footer\nmore zero"),
+      (1L, "unique one\nshared footer"),
+      (2L, "shared footer\nunique two"),
+      (3L, "shared footer"),                      // only boilerplate → ""
+    ).toDF("id", "text")
+    val out = Corpus.removeBoilerplate(df, "id", "text", minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "unique zero\nmore zero") // order preserved
+    assert(out(1L) == "unique one")
+    assert(out(2L) == "unique two")
+    assert(out(3L) == "")
+    // below threshold nothing is removed
+    val none = Corpus.removeBoilerplate(df, "id", "text", minDocs = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(none(0L) == "unique zero\nshared footer\nmore zero")
+  }
+
+  test("contamination flags corpus docs sharing an n-gram with the bench set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (0L, "prefix text then the quick brown fox jumps over something"), // shares 5-grams
+      (1L, "completely unrelated words about databases and engines"),
+      (2L, "the quick brown fox jumps over the lazy dog exactly"),       // shares many
+    ).toDF("id", "text")
+    val out = Corpus.contamination(corpus, bench, "id", "text", shingleSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(0L) && out(0L) >= 1L)
+    assert(out.contains(2L) && out(2L) > out(0L))
+    assert(!out.contains(1L))
+  }
+}
