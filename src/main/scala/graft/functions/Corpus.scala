@@ -135,24 +135,29 @@ object Corpus {
     * rebuilt from the surviving lines in original order; `idCol` must be
     * unique per row.
     *
-    * Shape: posexplode lines (narrow) → line-frequency aggregation (one
-    * shuffle on the line, map-side partial) → broadcast anti-join against
-    * the boilerplate set (bounded above by totalLines / minDocs, so small
-    * for any useful threshold) → regroup by document (second shuffle) with
-    * an order-restoring `array_sort` on (pos, line). Two shuffles total —
-    * the minimum for a corpus-frequency rewrite; nothing touches the driver.
+    * Shape: posexplode lines (narrow) → line-frequency aggregation over
+    * 64-bit line hashes (the shuffle carries (hash, id) pairs — 16 bytes —
+    * not the line text; a hash collision could only misclassify a line at
+    * ~2⁻⁶⁴, the same accepted risk as the Dedup hash paths) → broadcast
+    * anti-join against the boilerplate hash set (bounded above by
+    * totalLines / minDocs, so small for any useful threshold) → regroup by
+    * document (second shuffle) with an order-restoring `array_sort` on
+    * (pos, line). Two shuffles total — the minimum for a corpus-frequency
+    * rewrite; nothing touches the driver.
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
                         minDocs: Long, lineDelim: String = "\n"): DataFrame = {
     val delimRe = java.util.regex.Pattern.quote(lineDelim)
     val lines = df.select(col(idCol).as("__bp_id"),
       posexplode(split(col(textCol), delimRe, -1)).as(Seq("__bp_pos", "__bp_line")))
+      .withColumn("__bp_h", xxhash64(col("__bp_line")))
     val boiler = lines
       .filter(length(trim(col("__bp_line"))) > 0)
-      .groupBy("__bp_line").agg(count_distinct(col("__bp_id")).as("__bp_df"))
+      .select("__bp_h", "__bp_id").distinct()
+      .groupBy("__bp_h").agg(count(lit(1)).as("__bp_df"))
       .filter(col("__bp_df") >= minDocs)
-      .select("__bp_line")
-    val rebuilt = lines.join(broadcast(boiler), Seq("__bp_line"), "left_anti")
+      .select("__bp_h")
+    val rebuilt = lines.join(broadcast(boiler), Seq("__bp_h"), "left_anti")
       .groupBy("__bp_id")
       .agg(array_join(
         transform(
