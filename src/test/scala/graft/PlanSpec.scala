@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Physical-plan assertions for the properties that decide 100 TB behavior:
+ * filter/column pushdown into the scan, broadcast join selection for small
+ * sides, map-side partial aggregation, single-shuffle aggregation, top-k
+ * without a global sort, and native (non-UDF) template rendering.
+ *
+ * These are the machine-checked versions of the PLANS.md audit — a plan
+ * regression (lost pushdown, a join that stops broadcasting, an extra
+ * shuffle) fails the suite even while results stay correct.
+ */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("parquet scan: filter pushdown and column pruning reach the reader") {
+    val p = formatted("q_source_parquet")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_quantity"),
+      "filter must reach the parquet scan")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_extendedprice"),
+      "scan must read only the projected columns")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = formatted("q_join_merge_key")
+    assert(p.contains("BroadcastHashJoin"), "nation-sized side must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("aggregation is partial (map-side) and shuffles once") {
+    val p = formatted("q1_agg")
+    assert(p.contains("partial_sum"), "map-side partial aggregation required")
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles == 1, s"q1_agg must shuffle exactly once, saw $shuffles")
+  }
+
+  test("group_by computes all aggregates in one shuffle (not one per aggregate)") {
+    val p = formatted("q_group_by")
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles == 1, s"group_by must shuffle exactly once, saw $shuffles")
+  }
+
+  test("sort+limit compiles to top-k, not a global sort") {
+    val p = formatted("q_sort_rows")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must become TakeOrderedAndProject (no full shuffle sort)")
+  }
+
+  test("pure-substitution template renders natively, with no UDF barrier") {
+    val p = formatted("q_render_template")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "simple Jinja templates must compile to native concat")
+  }
+
+  test("boilerplate removal: frequency filter joins via broadcast anti-join") {
+    val p = formatted("q_boilerplate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the boilerplate set must broadcast into a LeftAnti join")
+  }
+
+  test("decontamination: bench shingle set broadcasts into the corpus pass") {
+    val p = formatted("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval-set shingle hashes must broadcast")
+  }
+
+  test("ANN brute-force top-k avoids a global sort") {
+    val p = formatted("q_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
