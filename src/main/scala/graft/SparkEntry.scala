@@ -388,6 +388,18 @@ object SparkEntry {
         .select("doc_id", "text")
     }),
 
+    // TF-IDF keyword extraction: top-5 characteristic terms per document
+    // (float-free ranking; the tf·ln(N/df) score is a payload column)
+    "q_tfidf" -> ((s, d) =>
+      graft.functions.Corpus.tfidfTopTerms(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text", k = 5)),
+
+    // corpus vocabulary statistics: the 20 most frequent word 3-grams
+    "q_top_ngrams" -> ((s, d) =>
+      graft.functions.Corpus.ngramCounts(t(s, d, "documents"), "text", n = 3)
+        .orderBy(col("n_occurrences").desc, col("gram").asc)
+        .limit(20)),
+
     // benchmark decontamination: the deterministic 20% hash sample is the
     // "eval set"; the rest of the corpus is checked for 5-gram overlap
     "q_decontaminate" -> ((s, d) => {
@@ -774,6 +786,30 @@ object SparkEntry {
          agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t2 FROM kept GROUP BY 1)
          SELECT b.doc_id, coalesce(a.t2, '') AS text
          FROM built b LEFT JOIN agg a USING (doc_id)""",
+
+    "q_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0)) AS t FROM documents)
+           GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         ranked AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 4) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+           FROM tf JOIN dfreq USING (term), n)
+         SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, score, rank::BIGINT AS rank
+         FROM ranked WHERE rank <= 5""",
+
+    "q_top_ngrams" ->
+      """WITH grams AS (
+           SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+           FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+                 FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w FROM documents)
+                 WHERE len(w) >= 3))
+         SELECT gram, count(*)::BIGINT AS n_occurrences FROM grams GROUP BY 1
+         ORDER BY n_occurrences DESC, gram ASC LIMIT 20""",
 
     "q_decontaminate" ->
       """WITH bench AS (SELECT doc_id, text FROM documents WHERE substr(md5(text), 1, 8) < '33333333'),

@@ -172,6 +172,81 @@ object Corpus {
     }: _*)
   }
 
+  // ------------------------------------------------- corpus term statistics
+
+  /** (id, term, tf) rows — per-document term frequencies from one
+    * mapPartitions pass (lowercased whitespace tokens). No shuffle: the
+    * counting happens inside the document. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val counts = new java.util.HashMap[String, Long]()
+          (if (text == null) "" else text).toLowerCase.split("\\s+")
+            .foreach(w => if (w.nonEmpty) counts.merge(w, 1L, java.lang.Long.sum))
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)](counts.size)
+          counts.forEach((t, c) => out += ((id, t, c)))
+          out
+        }
+      }.toDF("id", "term", "tf")
+  }
+
+  /** Top-`k` characteristic terms per document with their TF-IDF score —
+    * the standard keyword-extraction pass over a corpus.
+    *
+    * Ranking is deliberately float-free (tf DESC, then document frequency
+    * ASC — rarer is more distinctive — then term ASC): transcendental
+    * score ties would otherwise make the top-k set platform-dependent. The
+    * tf·ln(N/df) score rides along as a payload column.
+    *
+    * Shape: narrow tf kernel → document-frequency aggregation (one shuffle
+    * on the term; map-side partial) → tf⋈df equi-join (Catalyst broadcasts
+    * when the vocabulary fits, AQE handles it at runtime otherwise) → per-
+    * document top-k window (one shuffle on the id). Nothing is quadratic;
+    * nothing touches the driver but the N count.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val n = df.count()
+    val tf = termFrequencies(df, idCol, textCol).persist() // feeds df-agg AND join
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("score"),
+        col("rank"))
+  }
+
+  /** Corpus-level word n-gram occurrence counts (raw occurrences, not
+    * per-document distinct — this is the vocabulary/statistics pass, not a
+    * dedup feature). One narrow flatMap + one count aggregation with
+    * map-side partials. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nn = n
+    df.select(col(textCol).cast(StringType)).as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          val ws = (if (text == null) "" else text).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < nn) Iterator.empty
+          else Iterator.tabulate(ws.length - nn + 1) { i =>
+            val sb = new java.lang.StringBuilder(ws(i))
+            var j = 1
+            while (j < nn) { sb.append(' ').append(ws(i + j)); j += 1 }
+            sb.toString
+          }
+        }
+      }.toDF("gram")
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** (id, 64-bit shingle hash) pairs, distinct per document — the same

@@ -65,6 +65,41 @@ class CorpusSpec extends SparkSpec {
     assert(none(0L) == "unique zero\nshared footer\nmore zero")
   }
 
+  test("tfidfTopTerms ranks rare-but-frequent terms first, float-free") {
+    val df = Seq(
+      (0L, "apple apple apple shared shared common"),
+      (1L, "banana banana shared common common common"),
+      (2L, "common shared kiwi"),
+    ).toDF("id", "text")
+    val top = Corpus.tfidfTopTerms(df, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 0: apple tf=3 df=1 is rank 1; shared tf=2 df=3 rank 2
+    assert(top((0L, 1L)) == ("apple", 3L, 1L))
+    assert(top((0L, 2L)) == ("shared", 2L, 3L))
+    // doc 2: all tf=1 → df asc then term asc: kiwi (df=1) first, then
+    // common/shared both df=3 → "common" by term order
+    assert(top((2L, 1L))._1 == "kiwi")
+    assert(top((2L, 2L))._1 == "common")
+    // score payload: tf * ln(N/df)
+    val kiwiScore = Corpus.tfidfTopTerms(df, "id", "text", k = 2)
+      .filter(col("term") === "kiwi").select("score").head().getDouble(0)
+    assert(math.abs(kiwiScore - math.rint(1.0 * math.log(3.0) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("ngramCounts counts raw occurrences across the corpus") {
+    val df = Seq(
+      "a b c a b c",   // "a b c" ×2, "b c a" ×1, "c a b" ×1
+      "a b c",         // "a b c" ×1
+      "x y",           // shorter than n → nothing
+    ).toDF("text")
+    val counts = Corpus.ngramCounts(df, "text", n = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a b c") == 3L)
+    assert(counts("b c a") == 1L)
+    assert(counts("c a b") == 1L)
+    assert(!counts.keys.exists(_.startsWith("x")))
+  }
+
   test("contamination flags corpus docs sharing an n-gram with the bench set") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val corpus = Seq(
