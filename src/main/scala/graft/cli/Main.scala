@@ -34,6 +34,7 @@ object Main {
     var force = false
     var skipHashing = false
     var runTests = false
+    var showGraph = false
     var resultsFile: Option[String] = None
     var i = 0
     while (i < args.length) {
@@ -43,6 +44,7 @@ object Main {
         case "-f" | "--force" => force = true; i += 1
         case "-k" | "--skip-hashing" => skipHashing = true; i += 1
         case "-t" | "--test" => runTests = true; i += 1
+        case "-g" | "--show-graph" => showGraph = true; i += 1
         case "--results-file" => resultsFile = Some(args(i + 1)); i += 2
         case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
         case "-p" | "--params" =>
@@ -112,10 +114,13 @@ object Main {
         try {
           val t0 = System.nanoTime()
           val engine = new Engine(spark)
-          val result = engine.execute(engine.compile(project, selector),
+          val plan = engine.compile(project, selector)
+          val result = engine.execute(plan,
             outputDir.map(java.nio.file.Paths.get(_)),
             collectCounts = resultsFile.nonEmpty)
           result.written.foreach { case (node, path) => println(s"$node -> $path") }
+          if (showGraph) writeGraphDot(plan.dag,
+            outputDir.getOrElse(project.outputDir))
           (stateFile zip hash).foreach { case (f, h) => graft.engine.RunsFile.record(f, h) }
           resultsFile.foreach { rf =>
             // reference --results-file shape: per-node row_counts + timing
@@ -133,7 +138,8 @@ object Main {
         val project = loadProject()
         val (spark, owned) = session()
         try {
-          new Engine(spark).compile(project, selector)
+          val plan = new Engine(spark).compile(project, selector)
+          if (showGraph) writeGraphDot(plan.dag, project.outputDir)
           Files.writeString(Paths.get(CompiledYamlFile), Config.dumpYaml(project.raw))
           println(s"compiled OK: ${project.sources.size} sources, " +
             s"${project.transformations.size} transformations, ${project.destinations.size} destinations")
@@ -221,6 +227,28 @@ object Main {
     }
   }
 
+  /** `-g/--show-graph`: the reference renders the DAG to
+    * `{output_dir}/graph.png` via pygraphviz (earthmover.py:394-407); this
+    * offline build writes the same graph as Graphviz DOT text so
+    * `dot -Tpng` reproduces the image anywhere. Nodes are shaped by
+    * section (sources oval, transformations box, destinations note). */
+  private def writeGraphDot(dag: graft.engine.Dag, outputDir: String): Unit = {
+    val dir = Paths.get(outputDir)
+    Files.createDirectories(dir)
+    val shape = Map("sources" -> "oval", "transformations" -> "box", "destinations" -> "note")
+    val sb = new StringBuilder("digraph graft {\n  rankdir=LR;\n")
+    dag.nodes.toSeq.sorted.foreach { n =>
+      sb.append(s"""  "$n" [shape=${shape(n.split("\\.", 2)(0))}];\n""")
+    }
+    dag.edges.toSeq.sorted.foreach { case (a, b) =>
+      sb.append(s"""  "$a" -> "$b";\n""")
+    }
+    sb.append("}\n")
+    val f = dir.resolve("graph.dot")
+    Files.writeString(f, sb.toString)
+    println(s"wrote $f")
+  }
+
   /** (session, ownedByUs): reuse an already-running session (in-process
     * callers, tests) and leave its lifecycle alone; otherwise build one and
     * report ownership so the caller stops it. */
@@ -240,5 +268,5 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft <run|compile|deps|clean|init> [-t] [-c config.yaml] [-s selector] [-p K=V,...] [--set path value ...] [-f] [-k] [--output-dir DIR] [--results-file F]""")
+      """usage: graft <run|compile|deps|clean|init> [-t] [-g] [-c config.yaml] [-s selector] [-p K=V,...] [--set path value ...] [-f] [-k] [--output-dir DIR] [--results-file F]""")
 }

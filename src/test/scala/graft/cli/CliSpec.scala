@@ -43,6 +43,16 @@ class CliSpec extends SparkSpec {
     } finally Files.deleteIfExists(compiled)
   }
 
+  test("-g writes the DAG as graphviz dot into the output dir") {
+    val dir = writeProject()
+    val code = Main.dispatch(Array("run", "-g", "-c", dir.resolve("p.yaml").toString))
+    assert(code == 0)
+    val dot = Files.readString(dir.resolve("out").resolve("graph.dot"))
+    assert(dot.contains("digraph graft"))
+    assert(dot.contains(""""sources.people" -> "destinations.people";"""))
+    assert(dot.contains(""""sources.people" [shape=oval];"""))
+  }
+
   test("--set with an odd number of values errors") {
     val dir = writeProject()
     assert(Main.dispatch(Array("compile", "-c", dir.resolve("p.yaml").toString,
