@@ -17,11 +17,21 @@ object Main {
 
   def main(args: Array[String]): Unit = sys.exit(dispatch(args))
 
+  private val Version = "0.1.0"
+
   /** Command dispatch returning the process exit code (testable in-process:
-    * no direct sys.exit). */
+    * no direct sys.exit). Non-CliExit failures print a friendly one-line
+    * error by default; `-e/--show-stacktrace` prints the full trace
+    * (reference __main__.py:98-100). */
   private[cli] final case class CliExit(code: Int) extends RuntimeException
   def dispatch(args: Array[String]): Int = try { dispatch0(args); 0 }
-    catch { case CliExit(code) => code }
+    catch {
+      case CliExit(code) => code
+      case e: Exception =>
+        if (args.contains("-e") || args.contains("--show-stacktrace")) e.printStackTrace()
+        else System.err.println(s"error: ${e.getMessage}")
+        1
+    }
 
   private def dispatch0(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); throw CliExit(1) }
@@ -45,7 +55,9 @@ object Main {
         case "-k" | "--skip-hashing" => skipHashing = true; i += 1
         case "-t" | "--test" => runTests = true; i += 1
         case "-g" | "--show-graph" => showGraph = true; i += 1
-        case "--results-file" => resultsFile = Some(args(i + 1)); i += 2
+        case "-e" | "--show-stacktrace" => i += 1 // read again by dispatch's catch
+        case "-v" | "--version" => println(s"graft, version $Version"); throw CliExit(0)
+        case "-r" | "--results-file" => resultsFile = Some(args(i + 1)); i += 2
         case "--output-dir" => outputDir = Some(args(i + 1)); i += 2
         case "-p" | "--params" =>
           params ++= args(i + 1).split(",").map { kv =>
@@ -119,8 +131,9 @@ object Main {
             outputDir.map(java.nio.file.Paths.get(_)),
             collectCounts = resultsFile.nonEmpty)
           result.written.foreach { case (node, path) => println(s"$node -> $path") }
-          if (showGraph) writeGraphDot(plan.dag,
-            outputDir.getOrElse(project.outputDir))
+          // `-g` or `config: show_graph: True` (earthmover.py:394-407)
+          if (showGraph || Config.bool(project.config, "show_graph"))
+            writeGraphDot(plan.dag, outputDir.getOrElse(project.outputDir))
           (stateFile zip hash).foreach { case (f, h) => graft.engine.RunsFile.record(f, h) }
           resultsFile.foreach { rf =>
             // reference --results-file shape: per-node row_counts + timing

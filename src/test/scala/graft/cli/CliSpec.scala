@@ -53,6 +53,20 @@ class CliSpec extends SparkSpec {
     assert(dot.contains(""""sources.people" [shape=oval];"""))
   }
 
+  test("-v prints the version and exits 0; missing config errors friendly (exit 1)") {
+    assert(Main.dispatch(Array("-v")) == 0)
+    // nonexistent config: friendly one-line error, not a stacktrace crash
+    assert(Main.dispatch(Array("run", "-c", "/nonexistent/nope.yaml")) == 1)
+  }
+
+  test("config show_graph: True writes graph.dot without the -g flag") {
+    val dir = writeProject()
+    val code = Main.dispatch(Array("run", "-c", dir.resolve("p.yaml").toString,
+      "--set", "config.show_graph", "True"))
+    assert(code == 0)
+    assert(Files.exists(dir.resolve("out").resolve("graph.dot")))
+  }
+
   test("--set with an odd number of values errors") {
     val dir = writeProject()
     assert(Main.dispatch(Array("compile", "-c", dir.resolve("p.yaml").toString,
