@@ -281,5 +281,5 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft <run|compile|deps|clean|init> [-t] [-g] [-c config.yaml] [-s selector] [-p K=V,...] [--set path value ...] [-f] [-k] [--output-dir DIR] [--results-file F]""")
+      """usage: graft <run|compile|deps|clean|init> [-t] [-g] [-v] [-e] [-c config.yaml] [-s selector] [-p K=V,...] [--set path value ...] [-f] [-k] [--output-dir DIR] [-r results.json]""")
 }
