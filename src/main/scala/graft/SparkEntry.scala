@@ -388,6 +388,12 @@ object SparkEntry {
         .select("doc_id", "text")
     }),
 
+    // context-window chunking: 30-word windows, 10-word overlap
+    "q_chunk" -> ((s, d) =>
+      graft.functions.Corpus.chunk(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
+        chunkWords = 30, overlapWords = 10)),
+
     // TF-IDF keyword extraction: top-5 characteristic terms per document
     // (float-free ranking; the tf·ln(N/df) score is a payload column)
     "q_tfidf" -> ((s, d) =>
@@ -786,6 +792,18 @@ object SparkEntry {
          agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t2 FROM kept GROUP BY 1)
          SELECT b.doc_id, coalesce(a.t2, '') AS text
          FROM built b LEFT JOIN agg a USING (doc_id)""",
+
+    "q_chunk" ->
+      """WITH ws AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS w
+           FROM documents),
+         starts AS (
+           SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 10, 1) - 1, 20)) AS s
+           FROM ws)
+         SELECT doc_id, (s / 20)::BIGINT AS chunk_id,
+           array_to_string(w[s+1 : s+30], ' ') AS text,
+           least(30, len(w) - s)::BIGINT AS n_words
+         FROM starts""",
 
     "q_tfidf" ->
       """WITH tf AS (

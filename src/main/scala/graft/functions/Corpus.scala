@@ -172,6 +172,41 @@ object Corpus {
     }: _*)
   }
 
+  // ----------------------------------------------------- context chunking
+
+  /** Split documents into fixed-size word windows with overlap — the
+    * context-window packing pass that turns cleaned documents into
+    * training-sized chunks. Chunk starts step by `chunkWords − overlap`;
+    * a window opens at every start below max(n − overlap, 1), so no text
+    * is dropped, no trailing window is fully contained in its
+    * predecessor, and an empty document still yields one empty chunk
+    * (never silently dropped). Pure narrow flatMap — no shuffle; at 100 TB
+    * this pass is bounded by read+write bandwidth alone.
+    *
+    * Output: (`idCol`, chunk_id, `textCol`, n_words).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkWords: Int, overlapWords: Int = 0): DataFrame = {
+    require(chunkWords > overlapWords && overlapWords >= 0,
+      "chunkWords must exceed overlapWords")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stride = chunkWords - overlapWords
+    val (cw, ow) = (chunkWords, overlapWords)
+    df.select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+          val starts = 0 until math.max(ws.length - ow, 1) by stride
+          starts.iterator.zipWithIndex.map { case (s, i) =>
+            val slice = ws.slice(s, s + cw)
+            (id, i.toLong, slice.mkString(" "), slice.length.toLong)
+          }
+        }
+      }.toDF(idCol, "chunk_id", textCol, "n_words")
+  }
+
   // ------------------------------------------------- corpus term statistics
 
   /** (id, term, tf) rows — per-document term frequencies from one

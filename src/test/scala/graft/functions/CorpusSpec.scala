@@ -65,6 +65,25 @@ class CorpusSpec extends SparkSpec {
     assert(none(0L) == "unique zero\nshared footer\nmore zero")
   }
 
+  test("chunk windows words with overlap, keeps empty docs, drops no text") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (1L, "one two"),                                // shorter than a chunk
+      (2L, ""),                                       // empty → one empty chunk
+    ).toDF("id", "text")
+    val out = Corpus.chunk(df, "id", "text", chunkWords = 4, overlapWords = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // doc 0: stride 2, starts 0,2,4,6 (max(10-2,1)=8 exclusive) → 4 chunks
+    assert(out((0L, 0L)) == ("w1 w2 w3 w4", 4L))
+    assert(out((0L, 1L)) == ("w3 w4 w5 w6", 4L))
+    assert(out((0L, 3L)) == ("w7 w8 w9 w10", 4L))
+    assert(!out.contains((0L, 4L)))
+    // every word appears in some chunk (no text dropped)
+    assert((1 to 10).forall(i => out.exists(_._2._1.split(" ").contains(s"w$i"))))
+    assert(out((1L, 0L)) == ("one two", 2L))
+    assert(out((2L, 0L)) == ("", 0L))
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent terms first, float-free") {
     val df = Seq(
       (0L, "apple apple apple shared shared common"),
