@@ -187,6 +187,18 @@ final class Engine(spark: SparkSession) {
     "limit_rows" -> Set("count", "offset"),
     "flatten" -> Set("flatten_column", "left_wrapper", "right_wrapper", "separator",
       "value_column", "trim_whitespace"),
+    // engine extensions (corpus operations)
+    "pii_redact" -> Set("column", "columns"),
+    "lang_id" -> Set("column", "new_column"),
+    "text_stats" -> Set("column", "stopwords"),
+    "repetition_stats" -> Set("column", "line_delimiter", "ngram"),
+    "quality_score" -> Set("column", "new_column", "stopwords"),
+    "fingerprint" -> Set("column", "new_column"),
+    "chunk" -> Set("id_column", "column", "chunk_words", "overlap_words"),
+    "dedup_exact" -> Set("id_column", "column"),
+    "hash_sample" -> Set("column", "rate", "strata_column", "rates", "default_rate"),
+    "boilerplate_removal" -> Set("id_column", "column", "min_docs", "line_delimiter"),
+    "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
   )
 
   private def warnUnknownKeys(op: Map[String, Any], name: String, ctx: String): Unit =
@@ -281,6 +293,75 @@ final class Engine(spark: SparkSession) {
           keepColumns = op.get("keep_columns").map(Config.asScalarList(_).map(_.toString)),
           transpose = Config.bool(op, "transpose"),
           nodeName = ctx)
+      // ---- engine extensions: corpus operations (graft.functions tier) ----
+      // Not part of the reference surface — documented extensions that make
+      // the training-data operators available to declared YAML pipelines.
+      case "pii_redact" =>
+        colsOf(op).foldLeft(df)((d, c) =>
+          d.withColumn(c, graft.functions.Corpus.redactPii(org.apache.spark.sql.functions.col(c))))
+      case "lang_id" =>
+        graft.functions.TextFunctions.withLangId(df, Config.reqStr(op, "column", ctx),
+          Config.str(op, "new_column").getOrElse("lang_pred"))
+      case "text_stats" =>
+        graft.functions.TextFunctions.withWordStats(df, Config.reqStr(op, "column", ctx),
+          listOf(op, "stopwords"))
+      case "repetition_stats" =>
+        graft.functions.Corpus.withRepetitionStats(df, Config.reqStr(op, "column", ctx),
+          Config.str(op, "line_delimiter").getOrElse("\n"),
+          Config.int(op, "ngram").getOrElse(2))
+      case "quality_score" =>
+        df.withColumn(Config.str(op, "new_column").getOrElse("quality"),
+          graft.functions.TextFunctions.qualityScore(
+            org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
+            listOf(op, "stopwords")))
+      case "fingerprint" =>
+        df.withColumn(Config.str(op, "new_column").getOrElse("fingerprint"),
+          graft.functions.TextFunctions.fingerprint(
+            org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx))))
+      // reshapes the frame to (id_column, chunk_id, column, n_words)
+      case "chunk" =>
+        graft.functions.Corpus.chunk(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "chunk_words").getOrElse(
+            throw new IllegalArgumentException(s"$ctx: chunk needs `chunk_words`")),
+          Config.int(op, "overlap_words").getOrElse(0))
+      // keeps one representative row (minimum id) per distinct content value
+      case "dedup_exact" =>
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val keep = graft.functions.Dedup
+          .exactGroups(df, idC, Config.reqStr(op, "column", ctx))
+          .select(org.apache.spark.sql.functions.col("keep_id").as(idC))
+        df.join(keep, Seq(idC), "left_semi")
+      case "hash_sample" =>
+        val keyC = Config.reqStr(op, "column", ctx)
+        Config.str(op, "strata_column") match {
+          case Some(sc) =>
+            val rates = Config.asMap(op.getOrElse("rates", Map.empty[String, Any]))
+              .map { case (k, v) => k -> v.toString.toDouble }
+            graft.functions.Sampling.stratifiedHashSample(df, keyC, sc, rates,
+              Config.str(op, "default_rate").map(_.toDouble).getOrElse(0.0))
+          case None =>
+            graft.functions.Sampling.hashSample(df, keyC,
+              Config.reqStr(op, "rate", ctx).toDouble)
+        }
+      case "boilerplate_removal" =>
+        graft.functions.Corpus.removeBoilerplate(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "min_docs").getOrElse(
+            throw new IllegalArgumentException(s"$ctx: boilerplate_removal needs `min_docs`")).toLong,
+          Config.str(op, "line_delimiter").getOrElse("\n"))
+      // drops rows sharing any word n-gram with the benchmark frame(s)
+      case "decontaminate" =>
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val bench = sourceFrames match {
+          case Seq(one) => one
+          case many if many.nonEmpty => many.reduce(_.unionByName(_, allowMissingColumns = true))
+          case _ => throw new IllegalArgumentException(s"$ctx: decontaminate needs `sources`")
+        }
+        val contaminated = graft.functions.Corpus.contamination(df, bench,
+          idC, Config.reqStr(op, "column", ctx),
+          Config.int(op, "shingle_size").getOrElse(5))
+        df.join(contaminated.select(idC), Seq(idC), "left_anti")
       case other => throw new IllegalArgumentException(s"$ctx: unknown operation `$other`")
     }
     Config.int(op, "repartition") match {

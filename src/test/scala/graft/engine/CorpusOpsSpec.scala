@@ -1,0 +1,89 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The engine-extension corpus operations, driven through the YAML
+  * `operation:` dispatch exactly as a declared pipeline would hit them. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val engine = new Engine(spark)
+  private def run(df: DataFrame, op: Map[String, Any],
+                  frames: Map[String, DataFrame] = Map.empty): DataFrame =
+    engine.applyOperation(df, op + ("operation" -> op("operation")), frames, "spec")
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river"), // dup of 0
+    (2L, "write to jane@example.org about databases and engines today"),
+  ).toDF("doc_id", "text")
+
+  test("pii_redact / lang_id / quality_score / fingerprint / text_stats dispatch") {
+    val redacted = run(docs, Map("operation" -> "pii_redact", "column" -> "text"))
+      .filter($"doc_id" === 2L).select("text").as[String].head()
+    assert(redacted.contains("<EMAIL>") && !redacted.contains("jane@"))
+
+    val lang = run(docs, Map("operation" -> "lang_id", "column" -> "text"))
+    assert(lang.columns.contains("lang_pred"))
+    assert(lang.filter($"doc_id" === 0L).select("lang_pred").as[String].head() == "en")
+
+    val q = run(docs, Map("operation" -> "quality_score", "column" -> "text",
+      "stopwords" -> Seq("the", "a")))
+    assert(q.columns.contains("quality"))
+
+    val fp = run(docs, Map("operation" -> "fingerprint", "column" -> "text"))
+    val fps = fp.select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L) && fps(0L) != fps(2L))
+
+    val stats = run(docs, Map("operation" -> "text_stats", "column" -> "text",
+      "stopwords" -> Seq("the")))
+    assert(stats.columns.contains("n_words") && stats.columns.contains("stopword_ratio"))
+  }
+
+  test("chunk reshapes to (id, chunk_id, text, n_words)") {
+    val out = run(docs, Map("operation" -> "chunk", "id_column" -> "doc_id",
+      "column" -> "text", "chunk_words" -> 8, "overlap_words" -> 2))
+    assert(out.columns.toSeq == Seq("doc_id", "chunk_id", "text", "n_words"))
+    assert(out.filter($"doc_id" === 0L).count() == 2) // 12 words, stride 6
+  }
+
+  test("dedup_exact keeps the min-id representative per distinct text") {
+    val out = run(docs, Map("operation" -> "dedup_exact",
+      "id_column" -> "doc_id", "column" -> "text"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+    assert(out.columns.toSeq == docs.columns.toSeq) // schema passes through
+  }
+
+  test("hash_sample plain and stratified dispatch") {
+    val plain = run(docs, Map("operation" -> "hash_sample", "column" -> "text", "rate" -> "1.0"))
+    assert(plain.count() == 3)
+    val none = run(docs, Map("operation" -> "hash_sample", "column" -> "text", "rate" -> "0.0"))
+    assert(none.count() == 0)
+    val strat = run(
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      Map("operation" -> "hash_sample", "column" -> "text", "strata_column" -> "lang",
+        "rates" -> Map("en" -> "1.0"), "default_rate" -> "0.0"))
+    assert(strat.count() == 3)
+  }
+
+  test("boilerplate_removal and decontaminate dispatch") {
+    val multi = Seq(
+      (0L, "keep zero\nshared footer"),
+      (1L, "keep one\nshared footer"),
+      (2L, "keep two\nshared footer"),
+    ).toDF("doc_id", "text")
+    val cleaned = run(multi, Map("operation" -> "boilerplate_removal",
+      "id_column" -> "doc_id", "column" -> "text", "min_docs" -> 3))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(cleaned(0L) == "keep zero" && cleaned(2L) == "keep two")
+
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val decon = run(docs, Map("operation" -> "decontaminate",
+      "sources" -> Seq("$sources.bench"), "id_column" -> "doc_id", "column" -> "text"),
+      frames = Map("sources.bench" -> bench))
+    // docs 0/1 share 5-grams with the bench doc; only doc 2 survives
+    assert(decon.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+}
