@@ -67,6 +67,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(strat.count() == 3)
   }
 
+  test("a declared YAML pipeline runs the corpus ops end to end") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-corpus-e2e")
+    Files.writeString(dir.resolve("docs.csv"),
+      """doc_id,text
+        |1,reach me at bob@example.net for the brown fox papers
+        |2,the quick brown fox jumps over the lazy dog
+        |3,the quick brown fox jumps over the lazy dog
+        |""".stripMargin)
+    Files.writeString(dir.resolve("project.yaml"),
+      """version: 2
+        |
+        |config:
+        |  output_dir: ${OUT_DIR}
+        |
+        |sources:
+        |  docs:
+        |    file: docs.csv
+        |
+        |transformations:
+        |  cleaned:
+        |    source: $sources.docs
+        |    operations:
+        |      - operation: dedup_exact
+        |        id_column: doc_id
+        |        column: text
+        |      - operation: pii_redact
+        |        column: text
+        |      - operation: lang_id
+        |        column: text
+        |      - operation: chunk
+        |        id_column: doc_id
+        |        column: text
+        |        chunk_words: 6
+        |
+        |destinations:
+        |  chunks:
+        |    source: $transformations.cleaned
+        |    extension: jsonl
+        |""".stripMargin)
+    val outDir = dir.resolve("out")
+    val result = new Engine(spark).run(dir.resolve("project.yaml").toString,
+      params = Map("OUT_DIR" -> outDir.toString))
+    assert(result.written.keySet == Set("destinations.chunks"))
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(outDir.resolve("chunks.jsonl")).asScala.toList
+    // doc 3 deduped away; docs 1 (9 words) and 2 (9 words) → 2 chunks each
+    assert(lines.size == 4)
+    assert(lines.exists(l => l.contains("<EMAIL>")))
+    assert(!lines.exists(l => l.contains("bob@")))
+  }
+
   test("boilerplate_removal and decontaminate dispatch") {
     val multi = Seq(
       (0L, "keep zero\nshared footer"),
