@@ -17,8 +17,7 @@ import graft.ops.Ops
  * recomputed per destination, an improvement the reference explicitly
  * lacks.
  */
-final class Engine(spark: SparkSession) {
-
+object Engine {
   final case class Plan(project: Config.Project, dag: Dag) {
     def nodeConfig(full: String): Map[String, Any] = {
       val Array(section, name) = full.split("\\.", 2)
@@ -27,6 +26,10 @@ final class Engine(spark: SparkSession) {
   }
 
   final case class RunResult(written: Map[String, Path], rowCounts: Map[String, Long])
+}
+
+final class Engine(spark: SparkSession) {
+  import Engine.{Plan, RunResult}
 
   // ------------------------------------------------------------- compile
   def compile(project: Config.Project, selector: String = "*"): Plan = {

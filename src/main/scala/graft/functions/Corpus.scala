@@ -166,7 +166,7 @@ object Corpus {
         lineDelim).as("__bp_text"))
     // left join restores documents whose every line was boilerplate (→ "")
     val joined = df.join(rebuilt, col(idCol) === col("__bp_id"), "left")
-    joined.select(df.columns.map {
+    joined.select(df.columns.toIndexedSeq.map {
       case c if c == textCol => coalesce(col("__bp_text"), lit("")).as(textCol)
       case c => joined(c)
     }: _*)

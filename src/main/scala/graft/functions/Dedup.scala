@@ -102,7 +102,7 @@ object Dedup {
     // packing silently), pack the pair into one long so the heavy
     // co-occurrence groupBy aggregates a single 8-byte key (~35% faster);
     // otherwise group on the two-column key.
-    val idRangeRow = docs.agg(min(col("id")), max(col("id"))).head
+    val idRangeRow = docs.agg(min(col("id")), max(col("id"))).head()
     val (minId, maxId) =
       if (idRangeRow.isNullAt(0)) (0L, 0L)
       else (idRangeRow.getLong(0), idRangeRow.getLong(1))
@@ -362,7 +362,7 @@ object Dedup {
     // the fixed point — one cheap agg action per round detects convergence
     // (no extra join against the previous round's labels)
     def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("label"))).head
+      val row = df.agg(sum(col("label"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0) // null = empty node set
     }
     var prevSum = labelSum(labels)

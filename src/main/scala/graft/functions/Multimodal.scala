@@ -88,7 +88,7 @@ object Multimodal {
   /** Size-aware repartitioning: binary payload rows are wide, so partition
     * count follows total payload bytes, not row count. */
   def repartitionByPayload(df: DataFrame, targetPartitionMb: Int = 128): DataFrame = {
-    val totalBytes = df.select(sum(length(col("content")))).head.getLong(0)
+    val totalBytes = df.select(sum(length(col("content")))).head().getLong(0)
     val parts = math.max(1, (totalBytes / (targetPartitionMb * 1024L * 1024L)).toInt)
     df.repartition(parts)
   }

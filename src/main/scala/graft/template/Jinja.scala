@@ -252,7 +252,7 @@ object Jinja {
       case (s: String, "rstrip") => s.replaceAll("\\s+$", "")
       case (s: String, "upper") => s.toUpperCase
       case (s: String, "lower") => s.toLowerCase
-      case (s: String, "title") => s.split(" ").map(w => if (w.nonEmpty) w.head.toUpper + w.tail.toLowerCase else w).mkString(" ")
+      case (s: String, "title") => s.split(" ").map(w => if (w.nonEmpty) s"${w.head.toUpper}${w.tail.toLowerCase}" else w).mkString(" ")
       case (s: String, "replace") => s.replace(toStr(args.head), toStr(args(1)))
       case (s: String, "startswith") => s.startsWith(toStr(args.head))
       case (s: String, "endswith") => s.endsWith(toStr(args.head))

@@ -239,9 +239,9 @@ class EngineSpec extends SparkSpec {
       .toDF("a", "b", "c", "d", "e", "f") // >4 cols exercises map ordering
     val tpl = """{ {% for col, val in __row_data__.pop('__row_data__').items() %}"{{ col }}": {{ val | tojson }}{% if not loop.last %}, {% endif %}{% endfor %} }"""
     val viaJinja = df.select(graft.template.RowTemplates.templateColumn(df, tpl).as("v"))
-      .head.getString(0)
+      .head().getString(0)
     val viaNative = df.select(Destinations.defaultTemplateColumn(df).as("v"))
-      .head.getString(0)
+      .head().getString(0)
     assert(viaJinja == """{ "a": "1", "b": "x  y", "c": "c3", "d": "c4", "e": "c5", "f": "c6" }""")
     assert(viaNative == viaJinja)
   }

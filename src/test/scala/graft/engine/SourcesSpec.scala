@@ -141,7 +141,7 @@ class SourcesSpec extends SparkSpec {
     val df = Sources.read(spark, "r",
       Map("connection" -> f.toUri.toString), dir)
     assert(df.columns.toSeq == Seq("a", "b"))
-    assert(df.head.getString(1) == "2")
+    assert(df.head().getString(1) == "2")
   }
 
   test("xlsx: writer/reader round-trip, sheet + skiprows + headerless options") {

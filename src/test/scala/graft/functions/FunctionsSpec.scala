@@ -149,13 +149,13 @@ class FunctionsSpec extends SparkSpec {
       TextFunctions.tokenCount(col("text")),
       TextFunctions.langId(col("text")),
       TextFunctions.fingerprint(col("text")),
-      TextFunctions.fingerprint(lit("the quick brown fox the end"))).head
+      TextFunctions.fingerprint(lit("the quick brown fox the end"))).head()
     assert(row.getLong(0) == 6L)   // whitespace words (double space collapsed)
     assert(row.getLong(1) == 8L)   // 6 word-runs + ',' + '!'
     assert(row.getString(2) == "en")
     assert(row.getString(3) == row.getString(4)) // normalization invariance
     val fr = Seq((1L, "le chat et la souris sont dans la maison")).toDF("id", "text")
-    assert(fr.select(TextFunctions.langId(col("text"))).head.getString(0) == "fr")
+    assert(fr.select(TextFunctions.langId(col("text"))).head().getString(0) == "fr")
   }
 
   test("Similarity: cosine basics and brute-force top-k ordering") {

@@ -17,7 +17,7 @@ class OpsSpec extends SparkSpec {
   test("modifyColumns binds {{value}} and sees the whole row") {
     val df = Seq(("a", "1")).toDF("k", "v")
     val out = Ops.modifyColumns(df, Seq("v" -> "{{value}}{{k}}"))
-    assert(out.head.getString(1) == "1a")
+    assert(out.head().getString(1) == "1a")
   }
 
   test("mapValues: exact match replace, unmatched passes through (pandas .replace)") {
@@ -140,7 +140,7 @@ class OpsSpec extends SparkSpec {
     // reference's pd.to_numeric(errors='raise').
     val df = Seq(("g", Some("2")), ("g", Some("4")), ("g", None)).toDF("k", "v")
     val out = Ops.groupBy(df, Seq("k"), Seq("m" -> "mean(v)", "n" -> "count()", "s" -> "sum(v)"))
-    val row = out.head
+    val row = out.head()
     assert(row.getDouble(1) == 2.0) // (2+4)/3, not 3.0
     assert(row.getLong(2) == 3L)
     assert(row.getDouble(3) == 6.0)
@@ -153,7 +153,7 @@ class OpsSpec extends SparkSpec {
     val out = Ops.groupBy(df, Seq("k"), Seq(
       "joined" -> "agg(v,;)", "js" -> "json_array_agg(v)", "jstr" -> "json_array_agg(v,str)",
       "lo" -> "str_min(v)", "hi" -> "str_max(v)"))
-    val row = out.head
+    val row = out.head()
     assert(Set("a;b", "b;a").contains(row.getString(1)))
     assert(row.getString(4) == "a" && row.getString(5) == "b")
     assert(row.getString(3).startsWith("[\""))
