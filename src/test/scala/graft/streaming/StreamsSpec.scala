@@ -77,6 +77,27 @@ class StreamsSpec extends SparkSpec {
     val out = dedupStream(dup.toDF(), Seq("user_id", "event_type"))
     assert(out.count() == batch.size) // exact duplicate row collapsed
   }
+
+  test("corpus ops (redact, chunk) run unchanged on a live stream") {
+    // stateless narrow passes accept readStream frames as-is — the same
+    // batch/stream symmetry contract as windowedStats/sessionize
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val chunked = graft.functions.Corpus.chunk(
+      mem.toDF().toDF("doc_id", "text")
+        .withColumn("text", graft.functions.Corpus.redactPii(col("text"))),
+      "doc_id", "text", chunkWords = 4, overlapWords = 0)
+    val q = chunked.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "mail bob@example.com the quick brown fox jumps over"))
+      q.processAllAvailable()
+      val rows = spark.table("corpus_stream").orderBy("chunk_id").collect()
+      assert(rows.length == 2) // 8 words → two 4-word chunks
+      assert(rows.head.getAs[String]("text") == "mail <EMAIL> the quick")
+      assert(rows.forall(_.getAs[Long]("n_words") == 4L))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
