@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
  * Benchmark main. Prints ONE JSON line with per-query wall times at
  * SPARK_GRAFT_SF_DIR.
  *
+ * Measurement protocol (the VM shows 2×+ run-to-run wall-clock noise on
+ * identical code, so single-shot timings are meaningless): every query runs
+ * `SPARK_GRAFT_REPS` (default 3) times back-to-back inside this one JVM and
+ * the reported number is the MIN — the best observable steady-state, robust
+ * to scheduler noise and one-time classload/codegen cost. The median rides
+ * along in `queries_median` so the spread (median/min) is visible per query;
+ * `cpus` and `reps` are pinned in the JSON so runs are comparable.
+ *
  * Action: `noop` datasource write — forces full evaluation of every
  * projection (a count() would let Catalyst prune the very operators being
  * measured) without paying filesystem cost.
@@ -21,6 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,12 +50,26 @@ object Bench {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // rep timings per query, insertion-ordered
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    def measure(name: String)(f: => Unit): Unit = {
+      samples(name) = (1 to reps).map { _ =>
+        val t = time {
+          try f
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        }
+        // drop caches persisted inside operators (dedup signature frames, CC
+        // labels) so reps and queries don't evict each other and every rep
+        // does the full work
+        spark.catalog.clearCache()
+        t
+      }.toVector
+    }
 
     // headline ETL pipeline (reference big_earthmover.yaml shape), written
     // spark-native multi-part (the 100TB output shape)
     val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    results("etl_render") = time {
+    measure("etl_render") {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val stringly = li.select(li.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
       val piped = graft.ops.Ops.addColumns(
@@ -60,18 +83,22 @@ object Bench {
     }
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
-        try noop(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      }
-      // drop caches persisted inside operators (dedup signature frames, CC
-      // labels) so queries don't evict each other and timings stay isolated
-      spark.catalog.clearCache()
+      measure(name)(noop(fn(spark, sfDir)))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val mins = samples.map { case (k, v) => k -> v.min }
+    // rep 1 is the warm-up (classload + codegen for that query's plan) —
+    // the steady-state median excludes it so spread = median/min reflects
+    // genuine run-to-run noise, not one-time cost
+    val meds = samples.map { case (k, v) => k -> median(if (v.size > 1) v.tail else v) }
+    def js(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = mins.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(mins)},"queries_median":${js(meds)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

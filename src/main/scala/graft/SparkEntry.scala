@@ -268,8 +268,8 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
 
-    // hamming distance over xxhash64-based bit signatures has no DuckDB
-    // equivalent → rows-only check; covered by FunctionsSpec instead
+    // oracle: signatures dumped as literals (SimhashSigs) + brute-force
+    // hamming in DuckDB — verifies the band join found EVERY hamming≤3 pair
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
@@ -873,6 +873,22 @@ object SparkEntry {
          JOIN counts ca ON ca.id = a_id
          JOIN counts cb ON cb.id = b_id
          WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7""",
+
+    // The per-document 64-bit SimHash signatures are deterministic
+    // (FNV-1a + splitmix64 kernel) but not expressible in DuckDB, so they
+    // are dumped once (tools/DumpSimhash, sf0.01) and embedded as literals
+    // (SimhashSigs.values). The oracle then brute-forces hamming over ALL
+    // pairs — a strictly STRONGER check than mirroring the 4×16 band join,
+    // because the pigeonhole guarantee (≤3 differing bits ⇒ at least one of
+    // four 16-bit chunks equal) means the banded result set must equal the
+    // full hamming≤3 pair set; any band the engine dropped would show up
+    // here as a missing row.
+    "q_dedup_simhash" ->
+      s"""WITH sigs(doc_id, sig) AS (VALUES ${SimhashSigs.values})
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
 
     // epoch_ms matches java.sql.Timestamp.getTime millisecond truncation
     "q_stream_sessions" ->

@@ -256,15 +256,16 @@ object Dedup {
         (s, k) => s + when(element_at(acc, k + 1) > 0, call_function("shiftleft", lit(1L), k)).otherwise(0L)))
   }
 
-  /** SimHash near-duplicate pairs: band the 64-bit signature into four
-    * 16-bit chunks (any equal chunk → candidate, catches all pairs with
-    * hamming distance ≤ 3 by pigeonhole), then verify exact hamming ≤
-    * `maxHamming`. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-                   shingleSize: Int = 3): DataFrame = {
+  /** Kernel: one 64-bit SimHash signature per document — per bit position,
+    * sum +1/−1 over the document's distinct shingle hashes and keep the
+    * sign. Deterministic (FNV-1a + splitmix64), single narrow pass.
+    * Public so the signature table itself is a usable artifact (and so the
+    * correctness oracle can be seeded from the exact production values). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val docs = df.select(col(idCol).cast(LongType), col(textCol).cast("string"))
+    df.select(col(idCol).cast(LongType), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -286,6 +287,15 @@ object Dedup {
           (id, sig)
         }
       }.toDF("id", "sig")
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit signature into four
+    * 16-bit chunks (any equal chunk → candidate, catches all pairs with
+    * hamming distance ≤ 3 by pigeonhole), then verify exact hamming ≤
+    * `maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                   shingleSize: Int = 3): DataFrame = {
+    val docs = simhashSignatures(df, idCol, textCol, shingleSize)
       .persist() // the signature feeds both sides of the band self-join
     val banded = docs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
