@@ -260,6 +260,52 @@ object Main {
     val f = dir.resolve("graph.dot")
     Files.writeString(f, sb.toString)
     println(s"wrote $f")
+    writeGraphSvg(dag, dir)
+  }
+
+  /** Render the DAG to SVG with no external tooling (the reference shells
+    * out to graphviz for a PNG, earthmover.py:394-407 — unavailable
+    * offline). Layered left-to-right layout: each node's column is its
+    * longest-path generation (the same rank `dot -Grankdir=LR` computes),
+    * rows are alphabetical within a column, edges are cubic curves with an
+    * arrowhead marker. Deterministic output — the CLI spec asserts on it. */
+  private def writeGraphSvg(dag: graft.engine.Dag, dir: java.nio.file.Path): Unit = {
+    val order = dag.topologicalOrder
+    val gen = scala.collection.mutable.Map[String, Int]()
+    order.foreach { n =>
+      val preds = dag.predecessors(n)
+      gen(n) = if (preds.isEmpty) 0 else preds.map(gen).max + 1
+    }
+    val cols = order.groupBy(gen).toSeq.sortBy(_._1)
+      .map { case (g, ns) => g -> ns.sorted }
+    val boxW = 200; val boxH = 34; val gapX = 90; val gapY = 28; val pad = 24
+    val pos: Map[String, (Int, Int)] = cols.flatMap { case (g, ns) =>
+      ns.zipWithIndex.map { case (n, i) =>
+        n -> (pad + g * (boxW + gapX), pad + i * (boxH + gapY))
+      }
+    }.toMap
+    val width = pad * 2 + cols.size * (boxW + gapX) - gapX
+    val height = pad * 2 + cols.map(_._2.size).max * (boxH + gapY) - gapY
+    val fill = Map("sources" -> "#e8f0fe", "transformations" -> "#fef7e0", "destinations" -> "#e6f4ea")
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder
+    sb.append(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">\n""")
+    sb.append("""  <defs><marker id="arrow" viewBox="0 0 10 10" refX="9" refY="5" markerWidth="7" markerHeight="7" orient="auto-start-reverse"><path d="M 0 0 L 10 5 L 0 10 z" fill="#5f6368"/></marker></defs>""").append('\n')
+    dag.edges.toSeq.sorted.foreach { case (a, b) =>
+      val (ax, ay) = pos(a); val (bx, by) = pos(b)
+      val x1 = ax + boxW; val y1 = ay + boxH / 2; val x2 = bx; val y2 = by + boxH / 2
+      val mx = (x1 + x2) / 2
+      sb.append(s"""  <path d="M $x1 $y1 C $mx $y1, $mx $y2, $x2 $y2" fill="none" stroke="#5f6368" stroke-width="1.2" marker-end="url(#arrow)"/>\n""")
+    }
+    pos.toSeq.sortBy(_._1).foreach { case (n, (x, y)) =>
+      val section = n.split("\\.", 2)(0)
+      sb.append(s"""  <rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6" fill="${fill(section)}" stroke="#5f6368"/>\n""")
+      sb.append(s"""  <text x="${x + boxW / 2}" y="${y + boxH / 2 + 4}" text-anchor="middle" font-family="monospace" font-size="12">${esc(n)}</text>\n""")
+    }
+    sb.append("</svg>\n")
+    val f = dir.resolve("graph.svg")
+    Files.writeString(f, sb.toString)
+    println(s"wrote $f")
   }
 
   /** (session, ownedByUs): reuse an already-running session (in-process

@@ -25,6 +25,8 @@ object Config {
   final case class Project(
       raw: Map[String, Any],
       configDir: Path,
+      sourceName: Option[String] = None,
+      lineOf: Map[String, Int] = Map.empty,
   ) {
     def config: Map[String, Any] = section("config")
     def sources: Map[String, Any] = section("sources")
@@ -33,6 +35,11 @@ object Config {
     private def section(name: String): Map[String, Any] =
       raw.get(name).map(asMap).getOrElse(Map.empty)
     def outputDir: String = config.get("output_dir").map(_.toString).getOrElse("./output")
+    /** `file.yaml:LINE` for a dotted config path (`transformations.t1.
+      * operations.0`), when the source file and line are known (reference
+      * yaml_parser.py:97-111 tracks a __line__ per mapping). */
+    def locate(path: String): Option[String] =
+      for { f <- sourceName; l <- lineOf.get(path) } yield s"$f:$l"
   }
 
   def asMap(v: Any): Map[String, Any] = v match {
@@ -65,11 +72,12 @@ object Config {
   /** Load + compile a project YAML from disk. */
   def load(path: String, cliParams: Map[String, String] = Map.empty): Project = {
     val p = Paths.get(path).toAbsolutePath
-    compile(Files.readString(p), p.getParent, cliParams)
+    compile(Files.readString(p), p.getParent, cliParams, Some(p.getFileName.toString))
   }
 
   /** Compile a project YAML source string. */
-  def compile(source: String, configDir: Path, cliParams: Map[String, String] = Map.empty): Project = {
+  def compile(source: String, configDir: Path, cliParams: Map[String, String] = Map.empty,
+              sourceName: Option[String] = None): Project = {
     // 1. config pre-pass on the raw text (un-rendered; the reference uses an
     // event-level scan — parsing just the config block works for the same
     // reason: it must not depend on params/macros)
@@ -93,7 +101,43 @@ object Config {
       case other => throw new IllegalArgumentException(
         s"config file is missing `version: 2` (found: $other) — incompatible project")
     }
-    Project(mergePackages(root, configDir, cliParams), configDir)
+    Project(mergePackages(root, configDir, cliParams), configDir,
+      sourceName, lineMapOf(substituted))
+  }
+
+  /** Dotted path → 1-based source line, from snakeyaml's composed node graph
+    * (every Node carries a start Mark). Computed on the PARAM-SUBSTITUTED
+    * text, not the Jinja-rendered one: `${X}` substitution is
+    * line-preserving, so lines match the file the user edits; a document
+    * whose structure only parses after the compile-time Jinja pass degrades
+    * to an empty map (errors then simply carry no line info). */
+  private[engine] def lineMapOf(substituted: String): Map[String, Int] = {
+    import org.yaml.snakeyaml.nodes.{MappingNode, ScalarNode, SequenceNode}
+    val acc = Map.newBuilder[String, Int]
+    def walk(node: org.yaml.snakeyaml.nodes.Node, path: String): Unit = node match {
+      case m: MappingNode =>
+        m.getValue.asScala.foreach { t =>
+          t.getKeyNode match {
+            case k: ScalarNode =>
+              val p = if (path.isEmpty) k.getValue else s"$path.${k.getValue}"
+              acc += (p -> (k.getStartMark.getLine + 1))
+              walk(t.getValueNode, p)
+            case _ => ()
+          }
+        }
+      case s: SequenceNode =>
+        s.getValue.asScala.zipWithIndex.foreach { case (c, i) =>
+          val p = s"$path.$i"
+          acc += (p -> (c.getStartMark.getLine + 1))
+          walk(c, p)
+        }
+      case _ => ()
+    }
+    try {
+      val root = new org.yaml.snakeyaml.Yaml().compose(new java.io.StringReader(substituted))
+      if (root != null) walk(root, "")
+      acc.result()
+    } catch { case _: Exception => Map.empty }
   }
 
   /** Package composition (reference earthmover.py:472-500 + package.py):

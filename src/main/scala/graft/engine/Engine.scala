@@ -26,6 +26,12 @@ object Engine {
   }
 
   final case class RunResult(written: Map[String, Path], rowCounts: Map[String, Long])
+
+  /** A config error already carrying its `file.yaml:LINE` location — the
+    * node-level wrapper must not prefix it a second time. Subtype of
+    * IllegalArgumentException so existing handlers/tests are unaffected. */
+  final class LocatedException(message: String, cause: Throwable)
+    extends IllegalArgumentException(message, cause)
 }
 
 final class Engine(spark: SparkSession) {
@@ -105,14 +111,25 @@ final class Engine(spark: SparkSession) {
         (cfg.keySet -- allowed).foreach(k =>
           Console.err.println(s"[warn] Config `$k` not defined for node `$full`."))
       }
-      section match {
+      // config errors report where in the YAML they came from: op-level
+      // failures locate the exact `operations[i]` entry, anything else the
+      // node mapping (reference yaml_parser.py:97-111 / error_handler ctx)
+      def located(path: String, e: Exception, what: String = ""): Nothing =
+        throw plan.project.locate(path) match {
+          case Some(loc) => new Engine.LocatedException(s"$loc:$what ${e.getMessage}", e)
+          case None => e
+        }
+      try section match {
         case "sources" =>
           frames(full) = postProcess(Sources.read(spark, name, cfg, plan.project.configDir), cfg, full)
         case "transformations" =>
           val primary = frames(resolveRef(Config.reqStr(cfg, "source", full)))
-          val result = Config.asList(cfg.getOrElse("operations", Nil)).foldLeft(primary) {
-            (df, opAny) => applyOperation(df, Config.asMap(opAny), frames, full,
-              plan.project.configDir)
+          val result = Config.asList(cfg.getOrElse("operations", Nil)).zipWithIndex.foldLeft(primary) {
+            case (df, (opAny, i)) =>
+              try applyOperation(df, Config.asMap(opAny), frames, full, plan.project.configDir)
+              catch { case e: IllegalArgumentException if !e.isInstanceOf[Engine.LocatedException] =>
+                val opName = Config.str(Config.asMap(opAny), "operation").getOrElse("?")
+                located(s"$full.operations.$i", e, s" operation `$opName`:") }
           }
           val post = postProcess(result, cfg, full)
           frames(full) = if (persistFanOut && consumers(full) > 1) post.persist() else post
@@ -123,7 +140,8 @@ final class Engine(spark: SparkSession) {
           val path = Destinations.write(src, name, cfg, outDir, plan.project.configDir)
           spark.sparkContext.setJobDescription(null)
           written += (full -> path)
-      }
+      } catch { case e: IllegalArgumentException if !e.isInstanceOf[Engine.LocatedException] =>
+        located(full, e) }
       if (collectCounts && frames.contains(full))
         counts += (full -> frames(full).count())
     } finally progress.foreach(spark.sparkContext.removeSparkListener)

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import java.nio.file.{Files, Paths}
@@ -129,13 +129,9 @@ object Sources {
     def splitLine(l: String): Seq[String] =
       l.split(java.util.regex.Pattern.quote(sep), -1).toSeq
     /** Distributed body parse with known names, dropping the first `skip` lines. */
-    def body(names: Seq[String], skip: Int): DataFrame = {
-      import spark.implicits._
-      val lines = spark.read.textFile(path)
-        .withColumn("__idx__", monotonically_increasing_id())
-        .filter(col("__idx__") >= skip).drop("__idx__").as[String]
-      base.schema(StructType(names.map(n => StructField(n, StringType)))).csv(lines).na.fill("")
-    }
+    def body(names: Seq[String], skip: Int): DataFrame =
+      base.schema(StructType(names.map(n => StructField(n, StringType))))
+        .csv(linesAfter(spark, path, skip)).na.fill("")
 
     cfg.getOrElse("header_rows", 1) match {
       case l: List[_] =>
@@ -162,6 +158,20 @@ object Sources {
         val names = flattenHeaders(Seq(splitLine(headerLines(n).last)), fillSparse)
         body(names, n)
     }
+  }
+
+  /** The file's lines with the first `skip` physical lines dropped,
+    * order-safely. The previous `monotonically_increasing_id >= skip` idiom
+    * only drops the right lines while the head of the file lands in
+    * partition 0 — true under today's split packing but an implicit
+    * artifact of it. Hadoop generates a file's splits in byte-offset order
+    * and `zipWithIndex` assigns globally contiguous indices in partition
+    * order, so this holds no matter how many partitions the file splits
+    * into (SourcesSpec pins it with a forced multi-split read). */
+  private def linesAfter(spark: SparkSession, path: String, skip: Int): Dataset[String] = {
+    import spark.implicits._
+    spark.sparkContext.textFile(path).zipWithIndex()
+      .filter(_._2 >= skip).map(_._1).toDS()
   }
 
   /** Multi-row headers flattened to `A__b` (source.py:346-401): upper rows
@@ -395,10 +405,9 @@ object Sources {
     if (names.size != colspecs.size)
       throw new IllegalArgumentException(s"fixedwidth: ${names.size} names but ${colspecs.size} colspecs")
     val headerRows = Config.int(cfg, "header_rows").getOrElse(0)
-    var text = spark.read.text(path)
-    if (headerRows > 0)
-      text = text.withColumn("__idx__", monotonically_increasing_id())
-        .filter(col("__idx__") >= headerRows).drop("__idx__")
+    val text =
+      if (headerRows > 0) linesAfter(spark, path, headerRows).toDF("value")
+      else spark.read.text(path)
     text.select(names.zip(colspecs).map { case (n, (a, b)) =>
       trim(substring(col("value"), a + 1, b - a)).as(n)
     }.toIndexedSeq: _*)

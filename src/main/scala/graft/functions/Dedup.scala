@@ -381,9 +381,15 @@ object Dedup {
     while (!converged && iter < maxIterations) {
       val propagated = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select("id", "label").union(propagated)
+      var next = labels.select("id", "label").union(propagated)
         .groupBy("id").agg(min(col("label")).as("label"))
         .persist()
+      // the logical plan nests one join+agg deeper per round even though the
+      // data is cached — on high-diameter graphs analyzer/optimizer time
+      // grows superlinearly with plan depth. Cut the lineage periodically:
+      // localCheckpoint materializes the (already computed) cached rows and
+      // restarts the plan from them.
+      if ((iter + 1) % 5 == 0) next = next.localCheckpoint()
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next

@@ -90,11 +90,19 @@ object Similarity {
                          threshold: Double, blockRows: Int = 200000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persist: the source is read + Row-decoded exactly once — the count,
+    // every per-block collect, and every per-block scan all hit the cache
+    // (without it each of those re-runs the parquet scan: numBlocks+1 extra
+    // source reads). MEMORY_AND_DISK so an over-memory cache spills instead
+    // of silently re-scanning.
     val vecs = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vecs.count()
     val numBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
 
+    val broadcasts = collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[_]]
     val parts = (0 until numBlocks).map { blk =>
       val side =
         if (numBlocks == 1) vecs.collect()
@@ -107,6 +115,7 @@ object Similarity {
         math.sqrt(s)
       }
       val b = spark.sparkContext.broadcast((ids, mat, norms))
+      broadcasts += b
       vecs.mapPartitions { it =>
         val (bIds, bMat, bNorms) = b.value
         it.flatMap { case (id, v) =>
@@ -129,8 +138,18 @@ object Similarity {
         }
       }.toDF("a_id", "b_id", "cos_sim")
     }
-    parts.reduce(_ union _)
+    // The function is inherently eager (the per-block collects already ran),
+    // so materialize the pair set now: localCheckpoint cuts the lineage to
+    // the cached vecs, letting us release the cache and the per-block
+    // broadcasts immediately instead of leaking them until the caller's
+    // action. The checkpointed result is only the matched pairs — small at
+    // any near-dup threshold.
+    val result = parts.reduce(_ union _)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .localCheckpoint()
+    vecs.unpersist()
+    broadcasts.foreach(_.destroy())
+    result
   }
 
   /** Embedding-cosine near-duplicate pairs with similarity ≥ threshold.

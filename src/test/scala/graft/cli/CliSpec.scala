@@ -51,6 +51,46 @@ class CliSpec extends SparkSpec {
     assert(dot.contains("digraph graft"))
     assert(dot.contains(""""sources.people" -> "destinations.people";"""))
     assert(dot.contains(""""sources.people" [shape=oval];"""))
+    // the SVG rendering of the same graph (reference renders a PNG via
+    // graphviz; offline we lay out and emit the SVG ourselves)
+    val svg = Files.readString(dir.resolve("out").resolve("graph.svg"))
+    assert(svg.startsWith("<svg xmlns=") && svg.trim.endsWith("</svg>"))
+    assert(svg.contains(">sources.people</text>") && svg.contains(">destinations.people</text>"))
+    assert(svg.contains("marker-end=\"url(#arrow)\"")) // at least one edge drawn
+    // the destination must sit one generation right of its source
+    val xs = """<rect x="(\d+)"""".r.findAllMatchIn(svg).map(_.group(1).toInt).toSeq
+    assert(xs.distinct.size == 2 && xs.max > xs.min)
+  }
+
+  test("config errors report the YAML file:line of the broken operation") {
+    val dir = Files.createTempDirectory("graft-cli")
+    Files.writeString(dir.resolve("people.csv"), "id,name\n1,ann\n")
+    // the broken op (`filter_rows` with no `query`) is the list entry
+    // starting at line 10 of this exact file
+    Files.writeString(dir.resolve("p.yaml"),
+      s"""version: 2
+         |sources:
+         |  people:
+         |    file: ${dir.resolve("people.csv")}
+         |transformations:
+         |  t1:
+         |    source: $$sources.people
+         |    operations:
+         |      - operation: rename_columns
+         |        columns: {id: pid}
+         |      - operation: filter_rows
+         |        behavior: include
+         |destinations:
+         |  out:
+         |    source: $$transformations.t1
+         |    extension: jsonl
+         |""".stripMargin)
+    val project = graft.engine.Config.load(dir.resolve("p.yaml").toString)
+    val engine = new graft.engine.Engine(spark)
+    val e = intercept[IllegalArgumentException](
+      engine.execute(engine.compile(project), Some(dir.resolve("out"))))
+    assert(e.getMessage.startsWith("p.yaml:11:"), e.getMessage)
+    assert(e.getMessage.contains("filter_rows"))
   }
 
   test("-v prints the version and exits 0; missing config errors friendly (exit 1)") {

@@ -51,6 +51,25 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("header skip is split-order-safe: header lines spanning a partition boundary") {
+    // Two 300-byte junk lines + the header + data: sc.textFile splits the
+    // file in half (defaultMinPartitions = 2), so the 3 skipped lines span
+    // BOTH partitions — the old monotonically_increasing_id idiom dropped
+    // the first 3 rows of partition 0 only (here: just the 2 junk lines,
+    // leaving the header line to surface as data); per-file zipWithIndex
+    // must drop exactly the 3 leading lines regardless of the split.
+    val dir = tmpDir
+    val junk = "#" * 300
+    val data = (1 to 10).map(i => s"$i,r$i").mkString("\n")
+    Files.writeString(dir.resolve("s.csv"), s"$junk\n$junk\nid,name\n$data\n")
+    // precondition: the read really is multi-split, else this test is vacuous
+    assert(spark.sparkContext.textFile(dir.resolve("s.csv").toString).getNumPartitions >= 2)
+    val df = Sources.read(spark, "s", Map("file" -> "s.csv", "header_rows" -> 3), dir)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 10)
+    assert(!df.collect().exists(r => r.getString(0).startsWith("#") || r.getString(0) == "id"))
+  }
+
   test("tsv via extension; columns subsets by default, renames under rename_cols") {
     val dir = tmpDir
     Files.writeString(dir.resolve("d.tsv"), "x\ty\n1\t2\n")

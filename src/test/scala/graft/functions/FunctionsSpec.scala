@@ -105,6 +105,18 @@ class FunctionsSpec extends SparkSpec {
     assert(viaDistributed == expected)
   }
 
+  test("connectedComponents distributed path converges on a long chain (lineage checkpoint rounds)") {
+    // path graph 0-1-2-...-15: diameter 15, hash-min needs many propagation
+    // rounds, so the loop crosses the every-5-rounds localCheckpoint cut —
+    // this is the lineage-bounding regression test for high-diameter inputs
+    val n = 16
+    val nodes = (0L until n.toLong).toDF("id")
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(nodes, "id", chain, broadcastEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == (0L until n.toLong).map(_ -> 0L).toMap)
+  }
+
   test("hashSample is deterministic, monotone in rate, and stratified rates apply per stratum") {
     val docs2 = (0L until 200L).map(i => (i, s"document number $i payload")).toDF("doc_id", "text")
     val s20a = Sampling.hashSample(docs2, "text", 0.2).select("doc_id").as[Long].collect().toSet
