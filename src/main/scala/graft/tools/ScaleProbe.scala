@@ -1,0 +1,47 @@
+// scratch: end-to-end scale smoke for the dedup tier. Runs jaccard /
+// minhash+LSH / boilerplate removal / connected components over each given
+// documents.parquet dir and prints wall seconds + result counts, so growth
+// across 500 -> 5k -> 50k docs is measured, not argued. Numbers land in
+// PLANS.md ("scale smoke").
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.{Corpus, Dedup}
+
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/graft-scale10x")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warmup (classload + codegen)
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    dirs.foreach { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val n = docs.count()
+      // fixed stop-token cap — the production guard; binding only on the
+      // head of the doc-frequency distribution, independent of corpus size
+      val (jc, tJac) = time(Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.7, maxDocFreq = Some(1000L)).count())
+      val (mc, tMin) = time(Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7).count())
+      val (bc, tBoil) = time(Corpus.removeBoilerplate(docs, "doc_id", "text",
+        minDocs = (n / 100).max(2)).count())
+      val (gc, tCC) = time {
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          threshold = 0.7, maxDocFreq = Some(1000L))
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs).count()
+      }
+      spark.catalog.clearCache()
+      println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
+        f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc)")
+    }
+    spark.stop()
+  }
+}
