@@ -97,6 +97,7 @@ object Sources {
       case "xlsx" | "excel" => readExcel(spark, path, cfg, columns)
       case "html" | "htm" => readHtml(spark, path, cfg)
       case "feather" | "arrow" => readFeather(spark, path)
+      case "dta" | "stata" => Stata.read(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }

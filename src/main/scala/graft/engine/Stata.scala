@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/**
+ * Stata `.dta` reader — closes the reference's `read_stata` dispatch
+ * (reference nodes/source.py:415-417) without pandas: the dta format is
+ * publicly documented by Stata (`help dta` / www.stata.com/help.cgi?dta),
+ * and this parses it directly. Supported: classic binary formats 113/114/115
+ * (Stata 8-12) and pseudo-XML formats 117/118 (Stata 13/14+), little-endian
+ * (all pandas/Stata-on-x86 output). Values land as the engine's all-string
+ * model: numeric missing sentinels and NaN become "" (the reference's
+ * NaN → NULL_REPR, destination.py:57).
+ *
+ * Driver-side parse, exactly the reference's shape (pandas also
+ * materializes the whole frame on one machine) — these legacy single-file
+ * formats are inherently non-splittable; rows are then parallelized into a
+ * distributed frame. Unsupported, with clear errors: big-endian (MSF)
+ * files, strL (long string) columns. Value labels are NOT applied (raw
+ * codes are returned; the reference's convert_categoricals has no
+ * equivalent in an all-string model).
+ */
+object Stata {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val (names, rows) =
+      if (bytes.length > 11 && new String(bytes, 0, 11, "ASCII") == "<stata_dta>") parseModern(bytes, path)
+      else parseClassic(bytes, path)
+    val schema = StructType(names.map(n => StructField(n, StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_: _*)).toIndexedSeq),
+      schema)
+  }
+
+  // ------------------------------------------------------------- classic
+  /** dta 113/114/115: fixed header + descriptor blocks + row-major data. */
+  private def parseClassic(bytes: Array[Byte], path: String): (Seq[String], Seq[Seq[String]]) = {
+    val release = bytes(0) & 0xff
+    require(Set(113, 114, 115).contains(release),
+      s"$path: unsupported classic dta release $release (supported: 113-115, 117, 118)")
+    require((bytes(1) & 0xff) == 2, s"$path: big-endian (MSF) dta files are not supported")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(4)
+    val nvar = buf.getShort & 0xffff
+    val nobs = buf.getInt
+    buf.position(buf.position() + 81 + 18) // data_label + timestamp
+    val types = Array.fill(nvar)(buf.get() & 0xff)
+    val names = (0 until nvar).map(_ => readCString(buf, 33, "ISO-8859-1"))
+    buf.position(buf.position() + 2 * (nvar + 1)) // srtlist
+    val fmtLen = if (release == 113) 12 else 49
+    buf.position(buf.position() + fmtLen * nvar) // fmtlist
+    buf.position(buf.position() + 33 * nvar) // lbllist
+    buf.position(buf.position() + 81 * nvar) // variable labels
+    // expansion fields: (type byte, int32 len, payload) until a 5-byte zero
+    var done = false
+    while (!done) {
+      val t = buf.get() & 0xff
+      val len = buf.getInt
+      if (t == 0 && len == 0) done = true else buf.position(buf.position() + len)
+    }
+    val rows = (0 until nobs).map { _ =>
+      types.map(t => readClassicValue(buf, t)).toSeq
+    }
+    (names, rows)
+  }
+
+  /** Classic type codes: 1-244 = str<n>, 251 byte, 252 int, 253 long,
+    * 254 float, 255 double. */
+  private def readClassicValue(buf: ByteBuffer, t: Int): String = t match {
+    case n if n <= 244 => readCString(buf, n, "ISO-8859-1")
+    case 251 => val v = buf.get().toInt; if (v >= 101) "" else v.toString
+    case 252 => val v = buf.getShort.toInt; if (v >= 32741) "" else v.toString
+    case 253 => val v = buf.getInt; if (v >= 2147483621) "" else v.toString
+    case 254 => fmtFloat(buf.getFloat)
+    case 255 => fmtDouble(buf.getDouble)
+    case other => throw new IllegalArgumentException(s"unsupported classic dta type code $other")
+  }
+
+  // -------------------------------------------------------------- modern
+  /** dta 117/118: tagged sections; the `<map>` block carries the absolute
+    * offset of every section, so parsing jumps straight to
+    * `<variable_types>`, `<varnames>` and `<data>`. */
+  private def parseModern(bytes: Array[Byte], path: String): (Seq[String], Seq[Seq[String]]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def after(tag: String, from: Int = 0): Int = {
+      val i = indexOf(bytes, tag.getBytes("ASCII"), from)
+      require(i >= 0, s"$path: malformed dta — missing $tag")
+      i + tag.length
+    }
+    val release = {
+      val p = after("<release>")
+      new String(bytes, p, 3, "ASCII").toInt
+    }
+    require(release == 117 || release == 118,
+      s"$path: unsupported modern dta release $release (supported: 117, 118)")
+    require(new String(bytes, after("<byteorder>"), 3, "ASCII") == "LSF",
+      s"$path: big-endian (MSF) dta files are not supported")
+    buf.position(after("<K>"))
+    val nvar = buf.getShort & 0xffff
+    buf.position(after("<N>"))
+    val nobs = (if (release == 118) buf.getLong else buf.getInt.toLong).toInt
+
+    // map: 14 uint64 offsets; [2]=<variable_types>, [3]=<varnames>, [9]=<data>
+    buf.position(after("<map>"))
+    val offsets = Array.fill(14)(buf.getLong)
+    buf.position(offsets(2).toInt + "<variable_types>".length)
+    val types = Array.fill(nvar)(buf.getShort & 0xffff)
+    val nameLen = if (release == 118) 129 else 33
+    buf.position(offsets(3).toInt + "<varnames>".length)
+    val names = (0 until nvar).map(_ => readCString(buf, nameLen, "UTF-8"))
+    buf.position(offsets(9).toInt + "<data>".length)
+    val rows = (0 until nobs).map { _ =>
+      types.map(t => readModernValue(buf, t, path)).toSeq
+    }
+    (names, rows)
+  }
+
+  /** Modern type codes: 1-2045 = str<n>, 32768 strL, 65526 double,
+    * 65527 float, 65528 long, 65529 int, 65530 byte. */
+  private def readModernValue(buf: ByteBuffer, t: Int, path: String): String = t match {
+    case n if n <= 2045 => readCString(buf, n, "UTF-8")
+    case 32768 => throw new IllegalArgumentException(
+      s"$path: strL (long string) dta columns are not supported")
+    case 65526 => fmtDouble(buf.getDouble)
+    case 65527 => fmtFloat(buf.getFloat)
+    case 65528 => val v = buf.getInt; if (v >= 2147483621) "" else v.toString
+    case 65529 => val v = buf.getShort.toInt; if (v >= 32741) "" else v.toString
+    case 65530 => val v = buf.get().toInt; if (v >= 101) "" else v.toString
+    case other => throw new IllegalArgumentException(s"unsupported modern dta type code $other")
+  }
+
+  // ------------------------------------------------------------- helpers
+  /** Stata numeric missing sentinels (`.` through `.z`) sit above the
+    * largest representable non-missing value; anything at or beyond the
+    * base sentinel (and NaN) renders as the reference's "" null. */
+  private def fmtFloat(f: Float): String =
+    if (f.isNaN || f >= 1.7014117e38f) "" else f.toString
+  private def fmtDouble(d: Double): String =
+    if (d.isNaN || d >= 8.988e307) "" else d.toString
+
+  private def readCString(buf: ByteBuffer, len: Int, charset: String): String = {
+    val arr = new Array[Byte](len)
+    buf.get(arr)
+    val end = arr.indexOf(0: Byte)
+    new String(arr, 0, if (end < 0) len else end, charset)
+  }
+
+  private def indexOf(haystack: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i <= haystack.length - needle.length) {
+      var j = 0
+      while (j < needle.length && haystack(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

