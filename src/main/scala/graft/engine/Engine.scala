@@ -220,6 +220,8 @@ final class Engine(spark: SparkSession) {
     "hash_sample" -> Set("column", "rate", "strata_column", "rates", "default_rate"),
     "boilerplate_removal" -> Set("id_column", "column", "min_docs", "line_delimiter"),
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
+    "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
+      "max_doc_freq", "max_hamming"),
   )
 
   private def warnUnknownKeys(op: Map[String, Any], name: String, ctx: String): Unit =
@@ -371,6 +373,34 @@ final class Engine(spark: SparkSession) {
           Config.int(op, "min_docs").getOrElse(
             throw new IllegalArgumentException(s"$ctx: boilerplate_removal needs `min_docs`")).toLong,
           Config.str(op, "line_delimiter").getOrElse("\n"))
+      // near-duplicate removal end-to-end: similarity pairs (chosen by
+      // `method`) → connected components → keep only each group's
+      // representative (minimum id) row. The declared-pipeline face of the
+      // Dedup tier: minhash is the 100TB default (O(n·sig + candidates)),
+      // jaccard the exact-threshold variant, simhash the hamming variant.
+      case "dedup_near" =>
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val textC = Config.reqStr(op, "column", ctx)
+        val threshold = Config.str(op, "threshold").map(_.toDouble).getOrElse(0.8)
+        val shingle = Config.int(op, "shingle_size").getOrElse(3)
+        val pairs = Config.str(op, "method").getOrElse("minhash") match {
+          case "minhash" => graft.functions.Dedup.minhashLshPairs(df, idC, textC,
+            threshold, shingleSize = shingle)
+          case "jaccard" => graft.functions.Dedup.jaccardPairs(df, idC, textC,
+            threshold, shingleSize = shingle,
+            maxDocFreq = Config.str(op, "max_doc_freq").map(_.toLong))
+          case "simhash" => graft.functions.Dedup.simhashPairs(df, idC, textC,
+            maxHamming = Config.int(op, "max_hamming").getOrElse(3), shingleSize = shingle)
+          case other => throw new IllegalArgumentException(
+            s"$ctx: dedup_near `method` must be one of [minhash, jaccard, simhash], not `$other`")
+        }
+        val groups = graft.functions.Dedup.connectedComponents(
+          df.select(org.apache.spark.sql.functions.col(idC)), idC, pairs)
+        val keep = groups
+          .filter(org.apache.spark.sql.functions.col("id") ===
+            org.apache.spark.sql.functions.col("group_rep"))
+          .select(org.apache.spark.sql.functions.col("id").as(idC))
+        df.join(keep, Seq(idC), "left_semi")
       // drops rows sharing any word n-gram with the benchmark frame(s)
       case "decontaminate" =>
         val idC = Config.reqStr(op, "id_column", ctx)

@@ -48,6 +48,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter($"doc_id" === 0L).count() == 2) // 12 words, stride 6
   }
 
+  test("dedup_near keeps one representative per near-dup group, all three methods") {
+    for (method <- Seq("minhash", "jaccard", "simhash")) {
+      val out = run(docs, Map("operation" -> "dedup_near", "id_column" -> "doc_id",
+        "column" -> "text", "method" -> method))
+      val kept = out.select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 2L), s"method=$method kept $kept") // 1 is 0's duplicate
+    }
+    intercept[IllegalArgumentException](
+      run(docs, Map("operation" -> "dedup_near", "id_column" -> "doc_id",
+        "column" -> "text", "method" -> "nope")))
+  }
+
   test("dedup_exact keeps the min-id representative per distinct text") {
     val out = run(docs, Map("operation" -> "dedup_exact",
       "id_column" -> "doc_id", "column" -> "text"))
