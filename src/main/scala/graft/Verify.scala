@@ -35,7 +35,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // q_dedup_simhash's oracle embeds signature literals dumped at sf0.01
+    // (SimhashSigs); at any other scale that oracle would be a guaranteed
+    // false mismatch, so drop it there — the driver then records the weaker
+    // rows-only check instead of a spurious failure.
+    val oracles =
+      if (sfDir.stripSuffix("/").endsWith("sf0.01")) SparkEntry.oracleSql
+      else SparkEntry.oracleSql - "q_dedup_simhash"
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -110,8 +110,15 @@ object Config {
     * text, not the Jinja-rendered one: `${X}` substitution is
     * line-preserving, so lines match the file the user edits; a document
     * whose structure only parses after the compile-time Jinja pass degrades
-    * to an empty map (errors then simply carry no line info). */
+    * to an empty map (errors then simply carry no line info).
+    *
+    * Any Jinja construct ({% loops/conditionals, {{ expressions }}) can
+    * generate or shift entries, making the rendered document's paths (e.g.
+    * `operations.2`) resolve to the WRONG pre-render line — worse than no
+    * location. So the presence of Jinja tags also degrades to the empty
+    * map rather than risking a misdirecting file:line. */
   private[engine] def lineMapOf(substituted: String): Map[String, Int] = {
+    if (substituted.contains("{%") || substituted.contains("{{")) return Map.empty
     import org.yaml.snakeyaml.nodes.{MappingNode, ScalarNode, SequenceNode}
     val acc = Map.newBuilder[String, Int]
     def walk(node: org.yaml.snakeyaml.nodes.Node, path: String): Unit = node match {

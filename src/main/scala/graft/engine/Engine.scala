@@ -379,28 +379,44 @@ final class Engine(spark: SparkSession) {
       // Dedup tier: minhash is the 100TB default (O(n·sig + candidates)),
       // jaccard the exact-threshold variant, simhash the hamming variant.
       case "dedup_near" =>
+        import org.apache.spark.sql.functions.{col, count, when, xxhash64}
         val idC = Config.reqStr(op, "id_column", ctx)
         val textC = Config.reqStr(op, "column", ctx)
         val threshold = Config.str(op, "threshold").map(_.toDouble).getOrElse(0.8)
         val shingle = Config.int(op, "shingle_size").getOrElse(3)
+        // The pair generators and connectedComponents key on LongType. In the
+        // engine's all-string model a non-numeric id (UUIDs, natural keys)
+        // would cast to null and silently drop EVERY row through the final
+        // semi join — so probe the column once and, when any value doesn't
+        // cast cleanly (or is null), dedup on a 64-bit surrogate hash of the
+        // id instead and semi-join back on it. (Surrogate collisions between
+        // distinct ids are ~n²/2⁶⁴ — the same odds the shingle-hash kernels
+        // already accept; the group representative then becomes min-by-hash
+        // rather than min-by-id, which is still deterministic.)
+        val badIds = df.select(count(when(col(idC).cast("long").isNull, 1)).as("bad"))
+          .head().getLong(0)
+        val sid = "__graft_dedup_sid__"
+        val (base, keyC) =
+          if (badIds == 0L) (df, idC)
+          else (df.withColumn(sid, xxhash64(col(idC))), sid)
         val pairs = Config.str(op, "method").getOrElse("minhash") match {
-          case "minhash" => graft.functions.Dedup.minhashLshPairs(df, idC, textC,
+          case "minhash" => graft.functions.Dedup.minhashLshPairs(base, keyC, textC,
             threshold, shingleSize = shingle)
-          case "jaccard" => graft.functions.Dedup.jaccardPairs(df, idC, textC,
+          case "jaccard" => graft.functions.Dedup.jaccardPairs(base, keyC, textC,
             threshold, shingleSize = shingle,
             maxDocFreq = Config.str(op, "max_doc_freq").map(_.toLong))
-          case "simhash" => graft.functions.Dedup.simhashPairs(df, idC, textC,
+          case "simhash" => graft.functions.Dedup.simhashPairs(base, keyC, textC,
             maxHamming = Config.int(op, "max_hamming").getOrElse(3), shingleSize = shingle)
           case other => throw new IllegalArgumentException(
             s"$ctx: dedup_near `method` must be one of [minhash, jaccard, simhash], not `$other`")
         }
         val groups = graft.functions.Dedup.connectedComponents(
-          df.select(org.apache.spark.sql.functions.col(idC)), idC, pairs)
+          base.select(col(keyC)), keyC, pairs)
         val keep = groups
-          .filter(org.apache.spark.sql.functions.col("id") ===
-            org.apache.spark.sql.functions.col("group_rep"))
-          .select(org.apache.spark.sql.functions.col("id").as(idC))
-        df.join(keep, Seq(idC), "left_semi")
+          .filter(col("id") === col("group_rep"))
+          .select(col("id").as(keyC))
+        if (badIds == 0L) df.join(keep, Seq(idC), "left_semi")
+        else base.join(keep, Seq(sid), "left_semi").drop(sid)
       // drops rows sharing any word n-gram with the benchmark frame(s)
       case "decontaminate" =>
         val idC = Config.reqStr(op, "id_column", ctx)

@@ -18,10 +18,11 @@ import java.nio.file.{Files, Paths}
  * Driver-side parse, exactly the reference's shape (pandas also
  * materializes the whole frame on one machine) — these legacy single-file
  * formats are inherently non-splittable; rows are then parallelized into a
- * distributed frame. Unsupported, with clear errors: big-endian (MSF)
- * files, strL (long string) columns. Value labels are NOT applied (raw
- * codes are returned; the reference's convert_categoricals has no
- * equivalent in an all-string model).
+ * distributed frame. strL (long string) columns are supported for 117/118
+ * via the `<strls>` GSO block. Unsupported, with clear errors: big-endian
+ * (MSF) files. Value labels are NOT applied (raw codes are returned; the
+ * reference's convert_categoricals has no equivalent in an all-string
+ * model).
  */
 object Stata {
 
@@ -104,7 +105,8 @@ object Stata {
     buf.position(after("<N>"))
     val nobs = (if (release == 118) buf.getLong else buf.getInt.toLong).toInt
 
-    // map: 14 uint64 offsets; [2]=<variable_types>, [3]=<varnames>, [9]=<data>
+    // map: 14 uint64 offsets; [2]=<variable_types>, [3]=<varnames>,
+    // [9]=<data>, [10]=<strls>
     buf.position(after("<map>"))
     val offsets = Array.fill(14)(buf.getLong)
     buf.position(offsets(2).toInt + "<variable_types>".length)
@@ -112,19 +114,58 @@ object Stata {
     val nameLen = if (release == 118) 129 else 33
     buf.position(offsets(3).toInt + "<varnames>".length)
     val names = (0 until nvar).map(_ => readCString(buf, nameLen, "UTF-8"))
+    val strls =
+      if (types.contains(32768)) parseStrls(bytes, buf, offsets(10).toInt, release)
+      else java.util.Collections.emptyMap[(Long, Long), String]()
     buf.position(offsets(9).toInt + "<data>".length)
     val rows = (0 until nobs).map { _ =>
-      types.map(t => readModernValue(buf, t, path)).toSeq
+      types.map(t => readModernValue(buf, t, release, strls, path)).toSeq
     }
     (names, rows)
   }
 
+  /** `<strls>` block: a run of GSO records, each
+    * "GSO" + v:uint32 + o:(uint32 for 117, uint64 for 118) + t:byte
+    * (129 = binary, 130 = null-terminated string) + len:uint32 + payload.
+    * Data cells of type strL reference records by the (v, o) key. */
+  private def parseStrls(bytes: Array[Byte], buf: ByteBuffer, strlsOff: Int,
+                         release: Int): java.util.Map[(Long, Long), String] = {
+    val out = new java.util.HashMap[(Long, Long), String]()
+    buf.position(strlsOff + "<strls>".length)
+    while (buf.remaining() >= 3 && bytes(buf.position()) == 'G' &&
+        bytes(buf.position() + 1) == 'S' && bytes(buf.position() + 2) == 'O') {
+      buf.position(buf.position() + 3)
+      val v = buf.getInt.toLong & 0xffffffffL
+      val o = if (release == 117) buf.getInt.toLong & 0xffffffffL else buf.getLong
+      val t = buf.get() & 0xff
+      val len = buf.getInt
+      val payload = new Array[Byte](len)
+      buf.get(payload)
+      val end = if (t == 130 && len > 0 && payload(len - 1) == 0) len - 1 else len
+      out.put((v, o), new String(payload, 0, end, "UTF-8"))
+    }
+    out
+  }
+
   /** Modern type codes: 1-2045 = str<n>, 32768 strL, 65526 double,
-    * 65527 float, 65528 long, 65529 int, 65530 byte. */
-  private def readModernValue(buf: ByteBuffer, t: Int, path: String): String = t match {
+    * 65527 float, 65528 long, 65529 int, 65530 byte. strL cells hold a
+    * (v, o) pointer into the `<strls>` GSO map — 4+4 bytes in 117,
+    * 2+6 bytes in 118; (0, 0) is the empty/missing strL. */
+  private def readModernValue(buf: ByteBuffer, t: Int, release: Int,
+                              strls: java.util.Map[(Long, Long), String],
+                              path: String): String = t match {
     case n if n <= 2045 => readCString(buf, n, "UTF-8")
-    case 32768 => throw new IllegalArgumentException(
-      s"$path: strL (long string) dta columns are not supported")
+    case 32768 =>
+      val (v, o) =
+        if (release == 117) (buf.getInt.toLong & 0xffffffffL, buf.getInt.toLong & 0xffffffffL)
+        else {
+          val vv = (buf.getShort & 0xffff).toLong
+          var oo = 0L
+          var i = 0
+          while (i < 6) { oo |= (buf.get().toLong & 0xffL) << (8 * i); i += 1 }
+          (vv, oo)
+        }
+      if (v == 0L && o == 0L) "" else strls.getOrDefault((v, o), "")
     case 65526 => fmtDouble(buf.getDouble)
     case 65527 => fmtFloat(buf.getFloat)
     case 65528 => val v = buf.getInt; if (v >= 2147483621) "" else v.toString
@@ -136,11 +177,14 @@ object Stata {
   // ------------------------------------------------------------- helpers
   /** Stata numeric missing sentinels (`.` through `.z`) sit above the
     * largest representable non-missing value; anything at or beyond the
-    * base sentinel (and NaN) renders as the reference's "" null. */
+    * base sentinel (and NaN) renders as the reference's "" null. The base
+    * sentinels are exact bit patterns — float `.` = 0x7f000000, double `.` =
+    * 0x7fe0000000000000 — so compare raw bits: a magnitude threshold rounds
+    * to the largest NON-missing value (0x7effffff) and would swallow it. */
   private def fmtFloat(f: Float): String =
-    if (f.isNaN || f >= 1.7014117e38f) "" else f.toString
+    if (f.isNaN || java.lang.Float.floatToIntBits(f) >= 0x7f000000) "" else f.toString
   private def fmtDouble(d: Double): String =
-    if (d.isNaN || d >= 8.988e307) "" else d.toString
+    if (d.isNaN || java.lang.Double.doubleToLongBits(d) >= 0x7fe0000000000000L) "" else d.toString
 
   private def readCString(buf: ByteBuffer, len: Int, charset: String): String = {
     val arr = new Array[Byte](len)

@@ -326,21 +326,24 @@ object Dedup {
                           pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                           maxIterations: Int = 50,
                           broadcastEdgeThreshold: Long = 1L << 20): DataFrame = {
+    require(broadcastEdgeThreshold < Int.MaxValue, "broadcastEdgeThreshold must fit an Int limit")
     val ids = nodes.select(col(idCol).cast(LongType).as("id"))
-    // materialize the pair list ONCE (it is usually an expensive similarity
-    // pipeline); the count that materializes it also picks the strategy
     val p = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
-      .persist()
-    val edgeCount = p.count()
+    // Strategy probe and edge fetch in ONE action: collect at most
+    // threshold+1 rows. If the result fits, we already hold EVERY edge and
+    // the (usually expensive) pairs pipeline executed exactly once, with no
+    // persist round-trip — previously a count() materialized it into cache
+    // and a second pass read it back. Only the rare over-threshold corpus
+    // pays a recompute on the distributed path below.
+    val probed = p.limit(broadcastEdgeThreshold.toInt + 1).collect()
 
-    if (edgeCount <= broadcastEdgeThreshold) {
+    if (probed.length <= broadcastEdgeThreshold) {
       // The normal corpus shape: the edge set after near-dup pair generation
       // is orders of magnitude smaller than the corpus. Union-find on the
       // driver (bounded by the threshold), then one broadcast join maps the
       // touched ids; everything untouched keeps itself — a single narrow
       // pass over the nodes, no iteration.
-      val edges = p.collect()
-      p.unpersist()
+      val edges = probed
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -365,8 +368,10 @@ object Dedup {
     }
 
     // distributed fallback for edge sets too large to collect: hash-min
-    // label propagation (see doc comment above)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    // label propagation (see doc comment above); here the edge set IS read
+    // every round, so persist it
+    val pp = p.persist()
+    val edges = pp.union(pp.select(col("dst").as("src"), col("src").as("dst")))
     var labels = ids.select(col("id"), col("id").as("label")).persist()
     // labels only ever DECREASE, so the label sum strictly decreases until
     // the fixed point — one cheap agg action per round detects convergence
@@ -388,8 +393,14 @@ object Dedup {
       // data is cached — on high-diameter graphs analyzer/optimizer time
       // grows superlinearly with plan depth. Cut the lineage periodically:
       // localCheckpoint materializes the (already computed) cached rows and
-      // restarts the plan from them.
-      if ((iter + 1) % 5 == 0) next = next.localCheckpoint()
+      // restarts the plan from them. The pre-checkpoint cache entry must be
+      // released explicitly — the checkpointed Dataset is a different plan,
+      // so the later labels.unpersist() would never reach it.
+      if ((iter + 1) % 5 == 0) {
+        val cached = next
+        next = cached.localCheckpoint() // eager: materializes via `cached`
+        cached.unpersist()
+      }
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -397,7 +408,7 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
-    p.unpersist()
+    pp.unpersist()
     labels.select(col("id"), col("label").as("group_rep"))
   }
 }

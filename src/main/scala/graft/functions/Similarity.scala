@@ -73,6 +73,100 @@ object Similarity {
       .limit(k)
   }
 
+  // ----------------------------------------------- multi-table (OR) LSH
+  // Single-bucket AND-only LSH (lshTopK above) loses recall as numPlanes
+  // grows: P(all planes agree) decays exponentially. The standard fix is
+  // OR-amplification — L independent plane sets ("tables"); a vector is a
+  // candidate if it matches the query's bucket in ANY table — then exact
+  // cosine rerank of the (small) candidate union. Recall 1−(1−p^P)^L vs p^P.
+
+  /** Deterministic ±1 hyperplane sign for (table, plane, dim): splitmix64
+    * mix of the packed coordinates — reproducible anywhere with no RNG
+    * state, including the DuckDB oracle which embeds the same signs as
+    * literals (see `planesSqlValues`). */
+  private[functions] def planeSign(table: Int, plane: Int, dim: Int): Double = {
+    val h = Dedup.mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong)
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
+  private[functions] def planeMatrix(table: Int, numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, d) => planeSign(table, p, d))
+
+  /** Bucket of one vector under one table's plane set: sign bits packed into
+    * a long. Plain JVM math — used on the driver for the query vector and in
+    * the scan kernel for every row, so both sides share one code path. */
+  private[functions] def bucketOf(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    var b = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var s = 0.0
+      var i = 0
+      val n = math.min(pl.length, v.length)
+      while (i < n) { s += v(i) * pl(i); i += 1 }
+      if (s > 0) b |= (1L << p)
+      p += 1
+    }
+    b
+  }
+
+  /** DuckDB `(table, plane, signs)` VALUES rows for the same sign matrix the
+    * Spark side uses — the oracle's single source of truth. */
+  def planesSqlValues(numTables: Int, numPlanes: Int, dim: Int): String =
+    (for (t <- 0 until numTables; p <- 0 until numPlanes) yield {
+      val signs = (0 until dim)
+        .map(d => if (planeSign(t, p, d) > 0) "1" else "-1").mkString(",")
+      s"($t, $p, [$signs]::DOUBLE[])"
+    }).mkString(",\n             ")
+
+  /** OR-amplified ANN top-k: candidate = bucket match in ANY of `numTables`
+    * independent plane sets, then exact cosine rerank. One narrow scan
+    * (mapPartitions kernel, tight loops over the L×P sign matrix), no
+    * shuffle before the final TakeOrdered — the 100 TB shape. At selective
+    * plane counts (P ≥ 12) this is the recall-safe replacement for the
+    * single-probe `lshTopK`. */
+  def lshTopKMultiTable(df: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Float], k: Int,
+                        numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+    require(numPlanes <= 63, "numPlanes must fit in a long bucket key")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qArr = query.toArray
+    val tables = Array.tabulate(numTables)(t => planeMatrix(t, numPlanes, qArr.length))
+    val qBuckets = tables.map(bucketOf(qArr, _))
+    var qs = 0.0
+    qArr.foreach(x => qs += x.toDouble * x.toDouble)
+    val qNorm = math.sqrt(qs)
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          var hit = false
+          var t = 0
+          while (!hit && t < tables.length) {
+            if (bucketOf(v, tables(t)) == qBuckets(t)) hit = true
+            t += 1
+          }
+          if (!hit) None
+          else {
+            var dot = 0.0
+            var s = 0.0
+            var i = 0
+            while (i < v.length) {
+              dot += v(i).toDouble * qArr(i)
+              s += v(i).toDouble * v(i)
+              i += 1
+            }
+            val n = math.sqrt(s)
+            if (n > 0 && qNorm > 0) Some((id, dot / (n * qNorm))) else None
+          }
+        }
+      }.toDF("id", "cos_sim")
+      .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Exact cosine near-duplicate pairs via a tiled broadcast block kernel:
     * the id space is partitioned into `ceil(n / blockRows)` blocks by
     * `id % numBlocks`; each block is collected and broadcast as primitive

@@ -72,6 +72,26 @@ class SourcesSpec extends SparkSpec {
       java.nio.file.Paths.get("/")).count() == 4)
   }
 
+  test("stata .dta strL columns (117 4+4 / 118 2+6 GSO pointers) and exact missing sentinels") {
+    // fixtures written by pandas.to_stata(convert_strl=['note']): the `note`
+    // column is strL (300-char value forces the GSO block), `ratio` carries
+    // the LARGEST NON-MISSING float (bits 0x7effffff) and `score` the largest
+    // non-missing double (0x7fdfffffffffffff) — both must round-trip as
+    // values, not be swallowed by the missing-sentinel comparison
+    for (fixture <- Seq("/strl117.dta", "/strl118.dta")) {
+      val p = getClass.getResource(fixture).getPath
+      val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
+      assert(df.columns.toSeq == Seq("id", "ratio", "score", "note"), fixture)
+      val rows = df.orderBy("id").collect().map(r => (0 until 4).map(r.getString))
+      assert(rows.map(_(3)).toSeq ==
+        Seq("short", "x" * 300, "", "unicode éè end"), fixture)
+      assert(rows.map(_(1)).toSeq ==
+        Seq("0.5", "", "1.5", 1.7014117e38f.toString), fixture)
+      assert(rows.map(_(2)).toSeq ==
+        Seq("1.5", "2.25", "", 8.988465674311579e307.toString), fixture)
+    }
+  }
+
   test("header skip is split-order-safe: header lines spanning a partition boundary") {
     // Two 300-byte junk lines + the header + data: sc.textFile splits the
     // file in half (defaultMinPartitions = 2), so the 3 skipped lines span
