@@ -310,6 +310,18 @@ object SparkEntry {
       Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, numPlanes = 4)
     }),
 
+    // OR-amplified (multi-table) ANN: at numPlanes=8 a single probe finds 1
+    // of the top-10 on this corpus; the union over 8 independent tables
+    // finds all 10 (recall assertion at numPlanes=12 lives in FunctionsSpec
+    // on a clustered corpus). Oracle mirrors the deterministic sign matrix.
+    "q_ann_multitable" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.lshTopKMultiTable(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10,
+        numPlanes = 8, numTables = 8)
+    }),
+
     // streaming operator exercised in batch mode (same code path runs on
     // readStream; see StreamsSpec for the live-stream drive)
     "q_stream_sessions" -> ((s, d) => {
@@ -726,6 +738,32 @@ object SparkEntry {
          FROM embeddings e, q, qb, buckets be
          WHERE be.vec_id = e.vec_id AND e.vec_id <> 0 AND be.b = qb.b
          ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
+         LIMIT 10""",
+
+    // Multi-table LSH: same deterministic sign construction, but the matrix
+    // comes from the splitmix64 planeSign (Similarity.planesSqlValues emits
+    // the identical signs as literals — one source of truth, no dump step).
+    // Candidates = bucket match in ANY table, then exact rerank.
+    "q_ann_multitable" ->
+      s"""WITH planes AS (
+           SELECT * FROM (VALUES
+             ${graft.functions.Similarity.planesSqlValues(numTables = 8, numPlanes = 8, dim = 64)}
+           ) AS t(tbl, p, s)),
+         buckets AS (
+           SELECT e.vec_id, pl.tbl,
+                  sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.s) > 0
+                           THEN (1::BIGINT << pl.p) ELSE 0 END) AS b
+           FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+         qb AS (SELECT tbl, b FROM buckets WHERE vec_id = 0),
+         cand AS (
+           SELECT DISTINCT be.vec_id
+           FROM buckets be JOIN qb ON be.tbl = qb.tbl AND be.b = qb.b
+           WHERE be.vec_id <> 0),
+         q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS id,
+                round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+         FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+         ORDER BY round(list_cosine_similarity(e.embedding, q.embedding), 4) DESC, e.vec_id ASC
          LIMIT 10""",
 
     "q_multimodal_features" ->

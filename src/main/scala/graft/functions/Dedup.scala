@@ -160,7 +160,7 @@ object Dedup {
   }
 
   /** Kernel: (id, distinct shingles, minhash signature) per document. */
-  private def docSignatures(df: DataFrame, idCol: String, textCol: String,
+  private[functions] def docSignatures(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int, shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

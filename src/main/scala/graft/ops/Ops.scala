@@ -59,11 +59,33 @@ object Ops {
 
   // ====================================================== column operators
 
+  /** `{{__row_number__}}` (reference docs/configuration.md "Tip: use
+    * Jinja!"): zero-based input ordinal, bound only when a template asks for
+    * it. Implemented with zipWithIndex — contiguous and partition-ordered,
+    * so it is the file/input order for any single-source frame; like
+    * group_by_with_rank's cumcount, the assignment is only deterministic up
+    * to the input's partition order (a repartition upstream reorders it —
+    * same caveat the reference inherits from the pandas index). */
+  private val RowNumberVar = "__row_number__"
+  private def withRowNumberCol(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(RowNumberVar, org.apache.spark.sql.types.LongType)
+    spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+  }
+  private def withTemplateOrdinal(d: DataFrame, tpl: String)(
+      render: DataFrame => DataFrame): DataFrame =
+    if (tpl.contains(RowNumberVar) && !d.columns.contains(RowNumberVar))
+      render(withRowNumberCol(d)).drop(RowNumberVar)
+    else render(d)
+
   /** add_columns (reference operations/column.py:16-61): new columns from
     * static strings or per-row Jinja templates. */
   def addColumns(df: DataFrame, specs: Seq[(String, String)]): DataFrame =
     specs.foldLeft(df) { case (d, (name, tpl)) =>
-      d.withColumn(name, RowTemplates.templateColumn(d, tpl))
+      withTemplateOrdinal(d, tpl)(dd => dd.withColumn(name, RowTemplates.templateColumn(dd, tpl)))
     }
 
   /** modify_columns (column.py:64-122): rewrite existing columns; the Jinja
@@ -71,8 +93,11 @@ object Ops {
     * wildcard column patterns. */
   def modifyColumns(df: DataFrame, specs: Seq[(String, String)]): DataFrame =
     specs.foldLeft(df) { case (d, (pattern, tpl)) =>
-      matchWildcardColumns(d.columns.toSeq, Seq(pattern), raiseOnUnmatched = true, "modify_columns")
-        .foldLeft(d)((dd, c) => dd.withColumn(c, RowTemplates.templateColumn(dd, tpl, bindValue = Some(c))))
+      withTemplateOrdinal(d, tpl) { base =>
+        matchWildcardColumns(base.columns.filterNot(_ == RowNumberVar).toSeq, Seq(pattern),
+          raiseOnUnmatched = true, "modify_columns")
+          .foldLeft(base)((dd, c) => dd.withColumn(c, RowTemplates.templateColumn(dd, tpl, bindValue = Some(c))))
+      }
     }
 
   /** duplicate_columns (column.py:125-159). */

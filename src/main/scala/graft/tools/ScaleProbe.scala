@@ -39,8 +39,46 @@ object ScaleProbe {
         Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs).count()
       }
       spark.catalog.clearCache()
+      // The declared-pipeline face of the same tier: YAML → dedup_near
+      // (minhash) → destination, exercising Engine dispatch + the final
+      // semi-join removal path at the same scale as the library calls
+      // above. Library-path expected count: total docs minus non-
+      // representative members of the duplicate groups.
+      val (yamlKept, tYaml) = time {
+        val proj = java.nio.file.Files.createTempDirectory("graft-scale-near")
+        java.nio.file.Files.writeString(proj.resolve("p.yaml"),
+          s"""version: 2
+             |sources:
+             |  docs:
+             |    file: $d/documents.parquet
+             |    type: parquet
+             |transformations:
+             |  deduped:
+             |    source: $$sources.docs
+             |    operations:
+             |      - operation: dedup_near
+             |        id_column: doc_id
+             |        column: text
+             |        method: minhash
+             |        threshold: 0.7
+             |destinations:
+             |  out:
+             |    source: $$transformations.deduped
+             |""".stripMargin)
+        val out = proj.resolve("o")
+        new graft.engine.Engine(spark).run(proj.resolve("p.yaml").toString, outputDir = Some(out))
+        java.nio.file.Files.lines(out.resolve("out.jsonl")).count()
+      }
+      val (libKept, _) = time {
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
+        val groups = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+        groups.filter(org.apache.spark.sql.functions.col("id") ===
+          org.apache.spark.sql.functions.col("group_rep")).count()
+      }
+      spark.catalog.clearCache()
       println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
-        f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc)")
+        f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) " +
+        f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept)")
     }
     spark.stop()
   }

@@ -149,6 +149,34 @@ class EngineSpec extends SparkSpec {
     assert(lines.head == """{ "a": "1", "fixed": "42" }""")
   }
 
+  test("{{__row_number__}} renders the input ordinal end-to-end (raw-wrapped, single-file source)") {
+    val dir = Files.createTempDirectory("graft-rownum")
+    Files.writeString(dir.resolve("d.csv"), "name\nann\nbob\ncal\n")
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  d:
+        |    file: d.csv
+        |transformations:
+        |  t:
+        |    source: $sources.d
+        |    operations:
+        |      - operation: add_columns
+        |        columns:
+        |          seq: "{%raw%}#{{__row_number__}}{%endraw%}"
+        |destinations:
+        |  out:
+        |    source: $transformations.t
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
+    assert(lines.toSeq == Seq(
+      """{ "name": "ann", "seq": "#0" }""",
+      """{ "name": "bob", "seq": "#1" }""",
+      """{ "name": "cal", "seq": "#2" }"""))
+  }
+
   test("version check and cycle detection") {
     val dir = Files.createTempDirectory("graft-bad")
     intercept[IllegalArgumentException](

@@ -201,6 +201,32 @@ class FunctionsSpec extends SparkSpec {
     assert(tiledRows.toSet == single && single.nonEmpty)
   }
 
+  test("multi-table LSH recovers the recall single-probe loses at numPlanes=12") {
+    // Deterministic clustered corpus: 20 near neighbors of the query at
+    // cosine ≈ 0.95 (the near-dup regime multi-table LSH exists for) among
+    // 200 decoys in random directions. At 12 planes a single AND-only
+    // bucket is so selective that most true neighbors land elsewhere; the
+    // union over 16 independent tables recovers them. Everything here is
+    // deterministic (sin-based vectors, splitmix64 planes), so the recall
+    // values are exact, not flaky.
+    val dim = 64
+    val q = Array.tabulate(dim)(j => math.sin(j * 0.31 + 1).toFloat)
+    val near = (1L to 20L).map(i => (i,
+      Array.tabulate(dim)(j => (math.sin(j * 0.31 + 1) + 0.35 * math.sin(i * 1.7 + j * 0.53)).toFloat)))
+    val far = (100L until 300L).map(i => (i,
+      Array.tabulate(dim)(j => math.sin(i * 2.9 + j * 1.3 + 7).toFloat)))
+    val vecs = (near ++ far).toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q.toSeq, 10)
+      .select("id").as[Long].collect().toSet
+    def recall(ids: Seq[Long]): Double = ids.count(truth).toDouble / truth.size
+    val single = recall(Similarity.lshTopK(vecs, "vec_id", "embedding", q.toSeq, 10, numPlanes = 12)
+      .select("id").as[Long].collect().toSeq)
+    val multi = recall(Similarity.lshTopKMultiTable(vecs, "vec_id", "embedding", q.toSeq, 10,
+      numPlanes = 12, numTables = 16).select("id").as[Long].collect().toSeq)
+    assert(multi > single, s"multi=$multi single=$single")
+    assert(multi >= 0.7, s"multi=$multi")
+  }
+
   test("cosinePairs bucketed variant is a subset of exact pairs with identical scores") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")

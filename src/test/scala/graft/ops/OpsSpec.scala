@@ -20,6 +20,17 @@ class OpsSpec extends SparkSpec {
     assert(out.head().getString(1) == "1a")
   }
 
+  test("{{__row_number__}} binds the zero-based input ordinal in add/modify templates") {
+    val df = Seq("a", "b", "c", "d").toDF("k").coalesce(1)
+    val added = Ops.addColumns(df, Seq("n" -> "row {{__row_number__}}"))
+    assert(added.columns.toSeq == Seq("k", "n")) // helper column dropped
+    assert(added.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("a" -> "row 0", "b" -> "row 1", "c" -> "row 2", "d" -> "row 3"))
+    val modified = Ops.modifyColumns(df, Seq("k" -> "{{value}}{{__row_number__}}"))
+    assert(modified.columns.toSeq == Seq("k"))
+    assert(modified.as[String].collect().toSeq == Seq("a0", "b1", "c2", "d3"))
+  }
+
   test("mapValues: exact match replace, unmatched passes through (pandas .replace)") {
     val df = Seq("x", "y", "zz").toDF("c")
     val out = Ops.mapValues(df, Seq("c"), Map("x" -> "X", "y" -> "Y"))
