@@ -284,6 +284,17 @@ object SparkEntry {
       Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
     }),
 
+    // END-TO-END near-dup removal through the YAML `dedup_near` operation
+    // dispatch itself (Engine.applyOperation) — the keep-set a declared
+    // pipeline produces, oracle-checked: pairs → CC → representatives
+    "q_dedup_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      new graft.engine.Engine(s).applyOperation(docs,
+        Map("operation" -> "dedup_near", "id_column" -> "doc_id", "column" -> "text",
+          "method" -> "jaccard", "threshold" -> "0.7", "max_doc_freq" -> "1000"),
+        Map.empty, "gate").select("doc_id")
+    }),
+
     // deterministic content-hash sampling (reproducible corpus slicing)
     "q_sample" -> ((s, d) =>
       graft.functions.Sampling.hashSample(
@@ -672,6 +683,41 @@ object SparkEntry {
            UNION
            SELECT e.dst, reach.r FROM reach, edges e WHERE e.src = reach.id)
          SELECT id, min(r) AS group_rep FROM reach GROUP BY id""",
+
+    // end-to-end dedup_near keep-set: same pair + CC computation, keeping
+    // only each group's representative (min reachable id = own id)
+    "q_dedup_near" ->
+      """WITH RECURSIVE ws AS (
+           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+           FROM documents),
+         idx AS (
+           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
+         toks AS (
+           SELECT DISTINCT id,
+             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS tok
+           FROM idx),
+         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         kept AS (
+           SELECT toks.* FROM toks
+           JOIN (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1000) f USING (tok)),
+         inter AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN counts ca ON ca.id = a_id
+           JOIN counts cb ON cb.id = b_id
+           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, reach.r FROM reach, edges e WHERE e.src = reach.id)
+         SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id""",
 
     // threshold hex literals are Sampling.thresholdHex(rate):
     // 0.2 → 33333333, 0.5 → 80000000, 0.1 → 19999999

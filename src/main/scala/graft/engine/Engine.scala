@@ -386,14 +386,17 @@ final class Engine(spark: SparkSession) {
         val shingle = Config.int(op, "shingle_size").getOrElse(3)
         // The pair generators and connectedComponents key on LongType. In the
         // engine's all-string model a non-numeric id (UUIDs, natural keys)
-        // would cast to null and silently drop EVERY row through the final
-        // semi join — so probe the column once and, when any value doesn't
-        // cast cleanly (or is null), dedup on a 64-bit surrogate hash of the
-        // id instead and semi-join back on it. (Surrogate collisions between
-        // distinct ids are ~n²/2⁶⁴ — the same odds the shingle-hash kernels
-        // already accept; the group representative then becomes min-by-hash
-        // rather than min-by-id, which is still deterministic.)
-        val badIds = df.select(count(when(col(idC).cast("long").isNull, 1)).as("bad"))
+        // would fail or null out under the long cast and drop EVERY row
+        // through the final semi join — so probe the column once (try_cast:
+        // ANSI mode makes a plain cast throw on the first malformed value)
+        // and, when any value doesn't cast cleanly (or is null), dedup on a
+        // 64-bit surrogate hash of the id instead and semi-join back on it.
+        // (Surrogate collisions between distinct ids are ~n²/2⁶⁴ — the same
+        // odds the shingle-hash kernels already accept; the group
+        // representative then becomes min-by-hash rather than min-by-id,
+        // which is still deterministic.)
+        val badIds = df.select(count(when(
+            col(idC).try_cast("long").isNull, 1)).as("bad"))
           .head().getLong(0)
         val sid = "__graft_dedup_sid__"
         val (base, keyC) =
@@ -407,8 +410,13 @@ final class Engine(spark: SparkSession) {
             maxDocFreq = Config.str(op, "max_doc_freq").map(_.toLong))
           case "simhash" => graft.functions.Dedup.simhashPairs(base, keyC, textC,
             maxHamming = Config.int(op, "max_hamming").getOrElse(3), shingleSize = shingle)
+          // `column` is an array<float> embedding here (typed sources such
+          // as parquet); pairs = exact cosine ≥ threshold via the tiled
+          // broadcast-block kernel
+          case "embedding" => graft.functions.Similarity.cosinePairsBlocked(base, keyC, textC,
+            threshold)
           case other => throw new IllegalArgumentException(
-            s"$ctx: dedup_near `method` must be one of [minhash, jaccard, simhash], not `$other`")
+            s"$ctx: dedup_near `method` must be one of [minhash, jaccard, simhash, embedding], not `$other`")
         }
         val groups = graft.functions.Dedup.connectedComponents(
           base.select(col(keyC)), keyC, pairs)

@@ -60,6 +60,37 @@ class CorpusOpsSpec extends SparkSpec {
         "column" -> "text", "method" -> "nope")))
   }
 
+  test("dedup_near with non-numeric ids (UUIDs) dedups via the surrogate-hash path") {
+    // the pair/CC machinery keys on LongType; a UUID id must NOT silently
+    // cast to null and drop every row — the engine hashes it to a surrogate
+    // and joins back on the original column
+    val uuidDocs = Seq(
+      ("a3f1c9e2-0001-4a7b-9b1d-000000000001", "the quick brown fox jumps over the lazy dog near the river"),
+      ("a3f1c9e2-0002-4a7b-9b1d-000000000002", "the quick brown fox jumps over the lazy dog near the river"),
+      ("a3f1c9e2-0003-4a7b-9b1d-000000000003", "write to jane at example dot org about databases and engines today"),
+    ).toDF("doc_id", "text")
+    for (method <- Seq("minhash", "jaccard", "simhash")) {
+      val out = run(uuidDocs, Map("operation" -> "dedup_near", "id_column" -> "doc_id",
+        "column" -> "text", "method" -> method))
+      assert(out.columns.toSeq == uuidDocs.columns.toSeq, s"method=$method")
+      val kept = out.select("doc_id").as[String].collect().toSet
+      assert(kept.size == 2 && kept.contains("a3f1c9e2-0003-4a7b-9b1d-000000000003"),
+        s"method=$method kept $kept") // one of the two dups + the distinct doc
+    }
+  }
+
+  test("dedup_near method=embedding removes cosine near-dups of a vector column") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)), // cos ≈ 0.990 with vec 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = run(vecs, Map("operation" -> "dedup_near", "id_column" -> "vec_id",
+      "column" -> "embedding", "method" -> "embedding", "threshold" -> "0.9"))
+    assert(out.select("vec_id").as[Long].collect().toSet == Set(0L, 2L))
+    assert(out.columns.toSeq == vecs.columns.toSeq)
+  }
+
   test("dedup_exact keeps the min-id representative per distinct text") {
     val out = run(docs, Map("operation" -> "dedup_exact",
       "id_column" -> "doc_id", "column" -> "text"))
