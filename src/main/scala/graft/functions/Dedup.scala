@@ -43,11 +43,27 @@ object Dedup {
 
   /** Near-duplicate pairs by word-level Jaccard similarity ≥ `threshold`.
     *
-    * Shape: explode distinct tokens → inverted index (token, id), self-join
-    * on token with id< id to count intersections, then join per-doc token
-    * counts to compute |A∪B| = |A|+|B|−|A∩B|. `maxDocFreq` (optional) drops
-    * tokens appearing in more than that many documents — the classic
-    * stop-token/skew guard that keeps posting lists bounded at corpus scale.
+    * Shape (exact, from the set-similarity-join literature — no recall
+    * loss): inverted index over each document's PREFIX only, self-join on
+    * prefix tokens for candidates, then verify candidates with the full
+    * token-set intersection.
+    *
+    * Prefix-filtering principle (ppjoin): order every document's tokens by
+    * one global total order (the 64-bit token hash); if J(A,B) ≥ t then
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with overlap ≥ α must share a
+    * token within their (size − α + 1)-prefixes — so indexing only the
+    * first |d| − ⌈t·|d|⌉ + 1 tokens per document (≈30% at t=0.7) finds
+    * every qualifying pair while the co-occurrence join shrinks to ~10% of
+    * its full-index events. The length filter (min ≥ t·max) additionally
+    * prunes inside the join.
+    *
+    * `maxDocFreq` (optional) drops tokens appearing in more than that many
+    * documents — the classic stop-token/skew guard that keeps posting lists
+    * bounded at corpus scale. The cap restricts the INTERSECTION (capped
+    * token sets) while the union size keeps the uncapped counts — mirrored
+    * exactly by the oracle. The prefix lemma still holds: the capped-set
+    * similarity only exceeds the reported one, so prefixes of the capped
+    * sets must collide for any reported pair.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleSize: Int = 3,
@@ -57,11 +73,9 @@ object Dedup {
     // Shingle in a tight mapPartitions kernel emitting 64-bit hashed token
     // arrays: measured 10×+ faster than the interpreted HOF expression
     // (transform/slice/concat_ws is per-element lambda interpretation), and
-    // the persisted frame holds long arrays, not strings. Hashing moves the
-    // join/shuffle onto longs; collisions at 64 bits are negligible and
-    // would only merge two shingles within the same pair.
-    // persist: the docs plan feeds the posting list (twice, via self-join)
-    // and the per-doc counts — without it the kernel re-runs per branch.
+    // the frames hold long arrays, not strings. Hashing moves the join/
+    // shuffle onto longs; collisions at 64 bits are negligible and would
+    // only merge two shingles within the same pair.
     val docs = df.select(col(idCol).cast(LongType), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -72,51 +86,42 @@ object Dedup {
           while (i < toks.length) { hs(i) = hash64(toks(i)); i += 1 }
           (id, hs)
         }
-      }.toDF("id", "toks").persist()
-    val counts = docs.select(col("id"), size(col("toks")).cast(LongType).as("n_toks"))
-    // The doc's token count rides through the explode (narrow, no join) to
-    // power the length filter below.
+      }.toDF("id", "toks")
     val posting0 = docs.select(col("id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
     val posting = maxDocFreq match {
       case Some(cap) =>
         val freq = posting0.groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("tok")
-        // the using-column join moves `tok` to the front — restore the
-        // (id, n, tok) order the positional toDF renames below rely on
         posting0.join(broadcast(freq), "tok").select("id", "n", "tok")
       case None => posting0
     }
-    val a = posting.toDF("a_id", "a_n", "tok")
-    val b = posting.toDF("b_id", "b_n", "tok")
-    // Length filter (exact, from the set-similarity-join literature):
-    // J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|),
-    // so min ≥ t·max. Applying it inside the join prunes pair events BEFORE
-    // the heavy co-occurrence shuffle — at corpus scale this is the
-    // difference between shuffling all co-occurrences and only plausible ones.
-    val joined = a.join(b, Seq("tok"))
+    // One groupBy rebuilds the per-doc CAPPED token array in global (hash)
+    // order, carrying the uncapped count n for the union denominator.
+    // persist: feeds the prefix index AND both sides of the verify join.
+    val docsKept = posting.groupBy("id")
+      .agg(sort_array(collect_list(col("tok"))).as("ktoks"), max(col("n")).as("n"))
+      .persist()
+    val prefix = docsKept.select(col("id"), col("n"),
+        explode(slice(col("ktoks"), lit(1),
+          greatest(size(col("ktoks")) - ceil(lit(threshold) * size(col("ktoks"))).cast("int") + 1,
+            lit(1)))).as("tok"))
+    val a = prefix.toDF("a_id", "a_n", "tok")
+    val b = prefix.toDF("b_id", "b_n", "tok")
+    // Length filter (exact): J ≥ t ⇒ |A∩B| ≥ t·max(|A|,|B|) and
+    // |A∩B| ≤ min(|A|,|B|), so min ≥ t·max — prunes pair events BEFORE the
+    // candidate shuffle.
+    val candidates = a.join(b, Seq("tok"))
       .filter(col("a_id") < col("b_id") &&
         least(col("a_n"), col("b_n")).cast("double") >=
           lit(threshold) * greatest(col("a_n"), col("b_n")))
-    // When ids fit in non-negative 32 bits (checked on the already-persisted
-    // docs frame — negative ids would corrupt the shiftleft/bitwiseAND
-    // packing silently), pack the pair into one long so the heavy
-    // co-occurrence groupBy aggregates a single 8-byte key (~35% faster);
-    // otherwise group on the two-column key.
-    val idRangeRow = docs.agg(min(col("id")), max(col("id"))).head()
-    val (minId, maxId) =
-      if (idRangeRow.isNullAt(0)) (0L, 0L)
-      else (idRangeRow.getLong(0), idRangeRow.getLong(1))
-    val inter =
-      if (minId >= 0L && maxId < Int.MaxValue.toLong)
-        joined.select((shiftleft(col("a_id"), 32) + col("b_id")).as("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("n_common"))
-          .select(shiftright(col("pk"), 32).as("a_id"),
-            col("pk").bitwiseAND(0xFFFFFFFFL).as("b_id"), col("n_common"))
-      else
-        joined.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(counts.toDF("a_id", "a_n"), "a_id")
-      .join(counts.toDF("b_id", "b_n"), "b_id")
+      .select("a_id", "b_id").distinct()
+    // Exact verify: full (capped) token-set intersection per candidate pair;
+    // union size = uncapped |A|+|B| − |A∩B| — identical to the previous
+    // full-index computation and to the oracle.
+    candidates
+      .join(docsKept.select(col("id").as("a_id"), col("ktoks").as("a_toks"), col("n").as("a_n")), "a_id")
+      .join(docsKept.select(col("id").as("b_id"), col("ktoks").as("b_toks"), col("n").as("b_n")), "b_id")
+      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))).cast(LongType))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("a_n") + col("b_n") - col("n_common")))
       .filter(col("jaccard") >= threshold)

@@ -67,4 +67,36 @@ class PropertySpec extends SparkSpec {
       sorted == xs.sorted
     }, "sort_rows")
   }
+
+  test("prefix-filtered jaccardPairs equals brute-force jaccard on random corpora") {
+    // exactness law for the ppjoin prefix index: for random small documents
+    // over a tight vocabulary (lots of shared shingles), the distributed
+    // prefix-candidate + verify pipeline must return EXACTLY the pairs a
+    // driver-side brute force finds — same ids, same rounded scores
+    val vocab = Seq("red", "blue", "fox", "dog", "run", "sit")
+    val doc: Gen[String] = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.chooseNum(2, 10).flatMap(Gen.listOfN(_, doc))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.functions.Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // independent re-implementation of the 3-word shingling (not the
+      // production kernel) so the law checks the whole pipeline
+      def shingles(t: String): Set[String] = {
+        val ws = t.toLowerCase.split(" +").filter(_.nonEmpty)
+        if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+        else Set(ws.mkString(" "))
+      }
+      val want = (for {
+        (a, i) <- texts.zipWithIndex
+        (b, j) <- texts.zipWithIndex if i < j
+        sa = shingles(a); sb = shingles(b)
+        inter = (sa & sb).size
+        jac = inter.toDouble / (sa.size + sb.size - inter)
+        if jac >= 0.6
+      } yield (i.toLong, j.toLong,
+        BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      got == want
+    }, "jaccard_prefix_exact")
+  }
 }
