@@ -222,6 +222,8 @@ final class Engine(spark: SparkSession) {
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
     "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
       "max_doc_freq", "max_hamming"),
+    "ann_topk" -> Set("id_column", "column", "k", "query", "method",
+      "num_planes", "num_tables"),
   )
 
   private def warnUnknownKeys(op: Map[String, Any], name: String, ctx: String): Unit =
@@ -425,6 +427,27 @@ final class Engine(spark: SparkSession) {
           .select(col("id").as(keyC))
         if (badIds == 0L) df.join(keep, Seq(idC), "left_semi")
         else base.join(keep, Seq(sid), "left_semi").drop(sid)
+      // similarity search from a declared pipeline: top-k rows of a typed
+      // vector column (array<float> — parquet/orc sources keep it) by
+      // cosine against a query vector given inline in the YAML. Reshapes
+      // the frame to (id, cos_sim).
+      case "ann_topk" =>
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val vecC = Config.reqStr(op, "column", ctx)
+        val k = Config.int(op, "k").getOrElse(10)
+        val q = Config.asList(op.getOrElse("query", null)).map(_.toString.toFloat)
+        if (q.isEmpty) throw new IllegalArgumentException(
+          s"$ctx: ann_topk needs `query` (a list of floats)")
+        Config.str(op, "method").getOrElse("brute") match {
+          case "brute" => graft.functions.Similarity.bruteForceTopK(df, idC, vecC, q, k)
+          case "multitable" => graft.functions.Similarity.lshTopKMultiTable(df, idC, vecC, q, k,
+            numPlanes = Config.int(op, "num_planes").getOrElse(12),
+            numTables = Config.int(op, "num_tables").getOrElse(8))
+          case "lsh" => graft.functions.Similarity.lshTopK(df, idC, vecC, q, k,
+            numPlanes = Config.int(op, "num_planes").getOrElse(8))
+          case other => throw new IllegalArgumentException(
+            s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable], not `$other`")
+        }
       // drops rows sharing any word n-gram with the benchmark frame(s)
       case "decontaminate" =>
         val idC = Config.reqStr(op, "id_column", ctx)

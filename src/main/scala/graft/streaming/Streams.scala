@@ -100,4 +100,26 @@ object Streams {
       if (events.isStreaming) events.withWatermark("ts", watermark) else events
     withWm.dropDuplicates(keyCols :+ "ts")
   }
+
+  /** Streaming NEAR-duplicate drop at the signature level: a document whose
+    * 64-bit SimHash (over distinct word shingles — Dedup.simhash, the same
+    * deterministic Column the batch path bands) matches one already seen
+    * inside the watermark horizon is dropped. This is the hamming-0 cut:
+    * reorderings/reformattings with an identical shingle profile collapse,
+    * while hamming ≤ k GROUPING remains the batch path's job
+    * (Dedup.simhashPairs + connectedComponents) — k-neighborhood state
+    * can't be keyed exactly in a single streaming operator without banding
+    * state explosion. State: one signature key per horizon, expired by the
+    * watermark; `dropDuplicatesWithinWatermark` keeps the store bounded at
+    * 100 TB/day rates. */
+  def nearDedupStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
+                      watermark: String = "1 hour"): DataFrame = {
+    val sigCol = "__graft_sig__"
+    val withSig = docs.withColumn(sigCol, graft.functions.Dedup.simhash(textCol))
+    val deduped =
+      if (docs.isStreaming)
+        withSig.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(sigCol)
+      else withSig.dropDuplicates(sigCol)
+    deduped.drop(sigCol)
+  }
 }

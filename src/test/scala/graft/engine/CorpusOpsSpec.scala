@@ -91,6 +91,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.columns.toSeq == vecs.columns.toSeq)
   }
 
+  test("ann_topk operation reshapes to (id, cos_sim), query vector inline in YAML") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = run(vecs, Map("operation" -> "ann_topk", "id_column" -> "vec_id",
+      "column" -> "embedding", "k" -> 2, "query" -> List("1.0", "0.0")))
+    assert(out.columns.toSeq == Seq("id", "cos_sim"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 2L)) // exact top-2
+    // the multi-table LSH method dispatches and finds the identical vector
+    val mt = run(vecs, Map("operation" -> "ann_topk", "id_column" -> "vec_id",
+      "column" -> "embedding", "k" -> 3, "query" -> List("1.0", "0.0"),
+      "method" -> "multitable", "num_planes" -> 6, "num_tables" -> 4))
+    assert(mt.select("id").as[Long].collect().contains(1L))
+    intercept[IllegalArgumentException](
+      run(vecs, Map("operation" -> "ann_topk", "id_column" -> "vec_id",
+        "column" -> "embedding", "query" -> List("1.0", "0.0"), "method" -> "nope")))
+  }
+
   test("dedup_exact keeps the min-id representative per distinct text") {
     val out = run(docs, Map("operation" -> "dedup_exact",
       "id_column" -> "doc_id", "column" -> "text"))

@@ -78,6 +78,31 @@ class StreamsSpec extends SparkSpec {
     assert(out.count() == batch.size) // exact duplicate row collapsed
   }
 
+  test("nearDedupStream drops signature-identical docs on a live stream, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = nearDedupStream(
+      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("near_dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(0), 1L, "the quick brown fox jumps over the lazy dog today"),
+        (ts(1), 2L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+        (ts(2), 3L, "completely different content about database engines here"))
+      q.processAllAvailable()
+      val kept = spark.table("near_dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(kept.size == 2 && kept.contains(3L) && (kept - 3L).size == 1)
+      // batch mode: same call, same semantics through dropDuplicates
+      val batchKept = nearDedupStream(Seq(
+        (ts(0), 1L, "same text here we go"),
+        (ts(1), 2L, "same text here we go"),
+        (ts(2), 3L, "other text entirely now")).toDF("ts", "doc_id", "text"),
+        "text", "ts").count()
+      assert(batchKept == 2)
+    } finally q.stop()
+  }
+
   test("corpus ops (redact, chunk) run unchanged on a live stream") {
     // stateless narrow passes accept readStream frames as-is — the same
     // batch/stream symmetry contract as windowedStats/sessionize
