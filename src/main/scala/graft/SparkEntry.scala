@@ -333,6 +333,15 @@ object SparkEntry {
         numPlanes = 8, numTables = 8)
     }),
 
+    // batch ANN JOIN: queries (vec_id 0-4) each retrieve their top-3 from
+    // the corpus (vec_id ≥ 5) through the multi-table bucket equi-join —
+    // the embedding-retrieval shape; oracle mirrors planes + window rank
+    "q_ann_join" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.annJoin(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", k = 3, numPlanes = 8, numTables = 8)
+    }),
+
     // streaming operator exercised in batch mode (same code path runs on
     // readStream; see StreamsSpec for the live-stream drive)
     "q_stream_sessions" -> ((s, d) => {
@@ -811,6 +820,36 @@ object SparkEntry {
          FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
          ORDER BY round(list_cosine_similarity(e.embedding, q.embedding), 4) DESC, e.vec_id ASC
          LIMIT 10""",
+
+    // ANN join: same 8×8 sign matrix (planeSign is independent of the
+    // consumer, so the literal block is shared with q_ann_multitable);
+    // candidates = any shared (table, bucket) across the two id ranges,
+    // exact cosine rerank, per-query top-3 by window rank
+    "q_ann_join" ->
+      s"""WITH planes AS (
+           SELECT * FROM (VALUES
+             ${graft.functions.Similarity.planesSqlValues(numTables = 8, numPlanes = 8, dim = 64)}
+           ) AS t(tbl, p, s)),
+         buckets AS (
+           SELECT e.vec_id, pl.tbl,
+                  sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.s) > 0
+                           THEN (1::BIGINT << pl.p) ELSE 0 END) AS b
+           FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+           FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.b = c.b
+           WHERE q.vec_id < 5 AND c.vec_id >= 5),
+         scored AS (
+           SELECT cand.q_id, cand.c_id,
+                  round(list_cosine_similarity(qe.embedding, ce.embedding), 4) AS cos_sim
+           FROM cand
+           JOIN embeddings qe ON qe.vec_id = cand.q_id
+           JOIN embeddings ce ON ce.vec_id = cand.c_id),
+         ranked AS (
+           SELECT q_id, c_id, cos_sim,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rk
+           FROM scored)
+         SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= 3""",
 
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents",

@@ -224,6 +224,8 @@ final class Engine(spark: SparkSession) {
       "max_doc_freq", "max_hamming"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
       "num_planes", "num_tables"),
+    "ann_join" -> Set("sources", "id_column", "column", "k",
+      "num_planes", "num_tables"),
   )
 
   private def warnUnknownKeys(op: Map[String, Any], name: String, ctx: String): Unit =
@@ -448,6 +450,20 @@ final class Engine(spark: SparkSession) {
           case other => throw new IllegalArgumentException(
             s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable], not `$other`")
         }
+      // batch ANN retrieval join: the node's frame is the QUERY side, the
+      // single `sources:` frame is the corpus; reshapes to
+      // (q_id, c_id, cos_sim, rk)
+      case "ann_join" =>
+        val corpus = sourceFrames match {
+          case Seq(one) => one
+          case _ => throw new IllegalArgumentException(
+            s"$ctx: ann_join needs exactly one `sources:` frame (the corpus)")
+        }
+        graft.functions.Similarity.annJoin(df, corpus,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "k").getOrElse(10),
+          numPlanes = Config.int(op, "num_planes").getOrElse(8),
+          numTables = Config.int(op, "num_tables").getOrElse(8))
       // drops rows sharing any word n-gram with the benchmark frame(s)
       case "decontaminate" =>
         val idC = Config.reqStr(op, "id_column", ctx)

@@ -167,6 +167,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Banded bucket expansion for one side of an ANN join: (id, tbl, bucket)
+    * per table — a single narrow kernel pass; the plane matrices are built
+    * lazily from the first vector's dimension so no driver action is
+    * needed. */
+  private def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                            numPlanes: Int, numTables: Int,
+                            outId: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var tables: Array[Array[Array[Double]]] = null
+        it.flatMap { case (id, v) =>
+          if (tables == null)
+            tables = Array.tabulate(numTables)(t => planeMatrix(t, numPlanes, v.length))
+          tables.indices.map(t => (id, t, bucketOf(v, tables(t))))
+        }
+      }.toDF(outId, "tbl", "bucket")
+  }
+
+  /** Batch ANN JOIN — for every row of `queries`, the top-k rows of
+    * `corpus` by cosine (the embedding-retrieval shape: millions of queries
+    * against a billion-vector corpus, never all-pairs). Candidates come
+    * from the OR'd multi-table bucket equi-join (one shuffle per side on
+    * (table, bucket)); only the candidate ids travel, vectors re-join
+    * after the distinct; exact cosine rerank + per-query top-k via
+    * row_number (Spark executes it as WindowGroupLimit — partial top-k
+    * before the final shuffle). Output: (q_id, c_id, cos_sim, rk). */
+  def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
+    require(numPlanes <= 63, "numPlanes must fit in a long bucket key")
+    val qb = bandedBuckets(queries, idCol, vecCol, numPlanes, numTables, "q_id")
+    val cb = bandedBuckets(corpus, idCol, vecCol, numPlanes, numTables, "c_id")
+    val cand = qb.join(cb, Seq("tbl", "bucket")).select("q_id", "c_id").distinct()
+    val qv = queries.select(col(idCol).cast(LongType).as("q_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    cand.join(qv, "q_id").join(cv, "c_id")
+      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+      .filter(col("cos_sim").isNotNull)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("q_id", "c_id", "cos_sim", "rk")
+  }
+
   /** Exact cosine near-duplicate pairs via a tiled broadcast block kernel:
     * the id space is partitioned into `ceil(n / blockRows)` blocks by
     * `id % numBlocks`; each block is collected and broadcast as primitive

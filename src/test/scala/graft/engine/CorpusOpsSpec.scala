@@ -109,6 +109,22 @@ class CorpusOpsSpec extends SparkSpec {
         "column" -> "embedding", "query" -> List("1.0", "0.0"), "method" -> "nope")))
   }
 
+  test("ann_join operation retrieves per-query top-k from the sources: corpus frame") {
+    val qs = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = run(qs, Map("operation" -> "ann_join", "id_column" -> "vec_id",
+      "column" -> "embedding", "k" -> 2, "num_planes" -> 4, "num_tables" -> 8,
+      "sources" -> List("$sources.corpus")), frames = Map("sources.corpus" -> corpus))
+    assert(out.columns.toSeq == Seq("q_id", "c_id", "cos_sim", "rk"))
+    val top = out.orderBy("rk").collect()
+    assert(top.nonEmpty && top.head.getLong(1) == 10L && top.head.getDouble(2) == 1.0)
+    intercept[IllegalArgumentException](
+      run(qs, Map("operation" -> "ann_join", "id_column" -> "vec_id",
+        "column" -> "embedding")))
+  }
+
   test("dedup_exact keeps the min-id representative per distinct text") {
     val out = run(docs, Map("operation" -> "dedup_exact",
       "id_column" -> "doc_id", "column" -> "text"))

@@ -227,6 +227,22 @@ class FunctionsSpec extends SparkSpec {
     assert(multi >= 0.7, s"multi=$multi")
   }
 
+  test("annJoin: identical vector is guaranteed candidate and ranks first; k bounds per query") {
+    val qs = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to query 0 → same bucket in EVERY table
+      (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.annJoin(qs, corpus, "vec_id", "embedding", k = 2,
+      numPlanes = 4, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val q0 = out.filter(_._1 == 0L).sortBy(_._4)
+    assert(q0.nonEmpty && q0.head._2 == 10L && q0.head._3 == 1.0 && q0.head._4 == 1L)
+    assert(out.groupBy(_._1).forall(_._2.length <= 2)) // k bound per query
+  }
+
   test("cosinePairs bucketed variant is a subset of exact pairs with identical scores") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")
