@@ -27,6 +27,28 @@ import graft.template.{Jinja, RowTemplates}
 object Destinations {
 
   def write(df: DataFrame, name: String, cfg: Map[String, Any], outputDir: Path, configDir: Path): Path = {
+    // Columnar mode (engine extension beyond the reference's template-text
+    // destinations): `format: parquet|orc|csv|json` writes spark-native
+    // multi-part columnar output — the training-data shape, where the
+    // output feeds further distributed reads, not humans. Optional
+    // `partition_by` hive-partitions for downstream partition pruning;
+    // `compression` passes through. Template/framing keys don't apply.
+    Config.str(cfg, "format").foreach { fmt =>
+      require(Set("parquet", "orc", "csv", "json").contains(fmt),
+        s"destination `$name`: unsupported format `$fmt` (parquet/orc/csv/json)")
+      require(Seq("template", "header", "footer").forall(k => Config.str(cfg, k).isEmpty),
+        s"destination `$name`: `format: $fmt` is columnar — template/header/footer don't apply")
+      Files.createDirectories(outputDir)
+      val target = outputDir.resolve(s"$name.$fmt")
+      var w = df.write.mode("overwrite")
+      val pb = Config.asScalarList(cfg.getOrElse("partition_by", Nil)).map(_.toString)
+      if (pb.nonEmpty) w = w.partitionBy(pb: _*)
+      Config.str(cfg, "compression").foreach(c => w = w.option("compression", c))
+      if (fmt == "csv") w = w.option("header", "true")
+      w.format(fmt).save(target.toString)
+      return target
+    }
+
     val extension = Config.str(cfg, "extension").getOrElse("jsonl")
     val linearize = Config.bool(cfg, "linearize", default = true)
     val partitioned = Config.bool(cfg, "partitioned")

@@ -178,7 +178,8 @@ final class Engine(spark: SparkSession) {
     "transformations" -> Set("debug", "expect", "require_rows", "show_progress", "repartition",
       "operations", "source"),
     "destinations" -> Set("debug", "expect", "require_rows", "show_progress", "repartition",
-      "source", "template", "extension", "linearize", "header", "footer", "partitioned"))
+      "source", "template", "extension", "linearize", "header", "footer", "partitioned",
+      "format", "partition_by", "compression"))
 
   private val baseOpKeys = Set("operation", "repartition")
   private val allowedOpKeys: Map[String, Set[String]] = Map(

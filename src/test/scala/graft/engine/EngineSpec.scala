@@ -177,6 +177,45 @@ class EngineSpec extends SparkSpec {
       """{ "name": "cal", "seq": "#2" }"""))
   }
 
+  test("columnar destination: format parquet with partition_by round-trips and prunes") {
+    val dir = Files.createTempDirectory("graft-columnar")
+    Files.writeString(dir.resolve("d.csv"), "id,lang,text\n1,en,hello\n2,fr,bonjour\n3,en,world\n")
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  d:
+        |    file: d.csv
+        |destinations:
+        |  out:
+        |    source: $sources.d
+        |    format: parquet
+        |    partition_by: lang
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val back = spark.read.parquet(out.resolve("out.parquet").toString)
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "lang", "text"))
+    // hive layout: partition directories exist → downstream partition pruning
+    assert(Files.exists(out.resolve("out.parquet").resolve("lang=en")))
+    assert(back.filter(org.apache.spark.sql.functions.col("lang") === "fr")
+      .select("text").collect().map(_.getString(0)).toSeq == Seq("bonjour"))
+    // framing keys are rejected in columnar mode
+    Files.writeString(dir.resolve("bad.yaml"),
+      """version: 2
+        |sources:
+        |  d:
+        |    file: d.csv
+        |destinations:
+        |  out:
+        |    source: $sources.d
+        |    format: parquet
+        |    header: "nope"
+        |""".stripMargin)
+    intercept[IllegalArgumentException](
+      new Engine(spark).run(dir.resolve("bad.yaml").toString, outputDir = Some(dir.resolve("o2"))))
+  }
+
   test("version check and cycle detection") {
     val dir = Files.createTempDirectory("graft-bad")
     intercept[IllegalArgumentException](
