@@ -333,6 +333,20 @@ object SparkEntry {
         numPlanes = 8, numTables = 8)
     }),
 
+    // IVF ANN: nlist=16 cells seeded from the 16 smallest corpus ids
+    // (iters=0 — deterministic, so the oracle recomputes the identical
+    // assignment in SQL), probe the 4 cells nearest the query, exact
+    // rerank. k-means-refined cells (iters ≥ 2) are spec-checked in
+    // FunctionsSpec (recall vs brute force); the partition-pruning build
+    // path (ivfAssign → partitionBy cell) is asserted in PlanSpec.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10,
+        nlist = 16, nprobe = 4, iters = 0)
+    }),
+
     // batch ANN JOIN: queries (vec_id 0-4) each retrieve their top-3 from
     // the corpus (vec_id ≥ 5) through the multi-table bucket equi-join —
     // the embedding-retrieval shape; oracle mirrors planes + window rank
@@ -819,6 +833,33 @@ object SparkEntry {
                 round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
          FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
          ORDER BY round(list_cosine_similarity(e.embedding, q.embedding), 4) DESC, e.vec_id ASC
+         LIMIT 10""",
+
+    // IVF: centroids are the 16 smallest-id corpus vectors (iters=0 — the
+    // deterministic seed rule), assignment ranks by dot/|centroid| in double
+    // (|v| factors out of the argmax; Spark's kernel accumulates the same
+    // way), probe = 4 nearest cells to the query, exact cosine rerank.
+    "q_ann_ivf" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+           FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 16),
+         q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         probe AS (
+           SELECT cid FROM cent, q
+           ORDER BY list_dot_product(q.embedding::DOUBLE[], cvec) / cnorm DESC, cid ASC
+           LIMIT 4),
+         assign AS (
+           SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) / c.cnorm DESC,
+                             c.cid ASC) AS rn
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0)
+         SELECT e.vec_id AS id,
+                round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+         FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1, q
+         WHERE a.cid IN (SELECT cid FROM probe)
+         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
          LIMIT 10""",
 
     // ANN join: same 8×8 sign matrix (planeSign is independent of the

@@ -214,6 +214,152 @@ object Similarity {
       .select("q_id", "c_id", "cos_sim", "rk")
   }
 
+  // --------------------------------------------------------------- IVF
+  // Inverted-file ANN: partition the corpus into `nlist` cells around
+  // centroids; a query probes only the `nprobe` nearest cells and reranks
+  // exactly. The third classic ANN family next to brute force and LSH. At
+  // 100 TB the cell id from `ivfAssign` is the Hive partition key — write
+  // the corpus `partitionBy("cell")` and the probe filter prunes whole
+  // partitions at the scan, so a query touches nprobe/nlist of the data.
+
+  /** Deterministic IVF centroids: seeds are the `iters == 0`-replicable
+    * `nlist` in-scope rows with the smallest ids (no RNG state — the DuckDB
+    * oracle mirrors the same seed rule), optionally refined by `iters`
+    * distributed Lloyd iterations: assignment is a broadcast-centroid
+    * mapPartitions kernel (narrow), the update is one groupBy-sum shuffle
+    * of (cell, sumVec, count) with map-side partial aggregation. Returned
+    * centroids are ordered by seed id, so index == tie-break rank. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 0): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+    var cents: Array[Array[Double]] = vecs.orderBy(col("id")).limit(nlist)
+      .collect().map(_._2.map(_.toDouble))
+    require(cents.nonEmpty, "ivfCentroids: input has no rows")
+    var it = 0
+    while (it < iters) {
+      val b = spark.sparkContext.broadcast(cents)
+      // (cell, sumVec, count) — reduceGroups does map-side partial combine,
+      // so one nlist-row shuffle per iteration regardless of corpus size.
+      val updated = vecs.mapPartitions { rows =>
+        val cs = b.value
+        val norms = cs.map(c => math.sqrt(c.map(x => x * x).sum))
+        rows.map { case (_, v) =>
+          (nearestCell(v, cs, norms), (v.map(_.toDouble), 1L))
+        }
+      }.groupByKey(_._1).mapValues(_._2)
+        .reduceGroups { (a, b) =>
+          val s = a._1.clone()
+          var i = 0
+          while (i < s.length) { s(i) += b._1(i); i += 1 }
+          (s, a._2 + b._2)
+        }.collect()
+      val next = cents.clone()
+      updated.foreach { case (cell, (sum, n)) => next(cell) = sum.map(_ / n) }
+      cents = next // cells that captured no rows keep their previous centroid
+      b.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest centroid by cosine (ranking needs only dot/|c| — |v| factors
+    * out); ties and the zero-vector degenerate case go to the smallest
+    * cell id, matching the oracle's `ORDER BY sim DESC, cid ASC`. */
+  private def nearestCell(v: Array[Float], cents: Array[Array[Double]],
+                          norms: Array[Double]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      if (norms(c) > 0) {
+        val cent = cents(c)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, cent.length)
+        while (i < n) { dot += v(i).toDouble * cent(i); i += 1 }
+        val sim = dot / norms(c)
+        if (sim > bestSim) { bestSim = sim; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** Tag every row with its IVF cell — the build side of the index. Persist
+    * this (or write it `partitionBy("cell")`) once and every query's probe
+    * filter becomes partition pruning instead of a full scan. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(centroids)
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = b.value
+        val norms = cs.map(c => math.sqrt(c.map(x => x * x).sum))
+        rows.map { case (id, v) => (id, v, nearestCell(v, cs, norms)) }
+      }.toDF("id", "vec", "cell")
+  }
+
+  /** IVF ANN top-k: find the `nprobe` cells nearest the query, then one
+    * narrow kernel pass assigns + filters + scores in the same loop (no
+    * materialized assignment, no shuffle before the final TakeOrdered).
+    * `iters = 0` keeps the raw seed vectors as centroids — the exact
+    * configuration the `q_ann_ivf` DuckDB oracle replicates; production
+    * callers pass `iters ≥ 2` for real k-means cells and precompute
+    * `ivfCentroids`/`ivfAssign` once per corpus. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(df, idCol, vecCol, nlist, iters)
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val qArr = query.toArray
+    val qNorm = math.sqrt(qArr.map(x => x.toDouble * x.toDouble).sum)
+    // nprobe nearest cells to the query, same tie-break as assignment
+    val probed = cents.indices
+      .map { c =>
+        val sim =
+          if (norms(c) > 0 && qNorm > 0) {
+            var dot = 0.0
+            var i = 0
+            val n = math.min(qArr.length, cents(c).length)
+            while (i < n) { dot += qArr(i).toDouble * cents(c)(i); i += 1 }
+            dot / (norms(c) * qNorm)
+          } else Double.NegativeInfinity
+        (c, sim)
+      }.sortBy { case (c, sim) => (-sim, c) }.take(nprobe).map(_._1).toSet
+    val b = spark.sparkContext.broadcast((cents, norms, probed))
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val (cs, ns, probe) = b.value
+        rows.flatMap { case (id, v) =>
+          if (!probe.contains(nearestCell(v, cs, ns))) None
+          else {
+            var dot = 0.0
+            var s = 0.0
+            var i = 0
+            while (i < v.length) {
+              dot += v(i).toDouble * qArr(i)
+              s += v(i).toDouble * v(i)
+              i += 1
+            }
+            val n = math.sqrt(s)
+            if (n > 0 && qNorm > 0) Some((id, dot / (n * qNorm))) else None
+          }
+        }
+      }.toDF("id", "cos_sim")
+      .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Exact cosine near-duplicate pairs via a tiled broadcast block kernel:
     * the id space is partitioned into `ceil(n / blockRows)` blocks by
     * `id % numBlocks`; each block is collected and broadcast as primitive

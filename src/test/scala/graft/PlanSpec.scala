@@ -75,4 +75,28 @@ class PlanSpec extends SparkSpec {
     val p = formatted("q_ann_topk")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("IVF index written partitionBy(cell): probe filter prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = functions.Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try {
+      functions.Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val probed = spark.read.parquet(dir).filter(col("cell").isin(0, 3))
+      val p = probed.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+      assert(pf.contains("cell"), s"probe filter must become a PartitionFilter, got: $pf")
+      // the pruned scan must touch only the probed cells' files
+      val touched = probed.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+          .selectedPartitions.flatMap(_.files)).map(_.getPath.toString)
+      assert(touched.nonEmpty &&
+        touched.forall(f => f.contains("cell=0") || f.contains("cell=3")),
+        s"scan must read only probed partitions: $touched")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -243,6 +243,51 @@ class FunctionsSpec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length <= 2)) // k bound per query
   }
 
+  test("ivfTopK probing every cell is exact; narrowing the probe keeps only true top-k members") {
+    val dim = 32
+    val vecs = (1L to 120L).map(i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 0.9 + j * 0.37).toFloat))).toDF("vec_id", "embedding")
+    val q = Array.tabulate(dim)(j => math.sin(0.9 + j * 0.37).toFloat) // near id 1
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q.toSeq, 10)
+      .as[(Long, Double)].collect().toSeq
+    // nprobe == nlist scans everything → must equal brute force exactly
+    val all = Similarity.ivfTopK(vecs, "vec_id", "embedding", q.toSeq, 10,
+      nlist = 8, nprobe = 8, iters = 0).as[(Long, Double)].collect().toSeq
+    assert(all == truth)
+    // a narrow probe returns a subset of the corpus ranked by the same
+    // exact cosine — every returned (id, score) it shares with truth matches
+    val narrow = Similarity.ivfTopK(vecs, "vec_id", "embedding", q.toSeq, 10,
+      nlist = 8, nprobe = 2, iters = 0).as[(Long, Double)].collect()
+    val truthMap = truth.toMap
+    assert(narrow.nonEmpty)
+    narrow.foreach { case (id, s) => truthMap.get(id).foreach(t => assert(t == s)) }
+  }
+
+  test("ivf k-means refinement keeps recall on a clustered corpus; ivfAssign covers every row once") {
+    // 3 tight clusters; seeds (smallest ids) all come from cluster 0, so
+    // iters=0 cells are degenerate — two Lloyd rounds must pull centroids
+    // apart enough that probing 2 of 6 cells still finds the query's cluster
+    val dim = 16
+    def member(cluster: Int, i: Long) = Array.tabulate(dim)(j =>
+      (math.sin(cluster * 2.1 + j * 0.5) + 0.05 * math.sin(i * 1.3 + j)).toFloat)
+    val vecs = ((1L to 40L).map(i => (i, member(0, i))) ++
+      (41L to 80L).map(i => (i, member(1, i))) ++
+      (81L to 120L).map(i => (i, member(2, i)))).toDF("vec_id", "embedding")
+    val q = member(2, 999L)
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q.toSeq, 10)
+      .select("id").as[Long].collect().toSet
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", q.toSeq, 10,
+      nlist = 6, nprobe = 2, iters = 2).select("id").as[Long].collect().toSeq
+    val recall = got.count(truth).toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall got=$got")
+    // assignment is a partition: every id appears exactly once, cell ∈ [0, nlist)
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nlist = 6, iters = 2)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .select("id", "cell").as[(Long, Int)].collect()
+    assert(assigned.map(_._1).toSet == (1L to 120L).toSet && assigned.length == 120)
+    assert(assigned.forall { case (_, c) => c >= 0 && c < 6 })
+  }
+
   test("cosinePairs bucketed variant is a subset of exact pairs with identical scores") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")
