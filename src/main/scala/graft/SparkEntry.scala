@@ -51,6 +51,21 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // region → sas7bdat (tools/GenSas, the pandas-cross-validated writer) →
+    // native Sas reader; numeric key exercises the SAS-double decode path
+    "q_source_sas" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".sas7bdat")
+      graft.tools.GenSas.write(f.toString, Seq(
+        graft.tools.GenSas.NumCol("r_regionkey",
+          rows.map(_.get(0).toString.toDouble).toSeq),
+        graft.tools.GenSas.StrCol("r_name", 32,
+          rows.map(_.getString(1)).toSeq)), rows.length)
+      graft.engine.Sources.read(s, "region_sas",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // ==================================================== column operators
     "q_add_columns" -> ((s, d) =>
       Ops.addColumns(t(s, d, "nation"),
@@ -476,6 +491,11 @@ object SparkEntry {
 
     "q_source_xlsx" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // SAS stores numerics as doubles; the all-string model renders them with
+    // the double's decimal form, so the oracle casts through DOUBLE first
+    "q_source_sas" ->
+      "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_add_columns" ->
       "SELECT n_nationkey, n_name, 'static' AS tag, n_name || '-' || n_regionkey AS combo FROM nation",

@@ -98,6 +98,7 @@ object Sources {
       case "html" | "htm" => readHtml(spark, path, cfg)
       case "feather" | "arrow" => readFeather(spark, path)
       case "dta" | "stata" => Stata.read(spark, path)
+      case "sas7bdat" | "sas" => Sas.read(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }

@@ -1,0 +1,210 @@
+// scratch fixture generator: runMain graft.tools.GenSas <outDir>
+package graft.tools
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/**
+ * Minimal sas7bdat writer — exists ONLY to produce test fixtures for the
+ * native reader (engine/Sas.scala) that an independent implementation
+ * (pandas.read_sas, driver-side) is then used to cross-validate: if pandas
+ * parses these files and returns the intended values, the layout conforms
+ * to the publicly documented format (the community spec reverse-engineered
+ * by M. Shotwell et al., also implemented by parso/ReadStat), and the
+ * Scala reader is tested against real-format bytes rather than against
+ * itself.
+ *
+ * Writes little-endian uncompressed files in BOTH documented layouts:
+ * 32-bit ("x86": 4-byte lengths, page bit offset 16, 12-byte subheader
+ * pointers) and 64-bit ("u64": 8-byte lengths, bit offset 32, 24-byte
+ * pointers). One metadata page carries the row_size / column_size /
+ * column_text / column_name / column_attributes / format subheaders, then
+ * pure DATA pages with rows packed at bit_offset+8. Numerics are SAS
+ * doubles, optionally truncated to width w (the stored bytes are the
+ * most-significant w bytes); NaN encodes SAS missing. Strings are
+ * fixed-width, space-padded.
+ */
+object GenSas {
+
+  private val Magic: Array[Byte] = Array(
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0xc2, 0xea, 0x81, 0x60,
+    0xb3, 0x14, 0x11, 0xcf, 0xbd, 0x92, 0x08, 0x00,
+    0x09, 0xc7, 0x31, 0x8c, 0x18, 0x1f, 0x10, 0x11).map(_.toByte)
+
+  sealed trait Col { def name: String; def width: Int }
+  final case class NumCol(name: String, values: Seq[Double], width: Int = 8) extends Col {
+    require(width >= 3 && width <= 8)
+  }
+  final case class StrCol(name: String, width: Int, values: Seq[String]) extends Col
+
+  def write(path: String, cols: Seq[Col], nrows: Int, u64: Boolean = false): Unit = {
+    val headerSize = 1024
+    val pageSize = 4096
+    val L = if (u64) 8 else 4
+    val bitOffset = if (u64) 32 else 16
+    val ptrLen = if (u64) 24 else 12
+
+    // row layout: numerics first, then strings (real SAS packs doubles first)
+    val ordered = cols.collect { case c: NumCol => c: Col } ++ cols.collect { case c: StrCol => c: Col }
+    var off = 0
+    val colOffset = ordered.map { c => val o = off; off += c.width; c -> o }.toMap
+    val rowLength = off
+
+    // ---- column text block: 2-byte size + 14 pad + names back to back
+    val nameBytes = cols.map(_.name.getBytes("UTF-8"))
+    val textBlockSize = 16 + nameBytes.map(_.length).sum
+    val nameOffsets = nameBytes.scanLeft(16)(_ + _.length)
+
+    def sub(len: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+      val a = new Array[Byte](len)
+      val b = ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+      fill(b); a
+    }
+    def sig(b: ByteBuffer, first4: Int): Unit = {
+      b.putInt(0, first4)
+      if (u64) b.putInt(4, first4 match {
+        case 0xf7f7f7f7 | 0xf6f6f6f6 => 0x00000000 // value-style sigs pad with zeros
+        case _ => 0xffffffff                        // pointer-style sigs pad with FF
+      })
+    }
+    def putL(b: ByteBuffer, o: Int, v: Long): Unit =
+      if (u64) b.putLong(o, v) else b.putInt(o, v.toInt)
+
+    val rowSize = sub(if (u64) 808 else 480) { b =>
+      sig(b, 0xf7f7f7f7)
+      putL(b, 5 * L, rowLength)
+      putL(b, 6 * L, nrows)
+      putL(b, 9 * L, cols.size)  // col_count_p1
+      putL(b, 10 * L, 0)         // col_count_p2
+      putL(b, 15 * L, 0)         // mix_page_row_count
+      // lcs / lcp u16 live at fixed offsets 354/378 (x86) or 682/706 (u64);
+      // zero-filled already
+    }
+    val colSize = sub(3 * L) { b => sig(b, 0xf6f6f6f6); putL(b, L, cols.size) }
+    val colText = sub(L + textBlockSize) { b =>
+      sig(b, 0xfffffffd) // bytes FD FF FF FF
+      b.putShort(L, textBlockSize.toShort)
+      var p = L + 16
+      nameBytes.foreach { nb => nb.foreach { x => b.put(p, x); p += 1 } }
+    }
+    val colName = sub(2 * L + 12 + 8 * cols.size) { b =>
+      sig(b, 0xffffffff)
+      cols.indices.foreach { i =>
+        val p = L + 8 * (i + 1)
+        b.putShort(p, 0) // text subheader idx
+        b.putShort(p + 2, nameOffsets(i).toShort)
+        b.putShort(p + 4, nameBytes(i).length.toShort)
+      }
+    }
+    val colAttrs = sub(2 * L + 12 + (L + 8) * cols.size) { b =>
+      sig(b, 0xfffffffc) // FC FF FF FF
+      // attribute vectors are per-column in NAME order (row offsets still
+      // follow the numerics-first packing via colOffset)
+      cols.indices.foreach { i =>
+        val c = cols(i)
+        putL(b, L + 8 + i * (L + 8), colOffset(c))
+        b.putInt(2 * L + 8 + i * (L + 8), c.width)
+        b.put(2 * L + 14 + i * (L + 8), (c match { case _: NumCol => 1; case _ => 2 }).toByte)
+      }
+    }
+    val fmtSubs = cols.map { _ => sub(3 * L + 40) { b => sig(b, 0xfffffbfe) } } // FE FB FF FF
+
+    val subs: Seq[Array[Byte]] = Seq(rowSize, colSize, colText, colName, colAttrs) ++ fmtSubs
+
+    // ---- meta page: header + pointer array, subheader payloads at the end
+    val meta = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
+    meta.putShort(bitOffset, 0x0000)
+    meta.putShort(bitOffset + 2, subs.size.toShort)
+    meta.putShort(bitOffset + 4, subs.size.toShort)
+    var tail = pageSize
+    val ptrBase = bitOffset + 8
+    subs.zipWithIndex.foreach { case (s, i) =>
+      tail -= s.length
+      System.arraycopy(s, 0, meta.array(), tail, s.length)
+      val p = ptrBase + ptrLen * i
+      putL(meta, p, tail)
+      putL(meta, p + L, s.length)
+      meta.put(p + 2 * L, 0: Byte)     // compression
+      meta.put(p + 2 * L + 1, 0: Byte) // type
+    }
+    require(ptrBase + ptrLen * subs.size <= tail, "meta page overflow")
+
+    // ---- data pages
+    val rowsPerPage = (pageSize - (bitOffset + 8)) / rowLength
+    val dataPages = (0 until nrows).grouped(rowsPerPage).map { rowIdx =>
+      val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
+      page.putShort(bitOffset, 0x0100.toShort)
+      page.putShort(bitOffset + 2, rowIdx.size.toShort)
+      page.putShort(bitOffset + 4, 0)
+      rowIdx.zipWithIndex.foreach { case (r, onPage) =>
+        val base = bitOffset + 8 + onPage * rowLength
+        ordered.foreach {
+          case c @ NumCol(_, vs, w) =>
+            // keep the w most-significant bytes of the LE double
+            val bits = java.lang.Double.doubleToRawLongBits(vs(r))
+            (0 until w).foreach { k =>
+              page.put(base + colOffset(c) + k, ((bits >>> (8 * (8 - w + k))) & 0xff).toByte)
+            }
+          case c @ StrCol(_, w, vs) =>
+            val raw = vs(r).getBytes("UTF-8")
+            require(raw.length <= w, s"value wider than column: ${vs(r)}")
+            val padded = raw ++ Array.fill(w - raw.length)(' '.toByte)
+            System.arraycopy(padded, 0, page.array(), base + colOffset(c), w)
+        }
+      }
+      page.array()
+    }.toSeq
+
+    // ---- header
+    val h = ByteBuffer.wrap(new Array[Byte](headerSize)).order(ByteOrder.LITTLE_ENDIAN)
+    h.put(Magic)
+    h.put(32, (if (u64) '3' else 0x22).toByte)
+    h.put(35, 0x32.toByte) // not '3' → align1 = 0
+    h.put(37, 0x01.toByte) // little-endian
+    h.put(39, '1'.toByte)  // platform: unix
+    h.put(70, 20.toByte)   // encoding: utf-8
+    def putStr(off: Int, len: Int, s: String): Unit = {
+      val b = s.getBytes("ASCII").take(len)
+      System.arraycopy(b ++ Array.fill(len - b.length)(' '.toByte), 0, h.array(), off, len)
+    }
+    putStr(92, 64, "GRAFT")
+    putStr(156, 8, "DATA")
+    h.putDouble(164, 2.0e9) // fixed created/modified timestamps (secs since 1960)
+    h.putDouble(172, 2.0e9)
+    h.putInt(196, headerSize)
+    h.putInt(200, pageSize)
+    h.putInt(204, 1 + dataPages.size)
+    putStr(216, 8, "9.0401M2")
+    putStr(224, 16, "X64_GRAFT")
+    putStr(240, 16, "4.1")
+    putStr(256, 16, "GRAFT")
+    putStr(272, 16, "Linux")
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(h.array()); out.write(meta.array()); dataPages.foreach(out.write)
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("src/test/resources")
+    // x86 layout: full-width + truncated doubles, NaN missing, strings
+    val sample = Seq(
+      NumCol("id", Seq(1, 2, 3, 4, 5).map(_.toDouble)),
+      NumCol("score", Seq(1.5, -2.25, Double.NaN, 1e10, 0.125)),
+      NumCol("half", Seq(7.5, -0.5, 3.0, Double.NaN, 96.0), width = 4),
+      StrCol("name", 8, Seq("alpha", "beta", "gamma", "delta", "eps")),
+      StrCol("city", 12, Seq("tokyo", "nairobi", "", "oslo", "quito")))
+    write(s"$dir/sample_x86.sas7bdat", sample, nrows = 5)
+    // u64 layout, same logical content
+    write(s"$dir/sample_u64.sas7bdat", sample, nrows = 5, u64 = true)
+    // multiple data pages + utf-8 content
+    val n = 250
+    write(s"$dir/multi_x86.sas7bdat",
+      Seq(
+        NumCol("k", (1 to n).map(_.toDouble)),
+        StrCol("tag", 16, (1 to n).map(i => s"row-$i-é"))),
+      nrows = n)
+    println(s"wrote sample_x86 / sample_u64 / multi_x86 .sas7bdat under $dir")
+  }
+}

@@ -91,7 +91,7 @@ class PlanSpec extends SparkSpec {
       // the pruned scan must touch only the probed cells' files
       val touched = probed.queryExecution.executedPlan.collectLeaves()
         .flatMap(_.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
-          .selectedPartitions.flatMap(_.files)).map(_.getPath.toString)
+          .selectedPartitions.toPartitionArray).map(_.urlEncodedPath)
       assert(touched.nonEmpty &&
         touched.forall(f => f.contains("cell=0") || f.contains("cell=3")),
         s"scan must read only probed partitions: $touched")

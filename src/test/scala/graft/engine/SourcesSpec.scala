@@ -92,6 +92,31 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("sas7bdat: x86 and u64 layouts read all-string, NaN/truncated doubles, utf-8") {
+    // fixtures written by tools/GenSas and CROSS-VALIDATED with
+    // pandas.read_sas (see FIXTURES.md): 8-byte and truncated 4-byte
+    // doubles, NaN missing → "", fixed-width strings space-padded
+    for (fixture <- Seq("/sample_x86.sas7bdat", "/sample_u64.sas7bdat")) {
+      val p = getClass.getResource(fixture).getPath
+      val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
+      assert(df.columns.toSeq == Seq("id", "score", "half", "name", "city"), fixture)
+      assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+      val rows = df.orderBy("id").collect().map(r => (0 until 5).map(r.getString))
+      assert(rows.map(_(0)).toSeq == Seq("1.0", "2.0", "3.0", "4.0", "5.0"), fixture)
+      assert(rows.map(_(1)).toSeq == Seq("1.5", "-2.25", "", "1.0E10", "0.125"), fixture)
+      assert(rows.map(_(2)).toSeq == Seq("7.5", "-0.5", "3.0", "", "96.0"), fixture) // width-4
+      assert(rows.map(_(3)).toSeq == Seq("alpha", "beta", "gamma", "delta", "eps"), fixture)
+      assert(rows.map(_(4)).toSeq == Seq("tokyo", "nairobi", "", "oslo", "quito"), fixture)
+    }
+    // multi-page + utf-8 + `type: sas` override for arbitrary extensions
+    val m = getClass.getResource("/multi_x86.sas7bdat").getPath
+    val big = Sources.read(spark, "m", Map("file" -> m, "type" -> "sas"),
+      java.nio.file.Paths.get("/"))
+    assert(big.count() == 250)
+    val r1 = big.filter(org.apache.spark.sql.functions.col("k") === "250.0").collect()
+    assert(r1.length == 1 && r1(0).getString(1) == "row-250-é")
+  }
+
   test("header skip is split-order-safe: header lines spanning a partition boundary") {
     // Two 300-byte junk lines + the header + data: sc.textFile splits the
     // file in half (defaultMinPartitions = 2), so the 3 skipped lines span
@@ -362,9 +387,15 @@ class SourcesSpec extends SparkSpec {
 
   test("unsupported type errors clearly") {
     val dir = tmpDir
-    Files.writeString(dir.resolve("d.sas7bdat"), "not a supported format")
+    // .sav (SPSS) remains unsupported; .pickle is Python-specific
+    Files.writeString(dir.resolve("d.sav"), "not a supported format")
     val e = intercept[IllegalArgumentException](
-      Sources.read(spark, "d", Map("file" -> "d.sas7bdat"), dir))
+      Sources.read(spark, "d", Map("file" -> "d.sav"), dir))
     assert(e.getMessage.contains("unsupported source file type"))
+    // a non-SAS payload behind the sas extension fails on the magic, not silently
+    Files.writeString(dir.resolve("d.sas7bdat"), "not a sas file")
+    val e2 = intercept[IllegalArgumentException](
+      Sources.read(spark, "d", Map("file" -> "d.sas7bdat"), dir))
+    assert(e2.getMessage.contains("magic mismatch"))
   }
 }
