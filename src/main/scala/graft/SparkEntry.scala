@@ -321,12 +321,42 @@ object SparkEntry {
         Map("en" -> 0.5), defaultRate = 0.1)
     }),
 
+    // token-budget cut: docs admitted in md5(doc_id) order until the
+    // cumulative token count reaches the budget — bucketed two-phase prefix
+    // sum, never a global single-partition window (oracle mirrors the
+    // cumulative window in one pass, same (md5, id) order)
+    "q_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+      graft.functions.Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", budget = 20000L)
+        .select("doc_id", "n_tokens")
+    }),
+
+    // deterministic corpus shuffle: stable global permutation ordinal in
+    // md5(doc_id) order — the ordinal makes the ORDER verifiable by the
+    // hash compare, not just the membership
+    "q_shuffle" -> ((s, d) =>
+      graft.functions.Sampling.hashShuffle(
+        t(s, d, "documents").select("doc_id"), "doc_id")),
+
     // ==================================================== similarity search
     "q_ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+    }),
+
+    // int8 symmetric quantization (4× less scan bandwidth at 100 TB) +
+    // exact rerank of the top-50 approximate candidates; all candidate
+    // arithmetic is integer-valued doubles so the oracle reproduces the
+    // candidate set bit-for-bit
+    "q_ann_quantized" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.quantizedTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, 10, rerank = 50)
     }),
 
     "q_ann_lsh" -> ((s, d) => {
@@ -789,6 +819,27 @@ object SparkEntry {
          WHERE substr(md5(text), 1, 8) <
            CASE WHEN lang_pred = 'en' THEN '80000000' ELSE '19999999' END""",
 
+    // cumulative tokens STRICTLY BEFORE the doc in (md5(id), id) order must
+    // be under budget — one global window here; the Spark side reproduces
+    // the same order via the bucketed two-phase prefix sum
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))::BIGINT AS n_tokens,
+             md5(cast(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM t)
+         SELECT doc_id, n_tokens FROM c WHERE before < 20000""",
+
+    "q_shuffle" ->
+      """SELECT doc_id,
+           row_number() OVER (ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) - 1 AS shuffle_pos
+         FROM documents""",
+
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
@@ -801,6 +852,35 @@ object SparkEntry {
          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id <> 0
          ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
+         LIMIT 10""",
+
+    // mirrors quantizedTopK exactly: per-vector int8 symmetric quantization
+    // (integer-valued doubles — sums are exact, so the candidate set is
+    // bit-reproducible), approx = ⟨qa,qb⟩·sa·sb, top-50 candidates, exact
+    // float-cosine rerank to top-10
+    "q_ann_quantized" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qq AS (
+           SELECT qe,
+             list_max(list_transform(qe, x -> abs(x::DOUBLE))) / 127.0 AS qs,
+             list_transform(qe, x ->
+               round(x::DOUBLE / (list_max(list_transform(qe, y -> abs(y::DOUBLE))) / 127.0))) AS qv
+           FROM q),
+         c AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS cs
+           FROM embeddings WHERE vec_id <> 0),
+         s AS (
+           SELECT vec_id, embedding,
+             list_dot_product(
+               list_transform(embedding, x -> round(x::DOUBLE / cs)),
+               (SELECT qv FROM qq)) * cs * (SELECT qs FROM qq) AS approx
+           FROM c),
+         cand AS (SELECT * FROM s ORDER BY approx DESC, vec_id ASC LIMIT 50)
+         SELECT vec_id AS id,
+           round(list_cosine_similarity(embedding, (SELECT qe FROM q)), 4) AS cos_sim
+         FROM cand
+         ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id ASC
          LIMIT 10""",
 
     // The LSH bucket is fully deterministic: hyperplane components are the

@@ -372,6 +372,28 @@ final class Engine(spark: SparkSession) {
             graft.functions.Sampling.hashSample(df, keyC,
               Config.reqStr(op, "rate", ctx).toDouble)
         }
+      // admit rows in deterministic md5(id) order until the cumulative token
+      // count reaches `budget`; tokens from `tokens_column` (numeric) or
+      // counted from `column` (text) with the engine's BPE-ish counter
+      case "token_budget" =>
+        import org.apache.spark.sql.functions.col
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val budget = Config.reqStr(op, "budget", ctx).toLong
+        Config.str(op, "tokens_column") match {
+          case Some(tc) => graft.functions.Sampling.tokenBudgetSample(df, idC, tc, budget)
+          case None =>
+            val textC = Config.reqStr(op, "column", ctx)
+            val tmp = "__graft_tokens__"
+            graft.functions.Sampling.tokenBudgetSample(
+              df.withColumn(tmp, graft.functions.TextFunctions.tokenCount(col(textC))),
+              idC, tmp, budget).drop(tmp)
+        }
+      // stable global permutation ordinal (md5 order) — the reproducible
+      // ORDER BY rand() replacement for training-data mixing
+      case "shuffle_rows" =>
+        graft.functions.Sampling.hashShuffle(df,
+          Config.reqStr(op, "id_column", ctx),
+          Config.str(op, "position_column").getOrElse("shuffle_pos"))
       case "boilerplate_removal" =>
         graft.functions.Corpus.removeBoilerplate(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
@@ -448,8 +470,10 @@ final class Engine(spark: SparkSession) {
             numTables = Config.int(op, "num_tables").getOrElse(8))
           case "lsh" => graft.functions.Similarity.lshTopK(df, idC, vecC, q, k,
             numPlanes = Config.int(op, "num_planes").getOrElse(8))
+          case "quantized" => graft.functions.Similarity.quantizedTopK(df, idC, vecC, q, k,
+            rerank = Config.int(op, "rerank").getOrElse(math.max(50, 5 * k)))
           case other => throw new IllegalArgumentException(
-            s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable], not `$other`")
+            s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable, quantized], not `$other`")
         }
       // batch ANN retrieval join: the node's frame is the QUERY side, the
       // single `sources:` frame is the corpus; reshapes to

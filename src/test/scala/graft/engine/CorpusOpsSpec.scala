@@ -48,6 +48,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter($"doc_id" === 0L).count() == 2) // 12 words, stride 6
   }
 
+  test("token_budget and shuffle_rows dispatch (string columns, the engine's model)") {
+    // token_budget with `column`: counts tokens itself; tiny budget keeps a prefix
+    val kept = run(docs, Map("operation" -> "token_budget", "id_column" -> "doc_id",
+      "column" -> "text", "budget" -> "12"))
+    assert(kept.count() >= 1 && kept.count() < 3) // budget exhausts before all docs
+    assert(kept.columns.toSeq == docs.columns.toSeq) // helper column dropped
+    // tokens_column path: explicit numeric column
+    val withTok = docs.withColumn("toks",
+      org.apache.spark.sql.functions.lit(10L))
+    val kept2 = run(withTok, Map("operation" -> "token_budget", "id_column" -> "doc_id",
+      "tokens_column" -> "toks", "budget" -> "20"))
+    assert(kept2.count() == 2)
+    // shuffle_rows: a 0-based permutation position
+    val sh = run(docs, Map("operation" -> "shuffle_rows", "id_column" -> "doc_id"))
+    assert(sh.columns.contains("shuffle_pos"))
+    assert(sh.select("shuffle_pos").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("dedup_near keeps one representative per near-dup group, all three methods") {
     for (method <- Seq("minhash", "jaccard", "simhash")) {
       val out = run(docs, Map("operation" -> "dedup_near", "id_column" -> "doc_id",

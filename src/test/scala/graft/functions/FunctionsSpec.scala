@@ -227,6 +227,53 @@ class FunctionsSpec extends SparkSpec {
     assert(multi >= 0.7, s"multi=$multi")
   }
 
+  test("quantizedTopK: int8 candidates + exact rerank match brute-force exactly here") {
+    // same deterministic clustered corpus as the multi-table test; with
+    // rerank=50 ≫ k=10 the int8 stage must not exclude any true neighbor
+    val dim = 64
+    val q = Array.tabulate(dim)(j => math.sin(j * 0.31 + 1).toFloat)
+    val near = (1L to 20L).map(i => (i,
+      Array.tabulate(dim)(j => (math.sin(j * 0.31 + 1) + 0.35 * math.sin(i * 1.7 + j * 0.53)).toFloat)))
+    val far = (100L until 300L).map(i => (i,
+      Array.tabulate(dim)(j => math.sin(i * 2.9 + j * 1.3 + 7).toFloat)))
+    val vecs = (near ++ far).toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q.toSeq, 10)
+      .select("id", "cos_sim").as[(Long, Double)].collect().toSeq
+    val quant = Similarity.quantizedTopK(vecs, "vec_id", "embedding", q.toSeq, 10, rerank = 50)
+      .select("id", "cos_sim").as[(Long, Double)].collect().toSeq
+    assert(quant == truth, s"quantized=$quant truth=$truth")
+  }
+
+  test("tokenBudgetSample admits docs in md5 order until the budget; stable under repartition") {
+    val toks = Seq((10L, 100L), (11L, 100L), (12L, 100L), (13L, 100L), (14L, 100L))
+      .toDF("doc_id", "n_tokens")
+    // manual truth: order ids by (md5(id), id), admit while cumulative-before < 250
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+    val order = Seq(10L, 11L, 12L, 13L, 14L).sortBy(i => (md5hex(i.toString), i))
+    val expected = order.take(3).toSet // 0,100,200 < 250; 300 is not
+    val got = Sampling.tokenBudgetSample(toks, "doc_id", "n_tokens", 250L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"got=$got expected=$expected (order=$order)")
+    val got8 = Sampling.tokenBudgetSample(toks.repartition(8), "doc_id", "n_tokens", 250L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got8 == expected)
+  }
+
+  test("hashShuffle yields a stable 0-based permutation, invariant to partitioning") {
+    val df = (0L until 100L).toDF("doc_id")
+    val pos = Sampling.hashShuffle(df, "doc_id").select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(pos.values.toSeq.sorted == (0L until 100L).toSeq) // a permutation
+    val pos8 = Sampling.hashShuffle(df.repartition(8), "doc_id").select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(pos8 == pos)
+    // the order is the md5 order, not the input order
+    assert(pos.toSeq.sortBy(_._2).map(_._1) !=
+      (0L until 100L).toSeq)
+  }
+
   test("annJoin: identical vector is guaranteed candidate and ranks first; k bounds per query") {
     val qs = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
