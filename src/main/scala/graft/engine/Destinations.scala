@@ -45,7 +45,29 @@ object Destinations {
       if (pb.nonEmpty) w = w.partitionBy(pb: _*)
       Config.str(cfg, "compression").foreach(c => w = w.option("compression", c))
       if (fmt == "csv") w = w.option("header", "true")
-      w.format(fmt).save(target.toString)
+      // `bucket_by: {columns: [...], num_buckets: N, sort_by: [...]}`
+      // hash-buckets the output so downstream same-key joins/aggregations
+      // read both sides co-located and skip the shuffle entirely — at
+      // 100 TB the dominant cost of a repeated join is the exchange, and
+      // bucketing pays it ONCE at write time. Spark's bucketing metadata
+      // lives in the catalog, so this path registers an EXTERNAL table
+      // (data stays under the destination dir) named `name`, overridable
+      // with `table:`.
+      Config.asMap(cfg.getOrElse("bucket_by", Map.empty[String, Any])) match {
+        case bb if bb.nonEmpty =>
+          val bcols = Config.asScalarList(bb.getOrElse("columns", Nil)).map(_.toString)
+          require(bcols.nonEmpty,
+            s"destination `$name`: bucket_by needs `columns`")
+          val n = bb.get("num_buckets").map(_.toString.toInt).getOrElse(32)
+          val tbl = Config.str(cfg, "table").getOrElse(name)
+          w = w.option("path", target.toString).bucketBy(n, bcols.head, bcols.tail: _*)
+          val sb = Config.asScalarList(bb.getOrElse("sort_by", Nil)).map(_.toString)
+          if (sb.nonEmpty) w = w.sortBy(sb.head, sb.tail: _*)
+          df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tbl`")
+          w.format(fmt).saveAsTable(tbl)
+        case _ =>
+          w.format(fmt).save(target.toString)
+      }
       return target
     }
 

@@ -224,9 +224,12 @@ final class Engine(spark: SparkSession) {
     "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
       "max_doc_freq", "max_hamming"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
-      "num_planes", "num_tables"),
+      "num_planes", "num_tables", "rerank"),
     "ann_join" -> Set("sources", "id_column", "column", "k",
       "num_planes", "num_tables"),
+    "token_budget" -> Set("id_column", "column", "tokens_column", "budget"),
+    "shuffle_rows" -> Set("id_column", "position_column"),
+    "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
   )
 
   private def warnUnknownKeys(op: Map[String, Any], name: String, ctx: String): Unit =
@@ -489,6 +492,21 @@ final class Engine(spark: SparkSession) {
           Config.int(op, "k").getOrElse(10),
           numPlanes = Config.int(op, "num_planes").getOrElse(8),
           numTables = Config.int(op, "num_tables").getOrElse(8))
+      // skew-safe equi-join against one `sources:` frame: the node's frame
+      // is the (large, possibly hot-keyed) side, salted across
+      // `salt_buckets` shuffle partitions per key
+      case "salted_join" =>
+        val small = sourceFrames match {
+          case Seq(one) => one
+          case _ => throw new IllegalArgumentException(
+            s"$ctx: salted_join needs exactly one `sources:` frame (the small side)")
+        }
+        val keys = Config.asScalarList(op.getOrElse("keys", Nil)).map(_.toString)
+        if (keys.isEmpty) throw new IllegalArgumentException(
+          s"$ctx: salted_join needs `keys`")
+        graft.functions.Joins.saltedJoin(df, small, keys,
+          Config.int(op, "salt_buckets").getOrElse(16),
+          Config.str(op, "join_type").getOrElse("inner"))
       // drops rows sharing any word n-gram with the benchmark frame(s)
       case "decontaminate" =>
         val idC = Config.reqStr(op, "id_column", ctx)

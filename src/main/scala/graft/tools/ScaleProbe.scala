@@ -76,9 +76,23 @@ object ScaleProbe {
           org.apache.spark.sql.functions.col("group_rep")).count()
       }
       spark.catalog.clearCache()
+      // training-mix primitives at the same scales: the budget cut and the
+      // global shuffle ordinal are both bucketed two-phase prefix sums —
+      // cost should track the corpus linearly, never a one-task sort
+      import org.apache.spark.sql.functions.col
+      val (tbKept, tTb) = time {
+        val withTok = docs.withColumn("toks",
+          graft.functions.TextFunctions.tokenCount(col("text")))
+        graft.functions.Sampling.tokenBudgetSample(withTok, "doc_id", "toks",
+          budget = n * 50).count()
+      }
+      val (_, tSh) = time(
+        graft.functions.Sampling.hashShuffle(docs, "doc_id").count())
+      spark.catalog.clearCache()
       println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) " +
-        f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept)")
+        f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
+        f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs")
     }
     spark.stop()
   }

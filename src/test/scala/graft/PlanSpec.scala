@@ -76,6 +76,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed destination tables: same-key join reads co-located, no shuffle") {
+    import org.apache.spark.sql.functions.col
+    val outDir = java.nio.file.Files.createTempDirectory("bucketed_dest")
+    val cfgDir = java.nio.file.Paths.get(".")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val bucketCfg = (nm: String, k: String) => Map[String, Any](
+      "format" -> "parquet", "table" -> nm,
+      "bucket_by" -> Map("columns" -> List(k), "num_buckets" -> 4, "sort_by" -> List(k)))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      engine.Destinations.write(orders, "bk_orders",
+        bucketCfg("bk_orders", "o_orderkey"), outDir, cfgDir)
+      engine.Destinations.write(lineitem, "bk_lineitem",
+        bucketCfg("bk_lineitem", "l_orderkey"), outDir, cfgDir)
+      // force SMJ so the assertion is about bucketing, not broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_orders").join(spark.table("bk_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed same-key join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+      org.apache.commons.io.FileUtils.deleteDirectory(outDir.toFile)
+    }
+  }
+
+  test("saltedJoin plan: join key carries the salt; small side replicated, not re-shuffled per key") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val ords = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val p = functions.Joins.saltedJoin(li, ords, Seq("l_orderkey"), 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("__graft_salt__"), "salt must be part of the join key")
+  }
+
   test("IVF index written partitionBy(cell): probe filter prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

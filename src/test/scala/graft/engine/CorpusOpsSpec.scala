@@ -66,6 +66,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sh.select("shuffle_pos").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("salted_join dispatch matches a plain join") {
+    val dim = Seq((0L, "zero"), (1L, "one")).toDF("doc_id", "label")
+    val out = run(docs, Map("operation" -> "salted_join",
+      "keys" -> Seq("doc_id"), "salt_buckets" -> 4,
+      "sources" -> List("$sources.dim")), Map("sources.dim" -> dim))
+    val expected = docs.join(dim, Seq("doc_id")).collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet == expected)
+    intercept[IllegalArgumentException](
+      run(docs, Map("operation" -> "salted_join", "keys" -> Seq("doc_id"))))
+  }
+
   test("dedup_near keeps one representative per near-dup group, all three methods") {
     for (method <- Seq("minhash", "jaccard", "simhash")) {
       val out = run(docs, Map("operation" -> "dedup_near", "id_column" -> "doc_id",

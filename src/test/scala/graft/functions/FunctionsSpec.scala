@@ -274,6 +274,27 @@ class FunctionsSpec extends SparkSpec {
       (0L until 100L).toSeq)
   }
 
+  test("saltedJoin matches the plain join on a skewed corpus; rejects right joins") {
+    // 90% of the large side shares one hot key — the shape that melts a
+    // single shuffle partition at scale
+    val large = (0L until 2000L).map(i => (if (i % 10 == 0) i % 7 else 999L, i))
+      .toDF("k", "v")
+    val small = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (42L, "unmatched"))
+      .toDF("k", "tag")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = large.join(small, Seq("k"), jt)
+      val salted = Joins.saltedJoin(large, small, Seq("k"), saltBuckets = 8, joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, jt)
+      val ps = plain.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val ss = salted.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(ss == ps, s"joinType=$jt")
+    }
+    intercept[IllegalArgumentException](
+      Joins.saltedJoin(large, small, Seq("k"), 8, joinType = "right"))
+    intercept[IllegalArgumentException](
+      Joins.saltedJoin(large, small, Seq("k"), 8, joinType = "outer"))
+  }
+
   test("annJoin: identical vector is guaranteed candidate and ranks first; k bounds per query") {
     val qs = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
