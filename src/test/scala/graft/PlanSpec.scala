@@ -76,6 +76,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("token budget / shuffle ordinal: prefix sum is per-bucket, never a one-task window") {
+    for (name <- Seq("q_token_budget", "q_shuffle")) {
+      val p = formatted(name)
+      assert(p.contains("Window"), s"$name must use a window for the running sum")
+      assert(!p.contains("SinglePartition"),
+        s"$name must never collapse to a single partition — that is the " +
+          s"naive global-window shape this implementation exists to avoid")
+    }
+  }
+
+  test("quantized ANN: candidate stage and rerank are TakeOrdered, no global sort") {
+    val p = formatted("q_ann_quantized")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"), "no global sort exchange")
+  }
+
   test("bucketed destination tables: same-key join reads co-located, no shuffle") {
     import org.apache.spark.sql.functions.col
     val outDir = java.nio.file.Files.createTempDirectory("bucketed_dest")
