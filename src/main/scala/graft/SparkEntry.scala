@@ -66,6 +66,22 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // region → .sav (tools/GenSpss, bytecode-compressed) → native Spss
+    // reader; numeric key exercises bias/literal decode, names the
+    // subtype-13 long-name path
+    "q_source_spss" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".sav")
+      graft.tools.GenSpss.write(f.toString, Seq(
+        graft.tools.GenSpss.NumCol("RKEY", "r_regionkey",
+          rows.map(r => Some(r.get(0).toString.toDouble)).toSeq),
+        graft.tools.GenSpss.StrCol("RNAME", "r_name", 32,
+          rows.map(_.getString(1)).toSeq)), rows.length, compressed = true)
+      graft.engine.Sources.read(s, "region_sav",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // ==================================================== column operators
     "q_add_columns" -> ((s, d) =>
       Ops.addColumns(t(s, d, "nation"),
@@ -525,6 +541,10 @@ object SparkEntry {
     // SAS stores numerics as doubles; the all-string model renders them with
     // the double's decimal form, so the oracle casts through DOUBLE first
     "q_source_sas" ->
+      "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // same double-rendering contract for SPSS numerics
+    "q_source_spss" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_add_columns" ->

@@ -1,0 +1,144 @@
+// scratch fixture generator: runMain graft.tools.GenSpss <outDir>
+package graft.tools
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/**
+ * Minimal SPSS `.sav` writer — exists ONLY to produce test fixtures for
+ * the native reader (engine/Spss.scala), following GNU PSPP's public
+ * "System File Format" documentation. NOTE (recorded in FIXTURES.md): no
+ * independent .sav implementation is available offline (no pyreadstat, no
+ * pspp, no R), so unlike the sas7bdat fixtures these are validated by the
+ * spec + round-trip only.
+ *
+ * Writes little-endian files with: the 176-byte header, variable records
+ * (numeric, and strings up to 255 bytes with type −1 continuation slots),
+ * a type-7 subtype-13 long-variable-names record, the type-999
+ * terminator, and data either uncompressed (compression 0) or
+ * bytecode-compressed (compression 1, bias 100: codes 1-251 = value−bias,
+ * 253 = literal 8-byte element follows, 254 = eight spaces, 255 = SYSMIS).
+ */
+object GenSpss {
+
+  sealed trait Col { def short: String; def long: String }
+  final case class NumCol(short: String, long: String, values: Seq[Option[Double]]) extends Col
+  final case class StrCol(short: String, long: String, width: Int, values: Seq[String]) extends Col
+
+  private val Sysmis = java.lang.Double.longBitsToDouble(0xffefffffffffffffL)
+
+  def write(path: String, cols: Seq[Col], nrows: Int, compressed: Boolean): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le(n: Int): Array[Byte] = {
+      val a = new Array[Byte](4); ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putInt(n); a
+    }
+    def led(d: Double): Array[Byte] = {
+      val a = new Array[Byte](8); ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putDouble(d); a
+    }
+    def pad(s: String, n: Int): Array[Byte] = {
+      val b = s.getBytes("ISO-8859-1").take(n)
+      b ++ Array.fill(n - b.length)(' '.toByte)
+    }
+
+    val slots = cols.map { case _: NumCol => 1; case c: StrCol => (c.width + 7) / 8 }
+
+    // ---- header (176 bytes)
+    out.write(pad("$FL2", 4))
+    out.write(pad("@(#) SPSS DATA FILE graft test writer", 60))
+    out.write(le(2))             // layout_code → little-endian marker
+    out.write(le(slots.sum))     // nominal_case_size
+    out.write(le(if (compressed) 1 else 0))
+    out.write(le(0))             // weight_index
+    out.write(le(nrows))         // ncases
+    out.write(led(100.0))        // compression bias
+    out.write(pad("01 Jan 26", 9))
+    out.write(pad("00:00:00", 8))
+    out.write(pad("graft fixture", 64))
+    out.write(pad("", 3))
+
+    // ---- variable records (type 2); long strings add type −1 continuations
+    def varRecord(typ: Int, name: String): Unit = {
+      out.write(le(2)); out.write(le(typ))
+      out.write(le(0)) // has_var_label
+      out.write(le(0)) // n_missing_values
+      out.write(le(0)); out.write(le(0)) // print / write formats
+      out.write(pad(name, 8))
+    }
+    cols.foreach {
+      case c: NumCol => varRecord(0, c.short)
+      case c: StrCol =>
+        varRecord(c.width, c.short)
+        (1 until (c.width + 7) / 8).foreach(_ => varRecord(-1, ""))
+    }
+
+    // ---- type-7 subtype-13: long variable names
+    val pairs = cols.map(c => s"${c.short}=${c.long}").mkString("\t").getBytes("ISO-8859-1")
+    out.write(le(7)); out.write(le(13)); out.write(le(1)); out.write(le(pairs.length))
+    out.write(pairs)
+
+    // ---- dictionary terminator
+    out.write(le(999)); out.write(le(0))
+
+    // ---- data
+    val caseElems: Seq[Seq[Array[Byte]]] = (0 until nrows).map { r =>
+      cols.flatMap {
+        case NumCol(_, _, vs) => Seq(led(vs(r).getOrElse(Sysmis)))
+        case StrCol(_, _, w, vs) =>
+          val raw = pad(vs(r), (w + 7) / 8 * 8)
+          raw.grouped(8).toSeq
+      }
+    }
+    if (!compressed) caseElems.foreach(_.foreach(out.write))
+    else {
+      val cmds = scala.collection.mutable.ArrayBuffer[Int]()
+      val lits = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def flush(): Unit = if (cmds.nonEmpty) {
+        while (cmds.size < 8) cmds += 0
+        cmds.foreach(out.write)
+        lits.foreach(out.write)
+        cmds.clear(); lits.clear()
+      }
+      def emit(cmd: Int, lit: Option[Array[Byte]]): Unit = {
+        cmds += cmd; lit.foreach(lits += _)
+        if (cmds.size == 8) flush()
+      }
+      val spaces = Array.fill(8)(' '.toByte)
+      caseElems.foreach { elems =>
+        var ci = 0 // index into per-case slot → column/kind tracking
+        val kinds = cols.flatMap {
+          case _: NumCol => Seq('n')
+          case c: StrCol => Seq.fill((c.width + 7) / 8)('s')
+        }
+        elems.zip(kinds).foreach { case (e, kind) =>
+          if (kind == 'n') {
+            val d = ByteBuffer.wrap(e).order(ByteOrder.LITTLE_ENDIAN).getDouble
+            if (d == Sysmis) emit(255, None)
+            else if (d == math.rint(d) && d >= 1 - 100 && d <= 251 - 100)
+              emit((d + 100).toInt, None)
+            else emit(253, Some(e))
+          } else {
+            if (e.sameElements(spaces)) emit(254, None)
+            else emit(253, Some(e))
+          }
+          ci += 1
+        }
+      }
+      emit(252, None) // end of data
+      flush()
+    }
+
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("src/test/resources")
+    val cols = Seq(
+      NumCol("ID", "id", Seq(1, 2, 3, 4, 5).map(d => Some(d.toDouble))),
+      NumCol("SCORE", "score", Seq(Some(1.5), Some(-2.25), None, Some(1e10), Some(42.0))),
+      StrCol("NAME", "name", 8, Seq("alpha", "beta", "gamma", "delta", "eps")),
+      StrCol("CITY", "city_name", 12, Seq("tokyo", "nairobi", "", "oslo", "quito")))
+    write(s"$dir/sample_plain.sav", cols, 5, compressed = false)
+    write(s"$dir/sample_comp.sav", cols, 5, compressed = true)
+    println(s"wrote sample_plain.sav and sample_comp.sav under $dir")
+  }
+}

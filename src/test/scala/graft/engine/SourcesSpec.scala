@@ -387,15 +387,43 @@ class SourcesSpec extends SparkSpec {
 
   test("unsupported type errors clearly") {
     val dir = tmpDir
-    // .sav (SPSS) remains unsupported; .pickle is Python-specific
-    Files.writeString(dir.resolve("d.sav"), "not a supported format")
+    // .pickle is Python-specific and permanently unsupported
+    Files.writeString(dir.resolve("d.pickle"), "not a supported format")
     val e = intercept[IllegalArgumentException](
-      Sources.read(spark, "d", Map("file" -> "d.sav"), dir))
+      Sources.read(spark, "d", Map("file" -> "d.pickle"), dir))
     assert(e.getMessage.contains("unsupported source file type"))
-    // a non-SAS payload behind the sas extension fails on the magic, not silently
+    // non-conforming payloads behind supported binary extensions fail on
+    // the magic, not silently
     Files.writeString(dir.resolve("d.sas7bdat"), "not a sas file")
     val e2 = intercept[IllegalArgumentException](
       Sources.read(spark, "d", Map("file" -> "d.sas7bdat"), dir))
     assert(e2.getMessage.contains("magic mismatch"))
+    Files.writeString(dir.resolve("d.sav"), "not a sav file at all, padded to length 176+ " + ("x" * 140))
+    val e3 = intercept[IllegalArgumentException](
+      Sources.read(spark, "d", Map("file" -> "d.sav"), dir))
+    assert(e3.getMessage.contains("not a .sav"))
+  }
+
+  test("spss .sav: plain and bytecode-compressed read all-string, SYSMIS -> \"\", long names") {
+    // fixtures written by tools/GenSpss from the PSPP-documented layout
+    // (no independent .sav reader exists offline — see FIXTURES.md);
+    // CITY is a 12-byte string (2 slots, exercises continuation records),
+    // SCORE row 3 is SYSMIS, 42.0 exercises the bias encoding in the
+    // compressed variant, names map through the subtype-13 record
+    for (fixture <- Seq("/sample_plain.sav", "/sample_comp.sav")) {
+      val p = getClass.getResource(fixture).getPath
+      val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
+      assert(df.columns.toSeq == Seq("id", "score", "name", "city_name"), fixture)
+      assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+      val rows = df.orderBy("id").collect().map(r => (0 until 4).map(r.getString))
+      assert(rows.map(_(0)).toSeq == Seq("1.0", "2.0", "3.0", "4.0", "5.0"), fixture)
+      assert(rows.map(_(1)).toSeq == Seq("1.5", "-2.25", "", "1.0E10", "42.0"), fixture)
+      assert(rows.map(_(2)).toSeq == Seq("alpha", "beta", "gamma", "delta", "eps"), fixture)
+      assert(rows.map(_(3)).toSeq == Seq("tokyo", "nairobi", "", "oslo", "quito"), fixture)
+    }
+    // `type: spss` override routes arbitrary extensions
+    val p = getClass.getResource("/sample_plain.sav").getPath
+    assert(Sources.read(spark, "s", Map("file" -> p, "type" -> "spss"),
+      java.nio.file.Paths.get("/")).count() == 5)
   }
 }
