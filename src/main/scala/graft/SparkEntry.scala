@@ -77,7 +77,7 @@ object SparkEntry {
         graft.tools.GenSpss.NumCol("RKEY", "r_regionkey",
           rows.map(r => Some(r.get(0).toString.toDouble)).toSeq),
         graft.tools.GenSpss.StrCol("RNAME", "r_name", 32,
-          rows.map(_.getString(1)).toSeq)), rows.length, compressed = true)
+          rows.map(_.getString(1)).toSeq)), rows.length, compression = 1)
       graft.engine.Sources.read(s, "region_sav",
         Map("file" -> f.toString), f.getParent)
     }),

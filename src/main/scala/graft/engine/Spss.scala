@@ -16,12 +16,14 @@ import java.nio.file.{Files, Paths}
  * (pyreadstat is absent), which FIXTURES.md records honestly.
  *
  * Supported: little-endian files (layout_code 2), uncompressed
- * (compression 0) and bytecode-compressed (compression 1, bias 100) data,
- * numeric variables and strings up to 255 bytes (continuation slots),
- * long variable names (type-7 subtype-13 record). Values land in the
- * engine's all-string model: SYSMIS and the bytecode missing command
- * render as "" (the reference's NaN → NULL_REPR). Unsupported, with clear
- * errors: big-endian files and zlib-compressed `.zsav` (compression 2).
+ * (compression 0), bytecode-compressed (compression 1, bias 100), and
+ * zlib-wrapped `.zsav` (`$FL3`, compression 2 — the block-deflated
+ * bytecode stream, any number of blocks) data; numeric variables and
+ * strings up to 255 bytes (continuation slots), long variable names
+ * (type-7 subtype-13 record). Values land in the engine's all-string
+ * model: SYSMIS and the bytecode missing command render as "" (the
+ * reference's NaN → NULL_REPR). Unsupported, with a clear error:
+ * big-endian files.
  *
  * Driver-side parse like Stata/Sas — the single-file format is
  * non-splittable; rows are parallelized into a distributed frame after.
@@ -45,16 +47,16 @@ object Spss {
     val magic = new String(bytes, 0, 4, "ASCII")
     require(magic == "$FL2" || magic == "$FL3",
       s"$path: not a .sav system file (magic `$magic`)")
-    require(magic == "$FL2",
-      s"$path: zlib-compressed .zsav is not supported — save uncompressed or bytecode-compressed")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val layout = buf.getInt(64)
     require(layout == 2 || layout == 3,
       s"$path: big-endian .sav files are not supported (little-endian only)")
     val nominalSize = buf.getInt(68)
     val compression = buf.getInt(72)
-    require(compression == 0 || compression == 1,
-      s"$path: unsupported .sav compression code $compression (0=none, 1=bytecode)")
+    require(compression >= 0 && compression <= 2,
+      s"$path: unsupported .sav compression code $compression (0=none, 1=bytecode, 2=zlib)")
+    require((compression == 2) == (magic == "$FL3"),
+      s"$path: magic `$magic` inconsistent with compression code $compression")
     val ncases = buf.getInt(80)
     val bias = buf.getDouble(84)
 
@@ -116,31 +118,26 @@ object Spss {
     // ---- data: a flat sequence of 8-byte elements per case
     val totalSlots = slotsPerVar.sum
     val elems = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    if (compression == 0) {
-      val need = (if (ncases >= 0) ncases else 0) * totalSlots
-      var p = pos
-      while (p + 8 <= bytes.length && (ncases < 0 || elems.size < need)) {
-        elems += java.util.Arrays.copyOfRange(bytes, p, p + 8); p += 8
-      }
-    } else {
-      // bytecode: groups of 8 command bytes; 253 pulls the next literal
-      // 8-byte element; 1..251 encode (code - bias); 254 = 8 spaces;
-      // 255 = SYSMIS; 0 = padding; 252 = end of data
+
+    // bytecode: groups of 8 command bytes; 253 pulls the next literal
+    // 8-byte element; 1..251 encode (code - bias); 254 = 8 spaces;
+    // 255 = SYSMIS; 0 = padding; 252 = end of data
+    def decodeBytecode(data: Array[Byte], start: Int): Unit = {
       val spaces = Array.fill(8)(' '.toByte)
       val sysmisElem = { val a = new Array[Byte](8)
         ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putDouble(Sysmis); a }
-      var p = pos
+      var p = start
       var eof = false
-      while (!eof && p + 8 <= bytes.length) {
-        val cmds = java.util.Arrays.copyOfRange(bytes, p, p + 8); p += 8
+      while (!eof && p + 8 <= data.length) {
+        val cmds = java.util.Arrays.copyOfRange(data, p, p + 8); p += 8
         var i = 0
         while (!eof && i < 8) {
           (cmds(i) & 0xff) match {
             case 0 => ()
             case 252 => eof = true
             case 253 =>
-              require(p + 8 <= bytes.length, s"$path: truncated .sav literal element")
-              elems += java.util.Arrays.copyOfRange(bytes, p, p + 8); p += 8
+              require(p + 8 <= data.length, s"$path: truncated .sav literal element")
+              elems += java.util.Arrays.copyOfRange(data, p, p + 8); p += 8
             case 254 => elems += spaces
             case 255 => elems += sysmisElem
             case code =>
@@ -151,6 +148,46 @@ object Spss {
           i += 1
         }
       }
+    }
+
+    if (compression == 0) {
+      val need = (if (ncases >= 0) ncases else 0) * totalSlots
+      var p = pos
+      while (p + 8 <= bytes.length && (ncases < 0 || elems.size < need)) {
+        elems += java.util.Arrays.copyOfRange(bytes, p, p + 8); p += 8
+      }
+    } else if (compression == 1) {
+      decodeBytecode(bytes, pos)
+    } else {
+      // .zsav: zheader (three int64: own offset, trailer offset, trailer
+      // length), then one zlib stream per block up to the trailer. The
+      // inflated concatenation is exactly the compression-1 bytecode
+      // stream (PSPP "ZLIB Data Header"). Block boundaries are recovered
+      // from the streams themselves — each block is an independent
+      // deflate stream, so we inflate sequentially and reset at
+      // stream-end, which avoids trusting the trailer's descriptors.
+      val zheaderOfs = buf.getLong(pos)
+      val ztrailerOfs = buf.getLong(pos + 8)
+      require(zheaderOfs == pos && ztrailerOfs > pos + 24 && ztrailerOfs <= bytes.length,
+        s"$path: corrupt .zsav header (zheader_ofs=$zheaderOfs, ztrailer_ofs=$ztrailerOfs)")
+      val inflated = new java.io.ByteArrayOutputStream()
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(bytes, pos + 24, (ztrailerOfs - (pos + 24)).toInt)
+      val chunk = new Array[Byte](1 << 16)
+      while (!(inf.finished() && inf.getRemaining == 0)) {
+        if (inf.finished()) { // block boundary: start the next zlib stream
+          val rem = inf.getRemaining
+          val nextOff = ztrailerOfs.toInt - rem
+          inf.reset()
+          inf.setInput(bytes, nextOff, rem)
+        }
+        val n = inf.inflate(chunk)
+        if (n > 0) inflated.write(chunk, 0, n)
+        else if (inf.needsInput() && !inf.finished())
+          throw new IllegalArgumentException(s"$path: truncated .zsav zlib data")
+      }
+      inf.end()
+      decodeBytecode(inflated.toByteArray, 0)
     }
 
     val nRows = if (ncases >= 0) math.min(ncases, if (totalSlots == 0) 0 else elems.size / totalSlots)

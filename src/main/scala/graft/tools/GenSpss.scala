@@ -15,9 +15,12 @@ import java.nio.file.{Files, Paths}
  * Writes little-endian files with: the 176-byte header, variable records
  * (numeric, and strings up to 255 bytes with type −1 continuation slots),
  * a type-7 subtype-13 long-variable-names record, the type-999
- * terminator, and data either uncompressed (compression 0) or
+ * terminator, and data either uncompressed (compression 0),
  * bytecode-compressed (compression 1, bias 100: codes 1-251 = value−bias,
- * 253 = literal 8-byte element follows, 254 = eight spaces, 255 = SYSMIS).
+ * 253 = literal 8-byte element follows, 254 = eight spaces, 255 = SYSMIS),
+ * or zlib-wrapped `.zsav` (compression 2, `$FL3`: the bytecode stream
+ * split into `zsavBlockSize` chunks, each an independent deflate stream,
+ * framed by the zheader and the descriptor trailer).
  */
 object GenSpss {
 
@@ -27,7 +30,8 @@ object GenSpss {
 
   private val Sysmis = java.lang.Double.longBitsToDouble(0xffefffffffffffffL)
 
-  def write(path: String, cols: Seq[Col], nrows: Int, compressed: Boolean): Unit = {
+  def write(path: String, cols: Seq[Col], nrows: Int, compression: Int,
+            zsavBlockSize: Int = 0x3ff000): Unit = {
     val out = new java.io.ByteArrayOutputStream()
     def le(n: Int): Array[Byte] = {
       val a = new Array[Byte](4); ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putInt(n); a
@@ -43,11 +47,11 @@ object GenSpss {
     val slots = cols.map { case _: NumCol => 1; case c: StrCol => (c.width + 7) / 8 }
 
     // ---- header (176 bytes)
-    out.write(pad("$FL2", 4))
+    out.write(pad(if (compression == 2) "$FL3" else "$FL2", 4))
     out.write(pad("@(#) SPSS DATA FILE graft test writer", 60))
     out.write(le(2))             // layout_code → little-endian marker
     out.write(le(slots.sum))     // nominal_case_size
-    out.write(le(if (compressed) 1 else 0))
+    out.write(le(compression))
     out.write(le(0))             // weight_index
     out.write(le(nrows))         // ncases
     out.write(led(100.0))        // compression bias
@@ -88,14 +92,14 @@ object GenSpss {
           raw.grouped(8).toSeq
       }
     }
-    if (!compressed) caseElems.foreach(_.foreach(out.write))
-    else {
+    def bytecodeStream(): Array[Byte] = {
+      val bc = new java.io.ByteArrayOutputStream()
       val cmds = scala.collection.mutable.ArrayBuffer[Int]()
       val lits = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       def flush(): Unit = if (cmds.nonEmpty) {
         while (cmds.size < 8) cmds += 0
-        cmds.foreach(out.write)
-        lits.foreach(out.write)
+        cmds.foreach(bc.write)
+        lits.foreach(bc.write)
         cmds.clear(); lits.clear()
       }
       def emit(cmd: Int, lit: Option[Array[Byte]]): Unit = {
@@ -103,12 +107,11 @@ object GenSpss {
         if (cmds.size == 8) flush()
       }
       val spaces = Array.fill(8)(' '.toByte)
+      val kinds = cols.flatMap {
+        case _: NumCol => Seq('n')
+        case c: StrCol => Seq.fill((c.width + 7) / 8)('s')
+      }
       caseElems.foreach { elems =>
-        var ci = 0 // index into per-case slot → column/kind tracking
-        val kinds = cols.flatMap {
-          case _: NumCol => Seq('n')
-          case c: StrCol => Seq.fill((c.width + 7) / 8)('s')
-        }
         elems.zip(kinds).foreach { case (e, kind) =>
           if (kind == 'n') {
             val d = ByteBuffer.wrap(e).order(ByteOrder.LITTLE_ENDIAN).getDouble
@@ -120,11 +123,47 @@ object GenSpss {
             if (e.sameElements(spaces)) emit(254, None)
             else emit(253, Some(e))
           }
-          ci += 1
         }
       }
       emit(252, None) // end of data
       flush()
+      bc.toByteArray
+    }
+
+    compression match {
+      case 0 => caseElems.foreach(_.foreach(out.write))
+      case 1 => out.write(bytecodeStream())
+      case 2 =>
+        // zheader (own offset, trailer offset, trailer length) + one
+        // deflate stream per <=zsavBlockSize chunk + descriptor trailer
+        def le8(n: Long): Array[Byte] = {
+          val a = new Array[Byte](8)
+          ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putLong(n); a
+        }
+        val raw = bytecodeStream()
+        val blocks = raw.grouped(math.max(zsavBlockSize, 8)).toSeq
+        val deflated = blocks.map { b =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(b); d.finish()
+          val outB = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](1 << 16)
+          while (!d.finished()) { val n = d.deflate(tmp); outB.write(tmp, 0, n) }
+          d.end(); outB.toByteArray
+        }
+        val zheaderOfs = out.size().toLong
+        val ztrailerOfs = zheaderOfs + 24 + deflated.map(_.length.toLong).sum
+        val ztrailerLen = 24L + 24L * blocks.size
+        out.write(le8(zheaderOfs)); out.write(le8(ztrailerOfs)); out.write(le8(ztrailerLen))
+        deflated.foreach(out.write)
+        out.write(le8(-100L)); out.write(le8(0L)) // trailer: bias as negative, zero
+        out.write(le(zsavBlockSize)); out.write(le(blocks.size))
+        var uOfs = zheaderOfs; var cOfs = zheaderOfs + 24
+        blocks.zip(deflated).foreach { case (u, c) =>
+          out.write(le8(uOfs)); out.write(le8(cOfs))
+          out.write(le(u.length)); out.write(le(c.length))
+          uOfs += u.length; cOfs += c.length
+        }
+      case other => throw new IllegalArgumentException(s"compression $other")
     }
 
     Files.write(Paths.get(path), out.toByteArray)
@@ -137,8 +176,11 @@ object GenSpss {
       NumCol("SCORE", "score", Seq(Some(1.5), Some(-2.25), None, Some(1e10), Some(42.0))),
       StrCol("NAME", "name", 8, Seq("alpha", "beta", "gamma", "delta", "eps")),
       StrCol("CITY", "city_name", 12, Seq("tokyo", "nairobi", "", "oslo", "quito")))
-    write(s"$dir/sample_plain.sav", cols, 5, compressed = false)
-    write(s"$dir/sample_comp.sav", cols, 5, compressed = true)
-    println(s"wrote sample_plain.sav and sample_comp.sav under $dir")
+    write(s"$dir/sample_plain.sav", cols, 5, compression = 0)
+    write(s"$dir/sample_comp.sav", cols, 5, compression = 1)
+    // 48-byte blocks force multiple deflate streams in a tiny fixture,
+    // exercising the reader's stream-reset block loop
+    write(s"$dir/sample_multi.zsav", cols, 5, compression = 2, zsavBlockSize = 48)
+    println(s"wrote sample_plain.sav, sample_comp.sav, sample_multi.zsav under $dir")
   }
 }

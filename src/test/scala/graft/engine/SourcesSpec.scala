@@ -404,13 +404,15 @@ class SourcesSpec extends SparkSpec {
     assert(e3.getMessage.contains("not a .sav"))
   }
 
-  test("spss .sav: plain and bytecode-compressed read all-string, SYSMIS -> \"\", long names") {
+  test("spss .sav/.zsav: plain, bytecode and zlib variants read all-string, SYSMIS -> \"\", long names") {
     // fixtures written by tools/GenSpss from the PSPP-documented layout
     // (no independent .sav reader exists offline — see FIXTURES.md);
     // CITY is a 12-byte string (2 slots, exercises continuation records),
     // SCORE row 3 is SYSMIS, 42.0 exercises the bias encoding in the
     // compressed variant, names map through the subtype-13 record
-    for (fixture <- Seq("/sample_plain.sav", "/sample_comp.sav")) {
+    // sample_multi.zsav is written with 48-byte zlib blocks so the tiny
+    // fixture still spans multiple deflate streams (block-loop coverage)
+    for (fixture <- Seq("/sample_plain.sav", "/sample_comp.sav", "/sample_multi.zsav")) {
       val p = getClass.getResource(fixture).getPath
       val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
       assert(df.columns.toSeq == Seq("id", "score", "name", "city_name"), fixture)
