@@ -82,6 +82,22 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // region → .pkl (tools/GenPickle emits the pandas object graph,
+    // cross-validated with pd.read_pickle — FIXTURES.md) → native
+    // restricted unpickler; int64 block + object block + slice placements
+    "q_source_pickle" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".pkl")
+      graft.tools.GenPickle.write(f.toString, Seq(
+        graft.tools.GenPickle.NumCol("r_regionkey",
+          rows.map(_.get(0).toString.toLong).toSeq),
+        graft.tools.GenPickle.StrCol("r_name", rows.map(_.getString(1)).toSeq)),
+        rows.length)
+      graft.engine.Sources.read(s, "region_pkl",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // ==================================================== column operators
     "q_add_columns" -> ((s, d) =>
       Ops.addColumns(t(s, d, "nation"),
@@ -542,6 +558,10 @@ object SparkEntry {
     // the double's decimal form, so the oracle casts through DOUBLE first
     "q_source_sas" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // pickle preserves int64, so the key renders without a double cast
+    "q_source_pickle" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     // same double-rendering contract for SPSS numerics
     "q_source_spss" ->

@@ -387,10 +387,9 @@ class SourcesSpec extends SparkSpec {
 
   test("unsupported type errors clearly") {
     val dir = tmpDir
-    // .pickle is Python-specific and permanently unsupported
-    Files.writeString(dir.resolve("d.pickle"), "not a supported format")
+    Files.writeString(dir.resolve("d.unknownext"), "not a supported format")
     val e = intercept[IllegalArgumentException](
-      Sources.read(spark, "d", Map("file" -> "d.pickle"), dir))
+      Sources.read(spark, "d", Map("file" -> "d.unknownext"), dir))
     assert(e.getMessage.contains("unsupported source file type"))
     // non-conforming payloads behind supported binary extensions fail on
     // the magic, not silently
@@ -402,6 +401,55 @@ class SourcesSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Sources.read(spark, "d", Map("file" -> "d.sav"), dir))
     assert(e3.getMessage.contains("not a .sav"))
+    Files.writeString(dir.resolve("d.pkl"), "not a pickle")
+    val e4 = intercept[IllegalArgumentException](
+      Sources.read(spark, "d", Map("file" -> "d.pkl"), dir))
+    assert(e4.getMessage.contains("not a binary pickle"))
+  }
+
+  test("pickle: pandas-written DataFrames (protocols 2/4/5) read all-string") {
+    // fixtures written by the container's REAL pandas (2.2.2) — the
+    // strongest cross-validation of the fixture set: we parse exactly what
+    // pd.to_pickle produced, not our own writer's output (FIXTURES.md).
+    // Covers: int64, a consolidated 2xN float64 block (a+b), bool, object
+    // with None + non-ASCII unicode, datetime64[ns] incl. microsecond,
+    // nanosecond and NaT values, block placements as slices and arrays,
+    // RangeIndex rows, and protocol 2's GLOBAL/_codecs.encode spelling.
+    for (fixture <- Seq("/sample_frame.pkl", "/sample_frame_p4.pkl")) {
+      val p = getClass.getResource(fixture).getPath
+      val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
+      assert(df.columns.toSeq == Seq("id", "a", "b", "flag", "name", "ts"), fixture)
+      assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+      val rows = df.orderBy("id").collect().map(r => (0 until 6).map(r.getString))
+      assert(rows.map(_(0)).toSeq == Seq("1", "2", "3", "4", "5"), fixture)
+      assert(rows.map(_(1)).toSeq == Seq("1.5", "-2.25", "", "1.0E10", "42.0"), fixture)
+      assert(rows.map(_(2)).toSeq == Seq("0.5", "1.5", "2.5", "3.5", "4.5"), fixture)
+      assert(rows.map(_(3)).toSeq == Seq("True", "False", "True", "True", "False"), fixture)
+      assert(rows.map(_(4)).toSeq == Seq("alpha", "beta", "", "délta", "eps"), fixture)
+      assert(rows.map(_(5)).toSeq == Seq("2026-01-01 00:00:00", "2026-01-02 03:04:05",
+        "2026-01-02 03:04:05.123456", "2026-01-02 03:04:05.000000001", ""), fixture)
+    }
+    // protocol 2 (GLOBAL text opcodes, _codecs.encode byte spelling)
+    val p2 = getClass.getResource("/sample_frame_p2.pkl").getPath
+    val df2 = Sources.read(spark, "s", Map("file" -> p2), java.nio.file.Paths.get("/"))
+    assert(df2.columns.toSeq == Seq("id", "a", "name"))
+    val r2 = df2.orderBy("id").collect().map(r => (0 until 3).map(r.getString))
+    assert(r2.map(_(1)).toSeq == Seq("1.5", "-2.25", "", "1.0E10", "42.0"))
+    assert(r2.map(_(2)).toSeq == Seq("alpha", "beta", "", "délta", "eps"))
+    // `type: pickle` override routes arbitrary extensions
+    assert(Sources.read(spark, "s", Map("file" -> p2, "type" -> "pickle"),
+      java.nio.file.Paths.get("/")).count() == 5)
+    // GenPickle (the Scala writer pandas itself can read — FIXTURES.md)
+    // round-trips through the native reader, incl. a null object element
+    val gen = tmpDir.resolve("gen.pkl")
+    graft.tools.GenPickle.write(gen.toString, Seq(
+      graft.tools.GenPickle.NumCol("id", Seq(-1L, 2L, 3000000000L)),
+      graft.tools.GenPickle.StrCol("name", Seq("alpha", "béta", null))), 3)
+    val g = Sources.read(spark, "g", Map("file" -> gen.toString), gen.getParent)
+    assert(g.columns.toSeq == Seq("id", "name"))
+    val gr = g.orderBy(org.apache.spark.sql.functions.col("id").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gr.toSeq == Seq(("-1", "alpha"), ("2", "béta"), ("3000000000", "")))
   }
 
   test("spss .sav/.zsav: plain, bytecode and zlib variants read all-string, SYSMIS -> \"\", long names") {
