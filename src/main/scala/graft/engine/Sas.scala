@@ -15,13 +15,21 @@ import java.nio.file.{Files, Paths}
  * cross-validated against pandas.read_sas (see FIXTURES.md).
  *
  * Supported: little-endian files in both the 32-bit ("x86") and 64-bit
- * ("u64") layouts, uncompressed, with META / MIX / DATA pages. Numeric
- * cells are SAS doubles, including truncated widths 3-7 (the stored bytes
- * are the most-significant bytes of the IEEE double); any NaN pattern —
- * SAS encodes `.` and `.A`-`.Z` missing values as NaNs — renders as the
- * engine's "" null, matching the all-string model (reference
- * destination.py:57 NaN → NULL_REPR). Unsupported, with clear errors:
- * big-endian files and RLE ("SASYZCRL") / RDC ("SASYZCR2") compression.
+ * ("u64") layouts, with META / MIX / DATA pages, uncompressed or RLE
+ * ("SASYZCRL" COMPRESS=CHAR) compressed. In compressed files each row is
+ * a subheader whose pointer carries compression id 4 (or 0 when stored
+ * raw at exactly row_length) and type 1 — the same unknown-signature
+ * heuristic pandas' `_get_subheader_index` uses; payloads shorter than
+ * row_length decompress through the documented control-byte scheme
+ * (0x0 long literal, 0x4 long byte-run, 0x6/0x7 long space/zero runs,
+ * 0x8-0xB short literals, 0xC short byte-run, 0xD/0xE/0xF short @/space/
+ * zero runs). Numeric cells are SAS doubles, including truncated widths
+ * 3-7 (the stored bytes are the most-significant bytes of the IEEE
+ * double); any NaN pattern — SAS encodes `.` and `.A`-`.Z` missing
+ * values as NaNs — renders as the engine's "" null, matching the
+ * all-string model (reference destination.py:57 NaN → NULL_REPR).
+ * Unsupported, with clear errors: big-endian files and RDC
+ * ("SASYZCR2") compression.
  *
  * Driver-side parse, exactly the reference's shape (pandas also
  * materializes the whole frame on one machine) — the single-file format is
@@ -90,6 +98,7 @@ object Sas {
 
     // ------- pass 1: metadata subheaders from META/MIX pages
     var rowLength = 0L; var rowCount = 0L; var mixRows = 0L; var colCount = 0L
+    var rleCompressed = false
     val textBlocks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val nameRefs = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // (block, off, len)
     val attrs = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()   // (offset, len, type)
@@ -123,9 +132,10 @@ object Sas {
                 val block = java.util.Arrays.copyOfRange(bytes, off + L, off + L + size)
                 if (textBlocks.isEmpty) {
                   val s = new String(block, "ISO-8859-1")
-                  if (s.contains("SASYZCRL") || s.contains("SASYZCR2"))
+                  if (s.contains("SASYZCR2"))
                     throw new IllegalArgumentException(
-                      s"$path: compressed sas7bdat (RLE/RDC) is not supported — re-export with COMPRESS=NO")
+                      s"$path: RDC-compressed sas7bdat (COMPRESS=BINARY) is not supported — re-export with COMPRESS=CHAR or NO")
+                  if (s.contains("SASYZCRL")) rleCompressed = true
                 }
                 textBlocks += block
               case ColName =>
@@ -161,20 +171,21 @@ object Sas {
     }.toSeq
     val colMeta = attrs.take(colCount.toInt).toSeq
 
-    // ------- pass 2: rows from MIX and DATA pages
-    def cell(rowStart: Int, meta: (Long, Int, Int)): String = {
+    // ------- pass 2: rows from MIX and DATA pages (or, when the file is
+    // RLE-compressed, from per-row data subheaders on META pages)
+    def cell(data: Array[Byte], rowStart: Int, meta: (Long, Int, Int)): String = {
       val (cOff, cLen, cType) = meta
       val p = rowStart + cOff.toInt
       if (cType == 1) { // numeric: w most-significant bytes of an IEEE double
         var bits = 0L
         var k = 0
-        while (k < cLen) { bits |= (bytes(p + k).toLong & 0xffL) << (8 * (8 - cLen + k)); k += 1 }
+        while (k < cLen) { bits |= (data(p + k).toLong & 0xffL) << (8 * (8 - cLen + k)); k += 1 }
         val d = java.lang.Double.longBitsToDouble(bits)
         if (d.isNaN) "" else d.toString
       } else {
         var end = cLen
-        while (end > 0 && (bytes(p + end - 1) == ' '.toByte || bytes(p + end - 1) == 0)) end -= 1
-        new String(bytes, p, end, charset)
+        while (end > 0 && (data(p + end - 1) == ' '.toByte || data(p + end - 1) == 0)) end -= 1
+        new String(data, p, end, charset)
       }
     }
 
@@ -182,14 +193,36 @@ object Sas {
     eachPage { ps =>
       if (rows.size < rowCount) {
         val pt = pageType(ps)
-        if (pt == 0x0200) { // mix: rows after the subheader pointers, 8-aligned
+        if (rleCompressed && (pt == 0x0000 || pt == 0x4000 || pt == 0x0200 || pt == 0x0400)) {
+          // data subheaders: unknown signature, ptr compression 4 (RLE) or
+          // 0 (stored raw at exactly row_length), ptr type 1
+          val nSub = u16(ps + bitOff + 4)
+          var i = 0
+          while (i < nSub && rows.size < rowCount) {
+            val pp = ps + bitOff + 8 + ptrLen * i
+            val shOff = uL(pp).toInt
+            val shLen = uL(pp + L).toInt
+            val compression = bytes(pp + 2 * L) & 0xff
+            val ptype = bytes(pp + 2 * L + 1) & 0xff
+            val off = ps + shOff
+            if (shLen > 0 && (compression == 0 || compression == 4) && ptype == 1 &&
+                classify(java.util.Arrays.copyOfRange(bytes, off, off + L)) == Other) {
+              val row =
+                if (shLen < rowLength)
+                  rleDecompress(bytes, off, shLen, rowLength.toInt, path)
+                else java.util.Arrays.copyOfRange(bytes, off, off + rowLength.toInt)
+              rows += colMeta.map(m => cell(row, 0, m))
+            }
+            i += 1
+          }
+        } else if (pt == 0x0200) { // mix: rows after the subheader pointers, 8-aligned
           val nSub = u16(ps + bitOff + 4)
           val base = bitOff + 8 + nSub * ptrLen
           val start = ps + base + (base % 8)
           val n = math.min(mixRows, rowCount - rows.size).toInt
           var r = 0
           while (r < n && start + (r + 1) * rowLength <= ps + pageSize) {
-            rows += colMeta.map(m => cell(start + r * rowLength.toInt, m))
+            rows += colMeta.map(m => cell(bytes, start + r * rowLength.toInt, m))
             r += 1
           }
         } else if (pt == 0x0100) { // data: block_count rows at bitOff+8
@@ -197,12 +230,56 @@ object Sas {
           val start = ps + bitOff + 8
           var r = 0
           while (r < n && start + (r + 1) * rowLength <= ps + pageSize) {
-            rows += colMeta.map(m => cell(start + r * rowLength.toInt, m))
+            rows += colMeta.map(m => cell(bytes, start + r * rowLength.toInt, m))
             r += 1
           }
         }
       }
     }
     (names, rows.toSeq)
+  }
+
+  /**
+   * SASYZCRL (COMPRESS=CHAR) row decompression. Control byte: high nibble
+   * selects the command, low nibble (efb) extends the length; the long
+   * forms take one extra length byte (and the byte-run forms the byte to
+   * repeat). Scheme as documented by the community spec and the public
+   * pandas/parso decompressors.
+   */
+  private def rleDecompress(in: Array[Byte], from: Int, len: Int,
+                            outLen: Int, path: String): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = from
+    var op = 0
+    val end = from + len
+    def fill(n: Int, x: Byte): Unit = {
+      java.util.Arrays.fill(out, op, math.min(op + n, outLen), x); op += n
+    }
+    def copy(n: Int): Unit = {
+      System.arraycopy(in, ip, out, op, math.min(n, outLen - op)); ip += n; op += n
+    }
+    while (ip < end && op < outLen) {
+      val ctrl = in(ip) & 0xf0
+      val efb = in(ip) & 0x0f
+      ip += 1
+      ctrl match {
+        case 0x00 => val n = efb * 256 + (in(ip) & 0xff) + 64; ip += 1; copy(n)
+        case 0x40 =>
+          val n = efb * 16 + (in(ip) & 0xff) + 18; ip += 1
+          val x = in(ip); ip += 1; fill(n, x)
+        case 0x60 => val n = efb * 256 + (in(ip) & 0xff) + 17; ip += 1; fill(n, 0x20)
+        case 0x70 => val n = efb * 256 + (in(ip) & 0xff) + 17; ip += 1; fill(n, 0x00)
+        case 0x80 | 0x90 | 0xa0 | 0xb0 => copy(efb + 1 + ((ctrl - 0x80) >> 4) * 16)
+        case 0xc0 => val x = in(ip); ip += 1; fill(efb + 3, x)
+        case 0xd0 => fill(efb + 2, 0x40)
+        case 0xe0 => fill(efb + 2, 0x20)
+        case 0xf0 => fill(efb + 2, 0x00)
+        case other => throw new IllegalArgumentException(
+          f"$path: unknown SASYZCRL control byte 0x$other%02x in compressed row")
+      }
+    }
+    require(op == outLen,
+      s"$path: SASYZCRL row decompressed to $op bytes, expected $outLen")
+    out
   }
 }

@@ -14,15 +14,21 @@ import java.nio.file.{Files, Paths}
  * Scala reader is tested against real-format bytes rather than against
  * itself.
  *
- * Writes little-endian uncompressed files in BOTH documented layouts:
+ * Writes little-endian files in BOTH documented layouts:
  * 32-bit ("x86": 4-byte lengths, page bit offset 16, 12-byte subheader
  * pointers) and 64-bit ("u64": 8-byte lengths, bit offset 32, 24-byte
- * pointers). One metadata page carries the row_size / column_size /
- * column_text / column_name / column_attributes / format subheaders, then
- * pure DATA pages with rows packed at bit_offset+8. Numerics are SAS
- * doubles, optionally truncated to width w (the stored bytes are the
- * most-significant w bytes); NaN encodes SAS missing. Strings are
- * fixed-width, space-padded.
+ * pointers). Uncompressed: one metadata page carries the row_size /
+ * column_size / column_text / column_name / column_attributes / format
+ * subheaders, then pure DATA pages with rows packed at bit_offset+8.
+ * RLE ("SASYZCRL", COMPRESS=CHAR): the compression literal is embedded
+ * in the first column-text block and every row becomes a data subheader
+ * (pointer compression 4, type 1 — or 0/1 stored raw when compression
+ * does not shrink the row) packed onto META pages. The encoder emits the
+ * documented command subset: short/long literals (0x8-0xB / 0x0),
+ * short/long space and zero runs (0xE/0xF / 0x6/0x7) and short byte runs
+ * (0xC). Numerics are SAS doubles, optionally truncated to width w (the
+ * stored bytes are the most-significant w bytes); NaN encodes SAS
+ * missing. Strings are fixed-width, space-padded.
  */
 object GenSas {
 
@@ -38,7 +44,8 @@ object GenSas {
   }
   final case class StrCol(name: String, width: Int, values: Seq[String]) extends Col
 
-  def write(path: String, cols: Seq[Col], nrows: Int, u64: Boolean = false): Unit = {
+  def write(path: String, cols: Seq[Col], nrows: Int, u64: Boolean = false,
+            rle: Boolean = false): Unit = {
     val headerSize = 1024
     val pageSize = 4096
     val L = if (u64) 8 else 4
@@ -85,6 +92,10 @@ object GenSas {
     val colText = sub(L + textBlockSize) { b =>
       sig(b, 0xfffffffd) // bytes FD FF FF FF
       b.putShort(L, textBlockSize.toShort)
+      if (rle) { // compression literal lives in the pad before the names
+        val lit = "SASYZCRL".getBytes("ASCII")
+        lit.indices.foreach(k => b.put(L + 8 + k, lit(k)))
+      }
       var p = L + 16
       nameBytes.foreach { nb => nb.foreach { x => b.put(p, x); p += 1 } }
     }
@@ -110,51 +121,84 @@ object GenSas {
     }
     val fmtSubs = cols.map { _ => sub(3 * L + 40) { b => sig(b, 0xfffffbfe) } } // FE FB FF FF
 
-    val subs: Seq[Array[Byte]] = Seq(rowSize, colSize, colText, colName, colAttrs) ++ fmtSubs
+    // ---- subheaders: (payload, pointer compression, pointer type)
+    val metaSubs: Seq[(Array[Byte], Int, Int)] =
+      (Seq(rowSize, colSize, colText, colName, colAttrs) ++ fmtSubs).map(s => (s, 0, 0))
 
-    // ---- meta page: header + pointer array, subheader payloads at the end
-    val meta = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
-    meta.putShort(bitOffset, 0x0000)
-    meta.putShort(bitOffset + 2, subs.size.toShort)
-    meta.putShort(bitOffset + 4, subs.size.toShort)
-    var tail = pageSize
-    val ptrBase = bitOffset + 8
-    subs.zipWithIndex.foreach { case (s, i) =>
-      tail -= s.length
-      System.arraycopy(s, 0, meta.array(), tail, s.length)
-      val p = ptrBase + ptrLen * i
-      putL(meta, p, tail)
-      putL(meta, p + L, s.length)
-      meta.put(p + 2 * L, 0: Byte)     // compression
-      meta.put(p + 2 * L + 1, 0: Byte) // type
-    }
-    require(ptrBase + ptrLen * subs.size <= tail, "meta page overflow")
-
-    // ---- data pages
-    val rowsPerPage = (pageSize - (bitOffset + 8)) / rowLength
-    val dataPages = (0 until nrows).grouped(rowsPerPage).map { rowIdx =>
-      val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
-      page.putShort(bitOffset, 0x0100.toShort)
-      page.putShort(bitOffset + 2, rowIdx.size.toShort)
-      page.putShort(bitOffset + 4, 0)
-      rowIdx.zipWithIndex.foreach { case (r, onPage) =>
-        val base = bitOffset + 8 + onPage * rowLength
-        ordered.foreach {
-          case c @ NumCol(_, vs, w) =>
-            // keep the w most-significant bytes of the LE double
-            val bits = java.lang.Double.doubleToRawLongBits(vs(r))
-            (0 until w).foreach { k =>
-              page.put(base + colOffset(c) + k, ((bits >>> (8 * (8 - w + k))) & 0xff).toByte)
-            }
-          case c @ StrCol(_, w, vs) =>
-            val raw = vs(r).getBytes("UTF-8")
-            require(raw.length <= w, s"value wider than column: ${vs(r)}")
-            val padded = raw ++ Array.fill(w - raw.length)(' '.toByte)
-            System.arraycopy(padded, 0, page.array(), base + colOffset(c), w)
-        }
+    def buildRow(r: Int): Array[Byte] = {
+      val row = new Array[Byte](rowLength)
+      ordered.foreach {
+        case c @ NumCol(_, vs, w) =>
+          // keep the w most-significant bytes of the LE double
+          val bits = java.lang.Double.doubleToRawLongBits(vs(r))
+          (0 until w).foreach { k =>
+            row(colOffset(c) + k) = ((bits >>> (8 * (8 - w + k))) & 0xff).toByte
+          }
+        case c @ StrCol(_, w, vs) =>
+          val raw = vs(r).getBytes("UTF-8")
+          require(raw.length <= w, s"value wider than column: ${vs(r)}")
+          System.arraycopy(raw ++ Array.fill(w - raw.length)(' '.toByte), 0,
+            row, colOffset(c), w)
       }
-      page.array()
-    }.toSeq
+      row
+    }
+
+    // pack subheaders onto META pages: pointers grow from bit_offset+8,
+    // payloads from the page tail
+    def packSubPages(all: Seq[(Array[Byte], Int, Int)]): Seq[Array[Byte]] = {
+      val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var pending = all
+      while (pending.nonEmpty) {
+        val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
+        page.putShort(bitOffset, 0x0000)
+        var tail = pageSize
+        val ptrBase = bitOffset + 8
+        var i = 0
+        while (pending.nonEmpty &&
+            ptrBase + ptrLen * (i + 1) <= tail - pending.head._1.length) {
+          val (s, comp, typ) = pending.head
+          tail -= s.length
+          System.arraycopy(s, 0, page.array(), tail, s.length)
+          val p = ptrBase + ptrLen * i
+          putL(page, p, tail)
+          putL(page, p + L, s.length)
+          page.put(p + 2 * L, comp.toByte)
+          page.put(p + 2 * L + 1, typ.toByte)
+          pending = pending.tail
+          i += 1
+        }
+        require(i > 0, "subheader too large for one page")
+        page.putShort(bitOffset + 2, i.toShort)
+        page.putShort(bitOffset + 4, i.toShort)
+        pages += page.array()
+      }
+      pages.toSeq
+    }
+
+    val allPages: Seq[Array[Byte]] =
+      if (rle) {
+        val rowSubs = (0 until nrows).map { r =>
+          val raw = buildRow(r)
+          val packed = rleCompress(raw)
+          if (packed.length < raw.length) (packed, 4, 1) else (raw, 0, 1)
+        }
+        packSubPages(metaSubs ++ rowSubs)
+      } else {
+        val metaPages = packSubPages(metaSubs)
+        val rowsPerPage = (pageSize - (bitOffset + 8)) / rowLength
+        val dataPages = (0 until nrows).grouped(rowsPerPage).map { rowIdx =>
+          val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
+          page.putShort(bitOffset, 0x0100.toShort)
+          page.putShort(bitOffset + 2, rowIdx.size.toShort)
+          page.putShort(bitOffset + 4, 0)
+          rowIdx.zipWithIndex.foreach { case (r, onPage) =>
+            System.arraycopy(buildRow(r), 0, page.array(),
+              bitOffset + 8 + onPage * rowLength, rowLength)
+          }
+          page.array()
+        }.toSeq
+        metaPages ++ dataPages
+      }
 
     // ---- header
     val h = ByteBuffer.wrap(new Array[Byte](headerSize)).order(ByteOrder.LITTLE_ENDIAN)
@@ -174,7 +218,7 @@ object GenSas {
     h.putDouble(172, 2.0e9)
     h.putInt(196, headerSize)
     h.putInt(200, pageSize)
-    h.putInt(204, 1 + dataPages.size)
+    h.putInt(204, allPages.size)
     putStr(216, 8, "9.0401M2")
     putStr(224, 16, "X64_GRAFT")
     putStr(240, 16, "4.1")
@@ -182,8 +226,68 @@ object GenSas {
     putStr(272, 16, "Linux")
 
     val out = new java.io.ByteArrayOutputStream()
-    out.write(h.array()); out.write(meta.array()); dataPages.foreach(out.write)
+    out.write(h.array()); allPages.foreach(out.write)
     Files.write(Paths.get(path), out.toByteArray)
+  }
+
+  /**
+   * SASYZCRL encoder (the command subset with community-agreed constants:
+   * literals, space/zero runs, short byte runs — long byte runs 0x4 and
+   * the 0xD '@' run are decode-only in engine/Sas.scala and never
+   * emitted here).
+   */
+  private[tools] def rleCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val lit = new java.io.ByteArrayOutputStream()
+    def flushLit(): Unit = {
+      val b = lit.toByteArray
+      var p = 0
+      while (p < b.length) {
+        val rem = b.length - p
+        if (rem <= 64) { // short literal: n = efb + 1 + 16 * high-bits
+          out.write(0x80 + ((rem - 1) / 16) * 16 + (rem - 1) % 16)
+          out.write(b, p, rem); p += rem
+        } else {
+          val n = math.min(rem, 64 + 255 + 15 * 256)
+          out.write(0x00 | ((n - 64) >> 8)); out.write((n - 64) & 0xff)
+          out.write(b, p, n); p += n
+        }
+      }
+      lit.reset()
+    }
+    var i = 0
+    while (i < row.length) {
+      val x = row(i)
+      var j = i + 1
+      while (j < row.length && row(j) == x) j += 1
+      var run = j - i
+      if ((x == 0x00 || x == 0x20) && run >= 2) {
+        flushLit()
+        while (run >= 2) {
+          if (run <= 17) { out.write((if (x == 0) 0xf0 else 0xe0) | (run - 2)); run = 0 }
+          else {
+            val n = math.min(run, 17 + 255 + 15 * 256)
+            out.write((if (x == 0) 0x70 else 0x60) | ((n - 17) >> 8))
+            out.write((n - 17) & 0xff)
+            run -= n
+          }
+        }
+        if (run == 1) lit.write(x)
+      } else if (run >= 4) {
+        flushLit()
+        while (run >= 4) { // 0xC short byte run, n = efb + 3
+          val n = math.min(run, 18)
+          out.write(0xc0 | (n - 3)); out.write(x)
+          run -= n
+        }
+        (0 until run).foreach(_ => lit.write(x))
+      } else {
+        (0 until run).foreach(_ => lit.write(x))
+      }
+      i = j
+    }
+    flushLit()
+    out.toByteArray
   }
 
   def main(args: Array[String]): Unit = {
@@ -198,6 +302,9 @@ object GenSas {
     write(s"$dir/sample_x86.sas7bdat", sample, nrows = 5)
     // u64 layout, same logical content
     write(s"$dir/sample_u64.sas7bdat", sample, nrows = 5, u64 = true)
+    // RLE (COMPRESS=CHAR) variants, same logical content
+    write(s"$dir/sample_rle_x86.sas7bdat", sample, nrows = 5, rle = true)
+    write(s"$dir/sample_rle_u64.sas7bdat", sample, nrows = 5, u64 = true, rle = true)
     // multiple data pages + utf-8 content
     val n = 250
     write(s"$dir/multi_x86.sas7bdat",
@@ -205,6 +312,13 @@ object GenSas {
         NumCol("k", (1 to n).map(_.toDouble)),
         StrCol("tag", 16, (1 to n).map(i => s"row-$i-é"))),
       nrows = n)
-    println(s"wrote sample_x86 / sample_u64 / multi_x86 .sas7bdat under $dir")
+    // RLE with enough rows to spill row subheaders across multiple pages;
+    // long space runs exercise the 0x6 long-run command
+    write(s"$dir/multi_rle_x86.sas7bdat",
+      Seq(
+        NumCol("k", (1 to n).map(_.toDouble)),
+        StrCol("tag", 64, (1 to n).map(i => s"row-$i-é"))),
+      nrows = n, rle = true)
+    println(s"wrote sample_x86 / sample_u64 / sample_rle_* / multi_x86 / multi_rle_x86 .sas7bdat under $dir")
   }
 }

@@ -96,7 +96,12 @@ class SourcesSpec extends SparkSpec {
     // fixtures written by tools/GenSas and CROSS-VALIDATED with
     // pandas.read_sas (see FIXTURES.md): 8-byte and truncated 4-byte
     // doubles, NaN missing → "", fixed-width strings space-padded
-    for (fixture <- Seq("/sample_x86.sas7bdat", "/sample_u64.sas7bdat")) {
+    // *_rle_* variants are SASYZCRL-compressed (COMPRESS=CHAR): every row
+    // is a compressed data subheader; pandas.read_sas cross-validates them
+    // too (FIXTURES.md), so the decompressor constants match the community
+    // decoders, not just our own encoder
+    for (fixture <- Seq("/sample_x86.sas7bdat", "/sample_u64.sas7bdat",
+        "/sample_rle_x86.sas7bdat", "/sample_rle_u64.sas7bdat")) {
       val p = getClass.getResource(fixture).getPath
       val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
       assert(df.columns.toSeq == Seq("id", "score", "half", "name", "city"), fixture)
@@ -115,6 +120,15 @@ class SourcesSpec extends SparkSpec {
     assert(big.count() == 250)
     val r1 = big.filter(org.apache.spark.sql.functions.col("k") === "250.0").collect()
     assert(r1.length == 1 && r1(0).getString(1) == "row-250-é")
+    // RLE multi-page: row subheaders spill across META pages; wide
+    // space-padded strings exercise the long-run commands
+    val mr = getClass.getResource("/multi_rle_x86.sas7bdat").getPath
+    val bigRle = Sources.read(spark, "mr", Map("file" -> mr), java.nio.file.Paths.get("/"))
+    assert(bigRle.count() == 250)
+    val r2 = bigRle.orderBy(org.apache.spark.sql.functions.col("k").cast("double"))
+      .collect()
+    assert(r2.head.getString(0) == "1.0" && r2.head.getString(1) == "row-1-é")
+    assert(r2.last.getString(0) == "250.0" && r2.last.getString(1) == "row-250-é")
   }
 
   test("header skip is split-order-safe: header lines spanning a partition boundary") {
