@@ -82,6 +82,22 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // region → .dta (tools/GenStata, classic format 114, cross-validated
+    // with pd.read_stata — FIXTURES.md) → native Stata reader; `long`
+    // typed key renders as an integer string, no double cast
+    "q_source_stata" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".dta")
+      graft.tools.GenStata.write(f.toString, Seq(
+        graft.tools.GenStata.LongCol("r_regionkey",
+          rows.map(r => Some(r.get(0).toString.toInt)).toSeq),
+        graft.tools.GenStata.StrCol("r_name", 32, rows.map(_.getString(1)).toSeq)),
+        rows.length)
+      graft.engine.Sources.read(s, "region_dta",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // region → .pkl (tools/GenPickle emits the pandas object graph,
     // cross-validated with pd.read_pickle — FIXTURES.md) → native
     // restricted unpickler; int64 block + object block + slice placements
@@ -558,6 +574,10 @@ object SparkEntry {
     // the double's decimal form, so the oracle casts through DOUBLE first
     "q_source_sas" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // dta `long` preserves integers, so the key renders without a double cast
+    "q_source_stata" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     // pickle preserves int64, so the key renders without a double cast
     "q_source_pickle" ->

@@ -70,6 +70,19 @@ class SourcesSpec extends SparkSpec {
     val p114 = getClass.getResource("/people114.dta").getPath
     assert(Sources.read(spark, "p", Map("file" -> p114, "type" -> "stata"),
       java.nio.file.Paths.get("/")).count() == 4)
+    // GenStata (the Scala 114 writer feeding gate query q_source_stata;
+    // pandas.read_stata cross-reads its output — FIXTURES.md) round-trips
+    // through the native reader, incl. long/double missing sentinels
+    val gen = tmpDir.resolve("gen.dta")
+    graft.tools.GenStata.write(gen.toString, Seq(
+      graft.tools.GenStata.LongCol("id", Seq(Some(1), Some(2), None)),
+      graft.tools.GenStata.DblCol("score", Seq(Some(1.5), None, Some(-2.25))),
+      graft.tools.GenStata.StrCol("name", 8, Seq("alpha", "béta", ""))), 3)
+    val g = Sources.read(spark, "g", Map("file" -> gen.toString), gen.getParent)
+    assert(g.columns.toSeq == Seq("id", "score", "name"))
+    val gr = g.orderBy("name").collect().map(r => (0 until 3).map(r.getString))
+    assert(gr.map(_.toList).toList == List(
+      List("", "-2.25", ""), List("1", "1.5", "alpha"), List("2", "", "béta")))
   }
 
   test("stata .dta strL columns (117 4+4 / 118 2+6 GSO pointers) and exact missing sentinels") {
