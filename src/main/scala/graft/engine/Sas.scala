@@ -28,8 +28,11 @@ import java.nio.file.{Files, Paths}
  * double); any NaN pattern — SAS encodes `.` and `.A`-`.Z` missing
  * values as NaNs — renders as the engine's "" null, matching the
  * all-string model (reference destination.py:57 NaN → NULL_REPR).
- * Unsupported, with clear errors: big-endian files and RDC
- * ("SASYZCR2") compression.
+ * RDC ("SASYZCR2" COMPRESS=BINARY) rows decompress through the Ross
+ * Data Compression scheme (16-bit control words, literal bits plus
+ * short/long RLE and back-reference pattern commands) as documented by
+ * the same community implementations. Unsupported, with a clear error:
+ * big-endian files.
  *
  * Driver-side parse, exactly the reference's shape (pandas also
  * materializes the whole frame on one machine) — the single-file format is
@@ -98,7 +101,7 @@ object Sas {
 
     // ------- pass 1: metadata subheaders from META/MIX pages
     var rowLength = 0L; var rowCount = 0L; var mixRows = 0L; var colCount = 0L
-    var rleCompressed = false
+    var compressionMethod = "" // "" | "RLE" | "RDC"
     val textBlocks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val nameRefs = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // (block, off, len)
     val attrs = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()   // (offset, len, type)
@@ -132,10 +135,8 @@ object Sas {
                 val block = java.util.Arrays.copyOfRange(bytes, off + L, off + L + size)
                 if (textBlocks.isEmpty) {
                   val s = new String(block, "ISO-8859-1")
-                  if (s.contains("SASYZCR2"))
-                    throw new IllegalArgumentException(
-                      s"$path: RDC-compressed sas7bdat (COMPRESS=BINARY) is not supported — re-export with COMPRESS=CHAR or NO")
-                  if (s.contains("SASYZCRL")) rleCompressed = true
+                  if (s.contains("SASYZCR2")) compressionMethod = "RDC"
+                  else if (s.contains("SASYZCRL")) compressionMethod = "RLE"
                 }
                 textBlocks += block
               case ColName =>
@@ -193,7 +194,8 @@ object Sas {
     eachPage { ps =>
       if (rows.size < rowCount) {
         val pt = pageType(ps)
-        if (rleCompressed && (pt == 0x0000 || pt == 0x4000 || pt == 0x0200 || pt == 0x0400)) {
+        if (compressionMethod.nonEmpty &&
+            (pt == 0x0000 || pt == 0x4000 || pt == 0x0200 || pt == 0x0400)) {
           // data subheaders: unknown signature, ptr compression 4 (RLE) or
           // 0 (stored raw at exactly row_length), ptr type 1
           val nSub = u16(ps + bitOff + 4)
@@ -208,9 +210,11 @@ object Sas {
             if (shLen > 0 && (compression == 0 || compression == 4) && ptype == 1 &&
                 classify(java.util.Arrays.copyOfRange(bytes, off, off + L)) == Other) {
               val row =
-                if (shLen < rowLength)
-                  rleDecompress(bytes, off, shLen, rowLength.toInt, path)
-                else java.util.Arrays.copyOfRange(bytes, off, off + rowLength.toInt)
+                if (shLen >= rowLength)
+                  java.util.Arrays.copyOfRange(bytes, off, off + rowLength.toInt)
+                else if (compressionMethod == "RDC")
+                  rdcDecompress(bytes, off, shLen, rowLength.toInt, path)
+                else rleDecompress(bytes, off, shLen, rowLength.toInt, path)
               rows += colMeta.map(m => cell(row, 0, m))
             }
             i += 1
@@ -280,6 +284,67 @@ object Sas {
     }
     require(op == outLen,
       s"$path: SASYZCRL row decompressed to $op bytes, expected $outLen")
+    out
+  }
+
+  /**
+   * SASYZCR2 (COMPRESS=BINARY) row decompression — Ross Data Compression
+   * as documented by the community spec and the public pandas/parso
+   * decompressors. A 16-bit control word is consumed MSB-first: a 0 bit
+   * copies one literal byte; a 1 bit reads a command nibble + count
+   * nibble: 0 = short RLE (cnt+3 of next byte), 1 = long RLE
+   * (cnt + next<<4 + 19 of following byte), 2 = long back-reference
+   * (offset cnt+3 + next<<4, length second-next + 16), 3-15 = short
+   * back-reference (offset cnt+3 + next<<4, length = command).
+   */
+  private def rdcDecompress(in: Array[Byte], from: Int, len: Int,
+                            outLen: Int, path: String): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = from
+    var op = 0
+    val end = from + len
+    var ctrlBits = 0
+    var ctrlMask = 0
+    while (ip < end && op < outLen) {
+      ctrlMask >>= 1
+      if (ctrlMask == 0) {
+        ctrlBits = ((in(ip) & 0xff) << 8) | (in(ip + 1) & 0xff)
+        ip += 2
+        ctrlMask = 0x8000
+      }
+      if ((ctrlBits & ctrlMask) == 0) {
+        out(op) = in(ip); op += 1; ip += 1
+      } else {
+        val cmd = (in(ip) >> 4) & 0x0f
+        var cnt = in(ip) & 0x0f
+        ip += 1
+        cmd match {
+          case 0 => // short RLE
+            cnt += 3
+            java.util.Arrays.fill(out, op, math.min(op + cnt, outLen), in(ip))
+            ip += 1; op += cnt
+          case 1 => // long RLE
+            cnt += ((in(ip) & 0xff) << 4) + 19
+            ip += 1
+            java.util.Arrays.fill(out, op, math.min(op + cnt, outLen), in(ip))
+            ip += 1; op += cnt
+          case 2 => // long pattern back-reference
+            val ofs = cnt + 3 + ((in(ip) & 0xff) << 4)
+            ip += 1
+            val n = (in(ip) & 0xff) + 16
+            ip += 1
+            var k = 0
+            while (k < n && op < outLen) { out(op) = out(op - ofs); op += 1; k += 1 }
+          case c => // short pattern back-reference, length = command nibble
+            val ofs = cnt + 3 + ((in(ip) & 0xff) << 4)
+            ip += 1
+            var k = 0
+            while (k < c && op < outLen) { out(op) = out(op - ofs); op += 1; k += 1 }
+        }
+      }
+    }
+    require(op == outLen,
+      s"$path: SASYZCR2 row decompressed to $op bytes, expected $outLen")
     out
   }
 }

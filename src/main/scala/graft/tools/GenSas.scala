@@ -45,7 +45,9 @@ object GenSas {
   final case class StrCol(name: String, width: Int, values: Seq[String]) extends Col
 
   def write(path: String, cols: Seq[Col], nrows: Int, u64: Boolean = false,
-            rle: Boolean = false): Unit = {
+            compress: String = ""): Unit = { // "" | "rle" | "rdc"
+    require(Set("", "rle", "rdc").contains(compress), s"compress=$compress")
+    val rle = compress.nonEmpty
     val headerSize = 1024
     val pageSize = 4096
     val L = if (u64) 8 else 4
@@ -93,7 +95,7 @@ object GenSas {
       sig(b, 0xfffffffd) // bytes FD FF FF FF
       b.putShort(L, textBlockSize.toShort)
       if (rle) { // compression literal lives in the pad before the names
-        val lit = "SASYZCRL".getBytes("ASCII")
+        val lit = (if (compress == "rdc") "SASYZCR2" else "SASYZCRL").getBytes("ASCII")
         lit.indices.foreach(k => b.put(L + 8 + k, lit(k)))
       }
       var p = L + 16
@@ -179,7 +181,7 @@ object GenSas {
       if (rle) {
         val rowSubs = (0 until nrows).map { r =>
           val raw = buildRow(r)
-          val packed = rleCompress(raw)
+          val packed = if (compress == "rdc") rdcCompress(raw) else rleCompress(raw)
           if (packed.length < raw.length) (packed, 4, 1) else (raw, 0, 1)
         }
         packSubPages(metaSubs ++ rowSubs)
@@ -290,6 +292,46 @@ object GenSas {
     out.toByteArray
   }
 
+  /**
+   * SASYZCR2 (RDC) encoder subset: literal bits and the RLE commands
+   * (short 0x0: cnt+3, long 0x1: cnt + next<<4 + 19). The back-reference
+   * pattern commands (2-15) are decode-only in engine/Sas.scala.
+   * Items are emitted in groups of 16 under one MSB-first control word.
+   */
+  private[tools] def rdcCompress(row: Array[Byte]): Array[Byte] = {
+    val items = scala.collection.mutable.ArrayBuffer[(Boolean, Array[Byte])]()
+    var i = 0
+    while (i < row.length) {
+      val x = row(i)
+      var j = i + 1
+      while (j < row.length && row(j) == x) j += 1
+      var run = j - i
+      if (run >= 3) {
+        while (run >= 3) {
+          if (run <= 18) { items += ((true, Array((run - 3).toByte, x))); run = 0 }
+          else {
+            val n = math.min(run, 15 + (255 << 4) + 19)
+            val c = n - 19
+            items += ((true, Array((0x10 | (c & 0x0f)).toByte, ((c >> 4) & 0xff).toByte, x)))
+            run -= n
+          }
+        }
+        (0 until run).foreach(_ => items += ((false, Array(x))))
+      } else {
+        (i until j).foreach(k => items += ((false, Array(row(k)))))
+      }
+      i = j
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    items.grouped(16).foreach { g =>
+      var bits = 0
+      g.zipWithIndex.foreach { case ((isCmd, _), k) => if (isCmd) bits |= (0x8000 >> k) }
+      out.write((bits >> 8) & 0xff); out.write(bits & 0xff)
+      g.foreach { case (_, payload) => out.write(payload) }
+    }
+    out.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("src/test/resources")
     // x86 layout: full-width + truncated doubles, NaN missing, strings
@@ -303,8 +345,10 @@ object GenSas {
     // u64 layout, same logical content
     write(s"$dir/sample_u64.sas7bdat", sample, nrows = 5, u64 = true)
     // RLE (COMPRESS=CHAR) variants, same logical content
-    write(s"$dir/sample_rle_x86.sas7bdat", sample, nrows = 5, rle = true)
-    write(s"$dir/sample_rle_u64.sas7bdat", sample, nrows = 5, u64 = true, rle = true)
+    write(s"$dir/sample_rle_x86.sas7bdat", sample, nrows = 5, compress = "rle")
+    write(s"$dir/sample_rle_u64.sas7bdat", sample, nrows = 5, u64 = true, compress = "rle")
+    // RDC (COMPRESS=BINARY) variant, same logical content
+    write(s"$dir/sample_rdc_x86.sas7bdat", sample, nrows = 5, compress = "rdc")
     // multiple data pages + utf-8 content
     val n = 250
     write(s"$dir/multi_x86.sas7bdat",
@@ -318,7 +362,7 @@ object GenSas {
       Seq(
         NumCol("k", (1 to n).map(_.toDouble)),
         StrCol("tag", 64, (1 to n).map(i => s"row-$i-é"))),
-      nrows = n, rle = true)
-    println(s"wrote sample_x86 / sample_u64 / sample_rle_* / multi_x86 / multi_rle_x86 .sas7bdat under $dir")
+      nrows = n, compress = "rle")
+    println(s"wrote sample_x86 / sample_u64 / sample_rle_* / sample_rdc_x86 / multi_x86 / multi_rle_x86 .sas7bdat under $dir")
   }
 }
