@@ -10,19 +10,19 @@ import java.nio.file.{Files, Paths}
  * (reference nodes/source.py:415-417) without pandas: the dta format is
  * publicly documented by Stata (`help dta` / www.stata.com/help.cgi?dta),
  * and this parses it directly. Supported: classic binary formats 113/114/115
- * (Stata 8-12) and pseudo-XML formats 117/118 (Stata 13/14+), little-endian
- * (all pandas/Stata-on-x86 output). Values land as the engine's all-string
- * model: numeric missing sentinels and NaN become "" (the reference's
- * NaN → NULL_REPR, destination.py:57).
+ * (Stata 8-12) and pseudo-XML formats 117/118 (Stata 13/14+), in both byte
+ * orders (LSF little-endian and MSF big-endian — fixtures for the latter
+ * written by pandas with byteorder='>'). Values land as the engine's
+ * all-string model: numeric missing sentinels and NaN become "" (the
+ * reference's NaN → NULL_REPR, destination.py:57).
  *
  * Driver-side parse, exactly the reference's shape (pandas also
  * materializes the whole frame on one machine) — these legacy single-file
  * formats are inherently non-splittable; rows are then parallelized into a
  * distributed frame. strL (long string) columns are supported for 117/118
- * via the `<strls>` GSO block. Unsupported, with clear errors: big-endian
- * (MSF) files. Value labels are NOT applied (raw codes are returned; the
- * reference's convert_categoricals has no equivalent in an all-string
- * model).
+ * via the `<strls>` GSO block. Value labels are NOT applied (raw codes are
+ * returned; the reference's convert_categoricals has no equivalent in an
+ * all-string model).
  */
 object Stata {
 
@@ -43,8 +43,10 @@ object Stata {
     val release = bytes(0) & 0xff
     require(Set(113, 114, 115).contains(release),
       s"$path: unsupported classic dta release $release (supported: 113-115, 117, 118)")
-    require((bytes(1) & 0xff) == 2, s"$path: big-endian (MSF) dta files are not supported")
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val byteorder = bytes(1) & 0xff // 1 = MSF (big-endian), 2 = LSF
+    require(byteorder == 1 || byteorder == 2, s"$path: invalid dta byteorder flag $byteorder")
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (byteorder == 1) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     buf.position(4)
     val nvar = buf.getShort & 0xffff
     val nobs = buf.getInt
@@ -86,7 +88,6 @@ object Stata {
     * offset of every section, so parsing jumps straight to
     * `<variable_types>`, `<varnames>` and `<data>`. */
   private def parseModern(bytes: Array[Byte], path: String): (Seq[String], Seq[Seq[String]]) = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def after(tag: String, from: Int = 0): Int = {
       val i = indexOf(bytes, tag.getBytes("ASCII"), from)
       require(i >= 0, s"$path: malformed dta — missing $tag")
@@ -98,8 +99,10 @@ object Stata {
     }
     require(release == 117 || release == 118,
       s"$path: unsupported modern dta release $release (supported: 117, 118)")
-    require(new String(bytes, after("<byteorder>"), 3, "ASCII") == "LSF",
-      s"$path: big-endian (MSF) dta files are not supported")
+    val bo = new String(bytes, after("<byteorder>"), 3, "ASCII")
+    require(bo == "LSF" || bo == "MSF", s"$path: invalid dta byteorder `$bo`")
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (bo == "MSF") ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     buf.position(after("<K>"))
     val nvar = buf.getShort & 0xffff
     buf.position(after("<N>"))
@@ -162,7 +165,10 @@ object Stata {
           val vv = (buf.getShort & 0xffff).toLong
           var oo = 0L
           var i = 0
-          while (i < 6) { oo |= (buf.get().toLong & 0xffL) << (8 * i); i += 1 }
+          if (buf.order() == ByteOrder.BIG_ENDIAN)
+            while (i < 6) { oo = (oo << 8) | (buf.get().toLong & 0xffL); i += 1 }
+          else
+            while (i < 6) { oo |= (buf.get().toLong & 0xffL) << (8 * i); i += 1 }
           (vv, oo)
         }
       if (v == 0L && o == 0L) "" else strls.getOrDefault((v, o), "")

@@ -54,7 +54,11 @@ class SourcesSpec extends SparkSpec {
   test("stata .dta: classic 114 and modern 118 read all-string with missing -> \"\"") {
     // fixtures written by pandas.to_stata (version=114 / 118): int32, int8,
     // double (one NaN), float (one NaN), str — see VERDICT r5 missing #1
-    for (fixture <- Seq("/people114.dta", "/people118.dta")) {
+    // *be variants are MSF (big-endian), written by pandas byteorder='>' —
+    // classic flag byte 1 and modern <byteorder>MSF both flip every
+    // numeric read (header counts, type codes and data cells)
+    for (fixture <- Seq("/people114.dta", "/people118.dta",
+        "/people114be.dta", "/people118be.dta")) {
       val p = getClass.getResource(fixture).getPath
       val df = Sources.read(spark, "p", Map("file" -> p), java.nio.file.Paths.get("/"))
       assert(df.columns.toSeq == Seq("id", "small", "score", "ratio", "name"), fixture)
