@@ -14,9 +14,10 @@ import java.nio.file.{Files, Paths}
  * parses that documented layout directly and the test fixtures are
  * cross-validated against pandas.read_sas (see FIXTURES.md).
  *
- * Supported: little-endian files in both the 32-bit ("x86") and 64-bit
- * ("u64") layouts, with META / MIX / DATA pages, uncompressed or RLE
- * ("SASYZCRL" COMPRESS=CHAR) compressed. In compressed files each row is
+ * Supported: both byte orders (endianness byte 0x01 little / 0x00 big)
+ * in both the 32-bit ("x86") and 64-bit ("u64") layouts, with META /
+ * MIX / DATA pages, uncompressed or RLE ("SASYZCRL" COMPRESS=CHAR)
+ * compressed. In compressed files each row is
  * a subheader whose pointer carries compression id 4 (or 0 when stored
  * raw at exactly row_length) and type 1 — the same unknown-signature
  * heuristic pandas' `_get_subheader_index` uses; payloads shorter than
@@ -31,8 +32,7 @@ import java.nio.file.{Files, Paths}
  * RDC ("SASYZCR2" COMPRESS=BINARY) rows decompress through the Ross
  * Data Compression scheme (16-bit control words, literal bits plus
  * short/long RLE and back-reference pattern commands) as documented by
- * the same community implementations. Unsupported, with a clear error:
- * big-endian files.
+ * the same community implementations.
  *
  * Driver-side parse, exactly the reference's shape (pandas also
  * materializes the whole frame on one machine) — the single-file format is
@@ -66,7 +66,7 @@ object Sas {
     hex(sig) match {
       case "f7f7f7f7" | "00000000f7f7f7f7" | "f7f7f7f700000000" | "f7f7f7f7fffffbfe" => RowSize
       case "f6f6f6f6" | "00000000f6f6f6f6" | "f6f6f6f600000000" | "f6f6f6f6fffffbfe" => ColSize
-      case "fdffffff" | "fdffffffffffffff" | "fffffffffffffffd" => ColText
+      case "fdffffff" | "fffffffd" | "fdffffffffffffff" | "fffffffffffffffd" => ColText
       case "ffffffff" | "ffffffffffffffff" => ColName
       case "fcffffff" | "fffffffc" | "fcffffffffffffff" | "fffffffffffffffc" => ColAttrs
       case "fefbffff" | "fffffbfe" | "fefbffffffffffff" | "fffffffffffffbfe" => Format
@@ -79,8 +79,9 @@ object Sas {
       s"$path: not a sas7bdat file (magic mismatch)")
     val u64 = bytes(32) == '3'.toByte
     val align1 = if (bytes(35) == '3'.toByte) 4 else 0
-    require(bytes(37) == 0x01.toByte,
-      s"$path: big-endian sas7bdat files are not supported (little-endian only)")
+    val bigEndian = bytes(37) == 0x00.toByte // 0x00 = big, 0x01 = little
+    require(bytes(37) == 0x00.toByte || bytes(37) == 0x01.toByte,
+      s"$path: invalid sas7bdat endianness byte ${bytes(37)}")
     val L = if (u64) 8 else 4 // int length
     val bitOff = if (u64) 32 else 16
     val ptrLen = if (u64) 24 else 12
@@ -91,7 +92,8 @@ object Sas {
       case 61 => "windows-1251"
       case _  => "ISO-8859-1" // pandas' default_encoding
     }
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     def u16(o: Int): Int = buf.getShort(o) & 0xffff
     def uL(o: Int): Long = if (u64) buf.getLong(o) else buf.getInt(o).toLong & 0xffffffffL
     val headerSize = buf.getInt(196 + align1)
@@ -178,9 +180,14 @@ object Sas {
       val (cOff, cLen, cType) = meta
       val p = rowStart + cOff.toInt
       if (cType == 1) { // numeric: w most-significant bytes of an IEEE double
+        // (in big-endian files the MS bytes come FIRST; in little-endian
+        // they are the trailing bytes of the 8-byte slot)
         var bits = 0L
         var k = 0
-        while (k < cLen) { bits |= (data(p + k).toLong & 0xffL) << (8 * (8 - cLen + k)); k += 1 }
+        if (bigEndian)
+          while (k < cLen) { bits |= (data(p + k).toLong & 0xffL) << (8 * (7 - k)); k += 1 }
+        else
+          while (k < cLen) { bits |= (data(p + k).toLong & 0xffL) << (8 * (8 - cLen + k)); k += 1 }
         val d = java.lang.Double.longBitsToDouble(bits)
         if (d.isNaN) "" else d.toString
       } else {

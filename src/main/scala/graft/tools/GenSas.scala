@@ -45,9 +45,11 @@ object GenSas {
   final case class StrCol(name: String, width: Int, values: Seq[String]) extends Col
 
   def write(path: String, cols: Seq[Col], nrows: Int, u64: Boolean = false,
-            compress: String = ""): Unit = { // "" | "rle" | "rdc"
+            compress: String = "", be: Boolean = false): Unit = { // "" | "rle" | "rdc"
     require(Set("", "rle", "rdc").contains(compress), s"compress=$compress")
+    require(!(be && u64), "big-endian writer only supports the x86 layout")
     val rle = compress.nonEmpty
+    val order = if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val headerSize = 1024
     val pageSize = 4096
     val L = if (u64) 8 else 4
@@ -67,7 +69,7 @@ object GenSas {
 
     def sub(len: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
       val a = new Array[Byte](len)
-      val b = ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+      val b = ByteBuffer.wrap(a).order(order)
       fill(b); a
     }
     def sig(b: ByteBuffer, first4: Int): Unit = {
@@ -131,10 +133,12 @@ object GenSas {
       val row = new Array[Byte](rowLength)
       ordered.foreach {
         case c @ NumCol(_, vs, w) =>
-          // keep the w most-significant bytes of the LE double
+          // keep the w most-significant bytes of the double (they trail
+          // the slot in LE files and lead it in BE files)
           val bits = java.lang.Double.doubleToRawLongBits(vs(r))
           (0 until w).foreach { k =>
-            row(colOffset(c) + k) = ((bits >>> (8 * (8 - w + k))) & 0xff).toByte
+            val shift = if (be) 8 * (7 - k) else 8 * (8 - w + k)
+            row(colOffset(c) + k) = ((bits >>> shift) & 0xff).toByte
           }
         case c @ StrCol(_, w, vs) =>
           val raw = vs(r).getBytes("UTF-8")
@@ -151,7 +155,7 @@ object GenSas {
       val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       var pending = all
       while (pending.nonEmpty) {
-        val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
+        val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(order)
         page.putShort(bitOffset, 0x0000)
         var tail = pageSize
         val ptrBase = bitOffset + 8
@@ -189,7 +193,7 @@ object GenSas {
         val metaPages = packSubPages(metaSubs)
         val rowsPerPage = (pageSize - (bitOffset + 8)) / rowLength
         val dataPages = (0 until nrows).grouped(rowsPerPage).map { rowIdx =>
-          val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(ByteOrder.LITTLE_ENDIAN)
+          val page = ByteBuffer.wrap(new Array[Byte](pageSize)).order(order)
           page.putShort(bitOffset, 0x0100.toShort)
           page.putShort(bitOffset + 2, rowIdx.size.toShort)
           page.putShort(bitOffset + 4, 0)
@@ -203,11 +207,11 @@ object GenSas {
       }
 
     // ---- header
-    val h = ByteBuffer.wrap(new Array[Byte](headerSize)).order(ByteOrder.LITTLE_ENDIAN)
+    val h = ByteBuffer.wrap(new Array[Byte](headerSize)).order(order)
     h.put(Magic)
     h.put(32, (if (u64) '3' else 0x22).toByte)
     h.put(35, 0x32.toByte) // not '3' → align1 = 0
-    h.put(37, 0x01.toByte) // little-endian
+    h.put(37, (if (be) 0x00 else 0x01).toByte) // endianness
     h.put(39, '1'.toByte)  // platform: unix
     h.put(70, 20.toByte)   // encoding: utf-8
     def putStr(off: Int, len: Int, s: String): Unit = {
@@ -349,6 +353,8 @@ object GenSas {
     write(s"$dir/sample_rle_u64.sas7bdat", sample, nrows = 5, u64 = true, compress = "rle")
     // RDC (COMPRESS=BINARY) variant, same logical content
     write(s"$dir/sample_rdc_x86.sas7bdat", sample, nrows = 5, compress = "rdc")
+    // big-endian (endianness byte 0x00) variant, same logical content
+    write(s"$dir/sample_be_x86.sas7bdat", sample, nrows = 5, be = true)
     // multiple data pages + utf-8 content
     val n = 250
     write(s"$dir/multi_x86.sas7bdat",

@@ -117,10 +117,12 @@ class SourcesSpec extends SparkSpec {
     // is a compressed data subheader; pandas.read_sas cross-validates them
     // too (FIXTURES.md), so the decompressor constants match the community
     // decoders, not just our own encoder
-    // sample_rdc_x86 is SASYZCR2/RDC (COMPRESS=BINARY), also pandas-validated
+    // sample_rdc_x86 is SASYZCR2/RDC (COMPRESS=BINARY); sample_be_x86 is
+    // big-endian (endianness byte 0x00, BE truncated doubles) — both also
+    // pandas-validated
     for (fixture <- Seq("/sample_x86.sas7bdat", "/sample_u64.sas7bdat",
         "/sample_rle_x86.sas7bdat", "/sample_rle_u64.sas7bdat",
-        "/sample_rdc_x86.sas7bdat")) {
+        "/sample_rdc_x86.sas7bdat", "/sample_be_x86.sas7bdat")) {
       val p = getClass.getResource(fixture).getPath
       val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
       assert(df.columns.toSeq == Seq("id", "score", "half", "name", "city"), fixture)
