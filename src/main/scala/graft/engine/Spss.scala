@@ -15,15 +15,16 @@ import java.nio.file.{Files, Paths}
  * sas7bdat fixtures there is NO independent validator available offline
  * (pyreadstat is absent), which FIXTURES.md records honestly.
  *
- * Supported: little-endian files (layout_code 2), uncompressed
+ * Supported: files in either byte order (layout_code read both ways),
+ * uncompressed
  * (compression 0), bytecode-compressed (compression 1, bias 100), and
  * zlib-wrapped `.zsav` (`$FL3`, compression 2 — the block-deflated
  * bytecode stream, any number of blocks) data; numeric variables and
  * strings up to 255 bytes (continuation slots), long variable names
  * (type-7 subtype-13 record). Values land in the engine's all-string
  * model: SYSMIS and the bytecode missing command render as "" (the
- * reference's NaN → NULL_REPR). Unsupported, with a clear error:
- * big-endian files.
+ * reference's NaN → NULL_REPR). Both byte orders are supported via the
+ * documented layout_code self-detection.
  *
  * Driver-side parse like Stata/Sas — the single-file format is
  * non-splittable; rows are parallelized into a distributed frame after.
@@ -47,10 +48,13 @@ object Spss {
     val magic = new String(bytes, 0, 4, "ASCII")
     require(magic == "$FL2" || magic == "$FL3",
       s"$path: not a .sav system file (magic `$magic`)")
+    // layout_code at 64 is 2 or 3 when read in the file's own byte order —
+    // the documented endianness self-detection (PSPP "File Header Record")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (!Set(2, 3).contains(buf.getInt(64))) buf.order(ByteOrder.BIG_ENDIAN)
     val layout = buf.getInt(64)
     require(layout == 2 || layout == 3,
-      s"$path: big-endian .sav files are not supported (little-endian only)")
+      s"$path: corrupt .sav header (layout_code $layout in either byte order)")
     val nominalSize = buf.getInt(68)
     val compression = buf.getInt(72)
     require(compression >= 0 && compression <= 2,
@@ -125,7 +129,7 @@ object Spss {
     def decodeBytecode(data: Array[Byte], start: Int): Unit = {
       val spaces = Array.fill(8)(' '.toByte)
       val sysmisElem = { val a = new Array[Byte](8)
-        ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putDouble(Sysmis); a }
+        ByteBuffer.wrap(a).order(buf.order()).putDouble(Sysmis); a }
       var p = start
       var eof = false
       while (!eof && p + 8 <= data.length) {
@@ -142,7 +146,7 @@ object Spss {
             case 255 => elems += sysmisElem
             case code =>
               val a = new Array[Byte](8)
-              ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putDouble(code - bias)
+              ByteBuffer.wrap(a).order(buf.order()).putDouble(code - bias)
               elems += a
           }
           i += 1
@@ -197,7 +201,7 @@ object Spss {
       vars.indices.map { vi =>
         val v = vars(vi)
         if (v.width == 0) {
-          val d = ByteBuffer.wrap(elems(slot)).order(ByteOrder.LITTLE_ENDIAN).getDouble
+          val d = ByteBuffer.wrap(elems(slot)).order(buf.order()).getDouble
           slot += 1
           if (d.isNaN || d == Sysmis) "" else d.toString
         } else {

@@ -31,13 +31,14 @@ object GenSpss {
   private val Sysmis = java.lang.Double.longBitsToDouble(0xffefffffffffffffL)
 
   def write(path: String, cols: Seq[Col], nrows: Int, compression: Int,
-            zsavBlockSize: Int = 0x3ff000): Unit = {
+            zsavBlockSize: Int = 0x3ff000, be: Boolean = false): Unit = {
     val out = new java.io.ByteArrayOutputStream()
+    val order = if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     def le(n: Int): Array[Byte] = {
-      val a = new Array[Byte](4); ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putInt(n); a
+      val a = new Array[Byte](4); ByteBuffer.wrap(a).order(order).putInt(n); a
     }
     def led(d: Double): Array[Byte] = {
-      val a = new Array[Byte](8); ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putDouble(d); a
+      val a = new Array[Byte](8); ByteBuffer.wrap(a).order(order).putDouble(d); a
     }
     def pad(s: String, n: Int): Array[Byte] = {
       val b = s.getBytes("ISO-8859-1").take(n)
@@ -114,7 +115,7 @@ object GenSpss {
       caseElems.foreach { elems =>
         elems.zip(kinds).foreach { case (e, kind) =>
           if (kind == 'n') {
-            val d = ByteBuffer.wrap(e).order(ByteOrder.LITTLE_ENDIAN).getDouble
+            val d = ByteBuffer.wrap(e).order(order).getDouble
             if (d == Sysmis) emit(255, None)
             else if (d == math.rint(d) && d >= 1 - 100 && d <= 251 - 100)
               emit((d + 100).toInt, None)
@@ -138,7 +139,7 @@ object GenSpss {
         // deflate stream per <=zsavBlockSize chunk + descriptor trailer
         def le8(n: Long): Array[Byte] = {
           val a = new Array[Byte](8)
-          ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putLong(n); a
+          ByteBuffer.wrap(a).order(order).putLong(n); a
         }
         val raw = bytecodeStream()
         val blocks = raw.grouped(math.max(zsavBlockSize, 8)).toSeq
@@ -181,6 +182,8 @@ object GenSpss {
     // 48-byte blocks force multiple deflate streams in a tiny fixture,
     // exercising the reader's stream-reset block loop
     write(s"$dir/sample_multi.zsav", cols, 5, compression = 2, zsavBlockSize = 48)
-    println(s"wrote sample_plain.sav, sample_comp.sav, sample_multi.zsav under $dir")
+    // big-endian bytecode-compressed variant (layout_code self-detection)
+    write(s"$dir/sample_be.sav", cols, 5, compression = 1, be = true)
+    println(s"wrote sample_plain.sav, sample_comp.sav, sample_multi.zsav, sample_be.sav under $dir")
   }
 }

@@ -494,8 +494,11 @@ class SourcesSpec extends SparkSpec {
     // SCORE row 3 is SYSMIS, 42.0 exercises the bias encoding in the
     // compressed variant, names map through the subtype-13 record
     // sample_multi.zsav is written with 48-byte zlib blocks so the tiny
-    // fixture still spans multiple deflate streams (block-loop coverage)
-    for (fixture <- Seq("/sample_plain.sav", "/sample_comp.sav", "/sample_multi.zsav")) {
+    // fixture still spans multiple deflate streams (block-loop coverage);
+    // sample_be.sav is big-endian (layout_code self-detection flips every
+    // int/double read, including bytecode literal elements)
+    for (fixture <- Seq("/sample_plain.sav", "/sample_comp.sav", "/sample_multi.zsav",
+        "/sample_be.sav")) {
       val p = getClass.getResource(fixture).getPath
       val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
       assert(df.columns.toSeq == Seq("id", "score", "name", "city_name"), fixture)
