@@ -315,6 +315,16 @@ object SparkEntry {
         TF.qualityScore(col("text"), Seq("the", "a", "of", "and", "to")).as("quality"),
         round(TF.punctRatio(col("text")), 4).as("punct_ratio"))),
 
+    // Gopher-rule stats + keep flag; every threshold is integer-math so
+    // the oracle reproduces the booleans exactly (min_words lowered to 10
+    // so the synthetic docs split across the gates)
+    "q_quality_filter" -> ((s, d) =>
+      TF.withGopherQuality(t(s, d, "documents").select("doc_id", "text"),
+          "text", minWords = 10)
+        .select("doc_id", "n_words", "total_word_len", "n_alpha_words",
+          "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+          "stop_hits", "gopher_keep")),
+
     // ========================================================== dedup ops
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
@@ -753,6 +763,37 @@ object SparkEntry {
            ) / 3.0, 4) AS quality,
            round((len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / len(text), 4) AS punct_ratio
          FROM documents""",
+
+    // mirrors withGopherQuality's integer-math thresholds term by term
+    "q_quality_filter" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+             string_split(text, chr(10)) AS lines,
+             len(text) - len(replace(text, '#', ''))
+               + (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols
+           FROM documents),
+         stats AS (
+           SELECT doc_id,
+             len(words)::BIGINT AS n_words,
+             coalesce(list_aggregate(list_transform(words, x -> len(x)), 'sum'), 0)::BIGINT AS total_word_len,
+             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+             n_symbols::BIGINT AS n_symbols,
+             len(lines)::BIGINT AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::BIGINT AS n_bullet_lines,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS n_ellipsis_lines,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(words, w -> lower(w)), s)))::BIGINT AS stop_hits
+           FROM base)
+         SELECT *,
+           (n_words BETWEEN 10 AND 100000
+             AND total_word_len >= 3 * n_words AND total_word_len <= 10 * n_words
+             AND 10 * n_symbols <= n_words
+             AND 10 * n_bullet_lines <= 9 * n_lines
+             AND 10 * n_ellipsis_lines <= 3 * n_lines
+             AND 5 * n_alpha_words >= 4 * n_words
+             AND stop_hits >= 2) AS gopher_keep
+         FROM stats""",
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",

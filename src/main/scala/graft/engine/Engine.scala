@@ -345,6 +345,17 @@ final class Engine(spark: SparkSession) {
           graft.functions.TextFunctions.qualityScore(
             org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
             listOf(op, "stopwords")))
+      // Gopher-rule composite filter (Rae et al. 2021): keeps rows passing
+      // all heuristic quality gates; the per-rule stats are dropped
+      case "quality_filter" =>
+        val qf = graft.functions.TextFunctions.withGopherQuality(df,
+          Config.reqStr(op, "column", ctx),
+          Config.int(op, "min_words").map(_.toLong).getOrElse(50L),
+          Config.int(op, "max_words").map(_.toLong).getOrElse(100000L))
+        qf.filter(org.apache.spark.sql.functions.col("gopher_keep"))
+          .drop("n_words", "total_word_len", "n_alpha_words", "n_symbols",
+            "n_lines", "n_bullet_lines", "n_ellipsis_lines", "stop_hits",
+            "gopher_keep")
       case "fingerprint" =>
         df.withColumn(Config.str(op, "new_column").getOrElse("fingerprint"),
           graft.functions.TextFunctions.fingerprint(

@@ -57,6 +57,62 @@ object TextFunctions {
     round((lenOk + stopOk + punctOk) / 3.0, 4)
   }
 
+  /** The Gopher stop-word presence list (Rae et al. 2021, appendix A1.1 —
+    * public): a document should contain at least two of these. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-rule quality stats + keep flag (Rae et al. 2021 appendix A1.1,
+   * public): word count band, mean word length in [3,10], symbol-to-word
+   * ratio (# and …) ≤ 0.1, ≤ 90% bullet-started lines, ≤ 30%
+   * ellipsis-ended lines, ≥ 80% of words containing a letter, and ≥ 2
+   * distinct stop words. Every threshold is evaluated in INTEGER
+   * arithmetic (e.g. mean-length ∈ [3,10] ⇔ 3n ≤ Σlen ≤ 10n) so the
+   * DuckDB oracle reproduces the flag bit-exactly — no float boundaries.
+   * All expressions are native Catalyst higher-order functions over the
+   * split arrays (no UDFs), so the filter is a narrow, pushdown-friendly
+   * projection at any scale.
+   */
+  def withGopherQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        minWords: Long = 50, maxWords: Long = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val ws = filter(split(text, "\\s+"), w => length(w) > lit(0))
+    val lines = split(text, "\n")
+    val out = df
+      .withColumn("__words", ws)
+      .withColumn("__lines", lines)
+      .withColumn("n_words", size(col("__words")).cast(LongType))
+      .withColumn("total_word_len",
+        aggregate(col("__words"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("n_alpha_words",
+        size(filter(col("__words"), w => w.rlike("[A-Za-z]"))).cast(LongType))
+      .withColumn("n_symbols",
+        (length(text) - length(regexp_replace(text, "#", "")) +
+          (length(text) - length(regexp_replace(text, "\\.\\.\\.", "")) ) / 3).cast(LongType))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("n_bullet_lines",
+        size(filter(col("__lines"), l => ltrim(l).rlike("^[-*•]"))).cast(LongType))
+      .withColumn("n_ellipsis_lines",
+        size(filter(col("__lines"), l => rtrim(l).endsWith("..."))).cast(LongType))
+      .withColumn("stop_hits", // DISTINCT stop words present, per the rule
+        size(filter(
+          typedLit(gopherStopwords),
+          s => array_contains(transform(col("__words"), lower _), s))).cast(LongType))
+    out
+      .withColumn("gopher_keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("total_word_len") >= lit(3L) * col("n_words") &&
+          col("total_word_len") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_symbols") <= col("n_words") &&
+          lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+          lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+          lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
+          col("stop_hits") >= lit(2L))
+      .drop("__words", "__lines")
+  }
+
   /** Stopword vote lists per language for the n-gram/stopword language-ID
     * heuristic. Deliberately small and public-knowledge. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

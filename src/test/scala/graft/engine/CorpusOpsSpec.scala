@@ -161,6 +161,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.columns.toSeq == docs.columns.toSeq) // schema passes through
   }
 
+  test("quality_filter keeps Gopher-passing docs and drops the stat columns") {
+    val mixed = Seq(
+      // passes: 11 words, all alphabetic, two stop words (the, of)
+      (0L, "the family of foxes walked slowly toward the quiet river bank"),
+      // fails: bullet lines dominate (3 of 3 lines start with '-')
+      (1L, "- the one of\n- the two of\n- the three of"),
+      // fails: too few words at min_words=10
+      (2L, "the end of it"),
+      // fails: symbol-heavy (### per word) even with stop words present
+      (3L, "the ### cost of ### things ### rises ### here ### now ###"),
+    ).toDF("doc_id", "text")
+    val out = run(mixed, Map("operation" -> "quality_filter", "column" -> "text",
+      "min_words" -> "10"))
+    assert(out.columns.toSeq == Seq("doc_id", "text")) // stats dropped
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(0L))
+  }
+
   test("hash_sample plain and stratified dispatch") {
     val plain = run(docs, Map("operation" -> "hash_sample", "column" -> "text", "rate" -> "1.0"))
     assert(plain.count() == 3)
