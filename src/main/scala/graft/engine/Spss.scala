@@ -23,7 +23,9 @@ import java.nio.file.{Files, Paths}
  * strings up to 255 bytes (continuation slots), long variable names
  * (type-7 subtype-13 record). Values land in the engine's all-string
  * model: SYSMIS and the bytecode missing command render as "" (the
- * reference's NaN → NULL_REPR). Both byte orders are supported via the
+ * reference's NaN → NULL_REPR); numeric value labels (type-3/type-4
+ * record pairs) apply like pd.read_spss's convert_categoricals — labeled
+ * values render as the label, unlabeled stay numeric. Both byte orders are supported via the
  * documented layout_code self-detection.
  *
  * Driver-side parse like Stata/Sas — the single-file format is
@@ -67,7 +69,14 @@ object Spss {
     // ---- dictionary records, until type 999
     var pos = 176
     val vars = scala.collection.mutable.ArrayBuffer[Var]()
+    // 1-based dictionary slot index (continuation slots count) -> vars index
+    val slotToVar = scala.collection.mutable.Map[Int, Int]()
+    var slotCount = 0
     var longNames = Map.empty[String, String]
+    // per-variable value labels (numeric vars: 8-byte double keys), applied
+    // like the reference's pd.read_spss (pyreadstat convert_categoricals)
+    val varValueLabels = scala.collection.mutable.Map[Int, Map[Double, String]]()
+    var pendingLabels: Seq[(Double, String)] = Nil
     def i32(): Int = { val v = buf.getInt(pos); pos += 4; v }
     def skip(n: Int): Unit = pos += n
     var done = false
@@ -85,16 +94,27 @@ object Spss {
             skip((len + 3) / 4 * 4)
           }
           if (nMissing != 0) skip(math.abs(nMissing) * 8)
-          if (typ >= 0) vars += Var(name, typ) // -1 = continuation slot of a long string
+          slotCount += 1
+          if (typ >= 0) { slotToVar(slotCount) = vars.length; vars += Var(name, typ) }
         case 3 => // value labels: count + (value, len-prefixed label) pairs
           val n = i32()
-          (0 until n).foreach { _ =>
-            skip(8)
+          pendingLabels = (0 until n).map { _ =>
+            val value = buf.getDouble(pos); skip(8)
             val len = bytes(pos) & 0xff
+            val label = new String(bytes, pos + 1, len, "ISO-8859-1")
             skip(1 + ((len + 8) / 8 * 8 - 1)) // label padded so value+label is 8-multiple
+            value -> label
           }
-        case 4 => // value-label variable index record
-          val n = i32(); skip(4 * n)
+        case 4 => // variable index record: binds the preceding type-3 table
+          val n = i32()
+          val idxs = (0 until n).map(_ => i32())
+          val table = pendingLabels.toMap
+          idxs.foreach { slot =>
+            slotToVar.get(slot).foreach { vi =>
+              if (vars(vi).width == 0) varValueLabels(vi) = table
+            }
+          }
+          pendingLabels = Nil
         case 6 => // documents: n lines of 80 chars
           val n = i32(); skip(80 * n)
         case 7 => // info record: subtype, element size, count
@@ -203,7 +223,8 @@ object Spss {
         if (v.width == 0) {
           val d = ByteBuffer.wrap(elems(slot)).order(buf.order()).getDouble
           slot += 1
-          if (d.isNaN || d == Sysmis) "" else d.toString
+          if (d.isNaN || d == Sysmis) ""
+          else varValueLabels.get(vi).flatMap(_.get(d)).getOrElse(d.toString)
         } else {
           val n = (v.width + 7) / 8
           val raw = new Array[Byte]((8 * n).toInt)

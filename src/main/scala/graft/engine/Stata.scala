@@ -20,9 +20,10 @@ import java.nio.file.{Files, Paths}
  * materializes the whole frame on one machine) — these legacy single-file
  * formats are inherently non-splittable; rows are then parallelized into a
  * distributed frame. strL (long string) columns are supported for 117/118
- * via the `<strls>` GSO block. Value labels are NOT applied (raw codes are
- * returned; the reference's convert_categoricals has no equivalent in an
- * all-string model).
+ * via the `<strls>` GSO block. Value labels ARE applied to integer columns
+ * (the reference's pd.read_stata defaults to convert_categoricals=True):
+ * a labeled value renders as its label text, an unlabeled value keeps its
+ * numeric rendering — exactly pandas' observed behavior (FIXTURES.md).
  */
 object Stata {
 
@@ -56,7 +57,7 @@ object Stata {
     buf.position(buf.position() + 2 * (nvar + 1)) // srtlist
     val fmtLen = if (release == 113) 12 else 49
     buf.position(buf.position() + fmtLen * nvar) // fmtlist
-    buf.position(buf.position() + 33 * nvar) // lbllist
+    val lblNames = (0 until nvar).map(_ => readCString(buf, 33, "ISO-8859-1")) // lbllist
     buf.position(buf.position() + 81 * nvar) // variable labels
     // expansion fields: (type byte, int32 len, payload) until a 5-byte zero
     var done = false
@@ -65,19 +66,63 @@ object Stata {
       val len = buf.getInt
       if (t == 0 && len == 0) done = true else buf.position(buf.position() + len)
     }
+
+    // value-label tables live AFTER the data; jump over the fixed-width
+    // rows, parse them, then return for the rows with labels in hand
+    // (the reference's pd.read_stata applies them by default —
+    // convert_categoricals=True; unlabeled values stay numeric)
+    val dataStart = buf.position()
+    val rowWidth = types.map {
+      case n if n <= 244 => n
+      case 251 => 1; case 252 => 2; case 253 => 4; case 254 => 4; case 255 => 8
+      case other => throw new IllegalArgumentException(
+        s"$path: unsupported classic dta type code $other")
+    }.sum
+    buf.position(dataStart + nobs * rowWidth)
+    val tables = scala.collection.mutable.Map[String, Map[Int, String]]()
+    while (buf.remaining() >= 4 + 33 + 3 + 8) { // len + labname + pad + n + txtlen
+      buf.getInt // table length
+      val labname = readCString(buf, 33, "ISO-8859-1")
+      buf.position(buf.position() + 3)
+      tables(labname) = readLabelTable(buf, "ISO-8859-1")
+    }
+    val varLabels: Seq[Map[Int, String]] =
+      lblNames.map(n => tables.getOrElse(n, Map.empty))
+
+    buf.position(dataStart)
     val rows = (0 until nobs).map { _ =>
-      types.map(t => readClassicValue(buf, t)).toSeq
+      types.indices.map(i => readClassicValue(buf, types(i), varLabels(i))).toSeq
     }
     (names, rows)
   }
 
+  /** `n(int32), txtlen(int32), off[n], val[n], txt[txtlen]` — shared by the
+    * classic trailing tables and the modern `<lbl>` records. */
+  private def readLabelTable(buf: ByteBuffer, charset: String): Map[Int, String] = {
+    val n = buf.getInt
+    val txtlen = buf.getInt
+    val offs = Array.fill(n)(buf.getInt)
+    val vals = Array.fill(n)(buf.getInt)
+    val txt = new Array[Byte](txtlen)
+    buf.get(txt)
+    (0 until n).map { k =>
+      val start = offs(k)
+      var end = start
+      while (end < txtlen && txt(end) != 0) end += 1
+      vals(k) -> new String(txt, start, end - start, charset)
+    }.toMap
+  }
+
   /** Classic type codes: 1-244 = str<n>, 251 byte, 252 int, 253 long,
-    * 254 float, 255 double. */
-  private def readClassicValue(buf: ByteBuffer, t: Int): String = t match {
+    * 254 float, 255 double. Labeled integer values render as their label. */
+  private def readClassicValue(buf: ByteBuffer, t: Int, labels: Map[Int, String]): String = t match {
     case n if n <= 244 => readCString(buf, n, "ISO-8859-1")
-    case 251 => val v = buf.get().toInt; if (v >= 101) "" else v.toString
-    case 252 => val v = buf.getShort.toInt; if (v >= 32741) "" else v.toString
-    case 253 => val v = buf.getInt; if (v >= 2147483621) "" else v.toString
+    case 251 => val v = buf.get().toInt
+      if (v >= 101) "" else labels.getOrElse(v, v.toString)
+    case 252 => val v = buf.getShort.toInt
+      if (v >= 32741) "" else labels.getOrElse(v, v.toString)
+    case 253 => val v = buf.getInt
+      if (v >= 2147483621) "" else labels.getOrElse(v, v.toString)
     case 254 => fmtFloat(buf.getFloat)
     case 255 => fmtDouble(buf.getDouble)
     case other => throw new IllegalArgumentException(s"unsupported classic dta type code $other")
@@ -120,9 +165,31 @@ object Stata {
     val strls =
       if (types.contains(32768)) parseStrls(bytes, buf, offsets(10).toInt, release)
       else java.util.Collections.emptyMap[(Long, Long), String]()
+
+    // value labels (offsets[6] = per-var label-set names, offsets[11] =
+    // `<lbl>` tables): applied like pd.read_stata's default
+    // convert_categoricals — labeled values render as the label text
+    val lblNameLen = if (release == 118) 129 else 33
+    buf.position(offsets(6).toInt + "<value_label_names>".length)
+    val lblNames = (0 until nvar).map(_ => readCString(buf, lblNameLen, "UTF-8"))
+    val tables = scala.collection.mutable.Map[String, Map[Int, String]]()
+    buf.position(offsets(11).toInt + "<value_labels>".length)
+    while (buf.remaining() >= 5 &&
+        new String(bytes, buf.position(), 5, "ASCII") == "<lbl>") {
+      buf.position(buf.position() + 5)
+      buf.getInt // table length
+      val labname = readCString(buf, lblNameLen, "UTF-8")
+      buf.position(buf.position() + 3)
+      tables(labname) = readLabelTable(buf, "UTF-8")
+      buf.position(buf.position() + "</lbl>".length)
+    }
+    val varLabels: Seq[Map[Int, String]] =
+      lblNames.map(n => tables.getOrElse(n, Map.empty))
+
     buf.position(offsets(9).toInt + "<data>".length)
     val rows = (0 until nobs).map { _ =>
-      types.map(t => readModernValue(buf, t, release, strls, path)).toSeq
+      types.indices.map(i =>
+        readModernValue(buf, types(i), release, strls, varLabels(i), path)).toSeq
     }
     (names, rows)
   }
@@ -156,6 +223,7 @@ object Stata {
     * 2+6 bytes in 118; (0, 0) is the empty/missing strL. */
   private def readModernValue(buf: ByteBuffer, t: Int, release: Int,
                               strls: java.util.Map[(Long, Long), String],
+                              labels: Map[Int, String],
                               path: String): String = t match {
     case n if n <= 2045 => readCString(buf, n, "UTF-8")
     case 32768 =>
@@ -174,9 +242,12 @@ object Stata {
       if (v == 0L && o == 0L) "" else strls.getOrDefault((v, o), "")
     case 65526 => fmtDouble(buf.getDouble)
     case 65527 => fmtFloat(buf.getFloat)
-    case 65528 => val v = buf.getInt; if (v >= 2147483621) "" else v.toString
-    case 65529 => val v = buf.getShort.toInt; if (v >= 32741) "" else v.toString
-    case 65530 => val v = buf.get().toInt; if (v >= 101) "" else v.toString
+    case 65528 => val v = buf.getInt
+      if (v >= 2147483621) "" else labels.getOrElse(v, v.toString)
+    case 65529 => val v = buf.getShort.toInt
+      if (v >= 32741) "" else labels.getOrElse(v, v.toString)
+    case 65530 => val v = buf.get().toInt
+      if (v >= 101) "" else labels.getOrElse(v, v.toString)
     case other => throw new IllegalArgumentException(s"unsupported modern dta type code $other")
   }
 

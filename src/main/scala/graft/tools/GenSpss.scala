@@ -31,7 +31,8 @@ object GenSpss {
   private val Sysmis = java.lang.Double.longBitsToDouble(0xffefffffffffffffL)
 
   def write(path: String, cols: Seq[Col], nrows: Int, compression: Int,
-            zsavBlockSize: Int = 0x3ff000, be: Boolean = false): Unit = {
+            zsavBlockSize: Int = 0x3ff000, be: Boolean = false,
+            valueLabels: Map[String, Map[Double, String]] = Map.empty): Unit = {
     val out = new java.io.ByteArrayOutputStream()
     val order = if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     def le(n: Int): Array[Byte] = {
@@ -74,6 +75,30 @@ object GenSpss {
       case c: StrCol =>
         varRecord(c.width, c.short)
         (1 until (c.width + 7) / 8).foreach(_ => varRecord(-1, ""))
+    }
+
+    // ---- value labels: a type-3 value->label table followed by the
+    // type-4 record naming the 1-based dictionary slot(s) it applies to
+    if (valueLabels.nonEmpty) {
+      val slotOf = scala.collection.mutable.Map[String, Int]()
+      var slot = 0
+      cols.foreach { c =>
+        slot += 1; slotOf(c.short) = slot
+        c match { case sc: StrCol => slot += (sc.width + 7) / 8 - 1; case _ => () }
+      }
+      valueLabels.foreach { case (short, table) =>
+        out.write(le(3)); out.write(le(table.size))
+        table.foreach { case (v, label) =>
+          out.write(led(v))
+          val lb = label.getBytes("ISO-8859-1")
+          require(lb.length < 256, "label too long")
+          out.write(lb.length)
+          out.write(lb)
+          val pad = (lb.length + 8) / 8 * 8 - 1 - lb.length
+          (0 until pad).foreach(_ => out.write(' '.toInt))
+        }
+        out.write(le(4)); out.write(le(1)); out.write(le(slotOf(short)))
+      }
     }
 
     // ---- type-7 subtype-13: long variable names
@@ -184,6 +209,13 @@ object GenSpss {
     write(s"$dir/sample_multi.zsav", cols, 5, compression = 2, zsavBlockSize = 48)
     // big-endian bytecode-compressed variant (layout_code self-detection)
     write(s"$dir/sample_be.sav", cols, 5, compression = 1, be = true)
-    println(s"wrote sample_plain.sav, sample_comp.sav, sample_multi.zsav, sample_be.sav under $dir")
+    // value-labeled numeric column: 9.0 stays unlabeled (pandas renders the
+    // label for labeled values and the number otherwise)
+    write(s"$dir/sample_labels.sav", Seq(
+      NumCol("ID", "id", Seq(1, 2, 3, 4).map(d => Some(d.toDouble))),
+      NumCol("GRADE", "grade", Seq(Some(1.0), Some(2.0), Some(3.0), Some(9.0))),
+      StrCol("NAME", "name", 8, Seq("a", "b", "c", "d"))), 4, compression = 1,
+      valueLabels = Map("GRADE" -> Map(1.0 -> "low", 2.0 -> "mid", 3.0 -> "high")))
+    println(s"wrote sample_plain.sav, sample_comp.sav, sample_multi.zsav, sample_be.sav, sample_labels.sav under $dir")
   }
 }

@@ -89,6 +89,19 @@ class SourcesSpec extends SparkSpec {
       List("", "-2.25", ""), List("1", "1.5", "alpha"), List("2", "", "béta")))
   }
 
+  test("stata .dta value labels apply to integer columns (convert_categoricals parity)") {
+    // pandas-written fixtures with value_labels={'grade': {1: low, ...}};
+    // pd.read_stata renders ['low','mid','high',9] — labeled values map to
+    // text, the unlabeled 9 stays numeric (observed behavior, FIXTURES.md)
+    for (fixture <- Seq("/labels114.dta", "/labels118.dta")) {
+      val p = getClass.getResource(fixture).getPath
+      val df = Sources.read(spark, "l", Map("file" -> p), java.nio.file.Paths.get("/"))
+      val rows = df.orderBy("id").collect()
+      assert(rows.map(_.getString(1)).toSeq == Seq("low", "mid", "high", "9"), fixture)
+      assert(rows.map(_.getString(2)).toSeq == Seq("a", "b", "c", "d"), fixture)
+    }
+  }
+
   test("stata .dta strL columns (117 4+4 / 118 2+6 GSO pointers) and exact missing sentinels") {
     // fixtures written by pandas.to_stata(convert_strl=['note']): the `note`
     // column is strL (300-char value forces the GSO block), `ratio` carries
@@ -513,5 +526,12 @@ class SourcesSpec extends SparkSpec {
     val p = getClass.getResource("/sample_plain.sav").getPath
     assert(Sources.read(spark, "s", Map("file" -> p, "type" -> "spss"),
       java.nio.file.Paths.get("/")).count() == 5)
+    // value labels (type-3/type-4 records): labeled values render as the
+    // label text, the unlabeled 9.0 keeps its numeric rendering —
+    // pd.read_spss convert_categoricals parity
+    val lp = getClass.getResource("/sample_labels.sav").getPath
+    val ld = Sources.read(spark, "l", Map("file" -> lp), java.nio.file.Paths.get("/"))
+    val lr = ld.orderBy("id").collect().map(_.getString(1))
+    assert(lr.toSeq == Seq("low", "mid", "high", "9.0"))
   }
 }
