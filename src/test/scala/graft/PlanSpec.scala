@@ -86,6 +86,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("gopher quality filter is a pure narrow projection: no exchange, no UDF") {
+    val p = formatted("q_quality_filter")
+    assert(!p.contains("Exchange"), "per-row stats must not shuffle")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"))
+  }
+
   test("quantized ANN: candidate stage and rerank are TakeOrdered, no global sort") {
     val p = formatted("q_ann_quantized")
     assert(p.contains("TakeOrderedAndProject"))

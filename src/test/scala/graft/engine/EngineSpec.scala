@@ -177,6 +177,48 @@ class EngineSpec extends SparkSpec {
       """{ "name": "cal", "seq": "#2" }"""))
   }
 
+  test("binary sources (.sav/.dta/.pkl/.sas7bdat) integrate in a declared pipeline") {
+    // the four native binary readers flow through the normal YAML
+    // lifecycle: four 2-row sources, unioned and sorted, one destination
+    val dir = Files.createTempDirectory("graft-binsrc")
+    graft.tools.GenSpss.write(dir.resolve("a.sav").toString, Seq(
+      graft.tools.GenSpss.StrCol("K", "k", 8, Seq("sav1", "sav2"))), 2, compression = 1)
+    graft.tools.GenStata.write(dir.resolve("b.dta").toString, Seq(
+      graft.tools.GenStata.StrCol("k", 8, Seq("dta1", "dta2"))), 2)
+    graft.tools.GenPickle.write(dir.resolve("c.pkl").toString, Seq(
+      graft.tools.GenPickle.StrCol("k", Seq("pkl1", "pkl2"))), 2)
+    graft.tools.GenSas.write(dir.resolve("d.sas7bdat").toString, Seq(
+      graft.tools.GenSas.StrCol("k", 8, Seq("sas1", "sas2"))), 2, compress = "rle")
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  a:
+        |    file: a.sav
+        |  b:
+        |    file: b.dta
+        |  c:
+        |    file: c.pkl
+        |  d:
+        |    file: d.sas7bdat
+        |transformations:
+        |  t:
+        |    source: $sources.a
+        |    operations:
+        |      - operation: union
+        |        sources: [$sources.b, $sources.c, $sources.d]
+        |      - operation: sort_rows
+        |        columns: [k]
+        |destinations:
+        |  out:
+        |    source: $transformations.t
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
+    assert(lines.toSeq == Seq("dta1", "dta2", "pkl1", "pkl2", "sas1", "sas2", "sav1", "sav2")
+      .map(v => s"""{ "k": "$v" }"""))
+  }
+
   test("columnar destination: format parquet with partition_by round-trips and prunes") {
     val dir = Files.createTempDirectory("graft-columnar")
     Files.writeString(dir.resolve("d.csv"), "id,lang,text\n1,en,hello\n2,fr,bonjour\n3,en,world\n")
