@@ -98,6 +98,21 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // region → .avro (tools/GenAvro via the canonical avro-java library,
+    // deflate codec) → Avro source; long key renders as an integer string
+    "q_source_avro" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".avro")
+      graft.tools.GenAvro.write(f.toString, Seq(
+        graft.tools.GenAvro.LongCol("r_regionkey",
+          rows.map(_.get(0).toString.toLong).toSeq),
+        graft.tools.GenAvro.StrCol("r_name", rows.map(_.getString(1)).toSeq)),
+        rows.length)
+      graft.engine.Sources.read(s, "region_avro",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // region → .pkl (tools/GenPickle emits the pandas object graph,
     // cross-validated with pd.read_pickle — FIXTURES.md) → native
     // restricted unpickler; int64 block + object block + slice placements
@@ -584,6 +599,10 @@ object SparkEntry {
     // the double's decimal form, so the oracle casts through DOUBLE first
     "q_source_sas" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // avro `long` preserves integers, so the key renders without a double cast
+    "q_source_avro" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     // dta `long` preserves integers, so the key renders without a double cast
     "q_source_stata" ->

@@ -101,6 +101,7 @@ object Sources {
       case "sas7bdat" | "sas" => Sas.read(spark, path)
       case "sav" | "zsav" | "spss" => Spss.read(spark, path)
       case "pkl" | "pickle" => Pickle.read(spark, path)
+      case "avro" => Avro.read(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }

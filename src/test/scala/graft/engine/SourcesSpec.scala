@@ -455,6 +455,24 @@ class SourcesSpec extends SparkSpec {
     assert(e4.getMessage.contains("not a binary pickle"))
   }
 
+  test("avro: canonical-library round-trip, deflate codec, nulls -> \"\"") {
+    val dir = tmpDir
+    val p = dir.resolve("t.avro")
+    graft.tools.GenAvro.write(p.toString, Seq(
+      graft.tools.GenAvro.LongCol("id", Seq(1L, 2L, 3L)),
+      graft.tools.GenAvro.DblCol("score", Seq(1.5, -2.25, 10.0)),
+      graft.tools.GenAvro.StrCol("name", Seq("alpha", null, "gamma"))), 3)
+    val df = Sources.read(spark, "a", Map("file" -> p.toString), dir)
+    assert(df.columns.toSeq == Seq("id", "score", "name"))
+    assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    val rows = df.orderBy("id").collect().map(r => (0 until 3).map(r.getString))
+    assert(rows.map(_.toList).toList == List(
+      List("1", "1.5", "alpha"), List("2", "-2.25", ""), List("3", "10.0", "gamma")))
+    // `type: avro` override routes arbitrary extensions
+    assert(Sources.read(spark, "a", Map("file" -> p.toString, "type" -> "avro"), dir)
+      .count() == 3)
+  }
+
   test("pickle: pandas-written DataFrames (protocols 2/4/5) read all-string") {
     // fixtures written by the container's REAL pandas (2.2.2) — the
     // strongest cross-validation of the fixture set: we parse exactly what
