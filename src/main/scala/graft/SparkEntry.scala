@@ -330,6 +330,14 @@ object SparkEntry {
         TF.qualityScore(col("text"), Seq("the", "a", "of", "and", "to")).as("quality"),
         round(TF.punctRatio(col("text")), 4).as("punct_ratio"))),
 
+    // C4-rule line cleaning: exact string/integer predicates, so the
+    // oracle reproduces clean_text byte-for-byte (min_line_words lowered
+    // so the synthetic docs split across the gates)
+    "q_c4_clean" -> ((s, d) =>
+      TF.withC4Clean(t(s, d, "documents").select("doc_id", "text"),
+          "text", minLineWords = 3, minLines = 1)
+        .select("doc_id", "clean_text", "n_kept_lines", "c4_keep")),
+
     // Gopher-rule stats + keep flag; every threshold is integer-math so
     // the oracle reproduces the booleans exactly (min_words lowered to 10
     // so the synthetic docs split across the gates)
@@ -782,6 +790,22 @@ object SparkEntry {
            ) / 3.0, 4) AS quality,
            round((len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / len(text), 4) AS punct_ratio
          FROM documents""",
+
+    // mirrors withC4Clean term by term: same line predicate, same join
+    "q_c4_clean" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM documents)
+         SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           len(kept)::BIGINT AS n_kept_lines,
+           (len(kept) >= 1 AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')) AS c4_keep
+         FROM base""",
 
     // mirrors withGopherQuality's integer-math thresholds term by term
     "q_quality_filter" ->

@@ -356,6 +356,16 @@ final class Engine(spark: SparkSession) {
           .drop("n_words", "total_word_len", "n_alpha_words", "n_symbols",
             "n_lines", "n_bullet_lines", "n_ellipsis_lines", "stop_hits",
             "gopher_keep")
+      // C4-rule line cleaning (Raffel et al. 2020): keeps passing docs with
+      // their text REPLACED by the surviving lines; stats dropped
+      case "c4_clean" =>
+        val colName = Config.reqStr(op, "column", ctx)
+        val cc = graft.functions.TextFunctions.withC4Clean(df, colName,
+          Config.int(op, "min_line_words").getOrElse(5),
+          Config.int(op, "min_lines").getOrElse(3))
+        cc.filter(org.apache.spark.sql.functions.col("c4_keep"))
+          .withColumn(colName, org.apache.spark.sql.functions.col("clean_text"))
+          .drop("clean_text", "n_kept_lines", "c4_keep")
       case "fingerprint" =>
         df.withColumn(Config.str(op, "new_column").getOrElse("fingerprint"),
           graft.functions.TextFunctions.fingerprint(

@@ -113,6 +113,34 @@ object TextFunctions {
       .drop("__words", "__lines")
   }
 
+  /**
+   * C4-style line-level cleaning (Raffel et al. 2020 §2.2, public): keep
+   * only lines that end in terminal punctuation (. ! ? ") and contain at
+   * least `minLineWords` words and no "javascript"; then drop documents
+   * whose cleaned text has fewer than `minLines` surviving lines or
+   * contains "lorem ipsum" or a curly brace. Adds `clean_text` (surviving
+   * lines re-joined), `n_kept_lines`, and the `c4_keep` flag. Exact
+   * string/integer predicates only — the DuckDB oracle reproduces the
+   * output byte-for-byte. Narrow projection, no shuffle, no UDF.
+   */
+  def withC4Clean(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  minLineWords: Int = 5, minLines: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val kept = filter(split(text, "\n"), l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > lit(0))) >= lit(minLineWords) &&
+        !lower(l).contains("javascript"))
+    df.withColumn("__kept", kept)
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_kept_lines", size(col("__kept")).cast(LongType))
+      .withColumn("c4_keep",
+        col("n_kept_lines") >= lit(minLines.toLong) &&
+          !lower(text).contains("lorem ipsum") &&
+          !text.contains("{"))
+      .drop("__kept")
+  }
+
   /** Stopword vote lists per language for the n-gram/stopword language-ID
     * heuristic. Deliberately small and public-knowledge. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

@@ -178,6 +178,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(0L))
   }
 
+  test("c4_clean keeps passing docs with surviving lines re-joined") {
+    val mixed = Seq(
+      // line 2 lacks terminal punctuation -> dropped; doc survives
+      (0L, "the fox runs far today.\nno punctuation here\nthe dog sleeps now!"),
+      // all lines fail the word minimum -> doc dropped
+      (1L, "short one.\ntiny two."),
+      // lorem ipsum -> doc dropped even with good lines
+      (2L, "lorem ipsum dolor sit amet paragraph."),
+    ).toDF("doc_id", "text")
+    val out = run(mixed, Map("operation" -> "c4_clean", "column" -> "text",
+      "min_line_words" -> "3", "min_lines" -> "1"))
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(rows.head.getString(1) == "the fox runs far today.\nthe dog sleeps now!")
+  }
+
   test("hash_sample plain and stratified dispatch") {
     val plain = run(docs, Map("operation" -> "hash_sample", "column" -> "text", "rate" -> "1.0"))
     assert(plain.count() == 3)
