@@ -98,6 +98,20 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // documents → .wet.gz (GenWarc, one gzip member per record — the
+    // Common Crawl layout) → distributed Warc reader; text round-trips
+    // byte-exactly including embedded newlines
+    "q_source_wet" -> ((s, d) => {
+      val rows = t(s, d, "documents").select("doc_id", "text")
+        .orderBy(col("doc_id").cast("long")).collect()
+      val f = java.nio.file.Files.createTempFile("graft-docs", ".wet.gz")
+      graft.tools.GenWarc.write(f.toString,
+        rows.map(r => (s"http://doc.example/${r.get(0)}", r.getString(1))).toSeq,
+        gzip = true)
+      graft.engine.Sources.read(s, "docs_wet", Map("file" -> f.toString), f.getParent)
+        .select(col("url"), col("text"))
+    }),
+
     // region → .avro (tools/GenAvro via the canonical avro-java library,
     // deflate codec) → Avro source; long key renders as an integer string
     "q_source_avro" -> ((s, d) => {
@@ -607,6 +621,9 @@ object SparkEntry {
     // the double's decimal form, so the oracle casts through DOUBLE first
     "q_source_sas" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_wet" ->
+      "SELECT 'http://doc.example/' || doc_id AS url, text FROM documents",
 
     // avro `long` preserves integers, so the key renders without a double cast
     "q_source_avro" ->

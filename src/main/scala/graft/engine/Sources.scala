@@ -81,8 +81,13 @@ object Sources {
   /** Extension → reader (source.py:240-265 `_get_filetype`). */
   def readFile(spark: SparkSession, path: String, cfg: Map[String, Any], columns: Seq[String],
                configDir: java.nio.file.Path = Paths.get(".")): DataFrame = {
-    val ext = Config.str(cfg, "type").getOrElse(
-      path.substring(path.lastIndexOf('.') + 1).toLowerCase)
+    val ext = Config.str(cfg, "type").getOrElse {
+      val lower = path.toLowerCase
+      // the Common Crawl double extensions resolve to their real format
+      if (lower.endsWith(".warc.gz") || lower.endsWith(".warc")) "warc"
+      else if (lower.endsWith(".wet.gz") || lower.endsWith(".wet")) "wet"
+      else path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    }
     ext match {
       case "csv" => readDelimited(spark, path, ",", cfg, columns)
       case "tsv" => readDelimited(spark, path, "\t", cfg, columns)
@@ -102,6 +107,7 @@ object Sources {
       case "sav" | "zsav" | "spss" => Spss.read(spark, path)
       case "pkl" | "pickle" => Pickle.read(spark, path)
       case "avro" => Avro.read(spark, path)
+      case "warc" | "wet" => Warc.read(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }

@@ -1,0 +1,44 @@
+// scratch fixture/gate-data generator for the WARC/WET source
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/**
+ * Writes WET-style WARC files per ISO 28500 (the publicly documented
+ * Common Crawl layout): a `warcinfo` header record followed by one
+ * `conversion` record per document, CRLF header blocks, Content-Length
+ * payloads in bytes, and — when gzipped — ONE GZIP MEMBER PER RECORD,
+ * exactly how Common Crawl writes `.wet.gz` (member-concatenated), which
+ * exercises the reader's concatenated-stream decompression.
+ */
+object GenWarc {
+
+  def write(path: String, docs: Seq[(String, String)], gzip: Boolean): Unit = {
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
+        case (k, v) => sb.append(s"$k: $v\r\n")
+      }
+      sb.append("\r\n")
+      sb.toString.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val info = record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2026-01-01T00:00:00Z"),
+      "software: graft test writer\r\n".getBytes("UTF-8"))
+    val recs = info +: docs.map { case (uri, text) =>
+      record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> "2026-01-01T00:00:00Z"),
+        text.getBytes("UTF-8"))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!gzip) recs.foreach(out.write)
+    else recs.foreach { r => // one gzip member per record, CC-style
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(r); g.finish()
+    }
+    Files.write(Paths.get(path), out.toByteArray)
+  }
+}

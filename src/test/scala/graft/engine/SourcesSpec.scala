@@ -473,6 +473,28 @@ class SourcesSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("warc/wet: ISO-28500 records, member-concatenated gzip, type filter") {
+    val dir = tmpDir
+    val docs = Seq(
+      ("http://a.example/1", "first document text.\nsecond line."),
+      ("http://a.example/2", "unicode é content."))
+    graft.tools.GenWarc.write(dir.resolve("t.wet").toString, docs, gzip = false)
+    graft.tools.GenWarc.write(dir.resolve("t.wet.gz").toString, docs, gzip = true)
+    for (f <- Seq("t.wet", "t.wet.gz")) {
+      val df = Sources.read(spark, "w", Map("file" -> f), dir)
+      assert(df.columns.toSeq == Seq("url", "date", "record_type", "text"), f)
+      // the warcinfo header record is filtered out by the default types
+      val rows = df.orderBy("url").collect()
+      assert(rows.length == 2, f)
+      assert(rows.map(_.getString(0)).toSeq == docs.map(_._1), f)
+      assert(rows.map(_.getString(3)).toSeq == docs.map(_._2), f)
+      assert(rows.forall(_.getString(2) == "conversion"), f)
+    }
+    // `type: warc` override routes arbitrary extensions
+    assert(Sources.read(spark, "w",
+      Map("file" -> "t.wet.gz", "type" -> "warc"), dir).count() == 2)
+  }
+
   test("pickle: pandas-written DataFrames (protocols 2/4/5) read all-string") {
     // fixtures written by the container's REAL pandas (2.2.2) — the
     // strongest cross-validation of the fixture set: we parse exactly what
