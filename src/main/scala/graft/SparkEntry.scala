@@ -344,6 +344,17 @@ object SparkEntry {
         TF.qualityScore(col("text"), Seq("the", "a", "of", "and", "to")).as("quality"),
         round(TF.punctRatio(col("text")), 4).as("punct_ratio"))),
 
+    // crawl extraction: wrap each doc in synthetic HTML (both sides build
+    // the identical page) then strip it back to text — byte-exact oracle
+    "q_html_to_text" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TF.htmlToText(concat(
+          lit("<html><head><title>t</title><script>var x=1;</script></head><body><p>"),
+          col("text"),
+          lit("</p><!-- c --><div>footer&amp;end</div></body></html>")))
+          .as("text"))),
+
     // C4-rule line cleaning: exact string/integer predicates, so the
     // oracle reproduces clean_text byte-for-byte (min_line_words lowered
     // so the synthetic docs split across the gates)
@@ -806,6 +817,29 @@ object SparkEntry {
                    / len(text), 0) < 0.3 THEN 1.0 ELSE 0.0 END)
            ) / 3.0, 4) AS quality,
            round((len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / len(text), 4) AS punct_ratio
+         FROM documents""",
+
+    // mirrors htmlToText replace-for-replace (RE2-safe patterns, 'g' flag)
+    "q_html_to_text" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace('<html><head><title>t</title><script>var x=1;</script></head><body><p>'
+                 || text ||
+               '</p><!-- c --><div>footer&amp;end</div></body></html>',
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'),
+               '[ \t]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+               '\n{2,}', chr(10), 'g'), ' ' || chr(10) || chr(9)) AS text
          FROM documents""",
 
     // mirrors withC4Clean term by term: same line predicate, same join

@@ -356,6 +356,12 @@ final class Engine(spark: SparkSession) {
           .drop("n_words", "total_word_len", "n_alpha_words", "n_symbols",
             "n_lines", "n_bullet_lines", "n_ellipsis_lines", "stop_hits",
             "gopher_keep")
+      // crawl-pipeline HTML -> text extraction (tag strip + entity
+      // unescape + whitespace collapse), in place on `column`
+      case "html_to_text" =>
+        val colName = Config.reqStr(op, "column", ctx)
+        df.withColumn(colName, graft.functions.TextFunctions.htmlToText(
+          org.apache.spark.sql.functions.col(colName)))
       // C4-rule line cleaning (Raffel et al. 2020): keeps passing docs with
       // their text REPLACED by the surviving lines; stats dropped
       case "c4_clean" =>

@@ -141,6 +141,37 @@ object TextFunctions {
       .drop("__kept")
   }
 
+  /**
+   * HTML → text extraction for crawl pipelines (WARC `response` records →
+   * the text ops): drops script/style/head blocks and comments, strips
+   * tags, unescapes the common entities, and collapses runs of blank
+   * lines / spaces. A chained regexp_replace Column — codegen'd, narrow,
+   * no UDF — i.e. the C4/CCNet-style extraction step, deliberately
+   * heuristic (a full DOM parse is out of scope at 100 TB and the
+   * downstream quality filters absorb the difference).
+   */
+  def htmlToText(html: Column): Column = {
+    // per-tag patterns (not one backreference pattern) so the DuckDB
+    // oracle — RE2, no backreferences — mirrors term by term
+    var c = html
+    for (t <- Seq("script", "style", "head"))
+      c = regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " ")
+    c = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    // block-level closers become newlines so paragraphs survive the strip
+    c = regexp_replace(c, "(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
+    c = regexp_replace(c, "(?s)<[^>]*>", " ")
+    c = regexp_replace(c, "&nbsp;", " ")
+    c = regexp_replace(c, "&amp;", "&")
+    c = regexp_replace(c, "&lt;", "<")
+    c = regexp_replace(c, "&gt;", ">")
+    c = regexp_replace(c, "&quot;", "\"")
+    c = regexp_replace(c, "&#39;", "'")
+    c = regexp_replace(c, "[ \\t]+", " ")          // collapse spaces
+    c = regexp_replace(c, " ?\\n ?", "\n")         // trim around newlines
+    c = regexp_replace(c, "\\n{2,}", "\n")         // collapse blank lines
+    trim(c, " \n\t") // plain trim strips spaces only — include \n\t
+  }
+
   /** Stopword vote lists per language for the n-gram/stopword language-ID
     * heuristic. Deliberately small and public-knowledge. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

@@ -178,6 +178,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(0L))
   }
 
+  test("html_to_text strips tags/scripts, unescapes entities, keeps paragraphs") {
+    val html = Seq((0L,
+      "<html><head><script>x&amp;y</script></head>" +
+        "<body><p>first para.</p><p>second &amp; third.</p><!-- note --></body></html>"))
+      .toDF("doc_id", "text")
+    val out = run(html, Map("operation" -> "html_to_text", "column" -> "text"))
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.head().getString(1) == "first para.\nsecond & third.")
+  }
+
   test("c4_clean keeps passing docs with surviving lines re-joined") {
     val mixed = Seq(
       // line 2 lacks terminal punctuation -> dropped; doc survives
