@@ -219,6 +219,57 @@ class EngineSpec extends SparkSpec {
       .map(v => s"""{ "k": "$v" }"""))
   }
 
+  test("crawl curation pipeline e2e: wet.gz -> html_to_text -> c4_clean -> quality_filter -> dedup_near") {
+    // the full Common-Crawl-style chain as ONE declared YAML pipeline
+    val dir = Files.createTempDirectory("graft-crawl")
+    def page(body: String) =
+      s"<html><head><script>track();</script></head><body>$body</body></html>"
+    val good = "<p>" + (1 to 3).map(i =>
+      s"the quick brown fox number $i jumps over one of the lazy dogs with ease.").mkString("</p><p>") + "</p>"
+    val nearDupGood = good.replace("number 1", "number one")
+    graft.tools.GenWarc.write(dir.resolve("crawl.wet.gz").toString, Seq(
+      ("http://a/1", page(good)),
+      ("http://a/2", page(nearDupGood)),                    // near-dup of 1
+      ("http://a/3", page("<p>lorem ipsum dolor sit amet paragraph here.</p>")),
+      ("http://a/4", page("<ul><li>one</li><li>two</li></ul>")), // no terminal-punct lines
+    ), gzip = true)
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  crawl:
+        |    file: crawl.wet.gz
+        |transformations:
+        |  curated:
+        |    source: $sources.crawl
+        |    operations:
+        |      - operation: html_to_text
+        |        column: text
+        |      - operation: c4_clean
+        |        column: text
+        |        min_line_words: 5
+        |        min_lines: 1
+        |      - operation: quality_filter
+        |        column: text
+        |        min_words: 10
+        |      - operation: dedup_near
+        |        id_column: url
+        |        column: text
+        |        method: jaccard
+        |        threshold: 0.5
+        |      - operation: keep_columns
+        |        columns: [url]
+        |destinations:
+        |  out:
+        |    source: $transformations.curated
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala
+    // lorem-ipsum and bullet pages die in c4/gopher; the near-dup pair
+    // collapses to its representative
+    assert(lines.toSeq == Seq("""{ "url": "http://a/1" }"""))
+  }
+
   test("columnar destination: format parquet with partition_by round-trips and prunes") {
     val dir = Files.createTempDirectory("graft-columnar")
     Files.writeString(dir.resolve("d.csv"), "id,lang,text\n1,en,hello\n2,fr,bonjour\n3,en,world\n")
