@@ -31,7 +31,9 @@ object Sources {
     val optional = Config.bool(cfg, "optional")
 
     val df = fileOpt match {
-      case Some(path) if Files.exists(path) =>
+      // glob patterns (crawl-scale WARC/parquet directories) defer the
+      // existence check to the reader — Spark resolves the match set
+      case Some(path) if Files.exists(path) || path.toString.exists("*?[".contains(_)) =>
         readFile(spark, path.toString, cfg, columns, configDir)
       case Some(path) if optional =>
         emptyFrame(spark, columns)

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
  *
  * Emits one row per WARC record of the requested types with columns
  * `url` (WARC-Target-URI), `date` (WARC-Date), `record_type` (WARC-Type)
- * and `text` (payload as UTF-8) — all strings, the engine's model.
+ * and `text` (payload as UTF-8) — all strings, the engine's model. For
+ * `response` records the embedded HTTP envelope (status line + headers up
+ * to the blank line, per the WARC spec's http;msgtype=response content
+ * type) is stripped so `text` is the body, ready for html_to_text.
  * Records without Content-Length are rejected (the spec requires it).
  */
 object Warc {
@@ -84,11 +87,17 @@ object Warc {
           require(n >= 0, s"$file: truncated WARC payload")
           off += n
         }
+        val typ = headers.getOrElse("warc-type", "")
+        var text = new String(payload, "UTF-8")
+        if (typ == "response" && text.startsWith("HTTP/")) {
+          val i = text.indexOf("\r\n\r\n")
+          if (i >= 0) text = text.substring(i + 4)
+        }
         nextRec = (
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("warc-date", ""),
-          headers.getOrElse("warc-type", ""),
-          new String(payload, "UTF-8"))
+          typ,
+          text)
       }
     }
 

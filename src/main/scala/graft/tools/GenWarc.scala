@@ -13,7 +13,8 @@ import java.nio.file.{Files, Paths}
  */
 object GenWarc {
 
-  def write(path: String, docs: Seq[(String, String)], gzip: Boolean): Unit = {
+  def write(path: String, docs: Seq[(String, String)], gzip: Boolean,
+            recordType: String = "conversion"): Unit = {
     def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
       val sb = new StringBuilder("WARC/1.0\r\n")
       (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
@@ -27,11 +28,15 @@ object GenWarc {
       "WARC-Date" -> "2026-01-01T00:00:00Z"),
       "software: graft test writer\r\n".getBytes("UTF-8"))
     val recs = info +: docs.map { case (uri, text) =>
+      val payload =
+        if (recordType == "response") // the WARC http envelope shape
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + text).getBytes("UTF-8")
+        else text.getBytes("UTF-8")
       record(Seq(
-        "WARC-Type" -> "conversion",
+        "WARC-Type" -> recordType,
         "WARC-Target-URI" -> uri,
         "WARC-Date" -> "2026-01-01T00:00:00Z"),
-        text.getBytes("UTF-8"))
+        payload)
     }
     val out = new java.io.ByteArrayOutputStream()
     if (!gzip) recs.foreach(out.write)

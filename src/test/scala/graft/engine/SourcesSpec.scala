@@ -493,6 +493,24 @@ class SourcesSpec extends SparkSpec {
     // `type: warc` override routes arbitrary extensions
     assert(Sources.read(spark, "w",
       Map("file" -> "t.wet.gz", "type" -> "warc"), dir).count() == 2)
+    // response records: the HTTP envelope strips off, text is the body
+    graft.tools.GenWarc.write(dir.resolve("r.warc.gz").toString,
+      Seq(("http://b.example/x", "<html><body>hi.</body></html>")),
+      gzip = true, recordType = "response")
+    val resp = Sources.read(spark, "r", Map("file" -> "r.warc.gz"), dir).collect()
+    assert(resp.length == 1 && resp(0).getString(3) == "<html><body>hi.</body></html>")
+    // multi-file glob: one task per file (the crawl-scale parallelism unit)
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("many"))
+    (1 to 3).foreach { i =>
+      graft.tools.GenWarc.write(sub.resolve(s"part$i.wet.gz").toString,
+        Seq((s"http://m.example/$i", s"doc $i text.")), gzip = true)
+    }
+    val many = Sources.read(spark, "m", Map("file" -> "many/*.wet.gz"), dir)
+    assert(many.count() == 3)
+    assert(many.select("url").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq == (1 to 3).map(i => s"http://m.example/$i"))
+    // (binaryFiles combines these tiny files into one split — the desired
+    // small-file behavior; production-size .warc.gz files split per file)
   }
 
   test("pickle: pandas-written DataFrames (protocols 2/4/5) read all-string") {
