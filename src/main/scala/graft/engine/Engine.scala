@@ -436,7 +436,7 @@ final class Engine(spark: SparkSession) {
       // Dedup tier: minhash is the 100TB default (O(n·sig + candidates)),
       // jaccard the exact-threshold variant, simhash the hamming variant.
       case "dedup_near" =>
-        import org.apache.spark.sql.functions.{col, count, when, xxhash64}
+        import org.apache.spark.sql.functions.{col, count, lit, when, xxhash64}
         val idC = Config.reqStr(op, "id_column", ctx)
         val textC = Config.reqStr(op, "column", ctx)
         val threshold = Config.str(op, "threshold").map(_.toDouble).getOrElse(0.8)
@@ -452,12 +452,16 @@ final class Engine(spark: SparkSession) {
         // odds the shingle-hash kernels already accept; the group
         // representative then becomes min-by-hash rather than min-by-id,
         // which is still deterministic.)
-        val badIds = df.select(count(when(
-            col(idC).try_cast("long").isNull, 1)).as("bad"))
-          .head().getLong(0)
+        val probe = df.select(count(lit(1)).as("total"),
+            count(when(col(idC).try_cast("long").isNull, 1)).as("bad"))
+          .head()
+        // surrogate also on an EMPTY frame: the kernels' plain (ANSI) long
+        // cast must never see this column, because Catalyst may evaluate a
+        // pushed cast-bearing predicate on rows an upstream filter would
+        // have dropped — only an all-castable non-empty column is safe
         val sid = "__graft_dedup_sid__"
         val (base, keyC) =
-          if (badIds == 0L) (df, idC)
+          if (probe.getLong(0) > 0L && probe.getLong(1) == 0L) (df, idC)
           else (df.withColumn(sid, xxhash64(col(idC))), sid)
         val pairs = Config.str(op, "method").getOrElse("minhash") match {
           case "minhash" => graft.functions.Dedup.minhashLshPairs(base, keyC, textC,
@@ -480,7 +484,7 @@ final class Engine(spark: SparkSession) {
         val keep = groups
           .filter(col("id") === col("group_rep"))
           .select(col("id").as(keyC))
-        if (badIds == 0L) df.join(keep, Seq(idC), "left_semi")
+        if (keyC == idC) df.join(keep, Seq(idC), "left_semi")
         else base.join(keep, Seq(sid), "left_semi").drop(sid)
       // similarity search from a declared pipeline: top-k rows of a typed
       // vector column (array<float> — parquet/orc sources keep it) by

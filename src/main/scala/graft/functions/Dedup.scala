@@ -76,7 +76,7 @@ object Dedup {
     // the frames hold long arrays, not strings. Hashing moves the join/
     // shuffle onto longs; collisions at 64 bits are negligible and would
     // only merge two shingles within the same pair.
-    val docs = df.select(col(idCol).try_cast("long").as(idCol), col(textCol).cast("string"))
+    val docs = df.select(col(idCol).cast(LongType).as(idCol), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -169,7 +169,7 @@ object Dedup {
                             numHashes: Int, shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).try_cast("long").as(idCol), col(textCol).cast("string"))
+    df.select(col(idCol).cast(LongType).as(idCol), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -270,7 +270,7 @@ object Dedup {
                         shingleSize: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).try_cast("long").as(idCol), col(textCol).cast("string"))
+    df.select(col(idCol).cast(LongType).as(idCol), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -332,7 +332,7 @@ object Dedup {
                           maxIterations: Int = 50,
                           broadcastEdgeThreshold: Long = 1L << 20): DataFrame = {
     require(broadcastEdgeThreshold < Int.MaxValue, "broadcastEdgeThreshold must fit an Int limit")
-    val ids = nodes.select(col(idCol).try_cast("long").as("id"))
+    val ids = nodes.select(col(idCol).cast(LongType).as("id"))
     val p = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
     // Strategy probe and edge fetch in ONE action: collect at most
     // threshold+1 rows. If the result fits, we already hold EVERY edge and

@@ -34,7 +34,7 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Float], k: Int): DataFrame = {
     val q = typedlit(query)
-    df.select(col(idCol).try_cast("long").as("id"),
+    df.select(col(idCol).cast(LongType).as("id"),
         round(cosine(col(vecCol), q), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
@@ -76,7 +76,7 @@ object Similarity {
       .orderBy(col("__q_a__").desc, col(idCol).asc)
       .limit(rerank)
     candidates
-      .select(col(idCol).try_cast("long").as("id"),
+      .select(col(idCol).cast(LongType).as("id"),
         round(cosine(col(vecCol), typedlit(query)), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
@@ -109,7 +109,7 @@ object Similarity {
     val q = typedlit(query)
     val qBucket = lshBucket(q, numPlanes)
     df.filter(lshBucket(col(vecCol), numPlanes) === qBucket)
-      .select(col(idCol).try_cast("long").as("id"),
+      .select(col(idCol).cast(LongType).as("id"),
         round(cosine(col(vecCol), q), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
@@ -179,7 +179,7 @@ object Similarity {
     var qs = 0.0
     qArr.foreach(x => qs += x.toDouble * x.toDouble)
     val qNorm = math.sqrt(qs)
-    df.select(col(idCol).try_cast("long").as("id"), col(vecCol).as("vec"))
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
@@ -218,7 +218,7 @@ object Similarity {
                             outId: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).try_cast("long").as("id"), col(vecCol).as("vec"))
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         var tables: Array[Array[Array[Double]]] = null
@@ -244,8 +244,8 @@ object Similarity {
     val qb = bandedBuckets(queries, idCol, vecCol, numPlanes, numTables, "q_id")
     val cb = bandedBuckets(corpus, idCol, vecCol, numPlanes, numTables, "c_id")
     val cand = qb.join(cb, Seq("tbl", "bucket")).select("q_id", "c_id").distinct()
-    val qv = queries.select(col(idCol).try_cast("long").as("q_id"), col(vecCol).as("q_vec"))
-    val cv = corpus.select(col(idCol).try_cast("long").as("c_id"), col(vecCol).as("c_vec"))
+    val qv = queries.select(col(idCol).cast(LongType).as("q_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
     cand.join(qv, "q_id").join(cv, "c_id")
@@ -275,7 +275,7 @@ object Similarity {
                    nlist: Int, iters: Int = 0): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).try_cast("long").as("id"), col(vecCol).as("vec"))
+    val vecs = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
     var cents: Array[Array[Double]] = vecs.orderBy(col("id")).limit(nlist)
       .collect().map(_._2.map(_.toDouble))
@@ -338,7 +338,7 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(centroids)
-    df.select(col(idCol).try_cast("long").as("id"), col(vecCol).as("vec"))
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val cs = b.value
@@ -377,7 +377,7 @@ object Similarity {
         (c, sim)
       }.sortBy { case (c, sim) => (-sim, c) }.take(nprobe).map(_._1).toSet
     val b = spark.sparkContext.broadcast((cents, norms, probed))
-    df.select(col(idCol).try_cast("long").as("id"), col(vecCol).as("vec"))
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val (cs, ns, probe) = b.value
@@ -424,7 +424,7 @@ object Similarity {
     // (without it each of those re-runs the parquet scan: numBlocks+1 extra
     // source reads). MEMORY_AND_DISK so an over-memory cache spills instead
     // of silently re-scanning.
-    val vecs = df.select(col(idCol).try_cast("long").as("id"), col(vecCol).as("vec"))
+    val vecs = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vecs.count()
@@ -488,7 +488,7 @@ object Similarity {
     * the caller via pre-filtering. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                   bucketed: Boolean = false, numPlanes: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).try_cast("long").as("id"), col(vecCol).as("vec"))
+    val base = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
     val (a, b) =
       if (bucketed) {
         val withB = base.withColumn("bucket", lshBucket(col("vec"), numPlanes))
