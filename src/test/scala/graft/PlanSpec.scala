@@ -86,10 +86,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("gopher quality filter is a pure narrow projection: no exchange, no UDF") {
-    val p = formatted("q_quality_filter")
-    assert(!p.contains("Exchange"), "per-row stats must not shuffle")
-    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"))
+  test("crawl cleaning tier is pure narrow projection: no exchange, no UDF") {
+    for (name <- Seq("q_quality_filter", "q_c4_clean", "q_html_to_text")) {
+      val p = formatted(name)
+      assert(!p.contains("Exchange"), s"$name: per-row transforms must not shuffle")
+      assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"), name)
+    }
   }
 
   test("quantized ANN: candidate stage and rerank are TakeOrdered, no global sort") {
