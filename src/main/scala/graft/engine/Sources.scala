@@ -86,8 +86,10 @@ object Sources {
     val ext = Config.str(cfg, "type").getOrElse {
       val lower = path.toLowerCase
       // the Common Crawl double extensions resolve to their real format
-      if (lower.endsWith(".warc.gz") || lower.endsWith(".warc")) "warc"
-      else if (lower.endsWith(".wet.gz") || lower.endsWith(".wet")) "wet"
+      if (lower.endsWith(".warc.gz") || lower.endsWith(".warc.zst") ||
+        lower.endsWith(".warc")) "warc"
+      else if (lower.endsWith(".wet.gz") || lower.endsWith(".wet.zst") ||
+        lower.endsWith(".wet")) "wet"
       else path.substring(path.lastIndexOf('.') + 1).toLowerCase
     }
     ext match {

@@ -35,6 +35,10 @@ object Warc {
         val raw = new java.io.BufferedInputStream(pds.open())
         val in =
           if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+          else if (file.endsWith(".zst")) // newer Common Crawl objects;
+            // zstd-jni ships with Spark. setContinuous reads frame-
+            // concatenated streams, the zstd analogue of gzip members
+            new com.github.luben.zstd.ZstdInputStream(raw).setContinuous(true)
           else raw
         parseRecords(in, file).filter(r => keep.isEmpty || keep(r._3))
           .map { case (url, date, typ, text) => Row(url, date, typ, text) }

@@ -13,8 +13,10 @@ import java.nio.file.{Files, Paths}
  */
 object GenWarc {
 
-  def write(path: String, docs: Seq[(String, String)], gzip: Boolean,
-            recordType: String = "conversion"): Unit = {
+  /** codec: "" (plain), "gzip" or "zstd" — one compressed member/frame per
+    * record, the Common Crawl layout for `.gz` and `.zst` alike. */
+  def writeCodec(path: String, docs: Seq[(String, String)], codec: String,
+                 recordType: String = "conversion"): Unit = {
     def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
       val sb = new StringBuilder("WARC/1.0\r\n")
       (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
@@ -39,11 +41,22 @@ object GenWarc {
         payload)
     }
     val out = new java.io.ByteArrayOutputStream()
-    if (!gzip) recs.foreach(out.write)
-    else recs.foreach { r => // one gzip member per record, CC-style
-      val g = new java.util.zip.GZIPOutputStream(out)
-      g.write(r); g.finish()
+    codec match {
+      case "" => recs.foreach(out.write)
+      case "gzip" => recs.foreach { r => // one gzip member per record
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(r); g.finish(); g.close()
+      }
+      case "zstd" => recs.foreach { r => // one zstd frame per record
+        val z = new com.github.luben.zstd.ZstdOutputStream(out)
+        z.write(r); z.close()
+      }
+      case other => throw new IllegalArgumentException(s"codec $other")
     }
     Files.write(Paths.get(path), out.toByteArray)
   }
+
+  def write(path: String, docs: Seq[(String, String)], gzip: Boolean,
+            recordType: String = "conversion"): Unit =
+    writeCodec(path, docs, if (gzip) "gzip" else "", recordType)
 }

@@ -89,10 +89,23 @@ object ScaleProbe {
       val (_, tSh) = time(
         graft.functions.Sampling.hashShuffle(docs, "doc_id").count())
       spark.catalog.clearCache()
+      // crawl ingest at scale: corpus → multi-file .wet.gz (16 shards,
+      // the CC layout) → distributed WARC read → html-free text counts;
+      // files are the parallelism unit, so wall should track corpus size
+      val (wetRows, tWet) = time {
+        val shardDir = java.nio.file.Files.createTempDirectory("graft-scale-wet")
+        val rows = docs.select("doc_id", "text").collect()
+        rows.grouped((rows.length / 16).max(1)).zipWithIndex.foreach { case (g, i) =>
+          GenWarc.write(shardDir.resolve(f"part-$i%02d.wet.gz").toString,
+            g.map(r => (s"http://doc/${r.get(0)}", r.getString(1))).toSeq, gzip = true)
+        }
+        graft.engine.Warc.read(spark, s"$shardDir/*.wet.gz").count()
+      }
       println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
-        f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs")
+        f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
+        f"wet_ingest=$tWet%.1fs($wetRows)")
     }
     spark.stop()
   }

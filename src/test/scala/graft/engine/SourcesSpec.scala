@@ -493,6 +493,11 @@ class SourcesSpec extends SparkSpec {
     // `type: warc` override routes arbitrary extensions
     assert(Sources.read(spark, "w",
       Map("file" -> "t.wet.gz", "type" -> "warc"), dir).count() == 2)
+    // zstd (.wet.zst, the newer Common Crawl codec): per-record frames
+    // decode through the continuous zstd stream
+    graft.tools.GenWarc.writeCodec(dir.resolve("t.wet.zst").toString, docs, "zstd")
+    val zdf = Sources.read(spark, "z", Map("file" -> "t.wet.zst"), dir)
+    assert(zdf.orderBy("url").collect().map(_.getString(3)).toSeq == docs.map(_._2))
     // response records: the HTTP envelope strips off, text is the body
     graft.tools.GenWarc.write(dir.resolve("r.warc.gz").toString,
       Seq(("http://b.example/x", "<html><body>hi.</body></html>")),
