@@ -81,9 +81,12 @@ object Warc {
             h.substring(i + 1).trim
           h = readLine()
         }
-        val len = headers.getOrElse("content-length",
+        val lenL = headers.getOrElse("content-length",
           throw new IllegalArgumentException(
-            s"$file: WARC record without Content-Length")).toInt
+            s"$file: WARC record without Content-Length")).toLong
+        require(lenL >= 0 && lenL <= Int.MaxValue - 8,
+          s"$file: WARC record Content-Length $lenL out of supported range")
+        val len = lenL.toInt
         val payload = new Array[Byte](len)
         var off = 0
         while (off < len) {
