@@ -540,6 +540,19 @@ class SourcesSpec extends SparkSpec {
       assert(rows.map(_(5)).toSeq == Seq("2026-01-01 00:00:00", "2026-01-02 03:04:05",
         "2026-01-02 03:04:05.123456", "2026-01-02 03:04:05.000000001", ""), fixture)
     }
+    // narrow/unsigned dtypes, float32, datetime64[us] and a STRING row
+    // index (dropped — positional model): 9 single-column blocks
+    val misc = getClass.getResource("/sample_misc.pkl").getPath
+    val md = Sources.read(spark, "m", Map("file" -> misc), java.nio.file.Paths.get("/"))
+    assert(md.columns.toSeq == Seq("i1", "u1", "i2", "u2", "i4", "u4", "u8", "f4", "ts_us"))
+    val mr = md.orderBy(org.apache.spark.sql.functions.col("i2").cast("int"))
+      .collect().map(r => (0 until 9).map(r.getString))
+    assert(mr(0).toList == List("-128", "0", "-32768", "0", "-2147483648", "0", "0",
+      "1.5", "2026-02-01 00:00:00"))
+    assert(mr(1).toList == List("0", "128", "5", "40000", "7", "3000000000",
+      "9223372036854775808", "", "2026-02-01 12:34:56.789"))
+    assert(mr(2).toList == List("127", "255", "32767", "65535", "2147483647",
+      "4294967295", "18446744073709551615", "-0.25", ""))
     // protocol 2 (GLOBAL text opcodes, _codecs.encode byte spelling)
     val p2 = getClass.getResource("/sample_frame_p2.pkl").getPath
     val df2 = Sources.read(spark, "s", Map("file" -> p2), java.nio.file.Paths.get("/"))
