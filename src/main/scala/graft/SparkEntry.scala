@@ -143,6 +143,22 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // region → .zsav (compression 2: multi-block zlib over the bytecode
+    // stream — 64-byte blocks force several deflate frames even at 5 rows)
+    "q_source_zsav" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".zsav")
+      graft.tools.GenSpss.write(f.toString, Seq(
+        graft.tools.GenSpss.NumCol("RKEY", "r_regionkey",
+          rows.map(r => Some(r.get(0).toString.toDouble)).toSeq),
+        graft.tools.GenSpss.StrCol("RNAME", "r_name", 32,
+          rows.map(_.getString(1)).toSeq)), rows.length, compression = 2,
+        zsavBlockSize = 64)
+      graft.engine.Sources.read(s, "region_zsav",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // ==================================================== column operators
     "q_add_columns" -> ((s, d) =>
       Ops.addColumns(t(s, d, "nation"),
@@ -647,6 +663,10 @@ object SparkEntry {
     // pickle preserves int64, so the key renders without a double cast
     "q_source_pickle" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // same double-rendering contract for SPSS numerics, zlib variant
+    "q_source_zsav" ->
+      "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     // same double-rendering contract for SPSS numerics
     "q_source_spss" ->
