@@ -4,6 +4,84 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
+ * Pure helpers for the bench artifact — separated from the Spark main so the
+ * stdout-line budget and the best-ever bookkeeping are unit-testable.
+ *
+ * The driver captures only the LAST 2000 characters of stdout and parses the
+ * final line as JSON; a line longer than that loses its front brace and
+ * records `parsed:null` (this happened in rounds 6 and 8). Everything beyond
+ * the driver-contract minimum lives in the results FILE, and the stdout line
+ * is assembled under an explicit budget with tiered degradation so it can
+ * never outgrow the window again.
+ */
+object BenchFormat {
+  val StdoutBudget = 1990
+
+  def fmt(v: Double, decimals: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    // strip trailing zeros but keep at least one decimal ("0.120" -> "0.12")
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") match {
+      case t if t.isEmpty || t == "-" => "0"
+      case t => t
+    } else s
+  }
+
+  def jsMap(m: collection.Seq[(String, Double)], decimals: Int): String =
+    m.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }.mkString("{", ",", "}")
+
+  /** Flat {"name":number,...} parser for files this object itself writes. */
+  def parseFlat(s: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+      .findAllMatchIn(s)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .filterNot(_._1 == "value") // envelope keys never collide with query names, but be safe
+      .toMap
+
+  /**
+   * Assemble the stdout line under [[StdoutBudget]]. Progressive degradation:
+   * each tier sheds precision or optional fields; the queries map itself is
+   * the driver contract and is never dropped. The last tier (1-decimal
+   * values, minimal envelope) holds ~150 queries of avg-14-char names — far
+   * beyond the suite's growth rate.
+   */
+  def stdoutLine(
+      total: Double,
+      mins: collection.Seq[(String, Double)],
+      spreadWarn: collection.Seq[(String, Double)],
+      contendedCount: Int,
+      machineContended: Boolean,
+      resultsFile: String,
+      reps: Int,
+      cpus: String,
+      sfDir: String): String = {
+    def build(decimals: Int, warnDetail: Boolean, countField: Boolean, fullPath: Boolean): String = {
+      val warn = if (warnDetail) s""","spread_warn":${jsMap(spreadWarn, 2)}""" else ""
+      val cont = if (countField) s""","contended":$contendedCount""" else ""
+      val rf = if (fullPath) resultsFile
+               else java.nio.file.Paths.get(resultsFile).getFileName.toString
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(mins, decimals)}$warn$cont,"machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+    }
+    val tiers = Iterator(
+      build(3, true, true, true),
+      build(2, true, true, true),
+      build(2, false, true, true),
+      build(2, false, false, false),
+      build(1, false, false, false))
+    tiers.find(_.length <= StdoutBudget).getOrElse {
+      // Physically impossible to fit every entry (names × count outgrew the
+      // window). A truncated-but-valid JSON line with a pointer to the full
+      // results file beats an unparseable one: drop entries from the end
+      // until it fits and say so.
+      val rf = java.nio.file.Paths.get(resultsFile).getFileName.toString
+      def truncated(keep: Int): String =
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(mins.take(keep), 1)},"queries_truncated":true,"machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      (mins.size to 0 by -1).iterator.map(truncated).find(_.length <= StdoutBudget)
+        .getOrElse(truncated(0))
+    }
+  }
+}
+
+/**
  * Benchmark main. Prints ONE JSON line with per-query wall times at
  * SPARK_GRAFT_SF_DIR.
  *
@@ -11,9 +89,19 @@ import org.apache.spark.sql.functions._
  * identical code, so single-shot timings are meaningless): every query runs
  * `SPARK_GRAFT_REPS` (default 3) times back-to-back inside this one JVM and
  * the reported number is the MIN — the best observable steady-state, robust
- * to scheduler noise and one-time classload/codegen cost. The median rides
- * along in `queries_median` so the spread (median/min) is visible per query;
- * `cpus` and `reps` are pinned in the JSON so runs are comparable.
+ * to scheduler noise and one-time classload/codegen cost.
+ *
+ * Contention defense (round 8 recorded an official 147.5s artifact for an
+ * engine whose calm-box steady state is 20.6s — spreads to 81× when the whole
+ * sweep ran on a busy machine):
+ *  1. per-query best-ever mins persist in `BENCH_BEST.json` across runs;
+ *  2. after the sweep, any query whose min exceeds 3× its best-ever gets up
+ *     to 3 extra reps (the burst has usually passed by then);
+ *  3. queries still above 3× best after retries are listed as `contended`;
+ *     when several remain, the artifact carries `machine_contended: true` so
+ *     a garbage total is machine-detectable instead of silently official;
+ *  4. `vs_best` ratios ride in the results file for per-query regression
+ *     archaeology.
  *
  * Action: `noop` datasource write — forces full evaluation of every
  * projection (a count() would let Catalyst prune the very operators being
@@ -109,27 +197,73 @@ object Bench {
         extra += 1
       }
     }
+
+    // Best-ever defense: when the WHOLE sweep ran contended, the spread
+    // heuristic above is blind (every rep is equally slow, spread looks
+    // fine). Compare each min against the best this query has EVER recorded
+    // on this box; a min 3× above best-ever is contention, not code — re-rep
+    // it (bounded), and if it still won't come down, say so in the artifact
+    // instead of letting a garbage number become official.
+    // Best-ever mins are only comparable at the same scale factor: default
+    // file is the official-scale BENCH_BEST.json for sf0.1 and an
+    // SF-suffixed sibling otherwise, so a local sf0.01 run can never poison
+    // the official baseline with impossibly-low mins.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val defaultBest = if (sfBase == "sf0.1") "BENCH_BEST.json" else s"BENCH_BEST_$sfBase.json"
+    val bestPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BEST", defaultBest)).toAbsolutePath
+    val prevBest: Map[String, Double] =
+      if (java.nio.file.Files.exists(bestPath))
+        BenchFormat.parseFlat(new String(java.nio.file.Files.readAllBytes(bestPath), "UTF-8"))
+      else Map.empty
+    def overBest(name: String): Boolean =
+      prevBest.get(name).exists(b => b > 0 && samples(name).min > 3.0 * b)
+    samples.keys.filter(overBest).toSeq.foreach { name =>
+      var extra = 0
+      while (extra < 3 && overBest(name)) {
+        samples(name) = samples(name) :+ rep(name)
+        extra += 1
+      }
+    }
+    val contendedQueries = samples.keys.filter(overBest).toVector
+    // a couple of genuinely-regressed queries shouldn't condemn the run;
+    // many queries all "regressing" 3× at once is machine contention
+    val machineContended =
+      contendedQueries.size >= math.max(3, samples.size / 10)
+
     val mins = samples.map { case (k, v) => k -> v.min }
     // rep 1 is the warm-up (classload + codegen for that query's plan) —
     // the steady-state median excludes it so spread = median/min reflects
     // genuine run-to-run noise, not one-time cost
     val meds = samples.map { case (k, v) => k -> median(if (v.size > 1) v.tail else v) }
     val spreads = samples.map { case (k, _) => k -> (if (mins(k) > 0) meds(k) / mins(k) else 1.0) }
-    def js(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = mins.values.sum
+
+    // Persist the lower of (previous best, this min) per query. A contended
+    // min is always ≥ the true steady state, so min-merge never poisons the
+    // baseline; new queries seed with their first observation.
+    val newBest = (prevBest.keySet ++ mins.keySet).map { k =>
+      k -> math.min(prevBest.getOrElse(k, Double.MaxValue), mins.getOrElse(k, Double.MaxValue))
+    }.toSeq.sortBy(_._1)
+    java.nio.file.Files.write(bestPath,
+      (BenchFormat.jsMap(newBest, 3) + "\n").getBytes("UTF-8"))
 
     // Full-fidelity artifact goes to a FILE (the round-6 stdout-only emission
     // was a ~2.7KB line and the driver's 2000-char tail capture truncated its
-    // front → parsed:null). The file carries min/median/spread per query plus
-    // the raw rep samples for archaeology.
+    // front → parsed:null). The file carries min/median/spread per query, the
+    // raw rep samples, and the vs-best-ever ratios for archaeology.
     val resultsPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_RESULTS", "BENCH_RESULTS.json")).toAbsolutePath
     val rawJs = samples.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(d => f"$d%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val vsBest = mins.collect {
+      case (k, v) if prevBest.get(k).exists(_ > 0) => k -> v / prevBest(k)
+    }.toSeq
+    def jsm(m: collection.Map[String, Double]) = BenchFormat.jsMap(m.toSeq, 3)
+    val contendedJs = contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(mins)},"queries_median":${js(meds)},"queries_spread":${js(spreads)},"samples":$rawJs,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"machine_contended":$machineContended,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.write(resultsPath, (fullJson + "\n").getBytes("UTF-8"))
 
     // Machine noise check: any query whose steady-state median exceeds 1.5×
@@ -138,12 +272,13 @@ object Bench {
     noisy.foreach { case (k, s) =>
       System.err.println(f"[bench] WARN spread ${s}%.2f for $k (median ${meds(k)}%.3fs vs min ${mins(k)}%.3fs)")
     }
+    contendedQueries.foreach { k =>
+      System.err.println(f"[bench] WARN contended $k: min ${mins(k)}%.3fs vs best-ever ${prevBest(k)}%.3fs")
+    }
 
-    // The stdout line must survive a 2000-char tail window: min map (driver
-    // compatibility) + medians as an array aligned to the `queries` key order
-    // + only the noisy spreads + a pointer to the full file.
-    val medArr = samples.keys.map(k => f"${meds(k)}%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(mins)},"med":$medArr,"spread_warn":${js(noisy)},"results_file":"$resultsPath","reps":$reps,"cpus":$cpus,"sf":"$sfDir"}""")
+    println(BenchFormat.stdoutLine(
+      total, mins.toSeq, noisy.toSeq, contendedQueries.size, machineContended,
+      resultsPath.toString, reps, cpus, sfDir))
     System.out.flush()
     spark.stop()
   }

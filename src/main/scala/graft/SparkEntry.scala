@@ -852,11 +852,11 @@ object SparkEntry {
                '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g'),
                '(?s)<[^>]*>', ' ', 'g'),
                '&nbsp;', ' ', 'g'),
-               '&amp;', '&', 'g'),
                '&lt;', '<', 'g'),
                '&gt;', '>', 'g'),
                '&quot;', '"', 'g'),
                '&#39;', '''', 'g'),
+               '&amp;', '&', 'g'),
                '[ \t]+', ' ', 'g'),
                ' ?\n ?', chr(10), 'g'),
                '\n{2,}', chr(10), 'g'), ' ' || chr(10) || chr(9)) AS text

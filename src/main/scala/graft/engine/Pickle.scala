@@ -131,12 +131,7 @@ object Pickle {
         case 'M' => stack += (u1() | (u1() << 8)).toLong // BININT2
         case 'J' => stack += i4().toLong // BININT
         case 0x8a => // LONG1: n-byte little-endian two's complement
-          val n = u1(); val b = take(n)
-          var v = 0L
-          var i = n - 1
-          while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
-          if (n > 0 && n < 8 && (b(n - 1) & 0x80) != 0) v -= (1L << (8 * n))
-          stack += v
+          val n = u1(); stack += decodeLong1(take(n), fail)
         case 'G' => // BINFLOAT: big-endian double
           stack += ByteBuffer.wrap(take(8)).order(ByteOrder.BIG_ENDIAN).getDouble
         case 0x8c => stack += new String(take(u1()), "UTF-8") // SHORT_BINUNICODE
@@ -177,6 +172,23 @@ object Pickle {
   }
 
   // ---------------------------------------------- allow-listed constructors
+  /** LONG1 payload → Long. Beyond 8 bytes only pure sign extension fits in
+    * a Long — anything else (Python ints in [2^63, 2^64) pickle as 9 bytes)
+    * must fail fast, not truncate to a wrong negative value. */
+  private[engine] def decodeLong1(b: Array[Byte], fail: String => Nothing): Long = {
+    val n = b.length
+    if (n > 8) {
+      val sign: Byte = if ((b(7) & 0x80) != 0) -1 else 0
+      if ((8 until n).exists(b(_) != sign))
+        fail(s"LONG1 of $n bytes exceeds 64-bit signed range")
+    }
+    var v = 0L
+    var i = math.min(n, 8) - 1
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+    if (n > 0 && n < 8 && (b(n - 1) & 0x80) != 0) v -= (1L << (8 * n))
+    v
+  }
+
   private def newobj(cls: Any, args: Any, fail: String => Nothing): Any = cls match {
     case g @ Global("pandas.core.frame", "DataFrame") => new PyObj(g)
     case g @ Global("pandas.core.series", "Series") =>

@@ -125,6 +125,15 @@ object Spss {
               p.split("=", 2) match { case Array(a, b) => Some(a -> b); case _ => None }
             }.toMap
           }
+          // Subtype 14 (very long strings, PSPP §"Very Long String Record")
+          // re-segments >255-byte strings across multiple dictionary
+          // variables — skipping it would silently mis-assemble the data
+          // matrix, so reject loudly. Other subtypes (display params,
+          // attributes, encoding, ...) are presentation metadata that does
+          // not change the case layout and stays skippable.
+          require(subtype != 14,
+            s"$path: .sav very-long-string record (type 7 subtype 14) is not supported — " +
+              "strings longer than 255 bytes would be mis-assembled; export without very long strings")
           skip(size * count)
         case 999 =>
           skip(4); done = true // terminator payload int 0
@@ -205,10 +214,16 @@ object Spss {
           inf.reset()
           inf.setInput(bytes, nextOff, rem)
         }
+        val remBefore = inf.getRemaining
         val n = inf.inflate(chunk)
         if (n > 0) inflated.write(chunk, 0, n)
         else if (inf.needsInput() && !inf.finished())
           throw new IllegalArgumentException(s"$path: truncated .zsav zlib data")
+        else if (!inf.finished() && inf.getRemaining == remBefore)
+          // no output, no input consumed, not at stream end: the inflater
+          // can make no progress (needsDictionary or corrupt stream) — fail
+          // instead of spinning forever
+          throw new IllegalArgumentException(s"$path: corrupt .zsav zlib stream (no inflate progress)")
       }
       inf.end()
       decodeBytecode(inflated.toByteArray, 0)

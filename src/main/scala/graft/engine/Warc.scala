@@ -56,12 +56,14 @@ object Warc {
     private var finished = false
 
     private def readLine(): String = {
-      // WARC lines are CRLF-terminated ASCII/UTF-8 header lines
-      val sb = new java.lang.StringBuilder()
+      // WARC lines are CRLF-terminated ASCII/UTF-8 header lines. Accumulate
+      // raw bytes and decode once — per-byte `toChar` would be Latin-1 and
+      // mojibake multi-byte UTF-8 header values (non-ASCII WARC-Target-URI).
+      val buf = new java.io.ByteArrayOutputStream(80)
       var c = in.read()
       if (c < 0) return null
-      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
-      val s = sb.toString
+      while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+      val s = new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
     }
 

@@ -161,11 +161,13 @@ object TextFunctions {
     c = regexp_replace(c, "(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
     c = regexp_replace(c, "(?s)<[^>]*>", " ")
     c = regexp_replace(c, "&nbsp;", " ")
-    c = regexp_replace(c, "&amp;", "&")
     c = regexp_replace(c, "&lt;", "<")
     c = regexp_replace(c, "&gt;", ">")
     c = regexp_replace(c, "&quot;", "\"")
     c = regexp_replace(c, "&#39;", "'")
+    // `&amp;` LAST so escaped entity text (`&amp;lt;`) yields the literal
+    // `&lt;` instead of double-unescaping to `<`
+    c = regexp_replace(c, "&amp;", "&")
     c = regexp_replace(c, "[ \\t]+", " ")          // collapse spaces
     c = regexp_replace(c, " ?\\n ?", "\n")         // trim around newlines
     c = regexp_replace(c, "\\n{2,}", "\n")         // collapse blank lines

@@ -32,7 +32,8 @@ object GenSpss {
 
   def write(path: String, cols: Seq[Col], nrows: Int, compression: Int,
             zsavBlockSize: Int = 0x3ff000, be: Boolean = false,
-            valueLabels: Map[String, Map[Double, String]] = Map.empty): Unit = {
+            valueLabels: Map[String, Map[Double, String]] = Map.empty,
+            extraInfoRecord: Option[(Int, Array[Byte])] = None): Unit = {
     val out = new java.io.ByteArrayOutputStream()
     val order = if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     def le(n: Int): Array[Byte] = {
@@ -105,6 +106,13 @@ object GenSpss {
     val pairs = cols.map(c => s"${c.short}=${c.long}").mkString("\t").getBytes("ISO-8859-1")
     out.write(le(7)); out.write(le(13)); out.write(le(1)); out.write(le(pairs.length))
     out.write(pairs)
+
+    // ---- optional arbitrary type-7 info record (tests inject unsupported
+    // subtypes with it, e.g. subtype 14 very-long-strings)
+    extraInfoRecord.foreach { case (subtype, payload) =>
+      out.write(le(7)); out.write(le(subtype)); out.write(le(1)); out.write(le(payload.length))
+      out.write(payload)
+    }
 
     // ---- dictionary terminator
     out.write(le(999)); out.write(le(0))

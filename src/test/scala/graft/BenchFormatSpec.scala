@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-artifact contracts that bit rounds 6 and 8: the stdout line
+  * must fit the driver's 2000-char tail window at any plausible suite size,
+  * and the best-ever file must round-trip through its own parser. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  // realistic name lengths: the live suite averages 13 chars per query name
+  private def syntheticMins(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"q_synth_$i%03d" -> (0.05 + (i % 37) * 0.113))
+
+  test("fmt strips trailing zeros but stays numeric JSON") {
+    assert(BenchFormat.fmt(0.120, 3) == "0.12")
+    assert(BenchFormat.fmt(20.600, 2) == "20.6")
+    assert(BenchFormat.fmt(0.0, 3) == "0")
+    assert(BenchFormat.fmt(1.0, 2) == "1")
+    assert(BenchFormat.fmt(0.077, 3) == "0.077")
+  }
+
+  test("stdout line fits the 2000-char driver tail window at 90 queries") {
+    val line = BenchFormat.stdoutLine(
+      total = 123.456, mins = syntheticMins(90),
+      spreadWarn = Seq("q_synthetic_name_001" -> 2.7),
+      contendedCount = 2, machineContended = false,
+      resultsFile = "/root/repo/BENCH_RESULTS.json",
+      reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 2000, s"line was ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""queries":{"""))
+    assert(line.contains(""""machine_contended":false"""))
+  }
+
+  test("stdout line survives a pathological 150-query suite") {
+    val line = BenchFormat.stdoutLine(
+      total = 999.9, mins = syntheticMins(150),
+      spreadWarn = syntheticMins(150).map { case (k, _) => k -> 81.0 },
+      contendedCount = 150, machineContended = true,
+      resultsFile = "/root/repo/BENCH_RESULTS.json",
+      reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 2000, s"line was ${line.length} chars")
+    assert(line.contains(""""machine_contended":true"""))
+  }
+
+  test("a suite too large to ever fit degrades to valid truncated JSON, never an unparseable line") {
+    val huge = (1 to 300).map(i => f"q_very_long_synthetic_query_name_$i%03d" -> 1.5)
+    val line = BenchFormat.stdoutLine(
+      total = 450.0, mins = huge, spreadWarn = Nil,
+      contendedCount = 0, machineContended = false,
+      resultsFile = "/root/repo/BENCH_RESULTS.json",
+      reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 2000, s"line was ${line.length} chars")
+    assert(line.contains(""""queries_truncated":true"""))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // balanced braces = structurally parseable
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("current SparkEntry suite fits tier 1 (3-decimal) or tier 2") {
+    val names = "etl_render" +: SparkEntry.queries.keys.toSeq.sorted
+    val mins = names.map(_ -> 0.123)
+    val line = BenchFormat.stdoutLine(
+      total = 25.0, mins = mins, spreadWarn = Nil,
+      contendedCount = 0, machineContended = false,
+      resultsFile = "/root/repo/BENCH_RESULTS.json",
+      reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 2000, s"line was ${line.length} chars for ${names.size} queries")
+    names.foreach(n => assert(line.contains("\"" + n + "\":"), s"missing $n"))
+  }
+
+  test("BENCH_BEST round-trips through parseFlat") {
+    val best = Seq("q_a" -> 0.123, "q_b_long_name" -> 4.5, "q_c" -> 0.007)
+    val parsed = BenchFormat.parseFlat(BenchFormat.jsMap(best, 3))
+    assert(parsed == best.toMap)
+  }
+
+  test("parseFlat tolerates whitespace and ignores malformed entries") {
+    assert(BenchFormat.parseFlat("""{ "q_x" : 1.5 , "q_y":2 }""") ==
+      Map("q_x" -> 1.5, "q_y" -> 2.0))
+    assert(BenchFormat.parseFlat("not json at all") == Map.empty[String, Double])
+  }
+}

@@ -186,6 +186,11 @@ class CorpusOpsSpec extends SparkSpec {
     val out = run(html, Map("operation" -> "html_to_text", "column" -> "text"))
     assert(out.columns.toSeq == Seq("doc_id", "text"))
     assert(out.head().getString(1) == "first para.\nsecond & third.")
+    // escaped entity text must not double-unescape: `&amp;lt;` is the
+    // literal string "&lt;", not "<" (the &amp; pass runs LAST)
+    val esc = Seq((0L, "<p>a &amp;lt; b</p>")).toDF("doc_id", "text")
+    val out2 = run(esc, Map("operation" -> "html_to_text", "column" -> "text"))
+    assert(out2.head().getString(1) == "a &lt; b")
   }
 
   test("c4_clean keeps passing docs with surviving lines re-joined") {

@@ -476,7 +476,8 @@ class SourcesSpec extends SparkSpec {
   test("warc/wet: ISO-28500 records, member-concatenated gzip, type filter") {
     val dir = tmpDir
     val docs = Seq(
-      ("http://a.example/1", "first document text.\nsecond line."),
+      // non-ASCII target URI: header lines are UTF-8 bytes, not Latin-1
+      ("http://a.example/1/café-日本", "first document text.\nsecond line."),
       ("http://a.example/2", "unicode é content."))
     graft.tools.GenWarc.write(dir.resolve("t.wet").toString, docs, gzip = false)
     graft.tools.GenWarc.write(dir.resolve("t.wet.gz").toString, docs, gzip = true)
@@ -609,5 +610,56 @@ class SourcesSpec extends SparkSpec {
     val ld = Sources.read(spark, "l", Map("file" -> lp), java.nio.file.Paths.get("/"))
     val lr = ld.orderBy("id").collect().map(_.getString(1))
     assert(lr.toSeq == Seq("low", "mid", "high", "9.0"))
+  }
+
+  test("pickle LONG1 beyond 64-bit range fails fast instead of truncating") {
+    def fail9(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    // -1 as 9 sign-extended bytes: legal, still -1
+    assert(Pickle.decodeLong1(Array.fill[Byte](9)(-1), fail9) == -1L)
+    // Long.MinValue as 9 bytes (low 8 + 0xFF sign byte): legal
+    val minv = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0x80.toByte, -1)
+    assert(Pickle.decodeLong1(minv, fail9) == Long.MinValue)
+    // 2^63 (9 bytes, high byte 0x00 over a set sign bit): out of range
+    val twoTo63 = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0x80.toByte, 0)
+    val e = intercept[IllegalArgumentException](Pickle.decodeLong1(twoTo63, fail9))
+    assert(e.getMessage.contains("exceeds 64-bit"))
+    // small negatives still sign-extend correctly
+    assert(Pickle.decodeLong1(Array[Byte](-2), fail9) == -2L)
+  }
+
+  test("spss rejects very-long-string records (type 7 subtype 14) instead of mis-assembling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spss-vls")
+    val p = dir.resolve("vls.sav").toString
+    graft.tools.GenSpss.write(p,
+      Seq(graft.tools.GenSpss.NumCol("ID", "id", Seq(Some(1.0)))), 1, compression = 0,
+      extraInfoRecord = Some((14, "ID=00300".getBytes("ISO-8859-1"))))
+    val e = intercept[IllegalArgumentException] {
+      Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/")).collect()
+    }
+    assert(e.getMessage.contains("very-long-string"))
+  }
+
+  test("spss .zsav corrupt zlib stream fails loudly instead of spinning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spss-corrupt")
+    val p = dir.resolve("corrupt.zsav")
+    graft.tools.GenSpss.write(p.toString,
+      Seq(graft.tools.GenSpss.NumCol("ID", "id", Seq(Some(1.0), Some(2.0)))), 2,
+      compression = 2)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // locate the zheader: the first int64 at offset `pos` holds `pos` itself
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val zpos = (176 until bytes.length - 8).find(o => bb.getLong(o) == o.toLong)
+      .getOrElse(fail("zheader not found"))
+    // overwrite the first deflate block's 2-byte zlib header with one that
+    // declares a preset dictionary (CMF 0x78, FLG 0x20: FDICT set, checksum
+    // valid) — Inflater then stalls in needsDictionary, which must raise,
+    // not loop forever
+    bytes(zpos + 24) = 0x78.toByte
+    bytes(zpos + 25) = 0x20.toByte
+    java.nio.file.Files.write(p, bytes)
+    val e = intercept[IllegalArgumentException] {
+      Sources.read(spark, "s", Map("file" -> p.toString), java.nio.file.Paths.get("/")).collect()
+    }
+    assert(e.getMessage.contains("zsav"), e.getMessage)
   }
 }
