@@ -159,6 +159,139 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // region → headered CSV (all-string contract, ""-preserve) — the most
+    // common reference source shape, previously spec-only
+    "q_source_csv" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".csv")
+      val body = "r_regionkey,r_name\n" +
+        rows.map(r => s"${r.get(0)},${r.getString(1)}").mkString("\n") + "\n"
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "region_csv", Map("file" -> f.toString), f.getParent)
+    }),
+
+    // nation → TSV (tab separator through the same delimited reader)
+    "q_source_tsv" -> ((s, d) => {
+      val rows = t(s, d, "nation").select("n_nationkey", "n_name")
+        .orderBy("n_nationkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-nation", ".tsv")
+      val body = "n_nationkey\tn_name\n" +
+        rows.map(r => s"${r.get(0)}\t${r.getString(1)}").mkString("\n") + "\n"
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "nation_tsv", Map("file" -> f.toString), f.getParent)
+    }),
+
+    // nation → JSONL/ndjson (schema inference: long + string survive)
+    "q_source_jsonl" -> ((s, d) => {
+      val rows = t(s, d, "nation").select("n_nationkey", "n_name")
+        .orderBy("n_nationkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-nation", ".jsonl")
+      val body = rows.map(r =>
+        s"""{"n_nationkey":${r.get(0)},"n_name":"${r.getString(1)}"}""").mkString("\n") + "\n"
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "nation_jsonl", Map("file" -> f.toString), f.getParent)
+    }),
+
+    // region → whole-document JSON records array (multiLine distributed parse)
+    "q_source_json" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".json")
+      val body = rows.map(r =>
+        s"""  {"r_regionkey": ${r.get(0)}, "r_name": "${r.getString(1)}"}""")
+        .mkString("[\n", ",\n", "\n]\n")
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "region_json", Map("file" -> f.toString), f.getParent)
+    }),
+
+    // region → XML (spark-xml rowTag path; long + string inference)
+    "q_source_xml" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".xml")
+      val body = rows.map(r =>
+        s"  <row><r_regionkey>${r.get(0)}</r_regionkey><r_name>${r.getString(1)}</r_name></row>")
+        .mkString("<rows>\n", "\n", "\n</rows>\n")
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "region_xml", Map("file" -> f.toString), f.getParent)
+    }),
+
+    // region → HTML <table> scrape (th header, all-string cells)
+    "q_source_html" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".html")
+      val body = "<html><body><table>\n" +
+        "<tr><th>r_regionkey</th><th>r_name</th></tr>\n" +
+        rows.map(r => s"<tr><td>${r.get(0)}</td><td>${r.getString(1)}</td></tr>")
+          .mkString("\n") + "\n</table></body></html>\n"
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "region_html", Map("file" -> f.toString), f.getParent)
+    }),
+
+    // region → fixed-width text (substring projections over spark.read.text)
+    "q_source_fixedwidth" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".txt")
+      val body = rows.map(r => s"%-4s%-16s".format(r.get(0).toString, r.getString(1)))
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "region_fw", Map(
+        "file" -> f.toString, "type" -> "fixedwidth",
+        "columns" -> List("r_regionkey", "r_name"),
+        "widths" -> List(4, 16)), f.getParent)
+    }),
+
+    // region → ORC (columnar round-trip through Spark's native ORC writer;
+    // types preserved end to end)
+    "q_source_orc" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-region-orc")
+      t(s, d, "region").select("r_regionkey", "r_name")
+        .write.mode("overwrite").orc(dir.resolve("region.orc").toString)
+      graft.engine.Sources.read(s, "region_orc",
+        Map("file" -> dir.resolve("region.orc").toString, "type" -> "orc"), dir)
+    }),
+
+    // region → feather / Arrow IPC (tools/GenArrow via arrow-vector; long
+    // key survives natively, no string cast)
+    "q_source_feather" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".feather")
+      graft.tools.GenArrow.write(f.toString, Seq(
+        graft.tools.GenArrow.LongCol("r_regionkey",
+          rows.map(_.get(0).toString.toLong).toSeq),
+        graft.tools.GenArrow.StrCol("r_name", rows.map(_.getString(1)).toSeq)),
+        rows.length)
+      graft.engine.Sources.read(s, "region_feather",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
+    // region → embedded-Derby table → SqlSource JDBC read (quoted aliases
+    // keep lowercase names through Derby's case folding)
+    "q_source_jdbc" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-derby")
+      val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE region_t (rk INT, rn VARCHAR(32))")
+        val ps = conn.prepareStatement("INSERT INTO region_t VALUES (?, ?)")
+        rows.foreach { r =>
+          ps.setInt(1, r.get(0).toString.toInt); ps.setString(2, r.getString(1))
+          ps.addBatch()
+        }
+        ps.executeBatch(); ps.close(); st.close()
+      } finally conn.close()
+      graft.engine.Sources.read(s, "region_jdbc", Map(
+        "connection" -> url,
+        "query" -> """SELECT rk AS "r_regionkey", rn AS "r_name" FROM region_t"""), dir)
+    }),
+
     // ==================================================== column operators
     "q_add_columns" -> ((s, d) =>
       Ops.addColumns(t(s, d, "nation"),
@@ -671,6 +804,30 @@ object SparkEntry {
     // same double-rendering contract for SPSS numerics
     "q_source_spss" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // delimited readers are all-string by contract
+    "q_source_csv" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+    "q_source_tsv" ->
+      "SELECT cast(n_nationkey AS VARCHAR) AS n_nationkey, n_name FROM nation",
+
+    // JSON/XML schema inference keeps integers integral
+    "q_source_jsonl" -> "SELECT n_nationkey, n_name FROM nation",
+    "q_source_json" -> "SELECT r_regionkey, r_name FROM region",
+    "q_source_xml" -> "SELECT r_regionkey, r_name FROM region",
+
+    // html table cells are all-string
+    "q_source_html" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // fixed-width substrings are all-string
+    "q_source_fixedwidth" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    // orc/feather/jdbc preserve native types end to end
+    "q_source_orc" -> "SELECT r_regionkey, r_name FROM region",
+    "q_source_feather" -> "SELECT r_regionkey, r_name FROM region",
+    "q_source_jdbc" -> "SELECT r_regionkey, r_name FROM region",
 
     "q_add_columns" ->
       "SELECT n_nationkey, n_name, 'static' AS tag, n_name || '-' || n_regionkey AS combo FROM nation",
