@@ -159,8 +159,11 @@ object Bench {
 
     // headline ETL pipeline (reference big_earthmover.yaml shape), written
     // spark-native multi-part (the 100TB output shape)
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep for local iteration;
+    // unset = the full official suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    measure("etl_render") {
+    if (only.forall(_.contains("etl_render"))) measure("etl_render") {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val stringly = li.select(li.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
       val piped = graft.ops.Ops.addColumns(
@@ -173,9 +176,9 @@ object Bench {
       rendered.write.mode("overwrite").text(s"$outDir/etl_render")
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      measure(name)(noop(fn(spark, sfDir)))
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) => measure(name)(noop(fn(spark, sfDir))) }
 
     def median(v: Vector[Double]): Double = {
       val s = v.sorted

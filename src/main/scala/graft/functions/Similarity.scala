@@ -402,82 +402,104 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact cosine near-duplicate pairs via a tiled broadcast block kernel:
-    * the id space is partitioned into `ceil(n / blockRows)` blocks by
-    * `id % numBlocks`; each block is collected and broadcast as primitive
-    * arrays (bounded driver memory — never the whole table), and the full
-    * distributed side streams through mapPartitions computing dot products
-    * in tight JVM loops against it. Each unordered pair (x < y) is emitted
-    * exactly once, by the block that owns y. ~100× the throughput of
-    * interpreted HOF expressions on a cross join, with identical
-    * double-precision results (same accumulation order). Total cost is the
-    * inherent O(n²/block) scans with zero shuffle; at 100 TB raise
-    * `blockRows` to the executor-broadcast budget, or use
-    * `cosinePairs(bucketed = true)` to prune candidates instead of scanning
-    * all pairs. */
+  /** Exact cosine near-duplicate pairs via a distributed block-pair
+    * exchange (the classic triangle/theta all-pairs join): the id space is
+    * partitioned into `ceil(n / blockRows)` blocks by `id mod numBlocks`,
+    * every row is replicated executor-side to the block PAIRS (i ≤ j) its
+    * block participates in — a plain hash shuffle Catalyst schedules, NO
+    * driver collect — and each pair group runs the tight dot-product kernel
+    * with one block buffered and the other streamed. Each unordered pair is
+    * emitted exactly once: diagonal groups require a_id < b_id, off-diagonal
+    * groups normalize orientation by id. ~100× the throughput of interpreted
+    * HOF expressions on a cross join, with identical double-precision
+    * results (same accumulation order).
+    *
+    * Scale shape: shuffle volume is n·(numBlocks+1) rows = O(n²/blockRows)
+    * — the inherent cost of exact all-pairs, but now spread across
+    * executors instead of transiting the driver serially (the round-8 shape
+    * collected every block to the driver: bounded memory, unbounded time).
+    * Per-task memory is one buffered block (≤ blockRows vectors). At 100 TB
+    * raise `blockRows` to the executor memory budget, or use
+    * `cosinePairs(bucketed = true)` / LSH-ANN to prune candidates instead
+    * of scanning all pairs. */
   def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, blockRows: Int = 200000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // persist: the source is read + Row-decoded exactly once — the count,
-    // every per-block collect, and every per-block scan all hit the cache
-    // (without it each of those re-runs the parquet scan: numBlocks+1 extra
-    // source reads). MEMORY_AND_DISK so an over-memory cache spills instead
-    // of silently re-scanning.
+    // persist: count + both replicated sides read the decoded vectors from
+    // cache instead of re-running the source scan three times.
+    // MEMORY_AND_DISK so an over-memory cache spills, not re-scans.
     val vecs = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vecs.count()
-    val numBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    // Block size balances task overhead against parallelism and memory: a
+    // ~4k-row block means ~16M dot-ops per pair group (enough to amortize a
+    // task), n²/16M groups total (plenty of fan-out once n is big enough to
+    // matter), and a per-task buffer far under any executor budget.
+    // `blockRows` still caps the buffer when the caller sets it lower.
+    val targetBlock = math.min(blockRows, 4096)
+    val numBlocks = math.max(1L, (n + targetBlock - 1) / targetBlock).toInt
 
-    val broadcasts = collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.broadcast.Broadcast[_]]
-    val parts = (0 until numBlocks).map { blk =>
-      val side =
-        if (numBlocks == 1) vecs.collect()
-        else vecs.filter(pmod(col("id"), lit(numBlocks)) === blk).collect()
-      val ids = side.map(_._1)
-      val mat = side.map(_._2)
-      val norms = mat.map { v =>
+    def blockOf(id: Long): Int = java.lang.Math.floorMod(id, numBlocks.toLong).toInt
+    // ONE tagged replication stream → ONE shuffle: a row of block b ships
+    // once to its diagonal group (side 2) and once per off-diagonal pair it
+    // participates in (side 0 = lower block of the pair, side 1 = upper).
+    val tagged = vecs.flatMap { case (id, v) =>
+      val b = blockOf(id)
+      Iterator.single((b.toLong * numBlocks + b, 2.toByte, id, v)) ++
+        (b + 1 until numBlocks).iterator.map(j => (b.toLong * numBlocks + j, 0.toByte, id, v)) ++
+        (0 until b).iterator.map(i => (i.toLong * numBlocks + b, 1.toByte, id, v))
+    }
+    val pairs = tagged.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val diagonal = (key / numBlocks) == (key % numBlocks)
+      // buffer both sides as primitive-array matrices with precomputed norms
+      // (≤ 2 blocks per task); diagonal groups carry one side only
+      val aIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val aMat = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val aNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bMat = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val bNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+      it.foreach { case (_, side, id, v) =>
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(s)
+        if (side == 1.toByte) { bIds += id; bMat += v; bNorms += math.sqrt(s) }
+        else { aIds += id; aMat += v; aNorms += math.sqrt(s) }
       }
-      val b = spark.sparkContext.broadcast((ids, mat, norms))
-      broadcasts += b
-      vecs.mapPartitions { it =>
-        val (bIds, bMat, bNorms) = b.value
-        it.flatMap { case (id, v) =>
-          var s = 0.0; var i = 0
-          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-          val vNorm = math.sqrt(s)
-          val out = List.newBuilder[(Long, Long, Double)]
-          var j = 0
-          while (j < bIds.length) {
-            if (bIds(j) > id && vNorm > 0 && bNorms(j) > 0) {
-              val w = bMat(j)
-              var dot = 0.0; var k = 0
-              while (k < v.length) { dot += v(k).toDouble * w(k).toDouble; k += 1 }
-              val sim = dot / (vNorm * bNorms(j))
-              if (sim >= threshold) out += ((id, bIds(j), sim))
-            }
-            j += 1
+      val (xIds, xMat, xNorms) = (aIds, aMat, aNorms)
+      val (yIds, yMat, yNorms) = if (diagonal) (aIds, aMat, aNorms) else (bIds, bMat, bNorms)
+      val out = List.newBuilder[(Long, Long, Double)]
+      var j = 0
+      while (j < yIds.length) {
+        val bid = yIds(j); val bv = yMat(j); val bNorm = yNorms(j)
+        var i = 0
+        while (i < xIds.length) {
+          val aid = xIds(i)
+          // diagonal: same block both sides — keep a < b to emit each
+          // unordered pair once; off-diagonal: all cross pairs qualify
+          if ((if (diagonal) aid < bid else true) && bNorm > 0 && xNorms(i) > 0) {
+            val w = xMat(i)
+            var dot = 0.0; var k = 0
+            while (k < bv.length) { dot += bv(k).toDouble * w(k).toDouble; k += 1 }
+            val sim = dot / (bNorm * xNorms(i))
+            if (sim >= threshold)
+              out += ((math.min(aid, bid), math.max(aid, bid), sim))
           }
-          out.result()
+          i += 1
         }
-      }.toDF("a_id", "b_id", "cos_sim")
+        j += 1
+      }
+      out.result()
     }
-    // The function is inherently eager (the per-block collects already ran),
-    // so materialize the pair set now: localCheckpoint cuts the lineage to
-    // the cached vecs, letting us release the cache and the per-block
-    // broadcasts immediately instead of leaking them until the caller's
-    // action. The checkpointed result is only the matched pairs — small at
-    // any near-dup threshold.
-    val result = parts.reduce(_ union _)
+    // Materialize now so the cached vecs can be released immediately instead
+    // of leaking until the caller's action; the checkpointed result is only
+    // the matched pairs — small at any near-dup threshold.
+    val result = pairs
+      .toDF("a_id", "b_id", "cos_sim")
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
       .localCheckpoint()
     vecs.unpersist()
-    broadcasts.foreach(_.destroy())
     result
   }
 

@@ -199,6 +199,29 @@ class FunctionsSpec extends SparkSpec {
     val tiledRows = tiled.as[(Long, Long, Double)].collect()
     assert(tiledRows.length == tiledRows.toSet.size) // no pair duplicated across blocks
     assert(tiledRows.toSet == single && single.nonEmpty)
+    // scores agree with the plain exact cross-join kernel (bitwise: same
+    // accumulation order, both rounded to 4 decimals)
+    val exact = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tiledRows.toSet == exact)
+    // negative ids: floorMod blocking must not drop or duplicate pairs
+    val neg = vecs.withColumn("vec_id", col("vec_id") - 15)
+    val negPairs = Similarity.cosinePairsBlocked(neg, "vec_id", "embedding", 0.9, blockRows = 7)
+      .as[(Long, Long, Double)].collect()
+    assert(negPairs.length == tiledRows.length)
+  }
+
+  test("cosinePairsBlocked exchanges blocks executor-side (no driver collect in the body)") {
+    // structural pin for the 100 TB property the round-8 review flagged:
+    // the exact all-pairs kernel must not funnel blocks through the driver.
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/functions/Similarity.scala")), "UTF-8")
+    val start = src.indexOf("def cosinePairsBlocked")
+    assert(start > 0)
+    val body = src.substring(start, src.indexOf("\n  def ", start))
+    assert(!body.contains(".collect()"), "cosinePairsBlocked must not collect blocks to the driver")
+    assert(!body.contains("broadcast("), "cosinePairsBlocked must not rebroadcast blocks from the driver")
+    assert(body.contains("flatMapGroups"), "expected the block-pair group exchange")
   }
 
   test("multi-table LSH recovers the recall single-probe loses at numPlanes=12") {
