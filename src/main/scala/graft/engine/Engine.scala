@@ -222,7 +222,7 @@ final class Engine(spark: SparkSession) {
     "boilerplate_removal" -> Set("id_column", "column", "min_docs", "line_delimiter"),
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
     "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
-      "max_doc_freq", "max_hamming"),
+      "max_doc_freq", "max_hamming", "broadcast_edge_threshold"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
       "num_planes", "num_tables", "rerank"),
     "ann_join" -> Set("sources", "id_column", "column", "k",
@@ -479,8 +479,13 @@ final class Engine(spark: SparkSession) {
           case other => throw new IllegalArgumentException(
             s"$ctx: dedup_near `method` must be one of [minhash, jaccard, simhash, embedding], not `$other`")
         }
+        // driver/distributed CC crossover, tunable per-run: a 100 TB job can
+        // raise (bigger driver) or lower (thin driver) the broadcast
+        // union-find cap without a rebuild
+        val edgeCap = Config.str(op, "broadcast_edge_threshold").map(_.toLong)
+          .getOrElse(1L << 20)
         val groups = graft.functions.Dedup.connectedComponents(
-          base.select(col(keyC)), keyC, pairs)
+          base.select(col(keyC)), keyC, pairs, broadcastEdgeThreshold = edgeCap)
         val keep = groups
           .filter(col("id") === col("group_rep"))
           .select(col("id").as(keyC))

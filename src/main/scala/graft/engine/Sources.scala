@@ -95,7 +95,7 @@ object Sources {
     ext match {
       case "csv" => readDelimited(spark, path, ",", cfg, columns)
       case "tsv" => readDelimited(spark, path, "\t", cfg, columns)
-      case "txt" | "fixedwidth" => readFixedWidth(spark, path, cfg, configDir)
+      case "txt" | "fwf" | "fixedwidth" => readFixedWidth(spark, path, cfg, configDir)
       case "jsonl" | "ndjson" => spark.read.json(path)
       case "json" => readJson(spark, path, cfg)
       case "parquet" => spark.read.parquet(path)
@@ -103,7 +103,10 @@ object Sources {
       case "xml" =>
         val rowTag = Config.str(cfg, "xpath").map(_.stripPrefix("//")).getOrElse("row")
         spark.read.format("xml").option("rowTag", rowTag).load(path)
-      case "xlsx" | "excel" => readExcel(spark, path, cfg, columns)
+      // .xlsm is OOXML like .xlsx (macros live in a separate ZIP entry the
+      // sheet reader never touches), so it reads through the same parser —
+      // matching the reference's xlsm→excel mapping (source.py:240-264)
+      case "xlsx" | "xlsm" | "excel" => readExcel(spark, path, cfg, columns)
       case "html" | "htm" => readHtml(spark, path, cfg)
       case "feather" | "arrow" => readFeather(spark, path)
       case "dta" | "stata" => Stata.read(spark, path)
@@ -112,6 +115,15 @@ object Sources {
       case "pkl" | "pickle" => Pickle.read(spark, path)
       case "avro" => Avro.read(spark, path)
       case "warc" | "wet" => Warc.read(spark, path)
+      // legacy spreadsheet formats the reference hands to pd.read_excel
+      // (source.py:250-263) via optional engines (xlrd/pyxlsb/odfpy): name
+      // the limitation and the conversion path instead of letting the
+      // binary hit the .xlsx ZIP parser and fail confusingly
+      case "xls" | "xlsb" | "odf" | "ods" | "odt" =>
+        throw new IllegalArgumentException(
+          s"legacy spreadsheet format `.$ext` is not supported ($path) — " +
+            "re-save the workbook as .xlsx (File > Save As in Excel/LibreOffice, " +
+            "or `libreoffice --convert-to xlsx`) and point the source at that file")
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }

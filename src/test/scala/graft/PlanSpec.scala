@@ -59,6 +59,12 @@ class PlanSpec extends SparkSpec {
       "simple Jinja templates must compile to native concat")
   }
 
+  test("method/filter templates ({{value.upper()}}) also render natively") {
+    val p = formatted("q_modify_columns")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "templates with supported methods/filters must stay on the codegen fast path")
+  }
+
   test("boilerplate removal: frequency filter joins via broadcast anti-join") {
     val p = formatted("q_boilerplate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -89,6 +89,14 @@ class CorpusOpsSpec extends SparkSpec {
         "column" -> "text", "method" -> "nope")))
   }
 
+  test("dedup_near broadcast_edge_threshold reaches the CC crossover (0 forces distributed path)") {
+    // threshold 0 means even one edge exceeds the driver union-find cap, so
+    // the distributed hash-min propagation runs — same answer either way
+    val out = run(docs, Map("operation" -> "dedup_near", "id_column" -> "doc_id",
+      "column" -> "text", "method" -> "minhash", "broadcast_edge_threshold" -> "0"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+  }
+
   test("dedup_near with non-numeric ids (UUIDs) dedups via the surrogate-hash path") {
     // the pair/CC machinery keys on LongType; a UUID id must NOT silently
     // cast to null and drop every row — the engine hashes it to a surrogate

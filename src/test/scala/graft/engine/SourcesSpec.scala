@@ -298,6 +298,26 @@ class SourcesSpec extends SparkSpec {
     assert(named.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
+  test(".xlsm reads through the OOXML parser; legacy spreadsheet formats get a conversion error") {
+    val dir = tmpDir
+    // .xlsm is the same ZIP+XML as .xlsx — the macro part is just an extra entry
+    val m = dir.resolve("macro.xlsm")
+    Xlsx.write(m, Seq(Seq("id", "name"), Seq("1", "ann")), "Data")
+    val df = Sources.read(spark, "m", Map("file" -> "macro.xlsm"), dir)
+    assert(df.columns.toSeq == Seq("id", "name") && df.count() == 1)
+    // pre-OOXML binaries must fail with a clear convert-to-xlsx message, not
+    // a ZIP parse error (reference source.py:240-264 hands these to optional
+    // pandas engines we don't carry)
+    for (ext <- Seq("xls", "xlsb", "odf", "ods", "odt")) {
+      val f = dir.resolve(s"legacy.$ext")
+      Files.write(f, Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11.toByte, 0xE0.toByte))
+      val e = intercept[IllegalArgumentException](
+        Sources.read(spark, "l", Map("file" -> s"legacy.$ext"), dir))
+      assert(e.getMessage.contains(".xlsx") && e.getMessage.contains(ext),
+        s"$ext: ${e.getMessage}")
+    }
+  }
+
   test("xlsx: shared strings, numeric cells, booleans, and sparse cells parse") {
     val dir = tmpDir
     val f = dir.resolve("typed.xlsx")
