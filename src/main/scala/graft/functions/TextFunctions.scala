@@ -97,9 +97,13 @@ object TextFunctions {
       .withColumn("n_ellipsis_lines",
         size(filter(col("__lines"), l => rtrim(l).endsWith("..."))).cast(LongType))
       .withColumn("stop_hits", // DISTINCT stop words present, per the rule
-        size(filter(
-          typedLit(gopherStopwords),
-          s => array_contains(transform(col("__words"), lower _), s))).cast(LongType))
+        // hash-based set intersection, O(words + stopwords): lowering the
+        // word array once and intersecting beats the old
+        // filter(stopwords, s => array_contains(transform(...)))) shape,
+        // which re-lowered the whole array per stopword (O(S×W) interpreted
+        // lambda calls — the HOF-overhead trap Corpus.scala warns about)
+        size(array_intersect(
+          transform(col("__words"), lower _), typedLit(gopherStopwords))).cast(LongType))
     out
       .withColumn("gopher_keep",
         col("n_words").between(minWords, maxWords) &&
