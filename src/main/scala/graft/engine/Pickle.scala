@@ -10,8 +10,11 @@ import java.nio.file.{Files, Paths}
  * pickle dispatch (reference nodes/source.py:254-255, `pd.read_pickle`)
  * without a Python runtime. The pickle wire format is publicly documented
  * (PEP 307, PEP 3154, CPython `pickletools`); this implements a
- * RESTRICTED unpickler: the full protocol 2-5 opcode set needed by
- * pandas, but construction is limited to an allow-list of the globals a
+ * RESTRICTED unpickler: the full protocol 0-5 opcode set needed by
+ * pandas (including the text protocols' INT/LONG/FLOAT/UNICODE/DICT/LIST
+ * opcodes and the `copyreg._reconstructor` construction path that
+ * replaces NEWOBJ below protocol 2), but construction is limited to an
+ * allow-list of the globals a
  * pandas DataFrame pickle actually contains (DataFrame / BlockManager /
  * `_unpickle_block` / numpy `_frombuffer`-`_reconstruct` / Index /
  * RangeIndex / DatetimeArray). Anything outside the allow-list raises a
@@ -26,7 +29,8 @@ import java.nio.file.{Files, Paths}
  * The row index is dropped (the engine's frames are positional, like the
  * reference's CSV-normalized model); column names come from the column
  * Index, including RangeIndex columns stringified. Fixtures are written
- * by the container's real pandas (protocols 2, 4 and 5) — see FIXTURES.md.
+ * by the container's real pandas (protocols 0, 1, 2, 4 and 5) — see
+ * FIXTURES.md.
  *
  * Driver-side parse like Stata/Sas/Spss — a pickle is one sequential
  * stream (non-splittable); rows are parallelized after.
@@ -87,14 +91,20 @@ object Pickle {
       items
     }
     def pop(): Any = stack.remove(stack.length - 1)
-    def line(): String = { // newline-terminated ASCII arg (GLOBAL)
+    def lineBytes(): Array[Byte] = { // newline-terminated raw arg
       val start = p
       while (bytes(p) != '\n'.toByte) p += 1
-      val s = new String(bytes, start, p - start, "ASCII"); p += 1; s
+      val b = java.util.Arrays.copyOfRange(bytes, start, p); p += 1; b
     }
+    def line(): String = // newline-terminated ASCII arg (GLOBAL, INT, PUT…)
+      new String(lineBytes(), "ASCII")
 
-    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0x80,
-      s"$path: not a binary pickle (pandas to_pickle writes protocol 2+)")
+    // protocol 2+ opens with PROTO (0x80); text protocols 0/1 open with the
+    // first real opcode — for any pandas DataFrame that is GLOBAL ('c'),
+    // but accept the other container openers a generic frame could start on
+    require(bytes.length >= 2 && ((bytes(0) & 0xff) == 0x80 ||
+        "c(]}".contains(bytes(0).toChar)),
+      s"$path: not a pickle stream (no pickle opcode at byte 0)")
 
     var running = true
     while (running) {
@@ -148,6 +158,36 @@ object Pickle {
         case 'r' => memo(i4()) = stack.last // LONG_BINPUT
         case 'h' => stack += memo(u1()) // BINGET
         case 'j' => stack += memo(i4()) // LONG_BINGET
+        // ---- text-protocol (0/1) opcodes: newline-terminated repr args ----
+        case 'I' => line() match { // INT; I01/I00 spell bool below proto 2
+          case "01" => stack += java.lang.Boolean.TRUE
+          case "00" => stack += java.lang.Boolean.FALSE
+          case s => stack += s.toLong
+        }
+        case 'L' => // LONG: decimal repr with an optional trailing 'L'
+          val s = line().stripSuffix("L")
+          val big = BigInt(s)
+          if (!big.isValidLong) fail(s"LONG `$s` exceeds 64-bit signed range")
+          stack += big.toLong
+        case 'F' => stack += (line() match { // FLOAT: Python repr
+          case "nan" => Double.NaN
+          case "inf" => Double.PositiveInfinity
+          case "-inf" => Double.NegativeInfinity
+          case s => s.toDouble
+        })
+        case 'V' => stack += rawUnicodeEscape(lineBytes()) // UNICODE
+        case 'S' => stack += stringEscapeDecode(line(), fail) // STRING (py2)
+        case 'd' => // DICT: mark-delimited alternating key/value pairs
+          val items = popMark()
+          val m = mutable.LinkedHashMap[Any, Any]()
+          items.grouped(2).foreach { case Seq(k, v) => m += k -> v }
+          stack += m
+        case 'l' => stack += mutable.ArrayBuffer[Any](popMark(): _*) // LIST
+        case 'p' => memo(line().toInt) = stack.last // PUT
+        case 'g' => stack += memo(line().toInt) // GET
+        case '0' => pop() // POP
+        case '1' => popMark() // POP_MARK
+        case '2' => stack += stack.last // DUP
         case 'c' => stack += Global(line(), line()) // GLOBAL (proto <4)
         case 0x93 => // STACK_GLOBAL
           val name = pop().asInstanceOf[String]
@@ -189,6 +229,54 @@ object Pickle {
     v
   }
 
+  /** Protocol-0 UNICODE payload: latin-1 bytes except `\\uXXXX`/`\\UXXXXXXXX`
+    * escapes (the pickler pre-escapes backslash/newline/CR/NUL/0x1a the same
+    * way, so a literal backslash always arrives as `\\u005c`). */
+  private[engine] def rawUnicodeEscape(b: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def hex(off: Int, n: Int): Int =
+      Integer.parseInt(new String(b, off, n, "ASCII"), 16)
+    while (i < b.length) {
+      val c = (b(i) & 0xff).toChar
+      if (c == '\\' && i + 5 < b.length && b(i + 1) == 'u') {
+        sb.append(hex(i + 2, 4).toChar); i += 6
+      } else if (c == '\\' && i + 9 < b.length && b(i + 1) == 'U') {
+        sb.appendAll(Character.toChars(hex(i + 2, 8))); i += 10
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Protocol-0 STRING payload (Python 2 pickles only): repr-quoted with
+    * backslash escapes, decoded to latin-1 like the binary string opcodes. */
+  private def stringEscapeDecode(s: String, fail: String => Nothing): String = {
+    if (s.length < 2 || s.charAt(0) != s.charAt(s.length - 1) ||
+        (s.charAt(0) != '\'' && s.charAt(0) != '"'))
+      fail(s"malformed STRING opcode payload $s")
+    val body = s.substring(1, s.length - 1)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '"' => sb.append('"'); i += 2
+          case 'x' if i + 3 < body.length =>
+            sb.append(Integer.parseInt(body.substring(i + 2, i + 4), 16).toChar)
+            i += 4
+          case other => fail(s"unsupported STRING escape \\$other")
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def newobj(cls: Any, args: Any, fail: String => Nothing): Any = cls match {
     case g @ Global("pandas.core.frame", "DataFrame") => new PyObj(g)
     case g @ Global("pandas.core.series", "Series") =>
@@ -198,6 +286,15 @@ object Pickle {
   }
 
   private def reduce(fn: Any, args: scala.collection.Seq[Any], fail: String => Nothing): Any = fn match {
+    // below protocol 2 there is no NEWOBJ: object.__reduce_ex__ routes
+    // class construction through copyreg._reconstructor(cls, base, state)
+    case Global("copyreg" | "copy_reg", "_reconstructor") => args.head match {
+      case g @ Global("pandas.core.frame", "DataFrame") => new PyObj(g)
+      case Global("pandas.core.series", "Series") =>
+        fail("pickled pandas Series are not supported — pickle a DataFrame")
+      case Global(m, n) => fail(s"_reconstructor of unsupported class $m.$n")
+      case other => fail(s"_reconstructor of non-class $other")
+    }
     case Global("numpy", "dtype") =>
       new Dt(args.head.asInstanceOf[String])
     case Global("numpy.core.numeric" | "numpy._core.numeric", "_frombuffer") =>

@@ -472,7 +472,7 @@ class SourcesSpec extends SparkSpec {
     Files.writeString(dir.resolve("d.pkl"), "not a pickle")
     val e4 = intercept[IllegalArgumentException](
       Sources.read(spark, "d", Map("file" -> "d.pkl"), dir))
-    assert(e4.getMessage.contains("not a binary pickle"))
+    assert(e4.getMessage.contains("not a pickle stream"))
   }
 
   test("avro: canonical-library round-trip, deflate codec, nulls -> \"\"") {
@@ -547,7 +547,10 @@ class SourcesSpec extends SparkSpec {
     // with None + non-ASCII unicode, datetime64[ns] incl. microsecond,
     // nanosecond and NaT values, block placements as slices and arrays,
     // RangeIndex rows, and protocol 2's GLOBAL/_codecs.encode spelling.
-    for (fixture <- Seq("/sample_frame.pkl", "/sample_frame_p4.pkl")) {
+    // p0/p1 exercise the text protocols: INT/FLOAT/UNICODE/DICT/LIST/PUT/GET
+    // opcodes and copy_reg._reconstructor in place of NEWOBJ
+    for (fixture <- Seq("/sample_frame.pkl", "/sample_frame_p4.pkl",
+        "/sample_frame_p1.pkl", "/sample_frame_p0.pkl")) {
       val p = getClass.getResource(fixture).getPath
       val df = Sources.read(spark, "s", Map("file" -> p), java.nio.file.Paths.get("/"))
       assert(df.columns.toSeq == Seq("id", "a", "b", "flag", "name", "ts"), fixture)
