@@ -160,25 +160,22 @@ object Main {
         } finally if (owned) spark.stop()
 
       case "deps" =>
-        // reference deps clones git packages (package.py:141-211); this
-        // build is offline, so local packages need no install step and git
-        // packages are unsupported. Parse the raw YAML (not Config.load,
-        // which would throw on git packages before we can report them).
+        // install declared packages — local copies and git clones — into
+        // <project>/packages, nested packages included (reference
+        // earthmover.py:454-470 + package.py:139-211). Parse the raw YAML
+        // (not Config.load, which requires git packages to be ALREADY
+        // installed before it can merge them).
+        val cfgPath = Paths.get(resolveConfig()).toAbsolutePath
         val doc =
-          try Config.asMap(Config.parseYaml(Files.readString(Paths.get(resolveConfig()))))
+          try Config.asMap(Config.parseYaml(Files.readString(cfgPath)))
           catch { case _: Exception => Map.empty[String, Any] }
         val pkgs = doc.get("packages").map(Config.asMap).getOrElse(Map.empty)
         if (pkgs.isEmpty) {
           System.err.println("No packages have been defined!")
           throw CliExit(1)
         }
-        pkgs.foreach { case (name, cfgAny) =>
-          val cfg = Config.asMap(cfgAny)
-          if (cfg.contains("git"))
-            System.err.println(s"package `$name`: git packages are not supported in this offline build — vendor it locally and use `local:`")
-          else println(s"package `$name`: local package, nothing to install")
-        }
-        if (pkgs.values.exists(p => Config.asMap(p).contains("git"))) throw CliExit(1)
+        val names = graft.engine.Packages.installAll(cfgPath, println(_))
+        println(s"installed ${names.length} package${if (names.length == 1) "" else "s"}: ${names.mkString(", ")}")
 
       case "clean" =>
         // remove run/compile artifacts (earthmover.py:579-602)

@@ -151,8 +151,14 @@ object Config {
     * each entry under `packages:` is loaded (recursively — packages can
     * declare packages), its relative file paths rebased to the package
     * directory, and deep-merged post-order with the PROJECT winning over
-    * packages and later packages over earlier ones. Only `local:` packages
-    * are supported (this build is offline; the reference also does git). */
+    * packages and later packages over earlier ones.
+    *
+    * Resolution order per package: the INSTALLED copy under
+    * `<configDir>/packages/<name>` (what `deps` wrote — the reference's only
+    * mode, package.py:67-76) wins when present; `local:` packages
+    * additionally fall back to their source directory in place, so a purely
+    * local project composes without an install step. `git:` packages exist
+    * only installed — referencing one before `deps` has run is an error. */
   private def mergePackages(root: Map[String, Any], configDir: Path,
                             cliParams: Map[String, String]): Map[String, Any] =
     root.get("packages") match {
@@ -161,11 +167,19 @@ object Config {
         val pkgBase = asMap(pkgsAny).foldLeft(Map.empty[String, Any]) {
           case (acc, (name, pcfgAny)) =>
             val pcfg = asMap(pcfgAny)
-            val local = str(pcfg, "local").getOrElse(throw new IllegalArgumentException(
-              s"package `$name`: only `local:` packages are supported offline"))
-            val pdir = configDir.resolve(local).normalize()
-            val pfile = Seq("graft.yaml", "earthmover.yaml")
-              .map(pdir.resolve).find(Files.exists(_))
+            val installedDir = configDir.resolve("packages").resolve(name).normalize()
+            val pdir = (str(pcfg, "local"), str(pcfg, "git")) match {
+              case (Some(local), _) =>
+                if (Files.isDirectory(installedDir)) installedDir
+                else configDir.resolve(local).normalize()
+              case (None, Some(_)) =>
+                if (Files.isDirectory(installedDir)) installedDir
+                else throw new IllegalArgumentException(
+                  s"the package '$name' has not been installed — run a `deps` command to install packages")
+              case _ => throw new IllegalArgumentException(
+                s"package `$name`: packages must specify either a `local` folder path or a `git` package URL")
+            }
+            val pfile = Packages.installedConfigFile(pdir)
               .getOrElse(throw new IllegalArgumentException(
                 s"package `$name`: no graft.yaml/earthmover.yaml under $pdir"))
             val sub = compile(Files.readString(pfile), pdir, cliParams).raw

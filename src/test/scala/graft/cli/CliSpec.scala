@@ -122,17 +122,17 @@ class CliSpec extends SparkSpec {
     assert(Files.exists(altOut.resolve("people.jsonl")))
   }
 
-  test("deps: no packages -> exit 1; git package -> exit 1; local -> exit 0") {
+  test("deps: no packages -> exit 1; local package installs -> exit 0") {
+    // git-package installs (file:// remotes, branches, subdirectories,
+    // nesting, cycles) are exercised in engine.PackagesSpec
     val dir = writeProject()
     assert(Main.dispatch(Array("deps", "-c", dir.resolve("p.yaml").toString)) == 1)
-    Files.writeString(dir.resolve("git.yaml"),
-      "version: 2\npackages:\n  ext:\n    git: https://example.com/x.git\n")
-    assert(Main.dispatch(Array("deps", "-c", dir.resolve("git.yaml").toString)) == 1)
     Files.createDirectories(dir.resolve("pkg"))
     Files.writeString(dir.resolve("pkg").resolve("graft.yaml"), "version: 2\n")
     Files.writeString(dir.resolve("local.yaml"),
       "version: 2\npackages:\n  ext:\n    local: pkg\n")
     assert(Main.dispatch(Array("deps", "-c", dir.resolve("local.yaml").toString)) == 0)
+    assert(Files.isRegularFile(dir.resolve("packages/ext/graft.yaml")))
   }
 
   test("clean removes the output dir and compiled yaml, then reports nothing to remove") {
