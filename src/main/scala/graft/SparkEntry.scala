@@ -546,6 +546,14 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosinePairsBlocked(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.42)),
 
+    // SemDeDup: 16 deterministic seed cells (iters=0 — the oracle
+    // recomputes the identical assignment in SQL, the q_ann_ivf pattern),
+    // within-cell upper-triangular cosine prune. The k-means-refined path
+    // (iters ≥ 2) is spec-checked in FunctionsSpec.
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.42, nlist = 16, iters = 0)),
+
     // pairs → canonical duplicate groups (hash-min connected components)
     "q_dedup_groups" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1217,6 +1225,31 @@ object SparkEntry {
            round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42""",
+
+    // SemDeDup: centroids = the 16 smallest-id vectors (iters=0 seed rule,
+    // cell index = seed rank), assignment by dot/|centroid| (|v| factors
+    // out of the argmax; ties to the smallest cell index), then the
+    // upper-triangular rule — a row is dropped iff ANY smaller-id row of
+    // the same cell exceeds the cosine threshold, survivor or not.
+    "q_semantic_dedup" ->
+      """WITH cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                  embedding::DOUBLE[] AS cvec,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT e.vec_id, c.cidx,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) / c.cnorm DESC,
+                             c.cidx ASC) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+         cells AS (SELECT vec_id, cidx AS cell FROM assign WHERE rn = 1)
+         SELECT e.vec_id AS id, x.cell
+         FROM embeddings e JOIN cells x ON x.vec_id = e.vec_id
+         WHERE NOT EXISTS (
+           SELECT 1 FROM embeddings e2 JOIN cells x2 ON x2.vec_id = e2.vec_id
+           WHERE x2.cell = x.cell AND e2.vec_id < e.vec_id
+             AND list_cosine_similarity(e2.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.42)""",
 
     "q_ann_topk" ->
       """SELECT e.vec_id AS id,

@@ -223,6 +223,7 @@ final class Engine(spark: SparkSession) {
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
     "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
       "max_doc_freq", "max_hamming", "broadcast_edge_threshold"),
+    "semantic_dedup" -> Set("id_column", "column", "threshold", "nlist", "iters"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
       "num_planes", "num_tables", "rerank"),
     "ann_join" -> Set("sources", "id_column", "column", "k",
@@ -488,6 +489,29 @@ final class Engine(spark: SparkSession) {
           base.select(col(keyC)), keyC, pairs, broadcastEdgeThreshold = edgeCap)
         val keep = groups
           .filter(col("id") === col("group_rep"))
+          .select(col("id").as(keyC))
+        if (keyC == idC) df.join(keep, Seq(idC), "left_semi")
+        else base.join(keep, Seq(sid), "left_semi").drop(sid)
+      // SemDeDup from a declared pipeline: k-means cells over the embedding
+      // column, within-cell cosine prune, keep the surviving rows. Same
+      // surrogate-id probe as dedup_near (the cluster kernels key on
+      // LongType; a UUID id must not silently null out).
+      case "semantic_dedup" =>
+        import org.apache.spark.sql.functions.{col, count, lit, when, xxhash64}
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val vecC = Config.reqStr(op, "column", ctx)
+        val threshold = Config.str(op, "threshold").map(_.toDouble).getOrElse(0.9)
+        val nlist = Config.int(op, "nlist").getOrElse(16)
+        val iters = Config.int(op, "iters").getOrElse(2)
+        val probe = df.select(count(lit(1)).as("total"),
+            count(when(col(idC).try_cast("long").isNull, 1)).as("bad"))
+          .head()
+        val sid = "__graft_dedup_sid__"
+        val (base, keyC) =
+          if (probe.getLong(0) > 0L && probe.getLong(1) == 0L) (df, idC)
+          else (df.withColumn(sid, xxhash64(col(idC))), sid)
+        val keep = graft.functions.Similarity
+          .semanticDedup(base, keyC, vecC, threshold, nlist, iters)
           .select(col("id").as(keyC))
         if (keyC == idC) df.join(keep, Seq(idC), "left_semi")
         else base.join(keep, Seq(sid), "left_semi").drop(sid)

@@ -503,6 +503,77 @@ object Similarity {
     result
   }
 
+  // ---------------------------------------------------- semantic dedup
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): cluster the
+    * embedding space with k-means, then prune near-duplicates WITHIN each
+    * cluster only — O(n²/nlist) comparisons instead of O(n²), the trick
+    * that made embedding-level dedup tractable at LAION/web scale. A row is
+    * dropped iff an EARLIER row (smaller id) of the SAME cluster sits above
+    * `threshold` cosine — the paper's upper-triangular max rule (a point is
+    * removed when max sim to any prior cluster member exceeds ε, whether or
+    * not that member itself survived). Deterministic, independent of
+    * partitioning, and expressible as a NOT EXISTS for the SQL oracle.
+    * Returns survivors as (id, cell).
+    *
+    * Scale shape: centroid fit is `ivfCentroids` (broadcast-assign + one
+    * nlist-row shuffle per Lloyd iteration), assignment a narrow broadcast
+    * kernel, and the prune ONE groupByKey shuffle keyed by cell. Each
+    * cluster prunes in memory via an early-exit triangular scan — per-task
+    * memory is O(cluster size), which is the SemDeDup deployment model:
+    * size `nlist` so corpus/nlist vectors fit one executor core (the paper
+    * runs ~100k clusters for LAION-scale corpora), mirroring its
+    * per-cluster similarity matrices. `iters = 0` keeps the deterministic
+    * smallest-id seed centroids the DuckDB oracle replicates; production
+    * callers pass `iters ≥ 2` for real k-means cells. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16, iters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(df, idCol, vecCol, nlist, iters)
+    ivfAssign(df, idCol, vecCol, cents)
+      .as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (cell, rows) =>
+        // ids ascending: the drop rule only ever looks at earlier rows
+        val members = rows.toArray.sortBy(_._1)
+        val n = members.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v = members(i)._2
+          var s = 0.0
+          var k = 0
+          while (k < v.length) { s += v(k).toDouble * v(k).toDouble; k += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        val kept = List.newBuilder[(Long, Int)]
+        i = 0
+        while (i < n) {
+          val vi = members(i)._2
+          var dup = false
+          var j = 0
+          while (j < i && !dup) {
+            // zero-norm vectors have no defined angle — never a duplicate
+            if (norms(i) > 0 && norms(j) > 0) {
+              val vj = members(j)._2
+              var dot = 0.0
+              var k = 0
+              val len = math.min(vi.length, vj.length)
+              while (k < len) { dot += vi(k).toDouble * vj(k).toDouble; k += 1 }
+              if (dot / (norms(i) * norms(j)) > threshold) dup = true
+            }
+            j += 1
+          }
+          if (!dup) kept += ((members(i)._1, cell))
+          i += 1
+        }
+        kept.result().iterator
+      }
+      .toDF("id", "cell")
+      .select(col("id"), col("cell").cast(LongType).as("cell"))
+  }
+
   /** Embedding-cosine near-duplicate pairs with similarity ≥ threshold.
     * The `bucketed` variant prunes candidate pairs through LSH buckets
     * (one shuffle on the bucket key) instead of the full cross join; the

@@ -97,6 +97,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
   }
 
+  test("semantic_dedup dispatch prunes in-cell near-dups; string ids use the surrogate") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+    ).toDF("vec_id", "embedding")
+    val out = run(vecs, Map("operation" -> "semantic_dedup", "id_column" -> "vec_id",
+      "column" -> "embedding", "threshold" -> "0.99", "nlist" -> "1", "iters" -> "0"))
+    // the full original row survives (all columns), dup id 1 dropped
+    assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(out.select("vec_id").as[Long].collect().toSet == Set(0L, 2L))
+
+    // string ids: surrogate-hash path keeps one of the identical pair + the
+    // distinct vector, and never silently drops everything through a null cast
+    val svecs = Seq(
+      ("alpha", Array(1f, 0f)), ("beta", Array(1f, 0f)), ("gamma", Array(0f, 1f)),
+    ).toDF("id", "embedding")
+    val sout = run(svecs, Map("operation" -> "semantic_dedup", "id_column" -> "id",
+      "column" -> "embedding", "threshold" -> "0.99", "nlist" -> "1", "iters" -> "0"))
+    val ids = sout.select("id").as[String].collect().toSet
+    assert(ids.size == 2 && ids.contains("gamma") &&
+      (ids.contains("alpha") || ids.contains("beta")))
+  }
+
   test("dedup_near with non-numeric ids (UUIDs) dedups via the surrogate-hash path") {
     // the pair/CC machinery keys on LongType; a UUID id must NOT silently
     // cast to null and drop every row — the engine hashes it to a surrogate

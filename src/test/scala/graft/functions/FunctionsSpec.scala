@@ -224,6 +224,46 @@ class FunctionsSpec extends SparkSpec {
     assert(body.contains("flatMapGroups"), "expected the block-pair group exchange")
   }
 
+  test("semanticDedup single cell equals the upper-triangular rule; zero vectors never dup") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.999f, 0.04f, 0f)),  // near-dup of 0 → dropped
+      (2L, Array(0f, 1f, 0f)),         // orthogonal → kept
+      (3L, Array(0.998f, 0.06f, 0f)),  // near-dup of 0 AND of (dropped) 1 → dropped
+      (4L, Array(0f, 0f, 0f)),         // zero norm: no defined angle → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, nlist = 1, iters = 0)
+    assert(kept.columns.toSeq == Seq("id", "cell"))
+    assert(kept.select("id").as[Long].collect().toSet == Set(0L, 2L, 4L))
+  }
+
+  test("semanticDedup with k-means cells (iters=2) drops exactly the injected copies") {
+    // two well-separated clusters of 5 distinct directions each (pairwise
+    // cos ≤ cos 10° ≈ 0.985 within a cluster, ~0 across), plus an IDENTICAL
+    // copy of every vector at id+100. At threshold 0.99 only the copies are
+    // duplicates — and a copy always lands in its original's cell, whatever
+    // the refined centroids are, so the survivor set is exactly the
+    // originals no matter how Lloyd iterations move the cells.
+    val base = (0 until 5).flatMap { i =>
+      val th = math.toRadians(10.0 * i)
+      Seq(
+        (i.toLong, Array.tabulate(8)(j =>
+          if (j == 0) math.cos(th).toFloat else if (j == 1) math.sin(th).toFloat else 0f)),
+        (10L + i, Array.tabulate(8)(j =>
+          if (j == 2) math.cos(th).toFloat else if (j == 3) math.sin(th).toFloat else 0f)))
+    }
+    val withCopies = base ++ base.map { case (id, v) => (id + 100L, v) }
+    val df = withCopies.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.99, nlist = 2, iters = 2).select("id").as[Long].collect().toSet
+    assert(kept == base.map(_._1).toSet)
+    // deterministic: a second run returns the identical survivor set
+    val again = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.99, nlist = 2, iters = 2).select("id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("multi-table LSH recovers the recall single-probe loses at numPlanes=12") {
     // Deterministic clustered corpus: 20 near neighbors of the query at
     // cosine ≈ 0.95 (the near-dup regime multi-table LSH exists for) among
