@@ -526,6 +526,19 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
 
+    // exact substring dedup (Lee et al. 2021): flagged duplicate 10-token
+    // window occurrences — every occurrence whose window content appeared
+    // earlier in the corpus under (doc_id, pos) order
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", windowTokens = 10)
+        .select(col("id").as("doc_id"), col("pos"))),
+
+    // the removal pass over the same flags: repeated spans deleted, first
+    // occurrence kept verbatim, untouched docs ride through byte-identical
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.stripDuplicateSpans(t(s, d, "documents"), "doc_id", "text", windowTokens = 10)
+        .select("doc_id", "text")),
+
     // maxDocFreq exercises the stop-token skew guard on the gate path (the
     // oracle applies the same document-frequency cap)
     "q_dedup_jaccard" -> ((s, d) =>
@@ -1076,6 +1089,42 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    // exact substring dedup: windows keyed by CONTENT here (the engine
+    // folds them to xxhash64 before its shuffle — same grouping modulo a
+    // 64-bit collision); an occurrence is flagged iff an earlier (doc_id,
+    // pos) occurrence of the same 10-token window exists
+    "q_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wins AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS win
+                  FROM toks, unnest(generate_series(1, len(w) - 9)) t(i)),
+         r AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+               FROM wins)
+         SELECT doc_id, pos FROM r WHERE rn > 1""",
+
+    // the removal pass: a token is deleted iff covered by any flagged
+    // window of its document; single-space rejoin of the survivors (empty
+    // tokens preserved, so unflagged docs reproduce their text exactly)
+    "q_dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wins AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS win
+                  FROM toks, unnest(generate_series(1, len(w) - 9)) t(i)),
+         r AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+               FROM wins),
+         flag AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+         tok AS (SELECT doc_id, i, w[i] AS tk
+                 FROM toks, unnest(generate_series(1, len(w))) t(i)),
+         kept AS (SELECT t.doc_id, t.i, t.tk FROM tok t
+                  WHERE NOT EXISTS (SELECT 1 FROM flag f
+                    WHERE f.doc_id = t.doc_id AND f.pos <= t.i AND t.i < f.pos + 10))
+         SELECT d.doc_id,
+                CASE WHEN EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = d.doc_id)
+                     THEN coalesce((SELECT string_agg(k.tk, ' ' ORDER BY k.i)
+                                    FROM kept k WHERE k.doc_id = d.doc_id), '')
+                     ELSE d.text END AS text
+         FROM documents d""",
 
     "q_dedup_jaccard" ->
       """WITH ws AS (

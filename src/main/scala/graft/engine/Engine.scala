@@ -218,6 +218,7 @@ final class Engine(spark: SparkSession) {
     "fingerprint" -> Set("column", "new_column"),
     "chunk" -> Set("id_column", "column", "chunk_words", "overlap_words"),
     "dedup_exact" -> Set("id_column", "column"),
+    "dedup_substring" -> Set("id_column", "column", "window"),
     "hash_sample" -> Set("column", "rate", "strata_column", "rates", "default_rate"),
     "boilerplate_removal" -> Set("id_column", "column", "min_docs", "line_delimiter"),
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
@@ -391,6 +392,12 @@ final class Engine(spark: SparkSession) {
           .exactGroups(df, idC, Config.reqStr(op, "column", ctx))
           .select(org.apache.spark.sql.functions.col("keep_id").as(idC))
         df.join(keep, Seq(idC), "left_semi")
+      // exact substring dedup: delete every repeated k-token span except
+      // its first corpus occurrence (text column rewritten in place)
+      case "dedup_substring" =>
+        graft.functions.Dedup.stripDuplicateSpans(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "window").getOrElse(50))
       case "hash_sample" =>
         val keyC = Config.reqStr(op, "column", ctx)
         Config.str(op, "strata_column") match {

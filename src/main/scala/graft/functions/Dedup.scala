@@ -416,4 +416,84 @@ object Dedup {
     pp.unpersist()
     labels.select(col("id"), col("label").as("group_rep"))
   }
+
+  // ------------------------------------------------- exact substring dedup
+  /** Occurrences of duplicated k-token windows (the exact-substring dedup
+    * of Lee et al. 2021, arXiv:2107.06499 — public: any span repeated in
+    * the training corpus is memorization fuel and should appear once).
+    * Every k-token window of every document is keyed by content; an
+    * occurrence is flagged iff the SAME window content occurred EARLIER in
+    * the corpus under the global (id, pos) order — the first occurrence
+    * always survives, within-document repeats count. Positions are 1-based
+    * token indices (single-space tokenization, empty tokens preserved so
+    * split/rejoin is lossless). Documents shorter than k tokens contribute
+    * no windows and are never flagged. Output: (id, pos) per flagged
+    * occurrence, deterministic and partitioning-independent.
+    *
+    * Scale shape: the paper's suffix array is a single-machine structure;
+    * the distributed equivalent is this ONE hash shuffle of
+    * (window-hash, id, pos) tuples — O(total tokens) rows, linear in the
+    * corpus — ranked per key. Window content is folded to xxhash64 BEFORE
+    * the exchange so shuffle width stays ~20 bytes per token regardless of
+    * k (a 64-bit collision mis-flags one window pair in ~10^19 — the
+    * standard trade the MinHash/SimHash tier already makes). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val k = windowTokens
+    val toked = df.select(col(idCol).as("id"), split(col(textCol), " ", -1).as("__toks"))
+    val starts = when(size(col("__toks")) >= k,
+      sequence(lit(1), size(col("__toks")) - (k - 1))).otherwise(array().cast("array<int>"))
+    val occ = toked
+      .select(col("id"), col("__toks"), explode(starts).as("pos"))
+      .select(col("id"), col("pos").cast(LongType).as("pos"),
+        xxhash64(concat_ws(" ", slice(col("__toks"), col("pos"), lit(k)))).as("__win"))
+    occ.withColumn("__rn",
+        row_number().over(Window.partitionBy("__win").orderBy("id", "pos")))
+      .filter(col("__rn") > 1)
+      .select("id", "pos")
+  }
+
+  /** Remove duplicated k-token spans from the text column: tokens covered
+    * by any flagged window occurrence (see [[duplicateSpans]]) are deleted,
+    * everything else keeps its order; each repeated span's first corpus
+    * occurrence survives verbatim. Schema-preserving — `textCol` is
+    * replaced in place, all other columns ride through — so it slots into
+    * a YAML pipeline like the other cleaning passes. The rebuild is a
+    * linear mapPartitions kernel (flag array + one pass), not a per-span
+    * HOF scan, so a pathologically self-repeating document costs
+    * O(tokens + spans), never O(tokens × spans). */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val k = windowTokens
+    val spans = duplicateSpans(df, idCol, textCol, k)
+      .groupBy(col("id").as("__sid")).agg(collect_list(col("pos")).as("__spans"))
+    val joined = df.join(spans, df(idCol) === spans("__sid"), "left").drop("__sid")
+    val schema = joined.schema
+    val ti = schema.fieldIndex(textCol)
+    val si = schema.fieldIndex("__spans")
+    joined.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(si)) r
+        else {
+          val toks = r.getString(ti).split(" ", -1)
+          val drop = new Array[Boolean](toks.length)
+          r.getSeq[Long](si).foreach { p =>
+            var i = math.max(p.toInt - 1, 0)
+            val end = math.min(p.toInt - 1 + k, toks.length)
+            while (i < end) { drop(i) = true; i += 1 }
+          }
+          val kept = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+          var i = 0
+          while (i < toks.length) { if (!drop(i)) kept += toks(i); i += 1 }
+          val vals = r.toSeq.toArray
+          vals(ti) = kept.mkString(" ")
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }
+    }(Encoders.row(schema))
+      .drop("__spans")
+  }
 }

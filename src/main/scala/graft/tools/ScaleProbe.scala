@@ -89,22 +89,34 @@ object ScaleProbe {
       val (_, tSh) = time(
         graft.functions.Sampling.hashShuffle(docs, "doc_id").count())
       spark.catalog.clearCache()
+      // exact substring dedup: window-hash shuffle is O(total tokens), so
+      // wall should track corpus size linearly like the cleaning tier
+      val (ssFlags, tSpan) = time(
+        Dedup.duplicateSpans(docs, "doc_id", "text", windowTokens = 10).count())
+      val (_, tStrip) = time(
+        Dedup.stripDuplicateSpans(docs, "doc_id", "text", windowTokens = 10)
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
       // crawl ingest at scale: corpus → multi-file .wet.gz (16 shards,
       // the CC layout) → distributed WARC read → html-free text counts;
-      // files are the parallelism unit, so wall should track corpus size
-      val (wetRows, tWet) = time {
-        val shardDir = java.nio.file.Files.createTempDirectory("graft-scale-wet")
+      // files are the parallelism unit, so wall should track corpus size.
+      // Shard GENERATION (driver-side fixture writing) stays outside the
+      // timed block — only the distributed read is the engine under test.
+      val shardDir = java.nio.file.Files.createTempDirectory("graft-scale-wet")
+      locally {
         val rows = docs.select("doc_id", "text").collect()
         rows.grouped((rows.length / 16).max(1)).zipWithIndex.foreach { case (g, i) =>
           GenWarc.write(shardDir.resolve(f"part-$i%02d.wet.gz").toString,
             g.map(r => (s"http://doc/${r.get(0)}", r.getString(1))).toSeq, gzip = true)
         }
-        graft.engine.Warc.read(spark, s"$shardDir/*.wet.gz").count()
       }
+      val (wetRows, tWet) = time(
+        graft.engine.Warc.read(spark, s"$shardDir/*.wet.gz").count())
       println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
+        f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
         f"wet_ingest=$tWet%.1fs($wetRows)")
     }
     spark.stop()

@@ -47,6 +47,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"group_by must shuffle exactly once, saw $shuffles")
   }
 
+  test("substring-dedup flag pass shuffles exactly once (window-hash exchange)") {
+    val p = formatted("q_dedup_spans")
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles == 1, s"duplicateSpans must shuffle exactly once, saw $shuffles")
+    assert(!p.contains("SinglePartition"),
+      "window rank must partition by window hash, never collapse to one task")
+  }
+
   test("sort+limit compiles to top-k, not a global sort") {
     val p = formatted("q_sort_rows")
     assert(p.contains("TakeOrderedAndProject"),

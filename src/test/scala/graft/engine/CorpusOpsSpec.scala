@@ -119,6 +119,17 @@ class CorpusOpsSpec extends SparkSpec {
       (ids.contains("alpha") || ids.contains("beta")))
   }
 
+  test("dedup_substring dispatch rewrites the text column in place") {
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "x a b c y"),
+    ).toDF("doc_id", "text")
+    val out = run(docs, Map("operation" -> "dedup_substring",
+      "id_column" -> "doc_id", "column" -> "text", "window" -> "3"))
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    val m = out.as[(Long, String)].collect().toMap
+    assert(m == Map(0L -> "a b c d e", 1L -> "x y"))
+  }
+
   test("dedup_near with non-numeric ids (UUIDs) dedups via the surrogate-hash path") {
     // the pair/CC machinery keys on LongType; a UUID id must NOT silently
     // cast to null and drop every row — the engine hashes it to a surrogate

@@ -264,6 +264,43 @@ class FunctionsSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("duplicateSpans flags every later occurrence of a repeated window") {
+    val docs = Seq(
+      (0L, "a b c d e"),        // first occurrence of "a b c"
+      (1L, "x a b c y"),        // repeat at pos 2 → flagged
+      (2L, "short"),            // < k tokens: never flagged
+    ).toDF("doc_id", "text")
+    val flags = Dedup.duplicateSpans(docs, "doc_id", "text", windowTokens = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(flags == Set((1L, 2L)))
+
+    // within-document repeats count: "a b" at 1,3,5 and "b a" at 2,4 —
+    // first of each survives, the rest flag
+    val self = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
+    val selfFlags = Dedup.duplicateSpans(self, "doc_id", "text", windowTokens = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(selfFlags == Set((7L, 3L), (7L, 4L), (7L, 5L)))
+  }
+
+  test("stripDuplicateSpans deletes flagged spans, keeps schema and other columns") {
+    val docs = Seq(
+      (0L, "a b c d e", "en"),
+      (1L, "x a b c y", "fr"),
+      (2L, "a b c d e", "de"),  // whole doc is a repeat of doc 0's windows
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", windowTokens = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val m = out.as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(0L) == ("a b c d e", "en"))   // first occurrences survive verbatim
+    assert(m(1L) == ("x y", "fr"))         // covered tokens 2-4 removed
+    assert(m(2L) == ("", "de"))            // fully-duplicated doc empties out
+    // string ids work directly — the window rank orders by the id as-is
+    val sdocs = Seq(("alpha", "p q r s"), ("beta", "p q r t")).toDF("id", "text")
+    val sout = Dedup.stripDuplicateSpans(sdocs, "id", "text", windowTokens = 3)
+      .as[(String, String)].collect().toMap
+    assert(sout == Map("alpha" -> "p q r s", "beta" -> "t"))
+  }
+
   test("multi-table LSH recovers the recall single-probe loses at numPlanes=12") {
     // Deterministic clustered corpus: 20 near neighbors of the query at
     // cosine ≈ 0.95 (the near-dup regime multi-table LSH exists for) among
