@@ -28,11 +28,18 @@ object ScaleProbe {
       val n = docs.count()
       // fixed stop-token cap — the production guard; binding only on the
       // head of the doc-frequency distribution, independent of corpus size
+      // clearCache between legs: each leg measures a FRESH pipeline. Under
+      // the 4 GiB probe heap, letting every leg's internal persists pile up
+      // makes later legs thrash against eviction (measured 107s vs 4.5s for
+      // the cc leg at 500k docs) — a measurement artifact, not engine cost.
       val (jc, tJac) = time(Dedup.jaccardPairs(docs, "doc_id", "text",
         threshold = 0.7, maxDocFreq = Some(1000L)).count())
+      spark.catalog.clearCache()
       val (mc, tMin) = time(Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7).count())
+      spark.catalog.clearCache()
       val (bc, tBoil) = time(Corpus.removeBoilerplate(docs, "doc_id", "text",
         minDocs = (n / 100).max(2)).count())
+      spark.catalog.clearCache()
       val (gc, tCC) = time {
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           threshold = 0.7, maxDocFreq = Some(1000L))
