@@ -539,6 +539,29 @@ object SparkEntry {
       Dedup.stripDuplicateSpans(t(s, d, "documents"), "doc_id", "text", windowTokens = 10)
         .select("doc_id", "text")),
 
+    // exact paragraph dedup (Gopher/MassiveText): flagged occurrences of
+    // paragraphs whose content appeared earlier in (doc_id, position)
+    // order; whitespace-only paragraphs never flag. The testdata documents
+    // are single-paragraph with no exact text dups (zero natural flags),
+    // so the gate appends a shared footer paragraph to every doc — the
+    // cross-document boilerplate shape the op exists for — and expects the
+    // footer flagged everywhere but its first (smallest-doc_id) occurrence.
+    "q_dedup_paragraphs" -> ((s, d) =>
+      Dedup.duplicateParagraphs(
+        t(s, d, "documents")
+          .withColumn("text", concat_ws("\n", col("text"), lit("subscribe to our newsletter"))),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("pos"))),
+
+    // the removal pass over the same footer-augmented frame: every doc but
+    // the first drops the footer and returns to its original body
+    "q_dedup_par_strip" -> ((s, d) =>
+      Dedup.stripDuplicateParagraphs(
+        t(s, d, "documents")
+          .withColumn("text", concat_ws("\n", col("text"), lit("subscribe to our newsletter"))),
+        "doc_id", "text")
+        .select("doc_id", "text")),
+
     // maxDocFreq exercises the stop-token skew guard on the gate path (the
     // oracle applies the same document-frequency cap)
     "q_dedup_jaccard" -> ((s, d) =>
@@ -1125,6 +1148,44 @@ object SparkEntry {
                                     FROM kept k WHERE k.doc_id = d.doc_id), '')
                      ELSE d.text END AS text
          FROM documents d""",
+
+    // paragraph dedup: paragraphs keyed by CONTENT here (the engine folds
+    // them to xxhash64 — same grouping modulo a 64-bit collision);
+    // whitespace-only paragraphs are never flagged. Mirrors the gate's
+    // footer augmentation (see the queries entry for why).
+    "q_dedup_paragraphs" ->
+      """WITH aug AS (SELECT doc_id, text || chr(10) || 'subscribe to our newsletter' AS text
+                      FROM documents),
+         p AS (SELECT doc_id, i, w[i] AS para
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS w FROM aug) t,
+                       unnest(generate_series(1, len(w))) u(i)),
+         r AS (SELECT doc_id, i AS pos,
+                      row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+               FROM p WHERE trim(para) <> '')
+         SELECT doc_id, pos FROM r WHERE rn > 1""",
+
+    // the removal pass: flagged paragraph indices deleted, remainder
+    // rejoined on the delimiter in order (blank separators always survive)
+    "q_dedup_par_strip" ->
+      """WITH aug AS (SELECT doc_id, text || chr(10) || 'subscribe to our newsletter' AS text
+                      FROM documents),
+         p AS (SELECT doc_id, i, w[i] AS para
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS w FROM aug) t,
+                       unnest(generate_series(1, len(w))) u(i)),
+         r AS (SELECT doc_id, i AS pos,
+                      row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+               FROM p WHERE trim(para) <> ''),
+         flag AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+         kept AS (SELECT p.doc_id, p.i, p.para FROM p
+                  WHERE NOT EXISTS (SELECT 1 FROM flag f
+                    WHERE f.doc_id = p.doc_id AND f.pos = p.i)),
+         agg AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS txt
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+                CASE WHEN EXISTS (SELECT 1 FROM flag f WHERE f.doc_id = d.doc_id)
+                     THEN coalesce((SELECT a.txt FROM agg a WHERE a.doc_id = d.doc_id), '')
+                     ELSE d.text END AS text
+         FROM aug d""",
 
     "q_dedup_jaccard" ->
       """WITH ws AS (

@@ -219,6 +219,7 @@ final class Engine(spark: SparkSession) {
     "chunk" -> Set("id_column", "column", "chunk_words", "overlap_words"),
     "dedup_exact" -> Set("id_column", "column"),
     "dedup_substring" -> Set("id_column", "column", "window"),
+    "dedup_paragraphs" -> Set("id_column", "column", "delimiter"),
     "hash_sample" -> Set("column", "rate", "strata_column", "rates", "default_rate"),
     "boilerplate_removal" -> Set("id_column", "column", "min_docs", "line_delimiter"),
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
@@ -398,6 +399,12 @@ final class Engine(spark: SparkSession) {
         graft.functions.Dedup.stripDuplicateSpans(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "window").getOrElse(50))
+      // exact paragraph dedup: delete every repeated paragraph except its
+      // first corpus occurrence (text column rewritten in place)
+      case "dedup_paragraphs" =>
+        graft.functions.Dedup.stripDuplicateParagraphs(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.str(op, "delimiter").getOrElse("\n"))
       case "hash_sample" =>
         val keyC = Config.reqStr(op, "column", ctx)
         Config.str(op, "strata_column") match {

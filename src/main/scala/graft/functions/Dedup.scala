@@ -455,6 +455,72 @@ object Dedup {
       .select("id", "pos")
   }
 
+  /** Occurrences of exactly-duplicated paragraphs (the paragraph-level
+    * exact dedup of the Gopher/MassiveText pipelines — public, Rae et al.
+    * 2021, arXiv:2112.11446 §A.1.2): text is split on `delimiter`, and a
+    * paragraph occurrence is flagged iff the SAME paragraph content
+    * occurred EARLIER in the corpus under the global (id, position) order —
+    * its first occurrence always survives, later ones (any document,
+    * including the same one) flag. Whitespace-only paragraphs are never
+    * flagged (they are formatting, and "first empty line wins" would strip
+    * every blank separator in the corpus). Positions are 1-based paragraph
+    * indices. Output: (id, pos), deterministic and partitioning-independent.
+    *
+    * Scale shape: ONE hash shuffle of (paragraph-hash, id, pos) tuples —
+    * O(total paragraphs) — ranked per key; content folds to xxhash64
+    * before the exchange. The difference from [[graft.functions.Corpus]]
+    * boilerplate removal: that pass drops lines by corpus FREQUENCY
+    * (≥ minDocs), this one drops by earlier-occurrence identity, keeping
+    * exactly one copy of every repeated paragraph. */
+  def duplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+                          delimiter: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quoted = java.util.regex.Pattern.quote(delimiter)
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), quoted, -1)).as(Seq("idx", "para")))
+      .filter(trim(col("para")) =!= "")
+    paras
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(xxhash64(col("para"))).orderBy("id", "idx")))
+      .filter(col("__rn") > 1)
+      .select(col("id"), (col("idx") + 1).cast(LongType).as("pos"))
+  }
+
+  /** Remove exactly-duplicated paragraphs (see [[duplicateParagraphs]]):
+    * flagged occurrences are deleted, the remainder rejoins on `delimiter`
+    * in order; each repeated paragraph's first corpus occurrence survives
+    * verbatim, whitespace-only paragraphs always survive. Schema-preserving
+    * in-place rewrite of `textCol`, same kernel shape as
+    * [[stripDuplicateSpans]]. */
+  def stripDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+                               delimiter: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val quoted = java.util.regex.Pattern.quote(delimiter)
+    val spans = duplicateParagraphs(df, idCol, textCol, delimiter)
+      .groupBy(col("id").as("__sid")).agg(collect_list(col("pos")).as("__spans"))
+    val joined = df.join(spans, df(idCol) === spans("__sid"), "left").drop("__sid")
+    val schema = joined.schema
+    val ti = schema.fieldIndex(textCol)
+    val si = schema.fieldIndex("__spans")
+    joined.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(si)) r
+        else {
+          val parts = r.getString(ti).split(quoted, -1)
+          val dropAt = r.getSeq[Long](si).map(_.toInt - 1).toSet
+          val kept = new scala.collection.mutable.ArrayBuffer[String](parts.length)
+          var i = 0
+          while (i < parts.length) { if (!dropAt(i)) kept += parts(i); i += 1 }
+          val vals = r.toSeq.toArray
+          vals(ti) = kept.mkString(delimiter)
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }
+    }(Encoders.row(schema))
+      .drop("__spans")
+  }
+
   /** Remove duplicated k-token spans from the text column: tokens covered
     * by any flagged window occurrence (see [[duplicateSpans]]) are deleted,
     * everything else keeps its order; each repeated span's first corpus

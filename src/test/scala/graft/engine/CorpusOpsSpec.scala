@@ -130,6 +130,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m == Map(0L -> "a b c d e", 1L -> "x y"))
   }
 
+  test("dedup_paragraphs dispatch removes later paragraph copies in place") {
+    val docs = Seq(
+      (0L, "keep me\nshared footer"), (1L, "other\nshared footer"),
+    ).toDF("doc_id", "text")
+    val out = run(docs, Map("operation" -> "dedup_paragraphs",
+      "id_column" -> "doc_id", "column" -> "text"))
+    val m = out.as[(Long, String)].collect().toMap
+    assert(m == Map(0L -> "keep me\nshared footer", 1L -> "other"))
+  }
+
   test("dedup_near with non-numeric ids (UUIDs) dedups via the surrogate-hash path") {
     // the pair/CC machinery keys on LongType; a UUID id must NOT silently
     // cast to null and drop every row — the engine hashes it to a surrogate

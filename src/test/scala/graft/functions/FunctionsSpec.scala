@@ -282,6 +282,27 @@ class FunctionsSpec extends SparkSpec {
     assert(selfFlags == Set((7L, 3L), (7L, 4L), (7L, 5L)))
   }
 
+  test("paragraph dedup flags later copies only; whitespace paragraphs never flag") {
+    val docs = Seq(
+      (0L, "alpha\nboiler\nbeta"),
+      (1L, "gamma\nboiler"),    // boiler repeat → flagged at pos 2
+      (2L, "boiler\n\ndelta"),  // boiler repeat at pos 1; blank pos 2 never flags
+      (3L, "\n"),               // two empty paragraphs: formatting, untouched
+    ).toDF("doc_id", "text")
+    val flags = Dedup.duplicateParagraphs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(flags == Set((1L, 2L), (2L, 1L)))
+
+    val cleaned = Dedup.stripDuplicateParagraphs(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(cleaned == Map(
+      0L -> "alpha\nboiler\nbeta",  // first occurrence survives verbatim
+      1L -> "gamma",
+      2L -> "\ndelta",              // blank separator kept
+      3L -> "\n",
+    ))
+  }
+
   test("stripDuplicateSpans deletes flagged spans, keeps schema and other columns") {
     val docs = Seq(
       (0L, "a b c d e", "en"),
