@@ -44,6 +44,11 @@ object Destinations {
       val pb = Config.asScalarList(cfg.getOrElse("partition_by", Nil)).map(_.toString)
       if (pb.nonEmpty) w = w.partitionBy(pb: _*)
       Config.str(cfg, "compression").foreach(c => w = w.option("compression", c))
+      // `max_rows_per_file` bounds shard size — training loaders want
+      // ~uniform shards; maps to Spark's maxRecordsPerFile so writer
+      // tasks roll files without an extra repartition
+      Config.int(cfg, "max_rows_per_file").foreach(n =>
+        w = w.option("maxRecordsPerFile", n.toString))
       if (fmt == "csv") w = w.option("header", "true")
       // `bucket_by: {columns: [...], num_buckets: N, sort_by: [...]}`
       // hash-buckets the output so downstream same-key joins/aggregations
@@ -89,7 +94,11 @@ object Destinations {
       // not supported here (they imply a single serial file)
       require(headerTpl.isEmpty && footerTpl.isEmpty,
         s"destination `$name`: header/footer require single-file mode")
-      out.write.mode("overwrite").text(target.toString)
+      var tw = out.write.mode("overwrite")
+      Config.int(cfg, "max_rows_per_file").foreach(n =>
+        tw = tw.option("maxRecordsPerFile", n.toString))
+      Config.str(cfg, "compression").foreach(c => tw = tw.option("compression", c))
+      tw.text(target.toString)
       target
     } else {
       // First row only loaded when header/footer actually contain Jinja

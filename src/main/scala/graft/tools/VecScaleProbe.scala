@@ -40,14 +40,25 @@ object VecScaleProbe {
       val (bc, tBuck) = time(Similarity.cosinePairs(vecs, "vec_id", "embedding",
         threshold = 0.95, bucketed = true, numPlanes = 12).count())
       spark.catalog.clearCache()
+      // planes must scale ~log2(n) to hold in-bucket pair counts: with
+      // FIXED planes, pairs grow n²/2^planes — +4 planes at 10× the rows
+      // restores the per-bucket occupancy of the smaller corpus
+      val (bc16, tBuck16) =
+        if (n > 100000)
+          time(Similarity.cosinePairs(vecs, "vec_id", "embedding",
+            threshold = 0.95, bucketed = true, numPlanes = 16).count())
+        else (-1L, -1.0)
+      spark.catalog.clearCache()
       // SemDeDup: cells sized so corpus/nlist ≈ 500 vectors per cell
       val nlist = math.max(16, (n / 500).toInt)
       val (kept, tSem) = time(Similarity.semanticDedup(vecs, "vec_id", "embedding",
         threshold = 0.95, nlist = nlist, iters = 2).count())
       spark.catalog.clearCache()
       val exactStr = if (ec >= 0) f"exact=$tExact%.1fs($ec) " else "exact=skipped(>cap) "
+      val b16Str = if (bc16 >= 0) f"lsh_16planes=$tBuck16%.1fs($bc16) " else ""
       println(f"VECSCALE $d vecs=$n $exactStr" +
-        f"lsh_bucketed=$tBuck%.1fs($bc) semantic_dedup[nlist=$nlist]=$tSem%.1fs(kept=$kept)")
+        f"lsh_bucketed=$tBuck%.1fs($bc) $b16Str" +
+        f"semantic_dedup[nlist=$nlist]=$tSem%.1fs(kept=$kept)")
     }
     spark.stop()
   }

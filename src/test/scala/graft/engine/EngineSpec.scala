@@ -423,6 +423,25 @@ class EngineSpec extends SparkSpec {
     assert(lines.last == "end:|v1")
   }
 
+  test("max_rows_per_file bounds shard size for partitioned text and columnar output") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"row$i")).toDF("id", "v").repartition(1)
+    val dir = Files.createTempDirectory("graft-shards")
+    // partitioned template text: 500 rows / 100-row shards → ≥5 part files
+    val txt = Destinations.write(df, "t",
+      Map[String, Any]("partitioned" -> true, "max_rows_per_file" -> 100), dir, dir)
+    val txtParts = Files.list(txt).iterator().asScala
+      .count(_.getFileName.toString.startsWith("part-"))
+    assert(txtParts >= 5, s"expected >=5 text shards, saw $txtParts")
+    // columnar: same bound applies through the parquet writer
+    val pq = Destinations.write(df, "p",
+      Map[String, Any]("format" -> "parquet", "max_rows_per_file" -> 100), dir, dir)
+    val pqParts = Files.list(pq).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(pqParts >= 5, s"expected >=5 parquet shards, saw $pqParts")
+    assert(spark.read.parquet(pq.toString).count() == 500)
+  }
+
   test("xlsx and html sources drive a full project run through the engine") {
     val dir = Files.createTempDirectory("graft-newsrc")
     Xlsx.write(dir.resolve("people.xlsx"),
