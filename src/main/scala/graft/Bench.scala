@@ -54,27 +54,43 @@ object BenchFormat {
       reps: Int,
       cpus: String,
       sfDir: String): String = {
-    def build(decimals: Int, warnDetail: Boolean, countField: Boolean, fullPath: Boolean): String = {
+    def build(decimals: Int, warnDetail: Boolean, countField: Boolean, fullPath: Boolean,
+              minimalEnvelope: Boolean = false): String = {
       val warn = if (warnDetail) s""","spread_warn":${jsMap(spreadWarn, 2)}""" else ""
       val cont = if (countField) s""","contended":$contendedCount""" else ""
       val rf = if (fullPath) resultsFile
                else java.nio.file.Paths.get(resultsFile).getFileName.toString
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(mins, decimals)}$warn$cont,"machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      val sfShort = if (minimalEnvelope) java.nio.file.Paths.get(sfDir).getFileName.toString
+                    else sfDir
+      // the minimal envelope keeps only driver-contract fields plus the
+      // contention flag WHEN IT FIRES — everything else rides in the file
+      val tail =
+        if (minimalEnvelope)
+          (if (machineContended) s""","machine_contended":true""" else "") +
+            s""","sf":"$sfShort"}"""
+        else
+          s""","machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(mins, decimals)}$warn$cont$tail"""
     }
     val tiers = Iterator(
       build(3, true, true, true),
       build(2, true, true, true),
       build(2, false, true, true),
       build(2, false, false, false),
-      build(1, false, false, false))
+      build(1, false, false, false),
+      build(1, false, false, false, minimalEnvelope = true))
     tiers.find(_.length <= StdoutBudget).getOrElse {
       // Physically impossible to fit every entry (names × count outgrew the
       // window). A truncated-but-valid JSON line with a pointer to the full
-      // results file beats an unparseable one: drop entries from the end
-      // until it fits and say so.
-      val rf = java.nio.file.Paths.get(resultsFile).getFileName.toString
-      def truncated(keep: Int): String =
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(mins.take(keep), 1)},"queries_truncated":true,"machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      // results file beats an unparseable one: keep the SLOWEST queries
+      // (the regression-tracking signal), drop the fastest, and say how
+      // many were omitted.
+      val bySlowest = mins.sortBy(-_._2)
+      def truncated(keep: Int): String = {
+        val omitted = mins.size - keep
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(bySlowest.take(keep), 1)},"queries_omitted":$omitted""" +
+          (if (machineContended) s""","machine_contended":true}""" else "}")
+      }
       (mins.size to 0 by -1).iterator.map(truncated).find(_.length <= StdoutBudget)
         .getOrElse(truncated(0))
     }

@@ -29,7 +29,6 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.length <= 2000, s"line was ${line.length} chars")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""queries":{"""))
-    assert(line.contains(""""machine_contended":false"""))
   }
 
   test("stdout line survives a pathological 150-query suite") {
@@ -44,17 +43,24 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("a suite too large to ever fit degrades to valid truncated JSON, never an unparseable line") {
-    val huge = (1 to 300).map(i => f"q_very_long_synthetic_query_name_$i%03d" -> 1.5)
+    // slow queries interleaved among cheap ones: truncation must keep the
+    // slow tail (the regression signal), not the alphabetical prefix
+    val huge = (1 to 300).map(i =>
+      f"q_very_long_synthetic_query_name_$i%03d" -> (if (i % 50 == 0) 45.0 else 0.1))
     val line = BenchFormat.stdoutLine(
       total = 450.0, mins = huge, spreadWarn = Nil,
       contendedCount = 0, machineContended = false,
       resultsFile = "/root/repo/BENCH_RESULTS.json",
       reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 2000, s"line was ${line.length} chars")
-    assert(line.contains(""""queries_truncated":true"""))
+    assert(line.contains(""""queries_omitted":"""))
     assert(line.startsWith("{") && line.endsWith("}"))
     // balanced braces = structurally parseable
     assert(line.count(_ == '{') == line.count(_ == '}'))
+    // every 45-second query survived the cut
+    (50 to 300 by 50).foreach(i =>
+      assert(line.contains(f"q_very_long_synthetic_query_name_$i%03d"),
+        s"slow query $i must survive truncation"))
   }
 
   test("current SparkEntry suite fits tier 1 (3-decimal) or tier 2") {
