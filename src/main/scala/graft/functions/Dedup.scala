@@ -90,9 +90,16 @@ object Dedup {
     val posting0 = docs.select(col("id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
     val posting = maxDocFreq match {
       case Some(cap) =>
-        val freq = posting0.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("tok")
-        posting0.join(broadcast(freq), "tok").select("id", "n", "tok")
+        // Broadcast the STOP list (df > cap), never the kept vocabulary:
+        // over-cap tokens number at most total-postings/cap (the head of
+        // the frequency distribution), so the broadcast stays bounded as
+        // the corpus grows. Broadcasting the under-cap side instead
+        // collects O(distinct tokens) ≈ O(corpus) rows to the driver —
+        // measured >1 GiB at 5M docs (driver result-size abort).
+        val stop = posting0.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("tok")
+        posting0.join(broadcast(stop), Seq("tok"), "left_anti")
+          .select("id", "n", "tok")
       case None => posting0
     }
     // One groupBy rebuilds the per-doc CAPPED token array in global (hash)

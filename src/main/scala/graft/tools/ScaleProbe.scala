@@ -20,6 +20,14 @@ object ScaleProbe {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    // each leg also prints incrementally, so a later-leg failure (OOM,
+    // result-size cap) can't erase the numbers already measured
+    def leg[A](d: String, name: String)(f: => A): (A, Double) = {
+      val (r, t) = time(f)
+      println(f"SCALE-LEG $d $name=$t%.1fs")
+      spark.catalog.clearCache()
+      (r, t)
+    }
     // warmup (classload + codegen)
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
@@ -32,26 +40,33 @@ object ScaleProbe {
       // the 4 GiB probe heap, letting every leg's internal persists pile up
       // makes later legs thrash against eviction (measured 107s vs 4.5s for
       // the cc leg at 500k docs) — a measurement artifact, not engine cost.
-      val (jc, tJac) = time(Dedup.jaccardPairs(docs, "doc_id", "text",
+      val (jc, tJac) = leg(d, "jaccard")(Dedup.jaccardPairs(docs, "doc_id", "text",
         threshold = 0.7, maxDocFreq = Some(1000L)).count())
-      spark.catalog.clearCache()
-      val (mc, tMin) = time(Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7).count())
-      spark.catalog.clearCache()
-      val (bc, tBoil) = time(Corpus.removeBoilerplate(docs, "doc_id", "text",
+      val (mc, tMin) = leg(d, "minhash")(Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7).count())
+      val (bc, tBoil) = leg(d, "boilerplate")(Corpus.removeBoilerplate(docs, "doc_id", "text",
         minDocs = (n / 100).max(2)).count())
-      spark.catalog.clearCache()
-      val (gc, tCC) = time {
+      val (gc, tCC) = leg(d, "cc") {
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           threshold = 0.7, maxDocFreq = Some(1000L))
         Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs).count()
       }
-      spark.catalog.clearCache()
+      // the 100 TB crossover path: force the DISTRIBUTED hash-min label
+      // propagation (edge threshold 0 disqualifies the driver union-find)
+      // over the same pairs, so the scale branch is measured at every
+      // corpus size, not just spec-covered at toy scale
+      val (gcd, tCCd) = leg(d, "cc_dist") {
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          threshold = 0.7, maxDocFreq = Some(1000L))
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs,
+          broadcastEdgeThreshold = 0L).count()
+      }
+      require(gcd == gc, s"distributed CC node count $gcd != broadcast path $gc")
       // The declared-pipeline face of the same tier: YAML → dedup_near
       // (minhash) → destination, exercising Engine dispatch + the final
       // semi-join removal path at the same scale as the library calls
       // above. Library-path expected count: total docs minus non-
       // representative members of the duplicate groups.
-      val (yamlKept, tYaml) = time {
+      val (yamlKept, tYaml) = leg(d, "dedup_near_yaml") {
         val proj = java.nio.file.Files.createTempDirectory("graft-scale-near")
         java.nio.file.Files.writeString(proj.resolve("p.yaml"),
           s"""version: 2
@@ -76,51 +91,51 @@ object ScaleProbe {
         new graft.engine.Engine(spark).run(proj.resolve("p.yaml").toString, outputDir = Some(out))
         java.nio.file.Files.lines(out.resolve("out.jsonl")).count()
       }
-      val (libKept, _) = time {
+      val (libKept, _) = leg(d, "dedup_near_lib") {
         val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
         val groups = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
         groups.filter(org.apache.spark.sql.functions.col("id") ===
           org.apache.spark.sql.functions.col("group_rep")).count()
       }
-      spark.catalog.clearCache()
       // training-mix primitives at the same scales: the budget cut and the
       // global shuffle ordinal are both bucketed two-phase prefix sums —
       // cost should track the corpus linearly, never a one-task sort
       import org.apache.spark.sql.functions.col
-      val (tbKept, tTb) = time {
+      val (tbKept, tTb) = leg(d, "token_budget") {
         val withTok = docs.withColumn("toks",
           graft.functions.TextFunctions.tokenCount(col("text")))
         graft.functions.Sampling.tokenBudgetSample(withTok, "doc_id", "toks",
           budget = n * 50).count()
       }
-      val (_, tSh) = time(
+      val (_, tSh) = leg(d, "shuffle")(
         graft.functions.Sampling.hashShuffle(docs, "doc_id").count())
-      spark.catalog.clearCache()
       // exact substring dedup: window-hash shuffle is O(total tokens), so
       // wall should track corpus size linearly like the cleaning tier
-      val (ssFlags, tSpan) = time(
+      val (ssFlags, tSpan) = leg(d, "substr_spans")(
         Dedup.duplicateSpans(docs, "doc_id", "text", windowTokens = 10).count())
-      val (_, tStrip) = time(
+      val (_, tStrip) = leg(d, "substr_strip")(
         Dedup.stripDuplicateSpans(docs, "doc_id", "text", windowTokens = 10)
           .write.format("noop").mode("overwrite").save())
-      spark.catalog.clearCache()
       // crawl ingest at scale: corpus → multi-file .wet.gz (16 shards,
       // the CC layout) → distributed WARC read → html-free text counts;
       // files are the parallelism unit, so wall should track corpus size.
       // Shard GENERATION (driver-side fixture writing) stays outside the
       // timed block — only the distributed read is the engine under test.
+      // fixture generation is a driver-side collect — cap it at 500k docs
+      // (the READ side's file-level parallelism is what the leg measures)
       val shardDir = java.nio.file.Files.createTempDirectory("graft-scale-wet")
+      val wetDocs = math.min(n, 500000L)
       locally {
-        val rows = docs.select("doc_id", "text").collect()
+        val rows = docs.select("doc_id", "text").limit(wetDocs.toInt).collect()
         rows.grouped((rows.length / 16).max(1)).zipWithIndex.foreach { case (g, i) =>
           GenWarc.write(shardDir.resolve(f"part-$i%02d.wet.gz").toString,
             g.map(r => (s"http://doc/${r.get(0)}", r.getString(1))).toSeq, gzip = true)
         }
       }
-      val (wetRows, tWet) = time(
+      val (wetRows, tWet) = leg(d, "wet_ingest")(
         graft.engine.Warc.read(spark, s"$shardDir/*.wet.gz").count())
       println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
-        f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) " +
+        f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) cc_dist=$tCCd%.1fs " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
