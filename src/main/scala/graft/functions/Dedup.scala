@@ -171,7 +171,12 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** Kernel: (id, distinct shingles, minhash signature) per document. */
+  /** Kernel: (id, 64-bit-hashed distinct shingles, minhash signature) per
+    * document. Shingles fold to longs BEFORE leaving the kernel — the
+    * persisted frame and the verify join carry ~8 bytes per shingle, not
+    * the ~50-byte strings (measured: string-token caching OOM'd a 16 GiB
+    * heap at 5M docs where the hashed frame runs in 4 GiB; same
+    * negligible-collision trade as jaccardPairs). */
   private[functions] def docSignatures(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int, shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
@@ -181,10 +186,12 @@ object Dedup {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val toks = shinglesScala(if (text == null) "" else text, shingleSize)
+          val hs = new Array[Long](toks.length)
           val sig = Array.fill(numHashes)(Long.MaxValue)
           var t = 0
           while (t < toks.length) {
             val h0 = hash64(toks(t))
+            hs(t) = h0
             var i = 0
             while (i < numHashes) {
               val h = mix64(h0 ^ (i * 0x9e3779b97f4a7c15L))
@@ -193,7 +200,7 @@ object Dedup {
             }
             t += 1
           }
-          (id, toks, sig)
+          (id, hs, sig)
         }
       }.toDF("id", "toks", "sig")
   }
