@@ -37,6 +37,42 @@ object BenchFormat {
       .filterNot(_._1 == "value") // envelope keys never collide with query names, but be safe
       .toMap
 
+  /** A min FAR below best-ever (< 0.5×) is a measurement anomaly until it
+    * reproduces: round 9 min-merged a 0.054s q_sessionize "speedup" that was
+    * actually an instantly-failing query, and every later run then showed a
+    * phantom 3× regression vs best. Confirmed = at least two samples below
+    * 0.75× best (the caller re-reps until that or a bounded retry cap). */
+  def fastSuspect(best: Double, samples: Vector[Double]): Boolean =
+    best > 0 && samples.min < 0.5 * best && samples.count(_ < 0.75 * best) < 2
+
+  /** New best-ever map: min-merge, EXCEPT queries in `exclude` (failed this
+    * run, or too-fast-unconfirmed) whose mins never enter the baseline —
+    * their previous best survives untouched. */
+  def mergeBest(prev: Map[String, Double], mins: Map[String, Double],
+                exclude: Set[String]): Seq[(String, Double)] =
+    (prev.keySet ++ mins.keySet).toSeq.sorted.flatMap { k =>
+      val cand = if (exclude(k)) None else mins.get(k)
+      (prev.get(k), cand) match {
+        case (Some(p), Some(c)) => Some(k -> math.min(p, c))
+        case (Some(p), None)    => Some(k -> p)
+        case (None, Some(c))    => Some(k -> c)
+        case _                  => None
+      }
+    }
+
+  /** Whole-run contention verdict. The per-query 3×-best trip alone was
+    * defused in round 9 by post-sweep re-reps that landed during the same
+    * burst — so also trip on aggregate evidence: the sum of mins over
+    * queries with a comparable best-ever exceeding 1.3× the best-ever sum,
+    * or several queries with median/min spread above 3×. */
+  def assessContention(contendedCount: Int, totalQueries: Int,
+                       spreads: collection.Seq[Double],
+                       minSum: Double, bestSum: Double,
+                       commonCount: Int): Boolean =
+    contendedCount >= math.max(3, totalQueries / 10) ||
+      (commonCount >= 10 && bestSum > 0 && minSum > 1.3 * bestSum) ||
+      spreads.count(_ > 3.0) >= 3
+
   /**
    * Assemble the stdout line under [[StdoutBudget]]. Progressive degradation:
    * each tier sheds precision or optional fields; the queries map itself is
@@ -53,7 +89,11 @@ object BenchFormat {
       resultsFile: String,
       reps: Int,
       cpus: String,
-      sfDir: String): String = {
+      sfDir: String,
+      failedCount: Int = 0): String = {
+    // a query that threw is a louder signal than any timing — it rides every
+    // tier, including the minimal envelope and the truncation fallback
+    val fail = if (failedCount > 0) s""","failed":$failedCount""" else ""
     def build(decimals: Int, warnDetail: Boolean, countField: Boolean, fullPath: Boolean,
               minimalEnvelope: Boolean = false): String = {
       val warn = if (warnDetail) s""","spread_warn":${jsMap(spreadWarn, 2)}""" else ""
@@ -67,9 +107,9 @@ object BenchFormat {
       val tail =
         if (minimalEnvelope)
           (if (machineContended) s""","machine_contended":true""" else "") +
-            s""","sf":"$sfShort"}"""
+            s"""$fail,"sf":"$sfShort"}"""
         else
-          s""","machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfShort"}"""
+          s"""$fail,"machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfShort"}"""
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(mins, decimals)}$warn$cont$tail"""
     }
     val tiers = Iterator(
@@ -88,7 +128,7 @@ object BenchFormat {
       val bySlowest = mins.sortBy(-_._2)
       def truncated(keep: Int): String = {
         val omitted = mins.size - keep
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(bySlowest.take(keep), 1)},"queries_omitted":$omitted""" +
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(bySlowest.take(keep), 1)},"queries_omitted":$omitted$fail""" +
           (if (machineContended) s""","machine_contended":true}""" else "}")
       }
       (mins.size to 0 by -1).iterator.map(truncated).find(_.length <= StdoutBudget)
@@ -114,10 +154,17 @@ object BenchFormat {
  *  2. after the sweep, any query whose min exceeds 3× its best-ever gets up
  *     to 3 extra reps (the burst has usually passed by then);
  *  3. queries still above 3× best after retries are listed as `contended`;
- *     when several remain, the artifact carries `machine_contended: true` so
- *     a garbage total is machine-detectable instead of silently official;
+ *     when several remain — or the aggregate min-sum exceeds 1.3× the
+ *     best-ever sum, or several spreads exceed 3× — the artifact carries
+ *     `machine_contended: true` so a garbage total is machine-detectable
+ *     instead of silently official;
  *  4. `vs_best` ratios ride in the results file for per-query regression
- *     archaeology.
+ *     archaeology;
+ *  5. symmetric anomaly defenses: a query that THREW keeps its wall time in
+ *     the queries map (driver contract) but never min-merges into
+ *     BENCH_BEST, and a min below 0.5× best-ever must reproduce across reps
+ *     before it becomes the new best (round 9: an instantly-failing
+ *     q_sessionize recorded a fake 0.054s best-ever).
  *
  * Action: `noop` datasource write — forces full evaluation of every
  * projection (a count() would let Catalyst prune the very operators being
@@ -157,10 +204,18 @@ object Bench {
     // rep timings per query, insertion-ordered
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val bodies = scala.collection.mutable.LinkedHashMap[String, () => Unit]()
+    // name -> first error. A throwing query still gets a wall time (so the
+    // driver-contract queries map stays complete), but that time measures
+    // the failure, not the work — it must never min-merge into BENCH_BEST
+    // (round 9: q_sessionize threw in ~0.05s and became a fake best-ever).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     def rep(name: String): Double = {
       val t = time {
         try bodies(name)()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          failures.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.toString).take(300))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
       // drop caches persisted inside operators (dedup signature frames, CC
       // labels) so reps and queries don't evict each other and every rep
@@ -245,10 +300,22 @@ object Bench {
       }
     }
     val contendedQueries = samples.keys.filter(overBest).toVector
-    // a couple of genuinely-regressed queries shouldn't condemn the run;
-    // many queries all "regressing" 3× at once is machine contention
-    val machineContended =
-      contendedQueries.size >= math.max(3, samples.size / 10)
+
+    // Symmetric guard: a min FAR BELOW best-ever is as suspicious as one far
+    // above it — give it up to 2 extra reps; a genuine improvement reproduces
+    // (≥2 samples under 0.75× best), a glitch doesn't and gets quarantined
+    // from the best-ever merge below.
+    def tooFast(name: String): Boolean =
+      !failures.contains(name) &&
+        BenchFormat.fastSuspect(prevBest.getOrElse(name, 0.0), samples(name))
+    samples.keys.filter(tooFast).toSeq.foreach { name =>
+      var extra = 0
+      while (extra < 2 && tooFast(name)) {
+        samples(name) = samples(name) :+ rep(name)
+        extra += 1
+      }
+    }
+    val suspectFast = samples.keys.filter(tooFast).toVector
 
     val mins = samples.map { case (k, v) => k -> v.min }
     // rep 1 is the warm-up (classload + codegen for that query's plan) —
@@ -258,12 +325,24 @@ object Bench {
     val spreads = samples.map { case (k, _) => k -> (if (mins(k) > 0) meds(k) / mins(k) else 1.0) }
     val total = mins.values.sum
 
+    // Aggregate contention evidence: sum of mins vs sum of best-evers over
+    // the comparable (non-failed, has-a-best) queries, plus big spreads —
+    // catches the round-9 shape where per-query re-reps landed inside the
+    // same burst and defused the 3×-best trip one query at a time.
+    val comparable = mins.keySet.filterNot(failures.contains)
+      .filter(k => prevBest.get(k).exists(_ > 0))
+    val minSum = comparable.toSeq.map(mins).sum
+    val bestSum = comparable.toSeq.map(prevBest).sum
+    val machineContended = BenchFormat.assessContention(
+      contendedQueries.size, samples.size, spreads.values.toSeq,
+      minSum, bestSum, comparable.size)
+
     // Persist the lower of (previous best, this min) per query. A contended
     // min is always ≥ the true steady state, so min-merge never poisons the
-    // baseline; new queries seed with their first observation.
-    val newBest = (prevBest.keySet ++ mins.keySet).map { k =>
-      k -> math.min(prevBest.getOrElse(k, Double.MaxValue), mins.getOrElse(k, Double.MaxValue))
-    }.toSeq.sortBy(_._1)
+    // baseline from above; failed and too-fast-unconfirmed mins are excluded
+    // so it can't be poisoned from below either.
+    val newBest = BenchFormat.mergeBest(prevBest, mins.toMap,
+      failures.keySet.toSet ++ suspectFast)
     java.nio.file.Files.write(bestPath,
       (BenchFormat.jsMap(newBest, 3) + "\n").getBytes("UTF-8"))
 
@@ -277,12 +356,18 @@ object Bench {
       "\"" + k + "\":[" + v.map(d => f"$d%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val vsBest = mins.collect {
-      case (k, v) if prevBest.get(k).exists(_ > 0) => k -> v / prevBest(k)
+      case (k, v) if !failures.contains(k) && prevBest.get(k).exists(_ > 0) =>
+        k -> v / prevBest(k)
     }.toSeq
     def jsm(m: collection.Map[String, Double]) = BenchFormat.jsMap(m.toSeq, 3)
-    val contendedJs = contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsArr(v: Seq[String]) = v.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contendedJs = jsArr(contendedQueries)
+    val failedJs = failures.map { case (k, e) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"machine_contended":$machineContended,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.write(resultsPath, (fullJson + "\n").getBytes("UTF-8"))
 
     // Machine noise check: any query whose steady-state median exceeds 1.5×
@@ -294,10 +379,16 @@ object Bench {
     contendedQueries.foreach { k =>
       System.err.println(f"[bench] WARN contended $k: min ${mins(k)}%.3fs vs best-ever ${prevBest(k)}%.3fs")
     }
+    suspectFast.foreach { k =>
+      System.err.println(f"[bench] WARN suspect-fast $k: min ${mins(k)}%.3fs vs best-ever ${prevBest(k)}%.3fs — NOT merged into best (unreproduced)")
+    }
+    failures.foreach { case (k, e) =>
+      System.err.println(s"[bench] WARN failed $k (timing excluded from best-ever): $e")
+    }
 
     println(BenchFormat.stdoutLine(
       total, mins.toSeq, noisy.toSeq, contendedQueries.size, machineContended,
-      resultsPath.toString, reps, cpus, sfDir))
+      resultsPath.toString, reps, cpus, sfDir, failures.size))
     System.out.flush()
     spark.stop()
   }

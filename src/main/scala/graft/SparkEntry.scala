@@ -462,8 +462,12 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts")
+      // ts arrives as TIMESTAMP_NTZ from parquet; NTZ has no direct cast to
+      // double in Spark 4, so hop through timestamp (identity under the
+      // session's UTC zone — matches the oracle's epoch(ts))
+      val sec = col("ts").cast("timestamp").cast("double")
       t(s, d, "events")
-        .withColumn("gap", col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
+        .withColumn("gap", sec - lag(sec, 1).over(w))
         .withColumn("new_session", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))

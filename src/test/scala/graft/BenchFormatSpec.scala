@@ -75,6 +75,56 @@ class BenchFormatSpec extends AnyFunSuite {
     names.foreach(n => assert(line.contains("\"" + n + "\":"), s"missing $n"))
   }
 
+  test("fastSuspect: anomalous too-fast min is suspect until reproduced") {
+    // min far below best, only one sample under 0.75x best → suspect
+    assert(BenchFormat.fastSuspect(0.159, Vector(0.054, 0.16, 0.17)))
+    // reproduced: two samples under 0.75x best → genuine improvement
+    assert(!BenchFormat.fastSuspect(0.159, Vector(0.054, 0.058, 0.17)))
+    // min not far below best → not suspect
+    assert(!BenchFormat.fastSuspect(0.159, Vector(0.12, 0.16)))
+    // no prior best → nothing to compare against
+    assert(!BenchFormat.fastSuspect(0.0, Vector(0.054)))
+  }
+
+  test("mergeBest: failed/suspect mins never enter the baseline") {
+    val prev = Map("q_a" -> 0.2, "q_b" -> 0.5, "q_gone" -> 1.0)
+    val mins = Map("q_a" -> 0.1, "q_b" -> 0.05, "q_new" -> 0.3)
+    val merged = BenchFormat.mergeBest(prev, mins, exclude = Set("q_b")).toMap
+    assert(merged("q_a") == 0.1)    // genuine improvement merges
+    assert(merged("q_b") == 0.5)    // excluded min keeps prior best
+    assert(merged("q_gone") == 1.0) // absent this run keeps prior best
+    assert(merged("q_new") == 0.3)  // new query seeds from first observation
+  }
+
+  test("assessContention trips on count, aggregate slowdown, or spread cluster") {
+    // per-query count trip (round-8 heuristic)
+    assert(BenchFormat.assessContention(5, 30, Nil, 10, 10, 20))
+    assert(!BenchFormat.assessContention(2, 90, Nil, 10, 10, 20))
+    // aggregate min-sum 1.3x over best-ever sum (round-9 gap)
+    assert(BenchFormat.assessContention(0, 90, Nil, 14.0, 10.0, 20))
+    assert(!BenchFormat.assessContention(0, 90, Nil, 12.0, 10.0, 20))
+    // too few comparable queries → aggregate evidence insufficient
+    assert(!BenchFormat.assessContention(0, 90, Nil, 14.0, 10.0, 5))
+    // several queries with spread > 3x
+    assert(BenchFormat.assessContention(0, 90, Seq(6.2, 3.5, 4.0, 1.1), 10, 10, 20))
+    assert(!BenchFormat.assessContention(0, 90, Seq(6.2, 3.5, 1.2, 1.1), 10, 10, 20))
+  }
+
+  test("stdout line carries failed count when nonzero, in full and minimal tiers") {
+    val base = (n: Int) => BenchFormat.stdoutLine(
+      total = 10.0, mins = syntheticMins(n), spreadWarn = Nil,
+      contendedCount = 0, machineContended = false,
+      resultsFile = "/root/repo/BENCH_RESULTS.json",
+      reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1", failedCount = 2)
+    assert(base(90).contains(""","failed":2"""))
+    assert(base(150).contains(""","failed":2""")) // minimal-envelope tier
+    val clean = BenchFormat.stdoutLine(
+      total = 10.0, mins = syntheticMins(10), spreadWarn = Nil,
+      contendedCount = 0, machineContended = false,
+      resultsFile = "x.json", reps = 3, cpus = "32", sfDir = "sf0.1")
+    assert(!clean.contains("failed"))
+  }
+
   test("BENCH_BEST round-trips through parseFlat") {
     val best = Seq("q_a" -> 0.123, "q_b_long_name" -> 4.5, "q_c" -> 0.007)
     val parsed = BenchFormat.parseFlat(BenchFormat.jsMap(best, 3))
