@@ -624,6 +624,21 @@ object SparkEntry {
         Map("en" -> 0.5), defaultRate = 0.1)
     }),
 
+    // per-domain cap: ≤10 docs per source in deterministic md5(id) order —
+    // two-stage salted top-k, no single-task giant-domain window
+    "q_domain_cap" -> ((s, d) =>
+      graft.functions.Sampling.capPerGroup(
+        t(s, d, "documents").select("doc_id", "source"), "source", "doc_id", k = 10)),
+
+    // mixture rebalance: largest subset matching 0.5/0.3/0.2 over three
+    // sources without upsampling (binding stratum kept whole — the rate-1.0
+    // "g" threshold edge is live here)
+    "q_rebalance" -> ((s, d) =>
+      graft.functions.Sampling.rebalanceToMixture(
+        t(s, d, "documents").select("doc_id", "text", "source"), "source", "text",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")),
+
     // token-budget cut: docs admitted in md5(doc_id) order until the
     // cumulative token count reaches the budget — bucketed two-phase prefix
     // sum, never a global single-partition window (oracle mirrors the
@@ -1290,6 +1305,34 @@ object SparkEntry {
     // 0.2 → 33333333, 0.5 → 80000000, 0.1 → 19999999
     "q_sample" ->
       "SELECT doc_id, text FROM documents WHERE substr(md5(text), 1, 8) < '33333333'",
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM documents) WHERE rn <= 10""",
+
+    // mirrors rebalanceToMixture + thresholdHex exactly: counts over the
+    // weighted strata, lambda = min(n/w), rate = lambda*w/n (same IEEE op
+    // order), threshold = 'g' when floor(clamped rate * 2^32) overflows
+    "q_rebalance" ->
+      """WITH w(source, weight) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+           c AS (SELECT d.source, count(*)::DOUBLE AS n
+                 FROM documents d JOIN w USING (source) GROUP BY d.source),
+           l AS (SELECT min(n / weight) AS lambda FROM c JOIN w USING (source)),
+           r AS (SELECT c.source,
+                   (SELECT lambda FROM l) * w.weight / c.n AS rate
+                 FROM c JOIN w USING (source)),
+           t AS (SELECT source,
+                   CASE WHEN floor(least(greatest(rate, 0), 1) * 4294967296) >= 4294967296
+                        THEN 'g'
+                        ELSE printf('%08x', floor(least(greatest(rate, 0), 1) * 4294967296)::BIGINT)
+                   END AS thr
+                 FROM r)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN t USING (source)
+         WHERE substr(md5(d.text), 1, 8) < t.thr""",
 
     "q_sample_stratified" ->
       """WITH scores AS (

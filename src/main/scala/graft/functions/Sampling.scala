@@ -89,6 +89,64 @@ object Sampling {
       .filter(col("__g_before__") < budget)
       .drop("__g_before__")
 
+  /** Per-group document cap: keep at most `k` rows per value of `groupCol`,
+    * selected in deterministic (md5(id), id) order — the per-domain cap every
+    * crawl-curation pipeline applies so no single domain dominates the mix
+    * (RefinedWeb/FineWeb-style "max N pages per domain").
+    *
+    * Scale shape: a single `Window.partitionBy(group)` puts each group's
+    * ENTIRE row set on one task — a 100 TB crawl has domains with 10⁸ pages,
+    * so that window is a skew bomb. Two-stage exact top-k instead: stage 1
+    * ranks within (group, salt) — each giant group split across `salts`
+    * tasks — and keeps ≤ k rows per salted slice; stage 2 ranks the ≤
+    * salts·k survivors per group exactly. The global top-k of a group is a
+    * subset of the union of its salted top-ks, so the result is identical to
+    * the single-window answer while the per-task row bound drops from
+    * |group| to max(|group|/salts, salts·k). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                  salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"capPerGroup: k must be positive, got $k")
+    val salted = df
+      .withColumn("__c_h__", md5(col(idCol).cast("string")))
+      .withColumn("__c_s__", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(groupCol), col("__c_s__"))
+      .orderBy(col("__c_h__"), col(idCol))
+    val partial = salted.withColumn("__c_r__", row_number().over(w1))
+      .filter(col("__c_r__") <= k)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(col("__c_h__"), col(idCol))
+    partial.withColumn("__c_r__", row_number().over(w2))
+      .filter(col("__c_r__") <= k)
+      .drop("__c_h__", "__c_s__", "__c_r__")
+  }
+
+  /** Rebalance a corpus to target mixture `weights` over `stratumCol`
+    * WITHOUT upsampling: the output is the LARGEST subset whose stratum
+    * proportions match the weights exactly (in expectation), i.e. the
+    * binding stratum (smallest count/weight ratio) is kept in full and every
+    * other stratum is hash-downsampled to match. The mixture-construction
+    * step of training-data pipelines (DoReMi-style static domain weights).
+    *
+    * Mechanics: one tiny groupBy collects per-stratum counts (bounded by the
+    * number of strata — the same driver-state class as IVF centroids), the
+    * driver computes λ = min over weighted strata of countₛ/weightₛ and each
+    * stratum's keep rate λ·weightₛ/countₛ, then membership is the usual
+    * narrow md5-threshold filter — deterministic, cluster-size-independent,
+    * no data shuffle. Strata without a weight are dropped (weight 0). */
+  def rebalanceToMixture(df: DataFrame, stratumCol: String, keyCol: String,
+                         weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "rebalanceToMixture: weights must be positive")
+    val counts = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.filter(lit(false))
+    val lambda = present.map { case (s, w) => counts(s).toDouble / w }.min
+    val rates = present.map { case (s, w) => s -> lambda * w / counts(s) }
+    stratifiedHashSample(df, keyCol, stratumCol, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic corpus shuffle: a stable global permutation position
     * (0-based `posCol`) in md5 order of `idCol` — the reproducible
     * alternative to `ORDER BY rand()` for training-data mixing. Same

@@ -100,6 +100,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("domain cap: both top-k stages partition by key, never one task per giant domain") {
+    val p = formatted("q_domain_cap")
+    assert(p.contains("Window"), "cap uses window row_number")
+    assert(!p.contains("SinglePartition"),
+      "q_domain_cap must never collapse to a single partition")
+    // stage 1 partitions by (source, salt): the salt column must reach a
+    // hashpartitioning spec so a giant domain spreads across tasks
+    assert(p.contains("__c_s__"), "salted stage must partition by (group, salt)")
+  }
+
+  test("mixture rebalance: membership filter is a narrow scan pass (counts aside, no data shuffle)") {
+    val p = formatted("q_rebalance")
+    // the kept-rows side is filter-over-scan: no exchange, no window, no join
+    assert(!p.contains("Window"), "rebalance must not rank rows")
+    assert(!p.contains("SortMergeJoin"), "rebalance must not join the corpus")
+  }
+
   test("crawl cleaning tier is pure narrow projection: no exchange, no UDF") {
     for (name <- Seq("q_quality_filter", "q_c4_clean", "q_html_to_text")) {
       val p = formatted(name)

@@ -132,6 +132,45 @@ class FunctionsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("capPerGroup: ≤k per group, identical to the single-window reference at any salt count") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed groups: g0 has 150 rows, g1 has 40, g2 has 10 (under the cap)
+    val rows = ((0L until 150L).map(i => (i, "g0")) ++
+      (150L until 190L).map(i => (i, "g1")) ++
+      (190L until 200L).map(i => (i, "g2"))).toDF("doc_id", "source")
+    val reference = rows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn") <= 25).select("doc_id").as[Long].collect().toSet
+    for (salts <- Seq(1, 2, 32)) {
+      val got = Sampling.capPerGroup(rows, "source", "doc_id", k = 25, salts = salts)
+      assert(got.columns.toSeq == Seq("doc_id", "source")) // helper cols dropped
+      val perGroup = got.groupBy("source").count().as[(String, Long)].collect().toMap
+      assert(perGroup == Map("g0" -> 25L, "g1" -> 25L, "g2" -> 10L), s"salts=$salts")
+      assert(got.select("doc_id").as[Long].collect().toSet == reference, s"salts=$salts")
+    }
+  }
+
+  test("rebalanceToMixture: binding stratum kept whole, others downsampled to the target ratio") {
+    val rows = ((0L until 50L).map(i => (i, s"doc payload $i", "a")) ++
+      (50L until 350L).map(i => (i, s"doc payload $i", "b")) ++
+      (350L until 400L).map(i => (i, s"doc payload $i", "zzz_unweighted")))
+      .toDF("doc_id", "text", "source")
+    // weights 1:1 but counts 50:300 → stratum a binds (kept whole), b drops to ≈50
+    val out = Sampling.rebalanceToMixture(rows, "source", "text", Map("a" -> 0.5, "b" -> 0.5))
+    val byStratum = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(byStratum.getOrElse("a", 0L) == 50L) // binding stratum: rate 1.0, nothing lost
+    assert(!byStratum.contains("zzz_unweighted")) // no weight → dropped
+    val b = byStratum.getOrElse("b", 0L)
+    assert(b > 25 && b < 75, s"b kept $b, expected ≈50") // hash sampling ≈ rate 1/6
+    // deterministic: same call, same rows
+    val again = Sampling.rebalanceToMixture(rows, "source", "text", Map("a" -> 0.5, "b" -> 0.5))
+    assert(again.select("doc_id").as[Long].collect().toSet ==
+      out.select("doc_id").as[Long].collect().toSet)
+    // empty weighted intersection → empty frame, not a crash
+    assert(Sampling.rebalanceToMixture(rows, "source", "text", Map("nope" -> 1.0)).count() == 0)
+  }
+
   test("minhashLshPairs recall matches exact jaccard on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
