@@ -225,6 +225,8 @@ final class Engine(spark: SparkSession) {
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
     "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
       "max_doc_freq", "max_hamming", "broadcast_edge_threshold"),
+    "dedup_near_incremental" -> Set("sources", "id_column", "column", "threshold",
+      "shingle_size", "max_doc_freq"),
     "semantic_dedup" -> Set("id_column", "column", "threshold", "nlist", "iters"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
       "num_planes", "num_tables", "rerank"),
@@ -506,6 +508,40 @@ final class Engine(spark: SparkSession) {
           .select(col("id").as(keyC))
         if (keyC == idC) df.join(keep, Seq(idC), "left_semi")
         else base.join(keep, Seq(sid), "left_semi").drop(sid)
+      // Incremental (delta-vs-corpus) near-dedup: the node's own frame is
+      // the NEW batch, `sources: [$...]` names the already-canonical corpus.
+      // A batch row is dropped when it near-matches any corpus row or an
+      // earlier batch row — one delta pass; the corpus is never paired
+      // against itself. Same surrogate-id probe as dedup_near, applied
+      // consistently across BOTH frames (the first-writer rule orders ids).
+      case "dedup_near_incremental" =>
+        import org.apache.spark.sql.functions.{col, count, lit, when, xxhash64}
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val textC = Config.reqStr(op, "column", ctx)
+        val threshold = Config.str(op, "threshold").map(_.toDouble).getOrElse(0.8)
+        val shingle = Config.int(op, "shingle_size").getOrElse(3)
+        val corpus = sourceFrames match {
+          case Seq(one) => one
+          case other => throw new IllegalArgumentException(
+            s"$ctx: dedup_near_incremental needs exactly one `sources` entry (the corpus), got ${other.size}")
+        }
+        def castProbe(f: DataFrame): Boolean = {
+          val p = f.select(count(lit(1)).as("total"),
+              count(when(col(idC).try_cast("long").isNull, 1)).as("bad"))
+            .head()
+          p.getLong(0) > 0L && p.getLong(1) == 0L
+        }
+        val sid = "__graft_dedup_sid__"
+        val clean = castProbe(df) && castProbe(corpus)
+        val (batchBase, corpusBase, keyC) =
+          if (clean) (df, corpus, idC)
+          else (df.withColumn(sid, xxhash64(col(idC))),
+            corpus.withColumn(sid, xxhash64(col(idC))), sid)
+        val kept = graft.functions.Dedup.dedupNearIncremental(
+          batchBase, corpusBase, keyC, textC, threshold, shingle,
+          Config.str(op, "max_doc_freq").map(_.toLong))
+        if (keyC == idC) kept else kept.drop(sid)
+
       // SemDeDup from a declared pipeline: k-means cells over the embedding
       // column, within-cell cosine prune, keep the surviving rows. Same
       // surrogate-id probe as dedup_near (the cluster kernels key on

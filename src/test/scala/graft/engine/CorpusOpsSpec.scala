@@ -89,6 +89,36 @@ class CorpusOpsSpec extends SparkSpec {
         "column" -> "text", "method" -> "nope")))
   }
 
+  test("dedup_near_incremental drops batch rows matching the sources: corpus or earlier batch rows") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"), // dup of corpus 0
+      (20L, "write to jane@example.org about databases and engines today"),
+      (21L, "write to jane@example.org about databases and engines today") // dup of batch 20
+    ).toDF("doc_id", "text")
+    val out = run(batch, Map("operation" -> "dedup_near_incremental",
+      "id_column" -> "doc_id", "column" -> "text", "threshold" -> "0.7",
+      "sources" -> List("$sources.corpus")), Map("sources.corpus" -> corpus))
+    assert(out.columns.toSeq == batch.columns.toSeq)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(20L))
+    // UUID ids route both frames through the consistent surrogate path
+    import org.apache.spark.sql.functions.{concat, lit}
+    val uc = corpus.withColumn("doc_id", concat(lit("c-"), $"doc_id"))
+    val ub = batch.withColumn("doc_id", concat(lit("b-"), $"doc_id"))
+    val uout = run(ub, Map("operation" -> "dedup_near_incremental",
+      "id_column" -> "doc_id", "column" -> "text", "threshold" -> "0.7",
+      "sources" -> List("$sources.corpus")), Map("sources.corpus" -> uc))
+    val ukept = uout.select("doc_id").as[String].collect().toSet
+    assert(ukept.size == 1 && Set("b-20", "b-21").exists(ukept.contains),
+      s"one of the duplicate batch pair survives, none of the corpus matches: $ukept")
+    // missing corpus source fails loudly
+    intercept[IllegalArgumentException](
+      run(batch, Map("operation" -> "dedup_near_incremental",
+        "id_column" -> "doc_id", "column" -> "text")))
+  }
+
   test("dedup_near broadcast_edge_threshold reaches the CC crossover (0 forces distributed path)") {
     // threshold 0 means even one edge exceeds the driver union-find cap, so
     // the distributed hash-min propagation runs — same answer either way

@@ -132,6 +132,36 @@ class FunctionsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("incremental dedup: corpus match drops a batch doc in either id order; batch chain keeps first writer") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def mut(s: String, w: String) = s.replace("today", w)
+    val corpus = Seq(
+      (1L, base),                       // corpus doc, id BELOW batch ids
+      (100L, mut(base, "yesterday")),   // corpus doc, id ABOVE batch ids
+      (2L, "completely unrelated text about spark catalyst optimizer internals plans")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                      // dup of corpus 1 (smaller corpus id)
+      (11L, mut(base, "yesterday")),    // dup of corpus 100 (LARGER corpus id)
+      // chain head must NOT match the corpus: one changed word only moves
+      // one trigram (J≈0.83 vs base!), so use a mostly-new sentence
+      (20L, "the quick silver wolf runs under a sleepy cat never and rarely tonight"),
+      (21L, "the quick silver wolf runs under a sleepy cat never and rarely tonight"), // exact dup of 20 → dropped (earlier batch doc)
+      (30L, "document with its own entirely distinct vocabulary nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsIncremental(batch, corpus, "doc_id", "text", threshold = 0.7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // a-side is always a batch doc; corpus-corpus pairs never computed
+    assert(pairs.forall { case (a, _) => Set(10L, 11L, 20L, 21L).contains(a) })
+    assert(pairs.contains((10L, 1L)))   // batch-corpus, corpus id smaller
+    assert(pairs.contains((11L, 100L))) // batch-corpus, corpus id larger
+    assert(pairs.contains((20L, 21L)))  // batch-batch, emitted once a<b
+    val keptIds = Dedup.dedupNearIncremental(batch, corpus, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(20L, 30L),
+      s"10/11 match corpus, 21 matches earlier batch doc 20; got $keptIds")
+  }
+
   test("capPerGroup: ≤k per group, identical to the single-window reference at any salt count") {
     import org.apache.spark.sql.expressions.Window
     // skewed groups: g0 has 150 rows, g1 has 40, g2 has 10 (under the cap)
