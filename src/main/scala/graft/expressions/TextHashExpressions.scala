@@ -1,0 +1,125 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the dedup tier's signature kernels — the
+ * preference-ladder step between composing built-ins and mapPartitions: a
+ * custom `Expression` with `doGenCode` participates in whole-stage codegen,
+ * so signature computation fuses into the surrounding projection with no
+ * Dataset-encoder boundary (the mapPartitions kernels pay UnsafeRow →
+ * tuple → UnsafeRow per row) and composes as a `Column` anywhere — SQL
+ * included — instead of forcing callers through a frame-shaped API.
+ *
+ * Generated code is one static call per row into
+ * [[graft.functions.TextHashKernels]], the same arithmetic as the kernels, so
+ * outputs are bit-identical to `docSignatures`/`jaccardPairs` internals.
+ * Register with [[GraftFunctions.register]] (existing session) or via
+ * `spark.sql.extensions=graft.expressions.GraftExtensions` (cluster conf).
+ */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.functions.TextHashKernels.shingleHashes(
+        input.asInstanceOf[UTF8String].toString, shingleSize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextHashKernels.shingleHashes($c.toString(), $shingleSize));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+case class MinhashSig(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, s"minhash_sig: numHashes must be positive, got $numHashes")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.functions.TextHashKernels.minhashSig(
+        input.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextHashKernels.minhashSig($c.toString(), $numHashes, $shingleSize));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** Builders + registration for the native expressions. */
+object GraftFunctions {
+
+  private def intLit(e: Expression, name: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be an integer literal, got $other")
+  }
+
+  /** (name, examples, builder) for each injected function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("shingle_hashes",
+      "_FUNC_(text[, shingle_size=3]) - 64-bit hashes of the distinct word shingles",
+      {
+        case Seq(t) => ShingleHashes(t, 3)
+        case Seq(t, n) => ShingleHashes(t, intLit(n, "shingle_hashes", "shingle_size"))
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes takes 1-2 arguments, got ${other.size}")
+      }),
+    ("minhash_sig",
+      "_FUNC_(text[, num_hashes=64[, shingle_size=3]]) - minhash signature over word shingles",
+      {
+        case Seq(t) => MinhashSig(t, 64, 3)
+        case Seq(t, n) => MinhashSig(t, intLit(n, "minhash_sig", "num_hashes"), 3)
+        case Seq(t, n, s) => MinhashSig(t, intLit(n, "minhash_sig", "num_hashes"),
+          intLit(s, "minhash_sig", "shingle_size"))
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig takes 1-3 arguments, got ${other.size}")
+      }))
+
+  /** Register into an existing session's function registry (temp functions —
+    * the no-config path; tests and notebook sessions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions=graft.expressions.GraftExtensions` — the cluster
+  * deployment path: every session (and every tool issuing plain SQL against
+  * it) sees the functions without per-session registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[MinhashSig].getName, null, name, usage, ""),
+        builder))
+    }
+}

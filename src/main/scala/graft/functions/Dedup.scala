@@ -267,7 +267,7 @@ object Dedup {
     * the ~50-byte strings (measured: string-token caching OOM'd a 16 GiB
     * heap at 5M docs where the hashed frame runs in 4 GiB; same
     * negligible-collision trade as jaccardPairs). */
-  private[functions] def docSignatures(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def docSignatures(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int, shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

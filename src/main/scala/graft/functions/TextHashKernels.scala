@@ -1,0 +1,42 @@
+package graft.functions
+
+/**
+ * Static kernel faces for the codegen expressions (graft.expressions): one
+ * call per row from GENERATED Java, so this must be a TOP-LEVEL object —
+ * scalac emits static forwarders on the companion class that Janino can
+ * resolve as `graft.functions.TextHashKernels.minhashSig(...)`; a nested
+ * object (`Dedup.Kernels`) has no Java-static path and fails codegen
+ * compilation at runtime (observed: silent interpreter-mode fallback).
+ * Same arithmetic as the mapPartitions kernels in [[Dedup]], so expression
+ * and kernel outputs are bit-identical.
+ */
+object TextHashKernels {
+
+  /** 64-bit FNV+splitmix hashes of the distinct n-word shingles. */
+  def shingleHashes(text: String, shingleSize: Int): Array[Long] = {
+    val toks = Dedup.shinglesScala(if (text == null) "" else text, shingleSize)
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { hs(i) = Dedup.hash64(toks(i)); i += 1 }
+    hs
+  }
+
+  /** MinHash signature over the hashed shingles — identical per-seed mixing
+    * to [[Dedup.docSignatures]]. */
+  def minhashSig(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val toks = Dedup.shinglesScala(if (text == null) "" else text, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < toks.length) {
+      val h0 = Dedup.hash64(toks(t))
+      var i = 0
+      while (i < numHashes) {
+        val h = Dedup.mix64(h0 ^ (i * 0x9e3779b97f4a7c15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    sig
+  }
+}

@@ -109,6 +109,24 @@ object ScaleProbe {
       }
       val (_, tSh) = leg(d, "shuffle")(
         graft.functions.Sampling.hashShuffle(docs, "doc_id").count())
+      // per-domain cap under heavy skew: one "mega" domain holds a third of
+      // the corpus — exactly the shape where a single-window cap collapses
+      // onto one task; the salted two-stage top-k must keep it spread and
+      // its wall should track corpus size, not the largest group
+      import org.apache.spark.sql.functions.{concat, lit, when}
+      val grouped = docs.withColumn("grp",
+        when(col("doc_id") % 3 === 0, lit("mega"))
+          .otherwise(concat(lit("g"), col("doc_id") % 97)))
+      val (capKept, tCap) = leg(d, "domain_cap")(
+        graft.functions.Sampling.capPerGroup(grouped, "grp", "doc_id", k = 100).count())
+      // incremental dedup: 10% delta vs the other 90% as corpus — the
+      // daily-ingest shape; wall should follow the delta's posting overlap,
+      // staying well under the full-corpus jaccard leg above
+      val (incrKept, tIncr) = leg(d, "dedup_incremental")(
+        Dedup.dedupNearIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", threshold = 0.7, maxDocFreq = Some(1000L)).count())
       // exact substring dedup: window-hash shuffle is O(total tokens), so
       // wall should track corpus size linearly like the cleaning tier
       val (ssFlags, tSpan) = leg(d, "substr_spans")(
@@ -138,6 +156,7 @@ object ScaleProbe {
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) cc_dist=$tCCd%.1fs " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
+        f"domain_cap=$tCap%.1fs(kept=$capKept) dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
         f"wet_ingest=$tWet%.1fs($wetRows)")
     }
