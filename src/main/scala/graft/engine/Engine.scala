@@ -221,6 +221,8 @@ final class Engine(spark: SparkSession) {
     "dedup_substring" -> Set("id_column", "column", "window"),
     "dedup_paragraphs" -> Set("id_column", "column", "delimiter"),
     "hash_sample" -> Set("column", "rate", "strata_column", "rates", "default_rate"),
+    "domain_cap" -> Set("group_column", "id_column", "k", "salts"),
+    "rebalance_mixture" -> Set("stratum_column", "key_column", "weights"),
     "boilerplate_removal" -> Set("id_column", "column", "min_docs", "line_delimiter"),
     "decontaminate" -> Set("sources", "id_column", "column", "shingle_size"),
     "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
@@ -419,6 +421,25 @@ final class Engine(spark: SparkSession) {
             graft.functions.Sampling.hashSample(df, keyC,
               Config.reqStr(op, "rate", ctx).toDouble)
         }
+      // per-domain cap: ≤k rows per group in deterministic md5(id) order —
+      // exact two-stage salted top-k, skew-proof at any group size
+      case "domain_cap" =>
+        graft.functions.Sampling.capPerGroup(df,
+          Config.reqStr(op, "group_column", ctx),
+          Config.reqStr(op, "id_column", ctx),
+          Config.int(op, "k").getOrElse(
+            throw new IllegalArgumentException(s"$ctx: domain_cap needs `k`")),
+          Config.int(op, "salts").getOrElse(32))
+      // rebalance to target mixture weights over a stratum column without
+      // upsampling (binding stratum kept whole, others hash-downsampled)
+      case "rebalance_mixture" =>
+        val weights = Config.asMap(op.getOrElse("weights", Map.empty[String, Any]))
+          .map { case (k, v) => k -> v.toString.toDouble }
+        if (weights.isEmpty)
+          throw new IllegalArgumentException(s"$ctx: rebalance_mixture needs non-empty `weights`")
+        graft.functions.Sampling.rebalanceToMixture(df,
+          Config.reqStr(op, "stratum_column", ctx),
+          Config.reqStr(op, "key_column", ctx), weights)
       // admit rows in deterministic md5(id) order until the cumulative token
       // count reaches `budget`; tokens from `tokens_column` (numeric) or
       // counted from `column` (text) with the engine's BPE-ish counter

@@ -158,11 +158,38 @@ object Dedup {
   def jaccardPairsIncremental(batch: DataFrame, corpus: DataFrame,
                               idCol: String, textCol: String,
                               threshold: Double, shingleSize: Int = 3,
-                              maxDocFreq: Option[Long] = None): DataFrame = {
-    val docs = hashedShingleDocs(batch, idCol, textCol, shingleSize)
-      .withColumn("is_new", lit(true))
-      .unionByName(hashedShingleDocs(corpus, idCol, textCol, shingleSize)
-        .withColumn("is_new", lit(false)))
+                              maxDocFreq: Option[Long] = None): DataFrame =
+    jaccardPairsIncrementalCore(
+      hashedShingleDocs(batch, idCol, textCol, shingleSize),
+      hashedShingleDocs(corpus, idCol, textCol, shingleSize),
+      threshold, maxDocFreq)
+
+  /** Persistable shingle index: (id, toks) — the corpus's hashed shingle
+    * arrays. At 100 TB write this ONCE per corpus (`partitionBy` or
+    * bucketed parquet) and hand it to the `Indexed` variants: every delta
+    * run then skips re-shingling the collection — the linear term that
+    * dominated the probe's text-path incremental leg. ~8 bytes per distinct
+    * shingle. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame =
+    hashedShingleDocs(df, idCol, textCol, shingleSize)
+
+  /** [[jaccardPairsIncremental]] against a precomputed [[shingleIndex]]
+    * (columns `id`, `toks`) instead of corpus text — identical output. */
+  def jaccardPairsIncrementalIndexed(batch: DataFrame, corpusIndex: DataFrame,
+                                     idCol: String, textCol: String,
+                                     threshold: Double, shingleSize: Int = 3,
+                                     maxDocFreq: Option[Long] = None): DataFrame =
+    jaccardPairsIncrementalCore(
+      hashedShingleDocs(batch, idCol, textCol, shingleSize),
+      corpusIndex.select(col("id").cast(LongType).as("id"), col("toks")),
+      threshold, maxDocFreq)
+
+  private def jaccardPairsIncrementalCore(batchDocs: DataFrame, corpusDocs: DataFrame,
+                                          threshold: Double,
+                                          maxDocFreq: Option[Long]): DataFrame = {
+    val docs = batchDocs.withColumn("is_new", lit(true))
+      .unionByName(corpusDocs.withColumn("is_new", lit(false)))
     val posting0 = docs.select(col("id"), size(col("toks")).as("n"),
       col("is_new"), explode(col("toks")).as("tok"))
     val posting = maxDocFreq match {
@@ -214,9 +241,23 @@ object Dedup {
   def dedupNearIncremental(batch: DataFrame, corpus: DataFrame,
                            idCol: String, textCol: String,
                            threshold: Double, shingleSize: Int = 3,
-                           maxDocFreq: Option[Long] = None): DataFrame = {
-    val pairs = jaccardPairsIncremental(batch, corpus, idCol, textCol,
-      threshold, shingleSize, maxDocFreq)
+                           maxDocFreq: Option[Long] = None): DataFrame =
+    keepFromIncrementalPairs(batch, idCol,
+      jaccardPairsIncremental(batch, corpus, idCol, textCol,
+        threshold, shingleSize, maxDocFreq))
+
+  /** [[dedupNearIncremental]] against a precomputed [[shingleIndex]] —
+    * the production daily-ingest shape: corpus shingled once, deltas only. */
+  def dedupNearIncrementalIndexed(batch: DataFrame, corpusIndex: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double, shingleSize: Int = 3,
+                                  maxDocFreq: Option[Long] = None): DataFrame =
+    keepFromIncrementalPairs(batch, idCol,
+      jaccardPairsIncrementalIndexed(batch, corpusIndex, idCol, textCol,
+        threshold, shingleSize, maxDocFreq))
+
+  private def keepFromIncrementalPairs(batch: DataFrame, idCol: String,
+                                       pairs: DataFrame): DataFrame = {
     // pair (a=batch, b=batch, a<b) condemns b; pair (a=batch, b=corpus)
     // condemns a
     val dropIds = pairs.filter(col("b_is_new")).select(col("b_id").as("drop_id"))

@@ -127,6 +127,20 @@ object ScaleProbe {
           docs.filter(col("doc_id") % 10 === 0),
           docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", threshold = 0.7, maxDocFreq = Some(1000L)).count())
+      // production shape: corpus index precomputed OUTSIDE the timed block
+      // (written once per corpus in real life) — the delta run then only
+      // shingles the batch, so this leg isolates the true marginal cost
+      val corpusIdx = Dedup.shingleIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusIdx.count() // materialize before timing
+      val (incrIdxKept, tIncrIdx) = leg(d, "dedup_incr_indexed")(
+        Dedup.dedupNearIncrementalIndexed(
+          docs.filter(col("doc_id") % 10 === 0), corpusIdx,
+          "doc_id", "text", threshold = 0.7, maxDocFreq = Some(1000L)).count())
+      require(incrIdxKept == incrKept,
+        s"indexed incremental kept $incrIdxKept != text path $incrKept")
+      corpusIdx.unpersist()
       // exact substring dedup: window-hash shuffle is O(total tokens), so
       // wall should track corpus size linearly like the cleaning tier
       val (ssFlags, tSpan) = leg(d, "substr_spans")(
@@ -157,6 +171,7 @@ object ScaleProbe {
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
         f"domain_cap=$tCap%.1fs(kept=$capKept) dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
+        f"dedup_incr_indexed=$tIncrIdx%.1fs " +
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
         f"wet_ingest=$tWet%.1fs($wetRows)")
     }

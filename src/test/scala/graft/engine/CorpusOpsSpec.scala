@@ -66,6 +66,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sh.select("shuffle_pos").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("domain_cap and rebalance_mixture dispatch") {
+    val rows = ((0L until 30L).map(i => (i, s"payload $i", "big")) ++
+      (30L until 35L).map(i => (i, s"payload $i", "small"))).toDF("doc_id", "text", "source")
+    val capped = run(rows, Map("operation" -> "domain_cap",
+      "group_column" -> "source", "id_column" -> "doc_id", "k" -> 10))
+    val perGroup = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perGroup == Map("big" -> 10L, "small" -> 5L))
+    assert(capped.columns.toSeq == rows.columns.toSeq)
+    intercept[IllegalArgumentException](
+      run(rows, Map("operation" -> "domain_cap",
+        "group_column" -> "source", "id_column" -> "doc_id")))
+
+    val rebal = run(rows, Map("operation" -> "rebalance_mixture",
+      "stratum_column" -> "source", "key_column" -> "text",
+      "weights" -> Map("big" -> 1.0, "small" -> 1.0)))
+    val byStratum = rebal.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(byStratum.getOrElse("small", 0L) == 5L) // binding stratum kept whole
+    assert(byStratum.getOrElse("big", 0L) <= 30L)
+    intercept[IllegalArgumentException](
+      run(rows, Map("operation" -> "rebalance_mixture",
+        "stratum_column" -> "source", "key_column" -> "text")))
+  }
+
   test("salted_join dispatch matches a plain join") {
     val dim = Seq((0L, "zero"), (1L, "one")).toDF("doc_id", "label")
     val out = run(docs, Map("operation" -> "salted_join",

@@ -160,6 +160,11 @@ class FunctionsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptIds == Set(20L, 30L),
       s"10/11 match corpus, 21 matches earlier batch doc 20; got $keptIds")
+    // precomputed-index path (corpus shingled once) is result-identical
+    val index = Dedup.shingleIndex(corpus, "doc_id", "text")
+    val keptIndexed = Dedup.dedupNearIncrementalIndexed(batch, index, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIndexed == keptIds)
   }
 
   test("capPerGroup: ≤k per group, identical to the single-window reference at any salt count") {
