@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -72,6 +72,34 @@ case class MinhashSig(child: Expression, numHashes: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** Combined (toks, sig) struct in one tokenization pass — what the dedup
+  * tier's internal `docSignatures` frame routes through, so the signature
+  * stage fuses into whole-stage codegen with no Dataset-encoder boundary
+  * AND no duplicate shingling. */
+case class DocSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, s"doc_signature: numHashes must be positive, got $numHashes")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"doc_signature requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("toks", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "doc_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.docSigRow(
+      input.asInstanceOf[UTF8String].toString, numHashes, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.docSigRow($c.toString(), $numHashes, $shingleSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): DocSignature =
+    copy(child = newChild)
+}
+
 /** Builders + registration for the native expressions. */
 object GraftFunctions {
 
@@ -100,6 +128,16 @@ object GraftFunctions {
           intLit(s, "minhash_sig", "shingle_size"))
         case other => throw new IllegalArgumentException(
           s"minhash_sig takes 1-3 arguments, got ${other.size}")
+      }),
+    ("doc_signature",
+      "_FUNC_(text[, num_hashes=64[, shingle_size=3]]) - struct(toks, sig): hashed shingles + minhash signature in one pass",
+      {
+        case Seq(t) => DocSignature(t, 64, 3)
+        case Seq(t, n) => DocSignature(t, intLit(n, "doc_signature", "num_hashes"), 3)
+        case Seq(t, n, s) => DocSignature(t, intLit(n, "doc_signature", "num_hashes"),
+          intLit(s, "doc_signature", "shingle_size"))
+        case other => throw new IllegalArgumentException(
+          s"doc_signature takes 1-3 arguments, got ${other.size}")
       }))
 
   /** Register into an existing session's function registry (temp functions —

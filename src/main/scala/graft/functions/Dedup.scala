@@ -75,19 +75,14 @@ object Dedup {
     * pair. */
   private def hashedShingleDocs(df: DataFrame, idCol: String, textCol: String,
                                 shingleSize: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast(LongType).as(idCol), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = shinglesScala(if (text == null) "" else text, shingleSize)
-          val hs = new Array[Long](toks.length)
-          var i = 0
-          while (i < toks.length) { hs(i) = hash64(toks(i)); i += 1 }
-          (id, hs)
-        }
-      }.toDF("id", "toks")
+    // codegen'd shingle_hashes expression: fuses into the scan projection
+    // (no Dataset-encoder boundary — measured faster than the former
+    // mapPartitions kernel, see PLANS.md round 10); coalesce mirrors the
+    // kernel's null→"" so a null document still yields its whole-text
+    // shingle instead of a null row
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).cast("string").as("__t__"))
+      .selectExpr("id", s"shingle_hashes(coalesce(__t__, ''), $shingleSize) AS toks")
   }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -310,30 +305,17 @@ object Dedup {
     * negligible-collision trade as jaccardPairs). */
   private[graft] def docSignatures(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int, shingleSize: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast(LongType).as(idCol), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = shinglesScala(if (text == null) "" else text, shingleSize)
-          val hs = new Array[Long](toks.length)
-          val sig = Array.fill(numHashes)(Long.MaxValue)
-          var t = 0
-          while (t < toks.length) {
-            val h0 = hash64(toks(t))
-            hs(t) = h0
-            var i = 0
-            while (i < numHashes) {
-              val h = mix64(h0 ^ (i * 0x9e3779b97f4a7c15L))
-              if (h < sig(i)) sig(i) = h
-              i += 1
-            }
-            t += 1
-          }
-          (id, hs, sig)
-        }
-      }.toDF("id", "toks", "sig")
+    // codegen'd doc_signature struct expression: toks + sig in ONE
+    // tokenization pass, fused into the scan projection (the former
+    // mapPartitions kernel paid an UnsafeRow → tuple → UnsafeRow encoder
+    // boundary per row; measured deltas in PLANS.md round 10). The two
+    // field extractions reference the non-cheap struct alias, which
+    // CollapseProject leaves in its own projection — the expression
+    // evaluates once per row, not per field.
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).cast("string").as("__t__"))
+      .selectExpr("id", s"doc_signature(coalesce(__t__, ''), $numHashes, $shingleSize) AS __r__")
+      .select(col("id"), col("__r__.toks").as("toks"), col("__r__.sig").as("sig"))
   }
 
   /** MinHash signature column: for each of `numHashes` seeded xxhash64

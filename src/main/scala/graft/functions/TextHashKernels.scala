@@ -39,4 +39,29 @@ object TextHashKernels {
     }
     sig
   }
+
+  /** Combined (toks, sig) in ONE tokenization pass, as an InternalRow for
+    * the `doc_signature` struct expression — the codegen face of
+    * [[Dedup.docSignatures]]'s kernel arithmetic. */
+  def docSigRow(text: String, numHashes: Int,
+                shingleSize: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Dedup.shinglesScala(if (text == null) "" else text, shingleSize)
+    val hs = new Array[Long](toks.length)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < toks.length) {
+      val h0 = Dedup.hash64(toks(t))
+      hs(t) = h0
+      var i = 0
+      while (i < numHashes) {
+        val h = Dedup.mix64(h0 ^ (i * 0x9e3779b97f4a7c15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(hs),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)))
+  }
 }
