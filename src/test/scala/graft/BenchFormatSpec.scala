@@ -100,11 +100,12 @@ class BenchFormatSpec extends AnyFunSuite {
     // per-query count trip (round-8 heuristic)
     assert(BenchFormat.assessContention(5, 30, Nil, 10, 10, 20))
     assert(!BenchFormat.assessContention(2, 90, Nil, 10, 10, 20))
-    // aggregate min-sum 1.3x over best-ever sum (round-9 gap)
-    assert(BenchFormat.assessContention(0, 90, Nil, 14.0, 10.0, 20))
-    assert(!BenchFormat.assessContention(0, 90, Nil, 12.0, 10.0, 20))
+    // aggregate min-sum over best-ever sum (round-9 gap was 1.51x; a calm
+    // run on this VM measures ~1.31x, which must NOT trip)
+    assert(BenchFormat.assessContention(0, 90, Nil, 15.0, 10.0, 20))
+    assert(!BenchFormat.assessContention(0, 90, Nil, 13.1, 10.0, 20))
     // too few comparable queries → aggregate evidence insufficient
-    assert(!BenchFormat.assessContention(0, 90, Nil, 14.0, 10.0, 5))
+    assert(!BenchFormat.assessContention(0, 90, Nil, 15.0, 10.0, 5))
     // several queries with spread > 3x
     assert(BenchFormat.assessContention(0, 90, Seq(6.2, 3.5, 4.0, 1.1), 10, 10, 20))
     assert(!BenchFormat.assessContention(0, 90, Seq(6.2, 3.5, 1.2, 1.1), 10, 10, 20))
