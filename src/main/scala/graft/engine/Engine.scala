@@ -228,7 +228,7 @@ final class Engine(spark: SparkSession) {
     "dedup_near" -> Set("id_column", "column", "method", "threshold", "shingle_size",
       "max_doc_freq", "max_hamming", "broadcast_edge_threshold"),
     "dedup_near_incremental" -> Set("sources", "id_column", "column", "threshold",
-      "shingle_size", "max_doc_freq"),
+      "shingle_size", "max_doc_freq", "corpus_is_index"),
     "semantic_dedup" -> Set("id_column", "column", "threshold", "nlist", "iters"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
       "num_planes", "num_tables", "rerank"),
@@ -553,15 +553,28 @@ final class Engine(spark: SparkSession) {
           p.getLong(0) > 0L && p.getLong(1) == 0L
         }
         val sid = "__graft_dedup_sid__"
-        val clean = castProbe(df) && castProbe(corpus)
-        val (batchBase, corpusBase, keyC) =
-          if (clean) (df, corpus, idC)
-          else (df.withColumn(sid, xxhash64(col(idC))),
-            corpus.withColumn(sid, xxhash64(col(idC))), sid)
-        val kept = graft.functions.Dedup.dedupNearIncremental(
-          batchBase, corpusBase, keyC, textC, threshold, shingle,
-          Config.str(op, "max_doc_freq").map(_.toLong))
-        if (keyC == idC) kept else kept.drop(sid)
+        if (Config.bool(op, "corpus_is_index")) {
+          // `sources` names a persisted shingleIndex frame (id, toks) — the
+          // production daily-ingest shape: corpus shingled once, deltas
+          // only. Index ids are already longs, so the batch's ids must cast
+          // cleanly (a surrogate would not correspond to the index's ids).
+          if (!castProbe(df)) throw new IllegalArgumentException(
+            s"$ctx: dedup_near_incremental with corpus_is_index needs numeric batch ids " +
+              "(the index was keyed on long ids); hash your ids before building the index")
+          graft.functions.Dedup.dedupNearIncrementalIndexed(
+            df, corpus, idC, textC, threshold, shingle,
+            Config.str(op, "max_doc_freq").map(_.toLong))
+        } else {
+          val clean = castProbe(df) && castProbe(corpus)
+          val (batchBase, corpusBase, keyC) =
+            if (clean) (df, corpus, idC)
+            else (df.withColumn(sid, xxhash64(col(idC))),
+              corpus.withColumn(sid, xxhash64(col(idC))), sid)
+          val kept = graft.functions.Dedup.dedupNearIncremental(
+            batchBase, corpusBase, keyC, textC, threshold, shingle,
+            Config.str(op, "max_doc_freq").map(_.toLong))
+          if (keyC == idC) kept else kept.drop(sid)
+        }
 
       // SemDeDup from a declared pipeline: k-means cells over the embedding
       // column, within-cell cosine prune, keep the surviving rows. Same

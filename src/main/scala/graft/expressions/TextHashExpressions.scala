@@ -147,6 +147,22 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  // Scala Column faces: resolved through the session registry at analysis
+  // (call_function), so the analyzing session must have passed through
+  // register() or carry the GraftExtensions config. Literal params keep the
+  // builders' int-literal contract.
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  def minhashSigCol(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    call_function("minhash_sig", text, lit(numHashes), lit(shingleSize))
+
+  def shingleHashesCol(text: Column, shingleSize: Int = 3): Column =
+    call_function("shingle_hashes", text, lit(shingleSize))
+
+  def docSignatureCol(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    call_function("doc_signature", text, lit(numHashes), lit(shingleSize))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — the cluster

@@ -140,6 +140,18 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       run(batch, Map("operation" -> "dedup_near_incremental",
         "id_column" -> "doc_id", "column" -> "text")))
+    // corpus_is_index: sources names a persisted shingleIndex — same keep set
+    val index = graft.functions.Dedup.shingleIndex(corpus, "doc_id", "text")
+    val iout = run(batch, Map("operation" -> "dedup_near_incremental",
+      "id_column" -> "doc_id", "column" -> "text", "threshold" -> "0.7",
+      "corpus_is_index" -> "true",
+      "sources" -> List("$sources.idx")), Map("sources.idx" -> index))
+    assert(iout.select("doc_id").as[Long].collect().toSet == Set(20L))
+    // non-numeric batch ids with an index are rejected, not silently wrong
+    intercept[IllegalArgumentException](
+      run(ub, Map("operation" -> "dedup_near_incremental",
+        "id_column" -> "doc_id", "column" -> "text", "corpus_is_index" -> "true",
+        "sources" -> List("$sources.idx")), Map("sources.idx" -> index)))
   }
 
   test("dedup_near broadcast_edge_threshold reaches the CC crossover (0 forces distributed path)") {

@@ -72,6 +72,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(ok.count() == 1)
   }
 
+  test("Scala Column faces resolve through the registry and match SQL results") {
+    GraftFunctions.register(spark)
+    val src = docs.filter($"text".isNotNull)
+    val viaCol = src.select($"doc_id", GraftFunctions.minhashSigCol($"text", 8).as("sig"))
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    src.createOrReplaceTempView("expr_docs_col")
+    val viaSql = spark.sql("SELECT doc_id, minhash_sig(text, 8) AS sig FROM expr_docs_col")
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    assert(viaCol == viaSql)
+    val struct = src.select(GraftFunctions.docSignatureCol($"text", 8).as("r"))
+      .select("r.toks", "r.sig")
+    assert(struct.columns.toSeq == Seq("toks", "sig") && struct.count() == 4)
+  }
+
   test("GraftExtensions injects both functions into a SparkSessionExtensions instance") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
