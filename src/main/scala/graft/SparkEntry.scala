@@ -617,6 +617,17 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // same keep set via the precomputed shingleIndex path (corpus shingled
+    // once — the production daily-ingest shape); oracle identical by design
+    "q_dedup_incr_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = Dedup.shingleIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      Dedup.dedupNearIncrementalIndexed(
+        docs.filter(col("doc_id") % 5 === 0), index,
+        "doc_id", "text", threshold = 0.7, maxDocFreq = Some(1000L))
+        .select("doc_id")
+    }),
+
     "q_dedup_near" -> ((s, d) => {
       val docs = t(s, d, "documents")
       new graft.engine.Engine(s).applyOperation(docs,
@@ -1286,6 +1297,37 @@ object SparkEntry {
     // of any pair (earlier-batch or corpus partner) or the a-side of a
     // corpus pair
     "q_dedup_incremental" ->
+      """WITH ws AS (
+           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+           FROM documents),
+         idx AS (
+           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
+         toks AS (
+           SELECT DISTINCT id,
+             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS tok
+           FROM idx),
+         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         kept AS (
+           SELECT toks.* FROM toks
+           JOIN (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1000) f USING (tok)),
+         inter AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN counts ca ON ca.id = a_id
+           JOIN counts cb ON cb.id = b_id
+           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 5 = 0
+           AND NOT EXISTS (SELECT 1 FROM pairs p
+             WHERE p.b_id = doc_id
+                OR (p.a_id = doc_id AND p.b_id % 5 <> 0))""",
+
+    // identical by design: the indexed path must reproduce the text path
+    "q_dedup_incr_indexed" ->
       """WITH ws AS (
            SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
            FROM documents),

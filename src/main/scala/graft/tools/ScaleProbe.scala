@@ -119,6 +119,11 @@ object ScaleProbe {
           .otherwise(concat(lit("g"), col("doc_id") % 97)))
       val (capKept, tCap) = leg(d, "domain_cap")(
         graft.functions.Sampling.capPerGroup(grouped, "grp", "doc_id", k = 100).count())
+      // mixture rebalance over the same skewed groups: one tiny counts
+      // aggregation + a narrow filter — wall should track the scan
+      val (rebKept, tReb) = leg(d, "rebalance")(
+        graft.functions.Sampling.rebalanceToMixture(grouped, "grp", "text",
+          Map("mega" -> 0.2, "g1" -> 0.4, "g2" -> 0.4)).count())
       // incremental dedup: 10% delta vs the other 90% as corpus — the
       // daily-ingest shape; wall should follow the delta's posting overlap,
       // staying well under the full-corpus jaccard leg above
@@ -170,7 +175,8 @@ object ScaleProbe {
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) cc_dist=$tCCd%.1fs " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
-        f"domain_cap=$tCap%.1fs(kept=$capKept) dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
+        f"domain_cap=$tCap%.1fs(kept=$capKept) rebalance=$tReb%.1fs(kept=$rebKept) " +
+        f"dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
         f"dedup_incr_indexed=$tIncrIdx%.1fs " +
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
         f"wet_ingest=$tWet%.1fs($wetRows)")
