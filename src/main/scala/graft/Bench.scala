@@ -119,13 +119,25 @@ object BenchFormat {
           s"""$fail,"machine_contended":$machineContended,"results_file":"$rf","reps":$reps,"cpus":$cpus,"sf":"$sfShort"}"""
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(mins, decimals)}$warn$cont$tail"""
     }
+    // Tier 7: every query still present, but the uniform "q_" name prefix is
+    // stripped (announced via "qprefix" so any reader can reconstruct the
+    // full names; the results FILE always carries them verbatim). ~170 chars
+    // of headroom at the round-10 suite size — completeness beats cosmetics.
+    def stripped(): String = {
+      val short = mins.map { case (k, v) =>
+        (if (k.startsWith("q_")) k.drop(2) else k) -> v
+      }
+      (if (machineContended) s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(short, 1)},"qprefix":"q_","machine_contended":true$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
+       else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(short, 1)},"qprefix":"q_"$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}""")
+    }
     val tiers = Iterator(
       build(3, true, true, true),
       build(2, true, true, true),
       build(2, false, true, true),
       build(2, false, false, false),
       build(1, false, false, false),
-      build(1, false, false, false, minimalEnvelope = true))
+      build(1, false, false, false, minimalEnvelope = true),
+      stripped())
     tiers.find(_.length <= StdoutBudget).getOrElse {
       // Physically impossible to fit every entry (names × count outgrew the
       // window). A truncated-but-valid JSON line with a pointer to the full

@@ -51,6 +51,31 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // ods round-trip: region written as an OpenDocument spreadsheet (typed
+    // float cells + LibreOffice-style trailing repeat trailers), read back
+    // through the native ODF content.xml parser; oracle reads parquet
+    "q_source_ods" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+        .map(r => Seq(r.get(0).toString, r.getString(1))).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-region", ".ods")
+      graft.engine.Ods.write(f, Seq("r_regionkey", "r_name") +: rows)
+      graft.engine.Sources.read(s, "region_ods",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
+    // xlsb round-trip: region written as BIFF12 binary records (RK-packed
+    // key, shared-string name), read back through the native Xlsb parser
+    "q_source_xlsb" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+        .map(r => Seq(r.get(0).toString, r.getString(1))).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-region", ".xlsb")
+      graft.engine.Xlsb.write(f, Seq("r_regionkey", "r_name") +: rows)
+      graft.engine.Sources.read(s, "region_xlsb",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // region → sas7bdat (tools/GenSas, the pandas-cross-validated writer) →
     // native Sas reader; numeric key exercises the SAS-double decode path
     "q_source_sas" -> ((s, d) => {
@@ -861,6 +886,12 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5",
 
     "q_source_xlsx" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_ods" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_xlsb" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     // SAS stores numerics as doubles; the all-string model renders them with

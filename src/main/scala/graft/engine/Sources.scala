@@ -106,7 +106,14 @@ object Sources {
       // .xlsm is OOXML like .xlsx (macros live in a separate ZIP entry the
       // sheet reader never touches), so it reads through the same parser —
       // matching the reference's xlsm→excel mapping (source.py:240-264)
-      case "xlsx" | "xlsm" | "excel" => readExcel(spark, path, cfg, columns)
+      case "xlsx" | "xlsm" | "excel" => readExcel(spark, path, cfg, columns, Xlsx.readRows)
+      // OpenDocument spreadsheets/text tables (reference source.py:250-263
+      // maps odf/ods/odt to pd.read_excel(engine="odf")): same header
+      // plumbing, rows from the native ODF content.xml parser
+      case "ods" | "odf" | "odt" => readExcel(spark, path, cfg, columns, Ods.readRows)
+      // binary OOXML (reference source.py:250-263 → pd.read_excel
+      // engine="pyxlsb"): ZIP package with BIFF12 record streams
+      case "xlsb" => readExcel(spark, path, cfg, columns, Xlsb.readRows)
       case "html" | "htm" => readHtml(spark, path, cfg)
       case "feather" | "arrow" => readFeather(spark, path)
       case "dta" | "stata" => Stata.read(spark, path)
@@ -119,7 +126,7 @@ object Sources {
       // (source.py:250-263) via optional engines (xlrd/pyxlsb/odfpy): name
       // the limitation and the conversion path instead of letting the
       // binary hit the .xlsx ZIP parser and fail confusingly
-      case "xls" | "xlsb" | "odf" | "ods" | "odt" =>
+      case "xls" =>
         throw new IllegalArgumentException(
           s"legacy spreadsheet format `.$ext` is not supported ($path) — " +
             "re-save the workbook as .xlsx (File > Save As in Excel/LibreOffice, " +
@@ -263,11 +270,12 @@ object Sources {
     * `fill_sparse_headers`; 0 = headerless + `columns` naming). `columns:`
     * subset/rename happens post-read in `read`. */
   private def readExcel(spark: SparkSession, path: String, cfg: Map[String, Any],
-                        columns: Seq[String]): DataFrame = {
+                        columns: Seq[String],
+                        readRows: (String, Option[String]) => Vector[Vector[String]]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val skiprows = Config.int(cfg, "skiprows").getOrElse(0)
     val fillSparse = Config.bool(cfg, "fill_sparse_headers")
-    val rows0 = Xlsx.readRows(path, Config.str(cfg, "sheet")).drop(skiprows)
+    val rows0 = readRows(path, Config.str(cfg, "sheet")).drop(skiprows)
     val (names: Seq[String], body: Seq[Vector[String]]) =
       cfg.getOrElse("header_rows", 1) match {
         case l: List[_] =>

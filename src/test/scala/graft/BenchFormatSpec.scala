@@ -72,7 +72,15 @@ class BenchFormatSpec extends AnyFunSuite {
       resultsFile = "/root/repo/BENCH_RESULTS.json",
       reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 2000, s"line was ${line.length} chars for ${names.size} queries")
-    names.foreach(n => assert(line.contains("\"" + n + "\":"), s"missing $n"))
+    // the prefix-stripped tier is acceptable: every query must be present
+    // either under its full name or its "q_"-stripped name with the
+    // "qprefix" marker announcing the transform
+    val strippedTier = line.contains("\"qprefix\":\"q_\"")
+    names.foreach { n =>
+      val key = if (strippedTier && n.startsWith("q_")) n.drop(2) else n
+      assert(line.contains("\"" + key + "\":"), s"missing $n")
+    }
+    assert(!line.contains("queries_omitted"), "no query may be dropped for the current suite")
   }
 
   test("fastSuspect: anomalous too-fast min is suspect until reproduced") {

@@ -308,7 +308,7 @@ class SourcesSpec extends SparkSpec {
     // pre-OOXML binaries must fail with a clear convert-to-xlsx message, not
     // a ZIP parse error (reference source.py:240-264 hands these to optional
     // pandas engines we don't carry)
-    for (ext <- Seq("xls", "xlsb", "odf", "ods", "odt")) {
+    for (ext <- Seq("xls")) {
       val f = dir.resolve(s"legacy.$ext")
       Files.write(f, Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11.toByte, 0xE0.toByte))
       val e = intercept[IllegalArgumentException](
@@ -684,5 +684,103 @@ class SourcesSpec extends SparkSpec {
       Sources.read(spark, "s", Map("file" -> p.toString), java.nio.file.Paths.get("/")).collect()
     }
     assert(e.getMessage.contains("zsav"), e.getMessage)
+  }
+
+  test("ods: writer/reader round-trip with typed cells and trailing repeat trailers") {
+    val dir = tmpDir
+    val f = dir.resolve("book.ods")
+    Ods.write(f, Seq(Seq("id", "name"), Seq("1", "ann"), Seq("2", "bob <&> b")), "People")
+    val df = Sources.read(spark, "b", Map("file" -> "book.ods"), dir)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("ann", "bob <&> b"))
+    // the writer appends a 1024-wide empty-cell trailer per row and a
+    // million-row empty trailer: both must be trimmed, not materialized
+    assert(df.count() == 2)
+    val byName = Sources.read(spark, "b", Map("file" -> "book.ods", "sheet" -> "People"), dir)
+    assert(byName.count() == 2)
+    intercept[IllegalArgumentException](
+      Sources.read(spark, "b", Map("file" -> "book.ods", "sheet" -> "Nope"), dir))
+  }
+
+  test("ods: repeats, booleans, dates, whitespace elements, covered cells, odt text tables") {
+    val dir = tmpDir
+    def odf(path: java.nio.file.Path, body: String, mime: String): Unit = {
+      val content =
+        """<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" office:version="1.2"><office:body>""" +
+          body + "</office:body></office:document-content>"
+      val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+      zos.putNextEntry(new java.util.zip.ZipEntry("mimetype"))
+      zos.write(mime.getBytes("UTF-8")); zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+      zos.close()
+    }
+    val f = dir.resolve("typed.ods")
+    odf(f,
+      """<office:spreadsheet><table:table table:name="S">""" +
+        // header
+        """<table:table-row><table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell><table:table-cell office:value-type="string"><text:p>b</text:p></table:table-cell><table:table-cell office:value-type="string"><text:p>c</text:p></table:table-cell><table:table-cell office:value-type="string"><text:p>d</text:p></table:table-cell></table:table-row>""" +
+        // repeated value cell ×2, boolean, date; covered cell shadows content
+        """<table:table-row><table:table-cell office:value-type="float" office:value="7" table:number-columns-repeated="2"><text:p>7</text:p></table:table-cell><table:table-cell office:value-type="boolean" office:boolean-value="true"><text:p>TRUE</text:p></table:table-cell><table:covered-table-cell><text:p>hidden</text:p></table:covered-table-cell></table:table-row>""" +
+        // interior empty-cell gap via repeat; whitespace elements; two paragraphs
+        """<table:table-row><table:table-cell table:number-columns-repeated="2"/><table:table-cell office:value-type="string"><text:p>x<text:s text:c="2"/>y<text:tab/>z<text:line-break/>w</text:p><text:p>p2</text:p></table:table-cell><table:table-cell office:value-type="date" office:date-value="2024-02-29"><text:p>Feb 29</text:p></table:table-cell></table:table-row>""" +
+        // interior empty ROW via number-rows-repeated, then a data row
+        """<table:table-row table:number-rows-repeated="2"><table:table-cell table:number-columns-repeated="4"/></table:table-row>""" +
+        """<table:table-row><table:table-cell office:value-type="float" office:value="-1.5"><text:p>-1.5</text:p></table:table-cell></table:table-row>""" +
+        "</table:table></office:spreadsheet>",
+      "application/vnd.oasis.opendocument.spreadsheet")
+    val rows = Ods.readRows(f.toString, None)
+    assert(rows(0) == Vector("a", "b", "c", "d"))
+    assert(rows(1) == Vector("7", "7", "True", ""))
+    assert(rows(2) == Vector("", "", "x  y\tz\nw\np2", "2024-02-29"))
+    assert(rows(3) == Vector("", "", "", "")) // interior empty rows kept
+    assert(rows(4) == Vector("", "", "", ""))
+    assert(rows(5) == Vector("-1.5", "", "", ""))
+    assert(rows.size == 6)
+    // .odt: tables live under office:text; same parser, sheet by index
+    val t = dir.resolve("doc.odt")
+    odf(t,
+      """<office:text><text:p>prose before</text:p><table:table table:name="T1">""" +
+        """<table:table-row><table:table-cell office:value-type="string"><text:p>k</text:p></table:table-cell></table:table-row>""" +
+        """<table:table-row><table:table-cell office:value-type="string"><text:p>v</text:p></table:table-cell></table:table-row>""" +
+        "</table:table></office:text>",
+      "application/vnd.oasis.opendocument.text")
+    val odt = Sources.read(spark, "t", Map("file" -> "doc.odt"), dir)
+    assert(odt.columns.toSeq == Seq("k") && odt.head().getString(0) == "v")
+  }
+
+  test("xlsb: BIFF12 writer/reader round-trip — RK, real, bool, shared strings, blanks") {
+    val dir = tmpDir
+    val f = dir.resolve("book.xlsb")
+    Xlsb.write(f, Seq(
+      Seq("id", "name", "score", "flag"),
+      Seq("1", "ann", "42.5", "True"),
+      Seq("-7", "bob <&> b", "1000000000.25", "False"), // RK negative + real beyond RK range
+      Seq("2", "", "3", "True")), "People") // blank cell mid-row
+    val df = Sources.read(spark, "b", Map("file" -> "book.xlsb"), dir)
+    assert(df.columns.toSeq == Seq("id", "name", "score", "flag"))
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("id").cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("-7", "bob <&> b", "1000000000.25", "False"),
+      ("1", "ann", "42.5", "True"),
+      ("2", "", "3", "True")))
+    // sheet selection parity with the xlsx reader
+    val byName = Sources.read(spark, "b", Map("file" -> "book.xlsb", "sheet" -> "People"), dir)
+    assert(byName.count() == 3)
+    intercept[IllegalArgumentException](
+      Sources.read(spark, "b", Map("file" -> "book.xlsb", "sheet" -> "Nope"), dir))
+  }
+
+  test("xlsb: RK decode covers int, x100, and truncated-double forms") {
+    // fInt: 300 << 2 | 2
+    assert(Biff.rkToDouble((300 << 2) | 0x2) == 300.0)
+    // fInt + fX100: 12345 stored, meaning 123.45
+    assert(Biff.rkToDouble((12345 << 2) | 0x3) == 123.45)
+    // truncated double: high 30 bits of 0.75 (sign/exp/upper mantissa intact)
+    val bits = java.lang.Double.doubleToLongBits(0.75)
+    assert(Biff.rkToDouble(((bits >> 32) & 0xFFFFFFFCL).toInt) == 0.75)
+    assert(Biff.numToString(42.0) == "42" && Biff.numToString(42.5) == "42.5")
   }
 }
