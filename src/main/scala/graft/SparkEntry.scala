@@ -76,6 +76,19 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // xls round-trip: region written as BIFF8 records in a CFB container
+    // (tools/GenXls — SST strings, RK-packed keys), read back through the
+    // native Cfb+Xls parsers
+    "q_source_xls" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+        .map(r => Seq(r.get(0).toString, r.getString(1))).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-region", ".xls")
+      graft.tools.GenXls.write(f.toString, Seq("r_regionkey", "r_name") +: rows)
+      graft.engine.Sources.read(s, "region_xls",
+        Map("file" -> f.toString), f.getParent)
+    }),
+
     // region → sas7bdat (tools/GenSas, the pandas-cross-validated writer) →
     // native Sas reader; numeric key exercises the SAS-double decode path
     "q_source_sas" -> ((s, d) => {
@@ -892,6 +905,9 @@ object SparkEntry {
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_source_xlsb" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_xls" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     // SAS stores numerics as doubles; the all-string model renders them with

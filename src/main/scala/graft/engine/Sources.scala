@@ -114,6 +114,9 @@ object Sources {
       // binary OOXML (reference source.py:250-263 → pd.read_excel
       // engine="pyxlsb"): ZIP package with BIFF12 record streams
       case "xlsb" => readExcel(spark, path, cfg, columns, Xlsb.readRows)
+      // pre-OOXML binary .xls (reference source.py:250-263 → engine="xlrd"):
+      // BIFF8 records out of the CFB container's Workbook stream
+      case "xls" => readExcel(spark, path, cfg, columns, Xls.readRows)
       case "html" | "htm" => readHtml(spark, path, cfg)
       case "feather" | "arrow" => readFeather(spark, path)
       case "dta" | "stata" => Stata.read(spark, path)
@@ -122,15 +125,6 @@ object Sources {
       case "pkl" | "pickle" => Pickle.read(spark, path)
       case "avro" => Avro.read(spark, path)
       case "warc" | "wet" => Warc.read(spark, path)
-      // legacy spreadsheet formats the reference hands to pd.read_excel
-      // (source.py:250-263) via optional engines (xlrd/pyxlsb/odfpy): name
-      // the limitation and the conversion path instead of letting the
-      // binary hit the .xlsx ZIP parser and fail confusingly
-      case "xls" =>
-        throw new IllegalArgumentException(
-          s"legacy spreadsheet format `.$ext` is not supported ($path) — " +
-            "re-save the workbook as .xlsx (File > Save As in Excel/LibreOffice, " +
-            "or `libreoffice --convert-to xlsx`) and point the source at that file")
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }

@@ -298,24 +298,21 @@ class SourcesSpec extends SparkSpec {
     assert(named.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
-  test(".xlsm reads through the OOXML parser; legacy spreadsheet formats get a conversion error") {
+  test(".xlsm reads through the OOXML parser; corrupt .xls fails diagnosably") {
     val dir = tmpDir
     // .xlsm is the same ZIP+XML as .xlsx — the macro part is just an extra entry
     val m = dir.resolve("macro.xlsm")
     Xlsx.write(m, Seq(Seq("id", "name"), Seq("1", "ann")), "Data")
     val df = Sources.read(spark, "m", Map("file" -> "macro.xlsm"), dir)
     assert(df.columns.toSeq == Seq("id", "name") && df.count() == 1)
-    // pre-OOXML binaries must fail with a clear convert-to-xlsx message, not
-    // a ZIP parse error (reference source.py:240-264 hands these to optional
-    // pandas engines we don't carry)
-    for (ext <- Seq("xls")) {
-      val f = dir.resolve(s"legacy.$ext")
-      Files.write(f, Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11.toByte, 0xE0.toByte))
-      val e = intercept[IllegalArgumentException](
-        Sources.read(spark, "l", Map("file" -> s"legacy.$ext"), dir))
-      assert(e.getMessage.contains(".xlsx") && e.getMessage.contains(ext),
-        s"$ext: ${e.getMessage}")
-    }
+    // a truncated/corrupt .xls must fail with a diagnosable message (bad
+    // OLE2 container), never a silent empty frame
+    val f = dir.resolve("legacy.xls")
+    Files.write(f, Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11.toByte, 0xE0.toByte))
+    val e = intercept[IllegalArgumentException](
+      Sources.read(spark, "l", Map("file" -> "legacy.xls"), dir))
+    assert(e.getMessage.toLowerCase.contains("ole2") || e.getMessage.contains("Compound"),
+      e.getMessage)
   }
 
   test("xlsx: shared strings, numeric cells, booleans, and sparse cells parse") {
@@ -771,6 +768,54 @@ class SourcesSpec extends SparkSpec {
     assert(byName.count() == 3)
     intercept[IllegalArgumentException](
       Sources.read(spark, "b", Map("file" -> "book.xlsb", "sheet" -> "Nope"), dir))
+  }
+
+  test("xls: BIFF8 writer/reader round-trip through the CFB mini stream") {
+    val dir = tmpDir
+    val f = dir.resolve("book.xls")
+    graft.tools.GenXls.write(f.toString, Seq(
+      Seq("id", "name", "score", "flag"),
+      Seq("1", "ann ☃ snow", "42.5", "True"),      // UTF-16 shared string
+      Seq("-7", "bob <&> b", "1000000000.25", "False"), // RK negative + NUMBER
+      Seq("2", "", "3", "True")))
+    val df = Sources.read(spark, "b", Map("file" -> "book.xls"), dir)
+    assert(df.columns.toSeq == Seq("id", "name", "score", "flag"))
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("id").cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("-7", "bob <&> b", "1000000000.25", "False"),
+      ("1", "ann ☃ snow", "42.5", "True"),
+      ("2", "", "3", "True")))
+  }
+
+  test("xls: SST CONTINUE split, MULRK runs, sheet selection, FAT-chained big stream") {
+    val dir = tmpDir
+    val f = dir.resolve("cont.xls")
+    val long = "x" * 300 + " tail"
+    graft.tools.GenXls.write(f.toString,
+      Seq(Seq("a", "b", "c"), Seq("10", "20", long), Seq("30", "40", "label")),
+      sheetName = "Data", forceContinueSplit = true)
+    val rows = Xls.readRows(f.toString, Some("Data"))
+    assert(rows(1) == Vector("10", "20", long))   // MULRK pair + split string
+    assert(rows(2) == Vector("30", "40", "label"))
+    intercept[IllegalArgumentException](Xls.readRows(f.toString, Some("Nope")))
+    // ≥4096-byte workbook stream exercises the regular FAT chain
+    val big = dir.resolve("big.xls")
+    val bigRows = Seq(Seq("k", "v")) ++ (1 to 300).map(i => Seq(i.toString, s"row_$i value"))
+    graft.tools.GenXls.write(big.toString, bigRows)
+    val bdf = Sources.read(spark, "b", Map("file" -> "big.xls"), dir)
+    assert(bdf.count() == 300)
+    assert(bdf.filter(org.apache.spark.sql.functions.col("k") === "300")
+      .head().getString(1) == "row_300 value")
+  }
+
+  test("xls: UTF-16 split CONTINUE string round-trips") {
+    val dir = tmpDir
+    val f = dir.resolve("uni.xls")
+    val uni = "☃" * 40 + "末尾"
+    graft.tools.GenXls.write(f.toString,
+      Seq(Seq("c"), Seq(uni)), forceContinueSplit = true)
+    assert(Xls.readRows(f.toString, None)(1) == Vector(uni))
   }
 
   test("xlsb: RK decode covers int, x100, and truncated-double forms") {
