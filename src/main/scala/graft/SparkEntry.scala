@@ -711,6 +711,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens")
     }),
 
+    // sequence packing: documents → ≈4k-token training contexts in
+    // deterministic md5(doc_id) stream order; split-free greedy (context
+    // may overflow by its last doc), context_id verifiable by the oracle's
+    // window cumsum
+    "q_pack_contexts" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+      graft.functions.Sampling.packContexts(docs, "doc_id", "n_tokens", contextTokens = 4096L)
+        .select("doc_id", "n_tokens", "context_id")
+    }),
+
     // deterministic corpus shuffle: stable global permutation ordinal in
     // md5(doc_id) order — the ordinal makes the ORDER verifiable by the
     // hash compare, not just the membership
@@ -1507,6 +1518,19 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
            FROM t)
          SELECT doc_id, n_tokens FROM c WHERE before < 20000""",
+
+    "q_pack_contexts" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))::BIGINT AS n_tokens,
+             md5(cast(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM t)
+         SELECT doc_id, n_tokens, (before // 4096)::BIGINT AS context_id FROM c""",
 
     "q_shuffle" ->
       """SELECT doc_id,

@@ -235,6 +235,7 @@ final class Engine(spark: SparkSession) {
     "ann_join" -> Set("sources", "id_column", "column", "k",
       "num_planes", "num_tables"),
     "token_budget" -> Set("id_column", "column", "tokens_column", "budget"),
+    "pack_contexts" -> Set("id_column", "column", "tokens_column", "context_tokens"),
     "shuffle_rows" -> Set("id_column", "position_column"),
     "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
   )
@@ -455,6 +456,22 @@ final class Engine(spark: SparkSession) {
             graft.functions.Sampling.tokenBudgetSample(
               df.withColumn(tmp, graft.functions.TextFunctions.tokenCount(col(textC))),
               idC, tmp, budget).drop(tmp)
+        }
+      // pack documents into ≈context_tokens-sized training contexts in
+      // deterministic md5(id) stream order (split-free greedy); adds
+      // `context_id`; tokens from `tokens_column` or counted from `column`
+      case "pack_contexts" =>
+        import org.apache.spark.sql.functions.col
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val ctxTokens = Config.reqStr(op, "context_tokens", ctx).toLong
+        Config.str(op, "tokens_column") match {
+          case Some(tc) => graft.functions.Sampling.packContexts(df, idC, tc, ctxTokens)
+          case None =>
+            val textC = Config.reqStr(op, "column", ctx)
+            val tmp = "__graft_tokens__"
+            graft.functions.Sampling.packContexts(
+              df.withColumn(tmp, graft.functions.TextFunctions.tokenCount(col(textC))),
+              idC, tmp, ctxTokens).drop(tmp)
         }
       // stable global permutation ordinal (md5 order) — the reproducible
       // ORDER BY rand() replacement for training-data mixing

@@ -89,6 +89,28 @@ object Sampling {
       .filter(col("__g_before__") < budget)
       .drop("__g_before__")
 
+  /** Sequence packing: assign documents, in deterministic md5(id) stream
+    * order, to consecutive training contexts of ≈`contextTokens` tokens —
+    * the standard pretraining prep step that concatenates documents into
+    * fixed-size model contexts. Split-free greedy semantics: a document
+    * belongs to context `floor(tokens_before_it / contextTokens)`, i.e. a
+    * new context opens once the running total has crossed a boundary, so a
+    * context may overflow by at most its last document (documents are never
+    * split across contexts). Deterministic on any cluster, reproducible
+    * across reruns, and verifiable by an ORDER BY window oracle.
+    *
+    * Scale shape: the bucketed two-phase prefix sum (withHashPrefixSum) —
+    * never a global single-partition window. Downstream concatenation is a
+    * `groupBy("context_id")` whose groups are ≈contextTokens tokens each,
+    * so the shuffle is perfectly size-bounded. */
+  def packContexts(df: DataFrame, idCol: String, tokensCol: String,
+                   contextTokens: Long, hexChars: Int = 2): DataFrame = {
+    require(contextTokens > 0, s"packContexts: contextTokens must be positive, got $contextTokens")
+    withHashPrefixSum(df, idCol, col(tokensCol), "__g_before__", hexChars)
+      .withColumn("context_id", floor(col("__g_before__") / contextTokens).cast("long"))
+      .drop("__g_before__")
+  }
+
   /** Per-group document cap: keep at most `k` rows per value of `groupCol`,
     * selected in deterministic (md5(id), id) order — the per-domain cap every
     * crawl-curation pipeline applies so no single domain dominates the mix

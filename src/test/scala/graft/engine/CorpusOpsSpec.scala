@@ -66,6 +66,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sh.select("shuffle_pos").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("pack_contexts dispatch: tokens_column and counted-column paths") {
+    val withTok = docs.withColumn("toks",
+      org.apache.spark.sql.functions.lit(10L))
+    val packed = run(withTok, Map("operation" -> "pack_contexts", "id_column" -> "doc_id",
+      "tokens_column" -> "toks", "context_tokens" -> "20"))
+    assert(packed.columns.contains("context_id"))
+    // 3 docs × 10 tokens into 20-token contexts → ids {0,0,1} in md5 order
+    assert(packed.select("context_id").as[Long].collect().sorted.toSeq == Seq(0L, 0L, 1L))
+    val counted = run(docs, Map("operation" -> "pack_contexts", "id_column" -> "doc_id",
+      "column" -> "text", "context_tokens" -> "12"))
+    assert(counted.columns.toSeq == docs.columns.toSeq :+ "context_id") // helper dropped
+  }
+
   test("domain_cap and rebalance_mixture dispatch") {
     val rows = ((0L until 30L).map(i => (i, s"payload $i", "big")) ++
       (30L until 35L).map(i => (i, s"payload $i", "small"))).toDF("doc_id", "text", "source")

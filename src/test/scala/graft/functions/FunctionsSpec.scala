@@ -456,6 +456,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got8 == expected)
   }
 
+  test("packContexts assigns split-free greedy context ids in md5 order, stable under repartition") {
+    val toks = Seq((10L, 100L), (11L, 100L), (12L, 100L), (13L, 150L), (14L, 100L))
+      .toDF("doc_id", "n_tokens")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+    val order = Seq(10L, 11L, 12L, 13L, 14L).sortBy(i => (md5hex(i.toString), i))
+    val tokOf = Map(10L -> 100L, 11L -> 100L, 12L -> 100L, 13L -> 150L, 14L -> 100L)
+    // manual truth: context = floor(tokens-before / 250)
+    var before = 0L
+    val expected = order.map { id =>
+      val ctx = before / 250L; before += tokOf(id); id -> ctx
+    }.toMap
+    val got = Sampling.packContexts(toks, "doc_id", "n_tokens", 250L)
+      .select("doc_id", "context_id").as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got=$got expected=$expected (order=$order)")
+    // a doc is never split: each context holds consecutive stream positions
+    val byCtx = order.map(id => got(id))
+    assert(byCtx == byCtx.sorted, "context ids must be monotone in stream order")
+    val got8 = Sampling.packContexts(toks.repartition(8), "doc_id", "n_tokens", 250L)
+      .select("doc_id", "context_id").as[(Long, Long)].collect().toMap
+    assert(got8 == expected)
+  }
+
   test("hashShuffle yields a stable 0-based permutation, invariant to partitioning") {
     val df = (0L until 100L).toDF("doc_id")
     val pos = Sampling.hashShuffle(df, "doc_id").select("doc_id", "shuffle_pos")
