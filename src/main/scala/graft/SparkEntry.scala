@@ -722,6 +722,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "context_id")
     }),
 
+    // materialized packing: the concatenated per-context training samples,
+    // members joined in stream order — the hash compare verifies the exact
+    // concatenation order, not just membership
+    "q_pack_text" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+      graft.functions.Sampling.packContextsText(
+        docs, "doc_id", "text", "n_tokens", contextTokens = 4096L)
+        .select("context_id", "text", "n_tokens", "n_docs")
+    }),
+
     // deterministic corpus shuffle: stable global permutation ordinal in
     // md5(doc_id) order — the ordinal makes the ORDER verifiable by the
     // hash compare, not just the membership
@@ -1531,6 +1542,23 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
            FROM t)
          SELECT doc_id, n_tokens, (before // 4096)::BIGINT AS context_id FROM c""",
+
+    "q_pack_text" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))::BIGINT AS n_tokens,
+             md5(cast(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, n_tokens, h,
+             coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM t)
+         SELECT (before // 4096)::BIGINT AS context_id,
+           string_agg(text, ' ' ORDER BY h, doc_id) AS text,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_docs
+         FROM c GROUP BY 1""",
 
     "q_shuffle" ->
       """SELECT doc_id,

@@ -111,6 +111,26 @@ object Sampling {
       .drop("__g_before__")
   }
 
+  /** Materialized packing: one row per context with the member documents'
+    * text concatenated in stream (md5(id), id) order — the actual training
+    * sample. The groupBy's groups are ≈contextTokens tokens by
+    * construction, so the shuffle is size-bounded per key no matter how
+    * large the corpus: skew cannot exist in the output of packContexts. */
+  def packContextsText(df: DataFrame, idCol: String, textCol: String,
+                       tokensCol: String, contextTokens: Long,
+                       sep: String = " ", hexChars: Int = 2): DataFrame =
+    packContexts(df, idCol, tokensCol, contextTokens, hexChars)
+      .withColumn("__p_h__", md5(col(idCol).cast("string")))
+      .groupBy("context_id")
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(
+            col("__p_h__").as("h"), col(idCol).cast("long").as("i"),
+            col(textCol).as("t")))),
+          x => x.getField("t"))).as(textCol),
+        sum(col(tokensCol).cast("long")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+
   /** Per-group document cap: keep at most `k` rows per value of `groupCol`,
     * selected in deterministic (md5(id), id) order — the per-domain cap every
     * crawl-curation pipeline applies so no single domain dominates the mix

@@ -109,6 +109,14 @@ object ScaleProbe {
       }
       val (_, tSh) = leg(d, "shuffle")(
         graft.functions.Sampling.hashShuffle(docs, "doc_id").count())
+      // sequence packing rides the same prefix-sum skeleton; count distinct
+      // contexts so the leg verifies the assignment actually materializes
+      val (packCtxs, tPack) = leg(d, "pack_contexts") {
+        val withTok = docs.withColumn("toks",
+          graft.functions.TextFunctions.tokenCount(col("text")))
+        graft.functions.Sampling.packContexts(withTok, "doc_id", "toks", contextTokens = 4096L)
+          .select("context_id").distinct().count()
+      }
       // per-domain cap under heavy skew: one "mega" domain holds a third of
       // the corpus — exactly the shape where a single-window cap collapses
       // onto one task; the salted two-stage top-k must keep it spread and
@@ -175,6 +183,7 @@ object ScaleProbe {
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) cc_dist=$tCCd%.1fs " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
+        f"pack_contexts=$tPack%.1fs(ctxs=$packCtxs) " +
         f"domain_cap=$tCap%.1fs(kept=$capKept) rebalance=$tReb%.1fs(kept=$rebKept) " +
         f"dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
         f"dedup_incr_indexed=$tIncrIdx%.1fs " +

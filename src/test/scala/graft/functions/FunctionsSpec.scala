@@ -480,6 +480,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got8 == expected)
   }
 
+  test("packContextsText concatenates members in stream order, tokens and counts per context") {
+    val docs = Seq((10L, "aa bb", 2L), (11L, "cc", 1L), (12L, "dd ee ff", 3L),
+      (13L, "gg", 1L), (14L, "hh ii", 2L)).toDF("doc_id", "text", "n_tokens")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+    val order = Seq(10L, 11L, 12L, 13L, 14L).sortBy(i => (md5hex(i.toString), i))
+    val text = Map(10L -> "aa bb", 11L -> "cc", 12L -> "dd ee ff", 13L -> "gg", 14L -> "hh ii")
+    val toks = Map(10L -> 2L, 11L -> 1L, 12L -> 3L, 13L -> 1L, 14L -> 2L)
+    var before = 0L
+    val truth = order.map { id => val c = before / 4; before += toks(id); (c, id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = truth.map { case (c, ids) =>
+      c -> (ids.map(text).mkString(" "), ids.map(toks).sum, ids.size.toLong)
+    }
+    val got = Sampling.packContextsText(docs, "doc_id", "text", "n_tokens", 4L)
+      .select("context_id", "text", "n_tokens", "n_docs")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("hashShuffle yields a stable 0-based permutation, invariant to partitioning") {
     val df = (0L until 100L).toDF("doc_id")
     val pos = Sampling.hashShuffle(df, "doc_id").select("doc_id", "shuffle_pos")
