@@ -711,6 +711,24 @@ object SparkEntry {
         .select("doc_id", "n_tokens")
     }),
 
+    // URL canonicalization: messy synthesized URLs (uppercase authority,
+    // default port, tracking params, fragments, trailing slashes) through
+    // normalizeUrl + urlDomain; the oracle applies the identical documented
+    // rule chain in RE2
+    "q_url_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source")
+      val url = concat(
+        lit("HTTP://WWW."), upper(col("source")), lit(".Example.COM:80/Docs/"),
+        col("doc_id").cast("string"), lit("/"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&page="), (col("doc_id") % 7).cast("string"),
+            lit("&gclid=XYZ#sec"))).otherwise(lit("")))
+      docs.withColumn("url", url)
+        .select(col("doc_id"),
+          graft.functions.Corpus.normalizeUrl(col("url")).as("url_norm"),
+          graft.functions.Corpus.urlDomain(col("url")).as("domain"))
+    }),
+
     // sequence packing: documents → ≈4k-token training contexts in
     // deterministic md5(doc_id) stream order; split-free greedy (context
     // may overflow by its last doc), context_id verifiable by the oracle's
@@ -1529,6 +1547,30 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
            FROM t)
          SELECT doc_id, n_tokens FROM c WHERE before < 20000""",
+
+    "q_url_normalize" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'HTTP://WWW.' || upper(source) || '.Example.COM:80/Docs/' ||
+             cast(doc_id AS VARCHAR) || '/' ||
+             (CASE WHEN doc_id % 3 = 0
+               THEN '?utm_source=feed&page=' || cast(doc_id % 7 AS VARCHAR) || '&gclid=XYZ#sec'
+               ELSE '' END) AS url
+           FROM documents),
+         s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS x FROM u),
+         s2 AS (SELECT doc_id, url, regexp_replace(x, '(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g') AS x FROM s1),
+         s3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(x, '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS x FROM s2),
+         s4 AS (SELECT doc_id, url, lower(regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+                  regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS x FROM s3),
+         s5 AS (SELECT doc_id, url, regexp_replace(regexp_replace(x,
+                  '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+                  '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS x FROM s4)
+         SELECT doc_id,
+           regexp_replace(x, '/$', '') AS url_norm,
+           regexp_replace(regexp_replace(regexp_replace(
+             lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS domain
+         FROM s5""",
 
     "q_pack_contexts" ->
       """WITH t AS (

@@ -211,6 +211,8 @@ final class Engine(spark: SparkSession) {
       "value_column", "trim_whitespace"),
     // engine extensions (corpus operations)
     "pii_redact" -> Set("column", "columns"),
+    "url_normalize" -> Set("column", "new_column"),
+    "url_domain" -> Set("column", "new_column"),
     "lang_id" -> Set("column", "new_column"),
     "text_stats" -> Set("column", "stopwords"),
     "repetition_stats" -> Set("column", "line_delimiter", "ngram"),
@@ -338,6 +340,16 @@ final class Engine(spark: SparkSession) {
       case "pii_redact" =>
         colsOf(op).foldLeft(df)((d, c) =>
           d.withColumn(c, graft.functions.Corpus.redactPii(org.apache.spark.sql.functions.col(c))))
+      // canonical URL / registrable-domain columns for crawl curation;
+      // in place by default, `new_column` writes alongside
+      case "url_normalize" =>
+        val c = Config.reqStr(op, "column", ctx)
+        df.withColumn(Config.str(op, "new_column").getOrElse(c),
+          graft.functions.Corpus.normalizeUrl(org.apache.spark.sql.functions.col(c)))
+      case "url_domain" =>
+        val c = Config.reqStr(op, "column", ctx)
+        df.withColumn(Config.str(op, "new_column").getOrElse("domain"),
+          graft.functions.Corpus.urlDomain(org.apache.spark.sql.functions.col(c)))
       case "lang_id" =>
         graft.functions.TextFunctions.withLangId(df, Config.reqStr(op, "column", ctx),
           Config.str(op, "new_column").getOrElse("lang_pred"))

@@ -328,4 +328,51 @@ object Corpus {
       .agg(count(lit(1)).as("n_overlap"))
       .select(col(idCol), col("n_overlap"))
   }
+
+  // ------------------------------------------------------ URL canonicalization
+
+  /** Canonical URL for crawl-scale URL dedup — the first dedup stage of
+    * every Common-Crawl pipeline (two fetches of the same page should
+    * collide BEFORE any content hashing). Documented rule set, applied in
+    * order:
+    *   1. trim surrounding whitespace
+    *   2. drop the `#fragment`
+    *   3. drop tracking query params (`utm_*`, `fbclid`, `gclid`,
+    *      `msclkid`) and tidy the leftover `?`/`&` separators
+    *   4. lowercase the `scheme://authority` part (path/query keep case —
+    *      paths are case-sensitive on most origins)
+    *   5. drop explicit default ports (`:80` for http, `:443` for https)
+    *   6. drop a bare trailing slash (`…/path/` → `…/path`, `host/` → host)
+    *
+    * Pure chained regexp_replace/regexp_extract — codegen'd, no UDF, and
+    * every pattern stays inside the RE2-compatible subset (no lookaround,
+    * no backreferences) so an RE2-based oracle applies the identical rules. */
+  def normalizeUrl(url: Column): Column = {
+    val t0 = trim(url)
+    val noFrag = regexp_replace(t0, "#.*", "")
+    // tracking params: remove `key=value` for the tracked keys, then repair
+    // separators (`?&` → `?`, `&&` → `&`, trailing `?`/`&`)
+    val tracked = "(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*"
+    val noTrack0 = regexp_replace(noFrag, tracked, "")
+    val noTrack = regexp_replace(
+      regexp_replace(regexp_replace(noTrack0, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    // lowercase scheme://authority only
+    val head = regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val tail = regexp_replace(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowered = concat(lower(head), tail)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  /** Registrable-host key for per-domain grouping (domain_cap, URL stats):
+    * lowercased authority without userinfo, port, or a leading `www.`. */
+  def urlDomain(url: Column): Column = {
+    val auth = lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val noPort = regexp_replace(noUser, ":[0-9]+$", "")
+    regexp_replace(noPort, "^www\\.", "")
+  }
 }

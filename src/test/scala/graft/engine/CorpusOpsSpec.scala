@@ -79,6 +79,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(counted.columns.toSeq == docs.columns.toSeq :+ "context_id") // helper dropped
   }
 
+  test("url_normalize and url_domain dispatch") {
+    val rows = Seq((1L, "HTTP://WWW.A.COM:80/x?utm_source=s&k=1#f"))
+      .toDF("doc_id", "url")
+    val norm = run(rows, Map("operation" -> "url_normalize", "column" -> "url"))
+    assert(norm.head().getString(1) == "http://www.a.com/x?k=1")
+    val kept = run(rows, Map("operation" -> "url_normalize", "column" -> "url",
+      "new_column" -> "url_norm"))
+    assert(kept.columns.toSeq == Seq("doc_id", "url", "url_norm"))
+    val dom = run(rows, Map("operation" -> "url_domain", "column" -> "url"))
+    assert(dom.select("domain").head().getString(0) == "a.com")
+  }
+
   test("domain_cap and rebalance_mixture dispatch") {
     val rows = ((0L until 30L).map(i => (i, s"payload $i", "big")) ++
       (30L until 35L).map(i => (i, s"payload $i", "small"))).toDF("doc_id", "text", "source")

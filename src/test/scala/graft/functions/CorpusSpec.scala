@@ -132,4 +132,33 @@ class CorpusSpec extends SparkSpec {
     assert(out.contains(2L) && out(2L) > out(0L))
     assert(!out.contains(1L))
   }
+
+  test("normalizeUrl applies the documented canonicalization rules") {
+    val cases = Seq(
+      // fragment + tracking params + default port + uppercase authority
+      ("  HTTP://WWW.Example.COM:80/A/B?utm_source=x&q=1&gclid=z#top  ",
+        "http://www.example.com/A/B?q=1"),
+      // https default port; path case preserved; bare trailing slash
+      ("HTTPS://Site.Org:443/Path/", "https://site.org/Path"),
+      // non-default port survives; fbclid-only query collapses entirely
+      ("http://h.net:8080/x?fbclid=abc", "http://h.net:8080/x"),
+      // tracking param in the middle repairs the separator chain
+      ("http://a.io/p?a=1&utm_medium=m&b=2", "http://a.io/p?a=1&b=2"),
+      // host-only with trailing slash
+      ("http://Host.Com/", "http://host.com"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Corpus.normalizeUrl(col("u")).as("n")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got=$got")
+  }
+
+  test("urlDomain strips scheme, userinfo, port, and leading www") {
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/A/B", "example.com"),
+      ("https://user:pw@Www.Deep.Sub.Site.org:8443/x", "deep.sub.site.org"),
+      ("http://plain.net", "plain.net"),
+      ("not a url", ""))
+    val got = cases.map(_._1).toDF("u")
+      .select(Corpus.urlDomain(col("u")).as("d")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got=$got")
+  }
 }
