@@ -809,6 +809,19 @@ class SourcesSpec extends SparkSpec {
       .head().getString(1) == "row_300 value")
   }
 
+  test("xls: multi-sheet workbook selects by name and index via BOUNDSHEET offsets") {
+    val dir = tmpDir
+    val f = dir.resolve("multi.xls")
+    graft.tools.GenXls.writeCfb(f.toString, "Workbook",
+      graft.tools.GenXls.workbookStream(Seq(
+        "First" -> Seq(Seq("a"), Seq("1")),
+        "Second" -> Seq(Seq("b", "c"), Seq("x", "99"), Seq("y", "100")))))
+    assert(Xls.readRows(f.toString, None) == Vector(Vector("a"), Vector("1")))
+    assert(Xls.readRows(f.toString, Some("Second")) ==
+      Vector(Vector("b", "c"), Vector("x", "99"), Vector("y", "100")))
+    assert(Xls.readRows(f.toString, Some("1")) == Xls.readRows(f.toString, Some("Second")))
+  }
+
   test("xls: UTF-16 split CONTINUE string round-trips") {
     val dir = tmpDir
     val f = dir.resolve("uni.xls")
