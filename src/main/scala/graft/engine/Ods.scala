@@ -39,7 +39,12 @@ object Ods {
   /** All rows of one table as strings, empty cells "". `sheet` selects by
     * `table:name` or 0-based index (pandas sheet_name parity). */
   def readRows(path: String, sheet: Option[String]): Vector[Vector[String]] = {
-    val zf = new ZipFile(path)
+    val zf =
+      try new ZipFile(path)
+      catch {
+        case e: java.util.zip.ZipException => throw new IllegalArgumentException(
+          s"$path: not an OpenDocument (ZIP) file — ${e.getMessage}", e)
+      }
     try {
       val entry = Option(zf.getEntry("content.xml")).getOrElse(
         throw new IllegalArgumentException(s"not an ODF file: missing content.xml ($path)"))

@@ -76,7 +76,6 @@ object Xls {
     private var off = 0
     private def remainingInSeg: Int = segs(seg)._2 - off
     private def advance(): Unit = { seg += 1; off = 0 }
-    def atEnd: Boolean = seg >= segs.size || (seg == segs.size - 1 && remainingInSeg == 0)
     def u8(): Int = {
       while (remainingInSeg == 0) advance()
       val v = d(segs(seg)._1 + off) & 0xFF

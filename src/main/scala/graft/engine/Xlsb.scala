@@ -41,7 +41,12 @@ object Xlsb {
   /** All rows of one sheet as strings, empty cells "". `sheet` selects by
     * name or 0-based index (pandas sheet_name parity); default first. */
   def readRows(path: String, sheet: Option[String]): Vector[Vector[String]] = {
-    val zf = new ZipFile(path)
+    val zf =
+      try new ZipFile(path)
+      catch {
+        case e: java.util.zip.ZipException => throw new IllegalArgumentException(
+          s"$path: not an xlsb (OOXML ZIP) file — ${e.getMessage}", e)
+      }
     try {
       val sheetNames = {
         val wb = Option(zf.getEntry("xl/workbook.bin")).getOrElse(

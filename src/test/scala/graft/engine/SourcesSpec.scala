@@ -313,6 +313,16 @@ class SourcesSpec extends SparkSpec {
       Sources.read(spark, "l", Map("file" -> "legacy.xls"), dir))
     assert(e.getMessage.toLowerCase.contains("ole2") || e.getMessage.contains("Compound"),
       e.getMessage)
+    // corrupt ZIP-family spreadsheets also fail diagnosably, not with a raw
+    // ZipException from deep inside the JDK
+    for (ext <- Seq("xlsb", "ods", "xlsx")) {
+      val g = dir.resolve(s"garbage.$ext")
+      Files.write(g, "this is not a zip archive".getBytes("UTF-8"))
+      val err = intercept[IllegalArgumentException](
+        Sources.read(spark, "g", Map("file" -> s"garbage.$ext"), dir))
+      assert(err.getMessage.contains(ext) || err.getMessage.toLowerCase.contains("zip"),
+        s"$ext: ${err.getMessage}")
+    }
   }
 
   test("xlsx: shared strings, numeric cells, booleans, and sparse cells parse") {
