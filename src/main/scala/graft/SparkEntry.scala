@@ -729,6 +729,21 @@ object SparkEntry {
           graft.functions.Corpus.urlDomain(col("url")).as("domain"))
     }),
 
+    // URL-dedup composite: canonicalize then keep the smallest doc_id per
+    // canonical URL — the first dedup stage of a crawl pipeline (different
+    // tracking params / ports / case map to one fetch). Synthesis folds
+    // doc_id pairs onto the same canonical URL so real collapses occur.
+    "q_dedup_url" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source")
+      val url = concat(
+        lit("HTTP://WWW."), upper(col("source")), lit(".Example.COM:80/Docs/"),
+        (col("doc_id") / 2).cast("long").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+      docs.withColumn("url_norm", graft.functions.Corpus.normalizeUrl(url))
+        .groupBy("url_norm")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_fetches"))
+    }),
+
     // sequence packing: documents → ≈4k-token training contexts in
     // deterministic md5(doc_id) stream order; split-free greedy (context
     // may overflow by its last doc), context_id verifiable by the oracle's
@@ -1571,6 +1586,15 @@ object SparkEntry {
              lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
              '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS domain
          FROM s5""",
+
+    "q_dedup_url" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'http://www.' || lower(source) || '.example.com/Docs/' ||
+             cast(doc_id // 2 AS VARCHAR) AS url_norm
+           FROM documents)
+         SELECT url_norm, min(doc_id) AS doc_id, count(*)::BIGINT AS n_fetches
+         FROM u GROUP BY 1""",
 
     "q_pack_contexts" ->
       """WITH t AS (

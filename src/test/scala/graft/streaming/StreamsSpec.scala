@@ -123,6 +123,29 @@ class StreamsSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("n_words") == 4L))
     } finally q.stop()
   }
+
+  test("url_normalize and streaming exact URL dedup run on a live stream") {
+    // normalizeUrl is a stateless codegen chain (stream-safe as-is);
+    // dropDuplicates on the canonical URL is the streaming form of the
+    // crawl pipeline's first dedup stage
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = mem.toDF().toDF("doc_id", "url")
+      .withColumn("url_norm", graft.functions.Corpus.normalizeUrl(col("url")))
+      .dropDuplicates("url_norm")
+    val q = deduped.writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "HTTP://WWW.A.COM:80/x?utm_source=s"),
+        (2L, "http://www.a.com/x"), // same canonical URL → duplicate
+        (3L, "http://b.net/y#frag"))
+      q.processAllAvailable()
+      val urls = spark.table("url_stream").select("url_norm")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(urls == Seq("http://b.net/y", "http://www.a.com/x"))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
