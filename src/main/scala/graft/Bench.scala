@@ -130,6 +130,18 @@ object BenchFormat {
       (if (machineContended) s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(short, 1)},"qprefix":"q_","machine_contended":true$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
        else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${jsMap(short, 1)},"qprefix":"q_"$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}""")
     }
+    // Tier 8: stripped names AND integer decisecond values, both announced
+    // ("qprefix" + "qunit":"ds") — saves ~2 chars/query over "0.1"-style
+    // seconds while every query stays present and reconstructable.
+    def strippedDs(): String = {
+      val short = mins.map { case (k, v) =>
+        val name = if (k.startsWith("q_")) k.drop(2) else k
+        "\"" + name + "\":" + math.round(v * 10).toString
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$short,"qprefix":"q_","qunit":"ds"""" +
+        (if (machineContended) s""","machine_contended":true""" else "") +
+        s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
+    }
     val tiers = Iterator(
       build(3, true, true, true),
       build(2, true, true, true),
@@ -137,7 +149,8 @@ object BenchFormat {
       build(2, false, false, false),
       build(1, false, false, false),
       build(1, false, false, false, minimalEnvelope = true),
-      stripped())
+      stripped(),
+      strippedDs())
     tiers.find(_.length <= StdoutBudget).getOrElse {
       // Physically impossible to fit every entry (names × count outgrew the
       // window). A truncated-but-valid JSON line with a pointer to the full

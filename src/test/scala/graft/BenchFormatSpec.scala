@@ -42,6 +42,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""machine_contended":true"""))
   }
 
+  test("decisecond tier keeps the whole suite past the prefix-strip limit") {
+    // 95 × 16-char names: too long for the minimal and prefix-strip tiers,
+    // exactly inside the decisecond tier — every query must be present,
+    // with qprefix + qunit announcing both transforms
+    val mid = (1 to 95).map(i => f"q_operator_n_$i%03d" -> 0.123)
+    val line = BenchFormat.stdoutLine(
+      total = 12.0, mins = mid, spreadWarn = Nil,
+      contendedCount = 0, machineContended = false,
+      resultsFile = "/root/repo/BENCH_RESULTS.json",
+      reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 2000, s"line was ${line.length} chars")
+    assert(!line.contains("queries_omitted"), s"all 95 queries must survive: $line")
+    assert(line.contains("\"qunit\":\"ds\"") && line.contains("\"qprefix\":\"q_\""), line.take(120))
+    assert(line.contains("\"operator_n_001\":1")) // 0.123s → 1 ds
+    (1 to 95).foreach(i =>
+      assert(line.contains(f"operator_n_$i%03d"), s"missing query $i"))
+  }
+
   test("a suite too large to ever fit degrades to valid truncated JSON, never an unparseable line") {
     // slow queries interleaved among cheap ones: truncation must keep the
     // slow tail (the regression signal), not the alphabetical prefix
