@@ -100,6 +100,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("url canonicalization is a narrow codegen pass: no exchange, no UDF") {
+    val p = formatted("q_url_normalize")
+    assert(!p.contains("Exchange"), "normalizeUrl/urlDomain must not shuffle")
+    assert(!p.contains("ScalaUDF"), "the regex chain must stay codegen built-ins")
+    assert(p.contains("* Project"), "projection must sit inside whole-stage codegen")
+  }
+
+  test("url dedup: partial aggregation, single shuffle, no UDF") {
+    val p = formatted("q_dedup_url")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "canonical-URL collapse needs map-side partials")
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly one exchange, saw $shuffles")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("pack_text materialization never collapses to a single partition") {
+    val p = formatted("q_pack_text")
+    assert(p.contains("Window") && !p.contains("SinglePartition"),
+      "prefix sum must stay per-bucket; context groupBy must hash-partition")
+  }
+
   test("domain cap: both top-k stages partition by key, never one task per giant domain") {
     val p = formatted("q_domain_cap")
     assert(p.contains("Window"), "cap uses window row_number")
