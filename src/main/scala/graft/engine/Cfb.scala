@@ -126,6 +126,8 @@ object Cfb {
         s"$path: no stream named ${names.mkString(" / ")} in CFB directory " +
           s"(streams: ${entries.filter(_.objectType == 2).map(_.name).mkString(", ")})"))
 
+    require(target.size >= 0 && target.size <= data.length.toLong,
+      s"$path: CFB stream `${target.name}` claims ${target.size} bytes in a ${data.length}-byte file")
     if (target.size >= miniCutoff) readChain(target.startSector, target.size)
     else {
       // mini stream: the root entry's chain holds the mini sectors back to

@@ -41,6 +41,18 @@ object Xls {
   /** All rows of one sheet as strings, empty cells "". `sheet` selects by
     * name or 0-based index (pandas sheet_name parity); default first. */
   def readRows(path: String, sheet: Option[String]): Vector[Vector[String]] = {
+    try readRows0(path, sheet)
+    catch {
+      // a truncated/corrupt stream surfaces as an out-of-bounds read inside
+      // the record cursors — rethrow as a diagnosable format error
+      case e @ (_: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
+                _: NegativeArraySizeException) =>
+        throw new IllegalArgumentException(
+          s"$path: truncated or corrupt .xls (BIFF8) stream", e)
+    }
+  }
+
+  private def readRows0(path: String, sheet: Option[String]): Vector[Vector[String]] = {
     val wb = Cfb.readStream(path, Seq("Workbook", "Book"))
     val (sst, sheets) = parseGlobals(wb, path)
     val idx = sheet match {

@@ -41,6 +41,16 @@ object Xlsb {
   /** All rows of one sheet as strings, empty cells "". `sheet` selects by
     * name or 0-based index (pandas sheet_name parity); default first. */
   def readRows(path: String, sheet: Option[String]): Vector[Vector[String]] = {
+    try readRows0(path, sheet)
+    catch {
+      case e @ (_: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
+                _: NegativeArraySizeException) =>
+        throw new IllegalArgumentException(
+          s"$path: truncated or corrupt .xlsb (BIFF12) part", e)
+    }
+  }
+
+  private def readRows0(path: String, sheet: Option[String]): Vector[Vector[String]] = {
     val zf =
       try new ZipFile(path)
       catch {

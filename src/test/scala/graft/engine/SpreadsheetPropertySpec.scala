@@ -65,6 +65,31 @@ class SpreadsheetPropertySpec extends SparkSpec {
     }, "spreadsheet_roundtrip")
   }
 
+  test("truncated binary spreadsheets fail diagnosably at every cut point, never hang") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trunc")
+    val rows = Vector(Vector("id", "name"), Vector("1", "ann"), Vector("2", "bob"))
+    val xls = dir.resolve("t.xls"); graft.tools.GenXls.write(xls.toString, rows)
+    val xlsb = dir.resolve("t.xlsb"); Xlsb.write(xlsb, rows)
+    for (p <- Seq(xls, xlsb)) {
+      val full = java.nio.file.Files.readAllBytes(p)
+      // cut at a spread of interior offsets; each must throw a diagnosable
+      // exception (or, for generous cuts, still parse) within bounded time
+      for (cut <- Seq(4, 64, 200, full.length / 2, full.length - 3)) {
+        val t = dir.resolve(s"cut$cut-${p.getFileName}")
+        java.nio.file.Files.write(t, java.util.Arrays.copyOf(full, cut))
+        try {
+          val r =
+            if (t.toString.endsWith("xls")) Xls.readRows(t.toString, None)
+            else Xlsb.readRows(t.toString, None)
+          assert(r.size <= rows.size) // parsed a prefix — acceptable
+        } catch {
+          case e: IllegalArgumentException => assert(e.getMessage.contains(t.toString) ||
+            e.getMessage.nonEmpty)
+        }
+      }
+    }
+  }
+
   test("normalizeUrl is idempotent over messy URLs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
