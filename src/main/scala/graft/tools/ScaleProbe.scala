@@ -22,11 +22,21 @@ object ScaleProbe {
     }
     // each leg also prints incrementally, so a later-leg failure (OOM,
     // result-size cap) can't erase the numbers already measured
+    // SPARK_GRAFT_LEGS=pack_contexts,token_budget limits a run to named
+    // legs (skipped legs report -1s and null counts in the summary line) —
+    // lets a big-corpus probe of one new operator fit a bounded window
+    // without paying for the whole suite.
+    val legFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_LEGS").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(name: String): Boolean = legFilter.forall(_.contains(name))
     def leg[A](d: String, name: String)(f: => A): (A, Double) = {
-      val (r, t) = time(f)
-      println(f"SCALE-LEG $d $name=$t%.1fs")
-      spark.catalog.clearCache()
-      (r, t)
+      if (!enabled(name)) { println(s"SCALE-LEG $d $name=SKIPPED"); (null.asInstanceOf[A], -1.0) }
+      else {
+        val (r, t) = time(f)
+        println(f"SCALE-LEG $d $name=$t%.1fs")
+        spark.catalog.clearCache()
+        (r, t)
+      }
     }
     // warmup (classload + codegen)
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
@@ -143,17 +153,23 @@ object ScaleProbe {
       // production shape: corpus index precomputed OUTSIDE the timed block
       // (written once per corpus in real life) — the delta run then only
       // shingles the batch, so this leg isolates the true marginal cost
-      val corpusIdx = Dedup.shingleIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      corpusIdx.count() // materialize before timing
-      val (incrIdxKept, tIncrIdx) = leg(d, "dedup_incr_indexed")(
-        Dedup.dedupNearIncrementalIndexed(
-          docs.filter(col("doc_id") % 10 === 0), corpusIdx,
-          "doc_id", "text", threshold = 0.7, maxDocFreq = Some(1000L)).count())
-      require(incrIdxKept == incrKept,
-        s"indexed incremental kept $incrIdxKept != text path $incrKept")
-      corpusIdx.unpersist()
+      val (incrIdxKept, tIncrIdx) =
+        if (!enabled("dedup_incr_indexed")) leg(d, "dedup_incr_indexed")(0L)
+        else {
+          val corpusIdx = Dedup.shingleIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          corpusIdx.count() // materialize before timing
+          val r = leg(d, "dedup_incr_indexed")(
+            Dedup.dedupNearIncrementalIndexed(
+              docs.filter(col("doc_id") % 10 === 0), corpusIdx,
+              "doc_id", "text", threshold = 0.7, maxDocFreq = Some(1000L)).count())
+          corpusIdx.unpersist()
+          r
+        }
+      if (tIncr >= 0 && tIncrIdx >= 0)
+        require(incrIdxKept == incrKept,
+          s"indexed incremental kept $incrIdxKept != text path $incrKept")
       // exact substring dedup: window-hash shuffle is O(total tokens), so
       // wall should track corpus size linearly like the cleaning tier
       val (ssFlags, tSpan) = leg(d, "substr_spans")(
@@ -170,7 +186,7 @@ object ScaleProbe {
       // (the READ side's file-level parallelism is what the leg measures)
       val shardDir = java.nio.file.Files.createTempDirectory("graft-scale-wet")
       val wetDocs = math.min(n, 500000L)
-      locally {
+      if (enabled("wet_ingest")) {
         val rows = docs.select("doc_id", "text").limit(wetDocs.toInt).collect()
         rows.grouped((rows.length / 16).max(1)).zipWithIndex.foreach { case (g, i) =>
           GenWarc.write(shardDir.resolve(f"part-$i%02d.wet.gz").toString,
