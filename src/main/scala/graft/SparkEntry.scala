@@ -729,6 +729,20 @@ object SparkEntry {
           graft.functions.Corpus.urlDomain(col("url")).as("domain"))
     }),
 
+    // blocklist curation through the real YAML-op dispatch: drop documents
+    // whose registrable domain (or any parent) is listed — UT1-style
+    // domain filtering, the standard crawl exclusion pass
+    "q_domain_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source")
+        .withColumn("url", concat(lit("http://www."), col("source"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+      new graft.engine.Engine(s).applyOperation(docs,
+        Map("operation" -> "domain_filter", "column" -> "url",
+          "domains" -> List("src0.example.com", "src3.example.com")),
+        Map.empty, "gate")
+        .select("doc_id")
+    }),
+
     // URL-dedup composite: canonicalize then keep the smallest doc_id per
     // canonical URL — the first dedup stage of a crawl pipeline (different
     // tracking params / ports / case map to one fetch). Synthesis folds
@@ -1586,6 +1600,10 @@ object SparkEntry {
              lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
              '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS domain
          FROM s5""",
+
+    "q_domain_filter" ->
+      """SELECT doc_id FROM documents
+         WHERE lower(source) || '.example.com' NOT IN ('src0.example.com', 'src3.example.com')""",
 
     "q_dedup_url" ->
       """WITH u AS (

@@ -213,6 +213,7 @@ final class Engine(spark: SparkSession) {
     "pii_redact" -> Set("column", "columns"),
     "url_normalize" -> Set("column", "new_column"),
     "url_domain" -> Set("column", "new_column"),
+    "domain_filter" -> Set("column", "domains", "domains_file", "mode"),
     "lang_id" -> Set("column", "new_column"),
     "text_stats" -> Set("column", "stopwords"),
     "repetition_stats" -> Set("column", "line_delimiter", "ngram"),
@@ -350,6 +351,39 @@ final class Engine(spark: SparkSession) {
         val c = Config.reqStr(op, "column", ctx)
         df.withColumn(Config.str(op, "new_column").getOrElse("domain"),
           graft.functions.Corpus.urlDomain(org.apache.spark.sql.functions.col(c)))
+      // allowlist/blocklist by registrable domain (UT1-style curation):
+      // domains inline (`domains:`) or one-per-line file (`domains_file`,
+      // read driver-side and broadcast as a literal set — blocklists are
+      // a bounded human-curated artifact, not data-scale)
+      case "domain_filter" =>
+        import org.apache.spark.sql.functions.{col => fcol, lower, trim => ftrim}
+        val c = Config.reqStr(op, "column", ctx)
+        val inline = op.get("domains").map {
+          case l: List[_] => l.map(_.toString)
+          case other => throw new IllegalArgumentException(
+            s"$ctx: domain_filter `domains` must be a list, got $other")
+        }.getOrElse(Nil)
+        val fromFile = Config.str(op, "domains_file").map { f =>
+          val p = configDir.resolve(f)
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala.toList
+        }.getOrElse(Nil)
+        val domains = (inline ++ fromFile).map(_.trim.toLowerCase).filter(_.nonEmpty)
+        if (domains.isEmpty) throw new IllegalArgumentException(
+          s"$ctx: domain_filter needs `domains` or `domains_file`")
+        val mode = Config.str(op, "mode").getOrElse("drop")
+        val dom = graft.functions.Corpus.urlDomain(fcol(c))
+        // member iff the registrable domain OR any parent domain is listed
+        // (blocking example.com blocks www2.example.com) — suffix match via
+        // the exact domain or a dot-boundary endswith
+        val member = domains.map(d =>
+          dom === d || dom.endsWith("." + d)).reduce(_ || _)
+        mode match {
+          case "drop" => df.filter(!member)
+          case "keep" => df.filter(member)
+          case other => throw new IllegalArgumentException(
+            s"$ctx: domain_filter `mode` must be keep or drop, got `$other`")
+        }
       case "lang_id" =>
         graft.functions.TextFunctions.withLangId(df, Config.reqStr(op, "column", ctx),
           Config.str(op, "new_column").getOrElse("lang_pred"))

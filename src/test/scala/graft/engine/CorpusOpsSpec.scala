@@ -91,6 +91,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dom.select("domain").head().getString(0) == "a.com")
   }
 
+  test("domain_filter dispatch: drop/keep, parent-domain suffix match, domains_file") {
+    val rows = Seq(
+      (1L, "http://www.ads.example.com/x"),   // subdomain of a blocked domain
+      (2L, "http://example.com/y"),           // exact blocked domain
+      (3L, "http://notexample.com/z"),        // suffix WITHOUT dot boundary — kept
+      (4L, "https://clean.org/w")).toDF("doc_id", "url")
+    val dropped = run(rows, Map("operation" -> "domain_filter", "column" -> "url",
+      "domains" -> List("Example.COM")))
+    assert(dropped.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    val kept = run(rows, Map("operation" -> "domain_filter", "column" -> "url",
+      "domains" -> List("example.com"), "mode" -> "keep"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // domains_file: one domain per line, resolved against the config dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-blocklist")
+    java.nio.file.Files.write(dir.resolve("block.txt"), "clean.org\n\n".getBytes)
+    val fromFile = new Engine(spark).applyOperation(rows,
+      Map("operation" -> "domain_filter", "column" -> "url",
+        "domains_file" -> "block.txt"), Map.empty, "t", dir)
+    assert(fromFile.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException](run(rows,
+      Map("operation" -> "domain_filter", "column" -> "url")))
+  }
+
   test("domain_cap and rebalance_mixture dispatch") {
     val rows = ((0L until 30L).map(i => (i, s"payload $i", "big")) ++
       (30L until 35L).map(i => (i, s"payload $i", "small"))).toDF("doc_id", "text", "source")
