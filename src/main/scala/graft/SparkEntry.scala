@@ -729,6 +729,14 @@ object SparkEntry {
           graft.functions.Corpus.urlDomain(col("url")).as("domain"))
     }),
 
+    // LM-rarity quality signal: corpus-induced trigram model, integer-exact
+    // mean inverse frequency — the CCNet perplexity screening role without
+    // a shipped model; oracle rebuilds the identical LM in SQL
+    "q_trigram_rarity" -> ((s, d) =>
+      graft.functions.Corpus.withTrigramRarity(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "rarity_sum", "n_trigrams", "rarity")),
+
     // blocklist curation through the real YAML-op dispatch: drop documents
     // whose registrable domain (or any parent) is listed — UT1-style
     // domain filtering, the standard crawl exclusion pass
@@ -1600,6 +1608,28 @@ object SparkEntry {
              lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
              '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS domain
          FROM s5""",
+
+    "q_trigram_rarity" ->
+      """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+         tris AS (
+           SELECT doc_id, substr(t, i, 3) AS tri
+           FROM docs, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+         counts AS (SELECT tri, count(*)::BIGINT AS cnt FROM tris GROUP BY tri),
+         vocab AS (SELECT tri, cnt FROM counts ORDER BY cnt DESC, tri LIMIT 4096),
+         n AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+         rars AS (
+           SELECT t.doc_id,
+             least((1000 * (SELECT total FROM n)) // (coalesce(v.cnt, 0) + 1),
+                   1000000000000) AS rar
+           FROM tris t LEFT JOIN vocab v USING (tri)),
+         scores AS (SELECT doc_id, sum(rar)::BIGINT AS rarity_sum,
+                    count(*)::BIGINT AS n_trigrams FROM rars GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(s.rarity_sum, 0)::BIGINT AS rarity_sum,
+           coalesce(s.n_trigrams, 0)::BIGINT AS n_trigrams,
+           (CASE WHEN coalesce(s.n_trigrams, 0) = 0 THEN 0
+                 ELSE s.rarity_sum // s.n_trigrams END)::BIGINT AS rarity
+         FROM documents d LEFT JOIN scores s USING (doc_id)""",
 
     "q_domain_filter" ->
       """SELECT doc_id FROM documents

@@ -214,6 +214,7 @@ final class Engine(spark: SparkSession) {
     "url_normalize" -> Set("column", "new_column"),
     "url_domain" -> Set("column", "new_column"),
     "domain_filter" -> Set("column", "domains", "domains_file", "mode"),
+    "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
     "text_stats" -> Set("column", "stopwords"),
     "repetition_stats" -> Set("column", "line_delimiter", "ngram"),
@@ -384,6 +385,13 @@ final class Engine(spark: SparkSession) {
           case other => throw new IllegalArgumentException(
             s"$ctx: domain_filter `mode` must be keep or drop, got `$other`")
         }
+      // corpus-induced trigram-LM rarity (CCNet-perplexity stand-in),
+      // integer-exact; adds rarity_sum / n_trigrams / rarity
+      case "trigram_rarity" =>
+        graft.functions.Corpus.withTrigramRarity(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "vocab_size").getOrElse(4096),
+          Config.str(op, "scale").map(_.toLong).getOrElse(1000L))
       case "lang_id" =>
         graft.functions.TextFunctions.withLangId(df, Config.reqStr(op, "column", ctx),
           Config.str(op, "new_column").getOrElse("lang_pred"))

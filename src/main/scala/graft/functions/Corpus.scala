@@ -329,6 +329,68 @@ object Corpus {
       .select(col(idCol), col("n_overlap"))
   }
 
+  // ------------------------------------------------- LM-rarity (perplexity proxy)
+
+  /** CCNet-style language-model rarity signal, float-free. A character
+    * trigram LM is induced from the corpus itself (top `vocabSize` trigrams
+    * of the lowercased text by frequency, ties broken by trigram — a
+    * deterministic, broadcastable model); each document scores the mean
+    * inverse frequency of its trigrams under that LM:
+    *
+    *   rar(tri)   = min( floor(scale · N / (cnt(tri) + 1)), 10¹² )
+    *   rarity_sum = Σ rar over the doc's trigrams       (OOV ⇒ cnt = 0)
+    *   rarity     = rarity_sum / n_trigrams  (integer division; 0 if empty)
+    *
+    * where N = Σ cnt over the kept vocabulary. High rarity ⇒ the doc's
+    * character distribution is unlike the corpus (gibberish, foreign
+    * charset, binary junk) — the same screening role CCNet's KenLM
+    * perplexity plays, without a shipped model. All-integer arithmetic
+    * (the repo's float-free-rank discipline): results are bit-identical on
+    * any cluster, any partitioning, any summation order. The 10¹² clamp
+    * keeps rarity_sum within Long for documents up to ~9M trigrams (chunk
+    * longer docs first).
+    *
+    * Scale shape: trigram counting is a groupBy on ≤|alphabet|³ short keys;
+    * the model is a top-K driver collect (≤ vocabSize rows) broadcast to a
+    * narrow scoring kernel; per-doc totals shuffle once keyed by id with
+    * map-side partials. Nothing super-linear, no floats, no UDF on the
+    * agg path. */
+  def withTrigramRarity(df: DataFrame, idCol: String, textCol: String,
+                        vocabSize: Int = 4096, scale: Long = 1000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(vocabSize > 0 && scale > 0, "withTrigramRarity: vocabSize and scale must be positive")
+    val tris = df.select(col(idCol).cast(LongType).as("id"),
+        lower(col(textCol)).as("t")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null || t.length < 3) Iterator.empty
+        else t.sliding(3).map(tri => (id, tri))
+      }.toDF("id", "tri")
+    val counts = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tri").asc).limit(vocabSize)
+      .as[(String, Long)].collect()
+    val totalN = vocab.map(_._2).sum
+    val lm = spark.sparkContext.broadcast(vocab.toMap)
+    val perDoc = tris.as[(Long, String)].mapPartitions { rows =>
+      val m = lm.value
+      rows.map { case (id, tri) =>
+        val cnt = m.getOrElse(tri, 0L)
+        (id, math.min(scale * totalN / (cnt + 1L), 1000000000000L))
+      }
+    }.toDF("id", "rar")
+      .groupBy("id")
+      .agg(sum("rar").as("rarity_sum"), count(lit(1)).as("n_trigrams"))
+    df.join(perDoc, col(idCol).cast(LongType) === col("id"), "left")
+      .drop("id")
+      .withColumn("rarity_sum", coalesce(col("rarity_sum"), lit(0L)))
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+      .withColumn("rarity",
+        when(col("n_trigrams") === 0, lit(0L))
+          // `div` = integral division (never the double `/`): exact even
+          // when rarity_sum exceeds double's 2^53 integer range
+          .otherwise(expr("rarity_sum div n_trigrams")))
+  }
+
   // ------------------------------------------------------ URL canonicalization
 
   /** Canonical URL for crawl-scale URL dedup — the first dedup stage of

@@ -114,6 +114,17 @@ class CorpusOpsSpec extends SparkSpec {
       Map("operation" -> "domain_filter", "column" -> "url")))
   }
 
+  test("trigram_rarity dispatch adds the three integer columns") {
+    val out = run(docs, Map("operation" -> "trigram_rarity",
+      "id_column" -> "doc_id", "column" -> "text", "vocab_size" -> 64))
+    assert(out.columns.toSeq == docs.columns.toSeq ++ Seq("rarity_sum", "n_trigrams", "rarity"))
+    assert(out.count() == docs.count())
+    // identical texts score identically; all real docs have trigrams
+    val scores = out.select("doc_id", "rarity").as[(Long, Long)].collect().toMap
+    assert(scores(0L) == scores(1L))
+    assert(out.filter($"n_trigrams" === 0).count() == 0)
+  }
+
   test("domain_cap and rebalance_mixture dispatch") {
     val rows = ((0L until 30L).map(i => (i, s"payload $i", "big")) ++
       (30L until 35L).map(i => (i, s"payload $i", "small"))).toDF("doc_id", "text", "source")

@@ -133,6 +133,26 @@ class CorpusSpec extends SparkSpec {
     assert(!out.contains(1L))
   }
 
+  test("withTrigramRarity: hand-computed LM on a tiny corpus, empty docs score 0") {
+    // corpus: "aaaa" (tris aaa×2), "aaab" (aaa, aab), "xy" (no trigram)
+    // counts: aaa=3, aab=1 → vocab (K=4096) keeps both, N=4
+    // rar(aaa) = 1000·4/(3+1) = 1000; rar(aab) = 1000·4/(1+1) = 2000
+    val docs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "xy")).toDF("doc_id", "text")
+    val got = Corpus.withTrigramRarity(docs, "doc_id", "text")
+      .select("doc_id", "rarity_sum", "n_trigrams", "rarity")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2000L, 2L, 1000L),  // aaa+aaa
+      (2L, 3000L, 2L, 1500L),  // aaa+aab
+      (3L, 0L, 0L, 0L)))       // too short: no trigrams, rarity 0
+    // uppercase input lowercases into the same LM
+    val up = Corpus.withTrigramRarity(
+      Seq((9L, "AAAA")).toDF("doc_id", "text").union(docs.filter($"doc_id" =!= 1L)),
+      "doc_id", "text")
+      .filter($"doc_id" === 9L).select("rarity_sum").as[Long].head()
+    assert(up == 2000L)
+  }
+
   test("normalizeUrl applies the documented canonicalization rules") {
     val cases = Seq(
       // fragment + tracking params + default port + uppercase authority
