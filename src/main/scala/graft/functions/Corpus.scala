@@ -356,39 +356,68 @@ object Corpus {
     * map-side partials. Nothing super-linear, no floats, no UDF on the
     * agg path. */
   def withTrigramRarity(df: DataFrame, idCol: String, textCol: String,
-                        vocabSize: Int = 4096, scale: Long = 1000L): DataFrame = {
+                        vocabSize: Int = 4096, scale: Long = 1000L): DataFrame =
+    scoreTrigramRarity(df, idCol, textCol, trigramLm(df, textCol, vocabSize), scale)
+
+  /** The LM half: top-`vocabSize` lowercased character trigrams of the
+    * corpus by (count desc, trigram asc) — a deterministic, broadcastable
+    * model, bounded by vocabSize regardless of corpus size. Induce it once
+    * per corpus, persist it, and score any later frame (or a live stream)
+    * against it. */
+  def trigramLm(df: DataFrame, textCol: String, vocabSize: Int = 4096): Map[String, Long] = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(vocabSize > 0 && scale > 0, "withTrigramRarity: vocabSize and scale must be positive")
-    val tris = df.select(col(idCol).cast(LongType).as("id"),
-        lower(col(textCol)).as("t")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        if (t == null || t.length < 3) Iterator.empty
-        else t.sliding(3).map(tri => (id, tri))
-      }.toDF("id", "tri")
-    val counts = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
-    val vocab = counts.orderBy(col("cnt").desc, col("tri").asc).limit(vocabSize)
-      .as[(String, Long)].collect()
-    val totalN = vocab.map(_._2).sum
-    val lm = spark.sparkContext.broadcast(vocab.toMap)
-    val perDoc = tris.as[(Long, String)].mapPartitions { rows =>
+    require(vocabSize > 0, "trigramLm: vocabSize must be positive")
+    df.select(lower(col(textCol)).as("t")).as[String]
+      .flatMap(t => if (t == null || t.length < 3) Iterator.empty else t.sliding(3))
+      .toDF("tri")
+      .groupBy("tri").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tri").asc).limit(vocabSize)
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** The scoring half: integer-exact rarity of each row's text under a
+    * prebuilt [[trigramLm]]. ONE narrow kernel pass — the whole per-row sum
+    * happens inside the partition iterator, so there is NO shuffle, no
+    * join, no aggregation: the scorer composes into any batch plan for
+    * free and is stream-safe against the static LM (the production
+    * ingestion shape: model induced offline from the corpus, deltas
+    * scored as they land). `idCol` is unused by the computation (scores
+    * are per-row) and kept in the signature for API symmetry. */
+  def scoreTrigramRarity(df: DataFrame, idCol: String, textCol: String,
+                         lmMap: Map[String, Long], scale: Long = 1000L): DataFrame = {
+    require(scale > 0, "scoreTrigramRarity: scale must be positive")
+    val totalN = lmMap.values.sum
+    val lm = df.sparkSession.sparkContext.broadcast(lmMap)
+    // lowercase via Catalyst BEFORE the kernel so the fold matches
+    // trigramLm's `lower()` exactly (locale-free UTF8String semantics)
+    val lowered = df.withColumn("__rar_t__", lower(col(textCol)))
+    val tIdx = lowered.schema.fieldIndex("__rar_t__")
+    val outSchema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("rarity_sum", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_trigrams", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rarity", LongType, nullable = false)))
+    lowered.mapPartitions { rows =>
       val m = lm.value
-      rows.map { case (id, tri) =>
-        val cnt = m.getOrElse(tri, 0L)
-        (id, math.min(scale * totalN / (cnt + 1L), 1000000000000L))
+      rows.map { r =>
+        val t = if (r.isNullAt(tIdx)) null else r.getString(tIdx)
+        var s = 0L
+        var n = 0L
+        if (t != null && t.length >= 3) {
+          var i = 0
+          val last = t.length - 3
+          while (i <= last) {
+            val cnt = m.getOrElse(t.substring(i, i + 3), 0L)
+            s += math.min(scale * totalN / (cnt + 1L), 1000000000000L)
+            n += 1
+            i += 1
+          }
+        }
+        val rarity = if (n == 0) 0L else s / n
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.patch(tIdx, Nil, 1) ++ Seq(s, n, rarity))
       }
-    }.toDF("id", "rar")
-      .groupBy("id")
-      .agg(sum("rar").as("rarity_sum"), count(lit(1)).as("n_trigrams"))
-    df.join(perDoc, col(idCol).cast(LongType) === col("id"), "left")
-      .drop("id")
-      .withColumn("rarity_sum", coalesce(col("rarity_sum"), lit(0L)))
-      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
-      .withColumn("rarity",
-        when(col("n_trigrams") === 0, lit(0L))
-          // `div` = integral division (never the double `/`): exact even
-          // when rarity_sum exceeds double's 2^53 integer range
-          .otherwise(expr("rarity_sum div n_trigrams")))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   // ------------------------------------------------------ URL canonicalization

@@ -124,6 +124,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trigram rarity scores a live stream against a statically induced LM") {
+    implicit val sqlCtx = spark.sqlContext
+    // model induced offline from a static corpus...
+    val corpus = Seq((1L, "aaaa"), (2L, "aaab")).toDF("doc_id", "text")
+    val lm = graft.functions.Corpus.trigramLm(corpus, "text") // aaa=3, aab=1, N=4
+    // ...scores deltas as they land: a pure narrow kernel, no stream agg
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.functions.Corpus.scoreTrigramRarity(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", lm)
+    val q = scored.writeStream.format("memory").queryName("rar_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "AAAA"), (11L, "zzzz"), (12L, "xy"))
+      q.processAllAvailable()
+      val rows = spark.table("rar_stream").select("doc_id", "rarity_sum", "rarity")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      // rar(aaa)=1000*4/4=1000; OOV zzz: 1000*4/1=4000
+      assert(rows == Seq((10L, 2000L, 1000L), (11L, 8000L, 4000L), (12L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("url_normalize and streaming exact URL dedup run on a live stream") {
     // normalizeUrl is a stateless codegen chain (stream-safe as-is);
     // dropDuplicates on the canonical URL is the streaming form of the
