@@ -375,10 +375,23 @@ final class Engine(spark: SparkSession) {
         val mode = Config.str(op, "mode").getOrElse("drop")
         val dom = graft.functions.Corpus.urlDomain(fcol(c))
         // member iff the registrable domain OR any parent domain is listed
-        // (blocking example.com blocks www2.example.com) — suffix match via
-        // the exact domain or a dot-boundary endswith
-        val member = domains.map(d =>
-          dom === d || dom.endsWith("." + d)).reduce(_ || _)
+        // (blocking example.com blocks www2.example.com). Small lists stay
+        // a chained codegen OR; past 16 entries the predicate switches to
+        // set membership over the domain's dot-suffix array (a host has a
+        // handful of labels, a UT1-class blocklist has up to millions of
+        // entries — the list must be the lookup side, never an OR chain)
+        val member =
+          if (domains.size <= 16)
+            domains.map(d => dom === d || dom.endsWith("." + d)).reduce(_ || _)
+          else {
+            import org.apache.spark.sql.functions.{
+              array_join, arrays_overlap, sequence, size => fsize, slice, split, transform, typedLit, lit}
+            val parts = split(dom, "\\.")
+            val suffixes = transform(
+              sequence(lit(0), fsize(parts) - 1),
+              i => array_join(slice(parts, i + 1, fsize(parts) - i), "."))
+            arrays_overlap(suffixes, typedLit(domains.distinct))
+          }
         mode match {
           case "drop" => df.filter(!member)
           case "keep" => df.filter(member)

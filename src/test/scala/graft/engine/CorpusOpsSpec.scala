@@ -112,6 +112,12 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromFile.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     intercept[IllegalArgumentException](run(rows,
       Map("operation" -> "domain_filter", "column" -> "url")))
+    // >16 domains exercises the suffix-array set-membership path; results
+    // must be identical to the OR-chain semantics
+    val bigList = (1 to 20).map(i => s"filler$i.net").toList ++ List("example.com")
+    val bigDropped = run(rows, Map("operation" -> "domain_filter", "column" -> "url",
+      "domains" -> bigList))
+    assert(bigDropped.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
   test("trigram_rarity dispatch adds the three integer columns") {
