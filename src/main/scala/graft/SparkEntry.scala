@@ -729,6 +729,16 @@ object SparkEntry {
           graft.functions.Corpus.urlDomain(col("url")).as("domain"))
     }),
 
+    // leakage-safe split labeling through the real YAML-op dispatch:
+    // md5-band assignment over doc_id (binary-exact 0.25/0.5/0.25 weights
+    // so both engines compute identical thresholds)
+    "q_assign_split" -> ((s, d) =>
+      new graft.engine.Engine(s).applyOperation(
+        t(s, d, "documents").select("doc_id"),
+        Map("operation" -> "assign_split", "key_column" -> "doc_id",
+          "weights" -> Map("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)),
+        Map.empty, "gate")),
+
     // LM-rarity quality signal: corpus-induced trigram model, integer-exact
     // mean inverse frequency — the CCNet perplexity screening role without
     // a shipped model; oracle rebuilds the identical LM in SQL
@@ -1608,6 +1618,13 @@ object SparkEntry {
              lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
              '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS domain
          FROM s5""",
+
+    "q_assign_split" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 8) < '40000000' THEN 'test'
+                WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 8) < 'c0000000' THEN 'train'
+                ELSE 'val' END AS split
+         FROM documents""",
 
     "q_trigram_rarity" ->
       """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -240,6 +240,7 @@ final class Engine(spark: SparkSession) {
       "num_planes", "num_tables"),
     "token_budget" -> Set("id_column", "column", "tokens_column", "budget"),
     "pack_contexts" -> Set("id_column", "column", "tokens_column", "context_tokens"),
+    "assign_split" -> Set("key_column", "weights", "split_column"),
     "shuffle_rows" -> Set("id_column", "position_column"),
     "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
   )
@@ -527,6 +528,15 @@ final class Engine(spark: SparkSession) {
       // pack documents into ≈context_tokens-sized training contexts in
       // deterministic md5(id) stream order (split-free greedy); adds
       // `context_id`; tokens from `tokens_column` or counted from `column`
+      // leakage-safe train/val/test labeling by hash bands of a key column
+      case "assign_split" =>
+        val weights = Config.asMap(op.getOrElse("weights",
+          throw new IllegalArgumentException(s"$ctx: assign_split needs `weights`")))
+          .toSeq.map { case (k, v) => k -> v.toString.toDouble }
+          .sortBy(_._1) // YAML maps are unordered: fix band order by name
+        graft.functions.Sampling.assignSplit(df,
+          Config.reqStr(op, "key_column", ctx), weights,
+          Config.str(op, "split_column").getOrElse("split"))
       case "pack_contexts" =>
         import org.apache.spark.sql.functions.col
         val idC = Config.reqStr(op, "id_column", ctx)

@@ -111,6 +111,33 @@ object Sampling {
       .drop("__g_before__")
   }
 
+  /** Deterministic split assignment: label every row train/val/test (any
+    * names) by md5-hash bands of `keyCol` in the declared order, weights
+    * normalized to sum 1. The standard leakage-safe split rule: membership
+    * depends only on the key, so the same document lands in the same split
+    * on every run, any cluster, any partitioning — and keying by a
+    * dedup-group representative or URL makes the split leak-proof across
+    * near-duplicates. Pure codegen'd CASE over the hash prefix, no
+    * shuffle. */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  weights: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) && weights.map(_._2).sum > 0,
+      s"assignSplit: weights must be non-negative and sum > 0, got $weights")
+    val total = weights.map(_._2).sum
+    val hex = substring(md5(col(keyCol).cast("string")), 1, 8)
+    // cumulative upper bounds; the last band is a catch-all so rounding can
+    // never leave a row unlabeled
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val cased = weights.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), ub)) =>
+        val cond = hex < lit(thresholdHex(ub))
+        Some(acc.map(c => c.when(cond, name)).getOrElse(when(cond, name)))
+    }
+    val assigned = cased.map(_.otherwise(weights.last._1)).getOrElse(lit(weights.last._1))
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Materialized packing: one row per context with the member documents'
     * text concatenated in stream (md5(id), id) order — the actual training
     * sample. The groupBy's groups are ≈contextTokens tokens by

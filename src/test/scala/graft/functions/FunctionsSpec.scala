@@ -502,6 +502,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("assignSplit labels by hash bands: exhaustive, stable, near-declared proportions") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val got = Sampling.assignSplit(df, "doc_id",
+      Seq("test" -> 0.25, "train" -> 0.5, "val" -> 0.25))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.sum == 2000L) // every row labeled, catch-all band works
+    assert(math.abs(got("train") - 1000L) < 100, s"train=$got")
+    // stable under repartitioning and reruns
+    val a = Sampling.assignSplit(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(df.repartition(7), "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(df, "doc_id", Seq("x" -> -1.0)))
+  }
+
   test("hashShuffle yields a stable 0-based permutation, invariant to partitioning") {
     val df = (0L until 100L).toDF("doc_id")
     val pos = Sampling.hashShuffle(df, "doc_id").select("doc_id", "shuffle_pos")
