@@ -121,6 +121,13 @@ object ScaleProbe {
         graft.functions.Sampling.hashShuffle(docs, "doc_id").count())
       // sequence packing rides the same prefix-sum skeleton; count distinct
       // contexts so the leg verifies the assignment actually materializes
+      // LM-rarity: induction is one bounded groupBy (≤ |alphabet|³ keys →
+      // top-K collect), scoring a shuffle-free kernel — wall should track
+      // the scan like the cleaning tier
+      val (rarHi, tRar) = leg(d, "trigram_rarity") {
+        graft.functions.Corpus.withTrigramRarity(docs, "doc_id", "text")
+          .filter(col("rarity") > 0).count()
+      }
       val (packCtxs, tPack) = leg(d, "pack_contexts") {
         val withTok = docs.withColumn("toks",
           graft.functions.TextFunctions.tokenCount(col("text")))
@@ -200,6 +207,7 @@ object ScaleProbe {
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
         f"pack_contexts=$tPack%.1fs(ctxs=$packCtxs) " +
+        f"trigram_rarity=$tRar%.1fs($rarHi) " +
         f"domain_cap=$tCap%.1fs(kept=$capKept) rebalance=$tReb%.1fs(kept=$rebKept) " +
         f"dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
         f"dedup_incr_indexed=$tIncrIdx%.1fs " +
