@@ -270,6 +270,60 @@ class EngineSpec extends SparkSpec {
     assert(lines.toSeq == Seq("""{ "url": "http://a/1" }"""))
   }
 
+  test("training-data curation e2e: url ops -> domain filter -> rarity -> split -> packing in one YAML") {
+    val dir = Files.createTempDirectory("graft-curate")
+    val prose = "the quick brown fox jumps over the lazy dog near the river today"
+    Files.writeString(dir.resolve("docs.csv"),
+      "doc_id,url,text\n" +
+        s"1,HTTP://WWW.A.COM:80/x?utm_source=s,$prose\n" +
+        s"2,http://sub.spam.com/buy,$prose\n" + // blocked domain
+        s"3,https://B.org/y#frag,$prose and some more of the same words\n" +
+        "4,http://c.net/z,zzqx qvzx jxqz wvqz zzqx qvzx jxqz\n") // gibberish
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  docs:
+        |    file: docs.csv
+        |transformations:
+        |  curated:
+        |    source: $sources.docs
+        |    operations:
+        |      - operation: url_normalize
+        |        column: url
+        |      - operation: url_domain
+        |        column: url
+        |      - operation: domain_filter
+        |        column: url
+        |        domains: [spam.com]
+        |      - operation: trigram_rarity
+        |        id_column: doc_id
+        |        column: text
+        |      - operation: assign_split
+        |        key_column: doc_id
+        |        weights: {train: 0.75, val: 0.25}
+        |      - operation: pack_contexts
+        |        id_column: doc_id
+        |        column: text
+        |        context_tokens: 20
+        |destinations:
+        |  curated_out:
+        |    source: $transformations.curated
+        |    format: parquet
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val result = spark.read.parquet(out.resolve("curated_out.parquet").toString)
+    val rows = result.collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    assert(rows.keySet == Set("1", "3", "4")) // spam.com page dropped
+    assert(rows("1").getAs[String]("url") == "http://www.a.com/x") // canonicalized
+    assert(rows("1").getAs[String]("domain") == "a.com")
+    // the gibberish page scores rarer than both prose pages under the LM
+    val rarity = rows.map { case (k, r) => k -> r.getAs[Long]("rarity") }
+    assert(rarity("4") > rarity("1") && rarity("4") > rarity("3"), rarity.toString)
+    assert(rows.values.forall(r => Set("train", "val")(r.getAs[String]("split"))))
+    assert(rows.values.forall(_.getAs[Long]("context_id") >= 0L))
+  }
+
   test("columnar destination: format parquet with partition_by round-trips and prunes") {
     val dir = Files.createTempDirectory("graft-columnar")
     Files.writeString(dir.resolve("d.csv"), "id,lang,text\n1,en,hello\n2,fr,bonjour\n3,en,world\n")
