@@ -165,6 +165,52 @@ object GraftFunctions {
     call_function("doc_signature", text, lit(numHashes), lit(shingleSize))
 }
 
+/** Trigram-LM rarity as a native expression: struct(rarity_sum, n_trigrams,
+  * rarity) in one fused pass. Unlike the registry functions, the model rides
+  * INSIDE the expression (sorted key array + parallel counts, referenced
+  * from generated code via `addReferenceObj`) — a 4096-entry LM is ~100 KB
+  * of plan state, far cheaper than the Dataset-encoder boundary the
+  * mapPartitions kernel paid per row. Built by
+  * [[graft.functions.Corpus.scoreTrigramRarity]]; not SQL-registrable (the
+  * model is not literal-expressible), so it has no GraftFunctions entry. */
+case class TrigramRarity(child: Expression, keys: Array[String], cnts: Array[Long],
+                         scale: Long, totalN: Long) extends UnaryExpression {
+  require(keys.length == cnts.length, "trigram_rarity: keys/cnts must be parallel")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"trigram_rarity requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("rarity_sum", LongType, nullable = false),
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("rarity", LongType, nullable = false)))
+  override def prettyName: String = "trigram_rarity"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = graft.functions.TextHashKernels.trigramRarity(
+      input.asInstanceOf[UTF8String].toString, keys, cnts, scale, totalN)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r(0), r(1), r(2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("rarKeys", keys, "java.lang.String[]")
+    val cntsRef = ctx.addReferenceObj("rarCnts", cnts, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("rar")
+      s"""long[] $r = graft.functions.TextHashKernels.trigramRarity(
+         |  $c.toString(), $keysRef, $cntsRef, ${scale}L, ${totalN}L);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{java.lang.Long.valueOf($r[0]), java.lang.Long.valueOf($r[1]),
+         |    java.lang.Long.valueOf($r[2])});""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramRarity =
+    copy(child = newChild)
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — the cluster
   * deployment path: every session (and every tool issuing plain SQL against
   * it) sees the functions without per-session registration. */

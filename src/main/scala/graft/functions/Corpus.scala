@@ -377,47 +377,40 @@ object Corpus {
   }
 
   /** The scoring half: integer-exact rarity of each row's text under a
-    * prebuilt [[trigramLm]]. ONE narrow kernel pass — the whole per-row sum
-    * happens inside the partition iterator, so there is NO shuffle, no
-    * join, no aggregation: the scorer composes into any batch plan for
-    * free and is stream-safe against the static LM (the production
-    * ingestion shape: model induced offline from the corpus, deltas
-    * scored as they land). `idCol` is unused by the computation (scores
-    * are per-row) and kept in the signature for API symmetry. */
+    * prebuilt [[trigramLm]]. The whole per-row sum runs inside ONE native
+    * Catalyst expression ([[graft.expressions.TrigramRarity]], with
+    * `doGenCode`) — no shuffle, no join, no Dataset-encoder boundary, and
+    * the scorer fuses into the surrounding whole-stage-codegen projection;
+    * stream-safe against the static LM (the production ingestion shape:
+    * model induced offline from the corpus, deltas scored as they land).
+    * The expression is registered under a content-keyed temp-function name
+    * (the LM is carried inside the expression, not as SQL literals).
+    * `idCol` is unused by the computation (scores are per-row) and kept in
+    * the signature for API symmetry. */
   def scoreTrigramRarity(df: DataFrame, idCol: String, textCol: String,
                          lmMap: Map[String, Long], scale: Long = 1000L): DataFrame = {
     require(scale > 0, "scoreTrigramRarity: scale must be positive")
     val totalN = lmMap.values.sum
-    val lm = df.sparkSession.sparkContext.broadcast(lmMap)
-    // lowercase via Catalyst BEFORE the kernel so the fold matches
-    // trigramLm's `lower()` exactly (locale-free UTF8String semantics)
-    val lowered = df.withColumn("__rar_t__", lower(col(textCol)))
-    val tIdx = lowered.schema.fieldIndex("__rar_t__")
-    val outSchema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("rarity_sum", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_trigrams", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("rarity", LongType, nullable = false)))
-    lowered.mapPartitions { rows =>
-      val m = lm.value
-      rows.map { r =>
-        val t = if (r.isNullAt(tIdx)) null else r.getString(tIdx)
-        var s = 0L
-        var n = 0L
-        if (t != null && t.length >= 3) {
-          var i = 0
-          val last = t.length - 3
-          while (i <= last) {
-            val cnt = m.getOrElse(t.substring(i, i + 3), 0L)
-            s += math.min(scale * totalN / (cnt + 1L), 1000000000000L)
-            n += 1
-            i += 1
-          }
-        }
-        val rarity = if (n == 0) 0L else s / n
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq.patch(tIdx, Nil, 1) ++ Seq(s, n, rarity))
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val sorted = lmMap.toArray.sortBy(_._1)
+    val keys: Array[String] = sorted.map(_._1)
+    val cnts: Array[Long] = sorted.map(_._2)
+    val spark = df.sparkSession
+    val fname = "graft_trigram_rarity_" + java.lang.Long.toHexString(
+      keys.foldLeft(scale * 31 + totalN)((h, k) => h * 1000003L + k.hashCode))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+      case Seq(t) =>
+        // lowercase INSIDE the plan so scoring matches trigramLm's
+        // `lower()` exactly (locale-free UTF8String semantics)
+        graft.expressions.TrigramRarity(
+          org.apache.spark.sql.catalyst.expressions.Lower(t), keys, cnts, scale, totalN)
+      case other => throw new IllegalArgumentException(
+        s"$fname takes 1 argument, got ${other.size}")
+    }, "built-in")
+    df.withColumn("__rar__", call_function(fname, col(textCol).cast("string")))
+      .withColumn("rarity_sum", coalesce(col("__rar__.rarity_sum"), lit(0L)))
+      .withColumn("n_trigrams", coalesce(col("__rar__.n_trigrams"), lit(0L)))
+      .withColumn("rarity", coalesce(col("__rar__.rarity"), lit(0L)))
+      .drop("__rar__")
   }
 
   // ------------------------------------------------------ URL canonicalization

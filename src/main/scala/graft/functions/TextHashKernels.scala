@@ -64,4 +64,27 @@ object TextHashKernels {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(hs),
       new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)))
   }
+
+  /** Integer-exact trigram rarity over PRE-LOWERCASED text against a sorted
+    * LM: `keys` ascending by natural String order with parallel `cnts`,
+    * binary-searched per trigram. Returns [rarity_sum, n_trigrams, rarity]
+    * — the same arithmetic as Corpus.scoreTrigramRarity's contract. */
+  def trigramRarity(text: String, keys: Array[String], cnts: Array[Long],
+                    scale: Long, totalN: Long): Array[Long] = {
+    var s = 0L
+    var n = 0L
+    if (text != null && text.length >= 3) {
+      var i = 0
+      val last = text.length - 3
+      while (i <= last) {
+        val idx = java.util.Arrays.binarySearch(
+          keys.asInstanceOf[Array[AnyRef]], text.substring(i, i + 3))
+        val cnt = if (idx >= 0) cnts(idx) else 0L
+        s += math.min(scale * totalN / (cnt + 1L), 1000000000000L)
+        n += 1
+        i += 1
+      }
+    }
+    Array(s, n, if (n == 0) 0L else s / n)
+  }
 }

@@ -96,4 +96,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(built("minhash_sig").isInstanceOf[MinhashSig])
     assert(built("shingle_hashes").isInstanceOf[ShingleHashes])
   }
+
+  test("trigram_rarity expression fuses into codegen and matches the kernel arithmetic") {
+    val df = spark.range(50)
+      .selectExpr("id AS doc_id", "concat('shared prose line number ', id % 5) AS text")
+    val lm = graft.functions.Corpus.trigramLm(df, "text")
+    val scored = graft.functions.Corpus.scoreTrigramRarity(df, "doc_id", "text", lm)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("trigram_rarity")),
+      s"expected the rarity projection inside a codegen span:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("SerializeFromObject"),
+      s"no UDF / no Dataset-encoder boundary allowed:\n$plan")
+    // generated path matches the kernel called directly
+    val sorted = lm.toArray.sortBy(_._1)
+    val expect = graft.functions.TextHashKernels.trigramRarity(
+      "shared prose line number 0", sorted.map(_._1), sorted.map(_._2),
+      1000L, lm.values.sum)
+    val row = scored.filter("doc_id = 0")
+      .select("rarity_sum", "n_trigrams", "rarity").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((expect(0), expect(1), expect(2))))
+  }
 }
