@@ -34,8 +34,31 @@ object Destinations {
     // `partition_by` hive-partitions for downstream partition pruning;
     // `compression` passes through. Template/framing keys don't apply.
     Config.str(cfg, "format").foreach { fmt =>
+      // Spreadsheet mode: a single driver-written workbook for the
+      // human-artifact formats the source side reads. Deliberately refused
+      // past Excel's own sheet capacity — a bigger frame is data, not a
+      // spreadsheet, and belongs in a columnar format.
+      if (Set("xlsx", "ods", "xlsb").contains(fmt)) {
+        require(Seq("template", "header", "footer").forall(k => Config.str(cfg, k).isEmpty),
+          s"destination `$name`: `format: $fmt` is a spreadsheet — template/header/footer don't apply")
+        Files.createDirectories(outputDir)
+        val target = outputDir.resolve(s"$name.$fmt")
+        val capped = df.limit(1048577).collect() // probe one past the cap
+        require(capped.length <= 1048576,
+          s"destination `$name`: frame exceeds the 1,048,576-row spreadsheet capacity — " +
+            "use `format: parquet` (or csv/json) for data-scale output")
+        val sheet = Config.str(cfg, "sheet").getOrElse("Sheet1")
+        val rows = df.columns.toSeq +:
+          capped.toSeq.map(_.toSeq.map(v => if (v == null) "" else v.toString))
+        fmt match {
+          case "xlsx" => Xlsx.write(target, rows, sheet)
+          case "ods" => Ods.write(target, rows, sheet)
+          case "xlsb" => Xlsb.write(target, rows, sheet)
+        }
+        return target
+      }
       require(Set("parquet", "orc", "csv", "json").contains(fmt),
-        s"destination `$name`: unsupported format `$fmt` (parquet/orc/csv/json)")
+        s"destination `$name`: unsupported format `$fmt` (parquet/orc/csv/json/xlsx/ods/xlsb)")
       require(Seq("template", "header", "footer").forall(k => Config.str(cfg, k).isEmpty),
         s"destination `$name`: `format: $fmt` is columnar — template/header/footer don't apply")
       Files.createDirectories(outputDir)

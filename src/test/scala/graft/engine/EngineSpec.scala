@@ -324,6 +324,31 @@ class EngineSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Long]("context_id") >= 0L))
   }
 
+  test("spreadsheet destinations: format xlsx/ods/xlsb round-trip through the source readers") {
+    val dir = Files.createTempDirectory("graft-sheetdest")
+    Files.writeString(dir.resolve("d.csv"), "id,name\n1,ann\n2,bob <&> b\n")
+    for (fmt <- Seq("xlsx", "ods", "xlsb")) {
+      Files.writeString(dir.resolve(s"p_$fmt.yaml"),
+        s"""version: 2
+           |sources:
+           |  d:
+           |    file: d.csv
+           |destinations:
+           |  book:
+           |    source: $$sources.d
+           |    format: $fmt
+           |    sheet: Data
+           |""".stripMargin)
+      val out = dir.resolve(s"o_$fmt")
+      new Engine(spark).run(dir.resolve(s"p_$fmt.yaml").toString, outputDir = Some(out))
+      // read back through the engine's own source dispatch
+      val back = Sources.read(spark, "b", Map("file" -> s"book.$fmt", "sheet" -> "Data"), out)
+      assert(back.columns.toSeq == Seq("id", "name"), fmt)
+      assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+        Seq("ann", "bob <&> b"), fmt)
+    }
+  }
+
   test("columnar destination: format parquet with partition_by round-trips and prunes") {
     val dir = Files.createTempDirectory("graft-columnar")
     Files.writeString(dir.resolve("d.csv"), "id,lang,text\n1,en,hello\n2,fr,bonjour\n3,en,world\n")
