@@ -832,6 +832,62 @@ class SourcesSpec extends SparkSpec {
     assert(Xls.readRows(f.toString, Some("1")) == Xls.readRows(f.toString, Some("Second")))
   }
 
+  test("xls: FORMULA cached results (number/string/bool/blank), LABEL, BOOLERR error text") {
+    // hand-assembled BIFF8 stream: records the generator never emits
+    val b = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { b.write(v & 0xFF); b.write((v >> 8) & 0xFF) }
+    def u32(v: Long): Unit = { u16(v.toInt & 0xFFFF); u16(((v >> 16) & 0xFFFF).toInt) }
+    def rec(id: Int, payload: Array[Byte]): Unit = { u16(id); u16(payload.length); b.write(payload) }
+    def pay(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val p = new java.io.ByteArrayOutputStream(); f(p); p.toByteArray
+    }
+    def pu16(p: java.io.ByteArrayOutputStream, v: Int): Unit = { p.write(v & 0xFF); p.write((v >> 8) & 0xFF) }
+    def pu32(p: java.io.ByteArrayOutputStream, v: Long): Unit = { pu16(p, v.toInt & 0xFFFF); pu16(p, ((v >> 16) & 0xFFFF).toInt) }
+    // globals: BOF, empty SST, one BOUNDSHEET, EOF
+    rec(0x0809, pay { p => pu16(p, 0x0600); pu16(p, 0x0005); pu16(p, 0); pu16(p, 0); pu32(p, 0); pu32(p, 0) })
+    rec(0x00FC, pay { p => pu32(p, 0); pu32(p, 0) })
+    val boundsheetPos = b.size() + 4 // offset of lbPlyPos in the stream
+    rec(0x0085, pay { p => pu32(p, 0); pu16(p, 0); p.write(1); p.write(0); p.write('S') })
+    rec(0x000A, Array.emptyByteArray)
+    val sheetStart = b.size()
+    rec(0x0809, pay { p => pu16(p, 0x0600); pu16(p, 0x0010); pu16(p, 0); pu16(p, 0); pu32(p, 0); pu32(p, 0) })
+    // row 0: FORMULA with cached NUMBER 2.5 (col 0); FORMULA with cached
+    // string (col 1) + STRING record; LABEL (col 2)
+    rec(0x0006, pay { p => pu16(p, 0); pu16(p, 0); pu16(p, 15)
+      val bits = java.lang.Double.doubleToLongBits(2.5)
+      var i = 0; var v = bits; while (i < 8) { p.write((v & 0xFF).toInt); v >>= 8; i += 1 }
+      pu16(p, 0); pu32(p, 0) }) // grbit + chn; no parsed expression needed
+    rec(0x0006, pay { p => pu16(p, 0); pu16(p, 1); pu16(p, 15)
+      p.write(0); p.write(0); p.write(0); p.write(0); p.write(0); p.write(0); p.write(0xFF); p.write(0xFF)
+      pu16(p, 0); pu32(p, 0) })
+    rec(0x0207, pay { p => pu16(p, 4); p.write(0); p.write("calc".getBytes("ISO-8859-1")) })
+    rec(0x0204, pay { p => pu16(p, 0); pu16(p, 2); pu16(p, 15)
+      pu16(p, 5); p.write(0); p.write("label".getBytes("ISO-8859-1")) })
+    // row 1: FORMULA cached bool TRUE (col 0); FORMULA cached blank (col 1);
+    // BOOLERR carrying #DIV/0! (col 2)
+    rec(0x0006, pay { p => pu16(p, 1); pu16(p, 0); pu16(p, 15)
+      p.write(1); p.write(0); p.write(1); p.write(0); p.write(0); p.write(0); p.write(0xFF); p.write(0xFF)
+      pu16(p, 0); pu32(p, 0) })
+    rec(0x0006, pay { p => pu16(p, 1); pu16(p, 1); pu16(p, 15)
+      p.write(3); p.write(0); p.write(0); p.write(0); p.write(0); p.write(0); p.write(0xFF); p.write(0xFF)
+      pu16(p, 0); pu32(p, 0) })
+    rec(0x0205, pay { p => pu16(p, 1); pu16(p, 2); pu16(p, 15); p.write(0x07); p.write(1) })
+    rec(0x000A, Array.emptyByteArray)
+    val stream = b.toByteArray
+    // patch the BOUNDSHEET's lbPlyPos
+    stream(boundsheetPos) = (sheetStart & 0xFF).toByte
+    stream(boundsheetPos + 1) = ((sheetStart >> 8) & 0xFF).toByte
+    stream(boundsheetPos + 2) = ((sheetStart >> 16) & 0xFF).toByte
+    stream(boundsheetPos + 3) = ((sheetStart >> 24) & 0xFF).toByte
+    val dir = tmpDir
+    val f = dir.resolve("formula.xls")
+    graft.tools.GenXls.writeCfb(f.toString, "Workbook", stream)
+    val rows = Xls.readRows(f.toString, None)
+    assert(rows == Vector(
+      Vector("2.5", "calc", "label"),
+      Vector("True", "", "#DIV/0!")))
+  }
+
   test("xls: UTF-16 split CONTINUE string round-trips") {
     val dir = tmpDir
     val f = dir.resolve("uni.xls")
