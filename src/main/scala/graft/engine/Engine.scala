@@ -385,13 +385,18 @@ final class Engine(spark: SparkSession) {
           if (domains.size <= 16)
             domains.map(d => dom === d || dom.endsWith("." + d)).reduce(_ || _)
           else {
-            import org.apache.spark.sql.functions.{
-              array_join, arrays_overlap, sequence, size => fsize, slice, split, transform, typedLit, lit}
-            val parts = split(dom, "\\.")
-            val suffixes = transform(
-              sequence(lit(0), fsize(parts) - 1),
-              i => array_join(slice(parts, i + 1, fsize(parts) - i), "."))
-            arrays_overlap(suffixes, typedLit(domains.distinct))
+            // past the OR-chain threshold: one native codegen expression —
+            // binary search over the sorted list per dot-suffix of the
+            // host, no per-row array materialization, no interpreted HOFs
+            val sorted = domains.distinct.sorted.toArray
+            val fname = "graft_domain_match_" + java.lang.Long.toHexString(
+              sorted.foldLeft(7L)((h, k) => h * 1000003L + k.hashCode))
+            df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+              case Seq(h) => graft.expressions.DomainMatch(h, sorted)
+              case other => throw new IllegalArgumentException(
+                s"$fname takes 1 argument, got ${other.size}")
+            }, "built-in")
+            org.apache.spark.sql.functions.call_function(fname, dom)
           }
         mode match {
           case "drop" => df.filter(!member)

@@ -211,6 +211,35 @@ case class TrigramRarity(child: Expression, keys: Array[String], cnts: Array[Lon
     copy(child = newChild)
 }
 
+/** Blocklist membership as a native expression: true iff the host or any
+  * dot-suffix of it is in the sorted domain list (binary search in the
+  * kernel — no per-row suffix-array materialization, no interpreted HOF
+  * lambdas). The list rides inside the expression via `addReferenceObj`,
+  * the same state-carrying pattern as [[TrigramRarity]]. Built by the
+  * engine's `domain_filter` op for lists past the OR-chain threshold. */
+case class DomainMatch(child: Expression, sortedDomains: Array[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"domain_match requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "domain_match"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.domainMatch(
+      input.asInstanceOf[UTF8String].toString, sortedDomains)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val domRef = ctx.addReferenceObj("blockDomains", sortedDomains, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.domainMatch($c.toString(), $domRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DomainMatch =
+    copy(child = newChild)
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — the cluster
   * deployment path: every session (and every tool issuing plain SQL against
   * it) sees the functions without per-session registration. */

@@ -87,4 +87,21 @@ object TextHashKernels {
     }
     Array(s, n, if (n == 0) 0L else s / n)
   }
+
+  /** True iff the host or any dot-suffix of it appears in `sorted` (natural
+    * String order): the blocklist parent-domain rule without materializing
+    * a suffix array per row. O(labels × log |list|). */
+  def domainMatch(host: String, sorted: Array[String]): Boolean = {
+    if (host == null || host.isEmpty) return false
+    val keys = sorted.asInstanceOf[Array[AnyRef]]
+    var start = 0
+    while (start < host.length) {
+      val suffix = if (start == 0) host else host.substring(start)
+      if (java.util.Arrays.binarySearch(keys, suffix) >= 0) return true
+      val dot = host.indexOf('.', start)
+      if (dot < 0 || dot + 1 >= host.length) return false
+      start = dot + 1
+    }
+    false
+  }
 }
