@@ -787,6 +787,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "context_id")
     }),
 
+    // grouped packing: contexts never cross a language boundary — the
+    // multilingual pipeline rule; context_id is group-local, verified by a
+    // PARTITION BY window oracle
+    "q_pack_by_lang" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "lang", "text")
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+      graft.functions.Sampling.packContextsBy(
+        docs, "lang", "doc_id", "n_tokens", contextTokens = 4096L)
+        .select("doc_id", "lang", "n_tokens", "context_id")
+    }),
+
     // materialized packing: the concatenated per-context training samples,
     // members joined in stream order — the hash compare verifies the exact
     // concatenation order, not just membership
@@ -1673,6 +1684,19 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
            FROM t)
          SELECT doc_id, n_tokens, (before // 4096)::BIGINT AS context_id FROM c""",
+
+    "q_pack_by_lang" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))::BIGINT AS n_tokens,
+             md5(cast(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM t)
+         SELECT doc_id, lang, n_tokens, (before // 4096)::BIGINT AS context_id FROM c""",
 
     "q_pack_text" ->
       """WITH t AS (

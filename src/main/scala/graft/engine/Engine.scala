@@ -239,7 +239,7 @@ final class Engine(spark: SparkSession) {
     "ann_join" -> Set("sources", "id_column", "column", "k",
       "num_planes", "num_tables"),
     "token_budget" -> Set("id_column", "column", "tokens_column", "budget"),
-    "pack_contexts" -> Set("id_column", "column", "tokens_column", "context_tokens"),
+    "pack_contexts" -> Set("id_column", "column", "tokens_column", "context_tokens", "group_column"),
     "assign_split" -> Set("key_column", "weights", "split_column"),
     "shuffle_rows" -> Set("id_column", "position_column"),
     "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
@@ -546,14 +546,18 @@ final class Engine(spark: SparkSession) {
         import org.apache.spark.sql.functions.col
         val idC = Config.reqStr(op, "id_column", ctx)
         val ctxTokens = Config.reqStr(op, "context_tokens", ctx).toLong
+        val grp = Config.str(op, "group_column")
+        def pack(d: DataFrame, tc: String) = grp match {
+          case Some(g) => graft.functions.Sampling.packContextsBy(d, g, idC, tc, ctxTokens)
+          case None => graft.functions.Sampling.packContexts(d, idC, tc, ctxTokens)
+        }
         Config.str(op, "tokens_column") match {
-          case Some(tc) => graft.functions.Sampling.packContexts(df, idC, tc, ctxTokens)
+          case Some(tc) => pack(df, tc)
           case None =>
             val textC = Config.reqStr(op, "column", ctx)
             val tmp = "__graft_tokens__"
-            graft.functions.Sampling.packContexts(
-              df.withColumn(tmp, graft.functions.TextFunctions.tokenCount(col(textC))),
-              idC, tmp, ctxTokens).drop(tmp)
+            pack(df.withColumn(tmp,
+              graft.functions.TextFunctions.tokenCount(col(textC))), tmp).drop(tmp)
         }
       // stable global permutation ordinal (md5 order) — the reproducible
       // ORDER BY rand() replacement for training-data mixing

@@ -111,6 +111,64 @@ object Sampling {
       .drop("__g_before__")
   }
 
+  /** Per-group variant of the two-phase prefix sum: independent running
+    * totals per value of `groupCol`, same bucketed shape — totals shuffle
+    * on (group, bucket) (≤ |groups|·16^hexChars rows to the driver), the
+    * window partitions by (group, bucket). The multilingual-packing
+    * primitive: each language/domain gets its own token stream. */
+  private[graft] def withGroupedHashPrefixSum(df: DataFrame, groupCol: String,
+                                              idCol: String, value: Column,
+                                              prefixCol: String,
+                                              hexChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val h = md5(col(idCol).cast("string"))
+    val bucketed = df.withColumn("__g_h__", h)
+      .withColumn("__g_b__", substring(col("__g_h__"), 1, hexChars))
+      .withColumn("__g_v__", value.cast("long"))
+      // string shadow of the group key: the broadcast base join stays
+      // type-stable whatever the caller's group column type is
+      .withColumn("__g_g__", coalesce(col(groupCol).cast("string"), lit("\u0000null")))
+    val totals = bucketed.groupBy("__g_g__", "__g_b__")
+      .agg(sum(col("__g_v__")).as("__g_t__"))
+      .orderBy("__g_g__", "__g_b__").collect()
+    val bases = {
+      var curGroup: String = null
+      var started = false
+      var running = 0L
+      totals.map { r =>
+        if (!started || r.getString(0) != curGroup) {
+          curGroup = r.getString(0); started = true; running = 0L
+        }
+        val base = (curGroup, r.getString(1), running)
+        running += r.getLong(2)
+        base
+      }.toSeq
+    }
+    import spark.implicits._
+    val baseDf = bases.toDF("__g_g__", "__g_b__", "__g_base__")
+    val w = Window.partitionBy(col("__g_g__"), col("__g_b__"))
+      .orderBy(col("__g_h__"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(baseDf), Seq("__g_g__", "__g_b__"))
+      .withColumn(prefixCol,
+        col("__g_base__") + coalesce(sum(col("__g_v__")).over(w), lit(0L)))
+      .drop("__g_g__", "__g_b__", "__g_h__", "__g_v__", "__g_base__")
+  }
+
+  /** [[packContexts]] within groups: contexts never cross a group boundary
+    * (pack per language / per domain — the multilingual pipeline rule).
+    * `context_id` is the group-LOCAL context ordinal; (group, context_id)
+    * identifies a context, and the group column rides in the output. */
+  def packContextsBy(df: DataFrame, groupCol: String, idCol: String,
+                     tokensCol: String, contextTokens: Long,
+                     hexChars: Int = 2): DataFrame = {
+    require(contextTokens > 0, s"packContextsBy: contextTokens must be positive, got $contextTokens")
+    withGroupedHashPrefixSum(df, groupCol, idCol, col(tokensCol), "__g_before__", hexChars)
+      .withColumn("context_id", floor(col("__g_before__") / contextTokens).cast("long"))
+      .drop("__g_before__")
+  }
+
   /** Deterministic split assignment: label every row train/val/test (any
     * names) by md5-hash bands of `keyCol` in the declared order, weights
     * normalized to sum 1. The standard leakage-safe split rule: membership

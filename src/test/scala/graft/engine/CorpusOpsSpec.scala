@@ -77,6 +77,11 @@ class CorpusOpsSpec extends SparkSpec {
     val counted = run(docs, Map("operation" -> "pack_contexts", "id_column" -> "doc_id",
       "column" -> "text", "context_tokens" -> "12"))
     assert(counted.columns.toSeq == docs.columns.toSeq :+ "context_id") // helper dropped
+    // group_column routes to the per-group variant: each doc_id here gets
+    // its own stream when grouped by itself, so every context_id is 0
+    val grouped = run(withTok, Map("operation" -> "pack_contexts", "id_column" -> "doc_id",
+      "tokens_column" -> "toks", "context_tokens" -> "20", "group_column" -> "doc_id"))
+    assert(grouped.select("context_id").as[Long].collect().toSeq.forall(_ == 0L))
   }
 
   test("url_normalize and url_domain dispatch") {

@@ -480,6 +480,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got8 == expected)
   }
 
+  test("packContextsBy packs independently per group; null groups share a stream") {
+    val toks = Seq((10L, "en", 100L), (11L, "fr", 100L), (12L, "en", 100L),
+      (13L, "fr", 150L), (14L, null.asInstanceOf[String], 100L))
+      .toDF("doc_id", "lang", "n_tokens")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+    val tokOf = Map(10L -> 100L, 11L -> 100L, 12L -> 100L, 13L -> 150L, 14L -> 100L)
+    val groups = Map(10L -> "en", 11L -> "fr", 12L -> "en", 13L -> "fr", 14L -> null)
+    val expected = groups.keys.toSeq.groupBy(groups).flatMap { case (_, ids) =>
+      var before = 0L
+      ids.sortBy(i => (md5hex(i.toString), i)).map { id =>
+        val c = before / 150L; before += tokOf(id); id -> c
+      }
+    }
+    val got = Sampling.packContextsBy(toks, "lang", "doc_id", "n_tokens", 150L)
+      .select("doc_id", "context_id").as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // stable under partitioning
+    val got8 = Sampling.packContextsBy(toks.repartition(8), "lang", "doc_id", "n_tokens", 150L)
+      .select("doc_id", "context_id").as[(Long, Long)].collect().toMap
+    assert(got8 == expected)
+  }
+
   test("packContextsText concatenates members in stream order, tokens and counts per context") {
     val docs = Seq((10L, "aa bb", 2L), (11L, "cc", 1L), (12L, "dd ee ff", 3L),
       (13L, "gg", 1L), (14L, "hh ii", 2L)).toDF("doc_id", "text", "n_tokens")
