@@ -91,7 +91,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("token budget / shuffle ordinal: prefix sum is per-bucket, never a one-task window") {
-    for (name <- Seq("q_token_budget", "q_shuffle", "q_pack_contexts")) {
+    for (name <- Seq("q_token_budget", "q_shuffle", "q_pack_contexts", "q_pack_by_lang")) {
       val p = formatted(name)
       assert(p.contains("Window"), s"$name must use a window for the running sum")
       assert(!p.contains("SinglePartition"),
