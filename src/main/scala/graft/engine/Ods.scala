@@ -199,7 +199,12 @@ object Ods {
     * "float"` (exercising the typed-attribute read path); otherwise all
     * cells are strings. */
   def write(path: Path, rows: Seq[Seq[String]], sheetName: String = "Sheet1",
-            typed: Boolean = true): Unit = {
+            typed: Boolean = true): Unit =
+    writeSheets(path, Seq(sheetName -> rows), typed)
+
+  /** Multi-sheet writer; sheets appear in the given order. */
+  def writeSheets(path: Path, sheets: Seq[(String, Seq[Seq[String]])],
+                  typed: Boolean = true): Unit = {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace("\"", "&quot;")
@@ -207,21 +212,24 @@ object Ods {
     val sb = new StringBuilder
     sb.append("""<?xml version="1.0" encoding="UTF-8"?>""")
     sb.append("""<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" office:version="1.2"><office:body><office:spreadsheet>""")
-    sb.append(s"""<table:table table:name="${esc(sheetName)}">""")
-    rows.foreach { cells =>
-      sb.append("<table:table-row>")
-      cells.foreach { v =>
-        if (typed && numeric.pattern.matcher(v).matches())
-          sb.append(s"""<table:table-cell office:value-type="float" office:value="${esc(v)}"><text:p>${esc(v)}</text:p></table:table-cell>""")
-        else
-          sb.append(s"""<table:table-cell office:value-type="string"><text:p>${esc(v)}</text:p></table:table-cell>""")
+    sheets.foreach { case (sheetName, rows) =>
+      sb.append(s"""<table:table table:name="${esc(sheetName)}">""")
+      rows.foreach { cells =>
+        sb.append("<table:table-row>")
+        cells.foreach { v =>
+          if (typed && numeric.pattern.matcher(v).matches())
+            sb.append(s"""<table:table-cell office:value-type="float" office:value="${esc(v)}"><text:p>${esc(v)}</text:p></table:table-cell>""")
+          else
+            sb.append(s"""<table:table-cell office:value-type="string"><text:p>${esc(v)}</text:p></table:table-cell>""")
+        }
+        // a LibreOffice-style trailing empty repeat trailer the reader must trim
+        sb.append("""<table:table-cell table:number-columns-repeated="1024"/>""")
+        sb.append("</table:table-row>")
       }
-      // a LibreOffice-style trailing empty repeat trailer the reader must trim
-      sb.append("""<table:table-cell table:number-columns-repeated="1024"/>""")
-      sb.append("</table:table-row>")
+      sb.append("""<table:table-row table:number-rows-repeated="1048576"><table:table-cell table:number-columns-repeated="1024"/></table:table-row>""")
+      sb.append("</table:table>")
     }
-    sb.append("""<table:table-row table:number-rows-repeated="1048576"><table:table-cell table:number-columns-repeated="1024"/></table:table-row>""")
-    sb.append("</table:table></office:spreadsheet></office:body></office:document-content>")
+    sb.append("</office:spreadsheet></office:body></office:document-content>")
 
     val zos = new ZipOutputStream(Files.newOutputStream(path))
     try {

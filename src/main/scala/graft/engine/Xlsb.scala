@@ -206,7 +206,12 @@ object Xlsb {
     * text, RK where the value fits (integral / ×100), BrtCellReal
     * otherwise. Exercises 2-byte record ids (BrtBundleSh = 0x9C) and the
     * varint length encoding. */
-  def write(path: Path, rows: Seq[Seq[String]], sheetName: String = "Sheet1"): Unit = {
+  def write(path: Path, rows: Seq[Seq[String]], sheetName: String = "Sheet1"): Unit =
+    writeSheets(path, Seq(sheetName -> rows))
+
+  /** Multi-sheet writer; sheet N lands at xl/worksheets/sheetN+1.bin, the
+    * conventional layout the reader resolves. */
+  def writeSheets(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
     val strings = mutable.LinkedHashMap.empty[String, Int]
     def isstOf(s: String): Int = strings.getOrElseUpdate(s, strings.size)
 
@@ -231,8 +236,9 @@ object Xlsb {
     def cellPrefix(col: Int): Array[Byte] = u32b(col.toLong) ++ u32b(0L) // col + iStyleRef 0
 
     val numeric = "-?\\d+(\\.\\d+)?".r
-    val sheetBuf = new ByteArrayOutputStream()
-    rows.zipWithIndex.foreach { case (cells, ri) =>
+    def sheetPart(rows: Seq[Seq[String]]): Array[Byte] = {
+      val sheetBuf = new ByteArrayOutputStream()
+      rows.zipWithIndex.foreach { case (cells, ri) =>
       sheetBuf.write(rec(BrtRowHdr, u32b(ri.toLong) ++ Array.fill[Byte](13)(0)))
       cells.zipWithIndex.foreach { case (v, ci) =>
         if (v.isEmpty) sheetBuf.write(rec(BrtCellBlank, cellPrefix(ci)))
@@ -251,13 +257,18 @@ object Xlsb {
           sheetBuf.write(rec(BrtCellBool, cellPrefix(ci) :+ (if (v == "True") 1 else 0).toByte))
         else
           sheetBuf.write(rec(BrtCellIsst, cellPrefix(ci) ++ u32b(isstOf(v).toLong)))
+        }
       }
+      sheetBuf.toByteArray
     }
+    val sheetParts = sheets.map { case (_, rows) => sheetPart(rows) }
 
     val wbBuf = new ByteArrayOutputStream()
-    // hsState 0 (visible), iTabID 1, strRelID "rId1", strName
-    wbBuf.write(rec(BrtBundleSh,
-      u32b(0L) ++ u32b(1L) ++ wideStr("rId1") ++ wideStr(sheetName)))
+    // hsState 0 (visible), iTabID per sheet, strRelID, strName
+    sheets.zipWithIndex.foreach { case ((name, _), i) =>
+      wbBuf.write(rec(BrtBundleSh,
+        u32b(0L) ++ u32b(i + 1L) ++ wideStr(s"rId${i + 1}") ++ wideStr(name)))
+    }
 
     val sstBuf = new ByteArrayOutputStream()
     strings.keys.foreach { s =>
@@ -270,8 +281,10 @@ object Xlsb {
       "_rels/.rels" ->
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.bin"/></Relationships>""".getBytes("UTF-8"),
       "xl/workbook.bin" -> wbBuf.toByteArray,
-      "xl/sharedStrings.bin" -> sstBuf.toByteArray,
-      "xl/worksheets/sheet1.bin" -> sheetBuf.toByteArray)
+      "xl/sharedStrings.bin" -> sstBuf.toByteArray) ++
+      sheetParts.zipWithIndex.map { case (p, i) =>
+        s"xl/worksheets/sheet${i + 1}.bin" -> p
+      }
     val zos = new ZipOutputStream(Files.newOutputStream(path))
     try parts.foreach { case (name, content) =>
       zos.putNextEntry(new ZipEntry(name))

@@ -897,6 +897,24 @@ class SourcesSpec extends SparkSpec {
     assert(Xls.readRows(f.toString, None)(1) == Vector(uni))
   }
 
+  test("ods and xlsb multi-sheet writers: selection by name and index") {
+    val dir = tmpDir
+    val sheets = Seq(
+      "First" -> Seq(Seq("a"), Seq("1")),
+      "Second" -> Seq(Seq("b", "c"), Seq("x", "99")))
+    val o = dir.resolve("multi.ods")
+    Ods.writeSheets(o, sheets)
+    assert(Ods.readRows(o.toString, None) == Vector(Vector("a"), Vector("1")))
+    assert(Ods.readRows(o.toString, Some("Second")) ==
+      Vector(Vector("b", "c"), Vector("x", "99")))
+    val x = dir.resolve("multi.xlsb")
+    Xlsb.writeSheets(x, sheets)
+    assert(Xlsb.readRows(x.toString, None) == Vector(Vector("a"), Vector("1")))
+    assert(Xlsb.readRows(x.toString, Some("1")) ==
+      Vector(Vector("b", "c"), Vector("x", "99")))
+    intercept[IllegalArgumentException](Xlsb.readRows(x.toString, Some("Nope")))
+  }
+
   test("xlsb: RK decode covers int, x100, and truncated-double forms") {
     // fInt: 300 << 2 | 2
     assert(Biff.rkToDouble((300 << 2) | 0x2) == 300.0)
