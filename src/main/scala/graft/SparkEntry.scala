@@ -491,6 +491,22 @@ object SparkEntry {
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
+    // as-of join: every event enriched with the user's latest
+    // at-or-before purchase — the point-in-time join Spark lacks,
+    // expressed as union + per-key carry (ONE shuffle); the oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN, a fully independent implementation
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.functions.Joins.asofJoin(
+        ev.select("event_id", "user_id", "ts"), purchases, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          unix_micros(col("ts_asof").cast("timestamp")).as("purchase_ts_us"),
+          round(col("value_asof"), 2).as("purchase_value"))
+    }),
+
     // ======================================================== time / window
     "q_window_hourly" -> ((s, d) =>
       t(s, d, "events")
@@ -1168,6 +1184,15 @@ object SparkEntry {
            round(avg(l_quantity), 4) AS avg_qty,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_asof_join" ->
+      """WITH b AS (
+           SELECT user_id, ts, max(value) AS value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           epoch_us(b.ts) AS purchase_ts_us, round(b.value, 2) AS purchase_value
+         FROM events e ASOF LEFT JOIN b
+           ON e.user_id = b.user_id AND e.ts >= b.ts""",
 
     "q_window_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

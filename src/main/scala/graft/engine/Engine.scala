@@ -241,6 +241,8 @@ final class Engine(spark: SparkSession) {
     "token_budget" -> Set("id_column", "column", "tokens_column", "budget"),
     "pack_contexts" -> Set("id_column", "column", "tokens_column", "context_tokens", "group_column"),
     "assign_split" -> Set("key_column", "weights", "split_column"),
+    "asof_join" -> Set("sources", "key_column", "time_column", "value_columns",
+      "suffix", "tolerance_seconds"),
     "shuffle_rows" -> Set("id_column", "position_column"),
     "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
   )
@@ -533,6 +535,23 @@ final class Engine(spark: SparkSession) {
       // pack documents into ≈context_tokens-sized training contexts in
       // deterministic md5(id) stream order (split-free greedy); adds
       // `context_id`; tokens from `tokens_column` or counted from `column`
+      // point-in-time enrichment: latest at-or-before row from the `sources`
+      // frame per key; matched columns arrive `<name><suffix>`
+      case "asof_join" =>
+        val rightFrame = sourceFrames match {
+          case Seq(r) => r
+          case other => throw new IllegalArgumentException(
+            s"$ctx: asof_join needs exactly one entry in `sources`, got ${other.size}")
+        }
+        graft.functions.Joins.asofJoin(df, rightFrame,
+          Config.reqStr(op, "key_column", ctx),
+          Config.reqStr(op, "time_column", ctx),
+          Config.asScalarList(op.getOrElse("value_columns", Nil)).map(_.toString) match {
+            case Nil => throw new IllegalArgumentException(s"$ctx: asof_join needs `value_columns`")
+            case vs => vs
+          },
+          Config.str(op, "suffix").getOrElse("_asof"),
+          Config.str(op, "tolerance_seconds").map(_.toDouble))
       // leakage-safe train/val/test labeling by hash bands of a key column
       case "assign_split" =>
         val weights = Config.asMap(op.getOrElse("weights",

@@ -39,4 +39,59 @@ object Joins {
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)).toIndexedSeq: _*)))
     l.join(s, (keys :+ salt).toIndexedSeq, joinType).drop(salt)
   }
+
+  /** As-of (point-in-time) join: for each left row, the LATEST right row of
+    * the same key with `right.ts <= left.ts` (and, with `toleranceSecs`,
+    * within that many seconds) — the time-series enrichment join Spark has
+    * no operator for, expressed Spark-first as a union + per-key carry
+    * instead of an O(rows × candidates) range join:
+    *
+    *   1. union the tagged sides (right rows sort BEFORE left rows at equal
+    *      timestamps, so `<=` matches);
+    *   2. ONE shuffle: `Window.partitionBy(key).orderBy(ts, tag)` carries
+    *      `last(right value, ignoreNulls)` down the stream;
+    *   3. keep left rows; null out carries older than the tolerance.
+    *
+    * Right-side (key, ts) ties are resolved BEFORE the union by keeping the
+    * struct-max of the value columns — deterministic on any cluster.
+    * Matched right columns arrive suffixed, plus `<tsCol><suffix>` (the
+    * matched timestamp, null when no match). Scale shape: a key's whole
+    * history lands on one task (the inherent as-of order dependency) —
+    * parallelism is across keys, the natural cardinality of time-series
+    * data; no cross join, no range explosion. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               valueCols: Seq[String], suffix: String = "_asof",
+               toleranceSecs: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.nonEmpty, "asofJoin: valueCols must be non-empty")
+    val tag = "__asof_tag__"
+    val rTs = tsCol + suffix
+    val rCols = valueCols.map(_ + suffix)
+    // dedupe right per (key, ts): struct-max of the values, row-consistent
+    val dedupedRight = right
+      .groupBy(col(keyCol).as(keyCol), col(tsCol).as(rTs))
+      .agg(max(struct(valueCols.map(col): _*)).as("__asof_v__"))
+      .select(Seq(col(keyCol), col(rTs)) ++
+        valueCols.zip(rCols).map { case (v, o) => col(s"__asof_v__.$v").as(o) }: _*)
+    val probe = left.withColumn(tag, lit(1))
+      .withColumn(rTs, lit(null).cast(dedupedRight.schema(rTs).dataType))
+    val build = dedupedRight
+      .withColumn(tsCol, col(rTs))
+      .withColumn(tag, lit(0))
+    val unioned = probe.unionByName(build, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (rTs +: rCols).foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val matched = toleranceSecs match {
+      case Some(tol) =>
+        val inTol = col(rTs).isNotNull &&
+          (col(tsCol).cast("double") - col(rTs).cast("double")) <= tol
+        (rTs +: rCols).foldLeft(carried)((d, c) =>
+          d.withColumn(c, when(inTol, col(c))))
+      case None => carried
+    }
+    matched.filter(col(tag) === 1).drop(tag)
+  }
 }

@@ -136,6 +136,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter($"n_trigrams" === 0).count() == 0)
   }
 
+  test("asof_join dispatch pulls the right frame from sources") {
+    val probe = Seq((1L, 10L, 100L), (2L, 10L, 250L)).toDF("id", "user", "t")
+    val rates = Seq((10L, 90L, 1.5), (10L, 200L, 2.5)).toDF("user", "t", "rate")
+    val out = run(probe, Map("operation" -> "asof_join",
+      "sources" -> List("$sources.rates"), "key_column" -> "user",
+      "time_column" -> "t", "value_columns" -> List("rate")),
+      frames = Map("sources.rates" -> rates))
+    val got = out.select("id", "rate_asof").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.5, 2L -> 2.5))
+    intercept[IllegalArgumentException](run(probe, Map("operation" -> "asof_join",
+      "sources" -> List.empty[String], "key_column" -> "user",
+      "time_column" -> "t", "value_columns" -> List("rate"))))
+  }
+
   test("domain_cap and rebalance_mixture dispatch") {
     val rows = ((0L until 30L).map(i => (i, s"payload $i", "big")) ++
       (30L until 35L).map(i => (i, s"payload $i", "small"))).toDF("doc_id", "text", "source")

@@ -480,6 +480,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got8 == expected)
   }
 
+  test("asofJoin: latest at-or-before match, tolerance nulls, tie dedupe, partition stability") {
+    val probe = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 50L), (4L, "v", 100L))
+      .toDF("id", "k", "t")
+    val build = Seq(("u", 100L, 10.0), ("u", 100L, 12.0), // (k,ts) tie → struct-max 12.0
+      ("u", 200L, 20.0), ("w", 1L, 99.0))
+      .toDF("k", "t", "v")
+    def run(df: org.apache.spark.sql.DataFrame, tol: Option[Double]) =
+      Joins.asofJoin(df, build, "k", "t", Seq("v"), toleranceSecs = tol)
+        .select("id", "t_asof", "v_asof")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(probe, None) == Seq(
+      (1L, 100L, 12.0),  // equal ts matches; tie resolved to max struct
+      (2L, 200L, 20.0),  // latest at-or-before
+      (3L, -1L, -1.0),   // nothing before t=50
+      (4L, -1L, -1.0)))  // no rows for key v
+    // tolerance: match must be within 5 of the probe time
+    assert(run(probe, Some(5.0)) == Seq(
+      (1L, 100L, 12.0), (2L, 200L, 20.0), (3L, -1L, -1.0), (4L, -1L, -1.0)))
+    assert(run(probe, Some(2.0)).map(_._2) == Seq(100L, -1L, -1L, -1L)) // 205-200 > 2
+    assert(run(probe.repartition(8), None) == run(probe, None))
+  }
+
   test("packContextsBy packs independently per group; null groups share a stream") {
     val toks = Seq((10L, "en", 100L), (11L, "fr", 100L), (12L, "en", 100L),
       (13L, "fr", 150L), (14L, null.asInstanceOf[String], 100L))
