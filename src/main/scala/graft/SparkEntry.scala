@@ -507,6 +507,27 @@ object SparkEntry {
           round(col("value_asof"), 2).as("purchase_value"))
     }),
 
+    // range join: events against per-user [early, late) halves of their
+    // activity span — the interval join Spark lacks, expressed as the
+    // binned equi-join rewrite (hash join on (user, bin) + exact
+    // post-filter, never a nested-loop); oracle is DuckDB's plain
+    // non-equi join over identical integer-arithmetic intervals
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val bounds = ev.groupBy("user_id")
+        .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+        .withColumn("mid", expr("lo + ((hi - lo) div 2)"))
+      val intervals = bounds.select(col("user_id"), col("lo").as("s"),
+          col("mid").as("e"), lit("early").as("phase"))
+        .unionByName(bounds.select(col("user_id"), col("mid").as("s"),
+          (col("hi") + 1).as("e"), lit("late").as("phase")))
+      graft.functions.Joins.rangeJoin(ev, intervals,
+          keys = Seq("user_id"), "ts_us", "s", "e", binWidth = 86400000000L)
+        .select("event_id", "user_id", "ts_us", "phase")
+    }),
+
     // ======================================================== time / window
     "q_window_hourly" -> ((s, d) =>
       t(s, d, "events")
@@ -1184,6 +1205,21 @@ object SparkEntry {
            round(avg(l_quantity), 4) AS avg_qty,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_range_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         b AS (
+           SELECT user_id, min(ts_us) AS lo, max(ts_us) AS hi,
+             min(ts_us) + ((max(ts_us) - min(ts_us)) // 2) AS mid
+           FROM ev GROUP BY user_id),
+         iv AS (
+           SELECT user_id, lo AS s, mid AS e, 'early' AS phase FROM b
+           UNION ALL
+           SELECT user_id, mid AS s, hi + 1 AS e, 'late' AS phase FROM b)
+         SELECT e.event_id, e.user_id, e.ts_us, i.phase
+         FROM ev e JOIN iv i
+           ON e.user_id = i.user_id AND e.ts_us >= i.s AND e.ts_us < i.e""",
 
     "q_asof_join" ->
       """WITH b AS (

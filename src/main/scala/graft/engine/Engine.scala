@@ -243,6 +243,8 @@ final class Engine(spark: SparkSession) {
     "assign_split" -> Set("key_column", "weights", "split_column"),
     "asof_join" -> Set("sources", "key_column", "time_column", "value_columns",
       "suffix", "tolerance_seconds"),
+    "range_join" -> Set("sources", "key_columns", "point_column", "start_column",
+      "end_column", "bin_width"),
     "shuffle_rows" -> Set("id_column", "position_column"),
     "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
   )
@@ -552,6 +554,20 @@ final class Engine(spark: SparkSession) {
           },
           Config.str(op, "suffix").getOrElse("_asof"),
           Config.str(op, "tolerance_seconds").map(_.toDouble))
+      // interval join via the binned equi-join rewrite; `sources` holds the
+      // intervals frame
+      case "range_join" =>
+        val ivFrame = sourceFrames match {
+          case Seq(r) => r
+          case other => throw new IllegalArgumentException(
+            s"$ctx: range_join needs exactly one entry in `sources`, got ${other.size}")
+        }
+        graft.functions.Joins.rangeJoin(df, ivFrame,
+          Config.asScalarList(op.getOrElse("key_columns", Nil)).map(_.toString),
+          Config.reqStr(op, "point_column", ctx),
+          Config.reqStr(op, "start_column", ctx),
+          Config.reqStr(op, "end_column", ctx),
+          Config.reqStr(op, "bin_width", ctx).toLong)
       // leakage-safe train/val/test labeling by hash bands of a key column
       case "assign_split" =>
         val weights = Config.asMap(op.getOrElse("weights",

@@ -94,4 +94,46 @@ object Joins {
     }
     matched.filter(col(tag) === 1).drop(tag)
   }
+
+  /** Range (interval) join: points against `[start, end)` intervals,
+    * optionally keyed — the other classic join Spark lacks an operator
+    * for. The naive expression is a non-equi join Catalyst can only run
+    * as a broadcast-nested-loop / cartesian (O(points × intervals)); this
+    * is the standard binning rewrite instead: every interval replicates to
+    * the fixed-width bins it covers, a point carries its one bin, and the
+    * join becomes a plain hash EQUI-join on (keys..., bin) with the exact
+    * range predicate as a post-filter. Each matching (point, interval)
+    * pair meets exactly once — in the point's own bin — so no dedup pass
+    * is needed. Pick `binWidth` near the typical interval length: shuffle
+    * volume is intervals × (span/binWidth + 1) + points.
+    *
+    * Bin ids use floor division computed in exact long arithmetic
+    * (`(v - pmod(v, w)) div w`), correct for negative values and for
+    * magnitudes past double's 2^53 (nanosecond epochs). Intervals with
+    * `end <= start` are empty and dropped. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"rangeJoin: binWidth must be positive, got $binWidth")
+    // exact long floor-div through a shadow column: `(v - pmod(v, w)) div w`
+    // (integral `div`, never the double `/` — nanosecond epochs overflow
+    // double's 2^53 integer range)
+    def withBin(df: DataFrame, src: org.apache.spark.sql.Column, out: String): DataFrame =
+      df.withColumn("__rj_v__", src.cast("long"))
+        .withColumn(out,
+          expr(s"(__rj_v__ - pmod(__rj_v__, ${binWidth}L)) div ${binWidth}L"))
+        .drop("__rj_v__")
+    val p = withBin(points, col(pointCol), "__rj_b__")
+    val iv = {
+      val nonEmpty = intervals.filter(col(endCol).cast("long") > col(startCol).cast("long"))
+      val lo = withBin(nonEmpty, col(startCol), "__rj_lo__")
+      val hi = withBin(lo, col(endCol).cast("long") - 1, "__rj_hi__")
+      hi.withColumn("__rj_b__", explode(sequence(col("__rj_lo__"), col("__rj_hi__"))))
+        .drop("__rj_lo__", "__rj_hi__")
+    }
+    p.join(iv, (keys :+ "__rj_b__").toIndexedSeq)
+      .filter(col(pointCol).cast("long") >= col(startCol).cast("long") &&
+        col(pointCol).cast("long") < col(endCol).cast("long"))
+      .drop("__rj_b__")
+  }
 }

@@ -150,6 +150,17 @@ class CorpusOpsSpec extends SparkSpec {
       "time_column" -> "t", "value_columns" -> List("rate"))))
   }
 
+  test("range_join dispatch pulls the intervals frame from sources") {
+    val points = Seq((1L, 5L), (2L, 25L)).toDF("id", "p")
+    val iv = Seq((10L, 0L, 10L), (20L, 20L, 30L)).toDF("iid", "s", "e")
+    val out = run(points, Map("operation" -> "range_join",
+      "sources" -> List("$sources.iv"), "point_column" -> "p",
+      "start_column" -> "s", "end_column" -> "e", "bin_width" -> "8"),
+      frames = Map("sources.iv" -> iv))
+    assert(out.select("id", "iid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
+
   test("domain_cap and rebalance_mixture dispatch") {
     val rows = ((0L until 30L).map(i => (i, s"payload $i", "big")) ++
       (30L until 35L).map(i => (i, s"payload $i", "small"))).toDF("doc_id", "text", "source")

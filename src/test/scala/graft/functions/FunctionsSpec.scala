@@ -504,6 +504,22 @@ class FunctionsSpec extends SparkSpec {
     assert(run(probe.repartition(8), None) == run(probe, None))
   }
 
+  test("rangeJoin: bin rewrite matches the naive non-equi join, negatives and boundaries included") {
+    val points = Seq((1L, -25L), (2L, -10L), (3L, 0L), (4L, 10L), (5L, 19L), (6L, 20L))
+      .toDF("pid", "p")
+    val intervals = Seq((100L, -30L, -9L), (200L, 0L, 20L), (300L, 15L, 40L),
+      (400L, 50L, 50L), (500L, 60L, 55L)) // empty + inverted intervals drop
+      .toDF("iid", "s", "e")
+    def viaBins(w: Long) =
+      Joins.rangeJoin(points, intervals, Nil, "p", "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(naive == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L),
+      (5L, 200L), (5L, 300L), (6L, 300L)))
+    for (w <- Seq(1L, 7L, 10L, 1000L)) assert(viaBins(w) == naive, s"binWidth=$w")
+  }
+
   test("packContextsBy packs independently per group; null groups share a stream") {
     val toks = Seq((10L, "en", 100L), (11L, "fr", 100L), (12L, "en", 100L),
       (13L, "fr", 150L), (14L, null.asInstanceOf[String], 100L))
