@@ -122,6 +122,21 @@ class PlanSpec extends SparkSpec {
       "prefix sum must stay per-bucket; context groupBy must hash-partition")
   }
 
+  test("range join: binned rewrite yields an equi-join, never a nested loop or cartesian") {
+    val p = formatted("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the interval predicate must ride a hash/sort-merge EQUI join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join operator")
+  }
+
+  test("as-of join: single per-key window carry, no self-join explosion") {
+    val p = formatted("q_asof_join")
+    assert(p.contains("Window") && !p.contains("SinglePartition"),
+      "carry must window per key, not on one task")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("domain cap: both top-k stages partition by key, never one task per giant domain") {
     val p = formatted("q_domain_cap")
     assert(p.contains("Window"), "cap uses window row_number")
