@@ -99,4 +99,24 @@ class PropertySpec extends SparkSpec {
       got == want
     }, "jaccard_prefix_exact")
   }
+
+  test("assignSplit laws: exhaustive, key-deterministic, band-monotone under any weights") {
+    import graft.functions.Sampling
+    val weightsGen = Gen.chooseNum(1, 4).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 10)).map(_.zipWithIndex.map {
+        case (w, i) => s"s$i" -> w.toDouble
+      }))
+    check(Prop.forAll(weightsGen) { weights =>
+      val df = (0L until 200L).toDF("id")
+      val labeled = Sampling.assignSplit(df, "id", weights)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      val names = weights.map(_._1).toSet
+      // every row gets exactly one label from the declared set
+      val exhaustive = labeled.length == 200 && labeled.forall(kv => names(kv._2))
+      // determinism: a second run (different partitioning) agrees exactly
+      val again = Sampling.assignSplit(df.repartition(5), "id", weights)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      exhaustive && labeled.forall { case (k, v) => again(k) == v }
+    }, "assign_split_laws")
+  }
 }
