@@ -403,6 +403,25 @@ object Bench {
       s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.write(resultsPath, (fullJson + "\n").getBytes("UTF-8"))
 
+    // Per-round snapshot: BENCH_RESULTS.json is overwritten every run, but
+    // the committed stdout tier degrades to deciseconds at this query count —
+    // a 1.8× regression on a sub-0.25s query is invisible there. Persist the
+    // 3-decimal per-query data per round (next round number = max existing
+    // BENCH_r<N> + 1, the same numbering the driver stamps on its artifact).
+    try {
+      val dir = resultsPath.getParent
+      val roundRe = """BENCH_r(\d+)\.json""".r
+      import scala.jdk.CollectionConverters._
+      val prevRounds = java.nio.file.Files.list(dir).iterator().asScala
+        .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+        .toSeq
+      val round = (if (prevRounds.isEmpty) 1 else prevRounds.max + 1)
+      val snap = dir.resolve(f"BENCH_RESULTS_r$round%02d.json")
+      java.nio.file.Files.write(snap, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] WARN round snapshot failed: ${e.getMessage}")
+    }
+
     // Machine noise check: any query whose steady-state median exceeds 1.5×
     // its min means that query's timings are noise-dominated — warn loudly.
     val noisy = spreads.filter(_._2 > 1.5)

@@ -1677,7 +1677,7 @@ object SparkEntry {
                ELSE '' END) AS url
            FROM documents),
          s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS x FROM u),
-         s2 AS (SELECT doc_id, url, regexp_replace(x, '(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g') AS x FROM s1),
+         s2 AS (SELECT doc_id, url, regexp_replace(x, '([?&])(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*', '\1', 'g') AS x FROM s1),
          s3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(x, '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS x FROM s2),
          s4 AS (SELECT doc_id, url, lower(regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
                   regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS x FROM s3),

@@ -43,9 +43,12 @@ object Destinations {
           s"destination `$name`: `format: $fmt` is a spreadsheet — template/header/footer don't apply")
         Files.createDirectories(outputDir)
         val target = outputDir.resolve(s"$name.$fmt")
-        val capped = df.limit(1048577).collect() // probe one past the cap
-        require(capped.length <= 1048576,
-          s"destination `$name`: frame exceeds the 1,048,576-row spreadsheet capacity — " +
+        // the header row written below occupies one of Excel's 1,048,576
+        // sheet rows, so data rows cap at 1,048,575 (probe one past it)
+        val capped = df.limit(1048576).collect()
+        require(capped.length <= 1048575,
+          s"destination `$name`: frame exceeds the 1,048,575-row spreadsheet capacity " +
+            "(header row included) — " +
             "use `format: parquet` (or csv/json) for data-scale output")
         val sheet = Config.str(cfg, "sheet").getOrElse("Sheet1")
         val rows = df.columns.toSeq +:

@@ -58,11 +58,12 @@ object Xlsb {
           s"$path: not an xlsb (OOXML ZIP) file — ${e.getMessage}", e)
       }
     try {
-      val sheetNames = {
+      val sheets = {
         val wb = Option(zf.getEntry("xl/workbook.bin")).getOrElse(
           throw new IllegalArgumentException(s"not an xlsb: missing xl/workbook.bin ($path)"))
         bundleSheets(readAll(zf.getInputStream(wb)))
       }
+      val sheetNames = sheets.map(_._1)
       val idx = sheet match {
         case None => 0
         case Some(s) if s.forall(_.isDigit) => s.toInt
@@ -72,13 +73,24 @@ object Xlsb {
             s"xlsb $path: no sheet named `$s` (sheets: ${sheetNames.mkString(", ")})")
           i
       }
-      if (idx >= sheetNames.size) throw new IllegalArgumentException(
-        s"xlsb $path: sheet index $idx out of range (${sheetNames.size} sheets)")
+      if (idx >= sheets.size) throw new IllegalArgumentException(
+        s"xlsb $path: sheet index $idx out of range (${sheets.size} sheets)")
       val shared = Option(zf.getEntry("xl/sharedStrings.bin"))
         .map(e => sstItems(readAll(zf.getInputStream(e))))
         .getOrElse(Vector.empty)
-      val entry = Option(zf.getEntry(s"xl/worksheets/sheet${idx + 1}.bin")).getOrElse(
-        throw new IllegalArgumentException(s"xlsb $path: missing worksheet part for sheet $idx"))
+      // resolve the sheet's strRelID through xl/_rels/workbook.bin.rels to
+      // the actual worksheet part; the sheetN.bin naming convention is only
+      // the fallback when rels (or the relId) are absent
+      val relTarget = for {
+        relId <- sheets(idx)._2
+        relsEntry <- Option(zf.getEntry("xl/_rels/workbook.bin.rels"))
+        target <- parseRels(new String(readAll(zf.getInputStream(relsEntry)), "UTF-8")).get(relId)
+      } yield if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+      val entry = relTarget.flatMap(t => Option(zf.getEntry(t)))
+        .orElse(Option(zf.getEntry(s"xl/worksheets/sheet${idx + 1}.bin")))
+        .getOrElse(throw new IllegalArgumentException(
+          s"xlsb $path: missing worksheet part for sheet $idx" +
+            relTarget.fold("")(t => s" (rels target `$t` not in package)")))
       parseSheet(readAll(zf.getInputStream(entry)), shared)
     } finally zf.close()
   }
@@ -131,8 +143,13 @@ object Xlsb {
   /** Sheet names from the workbook part's BrtBundleSh records, in order.
     * Layout ([MS-XLSB] 2.4.304): u32 hsState, u32 iTabID, XLNullableWideString
     * strRelID (cch == 0xFFFFFFFF means null), XLWideString strName. */
-  private def bundleSheets(wb: Array[Byte]): Vector[String] = {
-    val names = Vector.newBuilder[String]
+  /** (sheet name, relationship id) per BrtBundleSh — the relId (strRelID,
+    * an XLNullableWideString before strName) is what maps the sheet to its
+    * worksheet PART via xl/_rels/workbook.bin.rels; part names do NOT have
+    * to track bundle order (sheet deletion/reorder breaks the sheetN.bin
+    * naming convention). */
+  private def bundleSheets(wb: Array[Byte]): Vector[(String, Option[String])] = {
+    val names = Vector.newBuilder[(String, Option[String])]
     val rs = new Recs(wb)
     while (rs.hasNext) {
       val (id, off, _) = rs.next()
@@ -140,11 +157,31 @@ object Xlsb {
         var p = off + 8
         val relCch = u32(wb, p)
         p += 4
-        if (relCch != 0xFFFFFFFFL) p += relCch.toInt * 2
-        names += wideString(wb, p)._1
+        val relId =
+          if (relCch != 0xFFFFFFFFL) {
+            val n = relCch.toInt
+            val s = new String(wb, p, n * 2, "UTF-16LE")
+            p += n * 2
+            Some(s)
+          } else None
+        names += ((wideString(wb, p)._1, relId))
       }
     }
     names.result()
+  }
+
+  /** Id → Target map from an OPC relationships part (attribute order
+    * independent). */
+  private def parseRels(xml: String): Map[String, String] = {
+    val rel = """<Relationship\b[^>]*/?>""".r
+    val idAttr = """\bId="([^"]*)"""".r
+    val targetAttr = """\bTarget="([^"]*)"""".r
+    rel.findAllIn(xml).flatMap { tag =>
+      for {
+        i <- idAttr.findFirstMatchIn(tag).map(_.group(1))
+        t <- targetAttr.findFirstMatchIn(tag).map(_.group(1))
+      } yield i -> t
+    }.toMap
   }
 
   /** Shared strings from sharedStrings.bin BrtSstItem records. The item is a
@@ -280,6 +317,13 @@ object Xlsb {
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="bin" ContentType="application/vnd.ms-excel.sheet.binary.macroEnabled.main"/></Types>""".getBytes("UTF-8"),
       "_rels/.rels" ->
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.bin"/></Relationships>""".getBytes("UTF-8"),
+      "xl/_rels/workbook.bin.rels" -> {
+        val rels = sheets.indices.map(i =>
+          s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.bin"/>""")
+          .mkString
+        (s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
+          .getBytes("UTF-8")
+      },
       "xl/workbook.bin" -> wbBuf.toByteArray,
       "xl/sharedStrings.bin" -> sstBuf.toByteArray) ++
       sheetParts.zipWithIndex.map { case (p, i) =>

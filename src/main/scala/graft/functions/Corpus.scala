@@ -435,9 +435,14 @@ object Corpus {
     val t0 = trim(url)
     val noFrag = regexp_replace(t0, "#.*", "")
     // tracking params: remove `key=value` for the tracked keys, then repair
-    // separators (`?&` → `?`, `&&` → `&`, trailing `?`/`&`)
-    val tracked = "(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*"
-    val noTrack0 = regexp_replace(noFrag, tracked, "")
+    // separators (`?&` → `?`, `&&` → `&`, trailing `?`/`&`). The key is
+    // ANCHORED to its `?`/`&` separator (kept via `$1`) so an unrelated
+    // param that merely ends in a tracked name (`xgclid=2`) or matching
+    // text inside a path segment is never touched — an unanchored rule
+    // would canonicalize distinct URLs identically and falsely merge them
+    // in URL dedup.
+    val tracked = "([?&])(utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*"
+    val noTrack0 = regexp_replace(noFrag, tracked, "$1")
     val noTrack = regexp_replace(
       regexp_replace(regexp_replace(noTrack0, "\\?&+", "?"), "&&+", "&"),
       "[?&]+$", "")

@@ -90,6 +90,60 @@ class SpreadsheetPropertySpec extends SparkSpec {
     }
   }
 
+  test("xlsb resolves worksheet parts through workbook rels, not part naming") {
+    // Excel workbooks whose part names don't track bundle order (sheet
+    // deletion / reorder) must still read the right sheet: rename the part
+    // to a non-convention name and point the rels target at it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rels")
+    val rows = Vector(Vector("id", "name"), Vector("1", "ann"), Vector("2", "bob"))
+    val orig = dir.resolve("orig.xlsb"); Xlsb.write(orig, rows)
+    val moved = dir.resolve("moved.xlsb")
+    val zin = new java.util.zip.ZipFile(orig.toFile)
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(moved))
+    try {
+      val en = zin.entries()
+      while (en.hasMoreElements) {
+        val e = en.nextElement()
+        val bytes = {
+          val in = zin.getInputStream(e)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        }
+        val (name, content) = e.getName match {
+          case "xl/worksheets/sheet1.bin" => ("xl/worksheets/sheet7.bin", bytes)
+          case "xl/_rels/workbook.bin.rels" =>
+            (e.getName, new String(bytes, "UTF-8")
+              .replace("worksheets/sheet1.bin", "worksheets/sheet7.bin").getBytes("UTF-8"))
+          case other => (other, bytes)
+        }
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content)
+        zos.closeEntry()
+      }
+    } finally { zos.close(); zin.close() }
+    assert(Xlsb.readRows(moved.toString, None) == rows)
+  }
+
+  test("normalizeUrl anchors tracking params to their separator") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases = Seq(
+      // unrelated param merely ENDING in a tracked name must survive
+      "http://a.com/p?xgclid=2" -> "http://a.com/p?xgclid=2",
+      // tracked-name text inside a path segment must survive
+      "http://a.com/utm_source=feed/x" -> "http://a.com/utm_source=feed/x",
+      // genuine tracking params still stripped, separators repaired
+      "http://a.com/p?utm_source=f&x=1&gclid=g" -> "http://a.com/p?x=1",
+      "http://a.com/p?gclid=g" -> "http://a.com/p")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.Corpus.normalizeUrl(col("u")).as("n"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("normalizeUrl is idempotent over messy URLs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
