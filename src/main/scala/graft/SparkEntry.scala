@@ -948,6 +948,37 @@ object SparkEntry {
       graft.functions.Multimodal.exactPayloadGroups(media)
     }),
 
+    // real image codecs: per-row deterministic fixtures (format rotating
+    // bmp/png/gif/jpeg by doc_id, dims by id arithmetic — tools/GenImages)
+    // parsed back by the NATIVE header parsers via the image_meta YAML op;
+    // the oracle states the expected metadata in closed form
+    "q_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenImages.metaFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "image_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "image_format", "image_width", "image_height",
+          "image_orientation")
+    }),
+
+    // perceptual image near-dedup: ids i and i+250 share a base pattern
+    // (the copy carries a faint low-frequency gradient AND a different
+    // container format — PNG vs BMP), unrelated patterns are ≥16 pHash
+    // bits apart; pHash → 4×16-bit band join → hamming ≤ 3 → connected
+    // components must recover exactly the constructed pairing
+    "q_image_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 500).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenImages.dedupFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "image_dedup", "id_column" -> "media_id",
+          "column" -> "content", "max_hamming" -> 3), Map.empty, "gate")
+    }),
+
     // ================================================ corpus cleaning ops
     // PII redaction over text with synthesized email/IP/phone per row (the
     // raw corpus contains none — the construction makes the regexes fire)
@@ -1963,6 +1994,27 @@ object SparkEntry {
 
     "q_multimodal_dedup" ->
       "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    // fixture images are closed-form in doc_id (tools/GenImages): format
+    // rotates bmp/png/gif/jpeg, dims and EXIF orientation are id
+    // arithmetic — the oracle never decodes a byte
+    "q_image_meta" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'gif' ELSE 'jpeg' END AS image_format,
+           (16 + (doc_id % 5) * 8)::INTEGER AS image_width,
+           (12 + (doc_id % 3) * 8)::INTEGER AS image_height,
+           (CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 8 ELSE 0 END)::INTEGER AS image_orientation
+         FROM documents""",
+
+    // construction: ids i and i+250 carry the same base pattern (the copy
+    // faintly perturbed, in a DIFFERENT container format), unrelated
+    // patterns are ≥16 pHash bits apart — the expected grouping is pure id
+    // arithmetic
+    "q_image_phash_dedup" ->
+      """SELECT doc_id AS media_id, doc_id % 250 AS keep_id,
+           count(*) OVER (PARTITION BY doc_id % 250)::BIGINT AS n_group
+         FROM documents WHERE doc_id < 500""",
 
     "q_render_template" ->
       """SELECT n_nationkey, '{"name": "' || n_name || '", "region": ' || n_regionkey || '}' AS rendered FROM nation""",

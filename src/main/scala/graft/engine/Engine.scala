@@ -214,6 +214,9 @@ final class Engine(spark: SparkSession) {
     "url_normalize" -> Set("column", "new_column"),
     "url_domain" -> Set("column", "new_column"),
     "domain_filter" -> Set("column", "domains", "domains_file", "mode"),
+    "image_meta" -> Set("column", "prefix"),
+    "image_hash" -> Set("column", "kind", "new_column"),
+    "image_dedup" -> Set("id_column", "column", "max_hamming"),
     "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
     "text_stats" -> Set("column", "stopwords"),
@@ -357,6 +360,19 @@ final class Engine(spark: SparkSession) {
         val c = Config.reqStr(op, "column", ctx)
         df.withColumn(Config.str(op, "new_column").getOrElse("domain"),
           graft.functions.Corpus.urlDomain(org.apache.spark.sql.functions.col(c)))
+      // multimodal: header metadata / perceptual signature / near-dedup
+      // over binary image payload columns
+      case "image_meta" =>
+        graft.functions.Images.withImageMeta(df, Config.reqStr(op, "column", ctx),
+          Config.str(op, "prefix").getOrElse("image_"))
+      case "image_hash" =>
+        graft.functions.Images.perceptualHash(df, Config.reqStr(op, "column", ctx),
+          Config.str(op, "kind").getOrElse("phash"),
+          Config.str(op, "new_column").getOrElse("phash"))
+      case "image_dedup" =>
+        graft.functions.Images.phashDedupGroups(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "max_hamming").getOrElse(3))
       // allowlist/blocklist by registrable domain (UT1-style curation):
       // domains inline (`domains:`) or one-per-line file (`domains_file`,
       // read driver-side and broadcast as a literal set — blocklists are

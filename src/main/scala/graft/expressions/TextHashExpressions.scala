@@ -138,6 +138,34 @@ object GraftFunctions {
           intLit(s, "doc_signature", "shingle_size"))
         case other => throw new IllegalArgumentException(
           s"doc_signature takes 1-3 arguments, got ${other.size}")
+      }),
+    ("image_meta",
+      "_FUNC_(binary) - struct(format, width, height, orientation) from image header bytes",
+      {
+        case Seq(b) => ImageMeta(b)
+        case other => throw new IllegalArgumentException(
+          s"image_meta takes 1 argument, got ${other.size}")
+      }),
+    ("image_ahash",
+      "_FUNC_(binary) - 64-bit average-hash perceptual signature (NULL if undecodable)",
+      {
+        case Seq(b) => PerceptualHash(b, 0)
+        case other => throw new IllegalArgumentException(
+          s"image_ahash takes 1 argument, got ${other.size}")
+      }),
+    ("image_dhash",
+      "_FUNC_(binary) - 64-bit difference-hash perceptual signature (NULL if undecodable)",
+      {
+        case Seq(b) => PerceptualHash(b, 1)
+        case other => throw new IllegalArgumentException(
+          s"image_dhash takes 1 argument, got ${other.size}")
+      }),
+    ("image_phash",
+      "_FUNC_(binary) - 64-bit DCT perceptual hash (NULL if undecodable)",
+      {
+        case Seq(b) => PerceptualHash(b, 2)
+        case other => throw new IllegalArgumentException(
+          s"image_phash takes 1 argument, got ${other.size}")
       }))
 
   /** Register into an existing session's function registry (temp functions —
@@ -163,6 +191,11 @@ object GraftFunctions {
 
   def docSignatureCol(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
     call_function("doc_signature", text, lit(numHashes), lit(shingleSize))
+
+  def imageMetaCol(bin: Column): Column = call_function("image_meta", bin)
+  def imageAhashCol(bin: Column): Column = call_function("image_ahash", bin)
+  def imageDhashCol(bin: Column): Column = call_function("image_dhash", bin)
+  def imagePhashCol(bin: Column): Column = call_function("image_phash", bin)
 }
 
 /** Trigram-LM rarity as a native expression: struct(rarity_sum, n_trigrams,

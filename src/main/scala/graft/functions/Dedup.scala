@@ -290,7 +290,7 @@ object Dedup {
     mix64(h)
   }
 
-  private[functions] def mix64(x0: Long): Long = {
+  private[graft] def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL

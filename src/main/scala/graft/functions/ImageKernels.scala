@@ -1,0 +1,625 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Image kernels for multimodal corpus curation: native header parsers
+ * (format/width/height/EXIF-orientation from public byte layouts — no
+ * pixel decode on the metadata path, which matters when the pass is a
+ * 100 TB scan), native pixel decoders for the deterministic formats
+ * (BMP BI_RGB, PNG gray/RGB/RGBA non-interlaced, GIF LZW), and the
+ * perceptual hashes (aHash / dHash / pHash-DCT) every image near-dedup
+ * pipeline keys on.
+ *
+ * Every method is a static-call target for the codegen'd Catalyst
+ * expressions in [[graft.expressions]] (the TextHashKernels pattern), so
+ * header parse and hashing fuse into whole-stage codegen with no
+ * Dataset-encoder boundary.
+ *
+ * Determinism: decode + hash arithmetic is all-integer except the pHash
+ * DCT, which uses `StrictMath.cos` (exactly-specified fdlibm results, the
+ * same bits on every JVM/platform) — signatures are reproducible across
+ * clusters, which the band-join dedup relies on. JPEG entropy decode is
+ * deliberately NOT reimplemented (a full Huffman+IDCT decoder is out of
+ * scope and platform JPEG decoders are not bit-stable anyway): JPEG/other
+ * formats fall back to javax.imageio for pixels, and pipelines that need
+ * bit-stable hashes transcode to PNG/BMP first.
+ *
+ * Byte layouts follow the public specs: BMP BITMAPINFOHEADER (Windows
+ * API docs), PNG (RFC 2083 / W3C PNG), GIF87a/89a (CompuServe spec),
+ * JPEG JFIF/EXIF (ITU T.81 §B, EXIF 2.3 tag 0x0112).
+ */
+object ImageKernels {
+
+  // ======================================================= header parsing
+
+  /** struct(format, width, height, orientation) without pixel decode.
+    * Unknown/corrupt payloads → (null, 0, 0, 0); orientation is the EXIF
+    * tag when present (JPEG), else 0. */
+  def imageMetaRow(bytes: Array[Byte]): GenericInternalRow = {
+    val m = imageMeta(bytes)
+    new GenericInternalRow(Array[Any](
+      if (m == null) null else UTF8String.fromString(m._1),
+      if (m == null) 0 else m._2,
+      if (m == null) 0 else m._3,
+      if (m == null) 0 else m._4))
+  }
+
+  /** (format, width, height, orientation) or null when unrecognized. */
+  def imageMeta(b: Array[Byte]): (String, Int, Int, Int) = {
+    if (b == null || b.length < 10) return null
+    if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      if (b.length < 24) return null
+      ("png", be32(b, 16), be32(b, 20), 0)
+    } else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      ("gif", le16(b, 6), le16(b, 8), 0)
+    } else if (b(0) == 'B' && b(1) == 'M') {
+      if (b.length < 26) return null
+      // height may be negative (top-down rows); dimensions are the abs
+      ("bmp", math.abs(le32(b, 18)), math.abs(le32(b, 22)), 0)
+    } else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      jpegMeta(b)
+    } else null
+  }
+
+  /** Walk JPEG marker segments: dimensions from the first SOFn, orientation
+    * from an EXIF APP1 IFD0 tag 0x0112 if present. */
+  private def jpegMeta(b: Array[Byte]): (String, Int, Int, Int) = {
+    var w = 0; var h = 0; var orient = 0
+    var p = 2
+    var done = false
+    while (!done && p + 3 < b.length) {
+      if ((b(p) & 0xFF) != 0xFF) return null // desynced marker stream
+      val marker = b(p + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) p += 2 // no payload
+      else if (marker == 0xD9 || marker == 0xDA) done = true // EOI / scan data
+      else {
+        val len = ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+        if (len < 2 || p + 2 + len > b.length) done = true
+        else {
+          val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof && w == 0 && len >= 7) {
+            h = ((b(p + 5) & 0xFF) << 8) | (b(p + 6) & 0xFF)
+            w = ((b(p + 7) & 0xFF) << 8) | (b(p + 8) & 0xFF)
+          } else if (marker == 0xE1 && len >= 10 &&
+            b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+            b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+            orient = exifOrientation(b, p + 10, len - 8)
+          }
+          p += 2 + len
+        }
+      }
+    }
+    if (w == 0 && h == 0) null else ("jpeg", w, h, orient)
+  }
+
+  /** EXIF orientation (tag 0x0112) from the TIFF structure at `off`. */
+  private def exifOrientation(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len < 14) return 0
+    val little = b(off) == 'I' && b(off + 1) == 'I'
+    val big = b(off) == 'M' && b(off + 1) == 'M'
+    if (!little && !big) return 0
+    def u16(p: Int): Int =
+      if (little) le16(b, p) else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    def u32(p: Int): Int =
+      if (little) le32(b, p)
+      else ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) | ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+    if (u16(off + 2) != 42) return 0
+    val ifd = off + u32(off + 4)
+    if (ifd + 2 > off + len) return 0
+    val n = u16(ifd)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > off + len) return 0
+      if (u16(e) == 0x0112 && u16(e + 2) == 3) return u16(e + 8)
+      i += 1
+    }
+    0
+  }
+
+  private def be32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) | ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) | ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+
+  // ========================================================= pixel decode
+
+  /** Decoded image: width, height, row-major 8-bit grayscale (integer luma
+    * `(299r + 587g + 114b) / 1000`). */
+  final case class Gray(w: Int, h: Int, px: Array[Int])
+
+  /** Probe/test face for [[decodeGray]]. */
+  def decodeGrayPublic(b: Array[Byte]): Gray = decodeGray(b)
+
+  /** Decode to grayscale: native for BMP/PNG/GIF (bit-deterministic),
+    * javax.imageio fallback otherwise; null when undecodable. */
+  private[functions] def decodeGray(b: Array[Byte]): Gray = {
+    val m = imageMeta(b)
+    try m match {
+      case ("bmp", _, _, _) => decodeBmp(b)
+      case ("png", _, _, _) => decodePng(b)
+      case ("gif", _, _, _) => decodeGif(b)
+      case null => null
+      case _ => decodeImageIo(b)
+    } catch { case _: Exception => null }
+  }
+
+  private def luma(r: Int, g: Int, bl: Int): Int = (299 * r + 587 * g + 114 * bl) / 1000
+
+  /** BMP BI_RGB 24/32 bpp, bottom-up or top-down. */
+  private def decodeBmp(b: Array[Byte]): Gray = {
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val rawH = le32(b, 22)
+    val h = math.abs(rawH)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    if (comp != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h == 0) return null
+    val bytesPp = bpp / 8
+    val stride = ((w * bytesPp + 3) / 4) * 4
+    if (off + stride.toLong * h > b.length) return null
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (rawH > 0) h - 1 - y else y // positive height = bottom-up
+      val ro = off + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val p = ro + x * bytesPp // BGR(A) order
+        px(y * w + x) = luma(b(p + 2) & 0xFF, b(p + 1) & 0xFF, b(p) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, px)
+  }
+
+  /** PNG: 8-bit gray (0), RGB (2), gray+alpha (4), RGBA (6); filters 0-4;
+    * non-interlaced. */
+  private def decodePng(b: Array[Byte]): Gray = {
+    val w = be32(b, 16); val h = be32(b, 20)
+    val bitDepth = b(24) & 0xFF; val colorType = b(25) & 0xFF; val interlace = b(28) & 0xFF
+    if (bitDepth != 8 || interlace != 0) return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
+    }
+    // concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var stop = false
+    while (!stop && p + 8 <= b.length) {
+      val len = be32(b, p)
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      if (typ == "IDAT" && p + 8 + len <= b.length) idat.write(b, p + 8, len)
+      if (typ == "IEND") stop = true
+      p += 12 + len
+    }
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return null // truncated
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return null
+    // undo per-row filters in place (prev = reconstructed previous row)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    val px = new Array[Int](w * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val ro = y * (stride + 1)
+      val filter = raw(ro) & 0xFF
+      var i = 0
+      while (i < stride) {
+        val x = raw(ro + 1 + i) & 0xFF
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        cur(i) = filter match {
+          case 0 => x
+          case 1 => (x + a) & 0xFF
+          case 2 => (x + up) & 0xFF
+          case 3 => (x + ((a + up) / 2)) & 0xFF
+          case 4 =>
+            val pp = a + up - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            (x + pred) & 0xFF
+          case _ => return null
+        }
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        val o = x * channels
+        px(y * w + x) = channels match {
+          case 1 => cur(o)
+          case 2 => cur(o) // gray+alpha: luma is the gray sample
+          case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+        }
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Gray(w, h, px)
+  }
+
+  /** GIF: first image block, global color table, LZW decode; 89a extension
+    * blocks skipped. Interlaced images de-interlaced per spec. */
+  private def decodeGif(b: Array[Byte]): Gray = {
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    val flags = b(10) & 0xFF
+    var p = 13
+    var palette: Array[Int] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      palette = Array.tabulate(n)(i => luma(b(p + i * 3) & 0xFF, b(p + i * 3 + 1) & 0xFF, b(p + i * 3 + 2) & 0xFF))
+      p += n * 3
+    }
+    // skip extensions until the image descriptor
+    while (p < b.length && (b(p) & 0xFF) == 0x21) {
+      p += 2 // introducer + label
+      while ((b(p) & 0xFF) != 0) p += (b(p) & 0xFF) + 1
+      p += 1
+    }
+    if (p >= b.length || (b(p) & 0xFF) != 0x2C) return null
+    val iw = le16(b, p + 5); val ih = le16(b, p + 7)
+    val iflags = b(p + 9) & 0xFF
+    p += 10
+    if ((iflags & 0x80) != 0) { // local color table wins
+      val n = 2 << (iflags & 7)
+      palette = Array.tabulate(n)(i => luma(b(p + i * 3) & 0xFF, b(p + i * 3 + 1) & 0xFF, b(p + i * 3 + 2) & 0xFF))
+      p += n * 3
+    }
+    if (palette == null) return null
+    val interlaced = (iflags & 0x40) != 0
+    val minCode = b(p) & 0xFF; p += 1
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (p < b.length && (b(p) & 0xFF) != 0) {
+      val n = b(p) & 0xFF
+      data.write(b, p + 1, n)
+      p += n + 1
+    }
+    val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
+    if (indices == null) return null
+    val px = new Array[Int](iw * ih)
+    if (!interlaced) {
+      var i = 0
+      while (i < px.length) { px(i) = palette(indices(i) % palette.length); i += 1 }
+    } else {
+      // pass starts/steps per GIF spec
+      val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+      var src = 0
+      var pass = 0
+      while (pass < 4) {
+        var y = starts(pass)
+        while (y < ih) {
+          var x = 0
+          while (x < iw) { px(y * iw + x) = palette(indices(src) % palette.length); src += 1; x += 1 }
+          y += steps(pass)
+        }
+        pass += 1
+      }
+    }
+    Gray(if (iw > 0) iw else sw, if (ih > 0) ih else sh, px)
+  }
+
+  /** GIF/TIFF-variant LZW with variable code width, clear + EOI codes. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Array[Int] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    var codeSize = minCodeSize + 1
+    var dictSize = eoi + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Int](maxDict)
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i; i += 1 }
+    val out = new Array[Int](expected)
+    var outN = 0
+    var bitPos = 0
+    var prevCode = -1
+    val stack = new Array[Int](maxDict + 1) // KwKwK string = prev + 1 symbol
+    def readCode(): Int = {
+      if ((bitPos + codeSize - 1) / 8 >= data.length) return -1
+      var v = 0; var k = 0
+      while (k < codeSize) {
+        val byte = data((bitPos + k) / 8) & 0xFF
+        if ((byte & (1 << ((bitPos + k) % 8))) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    var done = false
+    while (!done && outN < expected) {
+      val code = readCode()
+      if (code < 0 || code == eoi) done = true
+      else if (code == clear) {
+        codeSize = minCodeSize + 1; dictSize = eoi + 1; prevCode = -1
+      } else {
+        var sp = 0
+        var firstSym = 0
+        if (code < dictSize) {
+          firstSym = firstOf(prefix, suffix, code)
+          var c = code
+          while (c >= 0) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        } else {
+          // KwKwK case: code == dictSize; emit prev + first(prev)
+          if (prevCode < 0 || code != dictSize) return null
+          firstSym = firstOf(prefix, suffix, prevCode)
+          stack(sp) = firstSym; sp += 1 // pops LAST — trailing symbol
+          var c = prevCode
+          while (c >= 0) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        }
+        while (sp > 0 && outN < expected) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (prevCode >= 0 && dictSize < maxDict) {
+          prefix(dictSize) = prevCode
+          suffix(dictSize) = firstSym
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prevCode = code
+      }
+    }
+    if (outN < expected) null else out
+  }
+
+  private def firstOf(prefix: Array[Int], suffix: Array[Int], code0: Int): Int = {
+    var c = code0
+    while (prefix(c) >= 0) c = prefix(c)
+    suffix(c)
+  }
+
+  /** javax.imageio fallback (JPEG et al — platform decoder, hashes over it
+    * are NOT guaranteed bit-stable across JVM vendors; see object doc). */
+  private def decodeImageIo(b: Array[Byte]): Gray = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        px(y * w + x) = luma((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, px)
+  }
+
+  // ==================================================== perceptual hashes
+
+  /** Exact integer box-mean downsample to tw×th (nearest-pixel when the
+    * source is smaller than the target grid). */
+  private[functions] def downsample(g: Gray, tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      var y0 = ty * g.h / th; var y1 = (ty + 1) * g.h / th
+      if (y1 <= y0) { y0 = math.min(y0, g.h - 1); y1 = y0 + 1 }
+      var tx = 0
+      while (tx < tw) {
+        var x0 = tx * g.w / tw; var x1 = (tx + 1) * g.w / tw
+        if (x1 <= x0) { x0 = math.min(x0, g.w - 1); x1 = x0 + 1 }
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += g.px(y * g.w + x); x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** aHash: 8×8 box means, bit k set iff cell k > integer mean. */
+  def ahash(bytes: Array[Byte]): java.lang.Long = {
+    val g = decodeGray(bytes)
+    if (g == null) return null
+    val cells = downsample(g, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += cells(i); i += 1 }
+    val mean = sum / 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (cells(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** dHash: 9×8 box means, bit = left cell > right neighbor (row-major). */
+  def dhash(bytes: Array[Byte]): java.lang.Long = {
+    val g = decodeGray(bytes)
+    if (g == null) return null
+    val cells = downsample(g, 9, 8)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** pHash: 32×32 box means → 2D DCT-II (StrictMath basis — bit-stable on
+    * every JVM) → top-left 8×8 coefficients, bit k set iff coefficient k >
+    * median of the 63 non-DC coefficients. */
+  def phash(bytes: Array[Byte]): java.lang.Long = {
+    val g = decodeGray(bytes)
+    if (g == null) return null
+    val n = 32
+    val cells = downsample(g, n, n)
+    // separable DCT-II restricted to the first 8 output rows/cols
+    val basis = phashBasis // precomputed StrictMath cos table [8][32]
+    val tmp = Array.ofDim[Double](8, n) // rows DCT'd in u, original columns
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < n) {
+        var s = 0.0
+        var y = 0
+        while (y < n) { s += cells(y * n + x) * basis(u)(y); y += 1 }
+        tmp(u)(x) = s
+        x += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += tmp(u)(x) * basis(v)(x); x += 1 }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31) // lower median of 63 values
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (coef(i) > med) h |= (1L << i); i += 1 }
+    h
+  }
+
+  private lazy val phashBasis: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, y) =>
+      StrictMath.cos((2 * y + 1) * u * StrictMath.PI / 64.0))
+
+  /** Dispatch for the codegen'd expression: 0=ahash, 1=dhash, 2=phash. */
+  def perceptualHash(bytes: Array[Byte], kind: Int): java.lang.Long = kind match {
+    case 0 => ahash(bytes)
+    case 1 => dhash(bytes)
+    case _ => phash(bytes)
+  }
+
+  // ================================================ fixture/sink encoders
+
+  /** Minimal 24-bpp BI_RGB BMP from row-major grayscale. */
+  def encodeBmp(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = new Array[Byte](54 + dataSize)
+    def w16(p: Int, v: Int): Unit = { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte }
+    def w32(p: Int, v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >> 8).toByte
+      out(p + 2) = (v >> 16).toByte; out(p + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, 54 + dataSize); w32(10, 54); w32(14, 40)
+    w32(18, w); w32(22, h) // bottom-up
+    w16(26, 1); w16(28, 24); w32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val ro = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val v = (gray(y * w + x) & 0xFF).toByte
+        out(ro + x * 3) = v; out(ro + x * 3 + 1) = v; out(ro + x * 3 + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal 8-bit grayscale non-interlaced PNG (filter 0 rows). */
+  def encodePng(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raw(y * (w + 1) + 1 + x) = (gray(y * w + x) & 0xFF).toByte; x += 1 }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >> 24).toByte, (len >> 16).toByte, (len >> 8).toByte, len.toByte), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(Array((c >> 24).toByte, (c >> 16).toByte, (c >> 8).toByte, c.toByte), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte; ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte; ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    chunk("IHDR", ihdr)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Header-only GIF87a (logical screen descriptor + trailer) — the meta
+    * fixture shape; pixel-bearing GIFs come from real encoders. */
+  def encodeGifHeader(w: Int, h: Int): Array[Byte] =
+    Array[Byte]('G', 'I', 'F', '8', '7', 'a',
+      w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte, 0, 0, 0, 0x3B)
+
+  /** Minimal JPEG: SOI + EXIF APP1 (orientation) + SOF0 (dims) + EOI — a
+    * structurally valid header stream with no entropy data, exactly what
+    * the meta parser consumes. */
+  def encodeJpegHeader(w: Int, h: Int, orientation: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)
+    // APP1 EXIF, little-endian TIFF, one IFD0 entry (0x0112 SHORT 1)
+    val tiff = Array[Byte](
+      'I', 'I', 42, 0, 8, 0, 0, 0, // II, 42, IFD0 @ 8
+      1, 0, // 1 entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, orientation.toByte, 0, 0, 0,
+      0, 0, 0, 0) // next IFD = none
+    val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    out.write(0xFF); out.write(0xE1)
+    val l1 = app1.length + 2
+    out.write(l1 >> 8); out.write(l1 & 0xFF); out.write(app1, 0, app1.length)
+    // SOF0: precision 8, h, w, 1 component
+    out.write(0xFF); out.write(0xC0)
+    val sof = Array[Byte](8, (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte,
+      1, 1, 0x11, 0)
+    val l2 = sof.length + 2
+    out.write(l2 >> 8); out.write(l2 & 0xFF); out.write(sof, 0, sof.length)
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.expressions.GraftFunctions
+
+/**
+ * Image-level corpus operators: metadata extraction and perceptual
+ * near-duplicate detection over binary payload columns — the multimodal
+ * half of the dedup tier. A crawl-scale image corpus dedups exactly like
+ * text: signature pass (here a perceptual hash instead of MinHash), banded
+ * candidate join, exact verification, connected components.
+ *
+ * Scale shape mirrors the SimHash path: the signature is ONE codegen'd
+ * expression per row fused into the scan (no second read of payload
+ * bytes — they never leave the executor), the candidate join keys on
+ * 16-bit signature bands (any equal band ⇒ candidate, which by pigeonhole
+ * catches every pair within hamming distance 3 of a 4-band 64-bit
+ * signature), and nothing is ever O(n²) or driver-side.
+ */
+object Images {
+
+  /** Append header metadata (format / width / height / EXIF orientation)
+    * from the binary payload — header parse only, no pixel decode: the
+    * 100 TB metadata sweep reads each payload's first bytes once inside
+    * the scan projection. */
+  def withImageMeta(df: DataFrame, binCol: String, prefix: String = "image_"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val m = s"__${prefix}m__"
+    df.withColumn(m, GraftFunctions.imageMetaCol(col(binCol)))
+      .withColumn(prefix + "format", col(s"$m.format"))
+      .withColumn(prefix + "width", col(s"$m.width"))
+      .withColumn(prefix + "height", col(s"$m.height"))
+      .withColumn(prefix + "orientation", col(s"$m.orientation"))
+      .drop(m)
+  }
+
+  /** Perceptual-hash column over a binary payload. kind: "ahash" (8×8
+    * mean), "dhash" (9×8 gradient), "phash" (32×32 DCT low-frequency,
+    * the robust default). NULL for undecodable payloads. */
+  def perceptualHash(df: DataFrame, binCol: String, kind: String = "phash",
+                     outCol: String = "phash"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val c = kind.toLowerCase match {
+      case "ahash" => GraftFunctions.imageAhashCol(col(binCol))
+      case "dhash" => GraftFunctions.imageDhashCol(col(binCol))
+      case "phash" => GraftFunctions.imagePhashCol(col(binCol))
+      case other => throw new IllegalArgumentException(
+        s"perceptualHash: kind must be ahash/dhash/phash, got `$other`")
+    }
+    df.withColumn(outCol, c)
+  }
+
+  /** Near-duplicate pairs over ANY 64-bit signature column by banded
+    * hamming search: four 16-bit bands (any equal band ⇒ candidate —
+    * complete for hamming ≤ 3 by pigeonhole), exact `bit_count` verify
+    * `<= maxHamming`. The generalized form of the SimHash candidate
+    * machinery, shared by image pHash dedup. */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val docs = sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"), col(sigCol).cast(LongType).as("sig"))
+      .persist() // signature feeds both sides of the band self-join
+    val banded = docs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("band", "chunk")))
+    val l = banded.toDF("a_id", "a_sig", "band", "chunk")
+    val r = banded.toDF("b_id", "b_sig", "band", "chunk")
+    l.join(r, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sig", "b_sig").distinct()
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming").cast(LongType).as("hamming"))
+  }
+
+  /** Perceptual near-duplicate pairs: pHash signature (one codegen pass
+    * over the payloads) → banded hamming pairs. */
+  def phashPairs(df: DataFrame, idCol: String, binCol: String,
+                 maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      perceptualHash(df, binCol, "phash", "__ph__")
+        .select(col(idCol), col("__ph__")),
+      idCol, "__ph__", maxHamming)
+
+  /** Image near-dedup groups: every payload labeled with its duplicate
+    * group's representative (min id). Undecodable payloads keep
+    * themselves. Output: (`idCol`, keep_id, n_group). */
+  def phashDedupGroups(df: DataFrame, idCol: String, binCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val ids = df.select(col(idCol).cast(LongType).as(idCol))
+    val pairs = phashPairs(df, idCol, binCol, maxHamming)
+    val cc = Dedup.connectedComponents(ids, idCol, pairs) // → (id, group_rep)
+    val sizes = cc.groupBy(col("group_rep")).agg(count(lit(1)).as("n_group"))
+    cc.join(sizes, "group_rep")
+      .select(col("id").as(idCol), col("group_rep").as("keep_id"), col("n_group"))
+  }
+}

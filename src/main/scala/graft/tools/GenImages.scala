@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.functions.ImageKernels
+
+/** Deterministic image fixtures for the oracle gate: every byte derivable
+  * from the doc_id alone, so a DuckDB oracle can state the expected
+  * metadata / dedup grouping in closed form without ever decoding pixels.
+  *
+  * Meta fixture (q_image_meta): format rotates bmp/png/gif/jpeg by id%4;
+  * width = 16 + (id%5)·8, height = 12 + (id%3)·8; orientation
+  * 1 + id%8 for jpeg, else 0. BMP/PNG carry real pixels (the native
+  * encoders), GIF/JPEG are structurally-valid header fixtures — the
+  * metadata path never decodes pixels, which is the point of the pass.
+  *
+  * Dedup fixture (q_image_phash_dedup): 64×64 blocky pattern seeded by
+  * id%250 — ids ≥250 add a faint low-frequency gradient (amp 3, pHash
+  * hamming ≤2 measured over the pattern family, unrelated patterns ≥16;
+  * tools/ImageProbe calibration) — alternating PNG (even id) / BMP (odd
+  * id) so near-dup detection is exercised ACROSS container formats. */
+object GenImages {
+
+  def metaWidth(id: Long): Int = 16 + (id % 5).toInt * 8
+  def metaHeight(id: Long): Int = 12 + (id % 3).toInt * 8
+
+  /** The q_image_meta payload for a doc id. */
+  def metaFixture(id: Long): Array[Byte] = {
+    val w = metaWidth(id); val h = metaHeight(id)
+    (id % 4) match {
+      case 0 => ImageKernels.encodeBmp(w, h, pattern(id, w, h))
+      case 1 => ImageKernels.encodePng(w, h, pattern(id, w, h))
+      case 2 => ImageKernels.encodeGifHeader(w, h)
+      case _ => ImageKernels.encodeJpegHeader(w, h, 1 + (id % 8).toInt)
+    }
+  }
+
+  /** The q_image_phash_dedup payload: ids i and i+250 are perceptual
+    * near-duplicates (same base pattern, faint gradient on the copy),
+    * carried in different container formats. */
+  def dedupFixture(id: Long): Array[Byte] = {
+    val w = 64; val h = 64
+    val base = pattern(id % 250, w, h)
+    val px = if (id >= 250) perturb(base, w, h, 3) else base
+    if (id % 2 == 0) ImageKernels.encodePng(w, h, px)
+    else ImageKernels.encodeBmp(w, h, px)
+  }
+
+  /** Blocky 4×4 deterministic pattern — high inter-seed variance (mixed
+    * bits), stable under the 32×32 box downsample. Values capped ≤ 250 so
+    * small perturbations never clip. */
+  def pattern(seed: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (graft.functions.Dedup.mix64(seed * 1000003L + (y / 4) * 131L + (x / 4)) & 0xFF).toInt
+        .min(250)
+    }
+
+  /** Faint vertical gradient on the left half: a low-spatial-frequency
+    * change that moves a couple of low-DCT coefficients — a genuine
+    * NEAR-duplicate, not a byte-identical copy. */
+  def perturb(px: Array[Int], w: Int, h: Int, amp: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < w / 2) math.min(255, px(i) + amp * y / h) else px(i)
+    }
+}

@@ -1,0 +1,126 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.tools.GenImages
+import org.apache.spark.sql.functions._
+
+/** Image codec + perceptual-hash tier: native header parsers, pixel
+  * decoders (bit-exact round-trips for BMP/PNG, GIF cross-checked against
+  * ImageIO), hash invariances, and the banded near-dedup pipeline. */
+class ImagesSpec extends SparkSpec {
+
+  private val w = 40; private val h = 24
+  private def px: Array[Int] = GenImages.pattern(7, w, h)
+
+  test("image meta parses all four native header formats and rejects junk") {
+    assert(ImageKernels.imageMeta(ImageKernels.encodeBmp(w, h, px)) == ("bmp", w, h, 0))
+    assert(ImageKernels.imageMeta(ImageKernels.encodePng(w, h, px)) == ("png", w, h, 0))
+    assert(ImageKernels.imageMeta(ImageKernels.encodeGifHeader(300, 200)) == ("gif", 300, 200, 0))
+    assert(ImageKernels.imageMeta(ImageKernels.encodeJpegHeader(640, 480, 6)) == ("jpeg", 640, 480, 6))
+    assert(ImageKernels.imageMeta("not an image at all".getBytes) == null)
+    assert(ImageKernels.imageMeta(Array[Byte](0x42, 0x4D)) == null) // truncated BMP
+  }
+
+  test("meta parses big-endian EXIF and ImageIO-written JPEG dimensions") {
+    val bi = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", bos)
+    val m = ImageKernels.imageMeta(bos.toByteArray)
+    assert(m != null && m._1 == "jpeg" && m._2 == 33 && m._3 == 17)
+  }
+
+  test("BMP and PNG decode round-trips are bit-exact") {
+    val p = px
+    val viaBmp = ImageKernels.decodeGrayPublic(ImageKernels.encodeBmp(w, h, p))
+    val viaPng = ImageKernels.decodeGrayPublic(ImageKernels.encodePng(w, h, p))
+    assert(viaBmp.w == w && viaBmp.h == h && viaBmp.px.sameElements(p))
+    assert(viaPng.w == w && viaPng.h == h && viaPng.px.sameElements(p))
+  }
+
+  test("native GIF LZW decode matches ImageIO's decode of the same bytes") {
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val p = px
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = p(y * w + x); bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "gif", bos)
+    val bytes = bos.toByteArray
+    val native = ImageKernels.decodeGrayPublic(bytes)
+    assert(native != null && native.w == w && native.h == h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val refPx = Array.tabulate(w * h) { i =>
+      val rgb = ref.getRGB(i % w, i / w)
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+    }
+    assert(native.px.sameElements(refPx))
+  }
+
+  test("perceptual hashes are invariant to uniform brightness shift") {
+    val p = px // values ≤ 250, so +5 never clips
+    val bright = p.map(_ + 5)
+    for ((name, f) <- Seq[(String, Array[Byte] => java.lang.Long)](
+      ("ahash", ImageKernels.ahash), ("dhash", ImageKernels.dhash),
+      ("phash", ImageKernels.phash))) {
+      val a = f(ImageKernels.encodeBmp(w, h, p))
+      val b = f(ImageKernels.encodeBmp(w, h, bright))
+      assert(a == b, s"$name changed under uniform brightness shift")
+    }
+  }
+
+  test("perceptual hashes are container-independent and junk-null") {
+    val p = px
+    val bmp = ImageKernels.encodeBmp(w, h, p)
+    val png = ImageKernels.encodePng(w, h, p)
+    assert(ImageKernels.phash(bmp) == ImageKernels.phash(png))
+    assert(ImageKernels.ahash(bmp) == ImageKernels.ahash(png))
+    assert(ImageKernels.phash("junk".getBytes) == null)
+  }
+
+  test("image_meta / image_phash usable from plain SQL via the registry") {
+    graft.expressions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, ImageKernels.encodePng(w, h, px)), (2L, "junk".getBytes))
+      .toDF("id", "content")
+    df.createOrReplaceTempView("imgs")
+    val rows = spark.sql(
+      "SELECT id, image_meta(content).format AS fmt, image_phash(content) AS ph FROM imgs")
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getString(1) == "png" && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
+  test("phashDedupGroups recovers constructed near-dup pairs across formats") {
+    import spark.implicits._
+    // ids 0..9 base patterns; 10..19 perturbed copies; 20 junk payload
+    val media = ((0L until 20L).map(i => (i, GenImages.dedupFixture(i % 10 + (i / 10) * 250))) :+
+      ((20L, "not an image".getBytes))).toDF("media_id", "content")
+    val groups = Images.phashDedupGroups(media, "media_id", "content", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 10L) {
+      assert(groups(i) == (i, 2L), s"base $i: ${groups(i)}")
+      assert(groups(i + 10) == (i, 2L), s"copy ${i + 10}: ${groups(i + 10)}")
+    }
+    assert(groups(20L) == (20L, 1L)) // undecodable keeps itself
+  }
+
+  test("banded hamming join plan is an equi-join — no nested loop, no cartesian") {
+    import spark.implicits._
+    val sigs = (0L until 8L).map(i => (i, Dedup.mix64(i))).toDF("id", "sig")
+    val p = Images.hammingPairs64(sigs, "id", "sig", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("image_meta YAML op appends metadata columns via the engine dispatch") {
+    import spark.implicits._
+    val media = Seq((0L, GenImages.metaFixture(0L)), (3L, GenImages.metaFixture(3L)))
+      .toDF("media_id", "content")
+    val out = new graft.engine.Engine(spark).applyOperation(media,
+      Map("operation" -> "image_meta", "column" -> "content"), Map.empty, "spec")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(out(0L) == ("bmp", GenImages.metaWidth(0), GenImages.metaHeight(0), 0))
+    assert(out(3L) == ("jpeg", GenImages.metaWidth(3), GenImages.metaHeight(3), 4))
+  }
+}
