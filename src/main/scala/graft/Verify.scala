@@ -41,13 +41,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // q_dedup_simhash's oracle embeds signature literals dumped at sf0.01
-    // (SimhashSigs); at any other scale that oracle would be a guaranteed
-    // false mismatch, so drop it there — the driver then records the weaker
-    // rows-only check instead of a spurious failure.
+    // Some oracles embed model state dumped at sf0.01 (SimhashSigs
+    // signatures; the DumpBpe merge table) — at any other scale those
+    // oracles would be a guaranteed false mismatch, so drop them there;
+    // the driver then records the weaker rows-only check instead of a
+    // spurious failure.
+    val sfPinned = Set("q_dedup_simhash", "q_bpe_count", "q_bpe_budget")
     val oracles =
       if (sfDir.stripSuffix("/").endsWith("sf0.01")) SparkEntry.oracleSql
-      else SparkEntry.oracleSql - "q_dedup_simhash"
+      else SparkEntry.oracleSql -- sfPinned
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -217,6 +217,8 @@ final class Engine(spark: SparkSession) {
     "image_meta" -> Set("column", "prefix"),
     "image_hash" -> Set("column", "kind", "new_column"),
     "image_dedup" -> Set("id_column", "column", "max_hamming"),
+    "bpe_token_count" -> Set("column", "new_column", "num_merges",
+      "max_word_types", "merges_file"),
     "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
     "text_stats" -> Set("column", "stopwords"),
@@ -373,6 +375,19 @@ final class Engine(spark: SparkSession) {
         graft.functions.Images.phashDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "max_hamming").getOrElse(3))
+      // exact BPE token counts: merges from a persisted table
+      // (`merges_file`, the production shape — train once, score deltas)
+      // or induced inline from the input frame (the trigram_rarity shape)
+      case "bpe_token_count" =>
+        val c = Config.reqStr(op, "column", ctx)
+        val merges = Config.str(op, "merges_file") match {
+          case Some(f) => graft.functions.Bpe.loadMerges(configDir.resolve(f))
+          case None => graft.functions.Bpe.train(df, c,
+            Config.int(op, "num_merges").getOrElse(200),
+            Config.int(op, "max_word_types").getOrElse(100000))
+        }
+        graft.functions.Bpe.withTokenCount(df, c, merges,
+          Config.str(op, "new_column").getOrElse("bpe_tokens"))
       // allowlist/blocklist by registrable domain (UT1-style curation):
       // domains inline (`domains:`) or one-per-line file (`domains_file`,
       // read driver-side and broadcast as a literal set — blocklists are

@@ -184,6 +184,35 @@ object ScaleProbe {
       val (_, tStrip) = leg(d, "substr_strip")(
         Dedup.stripDuplicateSpans(docs, "doc_id", "text", windowTokens = 10)
           .write.format("noop").mode("overwrite").save())
+      // trained-BPE counting: induction is one word-count shuffle + a
+      // bounded driver loop (vocab-capped, corpus-size-independent);
+      // scoring is a shuffle-free fused expression — wall tracks the scan
+      val (bpeToks, tBpe) = leg(d, "bpe_count") {
+        val merges = graft.functions.Bpe.train(docs, "text",
+          numMerges = 200, maxWordTypes = 100000)
+        graft.functions.Bpe.withTokenCount(docs, "text", merges)
+          .agg(org.apache.spark.sql.functions.sum("bpe_tokens")).head().getLong(0)
+      }
+      // image near-dedup throughput: a 64×64 BMP generated per row feeds
+      // decode→pHash→band-join→hamming verify (fixture synthesis rides
+      // inside the leg — it is itself a narrow codegen-adjacent pass and
+      // at 100 TB the payloads arrive with the rows anyway)
+      val (imgPairs, tImg) = leg(d, "image_phash") {
+        import spark.implicits._
+        // ids ending 00/01 share a base pattern (~1% dup pairs, linear in
+        // n — a seed family like the gate fixture's %250 rule would grow
+        // group sizes with the corpus and the PAIR count quadratically)
+        val media = docs.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val seed = if (id % 100 < 2) (id / 100) * 100 else id
+            val px = GenImages.pattern(seed, 64, 64)
+            val p2 = if (id % 100 == 1) GenImages.perturb(px, 64, 64, 3) else px
+            (id, graft.functions.ImageKernels.encodeBmp(64, 64, p2))
+          })
+          .toDF("media_id", "content")
+        graft.functions.Images.phashPairs(media, "media_id", "content",
+          maxHamming = 3).count()
+      }
       // crawl ingest at scale: corpus → multi-file .wet.gz (16 shards,
       // the CC layout) → distributed WARC read → html-free text counts;
       // files are the parallelism unit, so wall should track corpus size.
@@ -212,6 +241,7 @@ object ScaleProbe {
         f"dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
         f"dedup_incr_indexed=$tIncrIdx%.1fs " +
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
+        f"bpe_count=$tBpe%.1fs($bpeToks) image_phash=$tImg%.1fs($imgPairs) " +
         f"wet_ingest=$tWet%.1fs($wetRows)")
     }
     spark.stop()
