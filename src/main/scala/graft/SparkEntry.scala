@@ -507,6 +507,23 @@ object SparkEntry {
           round(col("value_asof"), 2).as("purchase_value"))
     }),
 
+    // the skew-proof two-phase carry (per-(key, 6h-bucket) partial lasts,
+    // per-key window over bucket ordinals only, bucket-local seeded
+    // windows) must produce the IDENTICAL result to the plain per-key
+    // window — the oracle is the same DuckDB native ASOF join
+    "q_asof_bucketed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.functions.Joins.asofJoin(
+        ev.select("event_id", "user_id", "ts"), purchases, "user_id", "ts",
+        Seq("value"), bucketSecs = Some(21600.0))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          unix_micros(col("ts_asof").cast("timestamp")).as("purchase_ts_us"),
+          round(col("value_asof"), 2).as("purchase_value"))
+    }),
+
     // range join: events against per-user [early, late) halves of their
     // activity span — the interval join Spark lacks, expressed as the
     // binned equi-join rewrite (hash join on (user, bin) + exact
@@ -1277,6 +1294,17 @@ object SparkEntry {
            ON e.user_id = i.user_id AND e.ts_us >= i.s AND e.ts_us < i.e""",
 
     "q_asof_join" ->
+      """WITH b AS (
+           SELECT user_id, ts, max(value) AS value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           epoch_us(b.ts) AS purchase_ts_us, round(b.value, 2) AS purchase_value
+         FROM events e ASOF LEFT JOIN b
+           ON e.user_id = b.user_id AND e.ts >= b.ts""",
+
+    // identical semantics to q_asof_join — the bucketed two-phase carry
+    // must be indistinguishable from the plain window to the oracle
+    "q_asof_bucketed" ->
       """WITH b AS (
            SELECT user_id, ts, max(value) AS value
            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)

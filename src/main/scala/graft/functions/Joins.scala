@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,16 +55,28 @@ object Joins {
     * Right-side (key, ts) ties are resolved BEFORE the union by keeping the
     * struct-max of the value columns — deterministic on any cluster.
     * Matched right columns arrive suffixed, plus `<tsCol><suffix>` (the
-    * matched timestamp, null when no match). Scale shape: a key's whole
-    * history lands on one task (the inherent as-of order dependency) —
-    * parallelism is across keys, the natural cardinality of time-series
-    * data; no cross join, no range explosion. */
+    * matched timestamp, null when no match).
+    *
+    * Scale shape: by default a key's whole history lands on one task (the
+    * inherent as-of order dependency) — parallelism is across keys, the
+    * natural cardinality of time-series data; no cross join, no range
+    * explosion. For a PATHOLOGICAL key (one instrument with 10⁹ events)
+    * pass `bucketSecs`: the carry then runs as a two-phase bucketed
+    * prefix — per-(key, time-bucket) partial `last`s, a per-key window
+    * over the BUCKET partials only (rows = occupied buckets, never
+    * events), and bucket-local windows seeded with the carried-in value —
+    * the same skeleton as Sampling.withHashPrefixSum, splitting the hot
+    * key across as many tasks as it has buckets while computing the
+    * identical result. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                valueCols: Seq[String], suffix: String = "_asof",
-               toleranceSecs: Option[Double] = None): DataFrame = {
+               toleranceSecs: Option[Double] = None,
+               bucketSecs: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(valueCols.nonEmpty, "asofJoin: valueCols must be non-empty")
+    require(bucketSecs.forall(_ > 0), "asofJoin: bucketSecs must be positive")
     val tag = "__asof_tag__"
+    val bCol = "__asof_b__"
     val rTs = tsCol + suffix
     val rCols = valueCols.map(_ + suffix)
     // dedupe right per (key, ts): struct-max of the values, row-consistent
@@ -79,10 +91,57 @@ object Joins {
       .withColumn(tsCol, col(rTs))
       .withColumn(tag, lit(0))
     val unioned = probe.unionByName(build, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tag).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rTs +: rCols).foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+
+    val carried = bucketSecs match {
+      case None =>
+        val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tag).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (rTs +: rCols).foldLeft(unioned) { (d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+        }
+      case Some(width) =>
+        // TIMESTAMP_NTZ has no direct double cast in Spark 4 — route it
+        // through TIMESTAMP first (epoch seconds either way)
+        val ntz = unioned.schema(tsCol).dataType ==
+          org.apache.spark.sql.types.TimestampNTZType
+        def bucketOf(ts: Column): Column = {
+          val secs = if (ntz) ts.cast("timestamp").cast("double") else ts.cast("double")
+          floor(secs / width).cast("long")
+        }
+        val bucketed = unioned.withColumn(bCol, bucketOf(col(tsCol)))
+        // phase 1: the LAST right row per (key, bucket) — equal ts can't
+        // straddle buckets, so the within-bucket max struct (ordered by
+        // rTs first) is exactly the carry a later bucket needs
+        val partials = build.withColumn(bCol, bucketOf(col(tsCol)))
+          .groupBy(col(keyCol), col(bCol))
+          .agg(max(struct(col(rTs) +: rCols.map(col): _*)).as("__asof_p__"))
+        // phase 2: carry INTO each occupied bucket = last partial of any
+        // STRICTLY EARLIER bucket; the window partitions by key over
+        // bucket ordinals only — bounded by span/width, never by events
+        val occupied = bucketed.select(col(keyCol), col(bCol)).distinct()
+        val wB = Window.partitionBy(keyCol).orderBy(col(bCol).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryIn = occupied.join(partials, Seq(keyCol, bCol), "left")
+          .withColumn("__asof_ci__",
+            last(col("__asof_p__"), ignoreNulls = true).over(wB))
+          .select(col(keyCol), col(bCol), col("__asof_ci__"))
+        // phase 3: bucket-local carry, seeded with the carry-in
+        val wL = Window.partitionBy(keyCol, bCol)
+          .orderBy(col(tsCol).asc, col(tag).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = (rTs +: rCols).foldLeft(bucketed) { (d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(wL))
+        }
+        val seeded = local.join(carryIn, Seq(keyCol, bCol), "left")
+        // a row's local carry wins when present; the choice is pinned to a
+        // FLAG captured from the local rTs BEFORE overwrite, so ts/value
+        // columns always come from the same side
+        val withFlag = seeded.withColumn("__asof_lh__", col(rTs).isNotNull)
+        val filled = (rTs +: rCols).foldLeft(withFlag) { (d, c) =>
+          d.withColumn(c,
+            when(col("__asof_lh__"), col(c)).otherwise(col(s"__asof_ci__.$c")))
+        }
+        filled.drop(bCol, "__asof_ci__", "__asof_lh__")
     }
     val matched = toleranceSecs match {
       case Some(tol) =>

@@ -43,7 +43,24 @@ object JoinProbe {
         graft.functions.Joins.rangeJoin(points, intervals, Seq("k"),
           "t", "s", "e", binWidth = 4000000L).count())
       spark.catalog.clearCache()
-      println(f"JOIN-SCALE n=$n asof=$tAsof%.1fs($ac) range=$tRange%.1fs($rc)")
+      // pathological hot key: ONE key holds the whole series. The plain
+      // carry serializes it onto a single task; the bucketed two-phase
+      // carry (≈100 time buckets here) spreads it across tasks and must
+      // return the identical match count.
+      val oneKey = points.withColumn("k", lit(0L))
+      val oneBuild = build.withColumn("k", lit(0L))
+      val (hp, tHotPlain) = time(
+        graft.functions.Joins.asofJoin(oneKey, oneBuild, "k", "t", Seq("v"))
+          .filter(col("v_asof").isNotNull).count())
+      spark.catalog.clearCache()
+      val (hb, tHotBuck) = time(
+        graft.functions.Joins.asofJoin(oneKey, oneBuild, "k", "t", Seq("v"),
+            bucketSecs = Some(1e7))
+          .filter(col("v_asof").isNotNull).count())
+      spark.catalog.clearCache()
+      require(hb == hp, s"bucketed hot-key count $hb != plain $hp")
+      println(f"JOIN-SCALE n=$n asof=$tAsof%.1fs($ac) range=$tRange%.1fs($rc) " +
+        f"hotkey_plain=$tHotPlain%.1fs hotkey_bucketed=$tHotBuck%.1fs($hb)")
     }
     spark.stop()
   }

@@ -137,6 +137,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed as-of join: event-scale windows partition by (key, bucket), never whole-key") {
+    val p = formatted("q_asof_bucketed")
+    assert(!p.contains("SinglePartition"), "no single-task stage")
+    // the bucket column must reach a hashpartitioning spec: the hot key's
+    // event stream is split across its time buckets
+    assert(p.contains("__asof_b__"),
+      s"expected the __asof_b__ bucket key in the partitioning specs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("domain cap: both top-k stages partition by key, never one task per giant domain") {
     val p = formatted("q_domain_cap")
     assert(p.contains("Window"), "cap uses window row_number")
