@@ -100,6 +100,32 @@ case class DocSignature(child: Expression, numHashes: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** All overlapping character n-grams as an array — the exploder the
+  * trigram-LM induction fuses into its scan (`Dataset.flatMap(sliding)`
+  * paid an UnsafeRow→String encoder boundary per corpus row; this is a
+  * codegen'd projection feeding a generator). */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"char_ngrams: n must be positive, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(graft.functions.TextHashKernels.charNgrams(
+      input.asInstanceOf[UTF8String].toString, n).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.TextHashKernels.charNgrams($c.toString(), $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** Builders + registration for the native expressions. */
 object GraftFunctions {
 
@@ -138,6 +164,14 @@ object GraftFunctions {
           intLit(s, "doc_signature", "shingle_size"))
         case other => throw new IllegalArgumentException(
           s"doc_signature takes 1-3 arguments, got ${other.size}")
+      }),
+    ("char_ngrams",
+      "_FUNC_(text[, n=3]) - all overlapping character n-grams",
+      {
+        case Seq(t) => CharNgrams(t, 3)
+        case Seq(t, n) => CharNgrams(t, intLit(n, "char_ngrams", "n"))
+        case other => throw new IllegalArgumentException(
+          s"char_ngrams takes 1-2 arguments, got ${other.size}")
       }),
     ("image_meta",
       "_FUNC_(binary) - struct(format, width, height, orientation) from image header bytes",

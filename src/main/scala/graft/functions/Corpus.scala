@@ -368,9 +368,14 @@ object Corpus {
     val spark = df.sparkSession
     import spark.implicits._
     require(vocabSize > 0, "trigramLm: vocabSize must be positive")
-    df.select(lower(col(textCol)).as("t")).as[String]
-      .flatMap(t => if (t == null || t.length < 3) Iterator.empty else t.sliding(3))
-      .toDF("tri")
+    // char_ngrams is a codegen'd Catalyst expression (the ShingleHashes
+    // pattern), so the exploder fuses into the scan projection — the
+    // former `Dataset.flatMap(t.sliding(3))` paid an UnsafeRow→String
+    // encoder boundary per corpus row, the exact overhead the expression
+    // tier exists to avoid.
+    graft.expressions.GraftFunctions.register(spark)
+    df.select(explode(call_function("char_ngrams",
+        lower(col(textCol).cast("string")), lit(3))).as("tri"))
       .groupBy("tri").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tri").asc).limit(vocabSize)
       .as[(String, Long)].collect().toMap

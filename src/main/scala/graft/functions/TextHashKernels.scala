@@ -88,6 +88,21 @@ object TextHashKernels {
     Array(s, n, if (n == 0) 0L else s / n)
   }
 
+  /** All overlapping character n-grams (UTF-16 window — identical to
+    * `String.sliding(n)` on the corpus alphabet), as UTF8Strings so the
+    * exploding expression allocates nothing downstream. */
+  def charNgrams(text: String, n: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    if (text == null || text.length < n)
+      return Array.empty[org.apache.spark.unsafe.types.UTF8String]
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](text.length - n + 1)
+    var i = 0
+    while (i + n <= text.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(text.substring(i, i + n))
+      i += 1
+    }
+    out
+  }
+
   /** True iff the host or any dot-suffix of it appears in `sorted` (natural
     * String order): the blocklist parent-domain rule without materializing
     * a suffix array per row. O(labels × log |list|). */

@@ -97,6 +97,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(built("shingle_hashes").isInstanceOf[ShingleHashes])
   }
 
+  test("char_ngrams matches String.sliding and keeps LM induction encoder-free") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq("hello there", "ab", "abc", "", "日本語のテキスト")
+    val got = cases.toDF("t")
+      .selectExpr("char_ngrams(t, 3) AS g").as[Seq[String]].collect().toSeq
+    val want = cases.map(s => if (s.length < 3) Seq.empty else s.sliding(3).toSeq)
+    assert(got == want, s"got $got")
+    // the induction pipeline itself must carry no Dataset-encoder boundary
+    val df = spark.range(20).selectExpr("concat('prose sample ', id % 3) AS text")
+    val plan = df.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.call_function("char_ngrams",
+          org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.col("text")),
+          org.apache.spark.sql.functions.lit(3))).as("tri"))
+      .groupBy("tri").count().queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"),
+      s"char_ngrams induction must not cross an encoder boundary:\n$plan")
+    // LM built through the expression equals the sliding-window definition
+    val docs = Seq((0L, "the cat sat"), (1L, "the bat")).toDF("doc_id", "text")
+    val lm = graft.functions.Corpus.trigramLm(docs, "text", vocabSize = 100)
+    val expect = Seq("the cat sat", "the bat").flatMap(_.toLowerCase.sliding(3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(lm == expect)
+  }
+
   test("trigram_rarity expression fuses into codegen and matches the kernel arithmetic") {
     val df = spark.range(50)
       .selectExpr("id AS doc_id", "concat('shared prose line number ', id % 5) AS text")
