@@ -583,6 +583,27 @@ object SparkEntry {
       TF.withLangId(t(s, d, "documents").select("doc_id", "text"), "text")
         .select("doc_id", "lang_pred")),
 
+    // corpus-TRAINED language ID (rank-profile n-gram classifier,
+    // Cavnar-Trenkle-style, all-integer): language markers are appended
+    // deterministically per the stored label (the raw synthetic text
+    // carries no real language signal — the same synthesize-the-signal
+    // construction as q_pii_redact), profiles train on the doc_id%5==0
+    // seed slice, and EVERY row is scored by the fused LangScore
+    // expression; the oracle rebuilds training AND scoring in SQL
+    "q_lang_id_trained" -> ((s, d) => {
+      val marker = when(col("lang") === "en", lit(" the and of to is it"))
+        .when(col("lang") === "fr", lit(" le la et les des une est"))
+        .when(col("lang") === "es", lit(" el los las una es y"))
+        .when(col("lang") === "de", lit(" der die das und ist ein"))
+        .otherwise(lit(" 的 是 了 在 和 有"))
+      val built = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), marker, marker, marker).as("text"))
+      val profiles = graft.functions.LangId.trainProfiles(
+        built.filter(col("doc_id") % 5 === 0), "lang", "text", topK = 300)
+      graft.functions.LangId.withPrediction(built, "text", profiles, topK = 300)
+        .select("doc_id", "lang_pred")
+    }),
+
     "q_quality" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -1339,6 +1360,44 @@ object SparkEntry {
                  / len(string_split(text, ' ')), 4) AS stopword_ratio,
            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
          FROM documents""",
+
+
+    // training AND scoring rebuilt in SQL: same markers, same seed slice,
+    // same (count desc, tri asc) rank profiles, same OOV = topK+1 sum,
+    // same (score asc, lang asc) arg-min
+    "q_lang_id_trained" ->
+      """WITH built AS (
+           SELECT doc_id, lang,
+             lower(text || repeat(CASE lang
+               WHEN 'en' THEN ' the and of to is it'
+               WHEN 'fr' THEN ' le la et les des une est'
+               WHEN 'es' THEN ' el los las una es y'
+               WHEN 'de' THEN ' der die das und ist ein'
+               ELSE ' 的 是 了 在 和 有' END, 3)) AS t
+           FROM documents),
+         seedtris AS (
+           SELECT lang, substr(t, i, 3) AS tri
+           FROM built, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+           WHERE doc_id % 5 = 0),
+         prof AS (
+           SELECT lang, tri,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri ASC) AS rank
+           FROM seedtris GROUP BY lang, tri
+           QUALIFY rank <= 300),
+         langs AS (SELECT DISTINCT lang FROM built WHERE doc_id % 5 = 0),
+         doctris AS (
+           SELECT doc_id, substr(t, i, 3) AS tri
+           FROM built, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+         scores AS (
+           SELECT d.doc_id, l.lang, sum(coalesce(p.rank, 301))::BIGINT AS score
+           FROM doctris d CROSS JOIN langs l
+           LEFT JOIN prof p ON p.lang = l.lang AND p.tri = d.tri
+           GROUP BY d.doc_id, l.lang),
+         best AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rk
+           FROM scores)
+         SELECT doc_id, lang AS lang_pred FROM best WHERE rk = 1""",
 
     "q_lang_id" ->
       """WITH scores AS (

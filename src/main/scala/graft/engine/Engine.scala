@@ -221,6 +221,7 @@ final class Engine(spark: SparkSession) {
       "max_word_types", "merges_file"),
     "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
+    "lang_id_trained" -> Set("column", "label_column", "top_k", "new_column"),
     "text_stats" -> Set("column", "stopwords"),
     "repetition_stats" -> Set("column", "line_delimiter", "ngram"),
     "quality_score" -> Set("column", "new_column", "stopwords"),
@@ -375,6 +376,13 @@ final class Engine(spark: SparkSession) {
         graft.functions.Images.phashDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "max_hamming").getOrElse(3))
+      // corpus-trained language ID: rank-profile classifier trained on the
+      // frame's labeled rows, prediction appended for every row
+      case "lang_id_trained" =>
+        graft.functions.LangId.trainAndPredict(df,
+          Config.reqStr(op, "label_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "top_k").getOrElse(300),
+          Config.str(op, "new_column").getOrElse("lang_pred"))
       // exact BPE token counts: merges from a persisted table
       // (`merges_file`, the production shape — train once, score deltas)
       // or induced inline from the input frame (the trigram_rarity shape)

@@ -278,6 +278,41 @@ case class TrigramRarity(child: Expression, keys: Array[String], cnts: Array[Lon
     copy(child = newChild)
 }
 
+/** Trained language-ID scorer: arg-min language under rank-based char
+  * trigram profiles (Cavnar-Trenkle-style, all-integer). The profile
+  * rides inside the expression (`addReferenceObj` — the TrigramRarity
+  * state pattern; |langs|·topK entries ≈ a few hundred KB at most), so
+  * classification is one fused codegen call per row: no join, no
+  * shuffle, stream-safe against the static model. Built by
+  * [[graft.functions.LangId.withPrediction]]; not SQL-registrable. */
+case class LangScore(child: Expression, langs: Array[String], keys: Array[String],
+                     ranks: Array[Int], topK: Int) extends UnaryExpression {
+  require(keys.length == ranks.length, "lang_score: keys/ranks must be parallel")
+  require(langs.nonEmpty, "lang_score: langs must be non-empty")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lang_score requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.langScore(
+      input.asInstanceOf[UTF8String].toString, langs, keys, ranks, topK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langsRef = ctx.addReferenceObj("lsLangs", langs, "java.lang.String[]")
+    val keysRef = ctx.addReferenceObj("lsKeys", keys, "java.lang.String[]")
+    val ranksRef = ctx.addReferenceObj("lsRanks", ranks, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextHashKernels.langScore(
+         |  $c.toString(), $langsRef, $keysRef, $ranksRef, $topK);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangScore =
+    copy(child = newChild)
+}
+
 /** Blocklist membership as a native expression: true iff the host or any
   * dot-suffix of it is in the sorted domain list (binary search in the
   * kernel — no per-row suffix-array materialization, no interpreted HOF

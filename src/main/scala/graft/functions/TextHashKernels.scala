@@ -103,6 +103,34 @@ object TextHashKernels {
     out
   }
 
+  /** Rank-based language score: for each language (sorted array), the sum
+    * over the text's trigram OCCURRENCES of the trigram's profile rank
+    * (`lang + 0x1f + tri` binary-searched in `keys`/`ranks`), OOV costing
+    * `topK + 1`; returns the arg-min language (ties: language asc — the
+    * langs array is sorted, and strict `<` keeps the first minimum). */
+  def langScore(text: String, langs: Array[String], keys: Array[String],
+                ranks: Array[Int], topK: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val keysRef = keys.asInstanceOf[Array[AnyRef]]
+    val scores = new Array[Long](langs.length)
+    if (text != null && text.length >= 3) {
+      var i = 0
+      while (i + 3 <= text.length) {
+        val tri = text.substring(i, i + 3)
+        var l = 0
+        while (l < langs.length) {
+          val k = java.util.Arrays.binarySearch(keysRef, langs(l) + '\u001f' + tri)
+          scores(l) += (if (k >= 0) ranks(k) else topK + 1)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) { if (scores(l) < scores(best)) best = l; l += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(langs(best))
+  }
+
   /** True iff the host or any dot-suffix of it appears in `sorted` (natural
     * String order): the blocklist parent-domain rule without materializing
     * a suffix array per row. O(labels × log |list|). */
