@@ -122,4 +122,64 @@ object Streams {
       else withSig.dropDuplicates(sigCol)
     deduped.drop(sigCol)
   }
+
+  /** Streaming incremental near-dedup ingest — the production daily-delta
+    * loop as ONE structured-streaming sink: every micro-batch is Jaccard-
+    * deduped against the PERSISTED shingle index (and within itself, min
+    * id winning), survivors append to `outDir` and their shingles append
+    * to the index, so the next delta — today's or next month's — sees
+    * everything kept so far. Exactly the batch
+    * [[graft.functions.Dedup.dedupNearIncrementalIndexed]] semantics,
+    * batch-vs-stream parity spec-pinned.
+    *
+    * foreachBatch (not a stateful operator) is the right harness here:
+    * the dedup state is the shingle index itself — data-scale, columnar,
+    * shared with the BATCH pipelines — not per-key state-store entries;
+    * the index append rides the same parquet transaction discipline as
+    * the output. Restart safety comes from the checkpoint: a replayed
+    * micro-batch re-deduplicates against an index that already contains
+    * its survivors, so replays drop their own rows and the OUTPUT stays
+    * a superset-free append (shingle self-match ⇒ Jaccard 1 ≥ any
+    * threshold). */
+  def incrementalDedupIngest(docs: DataFrame, idCol: String, textCol: String,
+                             indexDir: String, outDir: String,
+                             threshold: Double, shingleSize: Int = 3,
+                             maxDocFreq: Option[Long] = None,
+                             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Dedup
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val index = existingIndex(spark, indexDir)
+        val kept = Dedup.dedupNearIncrementalIndexed(batch, index, idCol, textCol,
+          threshold, shingleSize, maxDocFreq).persist()
+        try {
+          kept.write.mode("append").parquet(outDir)
+          Dedup.shingleIndex(kept, idCol, textCol, shingleSize)
+            .write.mode("append").parquet(indexDir)
+        } finally kept.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** The persisted shingle index, or an empty (id, toks) frame before the
+    * first delta lands. */
+  private def existingIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): DataFrame = {
+    val hasData = try {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    } catch { case _: Exception => false }
+    if (hasData) spark.read.parquet(indexDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("toks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)))))
+  }
 }

@@ -167,6 +167,47 @@ class StreamsSpec extends SparkSpec {
       assert(urls == Seq("http://b.net/y", "http://www.a.com/x"))
     } finally q.stop()
   }
+  test("incrementalDedupIngest: stream keep-set across two deltas equals the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val (idxDir, outDir, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    // delta 1: 10 keeps + an internal near-dup (11 ~ 1); delta 2: 12 is a
+    // near-dup of delta-1's kept doc 2 (must be dropped via the PERSISTED
+    // index), 13 is novel
+    def doc(i: Long) = s"unique document body number $i with plenty of distinct words $i"
+    val delta1 = (1L to 10L).map(i => (i, doc(i))) :+ ((11L, doc(1)))
+    val delta2 = Seq((12L, doc(2)), (13L, "completely different novel content here"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idxDir, outDir, threshold = 0.7, checkpointDir = ckpt)
+    try {
+      mem.addData(delta1: _*)
+      q.processAllAvailable()
+      mem.addData(delta2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(outDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+
+    // batch reference: same deltas through dedupNearIncrementalIndexed
+    // with a hand-maintained index
+    import graft.functions.Dedup
+    val d1 = delta1.toDF("doc_id", "text")
+    val emptyIdx = Dedup.shingleIndex(d1.limit(0), "doc_id", "text")
+    val kept1 = Dedup.dedupNearIncrementalIndexed(d1, emptyIdx, "doc_id", "text", 0.7)
+    val idx1 = Dedup.shingleIndex(kept1, "doc_id", "text")
+    val kept2 = Dedup.dedupNearIncrementalIndexed(delta2.toDF("doc_id", "text"),
+      idx1, "doc_id", "text", 0.7)
+    val batchKept = (kept1.select("doc_id").as[Long].collect() ++
+      kept2.select("doc_id").as[Long].collect()).sorted.toSeq
+
+    assert(streamKept == batchKept, s"stream $streamKept vs batch $batchKept")
+    assert(streamKept.contains(13L) && !streamKept.contains(11L) && !streamKept.contains(12L))
+    // the index now carries exactly the kept docs' shingle rows
+    assert(spark.read.parquet(idxDir).select("id").distinct().count() ==
+      streamKept.size.toLong)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -202,4 +243,5 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 1, 2, 3))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 100))
   }
+
 }
