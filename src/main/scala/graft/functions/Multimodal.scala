@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
  * relational operator (dedup, filtering, joins, partitioning) works on them
  * unchanged, and only the decode/feature kernels touch the bytes.
  *
- * The decode step itself is STUBBED — no image/audio codec ships in this
- * container — behind `decodeStub`, a deterministic fake that derives
- * "features" from the payload bytes. The Spark-side contract (schema,
- * batching via mapPartitions, partition sizing) is real and tested; swap
- * `decodeStub` for a JNI/codec call to productionize.
+ * For IMAGES the engine now has real native codecs and perceptual hashes
+ * — see [[ImageKernels]], [[Images]], and the image_meta/image_hash/
+ * image_dedup YAML ops. The generic feature step here remains STUBBED for
+ * audio/video (no such codec ships in this container) behind `decodeStub`,
+ * a deterministic fake that derives "features" from the payload bytes. The
+ * Spark-side contract (schema, batching via mapPartitions, partition
+ * sizing) is real and tested; swap `decodeStub` for a JNI/codec call to
+ * productionize.
  *
  * Scale notes: payload bytes dominate row size, so `targetPartitionMb`
  * repartitioning keeps tasks balanced when payloads are skewed; feature
