@@ -1041,6 +1041,47 @@ object SparkEntry {
           "column" -> "content", "max_hamming" -> 3), Map.empty, "gate")
     }),
 
+    // WAV metadata through the audio_meta YAML op: id-derived rate/length
+    // fixtures (tools/GenMedia), native RIFF/WAVE header parse, closed-form
+    // oracle
+    "q_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.wavFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "audio_format", "audio_channels", "audio_sample_rate",
+          "audio_bits", "audio_n_samples", "audio_duration_ms")
+    }),
+
+    // REAL PCM decode: integer signal features (energy, zero crossings,
+    // peak) over samples the oracle regenerates from the fixture formula —
+    // a wrong byte anywhere in encode OR decode breaks the hash match
+    "q_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.wavFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_features", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "audio_n_samples", "audio_sq_sum",
+          "audio_zero_crossings", "audio_peak")
+    }),
+
+    // MP4 container metadata (ISO BMFF box walk: mvhd duration, tkhd
+    // dimensions) over generated ftyp+moov fixtures
+    "q_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.mp4Fixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "video_format", "video_width", "video_height",
+          "video_duration_ms")
+    }),
+
     // ================================================ corpus cleaning ops
     // PII redaction over text with synthesized email/IP/phone per row (the
     // raw corpus contains none — the construction makes the regexes fire)
@@ -2192,6 +2233,42 @@ object SparkEntry {
       """SELECT doc_id AS media_id, doc_id % 250 AS keep_id,
            count(*) OVER (PARTITION BY doc_id % 250)::BIGINT AS n_group
          FROM documents WHERE doc_id < 500""",
+
+    "q_audio_meta" ->
+      """SELECT doc_id AS media_id, 'wav' AS audio_format, 1 AS audio_channels,
+           (8000 + (doc_id % 4) * 4000)::BIGINT AS audio_sample_rate,
+           16 AS audio_bits,
+           (64 + (doc_id % 32) * 4)::BIGINT AS audio_n_samples,
+           ((64 + (doc_id % 32) * 4) * 1000 // (8000 + (doc_id % 4) * 4000))::BIGINT
+             AS audio_duration_ms
+         FROM documents""",
+
+    // samples regenerated from the fixture formula; features recomputed
+    // independently (window lag for the sign-change count)
+    "q_audio_features" ->
+      """WITH s AS (
+           SELECT doc_id, i,
+             ((i * 2654435761 + doc_id * 40503) % 65536) - 32768 AS v
+           FROM documents,
+             unnest(generate_series(0, 64 + (doc_id % 32) * 4 - 1)) AS u(i)),
+         l AS (
+           SELECT doc_id, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM s)
+         SELECT doc_id AS media_id,
+           count(*)::BIGINT AS audio_n_samples,
+           sum(v * v)::BIGINT AS audio_sq_sum,
+           sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+                    THEN 1 ELSE 0 END)::BIGINT AS audio_zero_crossings,
+           max(abs(v))::BIGINT AS audio_peak
+         FROM l GROUP BY doc_id""",
+
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id, 'mp4' AS video_format,
+           (320 + (doc_id % 8) * 16)::INTEGER AS video_width,
+           (240 + (doc_id % 5) * 16)::INTEGER AS video_height,
+           (1000 + (doc_id % 97) * 250)::BIGINT AS video_duration_ms
+         FROM documents""",
 
     "q_render_template" ->
       """SELECT n_nationkey, '{"name": "' || n_name || '", "region": ' || n_regionkey || '}' AS rendered FROM nation""",

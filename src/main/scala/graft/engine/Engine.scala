@@ -215,6 +215,9 @@ final class Engine(spark: SparkSession) {
     "url_domain" -> Set("column", "new_column"),
     "domain_filter" -> Set("column", "domains", "domains_file", "mode"),
     "image_meta" -> Set("column", "prefix"),
+    "audio_meta" -> Set("column", "prefix"),
+    "audio_features" -> Set("column", "prefix"),
+    "video_meta" -> Set("column", "prefix"),
     "image_hash" -> Set("column", "kind", "new_column"),
     "image_dedup" -> Set("id_column", "column", "max_hamming"),
     "bpe_token_count" -> Set("column", "new_column", "num_merges",
@@ -254,6 +257,19 @@ final class Engine(spark: SparkSession) {
     "shuffle_rows" -> Set("id_column", "position_column"),
     "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
   )
+
+  /** Append `prefix+field` columns from a registry struct function over a
+    * binary payload column (image_meta/audio_meta/audio_features/
+    * video_meta all share this shape). */
+  private def appendStructFields(df: DataFrame, binCol: String, fn: String,
+                                 prefix: String, fields: Seq[String]): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.functions.{call_function, col}
+    val m = s"__${prefix}m__"
+    fields.foldLeft(df.withColumn(m, call_function(fn, col(binCol)))) { (d, f) =>
+      d.withColumn(prefix + f, col(s"$m.$f"))
+    }.drop(m)
+  }
 
   private def warnUnknownKeys(op: Map[String, Any], name: String, ctx: String): Unit =
     allowedOpKeys.get(name).foreach { allowed =>
@@ -376,6 +392,21 @@ final class Engine(spark: SparkSession) {
         graft.functions.Images.phashDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "max_hamming").getOrElse(3))
+      // audio/video payload metadata + PCM feature extraction (the WAV and
+      // MP4 halves of the multimodal tier — same struct-append shape as
+      // image_meta)
+      case "audio_meta" =>
+        appendStructFields(df, Config.reqStr(op, "column", ctx), "audio_meta",
+          Config.str(op, "prefix").getOrElse("audio_"),
+          Seq("format", "channels", "sample_rate", "bits", "n_samples", "duration_ms"))
+      case "audio_features" =>
+        appendStructFields(df, Config.reqStr(op, "column", ctx), "audio_features",
+          Config.str(op, "prefix").getOrElse("audio_"),
+          Seq("n_samples", "sq_sum", "zero_crossings", "peak"))
+      case "video_meta" =>
+        appendStructFields(df, Config.reqStr(op, "column", ctx), "video_meta",
+          Config.str(op, "prefix").getOrElse("video_"),
+          Seq("format", "width", "height", "duration_ms"))
       // corpus-trained language ID: rank-profile classifier trained on the
       // frame's labeled rows, prediction appended for every row
       case "lang_id_trained" =>

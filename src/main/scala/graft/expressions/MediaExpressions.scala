@@ -1,0 +1,106 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/**
+ * Audio/video payload expressions — the WAV/MP4 face of the multimodal
+ * tier ([[graft.functions.MediaKernels]]), fused into whole-stage codegen
+ * like the image expressions: a 100 TB media metadata sweep is a single
+ * narrow scan.
+ */
+
+/** struct(format, channels, sample_rate, bits, n_samples, duration_ms)
+  * from RIFF/WAVE headers — no sample decode. */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_meta requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def prettyName: String = "audio_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.MediaKernels.audioMetaRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaKernels.audioMetaRow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
+/** struct(n_samples, sq_sum, zero_crossings, peak) over decoded PCM16 —
+  * NULL for undecodable payloads (nullable beyond the child, hand-rolled
+  * codegen like PerceptualHash). */
+case class AudioFeatures(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_features requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sq_sum", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_features"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.functions.MediaKernels.audioFeaturesRow(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("af")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        org.apache.spark.sql.catalyst.expressions.GenericInternalRow $r =
+          graft.functions.MediaKernels.audioFeaturesRow(${childGen.value});
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFeatures =
+    copy(child = newChild)
+}
+
+/** struct(format, width, height, duration_ms) from the ISO BMFF box tree
+  * (mvhd/tkhd) — container metadata only, no frame decode. */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"video_meta requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def prettyName: String = "video_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.MediaKernels.videoMetaRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaKernels.videoMetaRow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+    copy(child = newChild)
+}

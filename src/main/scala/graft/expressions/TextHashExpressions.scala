@@ -200,6 +200,27 @@ object GraftFunctions {
         case Seq(b) => PerceptualHash(b, 2)
         case other => throw new IllegalArgumentException(
           s"image_phash takes 1 argument, got ${other.size}")
+      }),
+    ("audio_meta",
+      "_FUNC_(binary) - struct(format, channels, sample_rate, bits, n_samples, duration_ms) from RIFF/WAVE headers",
+      {
+        case Seq(b) => AudioMeta(b)
+        case other => throw new IllegalArgumentException(
+          s"audio_meta takes 1 argument, got ${other.size}")
+      }),
+    ("audio_features",
+      "_FUNC_(binary) - struct(n_samples, sq_sum, zero_crossings, peak) over decoded PCM16 (NULL if undecodable)",
+      {
+        case Seq(b) => AudioFeatures(b)
+        case other => throw new IllegalArgumentException(
+          s"audio_features takes 1 argument, got ${other.size}")
+      }),
+    ("video_meta",
+      "_FUNC_(binary) - struct(format, width, height, duration_ms) from ISO BMFF (MP4) boxes",
+      {
+        case Seq(b) => VideoMeta(b)
+        case other => throw new IllegalArgumentException(
+          s"video_meta takes 1 argument, got ${other.size}")
       }))
 
   /** Register into an existing session's function registry (temp functions —

@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.tools.GenMedia
+import org.apache.spark.sql.functions._
+
+/** WAV/MP4 media tier: header parses, exact PCM decode, integer feature
+  * laws, chunk-skip robustness, YAML ops, SQL registry. */
+class MediaSpec extends SparkSpec {
+
+  test("WAV meta parses rate/bits/samples and computes duration") {
+    val wav = MediaKernels.encodeWav(16000, Array.tabulate(800)(i => i % 100))
+    val row = MediaKernels.audioMetaRow(wav)
+    assert(row.getString(0) == "wav")
+    assert(row.getInt(1) == 1 && row.getLong(2) == 16000L && row.getInt(3) == 16)
+    assert(row.getLong(4) == 800L && row.getLong(5) == 50L) // 800/16000 s = 50ms
+    assert(MediaKernels.audioMetaRow("RIFFjunk".getBytes).isNullAt(0))
+  }
+
+  test("PCM16 decode round-trips the full signed range exactly") {
+    val samples = Array(-32768, -1, 0, 1, 32767, 12345, -12345)
+    val back = MediaKernels.wavSamples(MediaKernels.encodeWav(8000, samples))
+    assert(back.toSeq == samples.toSeq)
+  }
+
+  test("audio features match hand computation and skip unknown chunks") {
+    val samples = Array(3, -4, 0, 5, -2) // zc: 3→-4, -4→0, 5→-2 = 3 crossings
+    val wav = MediaKernels.encodeWav(8000, samples)
+    val f = MediaKernels.audioFeaturesRow(wav)
+    assert(f.getLong(0) == 5L)
+    assert(f.getLong(1) == (9 + 16 + 0 + 25 + 4).toLong)
+    assert(f.getLong(2) == 3L)
+    assert(f.getLong(3) == 5L)
+    // splice a LIST chunk between fmt and data — parser must walk past it
+    val withList = {
+      val head = java.util.Arrays.copyOfRange(wav, 0, 36)
+      val tail = java.util.Arrays.copyOfRange(wav, 36, wav.length)
+      val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+      head ++ list ++ tail
+    }
+    val f2 = MediaKernels.audioFeaturesRow(withList)
+    assert(f2 != null && f2.getLong(1) == f.getLong(1))
+    assert(MediaKernels.audioFeaturesRow("not audio".getBytes) == null)
+  }
+
+  test("MP4 meta walks moov/trak for mvhd duration and tkhd dimensions") {
+    val mp4 = MediaKernels.encodeMp4Header(640, 360, 12345L)
+    val row = MediaKernels.videoMetaRow(mp4)
+    assert(row.getString(0) == "mp4")
+    assert(row.getInt(1) == 640 && row.getInt(2) == 360 && row.getLong(3) == 12345L)
+    assert(MediaKernels.videoMetaRow("plainly not a video".getBytes).isNullAt(0))
+    // truncated box tree must fail cleanly to "unrecognized", never throw
+    assert(MediaKernels.videoMetaRow(
+      java.util.Arrays.copyOfRange(mp4, 0, 30)).isNullAt(0))
+  }
+
+  test("media expressions are SQL-registered and null-safe") {
+    graft.expressions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, GenMedia.wavFixture(7L)), (2L, "junk".getBytes))
+      .toDF("id", "content").createOrReplaceTempView("media")
+    val rows = spark.sql(
+      """SELECT id, audio_meta(content).sample_rate AS r,
+                audio_features(content).sq_sum AS sq,
+                video_meta(content).format AS vf FROM media""")
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getLong(1) == GenMedia.wavRate(7L).toLong && !rows(0).isNullAt(2))
+    assert(rows(1).getLong(1) == 0L && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+  }
+
+  test("audio/video YAML ops append prefixed metadata columns") {
+    import spark.implicits._
+    val media = Seq((0L, GenMedia.mp4Fixture(0L))).toDF("media_id", "content")
+    val out = new graft.engine.Engine(spark).applyOperation(media,
+      Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "spec")
+      .head()
+    assert(out.getString(2) == "mp4")
+    assert(out.getInt(3) == GenMedia.mp4Width(0) && out.getInt(4) == GenMedia.mp4Height(0))
+    assert(out.getLong(5) == GenMedia.mp4DurationMs(0))
+  }
+}
