@@ -1069,6 +1069,48 @@ object SparkEntry {
           "audio_zero_crossings", "audio_peak")
     }),
 
+    // 63-bit energy-delta fingerprint over decoded PCM — the oracle
+    // regenerates the samples, windows them with the same exact integer
+    // division, and reassembles the bit pattern with SQL shifts
+    "q_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.wavFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_fingerprint", "column" -> "content"),
+        Map.empty, "gate")
+        .select("media_id", "audio_fp")
+    }),
+
+    // audio near-dedup: ids i and i+250 carry the same signal at double
+    // amplitude — different bytes, identical fingerprint (sign-of-delta is
+    // amplitude-invariant); banding + CC must recover exactly the pairing
+    "q_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 500).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.audioDedupFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_dedup", "id_column" -> "media_id",
+          "column" -> "content", "max_hamming" -> 0), Map.empty, "gate")
+    }),
+
+    // resize: grayscale PNG thumbnails of the image fixtures; correctness
+    // checked through the metadata of the RE-DECODED thumbnail payload
+    "q_image_thumbnail" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenImages.dedupFixture(id % 250))))
+        .toDF("media_id", "content")
+      val thumbed = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "image_thumbnail", "column" -> "content",
+          "width" -> 16, "height" -> 12), Map.empty, "gate")
+      graft.functions.Images.withImageMeta(thumbed, "thumbnail", "thumb_")
+        .select("media_id", "thumb_format", "thumb_width", "thumb_height")
+    }),
+
     // MP4 container metadata (ISO BMFF box walk: mvhd duration, tkhd
     // dimensions) over generated ftyp+moov fixtures
     "q_video_meta" -> ((s, d) => {
@@ -2262,6 +2304,30 @@ object SparkEntry {
                     THEN 1 ELSE 0 END)::BIGINT AS audio_zero_crossings,
            max(abs(v))::BIGINT AS audio_peak
          FROM l GROUP BY doc_id""",
+
+    "q_audio_fingerprint" ->
+      """WITH s AS (
+           SELECT doc_id, i,
+             ((i * 2654435761 + doc_id * 40503) % 65536) - 32768 AS v,
+             (i * 64) // (64 + (doc_id % 32) * 4) AS w
+           FROM documents,
+             unnest(generate_series(0, 64 + (doc_id % 32) * 4 - 1)) AS u(i)),
+         e AS (SELECT doc_id, w, sum(v * v)::BIGINT AS e FROM s GROUP BY doc_id, w),
+         d AS (SELECT doc_id, w, e,
+                 lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS ne FROM e)
+         SELECT doc_id AS media_id,
+           sum(CASE WHEN ne > e THEN (1::BIGINT << w) ELSE 0 END)::BIGINT AS audio_fp
+         FROM d WHERE w < 63 GROUP BY doc_id""",
+
+    "q_audio_dedup" ->
+      """SELECT doc_id AS media_id, doc_id % 250 AS keep_id,
+           count(*) OVER (PARTITION BY doc_id % 250)::BIGINT AS n_group
+         FROM documents WHERE doc_id < 500""",
+
+    "q_image_thumbnail" ->
+      """SELECT doc_id AS media_id, 'png' AS thumb_format,
+           16 AS thumb_width, 12 AS thumb_height
+         FROM documents""",
 
     "q_video_meta" ->
       """SELECT doc_id AS media_id, 'mp4' AS video_format,

@@ -216,6 +216,9 @@ final class Engine(spark: SparkSession) {
     "domain_filter" -> Set("column", "domains", "domains_file", "mode"),
     "image_meta" -> Set("column", "prefix"),
     "audio_meta" -> Set("column", "prefix"),
+    "audio_fingerprint" -> Set("column", "new_column"),
+    "audio_dedup" -> Set("id_column", "column", "max_hamming"),
+    "image_thumbnail" -> Set("column", "new_column", "width", "height"),
     "audio_features" -> Set("column", "prefix"),
     "video_meta" -> Set("column", "prefix"),
     "image_hash" -> Set("column", "kind", "new_column"),
@@ -407,6 +410,22 @@ final class Engine(spark: SparkSession) {
         appendStructFields(df, Config.reqStr(op, "column", ctx), "video_meta",
           Config.str(op, "prefix").getOrElse("video_"),
           Seq("format", "width", "height", "duration_ms"))
+      case "audio_fingerprint" =>
+        graft.expressions.GraftFunctions.register(df.sparkSession)
+        df.withColumn(Config.str(op, "new_column").getOrElse("audio_fp"),
+          org.apache.spark.sql.functions.call_function("audio_fingerprint",
+            org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx))))
+      case "audio_dedup" =>
+        graft.functions.Images.audioDedupGroups(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "max_hamming").getOrElse(2))
+      case "image_thumbnail" =>
+        graft.expressions.GraftFunctions.register(df.sparkSession)
+        df.withColumn(Config.str(op, "new_column").getOrElse("thumbnail"),
+          org.apache.spark.sql.functions.call_function("image_thumbnail",
+            org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
+            org.apache.spark.sql.functions.lit(Config.int(op, "width").getOrElse(64)),
+            org.apache.spark.sql.functions.lit(Config.int(op, "height").getOrElse(64))))
       // corpus-trained language ID: rank-profile classifier trained on the
       // frame's labeled rows, prediction appended for every row
       case "lang_id_trained" =>

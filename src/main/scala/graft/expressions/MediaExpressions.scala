@@ -80,6 +80,79 @@ case class AudioFeatures(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 63-bit energy-delta audio fingerprint (the audio dHash) — NULL for
+  * undecodable or <64-sample payloads. */
+case class AudioFingerprint(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_fingerprint requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_fingerprint"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val r = graft.functions.MediaKernels.audioFingerprint(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.longValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("afp")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = -1L;
+      if (!${childGen.isNull}) {
+        java.lang.Long $r =
+          graft.functions.MediaKernels.audioFingerprint(${childGen.value});
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r.longValue(); }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFingerprint =
+    copy(child = newChild)
+}
+
+/** Grayscale PNG thumbnail at fixed target dimensions — NULL for
+  * undecodable payloads. */
+case class ImageThumbnail(child: Expression, w: Int, h: Int) extends UnaryExpression {
+  require(w > 0 && h > 0, s"image_thumbnail: dims must be positive, got ${w}x$h")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_thumbnail requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_thumbnail"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.functions.ImageKernels.thumbnail(v.asInstanceOf[Array[Byte]], w, h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("thumb")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      byte[] ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        byte[] $r = graft.functions.ImageKernels.thumbnail(${childGen.value}, $w, $h);
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageThumbnail =
+    copy(child = newChild)
+}
+
 /** struct(format, width, height, duration_ms) from the ISO BMFF box tree
   * (mvhd/tkhd) — container metadata only, no frame decode. */
 case class VideoMeta(child: Expression) extends UnaryExpression {

@@ -221,6 +221,21 @@ object GraftFunctions {
         case Seq(b) => VideoMeta(b)
         case other => throw new IllegalArgumentException(
           s"video_meta takes 1 argument, got ${other.size}")
+      }),
+    ("audio_fingerprint",
+      "_FUNC_(binary) - 63-bit energy-delta audio fingerprint (NULL if undecodable)",
+      {
+        case Seq(b) => AudioFingerprint(b)
+        case other => throw new IllegalArgumentException(
+          s"audio_fingerprint takes 1 argument, got ${other.size}")
+      }),
+    ("image_thumbnail",
+      "_FUNC_(binary, width, height) - grayscale PNG thumbnail (NULL if undecodable)",
+      {
+        case Seq(b, w, h) => ImageThumbnail(b,
+          intLit(w, "image_thumbnail", "width"), intLit(h, "image_thumbnail", "height"))
+        case other => throw new IllegalArgumentException(
+          s"image_thumbnail takes 3 arguments, got ${other.size}")
       }))
 
   /** Register into an existing session's function registry (temp functions —

@@ -523,6 +523,16 @@ object ImageKernels {
     case _ => phash(bytes)
   }
 
+  /** Grayscale thumbnail: decode → exact integer box-mean downsample →
+    * 8-bit gray PNG. The resize step of the multimodal pipeline (training
+    * thumbnails, preview sinks); deterministic bytes (Deflater default
+    * level, filter-0 rows). NULL when the payload is undecodable. */
+  def thumbnail(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val g = decodeGray(bytes)
+    if (g == null) return null
+    encodePng(w, h, downsample(g, w, h))
+  }
+
   // ================================================ fixture/sink encoders
 
   /** Minimal 24-bpp BI_RGB BMP from row-major grayscale. */

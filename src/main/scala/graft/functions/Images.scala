@@ -84,16 +84,37 @@ object Images {
         .select(col(idCol), col("__ph__")),
       idCol, "__ph__", maxHamming)
 
-  /** Image near-dedup groups: every payload labeled with its duplicate
-    * group's representative (min id). Undecodable payloads keep
-    * themselves. Output: (`idCol`, keep_id, n_group). */
-  def phashDedupGroups(df: DataFrame, idCol: String, binCol: String,
-                       maxHamming: Int = 3): DataFrame = {
+  /** Near-dedup groups over any 64-bit signature column: every row
+    * labeled with its duplicate group's representative (min id); rows
+    * with a NULL signature keep themselves. Output: (`idCol`, keep_id,
+    * n_group). Shared by image pHash and audio fingerprint dedup. */
+  def sigDedupGroups(df: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int): DataFrame = {
     val ids = df.select(col(idCol).cast(LongType).as(idCol))
-    val pairs = phashPairs(df, idCol, binCol, maxHamming)
+    val pairs = hammingPairs64(df.select(col(idCol), col(sigCol)), idCol, sigCol, maxHamming)
     val cc = Dedup.connectedComponents(ids, idCol, pairs) // → (id, group_rep)
     val sizes = cc.groupBy(col("group_rep")).agg(count(lit(1)).as("n_group"))
     cc.join(sizes, "group_rep")
       .select(col("id").as(idCol), col("group_rep").as("keep_id"), col("n_group"))
+  }
+
+  /** Image near-dedup groups: pHash signatures → [[sigDedupGroups]].
+    * Undecodable payloads keep themselves. */
+  def phashDedupGroups(df: DataFrame, idCol: String, binCol: String,
+                       maxHamming: Int = 3): DataFrame =
+    sigDedupGroups(
+      perceptualHash(df.select(col(idCol), col(binCol)), binCol, "phash", "__ph__")
+        .select(col(idCol), col("__ph__")),
+      idCol, "__ph__", maxHamming)
+
+  /** Audio near-dedup groups: energy-delta fingerprints (amplitude-scale
+    * invariant) → [[sigDedupGroups]]. */
+  def audioDedupGroups(df: DataFrame, idCol: String, binCol: String,
+                       maxHamming: Int = 2): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    sigDedupGroups(
+      df.select(col(idCol),
+        call_function("audio_fingerprint", col(binCol)).as("__afp__")),
+      idCol, "__afp__", maxHamming)
   }
 }

@@ -100,6 +100,29 @@ object MediaKernels {
     new GenericInternalRow(Array[Any](s.length.toLong, sq, zc, peak))
   }
 
+  /** 63-bit audio fingerprint: the PCM stream is cut into 64 equal windows
+    * (sample i → window i·64/n, exact integer division), bit k (0..62) is
+    * set iff window k+1's energy (Σ s²) exceeds window k's. Sign-of-delta
+    * over energies is invariant under global amplitude scaling — the same
+    * recording at a different volume collapses — while distinct signals
+    * differ in ~half the bits; the audio analogue of dHash. All-integer,
+    * SQL-replicable. NULL when undecodable or shorter than 64 samples. */
+  def audioFingerprint(b: Array[Byte]): java.lang.Long = {
+    val s = wavSamples(b)
+    if (s == null || s.length < 64) return null
+    val e = new Array[Long](64)
+    var i = 0
+    while (i < s.length) {
+      val w = (i.toLong * 64L / s.length).toInt
+      e(w) += s(i).toLong * s(i)
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 63) { if (e(k + 1) > e(k)) fp |= (1L << k); k += 1 }
+    fp
+  }
+
   /** Minimal PCM16 mono WAV encoder (fixtures + sink). */
   def encodeWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -112,6 +112,18 @@ class ImagesSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("thumbnail resizes through decode → box mean → PNG, preserving content") {
+    val p = px
+    val big = ImageKernels.encodeBmp(w, h, p)
+    val thumb = ImageKernels.thumbnail(big, 10, 6)
+    assert(ImageKernels.imageMeta(thumb) == ("png", 10, 6, 0))
+    // thumbnail pixels are the exact integer box means of the source
+    val got = ImageKernels.decodeGrayPublic(thumb)
+    val want = ImageKernels.downsample(ImageKernels.decodeGrayPublic(big), 10, 6)
+    assert(got.px.sameElements(want))
+    assert(ImageKernels.thumbnail("junk".getBytes, 8, 8) == null)
+  }
+
   test("image_meta YAML op appends metadata columns via the engine dispatch") {
     import spark.implicits._
     val media = Seq((0L, GenImages.metaFixture(0L)), (3L, GenImages.metaFixture(3L)))

@@ -68,6 +68,34 @@ class MediaSpec extends SparkSpec {
     assert(rows(1).getLong(1) == 0L && rows(1).isNullAt(2) && rows(1).isNullAt(3))
   }
 
+  test("audio fingerprint: amplitude-invariant, seed-distinct, short/junk-null") {
+    val base = Array.tabulate(256)(i =>
+      ((Dedup.mix64(i * 77L) & 0x3FFF) - 8192).toInt)
+    val doubled = base.map(_ * 2)
+    val f1 = MediaKernels.audioFingerprint(MediaKernels.encodeWav(8000, base))
+    val f2 = MediaKernels.audioFingerprint(MediaKernels.encodeWav(8000, doubled))
+    assert(f1 != null && f1 == f2, "doubling amplitude must not move the fingerprint")
+    val other = Array.tabulate(256)(i =>
+      ((Dedup.mix64(i * 77L + 5L) & 0x3FFF) - 8192).toInt)
+    val f3 = MediaKernels.audioFingerprint(MediaKernels.encodeWav(8000, other))
+    assert(java.lang.Long.bitCount(f1 ^ f3) > 8, "distinct signals must differ")
+    assert(MediaKernels.audioFingerprint(MediaKernels.encodeWav(8000, Array(1, 2, 3))) == null)
+    assert(MediaKernels.audioFingerprint("junk".getBytes) == null)
+  }
+
+  test("audioDedupGroups recovers amplitude-scaled copies across the banded join") {
+    import spark.implicits._
+    val media = ((0L until 12L).map(i =>
+      (i, GenMedia.audioDedupFixture(i % 6 + (i / 6) * 250))) :+
+      ((12L, "noise".getBytes))).toDF("media_id", "content")
+    val groups = Images.audioDedupGroups(media, "media_id", "content", maxHamming = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 6L) {
+      assert(groups(i) == (i, 2L) && groups(i + 6) == (i, 2L), s"$i: ${groups(i)}")
+    }
+    assert(groups(12L) == (12L, 1L))
+  }
+
   test("audio/video YAML ops append prefixed metadata columns") {
     import spark.implicits._
     val media = Seq((0L, GenMedia.mp4Fixture(0L))).toDF("media_id", "content")
