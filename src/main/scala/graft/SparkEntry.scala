@@ -1047,7 +1047,7 @@ object SparkEntry {
     "q_audio_meta" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.wavFixture(id))))
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.audioMetaFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
         Map("operation" -> "audio_meta", "column" -> "content"), Map.empty, "gate")
@@ -1116,7 +1116,7 @@ object SparkEntry {
     "q_video_meta" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.mp4Fixture(id))))
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.videoMetaFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
         Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
@@ -2260,11 +2260,12 @@ object SparkEntry {
     // arithmetic — the oracle never decodes a byte
     "q_image_meta" ->
       """SELECT doc_id AS media_id,
-           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                           WHEN 2 THEN 'gif' ELSE 'jpeg' END AS image_format,
+           CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
+                           WHEN 4 THEN 'tiff' ELSE 'webp' END AS image_format,
            (16 + (doc_id % 5) * 8)::INTEGER AS image_width,
            (12 + (doc_id % 3) * 8)::INTEGER AS image_height,
-           (CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 8 ELSE 0 END)::INTEGER AS image_orientation
+           (CASE WHEN doc_id % 6 = 3 THEN 1 + doc_id % 8 ELSE 0 END)::INTEGER AS image_orientation
          FROM documents""",
 
     // construction: ids i and i+250 carry the same base pattern (the copy
@@ -2277,13 +2278,28 @@ object SparkEntry {
          FROM documents WHERE doc_id < 500""",
 
     "q_audio_meta" ->
-      """SELECT doc_id AS media_id, 'wav' AS audio_format, 1 AS audio_channels,
-           (8000 + (doc_id % 4) * 4000)::BIGINT AS audio_sample_rate,
-           16 AS audio_bits,
-           (64 + (doc_id % 32) * 4)::BIGINT AS audio_n_samples,
-           ((64 + (doc_id % 32) * 4) * 1000 // (8000 + (doc_id % 4) * 4000))::BIGINT
-             AS audio_duration_ms
-         FROM documents""",
+      """WITH p AS (
+           SELECT doc_id, doc_id % 3 AS fmt,
+             8000 + (doc_id % 4) * 4000 AS wav_rate,
+             64 + (doc_id % 32) * 4 AS wav_n,
+             16000 + (doc_id % 5) * 4000 AS flac_rate,
+             10000 + doc_id * 7 AS flac_n,
+             CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                    ELSE 32000 END AS mp3_rate,
+             (4 + doc_id % 7) * 1152 AS mp3_n
+           FROM documents)
+         SELECT doc_id AS media_id,
+           CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3' END AS audio_format,
+           (CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 2 END)::INTEGER AS audio_channels,
+           (CASE fmt WHEN 0 THEN wav_rate WHEN 1 THEN flac_rate ELSE mp3_rate END)::BIGINT
+             AS audio_sample_rate,
+           (CASE fmt WHEN 0 THEN 16 WHEN 1 THEN 16 ELSE 0 END)::INTEGER AS audio_bits,
+           (CASE fmt WHEN 0 THEN wav_n WHEN 1 THEN flac_n ELSE mp3_n END)::BIGINT
+             AS audio_n_samples,
+           (CASE fmt WHEN 0 THEN wav_n * 1000 // wav_rate
+                     WHEN 1 THEN flac_n * 1000 // flac_rate
+                     ELSE mp3_n * 1000 // mp3_rate END)::BIGINT AS audio_duration_ms
+         FROM p""",
 
     // samples regenerated from the fixture formula; features recomputed
     // independently (window lag for the sign-change count)
@@ -2330,10 +2346,12 @@ object SparkEntry {
          FROM documents""",
 
     "q_video_meta" ->
-      """SELECT doc_id AS media_id, 'mp4' AS video_format,
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS video_format,
            (320 + (doc_id % 8) * 16)::INTEGER AS video_width,
            (240 + (doc_id % 5) * 16)::INTEGER AS video_height,
-           (1000 + (doc_id % 97) * 250)::BIGINT AS video_duration_ms
+           (CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id % 97) * 250
+                 ELSE 40 * (25 + doc_id % 100) END)::BIGINT AS video_duration_ms
          FROM documents""",
 
     "q_render_template" ->

@@ -61,7 +61,97 @@ object ImageKernels {
       ("bmp", math.abs(le32(b, 18)), math.abs(le32(b, 22)), 0)
     } else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
       jpegMeta(b)
+    } else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) {
+      tiffMeta(b)
+    } else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b.length >= 16 && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      webpMeta(b)
     } else null
+  }
+
+  /** TIFF baseline: IFD0 tags 0x0100 ImageWidth / 0x0101 ImageLength
+    * (SHORT or LONG), either byte order. */
+  private def tiffMeta(b: Array[Byte]): (String, Int, Int, Int) = {
+    val little = b(0) == 'I'
+    def u16(p: Int): Int =
+      if (little) le16(b, p) else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    def u32(p: Int): Int =
+      if (little) le32(b, p) else be32(b, p)
+    if (b.length < 12) return null
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = u16(ifd)
+    var w = 0; var h = 0
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > b.length) return null
+      val tag = u16(e); val typ = u16(e + 2)
+      val value = if (typ == 3) u16(e + 8) else u32(e + 8) // SHORT | LONG
+      if (tag == 0x0100) w = value
+      else if (tag == 0x0101) h = value
+      i += 1
+    }
+    if (w <= 0 || h <= 0) null else ("tiff", w, h, 0)
+  }
+
+  /** WebP: VP8X extended header (24-bit canvas-1 dims), VP8L lossless
+    * signature (14-bit packed dims-1), VP8 lossy key frame. */
+  private def webpMeta(b: Array[Byte]): (String, Int, Int, Int) = {
+    var p = 12
+    while (p + 8 <= b.length) {
+      val tag = new String(b, p, 4, "US-ASCII")
+      val len = le32(b, p + 4)
+      val d = p + 8
+      tag match {
+        case "VP8X" if len >= 10 && d + 10 <= b.length =>
+          val w = 1 + ((b(d + 4) & 0xFF) | ((b(d + 5) & 0xFF) << 8) | ((b(d + 6) & 0xFF) << 16))
+          val h = 1 + ((b(d + 7) & 0xFF) | ((b(d + 8) & 0xFF) << 8) | ((b(d + 9) & 0xFF) << 16))
+          return ("webp", w, h, 0)
+        case "VP8L" if len >= 5 && d + 5 <= b.length && (b(d) & 0xFF) == 0x2F =>
+          val bits = (b(d + 1) & 0xFFL) | ((b(d + 2) & 0xFFL) << 8) |
+            ((b(d + 3) & 0xFFL) << 16) | ((b(d + 4) & 0xFFL) << 24)
+          val w = 1 + (bits & 0x3FFF).toInt
+          val h = 1 + ((bits >> 14) & 0x3FFF).toInt
+          return ("webp", w, h, 0)
+        case "VP8 " if len >= 10 && d + 10 <= b.length &&
+          (b(d + 3) & 0xFF) == 0x9D && (b(d + 4) & 0xFF) == 0x01 && (b(d + 5) & 0xFF) == 0x2A =>
+          return ("webp", le16(b, d + 6) & 0x3FFF, le16(b, d + 8) & 0x3FFF, 0)
+        case _ => ()
+      }
+      p = d + len + (len & 1)
+    }
+    null
+  }
+
+  /** Minimal WebP VP8X metadata fixture. */
+  def encodeWebpHeader(w: Int, h: Int): Array[Byte] = {
+    val payload = Array[Byte](0, 0, 0, 0,
+      ((w - 1) & 0xFF).toByte, (((w - 1) >> 8) & 0xFF).toByte, (((w - 1) >> 16) & 0xFF).toByte,
+      ((h - 1) & 0xFF).toByte, (((h - 1) >> 8) & 0xFF).toByte, (((h - 1) >> 16) & 0xFF).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val riffLen = 4 + 8 + payload.length
+    out.write(Array[Byte](riffLen.toByte, (riffLen >> 8).toByte, (riffLen >> 16).toByte, (riffLen >> 24).toByte), 0, 4)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8X".getBytes("US-ASCII"))
+    out.write(Array[Byte](payload.length.toByte, 0, 0, 0), 0, 4)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  /** Minimal little-endian TIFF metadata fixture (IFD0 width/height). */
+  def encodeTiffHeader(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >> 16) & 0xFFFF) }
+    out.write('I'); out.write('I'); u16(42); u32(8) // IFD0 at 8
+    u16(2) // two entries
+    u16(0x0100); u16(4); u32(1); u32(w)
+    u16(0x0101); u16(4); u32(1); u32(h)
+    u32(0) // no next IFD
+    out.toByteArray
   }
 
   /** Walk JPEG marker segments: dimensions from the first SOFn, orientation

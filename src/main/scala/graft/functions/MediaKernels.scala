@@ -55,14 +55,114 @@ object MediaKernels {
   }
 
   /** struct(format, channels, sample_rate, bits, n_samples, duration_ms)
-    * — header parse only; null format for unrecognized payloads. */
+    * — header parse only (WAV, FLAC STREAMINFO, MP3 frame walk); null
+    * format for unrecognized payloads. */
   def audioMetaRow(b: Array[Byte]): GenericInternalRow = {
-    val i = wavInfo(b)
-    if (i == null)
-      new GenericInternalRow(Array[Any](null, 0, 0L, 0, 0L, 0L))
-    else
-      new GenericInternalRow(Array[Any](UTF8String.fromString("wav"),
-        i(0).toInt, i(1), i(2).toInt, i(3), i(3) * 1000L / i(1)))
+    val wav = wavInfo(b)
+    if (wav != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("wav"),
+        wav(0).toInt, wav(1), wav(2).toInt, wav(3), wav(3) * 1000L / wav(1)))
+    val flac = flacInfo(b)
+    if (flac != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("flac"),
+        flac(0).toInt, flac(1), flac(2).toInt, flac(3),
+        if (flac(1) > 0) flac(3) * 1000L / flac(1) else 0L))
+    val mp3 = mp3Info(b)
+    if (mp3 != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("mp3"),
+        mp3(0).toInt, mp3(1), 0, mp3(2), if (mp3(1) > 0) mp3(2) * 1000L / mp3(1) else 0L))
+    new GenericInternalRow(Array[Any](null, 0, 0L, 0, 0L, 0L))
+  }
+
+  /** FLAC STREAMINFO (metadata block 0): (channels, sampleRate, bits,
+    * totalSamples) or null. Packed layout per the FLAC format spec:
+    * after min/max blocksize (4) + min/max framesize (6), 8 bytes hold
+    * sampleRate:20 | channels-1:3 | bits-1:5 | totalSamples:36. */
+  private def flacInfo(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 8 + 34) return null
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return null
+    if ((b(4) & 0x7F) != 0) return null // first block must be STREAMINFO
+    val p = 8 + 10 // skip block header(4) + blocksizes(4) + framesizes(6)
+    var bits = 0L
+    var i = 0
+    while (i < 8) { bits = (bits << 8) | (b(p + i) & 0xFFL); i += 1 }
+    val rate = bits >>> 44
+    val channels = ((bits >>> 41) & 0x7L) + 1
+    val sampleBits = ((bits >>> 36) & 0x1FL) + 1
+    val total = bits & 0xFFFFFFFFFL
+    Array(channels, rate, sampleBits, total)
+  }
+
+  /** MP3 (MPEG-1 Layer III): skip a leading ID3v2 tag, then walk frame
+    * headers — (channels, sampleRate, totalSamples) or null. CBR-exact;
+    * VBR without a Xing header reports the true frame-walk totals too
+    * (every frame is visited). */
+  private def mp3Info(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 4) return null
+    var p = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      p = 10 + size
+    }
+    val rates = Array(44100L, 48000L, 32000L, 0L)
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    var frames = 0L
+    var channels = 0L
+    var rate = 0L
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xE0) != 0xE0) {
+        return if (frames > 0) Array(channels, rate, frames * 1152L) else null
+      }
+      val versionBits = (b(p + 1) >> 3) & 0x3
+      val layerBits = (b(p + 1) >> 1) & 0x3
+      if (versionBits != 3 || layerBits != 1) return null // MPEG-1 Layer III only
+      val br = bitrates((b(p + 2) >> 4) & 0xF)
+      val sr = rates((b(p + 2) >> 2) & 0x3)
+      if (br == 0 || sr == 0) return null
+      val padding = (b(p + 2) >> 1) & 0x1
+      val mode = (b(p + 3) >> 6) & 0x3
+      channels = if (mode == 3) 1L else 2L
+      rate = sr
+      frames += 1
+      p += (144L * br * 1000L / sr).toInt + padding
+    }
+    if (frames > 0) Array(channels, rate, frames * 1152L) else null
+  }
+
+  /** Minimal FLAC STREAMINFO metadata fixture. */
+  def encodeFlacHeader(channels: Int, sampleRate: Long, bits: Int,
+                       totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](8 + 34)
+    "fLaC".getBytes("US-ASCII").copyToArray(out, 0)
+    out(4) = 0x80.toByte // last-block flag + type 0
+    out(7) = 34 // block length
+    var packed = (sampleRate << 44) | ((channels - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | (totalSamples & 0xFFFFFFFFFL)
+    var i = 7
+    while (i >= 0) { out(8 + 10 + i) = (packed & 0xFF).toByte; packed >>>= 8; i -= 1 }
+    out
+  }
+
+  /** Minimal MPEG-1 Layer III fixture: `frames` zero-payload frames at
+    * 128 kbps / the given sample rate (44100/48000/32000), stereo. */
+  def encodeMp3Header(sampleRate: Long, frames: Int): Array[Byte] = {
+    val srIdx = sampleRate match {
+      case 44100L => 0; case 48000L => 1; case 32000L => 2
+      case other => throw new IllegalArgumentException(s"unsupported mp3 rate $other")
+    }
+    val frameLen = (144L * 128 * 1000L / sampleRate).toInt
+    val out = new Array[Byte](frameLen * frames)
+    var f = 0
+    while (f < frames) {
+      val p = f * frameLen
+      out(p) = 0xFF.toByte
+      out(p + 1) = 0xFB.toByte // MPEG-1 Layer III, no CRC
+      out(p + 2) = ((9 << 4) | (srIdx << 2)).toByte // 128 kbps, no padding
+      out(p + 3) = 0x00 // stereo
+      f += 1
+    }
+    out
   }
 
   /** Interleaved PCM16 samples (all channels), or null. */
@@ -151,15 +251,77 @@ object MediaKernels {
   private def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) | ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
 
-  /** struct(format, width, height, duration_ms) from the ISO BMFF box
-    * tree: mvhd timescale+duration, first non-zero tkhd width/height
-    * (16.16 fixed point, integer part). Requires an `ftyp` leading box
-    * (the MP4 brand signature); null format otherwise. */
+  /** struct(format, width, height, duration_ms): ISO BMFF box tree (mvhd
+    * timescale+duration, first non-zero tkhd width/height, 16.16 fixed
+    * point) or RIFF AVI `avih` (µs/frame × total frames, dwWidth/
+    * dwHeight); null format otherwise. */
   def videoMetaRow(b: Array[Byte]): GenericInternalRow = {
     val m = mp4Meta(b)
-    if (m == null) new GenericInternalRow(Array[Any](null, 0, 0, 0L))
-    else new GenericInternalRow(Array[Any](UTF8String.fromString("mp4"),
-      m(0).toInt, m(1).toInt, m(2)))
+    if (m != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("mp4"),
+        m(0).toInt, m(1).toInt, m(2)))
+    val a = aviMeta(b)
+    if (a != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("avi"),
+        a(0).toInt, a(1).toInt, a(2)))
+    new GenericInternalRow(Array[Any](null, 0, 0, 0L))
+  }
+
+  /** RIFF AVI main header (`avih` inside LIST hdrl): dwMicroSecPerFrame
+    * at payload+0, dwTotalFrames at +16, dwWidth/dwHeight at +32/+36. */
+  private[functions] def aviMeta(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 24) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return null
+    def walk(start: Int, end: Int): Array[Long] = {
+      var p = start
+      while (p + 8 <= end) {
+        val tag = new String(b, p, 4, "US-ASCII")
+        val len = le32(b, p + 4).toInt
+        val d = p + 8
+        if (d + len > end || len < 0) return null
+        if (tag == "LIST" && len >= 4) {
+          val r = walk(d + 4, d + len)
+          if (r != null) return r
+        } else if (tag == "avih" && len >= 40) {
+          val usPerFrame = le32(b, d)
+          val totalFrames = le32(b, d + 16)
+          val w = le32(b, d + 32)
+          val h = le32(b, d + 36)
+          return Array(w, h, usPerFrame * totalFrames / 1000L)
+        }
+        p = d + len + (len & 1)
+      }
+      null
+    }
+    walk(12, b.length)
+  }
+
+  /** Minimal AVI metadata fixture: RIFF(AVI ) → LIST(hdrl) → avih. */
+  def encodeAviHeader(width: Int, height: Int, usPerFrame: Long,
+                      totalFrames: Long): Array[Byte] = {
+    val avih = new Array[Byte](8 + 56)
+    def w32(a: Array[Byte], p: Int, v: Long): Unit = {
+      a(p) = v.toByte; a(p + 1) = (v >> 8).toByte
+      a(p + 2) = (v >> 16).toByte; a(p + 3) = (v >> 24).toByte
+    }
+    "avih".getBytes("US-ASCII").copyToArray(avih, 0)
+    w32(avih, 4, 56)
+    w32(avih, 8, usPerFrame)
+    w32(avih, 8 + 16, totalFrames)
+    w32(avih, 8 + 32, width)
+    w32(avih, 8 + 36, height)
+    val list = new Array[Byte](12 + avih.length)
+    "LIST".getBytes("US-ASCII").copyToArray(list, 0)
+    w32(list, 4, 4 + avih.length)
+    "hdrl".getBytes("US-ASCII").copyToArray(list, 8)
+    avih.copyToArray(list, 12)
+    val out = new Array[Byte](12 + list.length)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    w32(out, 4, 4 + list.length)
+    "AVI ".getBytes("US-ASCII").copyToArray(out, 8)
+    list.copyToArray(out, 12)
+    out
   }
 
   private[functions] def mp4Meta(b: Array[Byte]): Array[Long] = {

@@ -22,14 +22,18 @@ object GenImages {
   def metaWidth(id: Long): Int = 16 + (id % 5).toInt * 8
   def metaHeight(id: Long): Int = 12 + (id % 3).toInt * 8
 
-  /** The q_image_meta payload for a doc id. */
+  /** The q_image_meta payload for a doc id: format rotates over all six
+    * native parsers (bmp/png real pixels; gif/jpeg/tiff/webp structurally
+    * valid header fixtures — the metadata path never decodes pixels). */
   def metaFixture(id: Long): Array[Byte] = {
     val w = metaWidth(id); val h = metaHeight(id)
-    (id % 4) match {
+    (id % 6) match {
       case 0 => ImageKernels.encodeBmp(w, h, pattern(id, w, h))
       case 1 => ImageKernels.encodePng(w, h, pattern(id, w, h))
       case 2 => ImageKernels.encodeGifHeader(w, h)
-      case _ => ImageKernels.encodeJpegHeader(w, h, 1 + (id % 8).toInt)
+      case 3 => ImageKernels.encodeJpegHeader(w, h, 1 + (id % 8).toInt)
+      case 4 => ImageKernels.encodeTiffHeader(w, h)
+      case _ => ImageKernels.encodeWebpHeader(w, h)
     }
   }
 

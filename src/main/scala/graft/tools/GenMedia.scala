@@ -38,6 +38,27 @@ object GenMedia {
   def audioDedupFixture(id: Long): Array[Byte] =
     MediaKernels.encodeWav(16000, Array.tabulate(256)(i => audioDedupSample(id, i)))
 
+  def flacRate(id: Long): Long = 16000L + (id % 5) * 4000L
+  def flacSamples(id: Long): Long = 10000L + id * 7L
+  def mp3Rate(id: Long): Long = Seq(44100L, 48000L, 32000L)(((id / 3) % 3).toInt)
+  def mp3Frames(id: Long): Int = 4 + (id % 7).toInt
+
+  /** q_audio_meta payload: format rotates wav/flac/mp3 by id%3. */
+  def audioMetaFixture(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => wavFixture(id)
+    case 1 => MediaKernels.encodeFlacHeader(2, flacRate(id), 16, flacSamples(id))
+    case _ => MediaKernels.encodeMp3Header(mp3Rate(id), mp3Frames(id))
+  }
+
+  def aviUsPerFrame: Long = 40000L // 25 fps
+  def aviFrames(id: Long): Long = 25L + id % 100L
+
+  /** q_video_meta payload: mp4 for even ids, RIFF AVI for odd. */
+  def videoMetaFixture(id: Long): Array[Byte] =
+    if (id % 2 == 0) mp4Fixture(id)
+    else MediaKernels.encodeAviHeader(mp4Width(id), mp4Height(id),
+      aviUsPerFrame, aviFrames(id))
+
   def mp4Width(id: Long): Int = 320 + (id % 8).toInt * 16
   def mp4Height(id: Long): Int = 240 + (id % 5).toInt * 16
   def mp4DurationMs(id: Long): Long = 1000L + (id % 97) * 250L

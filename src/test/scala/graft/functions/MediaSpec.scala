@@ -54,6 +54,51 @@ class MediaSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(mp4, 0, 30)).isNullAt(0))
   }
 
+  test("FLAC STREAMINFO and MP3 frame-walk metadata parse exactly") {
+    val flac = MediaKernels.encodeFlacHeader(2, 44100L, 24, 441000L)
+    val fr = MediaKernels.audioMetaRow(flac)
+    assert(fr.getString(0) == "flac" && fr.getInt(1) == 2 &&
+      fr.getLong(2) == 44100L && fr.getInt(3) == 24 && fr.getLong(4) == 441000L)
+    assert(fr.getLong(5) == 10000L) // 441000/44100 s
+    val mp3 = MediaKernels.encodeMp3Header(48000L, 10)
+    val mr = MediaKernels.audioMetaRow(mp3)
+    assert(mr.getString(0) == "mp3" && mr.getInt(1) == 2 &&
+      mr.getLong(2) == 48000L && mr.getLong(4) == 10L * 1152L)
+    // a leading ID3v2 tag must be skipped (syncsafe size)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 5) ++ new Array[Byte](5)
+    val tagged = MediaKernels.audioMetaRow(id3 ++ mp3)
+    assert(tagged.getString(0) == "mp3" && tagged.getLong(4) == 10L * 1152L)
+  }
+
+  test("AVI avih metadata: dims and usPerFrame x frames duration") {
+    val avi = MediaKernels.encodeAviHeader(720, 480, 33333L, 300L)
+    val r = MediaKernels.videoMetaRow(avi)
+    assert(r.getString(0) == "avi" && r.getInt(1) == 720 && r.getInt(2) == 480)
+    assert(r.getLong(3) == 33333L * 300L / 1000L)
+  }
+
+  test("TIFF (both byte orders) and WebP (VP8X/VP8L) metadata parse") {
+    assert(ImageKernels.imageMeta(ImageKernels.encodeTiffHeader(800, 600)) ==
+      ("tiff", 800, 600, 0))
+    // big-endian TIFF, SHORT-typed dims
+    val be = Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8, // IFD0 at 8
+      0, 2, // 2 entries
+      0x01, 0x00, 0, 3, 0, 0, 0, 1, 0, 100, 0, 0, // width SHORT 100
+      0x01, 0x01, 0, 3, 0, 0, 0, 1, 0, 50, 0, 0, // height SHORT 50
+      0, 0, 0, 0)
+    assert(ImageKernels.imageMeta(be) == ("tiff", 100, 50, 0))
+    assert(ImageKernels.imageMeta(ImageKernels.encodeWebpHeader(1920, 1080)) ==
+      ("webp", 1920, 1080, 0))
+    // VP8L lossless signature with packed 14-bit dims
+    val w = 33; val h = 17
+    val bits = ((w - 1) | ((h - 1) << 14)).toLong
+    val vp8l = "RIFF".getBytes ++ Array[Byte](13, 0, 0, 0) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      Array(0x2F.toByte, bits.toByte, (bits >> 8).toByte, (bits >> 16).toByte,
+        (bits >> 24).toByte)
+    assert(ImageKernels.imageMeta(vp8l) == ("webp", w, h, 0))
+  }
+
   test("media expressions are SQL-registered and null-safe") {
     graft.expressions.GraftFunctions.register(spark)
     import spark.implicits._
