@@ -231,12 +231,18 @@ object ImageKernels {
     * javax.imageio fallback otherwise; null when undecodable. */
   private[functions] def decodeGray(b: Array[Byte]): Gray = {
     val m = imageMeta(b)
-    try m match {
-      case ("bmp", _, _, _) => decodeBmp(b)
-      case ("png", _, _, _) => decodePng(b)
-      case ("gif", _, _, _) => decodeGif(b)
-      case null => null
-      case _ => decodeImageIo(b)
+    try {
+      // native decoders first (bit-deterministic); a variant they don't
+      // cover (interlaced PNG, RLE BMP, ...) falls back to ImageIO rather
+      // than failing the row
+      val native = m match {
+        case ("bmp", _, _, _) => decodeBmp(b)
+        case ("png", _, _, _) => decodePng(b)
+        case ("gif", _, _, _) => decodeGif(b)
+        case null => return null
+        case _ => null
+      }
+      if (native != null) native else decodeImageIo(b)
     } catch { case _: Exception => null }
   }
 
@@ -270,26 +276,31 @@ object ImageKernels {
     Gray(w, h, px)
   }
 
-  /** PNG: 8-bit gray (0), RGB (2), gray+alpha (4), RGBA (6); filters 0-4;
-    * non-interlaced. */
+  /** PNG: 8-bit gray (0), RGB (2), palette (3, PLTE-mapped), gray+alpha
+    * (4), RGBA (6); filters 0-4; non-interlaced. */
   private def decodePng(b: Array[Byte]): Gray = {
     val w = be32(b, 16); val h = be32(b, 20)
     val bitDepth = b(24) & 0xFF; val colorType = b(25) & 0xFF; val interlace = b(28) & 0xFF
     if (bitDepth != 8 || interlace != 0) return null
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
     }
-    // concatenate IDAT payloads
+    // concatenate IDAT payloads; capture PLTE for palette images
     val idat = new java.io.ByteArrayOutputStream()
+    var paletteLuma: Array[Int] = null
     var p = 8
     var stop = false
     while (!stop && p + 8 <= b.length) {
       val len = be32(b, p)
       val typ = new String(b, p + 4, 4, "US-ASCII")
       if (typ == "IDAT" && p + 8 + len <= b.length) idat.write(b, p + 8, len)
+      if (typ == "PLTE" && p + 8 + len <= b.length)
+        paletteLuma = Array.tabulate(len / 3)(i => luma(
+          b(p + 8 + i * 3) & 0xFF, b(p + 8 + i * 3 + 1) & 0xFF, b(p + 8 + i * 3 + 2) & 0xFF))
       if (typ == "IEND") stop = true
       p += 12 + len
     }
+    if (colorType == 3 && paletteLuma == null) return null
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     val stride = w * channels
@@ -334,11 +345,13 @@ object ImageKernels {
       var x = 0
       while (x < w) {
         val o = x * channels
-        px(y * w + x) = channels match {
-          case 1 => cur(o)
-          case 2 => cur(o) // gray+alpha: luma is the gray sample
-          case _ => luma(cur(o), cur(o + 1), cur(o + 2))
-        }
+        px(y * w + x) =
+          if (colorType == 3) paletteLuma(cur(o) % paletteLuma.length)
+          else channels match {
+            case 1 => cur(o)
+            case 2 => cur(o) // gray+alpha: luma is the gray sample
+            case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+          }
         x += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)

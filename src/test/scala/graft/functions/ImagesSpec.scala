@@ -56,6 +56,27 @@ class ImagesSpec extends SparkSpec {
     assert(native.px.sameElements(refPx))
   }
 
+  test("palette PNG (color type 3) decodes through PLTE identically to ImageIO") {
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val p = px
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = p(y * w + x); bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val bytes = bos.toByteArray
+    assert(ImageKernels.imageMeta(bytes)._1 == "png")
+    val native = ImageKernels.decodeGrayPublic(bytes)
+    assert(native != null)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val refPx = Array.tabulate(w * h) { i =>
+      val rgb = ref.getRGB(i % w, i / w)
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+    }
+    assert(native.px.sameElements(refPx))
+  }
+
   test("perceptual hashes are invariant to uniform brightness shift") {
     val p = px // values ≤ 250, so +5 never clips
     val bright = p.map(_ + 5)
