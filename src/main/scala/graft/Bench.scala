@@ -87,6 +87,31 @@ object BenchFormat {
    * values, minimal envelope) holds ~150 queries of avg-14-char names — far
    * beyond the suite's growth rate.
    */
+  /** `family_` → single-letter-code map for tier-9 name compression:
+    * underscore-terminated leading families with ≥3 members and ≥5 chars
+    * (so the code pays for itself), codes = first letter + ':' with
+    * numeric disambiguation, assignment order (count desc, family asc)
+    * deterministic. Longer families sort first at lookup so a name maps
+    * through its most specific family. */
+  def familyAbbreviations(shortNames: collection.Seq[String]): Seq[(String, String)] = {
+    val fams = shortNames.flatMap { n =>
+      val i = n.indexOf('_')
+      if (i >= 4) Some(n.substring(0, i + 1)) else None
+    }.groupBy(identity).view.mapValues(_.size).toSeq
+      .filter(_._2 >= 3)
+      .sortBy { case (f, c) => (-c, f) }
+    val taken = scala.collection.mutable.Set[String]()
+    val assigned = fams.map { case (fam, _) =>
+      val base = fam.substring(0, 1)
+      var code = base + ":"
+      var k = 2
+      while (taken.contains(code)) { code = base + k + ":"; k += 1 }
+      taken += code
+      fam -> code
+    }
+    assigned.sortBy { case (fam, _) => (-fam.length, fam) }
+  }
+
   def stdoutLine(
       total: Double,
       mins: collection.Seq[(String, Double)],
@@ -142,6 +167,29 @@ object BenchFormat {
         (if (machineContended) s""","machine_contended":true""" else "") +
         s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
     }
+    // Tier 9: family abbreviation on top of tier 8 — frequent `family_`
+    // name prefixes (source_, dedup_, ...) collapse to announced
+    // single-letter codes ("qabbr" carries the exact reverse map), so the
+    // line stays COMPLETE as the suite grows instead of dropping to the
+    // slowest-only fallback (round 11: 118 queries outgrew tier 8).
+    def strippedAbbr(): String = {
+      val shortNames = mins.map { case (k, _) =>
+        if (k.startsWith("q_")) k.drop(2) else k
+      }
+      val abbr = BenchFormat.familyAbbreviations(shortNames)
+      val entries = mins.map { case (k, v) =>
+        val name0 = if (k.startsWith("q_")) k.drop(2) else k
+        val name = abbr.collectFirst {
+          case (fam, code) if name0.startsWith(fam) => code + name0.drop(fam.length)
+        }.getOrElse(name0)
+        "\"" + name + "\":" + math.round(v * 10).toString
+      }.mkString("{", ",", "}")
+      val abbrJs = abbr.map { case (fam, code) => "\"" + code + "\":\"" + fam + "\"" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$entries,"qprefix":"q_","qunit":"ds","qabbr":$abbrJs""" +
+        (if (machineContended) s""","machine_contended":true""" else "") +
+        s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
+    }
     val tiers = Iterator(
       build(3, true, true, true),
       build(2, true, true, true),
@@ -150,7 +198,8 @@ object BenchFormat {
       build(1, false, false, false),
       build(1, false, false, false, minimalEnvelope = true),
       stripped(),
-      strippedDs())
+      strippedDs(),
+      strippedAbbr())
     tiers.find(_.length <= StdoutBudget).getOrElse {
       // Physically impossible to fit every entry (names × count outgrew the
       // window). A truncated-but-valid JSON line with a pointer to the full

@@ -90,15 +90,48 @@ class BenchFormatSpec extends AnyFunSuite {
       resultsFile = "/root/repo/BENCH_RESULTS.json",
       reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 2000, s"line was ${line.length} chars for ${names.size} queries")
-    // the prefix-stripped tier is acceptable: every query must be present
-    // either under its full name or its "q_"-stripped name with the
-    // "qprefix" marker announcing the transform
+    // compressed tiers are acceptable: every query must be present under
+    // its full name, its "q_"-stripped name, or its family-abbreviated
+    // name — each transform announced in the line ("qprefix" / "qabbr")
     val strippedTier = line.contains("\"qprefix\":\"q_\"")
+    val abbrTier = line.contains("\"qabbr\":")
+    val abbr =
+      if (!abbrTier) Nil
+      else BenchFormat.familyAbbreviations(
+        names.map(n => if (n.startsWith("q_")) n.drop(2) else n))
     names.foreach { n =>
-      val key = if (strippedTier && n.startsWith("q_")) n.drop(2) else n
-      assert(line.contains("\"" + key + "\":"), s"missing $n")
+      val short = if (strippedTier && n.startsWith("q_")) n.drop(2) else n
+      val key = abbr.collectFirst {
+        case (fam, code) if short.startsWith(fam) => code + short.drop(fam.length)
+      }.getOrElse(short)
+      assert(line.contains("\"" + key + "\":"), s"missing $n (as $key)")
     }
     assert(!line.contains("queries_omitted"), "no query may be dropped for the current suite")
+  }
+
+  test("familyAbbreviations: deterministic codes, reverse map round-trips every name") {
+    val names = Seq("source_csv", "source_tsv", "source_xml", "dedup_exact",
+      "dedup_near", "dedup_url", "data_x", "solo_one", "ann_a")
+    val abbr = BenchFormat.familyAbbreviations(names)
+    assert(abbr == BenchFormat.familyAbbreviations(names)) // deterministic
+    val m = abbr.toMap
+    assert(m.contains("source_") && m.contains("dedup_"))
+    assert(!m.values.toSeq.groupBy(identity).values.exists(_.size > 1), "codes unique")
+    assert(!m.contains("solo_")) // <3 members
+    assert(!m.contains("ann_")) // family shorter than 5 chars never abbreviates
+    // both s-families present -> disambiguated codes
+    val codes = m.values.toSet
+    assert(codes.forall(_.endsWith(":")))
+    // applying then reversing the most-specific family restores the name
+    names.foreach { n =>
+      val enc = abbr.collectFirst {
+        case (fam, code) if n.startsWith(fam) => (fam, code + n.drop(fam.length))
+      }
+      enc.foreach { case (fam, e) =>
+        val code = m(fam)
+        assert(e.startsWith(code) && fam + e.drop(code.length) == n)
+      }
+    }
   }
 
   test("fastSuspect: anomalous too-fast min is suspect until reproduced") {

@@ -90,8 +90,13 @@ class ExpressionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     // building an expression through the injected builders proves wiring
+    // (each builder invoked at a valid arity for its function)
     val built = GraftFunctions.all.map { case (name, _, builder) =>
-      name -> builder(Seq(Literal("abc")))
+      val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = name match {
+        case "image_thumbnail" => Seq(Literal("abc"), Literal(8), Literal(8))
+        case _ => Seq(Literal("abc"))
+      }
+      name -> builder(args)
     }.toMap
     assert(built("minhash_sig").isInstanceOf[MinhashSig])
     assert(built("shingle_hashes").isInstanceOf[ShingleHashes])
