@@ -120,6 +120,7 @@ object ImageKernels {
           return ("webp", le16(b, d + 6) & 0x3FFF, le16(b, d + 8) & 0x3FFF, 0)
         case _ => ()
       }
+      if (len < 0) return null // corrupt 32-bit length — stop the walk
       p = d + len + (len & 1)
     }
     null
@@ -199,7 +200,9 @@ object ImageKernels {
       else ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) | ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
     if (u16(off + 2) != 42) return 0
     val ifd = off + u32(off + 4)
-    if (ifd + 2 > off + len) return 0
+    // u32 reads a signed Int: a corrupt offset can be negative or wrap —
+    // it must land strictly inside the TIFF slice
+    if (ifd < off || ifd + 2 > off + len) return 0
     val n = u16(ifd)
     var i = 0
     while (i < n) {

@@ -38,6 +38,9 @@ object MediaKernels {
     while (p + 8 <= b.length) {
       val id = new String(b, p, 4, "US-ASCII")
       val len = le32(b, p + 4)
+      // corrupt length (negative via 32-bit wrap, or past 2 GiB) would
+      // stall or reverse the walk — stop at what's parsed so far
+      if (len < 0 || len > Int.MaxValue - 16) return mkWav(channels, rate, bits, dataOff, dataLen, b)
       if (id == "fmt " && len >= 16 && p + 8 + 16 <= b.length) {
         channels = le16(b, p + 10)
         rate = le32(b, p + 12)
@@ -48,6 +51,11 @@ object MediaKernels {
       }
       p += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
+    mkWav(channels, rate, bits, dataOff, dataLen, b)
+  }
+
+  private def mkWav(channels: Long, rate: Long, bits: Long,
+                    dataOff: Long, dataLen: Long, b: Array[Byte]): Array[Long] = {
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataOff < 0) return null
     val bytesPerFrame = channels * (bits / 8)
     if (bytesPerFrame <= 0) return null
@@ -343,7 +351,7 @@ object MediaKernels {
           case "moov" | "trak" => walk(p + hdr, p + size.toInt)
           case "mvhd" if size >= hdr + 20 =>
             val v = b(p + hdr) & 0xFF
-            if (v == 1 && size >= hdr + 28) {
+            if (v == 1 && size >= hdr + 32) {
               val ts = be32(b, p + hdr + 20)
               val dur = (be32(b, p + hdr + 24) << 32) | be32(b, p + hdr + 28)
               if (ts > 0) durMs = dur * 1000L / ts

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import graft.tools.GenMedia
+import graft.tools.{GenImages, GenMedia}
 import org.apache.spark.sql.functions._
 
 /** WAV/MP4 media tier: header parses, exact PCM decode, integer feature
@@ -139,6 +139,41 @@ class MediaSpec extends SparkSpec {
       assert(groups(i) == (i, 2L) && groups(i + 6) == (i, 2L), s"$i: ${groups(i)}")
     }
     assert(groups(12L) == (12L, 1L))
+  }
+
+  test("meta parsers never throw on truncated or byte-corrupted payloads") {
+    // crawl payloads are hostile: every parser must degrade to
+    // null-format/null rows, never an executor exception
+    val fixtures: Seq[Array[Byte]] = Seq(
+      graft.tools.GenMedia.wavFixture(5L),
+      MediaKernels.encodeFlacHeader(2, 44100L, 16, 1000L),
+      MediaKernels.encodeMp3Header(44100L, 3),
+      graft.tools.GenMedia.mp4Fixture(3L),
+      MediaKernels.encodeAviHeader(320, 240, 40000L, 25L),
+      ImageKernels.encodeBmp(16, 12, GenImages.pattern(1, 16, 12)),
+      ImageKernels.encodePng(16, 12, GenImages.pattern(1, 16, 12)),
+      ImageKernels.encodeGifHeader(16, 12),
+      ImageKernels.encodeJpegHeader(16, 12, 3),
+      ImageKernels.encodeTiffHeader(16, 12),
+      ImageKernels.encodeWebpHeader(16, 12))
+    val rnd = new scala.util.Random(42)
+    fixtures.foreach { f =>
+      // truncations at every length
+      (0 to f.length).foreach { cut =>
+        val t = java.util.Arrays.copyOf(f, cut)
+        ImageKernels.imageMetaRow(t); MediaKernels.audioMetaRow(t)
+        MediaKernels.videoMetaRow(t); MediaKernels.audioFeaturesRow(t)
+        MediaKernels.audioFingerprint(t); ImageKernels.thumbnail(t, 4, 4)
+      }
+      // random single-byte corruptions (incl. length fields)
+      (1 to 200).foreach { _ =>
+        val c = f.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        ImageKernels.imageMetaRow(c); MediaKernels.audioMetaRow(c)
+        MediaKernels.videoMetaRow(c); MediaKernels.audioFeaturesRow(c)
+        MediaKernels.audioFingerprint(c); ImageKernels.thumbnail(c, 4, 4)
+      }
+    }
   }
 
   test("audio/video YAML ops append prefixed metadata columns") {
