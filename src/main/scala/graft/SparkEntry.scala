@@ -475,6 +475,19 @@ object SparkEntry {
           concat(lit("["), concat_ws(",",
             sort_array(collect_list(col("n_nationkey").cast("string")))), lit("]")).as("keys_json"))),
 
+    // beyond-reference EXACT quantile aggregations through the real
+    // group_by `func(col,sep)` grammar (percentile_cont interpolation —
+    // DuckDB quantile_cont matches bit-for-bit after rounding)
+    "q_group_median" -> ((s, d) =>
+      Ops.groupBy(t(s, d, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice"),
+        groupByColumns = Seq("l_returnflag"),
+        createColumns = Seq(
+          "median_qty" -> "median(l_quantity)",
+          "p90_price" -> "percentile(l_extendedprice,0.9)"))
+        .select(col("l_returnflag"),
+          round(col("median_qty"), 4).as("median_qty"),
+          round(col("p90_price"), 4).as("p90_price"))),
+
     "q_group_by_with_rank" -> ((s, d) =>
       Ops.groupByWithRank(
         t(s, d, "orders").select("o_orderkey", "o_custkey"),
@@ -1361,6 +1374,12 @@ object SparkEntry {
            round(var_samp(l_extendedprice), 0) AS var_price,
            max(l_linestatus) AS max_flag
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_group_median" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_group_agg" ->
       """SELECT n_regionkey,

@@ -384,7 +384,8 @@ object Ops {
     val (aggType, c, sep) = (m.group(1), Option(m.group(2)).getOrElse(""), Option(m.group(3)).getOrElse(""))
     val needsCol = Set("agg", "aggregate", "max", "maximum", "min", "minimum", "sum",
       "mean", "avg", "std", "stdev", "stddev", "var", "variance",
-      "str_min", "str_minimum", "str_max", "str_maximum", "json_array_agg")
+      "str_min", "str_minimum", "str_max", "str_maximum", "json_array_agg",
+      "median", "percentile")
     if (needsCol.contains(aggType)) {
       if (c.isEmpty) err("group_by", s"aggregation function `$aggType`(column) missing required column")
       if (!columns.contains(c)) err("group_by", s"aggregation function `$aggType`($c) refers to a column $c which does not exist")
@@ -404,6 +405,19 @@ object Ops {
       case "mean" | "avg" => sum(num) / count(lit(1))
       case "std" | "stdev" | "stddev" => stddev_samp(num)
       case "var" | "variance" => var_samp(num)
+      // engine extensions beyond the reference's mapping: EXACT quantiles
+      // (linear interpolation — SQL percentile_cont semantics, matching
+      // DuckDB quantile_cont). `percentile(col,p)` takes the fraction in
+      // the separator slot of the `func(col,sep)` grammar.
+      case "median" => expr(s"percentile(cast($c AS double), 0.5)")
+      case "percentile" =>
+        val p = try sep.trim.toDouble catch {
+          case _: NumberFormatException =>
+            err("group_by", s"percentile($c,$sep): the separator slot must be a fraction in [0,1]")
+        }
+        if (p < 0 || p > 1)
+          err("group_by", s"percentile($c,$sep): fraction must be in [0,1]")
+        expr(s"percentile(cast($c AS double), ${p}D)")
       case other => err("group_by", s"invalid aggregation function `$other` in `group_by` operation")
     }
   }

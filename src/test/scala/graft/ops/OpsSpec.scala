@@ -168,8 +168,21 @@ class OpsSpec extends SparkSpec {
     assert(Set("a;b", "b;a").contains(row.getString(1)))
     assert(row.getString(4) == "a" && row.getString(5) == "b")
     assert(row.getString(3).startsWith("[\""))
-    val bad = intercept[IllegalArgumentException](Ops.groupBy(df, Seq("k"), Seq("x" -> "median(v)")))
+    val bad = intercept[IllegalArgumentException](Ops.groupBy(df, Seq("k"), Seq("x" -> "mode(v)")))
     assert(bad.getMessage.contains("invalid aggregation function"))
+  }
+
+  test("groupBy: exact median/percentile extensions (percentile_cont interpolation)") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 10.0),
+      ("h", 5.0)).toDF("k", "v")
+    val out = Ops.groupBy(df, Seq("k"), Seq(
+      "med" -> "median(v)", "p25" -> "percentile(v,0.25)", "p100" -> "percentile(v,1.0)"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("g") == ((2.5, 1.75, 10.0))) // linear interpolation between ranks
+    assert(out("h") == ((5.0, 5.0, 5.0)))
+    val badP = intercept[IllegalArgumentException](
+      Ops.groupBy(df, Seq("k"), Seq("x" -> "percentile(v,1.5)")))
+    assert(badP.getMessage.contains("fraction must be in [0,1]"))
   }
 
   test("groupByWithRank: 0-based cumcount within groups") {
