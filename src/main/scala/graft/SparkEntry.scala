@@ -558,6 +558,30 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "phase")
     }),
 
+    // generic per-key ordered windows through the YAML op: 4-row trailing
+    // sum, previous-event value, and per-user ordinal in one pass (unique
+    // (ts, event_id) order keys make every function deterministic)
+    "q_window_agg" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      val e = new graft.engine.Engine(s)
+      val step1 = e.applyOperation(ev, Map("operation" -> "window_agg",
+        "partition_by" -> List("user_id"), "order_by" -> List("ts_us", "event_id"),
+        "function" -> "sum", "column" -> "value", "new_column" -> "roll_sum",
+        "rows_preceding" -> 3, "rows_following" -> 0), Map.empty, "gate")
+      val step2 = e.applyOperation(step1, Map("operation" -> "window_agg",
+        "partition_by" -> List("user_id"), "order_by" -> List("ts_us", "event_id"),
+        "function" -> "lag", "column" -> "value", "new_column" -> "prev_value"),
+        Map.empty, "gate")
+      e.applyOperation(step2, Map("operation" -> "window_agg",
+        "partition_by" -> List("user_id"), "order_by" -> List("ts_us", "event_id"),
+        "function" -> "row_number", "new_column" -> "seq"), Map.empty, "gate")
+        .select(col("event_id"), col("user_id"),
+          round(col("roll_sum"), 4).as("roll_sum"),
+          round(col("prev_value"), 4).as("prev_value"), col("seq"))
+    }),
+
     // ======================================================== time / window
     "q_window_hourly" -> ((s, d) =>
       t(s, d, "events")
@@ -1435,6 +1459,16 @@ object SparkEntry {
            epoch_us(b.ts) AS purchase_ts_us, round(b.value, 2) AS purchase_value
          FROM events e ASOF LEFT JOIN b
            ON e.user_id = b.user_id AND e.ts >= b.ts""",
+
+    "q_window_agg" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_sum,
+           round(lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4)
+             AS prev_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT
+             AS seq
+         FROM events""",
 
     "q_window_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

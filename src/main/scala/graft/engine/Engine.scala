@@ -203,6 +203,8 @@ final class Engine(spark: SparkSession) {
     "pivot" -> Set("rows_by", "cols_by", "values", "pivot_values"),
     "group_by" -> Set("group_by_columns", "create_columns"),
     "group_by_with_rank" -> Set("group_by_columns", "rank_column", "order_by"),
+    "window_agg" -> Set("partition_by", "order_by", "function", "column",
+      "new_column", "rows_preceding", "rows_following", "offset"),
     "distinct_rows" -> Set("column", "columns"),
     "filter_rows" -> Set("query", "behavior"),
     "sort_rows" -> Set("columns", "descending"),
@@ -356,6 +358,14 @@ final class Engine(spark: SparkSession) {
       case "group_by" => Ops.groupBy(df, listOf(op, "group_by_columns"),
         Config.asMap(op.getOrElse("create_columns", Map.empty[String, Any]))
           .toSeq.map { case (k, v) => k -> v.toString })
+      case "window_agg" => Ops.windowAgg(df,
+        listOf(op, "partition_by"), listOf(op, "order_by"),
+        Config.reqStr(op, "function", ctx),
+        Config.str(op, "column").getOrElse(""),
+        Config.str(op, "new_column").getOrElse("window_value"),
+        op.get("rows_preceding").map(_.toString.toLong),
+        op.get("rows_following").map(_.toString.toLong),
+        Config.int(op, "offset").getOrElse(1))
       case "group_by_with_rank" => Ops.groupByWithRank(df,
         listOf(op, "group_by_columns"), Config.reqStr(op, "rank_column", ctx))
       case "debug" =>

@@ -217,6 +217,53 @@ object Ops {
     df.orderBy(keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
   }
 
+  /** window_agg (engine extension): per-partition ordered window
+    * computations — rolling aggregates (sum/avg/min/max/count over a rows
+    * frame), lag/lead, row_number — the time-series feature-engineering
+    * pass (rolling averages, previous-event deltas, per-key ordinals).
+    *
+    * `partition_by` is REQUIRED: an empty partitioning would put the
+    * whole frame on one task — global running totals belong to the
+    * bucketed prefix-sum operators (Sampling.withHashPrefixSum), which
+    * never collapse to a single partition. Order keys take the sort_rows
+    * `-col` descending prefix. Frame defaults: unbounded preceding →
+    * current row (the running-aggregate shape); `rows_preceding` /
+    * `rows_following` bound it (e.g. 3/0 = 4-row trailing window). */
+  def windowAgg(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                function: String, column: String, newColumn: String,
+                rowsPreceding: Option[Long] = None, rowsFollowing: Option[Long] = None,
+                offset: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (partitionBy.isEmpty)
+      err("window_agg", "partition_by is required (a global window runs on ONE task; " +
+        "use the bucketed prefix-sum operators for global running totals)")
+    (partitionBy ++ orderBy.map(_.stripPrefix("-").stripPrefix("+")) ++
+      (if (Set("row_number", "count").contains(function)) Nil else Seq(column)))
+      .foreach(c => if (!df.columns.contains(c)) err("window_agg", s"column `$c` not defined"))
+    val orderCols = orderBy.map {
+      case c if c.startsWith("-") => col(c.substring(1)).desc
+      case c => col(c.stripPrefix("+")).asc
+    }
+    val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderCols: _*)
+    val lo = rowsPreceding.map(-_).getOrElse(Window.unboundedPreceding)
+    val hi = rowsFollowing.getOrElse(0L)
+    val framed = base.rowsBetween(lo, hi)
+    val num = col(column).cast(DoubleType)
+    val result = function match {
+      case "sum" => sum(num).over(framed)
+      case "avg" | "mean" => avg(num).over(framed)
+      case "min" => min(num).over(framed)
+      case "max" => max(num).over(framed)
+      case "count" => count(lit(1)).over(framed)
+      case "lag" => lag(col(column), offset).over(base)
+      case "lead" => lead(col(column), offset).over(base)
+      case "row_number" => row_number().over(base).cast(org.apache.spark.sql.types.LongType)
+      case other => err("window_agg",
+        s"invalid window function `$other` (sum/avg/min/max/count/lag/lead/row_number)")
+    }
+    df.withColumn(newColumn, result)
+  }
+
   /** limit_rows (row.py:156-185): head(count+offset).tail(count). */
   def limitRows(df: DataFrame, count: Int, offset: Int = 0): DataFrame = {
     if (count < 1) err("limit_rows", "count for a limit operation must be a positive integer")

@@ -185,6 +185,28 @@ class OpsSpec extends SparkSpec {
     assert(badP.getMessage.contains("fraction must be in [0,1]"))
   }
 
+  test("windowAgg: rolling frame, lag/lead, ordinals; global window rejected") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("b", 1L, 5.0))
+      .toDF("k", "t", "v")
+    val rolled = Ops.windowAgg(df, Seq("k"), Seq("t"), "sum", "v", "rs",
+      rowsPreceding = Some(1), rowsFollowing = Some(0))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(rolled(("a", 1L)) == 10.0 && rolled(("a", 2L)) == 30.0 &&
+      rolled(("a", 3L)) == 50.0 && rolled(("b", 1L)) == 5.0)
+    val lagged = Ops.windowAgg(df, Seq("k"), Seq("-t"), "lag", "v", "pv")
+      .filter(col("k") === "a" && col("t") === 2L).head()
+    assert(lagged.getDouble(3) == 30.0) // descending order: prev of t=2 is t=3
+    val seq = Ops.windowAgg(df, Seq("k"), Seq("t"), "row_number", "", "n")
+      .filter(col("k") === "a" && col("t") === 3L).head()
+    assert(seq.getLong(3) == 3L)
+    val bad = intercept[IllegalArgumentException](
+      Ops.windowAgg(df, Nil, Seq("t"), "sum", "v", "x"))
+    assert(bad.getMessage.contains("partition_by is required"))
+    val badFn = intercept[IllegalArgumentException](
+      Ops.windowAgg(df, Seq("k"), Seq("t"), "ntile", "v", "x"))
+    assert(badFn.getMessage.contains("invalid window function"))
+  }
+
   test("groupByWithRank: 0-based cumcount within groups") {
     val df = Seq(("g1", "a"), ("g1", "b"), ("g2", "c")).toDF("g", "v")
     val out = Ops.groupByWithRank(df, Seq("g"), "rk", orderBy = Seq("v"))
