@@ -256,7 +256,7 @@ final class Engine(spark: SparkSession) {
     "pack_contexts" -> Set("id_column", "column", "tokens_column", "context_tokens", "group_column"),
     "assign_split" -> Set("key_column", "weights", "split_column"),
     "asof_join" -> Set("sources", "key_column", "time_column", "value_columns",
-      "suffix", "tolerance_seconds"),
+      "suffix", "tolerance_seconds", "bucket_seconds"),
     "range_join" -> Set("sources", "key_columns", "point_column", "start_column",
       "end_column", "bin_width"),
     "shuffle_rows" -> Set("id_column", "position_column"),
@@ -652,7 +652,9 @@ final class Engine(spark: SparkSession) {
             case vs => vs
           },
           Config.str(op, "suffix").getOrElse("_asof"),
-          Config.str(op, "tolerance_seconds").map(_.toDouble))
+          Config.str(op, "tolerance_seconds").map(_.toDouble),
+          // hot-key escape hatch: per-(key, time-bucket) two-phase carry
+          Config.str(op, "bucket_seconds").map(_.toDouble))
       // interval join via the binned equi-join rewrite; `sources` holds the
       // intervals frame
       case "range_join" =>

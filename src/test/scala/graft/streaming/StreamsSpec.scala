@@ -167,6 +167,29 @@ class StreamsSpec extends SparkSpec {
       assert(urls == Seq("http://b.net/y", "http://www.a.com/x"))
     } finally q.stop()
   }
+  test("image/audio metadata expressions run unchanged on a live stream") {
+    // the multimodal tier is stateless codegen — the same batch/stream
+    // symmetry contract as the corpus ops
+    implicit val sqlCtx = spark.sqlContext
+    graft.expressions.GraftFunctions.register(spark)
+    val mem = MemoryStream[Long]
+    val media = mem.toDF().toDF("id")
+      .withColumn("img", lit(graft.functions.ImageKernels.encodeBmp(8, 8, Array.fill(64)(7))))
+      .withColumn("wav", lit(graft.functions.MediaKernels.encodeWav(8000, Array.tabulate(100)(_ % 9))))
+      .selectExpr("id", "image_meta(img).format AS fmt", "image_phash(img) AS ph",
+        "audio_meta(wav).n_samples AS n", "audio_features(wav).sq_sum AS sq")
+    val q = media.writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      val rows = spark.table("media_stream").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(r => r.getAs[String]("fmt") == "bmp" &&
+        r.getAs[Long]("n") == 100L && !r.isNullAt(2)))
+    } finally q.stop()
+  }
+
   test("incrementalDedupIngest: stream keep-set across two deltas equals the batch path") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
