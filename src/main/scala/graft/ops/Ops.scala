@@ -432,7 +432,7 @@ object Ops {
     val needsCol = Set("agg", "aggregate", "max", "maximum", "min", "minimum", "sum",
       "mean", "avg", "std", "stdev", "stddev", "var", "variance",
       "str_min", "str_minimum", "str_max", "str_maximum", "json_array_agg",
-      "median", "percentile")
+      "median", "percentile", "approx_percentile")
     if (needsCol.contains(aggType)) {
       if (c.isEmpty) err("group_by", s"aggregation function `$aggType`(column) missing required column")
       if (!columns.contains(c)) err("group_by", s"aggregation function `$aggType`($c) refers to a column $c which does not exist")
@@ -452,19 +452,25 @@ object Ops {
       case "mean" | "avg" => sum(num) / count(lit(1))
       case "std" | "stdev" | "stddev" => stddev_samp(num)
       case "var" | "variance" => var_samp(num)
-      // engine extensions beyond the reference's mapping: EXACT quantiles
-      // (linear interpolation — SQL percentile_cont semantics, matching
-      // DuckDB quantile_cont). `percentile(col,p)` takes the fraction in
-      // the separator slot of the `func(col,sep)` grammar.
+      // engine extensions beyond the reference's mapping: quantiles.
+      // EXACT median/percentile use SQL percentile_cont interpolation
+      // (matches DuckDB quantile_cont) — exact quantiles buffer each
+      // group's values, the right trade for human-scale group counts;
+      // at 100 TB with huge groups use `approx_percentile(col,p)`
+      // (Spark's Greenwald-Khanna sketch: bounded memory per group,
+      // deterministic for a given dataset, ±1e-4 relative rank error).
+      // The fraction rides the separator slot of the `func(col,sep)`
+      // grammar.
       case "median" => expr(s"percentile(cast($c AS double), 0.5)")
-      case "percentile" =>
+      case "percentile" | "approx_percentile" =>
         val p = try sep.trim.toDouble catch {
           case _: NumberFormatException =>
-            err("group_by", s"percentile($c,$sep): the separator slot must be a fraction in [0,1]")
+            err("group_by", s"$aggType($c,$sep): the separator slot must be a fraction in [0,1]")
         }
         if (p < 0 || p > 1)
-          err("group_by", s"percentile($c,$sep): fraction must be in [0,1]")
-        expr(s"percentile(cast($c AS double), ${p}D)")
+          err("group_by", s"$aggType($c,$sep): fraction must be in [0,1]")
+        if (aggType == "percentile") expr(s"percentile(cast($c AS double), ${p}D)")
+        else expr(s"approx_percentile(cast($c AS double), ${p}D, 10000)")
       case other => err("group_by", s"invalid aggregation function `$other` in `group_by` operation")
     }
   }

@@ -183,6 +183,10 @@ class OpsSpec extends SparkSpec {
     val badP = intercept[IllegalArgumentException](
       Ops.groupBy(df, Seq("k"), Seq("x" -> "percentile(v,1.5)")))
     assert(badP.getMessage.contains("fraction must be in [0,1]"))
+    // the sketch path (100 TB groups) agrees with exact on small groups
+    val approx = Ops.groupBy(df, Seq("k"), Seq("a50" -> "approx_percentile(v,0.5)"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx("h") == 5.0 && approx("g") >= 2.0 && approx("g") <= 3.0)
   }
 
   test("windowAgg: rolling frame, lag/lead, ordinals; global window rejected") {
