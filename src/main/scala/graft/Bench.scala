@@ -89,10 +89,13 @@ object BenchFormat {
    */
   /** `family_` → single-letter-code map for tier-9 name compression:
     * underscore-terminated leading families with ≥3 members and ≥5 chars
-    * (so the code pays for itself), codes = first letter + ':' with
-    * numeric disambiguation, assignment order (count desc, family asc)
-    * deterministic. Longer families sort first at lookup so a name maps
-    * through its most specific family. */
+    * (so the code pays for itself). Codes are single UPPERCASE letters —
+    * query names are lowercase, so an uppercase first character
+    * unambiguously marks an abbreviated name at one char of cost; a
+    * letter clash walks the alphabet from the family's initial.
+    * Assignment order (count desc, family asc) is deterministic. Longer
+    * families sort first at lookup so a name maps through its most
+    * specific family. */
   def familyAbbreviations(shortNames: collection.Seq[String]): Seq[(String, String)] = {
     val fams = shortNames.flatMap { n =>
       val i = n.indexOf('_')
@@ -102,10 +105,13 @@ object BenchFormat {
       .sortBy { case (f, c) => (-c, f) }
     val taken = scala.collection.mutable.Set[String]()
     val assigned = fams.map { case (fam, _) =>
-      val base = fam.substring(0, 1)
-      var code = base + ":"
-      var k = 2
-      while (taken.contains(code)) { code = base + k + ":"; k += 1 }
+      val base = fam.charAt(0).toUpper
+      var code = base.toString
+      var k = 1
+      while (taken.contains(code)) {
+        code = ((base - 'A' + k) % 26 + 'A').toChar.toString
+        k += 1
+      }
       taken += code
       fam -> code
     }

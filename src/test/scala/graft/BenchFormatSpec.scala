@@ -119,9 +119,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!m.values.toSeq.groupBy(identity).values.exists(_.size > 1), "codes unique")
     assert(!m.contains("solo_")) // <3 members
     assert(!m.contains("ann_")) // family shorter than 5 chars never abbreviates
-    // both s-families present -> disambiguated codes
+    // codes are single uppercase letters, clash-walked deterministically
     val codes = m.values.toSet
-    assert(codes.forall(_.endsWith(":")))
+    assert(codes.forall(c => c.length == 1 && c.head.isUpper))
+    assert(codes.size == m.size)
     // applying then reversing the most-specific family restores the name
     names.foreach { n =>
       val enc = abbr.collectFirst {
