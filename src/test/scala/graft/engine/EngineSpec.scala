@@ -270,6 +270,55 @@ class EngineSpec extends SparkSpec {
     assert(lines.toSeq == Seq("""{ "url": "http://a/1" }"""))
   }
 
+  test("multimodal curation e2e: binary payloads -> image_meta -> image_dedup -> survivors in one YAML") {
+    // the image half of a crawl pipeline as ONE declared YAML flow over a
+    // parquet source with a binary column: metadata sweep, perceptual
+    // near-dedup, representative filter
+    val dir = Files.createTempDirectory("graft-media")
+    import spark.implicits._
+    val media = ((0L until 6L).map(i =>
+      (i, graft.tools.GenImages.dedupFixture(i % 3 + (i / 3) * 250))) :+
+      ((6L, "not an image".getBytes())))
+      .toDF("media_id", "content")
+    media.write.mode("overwrite").parquet(dir.resolve("media.parquet").toString)
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  media:
+        |    file: media.parquet
+        |    type: parquet
+        |transformations:
+        |  surviving:
+        |    source: $sources.media
+        |    operations:
+        |      - operation: image_meta
+        |        column: content
+        |      - operation: drop_columns
+        |        columns: [image_width, image_height, image_orientation]
+        |      - operation: image_dedup
+        |        id_column: media_id
+        |        column: content
+        |        max_hamming: 3
+        |      - operation: filter_rows
+        |        query: media_id == keep_id
+        |      - operation: keep_columns
+        |        columns: [media_id, n_group]
+        |destinations:
+        |  out:
+        |    source: $transformations.surviving
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala.sorted
+    // base patterns 0,1,2 survive as representatives (each a pair with its
+    // perturbed copy 3,4,5); the junk payload keeps itself as a singleton
+    assert(lines.toSeq == Seq(
+      """{ "media_id": "0", "n_group": "2" }""",
+      """{ "media_id": "1", "n_group": "2" }""",
+      """{ "media_id": "2", "n_group": "2" }""",
+      """{ "media_id": "6", "n_group": "1" }"""))
+  }
+
   test("training-data curation e2e: url ops -> domain filter -> rarity -> split -> packing in one YAML") {
     val dir = Files.createTempDirectory("graft-curate")
     val prose = "the quick brown fox jumps over the lazy dog near the river today"
