@@ -89,6 +89,22 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // pdf round-trip: region written as a multi-page Flate-compressed text
+    // PDF (native writer), read back through the distributed PDF page
+    // extractor; key/name recovered from the page text lines
+    "q_source_pdf" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".pdf")
+      graft.engine.Pdf.write(f,
+        rows.map(r => s"${r.get(0)}\n${r.getString(1)}").toSeq, compress = true)
+      graft.engine.Sources.read(s, "region_pdf",
+        Map("file" -> f.toString), f.getParent)
+        .select(
+          element_at(split(col("text"), "\n"), 1).as("r_regionkey"),
+          element_at(split(col("text"), "\n"), 2).as("r_name"))
+    }),
+
     // region → sas7bdat (tools/GenSas, the pandas-cross-validated writer) →
     // native Sas reader; numeric key exercises the SAS-double decode path
     "q_source_sas" -> ((s, d) => {
@@ -1262,6 +1278,9 @@ object SparkEntry {
     // the double's decimal form, so the oracle casts through DOUBLE first
     "q_source_sas" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_pdf" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_source_wet" ->
       "SELECT 'http://doc.example/' || doc_id AS url, text FROM documents",

@@ -125,6 +125,10 @@ object Sources {
       case "pkl" | "pickle" => Pickle.read(spark, path)
       case "avro" => Avro.read(spark, path)
       case "warc" | "wet" => Warc.read(spark, path)
+      // PDF text extraction (beyond-reference crawl source): distributed
+      // file-level parallelism like WARC — one row per page (file, page,
+      // text), pages in page-tree order
+      case "pdf" => readPdf(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -472,5 +476,26 @@ object Sources {
       .option("url", url)
       .option("query", query)
       .load()
+  }
+
+  /** PDF pages via binaryFiles (the WARC distributed-file pattern): each
+    * document parses in its own task; unreadable documents raise with the
+    * file name (the engine's diagnosable-error contract). */
+  private def readPdf(spark: SparkSession, pathGlob: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
+      val bytes = pds.toArray()
+      val pages =
+        try Pdf.extractText(bytes)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
+        }
+      pages.zipWithIndex.map { case (text, i) => Row(file, (i + 1).toLong, text) }
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("page", LongType),
+      StructField("text", StringType)))
+    spark.createDataFrame(rows, schema)
   }
 }
