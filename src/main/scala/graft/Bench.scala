@@ -88,8 +88,8 @@ object BenchFormat {
    * beyond the suite's growth rate.
    */
   /** `family_` → single-letter-code map for tier-9 name compression:
-    * underscore-terminated leading families with ≥3 members and ≥5 chars
-    * (so the code pays for itself). Codes are single UPPERCASE letters —
+    * underscore-terminated leading families that save more characters than
+    * their announcement costs. Codes are single UPPERCASE letters —
     * query names are lowercase, so an uppercase first character
     * unambiguously marks an abbreviated name at one char of cost; a
     * letter clash walks the alphabet from the family's initial.
@@ -99,9 +99,11 @@ object BenchFormat {
   def familyAbbreviations(shortNames: collection.Seq[String]): Seq[(String, String)] = {
     val fams = shortNames.flatMap { n =>
       val i = n.indexOf('_')
-      if (i >= 4) Some(n.substring(0, i + 1)) else None
+      if (i >= 3) Some(n.substring(0, i + 1)) else None
     }.groupBy(identity).view.mapValues(_.size).toSeq
-      .filter(_._2 >= 3)
+      // a code pays (family+code+6) chars of announcement and saves
+      // members x (family-1): require a strictly positive net
+      .filter { case (f, c) => c * (f.length - 1) > f.length + 7 }
       .sortBy { case (f, c) => (-c, f) }
     val taken = scala.collection.mutable.Set[String]()
     val assigned = fams.map { case (fam, _) =>

@@ -117,8 +117,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val m = abbr.toMap
     assert(m.contains("source_") && m.contains("dedup_"))
     assert(!m.values.toSeq.groupBy(identity).values.exists(_.size > 1), "codes unique")
-    assert(!m.contains("solo_")) // <3 members
-    assert(!m.contains("ann_")) // family shorter than 5 chars never abbreviates
+    assert(!m.contains("solo_")) // single member: announcement outweighs savings
+    assert(!m.contains("ann_")) // ditto — net-savings rule, not a length rule
     // codes are single uppercase letters, clash-walked deterministically
     val codes = m.values.toSet
     assert(codes.forall(c => c.length == 1 && c.head.isUpper))
