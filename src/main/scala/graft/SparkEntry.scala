@@ -899,6 +899,31 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "text"), "doc_id", "text")
         .select("doc_id", "rarity_sum", "n_trigrams", "rarity")),
 
+    // Unicode normalization: decomposed accents + fullwidth digits +
+    // control chars synthesized per row; NFC + control-strip + whitespace
+    // collapse must match DuckDB's nfc_normalize + the same regex chain
+    "q_text_normalize" -> ((s, d) => {
+      val messy = concat(col("text"),
+        lit("  cafe"), lit("\u0301"), lit(" "), col("doc_id").cast("string"),
+        lit("\tx"), lit("\u0007"), lit("  end"))
+      val built = t(s, d, "documents").select(col("doc_id"), messy.as("text"))
+      new graft.engine.Engine(s).applyOperation(built,
+        Map("operation" -> "text_normalize", "column" -> "text"),
+        Map.empty, "gate")
+        .select("doc_id", "text")
+    }),
+
+    // rule-based sentence splitting (RE2-subset rule both sides): terminal
+    // punctuation synthesized per row, dense 0-based ordinals
+    "q_sentence_split" -> ((s, d) => {
+      val built = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(". second part! third? trailing fragment"))
+          .as("text"))
+      new graft.engine.Engine(s).applyOperation(built,
+        Map("operation" -> "sentence_split", "id_column" -> "doc_id",
+          "column" -> "text"), Map.empty, "gate")
+    }),
+
     // blocklist curation through the real YAML-op dispatch: drop documents
     // whose registrable domain (or any parent) is listed — UT1-style
     // domain filtering, the standard crawl exclusion pass
@@ -2086,6 +2111,32 @@ object SparkEntry {
     "q_domain_filter" ->
       """SELECT doc_id FROM documents
          WHERE lower(source) || '.example.com' NOT IN ('src0.example.com', 'src3.example.com')""",
+
+    // same construction, DuckDB's nfc_normalize + the identical RE2 chain
+    "q_text_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || '  cafe' || chr(769) || ' ' ||
+               cast(doc_id AS VARCHAR) || chr(9) || 'x' || chr(7) || '  end'),
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'),
+             '[ \t]+', ' ', 'g')) AS text
+         FROM documents""",
+
+    "q_sentence_split" ->
+      """WITH built AS (
+           SELECT doc_id,
+             text || '. second part! third? trailing fragment' AS text
+           FROM documents),
+         arrs AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+               s -> len(s) > 0) AS sents
+           FROM built)
+         SELECT doc_id,
+           (unnest(generate_series(1, len(sents))) - 1)::BIGINT AS sentence_id,
+           unnest(sents) AS sentence
+         FROM arrs""",
 
     "q_dedup_url" ->
       """WITH u AS (

@@ -230,6 +230,9 @@ final class Engine(spark: SparkSession) {
     "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
     "lang_id_trained" -> Set("column", "label_column", "top_k", "new_column"),
+    "text_normalize" -> Set("column", "form", "strip_controls",
+      "collapse_whitespace", "new_column"),
+    "sentence_split" -> Set("id_column", "column"),
     "text_stats" -> Set("column", "stopwords"),
     "repetition_stats" -> Set("column", "line_delimiter", "ngram"),
     "quality_score" -> Set("column", "new_column", "stopwords"),
@@ -436,6 +439,17 @@ final class Engine(spark: SparkSession) {
             org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
             org.apache.spark.sql.functions.lit(Config.int(op, "width").getOrElse(64)),
             org.apache.spark.sql.functions.lit(Config.int(op, "height").getOrElse(64))))
+      // Unicode normalization + sentence splitting (corpus-cleaning passes)
+      case "text_normalize" =>
+        graft.functions.Corpus.withNormalizedText(df,
+          Config.reqStr(op, "column", ctx),
+          Config.str(op, "form").getOrElse("NFC"),
+          Config.bool(op, "strip_controls", default = true),
+          Config.bool(op, "collapse_whitespace", default = true),
+          Config.str(op, "new_column").getOrElse(""))
+      case "sentence_split" =>
+        graft.functions.Corpus.splitSentences(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx))
       // corpus-trained language ID: rank-profile classifier trained on the
       // frame's labeled rows, prediction appended for every row
       case "lang_id_trained" =>

@@ -201,6 +201,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"image_phash takes 1 argument, got ${other.size}")
       }),
+    ("unicode_normalize",
+      "_FUNC_(text[, form='NFC']) - Unicode normalization (NFC/NFKC/NFD/NFKD)",
+      {
+        case Seq(t) => UnicodeNormalize(t, "NFC")
+        case Seq(t, Literal(f: UTF8String, StringType)) => UnicodeNormalize(t, f.toString)
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize takes (text[, form-literal]), got $other")
+      }),
     ("audio_meta",
       "_FUNC_(binary) - struct(format, channels, sample_rate, bits, n_samples, duration_ms) from RIFF/WAVE headers",
       {
@@ -311,6 +319,42 @@ case class TrigramRarity(child: Expression, keys: Array[String], cnts: Array[Lon
   }
 
   override protected def withNewChildInternal(newChild: Expression): TrigramRarity =
+    copy(child = newChild)
+}
+
+/** Unicode normalization (NFC/NFKC/NFD/NFKD via `java.text.Normalizer` —
+  * the JDK's Unicode tables, deterministic across JVMs of a release line)
+  * as a codegen'd expression: the canonical first pass of corpus cleaning
+  * (decomposed accents, fullwidth forms, ligatures collapse to one
+  * representation BEFORE any hashing/dedup sees the text). */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  private val normForm = form.toUpperCase match {
+    case "NFC" => java.text.Normalizer.Form.NFC
+    case "NFKC" => java.text.Normalizer.Form.NFKC
+    case "NFD" => java.text.Normalizer.Form.NFD
+    case "NFKD" => java.text.Normalizer.Form.NFKD
+    case other => throw new IllegalArgumentException(
+      s"unicode_normalize: form must be NFC/NFKC/NFD/NFKD, got `$other`")
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, normForm))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("normForm", normForm, "java.text.Normalizer$Form")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(), $formRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
 }
 

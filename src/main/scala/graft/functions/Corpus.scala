@@ -418,6 +418,67 @@ object Corpus {
       .drop("__rar__")
   }
 
+  // ----------------------------------------------- text normalization
+
+  /** Canonical text-normalization pass: Unicode normalization (NFC
+    * default; NFKC folds fullwidth forms/ligatures — the tokenizer-prep
+    * choice) via the codegen'd
+    * [[graft.expressions.UnicodeNormalize]] expression, then optional
+    * C0/C1 control-character strip (tab/newline survive) and whitespace
+    * collapsing — all fused into one narrow projection, the mandatory
+    * first pass before any hashing/dedup sees the text (decomposed
+    * accents would otherwise hash differently from composed ones). */
+  def normalizeText(text: Column, form: String = "NFC",
+                    stripControls: Boolean = true,
+                    collapseWhitespace: Boolean = true): Column = {
+    val normalized = call_function("graft_unicode_normalize_" + form.toLowerCase, text)
+    val noCtl =
+      if (stripControls)
+        regexp_replace(normalized, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")
+      else normalized
+    if (collapseWhitespace) trim(regexp_replace(noCtl, "[ \\t]+", " "))
+    else noCtl
+  }
+
+  /** Register the per-form normalize functions (content-keyed names — the
+    * TrigramRarity registration pattern, parameter carried in the name). */
+  private[functions] def registerNormalize(spark: org.apache.spark.sql.SparkSession,
+                                           form: String): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_unicode_normalize_" + form.toLowerCase, {
+        case Seq(t) => graft.expressions.UnicodeNormalize(t, form)
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize takes 1 argument, got ${other.size}")
+      }, "built-in")
+
+  /** Frame face of [[normalizeText]]. */
+  def withNormalizedText(df: DataFrame, textCol: String, form: String = "NFC",
+                         stripControls: Boolean = true,
+                         collapseWhitespace: Boolean = true,
+                         outCol: String = ""): DataFrame = {
+    registerNormalize(df.sparkSession, form)
+    df.withColumn(if (outCol.isEmpty) textCol else outCol,
+      normalizeText(col(textCol).cast(StringType), form, stripControls, collapseWhitespace))
+  }
+
+  /** Rule-based sentence splitting: a sentence is a maximal run without
+    * terminal punctuation plus its trailing `[.!?]+` (a final unterminated
+    * fragment counts too). The pattern stays in the RE2 subset (no
+    * lookaround) so the oracle applies the identical rule. Output:
+    * (`idCol`, sentence_id 0-based, sentence trimmed, non-empty). Pure
+    * narrow explode — no shuffle. */
+  def splitSentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // trim + drop empties INSIDE the array so posexplode's ordinal is
+    // already dense — no re-numbering window, the pass stays shuffle-free
+    val sentences = filter(
+      transform(regexp_extract_all(col(textCol).cast(StringType),
+        lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
+      s => length(s) > 0)
+    df.select(col(idCol),
+      posexplode(sentences).as(Seq("sentence_id", "sentence")))
+      .withColumn("sentence_id", col("sentence_id").cast(LongType))
+  }
+
   // ------------------------------------------------------ URL canonicalization
 
   /** Canonical URL for crawl-scale URL dedup — the first dedup stage of

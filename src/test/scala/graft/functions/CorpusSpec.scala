@@ -181,4 +181,32 @@ class CorpusSpec extends SparkSpec {
       .select(Corpus.urlDomain(col("u")).as("d")).as[String].collect().toSeq
     assert(got == cases.map(_._2), s"got=$got")
   }
+
+  test("normalizeText: NFC composes, NFKC folds, controls strip, whitespace collapses") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301" // e + combining acute
+    val fullwidth = "\uFF11\uFF12" // fullwidth 1, 2
+    val df = Seq((1L, s" a\u0007b  $decomposed\t$fullwidth ")).toDF("id", "text")
+    val nfc = Corpus.withNormalizedText(df, "text").as[(Long, String)].head()._2
+    assert(nfc == "ab caf\u00e9 \uFF11\uFF12") // BEL gone, tab+runs collapsed, accent composed
+    val nfkc = Corpus.withNormalizedText(df, "text", form = "NFKC")
+      .as[(Long, String)].head()._2
+    assert(nfkc == "ab caf\u00e9 12") // fullwidth digits fold under NFKC
+    val keepCtl = Corpus.withNormalizedText(df, "text", stripControls = false,
+      collapseWhitespace = false).as[(Long, String)].head()._2
+    assert(keepCtl.contains("\u0007") && keepCtl.contains("  "))
+  }
+
+  test("splitSentences: dense ordinals, fragments kept, empties dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "First one. Second!   Third?? Tail fragment"),
+      (2L, "...."), // punctuation only -> no sentences
+      (3L, "")).toDF("doc_id", "text")
+    val got = Corpus.splitSentences(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 0L, "First one."), (1L, 1L, "Second!"),
+      (1L, 2L, "Third??"), (1L, 3L, "Tail fragment")))
+  }
 }
