@@ -83,9 +83,13 @@ object BenchFormat {
   /**
    * Assemble the stdout line under [[StdoutBudget]]. Progressive degradation:
    * each tier sheds precision or optional fields; the queries map itself is
-   * the driver contract and is never dropped. The last tier (1-decimal
-   * values, minimal envelope) holds ~150 queries of avg-14-char names — far
-   * beyond the suite's growth rate.
+   * the driver contract and drops entries only in the final slowest-first
+   * fallback. At the round-11 suite size (123 queries) a CALM run fits the
+   * family-abbreviation tier COMPLETE (~1930 chars measured); only the
+   * pathological combination (machine_contended + failures + dozens of
+   * multi-digit-decisecond values) reaches the truncation fallback — an
+   * already-degraded run whose full 3-decimal data persists anyway in the
+   * per-round BENCH_RESULTS_r<N>.json snapshot.
    */
   /** `family_` → single-letter-code map for tier-9 name compression:
     * underscore-terminated leading families that save more characters than
