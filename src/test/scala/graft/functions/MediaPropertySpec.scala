@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property laws for the round-11 codec + tokenizer tier — the
+  * SpreadsheetPropertySpec discipline applied to media and BPE: arbitrary
+  * inputs must round-trip or satisfy algebraic laws, not just the
+  * hand-picked spec cases. */
+class MediaPropertySpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(30)
+  private def check(prop: Prop, name: String): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("BMP and PNG encode/decode round-trip arbitrary grayscale images bit-exactly") {
+    val img = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.toArray)
+    check(Prop.forAll(img) { case (w, h, px) =>
+      val viaBmp = ImageKernels.decodeGrayPublic(ImageKernels.encodeBmp(w, h, px))
+      val viaPng = ImageKernels.decodeGrayPublic(ImageKernels.encodePng(w, h, px))
+      viaBmp != null && viaBmp.px.sameElements(px) &&
+        viaPng != null && viaPng.px.sameElements(px) &&
+        viaBmp.w == w && viaPng.h == h
+    }, "image_roundtrip")
+  }
+
+  test("thumbnail always reports its target dims and is container-independent") {
+    val img = for {
+      w <- Gen.chooseNum(2, 50)
+      h <- Gen.chooseNum(2, 40)
+      tw <- Gen.chooseNum(1, 12)
+      th <- Gen.chooseNum(1, 12)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, tw, th, px.toArray)
+    check(Prop.forAll(img) { case (w, h, tw, th, px) =>
+      val tb = ImageKernels.thumbnail(ImageKernels.encodeBmp(w, h, px), tw, th)
+      val tp = ImageKernels.thumbnail(ImageKernels.encodePng(w, h, px), tw, th)
+      ImageKernels.imageMeta(tb) == ("png", tw, th, 0) &&
+        java.util.Arrays.equals(tb, tp) // same pixels in, same thumbnail out
+    }, "thumbnail_dims")
+  }
+
+  test("WAV PCM16 round-trips arbitrary samples; features satisfy their algebra") {
+    val sig = for {
+      n <- Gen.chooseNum(1, 400)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      samples <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+    } yield (rate, samples.toArray)
+    check(Prop.forAll(sig) { case (rate, samples) =>
+      val wav = MediaKernels.encodeWav(rate, samples)
+      val back = MediaKernels.wavSamples(wav)
+      val f = MediaKernels.audioFeaturesRow(wav)
+      val sq = samples.map(v => v.toLong * v).sum
+      val peak = samples.map(v => math.abs(v.toLong)).max
+      back.sameElements(samples) &&
+        f.getLong(0) == samples.length.toLong &&
+        f.getLong(1) == sq && f.getLong(3) == peak &&
+        f.getLong(2) <= math.max(samples.length - 1, 0).toLong
+    }, "wav_roundtrip")
+  }
+
+  test("BPE encode is a partition of every word under any learned merge table") {
+    val corpusGen = Gen.listOfN(20,
+      Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)).map(_.mkString(" "))
+    check(Prop.forAll(corpusGen, Gen.chooseNum(1, 50)) { (corpus, nMerges) =>
+      import spark.implicits._
+      val merges = Bpe.train(Seq(corpus).toDF("text"), "text", nMerges, 1000)
+      val (keys, ranks) = Bpe.lookupArrays(merges)
+      val words = corpus.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      words.forall { w =>
+        val toks = BpeKernels.encodeWord(w, keys, ranks)
+        toks.mkString == w && toks.forall(_.nonEmpty) &&
+          toks.length <= w.length &&
+          BpeKernels.tokenCount(w, keys, ranks) == toks.length.toLong
+      }
+    }, "bpe_partition")
+  }
+
+  test("more merges never increase a word's token count (monotone compression)") {
+    import spark.implicits._
+    val corpus = "the quick brown fox the quick dog the brown cat quick fox"
+    val df = Seq(corpus).toDF("text")
+    val counts = (1 to 20).map { m =>
+      val merges = Bpe.train(df, "text", m, 1000)
+      val (keys, ranks) = Bpe.lookupArrays(merges)
+      BpeKernels.tokenCount(corpus, keys, ranks)
+    }
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"token count rose with more merges: $counts")
+    }
+  }
+}
