@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
  * never outgrow the window again.
  */
 object BenchFormat {
-  val StdoutBudget = 1990
+  /** The driver keeps the LAST 2000 chars of stdout, and sbt's
+    * `[success] Total time: …` epilogue (~74 chars, plus a margin for a
+    * three-digit duration and trailing newline noise) lands AFTER our line
+    * inside that window. Round 11 budgeted the line alone at 1990 and a
+    * 1960-char line got its head clipped (`parsed:null`) — the budget must
+    * be 2000 − epilogue − margin, not 2000. */
+  val StdoutBudget = 1900
 
   def fmt(v: Double, decimals: Int): String = {
     val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
@@ -83,11 +89,10 @@ object BenchFormat {
   /**
    * Assemble the stdout line under [[StdoutBudget]]. Progressive degradation:
    * each tier sheds precision or optional fields; the queries map itself is
-   * the driver contract and drops entries only in the final slowest-first
-   * fallback. At the round-11 suite size (123 queries) a CALM run fits the
-   * family-abbreviation tier COMPLETE (~1930 chars measured); only the
-   * pathological combination (machine_contended + failures + dozens of
-   * multi-digit-decisecond values) reaches the truncation fallback — an
+   * the driver contract and keeps every entry down through the byte-pair
+   * token tier (tier 10, ~1870 chars measured COMPLETE at a 132-query
+   * suite), then sheds only zero-signal sub-`qmin_ds` entries (announced),
+   * and drops slowest-first only in the final truncation fallback — an
    * already-degraded run whose full 3-decimal data persists anyway in the
    * per-round BENCH_RESULTS_r<N>.json snapshot.
    */
@@ -123,6 +128,68 @@ object BenchFormat {
     }
     assigned.sortBy { case (fam, _) => (-fam.length, fam) }
   }
+
+  /** Byte-pair-style greedy substring codes for tier-10 name compression.
+    * Returns tokens in assignment order; token i is announced at index i of
+    * the `qtok` array and encoded as the single uppercase letter
+    * ('A'+i). Query names are lowercase/digit/underscore, so uppercase
+    * letters unambiguously mark codes. Later tokens may contain EARLIER
+    * code letters (nested compression) — decode by replacing codes in
+    * REVERSE assignment order: for i from n-1 down to 0, replace ('A'+i)
+    * with token(i). Each round picks the substring with the best net
+    * saving: count×(len−1) − (len+3 announcement chars); deterministic
+    * tie-break on the lexicographically smaller token. */
+  def tokenAbbreviations(names0: collection.Seq[String], maxCodes: Int = 26): Seq[String] = {
+    var names = names0.toVector
+    val toks = scala.collection.mutable.ArrayBuffer[String]()
+    var done = false
+    while (!done && toks.size < maxCodes) {
+      val counts = scala.collection.mutable.HashMap[String, Int]()
+      names.foreach { n =>
+        val seen = scala.collection.mutable.HashSet[String]()
+        var i = 0
+        while (i < n.length) {
+          var j = i + 2
+          val jMax = math.min(i + 15, n.length)
+          while (j <= jMax) {
+            val s = n.substring(i, j)
+            if (seen.add(s)) counts(s) = counts.getOrElse(s, 0) + 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      var best: String = null
+      var bestNet = 0
+      counts.foreach { case (s, c) =>
+        if (c >= 2) {
+          val net = c * (s.length - 1) - (s.length + 3)
+          if (net > bestNet || (net == bestNet && best != null && s < best)) {
+            best = s; bestNet = net
+          }
+        }
+      }
+      if (best == null || bestNet <= 0) done = true
+      else {
+        val code = ('A' + toks.size).toChar.toString
+        toks += best
+        names = names.map(_.replace(best, code))
+      }
+    }
+    toks.toSeq
+  }
+
+  /** Encode one name through the token table (assignment order). */
+  def tokEncode(name: String, toks: Seq[String]): String =
+    toks.zipWithIndex.foldLeft(name) { case (n, (t, i)) =>
+      n.replace(t, ('A' + i).toChar.toString)
+    }
+
+  /** Inverse of [[tokEncode]]: expand codes in reverse assignment order. */
+  def tokDecode(name: String, toks: Seq[String]): String =
+    toks.zipWithIndex.reverse.foldLeft(name) { case (n, (t, i)) =>
+      n.replace(('A' + i).toChar.toString, t)
+    }
 
   def stdoutLine(
       total: Double,
@@ -202,6 +269,39 @@ object BenchFormat {
         (if (machineContended) s""","machine_contended":true""" else "") +
         s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
     }
+    // Tier 10: byte-pair token compression + deciseconds, with optional
+    // FAST-DROP. Names are "q_"-stripped, then greedy substring codes
+    // (announced as the "qtok" array; decode = expand codes in reverse
+    // index order, see tokenAbbreviations) squeeze the average name to ~7
+    // chars — the COMPLETE round-11-size suite fits where the family-prefix
+    // tier no longer does. When even that outgrows the budget, `minDs > 0`
+    // omits entries whose min rounds below `minDs` deciseconds — they carry
+    // no regression signal at ds granularity (1 ds of noise IS their whole
+    // value) — announced via "qmin_ds" + "qfast":<omitted count>, so the
+    // slow tail (the regression-tracking signal) stays complete, unlike the
+    // slowest-first truncation fallback which cuts on budget, not meaning.
+    def tokDs(minDs: Int): String = {
+      val kept = if (minDs <= 0) mins
+                 else mins.filter { case (_, v) => math.round(v * 10) >= minDs }
+      val dropped = mins.size - kept.size
+      val shortNames = kept.map { case (k, _) =>
+        if (k.startsWith("q_")) k.drop(2) else k
+      }
+      val toks = BenchFormat.tokenAbbreviations(shortNames)
+      val encoded = shortNames.map(BenchFormat.tokEncode(_, toks))
+      // compression must stay lossless: bail to the uncompressed names if
+      // the encoding ever collides (cannot happen — decode inverts encode —
+      // but a 2-char guard beats a corrupted artifact)
+      val names = if (encoded.toSet.size == shortNames.toSet.size) encoded else shortNames
+      val entries = names.zip(kept).map { case (name, (_, v)) =>
+        "\"" + name + "\":" + math.round(v * 10).toString
+      }.mkString("{", ",", "}")
+      val tokJs = toks.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val drop = if (minDs > 0) s""","qmin_ds":$minDs,"qfast":$dropped""" else ""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$entries,"qprefix":"q_","qunit":"ds","qtok":$tokJs$drop""" +
+        (if (machineContended) s""","machine_contended":true""" else "") +
+        s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
+    }
     val tiers = Iterator(
       build(3, true, true, true),
       build(2, true, true, true),
@@ -211,7 +311,10 @@ object BenchFormat {
       build(1, false, false, false, minimalEnvelope = true),
       stripped(),
       strippedDs(),
-      strippedAbbr())
+      strippedAbbr(),
+      tokDs(0),
+      tokDs(2),
+      tokDs(5))
     tiers.find(_.length <= StdoutBudget).getOrElse {
       // Physically impossible to fit every entry (names × count outgrew the
       // window). A truncated-but-valid JSON line with a pointer to the full
