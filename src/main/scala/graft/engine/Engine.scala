@@ -201,7 +201,7 @@ final class Engine(spark: SparkSession) {
     "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
     "melt" -> Set("id_vars", "value_vars", "var_name", "value_name"),
     "pivot" -> Set("rows_by", "cols_by", "values", "pivot_values"),
-    "group_by" -> Set("group_by_columns", "create_columns"),
+    "group_by" -> Set("group_by_columns", "create_columns", "exact_quantiles"),
     "group_by_with_rank" -> Set("group_by_columns", "rank_column", "order_by"),
     "window_agg" -> Set("partition_by", "order_by", "function", "column",
       "new_column", "rows_preceding", "rows_following", "offset"),
@@ -358,9 +358,28 @@ final class Engine(spark: SparkSession) {
         // explicit `pivot_values` skips the discovery/uniqueness job —
         // the scale path when the pivot column's domain is known
         pivotValues = op.get("pivot_values").map(Config.asScalarList(_)))
-      case "group_by" => Ops.groupBy(df, listOf(op, "group_by_columns"),
-        Config.asMap(op.getOrElse("create_columns", Map.empty[String, Any]))
-          .toSeq.map { case (k, v) => k -> v.toString })
+      case "group_by" =>
+        val creates0 = Config.asMap(op.getOrElse("create_columns", Map.empty[String, Any]))
+          .toSeq.map { case (k, v) => k -> v.toString }
+        // Exact median/percentile buffer EVERY group value in executor
+        // memory — a hazard at 100 TB group sizes — so the YAML path is
+        // safe by default: exact quantile specs are steered to the
+        // approx_percentile sketch (bounded memory, ±1e-4 rank error)
+        // unless the op opts in with `exact_quantiles: true`.
+        val exactOk = Config.bool(op, "exact_quantiles")
+        val quantRe = "^(median|percentile)\\(([A-Za-z0-9_]+)(?:,\\s*([^)]*))?\\)$".r
+        val creates = if (exactOk) creates0 else creates0.map { case (k, spec) =>
+          quantRe.findFirstMatchIn(spec.trim) match {
+            case Some(m) =>
+              val p = if (m.group(1) == "median") "0.5" else Option(m.group(3)).getOrElse("").trim
+              Console.err.println(s"[warn] group_by `$k`: exact ${m.group(1)} buffers whole " +
+                "groups in memory; using the approx_percentile sketch instead " +
+                "(set `exact_quantiles: true` on the operation to opt in to exact).")
+              k -> s"approx_percentile(${m.group(2)},$p)"
+            case None => k -> spec
+          }
+        }
+        Ops.groupBy(df, listOf(op, "group_by_columns"), creates)
       case "window_agg" => Ops.windowAgg(df,
         listOf(op, "partition_by"), listOf(op, "order_by"),
         Config.reqStr(op, "function", ctx),

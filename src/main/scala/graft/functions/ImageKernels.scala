@@ -163,24 +163,31 @@ object ImageKernels {
     var done = false
     while (!done && p + 3 < b.length) {
       if ((b(p) & 0xFF) != 0xFF) return null // desynced marker stream
-      val marker = b(p + 1) & 0xFF
-      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) p += 2 // no payload
-      else if (marker == 0xD9 || marker == 0xDA) done = true // EOI / scan data
+      // ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+      // marker — skip them so padded files keep their metadata (and a
+      // doubled 0xFF is not misread as marker 0xFF with a bogus length)
+      while (p + 3 < b.length && (b(p + 1) & 0xFF) == 0xFF) p += 1
+      if (p + 3 >= b.length) done = true
       else {
-        val len = ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
-        if (len < 2 || p + 2 + len > b.length) done = true
+        val marker = b(p + 1) & 0xFF
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) p += 2 // no payload
+        else if (marker == 0xD9 || marker == 0xDA) done = true // EOI / scan data
         else {
-          val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
-            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
-          if (isSof && w == 0 && len >= 7) {
-            h = ((b(p + 5) & 0xFF) << 8) | (b(p + 6) & 0xFF)
-            w = ((b(p + 7) & 0xFF) << 8) | (b(p + 8) & 0xFF)
-          } else if (marker == 0xE1 && len >= 10 &&
-            b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
-            b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
-            orient = exifOrientation(b, p + 10, len - 8)
+          val len = ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+          if (len < 2 || p + 2 + len > b.length) done = true
+          else {
+            val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+            if (isSof && w == 0 && len >= 7) {
+              h = ((b(p + 5) & 0xFF) << 8) | (b(p + 6) & 0xFF)
+              w = ((b(p + 7) & 0xFF) << 8) | (b(p + 8) & 0xFF)
+            } else if (marker == 0xE1 && len >= 10 &&
+              b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+              b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+              orient = exifOrientation(b, p + 10, len - 8)
+            }
+            p += 2 + len
           }
-          p += 2 + len
         }
       }
     }

@@ -59,9 +59,13 @@ object Images {
     * machinery, shared by image pHash dedup. */
   def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    // No persist here: this returns a LAZY frame, so a persist could never
+    // be released (each dedup invocation would leak a cached signature
+    // frame for the session's lifetime). Eager callers that want the
+    // signature computed once across both band-join sides persist the
+    // input themselves and unpersist after materializing (sigDedupGroups).
     val docs = sigs.filter(col(sigCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(sigCol).cast(LongType).as("sig"))
-      .persist() // signature feeds both sides of the band self-join
     val banded = docs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))
@@ -91,11 +95,19 @@ object Images {
   def sigDedupGroups(df: DataFrame, idCol: String, sigCol: String,
                      maxHamming: Int): DataFrame = {
     val ids = df.select(col(idCol).cast(LongType).as(idCol))
-    val pairs = hammingPairs64(df.select(col(idCol), col(sigCol)), idCol, sigCol, maxHamming)
-    val cc = Dedup.connectedComponents(ids, idCol, pairs) // → (id, group_rep)
-    val sizes = cc.groupBy(col("group_rep")).agg(count(lit(1)).as("n_group"))
-    cc.join(sizes, "group_rep")
-      .select(col("id").as(idCol), col("group_rep").as("keep_id"), col("n_group"))
+    // the (usually expensive — pHash decodes payloads) signature column
+    // feeds both sides of the band self-join plus the hamming verify;
+    // persist it for the duration of the EAGER connectedComponents pass,
+    // then release — cc's result depends only on ids + the (broadcast or
+    // checkpointed) labels, so nothing re-reads the cache afterwards
+    val sigFrame = df.select(col(idCol), col(sigCol)).persist()
+    try {
+      val pairs = hammingPairs64(sigFrame, idCol, sigCol, maxHamming)
+      val cc = Dedup.connectedComponents(ids, idCol, pairs) // → (id, group_rep)
+      val sizes = cc.groupBy(col("group_rep")).agg(count(lit(1)).as("n_group"))
+      cc.join(sizes, "group_rep")
+        .select(col("id").as(idCol), col("group_rep").as("keep_id"), col("n_group"))
+    } finally sigFrame.unpersist()
   }
 
   /** Image near-dedup groups: pHash signatures → [[sigDedupGroups]].

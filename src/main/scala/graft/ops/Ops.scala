@@ -461,7 +461,10 @@ object Ops {
       // deterministic for a given dataset, ±1e-4 relative rank error).
       // The fraction rides the separator slot of the `func(col,sep)`
       // grammar.
-      case "median" => expr(s"percentile(cast($c AS double), 0.5)")
+      // built through the functions API (not SQL-string interpolation) so
+      // column names needing backtick quoting resolve like every other
+      // aggregate here
+      case "median" => percentile(num, lit(0.5))
       case "percentile" | "approx_percentile" =>
         val p = try sep.trim.toDouble catch {
           case _: NumberFormatException =>
@@ -469,8 +472,8 @@ object Ops {
         }
         if (p < 0 || p > 1)
           err("group_by", s"$aggType($c,$sep): fraction must be in [0,1]")
-        if (aggType == "percentile") expr(s"percentile(cast($c AS double), ${p}D)")
-        else expr(s"approx_percentile(cast($c AS double), ${p}D, 10000)")
+        if (aggType == "percentile") percentile(num, lit(p))
+        else approx_percentile(num, lit(p), lit(10000))
       case other => err("group_by", s"invalid aggregation function `$other` in `group_by` operation")
     }
   }

@@ -134,13 +134,20 @@ object Streams {
     *
     * foreachBatch (not a stateful operator) is the right harness here:
     * the dedup state is the shingle index itself — data-scale, columnar,
-    * shared with the BATCH pipelines — not per-key state-store entries;
-    * the index append rides the same parquet transaction discipline as
-    * the output. Restart safety comes from the checkpoint: a replayed
-    * micro-batch re-deduplicates against an index that already contains
-    * its survivors, so replays drop their own rows and the OUTPUT stays
-    * a superset-free append (shingle self-match ⇒ Jaccard 1 ≥ any
-    * threshold). */
+    * shared with the BATCH pipelines — not per-key state-store entries.
+    *
+    * Restart safety is EXACTLY-ONCE by idempotent re-execution, not by
+    * append ordering: both writes land under a batch-stamped partition
+    * (`outDir/batch=<id>`, `indexDir/batch=<id>`) in OVERWRITE mode, and
+    * the index read for batch N EXCLUDES partition N (partition-pruned).
+    * A replayed micro-batch therefore sees exactly the pre-N index
+    * regardless of how far the crashed attempt got — it recomputes the
+    * same survivor set (min-id tie-break is deterministic) and overwrites
+    * both partitions in place. The naive two-append design had a real
+    * duplicate window (crash after the output append, before the index
+    * append ⇒ the replay re-emitted the batch); batch-partitioned
+    * overwrite closes it without a commit-marker sidecar. Readers of
+    * `outDir` see a `batch` partition column alongside the survivor rows. */
   def incrementalDedupIngest(docs: DataFrame, idCol: String, textCol: String,
                              indexDir: String, outDir: String,
                              threshold: Double, shingleSize: Int = 3,
@@ -149,31 +156,39 @@ object Streams {
     import graft.functions.Dedup
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val index = existingIndex(spark, indexDir)
+        val index = existingIndex(spark, indexDir, excludeBatch = batchId)
         val kept = Dedup.dedupNearIncrementalIndexed(batch, index, idCol, textCol,
           threshold, shingleSize, maxDocFreq).persist()
         try {
-          kept.write.mode("append").parquet(outDir)
+          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           Dedup.shingleIndex(kept, idCol, textCol, shingleSize)
-            .write.mode("append").parquet(indexDir)
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         } finally kept.unpersist()
         ()
       }
       .start()
   }
 
-  /** The persisted shingle index, or an empty (id, toks) frame before the
-    * first delta lands. */
+  /** The persisted shingle index (all batch partitions except
+    * `excludeBatch` — a replayed batch must not see its own crashed
+    * attempt's shingles, or every row would self-match and be dropped),
+    * or an empty (id, toks) frame before the first delta lands. */
   private def existingIndex(spark: org.apache.spark.sql.SparkSession,
-                            indexDir: String): DataFrame = {
+                            indexDir: String, excludeBatch: Long): DataFrame = {
     val hasData = try {
       val p = new org.apache.hadoop.fs.Path(indexDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+          fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+      }
     } catch { case _: Exception => false }
-    if (hasData) spark.read.parquet(indexDir)
+    if (hasData)
+      spark.read.parquet(indexDir)
+        .filter(col("batch") =!= excludeBatch) // partition-pruned: replays cheap
+        .select("id", "toks")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",

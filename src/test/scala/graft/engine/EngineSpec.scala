@@ -652,6 +652,32 @@ class EngineSpec extends SparkSpec {
     assert(bos.toString.contains("Config `decsending` not defined for operation `sort_rows`"))
   }
 
+  test("group_by steers exact quantiles to the sketch unless exact_quantiles: true") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    // one group of 1..100: exact median = 50.5 (interpolated); the sketch at
+    // this size returns an exact rank value (50.0) — distinguishable outputs
+    val df = (1 to 100).map(i => ("g", i.toString)).toDF("k", "v")
+    def run(op: Map[String, Any]): Double =
+      engine.applyOperation(df, op, Map.empty, "transformations.t")
+        .head().getDouble(1)
+    val base = Map("operation" -> "group_by", "group_by_columns" -> List("k"),
+      "create_columns" -> Map("med" -> "median(v)"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val guarded = Console.withErr(new java.io.PrintStream(bos)) { run(base) }
+    assert(bos.toString.contains("approx_percentile"), "the guard must warn on stderr")
+    assert(guarded == 50.0, "default path must be the bounded-memory sketch")
+    assert(run(base + ("exact_quantiles" -> true)) == 50.5,
+      "explicit opt-in must run the exact interpolated percentile")
+    // percentile(col,p) is guarded the same way
+    val pctl = Map("operation" -> "group_by", "group_by_columns" -> List("k"),
+      "create_columns" -> Map("p90" -> "percentile(v,0.9)"))
+    assert(Console.withErr(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      run(pctl)
+    } == 90.0)
+    assert(math.abs(run(pctl + ("exact_quantiles" -> true)) - 90.1) < 1e-9)
+  }
+
   test("map_file resolves relative to the config directory, not the process CWD") {
     val dir = Files.createTempDirectory("graft-mapfile")
     Files.writeString(dir.resolve("d.csv"), "a\ncat\ndog\n")

@@ -21,6 +21,21 @@ class ImagesSpec extends SparkSpec {
     assert(ImageKernels.imageMeta(Array[Byte](0x42, 0x4D)) == null) // truncated BMP
   }
 
+  test("JPEG meta tolerates 0xFF fill bytes before markers (ITU T.81 B.1.1.2)") {
+    // inject fill bytes between segments of a valid header stream: the spec
+    // permits any number of 0xFF pad bytes before a marker, and a doubled
+    // 0xFF must not be misread as marker 0xFF with a bogus length
+    val clean = ImageKernels.encodeJpegHeader(640, 480, 6)
+    val padded = new java.io.ByteArrayOutputStream()
+    padded.write(clean, 0, 2) // SOI
+    padded.write(0xFF); padded.write(0xFF); padded.write(0xFF) // fill run
+    padded.write(clean, 2, clean.length - 2)
+    assert(ImageKernels.imageMeta(padded.toByteArray) == ("jpeg", 640, 480, 6))
+    // a file that ENDS in a fill run (truncated mid-pad) parses what it has
+    val tail = clean.dropRight(2) ++ Array.fill(5)(0xFF.toByte)
+    assert(ImageKernels.imageMeta(tail) == ("jpeg", 640, 480, 6))
+  }
+
   test("meta parses big-endian EXIF and ImageIO-written JPEG dimensions") {
     val bi = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()

@@ -231,6 +231,44 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(idxDir).select("id").distinct().count() ==
       streamKept.size.toLong)
   }
+
+  test("incrementalDedupIngest: a replayed micro-batch is idempotent across every crash window") {
+    // A crashed attempt may have written the batch's OUTPUT partition, its
+    // INDEX partition, both, or neither before the checkpoint committed.
+    // Exactly-once comes from batch-stamped partition OVERWRITE plus the
+    // index read excluding the batch's own partition — so pre-seeding both
+    // partitions with a crashed attempt's plausible leftovers (survivors in
+    // out, their shingles in the index) must yield the SAME final state as
+    // a clean run: no duplicates (old bug: replay re-emitted the batch when
+    // the index write hadn't landed) and no self-match wipeout (rows
+    // matching their own crashed shingles would all drop).
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-replay")
+    val (idxDir, outDir, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    def doc(i: Long) = s"replay document body number $i with plenty of distinct words $i"
+    val delta = (1L to 5L).map(i => (i, doc(i)))
+
+    // simulate the crashed attempt: batch 0 fully wrote output + index,
+    // then died before the checkpoint commit → the same data replays as
+    // batch 0 against dirs that already hold its results
+    import graft.functions.Dedup
+    val crashed = delta.toDF("doc_id", "text")
+    crashed.write.mode("overwrite").parquet(s"$outDir/batch=0")
+    Dedup.shingleIndex(crashed, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$idxDir/batch=0")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idxDir, outDir, threshold = 0.7, checkpointDir = ckpt)
+    try {
+      mem.addData(delta: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == (1L to 5L), s"replay must neither duplicate nor self-match-drop: $kept")
+    assert(spark.read.parquet(idxDir).select("id").distinct().count() == 5L)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
