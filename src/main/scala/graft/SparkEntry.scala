@@ -1105,9 +1105,10 @@ object SparkEntry {
 
     // perceptual image near-dedup: ids i and i+250 share a base pattern
     // (the copy carries a faint low-frequency gradient AND a different
-    // container format — PNG vs BMP), unrelated patterns are ≥16 pHash
-    // bits apart; pHash → 4×16-bit band join → hamming ≤ 3 → connected
-    // components must recover exactly the constructed pairing
+    // container format — id%3 rotates PNG / BMP / baseline JPEG, the last
+    // decoded by the native bit-stable T.81 path), unrelated patterns are
+    // ≥16 pHash bits apart; pHash → 4×16-bit band join → hamming ≤ 3 →
+    // connected components must recover exactly the constructed pairing
     "q_image_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))

@@ -20,11 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * Determinism: decode + hash arithmetic is all-integer except the pHash
  * DCT, which uses `StrictMath.cos` (exactly-specified fdlibm results, the
  * same bits on every JVM/platform) — signatures are reproducible across
- * clusters, which the band-join dedup relies on. JPEG entropy decode is
- * deliberately NOT reimplemented (a full Huffman+IDCT decoder is out of
- * scope and platform JPEG decoders are not bit-stable anyway): JPEG/other
- * formats fall back to javax.imageio for pixels, and pipelines that need
- * bit-stable hashes transcode to PNG/BMP first.
+ * clusters, which the band-join dedup relies on. BASELINE-sequential JPEG
+ * (SOF0/SOF1 — the dominant crawl format) decodes natively via
+ * [[Jpeg.decode]] with the same all-integer discipline; only what that
+ * scope excludes (progressive SOF2, arithmetic coding, 12-bit) falls back
+ * to javax.imageio, whose hashes are NOT bit-stable across JVM vendors —
+ * pipelines needing stable hashes for progressive JPEGs transcode first.
  *
  * Byte layouts follow the public specs: BMP BITMAPINFOHEADER (Windows
  * API docs), PNG (RFC 2083 / W3C PNG), GIF87a/89a (CompuServe spec),
@@ -249,6 +250,7 @@ object ImageKernels {
         case ("bmp", _, _, _) => decodeBmp(b)
         case ("png", _, _, _) => decodePng(b)
         case ("gif", _, _, _) => decodeGif(b)
+        case ("jpeg", _, _, _) => Jpeg.decode(b)
         case null => return null
         case _ => null
       }
