@@ -105,6 +105,24 @@ object SparkEntry {
           element_at(split(col("text"), "\n"), 2).as("r_name"))
     }),
 
+    // pdf with a composite font: text shown as 2-byte glyph codes remapped
+    // through a /ToUnicode CMap (bfrange runs + bfchar singles), content
+    // and CMap streams /LZWDecode-compressed — the subset-font shape real
+    // generators emit, where extraction without CMap support yields glyph
+    // garbage instead of text
+    "q_source_pdf_cmap" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region-cmap", ".pdf")
+      graft.engine.Pdf.writeCMap(f,
+        rows.map(r => s"${r.get(0)}\n${r.getString(1)}").toSeq, lzw = true)
+      graft.engine.Sources.read(s, "region_pdf_cmap",
+        Map("file" -> f.toString), f.getParent)
+        .select(
+          element_at(split(col("text"), "\n"), 1).as("r_regionkey"),
+          element_at(split(col("text"), "\n"), 2).as("r_name"))
+    }),
+
     // region → sas7bdat (tools/GenSas, the pandas-cross-validated writer) →
     // native Sas reader; numeric key exercises the SAS-double decode path
     "q_source_sas" -> ((s, d) => {
@@ -1306,6 +1324,9 @@ object SparkEntry {
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_source_pdf" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_pdf_cmap" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_source_wet" ->

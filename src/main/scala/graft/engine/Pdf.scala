@@ -6,21 +6,28 @@ import java.nio.charset.StandardCharsets
  * PDF text extraction — PDFs are a major real-corpus source (crawl
  * pipelines extract them alongside HTML), so the engine reads them
  * natively: a from-scratch parser over the public PDF 1.4+ byte layout
- * (ISO 32000 / the Adobe PDF Reference): object scan, page tree order
- * from /Kids, content streams (raw or /FlateDecode via the JDK
- * Inflater), and the standard text-showing operators (Tj, ', TJ arrays)
- * with full string-escape handling. Distributed at the Sources layer via
- * `binaryFiles` (one task per document — the WARC pattern; PDFs in a
- * corpus are many small files).
+ * (ISO 32000 / the Adobe PDF Reference): sequential object scan with
+ * stream bodies sliced by /Length (direct or indirect — binary stream
+ * data containing the ASCII sequences "endobj"/"endstream" cannot
+ * truncate an object), page tree order from /Kids, content streams (raw,
+ * /FlateDecode via the JDK Inflater, or /LZWDecode per §7.4.4 with
+ * EarlyChange), the standard text-showing operators (Tj, ', TJ arrays)
+ * over literal AND hex strings, Tf font tracking, and /ToUnicode CMap
+ * remapping (bfchar + bfrange, 1- and 2-byte codes) so subset-font /
+ * composite-font digitally-born PDFs extract real text instead of
+ * glyph-code garbage. Distributed at the Sources layer via `binaryFiles`
+ * (one task per document — the WARC pattern; PDFs in a corpus are many
+ * small files).
  *
  * Honest scope: digitally-born text PDFs. Scanned/image-only pages yield
- * empty text (OCR is out of scope — no model ships here), encrypted
- * documents and exotic filters (DCT, JBIG2, LZW) are skipped per-stream
- * rather than failing the document, and ToUnicode CMap remapping is not
- * applied (fixture and typical Latin-text PDFs show literal strings).
+ * empty text (OCR is out of scope — no model ships here); encrypted
+ * documents and remaining exotic filters (DCT, JBIG2, CCITT) are skipped
+ * per-stream rather than failing the document.
  *
- * A minimal deterministic WRITER (Helvetica, one content stream per
- * page, optional Flate) backs the oracle gate and round-trip specs.
+ * A minimal deterministic WRITER backs the oracle gate and round-trip
+ * specs: simple Helvetica pages (optional Flate), or composite-font
+ * pages shown as 2-byte hex strings with a generated ToUnicode CMap
+ * (optional LZW) — the subset-font shape real generators emit.
  */
 object Pdf {
 
@@ -32,19 +39,22 @@ object Pdf {
     val s = new String(bytes, StandardCharsets.ISO_8859_1) // byte-faithful
     if (!s.startsWith("%PDF-"))
       throw new IllegalArgumentException("not a PDF (missing %PDF- header)")
-    // object number -> (dict+stream slice start, end)
-    val objRe = """(?s)(\d+)\s+0\s+obj\b""".r
-    val objStarts = objRe.findAllMatchIn(s).map(m => (m.group(1).toInt, m.start, m.end)).toVector
-    val objs: Map[Int, String] = objStarts.zipWithIndex.map { case ((num, st, bodyStart), i) =>
-      val end = {
-        val e = s.indexOf("endobj", bodyStart)
-        if (e >= 0) e else if (i + 1 < objStarts.length) objStarts(i + 1)._2 else s.length
-      }
-      num -> s.substring(bodyStart, end)
-    }.toMap
+
+    val objs = scanObjects(s)
 
     def refsIn(src: String): Seq[Int] =
       """(\d+)\s+0\s+R""".r.findAllMatchIn(src).map(_.group(1).toInt).toSeq
+
+    // one-level indirection: dictionaries like /Resources or /Font may be
+    // an inline << >> or an `N 0 R` reference to an object holding one
+    def resolve(src: String, key: String): Option[String] = {
+      val keyRe = ("""(?s)""" + java.util.regex.Pattern.quote(key) +
+        """\s*(?:(\d+)\s+0\s+R|(<<.*))""").r
+      keyRe.findFirstMatchIn(src).flatMap { m =>
+        if (m.group(1) != null) objs.get(m.group(1).toInt)
+        else Some(balancedDict(m.group(2)))
+      }
+    }
 
     // page order: the Pages node's /Kids; fall back to document order of
     // /Type /Page objects when the tree is unparseable
@@ -62,54 +72,325 @@ object Pdf {
 
     pageObjs.map { pn =>
       val page = objs(pn)
+      // per-page ToUnicode CMaps, keyed by the resource font name (/F1 ...)
+      val fonts: Map[String, CMap] = (for {
+        resources <- resolve(page, "/Resources").toSeq
+        fontDict <- resolve(resources, "/Font").toSeq
+        m <- """/([A-Za-z0-9._+-]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fontDict)
+        fontObj <- objs.get(m.group(2).toInt)
+        tuRef <- """(?s)/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(fontObj)
+        tuObj <- objs.get(tuRef.group(1).toInt)
+        data <- decodeStream(tuObj)
+      } yield m.group(1) -> parseCMap(new String(data, StandardCharsets.ISO_8859_1))).toMap
+
       val contentRefs = """(?s)/Contents\s*(?:\[(.*?)\]|(\d+)\s+0\s+R)""".r
         .findFirstMatchIn(page)
         .map(m => if (m.group(1) != null) refsIn(m.group(1)) else Seq(m.group(2).toInt))
         .getOrElse(Nil)
-      contentRefs.flatMap(objs.get).map(streamText).mkString("\n")
+      contentRefs.flatMap(objs.get).map { obj =>
+        decodeStream(obj)
+          .map(d => extractShownText(new String(d, StandardCharsets.ISO_8859_1), fonts))
+          .getOrElse("")
+      }.mkString("\n")
     }.toVector
   }
 
-  /** Decode one content object's stream and extract its shown text. */
-  private def streamText(obj: String): String = {
+  /** The balanced `<< ... >>` prefix of `src` (which starts with `<<`). */
+  private def balancedDict(src: String): String = {
+    var depth = 0
+    var i = 0
+    while (i + 1 < src.length) {
+      if (src.charAt(i) == '<' && src.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (src.charAt(i) == '>' && src.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return src.substring(0, i)
+      } else i += 1
+    }
+    src
+  }
+
+  /** Sequential object scan: object number -> body (dict + stream). Stream
+    * bodies are skipped via /Length where available (resolving one level
+    * of indirect length), so binary data containing "endobj" or
+    * "endstream" cannot desync the scan; only a missing/garbled /Length
+    * falls back to the endstream text search. */
+  private def scanObjects(s: String): Map[Int, String] = {
+    val objs = scala.collection.mutable.Map[Int, String]()
+    val objPat = java.util.regex.Pattern.compile("""(\d+)\s+0\s+obj\b""")
+    val m = objPat.matcher(s)
+    // indirect /Length targets are plain integer objects; resolve lazily
+    def indirectInt(ref: Int): Option[Long] =
+      ("""(?s)\b""" + ref + """\s+0\s+obj\s*(\d+)\s*endobj""").r
+        .findFirstMatchIn(s).map(_.group(1).toLong)
+    var pos = 0
+    while (pos < s.length && m.find(pos)) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val streamIdx = s.indexOf("stream", bodyStart)
+      val endobjIdx = s.indexOf("endobj", bodyStart)
+      val end =
+        if (streamIdx >= 0 && (endobjIdx < 0 || streamIdx < endobjIdx)) {
+          // stream object: slice the data by /Length, then find the real
+          // endstream/endobj AFTER it
+          var ds = streamIdx + "stream".length
+          if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+          if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+          val dict = s.substring(bodyStart, streamIdx)
+          val len: Option[Long] =
+            """(?s)/Length\s+(\d+)(\s+0\s+R)?""".r.findFirstMatchIn(dict).flatMap { lm =>
+              if (lm.group(2) != null) indirectInt(lm.group(1).toInt)
+              else Some(lm.group(1).toLong)
+            }
+          val afterData = len match {
+            case Some(l) if ds + l <= s.length => ds + l.toInt
+            case _ => ds // unknown length: search from the data start
+          }
+          val es = s.indexOf("endstream", afterData)
+          val eo = s.indexOf("endobj", if (es >= 0) es else afterData)
+          if (eo >= 0) eo + "endobj".length
+          else s.length
+        } else if (endobjIdx >= 0) endobjIdx + "endobj".length
+        else s.length
+      objs(num) = s.substring(bodyStart,
+        math.max(bodyStart, end - "endobj".length))
+      pos = end
+    }
+    objs.toMap
+  }
+
+  /** Decode an object's stream payload (raw / Flate / LZW); None when the
+    * object has no stream or carries an unsupported filter. */
+  private def decodeStream(obj: String): Option[Array[Byte]] = {
     val si = obj.indexOf("stream")
-    if (si < 0) return ""
+    if (si < 0) return None
     var ds = si + "stream".length
     if (ds < obj.length && obj.charAt(ds) == '\r') ds += 1
     if (ds < obj.length && obj.charAt(ds) == '\n') ds += 1
-    val de = obj.indexOf("endstream", ds)
-    if (de < 0) return ""
-    val raw = obj.substring(ds, de).getBytes(StandardCharsets.ISO_8859_1)
     val dict = obj.substring(0, si)
-    val data =
-      if (dict.contains("/FlateDecode")) {
-        try {
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(raw)
-          val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-          val buf = new Array[Byte](8192)
-          var stalled = false
-          while (!inf.finished() && !stalled) {
-            val n = inf.inflate(buf)
-            if (n > 0) out.write(buf, 0, n)
-            else if (inf.needsInput() || inf.needsDictionary()) stalled = true
-          }
-          inf.end()
-          out.toByteArray
-        } catch { case _: Exception => return "" } // exotic/corrupt: skip stream
-      } else if (dict.contains("/Filter")) return "" // unsupported filter
-      else raw
-    extractShownText(new String(data, StandardCharsets.ISO_8859_1))
+    // slice the data by a direct /Length when present (binary data that
+    // happens to contain "endstream" cannot truncate the stream); an
+    // indirect /Length was already honored by scanObjects' body slicing,
+    // so the LAST endstream occurrence is the real terminator there
+    val directLen = """(?s)/Length\s+(\d+)(?!\d)(?!\s+0\s+R)""".r
+      .findFirstMatchIn(dict).map(_.group(1).toLong)
+    val re = directLen match {
+      case Some(l) if ds + l <= obj.length => ds + l.toInt
+      case _ =>
+        val de = obj.lastIndexOf("endstream")
+        val rawEnd = if (de > ds) de else obj.length
+        // strip the EOL that precedes endstream when present
+        var r = rawEnd
+        if (r > ds && obj.charAt(r - 1) == '\n') r -= 1
+        if (r > ds && obj.charAt(r - 1) == '\r') r -= 1
+        r
+    }
+    val raw = obj.substring(ds, re).getBytes(StandardCharsets.ISO_8859_1)
+    if (dict.contains("/FlateDecode")) {
+      try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(raw)
+        val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val buf = new Array[Byte](8192)
+        var stalled = false
+        while (!inf.finished() && !stalled) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary()) stalled = true
+        }
+        inf.end()
+        Some(out.toByteArray)
+      } catch { case _: Exception => None } // exotic/corrupt: skip stream
+    } else if (dict.contains("/LZWDecode")) {
+      val earlyChange =
+        """(?s)/EarlyChange\s+(\d+)""".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(1)
+      try Some(lzwDecode(raw, earlyChange))
+      catch { case _: Exception => None }
+    } else if (dict.contains("/Filter")) None // unsupported filter
+    else Some(raw)
   }
 
-  /** Walk a content stream for the Tj / quote / TJ show operators; a
-    * text-positioning op (Td, TD, T-star, quote) between shows
-    * contributes a newline. */
-  private[engine] def extractShownText(cs: String): String = {
+  // ======================================================== LZW (§7.4.4)
+
+  /** LZW decode per ISO 32000-1 §7.4.4 (TIFF-convention LZW): 8-bit
+    * symbols, variable 9-12 bit codes, 256 = clear table, 257 = EOD;
+    * `earlyChange` widens the code one entry early (the spec default 1). */
+  private[engine] def lzwDecode(in: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 3)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 0
+    def resetDict(): Unit = {
+      var i = 0
+      while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+      dictSize = 258
+    }
+    resetDict()
+    var width = 9
+    var acc = 0L
+    var nBits = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      while (nBits < width && pos < in.length) {
+        acc = (acc << 8) | (in(pos) & 0xFF); nBits += 8; pos += 1
+      }
+      if (nBits < width) done = true
+      else {
+        nBits -= width
+        val code = ((acc >>> nBits) & ((1L << width) - 1)).toInt
+        if (code == 257) done = true // EOD
+        else if (code == 256) { resetDict(); width = 9; prev = null }
+        else {
+          val entry: Array[Byte] =
+            if (code < dictSize && dict(code) != null) dict(code)
+            else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
+            else throw new IllegalArgumentException(s"bad LZW code $code")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          if (dictSize + earlyChange >= (1 << width) && width < 12) width += 1
+          prev = entry
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZW encode (fixtures/specs), mirror conventions of [[lzwDecode]]. */
+  private[engine] def lzwEncode(in: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length)
+    var acc = 0L
+    var nBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nBits += width
+      while (nBits >= 8) {
+        nBits -= 8
+        out.write(((acc >>> nBits) & 0xFF).toInt)
+      }
+    }
+    val dict = new java.util.HashMap[String, Int]()
+    var dictSize = 258
+    def key(bytes: collection.Seq[Byte]): String =
+      new String(bytes.toArray, StandardCharsets.ISO_8859_1)
+    put(256) // initial clear, as most writers emit
+    var cur = scala.collection.mutable.ArrayBuffer[Byte]()
+    def codeOf(k: collection.Seq[Byte]): Int =
+      if (k.length == 1) k.head & 0xFF else dict.get(key(k))
+    var i = 0
+    while (i < in.length) {
+      val next = cur :+ in(i)
+      if (next.length == 1 || dict.containsKey(key(next))) cur = next
+      else {
+        put(codeOf(cur))
+        if (dictSize < 4096) {
+          dict.put(key(next), dictSize)
+          dictSize += 1
+          // the encoder's dictionary runs ONE entry ahead of the
+          // decoder's (the decoder can only add prev+entry after reading
+          // the next code), so its widening trigger is one later than the
+          // decoder's `dictSize + earlyChange >= (1 << width)` rule
+          if (dictSize + earlyChange > (1 << width) && width < 12) width += 1
+        } else { put(256); dict.clear(); dictSize = 258; width = 9 }
+        cur = scala.collection.mutable.ArrayBuffer(in(i))
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) put(codeOf(cur))
+    put(257) // EOD
+    if (nBits > 0) { // flush: pad with zeros
+      out.write(((acc << (8 - nBits)) & 0xFF).toInt)
+    }
+    out.toByteArray
+  }
+
+  // ================================================== ToUnicode (§9.10.3)
+
+  /** A font's code → text map. `codeLen` is the source code width in
+    * bytes (1 for simple fonts, 2 for the usual Identity-H subsets). */
+  private[engine] final case class CMap(codeLen: Int, map: Map[Int, String])
+
+  /** Parse a ToUnicode CMap stream: bfchar pairs and bfrange spans
+    * (contiguous-destination and array forms), destinations decoded as
+    * UTF-16BE. */
+  private[engine] def parseCMap(src: String): CMap = {
+    val out = scala.collection.mutable.Map[Int, String]()
+    var codeLen = 1
+    def hexStr(h: String): String =
+      new String(h.sliding(2, 2).map(b => Integer.parseInt(b, 16).toByte).toArray,
+        StandardCharsets.UTF_16BE)
+    def noteLen(h: String): Unit = codeLen = math.max(codeLen, h.length / 2)
+    val hex = """<([0-9A-Fa-f]+)>"""
+    """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(src).foreach { block =>
+      (hex + """\s*""" + hex).r.findAllMatchIn(block.group(1)).foreach { m =>
+        noteLen(m.group(1))
+        out(Integer.parseInt(m.group(1), 16)) = hexStr(m.group(2))
+      }
+    }
+    """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(src).foreach { block =>
+      // array form FIRST: <lo> <hi> [ <d1> <d2> ... ] — then blank those
+      // spans out so the contiguous-form regex cannot misread a run of
+      // hexes inside a destination array as <lo> <hi> <dst>
+      val arrayRe = (hex + """\s*""" + hex + """\s*\[((?:\s*""" + hex + """\s*)+)\]""").r
+      val body0 = block.group(1)
+      arrayRe.findAllMatchIn(body0).foreach { m =>
+        noteLen(m.group(1))
+        val lo = Integer.parseInt(m.group(1), 16)
+        val dsts = hex.r.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
+        dsts.zipWithIndex.foreach { case (d, i) => out(lo + i) = hexStr(d) }
+      }
+      val body = arrayRe.replaceAllIn(body0, " ")
+      // contiguous form: <lo> <hi> <dstStart>
+      (hex + """\s*""" + hex + """\s*""" + hex).r.findAllMatchIn(body).foreach { m =>
+        noteLen(m.group(1))
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        val d0 = Integer.parseInt(m.group(3), 16)
+        var c = lo
+        while (c <= hi && c - lo <= 0xFFFF) { // range bound sanity
+          out(c) = new String(Character.toChars(d0 + (c - lo)))
+          c += 1
+        }
+      }
+    }
+    CMap(codeLen, out.toMap)
+  }
+
+  /** Remap a shown string's raw bytes through the current font's CMap;
+    * identity when no CMap applies (simple Latin-text PDFs). */
+  private def mapShown(raw: String, cmap: CMap): String = {
+    if (cmap == null) return raw
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      var code = 0
+      var k = 0
+      while (k < cmap.codeLen && i < raw.length) {
+        code = (code << 8) | (raw.charAt(i) & 0xFF); i += 1; k += 1
+      }
+      cmap.map.get(code) match {
+        case Some(t) => sb.append(t)
+        case None => if (cmap.codeLen == 1) sb.append(code.toChar) // raw byte
+      }
+    }
+    sb.toString
+  }
+
+  /** Walk a content stream for the Tj / quote / TJ show operators over
+    * literal and hex strings, tracking the current font via Tf so
+    * ToUnicode CMaps apply; a text-positioning op (Td, TD, T-star, quote)
+    * between shows contributes a newline. */
+  private[engine] def extractShownText(cs: String,
+                                       fonts: Map[String, CMap] = Map.empty): String = {
     val sb = new StringBuilder
     var i = 0
     var pendingBreak = false
     var shown = false
+    var pendingName: String = null
+    var cmap: CMap = null
     def appendShow(str: String): Unit = {
       if (shown && pendingBreak) sb.append('\n')
       sb.append(str)
@@ -123,10 +404,36 @@ object Pdf {
           i = next
           // the operator after the string decides: Tj, ', or part of TJ
           val rest = cs.substring(i, math.min(cs.length, i + 8))
-          if (rest.trim.startsWith("'")) { pendingBreak = true; appendShow(str) }
-          else appendShow(str)
+          if (rest.trim.startsWith("'")) { pendingBreak = true; appendShow(mapShown(str, cmap)) }
+          else appendShow(mapShown(str, cmap))
+        case '<' if i + 1 < cs.length && cs.charAt(i + 1) == '<' =>
+          i += 2 // inline dictionary (BDC property lists etc.)
+        case '<' =>
+          val end = cs.indexOf('>', i + 1)
+          if (end < 0) i = cs.length
+          else {
+            val digits = cs.substring(i + 1, end).filterNot(_.isWhitespace)
+            val padded = if (digits.length % 2 == 1) digits + "0" else digits
+            if (padded.forall(c => Character.digit(c, 16) >= 0)) {
+              val raw = new String(
+                padded.sliding(2, 2).map(b => Integer.parseInt(b, 16).toByte).toArray,
+                StandardCharsets.ISO_8859_1)
+              appendShow(mapShown(raw, cmap))
+            }
+            i = end + 1
+          }
+        case '/' =>
+          val st = i + 1
+          var e = st
+          while (e < cs.length && (cs.charAt(e).isLetterOrDigit ||
+            "._+-".indexOf(cs.charAt(e)) >= 0)) e += 1
+          pendingName = cs.substring(st, e)
+          i = e
         case '%' => // comment to end of line
           while (i < cs.length && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
+        case 'T' if i + 1 < cs.length && cs.charAt(i + 1) == 'f' =>
+          if (pendingName != null) cmap = fonts.getOrElse(pendingName, null)
+          i += 2
         case 'T' if i + 1 < cs.length &&
           (cs.charAt(i + 1) == 'd' || cs.charAt(i + 1) == 'D' || cs.charAt(i + 1) == '*') =>
           pendingBreak = true; i += 2
@@ -181,16 +488,60 @@ object Pdf {
   /** Minimal deterministic text PDF: one Helvetica content stream per
     * page (one `Tj` per line, `T*`-advanced), optional Flate. */
   def write(path: java.nio.file.Path, pages: Seq[String],
-            compress: Boolean = false): Unit = {
+            compress: Boolean = false): Unit =
+    writeDoc(path, pages, cmapFont = false, filter =
+      if (compress) "flate" else "none")
+
+  /** Composite-font variant: text shown as 2-byte hex-string glyph codes
+    * with a generated /ToUnicode CMap (bfrange runs + bfchar singles) —
+    * the subset-font shape real PDF generators emit, where extraction
+    * without CMap support yields garbage. `lzw` switches the content and
+    * CMap streams to /LZWDecode. */
+  def writeCMap(path: java.nio.file.Path, pages: Seq[String],
+                lzw: Boolean = false): Unit =
+    writeDoc(path, pages, cmapFont = true, filter = if (lzw) "lzw" else "flate")
+
+  private def encodeFilter(payload: Array[Byte], filter: String): (Array[Byte], String) =
+    filter match {
+      case "flate" =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(payload); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end()
+        (bos.toByteArray, " /Filter /FlateDecode")
+      case "lzw" => (lzwEncode(payload), " /Filter /LZWDecode")
+      case _ => (payload, "")
+    }
+
+  private def writeDoc(path: java.nio.file.Path, pages: Seq[String],
+                       cmapFont: Boolean, filter: String): Unit = {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
     def beginObj(n: Int): Unit = { offsets += out.size().toLong; w(s"$n 0 obj\n") }
+    def streamObj(n: Int, payload: Array[Byte], extraDict: String = ""): Unit = {
+      val (bytes, f) = encodeFilter(payload, filter)
+      beginObj(n)
+      w(s"<< /Length ${bytes.length}$f$extraDict >>\nstream\n")
+      out.write(bytes)
+      w("\nendstream\nendobj\n")
+    }
+
+    // glyph-code assignment for the cmap font: distinct chars in char
+    // order, codes from 1 — consecutive chars form bfrange runs, so both
+    // CMap entry forms are exercised by any real text
+    val charToCode: Map[Char, Int] =
+      if (!cmapFont) Map.empty
+      else pages.flatMap(_.toSeq).filter(_ != '\n').distinct.sorted.zipWithIndex
+        .map { case (c, i) => c -> (i + 1) }.toMap
 
     val nPages = pages.length
     val fontObj = 3 + 2 * nPages
+    val cmapObj = fontObj + 1
     w("%PDF-1.4\n")
     beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     beginObj(2)
@@ -203,29 +554,57 @@ object Pdf {
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Contents $contentNum 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> >>\nendobj\n")
       val lines = text.split("\n", -1)
-      val body = "BT /F1 12 Tf 72 720 Td 14 TL " +
-        lines.map(l => s"(${esc(l)}) Tj").mkString(" T* ") + " ET"
-      val payload = body.getBytes(StandardCharsets.ISO_8859_1)
-      val streamBytes =
-        if (compress) {
-          val d = new java.util.zip.Deflater()
-          d.setInput(payload); d.finish()
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-          d.end()
-          bos.toByteArray
-        } else payload
-      beginObj(contentNum)
-      val filter = if (compress) " /Filter /FlateDecode" else ""
-      w(s"<< /Length ${streamBytes.length}$filter >>\nstream\n")
-      out.write(streamBytes)
-      w("\nendstream\nendobj\n")
+      val body =
+        if (cmapFont) {
+          def hexOf(l: String): String =
+            l.map(c => f"${charToCode(c)}%04X").mkString
+          "BT /F1 12 Tf 72 720 Td 14 TL " +
+            lines.map(l => s"<${hexOf(l)}> Tj").mkString(" T* ") + " ET"
+        } else {
+          "BT /F1 12 Tf 72 720 Td 14 TL " +
+            lines.map(l => s"(${esc(l)}) Tj").mkString(" T* ") + " ET"
+        }
+      streamObj(contentNum, body.getBytes(StandardCharsets.ISO_8859_1))
     }
     beginObj(fontObj)
-    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    if (cmapFont)
+      w(s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftSubset " +
+        s"/Encoding /Identity-H /ToUnicode $cmapObj 0 R >>\nendobj\n")
+    else
+      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    if (cmapFont) {
+      // bfrange runs over consecutive (code, char) progressions + bfchar
+      // singles; 100-entry block limit per §9.10.3
+      val byCode = charToCode.toSeq.map(_.swap).sortBy(_._1)
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int, Char)]() // lo, hi, char0
+      byCode.foreach { case (code, ch) =>
+        runs.lastOption match {
+          case Some((lo, hi, c0)) if code == hi + 1 && ch == c0 + (hi - lo) + 1 =>
+            runs(runs.length - 1) = (lo, code, c0)
+          case _ => runs += ((code, code, ch))
+        }
+      }
+      val (ranges, singles) = runs.partition { case (lo, hi, _) => hi > lo }
+      val sb = new StringBuilder
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      ranges.grouped(100).foreach { g =>
+        sb.append(s"${g.length} beginbfrange\n")
+        g.foreach { case (lo, hi, c0) =>
+          sb.append(f"<$lo%04X> <$hi%04X> <${c0.toInt}%04X>\n")
+        }
+        sb.append("endbfrange\n")
+      }
+      singles.grouped(100).foreach { g =>
+        sb.append(s"${g.length} beginbfchar\n")
+        g.foreach { case (lo, _, c0) => sb.append(f"<$lo%04X> <${c0.toInt}%04X>\n") }
+        sb.append("endbfchar\n")
+      }
+      sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+      streamObj(cmapObj, sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+    }
     val xrefAt = out.size()
-    val total = fontObj + 1
+    val total = (if (cmapFont) cmapObj else fontObj) + 1
     w(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")

@@ -63,6 +63,98 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  test("ToUnicode CMap round-trip: composite-font hex-string pages extract real text") {
+    // the subset-font shape: 2-byte glyph codes + generated CMap with both
+    // bfrange runs (consecutive chars) and bfchar singles
+    val pages = Seq("abcdef ghij", "Zyx Q\nsecond line 0129")
+    val f = Files.createTempFile("graft-cmap", ".pdf")
+    Pdf.writeCMap(f, pages)
+    assert(Pdf.extractText(Files.readAllBytes(f)) == pages.toVector)
+    // without CMap support this file MUST extract garbage, not the text —
+    // prove the codes are not identity (the old pre-CMap reader's view)
+    val raw = new String(Files.readAllBytes(f), "ISO-8859-1")
+    assert(!raw.contains("abcdef"), "text must be glyph-coded in the file")
+  }
+
+  test("LZWDecode streams round-trip, including past the 9->10 bit widening") {
+    // enough distinct digraphs to push the LZW dictionary past 512 entries
+    val rnd = new scala.util.Random(3)
+    val big = (1 to 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val data = big.getBytes("ISO-8859-1")
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(data), 1).toSeq == data.toSeq)
+    // full PDF with LZW content + CMap streams
+    val pages = Seq(big.take(200), "lzw page two")
+    val f = Files.createTempFile("graft-lzw", ".pdf")
+    Pdf.writeCMap(f, pages, lzw = true)
+    assert(Pdf.extractText(Files.readAllBytes(f)) == pages.toVector)
+  }
+
+  test("lzwDecode matches the ISO 32000 §7.4.4 worked example byte-for-byte") {
+    // the spec's own encoded stream for sample values (decimal)
+    // 45 45 45 45 45 65 45 45 45 66 — external ground truth for the
+    // code-width and dictionary conventions, not a self-round-trip
+    val enc = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01).map(_.toByte)
+    val expect = Array(45, 45, 45, 45, 45, 65, 45, 45, 45, 66).map(_.toByte)
+    assert(Pdf.lzwDecode(enc, 1).toSeq == expect.toSeq)
+  }
+
+  test("parseCMap: bfchar, contiguous bfrange, and array-form bfrange") {
+    val cmap = Pdf.parseCMap(
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0003> <0041>
+        |<0007> <00E9>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0013> <0061>
+        |<0020> <0022> [<0058> <0059> <005A>]
+        |endbfrange
+        |endcmap""".stripMargin)
+    assert(cmap.codeLen == 2)
+    assert(cmap.map(3) == "A" && cmap.map(7) == "é")
+    assert((0x10 to 0x13).map(cmap.map) == Seq("a", "b", "c", "d"))
+    assert((0x20 to 0x22).map(cmap.map) == Seq("X", "Y", "Z"))
+    // the array entries must NOT have been re-read as a contiguous range
+    assert(!cmap.map.contains(0x58))
+  }
+
+  test("/Length slices streams whose bytes contain endstream/endobj text") {
+    // hand-build a PDF whose Flate content stream's compressed bytes are
+    // REPLACED by a raw stream containing the ASCII killers; /Length is
+    // what must win
+    val killer = "fake endstream fake endobj (real) Tj"
+    val doc =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length ${killer.length} >>
+         |stream
+         |$killer
+         |endstream
+         |endobj
+         |trailer
+         |<< /Size 5 /Root 1 0 R >>
+         |""".stripMargin
+    assert(Pdf.extractText(doc.getBytes("ISO-8859-1")) == Vector("real"))
+    // indirect /Length resolves through the integer object
+    val indirect = doc
+      .replace(s"/Length ${killer.length} >>", "/Length 9 0 R >>")
+      .replace("trailer", s"9 0 obj ${killer.length} endobj\ntrailer")
+    assert(Pdf.extractText(indirect.getBytes("ISO-8859-1")) == Vector("real"))
+  }
+
   test("Sources reads .pdf distributed: one row per page with file/page/text") {
     val dir = Files.createTempDirectory("graft-pdfsrc")
     Pdf.write(dir.resolve("a.pdf"), Seq("alpha", "beta"), compress = true)
