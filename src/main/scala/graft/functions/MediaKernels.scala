@@ -17,10 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * layouts follow the public specs: RIFF/WAVE (Microsoft/IBM WAVE spec),
  * ISO/IEC 14496-12 (ISO BMFF boxes).
  *
- * Compressed audio (MP3/AAC/Opus) and video FRAME decode are out of
- * scope by design — no codec ships in this container and platform
- * decoders are not bit-stable; [[Multimodal.decodeStub]] documents that
- * boundary. Container/PCM layers, which ARE deterministic, are real.
+ * FLAC sample decode is native ([[Flac]] — lossless, integer-exact, so
+ * fingerprints match across WAV/FLAC containers). LOSSY audio
+ * (MP3/AAC/Opus) and video FRAME decode are out of scope by design —
+ * lossy decode is not bit-stable across decoders;
+ * [[Multimodal.decodeStub]] documents that boundary. Container/PCM
+ * layers, which ARE deterministic, are real.
  */
 object MediaKernels {
 
@@ -173,6 +175,19 @@ object MediaKernels {
     out
   }
 
+  /** Interleaved integer samples from any losslessly-decodable container:
+    * WAV PCM16 or FLAC (native [[Flac.decode]] — lossless and
+    * integer-exact, so WAV and FLAC encodings of the same recording yield
+    * IDENTICAL samples and therefore identical fingerprints). Null when
+    * neither decodes. */
+  private[functions] def pcmSamples(b: Array[Byte]): Array[Int] = {
+    val w = wavSamples(b)
+    if (w != null) w
+    else if (b != null && b.length > 4 &&
+      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') Flac.decode(b)
+    else null
+  }
+
   /** Interleaved PCM16 samples (all channels), or null. */
   private[functions] def wavSamples(b: Array[Byte]): Array[Int] = {
     val i = wavInfo(b)
@@ -194,7 +209,7 @@ object MediaKernels {
     * undecodable payloads. A zero crossing is a sign-bit change between
     * consecutive samples (negative ↔ non-negative). */
   def audioFeaturesRow(b: Array[Byte]): GenericInternalRow = {
-    val s = wavSamples(b)
+    val s = pcmSamples(b)
     if (s == null) return null
     var sq = 0L; var zc = 0L; var peak = 0L
     var i = 0
@@ -216,7 +231,7 @@ object MediaKernels {
     * differ in ~half the bits; the audio analogue of dHash. All-integer,
     * SQL-replicable. NULL when undecodable or shorter than 64 samples. */
   def audioFingerprint(b: Array[Byte]): java.lang.Long = {
-    val s = wavSamples(b)
+    val s = pcmSamples(b)
     if (s == null || s.length < 64) return null
     val e = new Array[Long](64)
     var i = 0

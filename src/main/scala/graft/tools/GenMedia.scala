@@ -35,8 +35,14 @@ object GenMedia {
     if (id >= 250) base * 2 else base
   }
 
-  def audioDedupFixture(id: Long): Array[Byte] =
-    MediaKernels.encodeWav(16000, Array.tabulate(256)(i => audioDedupSample(id, i)))
+  /** Container alternates WAV/FLAC on (id%250 + id/250) parity, so EVERY
+    * constructed near-dup pair (i, i+250) crosses containers; FLAC decode
+    * is lossless, so the fingerprints are bit-identical either way. */
+  def audioDedupFixture(id: Long): Array[Byte] = {
+    val samples = Array.tabulate(256)(i => audioDedupSample(id, i))
+    if ((id % 250 + id / 250) % 2 == 0) MediaKernels.encodeWav(16000, samples)
+    else graft.functions.Flac.encodeMono16(16000, samples)
+  }
 
   def flacRate(id: Long): Long = 16000L + (id % 5) * 4000L
   def flacSamples(id: Long): Long = 10000L + id * 7L
