@@ -119,6 +119,34 @@ object Images {
         .select(col(idCol), col("__ph__")),
       idCol, "__ph__", maxHamming)
 
+  /** Incremental near-dedup of a delta against a persisted signature
+    * index (id, sig): a delta row is dropped when its signature lands
+    * within `maxHamming` of ANY index signature, or of a SMALLER-id delta
+    * row — the same pair semantics as the text tier's
+    * [[Dedup.dedupNearIncrementalIndexed]]. Rows with a NULL signature
+    * (undecodable payloads) keep themselves. Returns the kept delta rows
+    * (signature column intact for index appending). Scale shape: both
+    * checks are banded 16-bit-chunk equi-joins — the index side is never
+    * scanned all-pairs. */
+  def sigDedupIncremental(delta: DataFrame, index: DataFrame, idCol: String,
+                          sigCol: String, maxHamming: Int = 3): DataFrame = {
+    def bands(c: Column) = posexplode(transform(sequence(lit(0), lit(3)),
+      b => call_function("shiftright", c, b * 16).bitwiseAND(0xFFFFL)))
+    val dl = delta.filter(col(sigCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("a_id"), col(sigCol).cast(LongType).as("a_sig"))
+    val dlB = dl.select(col("a_id"), col("a_sig"), bands(col("a_sig")).as(Seq("band", "chunk")))
+    val ixB = index
+      .select(col("id").cast(LongType).as("b_id"), col("sig").cast(LongType).as("b_sig"))
+      .select(col("b_id"), col("b_sig"), bands(col("b_sig")).as(Seq("band", "chunk")))
+    val vsIndex = dlB.join(ixB, Seq("band", "chunk"))
+      .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming)
+      .select(col("a_id").as("drop_id"))
+    val within = hammingPairs64(dl, "a_id", "a_sig", maxHamming)
+      .select(col("b_id").as("drop_id")) // (a < b) condemns b
+    val condemned = vsIndex.union(within).distinct()
+    delta.join(condemned, col(idCol).cast(LongType) === col("drop_id"), "left_anti")
+  }
+
   /** Audio near-dedup groups: energy-delta fingerprints (amplitude-scale
     * invariant) → [[sigDedupGroups]]. */
   def audioDedupGroups(df: DataFrame, idCol: String, binCol: String,

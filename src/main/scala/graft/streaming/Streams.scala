@@ -171,21 +171,75 @@ object Streams {
       .start()
   }
 
-  /** The persisted shingle index (all batch partitions except
-    * `excludeBatch` — a replayed batch must not see its own crashed
-    * attempt's shingles, or every row would self-match and be dropped),
-    * or an empty (id, toks) frame before the first delta lands. */
-  private def existingIndex(spark: org.apache.spark.sql.SparkSession,
-                            indexDir: String, excludeBatch: Long): DataFrame = {
-    val hasData = try {
-      val p = new org.apache.hadoop.fs.Path(indexDir)
+  /** Streaming incremental IMAGE near-dedup ingest — the multimodal face
+    * of [[incrementalDedupIngest]]: every micro-batch's payloads get a
+    * pHash signature (one codegen pass), the batch is banded-hamming
+    * deduped against the PERSISTED signature index (and within itself,
+    * min id winning — [[graft.functions.Images.sigDedupIncremental]]),
+    * survivors land under `outDir/batch=<id>` and their (id, sig) rows
+    * under `indexDir/batch=<id>` — the same batch-stamped-overwrite
+    * exactly-once discipline as the text ingest (the index read excludes
+    * the batch's own partition, so replays recompute identically).
+    * Batch-vs-stream parity is spec-pinned over two image deltas. */
+  def incrementalImageDedupIngest(docs: DataFrame, idCol: String, binCol: String,
+                                  indexDir: String, outDir: String,
+                                  maxHamming: Int = 3,
+                                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Images
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val index = existingSigIndex(spark, indexDir, excludeBatch = batchId)
+        val sigs = Images.perceptualHash(batch, binCol, "phash", "__sig__")
+        val kept = Images.sigDedupIncremental(sigs, index, idCol, "__sig__", maxHamming)
+          .persist()
+        try {
+          kept.drop("__sig__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          kept.filter(col("__sig__").isNotNull)
+            .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
+              col("__sig__").cast(org.apache.spark.sql.types.LongType).as("sig"))
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        } finally kept.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** The persisted pHash signature index (id, sig), batch partitions
+    * except `excludeBatch` — same replay discipline as [[existingIndex]]. */
+  private def existingSigIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String, excludeBatch: Long): DataFrame = {
+    if (hasBatchParquet(spark, indexDir))
+      spark.read.parquet(indexDir)
+        .filter(col("batch") =!= excludeBatch)
+        .select("id", "sig")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  private def hasBatchParquet(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(p) && fs.listStatus(p).exists { st =>
         st.isDirectory && st.getPath.getName.startsWith("batch=") &&
           fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
       }
     } catch { case _: Exception => false }
-    if (hasData)
+
+  /** The persisted shingle index (all batch partitions except
+    * `excludeBatch` — a replayed batch must not see its own crashed
+    * attempt's shingles, or every row would self-match and be dropped),
+    * or an empty (id, toks) frame before the first delta lands. */
+  private def existingIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, excludeBatch: Long): DataFrame = {
+    if (hasBatchParquet(spark, indexDir))
       spark.read.parquet(indexDir)
         .filter(col("batch") =!= excludeBatch) // partition-pruned: replays cheap
         .select("id", "toks")

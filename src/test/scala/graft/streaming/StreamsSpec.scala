@@ -232,6 +232,55 @@ class StreamsSpec extends SparkSpec {
       streamKept.size.toLong)
   }
 
+  test("incrementalImageDedupIngest: stream keep-set across two image deltas equals the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.tools.GenImages
+    import graft.functions.Images
+    val dir = java.nio.file.Files.createTempDirectory("graft-img-ingest")
+    val (idxDir, outDir, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    // delta 1: ids 0-9 distinct patterns + 250 (near-dup of 0, different
+    // container) → 250 dropped within-batch; delta 2: 251 is a near-dup of
+    // delta-1's KEPT id 1 (must drop via the PERSISTED index), 20 is novel
+    val delta1 = (0L to 9L) :+ 250L
+    val delta2 = Seq(251L, 20L)
+    def payload(id: Long) = (id, GenImages.dedupFixture(id))
+
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.incrementalImageDedupIngest(mem.toDF().toDF("media_id", "content"),
+      "media_id", "content", idxDir, outDir, maxHamming = 3, checkpointDir = ckpt)
+    try {
+      mem.addData(delta1.map(payload): _*)
+      q.processAllAvailable()
+      mem.addData(delta2.map(payload): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(outDir).select("media_id")
+      .as[Long].collect().sorted.toSeq
+
+    // batch reference: the same deltas through sigDedupIncremental with a
+    // hand-maintained index
+    def sigsOf(ids: Seq[Long]) =
+      Images.perceptualHash(ids.map(payload).toDF("media_id", "content"),
+        "content", "phash", "__sig__")
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig", org.apache.spark.sql.types.LongType))))
+    val kept1 = Images.sigDedupIncremental(sigsOf(delta1), empty, "media_id", "__sig__", 3)
+    val idx1 = kept1.select(col("media_id").as("id"), col("__sig__").as("sig"))
+    val kept2 = Images.sigDedupIncremental(sigsOf(delta2), idx1, "media_id", "__sig__", 3)
+    val batchKept = (kept1.select("media_id").as[Long].collect() ++
+      kept2.select("media_id").as[Long].collect()).sorted.toSeq
+
+    assert(streamKept == batchKept, s"stream $streamKept vs batch $batchKept")
+    assert(streamKept == ((0L to 9L) :+ 20L),
+      "250 drops within-batch, 251 drops via the persisted index, 20 is novel")
+    assert(spark.read.parquet(idxDir).select("id").distinct().count() == 11L)
+    // survivors' payloads ride through unchanged (no signature column leaks)
+    val cols = spark.read.parquet(outDir).columns.toSet
+    assert(cols == Set("media_id", "content", "batch"))
+  }
+
   test("incrementalDedupIngest: a replayed micro-batch is idempotent across every crash window") {
     // A crashed attempt may have written the batch's OUTPUT partition, its
     // INDEX partition, both, or neither before the checkpoint committed.
