@@ -246,8 +246,12 @@ private[graft] object Jpeg {
             }
             if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4 || c.tq > 3))
               return null
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return null // progressive / lossless / arithmetic: out of scope
+          case 0xC2 =>
+            // progressive DCT: its multi-scan state machine lives apart
+            // from the single-scan baseline path
+            return decodeProgressive(b)
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return null // lossless / arithmetic / differential: out of scope
           case 0xDD => // DRI
             restartInterval = ((b(seg) & 0xFF) << 8) | (b(seg + 1) & 0xFF)
           case 0xDA => // SOS: decode the (single, interleaved) scan
@@ -353,6 +357,380 @@ private[graft] object Jpeg {
     // crop the padded plane to the luma component's real dimensions, then
     // map to image dimensions (luma subsampling other than hMax/vMax is
     // exotic but legal: replicate by integer ratio)
+    val lw = (w * luma.hs + hMax - 1) / hMax
+    val lh = (h * luma.vs + vMax - 1) / vMax
+    if (lw == w && lh == h) {
+      if (planeW == w && planeH == h) Gray(w, h, plane)
+      else {
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(plane, y * planeW, px, y * w, w)
+          y += 1
+        }
+        Gray(w, h, px)
+      }
+    } else {
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(y * luma.vs / vMax, lh - 1)
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = plane(sy * planeW + math.min(x * luma.hs / hMax, lw - 1))
+          x += 1
+        }
+        y += 1
+      }
+      Gray(w, h, px)
+    }
+  }
+
+  // ================================================ progressive (Annex G)
+
+  /** Progressive DCT decode (SOF2): multi-scan spectral-selection /
+    * successive-approximation refinement per T.81 Annex G. Only the LUMA
+    * coefficient plane is buffered (chroma DC scans are consumed; chroma
+    * AC scans — always single-component — are skipped at the byte level);
+    * after the last scan the accumulated coefficients dequantize and IDCT
+    * exactly like the baseline path, so signatures stay bit-stable. */
+  private def decodeProgressive(b: Array[Byte]): Gray = {
+    val qt = Array.ofDim[Int](4, 64)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var coefs: Array[Int] = null // luma plane, block-raster × 64 zigzag
+    var blocksW = 0; var blocksH = 0
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    var sawEoi = false
+
+    var p = 2
+    while (!sawEoi && p + 3 < b.length) {
+      if ((b(p) & 0xFF) != 0xFF) return null
+      while (p + 3 < b.length && (b(p + 1) & 0xFF) == 0xFF) p += 1
+      val marker = b(p + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) p += 2
+      else if (marker == 0xD9) sawEoi = true
+      else {
+        val len = ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+        if (len < 2 || p + 2 + len > b.length) return null
+        val seg = p + 4
+        val segEnd = p + 2 + len
+        marker match {
+          case 0xDB =>
+            var q = seg
+            while (q < segEnd) {
+              val pq = (b(q) & 0xFF) >> 4; val tq = b(q) & 0x0F
+              if (tq > 3 || pq > 1 || q + 1 + 64 * (pq + 1) > segEnd) return null
+              var k = 0
+              while (k < 64) {
+                qt(tq)(k) =
+                  if (pq == 0) b(q + 1 + k) & 0xFF
+                  else ((b(q + 1 + 2 * k) & 0xFF) << 8) | (b(q + 2 + 2 * k) & 0xFF)
+                k += 1
+              }
+              q += 1 + 64 * (pq + 1)
+            }
+          case 0xC4 =>
+            var q = seg
+            while (q < segEnd) {
+              val tc = (b(q) & 0xFF) >> 4; val th = b(q) & 0x0F
+              if (tc > 1 || th > 3 || q + 17 > segEnd) return null
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = b(q + l) & 0xFF; total += bits(l); l += 1 }
+              if (total > 256 || q + 17 + total > segEnd) return null
+              val vals = new Array[Int](total)
+              var i = 0
+              while (i < total) { vals(i) = b(q + 17 + i) & 0xFF; i += 1 }
+              val t = new Huff(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              q += 17 + total
+            }
+          case 0xC2 =>
+            if (b(seg) != 8) return null
+            h = ((b(seg + 1) & 0xFF) << 8) | (b(seg + 2) & 0xFF)
+            w = ((b(seg + 3) & 0xFF) << 8) | (b(seg + 4) & 0xFF)
+            val nf = b(seg + 5) & 0xFF
+            if (w <= 0 || h <= 0 || nf < 1 || nf > 4 || seg + 6 + nf * 3 > segEnd) return null
+            // tighter cap than baseline: progressive buffers the whole
+            // luma COEFFICIENT plane (4 bytes/px)
+            if (w.toLong * h > (1L << 24)) return null
+            comps = Array.tabulate(nf) { i =>
+              val c = seg + 6 + i * 3
+              val hv = b(c + 1) & 0xFF
+              Component(b(c) & 0xFF, hv >> 4, hv & 0x0F, b(c + 2) & 0x0F)
+            }
+            if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4 || c.tq > 3))
+              return null
+            hMax = comps.map(_.hs).max; vMax = comps.map(_.vs).max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            blocksW = mcusX * comps(0).hs
+            blocksH = mcusY * comps(0).vs
+            coefs = new Array[Int](blocksW * blocksH * 64)
+          case 0xDD =>
+            restartInterval = ((b(seg) & 0xFF) << 8) | (b(seg + 1) & 0xFF)
+          case 0xDA =>
+            if (comps == null || coefs == null) return null
+            p = decodeProgScan(b, seg, segEnd, comps, dcTabs, acTabs,
+              coefs, blocksW, blocksH, mcusX, mcusY, w, restartInterval)
+            if (p < 0) return null
+          case _ => ()
+        }
+        if (marker != 0xDA) p = segEnd
+      }
+    }
+    if (coefs == null) return null
+
+    // dequantize + IDCT the accumulated luma plane
+    val luma = comps(0)
+    val q = qt(luma.tq)
+    val planeW = blocksW * 8
+    val planeH = blocksH * 8
+    val plane = new Array[Int](planeW * planeH)
+    val nat = new Array[Int](64)
+    val tmp = new Array[Long](64)
+    var by = 0
+    while (by < blocksH) {
+      var bx = 0
+      while (bx < blocksW) {
+        val off = (by * blocksW + bx) * 64
+        var k = 0
+        while (k < 64) { nat(ZIGZAG(k)) = coefs(off + k) * q(k); k += 1 }
+        idctInto(nat, tmp, plane, planeW, by * 8, bx * 8)
+        bx += 1
+      }
+      by += 1
+    }
+    assemblePlane(plane, planeW, planeH, w, h, luma, hMax, vMax)
+  }
+
+  /** One progressive scan. Returns the byte offset of the next marker, or
+    * -1 on a malformed scan. */
+  private def decodeProgScan(b: Array[Byte], seg: Int, segEnd: Int,
+                             comps: Array[Component],
+                             dcTabs: Array[Huff], acTabs: Array[Huff],
+                             coefs: Array[Int], blocksW: Int, blocksH: Int,
+                             mcusX: Int, mcusY: Int, w: Int,
+                             restartInterval: Int): Int = {
+    val ns = b(seg) & 0xFF
+    if (seg + 1 + ns * 2 + 3 > segEnd) return -1
+    val scanComp = new Array[Int](ns)
+    val scanDc = new Array[Huff](ns)
+    val scanAc = new Array[Huff](ns)
+    var i = 0
+    while (i < ns) {
+      val cs = b(seg + 1 + i * 2) & 0xFF
+      val tt = b(seg + 2 + i * 2) & 0xFF
+      val ci = comps.indexWhere(_.id == cs)
+      if (ci < 0) return -1
+      scanComp(i) = ci
+      scanDc(i) = dcTabs(tt >> 4)
+      scanAc(i) = acTabs(tt & 0x0F)
+      i += 1
+    }
+    val ss = b(seg + 1 + ns * 2) & 0xFF
+    val se = b(seg + 2 + ns * 2) & 0xFF
+    val a = b(seg + 3 + ns * 2) & 0xFF
+    val ah = a >> 4; val al = a & 0x0F
+    if (ss > 63 || se > 63 || se < ss) return -1
+    val dataStart = segEnd
+
+    def nextMarker(from: Int): Int = {
+      var q = from
+      while (q + 1 < b.length) {
+        if ((b(q) & 0xFF) == 0xFF) {
+          val m = b(q + 1) & 0xFF
+          if (m != 0 && m != 0xFF && !(m >= 0xD0 && m <= 0xD7)) return q
+        }
+        q += 1
+      }
+      b.length
+    }
+
+    if (ss == 0) {
+      // DC scan (interleaved or single-component); Se must be 0
+      if (se != 0) return -1
+      if (ah == 0 && scanDc.exists(_ == null)) return -1
+      val r = new BitReader(b, dataStart)
+      val pred = new Array[Int](ns)
+      if (ns > 1) {
+        val nMcus = mcusX * mcusY
+        var mcu = 0
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!r.restart()) return -1
+            java.util.Arrays.fill(pred, 0)
+          }
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var si = 0
+          while (si < ns) {
+            val c = comps(scanComp(si))
+            val isLuma = scanComp(si) == 0
+            var byy = 0
+            while (byy < c.vs) {
+              var bxx = 0
+              while (bxx < c.hs) {
+                if (ah == 0) {
+                  val t = r.decodeHuff(scanDc(si))
+                  if (t < 0 || t > 15) return -1
+                  pred(si) += extend(r.bits(t), t)
+                  if (isLuma) {
+                    val off = ((my * c.vs + byy) * blocksW + (mx * c.hs + bxx)) * 64
+                    coefs(off) = pred(si) << al
+                  }
+                } else {
+                  val bit = r.bit()
+                  if (isLuma && bit == 1) {
+                    val off = ((my * c.vs + byy) * blocksW + (mx * c.hs + bxx)) * 64
+                    coefs(off) |= (1 << al)
+                  }
+                }
+                bxx += 1
+              }
+              byy += 1
+            }
+            si += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val c = comps(scanComp(0))
+        val isLuma = scanComp(0) == 0
+        if (!isLuma) return nextMarker(dataStart) // consumed implicitly
+        val hM = comps.map(_.hs).max; val vM = comps.map(_.vs).max
+        val cw = (w * c.hs + hM - 1) / hM
+        val nbx = (cw + 7) / 8
+        val nby = blocksH // full padded rows decode identically
+        var blk = 0
+        val total = nbx * nby
+        while (blk < total) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            if (!r.restart()) return -1
+            java.util.Arrays.fill(pred, 0)
+          }
+          val off = ((blk / nbx) * blocksW + (blk % nbx)) * 64
+          if (ah == 0) {
+            val t = r.decodeHuff(scanDc(0))
+            if (t < 0 || t > 15) return -1
+            pred(0) += extend(r.bits(t), t)
+            coefs(off) = pred(0) << al
+          } else if (r.bit() == 1) coefs(off) |= (1 << al)
+          blk += 1
+        }
+      }
+      nextMarker(r.pos)
+    } else {
+      // AC scan: always single-component in progressive
+      if (ns != 1) return -1
+      if (scanComp(0) != 0) return nextMarker(dataStart) // chroma: skip bytes
+      val ac = scanAc(0)
+      if (ac == null) return -1
+      val c = comps(0)
+      val hM = comps.map(_.hs).max; val vM = comps.map(_.vs).max
+      val cw = (w * c.hs + hM - 1) / hM
+      val nbx = (cw + 7) / 8
+      val nby = blocksH
+      val r = new BitReader(b, dataStart)
+      var eobrun = 0L
+      var blk = 0
+      val total = nbx * nby
+      while (blk < total) {
+        if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+          if (!r.restart()) return -1
+          eobrun = 0L
+        }
+        val off = ((blk / nbx) * blocksW + (blk % nbx)) * 64
+        if (ah == 0) {
+          // first AC pass (G.1.2.2)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (k <= se && !done) {
+              val rs = r.decodeHuff(ac)
+              if (rs < 0) return -1
+              val run = rs >> 4; val size = rs & 15
+              if (size == 0) {
+                if (run == 15) k += 16
+                else { eobrun = (1L << run) - 1 + (if (run > 0) r.bits(run) else 0); done = true }
+              } else {
+                k += run
+                if (k > se) return -1
+                coefs(off + k) = extend(r.bits(size), size) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement pass (G.1.2.3)
+          val p1 = 1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (k <= se && !done) {
+              val rs = r.decodeHuff(ac)
+              if (rs < 0) return -1
+              var run = rs >> 4; val size = rs & 15
+              var newVal = 0
+              if (size == 0) {
+                if (run < 15) {
+                  eobrun = (1L << run) + (if (run > 0) r.bits(run) else 0)
+                  done = true
+                }
+                // run == 15: ZRL — advance over 16 zero-history coeffs
+              } else {
+                if (size != 1) return -1
+                newVal = if (r.bit() == 1) p1 else -p1
+              }
+              if (!done) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val cv = coefs(off + k)
+                  if (cv != 0) {
+                    if (r.bit() == 1 && (cv & p1) == 0)
+                      coefs(off + k) = cv + (if (cv >= 0) p1 else -p1)
+                  } else {
+                    if (run == 0 && newVal != 0) {
+                      coefs(off + k) = newVal
+                      placed = true
+                    } else if (run == 0 && newVal == 0) {
+                      // ZRL consumed its 16 zeros
+                      placed = true; k -= 1
+                    } else run -= 1
+                  }
+                  k += 1
+                }
+                if (!placed && newVal != 0) return -1
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              val cv = coefs(off + k)
+              if (cv != 0 && r.bit() == 1 && (cv & p1) == 0)
+                coefs(off + k) = cv + (if (cv >= 0) p1 else -p1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        blk += 1
+      }
+      nextMarker(r.pos)
+    }
+  }
+
+  /** Crop the MCU-padded decoded plane to image dimensions (replicating
+    * when the luma component is itself subsampled — exotic but legal). */
+  private def assemblePlane(plane: Array[Int], planeW: Int, planeH: Int,
+                            w: Int, h: Int, luma: Component,
+                            hMax: Int, vMax: Int): Gray = {
     val lw = (w * luma.hs + hMax - 1) / hMax
     val lh = (h * luma.vs + vMax - 1) / vMax
     if (lw == w && lh == h) {

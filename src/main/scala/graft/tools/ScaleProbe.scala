@@ -213,6 +213,51 @@ object ScaleProbe {
         graft.functions.Images.phashPairs(media, "media_id", "content",
           maxHamming = 3).count()
       }
+      // audio near-dedup throughput: a 256-sample recording per row,
+      // container ALTERNATING WAV/FLAC (so the leg times native FLAC frame
+      // decode on half the rows) → fingerprint → banded hamming pairs.
+      // ~1% dup pairs via the same linear 00/01 seed family as image_phash;
+      // the dup partner always crosses containers (FLAC is lossless, so
+      // fingerprints collide exactly).
+      val (audPairs, tAud) = leg(d, "audio_fingerprint") {
+        import spark.implicits._
+        graft.expressions.GraftFunctions.register(spark)
+        // NOT GenMedia.audioDedupSample: that fixture keys its signal on
+        // id % 250 (fine for the 500-doc gate, catastrophic here — 50k
+        // docs collapse onto 250 signals and the pair count goes
+        // quadratic). Full-range seeds keep collisions at the constructed
+        // ~1%; the id%100==1 partner is the SAME signal at double
+        // amplitude, so the scale-invariant fingerprint collides exactly.
+        val media = docs.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val seed = if (id % 100 < 2) (id / 100) * 100 else id
+            val amp = if (id % 100 == 1) 2 else 1
+            val samples = Array.tabulate(256) { i =>
+              (((Dedup.mix64(i.toLong * 1000003L + seed * 7919L + 17L)
+                & 0x3FFFL) - 8192L).toInt) * amp
+            }
+            val bytes =
+              if (id % 2 == 0) graft.functions.MediaKernels.encodeWav(16000, samples)
+              else graft.functions.Flac.encodeMono16(16000, samples)
+            (id, bytes)
+          })
+          .toDF("media_id", "content")
+        graft.functions.Images.hammingPairs64(
+          media.selectExpr("media_id", "audio_fingerprint(content) AS afp"),
+          "media_id", "afp", maxHamming = 0).count()
+      }
+      // video metadata sweep throughput: MP4 (even) / AVI (odd) header
+      // fixtures per row → fused video_meta expression → parse-count agg.
+      // Header-only parse, zero exchanges — wall should track row count.
+      val (vidParsed, tVid) = leg(d, "video_meta") {
+        import spark.implicits._
+        graft.expressions.GraftFunctions.register(spark)
+        docs.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, GenMedia.videoMetaFixture(id))))
+          .toDF("media_id", "content")
+          .selectExpr("video_meta(content) AS m")
+          .filter(col("m.format").isNotNull).count()
+      }
       // crawl ingest at scale: corpus → multi-file .wet.gz (16 shards,
       // the CC layout) → distributed WARC read → html-free text counts;
       // files are the parallelism unit, so wall should track corpus size.
@@ -242,6 +287,7 @@ object ScaleProbe {
         f"dedup_incr_indexed=$tIncrIdx%.1fs " +
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
         f"bpe_count=$tBpe%.1fs($bpeToks) image_phash=$tImg%.1fs($imgPairs) " +
+        f"audio_fingerprint=$tAud%.1fs($audPairs) video_meta=$tVid%.1fs($vidParsed) " +
         f"wet_ingest=$tWet%.1fs($wetRows)")
     }
     spark.stop()

@@ -245,4 +245,15 @@ class PlanSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("incremental signature dedup: delta-vs-index is a banded equi-join, never all-pairs") {
+    import spark.implicits._
+    val delta = (0L until 50L).map(i => (i, i * 7919L)).toDF("media_id", "__sig__")
+    val index = (0L until 50L).map(i => (1000L + i, i * 104729L)).toDF("id", "sig")
+    val plan = graft.functions.Images
+      .sigDedupIncremental(delta, index, "media_id", "__sig__", 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"both the index check and the within-delta check must ride (band, chunk) equi-joins:\n$plan")
+  }
 }
