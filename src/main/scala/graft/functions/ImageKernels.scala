@@ -20,12 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * Determinism: decode + hash arithmetic is all-integer except the pHash
  * DCT, which uses `StrictMath.cos` (exactly-specified fdlibm results, the
  * same bits on every JVM/platform) — signatures are reproducible across
- * clusters, which the band-join dedup relies on. BASELINE-sequential JPEG
- * (SOF0/SOF1 — the dominant crawl format) decodes natively via
- * [[Jpeg.decode]] with the same all-integer discipline; only what that
- * scope excludes (progressive SOF2, arithmetic coding, 12-bit) falls back
+ * clusters, which the band-join dedup relies on. JPEG (the dominant crawl
+ * format) decodes natively via [[Jpeg.decode]] with the same all-integer
+ * discipline — baseline-sequential SOF0/SOF1 AND progressive SOF2; only
+ * the exotic remainder (arithmetic coding, lossless, 12-bit) falls back
  * to javax.imageio, whose hashes are NOT bit-stable across JVM vendors —
- * pipelines needing stable hashes for progressive JPEGs transcode first.
+ * pipelines needing stable hashes for those transcode first.
  *
  * Byte layouts follow the public specs: BMP BITMAPINFOHEADER (Windows
  * API docs), PNG (RFC 2083 / W3C PNG), GIF87a/89a (CompuServe spec),

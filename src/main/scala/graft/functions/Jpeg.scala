@@ -478,7 +478,7 @@ private[graft] object Jpeg {
           case 0xDA =>
             if (comps == null || coefs == null) return null
             p = decodeProgScan(b, seg, segEnd, comps, dcTabs, acTabs,
-              coefs, blocksW, blocksH, mcusX, mcusY, w, restartInterval)
+              coefs, blocksW, blocksH, mcusX, mcusY, w, h, restartInterval)
             if (p < 0) return null
           case _ => ()
         }
@@ -516,7 +516,7 @@ private[graft] object Jpeg {
                              comps: Array[Component],
                              dcTabs: Array[Huff], acTabs: Array[Huff],
                              coefs: Array[Int], blocksW: Int, blocksH: Int,
-                             mcusX: Int, mcusY: Int, w: Int,
+                             mcusX: Int, mcusY: Int, w: Int, h: Int,
                              restartInterval: Int): Int = {
     val ns = b(seg) & 0xFF
     if (seg + 1 + ns * 2 + 3 > segEnd) return -1
@@ -603,10 +603,13 @@ private[graft] object Jpeg {
         val c = comps(scanComp(0))
         val isLuma = scanComp(0) == 0
         if (!isLuma) return nextMarker(dataStart) // consumed implicitly
+        // non-interleaved scans cover the component's OWN block grid
+        // (ceil(compW/8) × ceil(compH/8)) — NOT the MCU-padded plane
         val hM = comps.map(_.hs).max; val vM = comps.map(_.vs).max
         val cw = (w * c.hs + hM - 1) / hM
+        val chh = (h * c.vs + vM - 1) / vM
         val nbx = (cw + 7) / 8
-        val nby = blocksH // full padded rows decode identically
+        val nby = (chh + 7) / 8
         var blk = 0
         val total = nbx * nby
         while (blk < total) {
@@ -632,10 +635,12 @@ private[graft] object Jpeg {
       val ac = scanAc(0)
       if (ac == null) return -1
       val c = comps(0)
+      // component-grid block count, as in the DC non-interleaved path
       val hM = comps.map(_.hs).max; val vM = comps.map(_.vs).max
       val cw = (w * c.hs + hM - 1) / hM
+      val chh = (h * c.vs + vM - 1) / vM
       val nbx = (cw + 7) / 8
-      val nby = blocksH
+      val nby = (chh + 7) / 8
       val r = new BitReader(b, dataStart)
       var eobrun = 0L
       var blk = 0
@@ -676,37 +681,35 @@ private[graft] object Jpeg {
             while (k <= se && !done) {
               val rs = r.decodeHuff(ac)
               if (rs < 0) return -1
-              var run = rs >> 4; val size = rs & 15
+              val run = rs >> 4; val size = rs & 15
               var newVal = 0
               if (size == 0) {
                 if (run < 15) {
                   eobrun = (1L << run) + (if (run > 0) r.bits(run) else 0)
                   done = true
                 }
-                // run == 15: ZRL — advance over 16 zero-history coeffs
+                // run == 15: ZRL — pass over 16 zero-history coeffs
               } else {
                 if (size != 1) return -1
                 newVal = if (r.bit() == 1) p1 else -p1
               }
               if (!done) {
-                var placed = false
-                while (k <= se && !placed) {
+                // G.1.2.3 traversal: consume `slots` zero-HISTORY
+                // coefficients (depositing the new value in the last one
+                // when S=1); nonzero-history coefficients encountered on
+                // the way read a correction bit and do not count
+                var slots = if (size == 0) 16 else run + 1
+                while (k <= se && slots > 0) {
                   val cv = coefs(off + k)
                   if (cv != 0) {
                     if (r.bit() == 1 && (cv & p1) == 0)
                       coefs(off + k) = cv + (if (cv >= 0) p1 else -p1)
                   } else {
-                    if (run == 0 && newVal != 0) {
-                      coefs(off + k) = newVal
-                      placed = true
-                    } else if (run == 0 && newVal == 0) {
-                      // ZRL consumed its 16 zeros
-                      placed = true; k -= 1
-                    } else run -= 1
+                    slots -= 1
+                    if (slots == 0 && newVal != 0) coefs(off + k) = newVal
                   }
                   k += 1
                 }
-                if (!placed && newVal != 0) return -1
               }
             }
           }

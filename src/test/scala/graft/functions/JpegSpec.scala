@@ -87,14 +87,61 @@ class JpegSpec extends AnyFunSuite {
     assert(h1 != null && h1 == ImageKernels.phash(enc))
   }
 
-  test("progressive JPEG falls back rather than mis-decoding") {
-    // hand-build a SOF2 frame header: decode must return null (ImageIO
-    // fallback decides at the decodeGray layer)
-    val enc = Jpeg.encodeGray(16, 16, GenImages.pattern(2, 16, 16))
-    // rewrite the SOF0 marker byte (FF C0) to SOF2 (FF C2)
-    val idx = enc.indices.find(i => (enc(i) & 0xFF) == 0xFF && (enc(i + 1) & 0xFF) == 0xC0).get
-    val prog = enc.clone(); prog(idx + 1) = 0xC2.toByte
-    assert(Jpeg.decode(prog) == null)
+  private def imageIoJpeg(ww: Int, hh: Int, seed: Long, progressive: Boolean): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(ww, hh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val p = GenImages.pattern(seed, ww, hh)
+    (0 until hh).foreach(y => (0 until ww).foreach { x =>
+      val v = p(y * ww + x); bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("progressive JPEG (SOF2) decodes natively, matching the platform decoder") {
+    for ((ww, hh, seed) <- Seq((37, 21, 3L), (64, 64, 8L), (17, 9, 5L))) {
+      val bytes = imageIoJpeg(ww, hh, seed, progressive = true)
+      // confirm the writer actually emitted SOF2
+      assert(bytes.sliding(2).exists(a => (a(0) & 0xFF) == 0xFF && (a(1) & 0xFF) == 0xC2),
+        "fixture must be progressive")
+      val ours = Jpeg.decode(bytes)
+      assert(ours != null && ours.w == ww && ours.h == hh, s"${ww}x$hh seed $seed")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val diffs = for (y <- 0 until hh; x <- 0 until ww) yield {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+        math.abs(lum - ours.px(y * ww + x))
+      }
+      val mean = diffs.sum.toDouble / diffs.size
+      assert(mean < 4.0, s"mean diff vs platform $mean (max ${diffs.max}) at ${ww}x$hh seed $seed")
+    }
+  }
+
+  test("progressive decode is deterministic and reaches phash via decodeGray") {
+    val bytes = imageIoJpeg(40, 24, 11L, progressive = true)
+    val a = ImageKernels.decodeGrayPublic(bytes)
+    assert(a != null && a.px.toSeq == ImageKernels.decodeGrayPublic(bytes).px.toSeq)
+    val h1 = ImageKernels.phash(bytes)
+    assert(h1 != null && h1 == ImageKernels.phash(bytes))
+  }
+
+  test("progressive corruption fuzz: truncations and bit flips never throw") {
+    val bytes = imageIoJpeg(32, 32, 4L, progressive = true)
+    (0 until bytes.length by 11).foreach(n =>
+      Jpeg.decode(java.util.Arrays.copyOf(bytes, n)))
+    val rng = new scala.util.Random(9)
+    (1 to 150).foreach { _ =>
+      val m = bytes.clone()
+      m(rng.nextInt(m.length)) = (m(rng.nextInt(m.length)) ^ (1 << rng.nextInt(8))).toByte
+      Jpeg.decode(m)
+    }
   }
 
   test("corruption fuzz: truncations and bit flips never throw") {
