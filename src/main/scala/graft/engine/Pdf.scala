@@ -40,7 +40,35 @@ object Pdf {
     if (!s.startsWith("%PDF-"))
       throw new IllegalArgumentException("not a PDF (missing %PDF- header)")
 
-    val objs = scanObjects(s)
+    val objs0 = scanObjects(s)
+    // PDF 1.5+ object streams: page/font/catalog dictionaries routinely
+    // live COMPRESSED inside /Type /ObjStm containers (content streams
+    // cannot, so text extraction only needs the dict layer expanded).
+    // Each ObjStm: N pairs of "objnum offset" then concatenated bodies
+    // at /First.
+    val objs: Map[Int, String] = {
+      val expanded = scala.collection.mutable.Map[Int, String]()
+      objs0.values.foreach { o =>
+        if (o.contains("/ObjStm")) {
+          for {
+            data <- decodeStream(o)
+            n <- """(?s)/N\s+(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toInt)
+            first <- """(?s)/First\s+(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toInt)
+          } {
+            val body = new String(data, StandardCharsets.ISO_8859_1)
+            val nums = """(\d+)\s+(\d+)""".r.findAllMatchIn(body.take(first))
+              .map(m => (m.group(1).toInt, m.group(2).toInt)).take(n).toVector
+            nums.zipWithIndex.foreach { case ((num, off), i) =>
+              val end = if (i + 1 < nums.length) first + nums(i + 1)._2 else body.length
+              if (first + off <= end && end <= body.length)
+                expanded(num) = body.substring(first + off, end)
+            }
+          }
+        }
+      }
+      // a directly-stored object wins over an ObjStm copy of the same id
+      expanded.toMap ++ objs0
+    }
 
     def refsIn(src: String): Seq[Int] =
       """(\d+)\s+0\s+R""".r.findAllMatchIn(src).map(_.group(1).toInt).toSeq
@@ -206,8 +234,70 @@ object Pdf {
           .map(_.group(1).toInt).getOrElse(1)
       try Some(lzwDecode(raw, earlyChange))
       catch { case _: Exception => None }
+    } else if (dict.contains("/ASCIIHexDecode")) {
+      try Some(asciiHexDecode(raw)) catch { case _: Exception => None }
+    } else if (dict.contains("/ASCII85Decode")) {
+      try Some(ascii85Decode(raw)) catch { case _: Exception => None }
     } else if (dict.contains("/Filter")) None // unsupported filter
     else Some(raw)
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
+    * odd final digit padded with 0. */
+  private[engine] def asciiHexDecode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < in.length && !done) {
+      val c = in(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        if (d < 0) throw new IllegalArgumentException(s"bad hex char $c")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): base-85 groups, `z` shorthand for four zero
+    * bytes, `~>` EOD, partial final group. */
+  private[engine] def ascii85Decode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 4 / 5)
+    val group = new Array[Int](5)
+    var g = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) group(k) else 84); k += 1 }
+      var shift = 24
+      var emitted = 0
+      while (emitted < count - 1) {
+        out.write(((v >> shift) & 0xFF).toInt)
+        shift -= 8
+        emitted += 1
+      }
+    }
+    while (i < in.length && !done) {
+      val c = in(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && g == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') throw new IllegalArgumentException(s"bad a85 char $c")
+        group(g) = c - '!'
+        g += 1
+        if (g == 5) { flush(5); g = 0 }
+      }
+      i += 1
+    }
+    if (g == 1) throw new IllegalArgumentException("a85: lone trailing digit")
+    if (g > 1) flush(g)
+    out.toByteArray
   }
 
   // ======================================================== LZW (§7.4.4)

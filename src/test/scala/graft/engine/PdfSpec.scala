@@ -155,6 +155,54 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractText(indirect.getBytes("ISO-8859-1")) == Vector("real"))
   }
 
+  test("object streams (/ObjStm): page dicts compressed inside a container still extract") {
+    // modern (PDF 1.5+) files put page/font dictionaries inside object
+    // streams; only the dict layer needs expanding (content streams are
+    // regular objects by spec). Container carried as ASCIIHex to also
+    // exercise that filter.
+    val pages = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val page = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val pairTable = s"2 0 3 ${pages.length + 1} "
+    val first = pairTable.length
+    val objstmBody = pairTable + pages + " " + page
+    val hex = objstmBody.getBytes("ISO-8859-1").map(b => f"$b%02x").mkString + ">"
+    val content = "(objstm works) Tj"
+    val doc =
+      s"""%PDF-1.5
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |5 0 obj
+         |<< /Type /ObjStm /N 2 /First $first /Filter /ASCIIHexDecode /Length ${hex.length} >>
+         |stream
+         |$hex
+         |endstream
+         |endobj
+         |4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer
+         |<< /Size 6 /Root 1 0 R >>
+         |""".stripMargin
+    assert(Pdf.extractText(doc.getBytes("ISO-8859-1")) == Vector("objstm works"))
+  }
+
+  test("ASCIIHex and ASCII85 filters decode per spec") {
+    assert(Pdf.asciiHexDecode("48 65 6C6c 6F>".getBytes("ISO-8859-1")).toSeq ==
+      "Hello".getBytes.toSeq)
+    assert(Pdf.asciiHexDecode("48656C6C6F7>".getBytes).toSeq == // odd digit pads 0
+      ("Hello".getBytes.toSeq :+ 0x70.toByte))
+    // a85 reference vector: "Man " encodes to "9jqo^" ... use round logic:
+    // 'z' shorthand and partial group
+    assert(Pdf.ascii85Decode("z~>".getBytes).toSeq == Seq[Byte](0, 0, 0, 0))
+    assert(Pdf.ascii85Decode("9jqo^~>".getBytes).map(_.toChar).mkString == "Man ")
+    assert(Pdf.ascii85Decode("9jqo~>".getBytes).map(_.toChar).mkString == "Man")
+    intercept[IllegalArgumentException](Pdf.ascii85Decode("9~>".getBytes))
+  }
+
   test("Sources reads .pdf distributed: one row per page with file/page/text") {
     val dir = Files.createTempDirectory("graft-pdfsrc")
     Pdf.write(dir.resolve("a.pdf"), Seq("alpha", "beta"), compress = true)
