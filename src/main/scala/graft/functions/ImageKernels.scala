@@ -260,7 +260,8 @@ object ImageKernels {
 
   private def luma(r: Int, g: Int, bl: Int): Int = (299 * r + 587 * g + 114 * bl) / 1000
 
-  /** BMP BI_RGB 24/32 bpp, bottom-up or top-down. */
+  /** BMP: BI_RGB 24/32 bpp, BI_RGB 8 bpp palette, and BI_RLE8 —
+    * bottom-up or top-down (RLE is bottom-up only, per the format). */
   private def decodeBmp(b: Array[Byte]): Gray = {
     val off = le32(b, 10)
     val w = le32(b, 18)
@@ -268,7 +269,9 @@ object ImageKernels {
     val h = math.abs(rawH)
     val bpp = le16(b, 28)
     val comp = le32(b, 30)
-    if (comp != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h == 0) return null
+    if (w <= 0 || h == 0) return null
+    if (bpp == 8 && (comp == 0 || comp == 1)) return decodeBmp8(b, off, w, rawH, comp)
+    if (comp != 0 || (bpp != 24 && bpp != 32)) return null
     val bytesPp = bpp / 8
     val stride = ((w * bytesPp + 3) / 4) * 4
     if (off + stride.toLong * h > b.length) return null
@@ -288,12 +291,121 @@ object ImageKernels {
     Gray(w, h, px)
   }
 
+  /** 8-bpp BMP: palette right after the 40-byte BITMAPINFOHEADER
+    * (biClrUsed entries, 256 when 0), uncompressed or BI_RLE8 (encoded
+    * runs, absolute runs word-padded, EOL/EOF/delta escapes). */
+  private def decodeBmp8(b: Array[Byte], off: Int, w: Int, rawH: Int, comp: Int): Gray = {
+    val h = math.abs(rawH)
+    val headerSize = le32(b, 14)
+    val clrUsed = le32(b, 46)
+    val nColors = if (clrUsed > 0) clrUsed else 256
+    val palOff = 14 + headerSize
+    if (palOff + nColors * 4 > b.length) return null
+    val pal = Array.tabulate(nColors)(i => luma(
+      b(palOff + i * 4 + 2) & 0xFF, b(palOff + i * 4 + 1) & 0xFF, b(palOff + i * 4) & 0xFF))
+    val px = new Array[Int](w * h)
+    if (comp == 0) {
+      val stride = ((w + 3) / 4) * 4
+      if (off + stride.toLong * h > b.length) return null
+      var y = 0
+      while (y < h) {
+        val srcRow = if (rawH > 0) h - 1 - y else y
+        val ro = off + srcRow * stride
+        var x = 0
+        while (x < w) { px(y * w + x) = pal((b(ro + x) & 0xFF) % nColors); x += 1 }
+        y += 1
+      }
+    } else {
+      // BI_RLE8: rows are bottom-up; untouched pixels stay 0 (the format
+      // allows skipped regions via delta/EOL)
+      var p = off
+      var x = 0
+      var row = h - 1 // bottom-up
+      var done = false
+      while (!done && p + 1 < b.length) {
+        val count = b(p) & 0xFF
+        val value = b(p + 1) & 0xFF
+        p += 2
+        if (count > 0) { // encoded run
+          var i = 0
+          while (i < count && x < w) {
+            if (row >= 0) px(row * w + x) = pal(value % nColors)
+            x += 1; i += 1
+          }
+        } else value match {
+          case 0 => x = 0; row -= 1 // end of line
+          case 1 => done = true     // end of bitmap
+          case 2 =>                 // delta (dx, dy up the image)
+            if (p + 1 >= b.length) return null
+            x += b(p) & 0xFF; row -= b(p + 1) & 0xFF; p += 2
+          case n => // absolute run of n indices, word-aligned
+            if (p + n > b.length) return null
+            var i = 0
+            while (i < n) {
+              if (x < w && row >= 0) px(row * w + x) = pal((b(p + i) & 0xFF) % nColors)
+              x += 1; i += 1
+            }
+            p += n + (n & 1)
+        }
+        if (row < -1) return null
+      }
+    }
+    Gray(w, h, px)
+  }
+
+  /** 8-bpp palette BMP fixture encoder (uncompressed or RLE8). */
+  def encodeBmp8(w: Int, h: Int, px: Array[Int], rle: Boolean = false): Array[Byte] = {
+    val pal = Array.tabulate(256)(identity) // grayscale identity palette
+    val body = new java.io.ByteArrayOutputStream()
+    if (!rle) {
+      val stride = ((w + 3) / 4) * 4
+      var y = h - 1
+      while (y >= 0) { // bottom-up
+        var x = 0
+        while (x < stride) {
+          body.write(if (x < w) px(y * w + x) & 0xFF else 0)
+          x += 1
+        }
+        y -= 1
+      }
+    } else {
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          var run = 1
+          val v = px(y * w + x) & 0xFF
+          while (x + run < w && run < 255 && (px(y * w + x + run) & 0xFF) == v) run += 1
+          body.write(run); body.write(v)
+          x += run
+        }
+        body.write(0); body.write(0) // EOL
+        y -= 1
+      }
+      body.write(0); body.write(1) // EOF
+    }
+    val data = body.toByteArray
+    val palBytes = 256 * 4
+    val off = 14 + 40 + palBytes
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    out.write('B'); out.write('M')
+    w32(off + data.length); w32(0); w32(off)
+    w32(40); w32(w); w32(h); w16(1); w16(8)
+    w32(if (rle) 1 else 0) // BI_RGB | BI_RLE8
+    w32(data.length); w32(2835); w32(2835); w32(256); w32(0)
+    pal.foreach { v => out.write(v); out.write(v); out.write(v); out.write(0) } // BGRA
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+
   /** PNG: 8-bit gray (0), RGB (2), palette (3, PLTE-mapped), gray+alpha
-    * (4), RGBA (6); filters 0-4; non-interlaced. */
+    * (4), RGBA (6); filters 0-4; non-interlaced AND Adam7 interlaced. */
   private def decodePng(b: Array[Byte]): Gray = {
     val w = be32(b, 16); val h = be32(b, 20)
     val bitDepth = b(24) & 0xFF; val colorType = b(25) & 0xFF; val interlace = b(28) & 0xFF
-    if (bitDepth != 8 || interlace != 0) return null
+    if (bitDepth != 8 || interlace > 1) return null
     val channels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
     }
@@ -313,10 +425,24 @@ object ImageKernels {
       p += 12 + len
     }
     if (colorType == 3 && paletteLuma == null) return null
+    // Adam7 pass geometry: (xStart, yStart, xStep, yStep); non-interlaced
+    // is the single full pass
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, xs, ys) = p
+      ((w - x0 + xs - 1) / xs, (h - y0 + ys - 1) / ys)
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else (pw.toLong * channels + 1) * ph
+    }.sum
+    if (rawLen > Int.MaxValue) return null
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
-    val stride = w * channels
-    val raw = new Array[Byte]((stride + 1) * h)
+    val raw = new Array[Byte](rawLen.toInt)
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
@@ -325,51 +451,112 @@ object ImageKernels {
     }
     inf.end()
     if (got < raw.length) return null
-    // undo per-row filters in place (prev = reconstructed previous row)
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride)
     val px = new Array[Int](w * h)
     val bpp = channels
-    var y = 0
-    while (y < h) {
-      val ro = y * (stride + 1)
-      val filter = raw(ro) & 0xFF
-      var i = 0
-      while (i < stride) {
-        val x = raw(ro + 1 + i) & 0xFF
-        val a = if (i >= bpp) cur(i - bpp) else 0
-        val up = prev(i)
-        val c = if (i >= bpp) prev(i - bpp) else 0
-        cur(i) = filter match {
-          case 0 => x
-          case 1 => (x + a) & 0xFF
-          case 2 => (x + up) & 0xFF
-          case 3 => (x + ((a + up) / 2)) & 0xFF
-          case 4 =>
-            val pp = a + up - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-            (x + pred) & 0xFF
-          case _ => return null
-        }
-        i += 1
-      }
-      var x = 0
-      while (x < w) {
-        val o = x * channels
-        px(y * w + x) =
-          if (colorType == 3) paletteLuma(cur(o) % paletteLuma.length)
-          else channels match {
-            case 1 => cur(o)
-            case 2 => cur(o) // gray+alpha: luma is the gray sample
-            case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+    var passOff = 0
+    passes.foreach { pass =>
+      val (x0, y0, xs, ys) = pass
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * channels
+        // undo per-row filters (prev = reconstructed previous row OF THE
+        // SAME PASS), then scatter into the image grid
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride)
+        java.util.Arrays.fill(prev, 0)
+        var y = 0
+        while (y < ph) {
+          val ro = passOff + y * (stride + 1)
+          val filter = raw(ro) & 0xFF
+          var i = 0
+          while (i < stride) {
+            val x = raw(ro + 1 + i) & 0xFF
+            val a = if (i >= bpp) cur(i - bpp) else 0
+            val up = prev(i)
+            val c = if (i >= bpp) prev(i - bpp) else 0
+            cur(i) = filter match {
+              case 0 => x
+              case 1 => (x + a) & 0xFF
+              case 2 => (x + up) & 0xFF
+              case 3 => (x + ((a + up) / 2)) & 0xFF
+              case 4 =>
+                val pp = a + up - c
+                val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
+                val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+                (x + pred) & 0xFF
+              case _ => return null
+            }
+            i += 1
           }
-        x += 1
+          var x = 0
+          while (x < pw) {
+            val o = x * channels
+            px((y0 + y * ys) * w + (x0 + x * xs)) =
+              if (colorType == 3) paletteLuma(cur(o) % paletteLuma.length)
+              else channels match {
+                case 1 => cur(o)
+                case 2 => cur(o) // gray+alpha: luma is the gray sample
+                case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+              }
+            x += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          y += 1
+        }
+        passOff += (stride + 1) * ph
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
     Gray(w, h, px)
+  }
+
+  /** Minimal Adam7-interlaced grayscale PNG (filter 0 rows per pass) —
+    * fixture encoder for the interlaced decode path. */
+  def encodePngInterlaced(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, xs, ys) =>
+      val pw = (w - x0 + xs - 1) / xs
+      val ph = (h - y0 + ys - 1) / ys
+      if (pw > 0 && ph > 0) {
+        var y = 0
+        while (y < ph) {
+          raw.write(0) // filter: none
+          var x = 0
+          while (x < pw) {
+            raw.write(px((y0 + y * ys) * w + (x0 + x * xs)) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A), 0, 8)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      val lenB = Array((payload.length >> 24).toByte, (payload.length >> 16).toByte,
+        (payload.length >> 8).toByte, payload.length.toByte)
+      out.write(lenB, 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(payload, 0, payload.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(payload)
+      val cv = crc.getValue
+      out.write(Array((cv >> 24).toByte, (cv >> 16).toByte, (cv >> 8).toByte, cv.toByte), 0, 4)
+    }
+    chunk("IHDR", Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+      8, 0, 0, 0, 1)) // depth 8, gray, interlace Adam7
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
   }
 
   /** GIF: first image block, global color table, LZW decode; 89a extension

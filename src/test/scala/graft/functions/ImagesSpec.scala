@@ -36,6 +36,39 @@ class ImagesSpec extends SparkSpec {
     assert(ImageKernels.imageMeta(tail) == ("jpeg", 640, 480, 6))
   }
 
+  test("Adam7 interlaced PNG decodes bit-exactly, agreeing with ImageIO") {
+    for ((ww, hh) <- Seq((40, 24), (17, 9), (8, 8), (3, 2), (1, 1))) {
+      val p = GenImages.pattern(21, ww, hh)
+      val enc = ImageKernels.encodePngInterlaced(ww, hh, p)
+      val g = ImageKernels.decodeGrayPublic(enc)
+      assert(g != null && g.w == ww && g.h == hh, s"${ww}x$hh")
+      assert(g.px.toSeq == p.toSeq, s"lossless at ${ww}x$hh")
+      // external ground truth: the platform decoder reads the same file
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      assert(img != null, "fixture must be a valid PNG for ImageIO")
+      // raster samples, not getRGB: Java's CS_GRAY -> sRGB conversion
+      // rescales gray values; the raw sample is the decoded byte
+      (0 until hh).foreach(y => (0 until ww).foreach { x =>
+        assert(img.getRaster.getSample(x, y, 0) == p(y * ww + x), s"($x,$y) at ${ww}x$hh")
+      })
+    }
+  }
+
+  test("8-bpp palette and RLE8 BMPs decode bit-exactly, agreeing with ImageIO") {
+    for (rle <- Seq(false, true); (ww, hh) <- Seq((40, 24), (17, 9), (5, 3))) {
+      val p = GenImages.pattern(23, ww, hh)
+      val enc = ImageKernels.encodeBmp8(ww, hh, p, rle)
+      val g = ImageKernels.decodeGrayPublic(enc)
+      assert(g != null && g.w == ww && g.h == hh, s"rle=$rle ${ww}x$hh")
+      assert(g.px.toSeq == p.toSeq, s"lossless rle=$rle at ${ww}x$hh")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      if (img != null) // the platform BMP plugin may not read RLE8
+        (0 until hh).foreach(y => (0 until ww).foreach { x =>
+          assert(img.getRaster.getSample(x, y, 0) == p(y * ww + x), s"($x,$y) rle=$rle")
+        })
+    }
+  }
+
   test("meta parses big-endian EXIF and ImageIO-written JPEG dimensions") {
     val bi = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()
