@@ -325,7 +325,40 @@ private[graft] object Flac {
     * frame per 4096-sample block, FIXED-predictor subframes (best of
     * order 0-2 by residual magnitude) with single-partition Rice
     * residuals, correct CRC-8/CRC-16. */
-  def encodeMono16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+  def encodeMono16(sampleRate: Int, samples: Array[Int]): Array[Byte] =
+    encode16(sampleRate, Array(samples), chAsgn = 0, nChannels = 1,
+      total = samples.length)
+
+  /** Encode a stereo pair with a chosen channel assignment — 1 =
+    * independent L/R, 8 = left/side, 9 = right/side, 10 = mid/side — so
+    * specs can drive every stereo-decorrelation decode path with known
+    * source samples. */
+  def encodeStereo16(sampleRate: Int, left: Array[Int], right: Array[Int],
+                     chAsgn: Int = 10): Array[Byte] = {
+    require(left.length == right.length, "stereo channels must align")
+    val planes: Array[Array[Int]] = chAsgn match {
+      case 1 => Array(left, right)
+      case 8 => Array(left, Array.tabulate(left.length)(i => left(i) - right(i)))
+      case 9 => Array(Array.tabulate(left.length)(i => left(i) - right(i)), right)
+      case 10 => Array(
+        Array.tabulate(left.length)(i => (left(i) + right(i)) >> 1),
+        Array.tabulate(left.length)(i => left(i) - right(i)))
+      case other => throw new IllegalArgumentException(s"channel assignment $other")
+    }
+    encode16(sampleRate, planes, chAsgn, nChannels = 2, total = left.length)
+  }
+
+  /** Subframe bit width for channel `c` under an assignment: the SIDE
+    * channel carries one extra bit. */
+  private def chBps(chAsgn: Int, c: Int): Int = chAsgn match {
+    case 8 => if (c == 1) 17 else 16
+    case 9 => if (c == 0) 17 else 16
+    case 10 => if (c == 1) 17 else 16
+    case _ => 16
+  }
+
+  private def encode16(sampleRate: Int, planes: Array[Array[Int]],
+                       chAsgn: Int, nChannels: Int, total: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte]('f', 'L', 'a', 'C'), 0, 4)
     // STREAMINFO (last metadata block)
@@ -334,22 +367,25 @@ private[graft] object Flac {
     val bs = 4096
     si(4) = (bs >> 8).toByte; si(5) = (bs & 0xFF).toByte // min blocksize
     si(6) = (bs >> 8).toByte; si(7) = (bs & 0xFF).toByte // max blocksize
-    var packed = (sampleRate.toLong << 44) | (0L << 41) | (15L << 36) |
-      (samples.length.toLong & 0xFFFFFFFFFL)
+    var packed = (sampleRate.toLong << 44) | ((nChannels - 1).toLong << 41) |
+      (15L << 36) | (total.toLong & 0xFFFFFFFFFL)
     var i = 7
     while (i >= 0) { si(4 + 10 + i) = (packed & 0xFF).toByte; packed >>>= 8; i -= 1 }
     out.write(si, 0, 38)
 
+    // frame channel-assignment field: 0-7 = channels-1 (independent),
+    // 8/9/10 = stereo decorrelation modes
+    val asgnField = if (chAsgn == 0 || chAsgn == 1) nChannels - 1 else chAsgn
     var frameNo = 0
     var off = 0
-    while (off < samples.length) {
-      val n = math.min(bs, samples.length - off)
+    while (off < total) {
+      val n = math.min(bs, total - off)
       val frame = new java.io.ByteArrayOutputStream()
       val w = new BitWriter(frame)
       w.put(0x3FFE, 14); w.put(0, 1); w.put(0, 1) // sync, reserved, fixed blocking
       w.put(7, 4)  // blocksize: 16-bit value-1 follows
       w.put(0, 4)  // sample rate: from STREAMINFO
-      w.put(0, 4)  // channel assignment: 1 channel
+      w.put(asgnField.toLong, 4)
       w.put(4, 3)  // sample size: 16
       w.put(0, 1)
       // coded frame number, UTF-8 style (fixtures stay < 2^31 frames)
@@ -360,9 +396,13 @@ private[graft] object Flac {
       frame.reset()
       frame.write(headBytes, 0, headBytes.length)
       frame.write(crc8(headBytes, 0, headBytes.length))
-      // subframe on the remaining bit stream
+      // subframes on the remaining bit stream
       val w2 = new BitWriter(frame)
-      writeSubframe(w2, samples, off, n)
+      var c = 0
+      while (c < planes.length) {
+        writeSubframe(w2, planes(c), off, n, chBps(chAsgn, c))
+        c += 1
+      }
       w2.align()
       val body = frame.toByteArray
       val c16 = crc16(body, 0, body.length)
@@ -387,7 +427,8 @@ private[graft] object Flac {
     }
   }
 
-  private def writeSubframe(w: BitWriter, s: Array[Int], off: Int, n: Int): Unit = {
+  private def writeSubframe(w: BitWriter, s: Array[Int], off: Int, n: Int,
+                            bps: Int = 16): Unit = {
     // pick the fixed order 0-2 with the smallest residual magnitude
     def resid(order: Int): Array[Long] = {
       val r = new Array[Long](n - order)
@@ -410,15 +451,16 @@ private[graft] object Flac {
     var param = 0
     while ((1L << param) < meanAbs + 1 && param < 14) param += 1
     val maxQ = res.map(v => (zigzag(v) >>> param)).foldLeft(0L)(math.max)
+    val mask = (1L << bps) - 1
     if (maxQ > (1 << 16)) { // pathological: verbatim beats runaway unary
       w.put(0, 1); w.put(1, 6); w.put(0, 1) // VERBATIM
       var i = 0
-      while (i < n) { w.put(s(off + i).toLong & 0xFFFF, 16); i += 1 }
+      while (i < n) { w.put(s(off + i).toLong & mask, bps); i += 1 }
       return
     }
     w.put(0, 1); w.put(8 + order, 6); w.put(0, 1) // FIXED(order), no wasted bits
     var i = 0
-    while (i < order) { w.put(s(off + i).toLong & 0xFFFF, 16); i += 1 }
+    while (i < order) { w.put(s(off + i).toLong & mask, bps); i += 1 }
     w.put(0, 2) // residual method 0 (4-bit rice)
     w.put(0, 4) // partition order 0
     w.put(param, 4)

@@ -58,6 +58,29 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("stereo round-trips through every channel assignment, bit-exact") {
+    val n = 5000
+    val left = signal(31L, n)
+    val right = Array.tabulate(n)(i => signal(37L, n)(i) / 2 + (if (i % 3 == 0) 11 else -4))
+    for (asgn <- Seq(1, 8, 9, 10)) { // independent, L/S, R/S, M/S
+      val dec = Flac.decode(Flac.encodeStereo16(44100, left, right, asgn))
+      assert(dec != null, s"assignment $asgn")
+      assert(dec.length == 2 * n)
+      val gotL = Array.tabulate(n)(i => dec(2 * i))
+      val gotR = Array.tabulate(n)(i => dec(2 * i + 1))
+      assert(gotL.toSeq == left.toSeq, s"left channel, assignment $asgn")
+      assert(gotR.toSeq == right.toSeq, s"right channel, assignment $asgn")
+    }
+    // full-range extremes through the side channel (17-bit values)
+    val lx = Array.tabulate(600)(i => if (i % 2 == 0) 32767 else -32768)
+    val rx = Array.tabulate(600)(i => if (i % 2 == 0) -32768 else 32767)
+    for (asgn <- Seq(8, 9, 10)) {
+      val dec = Flac.decode(Flac.encodeStereo16(8000, lx, rx, asgn))
+      assert(dec != null && Array.tabulate(600)(i => dec(2 * i)).toSeq == lx.toSeq &&
+        Array.tabulate(600)(i => dec(2 * i + 1)).toSeq == rx.toSeq, s"extremes asgn $asgn")
+    }
+  }
+
   test("corrupt payloads return null, never throw") {
     val good = Flac.encodeMono16(16000, signal(9L, 4000))
     val rnd = new scala.util.Random(11)
