@@ -46,6 +46,67 @@ class MediaPropertySpec extends SparkSpec {
     }, "thumbnail_dims")
   }
 
+  test("FLAC round-trips arbitrary mono signals bit-exactly and matches WAV fingerprints") {
+    val sig = for {
+      n <- Gen.chooseNum(1, 6000) // spans the <64-sample edge AND multi-rice shapes
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      samples <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+    } yield (rate, samples.toArray)
+    check(Prop.forAll(sig) { case (rate, samples) =>
+      val flac = Flac.encodeMono16(rate, samples)
+      val back = Flac.decode(flac)
+      val sameSamples = back != null && back.toSeq == samples.toSeq
+      val fpW = MediaKernels.audioFingerprint(MediaKernels.encodeWav(rate, samples))
+      val fpF = MediaKernels.audioFingerprint(flac)
+      sameSamples && fpW == fpF // both null below 64 samples, equal above
+    }, "flac_roundtrip")
+  }
+
+  test("stereo FLAC round-trips arbitrary pairs under every channel assignment") {
+    val sig = for {
+      n <- Gen.chooseNum(1, 3000)
+      asgn <- Gen.oneOf(1, 8, 9, 10)
+      l <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+      r <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+    } yield (asgn, l.toArray, r.toArray)
+    check(Prop.forAll(sig) { case (asgn, l, r) =>
+      val dec = Flac.decode(Flac.encodeStereo16(16000, l, r, asgn))
+      dec != null && dec.length == 2 * l.length &&
+        l.indices.forall(i => dec(2 * i) == l(i) && dec(2 * i + 1) == r(i))
+    }, "flac_stereo_roundtrip")
+  }
+
+  test("baseline JPEG at flat quant round-trips arbitrary images within DCT rounding") {
+    val img = for {
+      w <- Gen.chooseNum(1, 48)
+      h <- Gen.chooseNum(1, 40)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.toArray)
+    check(Prop.forAll(img) { case (w, h, px) =>
+      val gGray = Jpeg.decode(Jpeg.encodeGray(w, h, px))
+      val gYcc = Jpeg.decode(Jpeg.encodeYcc420(w, h, px))
+      gGray != null && gGray.w == w && gGray.h == h &&
+        gYcc != null && gYcc.w == w && gYcc.h == h &&
+        px.indices.forall(i => math.abs(gGray.px(i) - px(i)) <= 2 &&
+          math.abs(gYcc.px(i) - px(i)) <= 2)
+    }, "jpeg_roundtrip")
+  }
+
+  test("interlaced PNG and RLE8/palette BMP round-trip arbitrary images bit-exactly") {
+    val img = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      rle <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, rle, px.toArray)
+    check(Prop.forAll(img) { case (w, h, rle, px) =>
+      val viaI = ImageKernels.decodeGrayPublic(ImageKernels.encodePngInterlaced(w, h, px))
+      val via8 = ImageKernels.decodeGrayPublic(ImageKernels.encodeBmp8(w, h, px, rle))
+      viaI != null && viaI.px.sameElements(px) &&
+        via8 != null && via8.px.sameElements(px)
+    }, "interlaced_rle_roundtrip")
+  }
+
   test("WAV PCM16 round-trips arbitrary samples; features satisfy their algebra") {
     val sig = for {
       n <- Gen.chooseNum(1, 400)
