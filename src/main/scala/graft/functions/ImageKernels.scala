@@ -401,11 +401,15 @@ object ImageKernels {
   }
 
   /** PNG: 8-bit gray (0), RGB (2), palette (3, PLTE-mapped), gray+alpha
-    * (4), RGBA (6); filters 0-4; non-interlaced AND Adam7 interlaced. */
+    * (4), RGBA (6), plus 1/2/4-bit gray and palette (the icon/diagram
+    * depths); filters 0-4; non-interlaced AND Adam7 interlaced. */
   private def decodePng(b: Array[Byte]): Gray = {
     val w = be32(b, 16); val h = be32(b, 20)
     val bitDepth = b(24) & 0xFF; val colorType = b(25) & 0xFF; val interlace = b(28) & 0xFF
-    if (bitDepth != 8 || interlace > 1) return null
+    if (interlace > 1) return null
+    val subByte = bitDepth == 1 || bitDepth == 2 || bitDepth == 4
+    if (subByte && colorType != 0 && colorType != 3) return null
+    if (!subByte && bitDepth != 8) return null // 16-bit: ImageIO fallback
     val channels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
     }
@@ -435,9 +439,11 @@ object ImageKernels {
       val (x0, y0, xs, ys) = p
       ((w - x0 + xs - 1) / xs, (h - y0 + ys - 1) / ys)
     }
+    def rowBytes(pw: Int): Int =
+      if (subByte) (pw * bitDepth + 7) / 8 else pw * channels
     val rawLen = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw == 0 || ph == 0) 0L else (pw.toLong * channels + 1) * ph
+      if (pw == 0 || ph == 0) 0L else (rowBytes(pw).toLong + 1) * ph
     }.sum
     if (rawLen > Int.MaxValue) return null
     val inf = new java.util.zip.Inflater()
@@ -458,7 +464,11 @@ object ImageKernels {
       val (x0, y0, xs, ys) = pass
       val (pw, ph) = passDims(pass)
       if (pw > 0 && ph > 0) {
-        val stride = pw * channels
+        val stride = rowBytes(pw)
+        // filters operate on BYTES; at sub-byte depths the "corresponding
+        // byte" distance is one byte (PNG spec: filtering is byte-wise
+        // with bpp rounded up to 1)
+        val fbpp = if (subByte) 1 else bpp
         // undo per-row filters (prev = reconstructed previous row OF THE
         // SAME PASS), then scatter into the image grid
         val cur = new Array[Int](stride)
@@ -471,9 +481,9 @@ object ImageKernels {
           var i = 0
           while (i < stride) {
             val x = raw(ro + 1 + i) & 0xFF
-            val a = if (i >= bpp) cur(i - bpp) else 0
+            val a = if (i >= fbpp) cur(i - fbpp) else 0
             val up = prev(i)
-            val c = if (i >= bpp) prev(i - bpp) else 0
+            val c = if (i >= fbpp) prev(i - fbpp) else 0
             cur(i) = filter match {
               case 0 => x
               case 1 => (x + a) & 0xFF
@@ -490,13 +500,19 @@ object ImageKernels {
           }
           var x = 0
           while (x < pw) {
-            val o = x * channels
+            val v =
+              if (subByte) {
+                val bitPos = x * bitDepth
+                val shift = 8 - bitDepth - (bitPos & 7)
+                (cur(bitPos >> 3) >> shift) & ((1 << bitDepth) - 1)
+              } else cur(x * channels)
             px((y0 + y * ys) * w + (x0 + x * xs)) =
-              if (colorType == 3) paletteLuma(cur(o) % paletteLuma.length)
+              if (colorType == 3) paletteLuma(v % paletteLuma.length)
+              else if (subByte) v * 255 / ((1 << bitDepth) - 1) // gray scale-up
               else channels match {
-                case 1 => cur(o)
-                case 2 => cur(o) // gray+alpha: luma is the gray sample
-                case _ => luma(cur(o), cur(o + 1), cur(o + 2))
+                case 1 => v
+                case 2 => v // gray+alpha: luma is the gray sample
+                case _ => luma(cur(x * channels), cur(x * channels + 1), cur(x * channels + 2))
               }
             x += 1
           }

@@ -201,13 +201,21 @@ object ScaleProbe {
         import spark.implicits._
         // ids ending 00/01 share a base pattern (~1% dup pairs, linear in
         // n — a seed family like the gate fixture's %250 rule would grow
-        // group sizes with the corpus and the PAIR count quadratically)
+        // group sizes with the corpus and the PAIR count quadratically).
+        // Containers rotate PNG / BMP / baseline JPEG so a third of the
+        // rows time the native T.81 decode (Huffman + fixed-point IDCT),
+        // the real crawl mix shape.
         val media = docs.select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val seed = if (id % 100 < 2) (id / 100) * 100 else id
             val px = GenImages.pattern(seed, 64, 64)
             val p2 = if (id % 100 == 1) GenImages.perturb(px, 64, 64, 3) else px
-            (id, graft.functions.ImageKernels.encodeBmp(64, 64, p2))
+            val bytes = (id % 3) match {
+              case 0 => graft.functions.ImageKernels.encodePng(64, 64, p2)
+              case 1 => graft.functions.ImageKernels.encodeBmp(64, 64, p2)
+              case _ => graft.functions.Jpeg.encodeYcc420(64, 64, p2)
+            }
+            (id, bytes)
           })
           .toDF("media_id", "content")
         graft.functions.Images.phashPairs(media, "media_id", "content",

@@ -69,6 +69,44 @@ class ImagesSpec extends SparkSpec {
     }
   }
 
+  test("sub-byte PNGs (1-bit binary, 4-bit palette) decode natively, agreeing with ImageIO") {
+    // 1-bit: TYPE_BYTE_BINARY checkerboard
+    val bw = 19; val bh = 11
+    val bin = new java.awt.image.BufferedImage(bw, bh,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until bh; x <- 0 until bw)
+      bin.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0)
+    val bos1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bin, "png", bos1)
+    val oneBit = bos1.toByteArray
+    assert((oneBit(24) & 0xFF) < 8, "fixture must be sub-byte depth")
+    val g1 = ImageKernels.decodeGrayPublic(oneBit)
+    assert(g1 != null && g1.w == bw && g1.h == bh)
+    for (y <- 0 until bh; x <- 0 until bw)
+      assert(g1.px(y * bw + x) == (if ((x + y) % 2 == 0) 255 else 0), s"($x,$y)")
+
+    // 4-bit: indexed image with a 16-entry gray palette
+    val grays = Array.tabulate(16)(i => (i * 17).toByte)
+    val icm = new java.awt.image.IndexColorModel(4, 16, grays, grays, grays)
+    val idx = new java.awt.image.BufferedImage(bw, bh,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until bh; x <- 0 until bw) {
+      val v = (x * 3 + y * 5) % 16 * 17
+      idx.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos4 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(idx, "png", bos4)
+    val fourBit = bos4.toByteArray
+    // ImageIO may emit the all-gray palette as 4-bit GRAYSCALE (type 0)
+    // instead of palette (type 3) — both are the sub-byte path under test
+    assert((fourBit(24) & 0xFF) == 4 && Set(0, 3)((fourBit(25) & 0xFF)),
+      "fixture must be 4-bit")
+    val g4 = ImageKernels.decodeGrayPublic(fourBit)
+    assert(g4 != null && g4.w == bw && g4.h == bh)
+    for (y <- 0 until bh; x <- 0 until bw)
+      assert(g4.px(y * bw + x) == (x * 3 + y * 5) % 16 * 17, s"($x,$y) 4-bit")
+  }
+
   test("meta parses big-endian EXIF and ImageIO-written JPEG dimensions") {
     val bi = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()
