@@ -305,7 +305,7 @@ object Pdf {
   /** LZW decode per ISO 32000-1 §7.4.4 (TIFF-convention LZW): 8-bit
     * symbols, variable 9-12 bit codes, 256 = clear table, 257 = EOD;
     * `earlyChange` widens the code one entry early (the spec default 1). */
-  private[engine] def lzwDecode(in: Array[Byte], earlyChange: Int): Array[Byte] = {
+  private[graft] def lzwDecode(in: Array[Byte], earlyChange: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(in.length * 3)
     val dict = new Array[Array[Byte]](4096)
     var dictSize = 0

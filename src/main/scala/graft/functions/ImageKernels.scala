@@ -251,6 +251,7 @@ object ImageKernels {
         case ("png", _, _, _) => decodePng(b)
         case ("gif", _, _, _) => decodeGif(b)
         case ("jpeg", _, _, _) => Jpeg.decode(b)
+        case ("tiff", _, _, _) => decodeTiff(b)
         case null => return null
         case _ => null
       }
@@ -573,6 +574,153 @@ object ImageKernels {
     chunk("IDAT", z.toByteArray)
     chunk("IEND", Array.empty[Byte])
     out.toByteArray
+  }
+
+  /** Baseline TIFF (TIFF 6.0, first IFD, both byte orders): 8-bit gray /
+    * RGB / palette, strip layout, compressions 1 (none), 5 (LZW — the
+    * same TIFF-convention coder as PDF §7.4.4, shared), 8 (Deflate) and
+    * 32773 (PackBits), horizontal-differencing predictor, WhiteIsZero
+    * inversion. Tiled, 16-bit, and CCITT/JPEG-in-TIFF variants fall back
+    * to ImageIO. */
+  private def decodeTiff(b: Array[Byte]): Gray = {
+    val little = b(0) == 'I'
+    def u16(p: Int): Int =
+      if (little) le16(b, p) else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    def u32(p: Int): Int = if (little) le32(b, p) else be32(b, p)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = u16(ifd)
+    // tag -> (type, count, valueOffsetField)
+    var w = 0; var h = 0; var comp = 1; var photo = 1; var spp = 1
+    var rowsPerStrip = Int.MaxValue; var predictor = 1
+    var bitsOk = true
+    var stripOffsets: Array[Int] = null
+    var stripCounts: Array[Int] = null
+    var colorMapOff = -1; var colorMapCount = 0
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > b.length) return null
+      val tag = u16(e); val typ = u16(e + 2); val count = u32(e + 4)
+      def scalar: Int = if (typ == 3) u16(e + 8) else u32(e + 8)
+      def intArray: Array[Int] = {
+        val size = if (typ == 3) 2 else 4
+        val off = if (count * size <= 4) e + 8 else u32(e + 8)
+        if (off < 0 || off + count * size > b.length) return null
+        Array.tabulate(count)(k => if (typ == 3) u16(off + k * 2) else u32(off + k * 4))
+      }
+      tag match {
+        case 256 => w = scalar
+        case 257 => h = scalar
+        case 258 => bitsOk = intArray.forall(_ == 8)
+        case 259 => comp = scalar
+        case 262 => photo = scalar
+        case 273 => stripOffsets = intArray
+        case 277 => spp = scalar
+        case 278 => rowsPerStrip = scalar
+        case 279 => stripCounts = intArray
+        case 317 => predictor = scalar
+        case 320 => colorMapOff = u32(e + 8); colorMapCount = count
+        case 322 | 323 => return null // tiled layout: ImageIO fallback
+        case _ => ()
+      }
+      i += 1
+    }
+    if (w <= 0 || h <= 0 || !bitsOk || stripOffsets == null || stripCounts == null) return null
+    if (stripOffsets.length != stripCounts.length) return null
+    if (predictor != 1 && predictor != 2) return null
+    if (w.toLong * h > (1L << 26)) return null
+    val channels = spp
+    if (photo == 2 && channels < 3) return null
+    if ((photo == 0 || photo == 1 || photo == 3) && channels != 1) return null
+    val palette: Array[Int] =
+      if (photo == 3) {
+        if (colorMapOff < 0 || colorMapCount < 3 * 256) return null
+        // ColorMap: 16-bit R[256] G[256] B[256]
+        Array.tabulate(256) { k =>
+          luma(u16(colorMapOff + k * 2) >> 8,
+            u16(colorMapOff + (256 + k) * 2) >> 8,
+            u16(colorMapOff + (512 + k) * 2) >> 8)
+        }
+      } else null
+
+    val stride = w * channels
+    val px = new Array[Int](w * h)
+    var row0 = 0
+    var s = 0
+    while (s < stripOffsets.length && row0 < h) {
+      val off = stripOffsets(s)
+      val len = stripCounts(s)
+      if (off < 0 || len < 0 || off + len > b.length) return null
+      val rows = math.min(rowsPerStrip, h - row0)
+      val expect = rows * stride
+      val raw: Array[Byte] = comp match {
+        case 1 =>
+          if (len < expect) return null
+          java.util.Arrays.copyOfRange(b, off, off + expect)
+        case 5 =>
+          graft.engine.Pdf.lzwDecode(java.util.Arrays.copyOfRange(b, off, off + len), 1)
+        case 8 | 32946 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(b, off, len)
+          val out = new Array[Byte](expect)
+          var got = 0
+          while (got < expect && !inf.finished()) {
+            val k = inf.inflate(out, got, expect - got)
+            if (k == 0 && inf.needsInput()) return null
+            got += k
+          }
+          inf.end()
+          if (got < expect) return null
+          out
+        case 32773 =>
+          val out = new java.io.ByteArrayOutputStream(expect)
+          var p = off
+          while (out.size() < expect && p < off + len) {
+            val c = b(p).toInt // signed per PackBits
+            p += 1
+            if (c >= 0) { // literal run of c+1
+              if (p + c + 1 > b.length) return null
+              out.write(b, p, c + 1); p += c + 1
+            } else if (c != -128) { // repeat next byte 1-c times
+              if (p >= b.length) return null
+              var k = 0
+              while (k < 1 - c) { out.write(b(p)); k += 1 }
+              p += 1
+            }
+          }
+          out.toByteArray
+        case _ => return null // CCITT / JPEG-in-TIFF: ImageIO fallback
+      }
+      if (raw.length < expect) return null
+      var y = 0
+      while (y < rows) {
+        val ro = y * stride
+        if (predictor == 2) { // horizontal differencing, per channel
+          var x = channels
+          while (x < stride) {
+            raw(ro + x) = ((raw(ro + x) + raw(ro + x - channels)) & 0xFF).toByte
+            x += 1
+          }
+        }
+        var x = 0
+        while (x < w) {
+          val v = raw(ro + x * channels) & 0xFF
+          px((row0 + y) * w + x) =
+            if (palette != null) palette(v)
+            else if (photo == 0) 255 - v // WhiteIsZero
+            else if (channels >= 3) luma(v, raw(ro + x * channels + 1) & 0xFF,
+              raw(ro + x * channels + 2) & 0xFF)
+            else v
+          x += 1
+        }
+        y += 1
+      }
+      row0 += rows
+      s += 1
+    }
+    if (row0 < h) return null
+    Gray(w, h, px)
   }
 
   /** GIF: first image block, global color table, LZW decode; 89a extension

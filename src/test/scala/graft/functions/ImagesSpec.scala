@@ -107,6 +107,46 @@ class ImagesSpec extends SparkSpec {
       assert(g4.px(y * bw + x) == (x * 3 + y * 5) % 16 * 17, s"($x,$y) 4-bit")
   }
 
+  test("TIFF strips decode natively across compressions, agreeing with ImageIO") {
+    def writeTiff(bi: java.awt.image.BufferedImage, compression: Option[String]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      compression.foreach { c =>
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val ww = 37; val hh = 22
+    val p = GenImages.pattern(29, ww, hh)
+    for (compression <- Seq(None, Some("LZW"), Some("PackBits"), Some("Deflate"));
+         rgb <- Seq(false, true)) {
+      val bi = new java.awt.image.BufferedImage(ww, hh,
+        if (rgb) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until hh).foreach(y => (0 until ww).foreach { x =>
+        val v = p(y * ww + x)
+        // raster samples, not setRGB: the gray color-space conversion
+        // would rescale the stored byte
+        (0 until bi.getRaster.getNumBands).foreach(c =>
+          bi.getRaster.setSample(x, y, c, v))
+      })
+      val bytes = writeTiff(bi, compression)
+      assert(ImageKernels.imageMeta(bytes) == ("tiff", ww, hh, 0))
+      val g = ImageKernels.decodeGrayPublic(bytes)
+      assert(g != null && g.w == ww && g.h == hh, s"$compression rgb=$rgb")
+      // equal-channel pixels: luma == gray value in both paths
+      (0 until hh).foreach(y => (0 until ww).foreach { x =>
+        assert(g.px(y * ww + x) == p(y * ww + x), s"($x,$y) $compression rgb=$rgb")
+      })
+    }
+  }
+
   test("meta parses big-endian EXIF and ImageIO-written JPEG dimensions") {
     val bi = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()
