@@ -19,10 +19,15 @@ import java.nio.charset.StandardCharsets
  * (one task per document — the WARC pattern; PDFs in a corpus are many
  * small files).
  *
+ * Encrypted documents with the standard security handler and an EMPTY
+ * user password — the common "protected" shape — decrypt transparently
+ * ([[PdfCrypt]]: RC4 R2-R4, AES-128 /AESV2, AES-256 /AESV3 R5/R6).
+ *
  * Honest scope: digitally-born text PDFs. Scanned/image-only pages yield
- * empty text (OCR is out of scope — no model ships here); encrypted
- * documents and remaining exotic filters (DCT, JBIG2, CCITT) are skipped
- * per-stream rather than failing the document.
+ * empty text (OCR is out of scope — no model ships here); genuinely
+ * password-protected documents refuse cleanly (empty pages, never
+ * garbled bytes), and remaining exotic filters (DCT, JBIG2, CCITT) are
+ * skipped per-stream rather than failing the document.
  *
  * A minimal deterministic WRITER backs the oracle gate and round-trip
  * specs: simple Helvetica pages (optional Flate), or composite-font
@@ -41,17 +46,36 @@ object Pdf {
       throw new IllegalArgumentException("not a PDF (missing %PDF- header)")
 
     val objs0 = scanObjects(s)
+
+    // Standard security handler: the trailer's /Encrypt dictionary (take
+    // the LAST occurrence — incremental updates append) + first /ID
+    // element derive the file key for the EMPTY user password; a
+    // genuinely password-protected document yields no decryptor and its
+    // streams are skipped rather than garbled.
+    val dec: Option[PdfCrypt.Decryptor] = {
+      val encRef = """(?s)/Encrypt\s+(\d+)\s+0\s+R""".r.findAllMatchIn(s)
+        .toSeq.lastOption.map(_.group(1).toInt)
+      encRef.flatMap(objs0.get).flatMap { encDict =>
+        val id0 = """(?s)/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
+          .map(_.group(1).filterNot(_.isWhitespace).sliding(2, 2)
+            .map(h => Integer.parseInt(h, 16).toByte).toArray)
+          .getOrElse(Array.empty[Byte])
+        PdfCrypt.decryptor(encDict, id0)
+      }
+    }
+
     // PDF 1.5+ object streams: page/font/catalog dictionaries routinely
     // live COMPRESSED inside /Type /ObjStm containers (content streams
     // cannot, so text extraction only needs the dict layer expanded).
     // Each ObjStm: N pairs of "objnum offset" then concatenated bodies
-    // at /First.
+    // at /First. Objects INSIDE a container are not re-encrypted — the
+    // container stream is.
     val objs: Map[Int, String] = {
       val expanded = scala.collection.mutable.Map[Int, String]()
-      objs0.values.foreach { o =>
+      objs0.foreach { case (containerNum, o) =>
         if (o.contains("/ObjStm")) {
           for {
-            data <- decodeStream(o)
+            data <- decodeStream(o, containerNum, dec)
             n <- """(?s)/N\s+(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toInt)
             first <- """(?s)/First\s+(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toInt)
           } {
@@ -107,16 +131,17 @@ object Pdf {
         m <- """/([A-Za-z0-9._+-]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fontDict)
         fontObj <- objs.get(m.group(2).toInt)
         tuRef <- """(?s)/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(fontObj)
-        tuObj <- objs.get(tuRef.group(1).toInt)
-        data <- decodeStream(tuObj)
+        tuNum = tuRef.group(1).toInt
+        tuObj <- objs.get(tuNum)
+        data <- decodeStream(tuObj, tuNum, dec)
       } yield m.group(1) -> parseCMap(new String(data, StandardCharsets.ISO_8859_1))).toMap
 
       val contentRefs = """(?s)/Contents\s*(?:\[(.*?)\]|(\d+)\s+0\s+R)""".r
         .findFirstMatchIn(page)
         .map(m => if (m.group(1) != null) refsIn(m.group(1)) else Seq(m.group(2).toInt))
         .getOrElse(Nil)
-      contentRefs.flatMap(objs.get).map { obj =>
-        decodeStream(obj)
+      contentRefs.flatMap(cn => objs.get(cn).map(cn -> _)).map { case (cn, obj) =>
+        decodeStream(obj, cn, dec)
           .map(d => extractShownText(new String(d, StandardCharsets.ISO_8859_1), fonts))
           .getOrElse("")
       }.mkString("\n")
@@ -186,9 +211,16 @@ object Pdf {
     objs.toMap
   }
 
-  /** Decode an object's stream payload (raw / Flate / LZW); None when the
-    * object has no stream or carries an unsupported filter. */
-  private def decodeStream(obj: String): Option[Array[Byte]] = {
+  /** [[parseString]] face for PdfCrypt's literal-string /O //U parsing. */
+  private[engine] def parseStringPublic(cs: String, start: Int): (String, Int) =
+    parseString(cs, start)
+
+  /** Decode an object's stream payload (decrypt first when a document
+    * decryptor applies — decryption wraps OUTSIDE the filters — then
+    * raw / Flate / LZW / ASCIIHex / ASCII85); None when the object has no
+    * stream or carries an unsupported filter. */
+  private def decodeStream(obj: String, num: Int = 0,
+                           dec: Option[PdfCrypt.Decryptor] = None): Option[Array[Byte]] = {
     val si = obj.indexOf("stream")
     if (si < 0) return None
     var ds = si + "stream".length
@@ -212,7 +244,11 @@ object Pdf {
         if (r > ds && obj.charAt(r - 1) == '\r') r -= 1
         r
     }
-    val raw = obj.substring(ds, re).getBytes(StandardCharsets.ISO_8859_1)
+    val raw0 = obj.substring(ds, re).getBytes(StandardCharsets.ISO_8859_1)
+    val raw = dec match {
+      case Some(d) => d.decrypt(num, 0, raw0)
+      case None => raw0
+    }
     if (dict.contains("/FlateDecode")) {
       try {
         val inf = new java.util.zip.Inflater()
@@ -591,6 +627,14 @@ object Pdf {
                 lzw: Boolean = false): Unit =
     writeDoc(path, pages, cmapFont = true, filter = if (lzw) "lzw" else "flate")
 
+  /** Encrypted variant (standard security handler, EMPTY user and owner
+    * passwords — the "protected" shape any conforming reader opens
+    * without prompting). `mode`: "rc4" (R3), "aes" (R4 /AESV2), "aes256"
+    * (R6 /AESV3). */
+  def writeEncrypted(path: java.nio.file.Path, pages: Seq[String],
+                     mode: String = "rc4"): Unit =
+    writeDoc(path, pages, cmapFont = false, filter = "flate", encrypt = Some(mode))
+
   private def encodeFilter(payload: Array[Byte], filter: String): (Array[Byte], String) =
     filter match {
       case "flate" =>
@@ -606,15 +650,26 @@ object Pdf {
     }
 
   private def writeDoc(path: java.nio.file.Path, pages: Seq[String],
-                       cmapFont: Boolean, filter: String): Unit = {
+                       cmapFont: Boolean, filter: String,
+                       encrypt: Option[String] = None): Unit = {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
     def beginObj(n: Int): Unit = { offsets += out.size().toLong; w(s"$n 0 obj\n") }
+    // deterministic document ID: derived from the page content
+    val id0: Array[Byte] = java.security.MessageDigest.getInstance("MD5")
+      .digest(pages.mkString("\u0000").getBytes(StandardCharsets.UTF_8))
+    val crypt: Option[(String, (Int, Int, Array[Byte]) => Array[Byte])] =
+      encrypt.map(PdfCrypt.writerFor(_, id0))
     def streamObj(n: Int, payload: Array[Byte], extraDict: String = ""): Unit = {
-      val (bytes, f) = encodeFilter(payload, filter)
+      val (encoded, f) = encodeFilter(payload, filter)
+      // the cipher wraps OUTSIDE the filters (readers decrypt, then decode)
+      val bytes = crypt match {
+        case Some((_, fn)) => fn(n, 0, encoded)
+        case None => encoded
+      }
       beginObj(n)
       w(s"<< /Length ${bytes.length}$f$extraDict >>\nstream\n")
       out.write(bytes)
@@ -693,11 +748,21 @@ object Pdf {
       sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
       streamObj(cmapObj, sb.toString.getBytes(StandardCharsets.ISO_8859_1))
     }
+    var total = (if (cmapFont) cmapObj else fontObj) + 1
+    val encTrailer = crypt match {
+      case Some((dict, _)) =>
+        val encObj = total
+        beginObj(encObj)
+        w(s"<< $dict >>\nendobj\n")
+        total += 1
+        val idHex = id0.map(b => f"$b%02X").mkString
+        s" /Encrypt $encObj 0 R /ID [<$idHex> <$idHex>]"
+      case None => ""
+    }
     val xrefAt = out.size()
-    val total = (if (cmapFont) cmapObj else fontObj) + 1
     w(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    w(s"trailer\n<< /Size $total /Root 1 0 R$encTrailer >>\nstartxref\n$xrefAt\n%%EOF\n")
     java.nio.file.Files.write(path, out.toByteArray)
   }
 }

@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** PDF standard security handler: encrypted round-trips at every
+  * revision, cross-implementation validation against an independently
+  * written (pure-Python, spec-derived) RC4 fixture, and the
+  * wrong-password refusal path. */
+class PdfCryptSpec extends AnyFunSuite {
+
+  private val pages = Seq("secret page one\nwith two lines", "page two")
+
+  test("RC4 (R3) encrypted round-trip extracts the text") {
+    val f = Files.createTempFile("graft-rc4", ".pdf")
+    Pdf.writeEncrypted(f, pages, mode = "rc4")
+    val raw = new String(Files.readAllBytes(f), "ISO-8859-1")
+    assert(raw.contains("/Encrypt") && !raw.contains("secret page"),
+      "content must actually be encrypted in the file")
+    assert(Pdf.extractText(Files.readAllBytes(f)) == pages.toVector)
+  }
+
+  test("AES-128 (R4 /AESV2) encrypted round-trip extracts the text") {
+    val f = Files.createTempFile("graft-aes", ".pdf")
+    Pdf.writeEncrypted(f, pages, mode = "aes")
+    val raw = new String(Files.readAllBytes(f), "ISO-8859-1")
+    assert(raw.contains("/AESV2") && !raw.contains("secret page"))
+    assert(Pdf.extractText(Files.readAllBytes(f)) == pages.toVector)
+  }
+
+  test("AES-256 (R6 /AESV3) encrypted round-trip extracts the text") {
+    val f = Files.createTempFile("graft-aes256", ".pdf")
+    Pdf.writeEncrypted(f, pages, mode = "aes256")
+    val raw = new String(Files.readAllBytes(f), "ISO-8859-1")
+    assert(raw.contains("/AESV3") && !raw.contains("secret page"))
+    assert(Pdf.extractText(Files.readAllBytes(f)) == pages.toVector)
+  }
+
+  test("decrypts the independently-generated Python RC4 fixture (cross-implementation)") {
+    // tools/gen_encrypted_pdf.py implements Algorithms 2/3/5 and RC4 from
+    // the spec in pure Python — agreement here means the Scala key
+    // derivation is right, not merely self-consistent
+    val bytes = getClass.getResourceAsStream("/encrypted-rc4-r3.pdf").readAllBytes()
+    assert(Pdf.extractText(bytes) == Vector("python wrote this"))
+  }
+
+  test("a genuinely password-protected document refuses cleanly (no garbled text)") {
+    // flip bytes inside /U so the empty-password validation fails: the
+    // decryptor must be None and pages extract EMPTY, never RC4 garbage
+    val f = Files.createTempFile("graft-rc4-bad", ".pdf")
+    Pdf.writeEncrypted(f, pages, mode = "rc4")
+    val raw = new String(Files.readAllBytes(f), "ISO-8859-1")
+    val uIdx = raw.lastIndexOf("/U <")
+    val doctored = raw.substring(0, uIdx + 4) + "00112233445566778899AABBCCDDEEFF" +
+      raw.substring(uIdx + 4 + 32)
+    val out = Pdf.extractText(doctored.getBytes("ISO-8859-1"))
+    assert(out == Vector("", ""), s"must refuse (one empty string per page), got $out")
+  }
+
+  test("RC4 and the 2.B hash agree with themselves deterministically") {
+    val d = PdfCrypt.rc4("key".getBytes, "plaintext".getBytes)
+    assert(PdfCrypt.rc4("key".getBytes, d).toSeq == "plaintext".getBytes.toSeq)
+    val h1 = PdfCrypt.hash2B("pw".getBytes, "saltsalt".getBytes, Array.empty)
+    assert(h1.length == 32 && h1.toSeq == PdfCrypt.hash2B("pw".getBytes,
+      "saltsalt".getBytes, Array.empty).toSeq)
+  }
+
+  test("corruption fuzz over an encrypted document never throws") {
+    val f = Files.createTempFile("graft-encfuzz", ".pdf")
+    Pdf.writeEncrypted(f, Seq("fuzz page"), mode = "aes")
+    val full = Files.readAllBytes(f)
+    val rnd = new scala.util.Random(17)
+    (1 to 120).foreach { _ =>
+      val c = full.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      try Pdf.extractText(c)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+}
