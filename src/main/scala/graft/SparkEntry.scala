@@ -123,6 +123,22 @@ object SparkEntry {
           element_at(split(col("text"), "\n"), 2).as("r_name"))
     }),
 
+    // encrypted pdf (standard security handler, AES-128 /AESV2, empty
+    // user password — the "protected" shape): content streams decrypt
+    // transparently through PdfCrypt before the Flate decode
+    "q_source_pdf_enc" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region-enc", ".pdf")
+      graft.engine.Pdf.writeEncrypted(f,
+        rows.map(r => s"${r.get(0)}\n${r.getString(1)}").toSeq, mode = "aes")
+      graft.engine.Sources.read(s, "region_pdf_enc",
+        Map("file" -> f.toString), f.getParent)
+        .select(
+          element_at(split(col("text"), "\n"), 1).as("r_regionkey"),
+          element_at(split(col("text"), "\n"), 2).as("r_name"))
+    }),
+
     // region → sas7bdat (tools/GenSas, the pandas-cross-validated writer) →
     // native Sas reader; numeric key exercises the SAS-double decode path
     "q_source_sas" -> ((s, d) => {
@@ -1123,10 +1139,11 @@ object SparkEntry {
 
     // perceptual image near-dedup: ids i and i+250 share a base pattern
     // (the copy carries a faint low-frequency gradient AND a different
-    // container format — id%3 rotates PNG / BMP / baseline JPEG, the last
-    // decoded by the native bit-stable T.81 path), unrelated patterns are
-    // ≥16 pHash bits apart; pHash → 4×16-bit band join → hamming ≤ 3 →
-    // connected components must recover exactly the constructed pairing
+    // container format — id%4 rotates PNG / BMP / baseline JPEG / TIFF,
+    // the latter two through the native bit-stable T.81 and strip decode
+    // paths), unrelated patterns are ≥16 pHash bits apart; pHash →
+    // 4×16-bit band join → hamming ≤ 3 → connected components must
+    // recover exactly the constructed pairing
     "q_image_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
@@ -1327,6 +1344,9 @@ object SparkEntry {
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_source_pdf_cmap" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_pdf_enc" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_source_wet" ->

@@ -143,6 +143,32 @@ object ImageKernels {
     out.toByteArray
   }
 
+  /** Little-endian uncompressed 8-bit grayscale TIFF (single strip) —
+    * fixture encoder for the native strip decoder. */
+  def encodeTiffGray(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >> 16) & 0xFFFF) }
+    out.write('I'); out.write('I'); u16(42); u32(8) // IFD0 at 8
+    val nTags = 8
+    val dataOff = 8 + 2 + nTags * 12 + 4
+    u16(nTags)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      u16(id); u16(typ); u32(count); u32(value)
+    }
+    tag(256, 4, 1, w)            // ImageWidth
+    tag(257, 4, 1, h)            // ImageLength
+    tag(258, 3, 1, 8)            // BitsPerSample
+    tag(259, 3, 1, 1)            // Compression: none
+    tag(262, 3, 1, 1)            // Photometric: BlackIsZero
+    tag(273, 4, 1, dataOff)      // StripOffsets
+    tag(278, 4, 1, h)            // RowsPerStrip
+    tag(279, 4, 1, w * h)        // StripByteCounts
+    u32(0) // no next IFD
+    px.foreach(v => out.write(v & 0xFF))
+    out.toByteArray
+  }
+
   /** Minimal little-endian TIFF metadata fixture (IFD0 width/height). */
   def encodeTiffHeader(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

@@ -15,10 +15,11 @@ import graft.functions.ImageKernels
   * Dedup fixture (q_image_phash_dedup): 64×64 blocky pattern seeded by
   * id%250 — ids ≥250 add a faint low-frequency gradient (amp 3, pHash
   * hamming ≤2 measured over the pattern family, unrelated patterns ≥16;
-  * tools/ImageProbe calibration) — rotating PNG / BMP / baseline-JPEG
-  * containers (id%3) so near-dup detection is exercised ACROSS formats,
-  * including the native T.81 decode path (JpegSpec pins the pair/
-  * non-pair hamming margins with the JPEG members present). */
+  * tools/ImageProbe calibration) — rotating PNG / BMP / baseline-JPEG /
+  * TIFF containers (id%4) so near-dup detection is exercised ACROSS
+  * formats, including the native T.81 and TIFF strip decode paths
+  * (JpegSpec pins the pair/non-pair hamming margins with the JPEG
+  * members present). */
 object GenImages {
 
   def metaWidth(id: Long): Int = 16 + (id % 5).toInt * 8
@@ -41,18 +42,19 @@ object GenImages {
 
   /** The q_image_phash_dedup payload: ids i and i+250 are perceptual
     * near-duplicates (same base pattern, faint gradient on the copy),
-    * carried in different container formats — id%3 rotates PNG / BMP /
-    * baseline JPEG (YCbCr 4:2:0, near-lossless flat quant, decoded by the
-    * native T.81 path), and 250 % 3 == 1 guarantees every constructed
-    * pair crosses containers. */
+    * carried in different container formats — id%4 rotates PNG / BMP /
+    * baseline JPEG (YCbCr 4:2:0, near-lossless flat quant, native T.81
+    * decode) / TIFF (native strip decode), and 250 % 4 == 2 guarantees
+    * every constructed pair crosses containers. */
   def dedupFixture(id: Long): Array[Byte] = {
     val w = 64; val h = 64
     val base = pattern(id % 250, w, h)
     val px = if (id >= 250) perturb(base, w, h, 3) else base
-    (id % 3) match {
+    (id % 4) match {
       case 0 => ImageKernels.encodePng(w, h, px)
       case 1 => ImageKernels.encodeBmp(w, h, px)
-      case _ => graft.functions.Jpeg.encodeYcc420(w, h, px)
+      case 2 => graft.functions.Jpeg.encodeYcc420(w, h, px)
+      case _ => ImageKernels.encodeTiffGray(w, h, px)
     }
   }
 
