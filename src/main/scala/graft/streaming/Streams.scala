@@ -206,6 +206,40 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental AUDIO near-dedup ingest: identical shape to
+    * [[incrementalImageDedupIngest]] with the amplitude-invariant
+    * energy-delta fingerprint as the signature (WAV or native FLAC
+    * payloads — lossless, so the same recording collides across
+    * containers). Hamming 0 is the right default for fingerprints (the
+    * signature is already scale-invariant; near-misses are different
+    * recordings). */
+  def incrementalAudioDedupIngest(docs: DataFrame, idCol: String, binCol: String,
+                                  indexDir: String, outDir: String,
+                                  maxHamming: Int = 0,
+                                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Images
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.expressions.GraftFunctions.register(spark)
+        val index = existingSigIndex(spark, indexDir, excludeBatch = batchId)
+        val sigs = batch.withColumn("__sig__",
+          call_function("audio_fingerprint", col(binCol)))
+        val kept = Images.sigDedupIncremental(sigs, index, idCol, "__sig__", maxHamming)
+          .persist()
+        try {
+          kept.drop("__sig__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          kept.filter(col("__sig__").isNotNull)
+            .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
+              col("__sig__").cast(org.apache.spark.sql.types.LongType).as("sig"))
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        } finally kept.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** The persisted pHash signature index (id, sig), batch partitions
     * except `excludeBatch` — same replay discipline as [[existingIndex]]. */
   private def existingSigIndex(spark: org.apache.spark.sql.SparkSession,

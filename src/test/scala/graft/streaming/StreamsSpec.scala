@@ -281,6 +281,28 @@ class StreamsSpec extends SparkSpec {
     assert(cols == Set("media_id", "content", "batch"))
   }
 
+  test("incrementalAudioDedupIngest: cross-container duplicate drops via the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.tools.GenMedia
+    val dir = java.nio.file.Files.createTempDirectory("graft-aud-ingest")
+    val (idxDir, outDir, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    // delta 1: distinct recordings 0-4; delta 2: 250 is recording 0 at
+    // double amplitude IN THE OTHER CONTAINER (WAV<->FLAC) → must drop via
+    // the persisted fingerprint index; 7 is novel
+    val mem = MemoryStream[(Long, Array[Byte])]
+    def payload(id: Long) = (id, GenMedia.audioDedupFixture(id))
+    val q = Streams.incrementalAudioDedupIngest(mem.toDF().toDF("media_id", "content"),
+      "media_id", "content", idxDir, outDir, checkpointDir = ckpt)
+    try {
+      mem.addData((0L to 4L).map(payload): _*)
+      q.processAllAvailable()
+      mem.addData(Seq(250L, 7L).map(payload): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(outDir).select("media_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 3L, 4L, 7L), s"got $kept")
+  }
+
   test("incrementalDedupIngest: a replayed micro-batch is idempotent across every crash window") {
     // A crashed attempt may have written the batch's OUTPUT partition, its
     // INDEX partition, both, or neither before the checkpoint committed.
