@@ -677,6 +677,26 @@ object SparkEntry {
     // construction as q_pii_redact), profiles train on the doc_id%5==0
     // seed slice, and EVERY row is scored by the fused LangScore
     // expression; the oracle rebuilds training AND scoring in SQL
+    // trained Naive Bayes classification (integer-quantized — bitLength
+    // weights over md5-hex3 token buckets): seed = docs with doc_id%5==0
+    // labeled by lang (marker words appended so the signal exists), every
+    // doc predicted; the oracle rebuilds TRAINING AND SCORING in SQL
+    // (floor(log2(x))+1 = bitLength, substr(md5(tok),1,3) = the bucket)
+    "q_nb_classify" -> ((s, d) => {
+      val marker = when(col("lang") === "en", lit(" the and of to is it"))
+        .when(col("lang") === "fr", lit(" le la et les des une est"))
+        .when(col("lang") === "es", lit(" el los las una es y"))
+        .when(col("lang") === "de", lit(" der die das und ist ein"))
+        .otherwise(lit(" 的 是 了 在 和 有"))
+      val built = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("lang")).as("label"),
+        concat(col("text"), marker, marker, marker).as("text"))
+      new graft.engine.Engine(s).applyOperation(built,
+        Map("operation" -> "nb_classify", "column" -> "text",
+          "label_column" -> "label"), Map.empty, "gate")
+        .select("doc_id", "label_pred")
+    }),
+
     "q_lang_id_trained" -> ((s, d) => {
       val marker = when(col("lang") === "en", lit(" the and of to is it"))
         .when(col("lang") === "fr", lit(" le la et les des une est"))
@@ -1587,6 +1607,53 @@ object SparkEntry {
     // training AND scoring rebuilt in SQL: same markers, same seed slice,
     // same (count desc, tri asc) rank profiles, same OOV = topK+1 sum,
     // same (score asc, lang asc) arg-min
+    // integer-quantized NB rebuilt end-to-end: training counts, bitLength
+    // quantization (floor(log2(x))+1), md5-hex3 buckets, per-occurrence
+    // scoring, argmax with label-asc ties
+    "q_nb_classify" ->
+      """WITH built AS (
+           SELECT doc_id, lang,
+             lower(text || repeat(CASE lang
+               WHEN 'en' THEN ' the and of to is it'
+               WHEN 'fr' THEN ' le la et les des une est'
+               WHEN 'es' THEN ' el los las una es y'
+               WHEN 'de' THEN ' der die das und ist ein'
+               ELSE ' 的 是 了 在 和 有' END, 3)) AS t
+           FROM documents),
+         toksf AS (
+           SELECT doc_id, lang, tok
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(t, '\s+')) AS tok FROM built)
+           WHERE tok <> ''),
+         counts AS (
+           SELECT lang AS label, substr(md5(tok), 1, 3) AS b, count(*) AS cnt
+           FROM toksf WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         docs AS (
+           SELECT lang AS label, count(*) AS docs
+           FROM built WHERE doc_id % 5 = 0 GROUP BY 1),
+         norms AS (
+           SELECT label, cast(floor(log2(sum(cnt) + 4096)) AS BIGINT) + 1 AS norm
+           FROM counts GROUP BY 1),
+         priors AS (
+           SELECT label, cast(floor(log2(docs)) AS BIGINT) + 1 AS prior FROM docs),
+         doctoks AS (
+           SELECT doc_id, substr(md5(tok), 1, 3) AS b FROM toksf),
+         scored AS (
+           SELECT dt.doc_id, l.label,
+             sum(coalesce(cast(floor(log2(c.cnt + 1)) AS BIGINT) + 1, 1) - n.norm)
+               AS tokscore
+           FROM doctoks dt
+           CROSS JOIN (SELECT label FROM docs) l
+           LEFT JOIN counts c ON c.label = l.label AND c.b = dt.b
+           JOIN norms n ON n.label = l.label
+           GROUP BY 1, 2)
+         SELECT doc_id, label AS label_pred
+         FROM (SELECT s.doc_id, s.label,
+                 row_number() OVER (PARTITION BY s.doc_id
+                   ORDER BY s.tokscore + p.prior DESC, s.label ASC) AS rn
+               FROM scored s JOIN priors p ON p.label = s.label)
+         WHERE rn = 1""",
+
     "q_lang_id_trained" ->
       """WITH built AS (
            SELECT doc_id, lang,

@@ -230,6 +230,7 @@ final class Engine(spark: SparkSession) {
     "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
     "lang_id_trained" -> Set("column", "label_column", "top_k", "new_column"),
+    "nb_classify" -> Set("column", "label_column", "new_column"),
     "text_normalize" -> Set("column", "form", "strip_controls",
       "collapse_whitespace", "new_column"),
     "sentence_split" -> Set("id_column", "column"),
@@ -476,6 +477,10 @@ final class Engine(spark: SparkSession) {
           Config.reqStr(op, "label_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "top_k").getOrElse(300),
           Config.str(op, "new_column").getOrElse("lang_pred"))
+      case "nb_classify" =>
+        graft.functions.NaiveBayes.trainAndPredict(df,
+          Config.reqStr(op, "label_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.str(op, "new_column").getOrElse("label_pred"))
       // exact BPE token counts: merges from a persisted table
       // (`merges_file`, the production shape — train once, score deltas)
       // or induced inline from the input frame (the trigram_rarity shape)

@@ -393,6 +393,42 @@ case class LangScore(child: Expression, langs: Array[String], keys: Array[String
     copy(child = newChild)
 }
 
+/** Integer-quantized Naive Bayes label prediction — the trained-model
+  * pattern of [[LangScore]]: the whole model (per-label sorted bucket
+  * keys, bit-length weights, norms, priors) rides inside the plan via
+  * `addReferenceObj`, so scoring is one shuffle-free codegen pass. */
+case class NbScore(child: Expression, labels: Array[String],
+                   bucketKeys: Array[Array[String]], weights: Array[Array[Int]],
+                   norms: Array[Int], priors: Array[Int]) extends UnaryExpression {
+  require(labels.nonEmpty && labels.length == bucketKeys.length &&
+    labels.length == weights.length && labels.length == norms.length &&
+    labels.length == priors.length, "nb_score: model arrays must be parallel")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nb_score requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nb_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.nbScore(
+      input.asInstanceOf[UTF8String].toString, labels, bucketKeys, weights, norms, priors)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val labelsRef = ctx.addReferenceObj("nbLabels", labels, "java.lang.String[]")
+    val keysRef = ctx.addReferenceObj("nbKeys", bucketKeys, "java.lang.String[][]")
+    val weightsRef = ctx.addReferenceObj("nbWeights", weights, "int[][]")
+    val normsRef = ctx.addReferenceObj("nbNorms", norms, "int[]")
+    val priorsRef = ctx.addReferenceObj("nbPriors", priors, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextHashKernels.nbScore(
+         |  $c.toString(), $labelsRef, $keysRef, $weightsRef, $normsRef, $priorsRef);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbScore =
+    copy(child = newChild)
+}
+
 /** Blocklist membership as a native expression: true iff the host or any
   * dot-suffix of it is in the sorted domain list (binary search in the
   * kernel — no per-row suffix-array materialization, no interpreted HOF

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-trained document classification: integer-quantized multinomial
+ * Naive Bayes (the public NB formulation — e.g. Manning/Raghavan/Schütze
+ * IR ch. 13 — with log-likelihoods quantized to integer bit-lengths, the
+ * repo's float-free determinism discipline). Generalizes the trained-
+ * model tier ([[LangId]], trained BPE, trigram LM) to ARBITRARY labels —
+ * topic/quality/source classification for mixture curation:
+ *
+ *  - FEATURES: whitespace tokens of the lowercased text, hashed to 4096
+ *    buckets via the first three hex chars of md5(token) — SQL-replicable
+ *    (`substr(md5(tok), 1, 3)`), so the oracle rebuilds training AND
+ *    scoring end-to-end.
+ *  - TRAIN: per (label, bucket) token-occurrence counts; weight =
+ *    bitLength(count + 1) (an exact integer log2 quantization of the
+ *    Laplace-smoothed likelihood), norm_l = bitLength(totalTokens_l +
+ *    4096), prior_l = bitLength(docs_l).
+ *  - SCORE: score_l = prior_l + Σ_tokens (weight_l(bucket) − norm_l),
+ *    unseen buckets scoring bitLength(0 + 1) = 1. Highest score wins;
+ *    ties break on label ascending.
+ *
+ * Integer scores make predictions bit-identical on any cluster and any
+ * partitioning — no IEEE log in the hot path, no ulp-sensitive argmax.
+ *
+ * Scale shape: training is ONE groupBy over (label, bucket) — the
+ * collect is bounded by |labels| · 4096 (driver-state class, like the
+ * LangId profiles); scoring is a single shuffle-free codegen expression
+ * with the model inside the plan ([[graft.expressions.NbScore]]),
+ * stream-safe against the static model.
+ */
+object NaiveBayes {
+
+  val Buckets = 4096
+
+  final case class Model(labels: Array[String],
+                         bucketKeys: Array[Array[String]],
+                         weights: Array[Array[Int]],
+                         norms: Array[Int], priors: Array[Int])
+
+  private def bitLen(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** Train from labeled seed rows (null labels ignored). */
+  def train(seed: DataFrame, labelCol: String, textCol: String): Model = {
+    val spark = seed.sparkSession
+    import spark.implicits._
+    val labeled = seed.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        lower(col(textCol).cast("string")).as("t"))
+    val toks = labeled
+      .select(col("label"), explode(split(col("t"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("label"), substring(md5(col("tok")), 1, 3).as("b"))
+    // ONE shuffle; the collect is <= |labels| * 4096 rows
+    val counts = toks.groupBy("label", "b").agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect()
+    val docs = labeled.groupBy("label").agg(count(lit(1)).as("docs"))
+      .as[(String, Long)].collect().toMap
+    require(docs.nonEmpty, "nb_classify: no labeled seed rows")
+    val labels = docs.keys.toArray.sorted
+    val byLabel = counts.groupBy(_._1)
+    val bucketKeys = labels.map(l =>
+      byLabel.getOrElse(l, Array.empty).map(_._2).sorted)
+    val weights = labels.zipWithIndex.map { case (l, i) =>
+      val m = byLabel.getOrElse(l, Array.empty).map(r => r._2 -> r._3).toMap
+      bucketKeys(i).map(b => bitLen(m(b) + 1))
+    }
+    val norms = labels.map(l =>
+      bitLen(byLabel.getOrElse(l, Array.empty).map(_._3).sum + Buckets))
+    val priors = labels.map(l => bitLen(docs(l)))
+    Model(labels, bucketKeys, weights, norms, priors)
+  }
+
+  /** Append the predicted label — one fused expression, no shuffle. */
+  def withPrediction(df: DataFrame, textCol: String, model: Model,
+                     outCol: String = "label_pred"): DataFrame = {
+    val spark = df.sparkSession
+    val fname = "graft_nb_score_" + java.lang.Long.toHexString(
+      model.labels.foldLeft(model.norms.sum.toLong)((h, l) => h * 1000003L + l.hashCode))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+      case Seq(t) => graft.expressions.NbScore(
+        org.apache.spark.sql.catalyst.expressions.Lower(t),
+        model.labels, model.bucketKeys, model.weights, model.norms, model.priors)
+      case other => throw new IllegalArgumentException(
+        s"$fname takes 1 argument, got ${other.size}")
+    }, "built-in")
+    df.withColumn(outCol, call_function(fname, col(textCol).cast("string")))
+  }
+
+  /** Train on the labeled rows of `df` itself, predict for every row —
+    * the YAML-op shape. */
+  def trainAndPredict(df: DataFrame, labelCol: String, textCol: String,
+                      outCol: String = "label_pred"): DataFrame =
+    withPrediction(df, textCol, train(df, labelCol, textCol), outCol)
+}

@@ -131,6 +131,63 @@ object TextHashKernels {
     org.apache.spark.unsafe.types.UTF8String.fromString(langs(best))
   }
 
+  private val nbMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First three lowercase hex chars of md5(token) — the SQL-replicable
+    * 4096-bucket feature hash (`substr(md5(tok), 1, 3)` in DuckDB). */
+  private def nbBucket(tok: String): String = {
+    val d = nbMd5.get()
+    d.reset()
+    val h = d.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef"
+    new String(Array(
+      hex.charAt((h(0) >> 4) & 0xF), hex.charAt(h(0) & 0xF),
+      hex.charAt((h(1) >> 4) & 0xF)))
+  }
+
+  /** Integer-quantized multinomial Naive Bayes scoring: tokens (ASCII-
+    * whitespace runs, matching the `\s+` split both engines use) hash to
+    * md5-hex3 buckets; score_l = prior_l + Σ_tok (weight_l(bucket) −
+    * norm_l) with weight = bitLength(count+1) (1 when unseen), all
+    * integers — bit-identical on every JVM and rebuildable in SQL with
+    * floor(log2(x))+1. Highest score wins, ties on label ascending (the
+    * labels array is sorted). */
+  def nbScore(text: String, labels: Array[String],
+              bucketKeys: Array[Array[String]], weights: Array[Array[Int]],
+              norms: Array[Int], priors: Array[Int]): org.apache.spark.unsafe.types.UTF8String = {
+    val scores = new Array[Long](labels.length)
+    var l = 0
+    while (l < labels.length) { scores(l) = priors(l); l += 1 }
+    if (text != null) {
+      var i = 0
+      val n = text.length
+      def isWs(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+      while (i < n) {
+        while (i < n && isWs(text.charAt(i))) i += 1
+        val start = i
+        while (i < n && !isWs(text.charAt(i))) i += 1
+        if (i > start) {
+          val h3 = nbBucket(text.substring(start, i))
+          l = 0
+          while (l < labels.length) {
+            val k = java.util.Arrays.binarySearch(
+              bucketKeys(l).asInstanceOf[Array[AnyRef]], h3)
+            scores(l) += (if (k >= 0) weights(l)(k) else 1) - norms(l)
+            l += 1
+          }
+        }
+      }
+    }
+    var best = 0
+    l = 1
+    while (l < labels.length) { if (scores(l) > scores(best)) best = l; l += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(labels(best))
+  }
+
   /** True iff the host or any dot-suffix of it appears in `sorted` (natural
     * String order): the blocklist parent-domain rule without materializing
     * a suffix array per row. O(labels × log |list|). */

@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer-quantized Naive Bayes classifier: training determinism, fused
+  * shuffle-free scoring, held-out accuracy, YAML dispatch, and plan
+  * shape. */
+class NaiveBayesSpec extends SparkSpec {
+
+  private val phrases = Map(
+    "sports" -> "the team won the match and the score was great goal",
+    "finance" -> "the market rose and the stock price gained value today",
+    "science" -> "the experiment measured the sample under the microscope lens")
+
+  private def corpus = {
+    val label = element_at(typedLit(Seq("sports", "finance", "science")),
+      (col("id") % 3 + 1).cast("int"))
+    val phrase = phrases.foldLeft(lit("")) { case (acc, (l, p)) =>
+      when(label === l, lit(p)).otherwise(acc)
+    }
+    spark.range(150).select(col("id").as("doc_id"), label.as("topic"),
+      concat(lit("doc "), col("id"), lit(" "), phrase,
+        lit(" row "), col("id")).as("text"))
+  }
+
+  test("training is deterministic with bounded, sorted model state") {
+    val seed = corpus.filter(col("doc_id") % 5 === 0)
+    val m1 = NaiveBayes.train(seed, "topic", "text")
+    val m2 = NaiveBayes.train(seed, "topic", "text")
+    assert(m1.labels.toSeq == Seq("finance", "science", "sports")) // sorted
+    assert(m1.labels.toSeq == m2.labels.toSeq)
+    m1.bucketKeys.zip(m2.bucketKeys).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+      assert(a.toSeq == a.toSeq.sorted) // binary-search invariant
+      assert(a.length <= NaiveBayes.Buckets)
+    }
+    m1.weights.zip(m2.weights).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    assert(m1.norms.toSeq == m2.norms.toSeq && m1.priors.toSeq == m2.priors.toSeq)
+    assert(m1.weights.flatten.forall(_ >= 1))
+  }
+
+  test("held-out classification is perfect on the synthetic topics") {
+    val df = corpus
+    val model = NaiveBayes.train(df.filter(col("doc_id") % 5 === 0), "topic", "text")
+    val pred = NaiveBayes.withPrediction(df, "text", model)
+    val acc = pred.filter(col("label_pred") === col("topic")).count().toDouble / 150
+    assert(acc == 1.0, s"held-out accuracy $acc")
+  }
+
+  test("YAML nb_classify op trains on non-null labels and predicts every row") {
+    val engine = new graft.engine.Engine(spark)
+    val seeded = corpus.withColumn("topic",
+      when(col("doc_id") % 5 === 0, col("topic"))) // 80% unlabeled
+    val out = engine.applyOperation(seeded,
+      Map("operation" -> "nb_classify", "column" -> "text",
+        "label_column" -> "topic", "new_column" -> "pred"),
+      Map.empty, "spec")
+    assert(out.count() == 150)
+    val labeledAgree = out.filter(col("topic").isNotNull)
+      .filter(col("pred") === col("topic")).count()
+    assert(labeledAgree == 30, "every labeled row must classify to its own label")
+  }
+
+  test("scoring is a zero-exchange codegen pass with the model inside the plan") {
+    val df = corpus
+    val model = NaiveBayes.train(df.filter(col("doc_id") % 5 === 0), "topic", "text")
+    val plan = NaiveBayes.withPrediction(df, "text", model)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    assert(plan.contains("[codegen id :"), "scoring must stay in codegen")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SerializeFromObject"))
+  }
+
+  test("empty and whitespace-only docs predict deterministically (prior argmax)") {
+    import spark.implicits._
+    val model = NaiveBayes.train(corpus, "topic", "text")
+    val edge = Seq((1L, ""), (2L, "   \t\n  "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = NaiveBayes.withPrediction(edge, "text", model).collect()
+    // equal priors → lexicographically-first label; null text → null pred
+    assert(out.filter(_.getLong(0) <= 2).forall(_.getString(2) == "finance"))
+    assert(out.find(_.getLong(0) == 3L).get.isNullAt(2))
+  }
+}
