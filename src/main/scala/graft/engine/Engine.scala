@@ -230,7 +230,7 @@ final class Engine(spark: SparkSession) {
     "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
     "lang_id_trained" -> Set("column", "label_column", "top_k", "new_column"),
-    "nb_classify" -> Set("column", "label_column", "new_column"),
+    "nb_classify" -> Set("column", "label_column", "new_column", "model_file"),
     "text_normalize" -> Set("column", "form", "strip_controls",
       "collapse_whitespace", "new_column"),
     "sentence_split" -> Set("id_column", "column"),
@@ -478,9 +478,21 @@ final class Engine(spark: SparkSession) {
           Config.int(op, "top_k").getOrElse(300),
           Config.str(op, "new_column").getOrElse("lang_pred"))
       case "nb_classify" =>
-        graft.functions.NaiveBayes.trainAndPredict(df,
-          Config.reqStr(op, "label_column", ctx), Config.reqStr(op, "column", ctx),
-          Config.str(op, "new_column").getOrElse("label_pred"))
+        // model_file = the production train-once/score-deltas shape (the
+        // bpe merges_file pattern); without it, train inline on the
+        // frame's non-null labels
+        val outCol = Config.str(op, "new_column").getOrElse("label_pred")
+        Config.str(op, "model_file") match {
+          case Some(path) =>
+            graft.functions.NaiveBayes.withPrediction(df,
+              Config.reqStr(op, "column", ctx),
+              graft.functions.NaiveBayes.loadModel(df.sparkSession,
+                configDir.resolve(path).toString), outCol)
+          case None =>
+            graft.functions.NaiveBayes.trainAndPredict(df,
+              Config.reqStr(op, "label_column", ctx),
+              Config.reqStr(op, "column", ctx), outCol)
+        }
       // exact BPE token counts: merges from a persisted table
       // (`merges_file`, the production shape — train once, score deltas)
       // or induced inline from the input frame (the trigram_rarity shape)

@@ -95,4 +95,37 @@ object NaiveBayes {
   def trainAndPredict(df: DataFrame, labelCol: String, textCol: String,
                       outCol: String = "label_pred"): DataFrame =
     withPrediction(df, textCol, train(df, labelCol, textCol), outCol)
+
+  /** Persist a model as parquet (the production train-once/score-deltas
+    * shape, like the BPE merges table): one row per (label, bucket,
+    * weight), plus a NULL-bucket row per label carrying (norm, prior). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      model.labels.indices.flatMap { i =>
+        (model.labels(i), Option.empty[String], model.norms(i), model.priors(i)) +:
+          model.bucketKeys(i).indices.map(k =>
+            (model.labels(i), Some(model.bucketKeys(i)(k)), model.weights(i)(k), 0))
+      }
+    rows.toDF("label", "bucket", "weight", "prior")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveModel]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("label"), col("bucket"), col("weight"), col("prior"))
+      .as[(String, Option[String], Int, Int)].collect() // bounded: labels × 4097
+    val labels = rows.map(_._1).distinct.sorted
+    val header = rows.collect { case (l, None, n, p) => l -> (n, p) }.toMap
+    val byLabel = rows.collect { case (l, Some(b), w, _) => (l, b, w) }.groupBy(_._1)
+    val sorted = labels.map(l => byLabel.getOrElse(l, Array.empty).sortBy(_._2))
+    Model(labels,
+      sorted.map(_.map(_._2)),
+      sorted.map(_.map(_._3)),
+      labels.map(l => header(l)._1),
+      labels.map(l => header(l)._2))
+  }
 }

@@ -221,6 +221,20 @@ object ScaleProbe {
         graft.functions.Images.phashPairs(media, "media_id", "content",
           maxHamming = 3).count()
       }
+      // trained NB classification: train on the 20% doc_id%5==0 slice
+      // (labels derived from doc_id so the leg needs no label column),
+      // score the WHOLE corpus through the fused expression — the cost is
+      // one md5 per token occurrence; train shuffle is (labels × 4096)-
+      // bounded regardless of corpus size
+      val (nbDocs, tNb) = leg(d, "nb_classify") {
+        val built = docs.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("c"), (col("doc_id") % 3).cast("string"))).as("label"),
+          concat(col("text"), lit(" marker"),
+            (col("doc_id") % 3).cast("string")).as("text"))
+        graft.functions.NaiveBayes.trainAndPredict(built, "label", "text")
+          .filter(col("label_pred").isNotNull).count()
+      }
       // audio near-dedup throughput: a 256-sample recording per row,
       // container ALTERNATING WAV/FLAC (so the leg times native FLAC frame
       // decode on half the rows) → fingerprint → banded hamming pairs.
@@ -296,7 +310,7 @@ object ScaleProbe {
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
         f"bpe_count=$tBpe%.1fs($bpeToks) image_phash=$tImg%.1fs($imgPairs) " +
         f"audio_fingerprint=$tAud%.1fs($audPairs) video_meta=$tVid%.1fs($vidParsed) " +
-        f"wet_ingest=$tWet%.1fs($wetRows)")
+        f"nb_classify=$tNb%.1fs($nbDocs) wet_ingest=$tWet%.1fs($wetRows)")
     }
     spark.stop()
   }

@@ -73,6 +73,30 @@ class NaiveBayesSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SerializeFromObject"))
   }
 
+  test("persisted model round-trips through parquet and scores via the YAML model_file path") {
+    val df = corpus
+    val model = NaiveBayes.train(df.filter(col("doc_id") % 5 === 0), "topic", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbmodel")
+    val path = s"$dir/model.parquet"
+    NaiveBayes.saveModel(spark, model, path)
+    val back = NaiveBayes.loadModel(spark, path)
+    assert(back.labels.toSeq == model.labels.toSeq)
+    back.bucketKeys.zip(model.bucketKeys).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    back.weights.zip(model.weights).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    assert(back.norms.toSeq == model.norms.toSeq && back.priors.toSeq == model.priors.toSeq)
+    // the production shape: score a DELTA with the persisted model, no
+    // label column needed
+    val engine = new graft.engine.Engine(spark)
+    val out = engine.applyOperation(df.drop("topic"),
+      Map("operation" -> "nb_classify", "column" -> "text",
+        "model_file" -> "model.parquet", "new_column" -> "pred"),
+      Map.empty, "spec", configDir = dir)
+    val expect = NaiveBayes.withPrediction(df, "text", model, "pred")
+      .select("doc_id", "pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.select("doc_id", "pred").collect().foreach(r =>
+      assert(r.getString(1) == expect(r.getLong(0))))
+  }
+
   test("empty and whitespace-only docs predict deterministically (prior argmax)") {
     import spark.implicits._
     val model = NaiveBayes.train(corpus, "topic", "text")
