@@ -436,7 +436,11 @@ object ImageKernels {
     if (interlace > 1) return null
     val subByte = bitDepth == 1 || bitDepth == 2 || bitDepth == 4
     if (subByte && colorType != 0 && colorType != 3) return null
-    if (!subByte && bitDepth != 8) return null // 16-bit: ImageIO fallback
+    // 16-bit samples reduce to their high byte (the spec's sBIT-free 8-bit
+    // downconversion); palette is 8-bit-indexed only per the PNG spec
+    val wide = bitDepth == 16
+    if (wide && colorType == 3) return null
+    if (!subByte && !wide && bitDepth != 8) return null
     val channels = colorType match {
       case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return null
     }
@@ -466,8 +470,9 @@ object ImageKernels {
       val (x0, y0, xs, ys) = p
       ((w - x0 + xs - 1) / xs, (h - y0 + ys - 1) / ys)
     }
+    val sampleBytes = if (wide) 2 else 1
     def rowBytes(pw: Int): Int =
-      if (subByte) (pw * bitDepth + 7) / 8 else pw * channels
+      if (subByte) (pw * bitDepth + 7) / 8 else pw * channels * sampleBytes
     val rawLen = passes.map { p =>
       val (pw, ph) = passDims(p)
       if (pw == 0 || ph == 0) 0L else (rowBytes(pw).toLong + 1) * ph
@@ -494,8 +499,8 @@ object ImageKernels {
         val stride = rowBytes(pw)
         // filters operate on BYTES; at sub-byte depths the "corresponding
         // byte" distance is one byte (PNG spec: filtering is byte-wise
-        // with bpp rounded up to 1)
-        val fbpp = if (subByte) 1 else bpp
+        // with bpp rounded up to 1); at 16-bit it is channels*2
+        val fbpp = if (subByte) 1 else bpp * sampleBytes
         // undo per-row filters (prev = reconstructed previous row OF THE
         // SAME PASS), then scatter into the image grid
         val cur = new Array[Int](stride)
@@ -527,19 +532,20 @@ object ImageKernels {
           }
           var x = 0
           while (x < pw) {
+            val o = x * channels * sampleBytes // high byte first (big-endian)
             val v =
               if (subByte) {
                 val bitPos = x * bitDepth
                 val shift = 8 - bitDepth - (bitPos & 7)
                 (cur(bitPos >> 3) >> shift) & ((1 << bitDepth) - 1)
-              } else cur(x * channels)
+              } else cur(o)
             px((y0 + y * ys) * w + (x0 + x * xs)) =
               if (colorType == 3) paletteLuma(v % paletteLuma.length)
               else if (subByte) v * 255 / ((1 << bitDepth) - 1) // gray scale-up
               else channels match {
                 case 1 => v
                 case 2 => v // gray+alpha: luma is the gray sample
-                case _ => luma(cur(x * channels), cur(x * channels + 1), cur(x * channels + 2))
+                case _ => luma(cur(o), cur(o + sampleBytes), cur(o + 2 * sampleBytes))
               }
             x += 1
           }

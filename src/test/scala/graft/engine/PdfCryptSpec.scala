@@ -65,6 +65,19 @@ class PdfCryptSpec extends AnyFunSuite {
       "saltsalt".getBytes, Array.empty).toSeq)
   }
 
+  test("tricky page content round-trips under every encryption mode") {
+    val tricky = Seq(
+      "parens (nested (deep)) and \\ backslash",
+      "latin-1 naïve café ± § degrees°", // the writer's charset scope
+      "",
+      (1 to 40).map(i => s"line $i with filler text to cross AES block boundaries").mkString("\n"))
+    for (mode <- Seq("rc4", "aes", "aes256")) {
+      val f = Files.createTempFile(s"graft-$mode-trick", ".pdf")
+      Pdf.writeEncrypted(f, tricky, mode)
+      assert(Pdf.extractText(Files.readAllBytes(f)) == tricky.toVector, s"mode $mode")
+    }
+  }
+
   test("corruption fuzz over an encrypted document never throws") {
     val f = Files.createTempFile("graft-encfuzz", ".pdf")
     Pdf.writeEncrypted(f, Seq("fuzz page"), mode = "aes")

@@ -107,6 +107,26 @@ class ImagesSpec extends SparkSpec {
       assert(g4.px(y * bw + x) == (x * 3 + y * 5) % 16 * 17, s"($x,$y) 4-bit")
   }
 
+  test("16-bit gray PNG decodes natively (high-byte reduction), agreeing with ImageIO") {
+    val ww = 23; val hh = 13
+    val bi = new java.awt.image.BufferedImage(ww, hh,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val p = GenImages.pattern(31, ww, hh)
+    (0 until hh).foreach(y => (0 until ww).foreach { x =>
+      bi.getRaster.setSample(x, y, 0, (p(y * ww + x) << 8) | 0x5A) // low byte noise
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val bytes = bos.toByteArray
+    assert((bytes(24) & 0xFF) == 16, "fixture must be 16-bit")
+    val g = ImageKernels.decodeGrayPublic(bytes)
+    assert(g != null && g.w == ww && g.h == hh)
+    // high-byte reduction: our decode = sample >> 8
+    (0 until hh).foreach(y => (0 until ww).foreach { x =>
+      assert(g.px(y * ww + x) == p(y * ww + x), s"($x,$y)")
+    })
+  }
+
   test("TIFF strips decode natively across compressions, agreeing with ImageIO") {
     def writeTiff(bi: java.awt.image.BufferedImage, compression: Option[String]): Array[Byte] = {
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
