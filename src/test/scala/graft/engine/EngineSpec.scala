@@ -319,6 +319,47 @@ class EngineSpec extends SparkSpec {
       """{ "media_id": "6", "n_group": "1" }"""))
   }
 
+  test("mixture-routing e2e: nb_classify labels the unlabeled corpus, filter routes by prediction") {
+    // the trained-classifier mixture-curation flow as ONE YAML: a fifth of
+    // the corpus carries labels, NB learns them, every row is routed
+    val dir = Files.createTempDirectory("graft-nbroute")
+    val rows = (0 until 40).map { i =>
+      val topic = if (i % 2 == 0) "code" else "prose"
+      val marker = if (topic == "code") "def return import class lambda"
+                   else "once upon a time the story began"
+      val labelField = if (i % 5 == 0) s""""label": "$topic", """ else ""
+      s"""{"id": $i, $labelField"text": "doc $i $marker $marker"}"""
+    }
+    Files.write(dir.resolve("docs.jsonl"), rows.asJava)
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  docs:
+        |    file: docs.jsonl
+        |transformations:
+        |  routed:
+        |    source: $sources.docs
+        |    operations:
+        |      - operation: nb_classify
+        |        column: text
+        |        label_column: label
+        |        new_column: route
+        |      - operation: filter_rows
+        |        query: route == 'code'
+        |        behavior: include
+        |      - operation: keep_columns
+        |        columns: [id]
+        |destinations:
+        |  code_split:
+        |    source: $transformations.routed
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val ids = Files.readAllLines(out.resolve("code_split.jsonl")).asScala
+      .map(l => """"id": "?(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt).sorted
+    assert(ids.toSeq == (0 until 40 by 2).toSeq, s"every even (code) doc routes: $ids")
+  }
+
   test("training-data curation e2e: url ops -> domain filter -> rarity -> split -> packing in one YAML") {
     val dir = Files.createTempDirectory("graft-curate")
     val prose = "the quick brown fox jumps over the lazy dog near the river today"
