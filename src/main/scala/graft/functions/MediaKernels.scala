@@ -188,16 +188,31 @@ object MediaKernels {
     else null
   }
 
-  /** Interleaved PCM16 samples (all channels), or null. */
+  /** Interleaved integer samples normalized to the 16-bit range, or null.
+    * PCM at 8 (unsigned, rescaled ×257 so 0→-32768 and 255→32767), 16,
+    * 24, and 32 bits (high 16 bits) — float WAV stays out of scope (not
+    * integer-exact). */
   private[functions] def wavSamples(b: Array[Byte]): Array[Int] = {
     val i = wavInfo(b)
-    if (i == null || i(2) != 16) return null
+    if (i == null) return null
+    val bits = i(2).toInt
     val off = i(4).toInt
-    val n = (i(5) / 2).toInt
+    val bytesPer = bits / 8
+    if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return null
+    val n = (i(5) / bytesPer).toInt
     val out = new Array[Int](n)
     var k = 0
     while (k < n) {
-      out(k) = ((b(off + 2 * k) & 0xFF) | (b(off + 2 * k + 1) << 8)).toShort.toInt
+      val p = off + bytesPer * k
+      out(k) = bits match {
+        case 8 => ((b(p) & 0xFF) - 128) * 257 // unsigned byte → full 16-bit span
+        case 16 => ((b(p) & 0xFF) | (b(p + 1) << 8)).toShort.toInt
+        case 24 => // little-endian signed 24 → high 16 bits
+          (((b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) | (b(p + 2) << 16)) << 8) >> 16
+        case _ => // little-endian signed 32 → high 16 bits
+          ((b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+            ((b(p + 2) & 0xFF) << 16) | (b(p + 3) << 24)) >> 16
+      }
       k += 1
     }
     out

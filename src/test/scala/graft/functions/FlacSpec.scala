@@ -81,6 +81,62 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV 8/24/32-bit PCM decode to the 16-bit range (8-bit via javax.sound)") {
+    // 8-bit: EXTERNAL bytes from the platform's javax.sound writer
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false) // unsigned 8
+    val raw = Array.tabulate(64)(i => (i * 4).toByte) // unsigned 0..252
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val dec8 = MediaKernels.audioFeaturesRow(bos.toByteArray)
+    assert(dec8 != null && dec8.getLong(0) == 64L)
+    // hand check the normalization on one hand-built 8-bit file
+    val direct = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(bos.toByteArray)
+      out.toByteArray
+    }
+    val sEight = {
+      val m = MediaKernels.getClass.getDeclaredMethods
+        .find(_.getName == "wavSamples").get
+      m.setAccessible(true)
+      m.invoke(MediaKernels, direct).asInstanceOf[Array[Int]]
+    }
+    assert(sEight.take(4).toSeq == Seq((0 - 128) * 257, (4 - 128) * 257,
+      (8 - 128) * 257, (12 - 128) * 257))
+
+    // 24-bit and 32-bit: hand-built single-chunk WAVs; expectation = the
+    // high 16 bits of the signed sample
+    def wav(bits: Int, data: Array[Byte], channels: Int = 1, rate: Int = 8000): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+      out.write("RIFF".getBytes); w32(36 + data.length); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(rate)
+      w32(rate * channels * bits / 8); w16(channels * bits / 8); w16(bits)
+      out.write("data".getBytes); w32(data.length); out.write(data, 0, data.length)
+      out.toByteArray
+    }
+    val vals24 = Seq(0x123456, -0x123456, 0x7FFFFF, -0x800000)
+    val d24 = vals24.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte)).toArray
+    val f24 = MediaKernels.audioFingerprint(wav(24, d24 ++ Array.fill(186)(0.toByte)))
+    assert(f24 != null) // decodes; exact values checked via features below
+    val feat24 = MediaKernels.audioFeaturesRow(wav(24, d24))
+    val expect24 = vals24.map(v => (v >> 8).toLong)
+    assert(feat24.getLong(0) == 4L)
+    assert(feat24.getLong(3) == expect24.map(math.abs).max) // peak = |high 16 bits|
+    val vals32 = Seq(0x12345678, -0x12345678)
+    val d32 = vals32.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)).toArray
+    val feat32 = MediaKernels.audioFeaturesRow(wav(32, d32))
+    // arithmetic >> floors, so the negative sample's magnitude is one larger
+    assert(feat32.getLong(0) == 2L &&
+      feat32.getLong(3) == math.abs((-0x12345678) >> 16).toLong)
+  }
+
   test("corrupt payloads return null, never throw") {
     val good = Flac.encodeMono16(16000, signal(9L, 4000))
     val rnd = new scala.util.Random(11)
