@@ -354,36 +354,7 @@ private[graft] object Jpeg {
       }
       mcu += 1
     }
-    // crop the padded plane to the luma component's real dimensions, then
-    // map to image dimensions (luma subsampling other than hMax/vMax is
-    // exotic but legal: replicate by integer ratio)
-    val lw = (w * luma.hs + hMax - 1) / hMax
-    val lh = (h * luma.vs + vMax - 1) / vMax
-    if (lw == w && lh == h) {
-      if (planeW == w && planeH == h) Gray(w, h, plane)
-      else {
-        val px = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          System.arraycopy(plane, y * planeW, px, y * w, w)
-          y += 1
-        }
-        Gray(w, h, px)
-      }
-    } else {
-      val px = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        val sy = math.min(y * luma.vs / vMax, lh - 1)
-        var x = 0
-        while (x < w) {
-          px(y * w + x) = plane(sy * planeW + math.min(x * luma.hs / hMax, lw - 1))
-          x += 1
-        }
-        y += 1
-      }
-      Gray(w, h, px)
-    }
+    assemblePlane(plane, planeW, planeH, w, h, luma, hMax, vMax)
   }
 
   // ================================================ progressive (Annex G)
