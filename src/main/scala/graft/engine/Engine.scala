@@ -231,6 +231,7 @@ final class Engine(spark: SparkSession) {
     "lang_id" -> Set("column", "new_column"),
     "lang_id_trained" -> Set("column", "label_column", "top_k", "new_column"),
     "nb_classify" -> Set("column", "label_column", "new_column", "model_file"),
+    "nb_train" -> Set("column", "label_column", "model_file"),
     "text_normalize" -> Set("column", "form", "strip_controls",
       "collapse_whitespace", "new_column"),
     "sentence_split" -> Set("id_column", "column"),
@@ -477,6 +478,16 @@ final class Engine(spark: SparkSession) {
           Config.reqStr(op, "label_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "top_k").getOrElse(300),
           Config.str(op, "new_column").getOrElse("lang_pred"))
+      case "nb_train" =>
+        // train on the frame's labeled rows and persist the model as a
+        // side effect; the frame passes through unchanged (the YAML face
+        // of NaiveBayes.saveModel — later pipelines score deltas with
+        // nb_classify + model_file)
+        val model = graft.functions.NaiveBayes.train(df,
+          Config.reqStr(op, "label_column", ctx), Config.reqStr(op, "column", ctx))
+        graft.functions.NaiveBayes.saveModel(df.sparkSession, model,
+          configDir.resolve(Config.reqStr(op, "model_file", ctx)).toString)
+        df
       case "nb_classify" =>
         // model_file = the production train-once/score-deltas shape (the
         // bpe merges_file pattern); without it, train inline on the

@@ -97,6 +97,27 @@ class NaiveBayesSpec extends SparkSpec {
       assert(r.getString(1) == expect(r.getLong(0))))
   }
 
+  test("YAML nb_train persists a model that nb_classify + model_file scores identically") {
+    val df = corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbtrain")
+    val engine = new graft.engine.Engine(spark)
+    val through = engine.applyOperation(df.filter(col("doc_id") % 5 === 0),
+      Map("operation" -> "nb_train", "column" -> "text",
+        "label_column" -> "topic", "model_file" -> "m.parquet"),
+      Map.empty, "spec", configDir = dir)
+    assert(through.count() == 30, "nb_train passes the frame through")
+    val scored = engine.applyOperation(df.drop("topic"),
+      Map("operation" -> "nb_classify", "column" -> "text",
+        "model_file" -> "m.parquet", "new_column" -> "pred"),
+      Map.empty, "spec", configDir = dir)
+    val inline = NaiveBayes.trainAndPredict(
+      df.withColumn("topic", when(col("doc_id") % 5 === 0, col("topic"))),
+      "topic", "text", "pred")
+      .select("doc_id", "pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    scored.select("doc_id", "pred").collect().foreach(r =>
+      assert(r.getString(1) == inline(r.getLong(0))))
+  }
+
   test("empty and whitespace-only docs predict deterministically (prior argmax)") {
     import spark.implicits._
     val model = NaiveBayes.train(corpus, "topic", "text")
