@@ -369,16 +369,20 @@ final class Engine(spark: SparkSession) {
         // approx_percentile sketch (bounded memory, ±1e-4 rank error)
         // unless the op opts in with `exact_quantiles: true`.
         val exactOk = Config.bool(op, "exact_quantiles")
-        val quantRe = "^(median|percentile)\\(([A-Za-z0-9_]+)(?:,\\s*([^)]*))?\\)$".r
+        // Column capture takes anything but comma/paren so backticked and
+        // dotted names still get steered; `percentile(x)` with no fraction
+        // is left alone (the downstream parse error diagnoses it) rather
+        // than rewritten to `approx_percentile(x,)`.
+        val quantRe = "^(median|percentile)\\(([^,()]+)(?:,\\s*([^)]*))?\\)$".r
         val creates = if (exactOk) creates0 else creates0.map { case (k, spec) =>
           quantRe.findFirstMatchIn(spec.trim) match {
-            case Some(m) =>
-              val p = if (m.group(1) == "median") "0.5" else Option(m.group(3)).getOrElse("").trim
+            case Some(m) if m.group(1) == "median" || m.group(3) != null =>
+              val p = if (m.group(1) == "median") "0.5" else m.group(3).trim
               Console.err.println(s"[warn] group_by `$k`: exact ${m.group(1)} buffers whole " +
                 "groups in memory; using the approx_percentile sketch instead " +
                 "(set `exact_quantiles: true` on the operation to opt in to exact).")
               k -> s"approx_percentile(${m.group(2)},$p)"
-            case None => k -> spec
+            case _ => k -> spec
           }
         }
         Ops.groupBy(df, listOf(op, "group_by_columns"), creates)

@@ -268,7 +268,10 @@ object Pdf {
       val earlyChange =
         """(?s)/EarlyChange\s+(\d+)""".r.findFirstMatchIn(dict)
           .map(_.group(1).toInt).getOrElse(1)
-      try Some(lzwDecode(raw, earlyChange))
+      // Bound expansion to a generous multiple of the input (capped 64 MB):
+      // real PDF content streams stay far below; hostile ones abort early.
+      val bound = math.min(raw.length.toLong * 512 + 65536, 1L << 26).toInt
+      try Some(lzwDecode(raw, earlyChange, bound))
       catch { case _: Exception => None }
     } else if (dict.contains("/ASCIIHexDecode")) {
       try Some(asciiHexDecode(raw)) catch { case _: Exception => None }
@@ -340,9 +343,14 @@ object Pdf {
 
   /** LZW decode per ISO 32000-1 §7.4.4 (TIFF-convention LZW): 8-bit
     * symbols, variable 9-12 bit codes, 256 = clear table, 257 = EOD;
-    * `earlyChange` widens the code one entry early (the spec default 1). */
-  private[graft] def lzwDecode(in: Array[Byte], earlyChange: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(in.length * 3)
+    * `earlyChange` widens the code one entry early (the spec default 1).
+    * `maxOutput` bounds expansion: dictionary entries grow to ~4 KB each,
+    * so a tiny crafted stream can expand thousands-fold — callers pass
+    * the expected plane size (TIFF strips) or a multiple of the input
+    * (PDF streams) and the decode aborts past the bound. */
+  private[graft] def lzwDecode(in: Array[Byte], earlyChange: Int,
+                               maxOutput: Int = Int.MaxValue): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(in.length * 3L, 1L << 16).toInt)
     val dict = new Array[Array[Byte]](4096)
     var dictSize = 0
     def resetDict(): Unit = {
@@ -372,6 +380,8 @@ object Pdf {
             if (code < dictSize && dict(code) != null) dict(code)
             else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
             else throw new IllegalArgumentException(s"bad LZW code $code")
+          if (out.size().toLong + entry.length > maxOutput)
+            throw new IllegalArgumentException(s"LZW output exceeds bound $maxOutput")
           out.write(entry, 0, entry.length)
           if (prev != null && dictSize < 4096) {
             dict(dictSize) = prev :+ entry(0)
@@ -505,6 +515,11 @@ object Pdf {
     sb.toString
   }
 
+  /** PDF token delimiter per ISO 32000-1 §7.2: whitespace or one of the
+    * structural delimiters. */
+  private def pdfDelim(c: Char): Boolean =
+    c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+
   /** Walk a content stream for the Tj / quote / TJ show operators over
     * literal and hex strings, tracking the current font via Tf so
     * ToUnicode CMaps apply; a text-positioning op (Td, TD, T-star, quote)
@@ -557,6 +572,33 @@ object Pdf {
           i = e
         case '%' => // comment to end of line
           while (i < cs.length && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
+        case 'B' if i + 1 < cs.length && cs.charAt(i + 1) == 'I' &&
+          (i == 0 || pdfDelim(cs.charAt(i - 1))) &&
+          (i + 2 >= cs.length || pdfDelim(cs.charAt(i + 2))) =>
+          // Inline image (ISO 32000-1 §8.9.7): BI <dict> ID <binary> EI.
+          // The binary payload can contain '(' or '<' bytes that would be
+          // parsed as show strings or desync the walker — skip the dict to
+          // the ID token, then the data to a whitespace-preceded EI token.
+          var j = i + 2
+          var idAt = -1
+          while (idAt < 0 && j + 1 < cs.length) {
+            if (cs.charAt(j) == 'I' && cs.charAt(j + 1) == 'D' &&
+              pdfDelim(cs.charAt(j - 1)) &&
+              (j + 2 >= cs.length || pdfDelim(cs.charAt(j + 2)))) idAt = j
+            j += 1
+          }
+          if (idAt < 0) i = cs.length
+          else {
+            var k = idAt + 3 // past "ID" and the single whitespace byte
+            var eiAt = -1
+            while (eiAt < 0 && k + 1 < cs.length) {
+              if (cs.charAt(k) == 'E' && cs.charAt(k + 1) == 'I' &&
+                cs.charAt(k - 1).isWhitespace &&
+                (k + 2 >= cs.length || pdfDelim(cs.charAt(k + 2)))) eiAt = k
+              k += 1
+            }
+            i = if (eiAt < 0) cs.length else eiAt + 2
+          }
         case 'T' if i + 1 < cs.length && cs.charAt(i + 1) == 'f' =>
           if (pendingName != null) cmap = fonts.getOrElse(pendingName, null)
           i += 2

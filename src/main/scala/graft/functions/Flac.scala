@@ -81,6 +81,40 @@ private[graft] object Flac {
     try decodeInner(b) catch { case _: Exception => null }
   }
 
+  /** Decode normalized to the 16-bit range using the STREAMINFO bit depth,
+    * mirroring [[MediaKernels.wavSamples]] conventions so WAV and FLAC
+    * encodings of the same recording yield identical samples regardless of
+    * container bit depth: bps>16 → arithmetic `>> (bps-16)` (same floor as
+    * the WAV 24/32-bit path), bps==8 → ×257 (full-span rescale, matching
+    * WAV's unsigned-byte rescale after the ±128 bias difference cancels),
+    * other bps<16 → `<< (16-bps)`. */
+  def decode16(b: Array[Byte]): Array[Int] = {
+    val s = decode(b)
+    if (s == null) return null
+    val bps = streamInfoBps(b)
+    if (bps == 16 || bps <= 0) s
+    else {
+      var i = 0
+      while (i < s.length) {
+        s(i) =
+          if (bps > 16) s(i) >> (bps - 16)
+          else if (bps == 8) s(i) * 257
+          else s(i) << (16 - bps)
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** Bits-per-sample from STREAMINFO, or -1 when unparseable. */
+  private def streamInfoBps(b: Array[Byte]): Int = {
+    if (b == null || b.length < 42) return -1
+    var bits = 0L
+    var i = 0
+    while (i < 8) { bits = (bits << 8) | (b(4 + 4 + 10 + i) & 0xFFL); i += 1 }
+    ((bits >>> 36) & 0x1FL).toInt + 1
+  }
+
   private def decodeInner(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 42) return null
     if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return null

@@ -264,14 +264,20 @@ object ImageKernels {
   /** Probe/test face for [[decodeGray]]. */
   def decodeGrayPublic(b: Array[Byte]): Gray = decodeGray(b)
 
-  /** Decode to grayscale: native for BMP/PNG/GIF (bit-deterministic),
-    * javax.imageio fallback otherwise; null when undecodable. */
+  /** Test face for the native TIFF path alone (no ImageIO fallback) — lets
+    * specs prove a layout decodes natively rather than silently falling
+    * back. */
+  private[functions] def decodeTiffNative(b: Array[Byte]): Gray = decodeTiff(b)
+
+  /** Decode to grayscale: native for BMP/PNG/GIF/JPEG/TIFF
+    * (bit-deterministic), javax.imageio fallback otherwise; null when
+    * undecodable. */
   private[functions] def decodeGray(b: Array[Byte]): Gray = {
     val m = imageMeta(b)
     try {
       // native decoders first (bit-deterministic); a variant they don't
-      // cover (interlaced PNG, RLE BMP, ...) falls back to ImageIO rather
-      // than failing the row
+      // cover (tiled TIFF, arithmetic JPEG, ...) falls back to ImageIO
+      // rather than failing the row
       val native = m match {
         case ("bmp", _, _, _) => decodeBmp(b)
         case ("png", _, _, _) => decodePng(b)
@@ -612,8 +618,9 @@ object ImageKernels {
     * RGB / palette, strip layout, compressions 1 (none), 5 (LZW — the
     * same TIFF-convention coder as PDF §7.4.4, shared), 8 (Deflate) and
     * 32773 (PackBits), horizontal-differencing predictor, WhiteIsZero
-    * inversion. Tiled, 16-bit, and CCITT/JPEG-in-TIFF variants fall back
-    * to ImageIO. */
+    * inversion. Both strip (tags 273/279) and tile (tags 322-325, TIFF
+    * 6.0 §15 — edge tiles padded to full tile size) layouts. 16-bit and
+    * CCITT/JPEG-in-TIFF variants fall back to ImageIO. */
   private def decodeTiff(b: Array[Byte]): Gray = {
     val little = b(0) == 'I'
     def u16(p: Int): Int =
@@ -629,6 +636,9 @@ object ImageKernels {
     var stripOffsets: Array[Int] = null
     var stripCounts: Array[Int] = null
     var colorMapOff = -1; var colorMapCount = 0
+    var tileW = 0; var tileH = 0
+    var tileOffsets: Array[Int] = null
+    var tileCounts: Array[Int] = null
     var i = 0
     while (i < n) {
       val e = ifd + 2 + i * 12
@@ -637,8 +647,11 @@ object ImageKernels {
       def scalar: Int = if (typ == 3) u16(e + 8) else u32(e + 8)
       def intArray: Array[Int] = {
         val size = if (typ == 3) 2 else 4
-        val off = if (count * size <= 4) e + 8 else u32(e + 8)
-        if (off < 0 || off + count * size > b.length) return null
+        // Long math: a crafted count near 2^30 wraps count*size negative in
+        // Int, which would pass the bounds check and allocate gigabytes.
+        val bytes = count.toLong * size
+        val off = if (bytes <= 4) e + 8 else u32(e + 8)
+        if (count < 0 || off < 0 || off.toLong + bytes > b.length) return null
         Array.tabulate(count)(k => if (typ == 3) u16(off + k * 2) else u32(off + k * 4))
       }
       tag match {
@@ -651,17 +664,25 @@ object ImageKernels {
         case 277 => spp = scalar
         case 278 => rowsPerStrip = scalar
         case 279 => stripCounts = intArray
+        case 284 => if (scalar != 1) return null // planar: ImageIO fallback
         case 317 => predictor = scalar
         case 320 => colorMapOff = u32(e + 8); colorMapCount = count
-        case 322 | 323 => return null // tiled layout: ImageIO fallback
+        case 322 => tileW = scalar
+        case 323 => tileH = scalar
+        case 324 => tileOffsets = intArray
+        case 325 => tileCounts = intArray
         case _ => ()
       }
       i += 1
     }
-    if (w <= 0 || h <= 0 || !bitsOk || stripOffsets == null || stripCounts == null) return null
-    if (stripOffsets.length != stripCounts.length) return null
+    val tiled = tileOffsets != null && tileCounts != null && tileW > 0 && tileH > 0
+    if (w <= 0 || h <= 0 || !bitsOk) return null
+    if (!tiled && (stripOffsets == null || stripCounts == null)) return null
+    if (!tiled && stripOffsets.length != stripCounts.length) return null
+    if (tiled && tileOffsets.length != tileCounts.length) return null
     if (predictor != 1 && predictor != 2) return null
     if (w.toLong * h > (1L << 26)) return null
+    if (tiled && tileW.toLong * tileH > (1L << 26)) return null
     val channels = spp
     if (photo == 2 && channels < 3) return null
     if ((photo == 0 || photo == 1 || photo == 3) && channels != 1) return null
@@ -676,69 +697,78 @@ object ImageKernels {
         }
       } else null
 
-    val stride = w * channels
     val px = new Array[Int](w * h)
-    var row0 = 0
-    var s = 0
-    while (s < stripOffsets.length && row0 < h) {
-      val off = stripOffsets(s)
-      val len = stripCounts(s)
-      if (off < 0 || len < 0 || off + len > b.length) return null
-      val rows = math.min(rowsPerStrip, h - row0)
-      val expect = rows * stride
-      val raw: Array[Byte] = comp match {
+
+    // Decompress one strip/tile to exactly `expect` bytes (null = reject;
+    // the caller surfaces it as a whole-image null and the row falls back
+    // to ImageIO).
+    def decompress(off: Int, len: Int, expect: Int): Array[Byte] = {
+      if (off < 0 || len < 0 || off.toLong + len > b.length) return null
+      comp match {
         case 1 =>
-          if (len < expect) return null
-          java.util.Arrays.copyOfRange(b, off, off + expect)
+          if (len < expect) null
+          else java.util.Arrays.copyOfRange(b, off, off + expect)
         case 5 =>
-          graft.engine.Pdf.lzwDecode(java.util.Arrays.copyOfRange(b, off, off + len), 1)
+          // bound = plane size + slack for writers that pad the final run
+          try graft.engine.Pdf.lzwDecode(
+            java.util.Arrays.copyOfRange(b, off, off + len), 1, expect + 8192)
+          catch { case _: Exception => null }
         case 8 | 32946 =>
           val inf = new java.util.zip.Inflater()
           inf.setInput(b, off, len)
           val out = new Array[Byte](expect)
           var got = 0
-          while (got < expect && !inf.finished()) {
+          var stalled = false
+          while (got < expect && !inf.finished() && !stalled) {
             val k = inf.inflate(out, got, expect - got)
-            if (k == 0 && inf.needsInput()) return null
+            if (k == 0 && inf.needsInput()) stalled = true
             got += k
           }
           inf.end()
-          if (got < expect) return null
-          out
+          if (got < expect) null else out
         case 32773 =>
           val out = new java.io.ByteArrayOutputStream(expect)
           var p = off
-          while (out.size() < expect && p < off + len) {
+          var bad = false
+          while (out.size() < expect && p < off + len && !bad) {
             val c = b(p).toInt // signed per PackBits
             p += 1
             if (c >= 0) { // literal run of c+1
-              if (p + c + 1 > b.length) return null
-              out.write(b, p, c + 1); p += c + 1
+              if (p + c + 1 > b.length) bad = true
+              else { out.write(b, p, c + 1); p += c + 1 }
             } else if (c != -128) { // repeat next byte 1-c times
-              if (p >= b.length) return null
-              var k = 0
-              while (k < 1 - c) { out.write(b(p)); k += 1 }
-              p += 1
+              if (p >= b.length) bad = true
+              else {
+                var k = 0
+                while (k < 1 - c) { out.write(b(p)); k += 1 }
+                p += 1
+              }
             }
           }
-          out.toByteArray
-        case _ => return null // CCITT / JPEG-in-TIFF: ImageIO fallback
+          if (bad) null else out.toByteArray
+        case _ => null // CCITT / JPEG-in-TIFF: ImageIO fallback
       }
-      if (raw.length < expect) return null
+    }
+
+    // Apply the horizontal-differencing predictor across a block row, then
+    // convert the in-bounds pixels of the block (full stride `bw`, placed
+    // at x0/y0 — identity placement for strips, the 2-D grid for tiles).
+    def emit(raw: Array[Byte], bw: Int, rows: Int, x0: Int, y0: Int): Unit = {
+      val bstride = bw * channels
       var y = 0
-      while (y < rows) {
-        val ro = y * stride
+      while (y < rows && y0 + y < h) {
+        val ro = y * bstride
         if (predictor == 2) { // horizontal differencing, per channel
           var x = channels
-          while (x < stride) {
+          while (x < bstride) {
             raw(ro + x) = ((raw(ro + x) + raw(ro + x - channels)) & 0xFF).toByte
             x += 1
           }
         }
         var x = 0
-        while (x < w) {
+        while (x < bw && x0 + x < w) {
           val v = raw(ro + x * channels) & 0xFF
-          px((row0 + y) * w + x) =
+          px((y0 + y) * w + (x0 + x)) =
             if (palette != null) palette(v)
             else if (photo == 0) 255 - v // WhiteIsZero
             else if (channels >= 3) luma(v, raw(ro + x * channels + 1) & 0xFF,
@@ -748,10 +778,37 @@ object ImageKernels {
         }
         y += 1
       }
-      row0 += rows
-      s += 1
     }
-    if (row0 < h) return null
+
+    if (tiled) {
+      // TIFF 6.0 §15: tiles are a ceil(w/tw) x ceil(h/th) grid in
+      // left-to-right, top-to-bottom order; EVERY tile decompresses to the
+      // full tw x th plane (edge tiles padded by the writer).
+      val across = (w + tileW - 1) / tileW
+      val down = (h + tileH - 1) / tileH
+      if (tileOffsets.length < across * down) return null
+      val expect = tileW * tileH * channels
+      var t = 0
+      while (t < across * down) {
+        val raw = decompress(tileOffsets(t), tileCounts(t), expect)
+        if (raw == null || raw.length < expect) return null
+        emit(raw, tileW, tileH, (t % across) * tileW, (t / across) * tileH)
+        t += 1
+      }
+    } else {
+      val stride = w * channels
+      var row0 = 0
+      var s = 0
+      while (s < stripOffsets.length && row0 < h) {
+        val rows = math.min(rowsPerStrip, h - row0)
+        val raw = decompress(stripOffsets(s), stripCounts(s), rows * stride)
+        if (raw == null || raw.length < rows * stride) return null
+        emit(raw, w, rows, 0, row0)
+        row0 += rows
+        s += 1
+      }
+      if (row0 < h) return null
+    }
     Gray(w, h, px)
   }
 

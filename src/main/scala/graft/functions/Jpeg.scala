@@ -8,17 +8,21 @@ package graft.functions
  * transcode JPEGs before image near-dedup. JPEG is the dominant format in
  * any real crawl corpus, so the deterministic path has to cover it.
  *
- * Decoder scope (the baseline process, T.81 Annex F):
+ * Decoder scope (T.81 Annexes F and G.2):
  *  - SOF0 (baseline) and SOF1 (extended sequential) frames, 8-bit samples,
  *    1-4 components, sampling factors 1-4 (covers 4:4:4 / 4:2:2 / 4:2:0 /
  *    4:1:1), single interleaved scan;
+ *  - SOF2 (progressive) frames: multi-scan spectral selection and
+ *    successive approximation, DC and AC scans, EOBn run lengths —
+ *    decoded natively by [[decodeProgressive]];
  *  - DQT (8- and 16-bit precision), DHT (canonical code build from
  *    BITS/HUFFVAL, T.81 C.2), DRI + RST0-7 restart handling (byte
  *    realign + DC predictor reset, F.2.1.3.1), 0xFF00 byte stuffing,
  *    0xFF fill bytes before markers (B.1.1.2);
- *  - progressive (SOF2) / arithmetic / hierarchical frames are rejected
- *    with null — the caller falls back to ImageIO for pixels (metadata
- *    still parses), keeping the documented determinism boundary explicit.
+ *  - arithmetic-coded / hierarchical / lossless / 12-bit frames are
+ *    rejected with null (<1% of crawl JPEGs) — the caller falls back to
+ *    ImageIO for pixels (metadata still parses), keeping the documented
+ *    determinism boundary explicit.
  *
  * Output is the LUMA plane directly: for YCbCr JPEGs the Y channel IS the
  * BT.601 integer luma this engine's [[ImageKernels.Gray]] contract wants,

@@ -175,16 +175,18 @@ object MediaKernels {
     out
   }
 
-  /** Interleaved integer samples from any losslessly-decodable container:
-    * WAV PCM16 or FLAC (native [[Flac.decode]] — lossless and
-    * integer-exact, so WAV and FLAC encodings of the same recording yield
-    * IDENTICAL samples and therefore identical fingerprints). Null when
-    * neither decodes. */
+  /** Interleaved integer samples from any losslessly-decodable container,
+    * normalized to the 16-bit range: WAV PCM 8/16/24/32 (see
+    * [[wavSamples]]) or FLAC (native [[Flac.decode16]], which applies the
+    * same STREAMINFO-driven normalization) — lossless, integer-exact, and
+    * identically normalized, so WAV and FLAC encodings of the same
+    * recording at ANY supported bit depth yield IDENTICAL samples and
+    * therefore identical fingerprints. Null when neither decodes. */
   private[functions] def pcmSamples(b: Array[Byte]): Array[Int] = {
     val w = wavSamples(b)
     if (w != null) w
     else if (b != null && b.length > 4 &&
-      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') Flac.decode(b)
+      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') Flac.decode16(b)
     else null
   }
 

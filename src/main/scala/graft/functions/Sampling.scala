@@ -112,45 +112,41 @@ object Sampling {
   }
 
   /** Per-group variant of the two-phase prefix sum: independent running
-    * totals per value of `groupCol`, same bucketed shape — totals shuffle
-    * on (group, bucket) (≤ |groups|·16^hexChars rows to the driver), the
-    * window partitions by (group, bucket). The multilingual-packing
-    * primitive: each language/domain gets its own token stream. */
+    * totals per value of `groupCol`, same bucketed shape. Fully
+    * distributed — NOTHING is collected to the driver: the per-(group,
+    * bucket) bases are themselves a window over the aggregated totals
+    * frame (partitioned by group, ordered by bucket — ≤ 16^hexChars rows
+    * per window partition no matter how many groups exist), so the
+    * primitive holds at crawl-scale group cardinality (per REGISTRABLE
+    * DOMAIN: millions of groups) exactly as it does per language. The
+    * bucketed rows then join the base frame on (group, bucket); AQE
+    * broadcast-converts that join when the base frame is small (the
+    * per-language case) and shuffles it otherwise. */
   private[graft] def withGroupedHashPrefixSum(df: DataFrame, groupCol: String,
                                               idCol: String, value: Column,
                                               prefixCol: String,
                                               hexChars: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
     val h = md5(col(idCol).cast("string"))
     val bucketed = df.withColumn("__g_h__", h)
       .withColumn("__g_b__", substring(col("__g_h__"), 1, hexChars))
       .withColumn("__g_v__", value.cast("long"))
-      // string shadow of the group key: the broadcast base join stays
-      // type-stable whatever the caller's group column type is
+      // string shadow of the group key: the base join stays type-stable
+      // whatever the caller's group column type is
       .withColumn("__g_g__", coalesce(col(groupCol).cast("string"), lit("\u0000null")))
-    val totals = bucketed.groupBy("__g_g__", "__g_b__")
+    // base(g, b) = sum of bucket totals for buckets < b within group g —
+    // a window whose partitions are one row per bucket (≤ 16^hexChars),
+    // cheap at any group cardinality
+    val wBase = Window.partitionBy(col("__g_g__")).orderBy(col("__g_b__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val baseDf = bucketed.groupBy("__g_g__", "__g_b__")
       .agg(sum(col("__g_v__")).as("__g_t__"))
-      .orderBy("__g_g__", "__g_b__").collect()
-    val bases = {
-      var curGroup: String = null
-      var started = false
-      var running = 0L
-      totals.map { r =>
-        if (!started || r.getString(0) != curGroup) {
-          curGroup = r.getString(0); started = true; running = 0L
-        }
-        val base = (curGroup, r.getString(1), running)
-        running += r.getLong(2)
-        base
-      }.toSeq
-    }
-    import spark.implicits._
-    val baseDf = bases.toDF("__g_g__", "__g_b__", "__g_base__")
+      .withColumn("__g_base__", coalesce(sum(col("__g_t__")).over(wBase), lit(0L)))
+      .drop("__g_t__")
     val w = Window.partitionBy(col("__g_g__"), col("__g_b__"))
       .orderBy(col("__g_h__"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(baseDf), Seq("__g_g__", "__g_b__"))
+    bucketed.join(baseDf, Seq("__g_g__", "__g_b__"))
       .withColumn(prefixCol,
         col("__g_base__") + coalesce(sum(col("__g_v__")).over(w), lit(0L)))
       .drop("__g_g__", "__g_b__", "__g_h__", "__g_v__", "__g_base__")

@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("grouped prefix sum: per-group bases computed distributed, not collected to the driver") {
+    // the base frame must come from the same scan via a window (one DAG),
+    // never from a driver collect materialized back as a local relation —
+    // that collect is |groups|x256 rows and OOMs at per-domain cardinality
+    val p = formatted("q_pack_by_lang")
+    assert(!p.contains("LocalTableScan") && !p.contains("Scan ExistingRDD"),
+      "q_pack_by_lang base frame must be computed distributed, not driver-side")
+  }
+
   test("url canonicalization is a narrow codegen pass: no exchange, no UDF") {
     val p = formatted("q_url_normalize")
     assert(!p.contains("Exchange"), "normalizeUrl/urlDomain must not shuffle")

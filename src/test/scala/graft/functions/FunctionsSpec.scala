@@ -544,6 +544,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got8 == expected)
   }
 
+  test("grouped prefix sum holds at crawl-scale group cardinality (100k+ groups, no driver step)") {
+    // per-DOMAIN packing shape: group count grows with the data — the base
+    // computation must stay distributed (a |groups|x256 driver collect OOMs
+    // here by construction at real scale). Oracle: the naive whole-group
+    // window, safe in-test because every synthetic group is tiny.
+    import org.apache.spark.sql.expressions.Window
+    val n = 300000
+    val docs = spark.range(n.toLong)
+      .withColumn("domain", concat(lit("d"), pmod(col("id"), lit(120000L))))
+      .withColumn("n_tokens", pmod(col("id") * 37L, lit(90L)) + 10L)
+    val got = Sampling.packContextsBy(docs, "domain", "id", "n_tokens", 64L)
+      .select(col("id"), col("context_id"))
+    val oracle = docs
+      .withColumn("__h__", md5(col("id").cast("string")))
+      .withColumn("__before__",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("domain")).orderBy(col("__h__"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("id"), floor(col("__before__") / 64L).cast("long").as("context_id"))
+    assert(got.except(oracle).isEmpty && oracle.except(got).isEmpty,
+      "grouped prefix sum diverges from the whole-group window oracle")
+    assert(got.count() == n.toLong)
+  }
+
   test("packContextsText concatenates members in stream order, tokens and counts per context") {
     val docs = Seq((10L, "aa bb", 2L), (11L, "cc", 1L), (12L, "dd ee ff", 3L),
       (13L, "gg", 1L), (14L, "hh ii", 2L)).toDF("doc_id", "text", "n_tokens")

@@ -167,6 +167,46 @@ class ImagesSpec extends SparkSpec {
     }
   }
 
+  test("tiled TIFF decodes natively (platform-written, all compressions, edge tiles)") {
+    def writeTiled(bi: java.awt.image.BufferedImage, compression: Option[String]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(16, 16, 0, 0)
+      compression.foreach { c =>
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // 37x22 over 16x16 tiles: a 3x2 grid with padded right/bottom edges
+    val ww = 37; val hh = 22
+    val p = GenImages.pattern(31, ww, hh)
+    for (compression <- Seq(None, Some("LZW"), Some("PackBits"), Some("Deflate"));
+         rgb <- Seq(false, true)) {
+      val bi = new java.awt.image.BufferedImage(ww, hh,
+        if (rgb) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until hh).foreach(y => (0 until ww).foreach { x =>
+        val v = p(y * ww + x)
+        (0 until bi.getRaster.getNumBands).foreach(c =>
+          bi.getRaster.setSample(x, y, c, v))
+      })
+      val bytes = writeTiled(bi, compression)
+      // the native path alone must handle it — no ImageIO fallback masking
+      val g = ImageKernels.decodeTiffNative(bytes)
+      assert(g != null && g.w == ww && g.h == hh, s"$compression rgb=$rgb")
+      (0 until hh).foreach(y => (0 until ww).foreach { x =>
+        assert(g.px(y * ww + x) == p(y * ww + x), s"($x,$y) $compression rgb=$rgb")
+      })
+    }
+  }
+
   test("meta parses big-endian EXIF and ImageIO-written JPEG dimensions") {
     val bi = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()
