@@ -697,6 +697,27 @@ object SparkEntry {
         .select("doc_id", "label_pred")
     }),
 
+    // router-quality measurement: NB trained on the doc_id%5==0 seed band,
+    // evaluated on the HELD-OUT band (truth = lang) — per-label confusion
+    // counts + ppm precision/recall, all-integer so the oracle is exact
+    "q_model_eval" -> ((s, d) => {
+      val marker = when(col("lang") === "en", lit(" the and of to is it"))
+        .when(col("lang") === "fr", lit(" le la et les des une est"))
+        .when(col("lang") === "es", lit(" el los las una es y"))
+        .when(col("lang") === "de", lit(" der die das und ist ein"))
+        .otherwise(lit(" 的 是 了 在 和 有"))
+      val built = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 5 === 0, col("lang")).as("label"),
+        concat(col("text"), marker, marker, marker).as("text"))
+      val eng = new graft.engine.Engine(s)
+      val scored = eng.applyOperation(built,
+        Map("operation" -> "nb_classify", "column" -> "text",
+          "label_column" -> "label"), Map.empty, "gate")
+      eng.applyOperation(scored.filter(col("doc_id") % 5 =!= 0),
+        Map("operation" -> "model_eval", "label_column" -> "lang",
+          "predicted_column" -> "label_pred"), Map.empty, "gate")
+    }),
+
     "q_lang_id_trained" -> ((s, d) => {
       val marker = when(col("lang") === "en", lit(" the and of to is it"))
         .when(col("lang") === "fr", lit(" le la et les des une est"))
@@ -1653,6 +1674,74 @@ object SparkEntry {
                    ORDER BY s.tokscore + p.prior DESC, s.label ASC) AS rn
                FROM scored s JOIN priors p ON p.label = s.label)
          WHERE rn = 1""",
+
+    "q_model_eval" ->
+      """WITH built AS (
+           SELECT doc_id, lang,
+             lower(text || repeat(CASE lang
+               WHEN 'en' THEN ' the and of to is it'
+               WHEN 'fr' THEN ' le la et les des une est'
+               WHEN 'es' THEN ' el los las una es y'
+               WHEN 'de' THEN ' der die das und ist ein'
+               ELSE ' 的 是 了 在 和 有' END, 3)) AS t
+           FROM documents),
+         toksf AS (
+           SELECT doc_id, lang, tok
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(t, '\s+')) AS tok FROM built)
+           WHERE tok <> ''),
+         counts AS (
+           SELECT lang AS label, substr(md5(tok), 1, 3) AS b, count(*) AS cnt
+           FROM toksf WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         docs AS (
+           SELECT lang AS label, count(*) AS docs
+           FROM built WHERE doc_id % 5 = 0 GROUP BY 1),
+         norms AS (
+           SELECT label, cast(floor(log2(sum(cnt) + 4096)) AS BIGINT) + 1 AS norm
+           FROM counts GROUP BY 1),
+         priors AS (
+           SELECT label, cast(floor(log2(docs)) AS BIGINT) + 1 AS prior FROM docs),
+         doctoks AS (
+           SELECT doc_id, substr(md5(tok), 1, 3) AS b FROM toksf),
+         scored AS (
+           SELECT dt.doc_id, l.label,
+             sum(coalesce(cast(floor(log2(c.cnt + 1)) AS BIGINT) + 1, 1) - n.norm)
+               AS tokscore
+           FROM doctoks dt
+           CROSS JOIN (SELECT label FROM docs) l
+           LEFT JOIN counts c ON c.label = l.label AND c.b = dt.b
+           JOIN norms n ON n.label = l.label
+           GROUP BY 1, 2),
+         preds AS (
+           SELECT doc_id, label AS label_pred
+           FROM (SELECT s.doc_id, s.label,
+                   row_number() OVER (PARTITION BY s.doc_id
+                     ORDER BY s.tokscore + p.prior DESC, s.label ASC) AS rn
+                 FROM scored s JOIN priors p ON p.label = s.label)
+           WHERE rn = 1),
+         held AS (
+           SELECT d.lang AS label, p.label_pred AS pred
+           FROM preds p JOIN documents d USING (doc_id)
+           WHERE d.doc_id % 5 <> 0),
+         truth AS (
+           SELECT label, count(*)::BIGINT AS support,
+             sum(CASE WHEN label = pred THEN 1 ELSE 0 END)::BIGINT AS tp
+           FROM held GROUP BY 1),
+         predside AS (
+           SELECT pred AS label, count(*)::BIGINT AS predicted
+           FROM held WHERE pred IS NOT NULL GROUP BY 1)
+         SELECT coalesce(t.label, p.label) AS label,
+           coalesce(t.support, 0)::BIGINT AS support,
+           coalesce(t.tp, 0)::BIGINT AS tp,
+           (coalesce(p.predicted, 0) - coalesce(t.tp, 0))::BIGINT AS fp,
+           (coalesce(t.support, 0) - coalesce(t.tp, 0))::BIGINT AS fn,
+           CASE WHEN coalesce(p.predicted, 0) > 0
+                THEN ((coalesce(t.tp, 0) * 1000000) // p.predicted)::BIGINT END
+             AS precision_ppm,
+           CASE WHEN coalesce(t.support, 0) > 0
+                THEN ((coalesce(t.tp, 0) * 1000000) // t.support)::BIGINT END
+             AS recall_ppm
+         FROM truth t FULL OUTER JOIN predside p ON t.label = p.label""",
 
     "q_lang_id_trained" ->
       """WITH built AS (

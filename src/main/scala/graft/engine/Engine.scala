@@ -232,6 +232,7 @@ final class Engine(spark: SparkSession) {
     "lang_id_trained" -> Set("column", "label_column", "top_k", "new_column"),
     "nb_classify" -> Set("column", "label_column", "new_column", "model_file"),
     "nb_train" -> Set("column", "label_column", "model_file"),
+    "model_eval" -> Set("label_column", "predicted_column"),
     "text_normalize" -> Set("column", "form", "strip_controls",
       "collapse_whitespace", "new_column"),
     "sentence_split" -> Set("id_column", "column"),
@@ -508,6 +509,12 @@ final class Engine(spark: SparkSession) {
               Config.reqStr(op, "label_column", ctx),
               Config.reqStr(op, "column", ctx), outCol)
         }
+      // per-label confusion counts + ppm precision/recall of a predicted
+      // column vs a held-out truth column (router quality before a cut)
+      case "model_eval" =>
+        graft.functions.ModelEval.evalPredictions(df,
+          Config.reqStr(op, "label_column", ctx),
+          Config.reqStr(op, "predicted_column", ctx))
       // exact BPE token counts: merges from a persisted table
       // (`merges_file`, the production shape — train once, score deltas)
       // or induced inline from the input frame (the trigram_rarity shape)

@@ -128,4 +128,51 @@ class NaiveBayesSpec extends SparkSpec {
     assert(out.filter(_.getLong(0) <= 2).forall(_.getString(2) == "finance"))
     assert(out.find(_.getLong(0) == 3L).get.isNullAt(2))
   }
+
+  test("model_eval: per-label confusion counts and ppm metrics, hand-checked") {
+    import spark.implicits._
+    // truth a: predicted a,a,b,null → tp=2 fn=2; truth b: predicted a → fp
+    // for a; label c appears ONLY as a prediction (support 0, recall null);
+    // the null-truth row is excluded entirely
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), ("a", null),
+      ("b", "a"), ("b", "c"),
+      (null, "a")).toDF("truth", "pred")
+    val got = ModelEval.evalPredictions(rows, "truth", "pred")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    // a: support 4, tp 2, predicted 3 → fp 1, fn 2, prec 666666, rec 500000
+    assert(got("a") == ((4L, 2L, 1L, 2L, 666666L, 500000L)))
+    // b: support 2, tp 0, predicted 1 → fp 1, fn 2, prec 0, rec 0
+    assert(got("b") == ((2L, 0L, 1L, 2L, 0L, 0L)))
+    // c: never true → support 0, recall null; predicted once, wrong
+    assert(got("c") == ((0L, 0L, 1L, 0L, 0L, -1L)))
+    assert(got.size == 3)
+  }
+
+  test("model_eval composes with assign_split + nb_train/nb_classify as a held-out harness") {
+    import spark.implicits._
+    val eng = new graft.engine.Engine(spark)
+    val split = eng.applyOperation(corpus,
+      Map("operation" -> "assign_split", "key_column" -> "doc_id",
+        "weights" -> Map("train" -> 0.6, "val" -> 0.4)), Map.empty, "spec")
+    val scored = eng.applyOperation(
+      split.withColumn("label",
+        when(col("split") === "train", col("topic"))),
+      Map("operation" -> "nb_classify", "column" -> "text",
+        "label_column" -> "label"), Map.empty, "spec")
+    val eval = eng.applyOperation(scored.filter(col("split") === "val"),
+      Map("operation" -> "model_eval", "label_column" -> "topic",
+        "predicted_column" -> "label_pred"), Map.empty, "spec")
+      .collect()
+    assert(eval.nonEmpty)
+    // integer identity: per-label tp+fn == support
+    eval.foreach(r => assert(r.getLong(2) + r.getLong(4) == r.getLong(1)))
+    // global identity: Σtp + Σfp == number of non-null predictions on val
+    val predsN = scored.filter(col("split") === "val" &&
+      col("label_pred").isNotNull).count()
+    assert(eval.map(r => r.getLong(2) + r.getLong(3)).sum == predsN)
+  }
 }
