@@ -869,6 +869,89 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // the streaming incremental-ingest face END-TO-END: two real
+    // micro-batches (a parquet file source appended between
+    // processAllAvailable calls) through foreachBatch against the
+    // persisted shingle index; the final keep-set across both batch
+    // partitions must equal the two-stage batch semantics the oracle
+    // rebuilds in SQL (stage 1 dedups delta1 within itself; stage 2
+    // dedups delta2 against stage 1's SURVIVOR index and within itself)
+    "q_stream_ingest_text" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-text")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/src")
+      val src = s.readStream.schema(docs.schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalDedupIngest(src, "doc_id", "text",
+        s"$dir/index", s"$dir/out", threshold = 0.7, checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/out")
+        .select(col("doc_id"), col("batch").cast("long").as("batch"))
+    }),
+
+    // IMAGE face: delta 1 = 200 distinct pHash groups; delta 2 = 10 novel
+    // groups (kept) + 40 perturbed near-dups of delta-1 groups (dropped
+    // via the persisted signature index) — keep-set closed-form in doc_id
+    "q_stream_ingest_image" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-img")
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      def fx(df: DataFrame) = df.as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenImages.dedupFixture(id))))
+        .toDF("media_id", "content")
+      fx(ids.filter(col("doc_id") < 200)).write.parquet(s"$dir/src")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val src = s.readStream.schema(schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalImageDedupIngest(src,
+        "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 3,
+        checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/out")
+        .select(col("media_id"), col("batch").cast("long").as("batch"))
+    }),
+
+    // AUDIO face: same delta shape over the WAV/FLAC cross-container
+    // fingerprint fixtures (id%250 keys the recording; ids >= 250 are the
+    // double-amplitude re-encodes whose fingerprints collide exactly)
+    "q_stream_ingest_audio" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-aud")
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      def fx(df: DataFrame) = df.as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.audioDedupFixture(id))))
+        .toDF("media_id", "content")
+      fx(ids.filter(col("doc_id") < 200)).write.parquet(s"$dir/src")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val src = s.readStream.schema(schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalAudioDedupIngest(src,
+        "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 0,
+        checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/out")
+        .select(col("media_id"), col("batch").cast("long").as("batch"))
+    }),
+
     "q_dedup_near" -> ((s, d) => {
       val docs = t(s, d, "documents")
       new graft.engine.Engine(s).applyOperation(docs,
@@ -2082,6 +2165,78 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM pairs p
              WHERE p.b_id = doc_id
                 OR (p.a_id = doc_id AND p.b_id % 5 <> 0))""",
+
+    // two-stage incremental semantics: stage 1 dedups delta1 (doc_id%5<>0)
+    // within itself (pair a<b condemns b); stage 2 dedups delta2 against
+    // stage 1's SURVIVORS (not the raw corpus — a doc that died in stage 1
+    // condemns nobody) and within itself
+    "q_stream_ingest_text" ->
+      """WITH ws AS (
+           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+           FROM documents),
+         idx AS (
+           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
+         toks AS (
+           SELECT DISTINCT id,
+             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS tok
+           FROM idx),
+         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         t1 AS (SELECT * FROM toks WHERE id % 5 <> 0),
+         i1 AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM t1 a JOIN t1 b ON a.tok = b.tok AND a.id < b.id
+           GROUP BY 1, 2),
+         p1 AS (
+           SELECT a_id, b_id FROM i1
+           JOIN counts ca ON ca.id = a_id
+           JOIN counts cb ON cb.id = b_id
+           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
+         kept1 AS (
+           SELECT DISTINCT id FROM t1
+           WHERE NOT EXISTS (SELECT 1 FROM p1 WHERE p1.b_id = t1.id)),
+         t2 AS (SELECT * FROM toks WHERE id % 5 = 0),
+         u2 AS (
+           SELECT * FROM t2
+           UNION ALL
+           SELECT t.* FROM toks t JOIN kept1 k ON t.id = k.id),
+         i2 AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM t2 a JOIN u2 b
+             ON a.tok = b.tok AND a.id <> b.id
+              AND (b.id % 5 <> 0 OR a.id < b.id)
+           GROUP BY 1, 2),
+         p2 AS (
+           SELECT a_id, b_id FROM i2
+           JOIN counts ca ON ca.id = a_id
+           JOIN counts cb ON cb.id = b_id
+           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
+         kept2 AS (
+           SELECT DISTINCT id FROM t2
+           WHERE NOT EXISTS (SELECT 1 FROM p2
+             WHERE p2.b_id = t2.id
+                OR (p2.a_id = t2.id AND p2.b_id % 5 <> 0)))
+         SELECT id AS doc_id, 0::BIGINT AS batch FROM kept1
+         UNION ALL
+         SELECT id AS doc_id, 1::BIGINT AS batch FROM kept2""",
+
+    // closed-form keep-set: delta 1 (ids < 200) is 200 distinct pHash
+    // groups (all kept, batch 0); delta 2 keeps only the novel groups
+    // 240-249 — ids 250-289 are perturbed re-encodes of groups 0-39
+    // already in the persisted index
+    "q_stream_ingest_image" ->
+      """SELECT doc_id AS media_id, 0::BIGINT AS batch FROM documents WHERE doc_id < 200
+         UNION ALL
+         SELECT doc_id AS media_id, 1::BIGINT AS batch FROM documents
+         WHERE doc_id >= 240 AND doc_id < 250""",
+
+    // same closed form: audio fingerprints key on id%250 and the >= 250
+    // double-amplitude cross-container re-encodes collide exactly
+    "q_stream_ingest_audio" ->
+      """SELECT doc_id AS media_id, 0::BIGINT AS batch FROM documents WHERE doc_id < 200
+         UNION ALL
+         SELECT doc_id AS media_id, 1::BIGINT AS batch FROM documents
+         WHERE doc_id >= 240 AND doc_id < 250""",
 
     "q_dedup_near" ->
       """WITH RECURSIVE ws AS (
