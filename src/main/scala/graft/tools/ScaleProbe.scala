@@ -134,6 +134,19 @@ object ScaleProbe {
         graft.functions.Sampling.packContexts(withTok, "doc_id", "toks", contextTokens = 4096L)
           .select("context_id").distinct().count()
       }
+      // grouped packing at crawl-scale group cardinality: 100k registrable
+      // domains (each a handful of docs at probe scale) — the shape whose
+      // per-group bases MUST stay distributed; wall should track the scan,
+      // and the old |groups|x256 driver collect would OOM here by design
+      val (packByDom, tPackDom) = leg(d, "pack_by_domain") {
+        val withTok = docs
+          .withColumn("domain", org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("d"), col("doc_id") % 100000))
+          .withColumn("toks", graft.functions.TextFunctions.tokenCount(col("text")))
+        graft.functions.Sampling.packContextsBy(withTok, "domain", "doc_id", "toks",
+          contextTokens = 4096L)
+          .select("domain", "context_id").distinct().count()
+      }
       // per-domain cap under heavy skew: one "mega" domain holds a third of
       // the corpus — exactly the shape where a single-window cap collapses
       // onto one task; the salted two-stage top-k must keep it spread and
@@ -303,6 +316,7 @@ object ScaleProbe {
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
         f"token_budget=$tTb%.1fs(kept=$tbKept) shuffle=$tSh%.1fs " +
         f"pack_contexts=$tPack%.1fs(ctxs=$packCtxs) " +
+        f"pack_by_domain=$tPackDom%.1fs(ctxs=$packByDom) " +
         f"trigram_rarity=$tRar%.1fs($rarHi) " +
         f"domain_cap=$tCap%.1fs(kept=$capKept) rebalance=$tReb%.1fs(kept=$rebKept) " +
         f"dedup_incremental=$tIncr%.1fs(kept=$incrKept) " +
