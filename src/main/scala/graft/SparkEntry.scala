@@ -1263,8 +1263,9 @@ object SparkEntry {
 
     // perceptual image near-dedup: ids i and i+250 share a base pattern
     // (the copy carries a faint low-frequency gradient AND a different
-    // container format — id%4 rotates PNG / BMP / baseline JPEG / TIFF,
-    // the latter two through the native bit-stable T.81 and strip decode
+    // container format — id%5 rotates PNG / BMP / baseline JPEG / TIFF /
+    // WebP-VP8L, through the native bit-stable T.81, strip, and VP8L
+    // decoders
     // paths), unrelated patterns are ≥16 pHash bits apart; pHash →
     // 4×16-bit band join → hamming ≤ 3 → connected components must
     // recover exactly the constructed pairing

@@ -50,11 +50,12 @@ object GenImages {
     val w = 64; val h = 64
     val base = pattern(id % 250, w, h)
     val px = if (id >= 250) perturb(base, w, h, 3) else base
-    (id % 4) match {
+    (id % 5) match {
       case 0 => ImageKernels.encodePng(w, h, px)
       case 1 => ImageKernels.encodeBmp(w, h, px)
       case 2 => graft.functions.Jpeg.encodeYcc420(w, h, px)
-      case _ => ImageKernels.encodeTiffGray(w, h, px)
+      case 3 => ImageKernels.encodeTiffGray(w, h, px)
+      case _ => graft.functions.Webp.encodeGray(w, h, px)
     }
   }
 

@@ -18,6 +18,7 @@ class HostilePayloadSpec extends AnyFunSuite {
     "bmp" -> ImageKernels.encodeBmp(24, 16, graft.tools.GenImages.pattern(2, 24, 16)),
     "jpeg" -> Jpeg.encodeYcc420(24, 16, graft.tools.GenImages.pattern(3, 24, 16)),
     "tiff" -> ImageKernels.encodeTiffGray(24, 16, graft.tools.GenImages.pattern(4, 24, 16)),
+    "webp" -> Webp.encodeGray(24, 16, graft.tools.GenImages.pattern(5, 24, 16)),
     "wav" -> MediaKernels.encodeWav(16000, Array.tabulate(256)(i => (i % 251) - 125)),
     "flac" -> Flac.encodeMono16(16000, Array.tabulate(256)(i => (i % 251) - 125)),
     "mp4" -> MediaKernels.encodeMp4Header(320, 240, 1000),
@@ -61,6 +62,7 @@ class HostilePayloadSpec extends AnyFunSuite {
       Array[Byte]('M', 'M', 0, 42),
       "RIFF1234WAVE".getBytes,
       "RIFF1234AVI ".getBytes,
+      "RIFF1234WEBPVP8L".getBytes,
       "fLaC".getBytes,
       "%PDF-1.4\n".getBytes,
       "GIF89a".getBytes)
