@@ -130,26 +130,38 @@ object BenchFormat {
   }
 
   /** Byte-pair-style greedy substring codes for tier-10 name compression.
-    * Returns tokens in assignment order; token i is announced at index i of
-    * the `qtok` array and encoded as the single uppercase letter
-    * ('A'+i). Query names are lowercase/digit/underscore, so uppercase
+    * Returns tokens in assignment order; token i is announced at position
+    * i of the comma-joined `qtok` string and encoded as [[tokCode]](i).
+    * Query names are lowercase/digit/underscore, so uppercase
     * letters unambiguously mark codes. Later tokens may contain EARLIER
     * code letters (nested compression) — decode by replacing codes in
-    * REVERSE assignment order: for i from n-1 down to 0, replace ('A'+i)
-    * with token(i). Each round picks the substring with the best net
-    * saving: count×(len−1) − (len+3 announcement chars); deterministic
+    * REVERSE assignment order: for i from n-1 down to 0, replace
+    * tokCode(i) with token(i). Each round picks the substring with the
+    * best net saving: count×(len−codeLen) − (len+3 announcement chars);
+    * deterministic
     * tie-break on the lexicographically smaller token. */
-  def tokenAbbreviations(names0: collection.Seq[String], maxCodes: Int = 26): Seq[String] = {
+  /** Code string for token index `i`: 25 single letters 'A'-'Y', then
+    * 'Z'-escaped pairs "ZA"-"ZY" — 'Z' alone is never a code, so a pair
+    * is unambiguous, and material can never contain a not-yet-assigned
+    * pair ('Z' only enters names as the first half of an already-assigned
+    * pair, glued to its partner). Query names are lowercase, so any
+    * uppercase letter marks code territory. */
+  private def tokCode(i: Int): String =
+    if (i < 25) ('A' + i).toChar.toString
+    else "Z" + ('A' + (i - 25)).toChar
+
+  def tokenAbbreviations(names0: collection.Seq[String], maxCodes: Int = 50): Seq[String] = {
     var names = names0.toVector
     val toks = scala.collection.mutable.ArrayBuffer[String]()
     var done = false
     while (!done && toks.size < maxCodes) {
+      val codeLen = tokCode(toks.size).length
       val counts = scala.collection.mutable.HashMap[String, Int]()
       names.foreach { n =>
         val seen = scala.collection.mutable.HashSet[String]()
         var i = 0
         while (i < n.length) {
-          var j = i + 2
+          var j = i + codeLen + 1
           val jMax = math.min(i + 15, n.length)
           while (j <= jMax) {
             val s = n.substring(i, j)
@@ -163,7 +175,7 @@ object BenchFormat {
       var bestNet = 0
       counts.foreach { case (s, c) =>
         if (c >= 2) {
-          val net = c * (s.length - 1) - (s.length + 3)
+          val net = c * (s.length - codeLen) - (s.length + 3)
           if (net > bestNet || (net == bestNet && best != null && s < best)) {
             best = s; bestNet = net
           }
@@ -171,7 +183,7 @@ object BenchFormat {
       }
       if (best == null || bestNet <= 0) done = true
       else {
-        val code = ('A' + toks.size).toChar.toString
+        val code = tokCode(toks.size)
         toks += best
         names = names.map(_.replace(best, code))
       }
@@ -182,13 +194,13 @@ object BenchFormat {
   /** Encode one name through the token table (assignment order). */
   def tokEncode(name: String, toks: Seq[String]): String =
     toks.zipWithIndex.foldLeft(name) { case (n, (t, i)) =>
-      n.replace(t, ('A' + i).toChar.toString)
+      n.replace(t, tokCode(i))
     }
 
   /** Inverse of [[tokEncode]]: expand codes in reverse assignment order. */
   def tokDecode(name: String, toks: Seq[String]): String =
     toks.zipWithIndex.reverse.foldLeft(name) { case (n, (t, i)) =>
-      n.replace(('A' + i).toChar.toString, t)
+      n.replace(tokCode(i), t)
     }
 
   def stdoutLine(
@@ -296,7 +308,10 @@ object BenchFormat {
       val entries = names.zip(kept).map { case (name, (_, v)) =>
         "\"" + name + "\":" + math.round(v * 10).toString
       }.mkString("{", ",", "}")
-      val tokJs = toks.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // one comma-joined string, not a JSON array: names never contain
+      // commas and the 2-chars-per-token saving is what keeps the full
+      // suite complete as it grows (split on ',' to recover the table)
+      val tokJs = toks.mkString("\"", ",", "\"")
       val drop = if (minDs > 0) s""","qmin_ds":$minDs,"qfast":$dropped""" else ""
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$entries,"qprefix":"q_","qunit":"ds","qtok":$tokJs$drop""" +
         (if (machineContended) s""","machine_contended":true""" else "") +

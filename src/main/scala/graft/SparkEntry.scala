@@ -51,6 +51,34 @@ object SparkEntry {
         Map("file" -> f.toString), f.getParent)
     }),
 
+    // docx round-trip: document texts written as Word paragraphs (tabs,
+    // line breaks, and leading/trailing spaces surviving through
+    // w:tab/w:br/xml:space), extracted back through the native OOXML
+    // StAX parser — one row per paragraph, document order
+    "q_source_docx" -> ((s, d) => {
+      val texts = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(_.getString(1)).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-docs", ".docx")
+      graft.engine.Docx.writeDocx(f, texts)
+      graft.engine.Sources.read(s, "docs_docx",
+        Map("file" -> f.toString), f.getParent)
+        .select("paragraph", "text")
+    }),
+
+    // pptx round-trip: one slide per document, slide-number order (ZIP
+    // entry order is deliberately not trusted by the reader)
+    "q_source_pptx" -> ((s, d) => {
+      val texts = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(_.getString(1)).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-docs", ".pptx")
+      graft.engine.Docx.writePptx(f, texts)
+      graft.engine.Sources.read(s, "docs_pptx",
+        Map("file" -> f.toString), f.getParent)
+        .select("slide", "text")
+    }),
+
     // ods round-trip: region written as an OpenDocument spreadsheet (typed
     // float cells + LibreOffice-style trailing repeat trailers), read back
     // through the native ODF content.xml parser; oracle reads parquet
@@ -1453,6 +1481,14 @@ object SparkEntry {
 
     "q_source_ods" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+
+    "q_source_docx" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS paragraph, text
+         FROM documents WHERE doc_id < 40""",
+
+    "q_source_pptx" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS slide, text
+         FROM documents WHERE doc_id < 40""",
 
     "q_source_xlsb" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",

@@ -129,6 +129,11 @@ object Sources {
       // file-level parallelism like WARC — one row per page (file, page,
       // text), pages in page-tree order
       case "pdf" => readPdf(spark, path)
+      // OOXML text extraction (beyond-reference, the Office share of a
+      // document crawl): same distribution shape — one row per paragraph
+      // (docx) or slide (pptx)
+      case "docx" => readOoxmlText(spark, path, "paragraph", Docx.extractParagraphs)
+      case "pptx" => readOoxmlText(spark, path, "slide", Docx.extractSlides)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -495,6 +500,27 @@ object Sources {
     }
     val schema = StructType(Seq(
       StructField("file", StringType), StructField("page", LongType),
+      StructField("text", StringType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** docx/pptx: file-level parallel extraction, one row per unit
+    * (paragraph or slide) — (file, `unitCol`, text), units 1-based in
+    * document order. */
+  private def readOoxmlText(spark: SparkSession, pathGlob: String, unitCol: String,
+                            extract: Array[Byte] => Vector[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
+      val units =
+        try extract(pds.toArray())
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
+        }
+      units.zipWithIndex.map { case (text, i) => Row(file, (i + 1).toLong, text) }
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField(unitCol, LongType),
       StructField("text", StringType)))
     spark.createDataFrame(rows, schema)
   }

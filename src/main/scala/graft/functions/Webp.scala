@@ -53,38 +53,55 @@ object Webp {
     private var pos = start
     private var acc = 0L
     private var nBits = 0
+    private var overrun = 0 // zero-fill bytes pulled past the end (peeks)
     def readBits(n: Int): Int = {
-      while (nBits < n) {
-        if (pos >= b.length) throw new IllegalArgumentException("vp8l: EOF")
-        acc |= (b(pos) & 0xFFL) << nBits
-        nBits += 8
-        pos += 1
-      }
+      fill(n)
+      // zero-fill occupies the TOP overrun*8 bits of the window; consuming
+      // into it means the stream was truncated
+      if (n > nBits - overrun * 8) throw new IllegalArgumentException("vp8l: EOF")
       val v = (acc & ((1L << n) - 1)).toInt
       acc >>>= n
       nBits -= n
       v
     }
+    private def fill(n: Int): Unit =
+      while (nBits < n) {
+        if (pos >= b.length) { overrun += 1 }
+        else { acc |= (b(pos) & 0xFFL) << nBits; pos += 1 }
+        nBits += 8
+      }
+    /** Next `n` bits without consuming; zero-filled past the end (the
+      * table decode peeks the max code length, then consumes the real
+      * one — consuming past the end still throws). */
+    def peekBits(n: Int): Int = {
+      fill(n)
+      (acc & ((1L << n) - 1)).toInt
+    }
+    def consumeBits(n: Int): Unit = {
+      if (n > nBits - overrun * 8) throw new IllegalArgumentException("vp8l: EOF")
+      acc >>>= n
+      nBits -= n
+    }
     def readBit(): Int = readBits(1)
-    /** Bits consumed so far (diagnostics). */
-    def bitPos: Int = (pos - start) * 8 - nBits
   }
 
   // --------------------------------------------------- canonical codes
 
-  /** Canonical prefix code decoded by bitwise tree walk: codes assigned
-    * DEFLATE-style (ascending length, then symbol), first bit read =
-    * most significant bit of the code. A single-symbol code reads zero
-    * bits. */
+  /** Canonical prefix code: codes assigned DEFLATE-style (ascending
+    * length, then symbol), first bit read = most significant bit of the
+    * code. Decoded via one flat maxLen-bit lookup table (codes stored
+    * bit-reversed so the LSB-first peek indexes directly — the classic
+    * single-level DEFLATE table); a single-symbol code reads zero bits. */
   private final class PrefixCode(lengths: Array[Int]) {
     private val present = lengths.zipWithIndex.filter(_._1 > 0)
     require(present.nonEmpty, "vp8l: empty prefix code")
     val trivialSymbol: Int = if (present.length == 1) present.head._2 else -1
-    // (length, canonical code) -> symbol
-    private val table: java.util.HashMap[Long, Integer] =
+    private var maxLen = 0
+    // flat table: low maxLen peeked bits -> (len << 16) | symbol
+    private val table: Array[Int] =
       if (trivialSymbol >= 0) null
       else {
-        val maxLen = present.map(_._1).max
+        maxLen = present.map(_._1).max
         require(maxLen <= 15, s"vp8l: code length $maxLen > 15")
         val blCount = new Array[Int](maxLen + 1)
         present.foreach { case (l, _) => blCount(l) += 1 }
@@ -98,26 +115,28 @@ object Webp {
           code = (code + blCount(l - 1)) << 1
           nextCode(l) = code
         }
-        val t = new java.util.HashMap[Long, Integer]()
+        val t = new Array[Int](1 << maxLen)
         lengths.zipWithIndex.foreach { case (l, sym) =>
           if (l > 0) {
-            t.put((l.toLong << 32) | nextCode(l), Integer.valueOf(sym))
+            val c = nextCode(l)
             nextCode(l) += 1
+            // reverse the l code bits so bit j of the index is the j-th
+            // bit read (= bit l-1-j of the canonical code)
+            var rev = 0
+            var j = 0
+            while (j < l) { rev |= ((c >> (l - 1 - j)) & 1) << j; j += 1 }
+            val entry = (l << 16) | sym
+            var idx = rev
+            while (idx < t.length) { t(idx) = entry; idx += (1 << l) }
           }
         }
         t
       }
     def decode(r: BitReader): Int = {
       if (trivialSymbol >= 0) return trivialSymbol
-      var code = 0
-      var len = 0
-      while (len < 15) {
-        code = (code << 1) | r.readBit()
-        len += 1
-        val s = table.get((len.toLong << 32) | code)
-        if (s != null) return s.intValue
-      }
-      throw new IllegalArgumentException("vp8l: bad prefix code")
+      val e = table(r.peekBits(maxLen))
+      r.consumeBits(e >>> 16)
+      e & 0xFFFF
     }
   }
 

@@ -24,8 +24,8 @@ class BenchFormatSpec extends AnyFunSuite {
   /** Reconstruct full query names from any tier's line: parse qtok/qabbr/
     * qprefix announcements and decode each key in the queries map. */
   private def decodedNames(line: String): Set[String] = {
-    val qtok = """"qtok":\[([^\]]*)\]""".r.findFirstMatchIn(line)
-      .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+    val qtok = """"qtok":"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(_.group(1).split(",").toSeq)
       .getOrElse(Nil)
     val qabbr = """"qabbr":\{([^}]*)\}""".r.findFirstMatchIn(line)
       .map(m => """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(m.group(1))

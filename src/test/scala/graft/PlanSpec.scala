@@ -100,6 +100,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("model_eval: label-cardinality partial aggregations, nothing driver-side") {
+    val p = formatted("q_model_eval")
+    assert(p.contains("HashAggregate"), "eval counts must aggregate")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the confusion join")
+    // the eval frame derives from the scan via aggregation, never from a
+    // collected local relation
+    assert(!p.contains("LocalTableScan") || p.contains("Scan parquet"),
+      "eval must be computed from the distributed scan")
+  }
+
   test("grouped prefix sum: per-group bases computed distributed, not collected to the driver") {
     // the base frame must come from the same scan via a window (one DAG),
     // never from a driver collect materialized back as a local relation —

@@ -129,6 +129,28 @@ class NaiveBayesSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 3L).get.isNullAt(2))
   }
 
+  test("NB scoring is stream-safe: identical predictions on a MemoryStream micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val model = NaiveBayes.train(corpus, "topic", "text")
+    val rows = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = NaiveBayes.withPrediction(mem.toDF().toDF("doc_id", "text"), "text", model)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id", "label_pred").collect()
+          .foreach(r => got(r.getLong(0)) = r.getString(1))
+        ()
+      }.start()
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val batchPred = NaiveBayes.withPrediction(corpus, "text", model)
+      .select("doc_id", "label_pred").as[(Long, String)].collect().toMap
+    assert(got.toMap == batchPred, "stream scoring must equal batch scoring")
+  }
+
   test("model_eval: per-label confusion counts and ppm metrics, hand-checked") {
     import spark.implicits._
     // truth a: predicted a,a,b,null → tp=2 fn=2; truth b: predicted a → fp
