@@ -66,6 +66,20 @@ object SparkEntry {
         .select("paragraph", "text")
     }),
 
+    // rtf round-trip: document texts written as \par-terminated RTF
+    // paragraphs (specials escaped, non-ASCII as \uN), extracted back
+    // through the native group-walking parser
+    "q_source_rtf" -> ((s, d) => {
+      val texts = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(_.getString(1)).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-docs", ".rtf")
+      graft.engine.Rtf.write(f, texts)
+      graft.engine.Sources.read(s, "docs_rtf",
+        Map("file" -> f.toString), f.getParent)
+        .select("paragraph", "text")
+    }),
+
     // pptx round-trip: one slide per document, slide-number order (ZIP
     // entry order is deliberately not trusted by the reader)
     "q_source_pptx" -> ((s, d) => {
@@ -1488,6 +1502,10 @@ object SparkEntry {
 
     "q_source_pptx" ->
       """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS slide, text
+         FROM documents WHERE doc_id < 40""",
+
+    "q_source_rtf" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS paragraph, text
          FROM documents WHERE doc_id < 40""",
 
     "q_source_xlsb" ->

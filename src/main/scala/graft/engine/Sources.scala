@@ -134,6 +134,7 @@ object Sources {
       // (docx) or slide (pptx)
       case "docx" => readOoxmlText(spark, path, "paragraph", Docx.extractParagraphs)
       case "pptx" => readOoxmlText(spark, path, "slide", Docx.extractSlides)
+      case "rtf" => readOoxmlText(spark, path, "paragraph", Rtf.extractParagraphs)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
