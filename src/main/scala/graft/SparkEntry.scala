@@ -66,6 +66,20 @@ object SparkEntry {
         .select("paragraph", "text")
     }),
 
+    // legacy .doc round-trip: document texts in a UTF-16 piece behind a
+    // real FIB + Clx piece table in an OLE2 container, extracted back
+    // through the native [MS-DOC] parser over the from-scratch CFB reader
+    "q_source_doc" -> ((s, d) => {
+      val texts = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(_.getString(1)).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-docs", ".doc")
+      graft.engine.Doc.write(f, texts)
+      graft.engine.Sources.read(s, "docs_doc",
+        Map("file" -> f.toString), f.getParent)
+        .select("paragraph", "text")
+    }),
+
     // rtf round-trip: document texts written as \par-terminated RTF
     // paragraphs (specials escaped, non-ASCII as \uN), extracted back
     // through the native group-walking parser
@@ -1505,6 +1519,10 @@ object SparkEntry {
          FROM documents WHERE doc_id < 40""",
 
     "q_source_rtf" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS paragraph, text
+         FROM documents WHERE doc_id < 40""",
+
+    "q_source_doc" ->
       """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS paragraph, text
          FROM documents WHERE doc_id < 40""",
 

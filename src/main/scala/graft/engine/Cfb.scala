@@ -20,8 +20,13 @@ object Cfb {
 
   /** The bytes of the first directory stream whose name matches one of
     * `names` (case-sensitive, in preference order). */
-  def readStream(path: String, names: Seq[String]): Array[Byte] = {
-    val data = Files.readAllBytes(Paths.get(path))
+  def readStream(path: String, names: Seq[String]): Array[Byte] =
+    readStreamBytes(Files.readAllBytes(Paths.get(path)), names, path)
+
+  /** Bytes-based core of [[readStream]] — usable inside `binaryFiles`
+    * partitions (the distributed .doc extraction path). */
+  def readStreamBytes(data: Array[Byte], names: Seq[String],
+                      path: String = "<bytes>"): Array[Byte] = {
     require(data.length >= 512 &&
       (data(0) & 0xFF) == 0xD0 && (data(1) & 0xFF) == 0xCF &&
       (data(2) & 0xFF) == 0x11 && (data(3) & 0xFF) == 0xE0 &&

@@ -135,6 +135,7 @@ object Sources {
       case "docx" => readOoxmlText(spark, path, "paragraph", Docx.extractParagraphs)
       case "pptx" => readOoxmlText(spark, path, "slide", Docx.extractSlides)
       case "rtf" => readOoxmlText(spark, path, "paragraph", Rtf.extractParagraphs)
+      case "doc" => readOoxmlText(spark, path, "paragraph", Doc.extractParagraphs)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }

@@ -192,6 +192,95 @@ object GenXls {
   /** Wrap a Workbook stream into a minimal valid CFB file. Streams under
     * 4096 bytes go through the mini stream + mini FAT (the [MS-CFB] rule),
     * larger ones straight into FAT-chained 512-byte sectors. */
+  /** Multi-stream CFB writer (the .doc fixture shape: WordDocument +
+    * 1Table). Every stream must be >= the 4096-byte mini cutoff so the
+    * whole file lives in regular sectors; single FAT sector (~63 KB of
+    * payload), plenty for fixtures. Directory sibling pointers stay
+    * free — readers that walk the red-black tree strictly would need
+    * them, but both our [[graft.engine.Cfb]] and the fixture consumers
+    * scan entries linearly. */
+  def writeCfbMulti(path: String, streams: Seq[(String, Array[Byte])]): Unit = {
+    val sectorSize = 512
+    require(streams.nonEmpty && streams.forall(_._2.length >= 4096),
+      "writeCfbMulti: every stream must be >= 4096 bytes (mini cutoff)")
+    def sectorsFor(n: Int) = (n + sectorSize - 1) / sectorSize
+    val dirSectors = (1 + streams.length + 3) / 4
+    val streamSectors = streams.map(s => sectorsFor(s._2.length))
+    val totalSectors = 1 + dirSectors + streamSectors.sum
+    require(totalSectors <= 128, "writeCfbMulti: fixture too large for one FAT sector")
+
+    val fat = Array.fill[Long](128)(FreeSect)
+    fat(0) = FatSect
+    (1 to dirSectors).foreach(i => fat(i) = if (i == dirSectors) EndOfChain else i + 1L)
+    var next = 1 + dirSectors
+    val starts = streamSectors.map { nSec =>
+      val start = next
+      (0 until nSec).foreach(i =>
+        fat(start + i) = if (i == nSec - 1) EndOfChain else start + i + 1L)
+      next += nSec
+      start.toLong
+    }
+
+    def dirEntry(name: String, objType: Int, startSector: Long, size: Long,
+                 child: Long): Array[Byte] = {
+      val e = new Array[Byte](128)
+      val nb = name.getBytes(StandardCharsets.UTF_16LE)
+      System.arraycopy(nb, 0, e, 0, nb.length)
+      val nameLen = nb.length + 2
+      e(64) = (nameLen & 0xFF).toByte; e(65) = ((nameLen >> 8) & 0xFF).toByte
+      e(66) = objType.toByte
+      e(67) = 1
+      def put32(off: Int, v: Long): Unit = {
+        e(off) = (v & 0xFF).toByte; e(off + 1) = ((v >> 8) & 0xFF).toByte
+        e(off + 2) = ((v >> 16) & 0xFF).toByte; e(off + 3) = ((v >> 24) & 0xFF).toByte
+      }
+      put32(68, FreeSect); put32(72, FreeSect)
+      put32(76, child)
+      put32(116, startSector)
+      put32(120, size)
+      e
+    }
+    val dir = new ByteArrayOutputStream()
+    dir.write(dirEntry("Root Entry", 5, EndOfChain, 0L, child = 1L))
+    streams.zip(starts).foreach { case ((name, bytes), start) =>
+      dir.write(dirEntry(name, 2, start, bytes.length.toLong, child = FreeSect))
+    }
+    val dirPad = dirSectors * 4 - 1 - streams.length
+    dir.write(new Array[Byte](128 * dirPad))
+
+    val header = new Array[Byte](512)
+    val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    System.arraycopy(magic, 0, header, 0, 8)
+    def hput16(off: Int, v: Int): Unit = {
+      header(off) = (v & 0xFF).toByte; header(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def hput32(off: Int, v: Long): Unit = {
+      header(off) = (v & 0xFF).toByte; header(off + 1) = ((v >> 8) & 0xFF).toByte
+      header(off + 2) = ((v >> 16) & 0xFF).toByte; header(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    hput16(24, 0x003E); hput16(26, 0x0003); hput16(28, 0xFFFE)
+    hput16(30, 9); hput16(32, 6)
+    hput32(44, 1L) // one FAT sector
+    hput32(48, 1L) // directory starts at sector 1
+    hput32(56, 4096L)
+    hput32(60, EndOfChain); hput32(64, 0L) // no mini FAT
+    hput32(68, EndOfChain); hput32(72, 0L)
+    hput32(76, 0L)
+    (1 until 109).foreach(i => hput32(76 + i * 4, FreeSect))
+
+    val body = new ByteArrayOutputStream()
+    body.write(header)
+    fat.foreach { v =>
+      body.write((v & 0xFF).toInt); body.write(((v >> 8) & 0xFF).toInt)
+      body.write(((v >> 16) & 0xFF).toInt); body.write(((v >> 24) & 0xFF).toInt)
+    }
+    body.write(dir.toByteArray)
+    streams.zip(streamSectors).foreach { case ((_, bytes), nSec) =>
+      body.write(java.util.Arrays.copyOf(bytes, nSec * sectorSize))
+    }
+    Files.write(Paths.get(path), body.toByteArray)
+  }
+
   def writeCfb(path: String, streamName: String, stream: Array[Byte]): Unit = {
     val sectorSize = 512
     def sectorsFor(n: Int, unit: Int) = (n + unit - 1) / unit
