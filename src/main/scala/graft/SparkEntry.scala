@@ -66,6 +66,24 @@ object SparkEntry {
         .select("paragraph", "text")
     }),
 
+    // epub round-trip: texts packaged as OCF/OPF chapters (stored
+    // mimetype, container → rootfile → manifest+spine), read back in
+    // SPINE order as markup, then the engine's html_to_text op extracts —
+    // the exact `source type epub` → `html_to_text` composition a books
+    // pipeline runs
+    "q_source_epub" -> ((s, d) => {
+      val texts = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(_.getString(1)).toSeq
+      val f = java.nio.file.Files.createTempFile("graft-docs", ".epub")
+      graft.engine.Epub.write(f, texts)
+      val src = graft.engine.Sources.read(s, "docs_epub",
+        Map("file" -> f.toString), f.getParent)
+      new graft.engine.Engine(s).applyOperation(src,
+        Map("operation" -> "html_to_text", "column" -> "html"), Map.empty, "gate")
+        .select(col("chapter"), col("html").as("text"))
+    }),
+
     // legacy .doc round-trip: document texts in a UTF-16 piece behind a
     // real FIB + Clx piece table in an OLE2 container, extracted back
     // through the native [MS-DOC] parser over the from-scratch CFB reader
@@ -934,7 +952,12 @@ object SparkEntry {
     // dedups delta2 against stage 1's SURVIVOR index and within itself)
     "q_stream_ingest_text" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-si-text")
+      // capped at 2000 docs: this gate exercises the STREAMING machinery
+      // (batch stamping, index exclusion, replay discipline) end-to-end;
+      // the near-dedup data path itself is separately gated AND benched at
+      // full scale by q_dedup_incremental / q_dedup_incr_indexed
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 2000)
       docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/src")
       val src = s.readStream.schema(docs.schema).parquet(s"$dir/src")
       val q = graft.streaming.Streams.incrementalDedupIngest(src, "doc_id", "text",
@@ -1524,6 +1547,12 @@ object SparkEntry {
 
     "q_source_doc" ->
       """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS paragraph, text
+         FROM documents WHERE doc_id < 40""",
+
+    // markup generation + html_to_text extraction invert exactly for
+    // clean single-spaced text, so the oracle is the identity round-trip
+    "q_source_epub" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS chapter, text
          FROM documents WHERE doc_id < 40""",
 
     "q_source_xlsb" ->
@@ -2246,7 +2275,7 @@ object SparkEntry {
     "q_stream_ingest_text" ->
       """WITH ws AS (
            SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
-           FROM documents),
+           FROM documents WHERE doc_id < 2000),
          idx AS (
            SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
          toks AS (

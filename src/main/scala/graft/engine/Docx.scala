@@ -40,8 +40,9 @@ object Docx {
   }
 
   /** All ZIP entries matching `want`, as (name, bytes) — streamed, so a
-    * hostile entry can't allocate past the 64 MiB per-part cap. */
-  private def zipEntries(bytes: Array[Byte], want: String => Boolean): Vector[(String, Array[Byte])] = {
+    * hostile entry can't allocate past the 64 MiB per-part cap. Shared
+    * with [[Epub]]. */
+  private[engine] def zipEntries(bytes: Array[Byte], want: String => Boolean): Vector[(String, Array[Byte])] = {
     val out = Vector.newBuilder[(String, Array[Byte])]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {

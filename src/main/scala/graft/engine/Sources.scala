@@ -136,6 +136,9 @@ object Sources {
       case "pptx" => readOoxmlText(spark, path, "slide", Docx.extractSlides)
       case "rtf" => readOoxmlText(spark, path, "paragraph", Rtf.extractParagraphs)
       case "doc" => readOoxmlText(spark, path, "paragraph", Doc.extractParagraphs)
+      // epub emits chapter MARKUP in spine order; `html_to_text` is the
+      // extraction step (composes like the WARC/html crawl path)
+      case "epub" => readOoxmlText(spark, path, "chapter", Epub.extractChapters, "html")
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -510,7 +513,8 @@ object Sources {
     * (paragraph or slide) — (file, `unitCol`, text), units 1-based in
     * document order. */
   private def readOoxmlText(spark: SparkSession, pathGlob: String, unitCol: String,
-                            extract: Array[Byte] => Vector[String]): DataFrame = {
+                            extract: Array[Byte] => Vector[String],
+                            valueCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
@@ -523,7 +527,7 @@ object Sources {
     }
     val schema = StructType(Seq(
       StructField("file", StringType), StructField(unitCol, LongType),
-      StructField("text", StringType)))
+      StructField(valueCol, StringType)))
     spark.createDataFrame(rows, schema)
   }
 }
