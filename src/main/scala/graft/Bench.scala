@@ -292,14 +292,17 @@ object BenchFormat {
     // value) — announced via "qmin_ds" + "qfast":<omitted count>, so the
     // slow tail (the regression-tracking signal) stays complete, unlike the
     // slowest-first truncation fallback which cuts on budget, not meaning.
-    def tokDs(minDs: Int): String = {
+    def tokDs(minDs: Int, listDrops: Boolean = true): String = {
       val kept = if (minDs <= 0) mins
                  else mins.filter { case (_, v) => math.round(v * 10) >= minDs }
-      val dropped = mins.size - kept.size
+      val droppedNames = (if (minDs <= 0) Nil else mins.filterNot { case (_, v) =>
+        math.round(v * 10) >= minDs
+      }).map { case (k, _) => if (k.startsWith("q_")) k.drop(2) else k }
       val shortNames = kept.map { case (k, _) =>
         if (k.startsWith("q_")) k.drop(2) else k
       }
-      val toks = BenchFormat.tokenAbbreviations(shortNames)
+      // token table over ALL names so the qdrop list encodes too
+      val toks = BenchFormat.tokenAbbreviations(shortNames ++ droppedNames)
       val encoded = shortNames.map(BenchFormat.tokEncode(_, toks))
       // compression must stay lossless: bail to the uncompressed names if
       // the encoding ever collides (cannot happen — decode inverts encode —
@@ -312,7 +315,18 @@ object BenchFormat {
       // commas and the 2-chars-per-token saving is what keeps the full
       // suite complete as it grows (split on ',' to recover the table)
       val tokJs = toks.mkString("\"", ",", "\"")
-      val drop = if (minDs > 0) s""","qmin_ds":$minDs,"qfast":$dropped""" else ""
+      // Sub-threshold entries leave the map but (listDrops) their NAMES
+      // stay in the line as the tok-encoded comma-joined `qdrop` string:
+      // the artifact remains name-complete, each listed query's min
+      // bounded by qmin_ds, at ~4 chars/entry less than map membership.
+      // When even that doesn't fit (incompressible names), the next tier
+      // falls back to the count-only `qfast` announcement; 3-decimal
+      // values persist in the committed BENCH_RESULTS_r<N>.json always.
+      val drop =
+        if (minDs <= 0) ""
+        else if (listDrops)
+          s""","qmin_ds":$minDs,"qdrop":${droppedNames.map(BenchFormat.tokEncode(_, toks)).mkString("\"", ",", "\"")}"""
+        else s""","qmin_ds":$minDs,"qfast":${droppedNames.size}"""
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$entries,"qprefix":"q_","qunit":"ds","qtok":$tokJs$drop""" +
         (if (machineContended) s""","machine_contended":true""" else "") +
         s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
@@ -329,7 +343,9 @@ object BenchFormat {
       strippedAbbr(),
       tokDs(0),
       tokDs(2),
-      tokDs(5))
+      tokDs(2, listDrops = false),
+      tokDs(5),
+      tokDs(5, listDrops = false))
     tiers.find(_.length <= StdoutBudget).getOrElse {
       // Physically impossible to fit every entry (names × count outgrew the
       // window). A truncated-but-valid JSON line with a pointer to the full

@@ -66,6 +66,37 @@ object SparkEntry {
         .select("paragraph", "text")
     }),
 
+    // srt round-trip: documents become cues with id-derived millisecond
+    // bounds (integer-exact, so the oracle is closed-form); SRT's own cue
+    // numbering is deliberately ignored by the reader
+    "q_source_srt" -> ((s, d) => {
+      val rows = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val cues = rows.map { r =>
+        val id = r.getLong(0)
+        (id * 2000L, id * 2000L + 1500L, r.getString(1))
+      }.toSeq
+      val f = java.nio.file.Files.createTempFile("graft-cues", ".srt")
+      graft.engine.Subtitles.writeSrt(f, cues)
+      graft.engine.Sources.read(s, "cues_srt",
+        Map("file" -> f.toString), f.getParent)
+        .select("cue", "start_ms", "end_ms", "text")
+    }),
+
+    "q_source_vtt" -> ((s, d) => {
+      val rows = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val cues = rows.map { r =>
+        val id = r.getLong(0)
+        (id * 2000L, id * 2000L + 1500L, r.getString(1))
+      }.toSeq
+      val f = java.nio.file.Files.createTempFile("graft-cues", ".vtt")
+      graft.engine.Subtitles.writeVtt(f, cues)
+      graft.engine.Sources.read(s, "cues_vtt",
+        Map("file" -> f.toString), f.getParent)
+        .select("cue", "start_ms", "end_ms", "text")
+    }),
+
     // epub round-trip: texts packaged as OCF/OPF chapters (stored
     // mimetype, container → rootfile → manifest+spine), read back in
     // SPINE order as markup, then the engine's html_to_text op extracts —
@@ -1547,6 +1578,18 @@ object SparkEntry {
 
     "q_source_doc" ->
       """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS paragraph, text
+         FROM documents WHERE doc_id < 40""",
+
+    "q_source_srt" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS cue,
+           (doc_id * 2000)::BIGINT AS start_ms,
+           (doc_id * 2000 + 1500)::BIGINT AS end_ms, text
+         FROM documents WHERE doc_id < 40""",
+
+    "q_source_vtt" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS cue,
+           (doc_id * 2000)::BIGINT AS start_ms,
+           (doc_id * 2000 + 1500)::BIGINT AS end_ms, text
          FROM documents WHERE doc_id < 40""",
 
     // markup generation + html_to_text extraction invert exactly for

@@ -139,6 +139,10 @@ object Sources {
       // epub emits chapter MARKUP in spine order; `html_to_text` is the
       // extraction step (composes like the WARC/html crawl path)
       case "epub" => readOoxmlText(spark, path, "chapter", Epub.extractChapters, "html")
+      // subtitle cues: (file, cue, start_ms, end_ms, text) — the
+      // transcript side of a speech/video corpus, integer-exact bounds
+      case "srt" => readSubtitles(spark, path, Subtitles.parseSrt)
+      case "vtt" => readSubtitles(spark, path, Subtitles.parseVtt)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -528,6 +532,28 @@ object Sources {
     val schema = StructType(Seq(
       StructField("file", StringType), StructField(unitCol, LongType),
       StructField(valueCol, StringType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** srt/vtt: one row per cue with integer millisecond bounds. */
+  private def readSubtitles(spark: SparkSession, pathGlob: String,
+                            extract: Array[Byte] => Vector[(Long, Long, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
+      val cues =
+        try extract(pds.toArray())
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
+        }
+      cues.zipWithIndex.map { case ((s, e, text), i) =>
+        Row(file, (i + 1).toLong, s, e, text)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("cue", LongType),
+      StructField("start_ms", LongType), StructField("end_ms", LongType),
+      StructField("text", StringType)))
     spark.createDataFrame(rows, schema)
   }
 }

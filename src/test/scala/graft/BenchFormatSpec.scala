@@ -27,13 +27,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val qtok = """"qtok":"([^"]*)"""".r.findFirstMatchIn(line)
       .map(_.group(1).split(",").toSeq)
       .getOrElse(Nil)
+    // names announced as fast-dropped (values bounded by qmin_ds) count
+    // as present: the artifact stays name-complete
+    val qdrop = """"qdrop":"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(_.group(1).split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
     val qabbr = """"qabbr":\{([^}]*)\}""".r.findFirstMatchIn(line)
       .map(m => """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(m.group(1))
         .map(x => x.group(1) -> x.group(2)).toMap)
       .getOrElse(Map.empty[String, String])
     val prefixed = line.contains("\"qprefix\":\"q_\"")
     val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
-    """"([^"]+)":""".r.findAllMatchIn(qs).map(_.group(1)).flatMap { k0 =>
+    val mapKeys = """"([^"]+)":""".r.findAllMatchIn(qs).map(_.group(1)).toSeq
+    (mapKeys ++ qdrop).flatMap { k0 =>
       val k1 =
         if (qtok.nonEmpty) BenchFormat.tokDecode(k0, qtok)
         else if (k0.nonEmpty && k0.head.isUpper)
@@ -111,16 +117,22 @@ class BenchFormatSpec extends AnyFunSuite {
       reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
     assert(line.length <= BenchFormat.StdoutBudget, s"line was ${line.length} chars")
     assert(!line.contains("queries_omitted"), "fast-drop must fire before truncation")
-    assert(line.contains("\"qmin_ds\":") && line.contains("\"qfast\":"), line.take(200))
+    assert(line.contains("\"qmin_ds\":") &&
+      (line.contains("\"qfast\":") || line.contains("\"qdrop\":")), line.take(200))
     val names = decodedNames(line)
     mixed.filter(e => math.round(e._2 * 10) >= 5).foreach { case (k, _) =>
       assert(names.contains(k), s"slow query $k must survive fast-drop: $line")
     }
-    // the announced drop count reconciles with the number of map entries
-    val qfast = """"qfast":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+    // the announced drops reconcile with the number of map entries —
+    // either the count-only qfast form or the name-listing qdrop form
     val entryCount = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
       .map(m => """"([^"]+)":""".r.findAllMatchIn(m.group(1)).size).getOrElse(0)
-    assert(qfast == 150 - entryCount)
+    val announcedDrops = """"qfast":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt)
+      .orElse(""""qdrop":"([^"]*)"""".r.findFirstMatchIn(line)
+        .map(_.group(1).split(",").count(_.nonEmpty)))
+      .get
+    assert(announcedDrops == 150 - entryCount)
   }
 
   test("a suite too large to ever fit degrades to valid truncated JSON, never an unparseable line") {
@@ -174,7 +186,9 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.length <= BenchFormat.StdoutBudget,
       s"line was ${line.length} chars for ${names.size} queries")
     assert(!line.contains("queries_omitted"), "no query may be dropped for the current suite")
-    assert(!line.contains("\"qfast\":"), "no query may be fast-dropped for the current suite")
+    assert(!line.contains("\"qfast\":"),
+      "count-only drops lose names — the current suite must keep every name " +
+        "(the name-listing qdrop form is acceptable; silent qfast is not)")
     val decoded = decodedNames(line)
     names.foreach(n => assert(decoded.contains(n), s"missing $n in $line"))
   }
