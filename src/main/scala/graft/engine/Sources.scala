@@ -143,6 +143,10 @@ object Sources {
       // transcript side of a speech/video corpus, integer-exact bounds
       case "srt" => readSubtitles(spark, path, Subtitles.parseSrt)
       case "vtt" => readSubtitles(spark, path, Subtitles.parseVtt)
+      // mail archives: one row per message with decoded headers + first
+      // text/plain MIME leaf
+      case "eml" => readMail(spark, path, b => Vector(Eml.parseEml(b)))
+      case "mbox" => readMail(spark, path, Eml.parseMbox)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -554,6 +558,28 @@ object Sources {
       StructField("file", StringType), StructField("cue", LongType),
       StructField("start_ms", LongType), StructField("end_ms", LongType),
       StructField("text", StringType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** eml/mbox: one row per message, decoded headers + text/plain body. */
+  private def readMail(spark: SparkSession, pathGlob: String,
+                       extract: Array[Byte] => Vector[Eml.Message]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
+      val msgs =
+        try extract(pds.toArray())
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
+        }
+      msgs.zipWithIndex.map { case (m, i) =>
+        Row(file, (i + 1).toLong, m.subject, m.from, m.date, m.text)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("message", LongType),
+      StructField("subject", StringType), StructField("mail_from", StringType),
+      StructField("date", StringType), StructField("text", StringType)))
     spark.createDataFrame(rows, schema)
   }
 }
