@@ -342,9 +342,15 @@ object BenchFormat {
       strippedDs(),
       strippedAbbr(),
       tokDs(0),
+      // finer qmin_ds steps: each one trades a few more sub-threshold
+      // VALUES for ~5 chars/entry, keeping the name-listing qdrop form
+      // viable as the suite grows — the count-only qfast fallbacks must
+      // stay strictly last (names are the artifact's completeness bar)
       tokDs(2),
-      tokDs(2, listDrops = false),
+      tokDs(3),
+      tokDs(4),
       tokDs(5),
+      tokDs(2, listDrops = false),
       tokDs(5, listDrops = false))
     tiers.find(_.length <= StdoutBudget).getOrElse {
       // Physically impossible to fit every entry (names × count outgrew the

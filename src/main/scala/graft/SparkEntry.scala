@@ -97,6 +97,47 @@ object SparkEntry {
         .select("cue", "start_ms", "end_ms", "text")
     }),
 
+    // eml round-trip: one RFC 5322 message per file in a temp dir (glob
+    // read), cycling transfer-encodings (7bit/qp/base64) and multipart
+    // framing by doc id; subjects carry non-ASCII so RFC 2047 B-words are
+    // exercised. textOf strips trailing whitespace, mirrored in the oracle.
+    "q_source_eml" -> ((s, d) => {
+      val rows = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-mail")
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val enc = Seq("7bit", "quoted-printable", "base64")(((id % 3)).toInt)
+        val raw = graft.engine.Eml.writeEml(s"Doc $id café", s"sender$id@example.org",
+          "Thu, 1 Jan 1970 00:00:00 +0000", r.getString(1), enc, multipart = id % 2 == 0)
+        java.nio.file.Files.write(dir.resolve(f"m$id%03d.eml"),
+          raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      graft.engine.Sources.read(s, "mail_eml",
+        Map("file" -> s"$dir/*.eml"), dir)
+        .select("subject", "mail_from", "date", "text")
+    }),
+
+    // mbox round-trip: the same 40 messages concatenated into ONE archive
+    // (`From ` separators, `>From ` quoting) and read back through the
+    // SPLITTABLE record-delimiter path — message numbering must come out
+    // dense and file-ordered from the two-phase split prefix sums
+    "q_source_mbox" -> ((s, d) => {
+      val rows = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val msgs = rows.map { r =>
+        val id = r.getLong(0)
+        val enc = Seq("7bit", "quoted-printable", "base64")(((id % 3)).toInt)
+        graft.engine.Eml.writeEml(s"Doc $id café", s"sender$id@example.org",
+          "Thu, 1 Jan 1970 00:00:00 +0000", r.getString(1), enc, multipart = id % 2 == 1)
+      }.toSeq
+      val f = java.nio.file.Files.createTempFile("graft-mail", ".mbox")
+      graft.engine.Eml.writeMbox(f, msgs)
+      graft.engine.Sources.read(s, "mail_mbox",
+        Map("file" -> f.toString), f.getParent)
+        .select("message", "subject", "mail_from", "date", "text")
+    }),
+
     // epub round-trip: texts packaged as OCF/OPF chapters (stored
     // mimetype, container → rootfile → manifest+spine), read back in
     // SPINE order as markup, then the engine's html_to_text op extracts —
@@ -1590,6 +1631,23 @@ object SparkEntry {
       """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS cue,
            (doc_id * 2000)::BIGINT AS start_ms,
            (doc_id * 2000 + 1500)::BIGINT AS end_ms, text
+         FROM documents WHERE doc_id < 40""",
+
+    // the MIME body walk strips trailing whitespace from the text/plain
+    // leaf, so the oracle mirrors it; subject/from/date are closed-form
+    "q_source_eml" ->
+      """SELECT 'Doc ' || doc_id || ' café' AS subject,
+           'sender' || doc_id || '@example.org' AS mail_from,
+           'Thu, 1 Jan 1970 00:00:00 +0000' AS "date",
+           regexp_replace(text, '\s+$', '') AS text
+         FROM documents WHERE doc_id < 40""",
+
+    "q_source_mbox" ->
+      """SELECT (row_number() OVER (ORDER BY doc_id))::BIGINT AS message,
+           'Doc ' || doc_id || ' café' AS subject,
+           'sender' || doc_id || '@example.org' AS mail_from,
+           'Thu, 1 Jan 1970 00:00:00 +0000' AS "date",
+           regexp_replace(text, '\s+$', '') AS text
          FROM documents WHERE doc_id < 40""",
 
     // markup generation + html_to_text extraction invert exactly for

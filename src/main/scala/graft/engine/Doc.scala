@@ -34,8 +34,11 @@ object Doc {
     (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
       ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
 
-  /** Non-empty paragraph texts of the MAIN document, document order. */
-  def extractParagraphs(bytes: Array[Byte]): Vector[String] = {
+  /** Non-empty paragraph texts of the MAIN document, document order.
+    * Wrapped diagnosable: hostile offsets surface as bounds errors deep
+    * in the CFB/piece walk and must reject as IllegalArgumentException,
+    * never raw ArrayIndexOutOfBounds. */
+  def extractParagraphs(bytes: Array[Byte]): Vector[String] = Docx.diagnosable("doc") {
     val word = Cfb.readStreamBytes(bytes, Seq("WordDocument"), "doc")
     require(word.length >= 0x200, "doc: WordDocument stream too short for a FIB")
     require(u16(word, 0) == 0xA5EC, "doc: bad FIB wIdent (not a Word binary file)")

@@ -40,10 +40,13 @@ object Docx {
   }
 
   /** All ZIP entries matching `want`, as (name, bytes) — streamed, so a
-    * hostile entry can't allocate past the 64 MiB per-part cap. Shared
-    * with [[Epub]]. */
+    * hostile entry can't allocate past the 64 MiB per-part cap, and the
+    * kept total is capped at 256 MiB so a many-entry bomb (thousands of
+    * under-cap parts from a tiny deflate stream) can't allocate
+    * unbounded either. Shared with [[Epub]]. */
   private[engine] def zipEntries(bytes: Array[Byte], want: String => Boolean): Vector[(String, Array[Byte])] = {
     val out = Vector.newBuilder[(String, Array[Byte])]
+    var total = 0L
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e: ZipEntry = zin.getNextEntry
@@ -58,6 +61,9 @@ object Docx {
               s"ooxml part ${e.getName} exceeds 64 MiB")
             n = zin.read(chunk)
           }
+          total += buf.size
+          if (total > (1L << 28)) throw new IllegalArgumentException(
+            "zip container expands past 256 MiB total")
           out += e.getName -> buf.toByteArray
         }
         e = zin.getNextEntry
@@ -99,8 +105,20 @@ object Docx {
     paras.result()
   }
 
+  /** Truncated/bit-flipped containers surface ZipException and
+    * XMLStreamException from the JDK layers — normalize every parse
+    * failure to the engine-wide diagnosable IllegalArgumentException so
+    * hostile crawl payloads reject uniformly (the contract
+    * HostilePayloadSpec pins across the document tier). */
+  private[engine] def diagnosable[A](what: String)(body: => A): A =
+    try body catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(s"$what parse failed: ${e.getMessage}", e)
+    }
+
   /** Non-empty paragraphs of a .docx, document order. */
-  def extractParagraphs(bytes: Array[Byte]): Vector[String] = {
+  def extractParagraphs(bytes: Array[Byte]): Vector[String] = diagnosable("docx") {
     val parts = zipEntries(bytes, _ == "word/document.xml")
     if (parts.isEmpty) throw new IllegalArgumentException(
       "not a docx: missing word/document.xml")
@@ -109,7 +127,7 @@ object Docx {
 
   /** One string per slide (paragraphs newline-joined), slide-number
     * order. */
-  def extractSlides(bytes: Array[Byte]): Vector[String] = {
+  def extractSlides(bytes: Array[Byte]): Vector[String] = diagnosable("pptx") {
     val SlideName = """ppt/slides/slide(\d+)\.xml""".r
     val parts = zipEntries(bytes, n => SlideName.pattern.matcher(n).matches())
     if (parts.isEmpty) throw new IllegalArgumentException(

@@ -48,8 +48,11 @@ object Eml {
     (headers, java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length))
   }
 
-  /** RFC 2047 encoded-word decoding: =?charset?B|Q?payload?= */
-  private[engine] def decodeHeader(h: String): String = {
+  /** RFC 2047 encoded-word decoding: =?charset?B|Q?payload?=. Linear
+    * whitespace BETWEEN two adjacent encoded-words is ignored per
+    * §6.2 (folded multi-word subjects must concatenate seamlessly). */
+  private[engine] def decodeHeader(h0: String): String = {
+    val h = h0.replaceAll("(\\?=)[ \t\r\n]+(=\\?)", "$1$2")
     val Word = """=\?([^?]+)\?([bBqQ])\?([^?]*)\?=""".r
     Word.replaceAllIn(h, m => {
       val cs = try java.nio.charset.Charset.forName(m.group(1))

@@ -37,7 +37,7 @@ object Epub {
   }
 
   /** Raw chapter markup in spine order; throws when not an EPUB. */
-  def extractChapters(bytes: Array[Byte]): Vector[String] = {
+  def extractChapters(bytes: Array[Byte]): Vector[String] = Docx.diagnosable("epub") {
     val byName = Docx.zipEntries(bytes, _ => true).toMap
     val container = byName.getOrElse("META-INF/container.xml",
       throw new IllegalArgumentException("not an epub: missing META-INF/container.xml"))

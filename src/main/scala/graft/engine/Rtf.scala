@@ -49,8 +49,13 @@ object Rtf {
     var cur = GState(skip = false, uc = 1)
     var i = 0
     var pendingSkip = 0 // \uN fallback characters still to swallow
+    // \uN fallback swallowing applies only to LITERAL text (and \'hh
+    // bytes): a control word after \uN ends the fallback run, so its
+    // output (\par, \tab, ...) must never be counted against it.
     def emit(c: Char): Unit =
       if (!cur.skip) { if (pendingSkip > 0) pendingSkip -= 1 else out.append(c) }
+    def emitCtl(c: Char): Unit =
+      if (!cur.skip) { pendingSkip = 0; out.append(c) }
     def emitCp(cp: Int): Unit =
       if (!cur.skip) out.appendAll(Character.toChars(if (cp < 0) cp + 65536 else cp))
     while (i < bytes.length) {
@@ -107,13 +112,13 @@ object Rtf {
               // \par/\sect/\row END a paragraph; \line is a break WITHIN
               // one (internal separator char keeps them distinct so a
               // paragraph containing line breaks round-trips as ONE row)
-              case "par" | "sect" | "row" => emit(' ')
-              case "line" => emit('\n')
-              case "tab" | "cell" => emit('\t')
-              case "emdash" | "endash" => emit('-')
-              case "lquote" | "rquote" => emit('\'')
-              case "ldblquote" | "rdblquote" => emit('"')
-              case "bullet" => emit('*')
+              case "par" | "sect" | "row" => emitCtl(' ')
+              case "line" => emitCtl('\n')
+              case "tab" | "cell" => emitCtl('\t')
+              case "emdash" | "endash" => emitCtl('-')
+              case "lquote" | "rquote" => emitCtl('\'')
+              case "ldblquote" | "rdblquote" => emitCtl('"')
+              case "bullet" => emitCtl('*')
               case "uc" => cur.uc = math.max(0, math.min(10, value.toInt))
               case "u" =>
                 emitCp(value.toInt)

@@ -146,7 +146,10 @@ object Sources {
       // mail archives: one row per message with decoded headers + first
       // text/plain MIME leaf
       case "eml" => readMail(spark, path, b => Vector(Eml.parseEml(b)))
-      case "mbox" => readMail(spark, path, Eml.parseMbox)
+      // mbox archives are typically ONE giant file (no WARC-style ~1 GiB
+      // convention), so the unit of parallelism must be the HDFS split,
+      // not the file: record-delimiter read on the `\nFrom ` separator
+      case "mbox" => readMbox(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -574,6 +577,100 @@ object Sources {
         }
       msgs.zipWithIndex.map { case (m, i) =>
         Row(file, (i + 1).toLong, m.subject, m.from, m.date, m.text)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("message", LongType),
+      StructField("subject", StringType), StructField("mail_from", StringType),
+      StructField("date", StringType), StructField("text", StringType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** One mbox record's message body (separator line dropped, `>From `
+    * unquoted), or None for blank trailing records. Shared by the count
+    * and parse passes of [[readMbox]] so their record filters agree. */
+  private def mboxBody(off: Long, t: org.apache.hadoop.io.Text, file: String): Option[String] = {
+    // Text carries the raw record bytes verbatim (no UTF-8 validation),
+    // so ISO-8859-1 decode is byte-transparent for the MIME layer.
+    val s = new String(t.copyBytes(), java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (off == 0L && !s.startsWith("From "))
+      throw new IllegalArgumentException(
+        s"$file: mbox: does not start with a `From ` separator")
+    // Drop the separator line: the offset-0 record carries the full
+    // `From ...` line; later records had `\nFrom ` consumed by the
+    // delimiter and start at the envelope-sender remainder.
+    val nl = s.indexOf('\n')
+    val body = if (nl < 0) "" else s.substring(nl + 1)
+    if (body.trim.isEmpty) None else Some(body)
+  }
+
+  /** Splittable mbox: a mail archive is usually ONE multi-GB file (no
+    * WARC-style ~1 GiB object convention), so the whole-file
+    * `binaryFiles` shape (fine for eml directories) would collapse it to
+    * a single task. Instead the separator itself becomes the Hadoop
+    * record delimiter (`textinputformat.record.delimiter` = "\nFrom "),
+    * so the archive splits at block granularity and every executor
+    * parses its own slice of messages; `>From ` body quoting (the reason
+    * the mbox convention exists) keeps body lines from matching. The
+    * record at byte offset 0 must still start with `From ` — preserving
+    * the not-an-mbox diagnostic of the old whole-file path.
+    *
+    * `message` (1-based position within its file, dense — parity with
+    * the eml path) is recovered WITHOUT a shuffle by the same two-phase
+    * prefix-sum pattern as Sampling: a cheap first pass (record split +
+    * blank check, no MIME parse) counts messages per input split, the
+    * driver prefix-sums the per-(file, split) counts (bounded by the
+    * split count, like the 256 bucket totals), and the parse pass adds
+    * split base + local rank. Records inside a split arrive in byte
+    * order and a file's splits have ascending partition ids
+    * (FileInputFormat generates them per file in offset order), so the
+    * numbering is exact. Costs a second scan of the input, but both
+    * passes are narrow and embarrassingly parallel — against one huge
+    * archive that beats a window that would sort the whole file in a
+    * single reducer. */
+  private def readMbox(spark: SparkSession, pathGlob: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    def records() = {
+      val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+      conf.set("textinputformat.record.delimiter", "\nFrom ")
+      spark.sparkContext.newAPIHadoopFile(
+        pathGlob, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
+        .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    }
+    // Pass 1: messages per (partition, file) — no MIME decode.
+    val counts = records().mapPartitionsWithInputSplit { (split, it) =>
+      val file = split.asInstanceOf[FileSplit].getPath.toString
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var n = 0L
+      it.foreach { case (off, t) => if (mboxBody(off.get, t, file).isDefined) n += 1 }
+      Iterator((pid, file, n))
+    }.collect().sortBy(_._1)
+    val bases = new Array[Long](counts.length)
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    counts.foreach { case (pid, file, n) =>
+      val base = running.getOrElse(file, 0L)
+      bases(pid) = base
+      running(file) = base + n
+    }
+    val bBases = spark.sparkContext.broadcast(bases)
+    // Pass 2: full parse, message = split base + local rank.
+    val rows = records().mapPartitionsWithInputSplit { (split, it) =>
+      val file = split.asInstanceOf[FileSplit].getPath.toString
+      var k = bBases.value(org.apache.spark.TaskContext.getPartitionId())
+      it.flatMap { case (off, t) =>
+        mboxBody(off.get, t, file).map { body =>
+          val unquoted = body.replaceAll("(?m)^>(>*From )", "$1")
+          val m =
+            try Eml.parseEml(unquoted.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"$file @$off: ${e.getMessage}", e)
+            }
+          k += 1
+          Row(file, k, m.subject, m.from, m.date, m.text)
+        }
       }
     }
     val schema = StructType(Seq(

@@ -19,11 +19,16 @@ package graft.engine
  */
 object Subtitles {
 
-  private val SrtTime = """(\d+):(\d{1,2}):(\d{1,2})[,.](\d{1,3})""".r
+  // Hours are optional: WebVTT permits mm:ss.ttt (W3C §6.2) and such
+  // cues are common in real files; SRT always carries hours but accepts
+  // the same shape harmlessly.
+  private val SrtTime = """(?:(\d+):)?(\d{1,2}):(\d{1,2})[,.](\d{1,3})""".r
 
-  private def ms(m: scala.util.matching.Regex.Match): Long =
-    m.group(1).toLong * 3600000L + m.group(2).toLong * 60000L +
+  private def ms(m: scala.util.matching.Regex.Match): Long = {
+    val h = Option(m.group(1)).fold(0L)(_.toLong)
+    h * 3600000L + m.group(2).toLong * 60000L +
       m.group(3).toLong * 1000L + m.group(4).padTo(3, '0').toLong
+  }
 
   /** Shared cue parse: blocks separated by blank lines; a block yields a
     * cue when some line is `start --> end`. Lines before it that are a

@@ -685,7 +685,11 @@ object ImageKernels {
     if (w.toLong * h > (1L << 26)) return null
     if (tiled && tileW.toLong * tileH > (1L << 26)) return null
     val channels = spp
-    if (photo == 2 && channels < 3) return null
+    // Bound SamplesPerPixel: RGB(A) tops out at 4 (extra samples beyond
+    // alpha go to ImageIO); unbounded spp would overflow the Int
+    // expect = tileW*tileH*channels below and allocate per-tile GBs
+    // from a hostile tag before the generic catch fires.
+    if (photo == 2 && (channels < 3 || channels > 4)) return null
     if ((photo == 0 || photo == 1 || photo == 3) && channels != 1) return null
     val palette: Array[Int] =
       if (photo == 3) {
@@ -788,7 +792,12 @@ object ImageKernels {
       val across = (w + tileW - 1) / tileW
       val down = (h + tileH - 1) / tileH
       if (tileOffsets.length < across * down) return null
-      val expect = tileW * tileH * channels
+      // Long math + explicit cap (mirrors intArray): with channels now
+      // bounded <=4 this cannot overflow, but keep the belt-and-braces
+      // bound so a future channel relaxation can't silently reopen it.
+      val expectL = tileW.toLong * tileH * channels
+      if (expectL > (1L << 28)) return null
+      val expect = expectL.toInt
       var t = 0
       while (t < across * down) {
         val raw = decompress(tileOffsets(t), tileCounts(t), expect)

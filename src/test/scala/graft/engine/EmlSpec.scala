@@ -18,9 +18,16 @@ class EmlSpec extends graft.SparkSpec {
       "Subject: =?UTF-8?B?Y2Fmw6k=?=\n =?ISO-8859-1?Q?r=E9sum=E9_time?=\n" +
       "Date: x\n\nbody\n"
     val m = Eml.parseEml(raw.getBytes("UTF-8"))
-    // folded continuation unfolds with a space; Q '_' is a space
-    assert(m.subject == "café résumé time", m.subject)
+    // §6.2: whitespace BETWEEN adjacent encoded-words is ignored (folding
+    // splits one logical word across lines), so the words concatenate
+    // seamlessly; Q '_' is a space. Python email agrees: 'caférésumé time'.
+    assert(m.subject == "caférésumé time", m.subject)
     assert(m.text == "body")
+  }
+
+  test("RFC 2047: space between an encoded-word and PLAIN text is kept") {
+    val raw = "From: b@x\nSubject: =?UTF-8?B?Y2Fmw6k=?= plain tail\nDate: x\n\nb\n"
+    assert(Eml.parseEml(raw.getBytes("UTF-8")).subject == "café plain tail")
   }
 
   test("mbox splits on From separators and unquotes >From lines") {
@@ -50,5 +57,36 @@ class EmlSpec extends graft.SparkSpec {
   test("garbage rejects diagnosably") {
     intercept[IllegalArgumentException](Eml.parseMbox("no separator".getBytes))
     intercept[IllegalArgumentException](Eml.parseEml("just some text with no headers".getBytes))
+  }
+
+  test("splittable mbox: one archive over many input splits keeps dense file-order numbering") {
+    val f = java.nio.file.Files.createTempFile("graft-mbox-split", ".mbox")
+    val n = 60
+    Eml.writeMbox(f, (1 to n).map(i =>
+      Eml.writeEml(s"s$i", s"u$i@x", "d", s"msg $i body with some padding to grow the file " + ("x" * 50))))
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setLong("mapreduce.input.fileinputformat.split.maxsize", 2048)
+    try {
+      val df = Sources.read(spark, "spec_mbox_split", Map("file" -> f.toString), f.getParent)
+      assert(df.rdd.getNumPartitions > 1, s"expected multiple splits, got ${df.rdd.getNumPartitions}")
+      val rows = df.orderBy("message").collect()
+      assert(rows.length == n)
+      // the two-phase prefix sums must reproduce exact file order: message
+      // k is the k-th message written, with no gaps or duplicates
+      assert(rows.map(_.getLong(1)).toSeq == (1L to n.toLong),
+        rows.map(_.getLong(1)).mkString(","))
+      assert(rows.map(_.getString(2)).toSeq == (1 to n).map(i => s"s$i"),
+        rows.take(5).map(_.getString(2)).mkString(","))
+    } finally hc.unset("mapreduce.input.fileinputformat.split.maxsize")
+  }
+
+  test("splittable mbox: garbage archive rejects diagnosably through the split path") {
+    val f = java.nio.file.Files.createTempFile("graft-mbox-bad", ".mbox")
+    java.nio.file.Files.write(f, "this is not an mbox at all\n".getBytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      Sources.read(spark, "spec_mbox_bad", Map("file" -> f.toString), f.getParent).collect()
+    }
+    assert(e.getMessage.contains("From") || (e.getCause != null &&
+      e.getCause.getMessage.contains("From")), e.getMessage.take(300))
   }
 }

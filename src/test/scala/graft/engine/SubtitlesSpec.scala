@@ -44,6 +44,14 @@ class SubtitlesSpec extends graft.SparkSpec {
     assert(rows.map(_.getString(4)).toSeq == Seq("alpha", "beta"))
   }
 
+  test("vtt: hour-less mm:ss.ttt timestamps parse (W3C §6.2 optional hours)") {
+    val vtt = "WEBVTT\n\n00:01.000 --> 00:02.500\nshort form\n\n" +
+      "01:02:03.000 --> 01:02:04.000\nlong form\n"
+    val got = Subtitles.parseVtt(vtt.getBytes("UTF-8"))
+    assert(got == Vector((1000L, 2500L, "short form"),
+      (3723000L, 3724000L, "long form")), got.toString)
+  }
+
   test("garbage and cue-free files reject diagnosably") {
     intercept[IllegalArgumentException](Subtitles.parseSrt("no cues here at all".getBytes))
     intercept[IllegalArgumentException](Subtitles.parseVtt("WEBVTT\n\nno cues".getBytes))
