@@ -311,6 +311,41 @@ object ScaleProbe {
       }
       val (wetRows, tWet) = leg(d, "wet_ingest")(
         graft.engine.Warc.read(spark, s"$shardDir/*.wet.gz").count())
+      // mail-archive ingest at scale: ONE mbox (the real-world shape — no
+      // WARC-style object-size convention) with n id-derived messages,
+      // streamed to disk on the driver outside the timed block; the timed
+      // read must fan out over Hadoop splits (16 MiB here so parallelism
+      // is visible at probe scale) and message count + dense numbering
+      // must survive the two-phase split prefix sums.
+      val mboxPath = java.nio.file.Files.createTempDirectory("graft-scale-mbox")
+        .resolve("archive.mbox")
+      if (enabled("mbox_ingest")) {
+        val w = java.nio.file.Files.newBufferedWriter(mboxPath)
+        var i = 0L
+        while (i < n) {
+          w.write(s"From probe@fixture Thu Jan  1 00:00:00 1970\n")
+          w.write(s"From: sender$i@example.org\nSubject: msg $i\nDate: d\n\n")
+          w.write(s"synthetic message body $i with enough words to look like mail " +
+            s"and a quoted >From line that must unquote\n\n")
+          i += 1
+        }
+        w.close()
+      }
+      val (mboxStats, tMbox) = leg(d, "mbox_ingest") {
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.setLong("mapreduce.input.fileinputformat.split.maxsize", 16L << 20)
+        try {
+          val df = graft.engine.Sources.read(spark, "probe_mbox",
+            Map("file" -> mboxPath.toString), mboxPath.getParent)
+          val parts = df.rdd.getNumPartitions
+          val agg = df.selectExpr("count(*) AS c", "min(message) AS lo",
+            "max(message) AS hi", "count(DISTINCT message) AS dm").collect()(0)
+          require(agg.getLong(0) == n && agg.getLong(1) == 1L &&
+            agg.getLong(2) == n && agg.getLong(3) == n,
+            s"mbox numbering broken: $agg for n=$n")
+          s"msgs=${agg.getLong(0)},splits=$parts"
+        } finally hc.unset("mapreduce.input.fileinputformat.split.maxsize")
+      }
       println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) cc_dist=$tCCd%.1fs " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
@@ -324,7 +359,8 @@ object ScaleProbe {
         f"substr_spans=$tSpan%.1fs($ssFlags) substr_strip=$tStrip%.1fs " +
         f"bpe_count=$tBpe%.1fs($bpeToks) image_phash=$tImg%.1fs($imgPairs) " +
         f"audio_fingerprint=$tAud%.1fs($audPairs) video_meta=$tVid%.1fs($vidParsed) " +
-        f"nb_classify=$tNb%.1fs($nbDocs) wet_ingest=$tWet%.1fs($wetRows)")
+        f"nb_classify=$tNb%.1fs($nbDocs) wet_ingest=$tWet%.1fs($wetRows) " +
+        f"mbox_ingest=$tMbox%.1fs($mboxStats)")
     }
     spark.stop()
   }
