@@ -97,6 +97,32 @@ object SparkEntry {
         .select("cue", "start_ms", "end_ms", "text")
     }),
 
+    // doc_text EXPRESSION over a binary column (the staged-crawl shape:
+    // bytes already in parquet, no temp-file detour): each document
+    // rendered into a format rotated by id (rtf/doc/docx/pptx), extracted
+    // back by the auto-sniffing fused expression — identity round-trip
+    "q_doc_text" -> ((s, d) => {
+      val rows = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val payload = rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val fmt = Seq("rtf", "doc", "docx", "pptx")((id % 4).toInt)
+        val f = java.nio.file.Files.createTempFile("graft-dt", "." + fmt)
+        fmt match {
+          case "rtf" => graft.engine.Rtf.write(f, Seq(text))
+          case "doc" => graft.engine.Doc.write(f, Seq(text))
+          case "docx" => graft.engine.Docx.writeDocx(f, Seq(text))
+          case "pptx" => graft.engine.Docx.writePptx(f, Seq(text))
+        }
+        (id, java.nio.file.Files.readAllBytes(f))
+      }.toSeq
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      payload.toDF("doc_id", "content")
+        .selectExpr("doc_id", "doc_text(content) AS text")
+    }),
+
     // eml round-trip: one RFC 5322 message per file in a temp dir (glob
     // read), cycling transfer-encodings (7bit/qp/base64) and multipart
     // framing by doc id; subjects carry non-ASCII so RFC 2047 B-words are
@@ -1632,6 +1658,11 @@ object SparkEntry {
            (doc_id * 2000)::BIGINT AS start_ms,
            (doc_id * 2000 + 1500)::BIGINT AS end_ms, text
          FROM documents WHERE doc_id < 40""",
+
+    // binary-column extraction inverts the per-format writers exactly,
+    // so the oracle is the identity round-trip
+    "q_doc_text" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 40",
 
     // the MIME body walk strips trailing whitespace from the text/plain
     // leaf, so the oracle mirrors it; subject/from/date are closed-form

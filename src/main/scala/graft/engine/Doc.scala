@@ -123,7 +123,9 @@ object Doc {
     * piece to exercise both PCD encodings. */
   def write(path: java.nio.file.Path, paragraphs: Seq[String],
             asciiPiece: Option[String] = None): Unit = {
-    val uniText = paragraphs.map(_ + "\r").mkString
+    // Word's text stream has no 0x0A: an in-paragraph line break is the
+    // 0x0B VT control (the reader maps it back to '\n')
+    val uniText = paragraphs.map(_.replace('\n', '\u000B') + "\r").mkString
     val ascii = asciiPiece.getOrElse("")
     require(ascii.forall(c => c >= 0x20 && c < 0x7F || c == '\r' || c == '\t'),
       "asciiPiece must be printable ASCII")

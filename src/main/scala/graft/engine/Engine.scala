@@ -221,6 +221,7 @@ final class Engine(spark: SparkSession) {
     "audio_fingerprint" -> Set("column", "new_column"),
     "audio_dedup" -> Set("id_column", "column", "max_hamming"),
     "image_thumbnail" -> Set("column", "new_column", "width", "height"),
+    "doc_text" -> Set("column", "new_column", "format"),
     "audio_features" -> Set("column", "prefix"),
     "video_meta" -> Set("column", "prefix"),
     "image_hash" -> Set("column", "kind", "new_column"),
@@ -465,6 +466,16 @@ final class Engine(spark: SparkSession) {
             org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
             org.apache.spark.sql.functions.lit(Config.int(op, "width").getOrElse(64)),
             org.apache.spark.sql.functions.lit(Config.int(op, "height").getOrElse(64))))
+      // document-text extraction over a BINARY column (the staged-crawl
+      // shape: document bytes already in parquet) — fused expression, one
+      // narrow pass; unparseable payloads yield NULL rows, not job death
+      case "doc_text" =>
+        graft.expressions.GraftFunctions.register(df.sparkSession)
+        df.withColumn(Config.str(op, "new_column").getOrElse("text"),
+          org.apache.spark.sql.functions.call_function("doc_text",
+            org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
+            org.apache.spark.sql.functions.lit(
+              Config.str(op, "format").getOrElse("auto"))))
       // Unicode normalization + sentence splitting (corpus-cleaning passes)
       case "text_normalize" =>
         graft.functions.Corpus.withNormalizedText(df,

@@ -244,6 +244,14 @@ object GraftFunctions {
           intLit(w, "image_thumbnail", "width"), intLit(h, "image_thumbnail", "height"))
         case other => throw new IllegalArgumentException(
           s"image_thumbnail takes 3 arguments, got ${other.size}")
+      }),
+    ("doc_text",
+      "_FUNC_(binary[, format='auto']) - document text from rtf/doc/docx/pptx/epub/pdf/srt/vtt/eml payload bytes (NULL if unparseable)",
+      {
+        case Seq(b) => DocText(b, "auto")
+        case Seq(b, Literal(f: UTF8String, StringType)) => DocText(b, f.toString)
+        case other => throw new IllegalArgumentException(
+          s"doc_text takes (binary[, format-literal]), got $other")
       }))
 
   /** Register into an existing session's function registry (temp functions —
