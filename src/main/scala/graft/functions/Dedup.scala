@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.LongType
  */
 object Dedup {
 
+  /** Strategy taken by the most recent [[connectedComponents]] call in
+    * this JVM ("broadcast" | "hashmin") — bench/spec observability only. */
+  @volatile var lastCcPath: String = ""
+
   /** Exact duplicate groups: one row per distinct text hash with the
     * representative (minimum) id and the duplicate count
     * (hash-groupBy — the map-side partial aggregation makes this one
@@ -468,6 +472,17 @@ object Dedup {
     // and a second pass read it back. Only the rare over-threshold corpus
     // pays a recompute on the distributed path below.
     val probed = p.limit(broadcastEdgeThreshold.toInt + 1).collect()
+
+    // Path observability (r13 bench-bimodality follow-up): record WHICH
+    // strategy ran so a bench rep's wall time can be attributed — isolated
+    // 6-rep profiling showed the choice is deterministic at gate scale
+    // (edges ≪ threshold → always broadcast; spread 1.06 once JIT-warm)
+    // and the cross-round 1.25s↔2.0s spread is warm-up depth, not a path
+    // flip. DedupSpec pins the choice at both threshold regimes.
+    Dedup.lastCcPath =
+      if (probed.length <= broadcastEdgeThreshold) "broadcast" else "hashmin"
+    Console.err.println(s"[cc] path=${Dedup.lastCcPath} probed_edges=${probed.length}" +
+      s" threshold=$broadcastEdgeThreshold")
 
     if (probed.length <= broadcastEdgeThreshold) {
       // The normal corpus shape: the edge set after near-dup pair generation

@@ -99,8 +99,13 @@ class FunctionsSpec extends SparkSpec {
     // (forced by a zero edge threshold) must agree
     val viaBroadcast = Dedup.connectedComponents(nodes, "id", pairs)
       .as[(Long, Long)].collect().toMap
+    // the strategy choice is DETERMINISTIC in the edge count vs threshold
+    // (bench-bimodality pin: a sub-threshold edge set always takes the
+    // broadcast union-find, never races into hash-min)
+    assert(Dedup.lastCcPath == "broadcast", Dedup.lastCcPath)
     val viaDistributed = Dedup.connectedComponents(nodes, "id", pairs,
       broadcastEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(Dedup.lastCcPath == "hashmin", Dedup.lastCcPath)
     assert(viaBroadcast == expected)
     assert(viaDistributed == expected)
   }
