@@ -1457,6 +1457,28 @@ object SparkEntry {
           "column" -> "content", "max_hamming" -> 3), Map.empty, "gate")
     }),
 
+    // CCITT fax-family decode correctness, distributed: the SAME bilevel
+    // pattern packaged as TIFF comp 1 (packed) / 2 (T.4 MH) / 3 (G3) /
+    // 4 (G4 MMR) must decode pixel-identical through the native codecs,
+    // observed as pHash equality vs the uncompressed container — a
+    // closed-form all-true oracle over the scanned-document tier
+    "q_image_ccitt" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions(_.map(id => (id,
+          graft.tools.GenImages.bilevelFixture(id, 1),
+          graft.tools.GenImages.bilevelFixture(id, 2),
+          graft.tools.GenImages.bilevelFixture(id, 3),
+          graft.tools.GenImages.bilevelFixture(id, 4))))
+        .toDF("media_id", "raw", "mh", "g3", "g4")
+      media.selectExpr("media_id",
+        "image_phash(mh) = image_phash(raw) AS mh_exact",
+        "image_phash(g3) = image_phash(raw) AS g3_exact",
+        "image_phash(g4) = image_phash(raw) AS g4_exact")
+    }),
+
     // WAV metadata through the audio_meta YAML op: id-derived rate/length
     // fixtures (tools/GenMedia), native RIFF/WAVE header parse, closed-form
     // oracle
@@ -2986,6 +3008,12 @@ object SparkEntry {
       """SELECT doc_id AS media_id, doc_id % 250 AS keep_id,
            count(*) OVER (PARTITION BY doc_id % 250)::BIGINT AS n_group
          FROM documents WHERE doc_id < 500""",
+
+    // every fax compression must reproduce the uncompressed plane exactly
+    "q_image_ccitt" ->
+      """SELECT doc_id AS media_id, true AS mh_exact, true AS g3_exact,
+           true AS g4_exact
+         FROM documents WHERE doc_id < 200""",
 
     "q_audio_meta" ->
       """WITH p AS (

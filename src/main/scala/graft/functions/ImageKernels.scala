@@ -169,6 +169,55 @@ object ImageKernels {
     out.toByteArray
   }
 
+  /** Bilevel TIFF fixture writer: 1-bit samples, single strip, WhiteIsZero
+    * (the fax norm), compression 1 (packed rows), 2 (T.4 MH), 3 (Group 3
+    * 1-D with EOLs) or 4 (Group 4 MMR) through the native [[Ccitt]]
+    * encoders. `bits` = 0/1 bytes row-major (0 = white). */
+  def encodeTiffBilevel(w: Int, h: Int, bits: Array[Byte], comp: Int): Array[Byte] = {
+    val payload = comp match {
+      case 1 =>
+        val rb = (w + 7) / 8
+        val out = new Array[Byte](rb * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if (bits(y * w + x) != 0)
+              out(y * rb + (x >> 3)) = (out(y * rb + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      case 2 => Ccitt.encodeMH(bits, w, h)
+      case 3 => Ccitt.encodeG3(bits, w, h)
+      case 4 => Ccitt.encodeG4(bits, w, h)
+      case other => throw new IllegalArgumentException(s"bilevel fixture comp $other")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >> 16) & 0xFFFF) }
+    out.write('I'); out.write('I'); u16(42); u32(8)
+    val nTags = if (comp == 3) 9 else 8
+    val dataOff = 8 + 2 + nTags * 12 + 4
+    u16(nTags)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      u16(id); u16(typ); u32(count); u32(value)
+    }
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 1, 1)            // BitsPerSample: 1
+    tag(259, 3, 1, comp)
+    tag(262, 3, 1, 0)            // Photometric: WhiteIsZero
+    tag(273, 4, 1, dataOff)
+    tag(278, 4, 1, h)
+    tag(279, 4, 1, payload.length)
+    if (comp == 3) tag(292, 4, 1, 0) // T4Options: 1-D lines
+    u32(0)
+    out.write(payload)
+    out.toByteArray
+  }
+
   /** Minimal little-endian TIFF metadata fixture (IFD0 width/height). */
   def encodeTiffHeader(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -620,9 +669,13 @@ object ImageKernels {
     * same TIFF-convention coder as PDF §7.4.4, shared), 8 (Deflate) and
     * 32773 (PackBits), horizontal-differencing predictor, WhiteIsZero
     * inversion. Both strip (tags 273/279) and tile (tags 322-325, TIFF
-    * 6.0 §15 — edge tiles padded to full tile size) layouts. 16-bit and
-    * CCITT/JPEG-in-TIFF variants fall back to ImageIO. */
+    * 6.0 §15 — edge tiles padded to full tile size) layouts. Bilevel
+    * (1-bit) images decode natively for compressions 1/32773 (packed
+    * rows) and the CCITT fax family 2/3/4 via [[Ccitt]] — the
+    * scanned-document archive case. 16-bit and JPEG-in-TIFF variants
+    * fall back to ImageIO. */
   private def decodeTiff(b: Array[Byte]): Gray = {
+    if (b == null || b.length < 8) return null
     val little = b(0) == 'I'
     def u16(p: Int): Int =
       if (little) le16(b, p) else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
@@ -633,7 +686,10 @@ object ImageKernels {
     // tag -> (type, count, valueOffsetField)
     var w = 0; var h = 0; var comp = 1; var photo = 1; var spp = 1
     var rowsPerStrip = Int.MaxValue; var predictor = 1
+    var bits = 1 // TIFF 6.0 default BitsPerSample = 1 (bilevel writers —
+                 // ImageIO's CCITT included — omit tag 258 entirely)
     var bitsOk = true
+    var t4opts = 0
     var stripOffsets: Array[Int] = null
     var stripCounts: Array[Int] = null
     var colorMapOff = -1; var colorMapCount = 0
@@ -658,7 +714,12 @@ object ImageKernels {
       tag match {
         case 256 => w = scalar
         case 257 => h = scalar
-        case 258 => bitsOk = intArray.forall(_ == 8)
+        case 258 =>
+          val ba = intArray
+          if (ba == null) return null
+          if (ba.forall(_ == 8)) bits = 8
+          else if (ba.length == 1 && ba(0) == 1) bits = 1
+          else bitsOk = false // 16-bit etc: ImageIO fallback
         case 259 => comp = scalar
         case 262 => photo = scalar
         case 273 => stripOffsets = intArray
@@ -666,6 +727,7 @@ object ImageKernels {
         case 278 => rowsPerStrip = scalar
         case 279 => stripCounts = intArray
         case 284 => if (scalar != 1) return null // planar: ImageIO fallback
+        case 292 => t4opts = scalar // T4Options: bit0 = 2-D lines
         case 317 => predictor = scalar
         case 320 => colorMapOff = u32(e + 8); colorMapCount = count
         case 322 => tileW = scalar
@@ -691,6 +753,102 @@ object ImageKernels {
     // from a hostile tag before the generic catch fires.
     if (photo == 2 && (channels < 3 || channels > 4)) return null
     if ((photo == 0 || photo == 1 || photo == 3) && channels != 1) return null
+
+    // Bilevel path: 1-bit samples — uncompressed packed rows, PackBits,
+    // or the CCITT fax family (compression 2 = T.4 MH byte-aligned rows,
+    // 3 = Group 3 with EOLs, 4 = Group 4 MMR) via the native [[Ccitt]]
+    // codec. Scanned-document archives are dominated by these.
+    if (bits == 1) {
+      if (channels != 1 || (photo != 0 && photo != 1)) return null
+      val px1 = new Array[Int](w * h)
+      // one strip/tile of `rows` rows -> 0/1 bytes, or null
+      def bilevel(off: Int, len: Int, bw: Int, rows: Int): Array[Byte] = {
+        if (off < 0 || len < 0 || off.toLong + len > b.length) return null
+        val slice = java.util.Arrays.copyOfRange(b, off, off + len)
+        comp match {
+          case 1 | 32773 =>
+            val rb = (bw + 7) / 8
+            val packed =
+              if (comp == 1) { if (len < rows * rb) null else slice }
+              else { // PackBits at the byte layer, then unpack bits
+                val out = new java.io.ByteArrayOutputStream(rows * rb)
+                var p = 0
+                var bad = false
+                while (out.size() < rows * rb && p < slice.length && !bad) {
+                  val c = slice(p).toInt
+                  p += 1
+                  if (c >= 0) {
+                    if (p + c + 1 > slice.length) bad = true
+                    else { out.write(slice, p, c + 1); p += c + 1 }
+                  } else if (c != -128) {
+                    if (p >= slice.length) bad = true
+                    else { var k = 0; while (k < 1 - c) { out.write(slice(p)); k += 1 }; p += 1 }
+                  }
+                }
+                if (bad || out.size() < rows * rb) null else out.toByteArray
+              }
+            if (packed == null) null
+            else {
+              val bitsOut = new Array[Byte](rows * bw)
+              var y = 0
+              while (y < rows) {
+                var x = 0
+                while (x < bw) {
+                  bitsOut(y * bw + x) =
+                    (((packed(y * rb + (x >> 3)) >> (7 - (x & 7))) & 1)).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bitsOut
+            }
+          case 2 => Ccitt.decodeMH(slice, bw, rows)
+          case 3 => Ccitt.decodeG3(slice, bw, rows, (t4opts & 1) != 0)
+          case 4 => Ccitt.decodeG4(slice, bw, rows)
+          case _ => null
+        }
+      }
+      def emit1(bitsRow: Array[Byte], bw: Int, rows: Int, x0: Int, y0: Int): Unit = {
+        var y = 0
+        while (y < rows && y0 + y < h) {
+          var x = 0
+          while (x < bw && x0 + x < w) {
+            val v = bitsRow(y * bw + x)
+            // photo 0 (WhiteIsZero, the fax norm): sample 0 -> white 255
+            px1((y0 + y) * w + (x0 + x)) =
+              if (photo == 0) (if (v == 0) 255 else 0)
+              else (if (v == 0) 0 else 255)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      if (tiled) {
+        val across = (w + tileW - 1) / tileW
+        val down = (h + tileH - 1) / tileH
+        if (tileOffsets.length < across * down) return null
+        var t = 0
+        while (t < across * down) {
+          val d = bilevel(tileOffsets(t), tileCounts(t), tileW, tileH)
+          if (d == null) return null
+          emit1(d, tileW, tileH, (t % across) * tileW, (t / across) * tileH)
+          t += 1
+        }
+      } else {
+        var row0 = 0
+        var s = 0
+        while (s < stripOffsets.length && row0 < h) {
+          val rows = math.min(rowsPerStrip, h - row0)
+          val d = bilevel(stripOffsets(s), stripCounts(s), w, rows)
+          if (d == null) return null
+          emit1(d, w, rows, 0, row0)
+          row0 += rows
+          s += 1
+        }
+        if (row0 < h) return null
+      }
+      return Gray(w, h, px1)
+    }
     val palette: Array[Int] =
       if (photo == 3) {
         if (colorMapOff < 0 || colorMapCount < 3 * 256) return null

@@ -59,6 +59,17 @@ object GenImages {
     }
   }
 
+  /** Bilevel fixture for the CCITT gate: the SAME id-derived 0/1 pattern
+    * packaged as TIFF compression 1 (packed bits), 2 (T.4 MH), 3 (Group 3)
+    * or 4 (Group 4) — all four must decode pixel-identical, which the
+    * gate checks as pHash equality against the uncompressed container. */
+  def bilevelFixture(id: Long, comp: Int): Array[Byte] = {
+    val w = 70; val h = 48 // non-multiple-of-8 width stresses row packing
+    val px = pattern(id, w, h)
+    val bits = Array.tabulate[Byte](w * h)(i => if (px(i) > 125) 1 else 0)
+    ImageKernels.encodeTiffBilevel(w, h, bits, comp)
+  }
+
   /** Blocky 4×4 deterministic pattern — high inter-seed variance (mixed
     * bits), stable under the 32×32 box downsample. Values capped ≤ 250 so
     * small perturbations never clip. */
