@@ -499,14 +499,69 @@ object Sources {
       .load()
   }
 
+  /** Whole-file read with a parallelism floor: (path, open-thunk) pairs.
+    *
+    * NOT built on `sc.binaryFiles`, which is pathological for the real
+    * crawl shape (one directory, tens of thousands of small documents):
+    * it packs files into combine-splits by BYTE size, so 50k tiny files
+    * collapse into ONE split and one task regardless of minPartitions —
+    * and worse, every PortableDataStream record lazily RE-DESERIALIZES
+    * its whole CombineFileSplit (all 50k sibling paths, each through
+    * Path's regex normalization), making per-record cost linear in the
+    * split's file count and the scan quadratic overall (measured: a
+    * 50k-RTF read pinned one core for minutes in
+    * CombineFileSplit.readFields; a repartition "fix" shuffles 50k ×
+    * 3.6 MB of split bytes and OOMs the executor).
+    *
+    * Since every consumer reads WHOLE files, the unit of work is the
+    * path: glob on the driver (one FileSystem listing, same as
+    * binaryFiles' own setup), parallelize the sorted path strings across
+    * the default parallelism, and open each file in its own task through
+    * a Configuration rebuilt from a broadcast key/value snapshot (public
+    * API only — Hadoop Configuration itself is not serializable). On a
+    * real cluster this trades HDFS block locality for even file-count
+    * balance — the right trade for whole-file document reads, where
+    * files are small and remote-read cost is dwarfed by parse cost. */
+  private[engine] def binaryFilesSpread(spark: SparkSession, pathGlob: String)
+      : org.apache.spark.rdd.RDD[(String, () => java.io.InputStream)] = {
+    val sc = spark.sparkContext
+    val hp = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = hp.getFileSystem(sc.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.map(_.getPath.toString).sorted
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no input files match $pathGlob")
+    val confSnapshot = sc.hadoopConfiguration.asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val bconf = sc.broadcast(confSnapshot)
+    val par = math.min(sc.defaultParallelism, files.length)
+    sc.parallelize(files.toIndexedSeq, par).map { path =>
+      (path, { () =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        bconf.value.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).open(p): java.io.InputStream
+      })
+    }
+  }
+
+  /** Drain an open-thunk to bytes (closes the stream). */
+  private def readAll(open: () => java.io.InputStream): Array[Byte] = {
+    val in = open()
+    try in.readAllBytes() finally in.close()
+  }
+
   /** PDF pages via binaryFiles (the WARC distributed-file pattern): each
     * document parses in its own task; unreadable documents raise with the
     * file name (the engine's diagnosable-error contract). */
   private def readPdf(spark: SparkSession, pathGlob: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
-      val bytes = pds.toArray()
+    val rows = binaryFilesSpread(spark, pathGlob).flatMap { case (file, open) =>
+      val bytes = readAll(open)
       val pages =
         try Pdf.extractText(bytes)
         catch { case e: IllegalArgumentException =>
@@ -528,9 +583,9 @@ object Sources {
                             valueCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
+    val rows = binaryFilesSpread(spark, pathGlob).flatMap { case (file, open) =>
       val units =
-        try extract(pds.toArray())
+        try extract(readAll(open))
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
         }
@@ -547,9 +602,9 @@ object Sources {
                             extract: Array[Byte] => Vector[(Long, Long, String)]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
+    val rows = binaryFilesSpread(spark, pathGlob).flatMap { case (file, open) =>
       val cues =
-        try extract(pds.toArray())
+        try extract(readAll(open))
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
         }
@@ -569,9 +624,9 @@ object Sources {
                        extract: Array[Byte] => Vector[Eml.Message]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap { case (file, pds) =>
+    val rows = binaryFilesSpread(spark, pathGlob).flatMap { case (file, open) =>
       val msgs =
-        try extract(pds.toArray())
+        try extract(readAll(open))
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
         }

@@ -30,9 +30,9 @@ object Warc {
   def read(spark: SparkSession, pathGlob: String,
            keepTypes: Set[String] = Set("conversion", "response")): DataFrame = {
     val keep = keepTypes // serializable copy
-    val rows = spark.sparkContext.binaryFiles(pathGlob).flatMap {
-      case (file, pds) =>
-        val raw = new java.io.BufferedInputStream(pds.open())
+    val rows = Sources.binaryFilesSpread(spark, pathGlob).flatMap {
+      case (file, open) =>
+        val raw = new java.io.BufferedInputStream(open())
         val in =
           if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
           else if (file.endsWith(".zst")) // newer Common Crawl objects;

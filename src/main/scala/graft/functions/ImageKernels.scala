@@ -337,8 +337,46 @@ object ImageKernels {
         case null => return null
         case _ => null
       }
-      if (native != null) native else decodeImageIo(b)
+      val g = if (native != null) native else decodeImageIo(b)
+      // Normalize through EXIF orientation (r13 VERDICT #8): a
+      // pixel-rotated copy and an orientation-flagged copy of the same
+      // photo must produce the SAME signature, so pHash dedup and
+      // thumbnails see upright pixels. Neither the native decoders nor
+      // ImageIO apply it, so one uniform post-step covers both paths.
+      // (JPEG EXIF is the case that occurs in crawls; TIFF tag 274 with a
+      // non-default value is vanishingly rare and stays unapplied.)
+      if (g != null && m != null && m._4 >= 2 && m._4 <= 8)
+        applyOrientation(g, m._4)
+      else g
     } catch { case _: Exception => null }
+  }
+
+  /** Remap to upright per EXIF orientation 2-8 (1 = identity). */
+  private def applyOrientation(g: Gray, o: Int): Gray = {
+    val w = g.w; val h = g.h; val src = g.px
+    val swap = o >= 5 // transpose family swaps dimensions
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val v = o match {
+          case 2 => src(y * w + (w - 1 - x))          // mirror horizontal
+          case 3 => src((h - 1 - y) * w + (w - 1 - x)) // rotate 180
+          case 4 => src((h - 1 - y) * w + x)           // mirror vertical
+          case 5 => src(x * w + y)                     // transpose
+          case 6 => src((h - 1 - x) * w + y)           // rotate 90 CW
+          case 7 => src((h - 1 - x) * w + (w - 1 - y)) // transverse
+          case _ => src(x * w + (w - 1 - y))           // 8: rotate 270 CW
+        }
+        out(y * ow + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    Gray(ow, oh, out)
   }
 
   private def luma(r: Int, g: Int, bl: Int): Int = (299 * r + 587 * g + 114 * bl) / 1000

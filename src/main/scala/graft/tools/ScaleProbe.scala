@@ -346,6 +346,28 @@ object ScaleProbe {
           s"msgs=${agg.getLong(0)},splits=$parts"
         } finally hc.unset("mapreduce.input.fileinputformat.split.maxsize")
       }
+      // document-crawl shape: MANY SMALL FILES (the real-world layout the
+      // r13 doc sources were only gate-tested at 40 files). 50k tiny RTFs
+      // in one directory: generation (driver, trivial) outside the timed
+      // block; the timed read must parallelize at file granularity and
+      // survive the driver-side glob listing without a bottleneck.
+      val docDir = java.nio.file.Files.createTempDirectory("graft-scale-docs")
+      val docFiles = math.min(n, 50000L)
+      if (enabled("doc_ingest")) {
+        var i = 0L
+        while (i < docFiles) {
+          graft.engine.Rtf.write(docDir.resolve(f"d$i%06d.rtf"),
+            Seq(s"tiny document $i body text for the many-file ingest leg"))
+          i += 1
+        }
+      }
+      val (docRows, tDoc) = leg(d, "doc_ingest") {
+        val df = graft.engine.Sources.read(spark, "probe_rtf",
+          Map("file" -> s"$docDir/*.rtf"), docDir)
+        val c = df.count()
+        require(c == docFiles, s"doc_ingest: $c rows for $docFiles files")
+        c
+      }
       println(f"SCALE $d docs=$n jaccard=$tJac%.1fs($jc) minhash=$tMin%.1fs($mc) " +
         f"boilerplate=$tBoil%.1fs($bc) cc=$tCC%.1fs($gc) cc_dist=$tCCd%.1fs " +
         f"dedup_near_yaml=$tYaml%.1fs(kept=$yamlKept, lib=$libKept) " +
@@ -360,7 +382,7 @@ object ScaleProbe {
         f"bpe_count=$tBpe%.1fs($bpeToks) image_phash=$tImg%.1fs($imgPairs) " +
         f"audio_fingerprint=$tAud%.1fs($audPairs) video_meta=$tVid%.1fs($vidParsed) " +
         f"nb_classify=$tNb%.1fs($nbDocs) wet_ingest=$tWet%.1fs($wetRows) " +
-        f"mbox_ingest=$tMbox%.1fs($mboxStats)")
+        f"mbox_ingest=$tMbox%.1fs($mboxStats) doc_ingest=$tDoc%.1fs($docRows)")
     }
     spark.stop()
   }

@@ -284,6 +284,53 @@ class ImagesSpec extends SparkSpec {
     assert(ImageKernels.phash("junk".getBytes) == null)
   }
 
+  test("EXIF orientation normalizes before signatures: flagged copy == pixel-rotated copy") {
+    // a non-square asymmetric pattern so every orientation is distinct
+    val ww = 48; val hh = 32
+    val p = Array.tabulate(ww * hh) { i =>
+      val x = i % ww; val y = i / ww
+      ((x * 13 + y * 41 + (x * y) % 7) % 251)
+    }
+    val plain = graft.functions.Jpeg.encodeYcc420(ww, hh, p)
+    // splice an EXIF APP1 with orientation 6 (display = rotate 90 CW)
+    // right after SOI — same payload bytes, different flag
+    def withOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+      val hdr = ImageKernels.encodeJpegHeader(4, 4, o)
+      // header fixture = SOI ++ APP1 ++ SOF0 ++ EOI; take the APP1 segment
+      val app1Len = ((hdr(4) & 0xFF) << 8) | (hdr(5) & 0xFF)
+      val app1 = java.util.Arrays.copyOfRange(hdr, 2, 4 + app1Len)
+      jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    }
+    val g0 = ImageKernels.decodeGrayPublic(plain)
+    for (o <- 2 to 8) {
+      val g = ImageKernels.decodeGrayPublic(withOrientation(plain, o))
+      assert(g != null, s"orientation $o")
+      val swap = o >= 5
+      assert(g.w == (if (swap) hh else ww) && g.h == (if (swap) ww else hh), s"dims o=$o")
+      // the normalized decode must equal the manual remap of the plain one
+      def ref(x: Int, y: Int): Int = o match {
+        case 2 => g0.px(y * ww + (ww - 1 - x))
+        case 3 => g0.px((hh - 1 - y) * ww + (ww - 1 - x))
+        case 4 => g0.px((hh - 1 - y) * ww + x)
+        case 5 => g0.px(x * ww + y)
+        case 6 => g0.px((hh - 1 - x) * ww + y)
+        case 7 => g0.px((hh - 1 - x) * ww + (ww - 1 - y))
+        case _ => g0.px(x * ww + (ww - 1 - y))
+      }
+      var i = 0
+      while (i < g.w * g.h) {
+        assert(g.px(i) == ref(i % g.w, i / g.w), s"o=$o px $i")
+        i += 1
+      }
+    }
+    // the signature-level guarantee the dedup tier relies on: an EXIF-6
+    // copy hashes identically to the SAME decode rotated in pixel space
+    val exif6 = withOrientation(plain, 6)
+    assert(ImageKernels.phash(exif6) != null)
+    assert(ImageKernels.phash(exif6) != ImageKernels.phash(plain) ||
+      ww == hh, "rotation must actually change the hash input here")
+  }
+
   test("image_meta / image_phash usable from plain SQL via the registry") {
     graft.expressions.GraftFunctions.register(spark)
     import spark.implicits._
