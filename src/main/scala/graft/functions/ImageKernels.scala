@@ -218,6 +218,81 @@ object ImageKernels {
     out.toByteArray
   }
 
+  /** JPEG-in-TIFF fixture writer (compression 7): gray plane encoded as
+    * per-strip YCbCr JPEG streams through the native T.81 encoder;
+    * `abbreviated` hoists the (identical) DQT/DHT segments into a
+    * JPEGTables tag and leaves abbreviated per-strip streams, the shape
+    * scanner output actually takes. */
+  def encodeTiffJpeg(w: Int, h: Int, px: Array[Int], rowsPerStrip: Int,
+                     abbreviated: Boolean): Array[Byte] = {
+    val jpegs = (0 until h by rowsPerStrip).map { y0 =>
+      val rows = math.min(rowsPerStrip, h - y0)
+      Jpeg.encodeYcc420(w, rows, Array.tabulate(w * rows)(i => px((y0 + i / w) * w + i % w)))
+    }
+    // hoist DQT/DHT into a standalone tables stream (SOI tables EOI)
+    def split(j: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val tb = new java.io.ByteArrayOutputStream()
+      val rest = new java.io.ByteArrayOutputStream()
+      tb.write(0xFF); tb.write(0xD8)
+      rest.write(0xFF); rest.write(0xD8)
+      var p = 2
+      var done = false
+      while (!done && p + 3 < j.length) {
+        val marker = j(p + 1) & 0xFF
+        if (marker == 0xDA) { rest.write(j, p, j.length - p); done = true }
+        else {
+          val len = ((j(p + 2) & 0xFF) << 8) | (j(p + 3) & 0xFF)
+          if (marker == 0xDB || marker == 0xC4) tb.write(j, p, 2 + len)
+          else rest.write(j, p, 2 + len)
+          p += 2 + len
+        }
+      }
+      tb.write(0xFF); tb.write(0xD9)
+      (tb.toByteArray, rest.toByteArray)
+    }
+    val (tables, strips) =
+      if (!abbreviated) (null: Array[Byte], jpegs)
+      else { val parts = jpegs.map(split); (parts.head._1, parts.map(_._2)) }
+    val n = strips.length
+    val nTags = if (abbreviated) 10 else 9
+    val ifdOff = 8
+    var dataOff = ifdOff + 2 + nTags * 12 + 4
+    val bitsOff = dataOff; dataOff += 6
+    val soOff = dataOff; dataOff += 4 * n
+    val scOff = dataOff; dataOff += 4 * n
+    val tablesOff = dataOff
+    if (abbreviated) dataOff += tables.length + (tables.length & 1)
+    val stripOffs = new Array[Int](n)
+    strips.zipWithIndex.foreach { case (s, i) =>
+      stripOffs(i) = dataOff; dataOff += s.length + (s.length & 1)
+    }
+    val out = new java.io.ByteArrayOutputStream(dataOff)
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >> 16) & 0xFFFF) }
+    out.write('I'); out.write('I'); u16(42); u32(ifdOff)
+    u16(nTags)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      u16(id); u16(typ); u32(count); u32(value)
+    }
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 3, bitsOff)
+    tag(259, 3, 1, 7)
+    tag(262, 3, 1, 6)              // YCbCr
+    tag(273, 4, n, if (n == 1) stripOffs(0) else soOff)
+    tag(277, 3, 1, 3)
+    tag(278, 4, 1, rowsPerStrip)
+    tag(279, 4, n, if (n == 1) strips.head.length else scOff)
+    if (abbreviated) tag(347, 7, tables.length, tablesOff)
+    u32(0)
+    u16(8); u16(8); u16(8)         // BitsPerSample data
+    stripOffs.foreach(u32)         // strip offsets array (unused if n==1)
+    strips.foreach(s => u32(s.length))
+    if (abbreviated) { out.write(tables); if ((tables.length & 1) == 1) out.write(0) }
+    strips.foreach { s => out.write(s); if ((s.length & 1) == 1) out.write(0) }
+    out.toByteArray
+  }
+
   /** Minimal little-endian TIFF metadata fixture (IFD0 width/height). */
   def encodeTiffHeader(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -709,9 +784,11 @@ object ImageKernels {
     * inversion. Both strip (tags 273/279) and tile (tags 322-325, TIFF
     * 6.0 §15 — edge tiles padded to full tile size) layouts. Bilevel
     * (1-bit) images decode natively for compressions 1/32773 (packed
-    * rows) and the CCITT fax family 2/3/4 via [[Ccitt]] — the
-    * scanned-document archive case. 16-bit and JPEG-in-TIFF variants
-    * fall back to ImageIO. */
+    * rows) and the CCITT fax family 2/3/4 via [[Ccitt]]; JPEG-in-TIFF
+    * (compression 7, incl. abbreviated streams + JPEGTables) decodes
+    * through the native [[Jpeg]] codec — together the scanned-document
+    * archive cases. 16-bit and the deprecated old-style JPEG (6) fall
+    * back to ImageIO. */
   private def decodeTiff(b: Array[Byte]): Gray = {
     if (b == null || b.length < 8) return null
     val little = b(0) == 'I'
@@ -734,6 +811,7 @@ object ImageKernels {
     var tileW = 0; var tileH = 0
     var tileOffsets: Array[Int] = null
     var tileCounts: Array[Int] = null
+    var jpegTablesOff = -1; var jpegTablesLen = 0
     var i = 0
     while (i < n) {
       val e = ifd + 2 + i * 12
@@ -768,6 +846,9 @@ object ImageKernels {
         case 292 => t4opts = scalar // T4Options: bit0 = 2-D lines
         case 317 => predictor = scalar
         case 320 => colorMapOff = u32(e + 8); colorMapCount = count
+        case 347 => // JPEGTables: shared abbreviated-stream tables
+          jpegTablesOff = if (count <= 4) e + 8 else u32(e + 8)
+          jpegTablesLen = count
         case 322 => tileW = scalar
         case 323 => tileH = scalar
         case 324 => tileOffsets = intArray
@@ -886,6 +967,76 @@ object ImageKernels {
         if (row0 < h) return null
       }
       return Gray(w, h, px1)
+    }
+
+    // JPEG-in-TIFF (compression 7, TIFF Tech Note 2): each strip/tile is
+    // an independent JPEG stream, abbreviated when the JPEGTables tag
+    // carries the shared DQT/DHT segments — splice them after the SOI and
+    // decode through the native T.81 decoder (luma out, matching Gray).
+    if (comp == 7) {
+      if (photo != 0 && photo != 1 && photo != 2 && photo != 6) return null
+      val tables: Array[Byte] =
+        if (jpegTablesOff >= 0 && jpegTablesLen >= 4 &&
+          jpegTablesOff.toLong + jpegTablesLen <= b.length)
+          java.util.Arrays.copyOfRange(b, jpegTablesOff, jpegTablesOff + jpegTablesLen)
+        else null
+      val px7 = new Array[Int](w * h)
+      def decodeChunk(off: Int, len: Int): Gray = {
+        if (off < 0 || len < 4 || off.toLong + len > b.length) return null
+        val strip = java.util.Arrays.copyOfRange(b, off, off + len)
+        val merged =
+          if (tables == null ||
+            (strip(0) & 0xFF) != 0xFF || (strip(1) & 0xFF) != 0xD8) strip
+          else {
+            // SOI + tables body (their own SOI/EOI dropped) + strip after SOI
+            val out = new java.io.ByteArrayOutputStream(tables.length + strip.length)
+            out.write(0xFF); out.write(0xD8)
+            out.write(tables, 2, tables.length - 4)
+            out.write(strip, 2, strip.length - 2)
+            out.toByteArray
+          }
+        try Jpeg.decode(merged) catch { case _: Exception => null }
+      }
+      def paste(g: Gray, bw: Int, bh: Int, x0: Int, y0: Int): Boolean = {
+        // JPEG pads to MCU multiples, so the decoded plane may exceed the
+        // block; it must cover the in-image part of it
+        val needW = math.min(bw, w - x0)
+        val needH = math.min(bh, h - y0)
+        if (g == null || g.w < needW || g.h < needH) return false
+        var y = 0
+        while (y < needH) {
+          var x = 0
+          while (x < needW) {
+            px7((y0 + y) * w + (x0 + x)) = g.px(y * g.w + x)
+            x += 1
+          }
+          y += 1
+        }
+        true
+      }
+      if (tiled) {
+        val across = (w + tileW - 1) / tileW
+        val down = (h + tileH - 1) / tileH
+        if (tileOffsets.length < across * down) return null
+        var t = 0
+        while (t < across * down) {
+          if (!paste(decodeChunk(tileOffsets(t), tileCounts(t)),
+            tileW, tileH, (t % across) * tileW, (t / across) * tileH)) return null
+          t += 1
+        }
+      } else {
+        var row0 = 0
+        var s = 0
+        while (s < stripOffsets.length && row0 < h) {
+          val rows = math.min(rowsPerStrip, h - row0)
+          if (!paste(decodeChunk(stripOffsets(s), stripCounts(s)),
+            w, rows, 0, row0)) return null
+          row0 += rows
+          s += 1
+        }
+        if (row0 < h) return null
+      }
+      return Gray(w, h, px7)
     }
     val palette: Array[Int] =
       if (photo == 3) {
