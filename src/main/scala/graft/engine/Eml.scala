@@ -109,8 +109,11 @@ object Eml {
     new String(raw, cs).replace("\r\n", "\n")
   }
 
-  /** First text/plain leaf of a MIME tree (depth-bounded). */
-  private def textOf(headers: Map[String, String], body: Array[Byte], depth: Int): Option[String] = {
+  /** First leaf of the wanted media type in a MIME tree (depth-bounded).
+    * `want` matches the media type; "" stands in for a missing
+    * Content-Type (implicitly text/plain per RFC 2045 §5.2). */
+  private def leafOf(headers: Map[String, String], body: Array[Byte], depth: Int,
+                     want: String => Boolean): Option[String] = {
     if (depth > 8) return None
     val ct = headers.getOrElse("content-type", "text/plain")
     val cte = headers.getOrElse("content-transfer-encoding", "7bit")
@@ -125,12 +128,21 @@ object Eml {
       chunks.view.flatMap { chunk =>
         val trimmed = chunk.dropWhile(c => c == '\r' || c == '\n')
         val (ph, pb) = splitHeaders(trimmed.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-        textOf(ph, pb, depth + 1)
+        leafOf(ph, pb, depth + 1, want)
       }.headOption
-    } else if (mediaType == "text/plain" || mediaType.isEmpty) {
+    } else if (want(mediaType)) {
       Some(decodeBody(body, ct, cte).replaceAll("\\s+$", ""))
     } else None
   }
+
+  /** Message text: the first text/plain leaf (the archive convention);
+    * an HTML-ONLY message — common in real mail — falls back to its
+    * first text/html leaf stripped through the same heuristic extraction
+    * the crawl pipeline uses (html_to_text's string twin). */
+  private def textOf(headers: Map[String, String], body: Array[Byte], depth: Int): Option[String] =
+    leafOf(headers, body, depth, mt => mt == "text/plain" || mt.isEmpty)
+      .orElse(leafOf(headers, body, depth, _ == "text/html")
+        .map(graft.functions.TextFunctions.htmlToTextString))
 
   /** Parse one RFC 5322 message. */
   def parseEml(bytes: Array[Byte]): Message = {

@@ -787,8 +787,9 @@ object ImageKernels {
     * rows) and the CCITT fax family 2/3/4 via [[Ccitt]]; JPEG-in-TIFF
     * (compression 7, incl. abbreviated streams + JPEGTables) decodes
     * through the native [[Jpeg]] codec — together the scanned-document
-    * archive cases. 16-bit and the deprecated old-style JPEG (6) fall
-    * back to ImageIO. */
+    * archive cases. 16-bit gray/RGB decodes natively via the high byte.
+    * Only the deprecated old-style JPEG (6) still falls back to
+    * ImageIO. */
   private def decodeTiff(b: Array[Byte]): Gray = {
     if (b == null || b.length < 8) return null
     val little = b(0) == 'I'
@@ -834,8 +835,9 @@ object ImageKernels {
           val ba = intArray
           if (ba == null) return null
           if (ba.forall(_ == 8)) bits = 8
+          else if (ba.forall(_ == 16)) bits = 16
           else if (ba.length == 1 && ba(0) == 1) bits = 1
-          else bitsOk = false // 16-bit etc: ImageIO fallback
+          else bitsOk = false // mixed depths: ImageIO fallback
         case 259 => comp = scalar
         case 262 => photo = scalar
         case 273 => stripOffsets = intArray
@@ -1130,6 +1132,79 @@ object ImageKernels {
         }
         y += 1
       }
+    }
+
+    // 16-bit samples (gray or RGB): byte-level decompression is shared
+    // with the 8-bit path; samples read in FILE byte order, predictor 2
+    // applied on 16-bit lanes, mapped to 8-bit via the high byte (the
+    // standard display downconversion — signature stability is what the
+    // pipeline needs, not radiometric precision).
+    if (bits == 16) {
+      if (photo != 0 && photo != 1 && photo != 2) return null
+      def emit16(raw: Array[Byte], bw: Int, rows: Int, x0: Int, y0: Int): Boolean = {
+        val lane = bw * channels
+        if (raw.length < rows * lane * 2) return false
+        val samples = new Array[Int](rows * lane)
+        var i = 0
+        while (i < rows * lane) {
+          val o = i * 2
+          samples(i) =
+            if (little) (raw(o) & 0xFF) | ((raw(o + 1) & 0xFF) << 8)
+            else ((raw(o) & 0xFF) << 8) | (raw(o + 1) & 0xFF)
+          i += 1
+        }
+        if (predictor == 2) {
+          var y = 0
+          while (y < rows) {
+            var x = channels
+            while (x < lane) {
+              samples(y * lane + x) = (samples(y * lane + x) + samples(y * lane + x - channels)) & 0xFFFF
+              x += 1
+            }
+            y += 1
+          }
+        }
+        var y = 0
+        while (y < rows && y0 + y < h) {
+          var x = 0
+          while (x < bw && x0 + x < w) {
+            val base = y * lane + x * channels
+            val v =
+              if (channels >= 3) luma(samples(base) >> 8, samples(base + 1) >> 8, samples(base + 2) >> 8)
+              else samples(base) >> 8
+            px((y0 + y) * w + (x0 + x)) = if (photo == 0) 255 - v else v
+            x += 1
+          }
+          y += 1
+        }
+        true
+      }
+      if (tiled) {
+        val across = (w + tileW - 1) / tileW
+        val down = (h + tileH - 1) / tileH
+        if (tileOffsets.length < across * down) return null
+        val expectL = tileW.toLong * tileH * channels * 2
+        if (expectL > (1L << 29)) return null
+        var t = 0
+        while (t < across * down) {
+          val raw = decompress(tileOffsets(t), tileCounts(t), expectL.toInt)
+          if (raw == null || !emit16(raw, tileW, tileH,
+            (t % across) * tileW, (t / across) * tileH)) return null
+          t += 1
+        }
+      } else {
+        var row0 = 0
+        var s = 0
+        while (s < stripOffsets.length && row0 < h) {
+          val rows = math.min(rowsPerStrip, h - row0)
+          val raw = decompress(stripOffsets(s), stripCounts(s), rows * w * channels * 2)
+          if (raw == null || !emit16(raw, w, rows, 0, row0)) return null
+          row0 += rows
+          s += 1
+        }
+        if (row0 < h) return null
+      }
+      return Gray(w, h, px)
     }
 
     if (tiled) {

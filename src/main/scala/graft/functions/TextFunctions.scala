@@ -154,6 +154,28 @@ object TextFunctions {
    * heuristic (a full DOM parse is out of scope at 100 TB and the
    * downstream quality filters absorb the difference).
    */
+  /** String twin of [[htmlToText]] for driver/parser call sites (the mail
+    * source's text/html fallback) — SAME regex chain term by term, so the
+    * two faces stay semantically identical. */
+  def htmlToTextString(html0: String): String = {
+    var c = html0
+    for (t <- Seq("script", "style", "head"))
+      c = c.replaceAll(s"(?is)<$t[^>]*>.*?</$t>", " ")
+    c = c.replaceAll("(?s)<!--.*?-->", " ")
+    c = c.replaceAll("(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
+    c = c.replaceAll("(?s)<[^>]*>", " ")
+    c = c.replaceAll("&nbsp;", " ")
+    c = c.replaceAll("&lt;", "<")
+    c = c.replaceAll("&gt;", ">")
+    c = c.replaceAll("&quot;", "\"")
+    c = c.replaceAll("&#39;", "'")
+    c = c.replaceAll("&amp;", "&")
+    c = c.replaceAll("[ \\t]+", " ")
+    c = c.replaceAll(" ?\\n ?", "\n")
+    c = c.replaceAll("\\n{2,}", "\n")
+    c.replaceAll("^[ \\n\\t]+|[ \\n\\t]+$", "")
+  }
+
   def htmlToText(html: Column): Column = {
     // per-tag patterns (not one backreference pattern) so the DuckDB
     // oracle — RE2, no backreferences — mirrors term by term

@@ -54,6 +54,21 @@ class EmlSpec extends graft.SparkSpec {
     assert(rows.map(_.getString(5)).toSeq == Seq("alpha", "beta"))
   }
 
+  test("HTML-only messages fall back to the stripped text/html leaf") {
+    val raw = "From: h@x\nSubject: html only\nDate: d\n" +
+      "Content-Type: text/html; charset=UTF-8\n\n" +
+      "<html><head><style>p{}</style></head><body>" +
+      "<p>First para</p><p>Second &amp; last</p></body></html>\n"
+    val m = Eml.parseEml(raw.getBytes("UTF-8"))
+    assert(m.text == "First para\nSecond & last", m.text)
+    // multipart/alternative with BOTH: text/plain still wins
+    val alt = "From: a@x\nSubject: s\nDate: d\nMIME-Version: 1.0\n" +
+      "Content-Type: multipart/alternative; boundary=bb\n\n" +
+      "--bb\nContent-Type: text/html\n\n<p>html version</p>\n" +
+      "--bb\nContent-Type: text/plain\n\nplain version\n--bb--\n"
+    assert(Eml.parseEml(alt.getBytes("UTF-8")).text == "plain version")
+  }
+
   test("garbage rejects diagnosably") {
     intercept[IllegalArgumentException](Eml.parseMbox("no separator".getBytes))
     intercept[IllegalArgumentException](Eml.parseEml("just some text with no headers".getBytes))

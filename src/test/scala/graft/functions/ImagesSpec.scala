@@ -331,6 +331,35 @@ class ImagesSpec extends SparkSpec {
       ww == hh, "rotation must actually change the hash input here")
   }
 
+  test("16-bit gray TIFF decodes natively (high byte), uncompressed and LZW") {
+    val ww = 40; val hh = 25
+    val px16 = Array.tabulate(ww * hh)(i => (i * 523) % 65536)
+    val img = new java.awt.image.BufferedImage(ww, hh, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    var i = 0
+    while (i < ww * hh) { img.getRaster.setSample(i % ww, i / ww, 0, px16(i)); i += 1 }
+    for (ctype <- Seq(null, "LZW", "Deflate")) {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      if (ctype != null) {
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(ctype)
+      }
+      val bout = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bout)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val g = ImageKernels.decodeTiffNative(bout.toByteArray)
+      assert(g != null, s"rejected ImageIO 16-bit $ctype tiff")
+      assert(g.w == ww && g.h == hh)
+      i = 0
+      while (i < ww * hh) {
+        assert(g.px(i) == (px16(i) >> 8), s"$ctype px $i: ${g.px(i)} vs ${px16(i) >> 8}")
+        i += 1
+      }
+    }
+  }
+
   test("image_meta / image_phash usable from plain SQL via the registry") {
     graft.expressions.GraftFunctions.register(spark)
     import spark.implicits._
