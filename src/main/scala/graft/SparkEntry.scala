@@ -123,6 +123,31 @@ object SparkEntry {
         .selectExpr("doc_id", "doc_text(content) AS text")
     }),
 
+    // charset detection + decode over raw bytes: each document's text
+    // serialized in an id-rotated encoding (plain UTF-8, BOM'd UTF-8,
+    // BOM'd UTF-16LE/BE); detect_charset must label it and decode_text
+    // must reproduce the text exactly — labels are closed-form
+    "q_decode_text" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val payload = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val bytes = (id % 4) match {
+            case 0 => text.getBytes("UTF-8")
+            case 1 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ text.getBytes("UTF-8")
+            case 2 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
+            case _ => Array[Byte](0xFE.toByte, 0xFF.toByte) ++ text.getBytes("UTF-16BE")
+          }
+          (id, bytes)
+        }.toSeq
+      payload.toDF("doc_id", "content")
+        .selectExpr("doc_id", "detect_charset(content) AS charset",
+          "decode_text(content) AS text")
+    }),
+
     // eml round-trip: one RFC 5322 message per file in a temp dir (glob
     // read), cycling transfer-encodings (7bit/qp/base64) and multipart
     // framing by doc id; subjects carry non-ASCII so RFC 2047 B-words are
@@ -1685,6 +1710,14 @@ object SparkEntry {
     // so the oracle is the identity round-trip
     "q_doc_text" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 40",
+
+    // BOMs strip, labels follow the id rotation, text is identity
+    "q_decode_text" ->
+      """SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+                           WHEN 2 THEN 'utf-16le' ELSE 'utf-16be' END AS charset,
+           text
+         FROM documents WHERE doc_id < 200""",
 
     // the MIME body walk strips trailing whitespace from the text/plain
     // leaf, so the oracle mirrors it; subject/from/date are closed-form

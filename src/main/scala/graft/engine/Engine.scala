@@ -222,6 +222,7 @@ final class Engine(spark: SparkSession) {
     "audio_dedup" -> Set("id_column", "column", "max_hamming"),
     "image_thumbnail" -> Set("column", "new_column", "width", "height"),
     "doc_text" -> Set("column", "new_column", "format"),
+    "decode_text" -> Set("column", "new_column", "charset", "charset_column"),
     "audio_features" -> Set("column", "prefix"),
     "video_meta" -> Set("column", "prefix"),
     "image_hash" -> Set("column", "kind", "new_column"),
@@ -476,6 +477,18 @@ final class Engine(spark: SparkSession) {
             org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
             org.apache.spark.sql.functions.lit(
               Config.str(op, "format").getOrElse("auto"))))
+      // charset detection + decode over raw crawl bytes: the step between
+      // a binary payload column and the text tier (labels deterministic,
+      // binary payloads decode to NULL rows)
+      case "decode_text" =>
+        graft.expressions.GraftFunctions.register(df.sparkSession)
+        val bin = org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx))
+        df.withColumn(Config.str(op, "charset_column").getOrElse("charset"),
+          org.apache.spark.sql.functions.call_function("detect_charset", bin))
+          .withColumn(Config.str(op, "new_column").getOrElse("text"),
+            org.apache.spark.sql.functions.call_function("decode_text", bin,
+              org.apache.spark.sql.functions.lit(
+                Config.str(op, "charset").getOrElse("auto"))))
       // Unicode normalization + sentence splitting (corpus-cleaning passes)
       case "text_normalize" =>
         graft.functions.Corpus.withNormalizedText(df,

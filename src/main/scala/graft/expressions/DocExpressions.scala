@@ -58,3 +58,70 @@ object DocText {
   val Formats: Set[String] = Set("auto", "rtf", "doc", "docx", "pptx",
     "epub", "pdf", "srt", "vtt", "eml")
 }
+
+/** `detect_charset(binary)` → deterministic charset label for raw crawl
+  * bytes ("utf-8" | "utf-16le" | "utf-16be" | "windows-1252" | "binary"
+  * | "empty") — BOMs, strict UTF-8 validation, zero-parity UTF-16
+  * heuristic, legacy-web default. Fused scan projection, no UDF. */
+case class DetectCharset(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"detect_charset requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "detect_charset"
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.functions.CharsetKernels.detect(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.CharsetKernels.detect($c));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): DetectCharset =
+    copy(child = newChild)
+}
+
+/** `decode_text(binary[, charset='auto'])` → decoded text, NULL for
+  * binary payloads (the row, not the job, fails). BOMs stripped. */
+case class DecodeText(child: Expression, cs: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"decode_text requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "decode_text"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val s = graft.functions.CharsetKernels.decode(v.asInstanceOf[Array[Byte]], cs)
+      if (s == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val csRef = ctx.addReferenceObj("decodeTextCs", cs, "java.lang.String")
+    val r = ctx.freshName("decoded")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        java.lang.String $r =
+          graft.functions.CharsetKernels.decode(${childGen.value}, $csRef);
+        if ($r != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r);
+        }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeText =
+    copy(child = newChild)
+}

@@ -252,6 +252,21 @@ object GraftFunctions {
         case Seq(b, Literal(f: UTF8String, StringType)) => DocText(b, f.toString)
         case other => throw new IllegalArgumentException(
           s"doc_text takes (binary[, format-literal]), got $other")
+      }),
+    ("detect_charset",
+      "_FUNC_(binary) - deterministic charset label (utf-8/utf-16le/utf-16be/windows-1252/binary/empty)",
+      {
+        case Seq(b) => DetectCharset(b)
+        case other => throw new IllegalArgumentException(
+          s"detect_charset takes 1 argument, got ${other.size}")
+      }),
+    ("decode_text",
+      "_FUNC_(binary[, charset='auto']) - decoded text with BOM stripping (NULL for binary payloads)",
+      {
+        case Seq(b) => DecodeText(b, "auto")
+        case Seq(b, Literal(f: UTF8String, StringType)) => DecodeText(b, f.toString)
+        case other => throw new IllegalArgumentException(
+          s"decode_text takes (binary[, charset-literal]), got $other")
       }))
 
   /** Register into an existing session's function registry (temp functions —
