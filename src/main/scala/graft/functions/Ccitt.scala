@@ -239,18 +239,18 @@ object Ccitt {
     java.util.Arrays.fill(row, 0, w, 0.toByte)
     var a0 = -1
     var white = true
-    var ri = 0 // index into refChanges of the first change > a0 with the
-               // colour property maintained below
+    var ri0 = 0 // first ref change > a0 — a0 is monotone within a row, so
+                // this pointer only advances: O(row) total, not O(row²)
     var guard = 0
     while (a0 < w && guard <= 2 * w + 8) {
       guard += 1
       // b1: first changing element on the reference line to the right of
       // a0 with OPPOSITE colour to a0's colour. Changes alternate starting
       // white->black at even indices, so white current colour wants an
-      // EVEN index, black wants ODD.
-      ri = 0
+      // EVEN index, black wants ODD — at most one step past ri0.
+      while (ri0 < refN && refChanges(ri0) <= a0) ri0 += 1
       val wantParity = if (white) 0 else 1
-      while (ri < refN && (refChanges(ri) <= a0 || (ri & 1) != wantParity)) ri += 1
+      val ri = if (ri0 >= refN || (ri0 & 1) == wantParity) ri0 else ri0 + 1
       val b1 = if (ri < refN) refChanges(ri) else w
       val b2 = if (ri + 1 < refN) refChanges(ri + 1) else w
       // read a mode code
@@ -487,17 +487,17 @@ object Ccitt {
       val curN = changesOf(row, w, curChanges)
       var a0 = -1
       var white = true
-      var ci = 0
+      var ci0 = 0 // both pointers only advance (a0 monotone): O(row) total
+      var ri0 = 0
       while (a0 < w) {
         // a1: first change > a0 (next colour flip on the coding line)
-        ci = 0
-        while (ci < curN && curChanges(ci) <= a0) ci += 1
-        val a1 = if (ci < curN) curChanges(ci) else w
-        val a2 = if (ci + 1 < curN) curChanges(ci + 1) else w
+        while (ci0 < curN && curChanges(ci0) <= a0) ci0 += 1
+        val a1 = if (ci0 < curN) curChanges(ci0) else w
+        val a2 = if (ci0 + 1 < curN) curChanges(ci0 + 1) else w
         // b1/b2 as in decode
-        var ri = 0
+        while (ri0 < refN && refChanges(ri0) <= a0) ri0 += 1
         val wantParity = if (white) 0 else 1
-        while (ri < refN && (refChanges(ri) <= a0 || (ri & 1) != wantParity)) ri += 1
+        val ri = if (ri0 >= refN || (ri0 & 1) == wantParity) ri0 else ri0 + 1
         val b1 = if (ri < refN) refChanges(ri) else w
         val b2 = if (ri + 1 < refN) refChanges(ri + 1) else w
         if (b2 < a1) {
