@@ -83,7 +83,7 @@ object ImageKernels {
     val ifd = u32(4)
     if (ifd < 8 || ifd + 2 > b.length) return null
     val n = u16(ifd)
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var orient = 0
     var i = 0
     while (i < n) {
       val e = ifd + 2 + i * 12
@@ -92,9 +92,10 @@ object ImageKernels {
       val value = if (typ == 3) u16(e + 8) else u32(e + 8) // SHORT | LONG
       if (tag == 0x0100) w = value
       else if (tag == 0x0101) h = value
+      else if (tag == 0x0112 && value >= 1 && value <= 8) orient = value
       i += 1
     }
-    if (w <= 0 || h <= 0) null else ("tiff", w, h, 0)
+    if (w <= 0 || h <= 0) null else ("tiff", w, h, orient)
   }
 
   /** WebP: VP8X extended header (24-bit canvas-1 dims), VP8L lossless

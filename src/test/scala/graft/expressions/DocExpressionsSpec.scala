@@ -26,6 +26,12 @@ class DocExpressionsSpec extends graft.SparkSpec {
     assert(one(bytesOf(graft.engine.Docx.writePptx(_, Seq(text)), ".pptx")) == text)
   }
 
+  test("pdf auto-sniffs: pages newline-joined through the native parser") {
+    val f = java.nio.file.Files.createTempFile("graft-dx", ".pdf")
+    graft.engine.Pdf.write(f, Seq("page one text", "page two text"), compress = true)
+    assert(one(java.nio.file.Files.readAllBytes(f)) == "page one text\npage two text")
+  }
+
   test("epub auto-sniffs to chapter markup (html_to_text is the compose step)") {
     val markup = one(bytesOf(graft.engine.Epub.write(_, Seq("chapter body")), ".epub"))
     assert(markup.contains("<") && markup.contains("chapter body"), markup)

@@ -331,6 +331,36 @@ class ImagesSpec extends SparkSpec {
       ww == hh, "rotation must actually change the hash input here")
   }
 
+  test("TIFF orientation tag (274) normalizes like JPEG EXIF") {
+    val ww = 24; val hh = 16
+    val p = Array.tabulate(ww * hh)(i => (i * 37) % 251)
+    // hand-built gray TIFF with Orientation=6 (rotate 90 CW to display)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >> 16) & 0xFFFF) }
+    out.write('I'); out.write('I'); u16(42); u32(8)
+    val nTags = 9
+    val dataOff = 8 + 2 + nTags * 12 + 4
+    u16(nTags)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = { u16(id); u16(typ); u32(count); u32(value) }
+    tag(256, 4, 1, ww); tag(257, 4, 1, hh); tag(258, 3, 1, 8)
+    tag(259, 3, 1, 1); tag(262, 3, 1, 1); tag(273, 4, 1, dataOff)
+    tag(274, 3, 1, 6); tag(278, 4, 1, hh); tag(279, 4, 1, ww * hh)
+    u32(0)
+    p.foreach(v => out.write(v & 0xFF))
+    val tiff = out.toByteArray
+    assert(ImageKernels.imageMeta(tiff)._4 == 6)
+    val g = ImageKernels.decodeGrayPublic(tiff)
+    assert(g != null && g.w == hh && g.h == ww, s"${g.w}x${g.h}")
+    // same remap as EXIF case 6: out(x,y) = src(h-1-x, y)
+    var i = 0
+    while (i < g.w * g.h) {
+      val x = i % g.w; val y = i / g.w
+      assert(g.px(i) == p((hh - 1 - x) * ww + y), s"px $i")
+      i += 1
+    }
+  }
+
   test("16-bit gray TIFF decodes natively (high byte), uncompressed and LZW") {
     val ww = 40; val hh = 25
     val px16 = Array.tabulate(ww * hh)(i => (i * 523) % 65536)
