@@ -1094,6 +1094,45 @@ object SparkEntry {
         .select(col("doc_id"), col("batch").cast("long").as("batch"))
     }),
 
+    // DOCUMENT face: the same two text deltas as q_stream_ingest_text but
+    // arriving as document BYTES — delta 1 rendered as RTF, delta 2 as
+    // DOCX. doc_text extraction canonicalizes across formats, so the
+    // survivor sets must equal the pure-text face's exactly (same SQL
+    // oracle): a docx re-render of an rtf-ingested document near-dedups
+    "q_stream_ingest_doc" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-doc")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 2000)
+      def render(rows: Array[org.apache.spark.sql.Row], fmt: String): Seq[(Long, Array[Byte])] =
+        rows.map { r =>
+          val f = java.nio.file.Files.createTempFile("graft-sid", "." + fmt)
+          if (fmt == "rtf") graft.engine.Rtf.write(f, Seq(r.getString(1)))
+          else graft.engine.Docx.writeDocx(f, Seq(r.getString(1)))
+          val b = java.nio.file.Files.readAllBytes(f)
+          java.nio.file.Files.delete(f)
+          (r.getLong(0), b)
+        }.toSeq
+      import s.implicits._
+      render(docs.filter(col("doc_id") % 5 =!= 0).collect(), "rtf")
+        .toDF("doc_id", "content").write.parquet(s"$dir/src")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val src = s.readStream.schema(schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalDocDedupIngest(src, "doc_id", "content",
+        s"$dir/index", s"$dir/out", threshold = 0.7, checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        render(docs.filter(col("doc_id") % 5 === 0).collect(), "docx")
+          .toDF("doc_id", "content").write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/out")
+        .select(col("doc_id"), col("batch").cast("long").as("batch"))
+    }),
+
     // IMAGE face: delta 1 = 200 distinct pHash groups; delta 2 = 10 novel
     // groups (kept) + 40 perturbed near-dups of delta-1 groups (dropped
     // via the persisted signature index) — keep-set closed-form in doc_id
@@ -1667,6 +1706,58 @@ object SparkEntry {
           """{"name": "{{n_name}}", "region": {{n_regionkey}}}""").as("rendered"))
     }),
   )
+
+    /** Survivor-set oracle shared by the text and document streaming
+    * ingest faces (the doc face extracts back to identical text). */
+  private val StreamIngestTextSql: String =
+    """WITH ws AS (
+           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+           FROM documents WHERE doc_id < 2000),
+         idx AS (
+           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
+         toks AS (
+           SELECT DISTINCT id,
+             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS tok
+           FROM idx),
+         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         t1 AS (SELECT * FROM toks WHERE id % 5 <> 0),
+         i1 AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM t1 a JOIN t1 b ON a.tok = b.tok AND a.id < b.id
+           GROUP BY 1, 2),
+         p1 AS (
+           SELECT a_id, b_id FROM i1
+           JOIN counts ca ON ca.id = a_id
+           JOIN counts cb ON cb.id = b_id
+           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
+         kept1 AS (
+           SELECT DISTINCT id FROM t1
+           WHERE NOT EXISTS (SELECT 1 FROM p1 WHERE p1.b_id = t1.id)),
+         t2 AS (SELECT * FROM toks WHERE id % 5 = 0),
+         u2 AS (
+           SELECT * FROM t2
+           UNION ALL
+           SELECT t.* FROM toks t JOIN kept1 k ON t.id = k.id),
+         i2 AS (
+           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+           FROM t2 a JOIN u2 b
+             ON a.tok = b.tok AND a.id <> b.id
+              AND (b.id % 5 <> 0 OR a.id < b.id)
+           GROUP BY 1, 2),
+         p2 AS (
+           SELECT a_id, b_id FROM i2
+           JOIN counts ca ON ca.id = a_id
+           JOIN counts cb ON cb.id = b_id
+           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
+         kept2 AS (
+           SELECT DISTINCT id FROM t2
+           WHERE NOT EXISTS (SELECT 1 FROM p2
+             WHERE p2.b_id = t2.id
+                OR (p2.a_id = t2.id AND p2.b_id % 5 <> 0)))
+         SELECT id AS doc_id, 0::BIGINT AS batch FROM kept1
+         UNION ALL
+         SELECT id AS doc_id, 1::BIGINT AS batch FROM kept2"""
 
   def oracleSql: Map[String, String] = Map(
     "q_source_parquet" ->
@@ -2459,57 +2550,14 @@ object SparkEntry {
     // within itself (pair a<b condemns b); stage 2 dedups delta2 against
     // stage 1's SURVIVORS (not the raw corpus — a doc that died in stage 1
     // condemns nobody) and within itself
-    "q_stream_ingest_text" ->
-      """WITH ws AS (
-           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
-           FROM documents WHERE doc_id < 2000),
-         idx AS (
-           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
-         toks AS (
-           SELECT DISTINCT id,
-             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                  ELSE array_to_string(w, ' ') END AS tok
-           FROM idx),
-         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
-         t1 AS (SELECT * FROM toks WHERE id % 5 <> 0),
-         i1 AS (
-           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
-           FROM t1 a JOIN t1 b ON a.tok = b.tok AND a.id < b.id
-           GROUP BY 1, 2),
-         p1 AS (
-           SELECT a_id, b_id FROM i1
-           JOIN counts ca ON ca.id = a_id
-           JOIN counts cb ON cb.id = b_id
-           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
-         kept1 AS (
-           SELECT DISTINCT id FROM t1
-           WHERE NOT EXISTS (SELECT 1 FROM p1 WHERE p1.b_id = t1.id)),
-         t2 AS (SELECT * FROM toks WHERE id % 5 = 0),
-         u2 AS (
-           SELECT * FROM t2
-           UNION ALL
-           SELECT t.* FROM toks t JOIN kept1 k ON t.id = k.id),
-         i2 AS (
-           SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
-           FROM t2 a JOIN u2 b
-             ON a.tok = b.tok AND a.id <> b.id
-              AND (b.id % 5 <> 0 OR a.id < b.id)
-           GROUP BY 1, 2),
-         p2 AS (
-           SELECT a_id, b_id FROM i2
-           JOIN counts ca ON ca.id = a_id
-           JOIN counts cb ON cb.id = b_id
-           WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7),
-         kept2 AS (
-           SELECT DISTINCT id FROM t2
-           WHERE NOT EXISTS (SELECT 1 FROM p2
-             WHERE p2.b_id = t2.id
-                OR (p2.a_id = t2.id AND p2.b_id % 5 <> 0)))
-         SELECT id AS doc_id, 0::BIGINT AS batch FROM kept1
-         UNION ALL
-         SELECT id AS doc_id, 1::BIGINT AS batch FROM kept2""",
+    "q_stream_ingest_text" -> StreamIngestTextSql,
 
-    // closed-form keep-set: delta 1 (ids < 200) is 200 distinct pHash
+    // the DOCUMENT face must reproduce the text face's survivor sets
+    // exactly: doc_text extraction is the identity over the rendered
+    // rtf/docx deltas, so the SAME oracle applies verbatim
+    "q_stream_ingest_doc" -> StreamIngestTextSql,
+
+        // closed-form keep-set: delta 1 (ids < 200) is 200 distinct pHash
     // groups (all kept, batch 0); delta 2 keeps only the novel groups
     // 240-249 — ids 250-289 are perturbed re-encodes of groups 0-39
     // already in the persisted index

@@ -171,6 +171,44 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental DOCUMENT near-dedup ingest — document BYTES
+    * (rtf/docx/pdf/... in a binary column) arrive as deltas, each
+    * micro-batch extracts text through the fused `doc_text` expression
+    * (auto-sniffing; unparseable payloads drop as rows, not failures) and
+    * then runs the exact text-face loop against the persisted shingle
+    * index. Extraction canonicalizes across container formats, so a docx
+    * re-render of an already-ingested rtf document deduplicates — the
+    * cross-format property the gate pins. Same batch-stamped-overwrite
+    * exactly-once discipline as [[incrementalDedupIngest]]. */
+  def incrementalDocDedupIngest(docs: DataFrame, idCol: String, binCol: String,
+                                indexDir: String, outDir: String,
+                                threshold: Double, shingleSize: Int = 3,
+                                maxDocFreq: Option[Long] = None,
+                                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Dedup
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.expressions.GraftFunctions.register(spark)
+        val extracted = batch
+          .withColumn("__text__", org.apache.spark.sql.functions.call_function(
+            "doc_text", col(binCol), org.apache.spark.sql.functions.lit("auto")))
+          .filter(col("__text__").isNotNull)
+          .drop(binCol)
+        val index = existingIndex(spark, indexDir, excludeBatch = batchId)
+        val kept = Dedup.dedupNearIncrementalIndexed(extracted, index, idCol, "__text__",
+          threshold, shingleSize, maxDocFreq).persist()
+        try {
+          kept.drop("__text__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          Dedup.shingleIndex(kept, idCol, "__text__", shingleSize)
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        } finally kept.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming incremental IMAGE near-dedup ingest — the multimodal face
     * of [[incrementalDedupIngest]]: every micro-batch's payloads get a
     * pHash signature (one codegen pass), the batch is banded-hamming

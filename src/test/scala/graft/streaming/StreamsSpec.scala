@@ -232,6 +232,39 @@ class StreamsSpec extends SparkSpec {
       streamKept.size.toLong)
   }
 
+  test("incrementalDocDedupIngest: document bytes cross-format dedup equals the text face") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-doc")
+    def doc(i: Long) = s"unique document body number $i with plenty of distinct words $i"
+    def render(i: Long, text: String, fmt: String): (Long, Array[Byte]) = {
+      val f = java.nio.file.Files.createTempFile("graft-sd", "." + fmt)
+      if (fmt == "rtf") graft.engine.Rtf.write(f, Seq(text))
+      else graft.engine.Docx.writeDocx(f, Seq(text))
+      (i, java.nio.file.Files.readAllBytes(f))
+    }
+    // delta 1 arrives as RTF; delta 2 as DOCX — 12 is a DOCX re-render of
+    // delta-1's rtf-ingested doc 2's near-dup content (dropped through
+    // extraction canonicalization), 13 novel, 14 unparseable garbage
+    // (dropped as a row, not a failure)
+    val delta1 = (1L to 10L).map(i => render(i, doc(i), "rtf"))
+    val delta2 = Seq(render(12L, doc(2), "docx"),
+      render(13L, "completely different novel content here", "docx"),
+      (14L, "not a document at all".getBytes))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.incrementalDocDedupIngest(mem.toDF().toDF("doc_id", "content"),
+      "doc_id", "content", s"$dir/index", s"$dir/out", threshold = 0.7,
+      checkpointDir = s"$dir/ckpt")
+    try {
+      mem.addData(delta1: _*)
+      q.processAllAvailable()
+      mem.addData(delta2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == (1L to 10L) :+ 13L, kept.toString)
+  }
+
   test("incrementalImageDedupIngest: stream keep-set across two image deltas equals the batch path") {
     implicit val sqlCtx = spark.sqlContext
     import graft.tools.GenImages
