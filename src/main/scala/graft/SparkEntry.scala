@@ -1097,12 +1097,15 @@ object SparkEntry {
     // DOCUMENT face: the same two text deltas as q_stream_ingest_text but
     // arriving as document BYTES — delta 1 rendered as RTF, delta 2 as
     // DOCX. doc_text extraction canonicalizes across formats, so the
-    // survivor sets must equal the pure-text face's exactly (same SQL
-    // oracle): a docx re-render of an rtf-ingested document near-dedups
+    // survivor sets must equal the pure-text face's exactly (the text
+    // oracle re-bounded to this gate's slice): a docx re-render of an
+    // rtf-ingested document near-dedups. 1000 docs — the streaming and
+    // extraction machinery is what this gate exercises; the dedup data
+    // path is benched at full scale by the text face and q_dedup_incr_*
     "q_stream_ingest_doc" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-si-doc")
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        .filter(col("doc_id") < 2000)
+        .filter(col("doc_id") < 1000)
       def render(rows: Array[org.apache.spark.sql.Row], fmt: String): Seq[(Long, Array[Byte])] =
         rows.map { r =>
           val f = java.nio.file.Files.createTempFile("graft-sid", "." + fmt)
@@ -2555,7 +2558,7 @@ object SparkEntry {
     // the DOCUMENT face must reproduce the text face's survivor sets
     // exactly: doc_text extraction is the identity over the rendered
     // rtf/docx deltas, so the SAME oracle applies verbatim
-    "q_stream_ingest_doc" -> StreamIngestTextSql,
+    "q_stream_ingest_doc" -> StreamIngestTextSql.replace("doc_id < 2000", "doc_id < 1000"),
 
         // closed-form keep-set: delta 1 (ids < 200) is 200 distinct pHash
     // groups (all kept, batch 0); delta 2 keeps only the novel groups
