@@ -61,8 +61,13 @@ class CharsetSpec extends graft.SparkSpec {
     assert(out(0).getAs[String]("charset") == "utf-8" && out(0).getAs[String]("text") == "utf8 text")
     assert(out(1).getAs[String]("charset") == "utf-16le" && out(1).getAs[String]("text") == "wide")
     assert(out(2).getAs[String]("charset") == "binary" && out(2).isNullAt(out(2).fieldIndex("text")))
-    val plan = rows.selectExpr("decode_text(content) AS t", "detect_charset(content) AS c")
+    // plan pin through parquet (LocalRelation would be pre-evaluated)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-plan").toString
+    rows.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .selectExpr("decode_text(content) AS t", "detect_charset(content) AS c")
       .queryExecution.executedPlan.toString
+    assert(plan.contains("decode_text") && plan.contains("detect_charset"), plan)
     assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
   }
 }

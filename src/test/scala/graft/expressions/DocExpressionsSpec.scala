@@ -83,13 +83,19 @@ class DocExpressionsSpec extends graft.SparkSpec {
     assert(out.select("body").collect()(0).getString(0) == "op text")
   }
 
-  test("plan shape: doc_text is a narrow projection, no exchange, no UDF") {
+  test("plan shape: doc_text is a narrow projection over the scan, no exchange, no UDF") {
     GraftFunctions.register(spark)
     import spark.implicits._
-    val df = Seq((1L, "x".getBytes)).toDF("id", "content")
-      .selectExpr("id", "doc_text(content) AS t")
+    // through parquet: a LocalRelation would be PRE-EVALUATED by Catalyst
+    // (ConvertToLocalRelation), making the assertions vacuous
+    val dir = java.nio.file.Files.createTempDirectory("graft-dx-plan").toString
+    Seq((1L, bytesOf(graft.engine.Rtf.write(_, Seq("x")), ".rtf")))
+      .toDF("id", "content").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).selectExpr("id", "doc_text(content) AS t")
     val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("doc_text"), plan)
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
+    assert(df.collect()(0).getString(1) == "x")
   }
 }
