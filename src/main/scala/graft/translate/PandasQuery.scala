@@ -119,20 +119,23 @@ object PandasQuery {
 
     // Null semantics (documented choice, matching the reference): pandas
     // query with engine='python' evaluates comparisons on missing values
-    // two-valued — NaN == 5 → False, NaN != 5 → True, NaN < 5 → False —
-    // and the reference's `exclude` wraps the predicate in not(...). SQL
-    // three-valued logic would silently drop null rows from both the keep
-    // and the exclude sets. We therefore compile every comparison to a
-    // non-null boolean: <=> for equality, coalesce(_, false) for ordering,
-    // so not(pred) keeps null rows exactly like pandas.
+    // two-valued — NaN == anything (including another NaN) → False,
+    // NaN != anything → True, NaN < 5 → False — and the reference's
+    // `exclude` wraps the predicate in not(...). SQL three-valued logic
+    // would silently drop null rows from both the keep and the exclude
+    // sets. We therefore compile every comparison to a non-null boolean:
+    // coalesce(_, false) for == and ordering, coalesce(_, true) for !=,
+    // so not(pred) keeps null rows exactly like pandas. (NOT null-safe
+    // <=>: that would make a null-vs-null COLUMN comparison true, where
+    // pandas' NaN == NaN is False.)
     private def cmpExpr(): Column = {
       val l = addExpr()
       peek match {
         case TOp(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
           next(); val r = addExpr()
           op match {
-            case "==" => l <=> r
-            case "!=" => !(l <=> r)
+            case "==" => coalesce(l === r, lit(false))
+            case "!=" => coalesce(l =!= r, lit(true))
             case "<"  => coalesce(l < r, lit(false))
             case "<=" => coalesce(l <= r, lit(false))
             case ">"  => coalesce(l > r, lit(false))

@@ -319,6 +319,57 @@ class EngineSpec extends SparkSpec {
       """{ "media_id": "6", "n_group": "1" }"""))
   }
 
+  test("document curation e2e: doc bytes -> doc_text -> quality gate -> dedup in one YAML") {
+    // the document half of a crawl pipeline as ONE declared flow: parquet
+    // binary column (mixed rtf/docx + garbage), fused extraction, empty/
+    // unparseable rows filtered, cross-format exact dedup
+    val dir = Files.createTempDirectory("graft-docflow")
+    import spark.implicits._
+    def bytesOf(write: java.nio.file.Path => Unit, ext: String): Array[Byte] = {
+      val f = Files.createTempFile("graft-df", ext)
+      write(f); Files.readAllBytes(f)
+    }
+    val body = "a long enough document body with several distinct words in it"
+    val docs = Seq(
+      (0L, bytesOf(Rtf.write(_, Seq(body)), ".rtf")),
+      (1L, bytesOf(Docx.writeDocx(_, Seq(body)), ".docx")), // cross-format dup of 0
+      (2L, bytesOf(Rtf.write(_, Seq("another unrelated piece of text entirely")), ".rtf")),
+      (3L, "garbage payload".getBytes)) // must drop as a row, not fail
+      .toDF("doc_id", "content")
+    docs.write.mode("overwrite").parquet(dir.resolve("docs.parquet").toString)
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  docs:
+        |    file: docs.parquet
+        |    type: parquet
+        |transformations:
+        |  kept:
+        |    source: $sources.docs
+        |    operations:
+        |      - operation: doc_text
+        |        column: content
+        |      - operation: filter_rows
+        |        query: text.notnull()
+        |      - operation: dedup_exact
+        |        id_column: doc_id
+        |        column: text
+        |      - operation: keep_columns
+        |        columns: [doc_id]
+        |destinations:
+        |  out:
+        |    source: $transformations.kept
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val lines = Files.readAllLines(out.resolve("out.jsonl")).asScala.sorted
+    // 0 survives (1 is its cross-format exact dup after extraction), 2 is
+    // distinct, 3's NULL text dropped by the null-excluding filter
+    assert(lines.toSeq == Seq(
+      """{ "doc_id": "0" }""",
+      """{ "doc_id": "2" }"""))
+  }
+
   test("mixture-routing e2e: nb_classify labels the unlabeled corpus, filter routes by prediction") {
     // the trained-classifier mixture-curation flow as ONE YAML: a fifth of
     // the corpus carries labels, NB learns them, every row is routed

@@ -51,6 +51,11 @@ class PandasQuerySpec extends SparkSpec {
     assert(names("weight != 10") == Set("lion", "wolf"))       // NaN != 10 → True in pandas
     assert(names("weight > 5", exclude = true) == Set("wolf")) // not(NaN > 5) → True
     assert(names("weight == 10", exclude = true) == Set("lion", "wolf"))
+    // NaN never equals ANYTHING — including another NaN: a column-vs-
+    // column self-comparison drops the null row (pandas' classic
+    // `a == a` NaN filter), and != keeps it
+    assert(names("weight == weight") == Set("cheetah", "lion"))
+    assert(names("weight != weight") == Set("wolf"))
   }
 
   test("str methods") {
