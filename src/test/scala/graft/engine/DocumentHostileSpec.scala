@@ -56,19 +56,32 @@ class DocumentHostileSpec extends AnyFunSuite {
         fail(s"$name leaked ${e.getClass.getName}: ${e.getMessage}")
     }
 
+  /** The binary-COLUMN kernels must never throw at all (NULL is their
+    * reject contract — one hostile row must not kill a job). */
+  private def probeColumnKernels(b: Array[Byte]): Unit = {
+    graft.functions.DocKernels.docText(b, "auto")
+    graft.functions.CharsetKernels.detect(b)
+    graft.functions.CharsetKernels.decode(b, "auto")
+  }
+
   test("pure random bytes reject diagnosably in every document parser") {
     (1 to 40).foreach { _ =>
       val b = Array.fill(1 + rnd.nextInt(2048))(rnd.nextInt(256).toByte)
       parsers.foreach { case (n, p) => probe(n, p, b) }
+      probeColumnKernels(b)
     }
     parsers.foreach { case (n, p) => probe(n, p, Array.empty[Byte]) }
+    probeColumnKernels(Array.empty[Byte])
+    probeColumnKernels(null)
   }
 
   test("truncations of every valid payload reject or partial-parse, never leak") {
     valids.foreach { case (name, full) =>
       val p = parsers.toMap.apply(name)
       (0 until full.length by math.max(1, full.length / 60)).foreach { cut =>
-        probe(name, p, java.util.Arrays.copyOf(full, cut))
+        val t = java.util.Arrays.copyOf(full, cut)
+        probe(name, p, t)
+        probeColumnKernels(t)
       }
     }
   }
