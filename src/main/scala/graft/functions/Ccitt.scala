@@ -459,22 +459,84 @@ object Ccitt {
     wr.bytes()
   }
 
-  /** Compression 3 encoder (1-D mode): EOL before every row. */
-  def encodeG3(bits: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** Compression 3 encoder: EOL before every row. 1-D mode by default;
+    * `twoDim` writes T.4 2-D (T4Options bit 0) with the standard
+    * K-factor discipline — a 1-D line every K rows (here K = 4, a common
+    * fax setting), 2-D lines against the previous row between, each EOL
+    * followed by the 1/0 tag bit. */
+  def encodeG3(bits: Array[Byte], w: Int, h: Int, twoDim: Boolean = false): Array[Byte] = {
     val wr = new Writer
+    val refChanges = new Array[Int](w + 2)
+    refChanges(0) = w; refChanges(1) = w
+    var refN = 0
+    val curChanges = new Array[Int](w + 2)
     var y = 0
     while (y < h) {
       wr.putStr("000000000001")
       val row = java.util.Arrays.copyOfRange(bits, y * w, y * w + w)
-      encode1DRow(wr, row, w)
+      val oneD = !twoDim || y % 4 == 0
+      if (twoDim) wr.put(if (oneD) 1 else 0, 1) // tag bit after the EOL
+      if (oneD) encode1DRow(wr, row, w)
+      else {
+        val curN = changesOf(row, w, curChanges)
+        encode2DRow(wr, row, w, refChanges, refN, curChanges, curN)
+      }
+      refN = changesOf(row, w, refChanges)
       y += 1
     }
-    // RTC: six EOLs
-    (1 to 6).foreach(_ => wr.putStr("000000000001"))
+    // RTC: six EOLs (each tag-bitted 1 in 2-D mode per T.4 §4.2.1.3)
+    (1 to 6).foreach { _ =>
+      wr.putStr("000000000001")
+      if (twoDim) wr.put(1, 1)
+    }
     wr.bytes()
   }
 
-  /** Compression 4 (T.6) encoder. */
+  /** One 2-D-coded row (pass/vertical/horizontal modes) against the
+    * reference line's changing elements — shared by G4 and 2-D G3. */
+  private def encode2DRow(wr: Writer, row: Array[Byte], w: Int,
+                          refChanges: Array[Int], refN: Int,
+                          curChanges: Array[Int], curN: Int): Unit = {
+    var a0 = -1
+    var white = true
+    var ci0 = 0
+    var ri0 = 0
+    while (a0 < w) {
+      while (ci0 < curN && curChanges(ci0) <= a0) ci0 += 1
+      val a1 = if (ci0 < curN) curChanges(ci0) else w
+      val a2 = if (ci0 + 1 < curN) curChanges(ci0 + 1) else w
+      while (ri0 < refN && refChanges(ri0) <= a0) ri0 += 1
+      val wantParity = if (white) 0 else 1
+      val ri = if (ri0 >= refN || (ri0 & 1) == wantParity) ri0 else ri0 + 1
+      val b1 = if (ri < refN) refChanges(ri) else w
+      val b2 = if (ri + 1 < refN) refChanges(ri + 1) else w
+      if (b2 < a1) {
+        wr.putStr("0001") // pass
+        a0 = b2
+      } else if (math.abs(a1 - b1) <= 3) {
+        (a1 - b1) match {
+          case 0 => wr.putStr("1")
+          case 1 => wr.putStr("011")
+          case 2 => wr.putStr("000011")
+          case 3 => wr.putStr("0000011")
+          case -1 => wr.putStr("010")
+          case -2 => wr.putStr("000010")
+          case -3 => wr.putStr("0000010")
+        }
+        a0 = a1
+        white = !white
+      } else {
+        wr.putStr("001") // horizontal
+        val start = if (a0 < 0) 0 else a0
+        putRun(wr, a1 - start, white)
+        putRun(wr, a2 - a1, !white)
+        a0 = a2
+      }
+    }
+  }
+
+  /** Compression 4 (T.6) encoder: every row 2-D, imaginary white first
+    * reference line, EOFB tail. */
   def encodeG4(bits: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val wr = new Writer
     val refChanges = new Array[Int](w + 2)
@@ -485,44 +547,7 @@ object Ccitt {
     while (y < h) {
       val row = java.util.Arrays.copyOfRange(bits, y * w, y * w + w)
       val curN = changesOf(row, w, curChanges)
-      var a0 = -1
-      var white = true
-      var ci0 = 0 // both pointers only advance (a0 monotone): O(row) total
-      var ri0 = 0
-      while (a0 < w) {
-        // a1: first change > a0 (next colour flip on the coding line)
-        while (ci0 < curN && curChanges(ci0) <= a0) ci0 += 1
-        val a1 = if (ci0 < curN) curChanges(ci0) else w
-        val a2 = if (ci0 + 1 < curN) curChanges(ci0 + 1) else w
-        // b1/b2 as in decode
-        while (ri0 < refN && refChanges(ri0) <= a0) ri0 += 1
-        val wantParity = if (white) 0 else 1
-        val ri = if (ri0 >= refN || (ri0 & 1) == wantParity) ri0 else ri0 + 1
-        val b1 = if (ri < refN) refChanges(ri) else w
-        val b2 = if (ri + 1 < refN) refChanges(ri + 1) else w
-        if (b2 < a1) {
-          wr.putStr("0001") // pass
-          a0 = b2
-        } else if (math.abs(a1 - b1) <= 3) {
-          (a1 - b1) match {
-            case 0 => wr.putStr("1")
-            case 1 => wr.putStr("011")
-            case 2 => wr.putStr("000011")
-            case 3 => wr.putStr("0000011")
-            case -1 => wr.putStr("010")
-            case -2 => wr.putStr("000010")
-            case -3 => wr.putStr("0000010")
-          }
-          a0 = a1
-          white = !white
-        } else {
-          wr.putStr("001") // horizontal
-          val start = if (a0 < 0) 0 else a0
-          putRun(wr, a1 - start, white)
-          putRun(wr, a2 - a1, !white)
-          a0 = a2
-        }
-      }
+      encode2DRow(wr, row, w, refChanges, refN, curChanges, curN)
       System.arraycopy(curChanges, 0, refChanges, 0, curN + 2)
       refN = curN
       y += 1

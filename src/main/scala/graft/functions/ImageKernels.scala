@@ -174,7 +174,8 @@ object ImageKernels {
     * (the fax norm), compression 1 (packed rows), 2 (T.4 MH), 3 (Group 3
     * 1-D with EOLs) or 4 (Group 4 MMR) through the native [[Ccitt]]
     * encoders. `bits` = 0/1 bytes row-major (0 = white). */
-  def encodeTiffBilevel(w: Int, h: Int, bits: Array[Byte], comp: Int): Array[Byte] = {
+  def encodeTiffBilevel(w: Int, h: Int, bits: Array[Byte], comp: Int,
+                        t4TwoDim: Boolean = false): Array[Byte] = {
     val payload = comp match {
       case 1 =>
         val rb = (w + 7) / 8
@@ -191,7 +192,7 @@ object ImageKernels {
         }
         out
       case 2 => Ccitt.encodeMH(bits, w, h)
-      case 3 => Ccitt.encodeG3(bits, w, h)
+      case 3 => Ccitt.encodeG3(bits, w, h, twoDim = t4TwoDim)
       case 4 => Ccitt.encodeG4(bits, w, h)
       case other => throw new IllegalArgumentException(s"bilevel fixture comp $other")
     }
@@ -213,7 +214,7 @@ object ImageKernels {
     tag(273, 4, 1, dataOff)
     tag(278, 4, 1, h)
     tag(279, 4, 1, payload.length)
-    if (comp == 3) tag(292, 4, 1, 0) // T4Options: 1-D lines
+    if (comp == 3) tag(292, 4, 1, if (t4TwoDim) 1 else 0) // T4Options
     u32(0)
     out.write(payload)
     out.toByteArray

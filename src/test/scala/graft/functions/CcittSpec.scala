@@ -39,6 +39,38 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
+  test("G3 2-D mode (K=4: 1-D keyline every 4 rows, tag bits) round-trips and cross-validates") {
+    for (w <- Seq(7, 64, 200); h <- Seq(1, 5, 16)) {
+      patterns(w, h).foreach { case (name, bits) =>
+        val enc = Ccitt.encodeG3(bits, w, h, twoDim = true)
+        assert(java.util.Arrays.equals(Ccitt.decodeG3(enc, w, h, twoDim = true), bits),
+          s"G3-2D $name ${w}x$h")
+      }
+    }
+    // through the TIFF layer with T4Options bit 0 set
+    val w = 100; val h = 40
+    val bits = patterns(w, h).toMap.apply("text-ish")
+    val tiff = ImageKernels.encodeTiffBilevel(w, h, bits, 3, t4TwoDim = true)
+    val g = ImageKernels.decodeTiffNative(tiff)
+    assert(g != null && g.w == w && g.h == h)
+    var i = 0
+    while (i < w * h) {
+      assert(g.px(i) == (if (bits(i) == 0) 255 else 0), s"px $i")
+      i += 1
+    }
+    // ImageIO reads our 2-D G3 (skipping patterns its own coder can't do)
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+    catch { case _: Exception => null }
+    if (img != null) {
+      i = 0
+      while (i < w * h) {
+        val got = if (img.getRaster.getSample(i % w, i / w, 0) != 0) 0 else 1
+        assert(got == bits(i), s"ImageIO vs ours 2-D G3 px $i")
+        i += 1
+      }
+    } else assert(!imageioSelfOk(bits, w, h, 3), "ImageIO rejected ours but handles its own T.4")
+  }
+
   test("long runs cross the make-up and extended make-up tables") {
     // 3000 wide: single white row (3000 = 2560 ext + 440), half/half, and
     // alternating long blocks exercise multi-make-up accumulation
