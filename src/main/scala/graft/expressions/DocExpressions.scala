@@ -59,6 +59,60 @@ object DocText {
     "epub", "pdf", "srt", "vtt", "eml")
 }
 
+/** `doc_units(binary[, format])` → array of extraction units (paragraphs
+  * / slides / chapters / pages / cues) for pipelines that explode and
+  * process per unit; NULL when unparseable. Same construction-time
+  * format validation as [[DocText]]. */
+case class DocUnits(child: Expression, fmt: String) extends UnaryExpression {
+  require(DocText.Formats.contains(fmt),
+    s"doc_units: format must be one of ${DocText.Formats.mkString(", ")}; got `$fmt`")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"doc_units requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "doc_units"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val units = graft.functions.DocKernels.docUnits(v.asInstanceOf[Array[Byte]], fmt)
+      if (units == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        units.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val fmtRef = ctx.addReferenceObj("docUnitsFmt", fmt, "java.lang.String")
+    val u = ctx.freshName("units")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $u =
+          graft.expressions.DocUnits.toArrayData(
+            graft.functions.DocKernels.docUnits(${childGen.value}, $fmtRef));
+        if ($u != null) { ${ev.isNull} = false; ${ev.value} = $u; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DocUnits =
+    copy(child = newChild)
+}
+
+object DocUnits {
+  /** codegen helper: String[] → ArrayData (null-propagating). */
+  def toArrayData(units: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (units == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      units.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+}
+
 /** `detect_charset(binary)` → deterministic charset label for raw crawl
   * bytes ("utf-8" | "utf-16le" | "utf-16be" | "windows-1252" | "binary"
   * | "empty") — BOMs, strict UTF-8 validation, zero-parity UTF-16

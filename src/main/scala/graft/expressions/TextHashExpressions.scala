@@ -253,6 +253,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"doc_text takes (binary[, format-literal]), got $other")
       }),
+    ("doc_units",
+      "_FUNC_(binary[, format='auto']) - array of extraction units (paragraphs/slides/chapters/pages/cues)",
+      {
+        case Seq(b) => DocUnits(b, "auto")
+        case Seq(b, Literal(f: UTF8String, StringType)) => DocUnits(b, f.toString)
+        case other => throw new IllegalArgumentException(
+          s"doc_units takes (binary[, format-literal]), got $other")
+      }),
     ("detect_charset",
       "_FUNC_(binary) - deterministic charset label (utf-8/utf-16le/utf-16be/windows-1252/binary/empty)",
       {

@@ -92,6 +92,33 @@ object DocKernels {
     }
   }
 
+  /** Unit-level extraction: one entry per paragraph (rtf/doc/docx) /
+    * slide (pptx) / chapter markup (epub) / page (pdf) / cue (srt/vtt);
+    * eml yields the single body. Null on failure, like [[docText]] —
+    * the array face for pipelines that chunk or filter per unit. */
+  def docUnits(bytes: Array[Byte], fmt: String): Array[String] = {
+    if (bytes == null) return null
+    val f = if (fmt == "auto") sniff(bytes) else fmt
+    if (f == null) return null
+    try f match {
+      case "rtf" => graft.engine.Rtf.extractParagraphs(bytes).toArray
+      case "doc" => graft.engine.Doc.extractParagraphs(bytes).toArray
+      case "docx" => graft.engine.Docx.extractParagraphs(bytes).toArray
+      case "pptx" => graft.engine.Docx.extractSlides(bytes).toArray
+      case "epub" => graft.engine.Epub.extractChapters(bytes).toArray
+      case "pdf" => graft.engine.Pdf.extractText(bytes).toArray
+      case "srt" => graft.engine.Subtitles.parseSrt(bytes).map(_._3).toArray
+      case "vtt" => graft.engine.Subtitles.parseVtt(bytes).map(_._3).toArray
+      case "eml" => Array(graft.engine.Eml.parseEml(bytes).text)
+      case other =>
+        throw new IllegalArgumentException(s"doc_units: unsupported format `$other`")
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.startsWith("doc_units:") => throw e
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** UTF8String face for codegen call sites. */
   def docTextUtf8(bytes: Array[Byte], fmt: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {

@@ -46,6 +46,26 @@ class DocExpressionsSpec extends graft.SparkSpec {
     assert(one(eml, "eml") == "mail body")
   }
 
+  test("doc_units: per-unit array face (pages/slides/cues), explode-ready, NULL on garbage") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft-du", ".pdf")
+    graft.engine.Pdf.write(f, Seq("page one", "page two", "page three"), compress = true)
+    val pdf = java.nio.file.Files.readAllBytes(f)
+    val srt = bytesOf(graft.engine.Subtitles.writeSrt(_, Seq((0L, 900L, "cue a"), (1000L, 1900L, "cue b"))), ".srt")
+    val df = Seq((1L, pdf), (2L, "junk".getBytes)).toDF("id", "content")
+    val rows = df.selectExpr("id", "doc_units(content) AS u").orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) == Seq("page one", "page two", "page three"))
+    assert(rows(1).isNullAt(1))
+    // explode composes: per-unit rows for a chunking pipeline
+    val exploded = df.filter($"id" === 1L)
+      .selectExpr("id", "posexplode(doc_units(content)) AS (page, text)").collect()
+    assert(exploded.map(_.getString(2)).toSeq == Seq("page one", "page two", "page three"))
+    val cues = Seq(Tuple1(srt)).toDF("content")
+      .selectExpr("doc_units(content, 'srt') AS u").collect()(0).getSeq[String](0)
+    assert(cues == Seq("cue a", "cue b"))
+  }
+
   test("garbage, empty, and format-mismatched payloads yield NULL, not failure") {
     GraftFunctions.register(spark)
     import spark.implicits._
