@@ -1083,13 +1083,18 @@ object SparkEntry {
         .filter(col("doc_id") < 2000)
       docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/src")
       val src = s.readStream.schema(docs.schema).parquet(s"$dir/src")
-      val q = graft.streaming.Streams.incrementalDedupIngest(src, "doc_id", "text",
+      // one query run per delta, restarting on the same checkpoint: a
+      // trigger firing mid-append could otherwise split delta 2 across two
+      // micro-batches (the file listing races the multi-part write),
+      // shifting batch stamps and the within-delta dedup scope; the restart
+      // also exercises checkpoint recovery for free
+      def run() = graft.streaming.Streams.incrementalDedupIngest(src, "doc_id", "text",
         s"$dir/index", s"$dir/out", threshold = 0.7, checkpointDir = s"$dir/ckpt")
-      try {
-        q.processAllAvailable()
-        docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(s"$dir/src")
-        q.processAllAvailable()
-      } finally q.stop()
+      val q = run()
+      try q.processAllAvailable() finally q.stop()
+      docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(s"$dir/src")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
       s.read.parquet(s"$dir/out")
         .select(col("doc_id"), col("batch").cast("long").as("batch"))
     }),
@@ -1124,14 +1129,16 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
-      val q = graft.streaming.Streams.incrementalDocDedupIngest(src, "doc_id", "content",
+      // one query run per delta (see q_stream_ingest_text: the delta-2
+      // append must not race the running query's file listing)
+      def run() = graft.streaming.Streams.incrementalDocDedupIngest(src, "doc_id", "content",
         s"$dir/index", s"$dir/out", threshold = 0.7, checkpointDir = s"$dir/ckpt")
-      try {
-        q.processAllAvailable()
-        render(docs.filter(col("doc_id") % 5 === 0).collect(), "docx")
-          .toDF("doc_id", "content").write.mode("append").parquet(s"$dir/src")
-        q.processAllAvailable()
-      } finally q.stop()
+      val q = run()
+      try q.processAllAvailable() finally q.stop()
+      render(docs.filter(col("doc_id") % 5 === 0).collect(), "docx")
+        .toDF("doc_id", "content").write.mode("append").parquet(s"$dir/src")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
       s.read.parquet(s"$dir/out")
         .select(col("doc_id"), col("batch").cast("long").as("batch"))
     }),
@@ -1153,15 +1160,17 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
-      val q = graft.streaming.Streams.incrementalImageDedupIngest(src,
+      // one query run per delta (see q_stream_ingest_text: the delta-2
+      // append must not race the running query's file listing)
+      def run() = graft.streaming.Streams.incrementalImageDedupIngest(src,
         "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 3,
         checkpointDir = s"$dir/ckpt")
-      try {
-        q.processAllAvailable()
-        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
-          .write.mode("append").parquet(s"$dir/src")
-        q.processAllAvailable()
-      } finally q.stop()
+      val q = run()
+      try q.processAllAvailable() finally q.stop()
+      fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
+        .write.mode("append").parquet(s"$dir/src")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
       s.read.parquet(s"$dir/out")
         .select(col("media_id"), col("batch").cast("long").as("batch"))
     }),
@@ -1183,15 +1192,17 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
-      val q = graft.streaming.Streams.incrementalAudioDedupIngest(src,
+      // one query run per delta (see q_stream_ingest_text: the delta-2
+      // append must not race the running query's file listing)
+      def run() = graft.streaming.Streams.incrementalAudioDedupIngest(src,
         "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 0,
         checkpointDir = s"$dir/ckpt")
-      try {
-        q.processAllAvailable()
-        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
-          .write.mode("append").parquet(s"$dir/src")
-        q.processAllAvailable()
-      } finally q.stop()
+      val q = run()
+      try q.processAllAvailable() finally q.stop()
+      fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
+        .write.mode("append").parquet(s"$dir/src")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
       s.read.parquet(s"$dir/out")
         .select(col("media_id"), col("batch").cast("long").as("batch"))
     }),

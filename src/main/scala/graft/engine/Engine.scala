@@ -269,6 +269,11 @@ final class Engine(spark: SparkSession) {
       "end_column", "bin_width"),
     "shuffle_rows" -> Set("id_column", "position_column"),
     "salted_join" -> Set("sources", "keys", "salt_buckets", "join_type"),
+    "sketch_distinct" -> Set("group_by_columns", "column", "precision",
+      "estimate_column", "sketch_column", "merge_sketches"),
+    "heavy_hitters" -> Set("column", "min_count", "depth", "width", "count_column"),
+    "sketch_quantile" -> Set("group_by_columns", "column", "fractions",
+      "sub_bits", "sketch_column", "merge_sketches"),
   )
 
   /** Append `prefix+field` columns from a registry struct function over a
@@ -423,6 +428,41 @@ final class Engine(spark: SparkSession) {
         val c = Config.reqStr(op, "column", ctx)
         df.withColumn(Config.str(op, "new_column").getOrElse("domain"),
           graft.functions.Corpus.urlDomain(org.apache.spark.sql.functions.col(c)))
+      // mergeable sketches: per-group HLL distinct (merge_sketches: true
+      // re-aggregates a PERSISTED sketch column instead of raw keys — the
+      // incremental day-over-day path), sketch-pruned exact heavy hitters,
+      // and log-histogram quantiles. graft.functions.Sketches scaladoc has
+      // the 100 TB rationale per op.
+      case "sketch_distinct" =>
+        val groupCols = listOf(op, "group_by_columns")
+        val c = Config.reqStr(op, "column", ctx)
+        val estC = Config.str(op, "estimate_column").getOrElse("approx_distinct")
+        val skC = Config.str(op, "sketch_column")
+        if (Config.bool(op, "merge_sketches"))
+          graft.functions.Sketches.mergeDistinct(df, groupCols, c, estC, skC)
+        else
+          graft.functions.Sketches.approxDistinct(df, groupCols, c,
+            Config.int(op, "precision").getOrElse(12), estC, skC)
+      case "heavy_hitters" =>
+        graft.functions.Sketches.heavyHitters(df,
+          Config.reqStr(op, "column", ctx),
+          Config.str(op, "min_count").getOrElse(
+            throw new IllegalArgumentException(s"$ctx: heavy_hitters needs `min_count`")).toLong,
+          Config.int(op, "depth").getOrElse(4),
+          Config.int(op, "width").getOrElse(8192),
+          Config.str(op, "count_column").getOrElse("frequency"))
+      case "sketch_quantile" =>
+        val groupCols = listOf(op, "group_by_columns")
+        val c = Config.reqStr(op, "column", ctx)
+        val fracs = Config.asScalarList(op.getOrElse("fractions",
+          throw new IllegalArgumentException(s"$ctx: sketch_quantile needs `fractions`")))
+          .map(_.toString.toDouble)
+        val skC = Config.str(op, "sketch_column")
+        if (Config.bool(op, "merge_sketches"))
+          graft.functions.Sketches.mergeQuantiles(df, groupCols, c, fracs, skC)
+        else
+          graft.functions.Sketches.quantileSketch(df, groupCols, c, fracs,
+            Config.int(op, "sub_bits").getOrElse(5), skC)
       // multimodal: header metadata / perceptual signature / near-dedup
       // over binary image payload columns
       case "image_meta" =>

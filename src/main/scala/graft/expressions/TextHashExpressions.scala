@@ -136,7 +136,10 @@ object GraftFunctions {
   }
 
   /** (name, examples, builder) for each injected function. */
-  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = own ++ SketchFunctions.all
+  // mergeable sketch tier lives in SketchExpressions.scala; concatenated here
+  // so register()/GraftExtensions cover both
+  private lazy val own: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("shingle_hashes",
       "_FUNC_(text[, shingle_size=3]) - 64-bit hashes of the distinct word shingles",
       {

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Frame-level faces of the mergeable sketch tier (aggregates in
+ * [[graft.expressions.SketchExpressions]], kernels + error contracts in
+ * [[SketchKernels]]). These are the YAML-dispatchable shapes:
+ *
+ *  - approxDistinct / mergeDistinct — per-group HyperLogLog cardinality,
+ *    and the re-aggregation path that merges PERSISTED sketches (yesterday's
+ *    parquet column + today's) without touching raw rows.
+ *  - heavyHitters — sketch-guided exact frequent keys: one Count-Min pass
+ *    collapses to a single ~32 KB sketch (bounded driver collect), which
+ *    then PRUNES the second pass to candidate-key rows before the exact
+ *    group-count. At 100 TB with billions of distinct keys this is the
+ *    difference between shuffling every key's partial counts and shuffling
+ *    only the heavy candidates' — CMS never under-counts, so no true heavy
+ *    hitter is pruned and the output is EXACTLY `HAVING count >= minCount`.
+ *  - quantileSketch / mergeQuantiles — per-group log-histogram quantiles
+ *    over non-negative integers (relative value error < 2^-subBits).
+ */
+object Sketches {
+
+  private def registered(df: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df
+  }
+
+  private def grouped(df: DataFrame, groupCols: Seq[String]) =
+    df.groupBy(groupCols.map(col): _*)
+
+  /** Per-group HLL distinct estimate; optionally also keep the binary sketch
+    * (the artifact a pipeline persists for later merging). */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     precision: Int = 12, estimateCol: String = "approx_distinct",
+                     sketchCol: Option[String] = None): DataFrame = {
+    val d = registered(df)
+    val sk = call_function("hll_sketch", col(keyCol), lit(precision))
+    val agg = grouped(d, groupCols).agg(sk.as("__sk__"))
+    val withEst = agg.withColumn(estimateCol, call_function("hll_estimate", col("__sk__")))
+    sketchCol match {
+      case Some(s) => withEst.withColumnRenamed("__sk__", s)
+      case None => withEst.drop("__sk__")
+    }
+  }
+
+  /** Merge persisted HLL sketches up to a coarser grouping and estimate.
+    * Register-wise max is associative/commutative/idempotent, so any
+    * partition of the original rows into sketches gives the same answer. */
+  def mergeDistinct(df: DataFrame, groupCols: Seq[String], sketchCol: String,
+                    estimateCol: String = "approx_distinct",
+                    keepSketchCol: Option[String] = None): DataFrame = {
+    val d = registered(df)
+    val agg = grouped(d, groupCols).agg(call_function("hll_merge", col(sketchCol)).as("__sk__"))
+    val withEst = agg.withColumn(estimateCol, call_function("hll_estimate", col("__sk__")))
+    keepSketchCol match {
+      case Some(s) => withEst.withColumnRenamed("__sk__", s)
+      case None => withEst.drop("__sk__")
+    }
+  }
+
+  /** Exact keys with frequency >= minCount, sketch-pruned.
+    *
+    * Pass 1 builds ONE Count-Min sketch (map-side partials merge to
+    * depth*width longs — a bounded, documented driver collect of ~32 KB at
+    * the defaults). Pass 2 filters rows to keys whose CMS upper bound
+    * reaches minCount (narrow scan, no shuffle), then exact-counts only
+    * those. Because CMS estimates never under-count, the candidate set is a
+    * superset of the true heavy hitters, and the final HAVING makes the
+    * result exactly `SELECT key, count(*) ... HAVING count(*) >= minCount`. */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+                   depth: Int = 4, width: Int = 8192,
+                   countCol: String = "frequency"): DataFrame = {
+    require(minCount >= 1, s"heavy_hitters: min_count must be >= 1, got $minCount")
+    val d = registered(df)
+    val skRow = d.agg(call_function("cms_sketch", col(keyCol), lit(depth), lit(width)).as("sk"))
+      .head() // bounded: one serialized sketch, 3 + depth*width*8 bytes
+    val sketch = skRow.getAs[Array[Byte]]("sk")
+    d.filter(call_function("cms_query", lit(sketch), col(keyCol)) >= lit(minCount))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as(countCol))
+      .filter(col(countCol) >= lit(minCount))
+  }
+
+  private def fracName(f: Double): String =
+    "q" + BigDecimal(f).bigDecimal.stripTrailingZeros.toPlainString.replace("0.", "").replace(".", "_")
+
+  /** Per-group quantiles from a log-histogram sketch over a non-negative
+    * integral column. Emits one `q<frac>` column per fraction (q5 for 0.5,
+    * q99 for 0.99 — the leading "0." is dropped), each the lower bound of
+    * the rank-q bucket. Optionally keeps the sketch for later merging. */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     fractions: Seq[Double], subBits: Int = 5,
+                     sketchCol: Option[String] = None): DataFrame = {
+    require(fractions.nonEmpty, "sketch_quantile: fractions must not be empty")
+    val d = registered(df)
+    val agg = grouped(d, groupCols)
+      .agg(call_function("qhist_sketch", col(valueCol), lit(subBits)).as("__sk__"))
+    finishQuantiles(agg, fractions, sketchCol)
+  }
+
+  /** Merge persisted quantile sketches to a coarser grouping, then report. */
+  def mergeQuantiles(df: DataFrame, groupCols: Seq[String], sketchColIn: String,
+                     fractions: Seq[Double],
+                     sketchCol: Option[String] = None): DataFrame = {
+    require(fractions.nonEmpty, "sketch_quantile merge: fractions must not be empty")
+    val d = registered(df)
+    val agg = grouped(d, groupCols)
+      .agg(call_function("qhist_merge", col(sketchColIn)).as("__sk__"))
+    finishQuantiles(agg, fractions, sketchCol)
+  }
+
+  private def finishQuantiles(agg: DataFrame, fractions: Seq[Double],
+                              sketchCol: Option[String]): DataFrame = {
+    val withQs = fractions.foldLeft(agg) { (acc, f) =>
+      acc.withColumn(fracName(f), call_function("qhist_quantile", col("__sk__"), lit(f)))
+    }
+    sketchCol match {
+      case Some(s) => withQs.withColumnRenamed("__sk__", s)
+      case None => withQs.drop("__sk__")
+    }
+  }
+}

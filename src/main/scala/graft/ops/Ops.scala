@@ -432,7 +432,7 @@ object Ops {
     val needsCol = Set("agg", "aggregate", "max", "maximum", "min", "minimum", "sum",
       "mean", "avg", "std", "stdev", "stddev", "var", "variance",
       "str_min", "str_minimum", "str_max", "str_maximum", "json_array_agg",
-      "median", "percentile", "approx_percentile")
+      "median", "percentile", "approx_percentile", "approx_distinct")
     if (needsCol.contains(aggType)) {
       if (c.isEmpty) err("group_by", s"aggregation function `$aggType`(column) missing required column")
       if (!columns.contains(c)) err("group_by", s"aggregation function `$aggType`($c) refers to a column $c which does not exist")
@@ -474,6 +474,19 @@ object Ops {
           err("group_by", s"$aggType($c,$sep): fraction must be in [0,1]")
         if (aggType == "percentile") percentile(num, lit(p))
         else approx_percentile(num, lit(p), lit(10000))
+      // engine extension: HLL distinct estimate (graft sketch tier). The
+      // separator slot carries the precision p (registers = 2^p; relative
+      // error ~1.04/sqrt(2^p)); requires GraftFunctions registration, which
+      // Engine.applyOperation performs before dispatching. Keys hash as-is
+      // (no numeric coercion — strings and integers are both valid).
+      case "approx_distinct" =>
+        val p = if (sep.trim.isEmpty) 12 else try sep.trim.toInt catch {
+          case _: NumberFormatException =>
+            err("group_by", s"approx_distinct($c,$sep): the separator slot must be an integer precision in [4,16]")
+        }
+        if (p < 4 || p > 16)
+          err("group_by", s"approx_distinct($c,$sep): precision must be in [4,16]")
+        call_function("hll_estimate", call_function("hll_sketch", col(c), lit(p)))
       case other => err("group_by", s"invalid aggregation function `$other` in `group_by` operation")
     }
   }

@@ -1,0 +1,287 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+import scala.util.Random
+
+/** Mergeable sketch tier: kernels (hash vectors pinned cross-engine against
+  * the DuckDB oracle construction), accuracy envelopes, merge algebra, the
+  * aggregate expressions through real group-by plans over parquet (partial
+  * aggregation pinned — one sketch per partition crosses the shuffle), and
+  * hostile bytes through the merge/read path. */
+class SketchesSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ hash kernels
+
+  test("splitmix64 and fnv1a64 match the cross-engine pinned vectors") {
+    // pinned against the same arithmetic in Python and the DuckDB HUGEINT
+    // reproduction used by the q_sketch_* oracles (validated mod-2^64)
+    assert(SketchKernels.splitmix64(0L) === -2152535657050944081L)
+    assert(SketchKernels.splitmix64(1L) === -7995527694508729151L)
+    assert(SketchKernels.splitmix64(1999L) === -5914974689623491401L)
+    assert(SketchKernels.splitmix64(-5L) === 1635312068028924514L)
+    assert(SketchKernels.fnv1a64(Array.emptyByteArray) === -3750763034362895579L)
+    assert(SketchKernels.fnv1a64("abc".getBytes("UTF-8")) === -1792535898324117685L)
+    assert(SketchKernels.hashString(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")) === 3018304574923447344L)
+  }
+
+  // -------------------------------------------------------------------- HLL
+
+  test("hll estimate on the gate fixture keys is the cross-engine pinned 2060") {
+    val regs = SketchKernels.hllCreate(8)
+    (0L until 2000L).foreach(k => SketchKernels.hllUpdate(regs, 8, SketchKernels.hashLong(k)))
+    assert(SketchKernels.hllEstimate(regs, 8) === 2060L) // exact=2000, p=8 -> 3% off
+  }
+
+  test("hll accuracy envelope across cardinalities and precisions") {
+    for (p <- Seq(8, 12); n <- Seq(1000, 20000, 200000)) {
+      val regs = SketchKernels.hllCreate(p)
+      var k = 0L
+      while (k < n) { SketchKernels.hllUpdate(regs, p, SketchKernels.hashLong(k * 7919L + p)); k += 1 }
+      val est = SketchKernels.hllEstimate(regs, p).toDouble
+      val sigma = 1.04 / math.sqrt((1 << p).toDouble)
+      assert(math.abs(est - n) / n < 5 * sigma,
+        s"p=$p n=$n est=$est (${math.abs(est - n) / n} rel err, sigma=$sigma)")
+    }
+  }
+
+  test("hll merge equals single-pass; idempotent; rejects mixed precisions") {
+    val whole = SketchKernels.hllCreate(10)
+    val parts = Array.fill(7)(SketchKernels.hllCreate(10))
+    val rnd = new Random(42)
+    (1 to 50000).foreach { _ =>
+      val k = rnd.nextLong() % 3000
+      val h = SketchKernels.hashLong(k)
+      SketchKernels.hllUpdate(whole, 10, h)
+      SketchKernels.hllUpdate(parts(rnd.nextInt(7)), 10, h)
+    }
+    val acc = SketchKernels.hllCreate(10)
+    parts.foreach(p => SketchKernels.hllMerge(acc, p))
+    assert(acc.toSeq === whole.toSeq)
+    SketchKernels.hllMerge(acc, whole) // idempotent: merging the same data changes nothing
+    assert(acc.toSeq === whole.toSeq)
+    val other = SketchKernels.hllCreate(8)
+    val e = intercept[IllegalArgumentException](SketchKernels.hllMerge(acc, other))
+    assert(e.getMessage.contains("mixed precisions"))
+  }
+
+  test("hll serialization roundtrip; garbage rejects diagnosably") {
+    val regs = SketchKernels.hllCreate(6)
+    (0L until 500L).foreach(k => SketchKernels.hllUpdate(regs, 6, SketchKernels.hashLong(k)))
+    val bytes = SketchKernels.hllSerialize(regs, 6)
+    val (p2, r2) = SketchKernels.hllDeserialize(bytes)
+    assert(p2 === 6 && r2.toSeq === regs.toSeq)
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.hllDeserialize(bytes.take(10))).getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.hllDeserialize(Array[Byte]('X', 6))).getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.hllDeserialize(Array[Byte]('H', 99))).getMessage.contains("precision"))
+  }
+
+  // -------------------------------------------------------------- Count-Min
+
+  test("cms never under-counts and is near-exact for heavy keys") {
+    val (depth, width) = (4, 1024)
+    val counters = SketchKernels.cmsCreate(depth, width)
+    val rnd = new Random(7)
+    val truth = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    (1 to 100000).foreach { _ =>
+      // zipf-ish: heavy head + long tail
+      val k = if (rnd.nextInt(3) == 0) rnd.nextInt(10).toLong else rnd.nextInt(5000).toLong + 100
+      truth(k) += 1
+      SketchKernels.cmsUpdate(counters, depth, width, SketchKernels.hashLong(k), 1L)
+    }
+    truth.foreach { case (k, c) =>
+      val est = SketchKernels.cmsQuery(counters, depth, width, SketchKernels.hashLong(k))
+      assert(est >= c, s"cms under-counted key $k: $est < $c")
+      assert(est <= c + 2L * 100000L / width * 4, s"cms error blown for $k: $est vs $c")
+    }
+    // a never-inserted key estimates at most the theoretical collision noise
+    val ghost = SketchKernels.cmsQuery(counters, depth, width, SketchKernels.hashLong(999999L))
+    assert(ghost <= 2L * 100000L / width * 4)
+  }
+
+  test("cms merge is counter-wise sum; roundtrip; hostile bytes reject") {
+    val a = SketchKernels.cmsCreate(2, 64)
+    val b = SketchKernels.cmsCreate(2, 64)
+    (0L until 100L).foreach { k =>
+      SketchKernels.cmsUpdate(a, 2, 64, SketchKernels.hashLong(k), 1L)
+      SketchKernels.cmsUpdate(b, 2, 64, SketchKernels.hashLong(k % 10), 3L)
+    }
+    val merged = a.clone()
+    SketchKernels.cmsMerge(merged, b)
+    assert(merged.toSeq === a.toSeq.zip(b.toSeq).map { case (x, y) => x + y })
+    val bytes = SketchKernels.cmsSerialize(merged, 2, 64)
+    val (d2, w2, c2) = SketchKernels.cmsDeserialize(bytes)
+    assert(d2 === 2 && w2 === 64 && c2.toSeq === merged.toSeq)
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.cmsDeserialize(bytes.take(20))).getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.cmsDeserialize(Array[Byte]('Z', 2, 6))).getMessage.contains("magic"))
+  }
+
+  // ----------------------------------------------------- log-hist quantiles
+
+  test("log-hist bucketing is monotone, contiguous, and bounds relative error") {
+    for (s <- Seq(2, 5, 8)) {
+      val probe = (0L to 5000L) ++ Seq(1L << 20, (1L << 20) + 12345, 1L << 40, Long.MaxValue - 1, Long.MaxValue)
+      var lastB = -1
+      probe.sorted.foreach { v =>
+        val b = SketchKernels.logHistBucket(v, s)
+        assert(b >= lastB, s"bucket not monotone at v=$v s=$s")
+        lastB = b
+        val lo = SketchKernels.logHistLower(b, s)
+        assert(lo <= v, s"lower bound above value at v=$v")
+        // relative error of reporting lo instead of v is < 2^-s
+        assert((v - lo).toDouble <= math.max(1.0, v.toDouble) * math.pow(2.0, -s),
+          s"relative error blown at v=$v s=$s lo=$lo")
+      }
+      // contiguity: lower(b+1) follows the width of b exactly for a sweep
+      (0 until SketchKernels.logHistNumBuckets(s) - 1).foreach { b =>
+        assert(SketchKernels.logHistBucket(SketchKernels.logHistLower(b + 1, s) - 1, s) === b)
+        assert(SketchKernels.logHistBucket(SketchKernels.logHistLower(b + 1, s), s) === b + 1)
+      }
+    }
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.logHistBucket(-1L, 5)).getMessage.contains("non-negative"))
+  }
+
+  test("log-hist quantiles track exact quantiles within the bucket error") {
+    val s = 5
+    val counts = new Array[Long](SketchKernels.logHistNumBuckets(s))
+    val rnd = new Random(11)
+    val values = Array.fill(20000)(math.abs(rnd.nextLong()) % 10000000L)
+    values.foreach(v => SketchKernels.logHistUpdate(counts, s, v))
+    val sorted = values.sorted
+    for (q <- Seq(0.01, 0.5, 0.95, 0.99)) {
+      val est = SketchKernels.logHistQuantile(counts, s, q).toDouble
+      val exact = sorted(math.max(0, math.ceil(q * values.length).toInt - 1)).toDouble
+      assert(est <= exact, s"q=$q est=$est above exact=$exact") // lower bound by construction
+      assert(est >= exact * (1 - math.pow(2.0, -s)) - 1, s"q=$q est=$est too far below exact=$exact")
+    }
+    // edges: q=0 -> smallest bucket's lower bound; q=1 -> largest occupied
+    assert(SketchKernels.logHistQuantile(counts, s, 0.0) ===
+      SketchKernels.logHistLower(counts.indexWhere(_ > 0), s))
+    assert(SketchKernels.logHistQuantile(counts, s, 1.0) ===
+      SketchKernels.logHistLower(counts.lastIndexWhere(_ > 0), s))
+    // empty sketch sentinel
+    assert(SketchKernels.logHistQuantile(new Array[Long](counts.length), s, 0.5) === -1L)
+  }
+
+  test("log-hist merge equals single-pass; serialization roundtrips; garbage rejects") {
+    val s = 4
+    val whole = new Array[Long](SketchKernels.logHistNumBuckets(s))
+    val a = whole.clone(); val b = whole.clone()
+    val rnd = new Random(3)
+    (1 to 10000).foreach { i =>
+      val v = math.abs(rnd.nextLong()) % 100000L
+      SketchKernels.logHistUpdate(whole, s, v)
+      SketchKernels.logHistUpdate(if (i % 2 == 0) a else b, s, v)
+    }
+    SketchKernels.logHistMerge(a, b)
+    assert(a.toSeq === whole.toSeq)
+    val bytes = SketchKernels.logHistSerialize(a, s)
+    val (s2, c2) = SketchKernels.logHistDeserialize(bytes)
+    assert(s2 === s && c2.toSeq === a.toSeq)
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.logHistDeserialize(bytes.take(9))).getMessage.contains("truncated"))
+  }
+
+  // ------------------------------------------------- aggregates through SQL
+
+  private def parquetNums(n: Int, groups: Int): org.apache.spark.sql.DataFrame = {
+    // real parquet scan, not a LocalRelation — plan assertions over toDF
+    // frames are vacuous (ConvertToLocalRelation pre-evaluates them)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-agg").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    // 1499 is prime and coprime to every group count used here, so each
+    // group sees the FULL key domain (i%3 with i%1500 would give each group
+    // a disjoint third of the keys)
+    (0 until n).map(i => (i % groups, (i % 1499).toLong, s"dom${i % 97}.example"))
+      .toDF("g", "k", "dom")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  test("hll_sketch/hll_estimate aggregate matches the kernel; partial aggregation in plan") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = parquetNums(30000, 3).repartition(8)
+    val out = df.groupBy("g")
+      .agg(call_function("hll_sketch", col("k"), lit(8)).as("sk"))
+      .select(col("g"), call_function("hll_estimate", col("sk")).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val regs = SketchKernels.hllCreate(8)
+    (0L until 1499L).foreach(k => SketchKernels.hllUpdate(regs, 8, SketchKernels.hashLong(k)))
+    val want = SketchKernels.hllEstimate(regs, 8)
+    assert(out === Map(0 -> want, 1 -> want, 2 -> want))
+
+    // partial aggregation: two ObjectHashAggregate stages around the exchange
+    // — each input partition ships ONE sketch, not its rows
+    val plan = df.groupBy("g").agg(call_function("hll_sketch", col("k"), lit(8)).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("two-level hll_merge equals direct sketch (the day-merge contract); string keys work") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = parquetNums(30000, 6)
+    // fine: 6 groups; coarse: 2 groups of 3 — merged fine sketches must
+    // equal the sketch built directly at the coarse level
+    val fine = df.withColumn("coarse", col("g") % 2)
+      .groupBy("coarse", "g")
+      .agg(call_function("hll_sketch", col("dom"), lit(10)).as("sk"))
+    val mergedUp = fine.groupBy("coarse")
+      .agg(call_function("hll_merge", col("sk")).as("sk"))
+      .select(col("coarse"), call_function("hll_estimate", col("sk")).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = df.withColumn("coarse", col("g") % 2)
+      .groupBy("coarse")
+      .agg(call_function("hll_sketch", col("dom"), lit(10)).as("sk"))
+      .select(col("coarse"), call_function("hll_estimate", col("sk")).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mergedUp === direct)
+    assert(direct.values.forall(v => v > 80 && v < 115), s"97 distinct domains, got $direct")
+  }
+
+  test("cms_sketch/cms_merge/cms_query and qhist aggregates through SQL") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = parquetNums(20000, 4)
+    df.createOrReplaceTempView("sketch_src")
+    // CMS: per-group sketch, merged across groups, probed for key 7
+    val est = spark.sql(
+      """SELECT cms_query(cms_merge(sk), 7L) AS c FROM (
+        |  SELECT g, cms_sketch(k, 4, 1024) AS sk FROM sketch_src GROUP BY g)""".stripMargin)
+      .collect().head.getLong(0)
+    val truth = df.filter(col("k") === 7).count()
+    assert(est >= truth && est <= truth + 100, s"cms est $est vs truth $truth")
+
+    // qhist: median of k across everything, fine->coarse merge
+    val med = spark.sql(
+      """SELECT qhist_quantile(qhist_merge(sk), 0.5D) AS m FROM (
+        |  SELECT g, qhist_sketch(k, 5) AS sk FROM sketch_src GROUP BY g)""".stripMargin)
+      .collect().head.getLong(0)
+    // uniform 0..1499 -> median ~750, bucket lower bound within 2^-5
+    assert(med >= 700 && med <= 750, s"median bucket $med")
+    // empty input -> null quantile (not a crash)
+    assert(spark.sql(
+      "SELECT qhist_quantile(qhist_sketch(k, 5), 0.5D) FROM sketch_src WHERE k < 0")
+      .collect().head.isNullAt(0))
+  }
+
+  test("hostile sketch bytes through the merge aggregate reject diagnosably") {
+    graft.expressions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val bad = Seq(Array[Byte]('H', 9, 1, 2, 3)).toDF("sk")
+    val e = intercept[Exception](bad.agg(call_function("hll_merge", col("sk"))).collect())
+    assert(e.getMessage != null)
+    val okNulls = Seq.empty[Array[Byte]].toDF("sk")
+      .agg(call_function("hll_merge", col("sk"))).collect()
+    assert(okNulls.head.isNullAt(0)) // empty/all-null group -> null sketch
+  }
+}
