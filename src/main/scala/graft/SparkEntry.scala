@@ -1712,6 +1712,58 @@ object SparkEntry {
       graft.functions.Corpus.contamination(corpus, bench, "doc_id", "text", shingleSize = 5)
     }),
 
+    // ====================================================== sketch tier
+    // mergeable sketches (functions/Sketches.scala): every estimate below
+    // is deterministic integer arithmetic on splitmix64, so the oracles
+    // rebuild the EXACT estimates in DuckDB SQL (SketchSql.sm64 is the
+    // bit-validated HUGEINT reproduction of the kernel hash)
+
+    // per-group HLL distinct estimate (p=8 -> 256 registers, ~6.5% rel err;
+    // 2000 true distinct per group sits in the raw-estimator regime)
+    "q_sketch_hll" -> ((s, d) =>
+      graft.functions.Sketches.approxDistinct(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_partkey", precision = 8)),
+
+    // the day-merge contract: sketches built per (flag, status), PERSISTED
+    // as a binary column, then hll_merge'd up to flag — register-wise max
+    // is associative, so the estimates must equal q_sketch_hll's exactly
+    "q_sketch_hll_merge" -> ((s, d) => {
+      val fine = graft.functions.Sketches.approxDistinct(
+        t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_partkey",
+        precision = 8, sketchCol = Some("sk"))
+      graft.functions.Sketches.mergeDistinct(fine, Seq("l_returnflag"), "sk")
+    }),
+
+    // Count-Min point estimates: one sketch over all of lineitem (the
+    // bounded ~32 KB driver artifact), probed for partkeys 0..24 — the
+    // oracle rebuilds every row-bucket collision sum and takes the same min
+    "q_sketch_cms" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val li = t(s, d, "lineitem")
+      val sk = li.agg(call_function("cms_sketch", col("l_partkey"), lit(4), lit(1024)))
+        .head.getAs[Array[Byte]](0)
+      li.select("l_partkey").where(col("l_partkey") < 25).distinct()
+        .select(col("l_partkey").as("key"),
+          call_function("cms_query", lit(sk), col("l_partkey")).as("est_count"))
+    }),
+
+    // sketch-pruned exact heavy hitters: CMS (width 64 -> real collisions
+    // among the 150 user_ids) prunes to candidates, exact count + HAVING
+    // makes the output exactly `count(*) >= 70` — if the sketch ever
+    // under-counted, rows would go missing here
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.functions.Sketches.heavyHitters(
+        t(s, d, "events").select("user_id"), "user_id", minCount = 70,
+        depth = 4, width = 64)),
+
+    // per-group log-histogram quantiles over integer cents (sub_bits=5 ->
+    // rel err < 1/32); the oracle reproduces the exact bit-bucketing
+    "q_sketch_quantile" -> ((s, d) =>
+      graft.functions.Sketches.quantileSketch(
+        t(s, d, "lineitem")
+          .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long")),
+        Seq("l_returnflag"), "price_cents", fractions = Seq(0.5, 0.95, 0.99))),
+
     // ========================================================== destination
     "q_render_template" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -1773,7 +1825,126 @@ object SparkEntry {
          UNION ALL
          SELECT id AS doc_id, 1::BIGINT AS batch FROM kept2"""
 
+  /** DuckDB reproduction of the sketch-tier arithmetic. splitmix64 runs in
+    * HUGEINT mod 2^64 with 32-bit-split multiplies (HUGEINT can't hold a
+    * full 64x64 product); xor/shift hop through UBIGINT. Bit-validated
+    * against SketchKernels over [-5, 3000) and on every gate fixture. Big
+    * literals carry ::HUGEINT casts (DuckDB parses them as DECIMAL
+    * otherwise) and float literals ::DOUBLE (same trap: DECIMAL(18,16)
+    * arithmetic overflows and rounds differently). */
+  private object SketchSql {
+    private val M64 = "18446744073709551616::HUGEINT"
+    private def mulmod(a: String, c: BigInt): String = {
+      val lo = c & 0xFFFFFFFFL
+      val hi = c >> 32
+      s"((($a) * $lo::HUGEINT + ((($a) * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64)"
+    }
+    private def xorshr(a: String, sh: Int): String =
+      s"CAST(xor(CAST(($a) AS UBIGINT), CAST((($a) // ${1L << sh}) AS UBIGINT)) AS HUGEINT)"
+    def xor(a: String, b: String): String =
+      s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+    def sm64(x: String): String = {
+      val z0 = s"((($x)::HUGEINT % $M64 + $M64 + 11400714819323198485::HUGEINT) % $M64)"
+      val z1 = mulmod(xorshr(z0, 30), BigInt("BF58476D1CE4E5B9", 16))
+      val z2 = mulmod(xorshr(z1, 27), BigInt("94D049BB133111EB", 16))
+      xorshr(z2, 31)
+    }
+    /** splitmix64(r+1) as unsigned literals — SketchKernels.cmsSeed. */
+    val cmsSeeds: Seq[BigInt] = (0 until 4).map { r =>
+      val s = graft.functions.SketchKernels.cmsSeed(r)
+      (BigInt(s) + (BigInt(1) << 64)) % (BigInt(1) << 64)
+    }
+
+    /** Shared HLL oracle (p=8) over l_partkey grouped by l_returnflag —
+      * used verbatim by q_sketch_hll and q_sketch_hll_merge (register max
+      * is associative, so merged fine sketches equal the direct build).
+      * Mirrors hllEstimate exactly: exact-integer harmonic sum, the same
+      * double formula, and the linear-counting CASE (not taken on this
+      * fixture: raw 2060 > 2.5*256). */
+    val hllSql: String = {
+      val alpha = "(0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 256::DOUBLE))"
+      s"""WITH h AS (
+           SELECT l_returnflag AS g, ${sm64("l_partkey")} AS hv FROM lineitem),
+         r AS (
+           SELECT g, hv // 72057594037927936 AS idx,
+                  CASE WHEN hv % 72057594037927936 = 0 THEN 57
+                       ELSE 57 - length(bin(CAST(hv % 72057594037927936 AS UBIGINT))) END AS rank
+           FROM h),
+         regs AS (SELECT g, idx, max(rank) AS mr FROM r GROUP BY g, idx),
+         full_regs AS (
+           SELECT gg.g, s.i AS idx, coalesce(regs.mr, 0) AS mr
+           FROM (SELECT DISTINCT g FROM r) gg
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) s
+           LEFT JOIN regs ON regs.g = gg.g AND regs.idx = s.i),
+         nsum AS (
+           SELECT g, sum(CAST(power(2, 57 - mr) AS HUGEINT)) AS n,
+                  sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS zeros
+           FROM full_regs GROUP BY g),
+         est AS (
+           SELECT g, zeros,
+                  $alpha * 256 * 256 * power(2, 57) / CAST(n AS DOUBLE) AS raw
+           FROM nsum)
+         SELECT g AS l_returnflag,
+                CAST(round(CASE WHEN raw <= 2.5::DOUBLE * 256 AND zeros > 0
+                                THEN 256 * ln(256::DOUBLE / zeros)
+                                ELSE raw END) AS BIGINT) AS approx_distinct
+         FROM est ORDER BY g"""
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_sketch_hll" -> SketchSql.hllSql,
+    "q_sketch_hll_merge" -> SketchSql.hllSql,
+
+    // every (row, bucket) collision sum, then the same min over 4 rows
+    "q_sketch_cms" -> {
+      val seedVals = SketchSql.cmsSeeds.zipWithIndex
+        .map { case (s, r) => s"($r, $s::HUGEINT)" }.mkString(", ")
+      s"""WITH cnts AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+         g AS (SELECT k, cnt, ${SketchSql.sm64("k")} AS gh FROM cnts),
+         seeds AS (SELECT * FROM (VALUES $seedVals) s(r, seed)),
+         buckets AS (
+           SELECT g.k, g.cnt, s.r,
+                  CAST(${SketchSql.sm64(SketchSql.xor("g.gh", "s.seed"))} % 1024 AS BIGINT) AS b
+           FROM g CROSS JOIN seeds s),
+         rowsum AS (SELECT r, b, sum(cnt) AS tot FROM buckets GROUP BY r, b),
+         probes AS (SELECT k, r, b FROM buckets WHERE k < 25)
+         SELECT p.k AS key, CAST(min(rs.tot) AS BIGINT) AS est_count
+         FROM probes p JOIN rowsum rs ON rs.r = p.r AND rs.b = p.b
+         GROUP BY p.k ORDER BY p.k"""
+    },
+
+    // the sketch prunes, the exact pass decides: output is exactly HAVING
+    "q_heavy_hitters" ->
+      """SELECT user_id, count(*) AS frequency FROM events
+         GROUP BY user_id HAVING count(*) >= 70""",
+
+    // exact bit-bucketing (sub_bits=5): e = bitlen-6, bucket = (v>>e)+e*32,
+    // report the lower bound of the first bucket with cum >= ceil(q*n)
+    "q_sketch_quantile" ->
+      """WITH vals AS (
+           SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS v
+           FROM lineitem),
+         bk AS (
+           SELECT g, CASE WHEN v < 64 THEN v
+                          ELSE (v >> (length(bin(v)) - 6)) + (length(bin(v)) - 6)::BIGINT * 32 END AS b
+           FROM vals),
+         hist AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY g, b),
+         cum AS (
+           SELECT g, b, sum(cnt) OVER (PARTITION BY g ORDER BY b) AS cum,
+                  sum(cnt) OVER (PARTITION BY g) AS n
+           FROM hist),
+         pick AS (
+           SELECT q.q, c.g, min(c.b) AS qb
+           FROM cum c CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) q
+           WHERE c.cum >= greatest(1, ceil(q.q * c.n))
+           GROUP BY q.q, c.g)
+         SELECT g AS l_returnflag,
+           max(CASE WHEN q=0.5  THEN CASE WHEN qb < 64 THEN qb ELSE (qb - (qb//32 - 1)*32) << (qb//32 - 1) END END) AS q5,
+           max(CASE WHEN q=0.95 THEN CASE WHEN qb < 64 THEN qb ELSE (qb - (qb//32 - 1)*32) << (qb//32 - 1) END END) AS q95,
+           max(CASE WHEN q=0.99 THEN CASE WHEN qb < 64 THEN qb ELSE (qb - (qb//32 - 1)*32) << (qb//32 - 1) END END) AS q99
+         FROM pick GROUP BY g ORDER BY g""",
+
     "q_source_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5",
 

@@ -298,6 +298,33 @@ case class CmsQuery(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** cms_query against a BROADCAST sketch — the scan-side face. A wide sketch
+  * (the heavy-hitter prune uses 2^20 buckets = 32 MB) embedded as a Literal
+  * ships inside EVERY task binary (observed: a 96 MB task broadcast per
+  * stage); holding a `Broadcast` handle instead ships bytes once per
+  * executor and deserializes once per expression instance. Not
+  * SQL-registrable (a broadcast is not literal-expressible) — the Column
+  * face is `Sketches.heavyHitters`; the literal `cms_query` stays the
+  * SQL-facing function for small sketches. */
+case class CmsQueryBroadcast(child: Expression,
+                             sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  @transient private lazy val parsed = SketchKernels.cmsDeserialize(sketch.value)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SketchSupport.keyTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_query: key must be integral or string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_query_bc"
+  override protected def nullSafeEval(key: Any): Any = {
+    val (d, w, counters) = parsed
+    SketchKernels.cmsQuery(counters, d, w, SketchSupport.hashKey(key, child.dataType))
+  }
+  override protected def withNewChildInternal(newChild: Expression): CmsQueryBroadcast =
+    copy(child = newChild)
+}
+
 // ------------------------------------------------- log-histogram quantiles
 
 /** qhist_sketch(value[, sub_bits=5]) -> binary log-scaled histogram over

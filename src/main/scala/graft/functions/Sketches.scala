@@ -78,7 +78,17 @@ object Sketches {
     val skRow = d.agg(call_function("cms_sketch", col(keyCol), lit(depth), lit(width)).as("sk"))
       .head() // bounded: one serialized sketch, 3 + depth*width*8 bytes
     val sketch = skRow.getAs[Array[Byte]]("sk")
-    d.filter(call_function("cms_query", lit(sketch), col(keyCol)) >= lit(minCount))
+    // ship the sketch as a torrent broadcast, NOT a Literal: a prune-grade
+    // sketch (2^20 buckets = 32 MB) embedded in the plan rides in every
+    // task binary; the broadcast handle costs bytes once per executor
+    val bc = d.sparkSession.sparkContext.broadcast(sketch)
+    val fname = s"graft_cms_query_bc_${bc.id}"
+    d.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+      case Seq(k) => graft.expressions.CmsQueryBroadcast(k, bc)
+      case other => throw new IllegalArgumentException(
+        s"$fname takes 1 argument, got ${other.size}")
+    }, "built-in")
+    d.filter(call_function(fname, col(keyCol)) >= lit(minCount))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as(countCol))
       .filter(col(countCol) >= lit(minCount))
