@@ -257,7 +257,7 @@ final class Engine(spark: SparkSession) {
       "shingle_size", "max_doc_freq", "corpus_is_index"),
     "semantic_dedup" -> Set("id_column", "column", "threshold", "nlist", "iters"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
-      "num_planes", "num_tables", "rerank"),
+      "num_planes", "num_tables", "rerank", "subspaces", "centroids", "iters"),
     "ann_join" -> Set("sources", "id_column", "column", "k",
       "num_planes", "num_tables"),
     "token_budget" -> Set("id_column", "column", "tokens_column", "budget"),
@@ -994,8 +994,13 @@ final class Engine(spark: SparkSession) {
             numPlanes = Config.int(op, "num_planes").getOrElse(8))
           case "quantized" => graft.functions.Similarity.quantizedTopK(df, idC, vecC, q, k,
             rerank = Config.int(op, "rerank").getOrElse(math.max(50, 5 * k)))
+          case "pq" => graft.functions.Pq.pqTopK(df, idC, vecC, q, k,
+            m = Config.int(op, "subspaces").getOrElse(8),
+            ksub = Config.int(op, "centroids").getOrElse(16),
+            rerank = Config.int(op, "rerank").getOrElse(math.max(100, 10 * k)),
+            iters = Config.int(op, "iters").getOrElse(0))
           case other => throw new IllegalArgumentException(
-            s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable, quantized], not `$other`")
+            s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable, quantized, pq], not `$other`")
         }
       // batch ANN retrieval join: the node's frame is the QUERY side, the
       // single `sources:` frame is the corpus; reshapes to
