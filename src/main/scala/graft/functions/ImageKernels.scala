@@ -295,6 +295,39 @@ object ImageKernels {
     out.toByteArray
   }
 
+  /** Old-style JPEG-in-TIFF fixture writer (compression 6, TIFF 6.0 §22):
+    * one complete interchange JPEG stream framed by tags 513/514 — the
+    * only old-JPEG shape the native path accepts (and the only one that
+    * survived in the wild; fragmented variants are ImageIO's problem). */
+  def encodeTiffOldJpeg(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val jpeg = Jpeg.encodeYcc420(w, h, px)
+    val nTags = 8
+    val ifdOff = 8
+    var dataOff = ifdOff + 2 + nTags * 12 + 4
+    val bitsOff = dataOff; dataOff += 6
+    val jifOff = dataOff
+    val out = new java.io.ByteArrayOutputStream(dataOff + jpeg.length)
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Int): Unit = { u16(v & 0xFFFF); u16((v >> 16) & 0xFFFF) }
+    out.write('I'); out.write('I'); u16(42); u32(ifdOff)
+    u16(nTags)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      u16(id); u16(typ); u32(count); u32(value)
+    }
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 3, bitsOff)
+    tag(259, 3, 1, 6)              // old-style JPEG
+    tag(262, 3, 1, 6)              // YCbCr
+    tag(277, 3, 1, 3)
+    tag(513, 4, 1, jifOff)         // JPEGInterchangeFormat
+    tag(514, 4, 1, jpeg.length)    // JPEGInterchangeFormatLength
+    u32(0)
+    u16(8); u16(8); u16(8)
+    out.write(jpeg)
+    out.toByteArray
+  }
+
   /** Minimal little-endian TIFF metadata fixture (IFD0 width/height). */
   def encodeTiffHeader(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -787,11 +820,13 @@ object ImageKernels {
     * 6.0 §15 — edge tiles padded to full tile size) layouts. Bilevel
     * (1-bit) images decode natively for compressions 1/32773 (packed
     * rows) and the CCITT fax family 2/3/4 via [[Ccitt]]; JPEG-in-TIFF
-    * (compression 7, incl. abbreviated streams + JPEGTables) decodes
-    * through the native [[Jpeg]] codec — together the scanned-document
-    * archive cases. 16-bit gray/RGB decodes natively via the high byte.
-    * Only the deprecated old-style JPEG (6) still falls back to
-    * ImageIO. */
+    * (compression 7, incl. abbreviated streams + JPEGTables; AND the
+    * deprecated old-style 6 when tags 513/514 frame an interchange
+    * stream) decodes through the native [[Jpeg]] codec — together the
+    * scanned-document archive cases. 16-bit gray/RGB decodes natively via
+    * the high byte. The only remaining ImageIO fallbacks are pre-TN2
+    * fragmented old-JPEG (no interchange stream) and JPEG variants the
+    * T.81 decoder rejects by design (arithmetic/lossless/12-bit). */
   private def decodeTiff(b: Array[Byte]): Gray = {
     if (b == null || b.length < 8) return null
     val little = b(0) == 'I'
@@ -815,6 +850,7 @@ object ImageKernels {
     var tileOffsets: Array[Int] = null
     var tileCounts: Array[Int] = null
     var jpegTablesOff = -1; var jpegTablesLen = 0
+    var jifOff = -1; var jifLen = 0 // old-style JPEG (tags 513/514)
     var i = 0
     while (i < n) {
       val e = ifd + 2 + i * 12
@@ -853,6 +889,8 @@ object ImageKernels {
         case 347 => // JPEGTables: shared abbreviated-stream tables
           jpegTablesOff = if (count <= 4) e + 8 else u32(e + 8)
           jpegTablesLen = count
+        case 513 => jifOff = u32(e + 8) // JPEGInterchangeFormat (old-style)
+        case 514 => jifLen = u32(e + 8) // JPEGInterchangeFormatLength
         case 322 => tileW = scalar
         case 323 => tileH = scalar
         case 324 => tileOffsets = intArray
@@ -863,8 +901,10 @@ object ImageKernels {
     }
     val tiled = tileOffsets != null && tileCounts != null && tileW > 0 && tileH > 0
     if (w <= 0 || h <= 0 || !bitsOk) return null
-    if (!tiled && (stripOffsets == null || stripCounts == null)) return null
-    if (!tiled && stripOffsets.length != stripCounts.length) return null
+    // old-style JPEG files may carry ONLY the interchange pointer, no strips
+    val oldJpeg = comp == 6 && jifOff > 0 && jifLen >= 4
+    if (!tiled && !oldJpeg && (stripOffsets == null || stripCounts == null)) return null
+    if (!tiled && !oldJpeg && stripOffsets.length != stripCounts.length) return null
     if (tiled && tileOffsets.length != tileCounts.length) return null
     if (predictor != 1 && predictor != 2) return null
     if (w.toLong * h > (1L << 26)) return null
@@ -971,6 +1011,29 @@ object ImageKernels {
         if (row0 < h) return null
       }
       return Gray(w, h, px1)
+    }
+
+    // Old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22, superseded by
+    // Tech Note 2): tags 513/514 frame ONE complete interchange JPEG
+    // stream for the whole image — slice and decode through the native
+    // T.81 decoder, cropping MCU padding. The fragmented pre-TN2 variants
+    // (JPEGQTables/DCTables 519-521 with per-strip SOS-less payloads, the
+    // shape TN2 was written to kill) have no interchange stream and fall
+    // back to ImageIO like other exotica.
+    if (comp == 6) {
+      if (photo != 0 && photo != 1 && photo != 2 && photo != 6) return null
+      if (!oldJpeg || jifOff.toLong + jifLen > b.length) return null
+      val g = try Jpeg.decode(java.util.Arrays.copyOfRange(b, jifOff, jifOff + jifLen))
+        catch { case _: Exception => null }
+      if (g == null || g.w < w || g.h < h) return null
+      if (g.w == w && g.h == h) return g
+      val px6 = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(g.px, y * g.w, px6, y * w, w)
+        y += 1
+      }
+      return Gray(w, h, px6)
     }
 
     // JPEG-in-TIFF (compression 7, TIFF Tech Note 2): each strip/tile is

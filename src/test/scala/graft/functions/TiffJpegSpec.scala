@@ -98,4 +98,46 @@ class TiffJpegSpec extends AnyFunSuite {
       ImageKernels.decodeTiffNative(m)
     }
   }
+
+  // ---- old-style JPEG (compression 6) — the ONE remaining JPEG-in-TIFF
+  // shape that used to fall back to ImageIO
+
+  test("old-style JPEG (compression 6, interchange stream) decodes natively") {
+    val tiff = ImageKernels.encodeTiffOldJpeg(w, h, px)
+    val g = ImageKernels.decodeTiffNative(tiff)
+    assert(g != null && g.w == w && g.h == h)
+    val ref = Jpeg.decode(Jpeg.encodeYcc420(w, h, px))
+    assert(java.util.Arrays.equals(g.px, ref.px),
+      "interchange decode must be bit-identical to the bare JPEG decode")
+  }
+
+  test("old-style JPEG with MCU-padded dims crops to the IFD geometry") {
+    val (cw, ch) = (60, 45) // not MCU multiples: decoded plane is 64x48
+    val cpx = graft.tools.GenImages.pattern(9, cw, ch)
+    val tiff = ImageKernels.encodeTiffOldJpeg(cw, ch, cpx)
+    val g = ImageKernels.decodeTiffNative(tiff)
+    assert(g != null && g.w == cw && g.h == ch)
+    val ref = Jpeg.decode(Jpeg.encodeYcc420(cw, ch, cpx))
+    (0 until ch).foreach { y =>
+      (0 until cw).foreach { x =>
+        assert(g.px(y * cw + x) == ref.px(y * ref.w + x), s"pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("old-style JPEG hostile shapes reject as null, never throw") {
+    val good = ImageKernels.encodeTiffOldJpeg(w, h, px)
+    // truncations at every 97th byte
+    (8 until good.length by 97).foreach { cut =>
+      ImageKernels.decodeTiffNative(java.util.Arrays.copyOf(good, cut)) // must not throw
+    }
+    // interchange length pointing past EOF
+    val bad = good.clone()
+    // tag 514 value field: find it by scanning the IFD (8 tags from offset 10)
+    val entries = (0 until 8).map(i => 10 + i * 12)
+    val e514 = entries.find(e => (bad(e) & 0xFF) == (514 & 0xFF) && ((bad(e + 1) & 0xFF) == (514 >> 8))).get
+    bad(e514 + 8) = 0xFF.toByte; bad(e514 + 9) = 0xFF.toByte
+    bad(e514 + 10) = 0xFF.toByte; bad(e514 + 11) = 0x7F.toByte
+    assert(ImageKernels.decodeTiffNative(bad) == null)
+  }
 }
