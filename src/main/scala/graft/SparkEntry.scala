@@ -1778,6 +1778,28 @@ object SparkEntry {
           .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long")),
         Seq("l_returnflag"), "price_cents", fractions = Seq(0.5, 0.95, 0.99))),
 
+    // STREAMING sketch face: two deltas of lineitem land as micro-batches,
+    // each collapsing to per-group HLL sketches in batch-stamped
+    // partitions; the merged running totals must equal the direct build
+    // over ALL of lineitem — the q_sketch_hll oracle verbatim (register
+    // max is associative across any delta split)
+    "q_stream_sketch" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-sketch")
+      val rows = t(s, d, "lineitem").select(col("l_returnflag"), col("l_partkey"))
+      rows.filter(col("l_partkey") % 5 =!= 0).write.parquet(s"$dir/src")
+      val src = s.readStream.schema(rows.schema).parquet(s"$dir/src")
+      // one query run per delta (see q_stream_ingest_text)
+      def run() = graft.streaming.Streams.sketchDistinctIngest(src,
+        Seq("l_returnflag"), "l_partkey", precision = 8,
+        s"$dir/sketches", checkpointDir = s"$dir/ckpt")
+      val q = run()
+      try q.processAllAvailable() finally q.stop()
+      rows.filter(col("l_partkey") % 5 === 0).write.mode("append").parquet(s"$dir/src")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      graft.streaming.Streams.sketchDistinctTotals(s, s"$dir/sketches", Seq("l_returnflag"))
+    }),
+
     // ========================================================== destination
     "q_render_template" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -1909,6 +1931,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_sketch_hll" -> SketchSql.hllSql,
     "q_sketch_hll_merge" -> SketchSql.hllSql,
+    "q_stream_sketch" -> SketchSql.hllSql,
 
     // every (row, bucket) collision sum, then the same min over 4 rows
     "q_sketch_cms" -> {

@@ -305,6 +305,40 @@ object Streams {
       }
     } catch { case _: Exception => false }
 
+  /** Streaming distinct-count ingest — the sketch face of the incremental
+    * tier: every micro-batch collapses its rows to per-group HyperLogLog
+    * sketches (a few hundred bytes per group) written to
+    * `sketchDir/batch=<id>` with the same batch-stamped-overwrite
+    * exactly-once discipline as the dedup ingests (a replayed batch
+    * overwrites its own partition in place — merge-in-place would
+    * double-count a crashed attempt... for counters it wouldn't (register
+    * max is idempotent), but the overwrite keeps ONE uniform replay story
+    * across every ingest face). Running totals come from
+    * [[sketchDistinctTotals]]: hll_merge across ALL batch partitions —
+    * associativity means the answer equals a direct build over the union
+    * of every delta, which is exactly what the gate pins. */
+  def sketchDistinctIngest(rows: DataFrame, groupCols: Seq[String], keyCol: String,
+                           precision: Int, sketchDir: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.expressions.GraftFunctions.register(batch.sparkSession)
+        batch.groupBy(groupCols.map(col): _*)
+          .agg(call_function("hll_sketch", col(keyCol), lit(precision)).as("sketch"))
+          .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Merged running totals over every delta the ingest has landed. */
+  def sketchDistinctTotals(spark: org.apache.spark.sql.SparkSession, sketchDir: String,
+                           groupCols: Seq[String],
+                           estimateCol: String = "approx_distinct"): DataFrame =
+    graft.functions.Sketches.mergeDistinct(
+      spark.read.parquet(sketchDir), groupCols, "sketch", estimateCol)
+
   /** The persisted shingle index (all batch partitions except
     * `excludeBatch` — a replayed batch must not see its own crashed
     * attempt's shingles, or every row would self-match and be dropped),

@@ -94,6 +94,8 @@ class ExpressionsSpec extends SparkSpec {
     val built = GraftFunctions.all.map { case (name, _, builder) =>
       val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = name match {
         case "image_thumbnail" => Seq(Literal("abc"), Literal(8), Literal(8))
+        case "cms_query" => Seq(Literal("abc".getBytes), Literal(1L))
+        case "qhist_quantile" => Seq(Literal("abc".getBytes), Literal(0.5))
         case _ => Seq(Literal("abc"))
       }
       name -> builder(args)

@@ -274,6 +274,29 @@ class SketchesSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("streaming sketch ingest: totals equal the direct build; restart-safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk-stream")
+    val rows = (0 until 5000).map(i => (s"g${i % 3}", (i % 700).toLong)).toDF("g", "k")
+    rows.filter(col("k") % 2 === 0).write.parquet(s"$dir/src")
+    val src = spark.readStream.schema(rows.schema).parquet(s"$dir/src")
+    def run() = graft.streaming.Streams.sketchDistinctIngest(src, Seq("g"), "k",
+      precision = 10, s"$dir/sk", checkpointDir = s"$dir/ckpt")
+    val q = run(); try q.processAllAvailable() finally q.stop()
+    rows.filter(col("k") % 2 =!= 0).write.mode("append").parquet(s"$dir/src")
+    val q2 = run(); try q2.processAllAvailable() finally q2.stop()
+    def totals() = graft.streaming.Streams.sketchDistinctTotals(spark, s"$dir/sk", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = totals()
+    val direct = Sketches.approxDistinct(rows, Seq("g"), "k", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t1 === direct, "merged delta sketches must equal the direct build")
+    assert(new java.io.File(s"$dir/sk").list().count(_.startsWith("batch=")) === 2)
+    // restart on the same checkpoint with no new data: totals unchanged
+    val q3 = run(); try q3.processAllAvailable() finally q3.stop()
+    assert(totals() === t1)
+  }
+
   test("hostile sketch bytes through the merge aggregate reject diagnosably") {
     graft.expressions.GraftFunctions.register(spark)
     import spark.implicits._
