@@ -1083,18 +1083,21 @@ object SparkEntry {
         .filter(col("doc_id") < 2000)
       docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/src")
       val src = s.readStream.schema(docs.schema).parquet(s"$dir/src")
-      // one query run per delta, restarting on the same checkpoint: a
-      // trigger firing mid-append could otherwise split delta 2 across two
-      // micro-batches (the file listing races the multi-part write),
-      // shifting batch stamps and the within-delta dedup scope; the restart
-      // also exercises checkpoint recovery for free
-      def run() = graft.streaming.Streams.incrementalDedupIngest(src, "doc_id", "text",
+      // delta 2 lands as ONE file (coalesce(1)): a trigger firing
+      // mid-append would otherwise split the delta across two
+      // micro-batches (the file listing races a multi-part write),
+      // shifting batch stamps and the within-delta dedup scope — a single
+      // task commit renames one file into place atomically. The
+      // restart-on-checkpoint recovery path is gate-exercised by
+      // q_stream_ingest_doc and spec-exercised in StreamsSpec.
+      val q = graft.streaming.Streams.incrementalDedupIngest(src, "doc_id", "text",
         s"$dir/index", s"$dir/out", threshold = 0.7, checkpointDir = s"$dir/ckpt")
-      val q = run()
-      try q.processAllAvailable() finally q.stop()
-      docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(s"$dir/src")
-      val q2 = run()
-      try q2.processAllAvailable() finally q2.stop()
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") % 5 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
       s.read.parquet(s"$dir/out")
         .select(col("doc_id"), col("batch").cast("long").as("batch"))
     }),
@@ -1129,8 +1132,10 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
-      // one query run per delta (see q_stream_ingest_text: the delta-2
-      // append must not race the running query's file listing)
+      // THIS gate keeps one query run per delta, restarting on the same
+      // checkpoint: recovery stays exercised end-to-end in a gate (the
+      // sibling ingest gates use atomic single-file appends instead — see
+      // q_stream_ingest_text — to keep their wall time at one startup)
       def run() = graft.streaming.Streams.incrementalDocDedupIngest(src, "doc_id", "content",
         s"$dir/index", s"$dir/out", threshold = 0.7, checkpointDir = s"$dir/ckpt")
       val q = run()
@@ -1160,17 +1165,17 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
-      // one query run per delta (see q_stream_ingest_text: the delta-2
-      // append must not race the running query's file listing)
-      def run() = graft.streaming.Streams.incrementalImageDedupIngest(src,
+      // single-file delta-2 append: atomic to the poller's listing (see
+      // q_stream_ingest_text)
+      val q = graft.streaming.Streams.incrementalImageDedupIngest(src,
         "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 3,
         checkpointDir = s"$dir/ckpt")
-      val q = run()
-      try q.processAllAvailable() finally q.stop()
-      fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
-        .write.mode("append").parquet(s"$dir/src")
-      val q2 = run()
-      try q2.processAllAvailable() finally q2.stop()
+      try {
+        q.processAllAvailable()
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
       s.read.parquet(s"$dir/out")
         .select(col("media_id"), col("batch").cast("long").as("batch"))
     }),
@@ -1192,17 +1197,17 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
-      // one query run per delta (see q_stream_ingest_text: the delta-2
-      // append must not race the running query's file listing)
-      def run() = graft.streaming.Streams.incrementalAudioDedupIngest(src,
+      // single-file delta-2 append: atomic to the poller's listing (see
+      // q_stream_ingest_text)
+      val q = graft.streaming.Streams.incrementalAudioDedupIngest(src,
         "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 0,
         checkpointDir = s"$dir/ckpt")
-      val q = run()
-      try q.processAllAvailable() finally q.stop()
-      fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290))
-        .write.mode("append").parquet(s"$dir/src")
-      val q2 = run()
-      try q2.processAllAvailable() finally q2.stop()
+      try {
+        q.processAllAvailable()
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
       s.read.parquet(s"$dir/out")
         .select(col("media_id"), col("batch").cast("long").as("batch"))
     }),
@@ -1788,15 +1793,17 @@ object SparkEntry {
       val rows = t(s, d, "lineitem").select(col("l_returnflag"), col("l_partkey"))
       rows.filter(col("l_partkey") % 5 =!= 0).write.parquet(s"$dir/src")
       val src = s.readStream.schema(rows.schema).parquet(s"$dir/src")
-      // one query run per delta (see q_stream_ingest_text)
-      def run() = graft.streaming.Streams.sketchDistinctIngest(src,
+      // single-file delta-2 append: atomic to the poller's listing (see
+      // q_stream_ingest_text)
+      val q = graft.streaming.Streams.sketchDistinctIngest(src,
         Seq("l_returnflag"), "l_partkey", precision = 8,
         s"$dir/sketches", checkpointDir = s"$dir/ckpt")
-      val q = run()
-      try q.processAllAvailable() finally q.stop()
-      rows.filter(col("l_partkey") % 5 === 0).write.mode("append").parquet(s"$dir/src")
-      val q2 = run()
-      try q2.processAllAvailable() finally q2.stop()
+      try {
+        q.processAllAvailable()
+        rows.filter(col("l_partkey") % 5 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
       graft.streaming.Streams.sketchDistinctTotals(s, s"$dir/sketches", Seq("l_returnflag"))
     }),
 
