@@ -1775,6 +1775,33 @@ object SparkEntry {
         t(s, d, "events").select("user_id"), "user_id", minCount = 70,
         depth = 4, width = 64)),
 
+    // Bloom membership: filter built over partkeys < 1000 at log_bits=12
+    // (deliberately tight: ~71% fill -> ~18% false-positive rate, so the
+    // gate output EXERCISES false positives rather than dodging them);
+    // probe every distinct partkey — the oracle rebuilds the exact bit set
+    "q_sketch_bloom" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val li = t(s, d, "lineitem")
+      val sk = li.filter(col("l_partkey") < 1000)
+        .agg(call_function("bloom_sketch", col("l_partkey"), lit(12), lit(5)))
+        .head.getAs[Array[Byte]](0)
+      li.select("l_partkey").distinct()
+        .select(col("l_partkey").as("key"),
+          call_function("bloom_contains", lit(sk), col("l_partkey")).as("maybe_present"))
+    }),
+
+    // KMV set algebra: R-flag vs N-flag orderkey sets (truth 11058/11062,
+    // union 13982, intersection 8138) estimated from two 256-hash sketches
+    // — integer-exact estimates the oracle reproduces from the same k-min
+    // hash sets
+    "q_sketch_kmv" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.functions.Sketches.setOverlap(
+        li.filter(col("l_returnflag") === "R").select("l_orderkey"), "l_orderkey",
+        li.filter(col("l_returnflag") === "N").select("l_orderkey"), "l_orderkey",
+        k = 256)
+    }),
+
     // per-group log-histogram quantiles over integer cents (sub_bits=5 ->
     // rel err < 1/32); the oracle reproduces the exact bit-bucketing
     "q_sketch_quantile" -> ((s, d) =>
@@ -1956,6 +1983,49 @@ object SparkEntry {
          SELECT p.k AS key, CAST(min(rs.tot) AS BIGINT) AS est_count
          FROM probes p JOIN rowsum rs ON rs.r = p.r AND rs.b = p.b
          GROUP BY p.k ORDER BY p.k"""
+    },
+
+    // exact bit-set reproduction: double hashing bit_i = (h1 + i*h2) mod
+    // 2^64 masked to 12 bits, membership = all 5 probe bits present
+    "q_sketch_bloom" -> {
+      val seed = "7184368381975216025::HUGEINT" // splitmix64(0x626C6F6F) unsigned
+      s"""WITH ins AS (SELECT DISTINCT l_partkey AS key FROM lineitem WHERE l_partkey < 1000),
+         ih AS (SELECT key, ${SketchSql.sm64("key")} AS h1 FROM ins),
+         ih2 AS (SELECT key, h1, ${SketchSql.sm64(SketchSql.xor("h1", seed))} AS h2 FROM ih),
+         setbits AS (
+           SELECT DISTINCT CAST((h1 + i.i * h2) % 18446744073709551616::HUGEINT % 4096 AS BIGINT) AS bit
+           FROM ih2 CROSS JOIN (SELECT unnest(range(0, 5)) AS i) i),
+         probes AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+         ph AS (SELECT key, ${SketchSql.sm64("key")} AS h1 FROM probes),
+         ph2 AS (SELECT key, h1, ${SketchSql.sm64(SketchSql.xor("h1", seed))} AS h2 FROM ph),
+         pb AS (
+           SELECT key, i.i, CAST((h1 + i.i * h2) % 18446744073709551616::HUGEINT % 4096 AS BIGINT) AS bit
+           FROM ph2 CROSS JOIN (SELECT unnest(range(0, 5)) AS i) i)
+         SELECT pb.key, bool_and(sb.bit IS NOT NULL) AS maybe_present
+         FROM pb LEFT JOIN setbits sb ON sb.bit = pb.bit
+         GROUP BY pb.key ORDER BY pb.key"""
+    },
+
+    // same k-min hash sets, same integer estimators: est = floor((k-1)*2^64
+    // / h_k) (exact count below k), intersection = floor(c*unionEst/nu)
+    "q_sketch_kmv" -> {
+      val m64 = "18446744073709551616::HUGEINT"
+      s"""WITH a_keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem WHERE l_returnflag = 'R'),
+         b_keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem WHERE l_returnflag = 'N'),
+         ka AS (SELECT ${SketchSql.sm64("key")} AS h FROM a_keys ORDER BY 1 LIMIT 256),
+         kb AS (SELECT ${SketchSql.sm64("key")} AS h FROM b_keys ORDER BY 1 LIMIT 256),
+         ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+         ea AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE CAST((255::HUGEINT * $m64) // max(h) AS BIGINT) END AS v FROM ka),
+         eb AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE CAST((255::HUGEINT * $m64) // max(h) AS BIGINT) END AS v FROM kb),
+         eu AS (SELECT count(*) AS nu,
+                       CASE WHEN count(*) < 256 THEN count(*)
+                            ELSE CAST((255::HUGEINT * $m64) // max(h) AS BIGINT) END AS v FROM ku),
+         c AS (SELECT count(*) AS c FROM ka JOIN kb ON ka.h = kb.h JOIN ku ON ku.h = ka.h)
+         SELECT ea.v AS est_a, eb.v AS est_b, eu.v AS est_union,
+                CAST(c.c::HUGEINT * eu.v // eu.nu AS BIGINT) AS est_intersect
+         FROM ea, eb, eu, c"""
     },
 
     // the sketch prunes, the exact pass decides: output is exactly HAVING

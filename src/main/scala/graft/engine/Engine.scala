@@ -274,6 +274,8 @@ final class Engine(spark: SparkSession) {
     "heavy_hitters" -> Set("column", "min_count", "depth", "width", "count_column"),
     "sketch_quantile" -> Set("group_by_columns", "column", "fractions",
       "sub_bits", "sketch_column", "merge_sketches"),
+    "bloom_filter" -> Set("sources", "column", "source_column", "log_bits", "k", "mode"),
+    "sketch_overlap" -> Set("sources", "column", "source_column", "k"),
   )
 
   /** Append `prefix+field` columns from a registry struct function over a
@@ -451,6 +453,38 @@ final class Engine(spark: SparkSession) {
           Config.int(op, "depth").getOrElse(4),
           Config.int(op, "width").getOrElse(8192),
           Config.str(op, "count_column").getOrElse("frequency"))
+      // membership filtering against a seen-list frame via a broadcast
+      // Bloom filter (mode: drop = blocklist semantics, never leaks a seen
+      // row; mode: keep = sketch-guided superset pre-filter)
+      case "bloom_filter" =>
+        val seen = sourceFrames match {
+          case Seq(one) => one
+          case _ => throw new IllegalArgumentException(
+            s"$ctx: bloom_filter needs exactly one `sources:` frame (the seen-list)")
+        }
+        val c = Config.reqStr(op, "column", ctx)
+        graft.functions.Sketches.bloomFilterRows(df, c, seen,
+          Config.str(op, "source_column").getOrElse(c),
+          Config.int(op, "log_bits").getOrElse(20),
+          Config.int(op, "k").getOrElse(5),
+          keep = Config.str(op, "mode").getOrElse("drop") match {
+            case "drop" => false
+            case "keep" => true
+            case other => throw new IllegalArgumentException(
+              s"$ctx: bloom_filter `mode` must be keep or drop, not `$other`")
+          })
+      // one-row set-cardinality algebra between this frame's keys and a
+      // sources frame's keys (KMV sketches — no join, constant state)
+      case "sketch_overlap" =>
+        val other = sourceFrames match {
+          case Seq(one) => one
+          case _ => throw new IllegalArgumentException(
+            s"$ctx: sketch_overlap needs exactly one `sources:` frame")
+        }
+        val c = Config.reqStr(op, "column", ctx)
+        graft.functions.Sketches.setOverlap(df, c, other,
+          Config.str(op, "source_column").getOrElse(c),
+          Config.int(op, "k").getOrElse(256))
       case "sketch_quantile" =>
         val groupCols = listOf(op, "group_by_columns")
         val c = Config.reqStr(op, "column", ctx)

@@ -325,6 +325,298 @@ case class CmsQueryBroadcast(child: Expression,
     copy(child = newChild)
 }
 
+// --------------------------------------------------------------- Bloom
+
+/** bloom_sketch(key[, log_bits=20[, k=5]]) -> binary membership filter. */
+case class BloomSketchAgg(
+    child: Expression,
+    logBits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  SketchKernels.bloomCreate(logBits) // eager shape validation
+  require(k >= 1 && k <= 32, s"bloom_sketch: k must be in [1,32], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SketchSupport.keyTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_sketch requires an integral or string key, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_sketch"
+
+  override def createAggregationBuffer(): Array[Long] = SketchKernels.bloomCreate(logBits)
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      SketchKernels.bloomUpdate(buffer, logBits, k, SketchSupport.hashKey(v, child.dataType))
+    buffer
+  }
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    SketchKernels.bloomMerge(buffer, other); buffer
+  }
+  override def eval(buffer: Array[Long]): Any = SketchKernels.bloomSerialize(buffer, logBits, k)
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    SketchKernels.bloomSerialize(buffer, logBits, k)
+  override def deserialize(storage: Array[Byte]): Array[Long] =
+    SketchKernels.bloomDeserialize(storage)._3
+  override def withNewMutableAggBufferOffset(off: Int): BloomSketchAgg = copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): BloomSketchAgg = copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomSketchAgg =
+    copy(child = c.head)
+}
+
+/** bloom_merge(sketch) -> binary: word-wise OR. */
+case class BloomMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[(Int, Int, Array[Long])]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_merge requires binary sketches, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_merge"
+
+  override def createAggregationBuffer(): Option[(Int, Int, Array[Long])] = None
+  private def absorb(buf: Option[(Int, Int, Array[Long])], bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    val (lb, k, words) = SketchKernels.bloomDeserialize(bytes)
+    buf match {
+      case None => Some((lb, k, words))
+      case Some((lb0, k0, acc)) =>
+        require(lb0 == lb && k0 == k,
+          s"bloom_merge: mixed shapes in one group (2^$lb0/k=$k0 vs 2^$lb/k=$k)")
+        SketchKernels.bloomMerge(acc, words); buf
+    }
+  }
+  override def update(buffer: Option[(Int, Int, Array[Long])], input: InternalRow): Option[(Int, Int, Array[Long])] = {
+    val v = child.eval(input)
+    if (v == null) buffer else absorb(buffer, v.asInstanceOf[Array[Byte]])
+  }
+  override def merge(buffer: Option[(Int, Int, Array[Long])], other: Option[(Int, Int, Array[Long])]): Option[(Int, Int, Array[Long])] =
+    other match {
+      case None => buffer
+      case Some((lb, k, words)) => absorb(buffer, SketchKernels.bloomSerialize(words, lb, k))
+    }
+  override def eval(buffer: Option[(Int, Int, Array[Long])]): Any =
+    buffer.map { case (lb, k, w) => SketchKernels.bloomSerialize(w, lb, k) }.orNull
+  override def serialize(buffer: Option[(Int, Int, Array[Long])]): Array[Byte] =
+    buffer.map { case (lb, k, w) => SketchKernels.bloomSerialize(w, lb, k) }.getOrElse(Array.emptyByteArray)
+  override def deserialize(storage: Array[Byte]): Option[(Int, Int, Array[Long])] =
+    if (storage.isEmpty) None else Some(SketchKernels.bloomDeserialize(storage))
+  override def withNewMutableAggBufferOffset(off: Int): BloomMergeAgg = copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): BloomMergeAgg = copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMergeAgg =
+    copy(child = c.head)
+}
+
+/** bloom_contains(sketch, key) -> boolean (true may be a false positive at
+  * the filter's design rate; false is certain). CodegenFallback — see the
+  * HllEstimate note. */
+case class BloomContains(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains: first argument must be a binary sketch, got ${left.dataType.catalogString}")
+    else if (!SketchSupport.keyTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains: key must be integral or string, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+  override protected def nullSafeEval(sketch: Any, key: Any): Any = {
+    val (lb, k, words) = SketchKernels.bloomDeserialize(sketch.asInstanceOf[Array[Byte]])
+    SketchKernels.bloomContains(words, lb, k, SketchSupport.hashKey(key, right.dataType))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
+}
+
+/** bloom_contains against a BROADCAST filter — the scan-side face for wide
+  * filters (a seen-list at log_bits=27 is 16 MB; a Literal would ride in
+  * every task binary — the CmsQueryBroadcast lesson). Not SQL-registrable;
+  * the Column face is `Sketches.bloomFilterRows`. */
+case class BloomContainsBroadcast(child: Expression,
+                                  sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  @transient private lazy val parsed = SketchKernels.bloomDeserialize(sketch.value)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SketchSupport.keyTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains: key must be integral or string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains_bc"
+  override protected def nullSafeEval(key: Any): Any = {
+    val (lb, k, words) = parsed
+    SketchKernels.bloomContains(words, lb, k, SketchSupport.hashKey(key, child.dataType))
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsBroadcast =
+    copy(child = newChild)
+}
+
+// ----------------------------------------------------------- KMV (theta)
+
+/** Mutable KMV buffer: capacity-k unsigned-sorted prefix. */
+final class KmvBuffer(val k: Int) {
+  val state = new Array[Long](k)
+  var n: Int = 0
+}
+
+/** kmv_sketch(key[, k=256]) -> binary k-minimum-values sketch. */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2 && k <= 65535, s"kmv_sketch: k must be in [2,65535], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SketchSupport.keyTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires an integral or string key, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.n = SketchKernels.kmvInsert(buffer.state, buffer.n, k,
+        SketchSupport.hashKey(v, child.dataType))
+    buffer
+  }
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < other.n) {
+      buffer.n = SketchKernels.kmvInsert(buffer.state, buffer.n, k, other.state(i))
+      i += 1
+    }
+    buffer
+  }
+  override def eval(buffer: KmvBuffer): Any =
+    SketchKernels.kmvSerialize(buffer.state, buffer.n, k)
+  override def serialize(buffer: KmvBuffer): Array[Byte] =
+    SketchKernels.kmvSerialize(buffer.state, buffer.n, k)
+  override def deserialize(storage: Array[Byte]): KmvBuffer = {
+    val (k2, n, state) = SketchKernels.kmvDeserialize(storage)
+    val buf = new KmvBuffer(k2)
+    System.arraycopy(state, 0, buf.state, 0, n)
+    buf.n = n
+    buf
+  }
+  override def withNewMutableAggBufferOffset(off: Int): KmvSketchAgg = copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): KmvSketchAgg = copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = c.head)
+}
+
+/** kmv_merge(sketch) -> binary union sketch. */
+case class KmvMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[KmvBuffer]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_merge requires binary sketches, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kmv_merge"
+
+  override def createAggregationBuffer(): Option[KmvBuffer] = None
+  private def absorb(buf: Option[KmvBuffer], bytes: Array[Byte]): Option[KmvBuffer] = {
+    val (k, n, state) = SketchKernels.kmvDeserialize(bytes)
+    buf match {
+      case None =>
+        val b = new KmvBuffer(k)
+        System.arraycopy(state, 0, b.state, 0, n); b.n = n
+        Some(b)
+      case Some(b) =>
+        require(b.k == k, s"kmv_merge: mixed k in one group (${b.k} vs $k)")
+        var i = 0
+        while (i < n) { b.n = SketchKernels.kmvInsert(b.state, b.n, b.k, state(i)); i += 1 }
+        buf
+    }
+  }
+  override def update(buffer: Option[KmvBuffer], input: InternalRow): Option[KmvBuffer] = {
+    val v = child.eval(input)
+    if (v == null) buffer else absorb(buffer, v.asInstanceOf[Array[Byte]])
+  }
+  override def merge(buffer: Option[KmvBuffer], other: Option[KmvBuffer]): Option[KmvBuffer] =
+    other match {
+      case None => buffer
+      case Some(b) => absorb(buffer, SketchKernels.kmvSerialize(b.state, b.n, b.k))
+    }
+  override def eval(buffer: Option[KmvBuffer]): Any =
+    buffer.map(b => SketchKernels.kmvSerialize(b.state, b.n, b.k)).orNull
+  override def serialize(buffer: Option[KmvBuffer]): Array[Byte] =
+    buffer.map(b => SketchKernels.kmvSerialize(b.state, b.n, b.k)).getOrElse(Array.emptyByteArray)
+  override def deserialize(storage: Array[Byte]): Option[KmvBuffer] =
+    if (storage.isEmpty) None else {
+      val (k, n, state) = SketchKernels.kmvDeserialize(storage)
+      val b = new KmvBuffer(k)
+      System.arraycopy(state, 0, b.state, 0, n); b.n = n
+      Some(b)
+    }
+  override def withNewMutableAggBufferOffset(off: Int): KmvMergeAgg = copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): KmvMergeAgg = copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = c.head)
+}
+
+/** kmv_estimate(sketch) -> bigint distinct estimate (exact below k). */
+case class KmvEstimate(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_estimate requires a binary sketch, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_estimate"
+  override protected def nullSafeEval(input: Any): Any = {
+    val (k, n, state) = SketchKernels.kmvDeserialize(input.asInstanceOf[Array[Byte]])
+    SketchKernels.kmvEstimate(state, n, k)
+  }
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimate =
+    copy(child = newChild)
+}
+
+/** kmv_intersect(a, b) -> bigint intersection-cardinality estimate. */
+case class KmvIntersect(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_intersect requires two binary sketches, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_intersect"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ka, na, sa) = SketchKernels.kmvDeserialize(a.asInstanceOf[Array[Byte]])
+    val (kb, nb, sb) = SketchKernels.kmvDeserialize(b.asInstanceOf[Array[Byte]])
+    require(ka == kb, s"kmv_intersect: mixed k ($ka vs $kb)")
+    SketchKernels.kmvIntersect(sa, na, sb, nb, ka)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersect =
+    copy(left = l, right = r)
+}
+
 // ------------------------------------------------- log-histogram quantiles
 
 /** qhist_sketch(value[, sub_bits=5]) -> binary log-scaled histogram over
@@ -536,5 +828,58 @@ object SketchFunctions {
         case Seq(s, q) => LogHistQuantile(s, q)
         case other => throw new IllegalArgumentException(
           s"qhist_quantile takes 2 arguments, got ${other.size}")
+      }),
+    ("bloom_sketch",
+      "_FUNC_(key[, log_bits=20[, k=5]]) - mergeable Bloom membership filter (binary)",
+      {
+        case Seq(key) => BloomSketchAgg(key, 20, 5)
+        case Seq(key, lb) => BloomSketchAgg(key, intLit(lb, "bloom_sketch", "log_bits"), 5)
+        case Seq(key, lb, k) => BloomSketchAgg(key, intLit(lb, "bloom_sketch", "log_bits"),
+          intLit(k, "bloom_sketch", "k"))
+        case other => throw new IllegalArgumentException(
+          s"bloom_sketch takes 1-3 arguments, got ${other.size}")
+      }),
+    ("bloom_merge",
+      "_FUNC_(sketch) - merge Bloom filters (word-wise OR)",
+      {
+        case Seq(s) => BloomMergeAgg(s)
+        case other => throw new IllegalArgumentException(
+          s"bloom_merge takes 1 argument, got ${other.size}")
+      }),
+    ("bloom_contains",
+      "_FUNC_(sketch, key) - membership probe (false is certain; true may be a false positive)",
+      {
+        case Seq(s, key) => BloomContains(s, key)
+        case other => throw new IllegalArgumentException(
+          s"bloom_contains takes 2 arguments, got ${other.size}")
+      }),
+    ("kmv_sketch",
+      "_FUNC_(key[, k=256]) - mergeable k-minimum-values (theta) sketch (binary)",
+      {
+        case Seq(key) => KmvSketchAgg(key, 256)
+        case Seq(key, k) => KmvSketchAgg(key, intLit(k, "kmv_sketch", "k"))
+        case other => throw new IllegalArgumentException(
+          s"kmv_sketch takes 1-2 arguments, got ${other.size}")
+      }),
+    ("kmv_merge",
+      "_FUNC_(sketch) - union of KMV sketches (merge + keep the k smallest)",
+      {
+        case Seq(s) => KmvMergeAgg(s)
+        case other => throw new IllegalArgumentException(
+          s"kmv_merge takes 1 argument, got ${other.size}")
+      }),
+    ("kmv_estimate",
+      "_FUNC_(sketch) - distinct-count estimate (exact below k)",
+      {
+        case Seq(s) => KmvEstimate(s)
+        case other => throw new IllegalArgumentException(
+          s"kmv_estimate takes 1 argument, got ${other.size}")
+      }),
+    ("kmv_intersect",
+      "_FUNC_(a, b) - intersection-cardinality estimate of two same-k sketches",
+      {
+        case Seq(a, b) => KmvIntersect(a, b)
+        case other => throw new IllegalArgumentException(
+          s"kmv_intersect takes 2 arguments, got ${other.size}")
       }))
 }

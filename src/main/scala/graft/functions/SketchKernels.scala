@@ -274,6 +274,178 @@ object SketchKernels {
     logHistLower(counts.length - 1, subBits) // unreachable; defensive
   }
 
+  // -------------------------------------------------------------- Bloom
+  // m bits (power of two), k probes via standard double hashing (Kirsch &
+  // Mitzenmacher 2006): bit_i = (h1 + i*h2) mod m with h1 = splitmix64(key)
+  // and h2 = splitmix64(h1 ^ BloomSeed) — both SQL-reproducible. Merge = OR.
+
+  val BloomSeed: Long = splitmix64(0x626C6F6FL) // "bloo"
+
+  def bloomCreate(logBits: Int): Array[Long] = {
+    require(logBits >= 6 && logBits <= 30, s"bloom log2(bits) must be in [6,30], got $logBits")
+    new Array[Long](1 << (logBits - 6))
+  }
+
+  /** bit_i = (h1 + i*h2) mod 2^64, masked to logBits — the form the SQL
+    * oracle mirrors directly (mod of a power of two = low bits). */
+  def bloomBit(h1: Long, i: Int, logBits: Int): Int = {
+    val h2 = splitmix64(h1 ^ BloomSeed)
+    ((h1 + i.toLong * h2) & ((1L << logBits) - 1)).toInt
+  }
+
+  def bloomUpdate(words: Array[Long], logBits: Int, k: Int, h1: Long): Unit = {
+    var i = 0
+    while (i < k) {
+      val bit = bloomBit(h1, i, logBits)
+      words(bit >>> 6) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
+  def bloomContains(words: Array[Long], logBits: Int, k: Int, h1: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      val bit = bloomBit(h1, i, logBits)
+      if ((words(bit >>> 6) & (1L << (bit & 63))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def bloomMerge(into: Array[Long], from: Array[Long]): Unit = {
+    require(into.length == from.length,
+      s"bloom merge: sizes differ (${into.length} vs ${from.length} words)")
+    var i = 0
+    while (i < into.length) { into(i) |= from(i); i += 1 }
+  }
+
+  /** [magic 'B', log2(bits), k, words as big-endian longs]. */
+  def bloomSerialize(words: Array[Long], logBits: Int, k: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(3 + words.length * 8)
+    bb.put('B'.toByte).put(logBits.toByte).put(k.toByte)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def bloomDeserialize(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    require(bytes.length >= 3 && bytes(0) == 'B', "not a Bloom sketch (bad magic)")
+    val logBits = bytes(1).toInt
+    val k = bytes(2).toInt
+    require(logBits >= 6 && logBits <= 30, s"bloom sketch log2(bits) out of range: $logBits")
+    require(k >= 1 && k <= 32, s"bloom sketch k out of range: $k")
+    val nWords = 1 << (logBits - 6)
+    require(bytes.length == 3 + nWords * 8,
+      s"bloom sketch truncated: ${bytes.length} bytes for logBits=$logBits")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 3, nWords * 8)
+    val words = new Array[Long](nWords)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+    (logBits, k, words)
+  }
+
+  // ------------------------------------------------------- KMV (theta)
+  // k-minimum-values sketch (Bar-Yossef et al. 2002; the theta-sketch
+  // family): the k smallest DISTINCT key hashes in unsigned order.
+  // Fully deterministic (no register probability — the k-min SET itself is
+  // a pure function of the key set), mergeable (merge + keep k smallest),
+  // and supports the set algebra HLL cannot: intersection estimates.
+  // Estimates are pure integer arithmetic: est = floor((k-1)*2^64 / h_k).
+
+  /** Insert preserving "k smallest distinct unsigned hashes, sorted".
+    * Returns the (possibly new) array — callers treat state as immutable
+    * between calls; the aggregate wraps this in a growable buffer. */
+  def kmvInsert(state: Array[Long], n: Int, k: Int, h: Long): Int = {
+    // state has capacity >= k; n = current fill; unsigned-sorted prefix
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.lang.Long.compareUnsigned(state(mid), h)
+      if (c < 0) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && state(lo) == h) return n // duplicate
+    if (n == k && lo == k) return n // larger than current k-th: ignore
+    val newN = math.min(n + 1, k)
+    // shift right from lo, dropping the last element if already full
+    var i = newN - 1
+    while (i > lo) { state(i) = state(i - 1); i -= 1 }
+    state(lo) = h
+    newN
+  }
+
+  def kmvMerge(a: Array[Long], na: Int, b: Array[Long], nb: Int, k: Int): (Array[Long], Int) = {
+    val out = new Array[Long](k)
+    var n = 0
+    var i = 0
+    while (i < na) { n = kmvInsert(out, n, k, a(i)); i += 1 }
+    i = 0
+    while (i < nb) { n = kmvInsert(out, n, k, b(i)); i += 1 }
+    (out, n)
+  }
+
+  /** Distinct estimate: exact below k; floor((k-1)*2^64 / h_k) at k. */
+  def kmvEstimate(state: Array[Long], n: Int, k: Int): Long = {
+    if (n < k) n.toLong
+    else {
+      val hk = BigInt(state(k - 1)) & ((BigInt(1) << 64) - 1)
+      ((BigInt(k - 1) << 64) / hk).toLong
+    }
+  }
+
+  /** Intersection estimate of two same-k sketches: take the union's
+    * threshold (its k-th min, or the max seen when under-filled), count
+    * common hashes at or below it, scale the union estimate. All integer:
+    * floor(c * unionEst / kEff). */
+  def kmvIntersect(a: Array[Long], na: Int, b: Array[Long], nb: Int, k: Int): Long = {
+    val (u, nu) = kmvMerge(a, na, b, nb, k)
+    if (nu == 0) return 0L
+    val unionEst = kmvEstimate(u, nu, k)
+    // common hashes within the union's retained set
+    val inU = new scala.collection.mutable.HashSet[Long]
+    var i = 0
+    while (i < nu) { inU += u(i); i += 1 }
+    var c = 0L
+    i = 0
+    while (i < na) { if (inU.contains(a(i)) && contains(b, nb, a(i))) c += 1; i += 1 }
+    c * unionEst / nu
+  }
+
+  private def contains(arr: Array[Long], n: Int, h: Long): Boolean = {
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val cmp = java.lang.Long.compareUnsigned(arr(mid), h)
+      if (cmp < 0) lo = mid + 1 else hi = mid
+    }
+    lo < n && arr(lo) == h
+  }
+
+  /** [magic 'K', k as u16, n as u16, hashes...]. */
+  def kmvSerialize(state: Array[Long], n: Int, k: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(5 + n * 8)
+    bb.put('K'.toByte).putShort(k.toShort).putShort(n.toShort)
+    var i = 0
+    while (i < n) { bb.putLong(state(i)); i += 1 }
+    bb.array()
+  }
+
+  def kmvDeserialize(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    require(bytes.length >= 5 && bytes(0) == 'K', "not a KMV sketch (bad magic)")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.get()
+    val k = bb.getShort().toInt
+    val n = bb.getShort().toInt
+    require(k >= 2 && k <= 65535, s"kmv sketch k out of range: $k")
+    require(n >= 0 && n <= k, s"kmv sketch fill $n exceeds k=$k")
+    require(bytes.length == 5 + n * 8,
+      s"kmv sketch truncated: ${bytes.length} bytes for n=$n")
+    val state = new Array[Long](k)
+    var i = 0
+    while (i < n) { state(i) = bb.getLong(); i += 1 }
+    (k, n, state)
+  }
+
   /** [magic 'Q', subBits, counts as varint-free big-endian longs]. Buckets
     * are dense but small (<= 2^(s+1) + 58*2^s entries — ~15 KB at s=5). */
   def logHistSerialize(counts: Array[Long], subBits: Int): Array[Byte] = {

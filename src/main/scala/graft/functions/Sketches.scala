@@ -94,6 +94,55 @@ object Sketches {
       .filter(col(countCol) >= lit(minCount))
   }
 
+  /** Build a Bloom membership filter over `seen`'s key column (one bounded
+    * collect: 2^logBits bits), then keep or drop the rows of `df` whose key
+    * probes positive. `keep = false` (the seen-list/blocklist shape) is
+    * exact-with-collateral: false positives DROP ~fpRate extra rows, never
+    * leak a seen row through. `keep = true` is a superset filter (false
+    * positives keep strays) — the shape for sketch-guided pre-filters that
+    * a later exact join tightens. The filter ships as a torrent broadcast
+    * behind [[graft.expressions.BloomContainsBroadcast]]. */
+  def bloomFilterRows(df: DataFrame, keyCol: String, seen: DataFrame, seenCol: String,
+                      logBits: Int = 20, k: Int = 5, keep: Boolean = false): DataFrame = {
+    val d = registered(df)
+    val sketch = registered(seen)
+      .agg(call_function("bloom_sketch", col(seenCol), lit(logBits), lit(k)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val bc = d.sparkSession.sparkContext.broadcast(sketch)
+    val fname = s"graft_bloom_contains_bc_${bc.id}"
+    d.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+      case Seq(key) => graft.expressions.BloomContainsBroadcast(key, bc)
+      case other => throw new IllegalArgumentException(
+        s"$fname takes 1 argument, got ${other.size}")
+    }, "built-in")
+    val probe = call_function(fname, col(keyCol))
+    if (keep) d.filter(probe) else d.filter(!probe)
+  }
+
+  /** One-row set-cardinality algebra over two key columns via same-k KMV
+    * sketches: (est_a, est_b, est_union, est_intersect). Each side
+    * collapses to k hashes before anything crosses the wire — comparing
+    * two 100 TB corpora's key overlap costs two narrow scans and a
+    * constant-size merge, no join. */
+  def setOverlap(dfA: DataFrame, colA: String, dfB: DataFrame, colB: String,
+                 k: Int = 256): DataFrame = {
+    val a = registered(dfA)
+      .agg(call_function("kmv_sketch", col(colA), lit(k)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val b = registered(dfB)
+      .agg(call_function("kmv_sketch", col(colB), lit(k)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val merged = Seq(a, b).toDF("sk")
+      .agg(call_function("kmv_merge", col("sk")).as("u"))
+    merged.select(
+      call_function("kmv_estimate", lit(a)).as("est_a"),
+      call_function("kmv_estimate", lit(b)).as("est_b"),
+      call_function("kmv_estimate", col("u")).as("est_union"),
+      call_function("kmv_intersect", lit(a), lit(b)).as("est_intersect"))
+  }
+
   private def fracName(f: Double): String =
     "q" + BigDecimal(f).bigDecimal.stripTrailingZeros.toPlainString.replace("0.", "").replace(".", "_")
 

@@ -96,6 +96,8 @@ class ExpressionsSpec extends SparkSpec {
         case "image_thumbnail" => Seq(Literal("abc"), Literal(8), Literal(8))
         case "cms_query" => Seq(Literal("abc".getBytes), Literal(1L))
         case "qhist_quantile" => Seq(Literal("abc".getBytes), Literal(0.5))
+        case "bloom_contains" => Seq(Literal("abc".getBytes), Literal(1L))
+        case "kmv_intersect" => Seq(Literal("abc".getBytes), Literal("abc".getBytes))
         case _ => Seq(Literal("abc"))
       }
       name -> builder(args)

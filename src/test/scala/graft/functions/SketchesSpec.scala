@@ -274,6 +274,119 @@ class SketchesSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  // -------------------------------------------------------------- Bloom
+
+  test("bloom never false-negatives; fp rate tracks the design; merge is OR") {
+    val (lb, k) = (14, 5)
+    val whole = SketchKernels.bloomCreate(lb)
+    val a = SketchKernels.bloomCreate(lb); val b = SketchKernels.bloomCreate(lb)
+    (0L until 2000L).foreach { key =>
+      val h = SketchKernels.hashLong(key)
+      SketchKernels.bloomUpdate(whole, lb, k, h)
+      SketchKernels.bloomUpdate(if (key % 2 == 0) a else b, lb, k, h)
+    }
+    (0L until 2000L).foreach { key =>
+      assert(SketchKernels.bloomContains(whole, lb, k, SketchKernels.hashLong(key)),
+        s"false negative for $key") // structurally impossible; pin it anyway
+    }
+    val fps = (100000L until 120000L).count(key =>
+      SketchKernels.bloomContains(whole, lb, k, SketchKernels.hashLong(key)))
+    // fill = 1-exp(-2000*5/16384) ~ 0.46 -> fp ~ 0.46^5 ~ 2.1%; allow 3x
+    assert(fps < 20000 * 0.063, s"$fps false positives in 20000 probes")
+    SketchKernels.bloomMerge(a, b)
+    assert(a.toSeq === whole.toSeq, "merged halves must equal the single-pass filter")
+    val bytes = SketchKernels.bloomSerialize(a, lb, k)
+    val (lb2, k2, w2) = SketchKernels.bloomDeserialize(bytes)
+    assert(lb2 === lb && k2 === k && w2.toSeq === a.toSeq)
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.bloomDeserialize(bytes.take(9))).getMessage.contains("truncated"))
+  }
+
+  test("bloom_filter YAML op: drop mode never leaks a seen row; keep mode is a superset") {
+    import spark.implicits._
+    val corpus = (0L until 3000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val seen = (0L until 1000L).filter(_ % 3 == 0).map(Tuple1(_)).toDF("id")
+    val engine = new graft.engine.Engine(spark)
+    val dropped = engine.applyOperation(corpus,
+      Map("operation" -> "bloom_filter", "column" -> "id",
+        "sources" -> List("$sources.seen"),
+        "log_bits" -> "16", "mode" -> "drop"),
+      Map("sources.seen" -> seen), "spec")
+    val keptIds = dropped.select("id").collect().map(_.getLong(0)).toSet
+    val seenIds = (0L until 1000L).filter(_ % 3 == 0).toSet
+    assert((keptIds & seenIds).isEmpty, "drop mode leaked seen rows")
+    // collateral damage bounded: at log_bits=16 the fp rate is ~0
+    assert(keptIds.size >= 3000 - seenIds.size - 20)
+    val kept = engine.applyOperation(corpus,
+      Map("operation" -> "bloom_filter", "column" -> "id",
+        "sources" -> List("$sources.seen"),
+        "log_bits" -> "16", "mode" -> "keep"),
+      Map("sources.seen" -> seen), "spec")
+    val keepIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(seenIds.subsetOf(keepIds), "keep mode must retain every seen row")
+  }
+
+  // ---------------------------------------------------------- KMV (theta)
+
+  test("kmv is insertion-order independent, exact below k, accurate at k") {
+    val k = 128
+    val keys = (0L until 5000L).map(_ * 31L + 7)
+    val buf1 = new Array[Long](k); var n1 = 0
+    keys.foreach(key => n1 = SketchKernels.kmvInsert(buf1, n1, k, SketchKernels.hashLong(key)))
+    val buf2 = new Array[Long](k); var n2 = 0
+    new Random(9).shuffle(keys).foreach(key =>
+      n2 = SketchKernels.kmvInsert(buf2, n2, k, SketchKernels.hashLong(key)))
+    assert(buf1.toSeq === buf2.toSeq && n1 === n2, "insertion order changed the sketch")
+    val est = SketchKernels.kmvEstimate(buf1, n1, k)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.30, s"kmv estimate $est for 5000")
+    // below k: exact
+    val small = new Array[Long](k); var ns = 0
+    (0L until 50L).foreach(key => ns = SketchKernels.kmvInsert(small, ns, k, SketchKernels.hashLong(key)))
+    assert(SketchKernels.kmvEstimate(small, ns, k) === 50L)
+    // duplicates don't inflate
+    (0L until 50L).foreach(key => ns = SketchKernels.kmvInsert(small, ns, k, SketchKernels.hashLong(key)))
+    assert(SketchKernels.kmvEstimate(small, ns, k) === 50L)
+  }
+
+  test("kmv merge/intersect estimates track true set algebra; roundtrip; hostile") {
+    val k = 256
+    def sketch(keys: Seq[Long]): (Array[Long], Int) = {
+      val buf = new Array[Long](k); var n = 0
+      keys.foreach(key => n = SketchKernels.kmvInsert(buf, n, k, SketchKernels.hashLong(key)))
+      (buf, n)
+    }
+    val aKeys = (0L until 7000L); val bKeys = (4000L until 12000L)
+    val (sa, na) = sketch(aKeys); val (sb, nb) = sketch(bKeys)
+    val (su, nu) = SketchKernels.kmvMerge(sa, na, sb, nb, k)
+    val ue = SketchKernels.kmvEstimate(su, nu, k)
+    assert(math.abs(ue - 12000.0) / 12000.0 < 0.20, s"union est $ue for 12000")
+    val ie = SketchKernels.kmvIntersect(sa, na, sb, nb, k)
+    assert(math.abs(ie - 3000.0) / 3000.0 < 0.5, s"intersect est $ie for 3000") // c~64 retained commons -> ~1/8 sigma; allow 4x
+    val bytes = SketchKernels.kmvSerialize(sa, na, k)
+    val (k2, n2, s2) = SketchKernels.kmvDeserialize(bytes)
+    assert(k2 === k && n2 === na && s2.take(n2).toSeq === sa.take(na).toSeq)
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.kmvDeserialize(bytes.take(8))).getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException](
+      SketchKernels.kmvDeserialize(Array[Byte]('X', 0, 1, 0, 0))).getMessage.contains("magic"))
+  }
+
+  test("sketch_overlap YAML op returns the one-row set algebra") {
+    import spark.implicits._
+    val a = (0L until 700L).map(Tuple1(_)).toDF("id")
+    val b = (300L until 1000L).map(Tuple1(_)).toDF("id")
+    val out = new graft.engine.Engine(spark).applyOperation(a,
+      Map("operation" -> "sketch_overlap", "column" -> "id",
+        "sources" -> List("$sources.b"),
+        "k" -> "2048"),
+      Map("sources.b" -> b), "spec").collect()
+    assert(out.length === 1)
+    val r = out.head
+    // k=2048 exceeds every cardinality involved -> every estimate is exact
+    assert(r.getLong(0) === 700L && r.getLong(1) === 700L)
+    assert(r.getLong(2) === 1000L && r.getLong(3) === 400L)
+  }
+
   test("streaming sketch ingest: totals equal the direct build; restart-safe") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sk-stream")
