@@ -345,11 +345,22 @@ object BenchFormat {
       // finer qmin_ds steps: each one trades a few more sub-threshold
       // VALUES for ~5 chars/entry, keeping the name-listing qdrop form
       // viable as the suite grows — the count-only qfast fallbacks must
-      // stay strictly last (names are the artifact's completeness bar)
+      // stay strictly last (names are the artifact's completeness bar).
+      // The high steps (8..30) exist because the suite passed 150 queries:
+      // a qdrop entry costs ~name+1 chars vs ~name+4 in the map, so
+      // raising the threshold keeps every NAME on the line long after the
+      // full value map stops fitting; per-rep 3-decimal values always
+      // persist in BENCH_RESULTS_r<N>.json regardless.
       tokDs(2),
       tokDs(3),
       tokDs(4),
       tokDs(5),
+      tokDs(8),
+      tokDs(10),
+      tokDs(13),
+      tokDs(16),
+      tokDs(20),
+      tokDs(30),
       tokDs(2, listDrops = false),
       tokDs(5, listDrops = false))
     tiers.find(_.length <= StdoutBudget).getOrElse {

@@ -61,6 +61,32 @@ object SketchProbe {
       require(hh == hhPlain, s"sketch-pruned HH $hh != exact $hhPlain")
       println(f"SCALE-LEG $d heavy_hitters=$tHh%.1fs plain_groupby=$tPlain%.1fs (min_count=$minCount, hitters=$hh)")
 
+      // --- seen-list filtering: Bloom drop (16 MB bits at log_bits=27,
+      // broadcast once) vs the exact left_anti join (shuffles or builds a
+      // full hash relation of the seen keys)
+      val seen = docs.select(col("doc_id")).filter(col("doc_id") % 10 === 3)
+      val (bloomKept, tBloom) = time(Sketches.bloomFilterRows(
+        docs, "doc_id", seen, "doc_id", logBits = 27, k = 5).count())
+      spark.catalog.clearCache()
+      val (antiKept, tAnti) = time(docs.join(seen, Seq("doc_id"), "left_anti").count())
+      spark.catalog.clearCache()
+      require(bloomKept <= antiKept, "bloom drop must never leak a seen row")
+      println(f"SCALE-LEG $d bloom_filter=$tBloom%.1fs left_anti=$tAnti%.1fs " +
+        f"(kept $bloomKept vs exact $antiKept, over-dropped ${antiKept - bloomKept})")
+
+      // --- set overlap without a join: KMV vs exact intersect counts
+      val (kmvRow, tKmv) = time(Sketches.setOverlap(
+        docs.filter(col("doc_id") % 3 =!= 0).select("doc_id"), "doc_id",
+        docs.filter(col("doc_id") % 2 =!= 0).select("doc_id"), "doc_id", k = 4096)
+        .collect().head)
+      spark.catalog.clearCache()
+      val (exactInt, tInt) = time(docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 =!= 0)
+        .select("doc_id").distinct().count())
+      spark.catalog.clearCache()
+      val ie = kmvRow.getLong(3)
+      println(f"SCALE-LEG $d kmv_overlap=$tKmv%.1fs exact_intersect=$tInt%.1fs " +
+        f"(est $ie vs exact $exactInt, rel err ${math.abs(ie - exactInt).toDouble / exactInt}%.4f)")
+
       // --- n_chars quantiles per lang: qhist s=5 vs exact percentile
       val (qh, tQh) = time(Sketches.quantileSketch(docs, Seq("lang"), "n_chars",
         Seq(0.5, 0.99), subBits = 5)

@@ -136,10 +136,17 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("a suite too large to ever fit degrades to valid truncated JSON, never an unparseable line") {
-    // 300 queries ALL slow: fast-drop can shed nothing, so the slowest-first
-    // truncation fallback must fire and stay structurally parseable
-    val huge = (1 to 300).map(i =>
-      f"q_very_long_synthetic_query_name_$i%03d" -> (if (i % 50 == 0) 45.0 else 2.0))
+    // 300 queries with INCOMPRESSIBLE names (md5-derived — no shared
+    // substrings for the token table to exploit, unlike the real suite's
+    // family-structured names, which the high-qmin qdrop tiers now keep
+    // whole): even the name-listing tiers cannot fit ~9 KB of raw names,
+    // so the slowest-first truncation fallback must fire and stay
+    // structurally parseable
+    val huge = (1 to 300).map { i =>
+      val noise = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString.take(24)
+      f"q_${noise}_$i%03d" -> (if (i % 50 == 0) 45.0 else 2.0)
+    }
     val line = BenchFormat.stdoutLine(
       total = 450.0, mins = huge, spreadWarn = Nil,
       contendedCount = 0, machineContended = false,
@@ -151,9 +158,10 @@ class BenchFormatSpec extends AnyFunSuite {
     // balanced braces = structurally parseable
     assert(line.count(_ == '{') == line.count(_ == '}'))
     // every 45-second query survived the cut
-    (50 to 300 by 50).foreach(i =>
-      assert(line.contains(f"q_very_long_synthetic_query_name_$i%03d"),
-        s"slow query $i must survive truncation"))
+    (50 to 300 by 50).foreach { i =>
+      val name = huge(i - 1)._1
+      assert(line.contains(name), s"slow query $name must survive truncation")
+    }
   }
 
   test("tokenAbbreviations: lossless round-trip, codes are uppercase, deterministic") {
