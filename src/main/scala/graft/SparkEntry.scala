@@ -1452,6 +1452,18 @@ object SparkEntry {
         q, k = 10, m = 8, ksub = 16, rerank = 100, iters = 0)
     }),
 
+    // IVF-PQ composition: the coarse quantizer prunes to 8 of 16 cells
+    // (the fraction of the corpus actually scanned), then PQ-ADC scores
+    // the ~260 survivors — both stages deterministically seeded, so the
+    // full composition is SQL-reproducible end-to-end
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      graft.functions.Pq.ivfPqTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, k = 10, nlist = 16, nprobe = 8, m = 8, ksub = 16, rerank = 100, iters = 0)
+    }),
+
     // OR-amplified (multi-table) ANN: at numPlanes=8 a single probe finds 1
     // of the top-10 on this corpus; the union over 8 independent tables
     // finds all 10 (recall assertion at numPlanes=12 lives in FunctionsSpec
@@ -3275,6 +3287,73 @@ object SparkEntry {
              - 2*list_dot_product(b.qv[subs.s*8+1 : subs.s*8+8], seeds.cv[subs.s*8+1 : subs.s*8+8])
              + list_dot_product(seeds.cv[subs.s*8+1 : subs.s*8+8], seeds.cv[subs.s*8+1 : subs.s*8+8]) AS dist
            FROM base b CROSS JOIN subs CROSS JOIN seeds WHERE b.vec_id <> 0),
+         codes AS (
+           SELECT vec_id, s, j FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+             FROM enc) WHERE rn = 1),
+         lut AS (
+           SELECT subs.s, seeds.j,
+             list_dot_product((SELECT query_qv FROM q)[subs.s*8+1 : subs.s*8+8],
+                              (SELECT query_qv FROM q)[subs.s*8+1 : subs.s*8+8])
+             - 2*list_dot_product((SELECT query_qv FROM q)[subs.s*8+1 : subs.s*8+8],
+                                  seeds.cv[subs.s*8+1 : subs.s*8+8])
+             + list_dot_product(seeds.cv[subs.s*8+1 : subs.s*8+8],
+                                seeds.cv[subs.s*8+1 : subs.s*8+8]) AS dist
+           FROM subs CROSS JOIN seeds),
+         adc AS (
+           SELECT c.vec_id, sum(l.dist) AS approx
+           FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.j
+           GROUP BY c.vec_id),
+         cand AS (SELECT vec_id FROM adc ORDER BY approx ASC, vec_id ASC LIMIT 100)
+         SELECT b.vec_id AS id,
+           round(list_cosine_similarity(b.embedding, (SELECT query_emb FROM q)), 4) AS cos_sim
+         FROM cand JOIN base b ON b.vec_id = cand.vec_id
+         ORDER BY list_cosine_similarity(b.embedding, (SELECT query_emb FROM q)) DESC, b.vec_id ASC
+         LIMIT 10""",
+
+    // IVF coarse prune (the q_ann_ivf cent/probe/assign CTEs at nprobe=8)
+    // feeding the PQ pipeline (the q_ann_pq CTEs) with seeds drawn from
+    // the SURVIVOR set — mirrors Pq.ivfPqTopK(iters = 0) exactly
+    "q_ann_ivfpq" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+           FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 16),
+         qrow AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         probe AS (
+           SELECT cid FROM cent, qrow
+           ORDER BY list_dot_product(qrow.embedding::DOUBLE[], cvec) / cnorm DESC, cid ASC
+           LIMIT 8),
+         assign AS (
+           SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) / c.cnorm DESC,
+                             c.cid ASC) AS rn
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0),
+         surv AS (
+           SELECT e.vec_id, e.embedding
+           FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+           WHERE a.cid IN (SELECT cid FROM probe)),
+         base AS (
+           SELECT vec_id, embedding,
+             list_transform(embedding, x -> round(x::DOUBLE /
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 256)) AS qv
+           FROM surv),
+         q AS (SELECT list_transform(embedding, x -> round(x::DOUBLE /
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 256)) AS query_qv,
+               embedding AS query_emb
+               FROM embeddings WHERE vec_id = 0),
+         seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS cv
+           FROM (SELECT vec_id, qv FROM base ORDER BY vec_id LIMIT 16)),
+         subs AS (SELECT unnest(range(0, 8)) AS s),
+         enc AS (
+           SELECT b.vec_id, subs.s, seeds.j,
+             list_dot_product(b.qv[subs.s*8+1 : subs.s*8+8], b.qv[subs.s*8+1 : subs.s*8+8])
+             - 2*list_dot_product(b.qv[subs.s*8+1 : subs.s*8+8], seeds.cv[subs.s*8+1 : subs.s*8+8])
+             + list_dot_product(seeds.cv[subs.s*8+1 : subs.s*8+8], seeds.cv[subs.s*8+1 : subs.s*8+8]) AS dist
+           FROM base b CROSS JOIN subs CROSS JOIN seeds),
          codes AS (
            SELECT vec_id, s, j FROM (
              SELECT vec_id, s, j,

@@ -257,7 +257,8 @@ final class Engine(spark: SparkSession) {
       "shingle_size", "max_doc_freq", "corpus_is_index"),
     "semantic_dedup" -> Set("id_column", "column", "threshold", "nlist", "iters"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
-      "num_planes", "num_tables", "rerank", "subspaces", "centroids", "iters"),
+      "num_planes", "num_tables", "rerank", "subspaces", "centroids", "iters",
+      "nlist", "nprobe"),
     "ann_join" -> Set("sources", "id_column", "column", "k",
       "num_planes", "num_tables"),
     "token_budget" -> Set("id_column", "column", "tokens_column", "budget"),
@@ -1033,8 +1034,19 @@ final class Engine(spark: SparkSession) {
             ksub = Config.int(op, "centroids").getOrElse(16),
             rerank = Config.int(op, "rerank").getOrElse(math.max(100, 10 * k)),
             iters = Config.int(op, "iters").getOrElse(0))
+          case "ivf" => graft.functions.Similarity.ivfTopK(df, idC, vecC, q, k,
+            nlist = Config.int(op, "nlist").getOrElse(16),
+            nprobe = Config.int(op, "nprobe").getOrElse(4),
+            iters = Config.int(op, "iters").getOrElse(0))
+          case "ivf_pq" => graft.functions.Pq.ivfPqTopK(df, idC, vecC, q, k,
+            nlist = Config.int(op, "nlist").getOrElse(16),
+            nprobe = Config.int(op, "nprobe").getOrElse(4),
+            m = Config.int(op, "subspaces").getOrElse(8),
+            ksub = Config.int(op, "centroids").getOrElse(16),
+            rerank = Config.int(op, "rerank").getOrElse(math.max(100, 10 * k)),
+            iters = Config.int(op, "iters").getOrElse(0))
           case other => throw new IllegalArgumentException(
-            s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable, quantized, pq], not `$other`")
+            s"$ctx: ann_topk `method` must be one of [brute, lsh, multitable, quantized, pq, ivf, ivf_pq], not `$other`")
         }
       // batch ANN retrieval join: the node's frame is the QUERY side, the
       // single `sources:` frame is the corpus; reshapes to

@@ -235,4 +235,20 @@ object Pq {
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
   }
+
+  /** IVF-PQ: the billion-scale composition — the IVF coarse quantizer
+    * prunes the scan to the `nprobe` cells nearest the query (the fraction
+    * of the corpus actually read), then PQ-ADC scores the survivors at 8
+    * bytes/vector equivalent with the exact-cosine rerank on top. Both
+    * stages keep their own deterministic seeding, so the whole composition
+    * is oracle-reproducible (q_ann_ivfpq). The PQ codebook trains on the
+    * SURVIVOR set — the residual-free variant: cells localize, codes
+    * refine within the probed region. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+                k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 100,
+                scale: Int = 256, iters: Int = 0): DataFrame = {
+    val survivors = Similarity.ivfProbeFilter(df, idCol, vecCol, query, nlist, nprobe, iters)
+    pqTopK(survivors, idCol, vecCol, query, k, m, ksub, rerank, scale, iters)
+  }
 }

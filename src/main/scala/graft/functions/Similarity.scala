@@ -307,6 +307,41 @@ object Similarity {
     cents
   }
 
+  /** The IVF coarse stage alone: keep only (id, vec) rows falling in the
+    * `nprobe` cells nearest the query — the reusable front half of
+    * [[ivfTopK]], so other scorers (PQ-ADC in `Pq.ivfPqTopK`) can ride the
+    * same partition-pruning. Output columns keep the caller's names. */
+  def ivfProbeFilter(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], nlist: Int = 16, nprobe: Int = 4,
+                     iters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(df, idCol, vecCol, nlist, iters)
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val qArr = query.toArray
+    val qNorm = math.sqrt(qArr.map(x => x.toDouble * x.toDouble).sum)
+    val probed = cents.indices
+      .map { c =>
+        val sim =
+          if (norms(c) > 0 && qNorm > 0) {
+            var dot = 0.0
+            var i = 0
+            val n = math.min(qArr.length, cents(c).length)
+            while (i < n) { dot += qArr(i).toDouble * cents(c)(i); i += 1 }
+            dot / (norms(c) * qNorm)
+          } else Double.NegativeInfinity
+        (c, sim)
+      }.sortBy { case (c, sim) => (-sim, c) }.take(nprobe).map(_._1).toSet
+    val b = spark.sparkContext.broadcast((cents, norms, probed))
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val (cs, ns, probe) = b.value
+        rows.filter { case (_, v) => probe.contains(nearestCell(v, cs, ns)) }
+      }
+      .toDF(idCol, vecCol)
+  }
+
   /** Nearest centroid by cosine (ranking needs only dot/|c| — |v| factors
     * out); ties and the zero-vector degenerate case go to the smallest
     * cell id, matching the oracle's `ORDER BY sim DESC, cid ASC`. */

@@ -106,6 +106,42 @@ class PqSpec extends SparkSpec {
     assert(e3.getMessage.contains("ksub"))
   }
 
+  test("ivf-pq composition: cell prune then ADC, recall holds on a clustered corpus") {
+    val rows = clustered()
+    val df = asParquet(rows)
+    val query = rows.head._2
+    val corpus = df.filter(col("vec_id") =!= 0)
+    val survivors = Similarity.ivfProbeFilter(corpus, "vec_id", "embedding", query,
+      nlist = 16, nprobe = 4)
+    val total = corpus.count()
+    val nSurv = survivors.count()
+    assert(nSurv < total, s"probe must prune ($nSurv of $total)")
+    assert(survivors.columns.toSeq === Seq("vec_id", "embedding"))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivfpq = Pq.ivfPqTopK(corpus, "vec_id", "embedding", query,
+      k = 10, nlist = 16, nprobe = 4, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    // clusters are tight (0.15 sigma): the query's cluster lands inside the
+    // probed cells, so the composition keeps the brute-force neighbors
+    assert((ivfpq & exact).size >= 9, s"recall ${(ivfpq & exact).size}/10 (ivfpq=$ivfpq)")
+  }
+
+  test("ann_topk YAML dispatch reaches ivf and ivf_pq") {
+    val rows = clustered(200)
+    val df = asParquet(rows)
+    for (method <- Seq("ivf", "ivf_pq")) {
+      val out = new graft.engine.Engine(spark).applyOperation(df,
+        Map("operation" -> "ann_topk", "id_column" -> "vec_id", "column" -> "embedding",
+          "method" -> method, "k" -> "5", "nprobe" -> "8", "rerank" -> "30",
+          "query" -> rows.head._2.map(_.toString).toList),
+        Map.empty, "spec")
+      assert(out.columns.toSeq === Seq("id", "cos_sim"), method)
+      assert(out.count() === 5, method)
+      assert(out.collect().map(_.getLong(0)).contains(0L), method)
+    }
+  }
+
   test("ann_topk YAML dispatch reaches the pq method") {
     val rows = clustered(100)
     val df = asParquet(rows)
