@@ -63,3 +63,90 @@ case class PqAdcDistance(child: Expression, scale: Int, codebook: Array[Int],
   override protected def withNewChildInternal(newChild: Expression): PqAdcDistance =
     copy(child = newChild)
 }
+
+/** PQ encode: embedding -> m one-byte codes (the persisted artifact; see
+  * Pq.encodeVectors for why codes, not on-the-fly ADC, is the scan-
+  * bandwidth story). */
+case class PqEncode(child: Expression, scale: Int, codebook: Array[Int],
+                    m: Int, ksub: Int, subDim: Int)
+    extends UnaryExpression {
+  require(codebook.length == m * ksub * subDim, "pq_encode: codebook shape mismatch")
+  require(ksub <= 256, s"pq_encode: ksub must fit one byte, got $ksub")
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case Some(_) => TypeCheckResult.TypeCheckSuccess
+    case None => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float|double>, got ${child.dataType.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  private def toDoubles(a: ArrayData): Array[Double] = elemType.get match {
+    case FloatType => a.toFloatArray().map(_.toDouble)
+    case _ => a.toDoubleArray()
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val q = graft.functions.Pq.quantize(toDoubles(input.asInstanceOf[ArrayData]), scale)
+    val codes = graft.functions.Pq.encode(q, codebook, m, ksub, subDim)
+    val out = new Array[Byte](m)
+    var i = 0
+    while (i < m) { out(i) = codes(i).toByte; i += 1 }
+    out
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "int[]")
+    val conv = elemType.get match {
+      case FloatType =>
+        (c: String) => s"""float[] f = $c.toFloatArray();
+           |double[] v = new double[f.length];
+           |for (int i = 0; i < f.length; i++) v[i] = (double) f[i];""".stripMargin
+      case _ => (c: String) => s"double[] v = $c.toDoubleArray();"
+    }
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${conv(c)}
+         |int[] q = graft.functions.Pq.quantize(v, $scale);
+         |int[] codes = graft.functions.Pq.encode(q, $cbRef, $m, $ksub, $subDim);
+         |byte[] out = new byte[$m];
+         |for (int i = 0; i < $m; i++) out[i] = (byte) codes[i];
+         |${ev.value} = out;
+         |""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** ADC over pre-encoded codes: sum of m LUT lookups — the per-row cost of
+  * the codes-scan path. */
+case class PqAdcFromCodes(child: Expression, lut: Array[Long], m: Int, ksub: Int)
+    extends UnaryExpression {
+  require(lut.length == m * ksub, "pq_adc_codes: lut shape mismatch")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_codes requires binary codes, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_codes"
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    var total = 0L
+    var s = 0
+    val n = math.min(m, codes.length)
+    while (s < n) { total += lut(s * ksub + (codes(s) & 0xFF)); s += 1 }
+    total
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqLut", lut, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""long total = 0L;
+         |int n = java.lang.Math.min($m, $c.length);
+         |for (int s = 0; s < n; s++) total += $lutRef[s * $ksub + ($c[s] & 0xFF)];
+         |${ev.value} = total;
+         |""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcFromCodes =
+    copy(child = newChild)
+}

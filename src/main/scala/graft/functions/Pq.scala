@@ -236,6 +236,68 @@ object Pq {
       .limit(k)
   }
 
+  /** Encode a corpus to PQ codes (m bytes per vector) against a codebook
+    * trained here — the artifact a 100 TB deployment PERSISTS: scanning
+    * m=8 one-byte codes instead of 64 floats is 32x less read bandwidth,
+    * and that, not the ADC arithmetic, is where PQ pays (pqTopK over raw
+    * floats decodes the float column anyway — measured at parity with
+    * brute force locally; see PLANS.md). Returns (df + codesCol, codebook)
+    * so queries can build LUTs against the same codebook. */
+  def encodeVectors(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                    codesCol: String = "pq_codes", m: Int = 8, ksub: Int = 16,
+                    scale: Int = 256, iters: Int = 0): (DataFrame, Array[Int]) = {
+    val codebook = trainCodebook(df, idCol, vecCol, dims, m, ksub, scale, iters)
+    val spark = df.sparkSession
+    val fname = "graft_pq_encode_" + java.lang.Long.toHexString(
+      java.util.Arrays.hashCode(codebook).toLong * 1000003L + m * 31L + ksub)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+      case Seq(e) => graft.expressions.PqEncode(e, scale, codebook, m, ksub, dims / m)
+      case other => throw new IllegalArgumentException(s"$fname takes 1 argument, got ${other.size}")
+    }, "built-in")
+    (df.withColumn(codesCol, call_function(fname, col(vecCol))), codebook)
+  }
+
+  /** Top-k over a PRE-ENCODED codes frame: the scan touches only the
+    * m-byte codes column (column pruning drops the floats), candidates
+    * come from a pure LUT sum per row, and only the `rerank` survivors
+    * join back to their float vectors for the exact rerank — at scale
+    * that join reads `rerank` rows, not the corpus. */
+  def pqTopKOnCodes(encoded: DataFrame, idCol: String, codesCol: String, vecCol: String,
+                    query: Seq[Float], codebook: Array[Int],
+                    k: Int = 10, m: Int = 8, ksub: Int = 16, rerank: Int = 100,
+                    scale: Int = 256): DataFrame = {
+    val spark = encoded.sparkSession
+    val dims = query.length
+    val subDim = dims / m
+    val qq = quantize(query.map(_.toDouble).toArray, scale)
+    val lut = new Array[Long](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        lut(s * ksub + j) = subDist(qq, s * subDim, codebook, (s * ksub + j) * subDim, subDim)
+        j += 1
+      }
+      s += 1
+    }
+    val fname = "graft_pq_lut_" + java.lang.Long.toHexString(
+      java.util.Arrays.hashCode(lut).toLong * 1000003L + m)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+      case Seq(e) => graft.expressions.PqAdcFromCodes(e, lut, m, ksub)
+      case other => throw new IllegalArgumentException(s"$fname takes 1 argument, got ${other.size}")
+    }, "built-in")
+    val candidates = encoded
+      .select(col(idCol), col(codesCol)) // column-pruned: floats stay on disk
+      .withColumn("__pq_d__", call_function(fname, col(codesCol)))
+      .orderBy(col("__pq_d__").asc, col(idCol).asc)
+      .limit(rerank)
+    encoded.join(candidates.select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol).cast(LongType).as("id"),
+        round(Similarity.cosine(col(vecCol), typedlit(query)), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** IVF-PQ: the billion-scale composition — the IVF coarse quantizer
     * prunes the scan to the `nprobe` cells nearest the query (the fraction
     * of the corpus actually read), then PQ-ADC scores the survivors at 8

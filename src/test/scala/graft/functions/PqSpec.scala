@@ -127,6 +127,26 @@ class PqSpec extends SparkSpec {
     assert((ivfpq & exact).size >= 9, s"recall ${(ivfpq & exact).size}/10 (ivfpq=$ivfpq)")
   }
 
+  test("pre-encoded codes scan returns exactly the float-path results") {
+    val rows = clustered(400)
+    val df = asParquet(rows)
+    val query = rows.head._2
+    val corpus = df.filter(col("vec_id") =!= 0)
+    val (encoded, cb) = Pq.encodeVectors(corpus, "vec_id", "embedding", 64)
+    // persist + re-read: the codes column must survive parquet round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-codes").toFile
+    dir.deleteOnExit()
+    encoded.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val enc = spark.read.parquet(dir.getAbsolutePath)
+    assert(enc.select("pq_codes").head().getAs[Array[Byte]](0).length === 8)
+    val viaCodes = Pq.pqTopKOnCodes(enc, "vec_id", "pq_codes", "embedding", query, cb,
+      k = 10, rerank = 60).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaFloats = Pq.pqTopK(corpus, "vec_id", "embedding", query,
+      k = 10, rerank = 60).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaCodes === viaFloats,
+      "codes-scan and float-scan paths must produce identical results")
+  }
+
   test("ann_topk YAML dispatch reaches ivf and ivf_pq") {
     val rows = clustered(200)
     val df = asParquet(rows)
