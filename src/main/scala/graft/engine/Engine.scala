@@ -487,6 +487,7 @@ final class Engine(spark: SparkSession) {
           Config.str(op, "source_column").getOrElse(c),
           Config.int(op, "k").getOrElse(256))
       case "sketch_quantile" =>
+        import org.apache.spark.sql.functions.{col => fcol, round => fround}
         val groupCols = listOf(op, "group_by_columns")
         val c = Config.reqStr(op, "column", ctx)
         val fracs = Config.asScalarList(op.getOrElse("fractions",
@@ -495,9 +496,18 @@ final class Engine(spark: SparkSession) {
         val skC = Config.str(op, "sketch_column")
         if (Config.bool(op, "merge_sketches"))
           graft.functions.Sketches.mergeQuantiles(df, groupCols, c, fracs, skC)
-        else
-          graft.functions.Sketches.quantileSketch(df, groupCols, c, fracs,
+        else {
+          // all-string pipelines (csv sources): coerce with the group_by
+          // contract — cast-to-double raises on malformed values under
+          // ANSI (pd.to_numeric(errors='raise')), then HALF_UP round to
+          // the integer grid the log-histogram buckets (exact integers
+          // pass through unchanged; qhist itself stays strict)
+          val tmp = "__graft_qhist_v__"
+          graft.functions.Sketches.quantileSketch(
+            df.withColumn(tmp, fround(fcol(c).cast("double")).cast("long")),
+            groupCols, tmp, fracs,
             Config.int(op, "sub_bits").getOrElse(5), skC)
+        }
       // multimodal: header metadata / perceptual signature / near-dedup
       // over binary image payload columns
       case "image_meta" =>
