@@ -1846,6 +1846,15 @@ object SparkEntry {
       graft.streaming.Streams.sketchDistinctTotals(s, s"$dir/sketches", Seq("l_returnflag"))
     }),
 
+    // fixed-point integer PageRank over the supplier->part link graph
+    // (~45k distinct edges): integer sums commute, so the ranks are
+    // independent of partitioning/join order and the oracle's unrolled
+    // iteration layers reproduce them EXACTLY
+    "q_pagerank" -> ((s, d) =>
+      graft.functions.Graph.pageRank(
+        t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", iters = 3)),
+
     // ========================================================== destination
     "q_render_template" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -1974,7 +1983,34 @@ object SparkEntry {
     }
   }
 
+  /** Unrolled fixed-point PageRank layers — one CTE pair per iteration,
+    * mirroring Graph.pageRank's integer arithmetic exactly (BIGINT `//`
+    * floor division; sums exact in HUGEINT, cast back per layer). */
+  private def pageRankSql(iters: Int): String = {
+    val mass = graft.functions.Graph.Mass
+    val head =
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, CAST($mass // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes)"""
+    val layers = (1 to iters).map { i =>
+      s""",
+         c$i AS (
+           SELECT e.dst AS node, sum((r.rank * 850000) // (1000000 * deg.d)) AS m
+           FROM r${i - 1} r JOIN e ON e.src = r.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r$i AS (
+           SELECT nodes.node,
+                  CAST((($mass * 150000) // 1000000) // (SELECT n FROM nn)
+                       + coalesce(c$i.m, 0) AS BIGINT) AS rank
+           FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)"""
+    }.mkString
+    s"$head$layers SELECT node, rank FROM r$iters ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql(3),
     "q_sketch_hll" -> SketchSql.hllSql,
     "q_sketch_hll_merge" -> SketchSql.hllSql,
     "q_stream_sketch" -> SketchSql.hllSql,

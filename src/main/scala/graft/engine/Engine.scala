@@ -277,6 +277,7 @@ final class Engine(spark: SparkSession) {
       "sub_bits", "sketch_column", "merge_sketches"),
     "bloom_filter" -> Set("sources", "column", "source_column", "log_bits", "k", "mode"),
     "sketch_overlap" -> Set("sources", "column", "source_column", "k"),
+    "pagerank" -> Set("src_column", "dst_column", "iterations", "damping_ppm"),
   )
 
   /** Append `prefix+field` columns from a registry struct function over a
@@ -486,6 +487,14 @@ final class Engine(spark: SparkSession) {
         graft.functions.Sketches.setOverlap(df, c, other,
           Config.str(op, "source_column").getOrElse(c),
           Config.int(op, "k").getOrElse(256))
+      // link-graph rank over an edge frame (fixed-point integer PageRank —
+      // crawl-priority / quality weighting; Graph.scala has the contract)
+      case "pagerank" =>
+        graft.functions.Graph.pageRank(df,
+          Config.reqStr(op, "src_column", ctx),
+          Config.reqStr(op, "dst_column", ctx),
+          Config.int(op, "iterations").getOrElse(3),
+          Config.str(op, "damping_ppm").map(_.toLong).getOrElse(850000L))
       case "sketch_quantile" =>
         import org.apache.spark.sql.functions.{col => fcol, round => fround}
         val groupCols = listOf(op, "group_by_columns")

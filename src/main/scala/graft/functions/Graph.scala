@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Link-graph analytics for crawl curation — the rank signal web-corpus
+ * pipelines weight quality and crawl priority by (Page et al. 1999; Common
+ * Crawl publishes exactly this family of ranks per host).
+ *
+ * Arithmetic is FIXED-POINT: ranks are integer micro-units of a 10^12 total
+ * mass, and every per-edge contribution is one Long floor-division —
+ * integer sums commute, so the result is independent of partitioning,
+ * join order, and engine, and the DuckDB oracle (unrolled iteration
+ * layers) reproduces it EXACTLY. Floating-point PageRank cannot make that
+ * promise (per-vertex sums would depend on aggregation order).
+ *
+ * Scale shape: each iteration is one equi-join (ranks x edges on src) and
+ * one groupBy(dst) sum — both shuffle on the same key, with map-side
+ * partial aggregation; iteration count is a fixed small constant, so the
+ * whole computation is `iters` shuffles over the edge list, never a
+ * driver-side loop over rows. Dangling mass (nodes without outlinks) is
+ * dropped, the common simplification — ranks then bound a node's relative
+ * link authority rather than a strict probability.
+ */
+object Graph {
+  /** Total fixed-point mass (micro-rank units). rank*damping products stay
+    * under 2^63: 10^12 * 10^6 = 10^18. */
+  val Mass: Long = 1000000000000L
+
+  /** PageRank over an edge frame. Returns (node, rank) with ranks in
+    * micro-units of [[Mass]]. `dampingPpm` = damping factor in parts per
+    * million (850000 = the canonical 0.85). Duplicate edges count once
+    * (the link exists or it does not); self-loops participate like any
+    * other edge. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"pagerank: iters must be in [1,50], got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"pagerank: damping_ppm must be in [0,1e6], got $dampingPpm")
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      try {
+        val n = nodes.count()
+        require(n > 0, "pagerank: edge frame has no valid edges")
+        val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+        val base = (Mass * (1000000L - dampingPpm) / 1000000L) / n
+        var ranks = nodes.withColumn("rank", lit(Mass / n))
+        var it = 0
+        while (it < iters) {
+          // contribution of u to each neighbor: rank_u * d DIV (1e6 * deg_u)
+          // — integral DIV, NOT `/`: Spark's `/` on longs is double
+          // division, and rank*d reaches 10^18 > 2^53 where doubles drop
+          // low bits (the oracle's integer `//` would then disagree)
+          val contribs = ranks
+            .join(e, ranks("node") === e("src"))
+            .join(outDeg, "src")
+            .select(col("dst").as("node"),
+              expr(s"rank * ${dampingPpm}L div (1000000L * out_deg)").as("contrib"))
+            .groupBy("node").agg(sum("contrib").as("in_mass"))
+          ranks = nodes
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"), (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+          it += 1
+        }
+        // materialize before unpersisting the lineage inputs
+        val out = ranks.select(col("node"), col("rank")).persist()
+        out.count()
+        out
+      } finally nodes.unpersist()
+    } finally e.unpersist()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: closed-form graphs, exact partition independence
+  * (the property the integer arithmetic buys), mass accounting, and the
+  * YAML dispatch. */
+class GraphSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("symmetric cycle: every node holds exactly the same rank at every iteration") {
+    val n = 5
+    val cyc = edges((0L until n.toLong).map(i => i -> ((i + 1) % n)): _*)
+    for (iters <- Seq(1, 4)) {
+      val ranks = Graph.pageRank(cyc, "src", "dst", iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ranks.size === n)
+      assert(ranks.values.toSet.size === 1, s"cycle ranks must be uniform: $ranks")
+    }
+  }
+
+  test("star: the hub collects the leaves' damped mass (closed form)") {
+    // 4 leaves -> hub 9; one iteration from uniform 1/5 mass each
+    val star = edges(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L, 9L -> 1L)
+    val ranks = Graph.pageRank(star, "src", "dst", iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r0 = Graph.Mass / 5
+    val base = (Graph.Mass * 150000L / 1000000L) / 5
+    val contrib = r0 * 850000L / 1000000L // out_deg = 1 for every node
+    assert(ranks(9L) === base + 4 * contrib)
+    assert(ranks(1L) === base + contrib) // only the hub links to 1
+    assert(ranks(2L) === base) // nothing links to a leaf
+  }
+
+  test("ranks are exactly partition-independent (integer sums commute)") {
+    val rnd = new scala.util.Random(13)
+    val e = edges(Seq.fill(3000)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)): _*)
+    val a = Graph.pageRank(e.repartition(1), "src", "dst", 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(e.repartition(7, col("dst")), "src", "dst", 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "fixed-point ranks must not depend on partitioning")
+  }
+
+  test("mass is conserved up to floor losses; duplicates and self-loops behave") {
+    val e = edges(1L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 3L)
+    val ranks = Graph.pageRank(e, "src", "dst", 4).collect().map(_.getLong(1))
+    val total = ranks.sum
+    // every floor drops < 1 unit per edge per iteration; no dangling nodes
+    assert(total <= Graph.Mass && total >= Graph.Mass - 4 * 5 - 4 * 3,
+      s"mass off: $total vs ${Graph.Mass}")
+    // duplicate (1->2) must count once: node 1's out_deg is 1, so node 2
+    // receives 1's whole damped rank, strictly more than node 1 gets from 3
+    val m = Graph.pageRank(e, "src", "dst", 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) > m(1L))
+  }
+
+  test("dangling mass drains (documented simplification); rejects bad params") {
+    val e = edges(1L -> 2L, 3L -> 2L) // node 2 has no outlinks
+    val ranks = Graph.pageRank(e, "src", "dst", 2).collect().map(_.getLong(1)).sum
+    assert(ranks < Graph.Mass, "node 2's collected mass drains in iteration 2")
+    assert(intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", 0)).getMessage.contains("iters"))
+    assert(intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", 3, dampingPpm = 2000000L)).getMessage.contains("damping"))
+  }
+
+  test("pagerank YAML dispatch") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val out = new graft.engine.Engine(spark).applyOperation(e,
+      Map("operation" -> "pagerank", "src_column" -> "src", "dst_column" -> "dst",
+        "iterations" -> "2"),
+      Map.empty, "spec")
+    assert(out.columns.toSeq === Seq("node", "rank"))
+    assert(out.count() === 3)
+    assert(out.select("rank").collect().map(_.getLong(0)).toSet.size === 1) // 3-cycle: uniform
+  }
+}
