@@ -39,42 +39,47 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"pagerank: iters must be in [1,50], got $iters")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"pagerank: damping_ppm must be in [0,1e6], got $dampingPpm")
+    // edge list and node set are read `iters`+1 times — cache them for the
+    // duration of the single materializing pass below, then release
     val e = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     try {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct().persist()
-      try {
-        val n = nodes.count()
-        require(n > 0, "pagerank: edge frame has no valid edges")
-        val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-        val base = (Mass * (1000000L - dampingPpm) / 1000000L) / n
-        var ranks = nodes.withColumn("rank", lit(Mass / n))
-        var it = 0
-        while (it < iters) {
-          // contribution of u to each neighbor: rank_u * d DIV (1e6 * deg_u)
-          // — integral DIV, NOT `/`: Spark's `/` on longs is double
-          // division, and rank*d reaches 10^18 > 2^53 where doubles drop
-          // low bits (the oracle's integer `//` would then disagree)
-          val contribs = ranks
-            .join(e, ranks("node") === e("src"))
-            .join(outDeg, "src")
-            .select(col("dst").as("node"),
-              expr(s"rank * ${dampingPpm}L div (1000000L * out_deg)").as("contrib"))
-            .groupBy("node").agg(sum("contrib").as("in_mass"))
-          ranks = nodes
-            .join(contribs, Seq("node"), "left")
-            .select(col("node"), (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-          it += 1
-        }
-        // materialize before unpersisting the lineage inputs
-        val out = ranks.select(col("node"), col("rank")).persist()
-        out.count()
-        out
-      } finally nodes.unpersist()
-    } finally e.unpersist()
+      val n = nodes.count() // one pass; the cached node set feeds the loop
+      require(n > 0, "pagerank: edge frame has no valid edges")
+      // out-degree fused into the edge list ONCE — one join per iteration,
+      // not two (the degree never changes across iterations)
+      val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src").persist()
+      val base = (Mass * (1000000L - dampingPpm) / 1000000L) / n
+      var ranks = nodes.withColumn("rank", lit(Mass / n))
+      var it = 0
+      while (it < iters) {
+        // contribution of u to each neighbor: rank_u * d DIV (1e6 * deg_u)
+        // — integral DIV, NOT `/`: Spark's `/` on longs is double
+        // division, and rank*d reaches 10^18 > 2^53 where doubles drop
+        // low bits (the oracle's integer `//` would then disagree)
+        val contribs = ranks
+          .join(e2, ranks("node") === e2("src"))
+          .select(col("dst").as("node"),
+            expr(s"rank * ${dampingPpm}L div (1000000L * out_deg)").as("contrib"))
+          .groupBy("node").agg(sum("contrib").as("in_mass"))
+        ranks = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"), (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        it += 1
+      }
+      // ONE materializing pass (localCheckpoint also truncates the
+      // iters-deep lineage, so downstream plans stay flat); the (node,
+      // rank) blocks it stores are reclaimed by the ContextCleaner when
+      // the frame is garbage-collected — unlike a persist() the caller
+      // could never safely release
+      val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+      e2.unpersist()
+      out
+    } finally { nodes.unpersist(); e.unpersist() }
   }
 }
