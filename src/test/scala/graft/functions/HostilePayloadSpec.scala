@@ -92,4 +92,53 @@ class HostilePayloadSpec extends AnyFunSuite {
     probeAll(tt)
     assert((System.nanoTime() - t0) / 1e9 < 10.0, "hostile dims must refuse fast")
   }
+
+  // Sketch deserializers face PIPELINE-INTERNAL bytes (a corrupt sketch
+  // column is data corruption, not crawl input), so their contract differs
+  // from the crawl-facing decoders above: they may throw, but ONLY
+  // IllegalArgumentException with a message, and never before validating
+  // lengths — a hostile header must not provoke a large allocation. This
+  // sweep drives the whole hostile corpus through all five families.
+  test("sketch deserializers reject hostile bytes diagnosably, bounded allocation") {
+    def probeSketches(b: Array[Byte]): Unit = {
+      for (f <- Seq[Array[Byte] => Any](
+        SketchKernels.hllDeserialize _, SketchKernels.cmsDeserialize _,
+        SketchKernels.logHistDeserialize _, SketchKernels.bloomDeserialize _,
+        SketchKernels.kmvDeserialize _)) {
+        try { f(b); () } catch {
+          case e: IllegalArgumentException => assert(e.getMessage != null)
+        }
+      }
+    }
+    (1 to 60).foreach { _ =>
+      probeSketches(Array.fill(1 + rnd.nextInt(4096))(rnd.nextInt(256).toByte))
+    }
+    probeSketches(Array.empty[Byte])
+    // magic-correct headers with hostile shape fields: the length check
+    // must fire before any shape-derived allocation
+    for (magic <- Seq('H', 'C', 'Q', 'B', 'K'); b1 <- Seq(0, 24, 30, 127, -1);
+         b2 <- Seq(0, 16, 127, -1)) {
+      probeSketches(Array[Byte](magic.toByte, b1.toByte, b2.toByte))
+      probeSketches(Array[Byte](magic.toByte, b1.toByte, b2.toByte) ++
+        Array.fill(64)(0x5A.toByte))
+    }
+    // truncations of valid sketches from every family
+    val regs = SketchKernels.hllCreate(8)
+    SketchKernels.hllUpdate(regs, 8, 12345L)
+    val cms = SketchKernels.cmsCreate(2, 64)
+    val qh = new Array[Long](SketchKernels.logHistNumBuckets(4))
+    val bloom = SketchKernels.bloomCreate(10)
+    val kmv = new Array[Long](16)
+    val fulls = Seq(
+      SketchKernels.hllSerialize(regs, 8),
+      SketchKernels.cmsSerialize(cms, 2, 64),
+      SketchKernels.logHistSerialize(qh, 4),
+      SketchKernels.bloomSerialize(bloom, 10, 5),
+      SketchKernels.kmvSerialize(kmv, 3, 16))
+    fulls.foreach { full =>
+      (0 until full.length by math.max(1, full.length / 25)).foreach { n =>
+        probeSketches(java.util.Arrays.copyOf(full, n))
+      }
+    }
+  }
 }
