@@ -189,6 +189,23 @@ class OpsSpec extends SparkSpec {
     assert(approx("h") == 5.0 && approx("g") >= 2.0 && approx("g") <= 3.0)
   }
 
+  test("groupBy: approx_distinct HLL extension (exact below the register regime)") {
+    graft.expressions.GraftFunctions.register(spark)
+    // 3 groups x 120 distinct string keys each — far below 2^12 registers,
+    // so the linear-counting branch answers EXACTLY
+    val df = (0 until 720).map(i => (s"g${i % 3}", s"k${i % 360}")).toDF("k", "v")
+    val out = Ops.groupBy(df, Seq("k"), Seq("nd" -> "approx_distinct(v)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(v => math.abs(v - 120L) <= 2), out.toString)
+    // precision rides the separator slot; out-of-range rejects
+    val p8 = Ops.groupBy(df, Seq("k"), Seq("nd" -> "approx_distinct(v,8)"))
+      .collect().map(_.getLong(1))
+    assert(p8.forall(v => v > 90 && v < 150))
+    val bad = intercept[IllegalArgumentException](
+      Ops.groupBy(df, Seq("k"), Seq("x" -> "approx_distinct(v,99)")))
+    assert(bad.getMessage.contains("[4,16]"))
+  }
+
   test("windowAgg: rolling frame, lag/lead, ordinals; global window rejected") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("b", 1L, 5.0))
       .toDF("k", "t", "v")
