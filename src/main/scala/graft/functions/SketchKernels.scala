@@ -383,12 +383,14 @@ object SketchKernels {
     (out, n)
   }
 
-  /** Distinct estimate: exact below k; floor((k-1)*2^64 / h_k) at k. */
+  /** Distinct estimate: exact below k; floor((k-1)*2^64 / h_k) at k,
+    * saturating at Long.MaxValue (a pathologically small k-th hash — only
+    * reachable adversarially — would otherwise overflow the Long). */
   def kmvEstimate(state: Array[Long], n: Int, k: Int): Long = {
     if (n < k) n.toLong
     else {
       val hk = BigInt(state(k - 1)) & ((BigInt(1) << 64) - 1)
-      ((BigInt(k - 1) << 64) / hk).toLong
+      (((BigInt(k - 1) << 64) / hk) min BigInt(Long.MaxValue)).toLong
     }
   }
 
@@ -407,7 +409,8 @@ object SketchKernels {
     var c = 0L
     i = 0
     while (i < na) { if (inU.contains(a(i)) && contains(b, nb, a(i))) c += 1; i += 1 }
-    c * unionEst / nu
+    // BigInt: c*unionEst can exceed Long when unionEst saturates
+    ((BigInt(c) * unionEst / nu) min BigInt(Long.MaxValue)).toLong
   }
 
   private def contains(arr: Array[Long], n: Int, h: Long): Boolean = {

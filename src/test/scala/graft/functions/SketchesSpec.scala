@@ -369,6 +369,10 @@ class SketchesSpec extends SparkSpec {
       SketchKernels.kmvDeserialize(bytes.take(8))).getMessage.contains("truncated"))
     assert(intercept[IllegalArgumentException](
       SketchKernels.kmvDeserialize(Array[Byte]('X', 0, 1, 0, 0))).getMessage.contains("magic"))
+    // adversarial tiny k-th hash: estimates saturate instead of wrapping
+    val evil = Array.tabulate(4)(i => i + 1L) // hashes 1,2,3,4 — theta ~ 2^-62
+    assert(SketchKernels.kmvEstimate(evil, 4, 4) === Long.MaxValue)
+    assert(SketchKernels.kmvIntersect(evil, 4, evil, 4, 4) >= 0L)
   }
 
   test("sketch_overlap YAML op returns the one-row set algebra") {
