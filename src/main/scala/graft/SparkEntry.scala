@@ -1846,6 +1846,11 @@ object SparkEntry {
       graft.streaming.Streams.sketchDistinctTotals(s, s"$dir/sketches", Seq("l_returnflag"))
     }),
 
+    // (compression_ratio has no gate entry: zlib is not SQL-expressible,
+    // and a rows-only row would dilute the all-hash-verified suite — its
+    // value-level coverage lives in SketchesSpec: ordering, determinism,
+    // null/empty edges, YAML dispatch)
+
     // fixed-point integer PageRank over the supplier->part link graph
     // (~45k distinct edges): integer sums commute, so the ranks are
     // independent of partitioning/join order and the oracle's unrolled

@@ -278,6 +278,7 @@ final class Engine(spark: SparkSession) {
     "bloom_filter" -> Set("sources", "column", "source_column", "log_bits", "k", "mode"),
     "sketch_overlap" -> Set("sources", "column", "source_column", "k"),
     "pagerank" -> Set("src_column", "dst_column", "iterations", "damping_ppm"),
+    "compression_ratio" -> Set("column", "new_column"),
   )
 
   /** Append `prefix+field` columns from a registry struct function over a
@@ -487,6 +488,14 @@ final class Engine(spark: SparkSession) {
         graft.functions.Sketches.setOverlap(df, c, other,
           Config.str(op, "source_column").getOrElse(c),
           Config.int(op, "k").getOrElse(256))
+      // deflate-compressibility quality signal (ppm of raw bytes) — the
+      // Gopher-family filter for template/spam text
+      case "compression_ratio" =>
+        graft.expressions.GraftFunctions.register(df.sparkSession)
+        val c = Config.reqStr(op, "column", ctx)
+        df.withColumn(Config.str(op, "new_column").getOrElse("compression_ppm"),
+          org.apache.spark.sql.functions.call_function("compression_ratio",
+            org.apache.spark.sql.functions.col(c)))
       // link-graph rank over an edge frame (fixed-point integer PageRank —
       // crawl-priority / quality weighting; Graph.scala has the contract)
       case "pagerank" =>

@@ -749,6 +749,44 @@ case class LogHistQuantile(left: Expression, right: Expression) extends BinaryEx
     copy(left = l, right = r)
 }
 
+// -------------------------------------------------- compression signal
+
+/** compression_ratio(text) -> deflate(level 6) size as ppm of the UTF-8
+  * byte length — the Gopher-family compressibility quality signal:
+  * boilerplate/template/spam text compresses far below natural prose, and
+  * random noise sits near (or above) 10^6. Null/empty -> 10^6 (incompres-
+  * sible by convention). Deterministic for a given zlib build (the JVM
+  * bundles its own), so results are stable across the cluster; there is
+  * no DuckDB-side zlib, so the gate records the driver's rows-only check
+  * (the sanctioned path for non-SQL-expressible kernels, like the
+  * xxhash64-keyed queries). Not codegen'd: one Deflater per call is the
+  * cost, not dispatch. */
+case class CompressionRatio(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"compression_ratio requires a string, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "compression_ratio"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) 1000000L
+    else {
+      val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total * 1000000L / bytes.length
+      } finally d.end()
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+}
+
 // -------------------------------------------------------------- registry
 
 object SketchFunctions {
@@ -881,5 +919,12 @@ object SketchFunctions {
         case Seq(a, b) => KmvIntersect(a, b)
         case other => throw new IllegalArgumentException(
           s"kmv_intersect takes 2 arguments, got ${other.size}")
+      }),
+    ("compression_ratio",
+      "_FUNC_(text) - deflate size as ppm of the raw UTF-8 length (compressibility quality signal)",
+      {
+        case Seq(t) => CompressionRatio(t)
+        case other => throw new IllegalArgumentException(
+          s"compression_ratio takes 1 argument, got ${other.size}")
       }))
 }

@@ -274,6 +274,44 @@ class SketchesSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  // ------------------------------------------------- compression signal
+
+  test("compression_ratio orders template < prose < noise; deterministic; edges") {
+    graft.expressions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val template = ("menu home about contact " * 50).trim
+    val prose = "The quiet revolution in data engineering began when teams realized " +
+      "that declarative pipelines compose better than imperative scripts, and that " +
+      "a schema is a contract rather than a suggestion worth arguing about."
+    val noise = {
+      // ~90-symbol printable alphabet (~6.5 bits/char) — hex would be only
+      // 4 bits/char and deflate beats short English prose on it
+      val rnd = new Random(77)
+      (1 to 300).map(_ => (33 + rnd.nextInt(90)).toChar).mkString
+    }
+    val out = Seq(("t", template), ("p", prose), ("n", noise), ("e", ""))
+      .toDF("k", "text")
+      .select(col("k"), call_function("compression_ratio", col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("t") < out("p"), s"template must compress harder: $out")
+    assert(out("p") < out("n"), s"noise must compress worst: $out")
+    assert(out("e") === 1000000L)
+    assert(out("t") < 200000L, s"50x-repeated phrase should crush: $out")
+    // deterministic across evaluations
+    val again = Seq(Tuple1(prose)).toDF("text")
+      .select(call_function("compression_ratio", col("text"))).head.getLong(0)
+    assert(again === out("p"))
+    // null flows through as null
+    assert(Seq[Option[String]](None).toDF("text")
+      .select(call_function("compression_ratio", col("text"))).head.isNullAt(0))
+    // YAML dispatch + the filter shape it exists for
+    val piped = new graft.engine.Engine(spark).applyOperation(
+      Seq(("a", template), ("b", prose)).toDF("id", "text"),
+      Map("operation" -> "compression_ratio", "column" -> "text"), Map.empty, "spec")
+    assert(piped.columns.contains("compression_ppm"))
+    assert(piped.filter(col("compression_ppm") > 200000).count() === 1)
+  }
+
   // -------------------------------------------------------------- Bloom
 
   test("bloom never false-negatives; fp rate tracks the design; merge is OR") {
