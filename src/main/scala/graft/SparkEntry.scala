@@ -189,6 +189,34 @@ object SparkEntry {
         .select("message", "subject", "mail_from", "date", "text")
     }),
 
+    // WebDataset shard round-trip: 60 documents written as key.ext members
+    // (each sample = a .txt payload + a .meta.json sidecar, the LAION
+    // shape) across THREE shard containers — plain tar, tar.gz, zip —
+    // read back through one glob with per-file container sniffing, then
+    // decoded off the binary column by the fused decode_text expression
+    "q_source_tar" -> ((s, d) => {
+      val rows = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+      rows.groupBy(r => (r.getLong(0) % 3).toInt).foreach { case (shard, rs) =>
+        val entries = rs.sortBy(_.getLong(0)).flatMap { r =>
+          val id = r.getLong(0)
+          val name = f"samples/d$id%03d"
+          Seq(s"$name.txt" -> r.getString(1).getBytes("UTF-8"),
+            s"$name.meta.json" -> s"""{"id":$id}""".getBytes("UTF-8"))
+        }.toSeq
+        shard match {
+          case 0 => graft.engine.Tar.writeFile(dir.resolve("shard-000.tar"), entries)
+          case 1 => graft.engine.Tar.writeFile(dir.resolve("shard-001.tar.gz"), entries, gzip = true)
+          case _ => graft.engine.Tar.writeZip(dir.resolve("shard-002.zip"), entries)
+        }
+      }
+      graft.expressions.GraftFunctions.register(s)
+      graft.engine.Sources.read(s, "wds",
+        Map("file" -> s"$dir/shard-*", "type" -> "tar"), dir)
+        .selectExpr("key", "ext", "n_bytes", "decode_text(content) AS text")
+    }),
+
     // epub round-trip: texts packaged as OCF/OPF chapters (stored
     // mimetype, container → rootfile → manifest+spine), read back in
     // SPINE order as markup, then the engine's html_to_text op extracts —
@@ -2178,6 +2206,21 @@ object SparkEntry {
            'Thu, 1 Jan 1970 00:00:00 +0000' AS "date",
            regexp_replace(text, '\s+$', '') AS text
          FROM documents WHERE doc_id < 40""",
+
+    // member payloads are byte-exact, so key/ext/size/text are all
+    // closed-form; ext splits at the FIRST dot (meta.json, not json)
+    "q_source_tar" ->
+      """SELECT key, ext, n_bytes, text FROM (
+           SELECT 'samples/d' || lpad(doc_id::VARCHAR, 3, '0') AS key,
+                  'txt' AS ext,
+                  octet_length(encode(text))::BIGINT AS n_bytes, text
+           FROM documents WHERE doc_id < 60
+           UNION ALL
+           SELECT 'samples/d' || lpad(doc_id::VARCHAR, 3, '0'),
+                  'meta.json',
+                  octet_length(encode('{"id":' || doc_id || '}'))::BIGINT,
+                  '{"id":' || doc_id || '}'
+           FROM documents WHERE doc_id < 60)""",
 
     // markup generation + html_to_text extraction invert exactly for
     // clean single-spaced text, so the oracle is the identity round-trip

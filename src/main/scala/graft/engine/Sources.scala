@@ -90,6 +90,7 @@ object Sources {
         lower.endsWith(".warc")) "warc"
       else if (lower.endsWith(".wet.gz") || lower.endsWith(".wet.zst") ||
         lower.endsWith(".wet")) "wet"
+      else if (lower.endsWith(".tar.gz")) "tgz"
       else path.substring(path.lastIndexOf('.') + 1).toLowerCase
     }
     ext match {
@@ -150,6 +151,11 @@ object Sources {
       // convention), so the unit of parallelism must be the HDFS split,
       // not the file: record-delimiter read on the `\nFrom ` separator
       case "mbox" => readMbox(spark, path)
+      // WebDataset-style archive shards (LAION/speech corpora ship as
+      // ~1 GiB tar files of key.ext members): one row per member with the
+      // key/ext split, payload as a binary column for the doc_text /
+      // decode_text / image_* expression tier
+      case "tar" | "tgz" | "zip" => readArchive(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported source file type `$other` ($path)")
     }
@@ -638,6 +644,56 @@ object Sources {
       StructField("file", StringType), StructField("message", LongType),
       StructField("subject", StringType), StructField("mail_from", StringType),
       StructField("date", StringType), StructField("text", StringType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** WebDataset-style archive shards: one row per member —
+    * (shard, entry, key, ext, n_bytes, content) with the key/ext split at
+    * the first dot of the basename (so `0001.txt` and `0001.seg.png`
+    * share sample key `0001`, the WebDataset grouping convention).
+    *
+    * Scale shape: the SHARD is the unit of parallelism (the reason the
+    * format exists — shards are written ~1 GiB, one task each), members
+    * STREAM off the open HDFS stream one at a time (bounded by
+    * `Tar.memberCap`, never the archive), and a glob may mix `.tar`,
+    * `.tar.gz`/`.tgz` and `.zip` shards — the container is sniffed
+    * per-file so a heterogeneous corpus reads in one pass. */
+  private def readArchive(spark: SparkSession, pathGlob: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    val rows = binaryFilesSpread(spark, pathGlob).flatMap { case (file, open) =>
+      val lower = file.toLowerCase
+      val entries =
+        try {
+          if (lower.endsWith(".zip")) Tar.zipEntries(open())
+          else if (lower.endsWith(".tar.gz") || lower.endsWith(".tgz"))
+            Tar.tarEntries(new java.util.zip.GZIPInputStream(open()))
+          else Tar.tarEntries(open())
+        } catch { case e: Exception =>
+          throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
+        }
+      // the iterator parses lazily — re-wrap mid-stream failures with the
+      // shard name so the diagnosable-error contract holds there too
+      new Iterator[Row] {
+        private var i = 0L
+        private def guard[A](f: => A): A =
+          try f catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)
+          }
+        override def hasNext: Boolean = guard(entries.hasNext)
+        override def next(): Row = {
+          val e = guard(entries.next())
+          i += 1
+          val (key, ext) = Tar.splitKeyExt(e.name)
+          Row(file, i, key, ext, e.bytes.length.toLong, e.bytes)
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("shard", StringType), StructField("entry", LongType),
+      StructField("key", StringType), StructField("ext", StringType),
+      StructField("n_bytes", LongType), StructField("content", BinaryType)))
     spark.createDataFrame(rows, schema)
   }
 
