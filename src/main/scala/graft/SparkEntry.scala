@@ -217,6 +217,41 @@ object SparkEntry {
         .selectExpr("key", "ext", "n_bytes", "decode_text(content) AS text")
     }),
 
+    // CDC merge: customer snapshot + a synthetic changeset (two stacked
+    // upserts for %5 keys — latest seq must win; deletes for %7 keys —
+    // beaten by the later upsert on %35 keys; inserts under new keys).
+    // One map-side-combinable latest-per-key agg + one co-partitioned
+    // full-outer join; the oracle rebuilds the merge with window+FULL JOIN
+    "q_apply_changes" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val snap = cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      def upd(tag: String, seq: Long) = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), concat(lit(s"$tag "), col("c_name")).as("c_name"),
+          lit(s"SEG$tag").as("c_mktsegment"), lit(seq).as("seq"), lit("u").as("op"))
+      val chg = upd("U1", 1L)
+        .unionAll(upd("U3", 3L))
+        .unionAll(cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("").as("c_name"), lit("").as("c_mktsegment"),
+            lit(2L).as("seq"), lit("D").as("op")))
+        .unionAll(cust
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("NEW "), col("c_custkey").cast("string")).as("c_name"),
+            lit("SEGN").as("c_mktsegment"), lit(1L).as("seq"), lit("u").as("op")))
+      graft.functions.Cdc.applyChanges(snap, chg, Seq("c_custkey"), "seq", "op")
+    }),
+
+    // SCD2 historization: per-customer order-status stream becomes
+    // validity intervals; change_only collapses repeated states so
+    // intervals chain across re-statements. Exact window oracle.
+    "q_scd2" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey").as("seq"), col("o_orderstatus"))
+      graft.functions.Cdc.scd2(ord, Seq("o_custkey"), "seq", changeOnly = true)
+        .select(col("o_custkey"), col("seq"), col("o_orderstatus"),
+          col("valid_from"), col("valid_to"),
+          col("is_current").cast("string").as("is_current"))
+    }),
+
     // epub round-trip: texts packaged as OCF/OPF chapters (stored
     // mimetype, container → rootfile → manifest+spine), read back in
     // SPINE order as markup, then the engine's html_to_text op extracts —
@@ -2221,6 +2256,46 @@ object SparkEntry {
                   octet_length(encode('{"id":' || doc_id || '}'))::BIGINT,
                   '{"id":' || doc_id || '}'
            FROM documents WHERE doc_id < 60)""",
+
+    // the CDC merge rebuilt independently: latest change per key via a
+    // descending-seq window rank, then FULL JOIN + delete filter
+    "q_apply_changes" ->
+      """WITH snap AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         chg AS (
+           SELECT c_custkey, 'U1 ' || c_name AS c_name, 'SEGU1' AS c_mktsegment,
+                  1 AS seq, 'u' AS op FROM customer WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey, 'U3 ' || c_name, 'SEGU3', 3, 'u'
+           FROM customer WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey, '', '', 2, 'D' FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'NEW ' || c_custkey, 'SEGN', 1, 'u'
+           FROM customer),
+         latest AS (
+           SELECT c_custkey, c_name, c_mktsegment, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+             FROM chg)
+           WHERE rn = 1)
+         SELECT coalesce(s.c_custkey, l.c_custkey) AS c_custkey,
+                CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE s.c_name END AS c_name,
+                CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+         FROM snap s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
+         WHERE l.op IS NULL OR lower(l.op) NOT IN ('d', 'delete')""",
+
+    // SCD2 intervals rebuilt with lag (change-only collapse) + lead
+    "q_scd2" ->
+      """WITH src AS (SELECT o_custkey, o_orderkey AS seq, o_orderstatus FROM orders),
+         dedup AS (
+           SELECT o_custkey, seq, o_orderstatus FROM (
+             SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY seq) AS prev
+             FROM src)
+           WHERE prev IS NULL OR prev <> o_orderstatus)
+         SELECT o_custkey, seq, o_orderstatus, seq AS valid_from,
+                lead(seq) OVER (PARTITION BY o_custkey ORDER BY seq) AS valid_to,
+                CASE WHEN lead(seq) OVER (PARTITION BY o_custkey ORDER BY seq) IS NULL
+                     THEN 'true' ELSE 'false' END AS is_current
+         FROM dedup""",
 
     // markup generation + html_to_text extraction invert exactly for
     // clean single-spaced text, so the oracle is the identity round-trip

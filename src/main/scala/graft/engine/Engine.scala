@@ -278,6 +278,9 @@ final class Engine(spark: SparkSession) {
     "bloom_filter" -> Set("sources", "column", "source_column", "log_bits", "k", "mode"),
     "sketch_overlap" -> Set("sources", "column", "source_column", "k"),
     "pagerank" -> Set("src_column", "dst_column", "iterations", "damping_ppm"),
+    "apply_changes" -> Set("sources", "key_columns", "seq_column", "op_column",
+      "delete_values"),
+    "scd2" -> Set("key_columns", "seq_column", "change_only"),
     "compression_ratio" -> Set("column", "new_column"),
   )
 
@@ -854,6 +857,26 @@ final class Engine(spark: SparkSession) {
           Config.str(op, "tolerance_seconds").map(_.toDouble),
           // hot-key escape hatch: per-(key, time-bucket) two-phase carry
           Config.str(op, "bucket_seconds").map(_.toDouble))
+      // CDC merge: `sources` holds the changeset; df is the snapshot
+      case "apply_changes" =>
+        val changesFrame = sourceFrames match {
+          case Seq(c) => c
+          case other => throw new IllegalArgumentException(
+            s"$ctx: apply_changes needs exactly one entry in `sources` (the changeset), got ${other.size}")
+        }
+        graft.functions.Cdc.applyChanges(df, changesFrame,
+          Config.asScalarList(op.getOrElse("key_columns", Nil)).map(_.toString),
+          Config.reqStr(op, "seq_column", ctx),
+          Config.reqStr(op, "op_column", ctx),
+          Config.asScalarList(op.getOrElse("delete_values", Nil)).map(_.toString) match {
+            case Nil => Seq("d", "delete")
+            case vs => vs
+          })
+      case "scd2" =>
+        graft.functions.Cdc.scd2(df,
+          Config.asScalarList(op.getOrElse("key_columns", Nil)).map(_.toString),
+          Config.reqStr(op, "seq_column", ctx),
+          Config.bool(op, "change_only"))
       // interval join via the binned equi-join rewrite; `sources` holds the
       // intervals frame
       case "range_join" =>
