@@ -240,6 +240,15 @@ object SparkEntry {
       graft.functions.Cdc.applyChanges(snap, chg, Seq("c_custkey"), "seq", "op")
     }),
 
+    // Morton clustering key: unsigned fixed-point buckets + bit
+    // interleave, all integer-exact, so the oracle reproduces every key
+    // in SQL. The layout pass itself (range partition + local sort) is
+    // row-preserving; the gate checks the key arithmetic.
+    "q_zorder" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      graft.functions.Zorder.withZorderKey(li, Seq("l_orderkey", "l_partkey"), bits = 8)
+    }),
+
     // SCD2 historization: per-customer order-status stream becomes
     // validity intervals; change_only collapses repeated states so
     // intervals chain across re-statements. Exact window oracle.
@@ -2077,6 +2086,13 @@ object SparkEntry {
     s"$head$layers SELECT node, rank FROM r$iters ORDER BY node"
   }
 
+  /** q_zorder's interleave rebuilt as explicit per-bit SQL terms: bit b
+    * of bucket a lands at position 2b, of bucket b at 2b+1 (k=2, bits=8 —
+    * terms stay far inside BIGINT). */
+  private val zorderInterleaveSql: String = (0 until 8).map(b =>
+    s"(((ba >> $b) & 1) * ${1L << (2 * b)} + ((bb >> $b) & 1) * ${1L << (2 * b + 1)})")
+    .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql(3),
     "q_sketch_hll" -> SketchSql.hllSql,
@@ -2282,6 +2298,18 @@ object SparkEntry {
                 CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
          FROM snap s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
          WHERE l.op IS NULL OR lower(l.op) NOT IN ('d', 'delete')""",
+
+    // Morton keys rebuilt in SQL: fixed-point buckets (integer floor
+    // division — values are non-negative here, so signed == unsigned)
+    // plus the explicit per-bit interleave terms
+    "q_zorder" ->
+      s"""WITH mm AS (SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+                             min(l_partkey) AS bmin, max(l_partkey) AS bmax FROM lineitem),
+          b AS (SELECT l_orderkey, l_partkey,
+                  (l_orderkey - amin) // (((amax - amin) >> 8) + 1) AS ba,
+                  (l_partkey - bmin) // (((bmax - bmin) >> 8) + 1) AS bb
+                FROM lineitem, mm)
+          SELECT l_orderkey, l_partkey, ($zorderInterleaveSql)::BIGINT AS zkey FROM b""",
 
     // SCD2 intervals rebuilt with lag (change-only collapse) + lead
     "q_scd2" ->

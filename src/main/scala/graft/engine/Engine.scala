@@ -281,6 +281,7 @@ final class Engine(spark: SparkSession) {
     "apply_changes" -> Set("sources", "key_columns", "seq_column", "op_column",
       "delete_values"),
     "scd2" -> Set("key_columns", "seq_column", "change_only"),
+    "zorder_by" -> Set("columns", "bits", "partitions", "keep_key"),
     "compression_ratio" -> Set("column", "new_column"),
   )
 
@@ -877,6 +878,13 @@ final class Engine(spark: SparkSession) {
           Config.asScalarList(op.getOrElse("key_columns", Nil)).map(_.toString),
           Config.reqStr(op, "seq_column", ctx),
           Config.bool(op, "change_only"))
+      // write-side multi-dimension clustering (Morton key + range layout)
+      case "zorder_by" =>
+        graft.functions.Zorder.zorderBy(df,
+          Config.asScalarList(op.getOrElse("columns", Nil)).map(_.toString),
+          Config.int(op, "bits").getOrElse(8),
+          Config.int(op, "partitions"),
+          Config.bool(op, "keep_key"))
       // interval join via the binned equi-join rewrite; `sources` holds the
       // intervals frame
       case "range_join" =>
