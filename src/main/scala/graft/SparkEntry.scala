@@ -249,6 +249,17 @@ object SparkEntry {
       graft.functions.Zorder.withZorderKey(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     }),
 
+    // seeded ±1 random projection (JL): integer-exact by construction
+    // (fixed-point quantize, sign bits from splitmix64, Long sums), so
+    // the oracle rebuilds every projected value in HUGEINT SQL
+    "q_dim_reduce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 50)
+      graft.functions.DimReduce.withProjection(emb, "embedding", "yq",
+        k = 8, seed = 42, sBits = 10, asFloat = false)
+        .select(col("vec_id"), posexplode(col("yq")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("y"))
+    }),
+
     // SCD2 historization: per-customer order-status stream becomes
     // validity intervals; change_only collapses repeated states so
     // intervals chain across re-statements. Exact window oracle.
@@ -2310,6 +2321,23 @@ object SparkEntry {
                   (l_partkey - bmin) // (((bmax - bmin) >> 8) + 1) AS bb
                 FROM lineitem, mm)
           SELECT l_orderkey, l_partkey, ($zorderInterleaveSql)::BIGINT AS zkey FROM b""",
+
+    // the JL projection rebuilt value-by-value: fixed-point quantize,
+    // splitmix64 sign bits in HUGEINT, exact integer sums (validated
+    // against an independent Python model before landing)
+    "q_dim_reduce" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+          q AS (
+            SELECT vec_id, ix.i,
+                   CAST(floor(CAST(embedding[ix.i + 1] AS DOUBLE) * 1024) AS BIGINT) AS qv
+            FROM e, (SELECT unnest(range(0, 64)) AS i) ix),
+          terms AS (
+            SELECT vec_id, j.j,
+                   CASE WHEN ${SketchSql.sm64("42 + j.j * 1048573 + i")} >= 9223372036854775808::HUGEINT
+                        THEN -qv ELSE qv END AS t
+            FROM q, (SELECT unnest(range(0, 8)) AS j) j)
+          SELECT vec_id, j, CAST(sum(t) AS BIGINT) AS y
+          FROM terms GROUP BY vec_id, j""",
 
     // SCD2 intervals rebuilt with lag (change-only collapse) + lead
     "q_scd2" ->

@@ -282,6 +282,7 @@ final class Engine(spark: SparkSession) {
       "delete_values"),
     "scd2" -> Set("key_columns", "seq_column", "change_only"),
     "zorder_by" -> Set("columns", "bits", "partitions", "keep_key"),
+    "dim_reduce" -> Set("column", "new_column", "k", "seed", "s_bits", "output"),
     "compression_ratio" -> Set("column", "new_column"),
   )
 
@@ -878,6 +879,15 @@ final class Engine(spark: SparkSession) {
           Config.asScalarList(op.getOrElse("key_columns", Nil)).map(_.toString),
           Config.reqStr(op, "seq_column", ctx),
           Config.bool(op, "change_only"))
+      // seeded JL projection: shrink embeddings before the ANN tier
+      case "dim_reduce" =>
+        graft.functions.DimReduce.withProjection(df,
+          Config.reqStr(op, "column", ctx),
+          Config.str(op, "new_column").getOrElse("reduced"),
+          Config.int(op, "k").getOrElse(16),
+          Config.int(op, "seed").getOrElse(42),
+          Config.int(op, "s_bits").getOrElse(10),
+          Config.str(op, "output").forall(_ != "int"))
       // write-side multi-dimension clustering (Morton key + range layout)
       case "zorder_by" =>
         graft.functions.Zorder.zorderBy(df,

@@ -168,6 +168,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"doc_signature takes 1-3 arguments, got ${other.size}")
       }),
+    ("dim_reduce_q",
+      "_FUNC_(embedding, k, seed, s_bits) - exact-integer ±1 random projection to k dims (array<long> fixed-point sums)",
+      {
+        case Seq(e, k, s, b) => DimReduceQ(e, intLit(k, "dim_reduce_q", "k"),
+          intLit(s, "dim_reduce_q", "seed"), intLit(b, "dim_reduce_q", "s_bits"))
+        case other => throw new IllegalArgumentException(
+          s"dim_reduce_q takes (embedding, k, seed, s_bits), got ${other.size} arguments")
+      }),
     ("char_ngrams",
       "_FUNC_(text[, n=3]) - all overlapping character n-grams",
       {
