@@ -249,6 +249,17 @@ object SparkEntry {
       graft.functions.Zorder.withZorderKey(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     }),
 
+    // quality-weighted sampling: per-row keep probability = weight_ppm /
+    // 10^6 (here derived from text length), decided by pure integer
+    // threshold arithmetic over the row's md5 draw — the oracle replays
+    // every keep/drop decision exactly
+    "q_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        .withColumn("w", least(lit(1000000L), length(col("text")).cast("long") * 1500))
+      graft.functions.Sampling.weightedHashSample(docs, "doc_id", "w")
+        .select("doc_id", "w")
+    }),
+
     // seeded ±1 random projection (JL): integer-exact by construction
     // (fixed-point quantize, sign bits from splitmix64, Long sums), so
     // the oracle rebuilds every projected value in HUGEINT SQL
@@ -2321,6 +2332,16 @@ object SparkEntry {
                   (l_partkey - bmin) // (((bmax - bmin) >> 8) + 1) AS bb
                 FROM lineitem, mm)
           SELECT l_orderkey, l_partkey, ($zorderInterleaveSql)::BIGINT AS zkey FROM b""",
+
+    // every per-row keep decision replayed: same md5 draw, same integer
+    // threshold (w * 2^32) // 10^6
+    "q_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id, least(1000000, length(text) * 1500)::BIGINT AS w
+           FROM documents WHERE doc_id < 500)
+         SELECT doc_id, w FROM d
+         WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+               < (w * 4294967296) // 1000000""",
 
     // the JL projection rebuilt value-by-value: fixed-point quantize,
     // splitmix64 sign bits in HUGEINT, exact integer sums (validated

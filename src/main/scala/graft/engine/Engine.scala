@@ -283,6 +283,7 @@ final class Engine(spark: SparkSession) {
     "scd2" -> Set("key_columns", "seq_column", "change_only"),
     "zorder_by" -> Set("columns", "bits", "partitions", "keep_key"),
     "dim_reduce" -> Set("column", "new_column", "k", "seed", "s_bits", "output"),
+    "weighted_sample" -> Set("key_column", "weight_column"),
     "compression_ratio" -> Set("column", "new_column"),
   )
 
@@ -802,6 +803,11 @@ final class Engine(spark: SparkSession) {
             graft.functions.Sampling.hashSample(df, keyC,
               Config.reqStr(op, "rate", ctx).toDouble)
         }
+      // per-row Bernoulli keep probability from a ppm weight column
+      case "weighted_sample" =>
+        graft.functions.Sampling.weightedHashSample(df,
+          Config.reqStr(op, "key_column", ctx),
+          Config.reqStr(op, "weight_column", ctx))
       // per-domain cap: ≤k rows per group in deterministic md5(id) order —
       // exact two-stage salted top-k, skew-proof at any group size
       case "domain_cap" =>

@@ -30,6 +30,27 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(inHashSample(col(keyCol), rate))
 
+  /** PER-ROW weighted Bernoulli sampling: each row keeps with its OWN
+    * probability `weight_ppm / 10^6` (clamped to [0, 10^6]; null drops) —
+    * the quality-weighted corpus cut ("sample documents proportional to
+    * their quality score") that a fixed-rate sample can't express.
+    * Deterministic and integer-exact: the row's uniform draw is its first
+    * 8 md5 hex chars of `keyCol` (the SAME draw hashSample uses, so a
+    * row kept at weight w stays kept at any w' >= w — monotone, replayable
+    * cuts), and the threshold is `(w * 2^32) div 10^6` in pure Long
+    * arithmetic (4.3e18 max, no overflow; never a double). Still a single
+    * narrow filter pass — no shuffle at any scale. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightPpmCol: String): DataFrame =
+    // coalesce BEFORE the clamp: Spark's least/greatest skip nulls, so a
+    // bare least(10^6, NULL) would resolve to 10^6 and keep the row
+    df.withColumn("__wps_w__",
+        greatest(lit(0L), least(lit(1000000L),
+          coalesce(col(weightPpmCol).cast("long"), lit(0L)))))
+      .withColumn("__wps_u__",
+        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"))
+      .filter(expr("__wps_u__ < (__wps_w__ * 4294967296) div 1000000"))
+      .drop("__wps_w__", "__wps_u__")
+
   /** Per-stratum deterministic sampling: rate looked up per value of
     * `stratumCol` (e.g. {"en" -> 0.1, "fr" -> 1.0}), default for strata not
     * listed. The backbone of language/domain rebalancing at corpus scale —

@@ -137,6 +137,37 @@ class FunctionsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("weightedHashSample: per-row ppm probability, monotone in weight, exact edges") {
+    val docs = (0L until 400L).map(i => (i, (i % 5) * 250000L)).toDF("doc_id", "w")
+    val kept = Sampling.weightedHashSample(docs, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    // w=0 rows never keep; w=1e6 rows always keep
+    assert((0L until 400L).filter(_ % 5 == 0).forall(!kept.contains(_)))
+    assert((0L until 400L).filter(_ % 5 == 4).forall(kept.contains))
+    // monotone: a row kept at weight w stays kept when every weight rises
+    val keptHi = Sampling.weightedHashSample(
+      docs.withColumn("w", least(lit(1000000L), col("w") + 250000L)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(keptHi))
+    // the draw is the SAME as hashSample's: at uniform w=500000ppm the
+    // kept set equals hashSample at rate 0.5
+    val uni = docs.withColumn("w", lit(500000L))
+    assert(Sampling.weightedHashSample(uni, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet ==
+      Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().toSet)
+    // null / negative / oversized weights: drop, drop, clamp-keep
+    val edges = Seq((1L, null.asInstanceOf[java.lang.Long]), (2L, java.lang.Long.valueOf(-5L)),
+      (3L, java.lang.Long.valueOf(99999999L))).toDF("doc_id", "w")
+    assert(Sampling.weightedHashSample(edges, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    // YAML dispatch
+    val eng = new graft.engine.Engine(spark)
+    val viaYaml = eng.applyOperation(docs,
+      Map("operation" -> "weighted_sample", "key_column" -> "doc_id",
+        "weight_column" -> "w"), Map.empty, "spec")
+    assert(viaYaml.select("doc_id").as[Long].collect().toSet == kept)
+  }
+
   test("incremental dedup: corpus match drops a batch doc in either id order; batch chain keeps first writer") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     def mut(s: String, w: String) = s.replace("today", w)
