@@ -249,6 +249,42 @@ object SparkEntry {
       graft.functions.Zorder.withZorderKey(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     }),
 
+    // streaming CDC ingest (6th ingest face): two real micro-batches of
+    // (op, seq)-stamped changes replay through foreachBatch — batch 1
+    // carries upserts + deletes, batch 2 later upserts + inserts — each
+    // compacted and batch-stamp-overwritten; the materialized current
+    // table must equal the pure-batch merge of the concatenated feed
+    "q_stream_cdc" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdc")
+      val cust = t(s, d, "customer").filter(col("c_custkey") < 2000)
+      val snap = cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      def upd(tag: String, seq: Long) = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), concat(lit(s"$tag "), col("c_name")).as("c_name"),
+          lit(s"SEG$tag").as("c_mktsegment"), lit(seq).as("seq"), lit("u").as("op"))
+      val delta1 = upd("U1", 1L)
+        .unionAll(cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("").as("c_name"), lit("").as("c_mktsegment"),
+            lit(2L).as("seq"), lit("D").as("op")))
+      val delta2 = upd("U3", 3L)
+        .unionAll(cust
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("NEW "), col("c_custkey").cast("string")).as("c_name"),
+            lit("SEGN").as("c_mktsegment"), lit(4L).as("seq"), lit("u").as("op")))
+      delta1.write.parquet(s"$dir/src")
+      val src = s.readStream.schema(delta1.schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.cdcIngest(src, Seq("c_custkey"), "seq", "op",
+        s"$dir/changes", s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        // single-file append: atomic rename, so the trigger can't split
+        // the delta across micro-batches (the q_stream_ingest lesson)
+        delta2.coalesce(1).write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.Streams.cdcCurrent(snap, s"$dir/changes",
+        Seq("c_custkey"), "seq", "op")
+    }),
+
     // quality-weighted sampling: per-row keep probability = weight_ppm /
     // 10^6 (here derived from text length), decided by pure integer
     // threshold arithmetic over the row's md5 draw — the oracle replays
@@ -2332,6 +2368,32 @@ object SparkEntry {
                   (l_partkey - bmin) // (((bmax - bmin) >> 8) + 1) AS bb
                 FROM lineitem, mm)
           SELECT l_orderkey, l_partkey, ($zorderInterleaveSql)::BIGINT AS zkey FROM b""",
+
+    // the streamed merge rebuilt as one batch merge over the
+    // concatenated change feed (seqs 1/2 in delta 1, 3/4 in delta 2)
+    "q_stream_cdc" ->
+      """WITH snap AS (SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey < 2000),
+         base AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000),
+         chg AS (
+           SELECT c_custkey, 'U1 ' || c_name AS c_name, 'SEGU1' AS c_mktsegment,
+                  1 AS seq, 'u' AS op FROM base WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey, '', '', 2, 'D' FROM base WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey, 'U3 ' || c_name, 'SEGU3', 3, 'u'
+           FROM base WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'NEW ' || c_custkey, 'SEGN', 4, 'u' FROM base),
+         latest AS (
+           SELECT c_custkey, c_name, c_mktsegment, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+             FROM chg)
+           WHERE rn = 1)
+         SELECT coalesce(s.c_custkey, l.c_custkey) AS c_custkey,
+                CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE s.c_name END AS c_name,
+                CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+         FROM snap s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
+         WHERE l.op IS NULL OR lower(l.op) NOT IN ('d', 'delete')""",
 
     // every per-row keep decision replayed: same md5 draw, same integer
     // threshold (w * 2^32) // 10^6

@@ -71,6 +71,24 @@ object Cdc {
       }): _*)
   }
 
+  /** Compact a changeset to its latest change per key, RETAINING the op
+    * column (deletes stay as tombstones) — the per-micro-batch write of
+    * the streaming CDC face, and a valid pre-aggregation for
+    * [[applyChanges]] (max of per-subset maxes = the global max, so
+    * compacted changesets merge identically). Same deterministic struct
+    * ordering as applyChanges. */
+  def latestChanges(changes: DataFrame, keys: Seq[String], seqCol: String,
+                    opCol: String): DataFrame = {
+    require(keys.nonEmpty, "latestChanges: key_columns must be non-empty")
+    val attrs = changes.columns.filterNot(c =>
+      keys.contains(c) || c == seqCol || c == opCol).toSeq
+    val pick = struct((col(seqCol) +: col(opCol) +: attrs.map(col)): _*)
+    changes.groupBy(keys.map(col): _*).agg(max(pick).as("__c"))
+      .select((keys.map(col) ++
+        Seq(col("__c").getField(seqCol).as(seqCol), col("__c").getField(opCol).as(opCol)) ++
+        attrs.map(a => col("__c").getField(a).as(a))): _*)
+  }
+
   /** Historize a change stream into SCD2 validity intervals: each row
     * gains `valid_from` (its own `seqCol`), `valid_to` (the NEXT change's
     * seq for the same key, null while current) and `is_current`. With

@@ -339,6 +339,46 @@ object Streams {
     graft.functions.Sketches.mergeDistinct(
       spark.read.parquet(sketchDir), groupCols, "sketch", estimateCol)
 
+  /** Streaming CDC ingest — the 6th ingest face: an (op, seq)-stamped
+    * change feed arrives as micro-batches; each batch is compacted to its
+    * latest change per key (tombstones retained) and lands under a
+    * batch-stamped partition of `changesDir` in OVERWRITE mode — the same
+    * exactly-once-by-idempotent-replay discipline as the dedup faces (a
+    * replayed batch recomputes the identical compaction and overwrites in
+    * place; no cross-batch read exists to race).
+    *
+    * Deliberately NOT "merge into the snapshot every batch": rewriting a
+    * 100 TB snapshot per micro-batch is the scale-killer this design
+    * avoids. Per-batch cost is ∝ the batch (one map-side-combinable
+    * aggregation + one partition write); the current table materializes
+    * on demand via [[cdcCurrent]] (one agg + one co-partitioned join over
+    * snapshot ∪ changesets — `Cdc.applyChanges` exactly, and compacted
+    * changesets merge identically because max-of-maxes = global max).
+    * Periodic compaction = `cdcCurrent(...).write` as a new base +
+    * truncate `changesDir`, amortized however the operator chooses. */
+  def cdcIngest(changes: DataFrame, keys: Seq[String], seqCol: String, opCol: String,
+                changesDir: String,
+                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.Cdc.latestChanges(batch, keys, seqCol, opCol)
+          .write.mode("overwrite").parquet(s"$changesDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The current table: snapshot with every ingested changeset applied
+    * (latest seq wins across batches; deletes drop; inserts appear). */
+  def cdcCurrent(snapshot: DataFrame, changesDir: String, keys: Seq[String],
+                 seqCol: String, opCol: String,
+                 deleteValues: Seq[String] = Seq("d", "delete")): DataFrame = {
+    val spark = snapshot.sparkSession
+    if (!hasBatchParquet(spark, changesDir)) snapshot
+    else graft.functions.Cdc.applyChanges(snapshot,
+      spark.read.parquet(changesDir).drop("batch"), keys, seqCol, opCol, deleteValues)
+  }
+
   /** The persisted shingle index (all batch partitions except
     * `excludeBatch` — a replayed batch must not see its own crashed
     * attempt's shingles, or every row would self-match and be dropped),

@@ -373,6 +373,40 @@ class StreamsSpec extends SparkSpec {
     assert(kept == (1L to 5L), s"replay must neither duplicate nor self-match-drop: $kept")
     assert(spark.read.parquet(idxDir).select("id").distinct().count() == 5L)
   }
+
+  test("cdcIngest: streamed merge equals the batch merge; crashed-batch replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
+    val snap = Seq((1L, "alice"), (2L, "bob"), (3L, "carol")).toDF("id", "name")
+    val d1 = Seq((2L, "bob2", 1L, "u"), (3L, "x", 2L, "D"))
+    val d2 = Seq((3L, "carol3", 3L, "u"), (9L, "nina", 4L, "u"))
+
+    // simulate a crashed batch-0 attempt that already landed its
+    // compacted partition: the replay must overwrite it in place
+    d1.toDF("id", "name", "seq", "op").write.mode("overwrite")
+      .parquet(s"$dir/changes/batch=0")
+
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val q = Streams.cdcIngest(mem.toDF().toDF("id", "name", "seq", "op"),
+      Seq("id"), "seq", "op", s"$dir/changes", s"$dir/ckpt")
+    try {
+      mem.addData(d1: _*); q.processAllAvailable()
+      mem.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val cur = Streams.cdcCurrent(snap, s"$dir/changes", Seq("id"), "seq", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch equivalent over the concatenated feed
+    val direct = graft.functions.Cdc.applyChanges(snap,
+      (d1 ++ d2).toDF("id", "name", "seq", "op"), Seq("id"), "seq", "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(cur.toSeq == direct.toSeq)
+    // 3 deleted at seq2 but re-upserted at seq3; 9 inserted; 2 updated
+    assert(cur.toSeq == Seq((1L, "alice"), (2L, "bob2"), (3L, "carol3"), (9L, "nina")))
+    // empty changes dir: cdcCurrent is the snapshot verbatim
+    val none = Streams.cdcCurrent(snap, s"$dir/nochanges", Seq("id"), "seq", "op")
+    assert(none.count() == 3)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
