@@ -1990,6 +1990,14 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")),
         "l_suppkey", "l_partkey", iters = 3)),
 
+    // HITS over the same supplier->part graph: hubs and authorities in
+    // integer micro-units with exact integer L1 normalization — two
+    // unrolled iteration rounds rebuilt layer-by-layer in the oracle
+    "q_hits" -> ((s, d) =>
+      graft.functions.Graph.hits(
+        t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", iters = 2)),
+
     // ========================================================== destination
     "q_render_template" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -2144,6 +2152,36 @@ object SparkEntry {
     s"$head$layers SELECT node, rank FROM r$iters ORDER BY node"
   }
 
+  /** HITS rebuilt layer-by-layer: each iteration is two LEFT-joined
+    * propagation sums with the integer L1 normalization (`raw // (Σraw //
+    * 10^9 + 1)`) applied via a scalar subquery — validated against an
+    * independent Python model before landing. */
+  private def hitsSql(iters: Int): String = {
+    val m = 1000000000L
+    val head =
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         h0 AS (SELECT node, $m::BIGINT AS h FROM nodes)"""
+    val layers = (1 to iters).map { i =>
+      s""",
+         araw$i AS (SELECT nodes.node, coalesce(s.m, 0) AS raw FROM nodes LEFT JOIN
+           (SELECT e.dst AS node, sum(h.h) AS m FROM h${i - 1} h JOIN e ON e.src = h.node
+            GROUP BY e.dst) s ON s.node = nodes.node),
+         a$i AS (SELECT node,
+                   CAST(raw // (SELECT sum(raw) // $m + 1 FROM araw$i) AS BIGINT) AS a
+                 FROM araw$i),
+         hraw$i AS (SELECT nodes.node, coalesce(s.m, 0) AS raw FROM nodes LEFT JOIN
+           (SELECT e.src AS node, sum(a.a) AS m FROM a$i a JOIN e ON e.dst = a.node
+            GROUP BY e.src) s ON s.node = nodes.node),
+         h$i AS (SELECT node,
+                   CAST(raw // (SELECT sum(raw) // $m + 1 FROM hraw$i) AS BIGINT) AS h
+                 FROM hraw$i)"""
+    }.mkString
+    s"""$head$layers
+       SELECT hh.node AS node, hh.h AS hub, aa.a AS authority
+       FROM h$iters hh JOIN a$iters aa ON aa.node = hh.node"""
+  }
+
   /** q_zorder's interleave rebuilt as explicit per-bit SQL terms: bit b
     * of bucket a lands at position 2b, of bucket b at 2b+1 (k=2, bits=8 —
     * terms stay far inside BIGINT). */
@@ -2153,6 +2191,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql(3),
+    "q_hits" -> hitsSql(2),
     "q_sketch_hll" -> SketchSql.hllSql,
     "q_sketch_hll_merge" -> SketchSql.hllSql,
     "q_stream_sketch" -> SketchSql.hllSql,

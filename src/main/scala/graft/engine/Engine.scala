@@ -278,6 +278,7 @@ final class Engine(spark: SparkSession) {
     "bloom_filter" -> Set("sources", "column", "source_column", "log_bits", "k", "mode"),
     "sketch_overlap" -> Set("sources", "column", "source_column", "k"),
     "pagerank" -> Set("src_column", "dst_column", "iterations", "damping_ppm"),
+    "hits" -> Set("src_column", "dst_column", "iterations"),
     "apply_changes" -> Set("sources", "key_columns", "seq_column", "op_column",
       "delete_values"),
     "scd2" -> Set("key_columns", "seq_column", "change_only"),
@@ -510,6 +511,11 @@ final class Engine(spark: SparkSession) {
           Config.reqStr(op, "dst_column", ctx),
           Config.int(op, "iterations").getOrElse(3),
           Config.str(op, "damping_ppm").map(_.toLong).getOrElse(850000L))
+      case "hits" =>
+        graft.functions.Graph.hits(df,
+          Config.reqStr(op, "src_column", ctx),
+          Config.reqStr(op, "dst_column", ctx),
+          Config.int(op, "iterations").getOrElse(2))
       case "sketch_quantile" =>
         import org.apache.spark.sql.functions.{col => fcol, round => fround}
         val groupCols = listOf(op, "group_by_columns")

@@ -82,4 +82,63 @@ object Graph {
       out
     } finally { nodes.unpersist(); e.unpersist() }
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — PageRank's complement for
+    * crawl curation: authorities rank CONTENT pages worth keeping, hubs
+    * rank LINK pages worth crawling from; PageRank conflates the two.
+    *
+    * Same fixed-point discipline as [[pageRank]], with the L1
+    * normalization HITS needs made integer-exact: after each half-step
+    * the raw scores divide by `q = Σraw div 10^9 + 1` (one bounded scalar
+    * aggregate per half-step, the same driver-bounded class as
+    * pageRank's `n = nodes.count()`), so normalized scores sum to ≈10^9
+    * and every value is a pure Long floor-division of commuting integer
+    * sums — partition/join-order/engine independent, oracle-exact.
+    * Overflow bound: a raw score is Σ of ≈10^9-unit scores over a node's
+    * in/out edges, safe to ~4x10^9 edges per node.
+    *
+    * Scale shape per iteration: two equi-join + partial-agg groupBy
+    * pairs (authority from src-join, hub from dst-join) — a fixed stage
+    * count over the edge list, nothing row-wise on the driver. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"hits: iters must be in [1,50], got $iters")
+    val HitsMass = 1000000000L
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    try {
+      require(nodes.count() > 0, "hits: edge frame has no valid edges")
+      def normalize(raw: DataFrame, outCol: String): DataFrame = {
+        // Σraw is one Long scalar (bounded driver state); div not `/` —
+        // the long `/` is double division and drops low bits past 2^53
+        val total = raw.agg(sum("raw")).head().getLong(0)
+        val q = total / HitsMass + 1
+        raw.select(col("node"), expr(s"raw div ${q}L").as(outCol))
+      }
+      def halfStep(scores: DataFrame, scoreCol: String,
+                   joinKey: String, groupKey: String): DataFrame =
+        nodes.join(
+          scores.join(e, scores("node") === e(joinKey))
+            .groupBy(col(groupKey).as("node")).agg(sum(scoreCol).as("m")),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("m"), lit(0L)).as("raw"))
+      var h = nodes.withColumn("h", lit(HitsMass))
+      var a: DataFrame = null
+      var it = 0
+      while (it < iters) {
+        a = normalize(halfStep(h, "h", "src", "dst"), "a")
+        h = normalize(halfStep(a, "a", "dst", "src"), "h")
+        it += 1
+      }
+      val out = h.join(a, Seq("node"))
+        .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+        .localCheckpoint(true)
+      out
+    } finally { nodes.unpersist(); e.unpersist() }
+  }
 }

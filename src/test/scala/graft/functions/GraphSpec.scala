@@ -81,4 +81,45 @@ class GraphSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.select("rank").collect().map(_.getLong(0)).toSet.size === 1) // 3-cycle: uniform
   }
+
+  test("hits star: the center is a pure hub, the leaves pure authorities") {
+    val star = edges((1L to 6L).map(l => 0L -> l): _*)
+    val out = Graph.hits(star, "src", "dst", iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (hubC, authC) = out(0L)
+    assert(authC == 0L && hubC > 0L, s"center: $hubC/$authC")
+    (1L to 6L).foreach { l =>
+      val (hubL, authL) = out(l)
+      assert(hubL == 0L && authL > 0L, s"leaf $l: $hubL/$authL")
+      assert(authL == out(1L)._2, "symmetric leaves score equally")
+    }
+    assert(hubC > out(1L)._2, "the single hub concentrates more mass than any leaf")
+  }
+
+  test("hits is exactly partition-independent and duplicate-edge immune") {
+    val pairs = (0L until 60L).map(i => (i % 7) -> (7 + i % 11))
+    val base = Graph.hits(edges(pairs: _*), "src", "dst", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val repart = Graph.hits(edges(pairs: _*).repartition(13), "src", "dst", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(base == repart)
+    val dup = Graph.hits(edges((pairs ++ pairs): _*), "src", "dst", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(base == dup, "duplicate edges count once")
+  }
+
+  test("hits normalization keeps totals near the fixed-point mass; YAML dispatch") {
+    val pairs = (0L until 40L).map(i => i -> ((i * 3 + 1) % 40))
+    val out = Graph.hits(edges(pairs: _*), "src", "dst", 3)
+    val sums = out.agg(sum("hub"), sum("authority")).collect().head
+    val M = 1000000000L
+    assert(math.abs(sums.getLong(0) - M) < M / 10, s"hub mass ${sums.getLong(0)}")
+    assert(math.abs(sums.getLong(1) - M) < M / 10, s"auth mass ${sums.getLong(1)}")
+    val eng = new graft.engine.Engine(spark)
+    val viaYaml = eng.applyOperation(edges(pairs: _*),
+      Map("operation" -> "hits", "src_column" -> "src", "dst_column" -> "dst",
+        "iterations" -> "3"), Map.empty, "spec")
+    assert(viaYaml.columns.toSeq == Seq("node", "hub", "authority"))
+    assert(viaYaml.orderBy("node").collect().toSeq == out.orderBy("node").collect().toSeq)
+  }
 }
