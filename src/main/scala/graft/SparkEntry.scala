@@ -249,6 +249,21 @@ object SparkEntry {
       graft.functions.Zorder.withZorderKey(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     }),
 
+    // shard SINK round-trip: documents packaged into 4 tar shards by the
+    // distributed per-partition writer, read back through the tar source
+    // — write + read must invert exactly (identity oracle)
+    "q_tar_sink" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-shard-sink")
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(concat(lit("d"), col("doc_id")).as("key"), lit("txt").as("ext"),
+          encode(col("text"), "UTF-8").as("content"))
+      graft.engine.Tar.writeShards(docs.repartition(4), s"$dir/shards")
+      graft.expressions.GraftFunctions.register(s)
+      graft.engine.Sources.read(s, "wds_back",
+        Map("file" -> s"$dir/shards/shard-*", "type" -> "tar"), dir)
+        .selectExpr("key", "decode_text(content) AS text")
+    }),
+
     // streaming CDC ingest (6th ingest face): two real micro-batches of
     // (op, seq)-stamped changes replay through foreachBatch — batch 1
     // carries upserts + deletes, batch 2 later upserts + inserts — each
@@ -2407,6 +2422,10 @@ object SparkEntry {
                   (l_partkey - bmin) // (((bmax - bmin) >> 8) + 1) AS bb
                 FROM lineitem, mm)
           SELECT l_orderkey, l_partkey, ($zorderInterleaveSql)::BIGINT AS zkey FROM b""",
+
+    // shard write + read invert exactly
+    "q_tar_sink" ->
+      "SELECT 'd' || doc_id AS key, text FROM documents WHERE doc_id < 200",
 
     // the streamed merge rebuilt as one batch merge over the
     // concatenated change feed (seqs 1/2 in delta 1, 3/4 in delta 2)

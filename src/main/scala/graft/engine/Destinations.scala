@@ -60,8 +60,25 @@ object Destinations {
         }
         return target
       }
+      // WebDataset shard mode: (key, ext, content-binary) rows packaged as
+      // one tar per partition — the multimodal training-corpus write face
+      // (the tar SOURCE reads it back). Caller sizes shards by
+      // `partitions:`; `compression: gzip` emits .tar.gz.
+      if (fmt == "tar") {
+        require(Seq("template", "header", "footer").forall(k => Config.str(cfg, k).isEmpty),
+          s"destination `$name`: `format: tar` is a shard archive — template/header/footer don't apply")
+        Files.createDirectories(outputDir)
+        val target = outputDir.resolve(name)
+        val sized = Config.int(cfg, "partitions") match {
+          case Some(n) => df.repartition(n)
+          case None => df
+        }
+        Tar.writeShards(sized, target.toString,
+          gzip = Config.str(cfg, "compression").contains("gzip"))
+        return target
+      }
       require(Set("parquet", "orc", "csv", "json").contains(fmt),
-        s"destination `$name`: unsupported format `$fmt` (parquet/orc/csv/json/xlsx/ods/xlsb)")
+        s"destination `$name`: unsupported format `$fmt` (parquet/orc/csv/json/xlsx/ods/xlsb/tar)")
       require(Seq("template", "header", "footer").forall(k => Config.str(cfg, k).isEmpty),
         s"destination `$name`: `format: $fmt` is columnar — template/header/footer don't apply")
       Files.createDirectories(outputDir)

@@ -2,6 +2,7 @@ package graft.engine
 
 import java.io.{ByteArrayOutputStream, EOFException, InputStream, OutputStream}
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import scala.jdk.CollectionConverters._
 
 /**
  * Streaming tar / zip archive member extraction — the WebDataset shard
@@ -282,11 +283,12 @@ object Tar {
 
   // ------------------------------------------------------------- writer
 
-  /** Fixture/corpus tar writer (plain ustar, checksummed, two-zero-block
-    * trailer; names >100 chars emitted as GNU `L` records so the parser's
-    * long-name branch is exercised by real fixtures). */
-  def write(out: OutputStream, entries: Seq[(String, Array[Byte])]): Unit = {
-    def header(name: String, size: Long, typeflag: Char): Array[Byte] = {
+  /** Streaming shard writer (plain ustar, checksummed, two-zero-block
+    * trailer; names >100 chars emitted as GNU `L` records) — entries
+    * stream straight to `out` one at a time, so a writer task's memory
+    * is one member, never the shard. */
+  final class TarOutput(out: OutputStream) {
+    private def header(name: String, size: Long, typeflag: Char): Array[Byte] = {
       val h = new Array[Byte](Block)
       val nb = name.getBytes(UTF_8)
       System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
@@ -311,11 +313,11 @@ object Tar {
       h(154) = 0; h(155) = ' '
       h
     }
-    def pad(n: Long): Unit = {
+    private def pad(n: Long): Unit = {
       val p = ((Block - (n % Block)) % Block).toInt
       if (p > 0) out.write(new Array[Byte](p))
     }
-    entries.foreach { case (name, bytes) =>
+    def add(name: String, bytes: Array[Byte]): Unit = {
       if (name.getBytes(UTF_8).length > 100) {
         val nb = name.getBytes(UTF_8)
         out.write(header("././@LongLink", nb.length.toLong, 'L'))
@@ -324,8 +326,17 @@ object Tar {
       out.write(header(name, bytes.length.toLong, '0'))
       out.write(bytes); pad(bytes.length.toLong)
     }
-    out.write(new Array[Byte](2 * Block))
-    out.close()
+    def finish(): Unit = {
+      out.write(new Array[Byte](2 * Block))
+      out.close()
+    }
+  }
+
+  /** One-shot tar (fixtures). */
+  def write(out: OutputStream, entries: Seq[(String, Array[Byte])]): Unit = {
+    val t = new TarOutput(out)
+    entries.foreach { case (name, bytes) => t.add(name, bytes) }
+    t.finish()
   }
 
   def writeFile(path: java.nio.file.Path, entries: Seq[(String, Array[Byte])],
@@ -343,5 +354,48 @@ object Tar {
       z.putNextEntry(e); z.write(bytes); z.closeEntry()
     }
     z.close()
+  }
+
+  /** Distributed WebDataset shard SINK: one tar per partition, written by
+    * the partition's own task straight to `dir/shard-<part>.tar[.gz]` —
+    * members stream through [[TarOutput]] (task memory = one member), and
+    * re-executed tasks overwrite their shard in place (idempotent). The
+    * caller controls shard count/size by partitioning first (the ~1 GiB
+    * WebDataset convention ⇒ `df.repartition(bytes/1GiB)`); co-locating a
+    * sample's members in one shard = `repartition(n, col("key"))`.
+    * Columns: `key`, `ext` (empty = no dot), binary `content`. */
+  def writeShards(df: org.apache.spark.sql.DataFrame, dir: String,
+                  gzip: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val need = Seq("key", "ext", "content")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"tar sink: frame is missing columns [${missing.mkString(", ")}]")
+    val sc = df.sparkSession.sparkContext
+    val confSnapshot = sc.hadoopConfiguration.asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val bconf = sc.broadcast(confSnapshot)
+    val suffix = if (gzip) ".tar.gz" else ".tar"
+    df.select(col("key").cast("string"), col("ext").cast("string"), col("content"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          bconf.value.foreach { case (k, v) => conf.set(k, v) }
+          val p = new org.apache.hadoop.fs.Path(f"$dir/shard-$part%05d$suffix")
+          val fs = p.getFileSystem(conf)
+          val raw: OutputStream = fs.create(p, true)
+          val tar = new TarOutput(
+            if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw)
+          it.foreach { r =>
+            val key = r.getString(0)
+            val ext = Option(r.getString(1)).getOrElse("")
+            val name = if (ext.isEmpty) key else s"$key.$ext"
+            val bytes = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+              .getOrElse(Array.empty[Byte])
+            tar.add(name, bytes)
+          }
+          tar.finish()
+        }
+      }
   }
 }

@@ -126,6 +126,45 @@ class TarSpec extends graft.SparkSpec {
       ("s1/1", "txt", "t1"), ("s2/2", "txt", "t2")))
   }
 
+  test("writeShards: distributed sink round-trips through the source, incl. gzip") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink")
+    val df = (0L until 50L).map(i => (s"k$i", "txt", s"payload $i".getBytes("UTF-8")))
+      .toDF("key", "ext", "content")
+    for ((gz, sub) <- Seq((false, "plain"), (true, "gz"))) {
+      Tar.writeShards(df.repartition(3), s"$dir/$sub", gzip = gz)
+      val back = Sources.read(spark, "back",
+        Map("file" -> s"$dir/$sub/shard-*", "type" -> "tar"), dir)
+      assert(back.count() == 50)
+      assert(back.select("shard").distinct().count() == 3) // one tar per partition
+      graft.expressions.GraftFunctions.register(spark)
+      val texts = back.selectExpr("key", "decode_text(content) AS t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(texts("k7") == "payload 7" && texts.size == 50)
+    }
+    // co-location: repartitioning by key puts a sample's members together
+    val multi = (0L until 20L).flatMap(i =>
+      Seq((s"s$i", "txt", "t".getBytes), (s"s$i", "json", "{}".getBytes)))
+      .toDF("key", "ext", "content")
+    Tar.writeShards(multi.repartition(4, col("key")), s"$dir/coloc")
+    val shardsPerKey = Sources.read(spark, "coloc",
+      Map("file" -> s"$dir/coloc/shard-*", "type" -> "tar"), dir)
+      .groupBy("key").agg(countDistinct("shard").as("n"))
+      .agg(max("n")).collect().head.getLong(0)
+    assert(shardsPerKey == 1L, "a sample's members must land in one shard")
+    // destination dispatch: format tar
+    val out = Destinations.write(df, "wds_out",
+      Map("format" -> "tar", "partitions" -> "2"), dir, dir)
+    assert(Sources.read(spark, "dback",
+      Map("file" -> s"$out/shard-*", "type" -> "tar"), dir).count() == 50)
+    // missing columns reject
+    val e = intercept[IllegalArgumentException] {
+      Tar.writeShards(df.drop("ext"), s"$dir/bad")
+    }
+    assert(e.getMessage.contains("missing columns"), e.getMessage)
+  }
+
   test("corrupt shard rejects with the shard path in the message") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards-bad")
     java.nio.file.Files.write(dir.resolve("bad.tar"), ("x" * 2000).getBytes)

@@ -98,6 +98,7 @@ class ExpressionsSpec extends SparkSpec {
         case "qhist_quantile" => Seq(Literal("abc".getBytes), Literal(0.5))
         case "bloom_contains" => Seq(Literal("abc".getBytes), Literal(1L))
         case "kmv_intersect" => Seq(Literal("abc".getBytes), Literal("abc".getBytes))
+        case "dim_reduce_q" => Seq(Literal("abc"), Literal(4), Literal(1), Literal(8))
         case _ => Seq(Literal("abc"))
       }
       name -> builder(args)
