@@ -249,6 +249,17 @@ object SparkEntry {
       graft.functions.Zorder.withZorderKey(li, Seq("l_orderkey", "l_partkey"), bits = 8)
     }),
 
+    // cross-corpus fuzzy join: even-id documents matched against odd-id
+    // documents by word-shingle Jaccard — the record-linkage shape; the
+    // oracle recomputes every cross-parity pair exactly
+    "q_similarity_join" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      graft.functions.Dedup.similarityJoin(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "doc_id", "text",
+        threshold = 0.7, maxDocFreq = Some(1000L))
+    }),
+
     // shard SINK round-trip: documents packaged into 4 tar shards by the
     // distributed per-partition writer, read back through the tar source
     // — write + read must invert exactly (identity oracle)
@@ -2422,6 +2433,35 @@ object SparkEntry {
                   (l_partkey - bmin) // (((bmax - bmin) >> 8) + 1) AS bb
                 FROM lineitem, mm)
           SELECT l_orderkey, l_partkey, ($zorderInterleaveSql)::BIGINT AS zkey FROM b""",
+
+    // cross-parity fuzzy pairs: the q_dedup_jaccard token model with the
+    // even->odd side split instead of the a_id < b_id triangle
+    "q_similarity_join" ->
+      """WITH ws AS (
+           SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+           FROM documents),
+         idx AS (
+           SELECT id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws),
+         toks AS (
+           SELECT DISTINCT id,
+             CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  ELSE array_to_string(w, ' ') END AS tok
+           FROM idx),
+         counts AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+         kept AS (
+           SELECT toks.* FROM toks
+           JOIN (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1000) f USING (tok)),
+         inter AS (
+           SELECT a.id AS left_id, b.id AS right_id, count(*) AS n_common
+           FROM kept a JOIN kept b ON a.tok = b.tok
+           WHERE a.id % 2 = 0 AND b.id % 2 = 1
+           GROUP BY 1, 2)
+         SELECT left_id, right_id,
+                round(n_common::DOUBLE / (ca.n + cb.n - n_common), 4) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.id = left_id
+         JOIN counts cb ON cb.id = right_id
+         WHERE n_common::DOUBLE / (ca.n + cb.n - n_common) >= 0.7""",
 
     // shard write + read invert exactly
     "q_tar_sink" ->

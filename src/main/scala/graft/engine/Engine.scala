@@ -285,6 +285,9 @@ final class Engine(spark: SparkSession) {
     "zorder_by" -> Set("columns", "bits", "partitions", "keep_key"),
     "dim_reduce" -> Set("column", "new_column", "k", "seed", "s_bits", "output"),
     "weighted_sample" -> Set("key_column", "weight_column"),
+    "similarity_join" -> Set("sources", "id_column", "text_column",
+      "right_id_column", "right_text_column", "threshold", "shingle_size",
+      "max_doc_freq"),
     "compression_ratio" -> Set("column", "new_column"),
   )
 
@@ -809,6 +812,23 @@ final class Engine(spark: SparkSession) {
             graft.functions.Sampling.hashSample(df, keyC,
               Config.reqStr(op, "rate", ctx).toDouble)
         }
+      // fuzzy record linkage: match df's rows to `sources` rows by text
+      // Jaccard — the dedup machinery's join face
+      case "similarity_join" =>
+        val rightFrame = sourceFrames match {
+          case Seq(rf) => rf
+          case other => throw new IllegalArgumentException(
+            s"$ctx: similarity_join needs exactly one entry in `sources`, got ${other.size}")
+        }
+        val lid = Config.reqStr(op, "id_column", ctx)
+        val ltext = Config.reqStr(op, "text_column", ctx)
+        graft.functions.Dedup.similarityJoin(df, rightFrame,
+          lid, ltext,
+          Config.str(op, "right_id_column").getOrElse(lid),
+          Config.str(op, "right_text_column").getOrElse(ltext),
+          Config.reqStr(op, "threshold", ctx).toDouble,
+          Config.int(op, "shingle_size").getOrElse(3),
+          Config.str(op, "max_doc_freq").map(_.toLong))
       // per-row Bernoulli keep probability from a ppm weight column
       case "weighted_sample" =>
         graft.functions.Sampling.weightedHashSample(df,

@@ -141,6 +141,66 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus SIMILARITY JOIN — the record-linkage / fuzzy-join face
+    * of the dedup machinery: match every `left` row to the `right` rows
+    * whose text Jaccard (word shingles) meets `threshold`, returning
+    * (left_id, right_id, jaccard). Same scale discipline as
+    * [[jaccardPairs]]: prefix + length filters prune candidate pair
+    * events BEFORE the equi-join shuffle, document frequency for
+    * `maxDocFreq` is computed over the UNION of both frames (the stop
+    * set must reflect the whole collection), and the exact verify runs
+    * only on surviving candidates — never a cross join. Ids need only be
+    * unique within their own frame (sides never mix). */
+  def similarityJoin(left: DataFrame, right: DataFrame,
+                     leftId: String, leftText: String,
+                     rightId: String, rightText: String,
+                     threshold: Double, shingleSize: Int = 3,
+                     maxDocFreq: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"similarity_join: threshold in (0,1], got $threshold")
+    val l = hashedShingleDocs(left.select(col(leftId).as("__sid__"), col(leftText).as("__st__")),
+      "__sid__", "__st__", shingleSize)
+    val r = hashedShingleDocs(right.select(col(rightId).as("__sid__"), col(rightText).as("__st__")),
+      "__sid__", "__st__", shingleSize)
+    val post0 = l.select(lit(0).as("side"), col("id"), size(col("toks")).as("n"),
+        explode(col("toks")).as("tok"))
+      .unionAll(r.select(lit(1).as("side"), col("id"), size(col("toks")).as("n"),
+        explode(col("toks")).as("tok")))
+    val posting = maxDocFreq match {
+      case Some(cap) =>
+        val stop = post0.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("tok")
+        post0.join(broadcast(stop), Seq("tok"), "left_anti")
+          .select("side", "id", "n", "tok")
+      case None => post0
+    }
+    // persist: feeds the prefix index AND both sides of the verify join
+    // (the jaccardPairs lifecycle — released with the session/GC)
+    val docsKept = posting.groupBy("side", "id")
+      .agg(sort_array(collect_list(col("tok"))).as("ktoks"), max(col("n")).as("n"))
+      .persist()
+    val prefix = docsKept.select(col("side"), col("id"), col("n"),
+        explode(slice(col("ktoks"), lit(1),
+          greatest(size(col("ktoks")) - ceil(lit(threshold) * size(col("ktoks"))).cast("int") + 1,
+            lit(1)))).as("tok"))
+    val a = prefix.filter(col("side") === 0).select(col("id").as("a_id"), col("n").as("a_n"), col("tok"))
+    val b = prefix.filter(col("side") === 1).select(col("id").as("b_id"), col("n").as("b_n"), col("tok"))
+    val candidates = a.join(b, Seq("tok"))
+      .filter(least(col("a_n"), col("b_n")).cast("double") >=
+        lit(threshold) * greatest(col("a_n"), col("b_n")))
+      .select("a_id", "b_id").distinct()
+    candidates
+      .join(docsKept.filter(col("side") === 0)
+        .select(col("id").as("a_id"), col("ktoks").as("a_toks"), col("n").as("a_n")), "a_id")
+      .join(docsKept.filter(col("side") === 1)
+        .select(col("id").as("b_id"), col("ktoks").as("b_toks"), col("n").as("b_n")), "b_id")
+      .withColumn("n_common", size(array_intersect(col("a_toks"), col("b_toks"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("a_n") + col("b_n") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id").as("left_id"), col("b_id").as("right_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Near-duplicate pairs of a NEW batch against (corpus ∪ batch) — the
     * daily-ingest shape: at 100 TB you never re-pair the whole corpus
     * against itself; you pair the delta against everything. Same exact

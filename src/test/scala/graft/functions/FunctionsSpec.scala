@@ -137,6 +137,36 @@ class FunctionsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == (0L until 100L).toSet)
   }
 
+  test("similarityJoin: cross-frame fuzzy matches only, sides never mix") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def mut(s: String, w: String) = s.replace("today", w)
+    val left = Seq(
+      (1L, base), (2L, base), // 1-2 near-dup WITHIN left: must NOT pair
+      (3L, "completely unrelated text about catalyst optimizer internals today yes")
+    ).toDF("id", "text")
+    val right = Seq(
+      (10L, mut(base, "tomorrow")), // near-dup of left 1 and 2
+      (11L, "some entirely different document about parquet row group pruning")
+    ).toDF("rid", "rtext")
+    val got = Dedup.similarityJoin(left, right, "id", "text", "rid", "rtext", 0.6)
+      .select("left_id", "right_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L)), got)
+    // identical text across frames scores jaccard 1.0
+    val self = Dedup.similarityJoin(left, Seq((99L, base)).toDF("rid", "rtext"),
+      "id", "text", "rid", "rtext", 0.9)
+    val ones = self.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(ones(1L) == 1.0 && ones(2L) == 1.0 && !ones.contains(3L))
+    // YAML dispatch with defaulted right-side column names
+    val eng = new graft.engine.Engine(spark)
+    val viaYaml = eng.applyOperation(left,
+      Map("operation" -> "similarity_join", "sources" -> List("$transformations.r"),
+        "id_column" -> "id", "text_column" -> "text", "threshold" -> "0.6",
+        "right_id_column" -> "rid", "right_text_column" -> "rtext"),
+      Map("transformations.r" -> right), "spec")
+    assert(viaYaml.select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == got)
+  }
+
   test("weightedHashSample: per-row ppm probability, monotone in weight, exact edges") {
     val docs = (0L until 400L).map(i => (i, (i % 5) * 250000L)).toDF("doc_id", "w")
     val kept = Sampling.weightedHashSample(docs, "doc_id", "w")
