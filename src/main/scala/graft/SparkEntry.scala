@@ -1005,6 +1005,62 @@ object SparkEntry {
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // fixed-interval resampling with gap fill through the YAML op: per-user
+    // 1-hour buckets, grid generated per key with sequence() on the
+    // executors, empty buckets appear with count 0 / null sum
+    "q_resample" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(t(s, d, "events").select("user_id", "ts", "value"),
+        Map("operation" -> "resample", "time_column" -> "ts",
+          "partition_by" -> List("user_id"), "interval" -> "1 hour",
+          "aggregations" -> Map("n" -> "count()", "sv" -> "sum(value)")),
+        Map.empty, "gate")
+        .select(col("user_id"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n"), round(col("sv"), 2).as("sum_value"))
+    }),
+
+    // per-key forward fill in event order (pandas groupby().ffill());
+    // nulls synthesized deterministically on event_id%7, leading nulls stay
+    "q_fill_forward" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("value"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(ev, Map("operation" -> "fill_forward",
+        "columns" -> List("value"), "partition_by" -> List("user_id"),
+        "order_by" -> List("ts_us", "event_id")), Map.empty, "gate")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value_filled"))
+    }),
+
+    // trailing TIME-range window (the "sum of the last hour" feature a
+    // ROWS frame cannot express): RANGE frame over epoch micros, SQL peer
+    // semantics on ties — exactly DuckDB's RANGE BETWEEN
+    "q_time_window_agg" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(t(s, d, "events").select("event_id", "user_id", "ts", "value"),
+        Map("operation" -> "time_window_agg", "partition_by" -> List("user_id"),
+          "time_column" -> "ts", "function" -> "sum", "column" -> "value",
+          "new_column" -> "hr_sum", "trailing" -> "1 hour"), Map.empty, "gate")
+        .select(col("event_id"), col("user_id"), round(col("hr_sum"), 2).as("hr_sum"))
+    }),
+
+    // linear time-interpolation of nulls per key (pandas interpolate
+    // method='time'): nulls synthesized on event_id%5; edge nulls stay null;
+    // the arithmetic is fixed-shape IEEE double ops so Spark and DuckDB
+    // produce bit-identical values (rounded to 4 anyway)
+    "q_interpolate" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("value"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(ev, Map("operation" -> "interpolate", "column" -> "value",
+        "time_column" -> "ts", "partition_by" -> List("user_id"),
+        "tie_break" -> List("event_id"), "new_column" -> "value_interp"),
+        Map.empty, "gate")
+        .select(col("event_id"), col("user_id"),
+          round(col("value_interp"), 4).as("value_interp"))
+    }),
+
     // ======================================================== text analysis
     // word stats come from one kernel pass; token count and fingerprint
     // stay native codegen'd expressions
@@ -2781,6 +2837,54 @@ object SparkEntry {
            sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
            count(*) AS n_events
          FROM gaps GROUP BY user_id""",
+
+    "q_resample" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         agg AS (SELECT user_id, us - us % 3600000000 AS b,
+                   count(*) AS n, sum(value) AS sv
+                 FROM ev GROUP BY 1, 2),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(min(b), max(b), 3600000000)) AS b
+                  FROM agg GROUP BY user_id)
+         SELECT g.user_id, g.b AS bucket_us, coalesce(a.n, 0)::BIGINT AS n,
+           round(a.sv, 2) AS sum_value
+         FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b""",
+
+    "q_fill_forward" ->
+      """SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+               IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS value_filled
+         FROM events""",
+
+    "q_time_window_agg" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hr_sum
+         FROM events""",
+
+    "q_interpolate" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+              FROM events),
+         w AS (SELECT event_id, user_id, t, v,
+            last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt,
+            first_value(v IGNORE NULLS) OVER wn AS nv
+          FROM ev
+          WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wn AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT event_id, user_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pt IS NULL OR nt IS NULL THEN NULL
+                 ELSE pv + (nv - pv) * ((t - pt)::DOUBLE / (nt - pt)::DOUBLE)
+                 END, 4) AS value_interp
+         FROM w""",
 
     "q_text_stats" ->
       """SELECT doc_id,

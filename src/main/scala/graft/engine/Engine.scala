@@ -289,6 +289,13 @@ final class Engine(spark: SparkSession) {
       "right_id_column", "right_text_column", "threshold", "shingle_size",
       "max_doc_freq"),
     "compression_ratio" -> Set("column", "new_column"),
+    "resample" -> Set("time_column", "partition_by", "interval", "aggregations",
+      "bucket_column", "fill_gaps", "max_buckets_per_key"),
+    "fill_forward" -> Set("column", "columns", "partition_by", "order_by", "default"),
+    "time_window_agg" -> Set("partition_by", "time_column", "function", "column",
+      "new_column", "trailing"),
+    "interpolate" -> Set("column", "time_column", "partition_by", "tie_break",
+      "new_column"),
   )
 
   /** Append `prefix+field` columns from a registry struct function over a
@@ -506,6 +513,32 @@ final class Engine(spark: SparkSession) {
         df.withColumn(Config.str(op, "new_column").getOrElse("compression_ppm"),
           org.apache.spark.sql.functions.call_function("compression_ratio",
             org.apache.spark.sql.functions.col(c)))
+      // time-series tier (functions/TimeSeries.scala): every op requires
+      // partition_by so work distributes per key — no global single-task
+      // ordering ever exists
+      case "resample" => graft.functions.TimeSeries.resample(df,
+        Config.reqStr(op, "time_column", ctx), listOf(op, "partition_by"),
+        graft.functions.TimeSeries.parseInterval("resample",
+          Config.reqStr(op, "interval", ctx)),
+        pairs("aggregations"),
+        Config.str(op, "bucket_column").getOrElse("bucket"),
+        fillGaps = Config.bool(op, "fill_gaps", default = true),
+        maxBucketsPerKey = op.get("max_buckets_per_key")
+          .map(_.toString.toLong).getOrElse(1000000L))
+      case "fill_forward" => graft.functions.TimeSeries.fillForward(df,
+        colsOf(op), listOf(op, "partition_by"), listOf(op, "order_by"),
+        Config.str(op, "default"))
+      case "time_window_agg" => graft.functions.TimeSeries.timeWindowAgg(df,
+        listOf(op, "partition_by"), Config.reqStr(op, "time_column", ctx),
+        Config.reqStr(op, "function", ctx),
+        Config.str(op, "column").getOrElse(""),
+        Config.str(op, "new_column").getOrElse("window_value"),
+        graft.functions.TimeSeries.parseInterval("time_window_agg",
+          Config.reqStr(op, "trailing", ctx)))
+      case "interpolate" => graft.functions.TimeSeries.interpolate(df,
+        Config.reqStr(op, "column", ctx), Config.reqStr(op, "time_column", ctx),
+        listOf(op, "partition_by"), listOf(op, "tie_break"),
+        Config.str(op, "new_column").getOrElse(""))
       // link-graph rank over an edge frame (fixed-point integer PageRank —
       // crawl-priority / quality weighting; Graph.scala has the contract)
       case "pagerank" =>
