@@ -1005,6 +1005,54 @@ object SparkEntry {
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // grouping-set aggregation through the YAML op: ROLLUP emits the
+    // (flag,status) groups plus per-flag subtotals plus the grand total
+    // with NULL keys — still ONE shuffle (grouping sets expand map-side)
+    "q_group_rollup" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(
+        t(s, d, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity"),
+        Map("operation" -> "group_by",
+          "group_by_columns" -> List("l_returnflag", "l_linestatus"),
+          "create_columns" -> Map("n" -> "count()", "sum_qty" -> "sum(l_quantity)"),
+          "grouping" -> "rollup"), Map.empty, "gate")
+    }),
+
+    // CUBE adds the per-status margin the rollup lacks
+    "q_group_cube" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(
+        t(s, d, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity"),
+        Map("operation" -> "group_by",
+          "group_by_columns" -> List("l_returnflag", "l_linestatus"),
+          "create_columns" -> Map("n" -> "count()", "sum_qty" -> "sum(l_quantity)"),
+          "grouping" -> "cube"), Map.empty, "gate")
+    }),
+
+    // ranking / distribution window functions through the YAML op: rank and
+    // dense_rank (= row_number under the unique order key, but exercised as
+    // their own code paths), quartile ntile, percent_rank (exact small-int
+    // ratio), framed first/last value
+    "q_window_rank" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      val e = new graft.engine.Engine(s)
+      def w(df: DataFrame, fn: String, c: String, out: String, off: Int = 1) =
+        e.applyOperation(df, Map("operation" -> "window_agg",
+          "partition_by" -> List("user_id"), "order_by" -> List("ts_us", "event_id"),
+          "function" -> fn, "column" -> c, "new_column" -> out, "offset" -> off),
+          Map.empty, "gate")
+      val out = Seq[(String, String, String, Int)](
+        ("rank", "", "rnk", 1), ("dense_rank", "", "drnk", 1),
+        ("ntile", "", "quartile", 4), ("percent_rank", "", "prank", 1),
+        ("first_value", "value", "first_v", 1), ("last_value", "value", "last_v", 1))
+        .foldLeft(ev) { case (df, (fn, c, o, off)) => w(df, fn, c, o, off) }
+      out.select(col("event_id"), col("user_id"), col("rnk"), col("drnk"),
+        col("quartile"), round(col("prank"), 6).as("prank"),
+        round(col("first_v"), 4).as("first_v"), round(col("last_v"), 4).as("last_v"))
+    }),
+
     // fixed-interval resampling with gap fill through the YAML op: per-user
     // 1-hour buckets, grid generated per key with sequence() on the
     // executors, empty buckets appear with count 0 / null sum
@@ -2058,6 +2106,32 @@ object SparkEntry {
       graft.streaming.Streams.sketchDistinctTotals(s, s"$dir/sketches", Seq("l_returnflag"))
     }),
 
+    // STREAMING resample face: two event deltas land as micro-batches, each
+    // collapsing to partial per-(user, hour-bucket) count/sum/min/max in
+    // batch-stamped partitions; merged totals must equal the one-shot SQL
+    // build over ALL events — exact because the value is integer cents
+    // (sum/min/max of longs are associative and commutative)
+    "q_stream_resample" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-resample")
+      val rows = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      rows.filter(col("event_id") % 3 =!= 0).write.parquet(s"$dir/src")
+      val src = s.readStream.schema(rows.schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.resampleIngest(src, "ts", Seq("user_id"),
+        3600000000L, "cents", s"$dir/aggs", checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        // single-file delta-2 append: atomic to the poller's listing
+        rows.filter(col("event_id") % 3 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.Streams.resampleTotals(s, s"$dir/aggs", Seq("user_id"))
+        .select(col("user_id"), unix_micros(col("bucket")).as("bucket_us"),
+          col("n"), col("s").as("sum_cents"), col("mn").as("min_cents"),
+          col("mx").as("max_cents"))
+    }),
+
     // (compression_ratio has no gate entry: zlib is not SQL-expressible,
     // and a rows-only row would dilute the all-hash-verified suite — its
     // value-level coverage lives in SketchesSpec: ordering, determinism,
@@ -2277,6 +2351,14 @@ object SparkEntry {
     "q_sketch_hll" -> SketchSql.hllSql,
     "q_sketch_hll_merge" -> SketchSql.hllSql,
     "q_stream_sketch" -> SketchSql.hllSql,
+
+    "q_stream_resample" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+                CAST(round(value * 100) AS BIGINT) AS c FROM events)
+         SELECT user_id, us - us % 3600000000 AS bucket_us,
+           count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_cents,
+           min(c) AS min_cents, max(c) AS max_cents
+         FROM ev GROUP BY 1, 2""",
 
     // every (row, bucket) collision sum, then the same min over 4 rows
     "q_sketch_cms" -> {
@@ -2837,6 +2919,32 @@ object SparkEntry {
            sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
            count(*) AS n_events
          FROM gaps GROUP BY user_id""",
+
+    "q_group_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+           sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q_group_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+           sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q_window_rank" ->
+      """SELECT event_id, user_id,
+           rank() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT
+             AS rnk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT
+             AS drnk,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT
+             AS quartile,
+           round(percent_rank() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 6)
+             AS prank,
+           round(first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS first_v,
+           round(last_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS last_v
+         FROM events""",
 
     "q_resample" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -201,7 +201,7 @@ final class Engine(spark: SparkSession) {
     "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
     "melt" -> Set("id_vars", "value_vars", "var_name", "value_name"),
     "pivot" -> Set("rows_by", "cols_by", "values", "pivot_values"),
-    "group_by" -> Set("group_by_columns", "create_columns", "exact_quantiles"),
+    "group_by" -> Set("group_by_columns", "create_columns", "exact_quantiles", "grouping"),
     "group_by_with_rank" -> Set("group_by_columns", "rank_column", "order_by"),
     "window_agg" -> Set("partition_by", "order_by", "function", "column",
       "new_column", "rows_preceding", "rows_following", "offset"),
@@ -415,7 +415,8 @@ final class Engine(spark: SparkSession) {
             case _ => k -> spec
           }
         }
-        Ops.groupBy(df, listOf(op, "group_by_columns"), creates)
+        Ops.groupBy(df, listOf(op, "group_by_columns"), creates,
+          grouping = Config.str(op, "grouping").getOrElse("groups"))
       case "window_agg" => Ops.windowAgg(df,
         listOf(op, "partition_by"), listOf(op, "order_by"),
         Config.reqStr(op, "function", ctx),

@@ -113,7 +113,15 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().persist()
     try {
       require(nodes.count() > 0, "hits: edge frame has no valid edges")
-      def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      def normalize(raw0: DataFrame, outCol: String): DataFrame = {
+        // Unlike pageRank (no mid-loop actions, ONE materializing pass at
+        // the end), the L1 quotient is data-dependent, forcing a scalar
+        // action per half-step — so each half-step MUST cut its lineage
+        // first, or action k re-executes half-steps 1..k-1 from scratch
+        // (measured 7x wall on the bench graph). localCheckpoint stores
+        // node-cardinality rows; blocks are reclaimed by the
+        // ContextCleaner when the frame is collected.
+        val raw = raw0.localCheckpoint(true)
         // Σraw is one Long scalar (bounded driver state); div not `/` —
         // the long `/` is double division and drops low bits past 2^53
         val total = raw.agg(sum("raw")).head().getLong(0)

@@ -237,9 +237,13 @@ object Ops {
     if (partitionBy.isEmpty)
       err("window_agg", "partition_by is required (a global window runs on ONE task; " +
         "use the bucketed prefix-sum operators for global running totals)")
+    val columnFree = Set("row_number", "count", "rank", "dense_rank",
+      "percent_rank", "cume_dist", "ntile")
     (partitionBy ++ orderBy.map(_.stripPrefix("-").stripPrefix("+")) ++
-      (if (Set("row_number", "count").contains(function)) Nil else Seq(column)))
+      (if (columnFree.contains(function)) Nil else Seq(column)))
       .foreach(c => if (!df.columns.contains(c)) err("window_agg", s"column `$c` not defined"))
+    if (function == "ntile" && offset < 1)
+      err("window_agg", s"ntile needs a positive bucket count in `offset` (got $offset)")
     val orderCols = orderBy.map {
       case c if c.startsWith("-") => col(c.substring(1)).desc
       case c => col(c.stripPrefix("+")).asc
@@ -258,8 +262,20 @@ object Ops {
       case "lag" => lag(col(column), offset).over(base)
       case "lead" => lead(col(column), offset).over(base)
       case "row_number" => row_number().over(base).cast(org.apache.spark.sql.types.LongType)
+      // ranking / distribution functions (unframed — rank semantics are
+      // defined by order position, not a frame); percent_rank/cume_dist are
+      // exact small-integer ratios, IEEE-identical cross-engine
+      case "rank" => rank().over(base).cast(org.apache.spark.sql.types.LongType)
+      case "dense_rank" => dense_rank().over(base).cast(org.apache.spark.sql.types.LongType)
+      case "percent_rank" => percent_rank().over(base)
+      case "cume_dist" => cume_dist().over(base)
+      // bucket count rides the `offset` slot (the one integer knob)
+      case "ntile" => ntile(offset).over(base).cast(org.apache.spark.sql.types.LongType)
+      case "first_value" | "first" => first(col(column)).over(framed)
+      case "last_value" | "last" => last(col(column)).over(framed)
       case other => err("window_agg",
-        s"invalid window function `$other` (sum/avg/min/max/count/lag/lead/row_number)")
+        s"invalid window function `$other` (sum/avg/min/max/count/lag/lead/row_number/" +
+          "rank/dense_rank/percent_rank/cume_dist/ntile/first_value/last_value)")
     }
     df.withColumn(newColumn, result)
   }
@@ -409,11 +425,22 @@ object Ops {
     * The reference runs one groupby().apply per aggregate and merges the
     * results; here the whole thing is a single groupBy().agg — one shuffle
     * with map-side partial aggregation regardless of aggregate count. */
-  def groupBy(df: DataFrame, groupByColumns: Seq[String], createColumns: Seq[(String, String)]): DataFrame = {
+  def groupBy(df: DataFrame, groupByColumns: Seq[String], createColumns: Seq[(String, String)],
+              grouping: String = "groups"): DataFrame = {
     groupByColumns.foreach(c => if (!df.columns.contains(c)) err("group_by", s"group-by column `$c` not in the dataset"))
     val aggExprs = createColumns.map { case (name, funcSpec) => parseAgg(funcSpec, df.columns.toSeq).as(name) }
     if (aggExprs.isEmpty) err("group_by", "create_columns must not be empty")
-    df.groupBy(groupByColumns.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    // `grouping: rollup|cube` switches to grouping-set aggregation (subtotal
+    // levels appear with NULL keys, SQL GROUP BY ROLLUP/CUBE semantics) —
+    // still ONE shuffle: Spark expands the grouping sets map-side, so the
+    // partial-aggregation property is identical to a plain groupBy.
+    val grouped = grouping match {
+      case "groups" => df.groupBy(groupByColumns.map(col): _*)
+      case "rollup" => df.rollup(groupByColumns.map(col): _*)
+      case "cube" => df.cube(groupByColumns.map(col): _*)
+      case other => err("group_by", s"invalid grouping `$other` (groups/rollup/cube)")
+    }
+    grouped.agg(aggExprs.head, aggExprs.tail: _*)
     // NB the reference drops size-0 groups (groupby.py:137-138); Spark's
     // groupBy never emits empty groups, so no filter is needed.
   }

@@ -339,6 +339,45 @@ object Streams {
     graft.functions.Sketches.mergeDistinct(
       spark.read.parquet(sketchDir), groupCols, "sketch", estimateCol)
 
+  /** Streaming resample ingest — the 7th ingest face: live events collapse
+    * per micro-batch to partial (keys, bucket) aggregates over the
+    * mergeable family (count / sum / min / max — avg derives as sum/count),
+    * written to `aggDir/batch=<id>` with the batch-stamped-overwrite
+    * exactly-once discipline shared by every ingest face. Totals
+    * ([[resampleTotals]]) re-aggregate across ALL batch partitions:
+    * sum-of-counts/sums, min-of-mins, max-of-maxes — associative, so the
+    * totals equal a direct build over the union of every delta no matter
+    * how the stream was micro-batched. The value column is summed IN ITS
+    * OWN TYPE: feed integer units (cents, micros) and the merge is exact
+    * integer arithmetic — the same fixed-point discipline as pagerank —
+    * which is what the gate pins (bit-equal to the one-shot SQL build).
+    * Per-batch cost ∝ the batch (one map-side-combinable aggregation +
+    * one partition write); nothing rewrites history. */
+  def resampleIngest(events: DataFrame, timeCol: String, keys: Seq[String],
+                     intervalUs: Long, valueCol: String, aggDir: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val us = unix_micros(col(timeCol).cast("timestamp"))
+        batch
+          .withColumn("bucket",
+            timestamp_micros((us - pmod(us, lit(intervalUs))).cast("long")))
+          .groupBy((keys.map(col) :+ col("bucket")): _*)
+          .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+            min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+          .write.mode("overwrite").parquet(s"$aggDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Merged running resample totals over every delta the ingest landed. */
+  def resampleTotals(spark: org.apache.spark.sql.SparkSession, aggDir: String,
+                     keys: Seq[String]): DataFrame =
+    spark.read.parquet(aggDir)
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg(sum("n").as("n"), sum("s").as("s"), min("mn").as("mn"), max("mx").as("mx"))
+
   /** Streaming CDC ingest — the 6th ingest face: an (op, seq)-stamped
     * change feed arrives as micro-batches; each batch is compacted to its
     * latest change per key (tombstones retained) and lands under a

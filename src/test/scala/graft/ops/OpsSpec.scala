@@ -206,6 +206,24 @@ class OpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("[4,16]"))
   }
 
+  test("groupBy grouping sets: rollup subtotals, cube margins, invalid grouping rejected") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
+      .toDF("k1", "k2", "v")
+    def m(g: String) = Ops.groupBy(df, Seq("k1", "k2"), Seq("s" -> "sum(v)"), grouping = g)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getDouble(2)).toMap
+    val base = m("groups")
+    assert(base.size == 3 && base((Some("a"), Some("y"))) == 2.0)
+    val roll = m("rollup")
+    assert(roll.size == 6) // 3 leaves + 2 per-k1 subtotals + grand total
+    assert(roll((Some("a"), None)) == 3.0 && roll((None, None)) == 7.0)
+    assert(!roll.contains((None, Some("x")))) // rollup has no per-k2 margin
+    val cube = m("cube")
+    assert(cube.size == 8 && cube((None, Some("x"))) == 5.0)
+    val bad = intercept[IllegalArgumentException](
+      Ops.groupBy(df, Seq("k1"), Seq("s" -> "sum(v)"), grouping = "sets"))
+    assert(bad.getMessage.contains("invalid grouping"))
+  }
+
   test("windowAgg: rolling frame, lag/lead, ordinals; global window rejected") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("b", 1L, 5.0))
       .toDF("k", "t", "v")
@@ -224,8 +242,31 @@ class OpsSpec extends SparkSpec {
       Ops.windowAgg(df, Nil, Seq("t"), "sum", "v", "x"))
     assert(bad.getMessage.contains("partition_by is required"))
     val badFn = intercept[IllegalArgumentException](
-      Ops.windowAgg(df, Seq("k"), Seq("t"), "ntile", "v", "x"))
+      Ops.windowAgg(df, Seq("k"), Seq("t"), "mode", "v", "x"))
     assert(badFn.getMessage.contains("invalid window function"))
+  }
+
+  test("windowAgg: ranking tier — rank ties, dense_rank, ntile, percent_rank, first/last") {
+    // duplicate order key at t=2 makes rank/dense_rank diverge from row_number
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 2L, 30.0), ("a", 3L, 40.0))
+      .toDF("k", "t", "v")
+    def vals(fn: String, c: String = "", off: Int = 1) =
+      Ops.windowAgg(df, Seq("k"), Seq("t", "v"), fn, c, "x", offset = off)
+        .orderBy("t", "v").select("x").collect().map(_.get(0)).toSeq
+    val rankDf = Ops.windowAgg(df, Seq("k"), Seq("t"), "rank", "", "x")
+      .orderBy("t", "v").select("x").as[Long].collect().toSeq
+    assert(rankDf == Seq(1L, 2L, 2L, 4L)) // ties share rank, next skips
+    val dr = Ops.windowAgg(df, Seq("k"), Seq("t"), "dense_rank", "", "x")
+      .orderBy("t", "v").select("x").as[Long].collect().toSeq
+    assert(dr == Seq(1L, 2L, 2L, 3L)) // dense: no gap after the tie
+    assert(vals("ntile", off = 3) == Seq(1L, 1L, 2L, 3L)) // 4 rows into 3 buckets: 2,1,1
+    assert(vals("percent_rank") == Seq(0.0, 1.0 / 3, 2.0 / 3, 1.0))
+    assert(vals("cume_dist") == Seq(0.25, 0.5, 0.75, 1.0))
+    assert(vals("first_value", "v") == Seq(10.0, 10.0, 10.0, 10.0))
+    assert(vals("last_value", "v") == Seq(10.0, 20.0, 30.0, 40.0))
+    val badN = intercept[IllegalArgumentException](
+      Ops.windowAgg(df, Seq("k"), Seq("t"), "ntile", "", "x", offset = 0))
+    assert(badN.getMessage.contains("positive bucket count"))
   }
 
   test("groupByWithRank: 0-based cumcount within groups") {

@@ -443,4 +443,39 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 100))
   }
 
+  test("resampleIngest: merged totals equal the direct bucket build; restart-safe") {
+    import spark.implicits._
+    val MIN = 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-rs-stream")
+    // integer-cent values -> sum/min/max merges are exact long arithmetic
+    val rows = (0 until 4000)
+      .map(i => (s"u${i % 7}", new Timestamp((i * 9000L * MIN / 4000) / 1000), (i % 97).toLong))
+      .toDF("uid", "ts", "cents")
+    rows.filter(col("cents") % 2 === 0).write.parquet(s"$dir/src")
+    val src = spark.readStream.schema(rows.schema).parquet(s"$dir/src")
+    def run() = Streams.resampleIngest(src, "ts", Seq("uid"), 60 * MIN,
+      "cents", s"$dir/aggs", checkpointDir = s"$dir/ckpt")
+    val q = run(); try q.processAllAvailable() finally q.stop()
+    rows.filter(col("cents") % 2 =!= 0).write.mode("append").parquet(s"$dir/src")
+    val q2 = run(); try q2.processAllAvailable() finally q2.stop()
+    def totals() = Streams.resampleTotals(spark, s"$dir/aggs", Seq("uid"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val t1 = totals()
+    // direct one-shot build over the union of both deltas
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val direct = rows
+      .withColumn("bucket", timestamp_micros((us - pmod(us, lit(60 * MIN))).cast("long")))
+      .groupBy("uid", "bucket")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        min("cents").as("mn"), max("cents").as("mx"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(t1 === direct, "merged per-batch partials must equal the direct build")
+    assert(new java.io.File(s"$dir/aggs").list().count(_.startsWith("batch=")) === 2)
+    // restart on the same checkpoint with no new data: totals unchanged
+    val q3 = run(); try q3.processAllAvailable() finally q3.stop()
+    assert(totals() === t1)
+  }
+
 }
