@@ -263,6 +263,21 @@ object SparkEntry {
     // shard SINK round-trip: documents packaged into 4 tar shards by the
     // distributed per-partition writer, read back through the tar source
     // — write + read must invert exactly (identity oracle)
+    // avro sink round trip: typed events (long / timestamp-micros / string
+    // / long) through the distributed container writer, read back via the
+    // avro source's all-string model — longs and epoch micros stringify
+    // identically in both engines (doubles would not; the double face is
+    // spec-covered with exact equality through our own reader)
+    "q_avro_sink" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-avro-sink")
+      val ev = t(s, d, "events").filter(col("event_id") < 500)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.engine.Avro.write(ev.repartition(4), s"$dir/out")
+      graft.engine.Sources.read(s, "avro_back",
+        Map("file" -> s"$dir/out", "type" -> "avro"), dir)
+    }),
+
     "q_tar_sink" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-shard-sink")
       val docs = t(s, d, "documents").filter(col("doc_id") < 200)
@@ -2604,6 +2619,11 @@ object SparkEntry {
     // shard write + read invert exactly
     "q_tar_sink" ->
       "SELECT 'd' || doc_id AS key, text FROM documents WHERE doc_id < 200",
+
+    "q_avro_sink" ->
+      """SELECT event_id::VARCHAR AS event_id, epoch_us(ts)::VARCHAR AS ts,
+           event_type, CAST(round(value * 100) AS BIGINT)::VARCHAR AS cents
+         FROM events WHERE event_id < 500""",
 
     // the streamed merge rebuilt as one batch merge over the
     // concatenated change feed (seqs 1/2 in delta 1, 3/4 in delta 2)

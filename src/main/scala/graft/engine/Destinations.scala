@@ -77,8 +77,24 @@ object Destinations {
           gzip = Config.str(cfg, "compression").contains("gzip"))
         return target
       }
+      // Avro object-container shards through the canonical avro-java
+      // writer (no spark-avro connector on this classpath): per-partition
+      // part files, `compression: deflate|snappy`, `partitions:` sizes
+      // shards like the tar sink.
+      if (fmt == "avro") {
+        require(Seq("template", "header", "footer").forall(k => Config.str(cfg, k).isEmpty),
+          s"destination `$name`: `format: avro` is columnar — template/header/footer don't apply")
+        Files.createDirectories(outputDir)
+        val target = outputDir.resolve(name)
+        val sized = Config.int(cfg, "partitions") match {
+          case Some(n) => df.repartition(n)
+          case None => df
+        }
+        Avro.write(sized, target.toString, Config.str(cfg, "compression"))
+        return target
+      }
       require(Set("parquet", "orc", "csv", "json").contains(fmt),
-        s"destination `$name`: unsupported format `$fmt` (parquet/orc/csv/json/xlsx/ods/xlsb/tar)")
+        s"destination `$name`: unsupported format `$fmt` (parquet/orc/csv/json/avro/xlsx/ods/xlsb/tar)")
       require(Seq("template", "header", "footer").forall(k => Config.str(cfg, k).isEmpty),
         s"destination `$name`: `format: $fmt` is columnar — template/header/footer don't apply")
       Files.createDirectories(outputDir)

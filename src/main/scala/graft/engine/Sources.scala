@@ -124,7 +124,7 @@ object Sources {
       case "sas7bdat" | "sas" => Sas.read(spark, path)
       case "sav" | "zsav" | "spss" => Spss.read(spark, path)
       case "pkl" | "pickle" => Pickle.read(spark, path)
-      case "avro" => Avro.read(spark, path)
+      case "avro" => Avro.readAny(spark, path) // file OR the sink's part-file dir
       case "warc" | "wet" => Warc.read(spark, path)
       // PDF text extraction (beyond-reference crawl source): distributed
       // file-level parallelism like WARC — one row per page (file, page,

@@ -500,6 +500,41 @@ class SourcesSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("avro sink: typed round-trip, sharding, codecs, empty frame, name sanitizing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir
+    // doubles / booleans / binary / nulls survive exactly through our own
+    // reader's all-string model (doubles via Java shortest-repr toString)
+    val df = Seq(
+      (1L, 1.5, true, "a b", Array[Byte](104, 105)),
+      (2L, -2.25, false, null.asInstanceOf[String], Array[Byte]()),
+      (3L, 1.0e-3, true, "z", Array[Byte](0, 1))
+    ).toDF("id", "score", "flag", "name", "raw 1") // space forces sanitizing
+    Avro.write(df.repartition(2), dir.resolve("out").toString)
+    val parts = new java.io.File(dir.resolve("out").toString)
+      .listFiles().filter(_.getName.endsWith(".avro"))
+    assert(parts.length == 2, "one part file per non-empty partition")
+    val back = Avro.readAny(spark, dir.resolve("out").toString)
+    assert(back.columns.toSeq == Seq("id", "score", "flag", "name", "raw_1"))
+    val rows = back.orderBy(col("id").cast("long")).collect()
+      .map(r => (0 until 5).map(r.getString).toList).toList
+    assert(rows == List(
+      List("1", "1.5", "true", "a b", "hi"),
+      List("2", "-2.25", "false", "", ""),
+      List("3", "0.001", "true", "z", new String(Array[Byte](0, 1), "UTF-8"))))
+    // deflate codec round-trips; unsupported codec rejects
+    Avro.write(df, dir.resolve("defl").toString, Some("deflate"))
+    assert(Avro.readAny(spark, dir.resolve("defl").toString).count() == 3)
+    val bad = intercept[IllegalArgumentException](
+      Avro.write(df, dir.resolve("x").toString, Some("zstd")))
+    assert(bad.getMessage.contains("unsupported compression"))
+    // empty frame still writes a readable header-only part
+    Avro.write(df.filter(col("id") < 0), dir.resolve("empty").toString)
+    val e = Avro.readAny(spark, dir.resolve("empty").toString)
+    assert(e.count() == 0 && e.columns.length == 5)
+  }
+
   test("warc/wet: ISO-28500 records, member-concatenated gzip, type filter") {
     val dir = tmpDir
     val docs = Seq(
