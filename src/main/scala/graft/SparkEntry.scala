@@ -1303,6 +1303,18 @@ object SparkEntry {
     // recomputes the identical assignment in SQL, the q_ann_ivf pattern),
     // within-cell upper-triangular cosine prune. The k-means-refined path
     // (iters ≥ 2) is spec-checked in FunctionsSpec.
+    // k-means cell assignment through the YAML op at iters=0 (seed
+    // centroids = smallest-id vectors — the SQL-replicable configuration;
+    // Lloyd refinement is spec-covered: objective strictly decreases)
+    "q_cluster_assign" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(t(s, d, "embeddings").select("vec_id", "embedding"),
+        Map("operation" -> "cluster_assign", "id_column" -> "vec_id",
+          "column" -> "embedding", "nlist" -> 16, "iters" -> 0),
+        Map.empty, "gate")
+        .select(col("vec_id").as("id"), col("cell"))
+    }),
+
     "q_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.42, nlist = 16, iters = 0)),
@@ -3835,6 +3847,20 @@ object SparkEntry {
     // out of the argmax; ties to the smallest cell index), then the
     // upper-triangular rule — a row is dropped iff ANY smaller-id row of
     // the same cell exceeds the cosine threshold, survivor or not.
+    "q_cluster_assign" ->
+      """WITH cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                  embedding::DOUBLE[] AS cvec,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT e.vec_id, c.cidx,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) / c.cnorm DESC,
+                             c.cidx ASC) AS rn
+           FROM embeddings e CROSS JOIN cent c)
+         SELECT vec_id AS id, cidx::BIGINT AS cell FROM assign WHERE rn = 1""",
+
     "q_semantic_dedup" ->
       """WITH cent AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,

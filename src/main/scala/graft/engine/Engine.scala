@@ -257,6 +257,7 @@ final class Engine(spark: SparkSession) {
     "dedup_near_incremental" -> Set("sources", "id_column", "column", "threshold",
       "shingle_size", "max_doc_freq", "corpus_is_index"),
     "semantic_dedup" -> Set("id_column", "column", "threshold", "nlist", "iters"),
+    "cluster_assign" -> Set("id_column", "column", "nlist", "iters", "new_column"),
     "ann_topk" -> Set("id_column", "column", "k", "query", "method",
       "num_planes", "num_tables", "rerank", "subspaces", "centroids", "iters",
       "nlist", "nprobe"),
@@ -1126,6 +1127,23 @@ final class Engine(spark: SparkSession) {
       // column, within-cell cosine prune, keep the surviving rows. Same
       // surrogate-id probe as dedup_near (the cluster kernels key on
       // LongType; a UUID id must not silently null out).
+      // first-class k-means cell assignment (the build side of IVF /
+      // SemDeDup, exposed on its own): deterministic smallest-id seeds,
+      // `iters` distributed Lloyd refinements (broadcast-centroid narrow
+      // assign + one nlist-row shuffle per iteration), output is
+      // (id, vector, cell) — write it partitionBy(cell) and every later
+      // probe is partition pruning
+      case "cluster_assign" =>
+        import org.apache.spark.sql.functions.col
+        val idC = Config.reqStr(op, "id_column", ctx)
+        val vecC = Config.reqStr(op, "column", ctx)
+        val nlist = Config.int(op, "nlist").getOrElse(16)
+        val iters = Config.int(op, "iters").getOrElse(0)
+        val outC = Config.str(op, "new_column").getOrElse("cell")
+        val cents = graft.functions.Similarity.ivfCentroids(df, idC, vecC, nlist, iters)
+        graft.functions.Similarity.ivfAssign(df, idC, vecC, cents)
+          .select(col("id").as(idC), col("vec").as(vecC),
+            col("cell").cast("long").as(outC))
       case "semantic_dedup" =>
         import org.apache.spark.sql.functions.{col, count, lit, when, xxhash64}
         val idC = Config.reqStr(op, "id_column", ctx)

@@ -769,6 +769,41 @@ class FunctionsSpec extends SparkSpec {
     assert(assigned.forall { case (_, c) => c >= 0 && c < 6 })
   }
 
+  test("cluster_assign YAML op: partition into cells, Lloyd tightens the clustering") {
+    val e = new graft.engine.Engine(spark)
+    val dim = 16
+    def member(cluster: Int, i: Long) = Array.tabulate(dim)(j =>
+      (math.sin(cluster * 2.1 + j * 0.5) + 0.05 * math.sin(i * 1.3 + j)).toFloat)
+    val vecs = ((1L to 40L).map(i => (i, member(0, i))) ++
+      (41L to 80L).map(i => (i, member(1, i))) ++
+      (81L to 120L).map(i => (i, member(2, i)))).toDF("vec_id", "embedding")
+    def assign(iters: Int) = e.applyOperation(vecs,
+      Map("operation" -> "cluster_assign", "id_column" -> "vec_id",
+        "column" -> "embedding", "nlist" -> 3, "iters" -> iters),
+      Map.empty, "spec")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    def purity(a: Map[Long, Long]): Double = {
+      // majority-label fraction per true cluster, averaged
+      val groups = a.groupBy { case (id, _) => (id - 1) / 40 }
+      groups.values.map { m =>
+        m.values.groupBy(identity).values.map(_.size).max.toDouble / m.size
+      }.sum / groups.size
+    }
+    val refined = assign(2)
+    assert(refined.keySet == (1L to 120L).toSet)
+    assert(refined.values.forall(c => c >= 0 && c < 3))
+    // 3 well-separated clusters, 3 refined cells: near-perfect purity
+    assert(purity(refined) >= 0.95, s"refined purity ${purity(refined)}")
+    // seed-only centroids (iters=0, all 3 seeds from cluster 0) must not
+    // beat the refined ones — refinement is doing real work
+    assert(purity(refined) >= purity(assign(0)))
+    // custom output column name
+    val named = e.applyOperation(vecs, Map("operation" -> "cluster_assign",
+      "id_column" -> "vec_id", "column" -> "embedding", "nlist" -> 3,
+      "new_column" -> "k"), Map.empty, "spec")
+    assert(named.columns.toSeq == Seq("vec_id", "embedding", "k"))
+  }
+
   test("cosinePairs bucketed variant is a subset of exact pairs with identical scores") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))).toDF("vec_id", "embedding")
