@@ -199,8 +199,16 @@ object TimeSeries {
     val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(order: _*)
     val prev = last(sample, ignoreNulls = true)
       .over(base.rowsBetween(Window.unboundedPreceding, -1))
-    val next = first(sample, ignoreNulls = true)
-      .over(base.rowsBetween(1, Window.unboundedFollowing))
+    // next neighbor = last-before over the REVERSED order, NOT a
+    // (1, unboundedFollowing) frame: Spark evaluates unbounded-FOLLOWING
+    // frames by rescanning to the partition end for every row — O(n²) per
+    // key, a hang at 60k-row keys (TimeSeriesProbe) — while both
+    // unbounded-PRECEDING frames here are incremental running frames.
+    // Same partitioning → one Exchange, two sorts.
+    val revOrder = (t.desc +: tieBreak.map(col(_).desc))
+    val baseRev = Window.partitionBy(partitionBy.map(col): _*).orderBy(revOrder: _*)
+    val next = last(sample, ignoreNulls = true)
+      .over(baseRev.rowsBetween(Window.unboundedPreceding, -1))
     val interp = when(v.isNotNull, v)
       .when(prev.isNull.or(next.isNull), lit(null).cast(DoubleType))
       .otherwise(prev("v") + (next("v") - prev("v")) *
