@@ -1020,6 +1020,21 @@ object SparkEntry {
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // JSONPath extraction over a JSON-string column: nested object, array
+    // index, and a missing path (null both sides); the JSON is synthesized
+    // with identical concat in both engines so the extraction itself is
+    // what's compared
+    "q_json_extract" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        concat(lit("{\"a\": {\"b\": "), col("event_id") % 7,
+          lit("}, \"tags\": [\""), col("event_type"), lit("\"]}")).as("js"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(ev, Map("operation" -> "json_extract", "column" -> "js",
+        "fields" -> Map("ab" -> "$.a.b", "tag0" -> "$.tags[0]", "miss" -> "$.nope")),
+        Map.empty, "gate")
+        .select("event_id", "ab", "tag0", "miss")
+    }),
+
     // grouping-set aggregation through the YAML op: ROLLUP emits the
     // (flag,status) groups plus per-flag subtotals plus the grand total
     // with NULL keys — still ONE shuffle (grouping sets expand map-side)
@@ -2951,6 +2966,16 @@ object SparkEntry {
            sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
            count(*) AS n_events
          FROM gaps GROUP BY user_id""",
+
+    "q_json_extract" ->
+      """WITH ev AS (SELECT event_id,
+                '{"a": {"b": ' || (event_id % 7) || '}, "tags": ["' || event_type || '"]}' AS js
+              FROM events)
+         SELECT event_id,
+           json_extract_string(js, '$.a.b') AS ab,
+           json_extract_string(js, '$.tags[0]') AS tag0,
+           json_extract_string(js, '$.nope') AS miss
+         FROM ev""",
 
     "q_group_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,

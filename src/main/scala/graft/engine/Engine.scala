@@ -197,7 +197,8 @@ final class Engine(spark: SparkSession) {
     "lowercase_columns" -> Set(),
     "uppercase_columns" -> Set(),
     "join" -> Set("sources", "join_type", "left_keys", "left_key", "right_keys", "right_key",
-      "left_keep_columns", "left_drop_columns", "right_keep_columns", "right_drop_columns"),
+      "left_keep_columns", "left_drop_columns", "right_keep_columns", "right_drop_columns",
+      "broadcast"),
     "union" -> Set("sources", "fill_missing_columns"),
     "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
     "melt" -> Set("id_vars", "value_vars", "var_name", "value_name"),
@@ -291,6 +292,7 @@ final class Engine(spark: SparkSession) {
       "right_id_column", "right_text_column", "threshold", "shingle_size",
       "max_doc_freq"),
     "compression_ratio" -> Set("column", "new_column"),
+    "json_extract" -> Set("column", "fields"),
     "resample" -> Set("time_column", "partition_by", "interval", "aggregations",
       "bucket_column", "fill_gaps", "max_buckets_per_key"),
     "fill_forward" -> Set("column", "columns", "partition_by", "order_by", "default"),
@@ -380,7 +382,8 @@ final class Engine(spark: SparkSession) {
         Config.reqStr(op, "join_type", ctx),
         leftKeys = keysOf(op, "left"), rightKeys = keysOf(op, "right"),
         leftKeep = listOf(op, "left_keep_columns"), leftDrop = listOf(op, "left_drop_columns"),
-        rightKeep = listOf(op, "right_keep_columns"), rightDrop = listOf(op, "right_drop_columns"))
+        rightKeep = listOf(op, "right_keep_columns"), rightDrop = listOf(op, "right_drop_columns"),
+        broadcastSide = Config.str(op, "broadcast"))
       case "union" => Ops.union(df, sourceFrames, Config.bool(op, "fill_missing_columns"))
       case "melt" => Ops.melt(df,
         idVars = listOf(op, "id_vars"), valueVars = listOf(op, "value_vars"),
@@ -516,6 +519,24 @@ final class Engine(spark: SparkSession) {
         df.withColumn(Config.str(op, "new_column").getOrElse("compression_ppm"),
           org.apache.spark.sql.functions.call_function("compression_ratio",
             org.apache.spark.sql.functions.col(c)))
+      // JSONPath field extraction over a JSON-string column (the props/
+      // payload shape event streams carry): each `fields` entry is one
+      // codegen'd get_json_object — narrow, zero shuffles; missing paths
+      // yield null
+      case "json_extract" =>
+        import org.apache.spark.sql.functions.{col, get_json_object}
+        val c = Config.reqStr(op, "column", ctx)
+        if (!df.columns.contains(c))
+          throw new IllegalArgumentException(s"`json_extract` operation: column `$c` not defined")
+        val fields = pairs("fields")
+        if (fields.isEmpty)
+          throw new IllegalArgumentException("`json_extract` operation: `fields` must not be empty")
+        fields.foldLeft(df) { case (d, (name, path)) =>
+          if (!path.startsWith("$"))
+            throw new IllegalArgumentException(
+              s"`json_extract` operation: path `$path` for `$name` must be a JSONPath starting with $$")
+          d.withColumn(name, get_json_object(col(c), path))
+        }
       // time-series tier (functions/TimeSeries.scala): every op requires
       // partition_by so work distributes per key — no global single-task
       // ordering ever exists

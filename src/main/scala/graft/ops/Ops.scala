@@ -319,10 +319,13 @@ object Ops {
   def join(left: DataFrame, rights: Seq[DataFrame], joinType: String,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftKeep: Seq[String] = Nil, leftDrop: Seq[String] = Nil,
-           rightKeep: Seq[String] = Nil, rightDrop: Seq[String] = Nil): DataFrame = {
+           rightKeep: Seq[String] = Nil, rightDrop: Seq[String] = Nil,
+           broadcastSide: Option[String] = None): DataFrame = {
     if (!Seq("inner", "left", "right", "outer").contains(joinType))
       err("join", s"`join_type` must be one of [inner, left, right, outer], not `$joinType`")
     if (leftKeys.size != rightKeys.size) err("join", "left and right key counts differ")
+    if (!broadcastSide.forall(Set("left", "right").contains))
+      err("join", s"`broadcast` must be `left` or `right`, not `${broadcastSide.get}`")
 
     def prune(df: DataFrame, keep: Seq[String], drop: Seq[String], keys: Seq[String], side: String): DataFrame =
       if (keep.nonEmpty) {
@@ -335,9 +338,18 @@ object Ops {
         df.drop(drop: _*)
       } else df
 
+    // `broadcast: left|right` declares which side is the small dimension:
+    // at 100 TB the planner can't always see through a transformed input's
+    // size, and a missed broadcast turns a map-side hash join into a full
+    // sort-merge shuffle of the fact table. The hint survives pruning and
+    // applies to every merge in an N-way join.
     val l0 = prune(left, leftKeep, leftDrop, leftKeys, "left")
-    rights.foldLeft(l0) { (acc, right0) =>
-      val right = prune(right0, rightKeep, rightDrop, rightKeys, "right")
+    val lh = if (broadcastSide.contains("left"))
+      org.apache.spark.sql.functions.broadcast(l0) else l0
+    rights.foldLeft(lh) { (acc, right0) =>
+      val right0p = prune(right0, rightKeep, rightDrop, rightKeys, "right")
+      val right = if (broadcastSide.contains("right"))
+        org.apache.spark.sql.functions.broadcast(right0p) else right0p
       joinPandas(acc, right, joinType, leftKeys, rightKeys)
     }
   }

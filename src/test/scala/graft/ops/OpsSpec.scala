@@ -206,6 +206,28 @@ class OpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("[4,16]"))
   }
 
+  test("join broadcast hint: forces BroadcastHashJoin where the planner would sort-merge") {
+    val dim = (1L to 50L).map(i => (i, s"name$i")).toDF("k", "nm")
+    val fact = (1L to 500L).map(i => (i % 50 + 1, i * 1.0)).toDF("k", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no auto-broadcast
+    try {
+      def planOf(b: Option[String]) = Ops.join(fact, Seq(dim), "inner",
+        Seq("k"), Seq("k"), broadcastSide = b)
+        .queryExecution.executedPlan.toString
+      assert(!planOf(None).contains("BroadcastHashJoin"),
+        "without the hint and auto-broadcast off, the join must not broadcast")
+      assert(planOf(Some("right")).contains("BroadcastHashJoin"))
+      assert(planOf(Some("left")).contains("BroadcastHashJoin"))
+      val joined = Ops.join(fact, Seq(dim), "inner", Seq("k"), Seq("k"),
+        broadcastSide = Some("right"))
+      assert(joined.count() == 500) // hint never changes semantics
+      val bad = intercept[IllegalArgumentException](
+        Ops.join(fact, Seq(dim), "inner", Seq("k"), Seq("k"), broadcastSide = Some("both")))
+      assert(bad.getMessage.contains("`broadcast` must be"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("groupBy grouping sets: rollup subtotals, cube margins, invalid grouping rejected") {
     val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
       .toDF("k1", "k2", "v")
