@@ -2148,6 +2148,37 @@ object SparkEntry {
       graft.streaming.Streams.sketchDistinctTotals(s, s"$dir/sketches", Seq("l_returnflag"))
     }),
 
+    // STREAMING embedding face (8th): batch 1 ingests the %5!=0 vectors;
+    // batch 2 carries the novel %5==0 vectors (kept) plus byte-identical
+    // copies of batch-1 survivors at +10000 (condemned by the PERSISTED
+    // index) and of its own novel rows at +20000 (condemned within-batch,
+    // smaller id wins). Identical vectors collide in EVERY LSH table, so
+    // the keep-set is closed-form; max natural pairwise cosine in the
+    // fixture is 0.513, far under the 0.9 threshold
+    "q_stream_ingest_embedding" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-emb")
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val d1 = emb.filter(col("vec_id") % 5 =!= 0)
+      d1.write.parquet(s"$dir/src")
+      val src = s.readStream.schema(d1.schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalEmbeddingDedupIngest(src,
+        "vec_id", "embedding", s"$dir/index", s"$dir/out",
+        threshold = 0.9, checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        val novel = emb.filter(col("vec_id") % 5 === 0)
+        val dupOfKept = emb.filter(col("vec_id") % 5 === 1)
+          .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+        val dupInBatch = novel
+          .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+        novel.unionAll(dupOfKept).unionAll(dupInBatch).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/out")
+        .select(col("vec_id").as("id"), col("batch").cast("long").as("batch"))
+    }),
+
     // STREAMING resample face: two event deltas land as micro-batches, each
     // collapsing to partial per-(user, hour-bucket) count/sum/min/max in
     // batch-stamped partitions; merged totals must equal the one-shot SQL
@@ -2393,6 +2424,11 @@ object SparkEntry {
     "q_sketch_hll" -> SketchSql.hllSql,
     "q_sketch_hll_merge" -> SketchSql.hllSql,
     "q_stream_sketch" -> SketchSql.hllSql,
+
+    "q_stream_ingest_embedding" ->
+      """SELECT vec_id AS id, 0::BIGINT AS batch FROM embeddings WHERE vec_id % 5 <> 0
+         UNION ALL
+         SELECT vec_id AS id, 1::BIGINT AS batch FROM embeddings WHERE vec_id % 5 = 0""",
 
     "q_stream_resample" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,

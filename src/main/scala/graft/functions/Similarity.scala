@@ -256,6 +256,42 @@ object Similarity {
       .select("q_id", "c_id", "cos_sim", "rk")
   }
 
+  /** Delta-vs-index embedding near-dedup — the vector twin of the text
+    * tier's `Dedup.dedupNearIncrementalIndexed` and the signature tier's
+    * `Images.sigDedupIncremental`: a delta row drops if its cosine to ANY
+    * persisted index vector exceeds `threshold`, and within the delta an
+    * earlier (smaller-id) row condemns a later one — identical pair
+    * semantics to the sig face. Candidates come from the OR'd multi-table
+    * LSH bucket equi-join (never an all-pairs scan; exact cosine verifies
+    * only bucket collisions). OR-amplified recall applies: byte-identical
+    * copies collide in EVERY table (recall 1 — the gate's configuration);
+    * looser near-dups are found with recall 1−(1−p^P)^L like every LSH
+    * path here. Index schema: (id, vec). Returns kept delta rows. */
+  def embeddingDedupIncremental(delta: DataFrame, index: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+    require(numPlanes <= 63, "numPlanes must fit in a long bucket key")
+    val dv = delta.select(col(idCol).cast(LongType).as("a_id"), col(vecCol).as("a_vec"))
+    val db = bandedBuckets(delta, idCol, vecCol, numPlanes, numTables, "a_id")
+    val iv = index.select(col("id").cast(LongType).as("b_id"), col("vec").as("b_vec"))
+    val ib = bandedBuckets(iv, "b_id", "b_vec", numPlanes, numTables, "b_id")
+    val vsIndex = db.join(ib, Seq("tbl", "bucket")).select("a_id", "b_id").distinct()
+      .join(dv, "a_id").join(iv, "b_id")
+      .filter(cosine(col("a_vec"), col("b_vec")) > threshold)
+      .select(col("a_id").as("drop_id"))
+    val within = db.join(
+        db.select(col("a_id").as("b_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .join(dv, "a_id")
+      .join(dv.select(col("a_id").as("b_id"), col("a_vec").as("b_vec")), "b_id")
+      .filter(cosine(col("a_vec"), col("b_vec")) > threshold)
+      .select(col("b_id").as("drop_id")) // (a < b) condemns b
+    val condemned = vsIndex.union(within).distinct()
+    delta.join(condemned, col(idCol).cast(LongType) === col("drop_id"), "left_anti")
+  }
+
   // --------------------------------------------------------------- IVF
   // Inverted-file ANN: partition the corpus into `nlist` cells around
   // centroids; a query probes only the `nprobe` nearest cells and reranks

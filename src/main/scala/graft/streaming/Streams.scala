@@ -278,6 +278,53 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental EMBEDDING near-dedup ingest — the 8th ingest
+    * face, completing the modality matrix (text shingles, image pHash,
+    * audio fingerprints, document bytes, and now vectors): every
+    * micro-batch cosine-dedups against the PERSISTED (id, vec) index via
+    * `Similarity.embeddingDedupIncremental` (multi-table LSH bucket
+    * equi-joins, exact cosine verify — never all-pairs), survivors land
+    * under `outDir/batch=<id>` and their vectors under
+    * `indexDir/batch=<id>` with the uniform batch-stamped-overwrite
+    * exactly-once discipline (own-batch-excluded index reads make
+    * replays idempotent). */
+  def incrementalEmbeddingDedupIngest(docs: DataFrame, idCol: String, vecCol: String,
+                                      indexDir: String, outDir: String,
+                                      threshold: Double = 0.9,
+                                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val index = existingVecIndex(spark, indexDir, excludeBatch = batchId,
+          batch.schema(vecCol).dataType)
+        val kept = graft.functions.Similarity.embeddingDedupIncremental(
+          batch, index, idCol, vecCol, threshold).persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          kept.select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
+            col(vecCol).as("vec"))
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        } finally kept.unpersist()
+        ()
+      }
+      .start()
+
+  /** The persisted (id, vec) embedding index, own batch excluded. */
+  private def existingVecIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String, excludeBatch: Long,
+                               vecType: org.apache.spark.sql.types.DataType): DataFrame = {
+    if (hasBatchParquet(spark, indexDir))
+      spark.read.parquet(indexDir)
+        .filter(col("batch") =!= excludeBatch)
+        .select("id", "vec")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec", vecType))))
+  }
+
   /** The persisted pHash signature index (id, sig), batch partitions
     * except `excludeBatch` — same replay discipline as [[existingIndex]]. */
   private def existingSigIndex(spark: org.apache.spark.sql.SparkSession,

@@ -407,40 +407,31 @@ class StreamsSpec extends SparkSpec {
     val none = Streams.cdcCurrent(snap, s"$dir/nochanges", Seq("id"), "seq", "op")
     assert(none.count() == 3)
   }
-}
-
-class MultimodalSpec extends SparkSpec {
-  import spark.implicits._
-  import graft.functions.Multimodal
-
-  private def media(id: Long, seed: Int, n: Int): (Long, Array[Byte]) =
-    (id, Array.tabulate(n)(i => ((i * seed + seed) % 251).toByte))
-
-  test("extractFeatures: deterministic stub features, exact schema") {
-    val df = Seq(media(1, 3, 500), media(2, 7, 300), media(1, 3, 500).copy(_1 = 3L))
-      .toDF("media_id", "content")
-    val feats = Multimodal.extractFeatures(df, dim = 8).collect().sortBy(_.media_id)
-    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
-    assert(feats(0).features.length == 8)
-    assert(feats(0).content_hash == feats(2).content_hash) // same bytes → same hash
-    assert(feats(0).content_hash != feats(1).content_hash)
-    assert(feats(0).features.toSeq == feats(2).features.toSeq)
-  }
-
-  test("exactPayloadGroups finds duplicate payloads") {
-    val df = Seq(media(1, 3, 500), media(2, 7, 300), media(3, 3, 500))
-      .toDF("media_id", "content")
-    val dup = Multimodal.exactPayloadGroups(df).filter(col("dup_count") > 1).collect()
-    assert(dup.length == 1)
-    assert(dup.head.getAs[Long]("keep_id") == 1L)
-  }
-
-  test("sampleFrames emits n frames per row with frame numbers") {
-    val df = Seq(media(1, 3, 5000)).toDF("media_id", "content")
-    val frames = Multimodal.sampleFrames(df, n = 4, frameBytes = 100).collect()
-    assert(frames.length == 4)
-    assert(frames.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 1, 2, 3))
-    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 100))
+  test("incrementalEmbeddingDedupIngest: cross-batch and within-batch vector dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-ingest")
+    // one-hot vectors: cosine is exactly 1 for copies, 0 otherwise
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(16)(j => if (j == (i % 13).toInt) 1f else 0f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.incrementalEmbeddingDedupIngest(
+      mem.toDF().toDF("id", "emb"), "id", "emb",
+      s"$dir/index", s"$dir/out", threshold = 0.95, checkpointDir = s"$dir/ckpt")
+    try {
+      // delta 1: 5 distinct vectors + an in-batch exact copy (6 dups 1)
+      mem.addData((1L to 5L).map(i => (i, vec(i))) :+ ((6L, vec(1))): _*)
+      q.processAllAvailable()
+      // delta 2: 7 copies kept-doc 2 (dropped via the PERSISTED index),
+      // 8 is novel, 9 copies 8 (within-batch, 8 wins)
+      mem.addData((7L, vec(2)), (8L, vec(100)), (9L, vec(100)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/out").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 8L), s"kept $kept")
+    // index carries exactly the kept vectors
+    assert(spark.read.parquet(s"$dir/index").select("id")
+      .as[Long].collect().sorted.toSeq == kept)
   }
 
   test("resampleIngest: merged totals equal the direct bucket build; restart-safe") {
@@ -476,6 +467,41 @@ class MultimodalSpec extends SparkSpec {
     // restart on the same checkpoint with no new data: totals unchanged
     val q3 = run(); try q3.processAllAvailable() finally q3.stop()
     assert(totals() === t1)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.Multimodal
+
+  private def media(id: Long, seed: Int, n: Int): (Long, Array[Byte]) =
+    (id, Array.tabulate(n)(i => ((i * seed + seed) % 251).toByte))
+
+  test("extractFeatures: deterministic stub features, exact schema") {
+    val df = Seq(media(1, 3, 500), media(2, 7, 300), media(1, 3, 500).copy(_1 = 3L))
+      .toDF("media_id", "content")
+    val feats = Multimodal.extractFeatures(df, dim = 8).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    assert(feats(0).features.length == 8)
+    assert(feats(0).content_hash == feats(2).content_hash) // same bytes → same hash
+    assert(feats(0).content_hash != feats(1).content_hash)
+    assert(feats(0).features.toSeq == feats(2).features.toSeq)
+  }
+
+  test("exactPayloadGroups finds duplicate payloads") {
+    val df = Seq(media(1, 3, 500), media(2, 7, 300), media(3, 3, 500))
+      .toDF("media_id", "content")
+    val dup = Multimodal.exactPayloadGroups(df).filter(col("dup_count") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("sampleFrames emits n frames per row with frame numbers") {
+    val df = Seq(media(1, 3, 5000)).toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(df, n = 4, frameBytes = 100).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 100))
   }
 
 }
