@@ -843,6 +843,24 @@ object SparkEntry {
       Ops.union(c, Seq(sup))
     }),
 
+    // keyed subtraction = blocklist LEFT ANTI (duplicates on the left
+    // survive — NOT the dedup EXCEPT does); source read only for its key
+    "q_subtract_rows" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val block = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Ops.subtractRows(li, Seq(block), Seq("l_orderkey"))
+    }),
+
+    // keyless INTERSECT ALL: multiset semantics over a projected column —
+    // per-value counts are min(left, right), which a semi-join can't say
+    "q_intersect_rows" -> ((s, d) => {
+      val all = t(s, d, "customer").select("c_mktsegment")
+      val evens = t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+        .select("c_mktsegment")
+      Ops.intersectRows(all, Seq(evens), Nil)
+    }),
+
     "q_union_fill" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_name").as("name"), col("c_acctbal").as("acctbal"))
       val sup = t(s, d, "supplier").select(col("s_name").as("name"))
@@ -2887,6 +2905,16 @@ object SparkEntry {
 
     "q_join_merge_key" ->
       "SELECT c_custkey, c_nationkey AS nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+
+    "q_subtract_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""",
+
+    "q_intersect_rows" ->
+      """SELECT c_mktsegment FROM customer
+         INTERSECT ALL
+         SELECT c_mktsegment FROM customer WHERE c_custkey % 2 = 0""",
 
     "q_union" ->
       "SELECT c_name AS name, c_acctbal AS acctbal FROM customer UNION ALL SELECT s_name, s_acctbal FROM supplier",

@@ -200,6 +200,8 @@ final class Engine(spark: SparkSession) {
       "left_keep_columns", "left_drop_columns", "right_keep_columns", "right_drop_columns",
       "broadcast"),
     "union" -> Set("sources", "fill_missing_columns"),
+    "subtract_rows" -> Set("sources", "keys"),
+    "intersect_rows" -> Set("sources", "keys"),
     "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
     "melt" -> Set("id_vars", "value_vars", "var_name", "value_name"),
     "pivot" -> Set("rows_by", "cols_by", "values", "pivot_values"),
@@ -385,6 +387,8 @@ final class Engine(spark: SparkSession) {
         rightKeep = listOf(op, "right_keep_columns"), rightDrop = listOf(op, "right_drop_columns"),
         broadcastSide = Config.str(op, "broadcast"))
       case "union" => Ops.union(df, sourceFrames, Config.bool(op, "fill_missing_columns"))
+      case "subtract_rows" => Ops.subtractRows(df, sourceFrames, listOf(op, "keys"))
+      case "intersect_rows" => Ops.intersectRows(df, sourceFrames, listOf(op, "keys"))
       case "melt" => Ops.melt(df,
         idVars = listOf(op, "id_vars"), valueVars = listOf(op, "value_vars"),
         varName = Config.str(op, "var_name").getOrElse("melt_variable"),

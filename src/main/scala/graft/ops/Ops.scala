@@ -354,6 +354,37 @@ object Ops {
     }
   }
 
+  /** Exact row subtraction — the blocklist/holdout shape. With `keys`,
+    * each source acts as a key blocklist via a LEFT ANTI join (duplicates
+    * on the left survive; only the key columns of the source are read, so
+    * column pruning reaches its scan). Without keys, SQL EXCEPT ALL
+    * multiset semantics over identical schemas. Both are single-shuffle
+    * hash joins; a small blocklist broadcasts under AQE as usual. */
+  def subtractRows(df: DataFrame, others: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    setOp("subtract_rows", df, others, keys, "left_anti", _ exceptAll _)
+
+  /** Exact row intersection: keyed LEFT SEMI (keep rows whose key appears
+    * in EVERY source) or keyless INTERSECT ALL. */
+  def intersectRows(df: DataFrame, others: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    setOp("intersect_rows", df, others, keys, "left_semi", _ intersectAll _)
+
+  private def setOp(op: String, df: DataFrame, others: Seq[DataFrame], keys: Seq[String],
+                    joinType: String, whole: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    if (others.isEmpty) err(op, "`sources` must name at least one frame")
+    if (keys.nonEmpty) {
+      keys.foreach(k => if (!df.columns.contains(k)) err(op, s"key column `$k` not in the dataset"))
+      others.foldLeft(df) { (acc, o) =>
+        keys.foreach(k => if (!o.columns.contains(k)) err(op, s"key column `$k` not in a source frame"))
+        acc.join(o.select(keys.map(col): _*), keys, joinType)
+      }
+    } else others.foldLeft(df) { (acc, o) =>
+      if (acc.columns.toSeq != o.columns.toSeq)
+        err(op, s"without `keys`, schemas must match: [${acc.columns.mkString(", ")}] vs " +
+          s"[${o.columns.mkString(", ")}]")
+      whole(acc, o)
+    }
+  }
+
   /** One pandas-semantics merge. Right-side key columns are renamed to
     * unique temp names before the join so every column name in the joined
     * frame is distinct — plain-name resolution then works even when both

@@ -206,6 +206,38 @@ class OpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("[4,16]"))
   }
 
+  test("subtract/intersect rows: keyed anti/semi keep duplicates, keyless is multiset") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val block = Seq((1L, "zzz")).toDF("k", "x")
+    // keyed: BOTH k=1 rows drop, duplicates elsewhere survive
+    val sub = Ops.subtractRows(l, Seq(block), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(sub == Seq((2L, "c"), (3L, "d")))
+    val sem = Ops.intersectRows(l, Seq(block), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(sem == Seq((1L, "a"), (1L, "b"))) // semi keeps both duplicate rows
+    // keyless multiset: counts are per-occurrence, not distinct
+    val a = Seq("x", "x", "x", "y").toDF("c")
+    val b = Seq("x", "x", "z").toDF("c")
+    assert(Ops.subtractRows(a, Seq(b), Nil).collect().map(_.getString(0)).sorted.toSeq
+      == Seq("x", "y")) // 3 x's minus 2 x's leaves one x
+    assert(Ops.intersectRows(a, Seq(b), Nil).collect().map(_.getString(0)).toSeq
+      == Seq("x", "x")) // min(3, 2) occurrences
+    // rejects: schema mismatch keyless, missing key, empty sources
+    assert(intercept[IllegalArgumentException](
+      Ops.subtractRows(l, Seq(block), Nil)).getMessage.contains("schemas must match"))
+    assert(intercept[IllegalArgumentException](
+      Ops.subtractRows(l, Seq(block), Seq("nope"))).getMessage.contains("not in the dataset"))
+    assert(intercept[IllegalArgumentException](
+      Ops.subtractRows(l, Nil, Nil)).getMessage.contains("at least one"))
+    // YAML dispatch
+    val e = new graft.engine.Engine(spark)
+    val y = e.applyOperation(l, Map("operation" -> "subtract_rows",
+      "sources" -> List("$sources.b"), "keys" -> List("k")),
+      Map("sources.b" -> block), "spec")
+    assert(y.count() == 2)
+  }
+
   test("join broadcast hint: forces BroadcastHashJoin where the planner would sort-merge") {
     val dim = (1L to 50L).map(i => (i, s"name$i")).toDF("k", "nm")
     val fact = (1L to 500L).map(i => (i % 50 + 1, i * 1.0)).toDF("k", "v")
