@@ -275,4 +275,54 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"both the index check and the within-delta check must ride (band, chunk) equi-joins:\n$plan")
   }
+
+  test("time-series tier: per-key windows, never a single-task global ordering") {
+    // fill_forward: ONE exchange on the key, one running-frame window
+    val ff = formatted("q_fill_forward")
+    assert(!ff.contains("SinglePartition"), "fill must partition by key")
+    assert("""\(\d+\) Exchange""".r.findAllIn(ff).length == 1,
+      "fill_forward is one key shuffle + one window pass")
+    // interpolate: BOTH neighbor passes share the one key exchange (two
+    // sorts, two windows — the O(n²) unbounded-FOLLOWING frame is gone)
+    val ip = formatted("q_interpolate")
+    assert("""\(\d+\) Exchange""".r.findAllIn(ip).length == 1,
+      "interpolate's two neighbor windows must reuse one key exchange")
+    assert("""\(\d+\) Window""".r.findAllIn(ip).length == 2 && !ip.contains("SinglePartition"))
+    // resample: the gap grid generates on the executors (Generate over the
+    // per-key span aggregate) and joins the bucket aggregate — no
+    // cartesian, no single-task stage
+    val rs = formatted("q_resample")
+    assert(rs.contains("Generate") && rs.contains("explode(sequence("),
+      "gap grid must be sequence()+explode on the executors")
+    assert(!rs.contains("CartesianProduct") && !rs.contains("SinglePartition"))
+    // trailing time window: RANGE frame over the key partition
+    val twa = formatted("q_time_window_agg")
+    assert(!twa.contains("SinglePartition") &&
+      """\(\d+\) Exchange""".r.findAllIn(twa).length == 1)
+  }
+
+  test("json_extract: pure narrow codegen over the scan, zero exchanges") {
+    val p = formatted("q_json_extract")
+    assert(p.contains("get_json_object"), "extraction must be in the projection")
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"))
+  }
+
+  test("subtract_rows: blocklist side pruned to its key and filter pushed") {
+    val p = formatted("q_subtract_rows")
+    assert(p.contains("LeftAnti"), "keyed subtraction must be an anti join")
+    val ordersScan = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("o_orderkey")).getOrElse("")
+    assert(ordersScan.contains("o_orderstatus") && !ordersScan.contains("o_totalprice"),
+      s"blocklist scan must read only key+filter columns: $ordersScan")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), "status filter must push to the scan")
+  }
+
+  test("grouping sets expand map-side: rollup still aggregates partially and shuffles once") {
+    val p = formatted("q_group_rollup")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "rollup must keep map-side partial aggregation")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1,
+      "grouping sets must not add shuffles")
+    assert(p.contains("Expand"), "rollup rides the Expand operator")
+  }
 }
