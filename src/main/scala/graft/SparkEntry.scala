@@ -1545,6 +1545,16 @@ object SparkEntry {
       graft.functions.Sampling.hashSample(
         t(s, d, "documents").select("doc_id", "text"), "text", 0.2)),
 
+    // exact-size deterministic uniform sample through the YAML op:
+    // the 120 smallest md5 draws, TakeOrderedAndProject (never a global
+    // sort); composes with hash_sample (same draw)
+    "q_sample_exact" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(t(s, d, "documents").select("doc_id", "source"),
+        Map("operation" -> "sample_rows", "column" -> "doc_id", "count" -> 120),
+        Map.empty, "gate")
+    }),
+
     "q_sample_stratified" -> ((s, d) => {
       val docs = TF.withLangId(t(s, d, "documents").select("doc_id", "text"), "text")
       graft.functions.Sampling.stratifiedHashSample(docs, "text", "lang_pred",
@@ -3652,6 +3662,10 @@ object SparkEntry {
     // 0.2 → 33333333, 0.5 → 80000000, 0.1 → 19999999
     "q_sample" ->
       "SELECT doc_id, text FROM documents WHERE substr(md5(text), 1, 8) < '33333333'",
+
+    "q_sample_exact" ->
+      """SELECT doc_id, source FROM documents
+         ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 120""",
 
     "q_domain_cap" ->
       """SELECT doc_id, source FROM (

@@ -131,8 +131,8 @@ object Avro {
       .map(e => (e.getKey, e.getValue)).toArray
     val bconf = sc.broadcast(confSnapshot)
     val codec = compression.map(_.toLowerCase)
-    require(codec.forall(Set("deflate", "snappy", "null").contains),
-      s"avro sink: unsupported compression `${compression.get}` (deflate/snappy)")
+    require(codec.forall(Set("deflate", "snappy", "zstandard", "zstd", "null").contains),
+      s"avro sink: unsupported compression `${compression.get}` (deflate/snappy/zstandard)")
     val nFields = canon.schema.fields.length
     def writeOne(part: Int, it: Iterator[Row],
                  conf: org.apache.hadoop.conf.Configuration): Unit = {
@@ -144,6 +144,8 @@ object Avro {
       codec.foreach {
         case "deflate" => w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
         case "snappy" => w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+        case "zstandard" | "zstd" =>
+          w.setCodec(org.apache.avro.file.CodecFactory.zstandardCodec(3))
         case _ => ()
       }
       w.create(schema, out)

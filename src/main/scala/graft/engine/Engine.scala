@@ -251,6 +251,7 @@ final class Engine(spark: SparkSession) {
     "dedup_substring" -> Set("id_column", "column", "window"),
     "dedup_paragraphs" -> Set("id_column", "column", "delimiter"),
     "hash_sample" -> Set("column", "rate", "strata_column", "rates", "default_rate"),
+    "sample_rows" -> Set("column", "count"),
     "domain_cap" -> Set("group_column", "id_column", "k", "salts"),
     "rebalance_mixture" -> Set("stratum_column", "key_column", "weights"),
     "boilerplate_removal" -> Set("id_column", "column", "min_docs", "line_delimiter"),
@@ -873,6 +874,13 @@ final class Engine(spark: SparkSession) {
             graft.functions.Sampling.hashSample(df, keyC,
               Config.reqStr(op, "rate", ctx).toDouble)
         }
+      // exact-size deterministic uniform sample (the "give me exactly N
+      // documents" eval-set cut; the md5 draw composes with hash_sample)
+      case "sample_rows" =>
+        graft.functions.Sampling.sampleExact(df,
+          Config.reqStr(op, "column", ctx),
+          Config.int(op, "count").getOrElse(
+            throw new IllegalArgumentException("`sample_rows` operation: `count` is required")))
       // fuzzy record linkage: match df's rows to `sources` rows by text
       // Jaccard — the dedup machinery's join face
       case "similarity_join" =>

@@ -30,6 +30,21 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(inHashSample(col(keyCol), rate))
 
+  /** EXACT-size uniform sample: the `n` rows with the smallest md5 draw
+    * (same draw as [[hashSample]], so it composes: the exact-n sample is a
+    * prefix of every rate cut), key as tie-break. Deterministic for a given
+    * dataset and replayable. Compiles to TakeOrderedAndProject — each
+    * partition keeps a local top-n, only n rows per partition travel —
+    * never a global sort. The fixed-rate [[hashSample]] stays the
+    * shuffle-FREE choice when ±√n wobble is acceptable. */
+  def sampleExact(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    if (!df.columns.contains(keyCol))
+      throw new IllegalArgumentException(s"`sample_rows` operation: column `$keyCol` not defined")
+    if (n <= 0)
+      throw new IllegalArgumentException(s"`sample_rows` operation: count must be positive, got $n")
+    df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(n)
+  }
+
   /** PER-ROW weighted Bernoulli sampling: each row keeps with its OWN
     * probability `weight_ppm / 10^6` (clamped to [0, 10^6]; null drops) —
     * the quality-weighted corpus cut ("sample documents proportional to

@@ -523,11 +523,13 @@ class SourcesSpec extends SparkSpec {
       List("1", "1.5", "true", "a b", "hi"),
       List("2", "-2.25", "false", "", ""),
       List("3", "0.001", "true", "z", new String(Array[Byte](0, 1), "UTF-8"))))
-    // deflate codec round-trips; unsupported codec rejects
+    // deflate/zstandard codecs round-trip; unsupported codec rejects
     Avro.write(df, dir.resolve("defl").toString, Some("deflate"))
     assert(Avro.readAny(spark, dir.resolve("defl").toString).count() == 3)
+    Avro.write(df, dir.resolve("zstd").toString, Some("zstandard"))
+    assert(Avro.readAny(spark, dir.resolve("zstd").toString).count() == 3)
     val bad = intercept[IllegalArgumentException](
-      Avro.write(df, dir.resolve("x").toString, Some("zstd")))
+      Avro.write(df, dir.resolve("x").toString, Some("lz77")))
     assert(bad.getMessage.contains("unsupported compression"))
     // empty frame still writes a readable header-only part
     Avro.write(df.filter(col("id") < 0), dir.resolve("empty").toString)

@@ -167,6 +167,28 @@ class FunctionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == got)
   }
 
+  test("sampleExact: exact n, deterministic, a prefix of every rate cut; top-k plan") {
+    val docs = (1L to 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val s1 = Sampling.sampleExact(docs, "doc_id", 50).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s1.size == 50)
+    assert(s1 == Sampling.sampleExact(docs, "doc_id", 50).select("doc_id")
+      .as[Long].collect().toSet) // deterministic
+    // same md5 draw as hashSample → the exact-n set sits inside any rate
+    // cut large enough to contain n rows
+    val rateCut = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s1.subsetOf(rateCut), "exact sample must be a prefix of the rate cut")
+    // n >= rows → everything, still exact
+    assert(Sampling.sampleExact(docs, "doc_id", 5000).count() == 1000)
+    // top-k physical shape, never a global sort
+    val plan = Sampling.sampleExact(docs, "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assertThrows[IllegalArgumentException](Sampling.sampleExact(docs, "doc_id", 0))
+    assertThrows[IllegalArgumentException](Sampling.sampleExact(docs, "zz", 5))
+  }
+
   test("weightedHashSample: per-row ppm probability, monotone in weight, exact edges") {
     val docs = (0L until 400L).map(i => (i, (i % 5) * 250000L)).toDF("doc_id", "w")
     val kept = Sampling.weightedHashSample(docs, "doc_id", "w")
