@@ -150,3 +150,63 @@ case class PqAdcFromCodes(child: Expression, lut: Array[Long], m: Int, ksub: Int
   override protected def withNewChildInternal(newChild: Expression): PqAdcFromCodes =
     copy(child = newChild)
 }
+
+/**
+ * Exact cosine similarity of two float vectors as ONE codegen'd binary
+ * expression — the hot-path verify for near-dup / ANN joins at millions
+ * of candidate pairs per task. The HOF formulation
+ * (`aggregate(zip_with(...))`) interprets a lambda per ELEMENT (~64
+ * closure dispatches per pair); this is a single tight JIT'd loop.
+ * Arithmetic shape matches [[graft.functions.Similarity.cosine]] exactly
+ * (same dot/sqrt/divide ordering — IEEE-identical results). Null on null
+ * input, length mismatch, or a zero-norm side. SQL name: `cosine_sim`.
+ */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.kernel(a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double r = graft.expressions.CosineSim.kernel(
+         |  $a.toFloatArray(), $b.toFloatArray());
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Boxed so codegen and eval share one null contract. */
+  def kernel(x: Array[Float], y: Array[Float]): java.lang.Double = {
+    if (x.length != y.length) return null
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      val a = x(i).toDouble
+      val b = y(i).toDouble
+      dot += a * b
+      nx += a * a
+      ny += b * b
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+}

@@ -168,6 +168,13 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"doc_signature takes 1-3 arguments, got ${other.size}")
       }),
+    ("cosine_sim",
+      "_FUNC_(a, b) - exact cosine of two float vectors (one codegen'd loop; null on length mismatch or zero norm)",
+      {
+        case Seq(a, b) => CosineSim(a, b)
+        case other => throw new IllegalArgumentException(
+          s"cosine_sim takes 2 arguments, got ${other.size}")
+      }),
     ("dim_reduce_q",
       "_FUNC_(embedding, k, seed, s_bits) - exact-integer ±1 random projection to k dims (array<long> fixed-point sums)",
       {

@@ -271,25 +271,52 @@ object Similarity {
                                 vecCol: String, threshold: Double,
                                 numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
     require(numPlanes <= 63, "numPlanes must fit in a long bucket key")
-    val dv = delta.select(col(idCol).cast(LongType).as("a_id"), col(vecCol).as("a_vec"))
-    val db = bandedBuckets(delta, idCol, vecCol, numPlanes, numTables, "a_id")
+    // Vectors RIDE the (tbl, bucket) exchange (numTables copies of each
+    // side) and the verify runs directly on the collision rows through the
+    // codegen'd `cosine_sim` expression (ONE tight loop per pair — the HOF
+    // cosine interprets a lambda per element, untenable at 10^7 pairs): a
+    // pair colliding in several tables is verified up to numTables times,
+    // but the plan needs NO candidate distinct and NO re-join of the
+    // candidate list back to the vectors by id. Only the condemned ids
+    // are deduped (a tiny set). Probe legs in PLANS.md.
+    graft.expressions.GraftFunctions.register(delta.sparkSession)
+    def sim(a: Column, b: Column): Column =
+      org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+    val dbv = bandedBucketsVec(delta, idCol, vecCol, numPlanes, numTables, "a_id", "a_vec")
     val iv = index.select(col("id").cast(LongType).as("b_id"), col("vec").as("b_vec"))
-    val ib = bandedBuckets(iv, "b_id", "b_vec", numPlanes, numTables, "b_id")
-    val vsIndex = db.join(ib, Seq("tbl", "bucket")).select("a_id", "b_id").distinct()
-      .join(dv, "a_id").join(iv, "b_id")
-      .filter(cosine(col("a_vec"), col("b_vec")) > threshold)
+    val ibv = bandedBucketsVec(iv, "b_id", "b_vec", numPlanes, numTables, "b_id", "b_vec")
+    val vsIndex = dbv.join(ibv, Seq("tbl", "bucket"))
+      .filter(sim(col("a_vec"), col("b_vec")) > threshold)
       .select(col("a_id").as("drop_id"))
-    val within = db.join(
-        db.select(col("a_id").as("b_id"), col("tbl"), col("bucket")),
+    val within = dbv.join(
+        dbv.select(col("a_id").as("b_id"), col("a_vec").as("b_vec"),
+          col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-      .join(dv, "a_id")
-      .join(dv.select(col("a_id").as("b_id"), col("a_vec").as("b_vec")), "b_id")
-      .filter(cosine(col("a_vec"), col("b_vec")) > threshold)
+      .filter(sim(col("a_vec"), col("b_vec")) > threshold)
       .select(col("b_id").as("drop_id")) // (a < b) condemns b
     val condemned = vsIndex.union(within).distinct()
     delta.join(condemned, col(idCol).cast(LongType) === col("drop_id"), "left_anti")
+  }
+
+  /** [[bandedBuckets]] with the vector carried through: (id, vec, tbl,
+    * bucket) per table — lets the verify run on the bucket-join output
+    * directly instead of re-joining candidates to vectors by id. */
+  private def bandedBucketsVec(df: DataFrame, idCol: String, vecCol: String,
+                               numPlanes: Int, numTables: Int,
+                               outId: String, outVec: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var tables: Array[Array[Array[Double]]] = null
+        it.flatMap { case (id, v) =>
+          if (tables == null)
+            tables = Array.tabulate(numTables)(t => planeMatrix(t, numPlanes, v.length))
+          tables.indices.map(t => (id, v, t, bucketOf(v, tables(t))))
+        }
+      }.toDF(outId, outVec, "tbl", "bucket")
   }
 
   // --------------------------------------------------------------- IVF

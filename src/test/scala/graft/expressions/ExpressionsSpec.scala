@@ -98,6 +98,7 @@ class ExpressionsSpec extends SparkSpec {
         case "qhist_quantile" => Seq(Literal("abc".getBytes), Literal(0.5))
         case "bloom_contains" => Seq(Literal("abc".getBytes), Literal(1L))
         case "kmv_intersect" => Seq(Literal("abc".getBytes), Literal("abc".getBytes))
+        case "cosine_sim" => Seq(Literal("abc"), Literal("abc"))
         case "dim_reduce_q" => Seq(Literal("abc"), Literal(4), Literal(1), Literal(8))
         case _ => Seq(Literal("abc"))
       }
@@ -151,5 +152,40 @@ class ExpressionsSpec extends SparkSpec {
       .select("rarity_sum", "n_trigrams", "rarity").head()
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
       ((expect(0), expect(1), expect(2))))
+  }
+
+  test("cosine_sim: IEEE-identical to the HOF cosine, null edges, codegen span") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 0.37 + j * 0.11).toFloat),
+        Array.tabulate(64)(j => math.cos(i * 0.23 + j * 0.19).toFloat))
+    }.toDF("id", "a", "b")
+    // bit-identical to the HOF formulation (same dot/sqrt/divide shape)
+    val diff = vecs.select(
+      call_function("cosine_sim", col("a"), col("b")).as("fast"),
+      graft.functions.Similarity.cosine(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0, "fused cosine must equal the HOF cosine bit-for-bit")
+    // identical vectors; nulls; length mismatch; zero norm
+    val edges = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f), Array(0f, 0f))
+    ).toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b"))).collect()
+    assert(edges(0).getDouble(0) == 1.0 && edges(1).isNullAt(0))
+    val mism = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b"))).head()
+    assert(mism.isNullAt(0))
+    // stays inside whole-stage codegen over a REAL scan (a local Seq frame
+    // would be pre-evaluated by ConvertToLocalRelation, and HOF vector
+    // builders like transform() are CodegenFallback themselves — the
+    // vacuous-plan traps the doc_text audits documented)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(
+      call_function("cosine_sim", col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("cosine_sim"),
+      s"cosine_sim must sit inside a whole-stage-codegen'd (starred) projection:\n$plan")
   }
 }
