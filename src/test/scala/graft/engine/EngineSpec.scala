@@ -798,6 +798,66 @@ class EngineSpec extends SparkSpec {
     assert(lines == List("""{ "a": "canine" }""", """{ "a": "feline" }"""))
   }
 
+  test("event-metrics e2e YAML: json_extract -> subtract_rows -> sample_rows -> resample -> avro") {
+    // the session-4 op tier composed as ONE declared pipeline: extract a
+    // JSON field, drop a blocklist, cut an exact-size sample, resample to
+    // daily per-user buckets, land avro shards — then read the avro back
+    // through the source and check the invariants
+    val dir = Files.createTempDirectory("graft-evmetrics")
+    Files.writeString(dir.resolve("blocked.jsonl"),
+      "{\"user_id\": 3}\n{\"user_id\": 7}\n")
+    Files.writeString(dir.resolve("p.yaml"),
+      """version: 2
+        |sources:
+        |  events:
+        |    file: /root/testdata/sf0.001/events.parquet
+        |    type: parquet
+        |  blocked:
+        |    file: blocked.jsonl
+        |transformations:
+        |  metrics:
+        |    source: $sources.events
+        |    operations:
+        |      - operation: json_extract
+        |        column: props
+        |        fields:
+        |          k: $.k
+        |      - operation: subtract_rows
+        |        sources: [$sources.blocked]
+        |        keys: [user_id]
+        |      - operation: sample_rows
+        |        column: event_id
+        |        count: 400
+        |      - operation: resample
+        |        time_column: ts
+        |        partition_by: [user_id]
+        |        interval: 1 day
+        |        aggregations:
+        |          n: count()
+        |          k_sum: sum(k)
+        |destinations:
+        |  metrics:
+        |    source: $transformations.metrics
+        |    format: avro
+        |    partitions: 2
+        |""".stripMargin)
+    val out = dir.resolve("o")
+    new Engine(spark).run(dir.resolve("p.yaml").toString, outputDir = Some(out))
+    val back = Sources.read(spark, "metrics_back",
+      Map("file" -> out.resolve("metrics").toString, "type" -> "avro"), dir)
+    assert(back.columns.toSeq == Seq("user_id", "bucket", "n", "k_sum"))
+    val rows = back.collect()
+    assert(rows.nonEmpty)
+    // blocked users never appear, even as gap-filled grid rows
+    assert(!rows.exists(r => r.getString(0) == "3" || r.getString(0) == "7"))
+    // the exact-size cut survives the grouped resample: bucket counts sum
+    // back to the 400 sampled events (gap rows contribute n=0)
+    assert(rows.map(_.getString(2).toLong).sum == 400L)
+    // gap fill really fired: at least one empty bucket exists for a
+    // multi-day user span at sf0.001 density
+    assert(rows.exists(_.getString(2) == "0"))
+  }
+
   test("multi-line sparse headers flatten to A__b names") {
     val rows = Seq(
       Seq("Student", "", "School", ""),
