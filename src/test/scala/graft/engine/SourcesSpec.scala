@@ -537,6 +537,34 @@ class SourcesSpec extends SparkSpec {
     assert(e.count() == 0 && e.columns.length == 5)
   }
 
+  test("avro: hostile inputs reject diagnosably (garbage, truncation, empty dir)") {
+    val dir = tmpDir
+    // not an avro container at all
+    val junk = dir.resolve("junk.avro")
+    java.nio.file.Files.write(junk, Array.fill[Byte](256)(0x41))
+    val e1 = intercept[Exception](Avro.read(spark, junk.toString))
+    assert(e1.getMessage != null)
+    // a real multi-block container truncated at 60%: the reader must
+    // either throw or stop at a block boundary — NEVER report the full
+    // row count, never loop or allocate unbounded
+    val good = dir.resolve("good.avro")
+    val n = 100000
+    graft.tools.GenAvro.write(good.toString, Seq(
+      graft.tools.GenAvro.LongCol("id", (1L to n.toLong))), n)
+    val bytes = java.nio.file.Files.readAllBytes(good)
+    val trunc = dir.resolve("trunc.avro")
+    java.nio.file.Files.write(trunc, bytes.take(bytes.length * 6 / 10))
+    val got = try Some(Avro.read(spark, trunc.toString).count()) catch {
+      case e: Exception => assert(e.getMessage != null); None
+    }
+    got.foreach(c => assert(c < n, s"truncated container returned all $c rows"))
+    // a directory with no parts names the path in the error
+    val empty = dir.resolve("nothing")
+    java.nio.file.Files.createDirectories(empty)
+    val e3 = intercept[IllegalArgumentException](Avro.readAny(spark, empty.toString))
+    assert(e3.getMessage.contains("no .avro part files"))
+  }
+
   test("warc/wet: ISO-28500 records, member-concatenated gzip, type filter") {
     val dir = tmpDir
     val docs = Seq(
