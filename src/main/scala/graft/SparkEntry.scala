@@ -2144,6 +2144,22 @@ object SparkEntry {
         k = 256)
     }),
 
+    // per-group quantile-threshold row filter: keep lineitem rows at or
+    // above the per-flag p50 of extendedprice cents — the Gopher-style
+    // per-domain quality cut as one YAML op; the threshold is the exact
+    // loghist bucket bound the q_sketch_quantile oracle rebuilds
+    "q_quantile_filter" -> ((s, d) => {
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_extendedprice"),
+        Map("operation" -> "quantile_filter",
+          "group_by_columns" -> List("l_returnflag"), "column" -> "l_extendedprice",
+          "fraction" -> 0.5, "mode" -> "keep_above", "scale" -> 100),
+        Map.empty, "gate")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    }),
+
     // per-group log-histogram quantiles over integer cents (sub_bits=5 ->
     // rel err < 1/32); the oracle reproduces the exact bit-bucketing
     "q_sketch_quantile" -> ((s, d) =>
@@ -2534,6 +2550,30 @@ object SparkEntry {
 
     // exact bit-bucketing (sub_bits=5): e = bitlen-6, bucket = (v>>e)+e*32,
     // report the lower bound of the first bucket with cum >= ceil(q*n)
+    "q_quantile_filter" ->
+      """WITH vals AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS v
+           FROM lineitem),
+         bk AS (
+           SELECT g, CASE WHEN v < 64 THEN v
+                          ELSE (v >> (length(bin(v)) - 6)) + (length(bin(v)) - 6)::BIGINT * 32 END AS b
+           FROM vals),
+         hist AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY g, b),
+         cum AS (
+           SELECT g, b, sum(cnt) OVER (PARTITION BY g ORDER BY b) AS cum,
+                  sum(cnt) OVER (PARTITION BY g) AS n
+           FROM hist),
+         pick AS (
+           SELECT g, min(b) AS qb FROM cum
+           WHERE cum >= greatest(1, ceil(0.5 * n)) GROUP BY g),
+         thr AS (
+           SELECT g, CASE WHEN qb < 64 THEN qb
+                          ELSE (qb - (qb//32 - 1)*32) << (qb//32 - 1) END AS t
+           FROM pick)
+         SELECT v.l_orderkey, v.l_linenumber, v.g AS l_returnflag
+         FROM vals v JOIN thr t ON v.g = t.g WHERE v.v >= t.t""",
+
     "q_sketch_quantile" ->
       """WITH vals AS (
            SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS v

@@ -281,6 +281,8 @@ final class Engine(spark: SparkSession) {
     "heavy_hitters" -> Set("column", "min_count", "depth", "width", "count_column"),
     "sketch_quantile" -> Set("group_by_columns", "column", "fractions",
       "sub_bits", "sketch_column", "merge_sketches"),
+    "quantile_filter" -> Set("group_by_columns", "column", "fraction", "mode",
+      "scale", "sub_bits"),
     "bloom_filter" -> Set("sources", "column", "source_column", "log_bits", "k", "mode"),
     "sketch_overlap" -> Set("sources", "column", "source_column", "k"),
     "pagerank" -> Set("src_column", "dst_column", "iterations", "damping_ppm"),
@@ -581,6 +583,13 @@ final class Engine(spark: SparkSession) {
           Config.reqStr(op, "src_column", ctx),
           Config.reqStr(op, "dst_column", ctx),
           Config.int(op, "iterations").getOrElse(2))
+      case "quantile_filter" =>
+        graft.functions.Sketches.quantileFilter(df,
+          listOf(op, "group_by_columns"), Config.reqStr(op, "column", ctx),
+          Config.reqStr(op, "fraction", ctx).toDouble,
+          Config.str(op, "mode").getOrElse("keep_above"),
+          op.get("scale").map(_.toString.toLong).getOrElse(1L),
+          Config.int(op, "sub_bits").getOrElse(5))
       case "sketch_quantile" =>
         import org.apache.spark.sql.functions.{col => fcol, round => fround}
         val groupCols = listOf(op, "group_by_columns")

@@ -160,6 +160,47 @@ object Sketches {
     finishQuantiles(agg, fractions, sketchCol)
   }
 
+  /** Per-group quantile-threshold ROW FILTER — the Gopher-style "keep
+    * documents above the per-domain median quality" corpus cut as one op.
+    * The threshold is the log-histogram sketch quantile (mergeable,
+    * bounded memory, rel err < 2^-subBits, and EXACTLY reproducible — the
+    * q_sketch_quantile oracle machinery), computed over integer units
+    * `round(value · scale)` (scale=1 for already-integral columns, the
+    * fixed-point discipline everywhere else). Group cardinality bounds the
+    * threshold frame, which re-joins as a broadcast-sized dimension; rows
+    * with null values drop. `mode`: keep_above (u ≥ q) / keep_below
+    * (u ≤ q). Without groupCols the single global threshold rides a
+    * 1-row collect (the n=count() driver-bounded class). */
+  def quantileFilter(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     fraction: Double, mode: String = "keep_above",
+                     scale: Long = 1L, subBits: Int = 5): DataFrame = {
+    require(mode == "keep_above" || mode == "keep_below",
+      s"quantile_filter: mode must be keep_above/keep_below, not `$mode`")
+    require(fraction > 0 && fraction <= 1, s"quantile_filter: fraction must be in (0,1], got $fraction")
+    require(scale > 0, s"quantile_filter: scale must be positive, got $scale")
+    (groupCols :+ valueCol).foreach(c => require(df.columns.contains(c),
+      s"quantile_filter: column `$c` not defined"))
+    val u = round(col(valueCol) * scale).cast("long")
+    val withU = df.withColumn("__qf_u__", u)
+    val qCol = "q" + BigDecimal(fraction).bigDecimal.stripTrailingZeros
+      .toPlainString.replace("0.", "").replace(".", "_")
+    val keep: (Column, Column) => Column =
+      if (mode == "keep_above") _ >= _ else _ <= _
+    val out =
+      if (groupCols.isEmpty) {
+        val thr = quantileSketch(withU, Nil, "__qf_u__", Seq(fraction), subBits)
+          .head().getAs[Long](qCol) // ONE row — driver-bounded by construction
+        withU.filter(keep(col("__qf_u__"), lit(thr)))
+      } else {
+        val thrs = quantileSketch(withU, groupCols, "__qf_u__", Seq(fraction), subBits)
+          .select((groupCols.map(col) :+ col(qCol).as("__qf_thr__")): _*)
+        withU.join(broadcast(thrs), groupCols)
+          .filter(keep(col("__qf_u__"), col("__qf_thr__")))
+          .drop("__qf_thr__")
+      }
+    out.drop("__qf_u__")
+  }
+
   /** Merge persisted quantile sketches to a coarser grouping, then report. */
   def mergeQuantiles(df: DataFrame, groupCols: Seq[String], sketchColIn: String,
                      fractions: Seq[Double],

@@ -452,6 +452,44 @@ class SketchesSpec extends SparkSpec {
     assert(totals() === t1)
   }
 
+  test("quantileFilter: per-group threshold cut, modes, global face, rejects") {
+    import spark.implicits._
+    // two groups with disjoint ranges: thresholds must be per-group
+    val df = ((1 to 100).map(v => ("lo", v.toDouble)) ++
+      (1 to 100).map(v => ("hi", 1000.0 + v))).toDF("g", "v")
+    val kept = Sketches.quantileFilter(df, Seq("g"), "v", 0.5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keep_above the p50 bucket bound: roughly half of EACH group survives
+    // (bucket granularity makes it >= half, never the whole group)
+    assert(kept("lo") >= 50 && kept("lo") < 100, s"lo kept ${kept("lo")}")
+    assert(kept("hi") >= 50 && kept("hi") < 100, s"hi kept ${kept("hi")}")
+    // keep_below is the complement side (bucket-boundary rows overlap)
+    val below = Sketches.quantileFilter(df, Seq("g"), "v", 0.5, mode = "keep_below")
+    assert(below.count() > 0 && below.count() < 200)
+    // global face (no groups): threshold spans BOTH ranges -> the hi group
+    // survives whole, the lo group vanishes
+    val global = Sketches.quantileFilter(df, Nil, "v", 0.5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the p50 bucket's LOWER bound can sit a few values below 100, letting
+    // boundary rows of lo squeak through — that's the documented <2^-5
+    // relative bucket error, not a leak
+    assert(global.getOrElse("hi", 0L) == 100L && global.getOrElse("lo", 0L) <= 5L)
+    // null values drop; integral columns pass scale=1 unchanged
+    val withNull = (Seq(("a", Some(5.0)), ("a", None))).toDF("g", "v")
+    assert(Sketches.quantileFilter(withNull, Seq("g"), "v", 0.5).count() == 1)
+    // YAML dispatch + rejects
+    val e = new graft.engine.Engine(spark)
+    assert(e.applyOperation(df, Map("operation" -> "quantile_filter",
+      "group_by_columns" -> List("g"), "column" -> "v", "fraction" -> 0.5),
+      Map.empty, "spec").count() == kept.values.sum)
+    assertThrows[IllegalArgumentException](
+      Sketches.quantileFilter(df, Seq("g"), "v", 0.5, mode = "drop"))
+    assertThrows[IllegalArgumentException](
+      Sketches.quantileFilter(df, Seq("g"), "v", 1.5))
+    assertThrows[IllegalArgumentException](
+      Sketches.quantileFilter(df, Seq("g"), "zz", 0.5))
+  }
+
   test("hostile sketch bytes through the merge aggregate reject diagnosably") {
     graft.expressions.GraftFunctions.register(spark)
     import spark.implicits._
