@@ -843,6 +843,21 @@ object SparkEntry {
       Ops.union(c, Seq(sup))
     }),
 
+    // typed casts over stringified inputs — the schema gate does the real
+    // verification (the oracle emits bigint/double/timestamp; an uncast
+    // string column would fail schema_match even with equal values)
+    "q_cast_columns" -> ((s, d) => {
+      val strs = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("string").as("okey"),
+          col("l_quantity").cast("string").as("qty"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(strs, Map("operation" -> "cast_columns",
+        "columns" -> Map("okey" -> "bigint", "qty" -> "double", "ship" -> "timestamp")),
+        Map.empty, "gate")
+        .select(col("okey"), col("qty"), unix_micros(col("ship")).as("ship_us"))
+    }),
+
     // keyed subtraction = blocklist LEFT ANTI (duplicates on the left
     // survive — NOT the dedup EXCEPT does); source read only for its key
     "q_subtract_rows" -> ((s, d) => {
@@ -2955,6 +2970,11 @@ object SparkEntry {
 
     "q_join_merge_key" ->
       "SELECT c_custkey, c_nationkey AS nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+
+    "q_cast_columns" ->
+      """SELECT l_orderkey AS okey, l_quantity AS qty,
+           epoch_us(l_shipdate) AS ship_us
+         FROM lineitem""",
 
     "q_subtract_rows" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

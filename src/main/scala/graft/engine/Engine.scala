@@ -200,6 +200,7 @@ final class Engine(spark: SparkSession) {
       "left_keep_columns", "left_drop_columns", "right_keep_columns", "right_drop_columns",
       "broadcast"),
     "union" -> Set("sources", "fill_missing_columns"),
+    "cast_columns" -> Set("columns"),
     "subtract_rows" -> Set("sources", "keys"),
     "intersect_rows" -> Set("sources", "keys"),
     "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
@@ -390,6 +391,7 @@ final class Engine(spark: SparkSession) {
         rightKeep = listOf(op, "right_keep_columns"), rightDrop = listOf(op, "right_drop_columns"),
         broadcastSide = Config.str(op, "broadcast"))
       case "union" => Ops.union(df, sourceFrames, Config.bool(op, "fill_missing_columns"))
+      case "cast_columns" => Ops.castColumns(df, pairs("columns"))
       case "subtract_rows" => Ops.subtractRows(df, sourceFrames, listOf(op, "keys"))
       case "intersect_rows" => Ops.intersectRows(df, sourceFrames, listOf(op, "keys"))
       case "melt" => Ops.melt(df,

@@ -354,6 +354,25 @@ object Ops {
     }
   }
 
+  /** Typed casts for the all-string model's exit ramp: the reference's
+    * pipelines stay strings end-to-end, but a parquet/orc/avro destination
+    * (or a numeric downstream op) wants real types. ANSI semantics —
+    * Spark 4's default — make a malformed value RAISE (the group_by tier's
+    * pd.to_numeric(errors='raise') contract) instead of silently nulling.
+    * Types are any DDL-parseable Spark type (`bigint`, `double`, `date`,
+    * `timestamp`, `decimal(12,2)`, ...). Pure narrow projection. */
+  def castColumns(df: DataFrame, casts: Seq[(String, String)]): DataFrame = {
+    if (casts.isEmpty) err("cast_columns", "`columns` must not be empty")
+    casts.foldLeft(df) { case (d, (c, t)) =>
+      if (!d.columns.contains(c)) err("cast_columns", s"column `$c` not defined")
+      val dt = try org.apache.spark.sql.types.DataType.fromDDL(t) catch {
+        case e: Exception =>
+          err("cast_columns", s"invalid type `$t` for column `$c`: ${e.getMessage}")
+      }
+      d.withColumn(c, col(c).cast(dt))
+    }
+  }
+
   /** Exact row subtraction — the blocklist/holdout shape. With `keys`,
     * each source acts as a key blocklist via a LEFT ANTI join (duplicates
     * on the left survive; only the key columns of the source are read, so

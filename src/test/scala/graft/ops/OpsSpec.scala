@@ -206,6 +206,23 @@ class OpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("[4,16]"))
   }
 
+  test("castColumns: typed exits, ANSI raise on malformed, type/column rejects") {
+    val df = Seq(("1", "2.5", "x"), ("2", "7.25", "y")).toDF("a", "b", "c")
+    val out = Ops.castColumns(df, Seq("a" -> "bigint", "b" -> "double"))
+    assert(out.schema("a").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("b").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.agg(sum("b")).head.getDouble(0) == 9.75)
+    // ANSI: malformed numeric raises at execution, never silently nulls
+    val bad = Ops.castColumns(Seq(Tuple1("oops")).toDF("a"), Seq("a" -> "bigint"))
+    assertThrows[Exception](bad.collect())
+    assert(intercept[IllegalArgumentException](
+      Ops.castColumns(df, Seq("zz" -> "bigint"))).getMessage.contains("not defined"))
+    assert(intercept[IllegalArgumentException](
+      Ops.castColumns(df, Seq("a" -> "not_a_type"))).getMessage.contains("invalid type"))
+    assert(intercept[IllegalArgumentException](
+      Ops.castColumns(df, Nil)).getMessage.contains("must not be empty"))
+  }
+
   test("subtract/intersect rows: keyed anti/semi keep duplicates, keyless is multiset") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
     val block = Seq((1L, "zzz")).toDF("k", "x")
