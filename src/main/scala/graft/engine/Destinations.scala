@@ -99,7 +99,19 @@ object Destinations {
         s"destination `$name`: `format: $fmt` is columnar — template/header/footer don't apply")
       Files.createDirectories(outputDir)
       val target = outputDir.resolve(s"$name.$fmt")
-      var w = df.write.mode("overwrite")
+      // `sort_by:` sorts WITHIN write partitions (no extra exchange — this
+      // is NOT a global sort) so columnar row-group min/max stats become
+      // selective: a later filter on the sort key skips whole row groups.
+      // The cheap sibling of zorder_by when one key dominates reads.
+      val sortCols = Config.asScalarList(cfg.getOrElse("sort_by", Nil)).map(_.toString)
+      val sorted =
+        if (sortCols.isEmpty) df
+        else {
+          sortCols.foreach(c => require(df.columns.contains(c),
+            s"destination `$name`: sort_by column `$c` not in the frame"))
+          df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+        }
+      var w = sorted.write.mode("overwrite")
       val pb = Config.asScalarList(cfg.getOrElse("partition_by", Nil)).map(_.toString)
       if (pb.nonEmpty) w = w.partitionBy(pb: _*)
       Config.str(cfg, "compression").foreach(c => w = w.option("compression", c))

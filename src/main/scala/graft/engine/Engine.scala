@@ -180,7 +180,7 @@ final class Engine(spark: SparkSession) {
     "destinations" -> Set("debug", "expect", "require_rows", "show_progress", "repartition",
       "source", "template", "extension", "linearize", "header", "footer", "partitioned",
       "format", "partition_by", "partitions", "compression", "max_rows_per_file",
-      "bucket_by", "table"))
+      "bucket_by", "sort_by", "table"))
 
   private val baseOpKeys = Set("operation", "repartition")
   private val allowedOpKeys: Map[String, Set[String]] = Map(

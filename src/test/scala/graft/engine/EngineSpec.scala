@@ -662,6 +662,29 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(pq.toString).count() == 500)
   }
 
+  test("columnar sort_by sorts WITHIN partitions (row-group pruning stats, no extra exchange)") {
+    import spark.implicits._
+    // shuffled ids across 3 partitions: after sort_by each FILE must be
+    // internally sorted while no global order exists
+    val df = scala.util.Random.shuffle((1 to 3000).toList).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(3)
+    val dir = Files.createTempDirectory("graft-sortby")
+    val out = Destinations.write(df, "s",
+      Map[String, Any]("format" -> "parquet", "sort_by" -> List("id")), dir, dir)
+    val parts = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    assert(parts.size >= 2, "need multiple files to distinguish local from global sort")
+    parts.foreach { p =>
+      val ids = spark.read.parquet(p.toString).select("id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"file $p not internally sorted")
+    }
+    assert(spark.read.parquet(out.toString).count() == 3000)
+    // unknown sort column rejects with the destination name
+    val bad = intercept[IllegalArgumentException](Destinations.write(df, "s2",
+      Map[String, Any]("format" -> "parquet", "sort_by" -> List("zz")), dir, dir))
+    assert(bad.getMessage.contains("sort_by column `zz`"))
+  }
+
   test("xlsx and html sources drive a full project run through the engine") {
     val dir = Files.createTempDirectory("graft-newsrc")
     Xlsx.write(dir.resolve("people.xlsx"),
