@@ -36,7 +36,9 @@ object Sampling {
     * dataset and replayable. Compiles to TakeOrderedAndProject — each
     * partition keeps a local top-n, only n rows per partition travel —
     * never a global sort. The fixed-rate [[hashSample]] stays the
-    * shuffle-FREE choice when ±√n wobble is acceptable. */
+    * shuffle-FREE choice when ±√n wobble is acceptable. Determinism
+    * requires a UNIQUE key column: rows sharing a key share a draw AND the
+    * tie-break, so the cut among them is partition-order dependent. */
   def sampleExact(df: DataFrame, keyCol: String, n: Int): DataFrame = {
     if (!df.columns.contains(keyCol))
       throw new IllegalArgumentException(s"`sample_rows` operation: column `$keyCol` not defined")

@@ -170,7 +170,10 @@ object Sketches {
     * threshold frame, which re-joins as a broadcast-sized dimension; rows
     * with null values drop. `mode`: keep_above (u ≥ q) / keep_below
     * (u ≤ q). Without groupCols the single global threshold rides a
-    * 1-row collect (the n=count() driver-bounded class). */
+    * 1-row collect (the n=count() driver-bounded class). Values must be
+    * NON-NEGATIVE after scaling (the log-histogram domain — a negative
+    * value raises diagnosably inside the sketch); shift-or-clamp signed
+    * columns first. */
   def quantileFilter(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      fraction: Double, mode: String = "keep_above",
                      scale: Long = 1L, subBits: Int = 5): DataFrame = {

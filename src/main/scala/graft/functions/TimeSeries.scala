@@ -76,6 +76,8 @@ object TimeSeries {
     (partitionBy :+ timeCol).foreach(c =>
       if (!df.columns.contains(c)) err("resample", s"column `$c` not defined"))
     if (aggs.isEmpty) err("resample", "aggregations must not be empty")
+    if (maxBucketsPerKey <= 0)
+      err("resample", s"max_buckets_per_key must be positive, got $maxBucketsPerKey")
     if (aggs.exists(_._1 == bucketName))
       err("resample", s"aggregation name `$bucketName` collides with the bucket column")
     val aggExprs = aggs.map { case (name, spec) =>

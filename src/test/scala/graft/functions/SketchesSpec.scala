@@ -488,6 +488,10 @@ class SketchesSpec extends SparkSpec {
       Sketches.quantileFilter(df, Seq("g"), "v", 1.5))
     assertThrows[IllegalArgumentException](
       Sketches.quantileFilter(df, Seq("g"), "zz", 0.5))
+    // negative values raise diagnosably inside the sketch (loghist domain)
+    val neg = Seq(("a", -1.0), ("a", 2.0)).toDF("g", "v")
+    val e2 = intercept[Exception](Sketches.quantileFilter(neg, Seq("g"), "v", 0.5).count())
+    assert(e2.getMessage != null)
   }
 
   test("hostile sketch bytes through the merge aggregate reject diagnosably") {

@@ -71,6 +71,9 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.resample(df, "ts", Seq("key"), MIN, Seq("bucket" -> "count()")))
     assertThrows[IllegalArgumentException](
       TimeSeries.resample(df, "ts", Seq("key"), MIN, Nil))
+    assertThrows[IllegalArgumentException](
+      TimeSeries.resample(df, "ts", Seq("key"), MIN, Seq("n" -> "count()"),
+        maxBucketsPerKey = 0))
   }
 
   // --------------------------------------------------------- fill forward
