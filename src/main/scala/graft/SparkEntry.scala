@@ -1068,6 +1068,19 @@ object SparkEntry {
         .select("event_id", "ab", "tag0", "miss")
     }),
 
+    // the all-top-level fast path: the SAME op compiles to ONE json_tuple
+    // (single parse per document) instead of a get_json_object per field
+    "q_json_extract_top" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        concat(lit("{\"k\": "), col("event_id") % 7,
+          lit(", \"tag\": \""), col("event_type"), lit("\"}")).as("js"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(ev, Map("operation" -> "json_extract", "column" -> "js",
+        "fields" -> Map("k" -> "$.k", "tag" -> "$.tag", "miss" -> "$.nope")),
+        Map.empty, "gate")
+        .select("event_id", "k", "tag", "miss")
+    }),
+
     // grouping-set aggregation through the YAML op: ROLLUP emits the
     // (flag,status) groups plus per-flag subtotals plus the grand total
     // with NULL keys — still ONE shuffle (grouping sets expand map-side)
@@ -3108,6 +3121,16 @@ object SparkEntry {
          SELECT event_id,
            json_extract_string(js, '$.a.b') AS ab,
            json_extract_string(js, '$.tags[0]') AS tag0,
+           json_extract_string(js, '$.nope') AS miss
+         FROM ev""",
+
+    "q_json_extract_top" ->
+      """WITH ev AS (SELECT event_id,
+                '{"k": ' || (event_id % 7) || ', "tag": "' || event_type || '"}' AS js
+              FROM events)
+         SELECT event_id,
+           json_extract_string(js, '$.k') AS k,
+           json_extract_string(js, '$.tag') AS tag,
            json_extract_string(js, '$.nope') AS miss
          FROM ev""",
 

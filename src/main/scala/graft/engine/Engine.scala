@@ -529,21 +529,33 @@ final class Engine(spark: SparkSession) {
           org.apache.spark.sql.functions.call_function("compression_ratio",
             org.apache.spark.sql.functions.col(c)))
       // JSONPath field extraction over a JSON-string column (the props/
-      // payload shape event streams carry): each `fields` entry is one
-      // codegen'd get_json_object — narrow, zero shuffles; missing paths
-      // yield null
+      // payload shape event streams carry) — narrow, zero shuffles;
+      // missing paths yield null. When EVERY path is a plain top-level
+      // field ($.name), the whole set rides ONE json_tuple (a single
+      // parse of the document); any nested/array path falls back to one
+      // get_json_object per field (each reparses — the JSONPath cost, not
+      // a shuffle cost). Identical null/string semantics either way.
       case "json_extract" =>
-        import org.apache.spark.sql.functions.{col, get_json_object}
+        import org.apache.spark.sql.functions.{col, get_json_object, json_tuple}
         val c = Config.reqStr(op, "column", ctx)
         if (!df.columns.contains(c))
           throw new IllegalArgumentException(s"`json_extract` operation: column `$c` not defined")
         val fields = pairs("fields")
         if (fields.isEmpty)
           throw new IllegalArgumentException("`json_extract` operation: `fields` must not be empty")
-        fields.foldLeft(df) { case (d, (name, path)) =>
+        fields.foreach { case (name, path) =>
           if (!path.startsWith("$"))
             throw new IllegalArgumentException(
               s"`json_extract` operation: path `$path` for `$name` must be a JSONPath starting with $$")
+        }
+        val TopLevel = "^\\$\\.([A-Za-z_][A-Za-z0-9_]*)$".r
+        val tops = fields.map { case (n, p) => (n, p, TopLevel.findFirstMatchIn(p)) }
+        if (tops.forall(_._3.isDefined)) {
+          val keys = tops.map(_._3.get.group(1))
+          df.select((df.columns.map(col).toSeq :+
+            json_tuple(col(c), keys: _*)).toIndexedSeq: _*)
+            .toDF((df.columns.toSeq ++ tops.map(_._1)): _*)
+        } else fields.foldLeft(df) { case (d, (name, path)) =>
           d.withColumn(name, get_json_object(col(c), path))
         }
       // time-series tier (functions/TimeSeries.scala): every op requires
