@@ -843,6 +843,19 @@ object SparkEntry {
       Ops.union(c, Seq(sup))
     }),
 
+    // array explode with element ordinals through the YAML op (the typed
+    // sibling of flatten): word arrays from the proven split/string_split
+    // parity, one row per word with its 0-based position
+    "q_explode_column" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(docs, Map("operation" -> "explode_column",
+        "column" -> "words", "new_column" -> "word", "position_column" -> "pos"),
+        Map.empty, "gate")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    }),
+
     // typed casts over stringified inputs — the schema gate does the real
     // verification (the oracle emits bigint/double/timestamp; an uncast
     // string column would fail schema_match even with equal values)
@@ -2983,6 +2996,12 @@ object SparkEntry {
 
     "q_join_merge_key" ->
       "SELECT c_custkey, c_nationkey AS nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+
+    "q_explode_column" ->
+      """SELECT doc_id,
+           unnest(generate_series(0, len(string_split(text, ' ')) - 1))::BIGINT AS pos,
+           unnest(string_split(text, ' ')) AS word
+         FROM documents WHERE doc_id < 50""",
 
     "q_cast_columns" ->
       """SELECT l_orderkey AS okey, l_quantity AS qty,

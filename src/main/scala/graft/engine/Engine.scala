@@ -201,6 +201,7 @@ final class Engine(spark: SparkSession) {
       "broadcast"),
     "union" -> Set("sources", "fill_missing_columns"),
     "cast_columns" -> Set("columns"),
+    "explode_column" -> Set("column", "new_column", "position_column", "keep_empty"),
     "subtract_rows" -> Set("sources", "keys"),
     "intersect_rows" -> Set("sources", "keys"),
     "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
@@ -392,6 +393,11 @@ final class Engine(spark: SparkSession) {
         broadcastSide = Config.str(op, "broadcast"))
       case "union" => Ops.union(df, sourceFrames, Config.bool(op, "fill_missing_columns"))
       case "cast_columns" => Ops.castColumns(df, pairs("columns"))
+      case "explode_column" => Ops.explodeColumn(df,
+        Config.reqStr(op, "column", ctx),
+        Config.str(op, "new_column").getOrElse(""),
+        Config.str(op, "position_column"),
+        Config.bool(op, "keep_empty"))
       case "subtract_rows" => Ops.subtractRows(df, sourceFrames, listOf(op, "keys"))
       case "intersect_rows" => Ops.intersectRows(df, sourceFrames, listOf(op, "keys"))
       case "melt" => Ops.melt(df,

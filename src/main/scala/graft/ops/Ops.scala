@@ -354,6 +354,40 @@ object Ops {
     }
   }
 
+  /** One row per ARRAY element (pandas `explode` over real array columns —
+    * the typed sibling of `flatten`, which handles delimiter-wrapped
+    * strings): the exploded value replaces the array column unless
+    * `newColumn` names a fresh one; `positionColumn` adds the 0-based
+    * element ordinal (posexplode); `keepEmpty` emits a null row for
+    * empty/null arrays (explode_outer) instead of dropping them. Pure
+    * generator in the scan stage — no shuffle at any scale. */
+  def explodeColumn(df: DataFrame, column: String, newColumn: String = "",
+                    positionColumn: Option[String] = None,
+                    keepEmpty: Boolean = false): DataFrame = {
+    if (!df.columns.contains(column)) err("explode_column", s"column `$column` not defined")
+    df.schema(column).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => ()
+      case other => err("explode_column",
+        s"column `$column` must be an array, got ${other.catalogString} " +
+          "(use `flatten` for delimiter-wrapped strings)")
+    }
+    val out = if (newColumn.nonEmpty) newColumn else column
+    val tmp = "__graft_explode__"
+    val gen = (positionColumn, keepEmpty) match {
+      case (Some(p), false) => posexplode(col(column)).as(Seq(p, tmp))
+      case (Some(p), true) => posexplode_outer(col(column)).as(Seq(p, tmp))
+      case (None, false) => explode(col(column)).as(tmp)
+      case (None, true) => explode_outer(col(column)).as(tmp)
+    }
+    // the exploded value (and ordinal) take the consumed column's position
+    // when replacing; with new_column they append after the kept columns
+    val selects: Seq[Column] = df.columns.toSeq.flatMap {
+      case `column` if out == column => Seq(gen)
+      case c => Seq(col(c))
+    } ++ (if (out != column) Seq(gen) else Nil)
+    df.select(selects: _*).withColumnRenamed(tmp, out)
+  }
+
   /** Typed casts for the all-string model's exit ramp: the reference's
     * pipelines stay strings end-to-end, but a parquet/orc/avro destination
     * (or a numeric downstream op) wants real types. ANSI semantics —

@@ -206,6 +206,26 @@ class OpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("[4,16]"))
   }
 
+  test("explodeColumn: element rows, ordinals, outer mode, replace-vs-new, rejects") {
+    val df = Seq((1L, Seq("a", "b"), "x"), (2L, Seq.empty[String], "y"),
+      (3L, Seq("c"), "z")).toDF("id", "arr", "other")
+    // default: exploded value REPLACES the array column; empty arrays drop
+    val repl = Ops.explodeColumn(df, "arr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(repl == Seq((1L, "a", "x"), (1L, "b", "x"), (3L, "c", "z")))
+    // new_column keeps the array; position_column adds 0-based ordinals
+    val pos = Ops.explodeColumn(df, "arr", "w", Some("i"))
+    assert(pos.columns.toSeq == Seq("id", "arr", "other", "i", "w"))
+    assert(pos.filter(col("id") === 1 && col("i") === 1).head.getAs[String]("w") == "b")
+    // keep_empty: the empty-array row survives with a null element
+    val outer = Ops.explodeColumn(df, "arr", keepEmpty = true)
+    assert(outer.count() == 4 && outer.filter(col("id") === 2).head.isNullAt(1))
+    assert(intercept[IllegalArgumentException](
+      Ops.explodeColumn(df, "other")).getMessage.contains("must be an array"))
+    assert(intercept[IllegalArgumentException](
+      Ops.explodeColumn(df, "zz")).getMessage.contains("not defined"))
+  }
+
   test("castColumns: typed exits, ANSI raise on malformed, type/column rejects") {
     val df = Seq(("1", "2.5", "x"), ("2", "7.25", "y")).toDF("a", "b", "c")
     val out = Ops.castColumns(df, Seq("a" -> "bigint", "b" -> "double"))
