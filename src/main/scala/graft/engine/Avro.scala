@@ -165,6 +165,12 @@ object Avro {
       }
       w.close()
     }
+    // overwrite semantics like the spark writers: clear the target first,
+    // or a re-run with FEWER partitions leaves stale part files mixed into
+    // the directory (a silent row-duplication bug on repeated runs)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(sc.hadoopConfiguration)
+    if (dfs.exists(dirPath)) dfs.delete(dirPath, true)
     val rdd = canon.rdd
     // an empty relation optimizes to a ZERO-partition RDD (no task would
     // ever run) — write the header-only part on the driver so the output

@@ -531,6 +531,11 @@ class SourcesSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](
       Avro.write(df, dir.resolve("x").toString, Some("lz77")))
     assert(bad.getMessage.contains("unsupported compression"))
+    // overwrite semantics: re-running with FEWER partitions must not
+    // leave stale parts from the wider first write (silent duplication)
+    Avro.write(df.repartition(3), dir.resolve("rerun").toString)
+    Avro.write(df.repartition(1), dir.resolve("rerun").toString)
+    assert(Avro.readAny(spark, dir.resolve("rerun").toString).count() == 3)
     // empty frame still writes a readable header-only part
     Avro.write(df.filter(col("id") < 0), dir.resolve("empty").toString)
     val e = Avro.readAny(spark, dir.resolve("empty").toString)
