@@ -843,6 +843,27 @@ object SparkEntry {
       Ops.union(c, Seq(sup))
     }),
 
+    // pandas fillna/dropna through the YAML ops over deterministic
+    // synthesized nulls (typed constant replacement; any-null row drops)
+    "q_fill_na" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("value"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(ev, Map("operation" -> "fill_na",
+        "columns" -> Map("value" -> "-1.5")), Map.empty, "gate")
+        .select(col("event_id"), round(col("value"), 4).as("value"))
+    }),
+
+    "q_drop_na" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("value"),
+        when(col("event_id") % 11 === 0, lit(null)).otherwise(col("event_type")).as("event_type"))
+      val e = new graft.engine.Engine(s)
+      e.applyOperation(ev, Map("operation" -> "drop_na",
+        "columns" -> List("value", "event_type")), Map.empty, "gate")
+        .select("event_id", "event_type")
+    }),
+
     // array explode with element ordinals through the YAML op (the typed
     // sibling of flatten): word arrays from the proven split/string_split
     // parity, one row per word with its 0-based position
@@ -2996,6 +3017,16 @@ object SparkEntry {
 
     "q_join_merge_key" ->
       "SELECT c_custkey, c_nationkey AS nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+
+    "q_fill_na" ->
+      """SELECT event_id,
+           round(coalesce(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END,
+                          -1.5), 4) AS value
+         FROM events""",
+
+    "q_drop_na" ->
+      """SELECT event_id, event_type FROM events
+         WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""",
 
     "q_explode_column" ->
       """SELECT doc_id,

@@ -202,6 +202,8 @@ final class Engine(spark: SparkSession) {
     "union" -> Set("sources", "fill_missing_columns"),
     "cast_columns" -> Set("columns"),
     "explode_column" -> Set("column", "new_column", "position_column", "keep_empty"),
+    "fill_na" -> Set("columns"),
+    "drop_na" -> Set("column", "columns", "how"),
     "subtract_rows" -> Set("sources", "keys"),
     "intersect_rows" -> Set("sources", "keys"),
     "debug" -> Set("function", "rows", "transpose", "skip_columns", "keep_columns"),
@@ -393,6 +395,9 @@ final class Engine(spark: SparkSession) {
         broadcastSide = Config.str(op, "broadcast"))
       case "union" => Ops.union(df, sourceFrames, Config.bool(op, "fill_missing_columns"))
       case "cast_columns" => Ops.castColumns(df, pairs("columns"))
+      case "fill_na" => Ops.fillNa(df, pairs("columns"))
+      case "drop_na" => Ops.dropNa(df, colsOf(op),
+        Config.str(op, "how").getOrElse("any"))
       case "explode_column" => Ops.explodeColumn(df,
         Config.reqStr(op, "column", ctx),
         Config.str(op, "new_column").getOrElse(""),

@@ -354,6 +354,29 @@ object Ops {
     }
   }
 
+  /** Constant null replacement (pandas `fillna`): per-column values, each
+    * cast to its column's type (ANSI — a malformed replacement raises at
+    * plan time on literals, never silently nulls back). Narrow projection. */
+  def fillNa(df: DataFrame, values: Seq[(String, String)]): DataFrame = {
+    if (values.isEmpty) err("fill_na", "`columns` must not be empty")
+    values.foldLeft(df) { case (d, (c, v)) =>
+      if (!d.columns.contains(c)) err("fill_na", s"column `$c` not defined")
+      d.withColumn(c, coalesce(col(c), lit(v).cast(d.schema(c).dataType)))
+    }
+  }
+
+  /** Drop rows with nulls (pandas `dropna`): `how = any` drops a row when
+    * ANY of the named columns (default: all columns) is null; `how = all`
+    * only when EVERY one is. Narrow filter, no shuffle. */
+  def dropNa(df: DataFrame, columns: Seq[String], how: String = "any"): DataFrame = {
+    if (!Seq("any", "all").contains(how))
+      err("drop_na", s"`how` must be any/all, not `$how`")
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    cols.foreach(c => if (!df.columns.contains(c)) err("drop_na", s"column `$c` not defined"))
+    val conds = cols.map(col(_).isNotNull)
+    df.filter(if (how == "any") conds.reduce(_ && _) else conds.reduce(_ || _))
+  }
+
   /** One row per ARRAY element (pandas `explode` over real array columns —
     * the typed sibling of `flatten`, which handles delimiter-wrapped
     * strings): the exploded value replaces the array column unless

@@ -206,6 +206,31 @@ class OpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("[4,16]"))
   }
 
+  test("fillNa/dropNa: typed constant fills, any/all drop semantics, rejects") {
+    val df = Seq((1L, Some(2.5), Some("a")), (2L, None, Some("b")),
+      (3L, Some(4.0), None), (4L, None, None))
+      .map { case (i, v, s) => (i, v.map(Double.box).orNull, s.orNull) }
+      .toDF("id", "v", "s")
+    val filled = Ops.fillNa(df, Seq("v" -> "-1", "s" -> "none"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    assert(filled == Seq((1L, 2.5, "a"), (2L, -1.0, "b"), (3L, 4.0, "none"), (4L, -1.0, "none")))
+    assert(Ops.fillNa(df, Seq("v" -> "-1")).schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType) // typed, not stringified
+    // any over [v, s]: only the fully non-null row survives
+    assert(Ops.dropNa(df, Seq("v", "s")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // all: only the all-null row drops
+    assert(Ops.dropNa(df, Seq("v", "s"), how = "all")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // default column set = every column (id never null -> any keeps row 1)
+    assert(Ops.dropNa(df, Nil).count() == 1)
+    assert(intercept[IllegalArgumentException](
+      Ops.dropNa(df, Seq("v"), how = "some")).getMessage.contains("any/all"))
+    assert(intercept[IllegalArgumentException](
+      Ops.fillNa(df, Nil)).getMessage.contains("must not be empty"))
+    assert(intercept[IllegalArgumentException](
+      Ops.fillNa(df, Seq("zz" -> "0"))).getMessage.contains("not defined"))
+  }
+
   test("explodeColumn: element rows, ordinals, outer mode, replace-vs-new, rejects") {
     val df = Seq((1L, Seq("a", "b"), "x"), (2L, Seq.empty[String], "y"),
       (3L, Seq("c"), "z")).toDF("id", "arr", "other")
