@@ -90,7 +90,11 @@ object Avro {
         case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
         case DateType => datediff(c, to_date(lit("1970-01-01")))
         case _: DecimalType => c.cast("string")
-        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+        // Short/Byte must be widened: Avro union resolution only recognizes
+        // java.lang.Integer for an "int" branch, so an uncast Short/Byte in
+        // a ["null","int"] union throws "Unknown datum type" at write time.
+        case ShortType | ByteType => c.cast("int")
+        case LongType | IntegerType | DoubleType |
              FloatType | BooleanType | StringType | BinaryType => c
         case _: ArrayType | _: MapType | _: StructType => to_json(c)
         case _ => c.cast("string")

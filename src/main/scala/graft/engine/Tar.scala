@@ -375,6 +375,16 @@ object Tar {
       .map(e => (e.getKey, e.getValue)).toArray
     val bconf = sc.broadcast(confSnapshot)
     val suffix = if (gzip) ".tar.gz" else ".tar"
+    // Overwrite semantics: a re-run with FEWER partitions must not leave
+    // stale shard-NNNNN files from a wider prior run behind — the tar
+    // source reads every file in the directory, so leftovers silently
+    // duplicate rows (same failure mode the Avro sink fixed in 8843c6b).
+    locally {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(dirPath)) fs.delete(dirPath, true)
+      fs.mkdirs(dirPath)
+    }
     df.select(col("key").cast("string"), col("ext").cast("string"), col("content"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {

@@ -144,7 +144,13 @@ object Sketches {
   }
 
   private def fracName(f: Double): String =
-    "q" + BigDecimal(f).bigDecimal.stripTrailingZeros.toPlainString.replace("0.", "").replace(".", "_")
+    // Whole-number fractions must not collide with their decimal twins:
+    // stripTrailingZeros renders both 1.0 and 0.1 as "q1", so sketch_quantile
+    // with [0.1, 1.0] would silently overwrite p10 with the max. Whole
+    // fractions render as percentages (1.0 -> q100) which cannot collide
+    // with the "0."-stripped decimal forms (those never start with "0").
+    if (f >= 1.0 && f == math.floor(f)) "q" + (f * 100).toLong
+    else "q" + BigDecimal(f).bigDecimal.stripTrailingZeros.toPlainString.replace("0.", "").replace(".", "_")
 
   /** Per-group quantiles from a log-histogram sketch over a non-negative
     * integral column. Emits one `q<frac>` column per fraction (q5 for 0.5,
@@ -217,6 +223,10 @@ object Sketches {
 
   private def finishQuantiles(agg: DataFrame, fractions: Seq[Double],
                               sketchCol: Option[String]): DataFrame = {
+    val names = fractions.map(fracName)
+    require(names.distinct.size == names.size,
+      s"sketch_quantile: fractions ${fractions.mkString("[", ", ", "]")} generate " +
+        s"duplicate column names ${names.mkString("[", ", ", "]")}")
     val withQs = fractions.foldLeft(agg) { (acc, f) =>
       acc.withColumn(fracName(f), call_function("qhist_quantile", col("__sk__"), lit(f)))
     }

@@ -531,6 +531,15 @@ class SourcesSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](
       Avro.write(df, dir.resolve("x").toString, Some("lz77")))
     assert(bad.getMessage.contains("unsupported compression"))
+    // Short/Byte columns widen to int before union resolution — Avro's
+    // resolveUnion only recognizes Integer, so an uncast non-null Short in
+    // a ["null","int"] union throws "Unknown datum type" at write time
+    val narrow = Seq((1L, "4", "7"), (2L, null, null)).toDF("id", "s", "b")
+      .select(col("id"), col("s").cast("smallint").as("s"), col("b").cast("tinyint").as("b"))
+    Avro.write(narrow, dir.resolve("narrow").toString)
+    val nb = Avro.readAny(spark, dir.resolve("narrow").toString)
+      .orderBy(col("id").cast("long")).collect().map(r => (r.getString(1), r.getString(2))).toList
+    assert(nb == List(("4", "7"), ("", "")))
     // overwrite semantics: re-running with FEWER partitions must not
     // leave stale parts from the wider first write (silent duplication)
     Avro.write(df.repartition(3), dir.resolve("rerun").toString)

@@ -165,6 +165,19 @@ class TarSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("missing columns"), e.getMessage)
   }
 
+  test("writeShards: overwrite clears stale shards from a wider prior run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-ow")
+    val df = (0L until 40L).map(i => (s"k$i", "txt", s"p$i".getBytes("UTF-8")))
+      .toDF("key", "ext", "content")
+    Tar.writeShards(df.repartition(6), s"$dir/t") // wide first run
+    Tar.writeShards(df.repartition(2), s"$dir/t") // narrower re-run
+    val back = Sources.read(spark, "ow",
+      Map("file" -> s"$dir/t/shard-*", "type" -> "tar"), dir)
+    assert(back.count() == 40, "stale shard-00002..5 files must not survive the re-run")
+    assert(back.select("shard").distinct().count() == 2)
+  }
+
   test("corrupt shard rejects with the shard path in the message") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards-bad")
     java.nio.file.Files.write(dir.resolve("bad.tar"), ("x" * 2000).getBytes)

@@ -452,6 +452,22 @@ class SketchesSpec extends SparkSpec {
     assert(totals() === t1)
   }
 
+  test("quantileSketch: whole-number fractions do not collide with decimal twins") {
+    import spark.implicits._
+    val df = (1 to 64).map(v => ("g", v.toLong)).toDF("g", "v")
+    // 1.0 and 0.1 both rendered "q1" before the fix (stripTrailingZeros of
+    // 1.0 is "1"), so the max silently replaced the p10 column
+    val out = Sketches.quantileSketch(df, Seq("g"), "v", Seq(0.1, 1.0))
+    assert(out.columns.toSeq == Seq("g", "q1", "q100"))
+    val r = out.collect().head
+    val (p10, max) = (r.getLong(1), r.getLong(2))
+    assert(p10 < max, s"p10 bucket bound $p10 must sit below the max bound $max")
+    // literal duplicate fractions reject instead of silently overwriting
+    val e = intercept[IllegalArgumentException](
+      Sketches.quantileSketch(df, Seq("g"), "v", Seq(0.5, 0.5)).collect())
+    assert(e.getMessage.contains("duplicate column names"), e.getMessage)
+  }
+
   test("quantileFilter: per-group threshold cut, modes, global face, rejects") {
     import spark.implicits._
     // two groups with disjoint ranges: thresholds must be per-group
