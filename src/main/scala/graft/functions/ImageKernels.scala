@@ -443,7 +443,7 @@ object ImageKernels {
         case ("gif", _, _, _) => decodeGif(b)
         case ("jpeg", _, _, _) => Jpeg.decode(b)
         case ("tiff", _, _, _) => decodeTiff(b)
-        case ("webp", _, _, _) => Webp.decodeGray(b) // VP8L; lossy VP8 stays meta-only
+        case ("webp", _, _, _) => Webp.decodeGray(b) // VP8L lossless or VP8 lossy
         case null => return null
         case _ => null
       }

@@ -20,9 +20,10 @@ package graft.functions
  *    test suite), since the JDK has no WebP ImageIO plugin to diff
  *    against.
  *
- * VP8 (lossy) stays metadata-only by design — like MP3, a lossy decode
- * is not bit-portable across implementations, so signatures over it
- * would not be stable; VP8L is integer-exact end to end.
+ * Lossy VP8 stills decode through [[Vp8]] (RFC 6386 is exact-integer
+ * end to end, same as VP8L, so lossy decode IS bit-portable across
+ * implementations — Vp8Spec proves plane-equality against libwebp);
+ * [[decodeGray]] dispatches to whichever chunk the container carries.
  *
  * Everything is integer arithmetic; decode of a given byte array is
  * bit-identical on any JVM, so pHash-family signatures over WebP
@@ -561,6 +562,24 @@ object Webp {
       decodeImageStream(r, w, h, level0 = true).map(p => (p >> 8) & 0xFF)
     } catch { case _: Exception => null }
 
+  /** Find the lossy `VP8 ` chunk in a WebP RIFF container (bare or
+    * VP8X-wrapped); returns (offset, length) of the frame, or null. */
+  private def findVp8(b: Array[Byte]): (Int, Int) = {
+    if (b == null || b.length < 20) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
+    var p = 12
+    while (p + 8 <= b.length) {
+      val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+        ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+      if (size < 0 || p + 8 + size > b.length) return null
+      if (tag == "VP8 ") return (p + 8, size)
+      p += 8 + size + (size & 1)
+    }
+    null
+  }
+
   /** Find the VP8L chunk in a WebP RIFF container (bare or VP8X-wrapped);
     * returns the offset of the 0x2F signature byte, or -1. */
   private def findVp8l(b: Array[Byte]): Int = {
@@ -579,14 +598,17 @@ object Webp {
     -1
   }
 
-  /** Grayscale decode of a lossless WebP, [[ImageKernels.decodeGray]]
-    * contract (integer BT.601 luma, alpha ignored); null when the file
-    * is not a decodable VP8L still (VP8 lossy stays metadata-only). */
+  /** Grayscale decode of a WebP still, [[ImageKernels.decodeGray]]
+    * contract. Lossless (VP8L) maps ARGB through integer BT.601 luma;
+    * lossy (VP8) returns the keyframe's Y plane directly — it already IS
+    * the luma (studio-swing scaling, which pHash-family signatures are
+    * invariant to: an affine map of every pixel shifts all DCT
+    * coefficients and their median together, leaving the sign bits
+    * unchanged). Null when neither still form decodes. */
   private[functions] def decodeGray(b: Array[Byte]): Gray =
     try {
       val off = findVp8l(b)
-      if (off < 0) null
-      else {
+      if (off >= 0) {
         val (w, h, px) = decodeVp8l(b, off)
         val out = new Array[Int](w * h)
         var i = 0
@@ -597,6 +619,20 @@ object Webp {
           i += 1
         }
         Gray(w, h, out)
+      } else {
+        val lossy = findVp8(b)
+        if (lossy == null) null
+        else {
+          val pl = Vp8.decode(b, lossy._1, lossy._2)
+          val out = new Array[Int](pl.w * pl.h)
+          var yy = 0
+          while (yy < pl.h) {
+            var xx = 0
+            while (xx < pl.w) { out(yy * pl.w + xx) = pl.yAt(xx, yy); xx += 1 }
+            yy += 1
+          }
+          Gray(pl.w, pl.h, out)
+        }
       }
     } catch { case _: Exception => null }
 

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Cross-implementation validation of the lossy-VP8 decoder: every fixture
+ * under src/test/resources/vp8 was ENCODED by the system libwebp and its
+ * ground-truth Y/U/V planes DUMPED by the same libwebp (default decode and
+ * bypass_filtering — see tools/gen_vp8_fixtures.py), so a bit-exact plane
+ * match proves our RFC 6386 reconstruction and loop filter against the
+ * reference implementation, not against ourselves. This is the same
+ * validation standard WebpSpec applies to VP8L.
+ */
+class Vp8Spec extends AnyFunSuite {
+
+  private def res(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/vp8/" + name)
+    assert(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def vp8Chunk(webp: Array[Byte]): (Int, Int) = {
+    var p = 12
+    while (p + 8 <= webp.length) {
+      val tag = new String(webp, p, 4, "US-ASCII")
+      val size = (webp(p + 4) & 0xFF) | ((webp(p + 5) & 0xFF) << 8) |
+        ((webp(p + 6) & 0xFF) << 16) | ((webp(p + 7) & 0xFF) << 24)
+      if (tag == "VP8 ") return (p + 8, size)
+      p += 8 + size + (size & 1)
+    }
+    fail("no VP8 chunk")
+  }
+
+  /** Compare one decoded plane against the packed ground truth; on
+    * mismatch report position + a window so decode bugs localize. */
+  private def comparePlane(label: String, name: String, pw: Int, ph: Int,
+                           truth: Array[Byte], tOff: Int,
+                           get: (Int, Int) => Int): Unit = {
+    var mismatches = 0
+    var firstX = -1; var firstY = -1
+    var yy = 0
+    while (yy < ph) {
+      var xx = 0
+      while (xx < pw) {
+        if (get(xx, yy) != (truth(tOff + yy * pw + xx) & 0xFF)) {
+          if (mismatches == 0) { firstX = xx; firstY = yy }
+          mismatches += 1
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    if (mismatches > 0) {
+      val row = (0 until math.min(pw, 16)).map(x => get(x, firstY)).mkString(",")
+      val exp = (0 until math.min(pw, 16))
+        .map(x => truth(tOff + firstY * pw + x) & 0xFF).mkString(",")
+      fail(s"$name $label: $mismatches/${pw * ph} bytes differ, first at " +
+        s"($firstX,$firstY) mb(${firstX / 16},${firstY / 16})\n got=$row\n exp=$exp")
+    }
+  }
+
+  private def check(name: String, w: Int, h: Int, filtered: Boolean): Unit = {
+    val webp = res(s"$name.webp")
+    val truth = res(if (filtered) s"$name.yuv" else s"$name.nf.yuv")
+    val (o, l) = vp8Chunk(webp)
+    val pl = Vp8.decode(webp, o, l, filter = filtered)
+    assert(pl.w == w && pl.h == h, s"$name: dims ${pl.w}x${pl.h} != ${w}x$h")
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    assert(truth.length == w * h + 2 * cw * ch, s"$name: truth size")
+    comparePlane("Y", name, w, h, truth, 0, pl.yAt)
+    comparePlane("U", name, cw, ch, truth, w * h, pl.uAt)
+    comparePlane("V", name, cw, ch, truth, w * h + cw * ch, pl.vAt)
+  }
+
+  private val fixtures = Seq(
+    ("grad16", 16, 16), ("blocks48x32", 48, 32), ("photo128x80", 128, 80),
+    ("tiny37x21", 37, 21), ("noise64x64", 64, 64), ("flat33x17", 33, 17),
+    // advanced-encoder fixtures: segmentation, simple filter, 4 token
+    // partitions, sharpness-limited filtering, autofilter at size
+    ("seg96x64", 96, 64), ("simple80x48", 80, 48), ("parts160x96", 160, 96),
+    ("sharp64x48", 64, 48), ("auto320x208", 320, 208))
+
+  for ((name, w, h) <- fixtures) {
+    test(s"$name: reconstruction matches libwebp bypass_filtering bit-exactly") {
+      check(name, w, h, filtered = false)
+    }
+    test(s"$name: full decode (loop filter) matches libwebp bit-exactly") {
+      check(name, w, h, filtered = true)
+    }
+  }
+
+  test("decodeGray dispatches lossy stills; hostile truncations reject, not crash") {
+    val webp = res("photo128x80.webp")
+    val g = ImageKernels.decodeGrayPublic(webp)
+    assert(g != null && g.w == 128 && g.h == 80)
+    // luma IS the Y plane
+    val (o, l) = vp8Chunk(webp)
+    val pl = Vp8.decode(webp, o, l)
+    assert(g.px(5 * 128 + 7) == pl.yAt(7, 5))
+    // truncations at every interesting boundary return null (no throw, no
+    // wild allocation) through the decodeGray face
+    for (cut <- Seq(4, 12, 20, 21, 30, webp.length / 2, webp.length - 3)) {
+      assert(ImageKernels.decodeGrayPublic(java.util.Arrays.copyOf(webp, cut)) == null,
+        s"cut=$cut must fail gracefully")
+    }
+    // flipped header bits reject diagnosably via Vp8.decode
+    val bad = webp.clone()
+    bad(o) = (bad(o) | 1).toByte // interframe bit
+    val e = intercept[IllegalArgumentException](Vp8.decode(bad, o, l))
+    assert(e.getMessage.contains("keyframe"))
+  }
+}
