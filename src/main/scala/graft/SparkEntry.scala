@@ -1980,6 +1980,34 @@ object SparkEntry {
         "image_phash(g4) = image_phash(raw) AS g4_exact")
     }),
 
+    // lossy VP8 through the perceptual-hash tier: six real libwebp-encoded
+    // stills (3 patterns x 2 qualities, tools/Vp8GateFixtures) fan out over
+    // 300 rows; every executor must produce the IDENTICAL pHash per fixture
+    // (n_hashes=1 — RFC 6386 exact-integer decode is what makes lossy WebP
+    // signatures cluster-stable), quality twins must hash strictly closer
+    // than any cross-pattern pair; hash values pinned in the oracle
+    "q_image_vp8" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300).as[Long]
+        .mapPartitions(_.map(id =>
+          (id % 6, graft.tools.Vp8GateFixtures.fixture((id % 6).toInt))))
+        .toDF("fixture_id", "content")
+      val h = media
+        .groupBy("fixture_id")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(expr("image_phash(content)")).as("n_hashes"),
+          min(expr("image_phash(content)")).as("phash"))
+      val twin = h.select(col("fixture_id").as("tid"), col("phash").as("tph"))
+      val cross = h.select(col("fixture_id").as("cid"), col("phash").as("cph"))
+      h.join(twin, col("fixture_id").bitwiseXOR(lit(1)) === col("tid"))
+        .withColumn("twin_dist", expr("bit_count(phash ^ tph)"))
+        .join(cross, expr("fixture_id div 2 != cid div 2"))
+        .groupBy("fixture_id", "n_rows", "n_hashes", "phash", "twin_dist")
+        .agg(min(expr("bit_count(phash ^ cph)")).as("min_cross"))
+    }),
+
     // WAV metadata through the audio_meta YAML op: id-derived rate/length
     // fixtures (tools/GenMedia), native RIFF/WAVE header parse, closed-form
     // oracle
@@ -4411,6 +4439,26 @@ object SparkEntry {
       """SELECT doc_id AS media_id, true AS mh_exact, true AS g3_exact,
            true AS g4_exact
          FROM documents WHERE doc_id < 200""",
+
+    // pinned pHashes of the six embedded libwebp VP8 stills (values fixed
+    // by RFC 6386 exact-integer reconstruction; any decoder regression
+    // flips them), plus the near-dup structure: quality twins close,
+    // cross-pattern pairs far, one distinct hash per fixture across all
+    // executors
+    "q_image_vp8" ->
+      """SELECT v.fixture_id, c.n_rows, 1::BIGINT AS n_hashes, v.phash,
+           v.twin_dist, v.min_cross
+         FROM (VALUES
+            (0, 978614960240395263::BIGINT, 14::INTEGER, 34::INTEGER),
+            (1, 871029880045372415::BIGINT, 14::INTEGER, 34::INTEGER),
+            (2, 4267935616904387893::BIGINT, 0::INTEGER, 28::INTEGER),
+            (3, 4267935616904387893::BIGINT, 0::INTEGER, 28::INTEGER),
+            (4, -7049966899837156847::BIGINT, 22::INTEGER, 28::INTEGER),
+            (5, -504973865726670767::BIGINT, 22::INTEGER, 28::INTEGER))
+           v(fixture_id, phash, twin_dist, min_cross)
+         JOIN (SELECT doc_id % 6 AS fixture_id, count(*)::BIGINT AS n_rows
+               FROM documents WHERE doc_id < 300 GROUP BY 1) c
+           USING (fixture_id)""",
 
     "q_audio_meta" ->
       """WITH p AS (
