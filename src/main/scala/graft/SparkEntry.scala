@@ -2091,6 +2091,32 @@ object SparkEntry {
           "video_duration_ms")
     }),
 
+    // REAL frame content from video containers: 4 id-derived JPEG frames
+    // packaged as MJPEG AVI (even ids) / JPEG-sample MP4 with 2-sample
+    // stsc chunks (odd ids); the video_frames op explodes them back out
+    // and every frame must round-trip BYTE-identical to the bare JPEG the
+    // oracle construction regenerates — and hash-identical through the
+    // image tier, which is what gives video content signatures for dedup
+    "q_video_frames" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+      val media = ids
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.videoFramesFixture(id))))
+        .toDF("media_id", "content")
+      val frames = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_frames", "column" -> "content",
+          "max_frames" -> 4), Map.empty, "gate")
+      val expected = ids.flatMap(id => (0 until 4).map(k =>
+        (id, k, graft.tools.GenMedia.videoFrameJpeg(id, k))))
+        .toDF("media_id", "frame_index", "bare")
+      frames.join(expected, Seq("media_id", "frame_index"))
+        .selectExpr("media_id", "frame_index",
+          "frame = bare AS byte_exact",
+          "image_phash(frame) = image_phash(bare) AS phash_exact")
+    }),
+
     // ================================================ corpus cleaning ops
     // PII redaction over text with synthesized email/IP/phone per row (the
     // raw corpus contains none — the construction makes the regexes fire)
@@ -4536,6 +4562,14 @@ object SparkEntry {
            (CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id % 97) * 250
                  ELSE 40 * (25 + doc_id % 100) END)::BIGINT AS video_duration_ms
          FROM documents""",
+
+    // every sampled frame must come back byte- and hash-identical to the
+    // bare JPEG it was packaged from
+    "q_video_frames" ->
+      """SELECT doc_id AS media_id, k AS frame_index, true AS byte_exact,
+           true AS phash_exact
+         FROM documents, unnest(generate_series(0, 3)) AS u(k)
+         WHERE doc_id < 200""",
 
     "q_render_template" ->
       """SELECT n_nationkey, '{"name": "' || n_name || '", "region": ' || n_regionkey || '}' AS rendered FROM nation""",

@@ -233,6 +233,7 @@ final class Engine(spark: SparkSession) {
     "decode_text" -> Set("column", "new_column", "charset", "charset_column"),
     "audio_features" -> Set("column", "prefix"),
     "video_meta" -> Set("column", "prefix"),
+    "video_frames" -> Set("column", "max_frames", "frame_column", "index_column"),
     "image_hash" -> Set("column", "kind", "new_column"),
     "image_dedup" -> Set("id_column", "column", "max_hamming"),
     "bpe_token_count" -> Set("column", "new_column", "num_merges",
@@ -665,6 +666,21 @@ final class Engine(spark: SparkSession) {
         appendStructFields(df, Config.reqStr(op, "column", ctx), "video_meta",
           Config.str(op, "prefix").getOrElse("video_"),
           Seq("format", "width", "height", "duration_ms"))
+      case "video_frames" =>
+        // one row per sampled JPEG frame (narrow explode, no shuffle);
+        // rows without extractable frames drop — the frames then feed the
+        // image tier (image_phash / image_dedup / image_thumbnail) as-is
+        graft.expressions.GraftFunctions.register(df.sparkSession)
+        val c = Config.reqStr(op, "column", ctx)
+        val maxF = Config.int(op, "max_frames").getOrElse(8)
+        require(maxF > 0 && maxF <= 256, s"$ctx: max_frames must be 1..256")
+        val frameCol = Config.str(op, "frame_column").getOrElse("frame")
+        val idxCol = Config.str(op, "index_column").getOrElse("frame_index")
+        import org.apache.spark.sql.functions.{call_function, col, lit, posexplode}
+        df.select(df.columns.map(col).toIndexedSeq :+
+          posexplode(call_function("video_frames", col(c), lit(maxF)))
+            .as(Seq(idxCol, frameCol)): _*)
+          .drop(c)
       case "audio_fingerprint" =>
         graft.expressions.GraftFunctions.register(df.sparkSession)
         df.withColumn(Config.str(op, "new_column").getOrElse("audio_fp"),

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 
 /**
@@ -176,4 +176,39 @@ case class VideoMeta(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): VideoMeta =
     copy(child = newChild)
+}
+
+/** array<binary> of up to `maxFrames` evenly-sampled JPEG frames from an
+  * MJPEG AVI or a JPEG-sample MP4 — each element is a complete T.81 stream
+  * the image tier (image_phash / image_dedup / thumbnails) consumes
+  * directly, which is what gives video content signatures. Empty array
+  * for non-video or hostile input (never throws). */
+case class VideoFrames(child: Expression, maxFrames: Expression)
+  extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = maxFrames
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"video_frames requires a binary argument, got ${child.dataType.catalogString}")
+    else if (maxFrames.dataType != IntegerType || !maxFrames.foldable)
+      TypeCheckResult.TypeCheckFailure("video_frames max must be an int literal")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "video_frames"
+
+  override protected def nullSafeEval(input: Any, max: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.functions.MediaKernels.videoFrames(
+        input.asInstanceOf[Array[Byte]], max.asInstanceOf[Int])
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, m) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.MediaKernels.videoFrames($c, $m));""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VideoFrames =
+    copy(child = newLeft, maxFrames = newRight)
 }

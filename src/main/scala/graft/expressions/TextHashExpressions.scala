@@ -248,6 +248,15 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"video_meta takes 1 argument, got ${other.size}")
       }),
+    ("video_frames",
+      "_FUNC_(binary[, max]) - array<binary> of up to max (default 8) evenly-sampled JPEG frames from MJPEG AVI / JPEG-sample MP4",
+      {
+        case Seq(b) => VideoFrames(b,
+          org.apache.spark.sql.catalyst.expressions.Literal(8))
+        case Seq(b, m) => VideoFrames(b, m)
+        case other => throw new IllegalArgumentException(
+          s"video_frames takes 1-2 arguments, got ${other.size}")
+      }),
     ("audio_fingerprint",
       "_FUNC_(binary) - 63-bit energy-delta audio fingerprint (NULL if undecodable)",
       {

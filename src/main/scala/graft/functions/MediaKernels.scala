@@ -434,4 +434,254 @@ object MediaKernels {
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ moov
   }
+
+  // ------------------------------------------------- frame extraction
+
+  /** Sampled frame extraction: up to `max` evenly-spaced JPEG frames as
+    * raw byte payloads — MJPEG-in-AVI (`00dc`/`00db` chunks inside the
+    * `movi` list) and JPEG-sample MP4s (`stsd` entry `jpeg`/`mjpa` walked
+    * through stsz/stsc/stco) are plain T.81 streams the native [[Jpeg]]
+    * decoder already handles, which is what lets video compose with the
+    * image pHash/dedup tier. Non-video or frameless input -> empty array;
+    * never throws on hostile bytes (bounds-checked walks, no allocation
+    * from untrusted length fields beyond the input's own size). */
+  def videoFrames(b: Array[Byte], max: Int): Array[Array[Byte]] = {
+    if (b == null || max <= 0) return Array.empty
+    val all =
+      try {
+        val avi = aviFrames(b)
+        if (avi != null) avi else {
+          val mp4 = mp4Frames(b)
+          if (mp4 != null) mp4 else Array.empty[Array[Byte]]
+        }
+      } catch { case _: Exception => Array.empty[Array[Byte]] }
+    sampleEven(all, math.min(max, 256))
+  }
+
+  /** Evenly-spaced deterministic sampling: all frames when they fit,
+    * indices floor(i*n/max) otherwise. */
+  private def sampleEven(frames: Array[Array[Byte]], max: Int): Array[Array[Byte]] =
+    if (frames.length <= max) frames
+    else Array.tabulate(max)(i => frames((i.toLong * frames.length / max).toInt))
+
+  /** AVI `movi` chunk walk: stream-data chunks `NNdc`/`NNdb` whose payload
+    * opens with a JPEG SOI are frames (MJPEG stores one complete JPEG per
+    * chunk). `rec ` LISTs nest one level of grouping. */
+  private def aviFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b.length < 24 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameTag(p: Int): Boolean =
+      b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9' &&
+        b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val len = le32(b, p + 4).toInt
+        val d = p + 8
+        if (len < 0 || d + len > end) return
+        if (b(p) == 'L' && b(p + 1) == 'I' && b(p + 2) == 'S' && b(p + 3) == 'T' && len >= 4) {
+          val kind = new String(b, d, 4, "US-ASCII")
+          walk(d + 4, d + len, inMovi || kind == "movi")
+        } else if (inMovi && isFrameTag(p) && len >= 3 &&
+          (b(d) & 0xFF) == 0xFF && (b(d + 1) & 0xFF) == 0xD8) {
+          out += java.util.Arrays.copyOfRange(b, d, d + len)
+        }
+        p = d + len + (len & 1)
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    out.toArray
+  }
+
+  /** ISO BMFF sample walk for JPEG-coded video tracks: locate the first
+    * trak whose stsd entry format is `jpeg`/`mjpa`/`mjpb`, then resolve
+    * every sample's file offset through stsc (sample-to-chunk runs), stco/
+    * co64 (chunk offsets) and stsz (sample sizes). */
+  private def mp4Frames(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b.length < 16 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
+    var sizes: Array[Int] = null
+    var chunkOffsets: Array[Long] = null
+    var stsc: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+    var isJpeg = false
+    var done = false
+    def walk(start: Int, end: Int, inTrak: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end && !done) {
+        var size = be32(b, p)
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        var hdr = 8
+        if (size == 1 && p + 16 <= end) {
+          size = (be32(b, p + 8) << 32) | be32(b, p + 12); hdr = 16
+        } else if (size == 0) size = end - p
+        if (size < hdr || p + size > end) return
+        val d = p + hdr
+        val e = p + size.toInt
+        typ match {
+          case "moov" => walk(d, e, inTrak)
+          case "trak" =>
+            // reset per-track state; keep only the first jpeg track
+            val (s0, c0, sc0, j0) = (sizes, chunkOffsets, stsc, isJpeg)
+            sizes = null; chunkOffsets = null; stsc = null; isJpeg = false
+            walk(d, e, inTrak = true)
+            if (isJpeg && sizes != null && chunkOffsets != null && stsc != null) done = true
+            else { sizes = s0; chunkOffsets = c0; stsc = sc0; isJpeg = j0 }
+          case "mdia" | "minf" | "stbl" if inTrak => walk(d, e, inTrak)
+          case "stsd" if inTrak && size >= hdr + 16 =>
+            val fmt = new String(b, d + 8 + 4, 4, "US-ASCII")
+            isJpeg = fmt == "jpeg" || fmt == "mjpa" || fmt == "mjpb"
+          case "stsz" if inTrak && size >= hdr + 12 =>
+            val fixed = be32(b, d + 4).toInt
+            val n = be32(b, d + 8).toInt
+            if (n >= 0 && n <= (1 << 20)) {
+              if (fixed != 0) sizes = Array.fill(n)(fixed)
+              else if (d + 12 + 4L * n <= e)
+                sizes = Array.tabulate(n)(i => be32(b, d + 12 + 4 * i).toInt)
+            }
+          case "stco" if inTrak && size >= hdr + 8 =>
+            val n = be32(b, d + 4).toInt
+            if (n >= 0 && n <= (1 << 20) && d + 8 + 4L * n <= e)
+              chunkOffsets = Array.tabulate(n)(i => be32(b, d + 8 + 4 * i))
+          case "co64" if inTrak && size >= hdr + 8 =>
+            val n = be32(b, d + 4).toInt
+            if (n >= 0 && n <= (1 << 20) && d + 8 + 8L * n <= e)
+              chunkOffsets = Array.tabulate(n)(i =>
+                (be32(b, d + 8 + 8 * i) << 32) | be32(b, d + 12 + 8 * i))
+          case "stsc" if inTrak && size >= hdr + 8 =>
+            val n = be32(b, d + 4).toInt
+            if (n >= 0 && n <= (1 << 16) && d + 8 + 12L * n <= e)
+              stsc = Array.tabulate(n)(i =>
+                (be32(b, d + 8 + 12 * i).toInt, be32(b, d + 12 + 12 * i).toInt))
+          case _ => ()
+        }
+        p = e
+      }
+    }
+    walk(0, b.length, inTrak = false)
+    if (!done) return Array.empty
+    // expand stsc runs into a per-chunk sample count, then slice samples
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var sample = 0
+    var ci = 0
+    while (ci < chunkOffsets.length && sample < sizes.length) {
+      var run = 0
+      while (run + 1 < stsc.length && stsc(run + 1)._1 <= ci + 1) run += 1
+      val perChunk = stsc(run)._2
+      var off = chunkOffsets(ci)
+      var k = 0
+      while (k < perChunk && sample < sizes.length) {
+        val sz = sizes(sample)
+        if (sz >= 3 && off >= 0 && off + sz <= b.length &&
+          (b(off.toInt) & 0xFF) == 0xFF && (b(off.toInt + 1) & 0xFF) == 0xD8)
+          out += java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+        off += sz
+        sample += 1
+        k += 1
+      }
+      ci += 1
+    }
+    out.toArray
+  }
+
+  /** MJPEG AVI writer for fixtures/tests: full RIFF with hdrl (avih +
+    * strl/strh/strf) and a movi list carrying one `00dc` JPEG per frame. */
+  def encodeMjpegAvi(width: Int, height: Int, usPerFrame: Long,
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write(v.toInt & 0xFF); bos.write((v >> 8).toInt & 0xFF)
+      bos.write((v >> 16).toInt & 0xFF); bos.write((v >> 24).toInt & 0xFF)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def chunk(t: String, body: Array[Byte]): Unit = {
+      tag(t); w32(body.length); bos.write(body)
+      if ((body.length & 1) == 1) bos.write(0)
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("LIST".getBytes("US-ASCII"))
+      val n = 4 + body.length
+      o.write(n & 0xFF); o.write((n >> 8) & 0xFF); o.write((n >> 16) & 0xFF); o.write((n >> 24) & 0xFF)
+      o.write(kind.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    def le(buf: Array[Byte], p: Int, v: Long): Unit = {
+      buf(p) = v.toByte; buf(p + 1) = (v >> 8).toByte
+      buf(p + 2) = (v >> 16).toByte; buf(p + 3) = (v >> 24).toByte
+    }
+    val avih = new Array[Byte](56)
+    le(avih, 0, usPerFrame); le(avih, 16, frames.length.toLong)
+    le(avih, 24, 1) // one stream
+    le(avih, 32, width.toLong); le(avih, 36, height.toLong)
+    val strh = new Array[Byte](56)
+    "vids".getBytes("US-ASCII").copyToArray(strh, 0)
+    "MJPG".getBytes("US-ASCII").copyToArray(strh, 4)
+    le(strh, 20, usPerFrame); le(strh, 24, 1000000L) // rate scale/rate
+    le(strh, 32, frames.length.toLong)
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER
+    le(strf, 0, 40); le(strf, 4, width.toLong); le(strf, 8, height.toLong)
+    strf(12) = 1; le(strf, 14, 24L << 16) // planes=1, bits=24 (packed odd, fine for fixture)
+    "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
+    def bare(t: String, body: Array[Byte]): Array[Byte] = {
+      val o = new Array[Byte](8 + body.length + (body.length & 1))
+      t.getBytes("US-ASCII").copyToArray(o, 0)
+      le(o, 4, body.length.toLong)
+      body.copyToArray(o, 8)
+      o
+    }
+    val hdrl = list("hdrl", bare("avih", avih) ++ list("strl",
+      bare("strh", strh) ++ bare("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => bare("00dc", f)))
+    tag("RIFF"); w32(4 + hdrl.length + movi.length); tag("AVI ")
+    bos.write(hdrl); bos.write(movi)
+    bos.toByteArray
+  }
+
+  /** JPEG-sample MP4 writer for fixtures/tests: ftyp + mdat(frames) +
+    * moov with a full stbl (stsd `jpeg`, stts, stsc in 2-sample chunks to
+    * exercise run mapping, stsz, stco). */
+  def encodeJpegMp4(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mdatPayload = frames.toArray.flatten
+    val mdatOff = ftyp.length.toLong + 8 // file offset of the first sample
+    val mdat = box("mdat", mdatPayload)
+    // chunks of 2 samples so stsc has a real mapping to resolve
+    val perChunk = 2
+    val nChunks = (frames.length + perChunk - 1) / perChunk
+    val chunkOffs = new Array[Long](nChunks)
+    var off = mdatOff
+    var i = 0
+    while (i < frames.length) {
+      if (i % perChunk == 0) chunkOffs(i / perChunk) = off
+      off += frames(i).length
+      i += 1
+    }
+    val stsd = box("stsd", u32(0) ++ u32(1) ++
+      box("jpeg", new Array[Byte](6) ++ Array[Byte](0, 1) ++ new Array[Byte](16) ++
+        Array[Byte]((width >> 8).toByte, width.toByte, (height >> 8).toByte, height.toByte) ++
+        new Array[Byte](50)))
+    val stts = box("stts", u32(0) ++ u32(1) ++ u32(frames.length.toLong) ++ u32(1000))
+    val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(perChunk.toLong) ++ u32(1))
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(frames.length.toLong) ++
+      frames.toArray.flatMap(f => u32(f.length.toLong)))
+    val stco = box("stco", u32(0) ++ u32(nChunks.toLong) ++ chunkOffs.flatMap(u32))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", u32(0) ++ u32(0) ++ "vide".getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(frames.length * 1000L) ++ u32(0x55C40000L))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = box("tkhd", new Array[Byte](76) ++
+      u32(width.toLong << 16) ++ u32(height.toLong << 16))
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(frames.length * 1000L) ++ new Array[Byte](80))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+    ftyp ++ mdat ++ moov
+  }
 }

@@ -72,4 +72,20 @@ object GenMedia {
   /** ftyp+moov(mvhd+trak(tkhd)) metadata fixture. */
   def mp4Fixture(id: Long): Array[Byte] =
     MediaKernels.encodeMp4Header(mp4Width(id), mp4Height(id), mp4DurationMs(id))
+
+  /** One JPEG frame of the q_video_frames fixture: a 48x48 id+index-seeded
+    * pattern through the native baseline encoder — byte-identical to what
+    * the gate regenerates as the bare-JPEG expectation. */
+  def videoFrameJpeg(id: Long, idx: Int): Array[Byte] = {
+    val w = 48; val h = 48
+    graft.functions.Jpeg.encodeYcc420(w, h, GenImages.pattern(id * 16 + idx, w, h))
+  }
+
+  /** q_video_frames payload: 4 JPEG frames in an MJPEG AVI for even ids,
+    * a JPEG-sample MP4 (2-sample chunks through stsc/stco) for odd. */
+  def videoFramesFixture(id: Long): Array[Byte] = {
+    val frames = (0 until 4).map(k => videoFrameJpeg(id, k))
+    if (id % 2 == 0) MediaKernels.encodeMjpegAvi(48, 48, aviUsPerFrame, frames)
+    else MediaKernels.encodeJpegMp4(48, 48, frames)
+  }
 }

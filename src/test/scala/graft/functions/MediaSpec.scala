@@ -186,4 +186,71 @@ class MediaSpec extends SparkSpec {
     assert(out.getInt(3) == GenMedia.mp4Width(0) && out.getInt(4) == GenMedia.mp4Height(0))
     assert(out.getLong(5) == GenMedia.mp4DurationMs(0))
   }
+
+  test("videoFrames: AVI and MP4 frames round-trip byte-exactly; sampling is even") {
+    val frames = (0 until 10).map(k => GenMedia.videoFrameJpeg(7L, k))
+    val avi = MediaKernels.encodeMjpegAvi(48, 48, 40000L, frames)
+    val mp4 = MediaKernels.encodeJpegMp4(48, 48, frames)
+    for (container <- Seq(avi, mp4)) {
+      val all = MediaKernels.videoFrames(container, 16)
+      assert(all.length == 10)
+      assert(all.zip(frames).forall { case (a, b) => a.sameElements(b) },
+        "container extraction must be byte-exact")
+      // even sampling: floor(i*10/4) = 0,2,5,7
+      val sampled = MediaKernels.videoFrames(container, 4)
+      assert(sampled.length == 4)
+      for ((want, got) <- Seq(0, 2, 5, 7).zip(sampled))
+        assert(got.sameElements(frames(want)))
+    }
+    // the MP4 writer's 2-sample chunks really exercise stsc run mapping:
+    // an odd frame count leaves a short tail chunk
+    val odd = MediaKernels.encodeJpegMp4(48, 48, frames.take(5))
+    assert(MediaKernels.videoFrames(odd, 16).length == 5)
+  }
+
+  test("videoFrames: hostile inputs are empty, never throw; meta fixtures have no frames") {
+    assert(MediaKernels.videoFrames(null, 4).isEmpty)
+    assert(MediaKernels.videoFrames(Array[Byte](1, 2, 3), 4).isEmpty)
+    assert(MediaKernels.videoFrames(GenMedia.videoMetaFixture(3), 4).isEmpty)
+    assert(MediaKernels.videoFrames(GenMedia.wavFixture(3), 4).isEmpty)
+    val good = GenMedia.videoFramesFixture(2)
+    val rnd = new scala.util.Random(11)
+    for (cut <- Seq(3, 12, 40, good.length / 2, good.length - 1)) {
+      MediaKernels.videoFrames(java.util.Arrays.copyOf(good, cut), 4) // no throw
+    }
+    for (_ <- 0 until 300) {
+      val c = good.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      MediaKernels.videoFrames(c, 4) // no throw on corruption
+    }
+  }
+
+  test("video_frames YAML op explodes frames that feed image_dedup (video near-dup)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // videos 1 and 2 share identical frame content (near-dup pair); video
+    // 3 is unrelated
+    val f = (0 until 4).map(k => GenMedia.videoFrameJpeg(100L, k))
+    val other = (0 until 4).map(k => GenMedia.videoFrameJpeg(999L, k))
+    val media = Seq(
+      (1L, MediaKernels.encodeMjpegAvi(48, 48, 40000L, f)),
+      (2L, MediaKernels.encodeJpegMp4(48, 48, f)),
+      (3L, MediaKernels.encodeJpegMp4(48, 48, other))
+    ).toDF("media_id", "content")
+    val frames = new graft.engine.Engine(spark).applyOperation(media,
+      Map("operation" -> "video_frames", "column" -> "content",
+        "max_frames" -> 2, "frame_column" -> "img", "index_column" -> "k"),
+      Map.empty, "spec")
+    assert(frames.columns.toSeq == Seq("media_id", "k", "img"))
+    assert(frames.count() == 6)
+    // compose with the image tier: same-content videos collapse per-frame
+    val groups = new graft.engine.Engine(spark).applyOperation(
+      frames.withColumn("fid", col("media_id") * 10 + col("k")),
+      Map("operation" -> "image_dedup", "id_column" -> "fid",
+        "column" -> "img", "max_hamming" -> 2), Map.empty, "spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // frames of videos 1 and 2 pair up (10~20, 11~21); video 3 stays alone
+    assert(groups(10L) == groups(20L) && groups(11L) == groups(21L))
+    assert(groups(30L) != groups(10L) && groups(31L) != groups(11L))
+  }
 }
