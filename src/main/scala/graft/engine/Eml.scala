@@ -158,11 +158,49 @@ object Eml {
 
   /** Split an mbox into messages (`From ` separator lines, `>From `
     * unquoting inside bodies). */
+  private val HeaderLine =
+    java.util.regex.Pattern.compile("[\\x21-\\x39\\x3B-\\x7E]+:.*")
+
+  /** mboxo tolerance: true when the text at `from` (what follows a
+    * candidate `From ` separator line) opens like a message — an RFC 5322
+    * `name:` header line within the first lines, before any blank line.
+    * An UNQUOTED body line starting `From ` (legal in mboxo; mboxrd
+    * quotes it `>From `, which is why that convention exists) is followed
+    * by more body, not headers, so it fails the check and the false split
+    * merges back into its owner. (A body that places header-shaped text
+    * immediately after an unquoted `From ` line can still false-split —
+    * inherent to the mboxo format.) */
+  private[engine] def looksLikeMessage(s: String, from: Int): Boolean = {
+    var p = from
+    var line = 0
+    while (p < s.length && line < 10) {
+      val e0 = s.indexOf('\n', p)
+      val e = if (e0 < 0) s.length else e0
+      if (e == p || (e == p + 1 && s.charAt(p) == '\r')) return false
+      if (HeaderLine.matcher(s.subSequence(p, e)).matches()) return true
+      if (e0 < 0) return false
+      p = e + 1
+      line += 1
+    }
+    false
+  }
+
   def parseMbox(bytes: Array[Byte]): Vector[Message] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("From "))
       throw new IllegalArgumentException("mbox: does not start with a `From ` separator")
-    val messages = s.split("(?m)^From [^\n]*\n").toVector.filter(_.nonEmpty)
+    // cut only at GENUINE separators (offset 0, or header-shaped content
+    // following) — a false separator's `From ` line stays in the body
+    val sep = java.util.regex.Pattern.compile("(?m)^From [^\n]*\n").matcher(s)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (sep.find()) {
+      if (sep.start == 0 || looksLikeMessage(s, sep.end)) cuts += ((sep.start, sep.end))
+    }
+    if (cuts.isEmpty) throw new IllegalArgumentException("mbox: no messages")
+    val messages = cuts.indices.toVector.map { i =>
+      val end = if (i + 1 < cuts.length) cuts(i + 1)._1 else s.length
+      s.substring(cuts(i)._2, end)
+    }.filter(_.nonEmpty)
     if (messages.isEmpty) throw new IllegalArgumentException("mbox: no messages")
     messages.map { m =>
       val unquoted = m.replaceAll("(?m)^>(>*From )", "$1")

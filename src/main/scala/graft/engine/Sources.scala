@@ -700,10 +700,7 @@ object Sources {
   /** One mbox record's message body (separator line dropped, `>From `
     * unquoted), or None for blank trailing records. Shared by the count
     * and parse passes of [[readMbox]] so their record filters agree. */
-  private def mboxBody(off: Long, t: org.apache.hadoop.io.Text, file: String): Option[String] = {
-    // Text carries the raw record bytes verbatim (no UTF-8 validation),
-    // so ISO-8859-1 decode is byte-transparent for the MIME layer.
-    val s = new String(t.copyBytes(), java.nio.charset.StandardCharsets.ISO_8859_1)
+  private def mboxBody(off: Long, s: String, file: String): Option[String] = {
     if (off == 0L && !s.startsWith("From "))
       throw new IllegalArgumentException(
         s"$file: mbox: does not start with a `From ` separator")
@@ -715,6 +712,42 @@ object Sources {
     if (body.trim.isEmpty) None else Some(body)
   }
 
+  /** mboxo tolerance for the splittable path: a record produced by the
+    * `"\nFrom "` delimiter starts at the envelope remainder, so the
+    * message-shape check ([[Eml.looksLikeMessage]]) applies from its
+    * SECOND line on. */
+  private def mboxLooksLikeStart(s: String): Boolean = {
+    val nl = s.indexOf('\n')
+    nl >= 0 && Eml.looksLikeMessage(s, nl + 1)
+  }
+
+  /** Merge mboxo false splits back into their owners. Returns the split's
+    * LEADING continuation blob (owned by the previous split's last
+    * message; empty in mboxrd corpora) and the merged message records.
+    * Both passes of [[readMbox]] share this, so counts and parses agree. */
+  private def mboxMerge(it: Iterator[(Long, String)]): (String, Iterator[(Long, String)]) = {
+    val buf = it.buffered
+    val lead = new StringBuilder
+    while (buf.hasNext && buf.head._1 != 0L && !mboxLooksLikeStart(buf.head._2)) {
+      lead.append("\nFrom ").append(buf.next()._2)
+    }
+    val merged = new Iterator[(Long, String)] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): (Long, String) = {
+        val (off, first) = buf.next()
+        if (!buf.hasNext || mboxLooksLikeStart(buf.head._2)) (off, first)
+        else {
+          val sb = new StringBuilder(first)
+          while (buf.hasNext && !mboxLooksLikeStart(buf.head._2)) {
+            sb.append("\nFrom ").append(buf.next()._2)
+          }
+          (off, sb.toString)
+        }
+      }
+    }
+    (lead.toString, merged)
+  }
+
   /** Splittable mbox: a mail archive is usually ONE multi-GB file (no
     * WARC-style ~1 GiB object convention), so the whole-file
     * `binaryFiles` shape (fine for eml directories) would collapse it to
@@ -722,9 +755,13 @@ object Sources {
     * record delimiter (`textinputformat.record.delimiter` = "\nFrom "),
     * so the archive splits at block granularity and every executor
     * parses its own slice of messages; `>From ` body quoting (the reason
-    * the mbox convention exists) keeps body lines from matching. The
-    * record at byte offset 0 must still start with `From ` — preserving
-    * the not-an-mbox diagnostic of the old whole-file path.
+    * the mbox convention exists) keeps body lines from matching. mboxo
+    * corpora with UNQUOTED body `From ` lines still read correctly:
+    * records whose head fails the RFC 5322 shape check ([[mboxLooksLikeStart]])
+    * merge back into their predecessor, across split boundaries via the
+    * same driver pass that prefix-sums the counts. The record at byte
+    * offset 0 must still start with `From ` — preserving the not-an-mbox
+    * diagnostic of the old whole-file path.
     *
     * `message` (1-based position within its file, dense — parity with
     * the eml path) is recovered WITHOUT a shuffle by the same two-phase
@@ -751,28 +788,58 @@ object Sources {
         pathGlob, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
         .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
     }
-    // Pass 1: messages per (partition, file) — no MIME decode.
+    // Text carries the raw record bytes verbatim (no UTF-8 validation),
+    // so ISO-8859-1 decode is byte-transparent for the MIME layer.
+    def decode(t: Text): String =
+      new String(t.copyBytes(), java.nio.charset.StandardCharsets.ISO_8859_1)
+    // Pass 1: per (partition, file) message counts AND each split's
+    // leading mboxo-continuation blob (owned by an earlier split's last
+    // message) — no MIME decode.
     val counts = records().mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
       val pid = org.apache.spark.TaskContext.getPartitionId()
+      val (lead, msgs) = mboxMerge(it.map { case (off, t) => (off.get, decode(t)) })
       var n = 0L
-      it.foreach { case (off, t) => if (mboxBody(off.get, t, file).isDefined) n += 1 }
-      Iterator((pid, file, n))
+      msgs.foreach { case (off, s) => if (mboxBody(off, s, file).isDefined) n += 1 }
+      require(lead.length <= (32 << 20),
+        s"$file: mboxo continuation spanning a split exceeds 32 MiB — re-quote as mboxrd")
+      Iterator((pid, file, n, lead))
     }.collect().sortBy(_._1)
     val bases = new Array[Long](counts.length)
+    // tail blob per partition: leading continuations of LATER splits of
+    // the same file chain back to the nearest earlier split that emitted
+    // a message (a split can be pure continuation and contribute none)
+    val tails = Array.fill(counts.length)("")
     val running = scala.collection.mutable.Map.empty[String, Long]
-    counts.foreach { case (pid, file, n) =>
+    val lastOwner = scala.collection.mutable.Map.empty[String, Int]
+    counts.foreach { case (pid, file, n, lead) =>
       val base = running.getOrElse(file, 0L)
       bases(pid) = base
       running(file) = base + n
+      if (lead.nonEmpty) {
+        val owner = lastOwner.getOrElse(file, throw new IllegalArgumentException(
+          s"$file: mboxo continuation with no preceding message"))
+        tails(owner) += lead
+      }
+      if (n > 0) lastOwner(file) = pid
     }
     val bBases = spark.sparkContext.broadcast(bases)
-    // Pass 2: full parse, message = split base + local rank.
+    val bTails = spark.sparkContext.broadcast(tails)
+    // Pass 2: full parse, message = split base + local rank; the last
+    // message of a split also absorbs any continuation blob that the
+    // delimiter pushed into later splits.
     val rows = records().mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
-      var k = bBases.value(org.apache.spark.TaskContext.getPartitionId())
-      it.flatMap { case (off, t) =>
-        mboxBody(off.get, t, file).map { body =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var k = bBases.value(pid)
+      val tail = bTails.value(pid)
+      val (_, msgs) = mboxMerge(it.map { case (off, t) => (off.get, decode(t)) })
+      val bodies = msgs.flatMap { case (off, s) => mboxBody(off, s, file).map((off, _)) }
+      new Iterator[Row] {
+        def hasNext: Boolean = bodies.hasNext
+        def next(): Row = {
+          val (off, body0) = bodies.next()
+          val body = if (!bodies.hasNext && tail.nonEmpty) body0 + tail else body0
           val unquoted = body.replaceAll("(?m)^>(>*From )", "$1")
           val m =
             try Eml.parseEml(unquoted.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))

@@ -95,6 +95,61 @@ class EmlSpec extends graft.SparkSpec {
     } finally hc.unset("mapreduce.input.fileinputformat.split.maxsize")
   }
 
+  test("mboxo: unquoted `From ` body lines merge back instead of false-splitting") {
+    // hand-written mboxo: the body line `From the depths...` is NOT quoted
+    val raw =
+      "From a@x Thu Jan  1 00:00:00 1970\n" +
+        "From: a@x\nSubject: s1\nDate: d\n\n" +
+        "line one\nFrom the depths of the sea\nmore after\n\n" +
+        "From b@y Thu Jan  1 00:00:00 1970\n" +
+        "From: b@y\nSubject: s2\nDate: d\n\n" +
+        "beta body\n"
+    // whole-file parse path
+    val got = Eml.parseMbox(raw.getBytes("ISO-8859-1"))
+    assert(got.size == 2, s"mboxo false split: got ${got.size} messages")
+    assert(got(0).text == "line one\nFrom the depths of the sea\nmore after",
+      got(0).text)
+    assert(got(1).text == "beta body")
+    // splittable reader path (single split)
+    val f = java.nio.file.Files.createTempFile("graft-mboxo", ".mbox")
+    java.nio.file.Files.write(f, raw.getBytes("ISO-8859-1"))
+    val rows = Sources.read(spark, "spec_mboxo", Map("file" -> f.toString), f.getParent)
+      .orderBy("message").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(5) == "line one\nFrom the depths of the sea\nmore after",
+      rows(0).getString(5))
+    assert(rows(1).getString(5) == "beta body")
+  }
+
+  test("mboxo: a continuation that crosses an input-split boundary rejoins its owner") {
+    // message 1's body is long enough that the unquoted `From ` line near
+    // its end lands in a LATER input split (maxsize 2048): the split's
+    // leading continuation blob must chain back to message 1
+    val pad = (1 to 60).map(i => s"padding line $i " + ("y" * 30)).mkString("\n")
+    val raw = new StringBuilder
+    raw.append("From a@x Thu Jan  1 00:00:00 1970\n")
+      .append("From: a@x\nSubject: big\nDate: d\n\n")
+      .append(pad).append("\nFrom deep inside the padding comes a line\ntail line\n\n")
+    for (i <- 2 to 8)
+      raw.append(s"From u$i@x Thu Jan  1 00:00:00 1970\n")
+        .append(s"From: u$i@x\nSubject: s$i\nDate: d\n\nbody $i\n\n")
+    val f = java.nio.file.Files.createTempFile("graft-mboxo-split", ".mbox")
+    java.nio.file.Files.write(f, raw.toString.getBytes("ISO-8859-1"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setLong("mapreduce.input.fileinputformat.split.maxsize", 2048)
+    try {
+      val df = Sources.read(spark, "spec_mboxo_x", Map("file" -> f.toString), f.getParent)
+      assert(df.rdd.getNumPartitions > 1)
+      val rows = df.orderBy("message").collect()
+      assert(rows.length == 8, s"got ${rows.length} messages")
+      assert(rows.map(_.getLong(1)).toSeq == (1L to 8L))
+      val big = rows(0).getString(5)
+      assert(big.contains("From deep inside the padding comes a line") &&
+        big.endsWith("tail line"), big.takeRight(120))
+      assert(rows(1).getString(2) == "s2")
+    } finally hc.unset("mapreduce.input.fileinputformat.split.maxsize")
+  }
+
   test("splittable mbox: garbage archive rejects diagnosably through the split path") {
     val f = java.nio.file.Files.createTempFile("graft-mbox-bad", ".mbox")
     java.nio.file.Files.write(f, "this is not an mbox at all\n".getBytes)
