@@ -467,10 +467,8 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
-    def measure(name: String)(f: => Unit): Unit = {
-      bodies(name) = () => f
-      samples(name) = (1 to reps).map(_ => rep(name)).toVector
-    }
+    def measure(name: String)(f: => Unit): Unit =
+      bodies(name) = () => f // registration only; the sweep runs below
 
     // headline ETL pipeline (reference big_earthmover.yaml shape), written
     // spark-native multi-part (the 100TB output shape)
@@ -494,6 +492,17 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) => measure(name)(noop(fn(spark, sfDir))) }
+
+    // Warm-up canary: one UNRECORDED pass over the whole query set before
+    // rep 1. The round-14 bimodality study pinned ~4.7s of JIT warm-up to
+    // rep 1 and ~0.5s to rep 2 inside a 3-rep budget — exactly the noise
+    // that made cross-round per-query diffs unattributable. Costs one
+    // extra pass; skippable for local iteration via SPARK_GRAFT_NOWARM=1.
+    if (!sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
+      bodies.keys.foreach(rep)
+    bodies.keys.foreach { name =>
+      samples(name) = (1 to reps).map(_ => rep(name)).toVector
+    }
 
     def median(v: Vector[Double]): Double = {
       val s = v.sorted

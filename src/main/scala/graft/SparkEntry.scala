@@ -2379,6 +2379,15 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")),
         "l_suppkey", "l_partkey", iters = 3)),
 
+    // canonical-parity variant: every part node is dangling in this graph
+    // (parts have no outlinks), so redistribution moves real mass — the
+    // oracle adds a per-layer dangling-sum CTE with the same double floor
+    // division, validated against a Python model before landing
+    "q_pagerank_dangling" -> ((s, d) =>
+      graft.functions.Graph.pageRank(
+        t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", iters = 3, dangling = "redistribute")),
+
     // HITS over the same supplier->part graph: hubs and authorities in
     // integer micro-units with exact integer L1 normalization — two
     // unrolled iteration rounds rebuilt layer-by-layer in the oracle
@@ -2518,7 +2527,7 @@ object SparkEntry {
   /** Unrolled fixed-point PageRank layers — one CTE pair per iteration,
     * mirroring Graph.pageRank's integer arithmetic exactly (BIGINT `//`
     * floor division; sums exact in HUGEINT, cast back per layer). */
-  private def pageRankSql(iters: Int): String = {
+  private def pageRankSql(iters: Int, redistribute: Boolean = false): String = {
     val mass = graft.functions.Graph.Mass
     val head =
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
@@ -2527,7 +2536,17 @@ object SparkEntry {
          nn AS (SELECT count(*) AS n FROM nodes),
          r0 AS (SELECT node, CAST($mass // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes)"""
     val layers = (1 to iters).map { i =>
-      s""",
+      val dLayer =
+        if (!redistribute) ""
+        else s""",
+         d$i AS (
+           SELECT coalesce(sum(r.rank), 0) AS dm
+           FROM r${i - 1} r LEFT JOIN deg ON deg.src = r.node
+           WHERE deg.src IS NULL)"""
+      val dShare =
+        if (!redistribute) ""
+        else s""" + ((SELECT dm FROM d$i) * 850000 // 1000000) // (SELECT n FROM nn)"""
+      s"""$dLayer,
          c$i AS (
            SELECT e.dst AS node, sum((r.rank * 850000) // (1000000 * deg.d)) AS m
            FROM r${i - 1} r JOIN e ON e.src = r.node JOIN deg ON deg.src = e.src
@@ -2535,7 +2554,7 @@ object SparkEntry {
          r$i AS (
            SELECT nodes.node,
                   CAST((($mass * 150000) // 1000000) // (SELECT n FROM nn)
-                       + coalesce(c$i.m, 0) AS BIGINT) AS rank
+                       + coalesce(c$i.m, 0)$dShare AS BIGINT) AS rank
            FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)"""
     }.mkString
     s"$head$layers SELECT node, rank FROM r$iters ORDER BY node"
@@ -2580,6 +2599,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql(3),
+    "q_pagerank_dangling" -> pageRankSql(3, redistribute = true),
     "q_hits" -> hitsSql(2),
     "q_sketch_hll" -> SketchSql.hllSql,
     "q_sketch_hll_merge" -> SketchSql.hllSql,

@@ -290,7 +290,7 @@ final class Engine(spark: SparkSession) {
       "scale", "sub_bits"),
     "bloom_filter" -> Set("sources", "column", "source_column", "log_bits", "k", "mode"),
     "sketch_overlap" -> Set("sources", "column", "source_column", "k"),
-    "pagerank" -> Set("src_column", "dst_column", "iterations", "damping_ppm"),
+    "pagerank" -> Set("src_column", "dst_column", "iterations", "damping_ppm", "dangling"),
     "hits" -> Set("src_column", "dst_column", "iterations"),
     "apply_changes" -> Set("sources", "key_columns", "seq_column", "op_column",
       "delete_values"),
@@ -603,7 +603,8 @@ final class Engine(spark: SparkSession) {
           Config.reqStr(op, "src_column", ctx),
           Config.reqStr(op, "dst_column", ctx),
           Config.int(op, "iterations").getOrElse(3),
-          Config.str(op, "damping_ppm").map(_.toLong).getOrElse(850000L))
+          Config.str(op, "damping_ppm").map(_.toLong).getOrElse(850000L),
+          Config.str(op, "dangling").getOrElse("drop"))
       case "hits" =>
         graft.functions.Graph.hits(df,
           Config.reqStr(op, "src_column", ctx),

@@ -21,8 +21,12 @@ import org.apache.spark.sql.types.LongType
  * partial aggregation; iteration count is a fixed small constant, so the
  * whole computation is `iters` shuffles over the edge list, never a
  * driver-side loop over rows. Dangling mass (nodes without outlinks) is
- * dropped, the common simplification — ranks then bound a node's relative
- * link authority rather than a strict probability.
+ * DROPPED by default, the common crawl-weighting simplification — ranks
+ * then bound relative link authority rather than a strict probability;
+ * `dangling = "redistribute"` restores canonical-parity conservation
+ * (each iteration spreads the dangling mass uniformly, damped, keeping
+ * integer exactness at the cost of one scalar aggregate + lineage cut
+ * per iteration).
  */
 object Graph {
   /** Total fixed-point mass (micro-rank units). rank*damping products stay
@@ -35,10 +39,13 @@ object Graph {
     * (the link exists or it does not); self-loops participate like any
     * other edge. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, dampingPpm: Long = 850000L): DataFrame = {
+               iters: Int = 3, dampingPpm: Long = 850000L,
+               dangling: String = "drop"): DataFrame = {
     require(iters >= 1 && iters <= 50, s"pagerank: iters must be in [1,50], got $iters")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"pagerank: damping_ppm must be in [0,1e6], got $dampingPpm")
+    require(dangling == "drop" || dangling == "redistribute",
+      s"pagerank: dangling must be drop|redistribute, got $dangling")
     // edge list and node set are read `iters`+1 times — cache them for the
     // duration of the single materializing pass below, then release
     val e = edges
@@ -55,9 +62,20 @@ object Graph {
       // not two (the degree never changes across iterations)
       val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src").persist()
       val base = (Mass * (1000000L - dampingPpm) / 1000000L) / n
+      // dangling-mass redistribution needs the node set WITHOUT outlinks;
+      // its per-iteration scalar sum forces a materialization, so (like
+      // HITS) the loop cuts lineage each round — the drop default stays a
+      // single lazy chain with zero mid-loop actions
+      val redistribute = dangling == "redistribute"
+      val danglingNodes =
+        if (redistribute)
+          nodes.join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+            .persist()
+        else null
       var ranks = nodes.withColumn("rank", lit(Mass / n))
       var it = 0
       while (it < iters) {
+        if (redistribute) ranks = ranks.localCheckpoint(true)
         // contribution of u to each neighbor: rank_u * d DIV (1e6 * deg_u)
         // — integral DIV, NOT `/`: Spark's `/` on longs is double
         // division, and rank*d reaches 10^18 > 2^53 where doubles drop
@@ -67,11 +85,23 @@ object Graph {
           .select(col("dst").as("node"),
             expr(s"rank * ${dampingPpm}L div (1000000L * out_deg)").as("contrib"))
           .groupBy("node").agg(sum("contrib").as("in_mass"))
+        // uniform damped share of this round's dangling mass: floor twice,
+        // matching the oracle's `(dm * d // 1e6) // n` (floor composition
+        // over positive ints equals the single division)
+        val dShare =
+          if (!redistribute) 0L
+          else {
+            val dm = ranks.join(danglingNodes, Seq("node"), "left_semi")
+              .agg(coalesce(sum("rank"), lit(0L))).head().getLong(0)
+            dm * dampingPpm / 1000000L / n
+          }
         ranks = nodes
           .join(contribs, Seq("node"), "left")
-          .select(col("node"), (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+          .select(col("node"),
+            (lit(base + dShare) + coalesce(col("in_mass"), lit(0L))).as("rank"))
         it += 1
       }
+      if (danglingNodes != null) danglingNodes.unpersist()
       // ONE materializing pass (localCheckpoint also truncates the
       // iters-deep lineage, so downstream plans stay flat); the (node,
       // rank) blocks it stores are reclaimed by the ContextCleaner when

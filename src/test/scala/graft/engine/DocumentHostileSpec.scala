@@ -137,6 +137,12 @@ class DocumentHostileSpec extends AnyFunSuite {
         (1 to 10).map(i => s"ch$i.xhtml" -> (60L << 20)))
     val e2 = intercept[IllegalArgumentException](Epub.extractChapters(totalBomb))
     assert(e2.getMessage.contains("256 MiB"), e2.getMessage)
+    // EPUB enforces the SAME 64 MiB per-part bound as docx (r14 VERDICT
+    // #8 parity check): one oversized chapter rejects before allocation
+    val epubPartBomb = zipWith(Seq(
+      "META-INF/container.xml" -> 100L, "big.xhtml" -> (100L << 20)))
+    val e3 = intercept[IllegalArgumentException](Epub.extractChapters(epubPartBomb))
+    assert(e3.getMessage.contains("64 MiB"), e3.getMessage)
     assert((System.nanoTime() - t0) / 1e9 < 30.0, "bombs must reject bounded")
   }
 }
