@@ -2117,6 +2117,22 @@ object SparkEntry {
           "image_phash(frame) = image_phash(bare) AS phash_exact")
     }),
 
+    // video near-dedup as ONE op: ids i and i+100 carry identical frame
+    // content in different containers (AVI vs MP4); frame pHash matches
+    // vote per video pair (>= 2 distinct frames), connected components
+    // label the groups — expected grouping is pure id arithmetic
+    "q_video_dedup" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.videoDedupFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_dedup", "id_column" -> "media_id",
+          "column" -> "content", "max_hamming" -> 3, "max_frames" -> 4,
+          "min_matches" -> 2), Map.empty, "gate")
+    }),
+
     // ================================================ corpus cleaning ops
     // PII redaction over text with synthesized email/IP/phone per row (the
     // raw corpus contains none — the construction makes the regexes fire)
@@ -4582,6 +4598,12 @@ object SparkEntry {
            (CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id % 97) * 250
                  ELSE 40 * (25 + doc_id % 100) END)::BIGINT AS video_duration_ms
          FROM documents""",
+
+    // construction: ids i and i+100 package the same frames (different
+    // containers), unrelated ids' frames are far in pHash — groups of 2
+    "q_video_dedup" ->
+      """SELECT doc_id AS media_id, doc_id % 100 AS keep_id, 2::BIGINT AS n_group
+         FROM documents WHERE doc_id < 200""",
 
     // every sampled frame must come back byte- and hash-identical to the
     // bare JPEG it was packaged from

@@ -234,6 +234,7 @@ final class Engine(spark: SparkSession) {
     "audio_features" -> Set("column", "prefix"),
     "video_meta" -> Set("column", "prefix"),
     "video_frames" -> Set("column", "max_frames", "frame_column", "index_column"),
+    "video_dedup" -> Set("id_column", "column", "max_hamming", "max_frames", "min_matches"),
     "image_hash" -> Set("column", "kind", "new_column"),
     "image_dedup" -> Set("id_column", "column", "max_hamming"),
     "bpe_token_count" -> Set("column", "new_column", "num_merges",
@@ -691,6 +692,12 @@ final class Engine(spark: SparkSession) {
         graft.functions.Images.audioDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "max_hamming").getOrElse(2))
+      case "video_dedup" =>
+        graft.functions.Images.videoDedupGroups(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "max_hamming").getOrElse(3),
+          Config.int(op, "max_frames").getOrElse(8),
+          Config.int(op, "min_matches").getOrElse(2))
       case "image_thumbnail" =>
         graft.expressions.GraftFunctions.register(df.sparkSession)
         df.withColumn(Config.str(op, "new_column").getOrElse("thumbnail"),

@@ -157,4 +157,55 @@ object Images {
         call_function("audio_fingerprint", col(binCol)).as("__afp__")),
       idCol, "__afp__", maxHamming)
   }
+
+  /** Video near-dedup groups: up to `maxFrames` evenly-sampled JPEG
+    * frames per video ([[MediaKernels.videoFrames]]), pHash per frame,
+    * frame-level banded 16-bit-chunk matches across videos, and a vote —
+    * two videos are near-dups when at least `minMatches` DISTINCT sampled
+    * frames of the smaller-id video match the other within `maxHamming`
+    * bits (a single incidental frame collision — title cards, black
+    * frames — must not merge unrelated videos). Pairs → connected
+    * components → (`idCol`, keep_id, n_group), the image/audio dedup
+    * output contract; videos with no extractable frames keep themselves.
+    * Scale shape: narrow frame explode (bounded ×maxFrames), codegen
+    * decode+hash, then the same banded equi-join as the image tier —
+    * never all-pairs over videos or frames. */
+  def videoDedupGroups(df: DataFrame, idCol: String, binCol: String,
+                       maxHamming: Int = 3, maxFrames: Int = 8,
+                       minMatches: Int = 2): DataFrame = {
+    require(minMatches >= 1, s"video_dedup: min_matches must be >= 1, got $minMatches")
+    GraftFunctions.register(df.sparkSession)
+    val ids = df.select(col(idCol).cast(LongType).as(idCol))
+    // frame signatures feed both sides of the band self-join — persist for
+    // the eager connectedComponents pass, then release (sigDedupGroups'
+    // lifecycle)
+    val frames = df
+      .select(col(idCol).cast(LongType).as("vid"),
+        posexplode(call_function("video_frames", col(binCol), lit(maxFrames)))
+          .as(Seq("fidx", "frame")))
+      .select(col("vid"), col("fidx"),
+        call_function("image_phash", col("frame")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist()
+    try {
+      def bands(c: Column) = posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", c, b * 16).bitwiseAND(0xFFFFL)))
+      val banded = frames.select(col("vid"), col("fidx"), col("sig"),
+        bands(col("sig")).as(Seq("band", "chunk")))
+      val l = banded.toDF("a_vid", "a_fidx", "a_sig", "band", "chunk")
+      val r = banded.toDF("b_vid", "b_fidx", "b_sig", "band", "chunk")
+      val frameMatches = l.join(r, Seq("band", "chunk"))
+        .filter(col("a_vid") < col("b_vid"))
+        .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming)
+        .select("a_vid", "b_vid", "a_fidx").distinct()
+      val pairs = frameMatches.groupBy("a_vid", "b_vid")
+        .agg(count(lit(1)).as("nm")) // a_fidx already distinct per (a,b)
+        .filter(col("nm") >= minMatches)
+        .select(col("a_vid").as("a_id"), col("b_vid").as("b_id"))
+      val cc = Dedup.connectedComponents(ids, idCol, pairs)
+      val sizes = cc.groupBy(col("group_rep")).agg(count(lit(1)).as("n_group"))
+      cc.join(sizes, "group_rep")
+        .select(col("id").as(idCol), col("group_rep").as("keep_id"), col("n_group"))
+    } finally frames.unpersist()
+  }
 }

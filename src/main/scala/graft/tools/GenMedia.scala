@@ -88,4 +88,14 @@ object GenMedia {
     if (id % 2 == 0) MediaKernels.encodeMjpegAvi(48, 48, aviUsPerFrame, frames)
     else MediaKernels.encodeJpegMp4(48, 48, frames)
   }
+
+  /** q_video_dedup payload: ids i and i+100 carry the SAME frame content
+    * in DIFFERENT containers (AVI for ids < 100, MP4 above), so near-dup
+    * detection is exercised across containers; distinct base seeds stay
+    * far apart in frame pHash (the q_image_phash_dedup pattern family). */
+  def videoDedupFixture(id: Long): Array[Byte] = {
+    val frames = (0 until 4).map(k => videoFrameJpeg(id % 100, k))
+    if (id < 100) MediaKernels.encodeMjpegAvi(48, 48, aviUsPerFrame, frames)
+    else MediaKernels.encodeJpegMp4(48, 48, frames)
+  }
 }

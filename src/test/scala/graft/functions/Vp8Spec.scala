@@ -78,7 +78,12 @@ class Vp8Spec extends AnyFunSuite {
     // advanced-encoder fixtures: segmentation, simple filter, 4 token
     // partitions, sharpness-limited filtering, autofilter at size
     ("seg96x64", 96, 64), ("simple80x48", 80, 48), ("parts160x96", 160, 96),
-    ("sharp64x48", 64, 48), ("auto320x208", 320, 208))
+    ("sharp64x48", 64, 48), ("auto320x208", 320, 208),
+    // CPython's test-suite logo: a VP8X+ALPH+VP8 still written by an OLDER
+    // libwebp release — cross-VERSION validation on top of the
+    // cross-implementation fixtures above (ground truth re-dumped by the
+    // system libwebp; the ALPH plane rides the VP8L path in WebpSpec)
+    ("python_logo", 16, 16))
 
   for ((name, w, h) <- fixtures) {
     test(s"$name: reconstruction matches libwebp bypass_filtering bit-exactly") {
