@@ -386,10 +386,13 @@ object BenchFormat {
  * SPARK_GRAFT_SF_DIR.
  *
  * Measurement protocol (the VM shows 2×+ run-to-run wall-clock noise on
- * identical code, so single-shot timings are meaningless): every query runs
+ * identical code, so single-shot timings are meaningless): one UNRECORDED
+ * warm-up pass over the whole query set absorbs JIT/codegen warm-up (the
+ * round-14 bimodality study measured ~4.7s of it inside rep 1 alone;
+ * SPARK_GRAFT_NOWARM=1 skips for local iteration), then every query runs
  * `SPARK_GRAFT_REPS` (default 3) times back-to-back inside this one JVM and
  * the reported number is the MIN — the best observable steady-state, robust
- * to scheduler noise and one-time classload/codegen cost.
+ * to scheduler noise.
  *
  * Contention defense (round 8 recorded an official 147.5s artifact for an
  * engine whose calm-box steady state is 20.6s — spreads to 81× when the whole

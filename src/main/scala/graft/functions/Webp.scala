@@ -4,8 +4,10 @@ package graft.functions
  * WebP lossless (VP8L) codec — RFC 9649 / the public "WebP Lossless
  * Bitstream Specification". Decoder scope:
  *
- *  - RIFF container: bare `VP8L` chunks and `VP8X`-wrapped files
- *    (animation frames out of scope — first still image only);
+ *  - RIFF container: bare `VP8L` chunks, `VP8X`-wrapped files, and
+ *    animations via their FIRST `ANMF` frame (the signature-bearing
+ *    frame for dedup; later frames are deltas against a canvas state
+ *    that carries no extra near-dup signal worth the decode);
  *  - the full VP8L still-image stream: canonical prefix codes (simple
  *    2-symbol and code-length-coded forms, incl. the 16/17/18 repeat
  *    extensions and the max_symbol early cutoff), LZ77 backward
@@ -562,40 +564,58 @@ object Webp {
       decodeImageStream(r, w, h, level0 = true).map(p => (p >> 8) & 0xFF)
     } catch { case _: Exception => null }
 
-  /** Find the lossy `VP8 ` chunk in a WebP RIFF container (bare or
-    * VP8X-wrapped); returns (offset, length) of the frame, or null. */
+  /** Find the lossy `VP8 ` chunk in a WebP RIFF container (bare,
+    * VP8X-wrapped, or the FIRST `ANMF` frame of an animation — same
+    * first-still-only scope as the VP8L path); returns (offset, length)
+    * of the frame, or null. */
   private def findVp8(b: Array[Byte]): (Int, Int) = {
     if (b == null || b.length < 20) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
-    var p = 12
-    while (p + 8 <= b.length) {
-      val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
-        ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
-      if (size < 0 || p + 8 + size > b.length) return null
-      if (tag == "VP8 ") return (p + 8, size)
-      p += 8 + size + (size & 1)
+    def walk(start: Int, end: Int): (Int, Int) = {
+      var p = start
+      while (p + 8 <= end) {
+        val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+          ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+        if (size < 0 || p + 8 + size > end) return null
+        if (tag == "VP8 ") return (p + 8, size)
+        if (tag == "ANMF" && size > 16) {
+          // 16-byte frame params, then the frame's own subchunks
+          val r = walk(p + 8 + 16, p + 8 + size)
+          if (r != null) return r
+        }
+        p += 8 + size + (size & 1)
+      }
+      null
     }
-    null
+    walk(12, b.length)
   }
 
-  /** Find the VP8L chunk in a WebP RIFF container (bare or VP8X-wrapped);
-    * returns the offset of the 0x2F signature byte, or -1. */
+  /** Find the VP8L chunk in a WebP RIFF container (bare, VP8X-wrapped, or
+    * the FIRST `ANMF` frame of an animation); returns the offset of the
+    * 0x2F signature byte, or -1. */
   private def findVp8l(b: Array[Byte]): Int = {
     if (b == null || b.length < 20) return -1
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return -1
-    var p = 12
-    while (p + 8 <= b.length) {
-      val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
-        ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
-      if (size < 0 || p + 8 + size > b.length) return -1
-      if (tag == "VP8L") return p + 8
-      p += 8 + size + (size & 1) // chunks are even-padded
+    def walk(start: Int, end: Int): Int = {
+      var p = start
+      while (p + 8 <= end) {
+        val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+          ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+        if (size < 0 || p + 8 + size > end) return -1
+        if (tag == "VP8L") return p + 8
+        if (tag == "ANMF" && size > 16) {
+          val r = walk(p + 8 + 16, p + 8 + size)
+          if (r >= 0) return r
+        }
+        p += 8 + size + (size & 1) // chunks are even-padded
+      }
+      -1
     }
-    -1
+    walk(12, b.length)
   }
 
   /** Grayscale decode of a WebP still, [[ImageKernels.decodeGray]]

@@ -10,6 +10,34 @@ object Vp8Probe {
     val name = if (args.nonEmpty) args(0) else "grad16"
     val filtered = args.length > 1 && args(1) == "filtered"
     val dir = "src/test/resources/vp8"
+    if (name == "throughput") {
+      // single-thread decode throughput on the 320x208 fixture — the
+      // number that scales linearly with executor threads in the narrow
+      // pHash sweep (no shuffle anywhere in the image tier)
+      val webp = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/auto320x208.webp"))
+      var p = 12; var o = -1; var l = -1
+      while (p + 8 <= webp.length && o < 0) {
+        val size = (webp(p + 4) & 0xFF) | ((webp(p + 5) & 0xFF) << 8) |
+          ((webp(p + 6) & 0xFF) << 16) | ((webp(p + 7) & 0xFF) << 24)
+        if (new String(webp, p, 4, "US-ASCII") == "VP8 ") { o = p + 8; l = size }
+        p += 8 + size + (size & 1)
+      }
+      for (round <- 1 to 3) {
+        val n = 200
+        val t0 = System.nanoTime()
+        var i = 0
+        var sink = 0L
+        while (i < n) {
+          sink += graft.functions.Vp8.decode(webp, o, l).y(12345)
+          i += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val mpps = n * 320L * 208L / dt / 1e6
+        println(f"VP8-THROUGHPUT round$round: $n decodes of 320x208 in $dt%.2fs = ${n / dt}%.0f img/s, $mpps%.1f Mpx/s (sink=$sink)")
+      }
+      return
+    }
     val webp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$name.webp"))
     val truth = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/$name.${if (filtered) "yuv" else "nf.yuv"}"))

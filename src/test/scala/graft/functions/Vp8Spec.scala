@@ -94,6 +94,30 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("animated WebP: the first ANMF frame decodes identically to the bare still") {
+    // hand-crafted animation (no muxer in this sandbox): VP8X with the
+    // animation flag, ANIM params, and two ANMF frames each wrapping the
+    // grad16 VP8 payload — decodeGray must equal the still's decode
+    val still = res("grad16.webp")
+    val (o, l) = vp8Chunk(still)
+    val vp8 = java.util.Arrays.copyOfRange(still, o, o + l)
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    val vp8x = chunk("VP8X", le32(0x02) ++ le24(15) ++ le24(15)) // anim flag, 16x16
+    val anim = chunk("ANIM", le32(0) ++ Array[Byte](0, 0))
+    val frameHdr = le24(0) ++ le24(0) ++ le24(15) ++ le24(15) ++ le24(40) ++ Array[Byte](0)
+    val anmf = chunk("ANMF", frameHdr ++ chunk("VP8 ", vp8))
+    val body = "WEBP".getBytes("US-ASCII") ++ vp8x ++ anim ++ anmf ++ anmf
+    val animated = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val g = ImageKernels.decodeGrayPublic(animated)
+    val gs = ImageKernels.decodeGrayPublic(still)
+    assert(g != null && gs != null && g.w == 16 && g.h == 16)
+    assert(g.px.sameElements(gs.px), "first ANMF frame must decode like the bare still")
+  }
+
   test("decodeGray dispatches lossy stills; hostile truncations reject, not crash") {
     val webp = res("photo128x80.webp")
     val g = ImageKernels.decodeGrayPublic(webp)
