@@ -2118,9 +2118,11 @@ object SparkEntry {
     }),
 
     // video near-dedup as ONE op: ids i and i+100 carry identical frame
-    // content in different containers (AVI vs MP4); frame pHash matches
-    // vote per video pair (>= 2 distinct frames), connected components
-    // label the groups — expected grouping is pure id arithmetic
+    // content in different containers (MJPEG AVI / JPEG MP4 / animated
+    // GIF, rotation guaranteeing every pair crosses containers AND the
+    // GIF side crosses codecs — lossless gray vs near-lossless JPEG);
+    // frame pHash matches vote per video pair (>= 2 distinct frames),
+    // connected components label the groups — grouping is id arithmetic
     "q_video_dedup" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))

@@ -1370,6 +1370,130 @@ object ImageKernels {
     Gray(if (iw > 0) iw else sw, if (ih > 0) ih else sh, px)
   }
 
+  /** Animated-GIF frame extraction: every frame composited onto the
+    * logical-screen canvas per the GIF89a disposal model (0/1 leave,
+    * 2 restore-to-background over the frame rect, 3 restore-to-previous)
+    * with transparency honored, each snapshot re-encoded as a grayscale
+    * PNG payload — the byte shape [[MediaKernels.videoFrames]] hands the
+    * image tier, so animated GIFs get the same frame signatures as MJPEG
+    * AVI / JPEG MP4. Canvas starts at the background-color luma (black
+    * when no global palette). Returns null for non-GIF, an empty array
+    * when nothing composites (hard cap 512 frames — sampling happens in
+    * the caller); never throws on hostile bytes. */
+  private[functions] def gifFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    try {
+      if (b == null || b.length < 14 ||
+        !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')) return null
+      val sw = le16(b, 6); val sh = le16(b, 8)
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > 16L * 1024 * 1024) return Array.empty
+      val flags = b(10) & 0xFF
+      val bgIndex = b(11) & 0xFF
+      var p = 13
+      var global: Array[Int] = null
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        if (p + n * 3 > b.length) return Array.empty
+        global = Array.tabulate(n)(i =>
+          luma(b(p + i * 3) & 0xFF, b(p + i * 3 + 1) & 0xFF, b(p + i * 3 + 2) & 0xFF))
+        p += n * 3
+      }
+      val bgLuma = if (global != null && bgIndex < global.length) global(bgIndex) else 0
+      val canvas = Array.fill(sw * sh)(bgLuma)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var disposal = 0
+      var transparent = -1
+      while (p < b.length && frames.length < 512) {
+        (b(p) & 0xFF) match {
+          case 0x21 => // extension: GCE carries disposal + transparency
+            if (p + 2 < b.length && (b(p + 1) & 0xFF) == 0xF9 &&
+              (b(p + 2) & 0xFF) >= 4 && p + 6 < b.length) {
+              val packed = b(p + 3) & 0xFF
+              disposal = (packed >> 2) & 7
+              transparent = if ((packed & 1) != 0) b(p + 6) & 0xFF else -1
+            }
+            p += 2
+            while (p < b.length && (b(p) & 0xFF) != 0) p += (b(p) & 0xFF) + 1
+            p += 1
+          case 0x2C =>
+            val ix = le16(b, p + 1); val iy = le16(b, p + 3)
+            val iw = le16(b, p + 5); val ih = le16(b, p + 7)
+            val iflags = b(p + 9) & 0xFF
+            p += 10
+            var pal = global
+            if ((iflags & 0x80) != 0) {
+              val n = 2 << (iflags & 7)
+              if (p + n * 3 > b.length) return frames.toArray
+              pal = Array.tabulate(n)(i =>
+                luma(b(p + i * 3) & 0xFF, b(p + i * 3 + 1) & 0xFF, b(p + i * 3 + 2) & 0xFF))
+              p += n * 3
+            }
+            if (pal == null || iw <= 0 || ih <= 0 || iw.toLong * ih > 16L * 1024 * 1024 ||
+              p >= b.length) return frames.toArray
+            val interlaced = (iflags & 0x40) != 0
+            val minCode = b(p) & 0xFF; p += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (p < b.length && (b(p) & 0xFF) != 0) {
+              val n = b(p) & 0xFF
+              if (p + 1 + n > b.length) return frames.toArray
+              data.write(b, p + 1, n); p += n + 1
+            }
+            p += 1
+            val raw = lzwDecode(data.toByteArray, minCode, iw * ih)
+            if (raw == null) return frames.toArray
+            // de-interlace into raster order before painting
+            val idx =
+              if (!interlaced) raw
+              else {
+                val out = new Array[Int](iw * ih)
+                val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+                var src = 0; var pass = 0
+                while (pass < 4) {
+                  var y = starts(pass)
+                  while (y < ih) {
+                    var x = 0
+                    while (x < iw) { out(y * iw + x) = raw(src); src += 1; x += 1 }
+                    y += steps(pass)
+                  }
+                  pass += 1
+                }
+                out
+              }
+            val before = if (disposal == 3) canvas.clone() else null
+            var y = 0
+            while (y < ih) {
+              val cy = iy + y
+              if (cy >= 0 && cy < sh) {
+                var x = 0
+                while (x < iw) {
+                  val cx = ix + x
+                  val v = idx(y * iw + x)
+                  if (cx >= 0 && cx < sw && v != transparent)
+                    canvas(cy * sw + cx) = pal(v % pal.length)
+                  x += 1
+                }
+              }
+              y += 1
+            }
+            frames += encodePng(sw, sh, canvas.clone())
+            disposal match {
+              case 2 => // restore the frame rect to background
+                var ry = math.max(0, iy)
+                while (ry < math.min(sh, iy + ih)) {
+                  var rx = math.max(0, ix)
+                  while (rx < math.min(sw, ix + iw)) { canvas(ry * sw + rx) = bgLuma; rx += 1 }
+                  ry += 1
+                }
+              case 3 => if (before != null) System.arraycopy(before, 0, canvas, 0, canvas.length)
+              case _ => ()
+            }
+            disposal = 0; transparent = -1
+          case _ => p = b.length // trailer (0x3B) or garbage: stop cleanly
+        }
+      }
+      frames.toArray
+    } catch { case _: Exception => Array.empty }
+  }
+
   /** GIF/TIFF-variant LZW with variable code width, clear + EOI codes. */
   private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Array[Int] = {
     val clear = 1 << minCodeSize
@@ -1658,6 +1782,58 @@ object ImageKernels {
   def encodeGifHeader(w: Int, h: Int): Array[Byte] =
     Array[Byte]('G', 'I', 'F', '8', '7', 'a',
       w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte, 0, 0, 0, 0x3B)
+
+  /** Animated-GIF fixture encoder: 256-entry gray global palette (index =
+    * luma), one frame per (x, y, w, h, disposal, transparentIdx, indices)
+    * tuple, LZW coded as 9-bit literal codes with a CLEAR every 250
+    * symbols (valid, decodable by any reader — the "uncompressed LZW"
+    * trick keeps the dictionary below the width bump). */
+  def encodeGifAnimated(sw: Int, sh: Int,
+                        frames: Seq[(Int, Int, Int, Int, Int, Int, Array[Int])],
+                        bgIndex: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    w16(sw); w16(sh)
+    out.write(0xF7) // global palette present, 256 entries
+    out.write(bgIndex); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { case (ix, iy, iw, ih, disposal, transparent, px) =>
+      require(px.length == iw * ih, "gif frame: indices must cover the rect")
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(((disposal & 7) << 2) | (if (transparent >= 0) 1 else 0))
+      out.write(0); out.write(0) // delay
+      out.write(if (transparent >= 0) transparent else 0)
+      out.write(0)
+      out.write(0x2C); w16(ix); w16(iy); w16(iw); w16(ih); out.write(0)
+      out.write(8) // min LZW code size
+      // LSB-first 9-bit code stream: CLEAR, literals (re-CLEAR each 250), EOI
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nBits = 0
+      def put(code: Int): Unit = {
+        acc |= (code.toLong & 0x1FF) << nBits; nBits += 9
+        while (nBits >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; nBits -= 8 }
+      }
+      put(256)
+      var count = 0
+      px.foreach { v =>
+        if (count == 250) { put(256); count = 0 }
+        put(v & 0xFF); count += 1
+      }
+      put(257)
+      if (nBits > 0) bits.write((acc & 0xFF).toInt)
+      val bb = bits.toByteArray
+      var off = 0
+      while (off < bb.length) {
+        val n = math.min(255, bb.length - off)
+        out.write(n); out.write(bb, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
 
   /** Minimal JPEG: SOI + EXIF APP1 (orientation) + SOF0 (dims) + EOI — a
     * structurally valid header stream with no entropy data, exactly what

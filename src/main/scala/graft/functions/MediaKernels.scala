@@ -450,9 +450,16 @@ object MediaKernels {
     val all =
       try {
         val avi = aviFrames(b)
-        if (avi != null) avi else {
+        if (avi != null) avi
+        else {
           val mp4 = mp4Frames(b)
-          if (mp4 != null) mp4 else Array.empty[Array[Byte]]
+          if (mp4 != null) mp4
+          else {
+            // animated GIFs are crawl video too: composited canvas
+            // snapshots re-encoded as grayscale PNG payloads
+            val gif = ImageKernels.gifFrames(b)
+            if (gif != null) gif else Array.empty[Array[Byte]]
+          }
         }
       } catch { case _: Exception => Array.empty[Array[Byte]] }
     sampleEven(all, math.min(max, 256))

@@ -90,12 +90,27 @@ object GenMedia {
   }
 
   /** q_video_dedup payload: ids i and i+100 carry the SAME frame content
-    * in DIFFERENT containers (AVI for ids < 100, MP4 above), so near-dup
-    * detection is exercised across containers; distinct base seeds stay
-    * far apart in frame pHash (the q_image_phash_dedup pattern family). */
+    * in DIFFERENT containers — the rotation (id%3 below, shifted by one
+    * above) guarantees every pair crosses containers and all three
+    * (MJPEG AVI, JPEG MP4, animated GIF) appear on both sides. GIF
+    * frames are lossless gray (palette index = luma = the pattern value)
+    * while AVI/MP4 frames ride the near-lossless JPEG encoder, so the
+    * match also crosses CODECS (the q_image_phash_dedup JPEG-vs-PNG
+    * margin family); distinct base seeds stay far apart in pHash. */
   def videoDedupFixture(id: Long): Array[Byte] = {
-    val frames = (0 until 4).map(k => videoFrameJpeg(id % 100, k))
-    if (id < 100) MediaKernels.encodeMjpegAvi(48, 48, aviUsPerFrame, frames)
-    else MediaKernels.encodeJpegMp4(48, 48, frames)
+    val base = id % 100
+    val container = if (id < 100) id % 3 else (id % 3 + 1) % 3
+    container match {
+      case 0 =>
+        MediaKernels.encodeMjpegAvi(48, 48, aviUsPerFrame,
+          (0 until 4).map(k => videoFrameJpeg(base, k)))
+      case 1 =>
+        MediaKernels.encodeJpegMp4(48, 48,
+          (0 until 4).map(k => videoFrameJpeg(base, k)))
+      case _ =>
+        graft.functions.ImageKernels.encodeGifAnimated(48, 48,
+          (0 until 4).map(k =>
+            (0, 0, 48, 48, 0, -1, GenImages.pattern(base * 16 + k, 48, 48))))
+    }
   }
 }

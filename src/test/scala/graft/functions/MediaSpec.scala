@@ -225,6 +225,52 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF frames: disposal model, transparency, sampling — closed form") {
+    import ImageKernels.{encodeGifAnimated, decodeGrayPublic}
+    def full(v: Int) = Array.fill(8 * 6)(v)
+    // 1) two full frames, disposal 0: snapshots are the frames themselves
+    //    (gray palette index i decodes to luma exactly i)
+    val twoFull = encodeGifAnimated(8, 6, Seq(
+      (0, 0, 8, 6, 0, -1, full(40)), (0, 0, 8, 6, 0, -1, full(200))))
+    val f2 = MediaKernels.videoFrames(twoFull, 16)
+    assert(f2.length == 2)
+    assert(decodeGrayPublic(f2(0)).px.forall(_ == 40))
+    assert(decodeGrayPublic(f2(1)).px.forall(_ == 200))
+    // 2) patch + transparency: frame 2 overlays a 3x2 rect at (2,1) where
+    //    one index is transparent — those pixels keep the base
+    val patch = Array(7, 255, 7, 7, 255, 7) // 255 = transparent below
+    val overlay = encodeGifAnimated(8, 6, Seq(
+      (0, 0, 8, 6, 0, -1, full(40)), (2, 1, 3, 2, 0, 255, patch)))
+    val o2 = decodeGrayPublic(MediaKernels.videoFrames(overlay, 16)(1))
+    assert(o2.px(1 * 8 + 2) == 7 && o2.px(1 * 8 + 3) == 40 && o2.px(1 * 8 + 4) == 7)
+    assert(o2.px(0) == 40 && o2.px(2 * 8 + 3) == 40)
+    // 3) disposal 2 (restore-to-background, bg index 40 via palette): a
+    //    middle patch disposes to bg before frame 3 paints its own pixel
+    val d2 = encodeGifAnimated(8, 6, Seq(
+      (0, 0, 8, 6, 0, -1, full(90)),
+      (2, 1, 3, 2, 2, -1, Array.fill(6)(7)),
+      (0, 0, 1, 1, 0, -1, Array(200))), bgIndex = 40)
+    val d2f = MediaKernels.videoFrames(d2, 16).map(decodeGrayPublic)
+    assert(d2f(1).px(1 * 8 + 2) == 7, "frame 2 shows its patch")
+    assert(d2f(2).px(1 * 8 + 2) == 40, "frame 3 shows the rect restored to background")
+    assert(d2f(2).px(0) == 200 && d2f(2).px(5) == 90)
+    // 4) disposal 3 (restore-to-previous): the patch vanishes entirely
+    val d3 = encodeGifAnimated(8, 6, Seq(
+      (0, 0, 8, 6, 0, -1, full(90)),
+      (2, 1, 3, 2, 3, -1, Array.fill(6)(7)),
+      (0, 0, 1, 1, 0, -1, Array(200))))
+    val d3f = MediaKernels.videoFrames(d3, 16).map(decodeGrayPublic)
+    assert(d3f(2).px(1 * 8 + 2) == 90, "frame 3 shows the pre-patch canvas")
+    // 5) even sampling applies to GIF too
+    val many = encodeGifAnimated(8, 6, (0 until 10).map(i => (0, 0, 8, 6, 0, -1, full(i * 20))))
+    val sampled = MediaKernels.videoFrames(many, 4).map(decodeGrayPublic)
+    assert(sampled.map(_.px(0)).toSeq == Seq(0, 40, 100, 140)) // frames 0,2,5,7
+    // 6) hostile: truncations never throw; a still GIF header has no frames
+    for (cut <- Seq(5, 14, 30, twoFull.length / 2))
+      MediaKernels.videoFrames(java.util.Arrays.copyOf(twoFull, cut), 4)
+    assert(MediaKernels.videoFrames(ImageKernels.encodeGifHeader(8, 6), 4).isEmpty)
+  }
+
   test("video_frames YAML op explodes frames that feed image_dedup (video near-dup)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
