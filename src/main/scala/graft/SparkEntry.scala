@@ -2117,6 +2117,21 @@ object SparkEntry {
           "image_phash(frame) = image_phash(bare) AS phash_exact")
     }),
 
+    // animated GIF through the video_meta face: duration = frames x GCE
+    // delay, both id-derived, so the oracle states it in closed form
+    // (stills stay image_meta's business — gifMeta requires >= 2 frames)
+    "q_video_meta_gif" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.gifVideoFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "video_format", "video_width", "video_height",
+          "video_duration_ms")
+    }),
+
     // video near-dedup as ONE op: ids i and i+100 carry identical frame
     // content in different containers (MJPEG AVI / JPEG MP4 / animated
     // GIF, rotation guaranteeing every pair crosses containers AND the
@@ -4600,6 +4615,13 @@ object SparkEntry {
            (CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id % 97) * 250
                  ELSE 40 * (25 + doc_id % 100) END)::BIGINT AS video_duration_ms
          FROM documents""",
+
+    // duration = (2 + id%5) frames x (3 + id%7) cs x 10 ms/cs
+    "q_video_meta_gif" ->
+      """SELECT doc_id AS media_id, 'gif' AS video_format,
+           24::INTEGER AS video_width, 16::INTEGER AS video_height,
+           ((2 + doc_id % 5) * (3 + doc_id % 7) * 10)::BIGINT AS video_duration_ms
+         FROM documents WHERE doc_id < 300""",
 
     // construction: ids i and i+100 package the same frames (different
     // containers), unrelated ids' frames are far in pHash — groups of 2

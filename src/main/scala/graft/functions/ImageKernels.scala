@@ -1790,7 +1790,7 @@ object ImageKernels {
     * trick keeps the dictionary below the width bump). */
   def encodeGifAnimated(sw: Int, sh: Int,
                         frames: Seq[(Int, Int, Int, Int, Int, Int, Array[Int])],
-                        bgIndex: Int = 0): Array[Byte] = {
+                        bgIndex: Int = 0, delayCs: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
@@ -1803,7 +1803,7 @@ object ImageKernels {
       require(px.length == iw * ih, "gif frame: indices must cover the rect")
       out.write(0x21); out.write(0xF9); out.write(4)
       out.write(((disposal & 7) << 2) | (if (transparent >= 0) 1 else 0))
-      out.write(0); out.write(0) // delay
+      out.write(delayCs & 0xFF); out.write((delayCs >> 8) & 0xFF)
       out.write(if (transparent >= 0) transparent else 0)
       out.write(0)
       out.write(0x2C); w16(ix); w16(iy); w16(iw); w16(ih); out.write(0)

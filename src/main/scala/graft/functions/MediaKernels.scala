@@ -304,7 +304,46 @@ object MediaKernels {
     if (a != null)
       return new GenericInternalRow(Array[Any](UTF8String.fromString("avi"),
         a(0).toInt, a(1).toInt, a(2)))
+    val g = gifMeta(b)
+    if (g != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("gif"),
+        g(0).toInt, g(1).toInt, g(2)))
     new GenericInternalRow(Array[Any](null, 0, 0, 0L))
+  }
+
+  /** Animated-GIF video metadata: logical-screen dims + total duration
+    * (sum of GCE delays, centiseconds -> ms). Only ANIMATED GIFs count as
+    * video — stills (fewer than 2 frames) return null so image_meta stays
+    * their face. */
+  private[functions] def gifMeta(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 14 ||
+      !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')) return null
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    var p = 13
+    if ((b(10) & 0x80) != 0) p += (2 << (b(10) & 7)) * 3 // global palette
+    var frames = 0L
+    var delayCs = 0L
+    while (p < b.length) {
+      (b(p) & 0xFF) match {
+        case 0x21 =>
+          if (p + 5 < b.length && (b(p + 1) & 0xFF) == 0xF9 && (b(p + 2) & 0xFF) >= 4)
+            delayCs += le16(b, p + 4)
+          p += 2
+          while (p < b.length && (b(p) & 0xFF) != 0) p += (b(p) & 0xFF) + 1
+          p += 1
+        case 0x2C =>
+          if (p + 10 > b.length) return null
+          frames += 1
+          val iflags = b(p + 9) & 0xFF
+          p += 10
+          if ((iflags & 0x80) != 0) p += (2 << (iflags & 7)) * 3
+          p += 1 // min code size
+          while (p < b.length && (b(p) & 0xFF) != 0) p += (b(p) & 0xFF) + 1
+          p += 1
+        case _ => p = b.length
+      }
+    }
+    if (frames < 2) null else Array(sw, sh, delayCs * 10)
   }
 
   /** RIFF AVI main header (`avih` inside LIST hdrl): dwMicroSecPerFrame

@@ -89,6 +89,17 @@ object GenMedia {
     else MediaKernels.encodeJpegMp4(48, 48, frames)
   }
 
+  /** q_video_meta_gif payload: an animated GIF with id-derived frame
+    * count and per-frame delay, so duration is closed-form id arithmetic:
+    * frames = 2 + id%5, delay = (3 + id%7) cs each. */
+  def gifVideoFixture(id: Long): Array[Byte] = {
+    val n = 2 + (id % 5).toInt
+    graft.functions.ImageKernels.encodeGifAnimated(24, 16,
+      (0 until n).map(k => (0, 0, 24, 16, 0, -1,
+        GenImages.pattern(id * 8 + k, 24, 16))),
+      delayCs = 3 + (id % 7).toInt)
+  }
+
   /** q_video_dedup payload: ids i and i+100 carry the SAME frame content
     * in DIFFERENT containers — the rotation (id%3 below, shifted by one
     * above) guarantees every pair crosses containers and all three
