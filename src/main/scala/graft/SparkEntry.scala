@@ -627,6 +627,32 @@ object SparkEntry {
       graft.engine.Sources.read(s, "region_csv", Map("file" -> f.toString), f.getParent)
     }),
 
+    // the same CSV zstd-compressed: the registered ZstdCodec makes every
+    // Hadoop text reader handle *.zst transparently (crawl corpora ship
+    // zstd; Hadoop's own codec needs native libhadoop, absent here)
+    "q_source_csv_zst" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region", ".csv.zst")
+      val body = "r_regionkey,r_name\n" +
+        rows.map(r => s"${r.get(0)},${r.getString(1)}").mkString("\n") + "\n"
+      java.nio.file.Files.write(f,
+        graft.engine.ZstdCodec.compress(body.getBytes("UTF-8")))
+      graft.engine.Sources.read(s, "region_csv_zst", Map("file" -> f.toString), f.getParent)
+    }),
+
+    // jsonl.zst through Spark's json reader + the codec layer
+    "q_source_jsonl_zst" -> ((s, d) => {
+      val rows = t(s, d, "nation").select("n_nationkey", "n_name")
+        .orderBy("n_nationkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-nation", ".jsonl.zst")
+      val body = rows.map(r =>
+        s"""{"n_nationkey": ${r.get(0)}, "n_name": "${r.getString(1)}"}""").mkString("\n") + "\n"
+      java.nio.file.Files.write(f,
+        graft.engine.ZstdCodec.compress(body.getBytes("UTF-8")))
+      graft.engine.Sources.read(s, "nation_jsonl_zst", Map("file" -> f.toString), f.getParent)
+    }),
+
     // nation → TSV (tab separator through the same delimited reader)
     "q_source_tsv" -> ((s, d) => {
       val rows = t(s, d, "nation").select("n_nationkey", "n_name")
@@ -3041,9 +3067,13 @@ object SparkEntry {
     "q_source_spss" ->
       "SELECT cast(cast(r_regionkey AS DOUBLE) AS VARCHAR) AS r_regionkey, r_name FROM region",
 
-    // delimited readers are all-string by contract
+    // delimited readers are all-string by contract; the zst variants must
+    // read identically through the codec layer
     "q_source_csv" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+    "q_source_csv_zst" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+    "q_source_jsonl_zst" -> "SELECT n_nationkey, n_name FROM nation",
     "q_source_tsv" ->
       "SELECT cast(n_nationkey AS VARCHAR) AS n_nationkey, n_name FROM nation",
 

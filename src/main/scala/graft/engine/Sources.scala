@@ -23,6 +23,7 @@ object Sources {
   /** Dispatch by config shape (source.py:32-53): `file` → file reader;
     * `connection`+`query` → JDBC; missing file + optional → empty frame. */
   def read(spark: SparkSession, name: String, cfg: Map[String, Any], configDir: java.nio.file.Path): DataFrame = {
+    ensureZstdCodec(spark)
     val fileOpt = Config.str(cfg, "file").map { f =>
       val p = Paths.get(f)
       if (p.isAbsolute) p else configDir.resolve(f)
@@ -91,7 +92,16 @@ object Sources {
       else if (lower.endsWith(".wet.gz") || lower.endsWith(".wet.zst") ||
         lower.endsWith(".wet")) "wet"
       else if (lower.endsWith(".tar.gz")) "tgz"
-      else path.substring(path.lastIndexOf('.') + 1).toLowerCase
+      else {
+        // compression suffixes are transparent for type inference: the
+        // Hadoop codec layer handles .gz natively and .zst via the
+        // registered ZstdCodec, so foo.jsonl.zst IS a jsonl source
+        val base =
+          if (lower.endsWith(".zst") || lower.endsWith(".gz"))
+            lower.substring(0, lower.lastIndexOf('.'))
+          else lower
+        base.substring(base.lastIndexOf('.') + 1)
+      }
     }
     ext match {
       case "csv" => readDelimited(spark, path, ",", cfg, columns)
@@ -710,6 +720,27 @@ object Sources {
     val nl = s.indexOf('\n')
     val body = if (nl < 0) "" else s.substring(nl + 1)
     if (body.trim.isEmpty) None else Some(body)
+  }
+
+  /** Register [[ZstdCodec]] so every Hadoop-backed text reader (csv/tsv/
+    * json/jsonl/text and the record-delimiter paths) handles `*.zst`
+    * transparently. `io.compression.codecs` REPLACES Hadoop's default
+    * list when set, so the pure-Java defaults ride along explicitly
+    * (gzip/bzip2/deflate keep working). Idempotent; session-global. */
+  private def ensureZstdCodec(spark: SparkSession): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "io.compression.codecs"
+    val me = classOf[ZstdCodec].getName
+    val cur = hc.get(key, "")
+    if (!cur.contains(me)) {
+      val defaults = Seq(
+        "org.apache.hadoop.io.compress.DefaultCodec",
+        "org.apache.hadoop.io.compress.GzipCodec",
+        "org.apache.hadoop.io.compress.BZip2Codec",
+        "org.apache.hadoop.io.compress.DeflateCodec")
+      val base = if (cur.isEmpty) defaults else cur.split(",").toSeq.filter(_.nonEmpty)
+      hc.set(key, (base :+ me).distinct.mkString(","))
+    }
   }
 
   /** mboxo tolerance for the splittable path: a record produced by the

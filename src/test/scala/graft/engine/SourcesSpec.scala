@@ -500,6 +500,28 @@ class SourcesSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("zstd sources: .csv.zst/.jsonl.zst read transparently; gzip survives registration") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-zst")
+    val body = "k,v\n1,alpha\n2,beta\n3,gamma\n"
+    java.nio.file.Files.write(dir.resolve("t.csv.zst"),
+      ZstdCodec.compress(body.getBytes("UTF-8")))
+    val zst = Sources.read(spark, "zst", Map("file" -> s"$dir/t.csv.zst"), dir)
+    assert(zst.columns.toSeq == Seq("k", "v") && zst.count() == 3)
+    assert(zst.filter(col("k") === "2").head().getString(1) == "beta")
+    // registering the codec must not evict the built-ins: gzip still reads
+    val gz = dir.resolve("t.jsonl.gz")
+    val go = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    go.write("{\"k\": 1}\n{\"k\": 2}\n".getBytes("UTF-8")); go.close()
+    assert(Sources.read(spark, "gz", Map("file" -> gz.toString, "type" -> "jsonl"), dir)
+      .count() == 2)
+    // hostile: garbage behind a .zst name rejects, not hangs
+    java.nio.file.Files.write(dir.resolve("bad.csv.zst"), Array.fill(64)(7.toByte))
+    intercept[Exception] {
+      Sources.read(spark, "bad", Map("file" -> s"$dir/bad.csv.zst"), dir).collect()
+    }
+  }
+
   test("avro sink: typed round-trip, sharding, codecs, empty frame, name sanitizing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
