@@ -26,6 +26,12 @@ import graft.template.{Jinja, RowTemplates}
  */
 object Destinations {
 
+  /** Spark's short name "zstd" resolves to Hadoop's native-backed codec
+    * (libhadoop, absent here); route zst/zstd requests to the pure-Java
+    * [[ZstdCodec]] by class name instead. Other names pass through. */
+  private def zstAware(c: String): String =
+    if (c == "zst" || c == "zstd") classOf[ZstdCodec].getName else c
+
   def write(df: DataFrame, name: String, cfg: Map[String, Any], outputDir: Path, configDir: Path): Path = {
     // Columnar mode (engine extension beyond the reference's template-text
     // destinations): `format: parquet|orc|csv|json` writes spark-native
@@ -74,7 +80,8 @@ object Destinations {
           case None => df
         }
         Tar.writeShards(sized, target.toString,
-          gzip = Config.str(cfg, "compression").contains("gzip"))
+          gzip = Config.str(cfg, "compression").contains("gzip"),
+          zstd = Config.str(cfg, "compression").exists(c => c == "zstd" || c == "zst"))
         return target
       }
       // Avro object-container shards through the canonical avro-java
@@ -114,7 +121,10 @@ object Destinations {
       var w = sorted.write.mode("overwrite")
       val pb = Config.asScalarList(cfg.getOrElse("partition_by", Nil)).map(_.toString)
       if (pb.nonEmpty) w = w.partitionBy(pb: _*)
-      Config.str(cfg, "compression").foreach(c => w = w.option("compression", c))
+      // parquet/orc carry zstd natively (their own pure-Java codecs); only
+      // the Hadoop-codec-backed text formats need the class-name reroute
+      Config.str(cfg, "compression").foreach(c =>
+        w = w.option("compression", if (fmt == "csv" || fmt == "json") zstAware(c) else c))
       // `max_rows_per_file` bounds shard size — training loaders want
       // ~uniform shards; maps to Spark's maxRecordsPerFile so writer
       // tasks roll files without an extra repartition
@@ -168,7 +178,7 @@ object Destinations {
       var tw = out.write.mode("overwrite")
       Config.int(cfg, "max_rows_per_file").foreach(n =>
         tw = tw.option("maxRecordsPerFile", n.toString))
-      Config.str(cfg, "compression").foreach(c => tw = tw.option("compression", c))
+      Config.str(cfg, "compression").foreach(c => tw = tw.option("compression", zstAware(c)))
       tw.text(target.toString)
       target
     } else {

@@ -678,6 +678,8 @@ object Sources {
           if (lower.endsWith(".zip")) Tar.zipEntries(open())
           else if (lower.endsWith(".tar.gz") || lower.endsWith(".tgz"))
             Tar.tarEntries(new java.util.zip.GZIPInputStream(open()))
+          else if (lower.endsWith(".tar.zst"))
+            Tar.tarEntries(new com.github.luben.zstd.ZstdInputStream(open()))
           else Tar.tarEntries(open())
         } catch { case e: Exception =>
           throw new IllegalArgumentException(s"$file: ${e.getMessage}", e)

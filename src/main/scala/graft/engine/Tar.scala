@@ -365,8 +365,9 @@ object Tar {
     * sample's members in one shard = `repartition(n, col("key"))`.
     * Columns: `key`, `ext` (empty = no dot), binary `content`. */
   def writeShards(df: org.apache.spark.sql.DataFrame, dir: String,
-                  gzip: Boolean = false): Unit = {
+                  gzip: Boolean = false, zstd: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
+    require(!(gzip && zstd), "tar sink: pick one of gzip|zstd")
     val need = Seq("key", "ext", "content")
     val missing = need.filterNot(df.columns.contains)
     require(missing.isEmpty, s"tar sink: frame is missing columns [${missing.mkString(", ")}]")
@@ -374,7 +375,7 @@ object Tar {
     val confSnapshot = sc.hadoopConfiguration.asScala
       .map(e => (e.getKey, e.getValue)).toArray
     val bconf = sc.broadcast(confSnapshot)
-    val suffix = if (gzip) ".tar.gz" else ".tar"
+    val suffix = if (gzip) ".tar.gz" else if (zstd) ".tar.zst" else ".tar"
     // Overwrite semantics: a re-run with FEWER partitions must not leave
     // stale shard-NNNNN files from a wider prior run behind — the tar
     // source reads every file in the directory, so leftovers silently
@@ -395,7 +396,9 @@ object Tar {
           val fs = p.getFileSystem(conf)
           val raw: OutputStream = fs.create(p, true)
           val tar = new TarOutput(
-            if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw)
+            if (gzip) new java.util.zip.GZIPOutputStream(raw)
+            else if (zstd) new com.github.luben.zstd.ZstdOutputStream(raw)
+            else raw)
           it.foreach { r =>
             val key = r.getString(0)
             val ext = Option(r.getString(1)).getOrElse("")

@@ -165,6 +165,27 @@ class TarSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("missing columns"), e.getMessage)
   }
 
+  test("writeShards: .tar.zst shards round-trip through the source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-zst")
+    val df = (0L until 30L).map(i => (s"k$i", "txt", s"z$i".getBytes("UTF-8")))
+      .toDF("key", "ext", "content")
+    Tar.writeShards(df.repartition(2), s"$dir/z", zstd = true)
+    val files = new java.io.File(s"$dir/z").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // Hadoop local FS writes .crc siblings
+    assert(files.nonEmpty && files.forall(_.endsWith(".tar.zst")), files.mkString(","))
+    val back = Sources.read(spark, "zback",
+      Map("file" -> s"$dir/z/shard-*", "type" -> "tar"), dir)
+    assert(back.count() == 30)
+    // destination dispatch: compression zst
+    val out = Destinations.write(df, "wds_zst",
+      Map("format" -> "tar", "partitions" -> "2", "compression" -> "zst"), dir, dir)
+    assert(Sources.read(spark, "dzback",
+      Map("file" -> s"$out/shard-*", "type" -> "tar"), dir).count() == 30)
+    intercept[IllegalArgumentException](
+      Tar.writeShards(df, s"$dir/both", gzip = true, zstd = true))
+  }
+
   test("writeShards: overwrite clears stale shards from a wider prior run") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-ow")
