@@ -36,6 +36,28 @@ object Vp8Probe {
         val mpps = n * 320L * 208L / dt / 1e6
         println(f"VP8-THROUGHPUT round$round: $n decodes of 320x208 in $dt%.2fs = ${n / dt}%.0f img/s, $mpps%.1f Mpx/s (sink=$sink)")
       }
+      // the DISTRIBUTED face: the same decode through the image_phash
+      // codegen expression over 20k rows on local[32] — the narrow-scan
+      // shape a 100 TB crawl pass runs
+      val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.expressions.GraftFunctions.register(spark)
+      import spark.implicits._
+      val bytes = webp
+      val rows = spark.range(20000).mapPartitions(_.map(_ => bytes)).toDF("content")
+        .persist()
+      rows.count()
+      for (round <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val distinct = rows.selectExpr("image_phash(content) AS ph")
+          .agg(org.apache.spark.sql.functions.countDistinct("ph")).head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val mpps = 20000L * 320 * 208 / dt / 1e6
+        println(f"VP8-THROUGHPUT-SPARK round$round: 20000 decodes via image_phash on local[32] in $dt%.2fs = $mpps%.0f Mpx/s (distinct=$distinct)")
+      }
+      spark.stop()
       return
     }
     val webp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$name.webp"))
