@@ -301,6 +301,33 @@ class PlanSpec extends SparkSpec {
       """\(\d+\) Exchange""".r.findAllIn(twa).length == 1)
   }
 
+  test("video_frames: narrow generate over the scan — the op itself never shuffles") {
+    // q_video_frames joins against the expected-frame side for the gate;
+    // pin the OP's plan directly: scan -> project -> posexplode, nothing
+    // else (per-row decode, bounded fanout — the 100 TB sweep shape)
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val media = Seq((1L, graft.tools.GenMedia.videoFramesFixture(1L)))
+      .toDF("media_id", "content")
+    val p = new graft.engine.Engine(spark).applyOperation(media,
+      Map("operation" -> "video_frames", "column" -> "content"), Map.empty, "pin")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Generate") && p.contains("video_frames"), p.take(400))
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"),
+      "frame explode must stay narrow")
+  }
+
+  test("video_dedup: labels join stays equi — never an all-pairs join anywhere") {
+    // the frame-match pairs are consumed EAGERLY by connectedComponents,
+    // so the returned plan is the labels-x-sizes join; the banded
+    // (band, chunk) equi-join shape of the pair stage is the same audited
+    // hammingPairs64 family image_dedup pins, and the narrow decode side
+    // is pinned by the video_frames test above
+    val p = formatted("q_video_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "video dedup must never degrade to an all-pairs join")
+  }
+
   test("json_extract: pure narrow codegen over the scan, zero exchanges") {
     val p = formatted("q_json_extract")
     assert(p.contains("get_json_object"), "extraction must be in the projection")
