@@ -278,6 +278,21 @@ object SparkEntry {
         Map("file" -> s"$dir/out", "type" -> "avro"), dir)
     }),
 
+    // the same WebDataset round trip over .tar.zst shards (zstd-jni both
+    // directions: ZstdOutputStream in the sink, ZstdInputStream in the
+    // source's container sniff)
+    "q_tar_sink_zst" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-shard-zst")
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(concat(lit("d"), col("doc_id")).as("key"), lit("txt").as("ext"),
+          encode(col("text"), "UTF-8").as("content"))
+      graft.engine.Tar.writeShards(docs.repartition(4), s"$dir/shards", zstd = true)
+      graft.expressions.GraftFunctions.register(s)
+      graft.engine.Sources.read(s, "wds_zst_back",
+        Map("file" -> s"$dir/shards/shard-*", "type" -> "tar"), dir)
+        .selectExpr("key", "decode_text(content) AS text")
+    }),
+
     "q_tar_sink" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-shard-sink")
       val docs = t(s, d, "documents").filter(col("doc_id") < 200)
@@ -2944,6 +2959,8 @@ object SparkEntry {
 
     // shard write + read invert exactly
     "q_tar_sink" ->
+      "SELECT 'd' || doc_id AS key, text FROM documents WHERE doc_id < 200",
+    "q_tar_sink_zst" ->
       "SELECT 'd' || doc_id AS key, text FROM documents WHERE doc_id < 200",
 
     "q_avro_sink" ->
