@@ -494,10 +494,14 @@ object MediaKernels {
           val mp4 = mp4Frames(b)
           if (mp4 != null) mp4
           else {
-            // animated GIFs are crawl video too: composited canvas
-            // snapshots re-encoded as grayscale PNG payloads
+            // animated GIFs and animated WebPs are crawl video too:
+            // composited canvas snapshots re-encoded as grayscale PNGs
             val gif = ImageKernels.gifFrames(b)
-            if (gif != null) gif else Array.empty[Array[Byte]]
+            if (gif != null) gif
+            else {
+              val webp = Webp.animFrames(b)
+              if (webp != null) webp else Array.empty[Array[Byte]]
+            }
           }
         }
       } catch { case _: Exception => Array.empty[Array[Byte]] }

@@ -618,6 +618,108 @@ object Webp {
     walk(12, b.length)
   }
 
+  /** Animated-WebP frame extraction (the [[MediaKernels.videoFrames]]
+    * face, symmetric with the GIF path): each ANMF frame's luma decodes
+    * natively (VP8 keyframe Y plane or VP8L BT.601) and composites onto
+    * the VP8X canvas at its 2x-scaled offsets; the dispose-to-background
+    * flag restores the frame rect to the ANIM background luma. Snapshots
+    * re-encode as grayscale PNG payloads. Null for non-animations, empty
+    * when nothing composites; never throws on hostile bytes. */
+  private[functions] def animFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    try {
+      if (b == null || b.length < 30 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
+      def u24(p: Int) = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) | ((b(p + 2) & 0xFF) << 16)
+      var p = 12
+      var sw = 0; var sh = 0
+      var animated = false
+      var bgLuma = 255 // ANIM background default: opaque white-ish
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var canvas: Array[Int] = null
+      while (p + 8 <= b.length && frames.length < 512) {
+        val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+          ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+        if (size < 0 || p + 8 + size > b.length) return if (animated) frames.toArray else null
+        val d = p + 8
+        tag match {
+          case "VP8X" if size >= 10 =>
+            animated = (b(d) & 0x02) != 0
+            sw = u24(d + 4) + 1; sh = u24(d + 7) + 1
+            if (sw.toLong * sh > 16L * 1024 * 1024) return Array.empty
+          case "ANIM" if size >= 6 =>
+            // BGRA background: BT.601 luma of the opaque part
+            bgLuma = (299 * (b(d + 2) & 0xFF) + 587 * (b(d + 1) & 0xFF) +
+              114 * (b(d) & 0xFF)) / 1000
+          case "ANMF" if animated && size > 16 && sw > 0 =>
+            if (canvas == null) canvas = Array.fill(sw * sh)(bgLuma)
+            val fx = u24(d) * 2; val fy = u24(d + 3) * 2
+            val dispose = (b(d + 15) & 0x01) != 0
+            val sub = frameLuma(b, d + 16, d + size)
+            if (sub != null) {
+              val (fw, fh, px) = sub
+              var y = 0
+              while (y < fh) {
+                val cy = fy + y
+                if (cy < sh) {
+                  var x = 0
+                  while (x < fw) {
+                    val cx = fx + x
+                    if (cx < sw) canvas(cy * sw + cx) = px(y * fw + x)
+                    x += 1
+                  }
+                }
+                y += 1
+              }
+              frames += ImageKernels.encodePng(sw, sh, canvas.clone())
+              if (dispose) {
+                var ry = fy
+                while (ry < math.min(sh, fy + fh)) {
+                  var rx = fx
+                  while (rx < math.min(sw, fx + fw)) { canvas(ry * sw + rx) = bgLuma; rx += 1 }
+                  ry += 1
+                }
+              }
+            }
+          case _ => ()
+        }
+        p = d + size + (size & 1)
+      }
+      if (!animated) null else frames.toArray
+    } catch { case _: Exception => Array.empty }
+  }
+
+  /** Luma of ONE frame's subchunks (VP8 keyframe Y plane or VP8L BT.601);
+    * null when neither decodes. */
+  private def frameLuma(b: Array[Byte], start: Int, end: Int): (Int, Int, Array[Int]) = {
+    var p = start
+    while (p + 8 <= end) {
+      val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+        ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+      if (size < 0 || p + 8 + size > end) return null
+      if (tag == "VP8 ") {
+        val pl = Vp8.decode(b, p + 8, size)
+        val out = new Array[Int](pl.w * pl.h)
+        var yy = 0
+        while (yy < pl.h) {
+          var xx = 0
+          while (xx < pl.w) { out(yy * pl.w + xx) = pl.yAt(xx, yy); xx += 1 }
+          yy += 1
+        }
+        return (pl.w, pl.h, out)
+      }
+      if (tag == "VP8L") {
+        val (w, h, px) = decodeVp8l(b, p + 8)
+        return (w, h, px.map(v =>
+          (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) + 114 * (v & 0xFF)) / 1000))
+      }
+      p += 8 + size + (size & 1)
+    }
+    null
+  }
+
   /** Grayscale decode of a WebP still, [[ImageKernels.decodeGray]]
     * contract. Lossless (VP8L) maps ARGB through integer BT.601 luma;
     * lossy (VP8) returns the keyframe's Y plane directly — it already IS

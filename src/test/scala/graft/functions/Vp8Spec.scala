@@ -118,6 +118,46 @@ class Vp8Spec extends AnyFunSuite {
     assert(g.px.sameElements(gs.px), "first ANMF frame must decode like the bare still")
   }
 
+  test("animated WebP frames composite onto the canvas (the video_frames face)") {
+    // 48x32 canvas: frame 1 = the blocks48x32 VP8 payload full-canvas,
+    // frame 2 = the grad16 payload at offset (16,8) — snapshots must be
+    // the still decodes composited, closed form
+    val base = res("blocks48x32.webp"); val patch = res("grad16.webp")
+    val (bo, bl) = vp8Chunk(base); val (po, pl) = vp8Chunk(patch)
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    def anmf(x: Int, y: Int, w: Int, h: Int, payload: Array[Byte]) =
+      chunk("ANMF", le24(x / 2) ++ le24(y / 2) ++ le24(w - 1) ++ le24(h - 1) ++
+        le24(40) ++ Array[Byte](0) ++ chunk("VP8 ", payload))
+    val body = "WEBP".getBytes("US-ASCII") ++
+      chunk("VP8X", le32(0x02) ++ le24(47) ++ le24(31)) ++
+      chunk("ANIM", le32(0) ++ Array[Byte](0, 0)) ++
+      anmf(0, 0, 48, 32, java.util.Arrays.copyOfRange(base, bo, bo + bl)) ++
+      anmf(16, 8, 16, 16, java.util.Arrays.copyOfRange(patch, po, po + pl))
+    val anim = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val frames = MediaKernels.videoFrames(anim, 8)
+    assert(frames.length == 2, s"got ${frames.length} frames")
+    val f0 = ImageKernels.decodeGrayPublic(frames(0))
+    val f1 = ImageKernels.decodeGrayPublic(frames(1))
+    val baseG = ImageKernels.decodeGrayPublic(base)
+    val patchG = ImageKernels.decodeGrayPublic(patch)
+    assert(f0.w == 48 && f0.h == 32)
+    assert(f0.px.sameElements(baseG.px), "frame 1 covers the whole canvas")
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val expect =
+        if (x >= 16 && x < 32 && y >= 8 && y < 24) patchG.px((y - 8) * 16 + (x - 16))
+        else baseG.px(y * 48 + x)
+      assert(f1.px(y * 48 + x) == expect, s"frame 2 composite at ($x,$y)")
+    }
+    // hostile truncations never throw through the video face
+    for (cut <- Seq(10, 30, anim.length / 2)) {
+      MediaKernels.videoFrames(java.util.Arrays.copyOf(anim, cut), 4)
+    }
+  }
+
   test("decodeGray dispatches lossy stills; hostile truncations reject, not crash") {
     val webp = res("photo128x80.webp")
     val g = ImageKernels.decodeGrayPublic(webp)
