@@ -175,11 +175,13 @@ object Eml {
     var line = 0
     while (p < s.length && line < 10) {
       val e0 = s.indexOf('\n', p)
-      val e = if (e0 < 0) s.length else e0
-      if (e == p || (e == p + 1 && s.charAt(p) == '\r')) return false
+      val eRaw = if (e0 < 0) s.length else e0
+      // CRLF tolerance: the trailing \r is line-ending, not content
+      val e = if (eRaw > p && s.charAt(eRaw - 1) == '\r') eRaw - 1 else eRaw
+      if (e == p) return false
       if (HeaderLine.matcher(s.subSequence(p, e)).matches()) return true
       if (e0 < 0) return false
-      p = e + 1
+      p = eRaw + 1
       line += 1
     }
     false

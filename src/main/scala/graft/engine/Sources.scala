@@ -727,20 +727,23 @@ object Sources {
   /** Register [[ZstdCodec]] so every Hadoop-backed text reader (csv/tsv/
     * json/jsonl/text and the record-delimiter paths) handles `*.zst`
     * transparently. `io.compression.codecs` REPLACES Hadoop's default
-    * list when set, so the pure-Java defaults ride along explicitly
-    * (gzip/bzip2/deflate keep working). Idempotent; session-global. */
+    * list when set, so when the key is unset the full ServiceLoader
+    * default set (gzip/bzip2/deflate/lz4/snappy/…) is snapshotted via
+    * `CompressionCodecFactory.getCodecClasses` first and rides along —
+    * a hardcoded subset would silently drop `.lz4`/`.snappy` support
+    * session-wide. Idempotent; session-global. */
   private def ensureZstdCodec(spark: SparkSession): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
     val key = "io.compression.codecs"
     val me = classOf[ZstdCodec].getName
     val cur = hc.get(key, "")
     if (!cur.contains(me)) {
-      val defaults = Seq(
-        "org.apache.hadoop.io.compress.DefaultCodec",
-        "org.apache.hadoop.io.compress.GzipCodec",
-        "org.apache.hadoop.io.compress.BZip2Codec",
-        "org.apache.hadoop.io.compress.DeflateCodec")
-      val base = if (cur.isEmpty) defaults else cur.split(",").toSeq.filter(_.nonEmpty)
+      import scala.jdk.CollectionConverters._
+      val base =
+        if (cur.isEmpty)
+          org.apache.hadoop.io.compress.CompressionCodecFactory
+            .getCodecClasses(hc).asScala.toSeq.map(_.getName)
+        else cur.split(",").toSeq.filter(_.nonEmpty)
       hc.set(key, (base :+ me).distinct.mkString(","))
     }
   }

@@ -162,9 +162,11 @@ object Images {
     * frames per video ([[MediaKernels.videoFrames]]), pHash per frame,
     * frame-level banded 16-bit-chunk matches across videos, and a vote —
     * two videos are near-dups when at least `minMatches` DISTINCT sampled
-    * frames of the smaller-id video match the other within `maxHamming`
+    * frames on EACH side participate in a match within `maxHamming`
     * bits (a single incidental frame collision — title cards, black
-    * frames — must not merge unrelated videos). Pairs → connected
+    * frames — must not merge unrelated videos; counting one side only
+    * would let a static animation whose frames are all near-identical
+    * reach the vote off a single shared frame). Pairs → connected
     * components → (`idCol`, keep_id, n_group), the image/audio dedup
     * output contract; videos with no extractable frames keep themselves.
     * Scale shape: narrow frame explode (bounded ×maxFrames), codegen
@@ -197,10 +199,11 @@ object Images {
       val frameMatches = l.join(r, Seq("band", "chunk"))
         .filter(col("a_vid") < col("b_vid"))
         .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming)
-        .select("a_vid", "b_vid", "a_fidx").distinct()
+        .select("a_vid", "b_vid", "a_fidx", "b_fidx").distinct()
       val pairs = frameMatches.groupBy("a_vid", "b_vid")
-        .agg(count(lit(1)).as("nm")) // a_fidx already distinct per (a,b)
-        .filter(col("nm") >= minMatches)
+        .agg(countDistinct(col("a_fidx")).as("na"),
+          countDistinct(col("b_fidx")).as("nb"))
+        .filter(least(col("na"), col("nb")) >= minMatches)
         .select(col("a_vid").as("a_id"), col("b_vid").as("b_id"))
       val cc = Dedup.connectedComponents(ids, idCol, pairs)
       val sizes = cc.groupBy(col("group_rep")).agg(count(lit(1)).as("n_group"))

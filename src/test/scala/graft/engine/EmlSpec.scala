@@ -121,6 +121,29 @@ class EmlSpec extends graft.SparkSpec {
     assert(rows(1).getString(5) == "beta body")
   }
 
+  test("mbox: CRLF line endings still split at genuine `From ` separators") {
+    // every header line ends \r\n — looksLikeMessage must tolerate the \r
+    // (an earlier regression collapsed CRLF archives into one message)
+    val raw =
+      "From a@x Thu Jan  1 00:00:00 1970\r\n" +
+        "From: a@x\r\nSubject: c1\r\nDate: d\r\n\r\n" +
+        "alpha body\r\nFrom the unquoted depths\r\n\r\n" +
+        "From b@y Thu Jan  1 00:00:00 1970\r\n" +
+        "From: b@y\r\nSubject: c2\r\nDate: d\r\n\r\n" +
+        "beta body\r\n"
+    val got = Eml.parseMbox(raw.getBytes("ISO-8859-1"))
+    assert(got.size == 2, s"CRLF mbox: got ${got.size} messages")
+    assert(got(0).subject == "c1" && got(1).subject == "c2")
+    // the unquoted body `From ` line still merges back (mboxo tolerance)
+    assert(got(0).text.contains("From the unquoted depths"), got(0).text)
+    // splittable reader path agrees
+    val f = java.nio.file.Files.createTempFile("graft-mbox-crlf", ".mbox")
+    java.nio.file.Files.write(f, raw.getBytes("ISO-8859-1"))
+    val rows = Sources.read(spark, "spec_mbox_crlf", Map("file" -> f.toString), f.getParent)
+      .orderBy("message").collect()
+    assert(rows.length == 2, s"CRLF splittable path: got ${rows.length}")
+  }
+
   test("mboxo: a continuation that crosses an input-split boundary rejoins its owner") {
     // message 1's body is long enough that the unquoted `From ` line near
     // its end lands in a LATER input split (maxsize 2048): the split's

@@ -299,4 +299,28 @@ class MediaSpec extends SparkSpec {
     assert(groups(10L) == groups(20L) && groups(11L) == groups(21L))
     assert(groups(30L) != groups(10L) && groups(31L) != groups(11L))
   }
+
+  test("video_dedup: a static video sharing ONE frame does not merge; two shared frames do") {
+    import spark.implicits._
+    val x = GenMedia.videoFrameJpeg(5L, 0)  // frame X
+    val y = GenMedia.videoFrameJpeg(5L, 1)  // frame Y
+    def u(k: Int) = GenMedia.videoFrameJpeg(777L, k) // unrelated frames
+    def w(k: Int) = GenMedia.videoFrameJpeg(888L, k)
+    def avi(fs: Seq[Array[Byte]]) = MediaKernels.encodeMjpegAvi(48, 48, 40000L, fs)
+    val media = Seq(
+      (1L, avi(Seq(x, x, x, x))),          // static animation: 4 identical frames
+      (2L, avi(Seq(x, u(1), u(2), u(3)))), // shares only X with 1 — must NOT merge
+      (3L, avi(Seq(x, y, w(1), w(2)))),    // shares X and Y with 4 — must merge
+      (4L, avi(Seq(x, y, u(5), w(6))))
+    ).toDF("media_id", "content")
+    val g = Images.videoDedupGroups(media, "media_id", "content",
+      maxHamming = 3, maxFrames = 8, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the one-sided vote would count video 1's four identical frames as 4
+    // distinct matches against video 2's single X — both-sides-distinct
+    // keeps them apart
+    assert(g(1L) != g(2L), s"static video falsely merged: $g")
+    assert(g(3L) == g(4L), s"genuine two-frame dup failed to merge: $g")
+    assert(g(1L) != g(3L) && g(2L) != g(3L), g.toString)
+  }
 }
