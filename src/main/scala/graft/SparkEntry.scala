@@ -2175,10 +2175,11 @@ object SparkEntry {
 
     // video near-dedup as ONE op: ids i and i+100 carry identical frame
     // content in different containers (MJPEG AVI / JPEG MP4 / animated
-    // GIF, rotation guaranteeing every pair crosses containers AND the
-    // GIF side crosses codecs — lossless gray vs near-lossless JPEG);
-    // frame pHash matches vote per video pair (>= 2 distinct frames),
-    // connected components label the groups — grouping is id arithmetic
+    // GIF / animated WebP, rotation guaranteeing every pair crosses
+    // containers AND the GIF/WebP sides cross codecs — lossless gray vs
+    // near-lossless JPEG); frame pHash matches vote per video pair (>= 2
+    // distinct frames on BOTH sides), connected components label the
+    // groups — grouping is id arithmetic
     "q_video_dedup" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
@@ -2189,6 +2190,29 @@ object SparkEntry {
         Map("operation" -> "video_dedup", "id_column" -> "media_id",
           "column" -> "content", "max_hamming" -> 3, "max_frames" -> 4,
           "min_matches" -> 2), Map.empty, "gate")
+    }),
+
+    // real VP8 VIDEO: WebM (Matroska SimpleBlock walk) for even vids, IVF
+    // for odd, each wrapping 4 libwebp-encoded VP8 keyframes
+    // (tools/Vp8VideoFixtures); every frame decodes through the native
+    // RFC 6386 path on executors, snapshots as a gray PNG, and must both
+    // pin to the oracle's pHash constants AND hash identically on every
+    // executor (n_hashes=1 — container walk + decode determinism)
+    "q_video_frames_vp8" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 240).as[Long]
+        .mapPartitions(_.map(id => (id % 12,
+          graft.tools.GenMedia.vp8VideoFixture(id % 12))))
+        .toDF("vid", "content")
+      val frames = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_frames", "column" -> "content",
+          "max_frames" -> 8), Map.empty, "gate")
+      frames.groupBy("vid", "frame_index")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(expr("image_phash(frame)")).as("n_hashes"),
+          min(expr("image_phash(frame)")).as("phash"))
     }),
 
     // ================================================ corpus cleaning ops
@@ -4683,6 +4707,28 @@ object SparkEntry {
            true AS phash_exact
          FROM documents, unnest(generate_series(0, 3)) AS u(k)
          WHERE doc_id < 200""",
+
+    // pinned pHashes of the 16 embedded VP8 keyframes (bases 1..4 x
+    // frames 0..3), produced by RFC 6386 exact-integer reconstruction —
+    // a regression anywhere in the EBML/IVF walk or the VP8 decode flips
+    // them; vid -> base is vid % 4 + 1 (container parity is invisible
+    // here: WebM and IVF must yield the IDENTICAL snapshots)
+    "q_video_frames_vp8" ->
+      """WITH c AS (SELECT doc_id % 12 AS vid, count(*)::BIGINT AS n_rows
+                    FROM documents WHERE doc_id < 240 GROUP BY 1),
+            p AS (SELECT * FROM (VALUES
+               (1, 0, -5911842460359768959), (1, 1, -4367245356331379901),
+               (1, 2, 6075181718218525173), (1, 3, 2660261709906336489),
+               (2, 0, -1541267189407364191), (2, 1, 7820846899676747729),
+               (2, 2, 4315518646593552491), (2, 3, 3254997444723453163),
+               (3, 0, -5391518307185448483), (3, 1, 716668274781294701),
+               (3, 2, -2931598068071317081), (3, 3, -3408370078018625745),
+               (4, 0, -424367030519774589), (4, 1, 109707021242833343),
+               (4, 2, -696320392787150201), (4, 3, -1423025430127559325))
+              t(base, fidx, phash))
+         SELECT c.vid, p.fidx AS frame_index, c.n_rows,
+           1::BIGINT AS n_hashes, p.phash::BIGINT AS phash
+         FROM c JOIN p ON p.base = c.vid % 4 + 1""",
 
     "q_render_template" ->
       """SELECT n_nationkey, '{"name": "' || n_name || '", "region": ' || n_regionkey || '}' AS rendered FROM nation""",

@@ -494,13 +494,23 @@ object MediaKernels {
           val mp4 = mp4Frames(b)
           if (mp4 != null) mp4
           else {
-            // animated GIFs and animated WebPs are crawl video too:
-            // composited canvas snapshots re-encoded as grayscale PNGs
-            val gif = ImageKernels.gifFrames(b)
-            if (gif != null) gif
+            // real VP8 video: WebM (Matroska) and IVF keyframes through
+            // the native RFC 6386 decoder, snapshotted as grayscale PNGs
+            val ivf = Webm.ivfFrames(b)
+            if (ivf != null) ivf
             else {
-              val webp = Webp.animFrames(b)
-              if (webp != null) webp else Array.empty[Array[Byte]]
+              val mkv = Webm.webmFrames(b)
+              if (mkv != null) mkv
+              else {
+                // animated GIFs and animated WebPs are crawl video too:
+                // composited canvas snapshots re-encoded as grayscale PNGs
+                val gif = ImageKernels.gifFrames(b)
+                if (gif != null) gif
+                else {
+                  val webp = Webp.animFrames(b)
+                  if (webp != null) webp else Array.empty[Array[Byte]]
+                }
+              }
             }
           }
         }

@@ -1,0 +1,251 @@
+package graft.functions
+
+/** Matroska/WebM (EBML) and IVF container walks for VP8 *video* — the
+  * [[MediaKernels.videoFrames]] faces that make real crawl video (WebM is
+  * how VP8 ships; IVF is the trivial test container from the codec SDKs)
+  * compose with the image pHash/dedup tier. Keyframes only, by design:
+  * the native [[Vp8]] decoder is a keyframe decoder (RFC 6386 §9.1 frame
+  * tag bit 0), and evenly-sampled keyframes are what the video near-dup
+  * vote consumes. Each decoded keyframe's Y plane snapshots as a
+  * grayscale PNG payload — the same contract as the animated-GIF and
+  * animated-WebP faces, and exactly the luma [[Webp.decodeGray]] yields
+  * for the same bitstream in a WebP still, so container-extracted frames
+  * hash IDENTICALLY to direct still decodes.
+  *
+  * Scale shape: both walks are narrow per-row kernels (no shuffle, no
+  * allocation from untrusted length fields beyond the input's own size);
+  * hostile bytes yield fewer frames, never a throw.
+  */
+object Webm {
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], p: Int): Long =
+    (le16(b, p) | (le16(b, p + 2).toLong << 16)) & 0xFFFFFFFFL
+
+  /** True when `b(off until off+len)` opens like a VP8 KEYFRAME: frame-tag
+    * bit 0 clear plus the §9.1 start code 9d 01 2a — a strong 3-byte magic
+    * that makes keyframe detection container-independent (no reliance on
+    * SimpleBlock flags or ReferenceBlock absence). */
+  private def isVp8Keyframe(b: Array[Byte], off: Int, len: Int): Boolean =
+    len >= 10 && (b(off) & 1) == 0 &&
+      (b(off + 3) & 0xFF) == 0x9d && (b(off + 4) & 0xFF) == 0x01 &&
+      (b(off + 5) & 0xFF) == 0x2a
+
+  /** Decode one VP8 keyframe and snapshot its Y plane as a gray PNG;
+    * malformed frames are skipped (the walk continues). */
+  private def snapshot(b: Array[Byte], off: Int, len: Int,
+                       out: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Unit =
+    if (isVp8Keyframe(b, off, len)) {
+      try {
+        val pl = Vp8.decode(b, off, len)
+        val px = new Array[Int](pl.w * pl.h)
+        var y = 0
+        while (y < pl.h) {
+          var x = 0
+          while (x < pl.w) { px(y * pl.w + x) = pl.yAt(x, y); x += 1 }
+          y += 1
+        }
+        out += ImageKernels.encodePng(pl.w, pl.h, px)
+      } catch { case _: Exception => () }
+    }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF walk: 32-byte `DKIF` file header (fourcc at 8, header length at
+    * 6), then 12-byte frame headers (LE32 size + 64-bit pts) before each
+    * payload. Null when not IVF; empty for a non-VP8 fourcc. */
+  private[functions] def ivfFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b == null || b.length < 32 ||
+      !(b(0) == 'D' && b(1) == 'K' && b(2) == 'I' && b(3) == 'F')) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    if (!(b(8) == 'V' && b(9) == 'P' && b(10) == '8' && b(11) == '0')) return Array.empty
+    val hdr = le16(b, 6)
+    var p = if (hdr >= 32 && hdr <= b.length) hdr else 32
+    while (p + 12 <= b.length && out.length < 512) {
+      val sz = le32(b, p)
+      if (sz > b.length - (p + 12)) return out.toArray // truncated tail
+      snapshot(b, p + 12, sz.toInt, out)
+      p += 12 + sz.toInt
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------- Matroska/WebM
+
+  /** Matroska/WebM walk: EBML header → Segment → (Tracks → the `V_VP8`
+    * track number) + Clusters → SimpleBlock / BlockGroup>Block payloads
+    * of that track whose bitstream opens as a VP8 keyframe. Unknown-size
+    * elements (streamed Segments/Clusters set every size bit) extend to
+    * their parent's end. Laced blocks are skipped — VP8 video blocks are
+    * one-frame-per-block in practice (lacing exists for tiny audio
+    * frames). Null when the EBML magic is absent. */
+  private[functions] def webmFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b == null || b.length < 8 ||
+      !((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+        (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // -1 = no Tracks element seen (accept blocks by bitstream shape);
+    // 0 = Tracks seen but none V_VP8 (reject all); else the VP8 track
+    var vp8Track = -1L
+
+    def vintLen(first: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (first & m) == 0) { m >>= 1; n += 1 }
+      if (n > 8) -1 else n
+    }
+    /** EBML ID at p: value keeps its marker bits. (-1, 0) when malformed. */
+    def readId(p: Int): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val n = vintLen(b(p) & 0xFF)
+      if (n < 0 || n > 4 || p + n > b.length) return (-1L, 0)
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      (v, n)
+    }
+    /** EBML size at p: marker bit stripped; -2 for the all-ones unknown
+      * size; (-1, 0) when malformed. */
+    def readSize(p: Int): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val first = b(p) & 0xFF
+      val n = vintLen(first)
+      if (n < 0 || p + n > b.length) return (-1L, 0)
+      var v = (first & (0xFF >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      val unknown = (1L << (7 * n)) - 1
+      (if (v == unknown) -2L else v, n)
+    }
+    /** Unsigned big-endian integer element payload. */
+    def uint(d: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len && len <= 8) { v = (v << 8) | (b(d + i) & 0xFF); i += 1 }
+      v
+    }
+
+    /** One TrackEntry: remember the track number when CodecID is V_VP8. */
+    def trackEntry(start: Int, end: Int): Unit = {
+      var num = -1L
+      var isVp8 = false
+      var p = start
+      while (p < end) {
+        val (id, idn) = readId(p)
+        if (id < 0) return
+        val (sz, szn) = readSize(p + idn)
+        if (sz < 0) return // unknown size illegal below Segment level here
+        val d = p + idn + szn
+        if (d + sz > end) return
+        id match {
+          case 0xD7 => num = uint(d, sz.toInt) // TrackNumber
+          case 0x86 => // CodecID
+            isVp8 = sz == 5 && new String(b, d, 5, "US-ASCII") == "V_VP8"
+          case _ => ()
+        }
+        p = d + sz.toInt
+      }
+      if (isVp8 && num > 0) vp8Track = num
+    }
+
+    /** A (Simple)Block payload: track vint, 2-byte timecode, flags, frame. */
+    def block(start: Int, end: Int): Unit = {
+      val (track, tn) = readSize(start) // track number is a plain vint
+      if (track < 0 || start + tn + 3 > end) return
+      if (vp8Track == 0L || (vp8Track > 0 && track != vp8Track)) return
+      val flags = b(start + tn + 2) & 0xFF
+      if ((flags & 0x06) != 0) return // laced — skip (see Scaladoc)
+      val d = start + tn + 3
+      snapshot(b, d, end - d, out)
+    }
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var p = start
+      while (p < end && out.length < 512 && depth < 16) {
+        val (id, idn) = readId(p)
+        if (id < 0) return
+        val (sz0, szn) = readSize(p + idn)
+        if (sz0 == -1L) return
+        val d = p + idn + szn
+        val e = if (sz0 == -2L) end
+        else if (d + sz0 > end || sz0 > Int.MaxValue) return
+        else (d + sz0).toInt
+        id match {
+          case 0x18538067 | 0x1F43B675 | 0xA0 => // Segment / Cluster / BlockGroup
+            walk(d, e, depth + 1)
+          case 0x1654AE6B => // Tracks: from here on only a V_VP8 track's
+            // blocks count (0 = none found yet)
+            if (vp8Track == -1L) vp8Track = 0L
+            walk(d, e, depth + 1)
+          case 0xAE => trackEntry(d, e) // TrackEntry
+          case 0xA3 | 0xA1 => block(d, e) // SimpleBlock / Block
+          case _ => ()
+        }
+        p = e
+      }
+    }
+    walk(0, b.length, 0)
+    out.toArray
+  }
+
+  // -------------------------------------------- fixture/test writers
+
+  /** Raw VP8 keyframe bitstreams into an IVF container (the codec-SDK
+    * test format: trivial by construction, which is exactly why it is the
+    * right hostile-fixture substrate). */
+  def encodeIvf(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    bos.write("DKIF".getBytes("US-ASCII")); le16(0); le16(32)
+    bos.write("VP80".getBytes("US-ASCII")); le16(w); le16(h)
+    le32(30); le32(1) // timebase 30/1
+    le32(frames.length); le32(0)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      le32(f.length); le32(i); le32(0) // size + 64-bit pts
+      bos.write(f)
+    }
+    bos.toByteArray
+  }
+
+  /** Raw VP8 keyframe bitstreams into a minimal one-cluster WebM: EBML
+    * header (DocType webm), Segment(Info(TimecodeScale), Tracks(video
+    * TrackEntry V_VP8), Cluster(Timecode, one SimpleBlock per frame)). */
+  def encodeWebm(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    def sizeVint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+      val out = new Array[Byte](n)
+      var x = v | (1L << (7 * n))
+      var i = n - 1
+      while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+      out
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      var n = 1
+      while (n < 4 && (id >> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length) ++ payload
+    def uintEl(id: Long, v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      el(id, Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte))
+    }
+    val ebml = el(0x1A45DFA3L,
+      uintEl(0x4286, 1) ++ uintEl(0x42F7, 1) ++ uintEl(0x42F2, 4) ++
+        uintEl(0x42F3, 8) ++ el(0x4282, "webm".getBytes("US-ASCII")) ++
+        uintEl(0x4287, 2) ++ uintEl(0x4285, 2))
+    val info = el(0x1549A966L, uintEl(0x2AD7B1, 1000000L))
+    val video = el(0xE0, uintEl(0xB0, w) ++ uintEl(0xBA, h))
+    val entry = el(0xAE, uintEl(0xD7, 1) ++ uintEl(0x73C5, 1) ++
+      uintEl(0x83, 1) ++ el(0x86, "V_VP8".getBytes("US-ASCII")) ++ video)
+    val tracks = el(0x1654AE6BL, entry)
+    val blocks = frames.zipWithIndex.map { case (f, i) =>
+      // SimpleBlock: track-1 vint, BE16 timecode, keyframe flag, bitstream
+      el(0xA3, Array(0x81.toByte, ((i * 33) >> 8).toByte, (i * 33).toByte,
+        0x80.toByte) ++ f)
+    }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
+    val cluster = el(0x1F43B675L, uintEl(0xE7, 0) ++ blocks)
+    ebml ++ el(0x18538067L, info ++ tracks ++ cluster)
+  }
+}

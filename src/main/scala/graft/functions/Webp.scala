@@ -568,7 +568,7 @@ object Webp {
     * VP8X-wrapped, or the FIRST `ANMF` frame of an animation — same
     * first-still-only scope as the VP8L path); returns (offset, length)
     * of the frame, or null. */
-  private def findVp8(b: Array[Byte]): (Int, Int) = {
+  private[graft] def findVp8(b: Array[Byte]): (Int, Int) = {
     if (b == null || b.length < 20) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
@@ -857,5 +857,35 @@ object Webp {
     fourcc("VP8L"); u32(chunkLen); out.write(payload, 0, chunkLen)
     if ((chunkLen & 1) == 1) out.write(0)
     out.toByteArray
+  }
+
+  /** Animated-WebP writer for fixtures: full-canvas gray frames as
+    * lossless VP8L ANMF entries (VP8X animation flag, ANIM, one ANMF per
+    * frame). [[animFrames]] snapshots these back bit-exactly, which is
+    * what lets animated WebP join the video-dedup fixture rotation with
+    * the GIF arm's lossless-gray margin. */
+  def encodeAnimatedGray(w: Int, h: Int, frames: Seq[Array[Int]],
+                         delayMs: Int = 40): Array[Byte] = {
+    require(frames.nonEmpty)
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32(v: Int) =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    val vp8x = chunk("VP8X",
+      Array[Byte](0x02, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1))
+    val anim = chunk("ANIM", le32(0) ++ Array[Byte](0, 0))
+    val anmfs = frames.map { px =>
+      val still = encodeGray(w, h, px)
+      // still layout is fixed: RIFF(12) + "VP8L" + LE32 len + payload
+      val len = (still(16) & 0xFF) | ((still(17) & 0xFF) << 8) |
+        ((still(18) & 0xFF) << 16) | ((still(19) & 0xFF) << 24)
+      val payload = java.util.Arrays.copyOfRange(still, 20, 20 + len)
+      chunk("ANMF", le24(0) ++ le24(0) ++ le24(w - 1) ++ le24(h - 1) ++
+        le24(delayMs) ++ Array[Byte](0) ++ chunk("VP8L", payload))
+    }.reduce(_ ++ _)
+    val body = "WEBP".getBytes("US-ASCII") ++ vp8x ++ anim ++ anmfs
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 }

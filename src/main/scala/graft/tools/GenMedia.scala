@@ -100,17 +100,29 @@ object GenMedia {
       delayCs = 3 + (id % 7).toInt)
   }
 
+  /** Real VP8 video: 4 embedded libwebp keyframes of pattern(base*16+k)
+    * content (tools/Vp8VideoFixtures, bases 1..4) in a WebM container for
+    * even vids, IVF for odd — the same frame content the JPEG-framed
+    * AVI/MP4 fixtures carry, so VP8 video near-dups them cross-codec. */
+  def vp8VideoFixture(vid: Long): Array[Byte] = {
+    val base = (vid % 4).toInt + 1
+    val frames = (0 until 4).map(k => Vp8VideoFixtures.frame(base, k))
+    if (vid % 2 == 0) graft.functions.Webm.encodeWebm(48, 48, frames)
+    else graft.functions.Webm.encodeIvf(48, 48, frames)
+  }
+
   /** q_video_dedup payload: ids i and i+100 carry the SAME frame content
-    * in DIFFERENT containers — the rotation (id%3 below, shifted by one
-    * above) guarantees every pair crosses containers and all three
-    * (MJPEG AVI, JPEG MP4, animated GIF) appear on both sides. GIF
-    * frames are lossless gray (palette index = luma = the pattern value)
-    * while AVI/MP4 frames ride the near-lossless JPEG encoder, so the
-    * match also crosses CODECS (the q_image_phash_dedup JPEG-vs-PNG
-    * margin family); distinct base seeds stay far apart in pHash. */
+    * in DIFFERENT containers — the rotation (id%4 below, shifted by one
+    * above) guarantees every pair crosses containers and all four
+    * (MJPEG AVI, JPEG MP4, animated GIF, animated WebP) appear on both
+    * sides. GIF and WebP frames are lossless gray (GIF palette index =
+    * luma; WebP VP8L literal = luma) while AVI/MP4 frames ride the
+    * near-lossless JPEG encoder, so the match also crosses CODECS (the
+    * q_image_phash_dedup JPEG-vs-PNG margin family); distinct base seeds
+    * stay far apart in pHash. */
   def videoDedupFixture(id: Long): Array[Byte] = {
     val base = id % 100
-    val container = if (id < 100) id % 3 else (id % 3 + 1) % 3
+    val container = if (id < 100) id % 4 else (id % 4 + 1) % 4
     container match {
       case 0 =>
         MediaKernels.encodeMjpegAvi(48, 48, aviUsPerFrame,
@@ -118,10 +130,13 @@ object GenMedia {
       case 1 =>
         MediaKernels.encodeJpegMp4(48, 48,
           (0 until 4).map(k => videoFrameJpeg(base, k)))
-      case _ =>
+      case 2 =>
         graft.functions.ImageKernels.encodeGifAnimated(48, 48,
           (0 until 4).map(k =>
             (0, 0, 48, 48, 0, -1, GenImages.pattern(base * 16 + k, 48, 48))))
+      case _ =>
+        graft.functions.Webp.encodeAnimatedGray(48, 48,
+          (0 until 4).map(k => GenImages.pattern(base * 16 + k, 48, 48)))
     }
   }
 }

@@ -300,6 +300,21 @@ class MediaSpec extends SparkSpec {
     assert(groups(30L) != groups(10L) && groups(31L) != groups(11L))
   }
 
+  test("animated WebP writer: frames snapshot back bit-exactly through videoFrames") {
+    val frames = (0 until 3).map(k => GenImages.pattern(70L * 16 + k, 48, 48))
+    val anim = Webp.encodeAnimatedGray(48, 48, frames)
+    val got = MediaKernels.videoFrames(anim, 16)
+    assert(got.length == 3, s"expected 3 frames, got ${got.length}")
+    for (k <- 0 until 3) {
+      val g = ImageKernels.decodeGrayPublic(got(k))
+      assert(g.w == 48 && g.h == 48)
+      assert(g.px.sameElements(frames(k)), s"frame $k not lossless")
+    }
+    // the dedup fixture's 4th arm is this writer
+    val fx = GenMedia.videoDedupFixture(3L) // id%4 == 3 -> animated WebP
+    assert(MediaKernels.videoFrames(fx, 8).length == 4)
+  }
+
   test("video_dedup: a static video sharing ONE frame does not merge; two shared frames do") {
     import spark.implicits._
     val x = GenMedia.videoFrameJpeg(5L, 0)  // frame X

@@ -1,0 +1,107 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.tools.{GenMedia, Vp8VideoFixtures}
+
+/** WebM (Matroska/EBML) and IVF container walks: real VP8 keyframes
+  * decode through the native RFC 6386 path and snapshot as gray PNGs —
+  * hashing identically to the same bitstream decoded as a WebP still. */
+class WebmSpec extends SparkSpec {
+
+  private def still(vp8: Array[Byte]): Array[Byte] = {
+    // wrap a raw VP8 bitstream as a minimal WebP still for the image path
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
+    bos.write("RIFF".getBytes); le32(4 + 8 + vp8.length + (vp8.length & 1))
+    bos.write("WEBP".getBytes); bos.write("VP8 ".getBytes); le32(vp8.length)
+    bos.write(vp8); if ((vp8.length & 1) != 0) bos.write(0)
+    bos.toByteArray
+  }
+
+  test("IVF: VP8 keyframes round-trip; frame pHash == direct still pHash") {
+    val frames = (0 until 4).map(k => Vp8VideoFixtures.frame(1, k))
+    val ivf = Webm.encodeIvf(48, 48, frames)
+    val got = MediaKernels.videoFrames(ivf, 16)
+    assert(got.length == 4, s"expected 4 frames, got ${got.length}")
+    for (k <- 0 until 4) {
+      val fromVideo = ImageKernels.phash(got(k))
+      val fromStill = ImageKernels.phash(still(frames(k)))
+      assert(fromVideo == fromStill,
+        s"frame $k: video pHash $fromVideo != still pHash $fromStill")
+    }
+    // sampling applies
+    assert(MediaKernels.videoFrames(ivf, 2).length == 2)
+  }
+
+  test("WebM: EBML walk finds the V_VP8 track's SimpleBlock keyframes") {
+    val frames = (0 until 4).map(k => Vp8VideoFixtures.frame(2, k))
+    val webm = Webm.encodeWebm(48, 48, frames)
+    val got = MediaKernels.videoFrames(webm, 16)
+    assert(got.length == 4, s"expected 4 frames, got ${got.length}")
+    for (k <- 0 until 4)
+      assert(ImageKernels.phash(got(k)) == ImageKernels.phash(still(frames(k))))
+  }
+
+  test("VP8 frames are perceptual near-dups of JPEG frames of the same pattern") {
+    // the cross-codec margin the video_dedup gate relies on: VP8(pattern)
+    // within a few bits of JPEG(pattern); distinct patterns far apart
+    for (base <- 1 to 4; k <- 0 until 4) {
+      val vp8 = ImageKernels.phash(still(Vp8VideoFixtures.frame(base, k)))
+      val jpeg = ImageKernels.phash(GenMedia.videoFrameJpeg(base.toLong, k))
+      val d = java.lang.Long.bitCount(vp8 ^ jpeg)
+      assert(d <= 3, s"base=$base k=$k: VP8-vs-JPEG pHash distance $d > 3")
+    }
+    val a = ImageKernels.phash(still(Vp8VideoFixtures.frame(1, 0)))
+    val b = ImageKernels.phash(still(Vp8VideoFixtures.frame(3, 2)))
+    assert(java.lang.Long.bitCount(a ^ b) > 10, "cross-pattern pair too close")
+  }
+
+  test("hostile: truncations and corruption never throw; non-VP8 shapes are empty") {
+    val frames = (0 until 4).map(k => Vp8VideoFixtures.frame(3, k))
+    val ivf = Webm.encodeIvf(48, 48, frames)
+    val webm = Webm.encodeWebm(48, 48, frames)
+    for (good <- Seq(ivf, webm); cut <- Seq(3, 12, 33, 40, good.length / 2, good.length - 1))
+      MediaKernels.videoFrames(java.util.Arrays.copyOf(good, cut), 4) // no throw
+    val rnd = new scala.util.Random(7)
+    for (good <- Seq(ivf, webm); _ <- 0 until 300) {
+      val c = good.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      MediaKernels.videoFrames(c, 4) // no throw on corruption
+    }
+    // IVF with a non-VP8 fourcc: recognized container, zero frames
+    val av01 = ivf.clone()
+    av01(8) = 'A'; av01(9) = 'V'; av01(10) = '0'; av01(11) = '1'
+    assert(MediaKernels.videoFrames(av01, 4).isEmpty)
+    // WebM whose only track is non-VP8 audio: zero frames
+    val audio = webm.clone()
+    val idx = {
+      // flip the CodecID string V_VP8 -> A_OPQ (same length)
+      val needle = "V_VP8".getBytes("US-ASCII")
+      (0 until audio.length - 5).find(i => needle.indices.forall(j => audio(i + j) == needle(j))).get
+    }
+    audio(idx) = 'A'; audio(idx + 2) = 'O'; audio(idx + 3) = 'P'; audio(idx + 4) = 'Q'
+    assert(MediaKernels.videoFrames(audio, 4).isEmpty)
+    // vacuous containers
+    assert(MediaKernels.videoFrames(Webm.encodeIvf(48, 48, Nil), 4).isEmpty)
+    assert(MediaKernels.videoFrames(Webm.encodeWebm(48, 48, Nil), 4).isEmpty)
+  }
+
+  test("cross-container + cross-codec video_dedup: WebM/IVF VP8 groups with MJPEG AVI") {
+    import spark.implicits._
+    // vids 0..3: VP8 (WebM even / IVF odd) of bases 1..4; vids 10..13:
+    // MJPEG AVI with the SAME pattern content; vid 20: unrelated JPEG video
+    val media = (
+      (0L until 4L).map(v => (v, GenMedia.vp8VideoFixture(v))) ++
+        (0L until 4L).map(v => (10L + v, MediaKernels.encodeMjpegAvi(48, 48, 40000L,
+          (0 until 4).map(k => GenMedia.videoFrameJpeg(v + 1, k))))) :+
+        (20L, MediaKernels.encodeMjpegAvi(48, 48, 40000L,
+          (0 until 4).map(k => GenMedia.videoFrameJpeg(555L, k))))
+      ).toDF("media_id", "content")
+    val g = Images.videoDedupGroups(media, "media_id", "content",
+      maxHamming = 3, maxFrames = 8, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (v <- 0L until 4L)
+      assert(g(v) == g(10L + v), s"VP8 vid $v failed to group with its AVI twin: $g")
+    assert(g(0L) != g(1L) && g(20L) != g(10L), g.toString)
+  }
+}
