@@ -625,7 +625,17 @@ object Bench {
     val minSumVsBest = if (bestSum > 0) minSum / bestSum else 1.0
     val fullJson =
       s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(resultsPath, (fullJson + "\n").getBytes("UTF-8"))
+    // A contended run must not become the round's official artifact: its
+    // +20%-ish uniform inflation makes cross-round per-query diffs
+    // unattributable (the r15 lesson). The round-numbered snapshot below
+    // still records it; only the canonical overwrite is refused.
+    val allowContended = sys.env.get("SPARK_GRAFT_ALLOW_CONTENDED").contains("1")
+    if (machineContended && !allowContended && java.nio.file.Files.exists(resultsPath))
+      System.err.println(s"[bench] machine_contended=true — REFUSING to overwrite " +
+        s"$resultsPath (set SPARK_GRAFT_ALLOW_CONTENDED=1 to force); " +
+        "the per-round snapshot is still written")
+    else
+      java.nio.file.Files.write(resultsPath, (fullJson + "\n").getBytes("UTF-8"))
 
     // Per-round snapshot: BENCH_RESULTS.json is overwritten every run, but
     // the committed stdout tier degrades to deciseconds at this query count —

@@ -293,6 +293,22 @@ object SparkEntry {
         .selectExpr("key", "decode_text(content) AS text")
     }),
 
+    // text-DESTINATION zst round trip: a json destination with
+    // `compression: zst` (the Hadoop-codec class-name reroute — Spark's
+    // "zstd" short name would demand libhadoop) written distributed,
+    // read back through the transparent .zst source path — write + read
+    // must invert exactly, and jsonl inference keeps integers integral
+    "q_dest_zst" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dest-zst")
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.engine.Destinations.write(docs.repartition(3), "zstout",
+        Map("format" -> "json", "compression" -> "zst"), dir, dir)
+      graft.engine.Sources.read(s, "zst_back",
+        Map("file" -> s"$dir/zstout.json/part-*.zst", "type" -> "jsonl"), dir)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     "q_tar_sink" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-shard-sink")
       val docs = t(s, d, "documents").filter(col("doc_id") < 200)
@@ -2986,6 +3002,8 @@ object SparkEntry {
       "SELECT 'd' || doc_id AS key, text FROM documents WHERE doc_id < 200",
     "q_tar_sink_zst" ->
       "SELECT 'd' || doc_id AS key, text FROM documents WHERE doc_id < 200",
+    "q_dest_zst" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300",
 
     "q_avro_sink" ->
       """SELECT event_id::VARCHAR AS event_id, epoch_us(ts)::VARCHAR AS ts,

@@ -841,6 +841,16 @@ object Sources {
         s"$file: mboxo continuation spanning a split exceeds 32 MiB — re-quote as mboxrd")
       Iterator((pid, file, n, lead))
     }.collect().sortBy(_._1)
+    // total driver bound: each split's blob is capped at 32 MiB above,
+    // but a pathological archive (thousands of pure-continuation splits)
+    // could still pressure the driver — cap the SUM too, diagnosably
+    val leadCap = spark.conf.getOption("spark.graft.mbox.maxLeadBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val totalLead = counts.iterator.map(_._4.length.toLong).sum
+    require(totalLead <= leadCap,
+      s"mbox: $totalLead bytes of mboxo continuations across " +
+        s"${counts.count(_._4.nonEmpty)} splits exceeds the $leadCap-byte " +
+        "driver bound — re-quote the archive as mboxrd (`>From ` body quoting)")
     val bases = new Array[Long](counts.length)
     // tail blob per partition: leading continuations of LATER splits of
     // the same file chain back to the nearest earlier split that emitted

@@ -173,6 +173,40 @@ class EmlSpec extends graft.SparkSpec {
     } finally hc.unset("mapreduce.input.fileinputformat.split.maxsize")
   }
 
+  test("mboxo: many pure-continuation splits hit the total driver cap diagnosably") {
+    // one owner message whose body is a long run of unquoted `From ` lines
+    // with fat bodies: at maxsize 2048 most splits are PURE continuation,
+    // so their leading blobs all ship to the driver — a tiny total cap
+    // must reject with the re-quote guidance, and the default cap parses
+    val raw = new StringBuilder
+    raw.append("From a@x Thu Jan  1 00:00:00 1970\n")
+      .append("From: a@x\nSubject: flood\nDate: d\n\n")
+    for (i <- 1 to 40)
+      raw.append(s"From the flood, wave $i\n").append("z" * 400).append("\n")
+    raw.append("\n")
+    val f = java.nio.file.Files.createTempFile("graft-mboxo-flood", ".mbox")
+    java.nio.file.Files.write(f, raw.toString.getBytes("ISO-8859-1"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setLong("mapreduce.input.fileinputformat.split.maxsize", 2048)
+    spark.conf.set("spark.graft.mbox.maxLeadBytes", "64")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sources.read(spark, "spec_mbox_cap", Map("file" -> f.toString), f.getParent).collect()
+      }
+      assert(e.getMessage.contains("driver bound") && e.getMessage.contains("mboxrd"),
+        e.getMessage.take(300))
+      // with the default cap the same archive parses back to one message
+      spark.conf.unset("spark.graft.mbox.maxLeadBytes")
+      val rows = Sources.read(spark, "spec_mbox_cap2",
+        Map("file" -> f.toString), f.getParent).collect()
+      assert(rows.length == 1 && rows(0).getString(5).contains("wave 40"),
+        s"got ${rows.length}")
+    } finally {
+      hc.unset("mapreduce.input.fileinputformat.split.maxsize")
+      spark.conf.unset("spark.graft.mbox.maxLeadBytes")
+    }
+  }
+
   test("splittable mbox: garbage archive rejects diagnosably through the split path") {
     val f = java.nio.file.Files.createTempFile("graft-mbox-bad", ".mbox")
     java.nio.file.Files.write(f, "this is not an mbox at all\n".getBytes)
