@@ -2208,6 +2208,21 @@ object SparkEntry {
           "min_matches" -> 2), Map.empty, "gate")
     }),
 
+    // WebM/IVF through the video_meta face: Matroska Info Duration x
+    // TimecodeScale + Video PixelWidth/Height, and the IVF header's
+    // timebase arithmetic — frame count id-derived, oracle closed-form
+    "q_video_meta_webm" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.vp8MetaFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "video_format", "video_width", "video_height",
+          "video_duration_ms")
+    }),
+
     // real VP8 VIDEO: WebM (Matroska SimpleBlock walk) for even vids, IVF
     // for odd, each wrapping 4 libwebp-encoded VP8 keyframes
     // (tools/Vp8VideoFixtures); every frame decodes through the native
@@ -3004,6 +3019,17 @@ object SparkEntry {
       "SELECT 'd' || doc_id AS key, text FROM documents WHERE doc_id < 200",
     "q_dest_zst" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300",
+
+    // WebM Duration x TimecodeScale; IVF frames x timebase — both
+    // closed-form in doc_id (n = 2 + id%3 frames, 48x48)
+    "q_video_meta_webm" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'ivf' END AS video_format,
+           48 AS video_width, 48 AS video_height,
+           (CASE WHEN doc_id % 2 = 0 THEN (2 + doc_id % 3) * 33
+                 ELSE (2 + doc_id % 3) * 1000 // 30 END)::BIGINT
+             AS video_duration_ms
+         FROM documents WHERE doc_id < 300""",
 
     "q_avro_sink" ->
       """SELECT event_id::VARCHAR AS event_id, epoch_us(ts)::VARCHAR AS ts,

@@ -304,6 +304,14 @@ object MediaKernels {
     if (a != null)
       return new GenericInternalRow(Array[Any](UTF8String.fromString("avi"),
         a(0).toInt, a(1).toInt, a(2)))
+    val iv = Webm.ivfMeta(b)
+    if (iv != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("ivf"),
+        iv(0).toInt, iv(1).toInt, iv(2)))
+    val wm = Webm.webmMeta(b)
+    if (wm != null)
+      return new GenericInternalRow(Array[Any](UTF8String.fromString("webm"),
+        wm(0).toInt, wm(1).toInt, wm(2)))
     val g = gifMeta(b)
     if (g != null)
       return new GenericInternalRow(Array[Any](UTF8String.fromString("gif"),

@@ -186,6 +186,83 @@ object Webm {
     out.toArray
   }
 
+  // ------------------------------------------------------------- metadata
+
+  /** IVF metadata: (width, height, durationMs) from the file header —
+    * dims at 12/14, timebase den/num at 16/20, frame count at 24.
+    * Null when not IVF. */
+  private[functions] def ivfMeta(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 32 ||
+      !(b(0) == 'D' && b(1) == 'K' && b(2) == 'I' && b(3) == 'F')) return null
+    val w = le16(b, 12); val h = le16(b, 14)
+    val den = le32(b, 16); val num = le32(b, 20)
+    val frames = le32(b, 24)
+    val durMs = if (den > 0) frames * 1000L * num / den else 0L
+    Array(w.toLong, h.toLong, durMs)
+  }
+
+  /** Matroska/WebM metadata: (width, height, durationMs) from Segment →
+    * Tracks → Video (PixelWidth/PixelHeight) and Segment → Info
+    * (Duration float x TimecodeScale ns). Null when not EBML. */
+  private[functions] def webmMeta(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 8 ||
+      !((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+        (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)) return null
+    var w = 0L; var h = 0L
+    var timecodeScale = 1000000L // ns, spec default
+    var duration = -1.0 // in timecode units
+    def vintLen(first: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (first & m) == 0) { m >>= 1; n += 1 }
+      if (n > 8) -1 else n
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var p = start
+      while (p < end && depth < 16) {
+        if (p >= b.length) return
+        val idn = vintLen(b(p) & 0xFF)
+        if (idn < 0 || idn > 4 || p + idn > b.length) return
+        var id = 0L
+        for (i <- 0 until idn) id = (id << 8) | (b(p + i) & 0xFF)
+        val sp = p + idn
+        if (sp >= b.length) return
+        val szn = vintLen(b(sp) & 0xFF)
+        if (szn < 0 || sp + szn > b.length) return
+        var sz = ((b(sp) & 0xFF) & (0xFF >>> szn)).toLong
+        for (i <- 1 until szn) sz = (sz << 8) | (b(sp + i) & 0xFF)
+        val unknown = sz == (1L << (7 * szn)) - 1
+        val d = sp + szn
+        val e = if (unknown) end
+        else if (d + sz > end || sz > Int.MaxValue) return
+        else (d + sz).toInt
+        id match {
+          case 0x18538067 | 0x1549A966 | 0x1654AE6B | 0xAE | 0xE0 =>
+            walk(d, e, depth + 1) // Segment/Info/Tracks/TrackEntry/Video
+          case 0x2AD7B1 if !unknown => // TimecodeScale (uint)
+            var v = 0L; for (i <- 0 until sz.toInt) v = (v << 8) | (b(d + i) & 0xFF)
+            if (v > 0) timecodeScale = v
+          case 0x4489 if !unknown => // Duration (float 4 or 8)
+            var bits = 0L
+            for (i <- 0 until sz.toInt) bits = (bits << 8) | (b(d + i) & 0xFF)
+            if (sz == 4) duration = java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+            else if (sz == 8) duration = java.lang.Double.longBitsToDouble(bits)
+          case 0xB0 if !unknown => // PixelWidth
+            var v = 0L; for (i <- 0 until sz.toInt) v = (v << 8) | (b(d + i) & 0xFF)
+            if (w == 0) w = v
+          case 0xBA if !unknown => // PixelHeight
+            var v = 0L; for (i <- 0 until sz.toInt) v = (v << 8) | (b(d + i) & 0xFF)
+            if (h == 0) h = v
+          case _ => ()
+        }
+        p = e
+      }
+    }
+    try walk(0, b.length, 0) catch { case _: Exception => () }
+    val durMs =
+      if (duration > 0) math.round(duration * timecodeScale / 1e6) else 0L
+    Array(w, h, durMs)
+  }
+
   // -------------------------------------------- fixture/test writers
 
   /** Raw VP8 keyframe bitstreams into an IVF container (the codec-SDK
@@ -235,7 +312,10 @@ object Webm {
       uintEl(0x4286, 1) ++ uintEl(0x42F7, 1) ++ uintEl(0x42F2, 4) ++
         uintEl(0x42F3, 8) ++ el(0x4282, "webm".getBytes("US-ASCII")) ++
         uintEl(0x4287, 2) ++ uintEl(0x4285, 2))
-    val info = el(0x1549A966L, uintEl(0x2AD7B1, 1000000L))
+    // Duration in timecode units (scale 1 ms): 33 ms per frame, float64
+    val durBits = java.lang.Double.doubleToLongBits(frames.length * 33.0)
+    val info = el(0x1549A966L, uintEl(0x2AD7B1, 1000000L) ++
+      el(0x4489, Array.tabulate(8)(i => ((durBits >>> (8 * (7 - i))) & 0xFF).toByte)))
     val video = el(0xE0, uintEl(0xB0, w) ++ uintEl(0xBA, h))
     val entry = el(0xAE, uintEl(0xD7, 1) ++ uintEl(0x73C5, 1) ++
       uintEl(0x83, 1) ++ el(0x86, "V_VP8".getBytes("US-ASCII")) ++ video)

@@ -111,6 +111,17 @@ object GenMedia {
     else graft.functions.Webm.encodeIvf(48, 48, frames)
   }
 
+  /** q_video_meta_webm payload: WebM for even ids / IVF for odd, with
+    * id-derived frame count n = 2 + id%3, so dims and duration are
+    * closed-form: WebM writes Duration = n*33 ms (timecode scale 1 ms);
+    * IVF derives n*1000/30 ms from its 30 fps timebase header. */
+  def vp8MetaFixture(id: Long): Array[Byte] = {
+    val n = 2 + (id % 3).toInt
+    val frames = (0 until n).map(k => Vp8VideoFixtures.frame((id % 4).toInt + 1, k))
+    if (id % 2 == 0) graft.functions.Webm.encodeWebm(48, 48, frames)
+    else graft.functions.Webm.encodeIvf(48, 48, frames)
+  }
+
   /** q_video_dedup payload: ids i and i+100 carry the SAME frame content
     * in DIFFERENT containers — the rotation (id%4 below, shifted by one
     * above) guarantees every pair crosses containers and all four

@@ -86,6 +86,22 @@ class WebmSpec extends SparkSpec {
     assert(MediaKernels.videoFrames(Webm.encodeWebm(48, 48, Nil), 4).isEmpty)
   }
 
+  test("video_meta: WebM Duration x TimecodeScale and IVF timebase arithmetic") {
+    val frames = (0 until 3).map(k => Vp8VideoFixtures.frame(1, k))
+    val wm = MediaKernels.videoMetaRow(Webm.encodeWebm(48, 48, frames))
+    assert(wm.getUTF8String(0).toString == "webm")
+    assert(wm.getInt(1) == 48 && wm.getInt(2) == 48)
+    assert(wm.getLong(3) == 99L, s"webm duration ${wm.getLong(3)}") // 3 x 33 ms
+    val iv = MediaKernels.videoMetaRow(Webm.encodeIvf(48, 48, frames))
+    assert(iv.getUTF8String(0).toString == "ivf")
+    assert(iv.getInt(1) == 48 && iv.getInt(2) == 48)
+    assert(iv.getLong(3) == 100L, s"ivf duration ${iv.getLong(3)}") // 3 x 1000/30 ms
+    // hostile: truncated headers never throw through the meta face
+    for (good <- Seq(Webm.encodeWebm(48, 48, frames), Webm.encodeIvf(48, 48, frames));
+         cut <- Seq(4, 10, 20, 40))
+      MediaKernels.videoMetaRow(java.util.Arrays.copyOf(good, cut))
+  }
+
   test("cross-container + cross-codec video_dedup: WebM/IVF VP8 groups with MJPEG AVI") {
     import spark.implicits._
     // vids 0..3: VP8 (WebM even / IVF odd) of bases 1..4; vids 10..13:
