@@ -52,12 +52,23 @@ object Vp8 {
 
   /** RFC 6386 sec 7.3: 16-bit-window arithmetic decoder. Reads past the
     * partition end zero-fill (the spec's own convention for the final
-    * bits); `overrun` lets callers reject grossly truncated streams. */
+    * bits); `overrun` lets callers reject grossly truncated streams.
+    *
+    * Implementation note (perf, same arithmetic): instead of the spec's
+    * bit-at-a-time renormalization, `value` carries the 16-bit active
+    * window PLUS `extra` prefetched low bits (value < 2^30, so Int
+    * suffices). The window is `value >> extra`; comparing
+    * `value >= split << (8+extra)` and subtracting at that scale is
+    * integer-identical to the spec's window ops (the subtrahend has zero
+    * low bits), and renormalizing is one leading-zeros shift of `range`
+    * plus `extra -= s` — bytes load only when the prefetch drains. The
+    * byte-consumption order from the stream is unchanged, so decoded
+    * output is bit-exact (Vp8Spec pins it against libwebp). */
   private[functions] final class Bool(b: Array[Byte], start: Int, end: Int) {
     private var pos = start
     private var range = 255
     private var value = 0
-    private var bitCount = 0
+    private var extra = 0 // prefetched bits below the 16-bit window
     var overrun = 0
     value = (next() << 8) | next()
 
@@ -67,13 +78,16 @@ object Vp8 {
 
     def bool(prob: Int): Int = {
       val split = 1 + (((range - 1) * prob) >> 8)
-      val big = split << 8
+      val big = split << (8 + extra)
       var ret = 0
       if (value >= big) { ret = 1; range -= split; value -= big }
       else range = split
-      while (range < 128) {
-        value <<= 1; range <<= 1; bitCount += 1
-        if (bitCount == 8) { bitCount = 0; value |= next() }
+      if (range < 128) {
+        // shift bringing range back into [128,255]: 1..7 bits
+        val s = java.lang.Integer.numberOfLeadingZeros(range) - 24
+        while (extra < s) { value = (value << 8) | next(); extra += 8 }
+        range <<= s
+        extra -= s
       }
       ret
     }
@@ -924,16 +938,46 @@ object Vp8 {
       pl(o + 2 * s) = uclip(q2 - a2); pl(o - 3 * s) = uclip(p2 + a2)
     }
 
-    /** One normal-filter edge: `s` steps across the edge, `line` along it. */
+    /** One normal-filter edge: `s` steps across the edge, `line` along it.
+      * Fused form of filterYes/hev/filter2/4/6 (same arithmetic, see those
+      * for the spec mapping) loading each of the 8 edge pixels once —
+      * the filter touches every pixel up to 4x otherwise and this loop is
+      * a top-three profile entry. */
     private def normalEdge(pl: Array[Byte], base: Int, s: Int, line: Int, n: Int,
                            lim: Int, il: Int, hevT: Int, mbEdge: Boolean): Unit = {
+      val s2 = 2 * s; val s3 = 3 * s; val s4 = 4 * s
       var i = 0
       while (i < n) {
         val o = base + i * line
-        if (filterYes(pl, o, s, lim, il)) {
-          if (hev(pl, o, s, hevT)) filter2(pl, o, s)
-          else if (mbEdge) filter6(pl, o, s)
-          else filter4(pl, o, s)
+        val p3 = pl(o - s4) & 0xFF; val p2 = pl(o - s3) & 0xFF
+        val p1 = pl(o - s2) & 0xFF; val p0 = pl(o - s) & 0xFF
+        val q0 = pl(o) & 0xFF; val q1 = pl(o + s) & 0xFF
+        val q2 = pl(o + s2) & 0xFF; val q3 = pl(o + s3) & 0xFF
+        val dp1p0 = math.abs(p1 - p0); val dq1q0 = math.abs(q1 - q0)
+        if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= lim &&
+          math.abs(p3 - p2) <= il && math.abs(p2 - p1) <= il && dp1p0 <= il &&
+          math.abs(q3 - q2) <= il && math.abs(q2 - q1) <= il && dq1q0 <= il) {
+          if (dp1p0 > hevT || dq1q0 > hevT) { // hev -> common_adjust w/ taps
+            val a = sclip(sclip(p1 - q1) + 3 * (q0 - p0))
+            pl(o) = uclip(q0 - (sclip(a + 4) >> 3))
+            pl(o - s) = uclip(p0 + (sclip(a + 3) >> 3))
+          } else if (mbEdge) { // wide 27/18/9 taps
+            val wv = sclip(sclip(p1 - q1) + 3 * (q0 - p0))
+            val a0 = (27 * wv + 63) >> 7
+            val a1 = (18 * wv + 63) >> 7
+            val a2 = (9 * wv + 63) >> 7
+            pl(o) = uclip(q0 - a0); pl(o - s) = uclip(p0 + a0)
+            pl(o + s) = uclip(q1 - a1); pl(o - s2) = uclip(p1 + a1)
+            pl(o + s2) = uclip(q2 - a2); pl(o - s3) = uclip(p2 + a2)
+          } else { // subblock non-hev: half-step moves p1/q1 too
+            val a = sclip(3 * (q0 - p0))
+            val f1 = sclip(a + 4) >> 3
+            val a3 = (f1 + 1) >> 1
+            pl(o) = uclip(q0 - f1)
+            pl(o - s) = uclip(p0 + (sclip(a + 3) >> 3))
+            pl(o + s) = uclip(q1 - a3)
+            pl(o - s2) = uclip(p1 + a3)
+          }
         }
         i += 1
       }
