@@ -1619,6 +1619,50 @@ object SparkEntry {
         .select(col("media_id"), col("batch").cast("long").as("batch"))
     }),
 
+    // VIDEO face (9th ingest face): the persisted index is MULTI-ROW
+    // (id, fidx, sig) and the match is the both-sides distinct-frame
+    // VOTE. Delta 1 = 100 distinct bases across the 4-container rotation
+    // (all kept); delta 2 = 50 cross-container re-encodes of indexed
+    // bases (dropped via the frame index), 10 novel videos (kept), and
+    // 10 same-content container twins of the novel ones (dropped
+    // within-batch, min id wins) — keep-set closed-form in doc_id
+    "q_stream_ingest_video" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-vid")
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      def payload(id: Long): Array[Byte] =
+        if (id < 200) graft.tools.GenMedia.videoDedupFixture(id)
+        else if (id < 300) graft.functions.MediaKernels.encodeMjpegAvi(48, 48, 40000L,
+          (0 until 4).map(k => graft.tools.GenMedia.videoFrameJpeg(id, k)))
+        else graft.functions.MediaKernels.encodeJpegMp4(48, 48,
+          (0 until 4).map(k => graft.tools.GenMedia.videoFrameJpeg(id - 100, k)))
+      def fx(df: DataFrame) = df.as[Long]
+        .mapPartitions(_.map(id => (id, payload(id))))
+        .toDF("media_id", "content")
+      fx(ids.filter(col("doc_id") < 100)).write.parquet(s"$dir/src")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val src = s.readStream.schema(schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalVideoDedupIngest(src,
+        "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 3,
+        maxFrames = 4, minMatches = 2, checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        // single-file delta-2 append: atomic to the poller's listing
+        fx(ids.filter(
+          (col("doc_id") >= 100 && col("doc_id") < 150) ||
+            (col("doc_id") >= 200 && col("doc_id") < 210) ||
+            (col("doc_id") >= 300 && col("doc_id") < 310))).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/out")
+        .select(col("media_id"), col("batch").cast("long").as("batch"))
+    }),
+
     // AUDIO face: same delta shape over the WAV/FLAC cross-container
     // fingerprint fixtures (id%250 keys the recording; ids >= 250 are the
     // double-amplitude re-encodes whose fingerprints collide exactly)
@@ -3971,6 +4015,16 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id AS media_id, 1::BIGINT AS batch FROM documents
          WHERE doc_id >= 240 AND doc_id < 250""",
+
+    // video: delta 1 keeps all 100 distinct bases; delta 2 keeps only
+    // the 10 novel videos (100-149 re-encode indexed bases 0-49 and drop
+    // via the frame index; 300-309 are container twins of 200-209 and
+    // drop within-batch to the smaller id)
+    "q_stream_ingest_video" ->
+      """SELECT doc_id AS media_id, 0::BIGINT AS batch FROM documents WHERE doc_id < 100
+         UNION ALL
+         SELECT doc_id AS media_id, 1::BIGINT AS batch FROM documents
+         WHERE doc_id >= 200 AND doc_id < 210""",
 
     // same closed form: audio fingerprints key on id%250 and the >= 250
     // double-amplitude cross-container re-encodes collide exactly

@@ -211,4 +211,56 @@ object Images {
         .select(col("id").as(idCol), col("group_rep").as("keep_id"), col("n_group"))
     } finally frames.unpersist()
   }
+
+  /** A video's MULTI-ROW signature: (id, fidx, sig) — one pHash per
+    * sampled frame (the form the incremental video index persists). */
+  def videoFrameSigs(df: DataFrame, idCol: String, binCol: String,
+                     maxFrames: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).cast(LongType).as("id"),
+        posexplode(call_function("video_frames", col(binCol), lit(maxFrames)))
+          .as(Seq("fidx", "frame")))
+      .select(col("id"), col("fidx"),
+        call_function("image_phash", col("frame")).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** Incremental video near-dedup against a persisted FRAME index: a
+    * delta video is dropped when its sampled frames vote-match (at least
+    * `minMatches` DISTINCT frames on BOTH sides within `maxHamming` bits
+    * — [[videoDedupGroups]]' guard) ANY indexed video, or a SMALLER-id
+    * delta video. Videos with no extractable frames keep themselves.
+    * `deltaSigs` is [[videoFrameSigs]] of `delta` (caller persists it —
+    * it feeds both the vote here and the index append after). Scale
+    * shape: banded 16-bit-chunk equi-joins only, never all-pairs. */
+  def videoDedupIncrementalFromSigs(delta: DataFrame, deltaSigs: DataFrame,
+                                    indexSigs: DataFrame, idCol: String,
+                                    maxHamming: Int = 3,
+                                    minMatches: Int = 2): DataFrame = {
+    require(minMatches >= 1, s"video_dedup: min_matches must be >= 1, got $minMatches")
+    def bands(c: Column) = posexplode(transform(sequence(lit(0), lit(3)),
+      b => call_function("shiftright", c, b * 16).bitwiseAND(0xFFFFL)))
+    def banded(sigs: DataFrame, p: String) = sigs
+      .select(col("id").cast(LongType).as(s"${p}_vid"), col("fidx").as(s"${p}_fidx"),
+        col("sig").cast(LongType).as(s"${p}_sig"))
+      .select(col(s"${p}_vid"), col(s"${p}_fidx"), col(s"${p}_sig"),
+        bands(col(s"${p}_sig")).as(Seq("band", "chunk")))
+    def vote(matches: DataFrame, dropCol: String) = matches
+      .select(col("a_vid"), col("b_vid"), col("a_fidx"), col("b_fidx")).distinct()
+      .groupBy("a_vid", "b_vid")
+      .agg(countDistinct(col("a_fidx")).as("na"), countDistinct(col("b_fidx")).as("nb"))
+      .filter(least(col("na"), col("nb")) >= minMatches)
+      .select(col(dropCol).as("drop_id"))
+    val dl = banded(deltaSigs, "a")
+    val hamOk = bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming
+    // vs the persisted index: any vote-match condemns the delta video
+    val vsIndex = vote(
+      dl.join(banded(indexSigs, "b"), Seq("band", "chunk")).filter(hamOk), "a_vid")
+    // within the delta: (a < b) condemns b, the larger id
+    val within = vote(
+      dl.join(banded(deltaSigs, "b"), Seq("band", "chunk"))
+        .filter(col("a_vid") < col("b_vid")).filter(hamOk), "b_vid")
+    val condemned = vsIndex.union(within).distinct()
+    delta.join(condemned, col(idCol).cast(LongType) === col("drop_id"), "left_anti")
+  }
 }

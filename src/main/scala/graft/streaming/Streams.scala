@@ -278,6 +278,63 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental VIDEO near-dedup ingest — the 9th ingest
+    * face. Unlike image/audio, a video's signature is MULTI-ROW (one
+    * pHash per sampled frame), so the persisted index is (id, fidx, sig)
+    * and the match is the both-sides distinct-frame VOTE of
+    * [[graft.functions.Images.videoDedupGroups]] — at least `minMatches`
+    * distinct frames on each side within `maxHamming` bits — against the
+    * index and within the batch (min id wins). Survivors land under
+    * `outDir/batch=<id>`, their frame signatures under
+    * `indexDir/batch=<id>`, with the uniform batch-stamped-overwrite
+    * exactly-once discipline (own-batch-excluded index reads make
+    * replays idempotent). */
+  def incrementalVideoDedupIngest(docs: DataFrame, idCol: String, binCol: String,
+                                  indexDir: String, outDir: String,
+                                  maxHamming: Int = 3, maxFrames: Int = 8,
+                                  minMatches: Int = 2,
+                                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Images
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val index = existingVideoIndex(spark, indexDir, excludeBatch = batchId)
+        val sigs = Images.videoFrameSigs(batch, idCol, binCol, maxFrames).persist()
+        try {
+          val kept = Images.videoDedupIncrementalFromSigs(
+            batch, sigs, index, idCol, maxHamming, minMatches).persist()
+          try {
+            kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            sigs.join(
+              kept.select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id")),
+              Seq("id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+          } finally kept.unpersist()
+        } finally sigs.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** The persisted video FRAME index (id, fidx, sig), batch partitions
+    * except `excludeBatch` — same replay discipline as [[existingSigIndex]]. */
+  private def existingVideoIndex(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String, excludeBatch: Long): DataFrame = {
+    if (hasBatchParquet(spark, indexDir))
+      spark.read.parquet(indexDir)
+        .filter(col("batch") =!= excludeBatch)
+        .select("id", "fidx", "sig")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fidx",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** Streaming incremental EMBEDDING near-dedup ingest — the 8th ingest
     * face, completing the modality matrix (text shingles, image pHash,
     * audio fingerprints, document bytes, and now vectors): every

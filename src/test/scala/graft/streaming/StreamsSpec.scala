@@ -265,6 +265,39 @@ class StreamsSpec extends SparkSpec {
     assert(kept == (1L to 10L) :+ 13L, kept.toString)
   }
 
+  test("incrementalVideoDedupIngest: multi-row frame index, vote across containers and deltas") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.tools.GenMedia
+    val dir = java.nio.file.Files.createTempDirectory("graft-vid-ingest")
+    val (idxDir, outDir, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    // delta 1: videos 0-4 (distinct bases across the container rotation)
+    // + 104 (same CONTENT as 4 in a different container) -> 104 drops
+    // within-batch; delta 2: 103 re-encodes delta-1's kept 3 (drops via
+    // the persisted frame index), 50 is novel
+    val delta1 = Seq(0L, 1L, 2L, 3L, 4L, 104L)
+    val delta2 = Seq(103L, 50L)
+    def payload(id: Long) = (id, GenMedia.videoDedupFixture(id))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.incrementalVideoDedupIngest(mem.toDF().toDF("media_id", "content"),
+      "media_id", "content", idxDir, outDir, maxHamming = 3, maxFrames = 4,
+      minMatches = 2, checkpointDir = ckpt)
+    try {
+      mem.addData(delta1.map(payload): _*)
+      q.processAllAvailable()
+      mem.addData(delta2.map(payload): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(outDir).select("media_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 3L, 4L, 50L),
+      s"104 within-batch, 103 via the frame index, 50 novel: $kept")
+    // the persisted index carries only survivors' frame rows, 4 per video
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.select("id").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 50L))
+    assert(idx.count() == 24, s"4 frame sigs per surviving video: ${idx.count()}")
+  }
+
   test("incrementalImageDedupIngest: stream keep-set across two image deltas equals the batch path") {
     implicit val sqlCtx = spark.sqlContext
     import graft.tools.GenImages
