@@ -143,6 +143,35 @@ class MediaPropertySpec extends SparkSpec {
     }, "bpe_partition")
   }
 
+  test("WebM/IVF walks never throw on arbitrary bytes; real containers round-trip") {
+    // fuzz law: videoFrames / videoMetaRow must be total over arbitrary
+    // byte arrays AND over corruptions of real WebM/IVF containers
+    val junk = Gen.listOf(Gen.chooseNum(-128, 127)).map(_.map(_.toByte).toArray)
+    check(Prop.forAll(junk) { bytes =>
+      MediaKernels.videoFrames(bytes, 4) // no throw is the property
+      MediaKernels.videoMetaRow(bytes)
+      true
+    }, "webm_junk_total")
+    val frames = (0 until 3).map(k => graft.tools.Vp8VideoFixtures.frame(2, k))
+    val real = Seq(Webm.encodeWebm(48, 48, frames), Webm.encodeIvf(48, 48, frames))
+    val corrupt = for {
+      base <- Gen.oneOf(0, 1)
+      i <- Gen.chooseNum(0, real(base).length - 1)
+      b <- Gen.chooseNum(-128, 127)
+    } yield { val c = real(base).clone(); c(i) = b.toByte; c }
+    check(Prop.forAll(corrupt) { bytes =>
+      MediaKernels.videoFrames(bytes, 4)
+      MediaKernels.videoMetaRow(bytes)
+      true
+    }, "webm_corrupt_total")
+    // uncorrupted law: frame count and meta are exact
+    for (c <- real) {
+      assert(MediaKernels.videoFrames(c, 16).length == 3)
+      val m = MediaKernels.videoMetaRow(c)
+      assert(m.getInt(1) == 48 && m.getInt(2) == 48)
+    }
+  }
+
   test("more merges never increase a word's token count (monotone compression)") {
     import spark.implicits._
     val corpus = "the quick brown fox the quick dog the brown cat quick fox"
