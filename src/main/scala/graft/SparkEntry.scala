@@ -658,6 +658,34 @@ object SparkEntry {
       graft.engine.Sources.read(s, "region_csv", Map("file" -> f.toString), f.getParent)
     }),
 
+    // headerless csv (header_rows: 0 engine extension): `columns` becomes
+    // the schema; the body parses distributed with no header inference
+    "q_headerless_csv" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region-nh", ".csv")
+      val body = rows.map(r => s"${r.get(0)},${r.getString(1)}").mkString("\n") + "\n"
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "region_nh",
+        Map("file" -> f.toString, "header_rows" -> 0,
+          "columns" -> List("r_regionkey", "r_name")), f.getParent)
+    }),
+
+    // multi-line sparse header (header_rows as a 0-based row list +
+    // fill_sparse_headers): upper rows forward-fill, per-column pieces
+    // join with "__" — names are closed-form
+    "q_multiline_header" -> ((s, d) => {
+      val rows = t(s, d, "region").select("r_regionkey", "r_name")
+        .orderBy("r_regionkey").collect()
+      val f = java.nio.file.Files.createTempFile("graft-region-mh", ".csv")
+      val body = "Region,,Detail\nKey,Name,Comment\n" +
+        rows.map(r => s"${r.get(0)},${r.getString(1)},d${r.get(0)}").mkString("\n") + "\n"
+      java.nio.file.Files.writeString(f, body)
+      graft.engine.Sources.read(s, "region_mh",
+        Map("file" -> f.toString, "header_rows" -> List(0, 1),
+          "fill_sparse_headers" -> true), f.getParent)
+    }),
+
     // the same CSV zstd-compressed: the registered ZstdCodec makes every
     // Hadoop text reader handle *.zst transparently (crawl corpora ship
     // zstd; Hadoop's own codec needs native libhadoop, absent here)
@@ -844,6 +872,58 @@ object SparkEntry {
     "q_snake_case_columns" -> ((s, d) =>
       Ops.snakeCaseColumns(
         t(s, d, "region").withColumnsRenamed(Map("r_regionkey" -> "regionKey", "r_name" -> "regionName")))),
+
+    // node-level features end-to-end through the REAL project lifecycle
+    // (Engine.run over a YAML plan): `expect` Jinja assertions,
+    // `require_rows`, `repartition`, `debug` on both a source and a
+    // transformation, default-jsonl destination — the written rows read
+    // back must be the identity over region (all-string render)
+    "q_node_features" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-nodef")
+      val yaml =
+        s"""version: 2
+           |config:
+           |  output_dir: $dir/unused
+           |sources:
+           |  region:
+           |    file: $d/region.parquet
+           |    expect:
+           |      - r_regionkey >= 0
+           |    require_rows: 1
+           |    repartition: 2
+           |transformations:
+           |  shaped:
+           |    source: $$sources.region
+           |    operations:
+           |      - operation: keep_columns
+           |        columns: [r_regionkey, r_name]
+           |    require_rows: 1
+           |    debug: True
+           |destinations:
+           |  region_out:
+           |    source: $$transformations.shaped
+           |""".stripMargin
+      val f = dir.resolve("p.yaml")
+      java.nio.file.Files.writeString(f, yaml)
+      new graft.engine.Engine(s).run(f.toString, outputDir = Some(dir.resolve("o")))
+      graft.engine.Sources.read(s, "node_back",
+        Map("file" -> s"$dir/o/region_out.jsonl", "type" -> "jsonl"), dir)
+    }),
+
+    // casing chain through the YAML dispatch: snake -> UPPER -> lower;
+    // the upper/lower legs are pure renames the oracle states directly
+    "q_case_columns" -> ((s, d) => {
+      val eng = new graft.engine.Engine(s)
+      val base = t(s, d, "region")
+        .withColumnsRenamed(Map("r_regionkey" -> "RegionKey", "r_name" -> "RegionName"))
+      val snake = eng.applyOperation(base,
+        Map("operation" -> "snake_case_columns"), Map.empty, "gate")
+      val upper = eng.applyOperation(snake,
+        Map("operation" -> "uppercase_columns"), Map.empty, "gate")
+      eng.applyOperation(upper,
+        Map("operation" -> "lowercase_columns"), Map.empty, "gate")
+        .select("region_key", "region_name")
+    }),
 
     // ======================================================= row operators
     "q_distinct_rows" -> ((s, d) =>
@@ -3200,6 +3280,12 @@ object SparkEntry {
     // read identically through the codec layer
     "q_source_csv" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+    "q_headerless_csv" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+    "q_multiline_header" ->
+      """SELECT cast(r_regionkey AS VARCHAR) AS "Region__Key",
+           r_name AS "Region__Name",
+           'd' || r_regionkey AS "Detail__Comment" FROM region""",
     "q_source_csv_zst" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
     "q_source_jsonl_zst" -> "SELECT n_nationkey, n_name FROM nation",
@@ -3253,6 +3339,13 @@ object SparkEntry {
 
     "q_snake_case_columns" ->
       "SELECT r_regionkey AS region_key, r_name AS region_name FROM region",
+    // snake -> UPPER -> lower ends where snake left it
+    "q_case_columns" ->
+      "SELECT r_regionkey AS region_key, r_name AS region_name FROM region",
+    // the lifecycle is row-preserving; the default jsonl render is
+    // all-string
+    "q_node_features" ->
+      "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "q_distinct_rows" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
