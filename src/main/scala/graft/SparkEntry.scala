@@ -658,6 +658,42 @@ object SparkEntry {
       graft.engine.Sources.read(s, "region_csv", Map("file" -> f.toString), f.getParent)
     }),
 
+    // optional-source machinery: columns SUBSET selection tolerating a
+    // listed-but-absent optional field (which materializes as ""), plus a
+    // MISSING `optional: true` source contributing an empty frame whose
+    // all-string schema must union cleanly with the real read
+    "q_source_optional" -> ((s, d) => {
+      val rows = t(s, d, "nation").select("n_nationkey", "n_name")
+        .orderBy("n_nationkey").collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft-opt")
+      val f = dir.resolve("nation.csv")
+      java.nio.file.Files.writeString(f, "n_nationkey,n_name\n" +
+        rows.map(r => s"${r.get(0)},${r.getString(1)}").mkString("\n") + "\n")
+      val cols = List("n_nationkey", "n_name", "n_ghost")
+      val present = graft.engine.Sources.read(s, "nat_opt",
+        Map("file" -> f.toString, "columns" -> cols,
+          "optional_fields" -> List("n_ghost")), dir)
+      val absent = graft.engine.Sources.read(s, "nat_missing",
+        Map("file" -> s"$dir/no-such-file.csv", "optional" -> true,
+          "columns" -> cols, "optional_fields" -> List("n_ghost")), dir)
+      present.unionByName(absent)
+    }),
+
+    // sink null/type coercion through the DEFAULT jsonl render
+    // (destination.py:21-58 cast_output_dtype parity): every value
+    // stringifies, None/null renders as "" — the written rows read back
+    // must state those coercions exactly
+    "q_sink_nulls" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sink-nulls")
+      val src = t(s, d, "customer").filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_name")).as("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      graft.engine.Destinations.write(src, "cust", Map.empty, dir, dir)
+      graft.engine.Sources.read(s, "cust_back",
+        Map("file" -> s"$dir/cust.jsonl", "type" -> "jsonl"), dir)
+    }),
+
     // headerless csv (header_rows: 0 engine extension): `columns` becomes
     // the schema; the body parses distributed with no header inference
     "q_headerless_csv" -> ((s, d) => {
@@ -3282,6 +3318,14 @@ object SparkEntry {
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
     "q_headerless_csv" ->
       "SELECT cast(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
+    "q_source_optional" ->
+      """SELECT cast(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+           '' AS n_ghost FROM nation""",
+    "q_sink_nulls" ->
+      """SELECT cast(c_custkey AS VARCHAR) AS c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_name END AS c_name,
+           cast(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS cents
+         FROM customer WHERE c_custkey < 1000""",
     "q_multiline_header" ->
       """SELECT cast(r_regionkey AS VARCHAR) AS "Region__Key",
            r_name AS "Region__Name",
