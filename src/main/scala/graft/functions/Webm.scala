@@ -146,15 +146,71 @@ object Webm {
       if (isVp8 && num > 0) vp8Track = num
     }
 
-    /** A (Simple)Block payload: track vint, 2-byte timecode, flags, frame. */
+    /** A (Simple)Block payload: track vint, 2-byte timecode, flags, then
+      * one frame — or several under lacing (flags & 0x06: 02 Xiph, 04
+      * fixed, 06 EBML; the last laced frame is always the remainder). */
     def block(start: Int, end: Int): Unit = {
       val (track, tn) = readSize(start) // track number is a plain vint
       if (track < 0 || start + tn + 3 > end) return
       if (vp8Track == 0L || (vp8Track > 0 && track != vp8Track)) return
       val flags = b(start + tn + 2) & 0xFF
-      if ((flags & 0x06) != 0) return // laced — skip (see Scaladoc)
-      val d = start + tn + 3
-      snapshot(b, d, end - d, out)
+      var p = start + tn + 3
+      val lacing = flags & 0x06
+      if (lacing == 0) { snapshot(b, p, end - p, out); return }
+      if (p >= end) return
+      val n = (b(p) & 0xFF) + 1
+      p += 1
+      val sizes = new Array[Int](n)
+      lacing match {
+        case 0x02 => // Xiph: 255-run coded sizes for frames 0..n-2
+          var i = 0
+          while (i < n - 1) {
+            var sz = 0
+            var cont = true
+            while (cont && p < end) { val v = b(p) & 0xFF; p += 1; sz += v; cont = v == 255 }
+            if (cont) return // truncated inside a size run
+            sizes(i) = sz; i += 1
+          }
+        case 0x04 => // fixed: the remainder divides evenly
+          val rem = end - p
+          if (n == 0 || rem < 0 || rem % n != 0) return
+          java.util.Arrays.fill(sizes, rem / n)
+        case _ if n == 1 => // EBML with one frame lists no sizes
+        case _ => // EBML: unsigned first size, signed-vint deltas after
+          val (first, fn) = readSize(p)
+          if (first < 0 || first > Int.MaxValue) return
+          p += fn
+          sizes(0) = first.toInt
+          var prev = first
+          var i = 1
+          while (i < n - 1) {
+            if (p >= end) return
+            val len = vintLen(b(p) & 0xFF)
+            if (len < 0 || len > 8 || p + len > end) return
+            var v = ((b(p) & 0xFF) & (0xFF >>> len)).toLong
+            var j = 1
+            while (j < len) { v = (v << 8) | (b(p + j) & 0xFF); j += 1 }
+            p += len
+            prev += v - ((1L << (7 * len - 1)) - 1) // signed-vint bias
+            if (prev < 0 || prev > Int.MaxValue) return
+            sizes(i) = prev.toInt
+            i += 1
+          }
+      }
+      if (lacing != 0x04) {
+        val listed = sizes.view.take(n - 1).map(_.toLong).sum
+        val rem = (end - p) - listed
+        if (rem < 0) return
+        sizes(n - 1) = rem.toInt
+      }
+      var i = 0
+      while (i < n) {
+        val sz = sizes(i)
+        if (sz < 0 || p + sz > end) return
+        snapshot(b, p, sz, out)
+        p += sz
+        i += 1
+      }
     }
 
     def walk(start: Int, end: Int, depth: Int): Unit = {
@@ -284,9 +340,12 @@ object Webm {
   }
 
   /** Raw VP8 keyframe bitstreams into a minimal one-cluster WebM: EBML
-    * header (DocType webm), Segment(Info(TimecodeScale), Tracks(video
-    * TrackEntry V_VP8), Cluster(Timecode, one SimpleBlock per frame)). */
-  def encodeWebm(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    * header (DocType webm), Segment(Info(TimecodeScale + Duration),
+    * Tracks(video TrackEntry V_VP8), Cluster(Timecode, one SimpleBlock
+    * per frame — or ONE laced SimpleBlock when `lacing` is 2 (Xiph),
+    * 4 (fixed, equal-size frames only) or 6 (EBML))). */
+  def encodeWebm(w: Int, h: Int, frames: Seq[Array[Byte]],
+                 lacing: Int = 0): Array[Byte] = {
     def sizeVint(v: Long): Array[Byte] = {
       var n = 1
       while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
@@ -320,11 +379,46 @@ object Webm {
     val entry = el(0xAE, uintEl(0xD7, 1) ++ uintEl(0x73C5, 1) ++
       uintEl(0x83, 1) ++ el(0x86, "V_VP8".getBytes("US-ASCII")) ++ video)
     val tracks = el(0x1654AE6BL, entry)
-    val blocks = frames.zipWithIndex.map { case (f, i) =>
-      // SimpleBlock: track-1 vint, BE16 timecode, keyframe flag, bitstream
-      el(0xA3, Array(0x81.toByte, ((i * 33) >> 8).toByte, (i * 33).toByte,
-        0x80.toByte) ++ f)
-    }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
+    val blocks =
+      if (lacing == 0)
+        frames.zipWithIndex.map { case (f, i) =>
+          // SimpleBlock: track-1 vint, BE16 timecode, keyframe flag, frame
+          el(0xA3, Array(0x81.toByte, ((i * 33) >> 8).toByte, (i * 33).toByte,
+            0x80.toByte) ++ f)
+        }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
+      else {
+        require(Seq(2, 4, 6).contains(lacing) && frames.nonEmpty,
+          s"lacing must be 2|4|6 with frames, got $lacing")
+        val head = scala.collection.mutable.ArrayBuffer[Byte](
+          0x81.toByte, 0, 0, (0x80 | lacing).toByte, (frames.length - 1).toByte)
+        lacing match {
+          case 2 => // Xiph: 255-run sizes for all but the last frame
+            frames.init.foreach { f =>
+              var sz = f.length
+              while (sz >= 255) { head += 255.toByte; sz -= 255 }
+              head += sz.toByte
+            }
+          case 4 =>
+            require(frames.map(_.length).distinct.size == 1,
+              "fixed lacing needs equal-size frames")
+          case _ => // EBML: unsigned first size, signed-vint deltas
+            def signedVint(d: Long): Array[Byte] = {
+              var len = 1
+              while (d + ((1L << (7 * len - 1)) - 1) < 0 ||
+                d + ((1L << (7 * len - 1)) - 1) >= (1L << (7 * len)) - 1) len += 1
+              val v = (d + ((1L << (7 * len - 1)) - 1)) | (1L << (7 * len))
+              Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xFF).toByte)
+            }
+            if (frames.length > 1) {
+              head ++= sizeVint(frames.head.length)
+              // deltas for frames 1..n-2 (the last is the remainder)
+              frames.sliding(2).toSeq.init.foreach { case Seq(a, c) =>
+                head ++= signedVint(c.length.toLong - a.length)
+              }
+            }
+        }
+        el(0xA3, head.toArray ++ frames.flatten.toArray)
+      }
     val cluster = el(0x1F43B675L, uintEl(0xE7, 0) ++ blocks)
     ebml ++ el(0x18538067L, info ++ tracks ++ cluster)
   }

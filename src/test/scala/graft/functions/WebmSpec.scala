@@ -86,6 +86,36 @@ class WebmSpec extends SparkSpec {
     assert(MediaKernels.videoFrames(Webm.encodeWebm(48, 48, Nil), 4).isEmpty)
   }
 
+  test("laced SimpleBlocks: Xiph, fixed and EBML lacing all yield the same frames") {
+    val frames = (0 until 3).map(k => Vp8VideoFixtures.frame(4, k))
+    val plain = MediaKernels.videoFrames(Webm.encodeWebm(48, 48, frames), 16)
+    assert(plain.length == 3)
+    for (lace <- Seq(2, 6)) {
+      val got = MediaKernels.videoFrames(Webm.encodeWebm(48, 48, frames, lacing = lace), 16)
+      assert(got.length == 3, s"lacing $lace: got ${got.length} frames")
+      for (k <- 0 until 3)
+        assert(java.util.Arrays.equals(got(k), plain(k)), s"lacing $lace frame $k differs")
+    }
+    // fixed lacing requires equal sizes: pad frames to a common length —
+    // VP8 tolerates trailing garbage after the partitions, so the decoder
+    // must still snapshot identical pixels
+    val maxLen = frames.map(_.length).max
+    val padded = frames.map(f => java.util.Arrays.copyOf(f, maxLen))
+    val fixed = MediaKernels.videoFrames(Webm.encodeWebm(48, 48, padded, lacing = 4), 16)
+    assert(fixed.length == 3, s"fixed lacing: got ${fixed.length} frames")
+    for (k <- 0 until 3)
+      assert(java.util.Arrays.equals(fixed(k), plain(k)), s"fixed lacing frame $k differs")
+    // single-frame laced blocks (no listed sizes) and hostile truncations
+    for (lace <- Seq(2, 4, 6)) {
+      val src = if (lace == 4) padded else frames
+      val one = Webm.encodeWebm(48, 48, src.take(1), lacing = lace)
+      assert(MediaKernels.videoFrames(one, 16).length == 1, s"n=1 lacing $lace")
+      val full = Webm.encodeWebm(48, 48, src, lacing = lace)
+      for (cut <- Seq(full.length / 2, full.length - 3))
+        MediaKernels.videoFrames(java.util.Arrays.copyOf(full, cut), 16) // no throw
+    }
+  }
+
   test("video_meta: WebM Duration x TimecodeScale and IVF timebase arithmetic") {
     val frames = (0 until 3).map(k => Vp8VideoFixtures.frame(1, k))
     val wm = MediaKernels.videoMetaRow(Webm.encodeWebm(48, 48, frames))
