@@ -656,9 +656,13 @@ object Webp {
             if (canvas == null) canvas = Array.fill(sw * sh)(bgLuma)
             val fx = u24(d) * 2; val fy = u24(d + 3) * 2
             val dispose = (b(d + 15) & 0x01) != 0
+            // blending method (bit 1): 0 = alpha-blend onto the canvas,
+            // 1 = overwrite; our canvas is an opaque luma plane, so the
+            // blend is src*a + dst*(255-a) over 255 (integer floor)
+            val blend = (b(d + 15) & 0x02) == 0
             val sub = frameLuma(b, d + 16, d + size)
             if (sub != null) {
-              val (fw, fh, px) = sub
+              val (fw, fh, px, alpha) = sub
               var y = 0
               while (y < fh) {
                 val cy = fy + y
@@ -666,7 +670,14 @@ object Webp {
                   var x = 0
                   while (x < fw) {
                     val cx = fx + x
-                    if (cx < sw) canvas(cy * sw + cx) = px(y * fw + x)
+                    if (cx < sw) {
+                      val i = y * fw + x
+                      val ci = cy * sw + cx
+                      canvas(ci) =
+                        if (blend && alpha != null)
+                          (px(i) * alpha(i) + canvas(ci) * (255 - alpha(i))) / 255
+                        else px(i)
+                    }
                     x += 1
                   }
                 }
@@ -690,15 +701,21 @@ object Webp {
     } catch { case _: Exception => Array.empty }
   }
 
-  /** Luma of ONE frame's subchunks (VP8 keyframe Y plane or VP8L BT.601);
-    * null when neither decodes. */
-  private def frameLuma(b: Array[Byte], start: Int, end: Int): (Int, Int, Array[Int]) = {
+  /** Luma + alpha of ONE frame's subchunks: VP8 keyframe Y plane with an
+    * optional preceding `ALPH` plane, or VP8L BT.601 luma with the pixel
+    * alpha channel. Alpha is null when the frame is opaque (bare VP8);
+    * null result when nothing decodes. */
+  private def frameLuma(b: Array[Byte], start: Int, end: Int)
+      : (Int, Int, Array[Int], Array[Int]) = {
     var p = start
+    var alphOff = -1
+    var alphSize = 0
     while (p + 8 <= end) {
       val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
         ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
       if (size < 0 || p + 8 + size > end) return null
+      if (tag == "ALPH") { alphOff = p + 8; alphSize = size }
       if (tag == "VP8 ") {
         val pl = Vp8.decode(b, p + 8, size)
         val out = new Array[Int](pl.w * pl.h)
@@ -708,16 +725,62 @@ object Webp {
           while (xx < pl.w) { out(yy * pl.w + xx) = pl.yAt(xx, yy); xx += 1 }
           yy += 1
         }
-        return (pl.w, pl.h, out)
+        val alpha =
+          if (alphOff >= 0) decodeAlph(b, alphOff, alphSize, pl.w, pl.h) else null
+        return (pl.w, pl.h, out, alpha)
       }
       if (tag == "VP8L") {
         val (w, h, px) = decodeVp8l(b, p + 8)
         return (w, h, px.map(v =>
-          (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) + 114 * (v & 0xFF)) / 1000))
+          (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) + 114 * (v & 0xFF)) / 1000),
+          px.map(_ >>> 24))
       }
       p += 8 + size + (size & 1)
     }
     null
+  }
+
+  /** Decode an `ALPH` chunk to a w*h alpha plane: header byte = 2-bit
+    * compression method (0 raw, 1 VP8L-green), 2-bit filtering method
+    * (none/horizontal/vertical/gradient — residuals add their prediction
+    * mod 256 in raster order), 2-bit preprocessing (no inverse needed).
+    * Null when malformed. */
+  private[functions] def decodeAlph(b: Array[Byte], off: Int, size: Int,
+                                    w: Int, h: Int): Array[Int] = {
+    if (size < 1) return null
+    val head = b(off) & 0xFF
+    val method = head & 3
+    val filter = (head >> 2) & 3
+    val a =
+      if (method == 1) decodeAlphaLossless(b, off + 1, w, h)
+      else if (method == 0 && size - 1 >= w * h)
+        Array.tabulate(w * h)(i => b(off + 1 + i) & 0xFF)
+      else null
+    if (a == null || a.length != w * h) return null
+    if (filter > 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val pred =
+            if (x == 0 && y == 0) 0
+            else filter match {
+              case 1 => if (x > 0) a(i - 1) else a(i - w)
+              case 2 => if (y > 0) a(i - w) else a(i - 1)
+              case _ =>
+                if (x > 0 && y > 0) {
+                  val g = a(i - 1) + a(i - w) - a(i - w - 1)
+                  if (g < 0) 0 else if (g > 255) 255 else g
+                } else if (x > 0) a(i - 1) else a(i - w)
+            }
+          a(i) = (a(i) + pred) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+    }
+    a
   }
 
   /** Grayscale decode of a WebP still, [[ImageKernels.decodeGray]]

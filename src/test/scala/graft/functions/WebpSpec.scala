@@ -97,4 +97,69 @@ class WebpSpec extends AnyFunSuite {
     assert(Webp.decodeGray("not webp".getBytes) == null)
     assert(Webp.decodeGray(null) == null)
   }
+
+  test("ANMF alpha blending: ALPH planes (raw, every filter) composite onto the canvas") {
+    import graft.tools.{GenImages, Vp8VideoFixtures}
+    val w = 48; val h = 48
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    // frame 1: lossless full-canvas base (VP8L payload out of encodeGray)
+    val base = GenImages.pattern(31L, w, h)
+    val still1 = Webp.encodeGray(w, h, base)
+    val v8lLen = (still1(16) & 0xFF) | ((still1(17) & 0xFF) << 8) |
+      ((still1(18) & 0xFF) << 16) | ((still1(19) & 0xFF) << 24)
+    val vp8l = java.util.Arrays.copyOfRange(still1, 20, 20 + v8lLen)
+    // frame 2: a real VP8 keyframe + raw ALPH plane
+    val vp8 = Vp8VideoFixtures.frame(1, 0)
+    val pl = Vp8.decode(vp8, 0, vp8.length)
+    val vp8Luma = Array.tabulate(w * h)(i => pl.yAt(i % w, i / w))
+    val alpha = Array.tabulate(w * h)(i => (i * 37) % 256)
+    def forwardFilter(f: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        val pred =
+          if (x == 0 && y == 0) 0
+          else f match {
+            case 0 => 0
+            case 1 => if (x > 0) alpha(i - 1) else alpha(i - w)
+            case 2 => if (y > 0) alpha(i - w) else alpha(i - 1)
+            case _ =>
+              if (x > 0 && y > 0)
+                math.max(0, math.min(255, alpha(i - 1) + alpha(i - w) - alpha(i - w - 1)))
+              else if (x > 0) alpha(i - 1) else alpha(i - w)
+          }
+        out(i) = ((alpha(i) - pred) & 0xFF).toByte
+      }
+      out
+    }
+    def anim(flags15: Int, alphFilter: Int): Array[Byte] = {
+      val alph = chunk("ALPH", Array((alphFilter << 2).toByte) ++ forwardFilter(alphFilter))
+      val hdr2 = le24(0) ++ le24(0) ++ le24(w - 1) ++ le24(h - 1) ++ le24(40) ++
+        Array(flags15.toByte)
+      val body = "WEBP".getBytes("US-ASCII") ++
+        chunk("VP8X", le32(0x02) ++ le24(w - 1) ++ le24(h - 1)) ++
+        chunk("ANIM", le32(0) ++ Array[Byte](0, 0)) ++
+        chunk("ANMF", le24(0) ++ le24(0) ++ le24(w - 1) ++ le24(h - 1) ++ le24(40) ++
+          Array[Byte](0) ++ chunk("VP8L", vp8l)) ++
+        chunk("ANMF", hdr2 ++ alph ++ chunk("VP8 ", vp8))
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    for (f <- 0 to 3) {
+      val frames = MediaKernels.videoFrames(anim(flags15 = 0, alphFilter = f), 8)
+      assert(frames.length == 2, s"filter $f: ${frames.length} frames")
+      val got = ImageKernels.decodeGrayPublic(frames(1))
+      for (i <- 0 until w * h) {
+        val expect = (vp8Luma(i) * alpha(i) + base(i) * (255 - alpha(i))) / 255
+        assert(got.px(i) == expect, s"filter $f pixel $i: ${got.px(i)} != $expect")
+      }
+    }
+    // blend bit SET (do not blend): the frame overwrites regardless of alpha
+    val over = MediaKernels.videoFrames(anim(flags15 = 0x02, alphFilter = 0), 8)
+    val g2 = ImageKernels.decodeGrayPublic(over(1))
+    assert(g2.px.sameElements(vp8Luma), "no-blend frame must overwrite")
+  }
 }
