@@ -150,6 +150,42 @@ object BenchFormat {
     if (i < 25) ('A' + i).toChar.toString
     else "Z" + ('A' + (i - 25)).toChar
 
+  /** Prefix-compress a SORTED name list: the first entry verbatim; each
+    * later entry opens with one base-36 char = the length of the prefix
+    * it shares with its predecessor (capped at 35), then its suffix.
+    * Composes with [[tokEncode]] (codes are uppercase, the count char is
+    * positional, so no ambiguity). */
+  def prefixEncode(names: Seq[String]): String = {
+    val sb = new StringBuilder
+    var prev = ""
+    names.zipWithIndex.foreach { case (n, i) =>
+      if (i == 0) sb.append(n)
+      else {
+        var k = 0
+        val max = math.min(math.min(prev.length, n.length), 35)
+        while (k < max && prev(k) == n(k)) k += 1
+        sb.append(',').append(java.lang.Integer.toString(k, 36)).append(n.substring(k))
+      }
+      prev = n
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[prefixEncode]]. */
+  def prefixDecode(s: String): Seq[String] = {
+    if (s.isEmpty) return Nil
+    val parts = s.split(",", -1)
+    val out = scala.collection.mutable.ArrayBuffer[String](parts(0))
+    var prev = parts(0)
+    parts.iterator.drop(1).foreach { p =>
+      val k = java.lang.Integer.parseInt(p.take(1), 36)
+      val n = prev.take(k) + p.drop(1)
+      out += n
+      prev = n
+    }
+    out.toSeq
+  }
+
   def tokenAbbreviations(names0: collection.Seq[String], maxCodes: Int = 50): Seq[String] = {
     var names = names0.toVector
     val toks = scala.collection.mutable.ArrayBuffer[String]()
@@ -331,6 +367,22 @@ object BenchFormat {
         (if (machineContended) s""","machine_contended":true""" else "") +
         s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
     }
+    /** Names-only tier: every name rides (tok-encoded, sorted,
+      * prefix-compressed into `qpfx`), NO per-query values on the line —
+      * `qmin_ds` bounds them all and the 3-decimal values persist in the
+      * results file. The last tier before names start being lost. */
+    def tokPrefix(): String = {
+      val shortNames = mins.map { case (k, _) =>
+        if (k.startsWith("q_")) k.drop(2) else k
+      }
+      val toks = tokenAbbreviations(shortNames)
+      val enc = shortNames.map(tokEncode(_, toks)).sorted.toSeq
+      val maxDs = mins.foldLeft(0L) { case (m, (_, v)) => math.max(m, math.round(v * 10)) }
+      val tokJs = toks.mkString("\"", ",", "\"")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"qprefix":"q_","qtok":$tokJs,"qpfx":"${prefixEncode(enc)}","qmin_ds":$maxDs""" +
+        (if (machineContended) s""","machine_contended":true""" else "") +
+        s"""$fail,"sf":"${java.nio.file.Paths.get(sfDir).getFileName}"}"""
+    }
     val tiers = Iterator(
       build(3, true, true, true),
       build(2, true, true, true),
@@ -361,6 +413,7 @@ object BenchFormat {
       tokDs(16),
       tokDs(20),
       tokDs(30),
+      tokPrefix(),
       tokDs(2, listDrops = false),
       tokDs(5, listDrops = false))
     tiers.find(_.length <= StdoutBudget).getOrElse {

@@ -32,6 +32,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val qdrop = """"qdrop":"([^"]*)"""".r.findFirstMatchIn(line)
       .map(_.group(1).split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
+    // names-only tier: sorted tok-encoded names under prefix compression
+    val qpfx = """"qpfx":"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(m => BenchFormat.prefixDecode(m.group(1)))
+      .getOrElse(Nil)
     val qabbr = """"qabbr":\{([^}]*)\}""".r.findFirstMatchIn(line)
       .map(m => """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(m.group(1))
         .map(x => x.group(1) -> x.group(2)).toMap)
@@ -39,7 +43,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val prefixed = line.contains("\"qprefix\":\"q_\"")
     val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
     val mapKeys = """"([^"]+)":""".r.findAllMatchIn(qs).map(_.group(1)).toSeq
-    (mapKeys ++ qdrop).flatMap { k0 =>
+    (mapKeys ++ qdrop ++ qpfx).flatMap { k0 =>
       val k1 =
         if (qtok.nonEmpty) BenchFormat.tokDecode(k0, qtok)
         else if (k0.nonEmpty && k0.head.isUpper)
@@ -178,6 +182,19 @@ class BenchFormatSpec extends AnyFunSuite {
     }
     // encoded names stay unique (decode inverts encode, so they must)
     assert(names.map(BenchFormat.tokEncode(_, toks)).distinct.size == names.size)
+  }
+
+  test("prefixEncode/Decode round-trips sorted name lists exactly") {
+    val names = ("etl_render" +: SparkEntry.queries.keys.toSeq).map(n =>
+      if (n.startsWith("q_")) n.drop(2) else n)
+    val toks = BenchFormat.tokenAbbreviations(names)
+    val enc = names.map(BenchFormat.tokEncode(_, toks)).sorted
+    assert(BenchFormat.prefixDecode(BenchFormat.prefixEncode(enc)) == enc)
+    assert(BenchFormat.prefixDecode(BenchFormat.prefixEncode(Seq("a"))) == Seq("a"))
+    assert(BenchFormat.prefixDecode("") == Nil)
+    // prefixes beyond the 35-char cap still round-trip
+    val long = Seq("x" * 60 + "a", "x" * 60 + "b").sorted
+    assert(BenchFormat.prefixDecode(BenchFormat.prefixEncode(long)) == long)
   }
 
   test("current SparkEntry suite keeps EVERY query name in the stdout line") {
