@@ -2507,7 +2507,7 @@ object SparkEntry {
       graft.expressions.GraftFunctions.register(s)
       val li = t(s, d, "lineitem")
       val sk = li.agg(call_function("cms_sketch", col("l_partkey"), lit(4), lit(1024)))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       li.select("l_partkey").where(col("l_partkey") < 25).distinct()
         .select(col("l_partkey").as("key"),
           call_function("cms_query", lit(sk), col("l_partkey")).as("est_count"))
@@ -2531,7 +2531,7 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
       val sk = li.filter(col("l_partkey") < 1000)
         .agg(call_function("bloom_sketch", col("l_partkey"), lit(12), lit(5)))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       li.select("l_partkey").distinct()
         .select(col("l_partkey").as("key"),
           call_function("bloom_contains", lit(sk), col("l_partkey")).as("maybe_present"))
