@@ -75,6 +75,48 @@ object MediaProbe {
     leg("dedup_10k")(dedup(10000L))
     leg("dedup_100k")(dedup(100000L))
 
+    // the 9th ingest face at scale: batch 1 = n unique videos indexed,
+    // batch 2 = n/2 cross-container re-encodes (all dropped via the
+    // persisted frame index) + n/2 novel — the per-batch cost is the
+    // banded delta-vs-index join, which must track DELTA size, not the
+    // accumulated index (frame sigs only: 16 bytes/frame in the exchange)
+    def ingest(n: Long): Long = {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("graft-mediaprobe-ingest")
+      def delta(ids: org.apache.spark.sql.Dataset[java.lang.Long], shift: Long) = ids
+        .mapPartitions(_.map { id0 =>
+          val id = id0.longValue
+          // a shifted id re-encodes base id-shift in the NEXT container
+          val base = if (shift > 0 && id >= shift) id - shift else id
+          val arm = id % 4 + (if (shift > 0 && id >= shift) 1 else 0)
+          (id, fixture(base, arm))
+        }).toDF("media_id", "content")
+      delta(spark.range(n).as[java.lang.Long], n).write
+        .parquet(s"$dir/src")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val src = spark.readStream.schema(schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalVideoDedupIngest(src,
+        "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 3,
+        maxFrames = 4, minMatches = 2, checkpointDir = s"$dir/ckpt")
+      try {
+        q.processAllAvailable()
+        // delta 2: ids n..n+n/2 re-encode bases 0..n/2 (drop via index);
+        // ids 2n..2n+n/2 are novel
+        delta(spark.range(n, n + n / 2).as[java.lang.Long], n)
+          .unionByName(delta(spark.range(2 * n, 2 * n + n / 2).as[java.lang.Long], 0L))
+          .coalesce(8).write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$dir/out").filter(col("batch") === 1).count()
+    }
+
+    leg("ingest_5k")(ingest(5000L))
+    leg("ingest_50k")(ingest(50000L))
+
     spark.stop()
   }
 }
