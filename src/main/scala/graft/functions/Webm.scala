@@ -345,7 +345,7 @@ object Webm {
     * per frame — or ONE laced SimpleBlock when `lacing` is 2 (Xiph),
     * 4 (fixed, equal-size frames only) or 6 (EBML))). */
   def encodeWebm(w: Int, h: Int, frames: Seq[Array[Byte]],
-                 lacing: Int = 0): Array[Byte] = {
+                 lacing: Int = 0, blockGroups: Boolean = false): Array[Byte] = {
     def sizeVint(v: Long): Array[Byte] = {
       var n = 1
       while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
@@ -383,8 +383,11 @@ object Webm {
       if (lacing == 0)
         frames.zipWithIndex.map { case (f, i) =>
           // SimpleBlock: track-1 vint, BE16 timecode, keyframe flag, frame
-          el(0xA3, Array(0x81.toByte, ((i * 33) >> 8).toByte, (i * 33).toByte,
-            0x80.toByte) ++ f)
+          // (or the muxer's other shape: BlockGroup wrapping a Block, whose
+          // flags byte has no keyframe bit — detection is bitstream-shape)
+          val payload = Array(0x81.toByte, ((i * 33) >> 8).toByte,
+            (i * 33).toByte, (if (blockGroups) 0x00 else 0x80).toByte) ++ f
+          if (blockGroups) el(0xA0, el(0xA1, payload)) else el(0xA3, payload)
         }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
       else {
         require(Seq(2, 4, 6).contains(lacing) && frames.nonEmpty,

@@ -86,6 +86,37 @@ class WebmSpec extends SparkSpec {
     assert(MediaKernels.videoFrames(Webm.encodeWebm(48, 48, Nil), 4).isEmpty)
   }
 
+  test("BlockGroup>Block frames and unknown-size Segment/Cluster (streamed WebM) decode") {
+    // hand-assemble: the writer emits SimpleBlocks, but real muxers also
+    // use BlockGroup>Block, and STREAMED WebM sets the all-ones unknown
+    // size on Segment (and sometimes Cluster) — both paths must walk
+    val frames = (0 until 2).map(k => Vp8VideoFixtures.frame(3, k))
+    val plain = Webm.encodeWebm(48, 48, frames)
+    val grouped = Webm.encodeWebm(48, 48, frames, blockGroups = true)
+    val viaGroups = MediaKernels.videoFrames(grouped, 16)
+    val viaSimple = MediaKernels.videoFrames(plain, 16)
+    assert(viaGroups.length == 2, s"BlockGroup path: ${viaGroups.length} frames")
+    for (k <- 0 until 2)
+      assert(java.util.Arrays.equals(viaGroups(k), viaSimple(k)), s"frame $k differs")
+    // streamed form: overwrite the Segment's size vint with unknown
+    // (all-ones, same byte length) — frames must still extract
+    val streamed = plain.clone()
+    val segIdx = {
+      val magic = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+      (0 until streamed.length - 4).find(i =>
+        magic.indices.forall(j => streamed(i + j) == magic(j))).get
+    }
+    val sp = segIdx + 4
+    val sn = { val f = streamed(sp) & 0xFF; var n = 1; var m = 0x80
+      while ((f & m) == 0) { m >>= 1; n += 1 }; n }
+    streamed(sp) = ((0xFF >> (sn - 1)) | (1 << (8 - sn))).toByte
+    for (i <- 1 until sn) streamed(sp + i) = 0xFF.toByte
+    val viaStream = MediaKernels.videoFrames(streamed, 16)
+    assert(viaStream.length == 2, s"unknown-size Segment: ${viaStream.length} frames")
+    for (k <- 0 until 2)
+      assert(java.util.Arrays.equals(viaStream(k), viaSimple(k)), s"streamed frame $k")
+  }
+
   test("laced SimpleBlocks: Xiph, fixed and EBML lacing all yield the same frames") {
     val frames = (0 until 3).map(k => Vp8VideoFixtures.frame(4, k))
     val plain = MediaKernels.videoFrames(Webm.encodeWebm(48, 48, frames), 16)
