@@ -869,7 +869,11 @@ object Vp8 {
       }
       var pi = 0
       while (pi < parts.length) {
-        require(parts(pi).overrun <= 2, s"vp8: token partition $pi truncated")
+        // <= 3, not <= 2: the prefetched-window renorm consumes up to one
+        // byte EARLIER than the bit-at-a-time loader (ceil vs floor of
+        // shifts/8), so a valid tight stream that ends exactly at the
+        // decoder's 2-byte look-ahead can legitimately read overrun 3.
+        require(parts(pi).overrun <= 3, s"vp8: token partition $pi truncated")
         pi += 1
       }
     }

@@ -116,6 +116,21 @@ object Webm {
       val unknown = (1L << (7 * n)) - 1
       (if (v == unknown) -2L else v, n)
     }
+    /** Plain unsigned vint — NO unknown-size sentinel. Block track
+      * numbers and the first EBML lace size use the all-ones pattern as
+      * an ordinary value (track 127 encodes as 0xFF; a first lace size
+      * of 127 or 16383 sets every value bit), unlike EBML element sizes
+      * where all-ones means "unknown". (-1, 0) when malformed. */
+    def readVint(p: Int): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val first = b(p) & 0xFF
+      val n = vintLen(first)
+      if (n < 0 || p + n > b.length) return (-1L, 0)
+      var v = (first & (0xFF >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      (v, n)
+    }
     /** Unsigned big-endian integer element payload. */
     def uint(d: Int, len: Int): Long = {
       var v = 0L; var i = 0
@@ -150,7 +165,7 @@ object Webm {
       * one frame — or several under lacing (flags & 0x06: 02 Xiph, 04
       * fixed, 06 EBML; the last laced frame is always the remainder). */
     def block(start: Int, end: Int): Unit = {
-      val (track, tn) = readSize(start) // track number is a plain vint
+      val (track, tn) = readVint(start) // track number is a plain vint
       if (track < 0 || start + tn + 3 > end) return
       if (vp8Track == 0L || (vp8Track > 0 && track != vp8Track)) return
       val flags = b(start + tn + 2) & 0xFF
@@ -177,7 +192,7 @@ object Webm {
           java.util.Arrays.fill(sizes, rem / n)
         case _ if n == 1 => // EBML with one frame lists no sizes
         case _ => // EBML: unsigned first size, signed-vint deltas after
-          val (first, fn) = readSize(p)
+          val (first, fn) = readVint(p)
           if (first < 0 || first > Int.MaxValue) return
           p += fn
           sizes(0) = first.toInt
@@ -253,7 +268,13 @@ object Webm {
     val w = le16(b, 12); val h = le16(b, 14)
     val den = le32(b, 16); val num = le32(b, 20)
     val frames = le32(b, 24)
-    val durMs = if (den > 0) frames * 1000L * num / den else 0L
+    // frames and num are hostile 32-bit fields: frames*1000*num can
+    // overflow Long (garbage/negative duration) — checked multiply, 0 on
+    // overflow (a wrong header yields "unknown duration", never garbage).
+    val durMs =
+      if (den <= 0) 0L
+      else try Math.multiplyExact(Math.multiplyExact(frames, 1000L), num) / den
+      catch { case _: ArithmeticException => 0L }
     Array(w.toLong, h.toLong, durMs)
   }
 
@@ -345,10 +366,23 @@ object Webm {
     * per frame — or ONE laced SimpleBlock when `lacing` is 2 (Xiph),
     * 4 (fixed, equal-size frames only) or 6 (EBML))). */
   def encodeWebm(w: Int, h: Int, frames: Seq[Array[Byte]],
-                 lacing: Int = 0, blockGroups: Boolean = false): Array[Byte] = {
+                 lacing: Int = 0, blockGroups: Boolean = false,
+                 trackNum: Int = 1): Array[Byte] = {
     def sizeVint(v: Long): Array[Byte] = {
       var n = 1
       while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+      val out = new Array[Byte](n)
+      var x = v | (1L << (7 * n))
+      var i = n - 1
+      while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+      out
+    }
+    /** Plain vint (track numbers, first lace size): all-ones is an
+      * ordinary VALUE here (track 127 = 0xFF), so minimal length uses
+      * `>` where sizeVint needs `>=` to dodge the unknown-size pattern. */
+    def plainVint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && v > (1L << (7 * n)) - 1) n += 1
       val out = new Array[Byte](n)
       var x = v | (1L << (7 * n))
       var i = n - 1
@@ -376,24 +410,25 @@ object Webm {
     val info = el(0x1549A966L, uintEl(0x2AD7B1, 1000000L) ++
       el(0x4489, Array.tabulate(8)(i => ((durBits >>> (8 * (7 - i))) & 0xFF).toByte)))
     val video = el(0xE0, uintEl(0xB0, w) ++ uintEl(0xBA, h))
-    val entry = el(0xAE, uintEl(0xD7, 1) ++ uintEl(0x73C5, 1) ++
+    val entry = el(0xAE, uintEl(0xD7, trackNum) ++ uintEl(0x73C5, 1) ++
       uintEl(0x83, 1) ++ el(0x86, "V_VP8".getBytes("US-ASCII")) ++ video)
     val tracks = el(0x1654AE6BL, entry)
     val blocks =
       if (lacing == 0)
         frames.zipWithIndex.map { case (f, i) =>
-          // SimpleBlock: track-1 vint, BE16 timecode, keyframe flag, frame
+          // SimpleBlock: track vint, BE16 timecode, keyframe flag, frame
           // (or the muxer's other shape: BlockGroup wrapping a Block, whose
           // flags byte has no keyframe bit — detection is bitstream-shape)
-          val payload = Array(0x81.toByte, ((i * 33) >> 8).toByte,
+          val payload = plainVint(trackNum) ++ Array(((i * 33) >> 8).toByte,
             (i * 33).toByte, (if (blockGroups) 0x00 else 0x80).toByte) ++ f
           if (blockGroups) el(0xA0, el(0xA1, payload)) else el(0xA3, payload)
         }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
       else {
         require(Seq(2, 4, 6).contains(lacing) && frames.nonEmpty,
           s"lacing must be 2|4|6 with frames, got $lacing")
-        val head = scala.collection.mutable.ArrayBuffer[Byte](
-          0x81.toByte, 0, 0, (0x80 | lacing).toByte, (frames.length - 1).toByte)
+        val head = scala.collection.mutable.ArrayBuffer.empty[Byte] ++=
+          plainVint(trackNum) ++=
+          Array[Byte](0, 0, (0x80 | lacing).toByte, (frames.length - 1).toByte)
         lacing match {
           case 2 => // Xiph: 255-run sizes for all but the last frame
             frames.init.foreach { f =>
@@ -413,7 +448,7 @@ object Webm {
               Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xFF).toByte)
             }
             if (frames.length > 1) {
-              head ++= sizeVint(frames.head.length)
+              head ++= plainVint(frames.head.length)
               // deltas for frames 1..n-2 (the last is the remainder)
               frames.sliding(2).toSeq.init.foreach { case Seq(a, c) =>
                 head ++= signedVint(c.length.toLong - a.length)

@@ -147,6 +147,42 @@ class WebmSpec extends SparkSpec {
     }
   }
 
+  test("all-ones PLAIN vints are values, not unknown-size: track 127; 16383-byte first lace") {
+    // track number 127 encodes as the single byte 0xFF — the all-ones
+    // pattern that means "unknown" for EBML element SIZES but is an
+    // ordinary value in block headers; such blocks must not be skipped
+    val frames = (0 until 2).map(k => Vp8VideoFixtures.frame(2, k))
+    val t127 = MediaKernels.videoFrames(
+      Webm.encodeWebm(48, 48, frames, trackNum = 127), 16)
+    assert(t127.length == 2, s"track-127 blocks skipped: ${t127.length} frames")
+    for (k <- 0 until 2)
+      assert(ImageKernels.phash(t127(k)) == ImageKernels.phash(still(frames(k))))
+    // EBML lacing whose FIRST lace size is exactly 16383 — the 2-byte
+    // all-ones plain vint 0x7F 0xFF (VP8 tolerates trailing pad bytes, so
+    // padding the first frame changes the lace size, not the pixels)
+    val padded = java.util.Arrays.copyOf(frames(0), 16383) +: frames.tail
+    val webm = Webm.encodeWebm(48, 48, padded, lacing = 6)
+    assert({ // the writer really emitted the all-ones form
+      val pat = Array(0x7F.toByte, 0xFF.toByte)
+      (0 until webm.length - 1).exists(i => webm(i) == pat(0) && webm(i + 1) == pat(1))
+    }, "fixture did not contain the 2-byte all-ones vint")
+    val laced = MediaKernels.videoFrames(webm, 16)
+    assert(laced.length == 2, s"all-ones first lace size skipped: ${laced.length} frames")
+    for (k <- 0 until 2)
+      assert(ImageKernels.phash(laced(k)) == ImageKernels.phash(still(frames(k))))
+  }
+
+  test("ivfMeta: hostile 32-bit frame-count/timebase never overflows to garbage duration") {
+    val frames = Seq(Vp8VideoFixtures.frame(1, 0))
+    val ivf = Webm.encodeIvf(48, 48, frames)
+    // frames*1000*num would overflow Long: frame count and num to 2^32-1
+    val hostile = ivf.clone()
+    for (i <- 0 until 4) { hostile(24 + i) = 0xFF.toByte; hostile(20 + i) = 0xFF.toByte }
+    hostile(16) = 1; hostile(17) = 0; hostile(18) = 0; hostile(19) = 0 // den = 1
+    val m = MediaKernels.videoMetaRow(hostile)
+    assert(m.getLong(3) == 0L, s"overflowed duration ${m.getLong(3)} should clamp to 0")
+  }
+
   test("video_meta: WebM Duration x TimecodeScale and IVF timebase arithmetic") {
     val frames = (0 until 3).map(k => Vp8VideoFixtures.frame(1, k))
     val wm = MediaKernels.videoMetaRow(Webm.encodeWebm(48, 48, frames))
