@@ -2305,7 +2305,7 @@ object SparkEntry {
       new graft.engine.Engine(s).applyOperation(media,
         Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
         .select("media_id", "video_format", "video_width", "video_height",
-          "video_duration_ms")
+          "video_duration_ms", "video_codec")
     }),
 
     // REAL frame content from video containers: 4 id-derived JPEG frames
@@ -2346,7 +2346,7 @@ object SparkEntry {
       new graft.engine.Engine(s).applyOperation(media,
         Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
         .select("media_id", "video_format", "video_width", "video_height",
-          "video_duration_ms")
+          "video_duration_ms", "video_codec")
     }),
 
     // video near-dedup as ONE op: ids i and i+100 carry identical frame
@@ -2380,7 +2380,7 @@ object SparkEntry {
       new graft.engine.Engine(s).applyOperation(media,
         Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
         .select("media_id", "video_format", "video_width", "video_height",
-          "video_duration_ms")
+          "video_duration_ms", "video_codec")
     }),
 
     // real VP8 VIDEO: WebM (Matroska SimpleBlock walk) for even vids, IVF
@@ -3188,7 +3188,8 @@ object SparkEntry {
            48 AS video_width, 48 AS video_height,
            (CASE WHEN doc_id % 2 = 0 THEN (2 + doc_id % 3) * 33
                  ELSE (2 + doc_id % 3) * 1000 // 30 END)::BIGINT
-             AS video_duration_ms
+             AS video_duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN 'V_VP8' ELSE 'VP80' END AS video_codec
          FROM documents WHERE doc_id < 300""",
 
     "q_avro_sink" ->
@@ -4919,14 +4920,17 @@ object SparkEntry {
            (320 + (doc_id % 8) * 16)::INTEGER AS video_width,
            (240 + (doc_id % 5) * 16)::INTEGER AS video_height,
            (CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id % 97) * 250
-                 ELSE 40 * (25 + doc_id % 100) END)::BIGINT AS video_duration_ms
+                 ELSE 40 * (25 + doc_id % 100) END)::BIGINT AS video_duration_ms,
+           CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 2 THEN 'jpeg'
+                WHEN 1 THEN 'MJPG' ELSE 'XVID' END AS video_codec
          FROM documents""",
 
     // duration = (2 + id%5) frames x (3 + id%7) cs x 10 ms/cs
     "q_video_meta_gif" ->
       """SELECT doc_id AS media_id, 'gif' AS video_format,
            24::INTEGER AS video_width, 16::INTEGER AS video_height,
-           ((2 + doc_id % 5) * (3 + doc_id % 7) * 10)::BIGINT AS video_duration_ms
+           ((2 + doc_id % 5) * (3 + doc_id % 7) * 10)::BIGINT AS video_duration_ms,
+           'lzw' AS video_codec
          FROM documents WHERE doc_id < 300""",
 
     // construction: ids i and i+100 package the same frames (different

@@ -667,7 +667,7 @@ final class Engine(spark: SparkSession) {
       case "video_meta" =>
         appendStructFields(df, Config.reqStr(op, "column", ctx), "video_meta",
           Config.str(op, "prefix").getOrElse("video_"),
-          Seq("format", "width", "height", "duration_ms"))
+          Seq("format", "width", "height", "duration_ms", "codec"))
       case "video_frames" =>
         // one row per sampled JPEG frame (narrow explode, no shuffle);
         // rows without extractable frames drop — the frames then feed the

@@ -153,8 +153,12 @@ case class ImageThumbnail(child: Expression, w: Int, h: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
-/** struct(format, width, height, duration_ms) from the ISO BMFF box tree
-  * (mvhd/tkhd) — container metadata only, no frame decode. */
+/** struct(format, width, height, duration_ms, codec) from the container's
+  * metadata tree (ISO BMFF mvhd/tkhd, AVI avih/strh, Matroska Info/Tracks,
+  * IVF header, GIF/WebP animation walks) — metadata only, no frame decode.
+  * `codec` is the raw container codec identifier (stsd fourcc, strh
+  * handler, Matroska CodecID, IVF fourcc) so unsupported-codec videos
+  * that yield zero frames are diagnosable in data. */
 case class VideoMeta(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -164,7 +168,8 @@ case class VideoMeta(child: Expression) extends UnaryExpression {
     StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("duration_ms", LongType, nullable = false)))
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("codec", StringType, nullable = true)))
   override def prettyName: String = "video_meta"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -291,32 +291,142 @@ object MediaKernels {
   private def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) | ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
 
-  /** struct(format, width, height, duration_ms): ISO BMFF box tree (mvhd
-    * timescale+duration, first non-zero tkhd width/height, 16.16 fixed
-    * point) or RIFF AVI `avih` (µs/frame × total frames, dwWidth/
-    * dwHeight); null format otherwise. */
+  /** struct(format, width, height, duration_ms, codec): ISO BMFF box tree
+    * (mvhd timescale+duration, first non-zero tkhd width/height, 16.16
+    * fixed point), RIFF AVI `avih` (µs/frame × total frames, dwWidth/
+    * dwHeight), IVF/WebM, animated GIF/WebP; null format otherwise.
+    *
+    * `codec` is the container's RAW codec identifier — MP4 stsd entry
+    * fourcc ("jpeg", "avc1"), AVI strh vids handler ("MJPG"), Matroska
+    * CodecID ("V_VP8", "V_VP9"), IVF fourcc ("VP80"), GIF "lzw", WebP
+    * "VP8"/"VP8L" — surfaced verbatim and null when the container does
+    * not declare one. The point is diagnosability: a corpus whose videos
+    * yield ZERO frames through video_frames (unsupported codec) shows WHY
+    * in this column instead of silently dropping out of video_dedup. */
   def videoMetaRow(b: Array[Byte]): GenericInternalRow = {
+    def row(fmt: String, m: Array[Long], codec: String) =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(fmt),
+        m(0).toInt, m(1).toInt, m(2),
+        if (codec == null) null else UTF8String.fromString(codec)))
     val m = mp4Meta(b)
-    if (m != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("mp4"),
-        m(0).toInt, m(1).toInt, m(2)))
+    if (m != null) return row("mp4", m, mp4VideoCodec(b))
     val a = aviMeta(b)
-    if (a != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("avi"),
-        a(0).toInt, a(1).toInt, a(2)))
+    if (a != null) return row("avi", a, aviVideoCodec(b))
     val iv = Webm.ivfMeta(b)
-    if (iv != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("ivf"),
-        iv(0).toInt, iv(1).toInt, iv(2)))
+    if (iv != null) return row("ivf", iv, Webm.ivfCodec(b))
     val wm = Webm.webmMeta(b)
     if (wm != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("webm"),
-        wm(0).toInt, wm(1).toInt, wm(2)))
+      return row("webm", wm,
+        Webm.tracks(b).collectFirst { case t if t.trackType == 1 && t.codecId != null => t.codecId }.orNull)
     val g = gifMeta(b)
-    if (g != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("gif"),
-        g(0).toInt, g(1).toInt, g(2)))
-    new GenericInternalRow(Array[Any](null, 0, 0, 0L))
+    if (g != null) return row("gif", g, "lzw")
+    val wp = Webp.animMeta(b)
+    if (wp != null) return row("webp", wp, Webp.animCodec(b))
+    new GenericInternalRow(Array[Any](null, 0, 0, 0L, null))
+  }
+
+  /** First `vide`-handler track's stsd entry fourcc (falling back to the
+    * first stsd entry when no hdlr boxes exist — minimal fixtures). */
+  private[functions] def mp4VideoCodec(b: Array[Byte]): String = {
+    val ts = mp4Tracks(b)
+    ts.collectFirst { case t if t.handler == "vide" && t.codec != null => t.codec }
+      .orElse(ts.collectFirst { case t if t.handler == null && t.codec != null => t.codec })
+      .orNull
+  }
+
+  /** One ISO BMFF trak's declared coding: hdlr handler type ("vide" /
+    * "soun", null when absent), first stsd entry fourcc, and — for audio
+    * sample entries — channelcount/samplerate/samplesize at their fixed
+    * AudioSampleEntry offsets (ISO 14496-12 §12.2.3), plus the track's
+    * mdhd duration. The walk is metadata-only: no sample data is read. */
+  final case class Mp4Track(handler: String, codec: String, channels: Int,
+                            sampleRate: Int, bits: Int, durationMs: Long)
+
+  private[functions] def mp4Tracks(b: Array[Byte]): Seq[Mp4Track] = {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    var handler: String = null
+    var codec: String = null
+    var ch = 0; var rate = 0; var bits = 0; var durMs = 0L
+    var inTrak = false
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end && out.length < 64) {
+        var size = be32(b, p)
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        var hdr = 8
+        if (size == 1 && p + 16 <= end) {
+          size = (be32(b, p + 8) << 32) | be32(b, p + 12); hdr = 16
+        } else if (size == 0) size = end - p
+        if (size < hdr || p + size > end) return
+        val d = p + hdr
+        val e = p + size.toInt
+        typ match {
+          case "moov" => walk(d, e)
+          case "trak" =>
+            handler = null; codec = null; ch = 0; rate = 0; bits = 0; durMs = 0L
+            inTrak = true
+            walk(d, e)
+            inTrak = false
+            out += Mp4Track(handler, codec, ch, rate, bits, durMs)
+          case "mdia" | "minf" | "stbl" if inTrak => walk(d, e)
+          case "mdhd" if inTrak && size >= hdr + 20 =>
+            val v = b(d) & 0xFF
+            if (v == 1 && size >= hdr + 32) {
+              val ts = be32(b, d + 20)
+              val dur = (be32(b, d + 24) << 32) | be32(b, d + 28)
+              if (ts > 0) durMs = dur * 1000L / ts
+            } else {
+              val ts = be32(b, d + 12)
+              val dur = be32(b, d + 16)
+              if (ts > 0) durMs = dur * 1000L / ts
+            }
+          case "hdlr" if inTrak && size >= hdr + 12 =>
+            handler = new String(b, d + 8, 4, "US-ASCII")
+          case "stsd" if inTrak && size >= hdr + 16 =>
+            codec = new String(b, d + 8 + 4, 4, "US-ASCII").trim
+            // AudioSampleEntry fixed layout (only meaningful for soun
+            // handlers; harmless zeros otherwise): channelcount at
+            // entry+24, samplesize at entry+26, samplerate 16.16 at +32
+            val entry = d + 8
+            if (entry + 36 <= e) {
+              ch = ((b(entry + 24) & 0xFF) << 8) | (b(entry + 25) & 0xFF)
+              bits = ((b(entry + 26) & 0xFF) << 8) | (b(entry + 27) & 0xFF)
+              rate = ((be32(b, entry + 32)) >> 16).toInt
+            }
+          case _ => ()
+        }
+        p = e
+      }
+    }
+    try walk(0, b.length) catch { case _: Exception => () }
+    out.toSeq
+  }
+
+  /** AVI `strh` walk: the fccHandler fourcc of the first `vids` stream
+    * header — "MJPG" for the motion-JPEG face, surfaced raw otherwise. */
+  private[functions] def aviVideoCodec(b: Array[Byte]): String = {
+    if (b == null || b.length < 24 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return null
+    var found: String = null
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end && found == null) {
+        val tag = new String(b, p, 4, "US-ASCII")
+        val len = le32(b, p + 4).toInt
+        val d = p + 8
+        if (d + len > end || len < 0) return
+        if (tag == "LIST" && len >= 4) walk(d + 4, d + len)
+        else if (tag == "strh" && len >= 8 &&
+          b(d) == 'v' && b(d + 1) == 'i' && b(d + 2) == 'd' && b(d + 3) == 's')
+          found = new String(b, d + 4, 4, "US-ASCII").trim
+        p = d + len + (len & 1)
+      }
+    }
+    try walk(12, b.length) catch { case _: Exception => () }
+    found
   }
 
   /** Animated-GIF video metadata: logical-screen dims + total duration
@@ -384,9 +494,10 @@ object MediaKernels {
     walk(12, b.length)
   }
 
-  /** Minimal AVI metadata fixture: RIFF(AVI ) → LIST(hdrl) → avih. */
+  /** Minimal AVI metadata fixture: RIFF(AVI ) → LIST(hdrl) → avih
+    * (+ LIST(strl) → strh declaring the vids handler when `codec` set). */
   def encodeAviHeader(width: Int, height: Int, usPerFrame: Long,
-                      totalFrames: Long): Array[Byte] = {
+                      totalFrames: Long, codec: String = null): Array[Byte] = {
     val avih = new Array[Byte](8 + 56)
     def w32(a: Array[Byte], p: Int, v: Long): Unit = {
       a(p) = v.toByte; a(p + 1) = (v >> 8).toByte
@@ -398,11 +509,29 @@ object MediaKernels {
     w32(avih, 8 + 16, totalFrames)
     w32(avih, 8 + 32, width)
     w32(avih, 8 + 36, height)
-    val list = new Array[Byte](12 + avih.length)
+    val strl =
+      if (codec == null) Array.emptyByteArray
+      else {
+        // LIST(strl) > strh: fccType vids + the handler fourcc — the
+        // codec declaration the diagnosability column surfaces
+        val strh = new Array[Byte](8 + 56)
+        "strh".getBytes("US-ASCII").copyToArray(strh, 0)
+        w32(strh, 4, 56)
+        "vids".getBytes("US-ASCII").copyToArray(strh, 8)
+        codec.padTo(4, ' ').take(4).getBytes("US-ASCII").copyToArray(strh, 12)
+        val l = new Array[Byte](12 + strh.length)
+        "LIST".getBytes("US-ASCII").copyToArray(l, 0)
+        w32(l, 4, 4 + strh.length)
+        "strl".getBytes("US-ASCII").copyToArray(l, 8)
+        strh.copyToArray(l, 12)
+        l
+      }
+    val list = new Array[Byte](12 + avih.length + strl.length)
     "LIST".getBytes("US-ASCII").copyToArray(list, 0)
-    w32(list, 4, 4 + avih.length)
+    w32(list, 4, 4 + avih.length + strl.length)
     "hdrl".getBytes("US-ASCII").copyToArray(list, 8)
     avih.copyToArray(list, 12)
+    strl.copyToArray(list, 12 + avih.length)
     val out = new Array[Byte](12 + list.length)
     "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
     w32(out, 4, 4 + list.length)
@@ -456,8 +585,11 @@ object MediaKernels {
     if (durMs == 0 && width == 0) null else Array(width, height, durMs)
   }
 
-  /** Minimal MP4 metadata fixture: ftyp + moov(mvhd + trak(tkhd)). */
-  def encodeMp4Header(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+  /** Minimal MP4 metadata fixture: ftyp + moov(mvhd + trak(tkhd))
+    * (+ mdia(hdlr vide + minf(stbl(stsd(codec entry)))) when `codec`
+    * set — declares the coding without any sample data). */
+  def encodeMp4Header(width: Int, height: Int, durationMs: Long,
+                      codec: String = null): Array[Byte] = {
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](8 + payload.length)
       val size = out.length
@@ -477,7 +609,18 @@ object MediaKernels {
     // tkhd v0: standard 84-byte payload, width/height 16.16 at the end
     val tkhd = box("tkhd", new Array[Byte](76) ++
       u32(width.toLong << 16) ++ u32(height.toLong << 16))
-    val trak = box("trak", tkhd)
+    val trak =
+      if (codec == null) box("trak", tkhd)
+      else {
+        // declare the coding: hdlr vide + an stsd whose single entry
+        // carries the codec fourcc (86-byte VisualSampleEntry of zeros —
+        // the meta walk reads only the fourcc; there is no sample data)
+        val hdlr = box("hdlr", u32(0) ++ u32(0) ++
+          "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+        val entry = box(codec.padTo(4, ' ').take(4), new Array[Byte](78))
+        val stsd = box("stsd", u32(0) ++ u32(1) ++ entry)
+        box("trak", tkhd ++ box("mdia", hdlr ++ box("minf", box("stbl", stsd))))
+      }
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ moov
   }

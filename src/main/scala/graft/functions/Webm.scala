@@ -340,6 +340,113 @@ object Webm {
     Array(w, h, durMs)
   }
 
+  /** One Matroska TrackEntry's metadata: type 1 = video, 2 = audio
+    * (the Matroska TrackType enum); codecId is the raw CodecID string
+    * ("V_VP8", "A_OPUS", ...) — surfaced verbatim so unsupported-codec
+    * drops are VISIBLE in data instead of silently yielding zero
+    * frames/samples. */
+  final case class MkvTrack(trackType: Int, codecId: String,
+                            width: Int, height: Int,
+                            channels: Int, sampleRate: Double, bitDepth: Int)
+
+  /** All TrackEntry rows from Segment → Tracks: the diagnosability walk
+    * behind video_meta's codec column and the container-audio metadata
+    * face. Total over hostile bytes; empty when not EBML or no Tracks. */
+  private[functions] def tracks(b: Array[Byte]): Seq[MkvTrack] = {
+    if (b == null || b.length < 8 ||
+      !((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+        (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[MkvTrack]
+    def vintLen(first: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (first & m) == 0) { m >>= 1; n += 1 }
+      if (n > 8) -1 else n
+    }
+    /** (id, size, dataOff, endOff) or null; unknown size extends to end. */
+    def header(p: Int, end: Int): Array[Long] = {
+      if (p >= b.length) return null
+      val idn = vintLen(b(p) & 0xFF)
+      if (idn < 0 || idn > 4 || p + idn > b.length) return null
+      var id = 0L
+      var i = 0
+      while (i < idn) { id = (id << 8) | (b(p + i) & 0xFF); i += 1 }
+      val sp = p + idn
+      if (sp >= b.length) return null
+      val szn = vintLen(b(sp) & 0xFF)
+      if (szn < 0 || sp + szn > b.length) return null
+      var sz = ((b(sp) & 0xFF) & (0xFF >>> szn)).toLong
+      i = 1
+      while (i < szn) { sz = (sz << 8) | (b(sp + i) & 0xFF); i += 1 }
+      val unknown = sz == (1L << (7 * szn)) - 1
+      val d = sp + szn
+      val e = if (unknown) end
+      else if (d + sz > end || sz > Int.MaxValue) return null
+      else (d + sz).toInt
+      Array(id, if (unknown) -1L else sz, d, e)
+    }
+    def uintAt(d: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len && len <= 8) { v = (v << 8) | (b(d + i) & 0xFF); i += 1 }
+      v
+    }
+    def floatAt(d: Int, len: Int): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(uintAt(d, 4).toInt).toDouble
+      else if (len == 8) java.lang.Double.longBitsToDouble(uintAt(d, 8))
+      else 0.0
+    def entry(start: Int, end: Int): Unit = {
+      var tt = 0; var codec: String = null
+      var w = 0; var h = 0; var ch = 0; var rate = 0.0; var bits = 0
+      def sub(s0: Int, e0: Int, inAv: Int): Unit = {
+        var p = s0
+        while (p < e0) {
+          val hd = header(p, e0)
+          if (hd == null) return
+          val d = hd(2).toInt; val e = hd(3).toInt; val sz = hd(1)
+          if (sz >= 0) hd(0) match {
+            case 0x83 => tt = uintAt(d, sz.toInt).toInt // TrackType
+            case 0x86 if sz <= 64 => codec = new String(b, d, sz.toInt, "US-ASCII")
+            case 0xE0 => sub(d, e, 1) // Video
+            case 0xE1 => sub(d, e, 2) // Audio
+            case 0xB0 if inAv == 1 => w = uintAt(d, sz.toInt).toInt
+            case 0xBA if inAv == 1 => h = uintAt(d, sz.toInt).toInt
+            case 0xB5 if inAv == 2 => rate = floatAt(d, sz.toInt) // SamplingFrequency
+            case 0x9F if inAv == 2 => ch = uintAt(d, sz.toInt).toInt // Channels
+            case 0x6264 if inAv == 2 => bits = uintAt(d, sz.toInt).toInt // BitDepth
+            case _ => ()
+          }
+          p = e
+        }
+      }
+      sub(start, end, 0)
+      // spec defaults the audio face relies on: 1 channel, 8 kHz
+      if (tt == 2 && ch == 0) ch = 1
+      if (tt == 2 && rate == 0.0) rate = 8000.0
+      out += MkvTrack(tt, codec, w, h, ch, rate, bits)
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var p = start
+      while (p < end && depth < 8 && out.length < 64) {
+        val hd = header(p, end)
+        if (hd == null) return
+        hd(0) match {
+          case 0x18538067L | 0x1654AE6BL => walk(hd(2).toInt, hd(3).toInt, depth + 1)
+          case 0xAE => entry(hd(2).toInt, hd(3).toInt)
+          case _ => ()
+        }
+        p = hd(3).toInt
+      }
+    }
+    try walk(0, b.length, 0) catch { case _: Exception => () }
+    out.toSeq
+  }
+
+  /** The raw IVF fourcc ("VP80", "VP90", "AV01", ...) — the codec
+    * identifier video_meta surfaces so a zero-frame IVF is diagnosable. */
+  private[functions] def ivfCodec(b: Array[Byte]): String =
+    if (b == null || b.length < 12 ||
+      !(b(0) == 'D' && b(1) == 'K' && b(2) == 'I' && b(3) == 'F')) null
+    else new String(b, 8, 4, "US-ASCII").trim
+
   // -------------------------------------------- fixture/test writers
 
   /** Raw VP8 keyframe bitstreams into an IVF container (the codec-SDK

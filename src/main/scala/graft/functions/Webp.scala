@@ -625,6 +625,70 @@ object Webp {
     * flag restores the frame rect to the ANIM background luma. Snapshots
     * re-encode as grayscale PNG payloads. Null for non-animations, empty
     * when nothing composites; never throws on hostile bytes. */
+  /** Animated-WebP video metadata: (canvasW, canvasH, durationMs) from
+    * VP8X canvas dims + summed ANMF frame durations (u24 ms at ANMF+12).
+    * Null unless the VP8X animation flag is set AND >= 2 ANMF frames —
+    * stills stay image_meta's face, same contract as gifMeta. */
+  private[functions] def animMeta(b: Array[Byte]): Array[Long] = {
+    try {
+      if (b == null || b.length < 30 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
+      def u24(p: Int) = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) | ((b(p + 2) & 0xFF) << 16)
+      var p = 12
+      var sw = 0L; var sh = 0L
+      var animated = false
+      var frames = 0L; var durMs = 0L
+      while (p + 8 <= b.length) {
+        val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+          ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+        if (size < 0 || p + 8 + size > b.length) return null
+        val d = p + 8
+        tag match {
+          case "VP8X" if size >= 10 =>
+            animated = (b(d) & 0x02) != 0
+            sw = u24(d + 4) + 1; sh = u24(d + 7) + 1
+          case "ANMF" if animated && size >= 16 =>
+            frames += 1; durMs += u24(d + 12)
+          case _ => ()
+        }
+        p = d + size + (size & 1)
+      }
+      if (!animated || frames < 2) null else Array(sw, sh, durMs)
+    } catch { case _: Exception => null }
+  }
+
+  /** Codec of the first ANMF frame's bitstream chunk ("VP8" lossy /
+    * "VP8L" lossless) — the diagnosability column for animated WebP. */
+  private[functions] def animCodec(b: Array[Byte]): String = {
+    try {
+      if (b == null || b.length < 30) return null
+      var p = 12
+      while (p + 8 <= b.length) {
+        val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+          ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+        if (size < 0 || p + 8 + size > b.length) return null
+        if (tag == "ANMF" && size > 24) {
+          // sub-chunks start at +16: ALPH may precede the frame chunk
+          var q = p + 8 + 16
+          while (q + 8 <= p + 8 + size) {
+            val st = new String(b, q, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            if (st == "VP8 " || st == "VP8L") return st.trim
+            val ss = (b(q + 4) & 0xFF) | ((b(q + 5) & 0xFF) << 8) |
+              ((b(q + 6) & 0xFF) << 16) | ((b(q + 7) & 0xFF) << 24)
+            if (ss < 0) return null
+            q += 8 + ss + (ss & 1)
+          }
+          return null
+        }
+        p = p + 8 + size + (size & 1)
+      }
+      null
+    } catch { case _: Exception => null }
+  }
+
   private[functions] def animFrames(b: Array[Byte]): Array[Array[Byte]] = {
     try {
       if (b == null || b.length < 30 ||

@@ -59,11 +59,18 @@ object GenMedia {
   def aviUsPerFrame: Long = 40000L // 25 fps
   def aviFrames(id: Long): Long = 25L + id % 100L
 
-  /** q_video_meta payload: mp4 for even ids, RIFF AVI for odd. */
+  /** q_video_meta payload: mp4 for even ids, RIFF AVI for odd — each
+    * declaring an id-derived codec (mp4 stsd fourcc avc1/jpeg, AVI strh
+    * handler MJPG/XVID) so the diagnosability column is closed-form:
+    * the avc1/XVID arms are exactly the "declared but zero frames"
+    * shapes a real crawl corpus hits. */
   def videoMetaFixture(id: Long): Array[Byte] =
-    if (id % 2 == 0) mp4Fixture(id)
+    if (id % 2 == 0)
+      MediaKernels.encodeMp4Header(mp4Width(id), mp4Height(id),
+        mp4DurationMs(id), codec = if (id % 4 == 0) "avc1" else "jpeg")
     else MediaKernels.encodeAviHeader(mp4Width(id), mp4Height(id),
-      aviUsPerFrame, aviFrames(id))
+      aviUsPerFrame, aviFrames(id),
+      codec = if (id % 4 == 1) "MJPG" else "XVID")
 
   def mp4Width(id: Long): Int = 320 + (id % 8).toInt * 16
   def mp4Height(id: Long): Int = 240 + (id % 5).toInt * 16

@@ -77,6 +77,58 @@ class MediaSpec extends SparkSpec {
     assert(r.getLong(3) == 33333L * 300L / 1000L)
   }
 
+  test("video_meta codec column makes unsupported-codec zero-frame drops diagnosable") {
+    // supported codecs report their identifier AND yield frames
+    val frames = (0 until 4).map(k => GenMedia.videoFrameJpeg(3L, k))
+    val mjpg = MediaKernels.encodeMjpegAvi(48, 48, 40000L, frames)
+    assert(MediaKernels.videoMetaRow(mjpg).getString(4) == "MJPG")
+    assert(MediaKernels.videoFrames(mjpg, 8).nonEmpty)
+    val jmp4 = MediaKernels.encodeJpegMp4(48, 48, frames)
+    assert(MediaKernels.videoMetaRow(jmp4).getString(4) == "jpeg")
+    assert(MediaKernels.videoFrames(jmp4, 8).nonEmpty)
+    // the dominant-crawl shapes that yield ZERO frames must say WHY:
+    // an avc1 MP4, an XVID AVI, a VP9 WebM, an AV1 IVF
+    val avc1 = MediaKernels.encodeMp4Header(640, 360, 5000L, codec = "avc1")
+    val avc1Row = MediaKernels.videoMetaRow(avc1)
+    assert(avc1Row.getString(0) == "mp4" && avc1Row.getString(4) == "avc1")
+    assert(MediaKernels.videoFrames(avc1, 8).isEmpty)
+    val xvid = MediaKernels.encodeAviHeader(720, 480, 40000L, 25L, codec = "XVID")
+    assert(MediaKernels.videoMetaRow(xvid).getString(4) == "XVID")
+    assert(MediaKernels.videoFrames(xvid, 8).isEmpty)
+    val vp8 = (0 until 2).map(k => graft.tools.Vp8VideoFixtures.frame(1, k))
+    val vp9 = Webm.encodeWebm(48, 48, vp8).clone()
+    locally { // V_VP8 -> V_VP9 CodecID byte flip (same length)
+      val needle = "V_VP8".getBytes("US-ASCII")
+      val i = (0 until vp9.length - 5).find(i =>
+        needle.indices.forall(j => vp9(i + j) == needle(j))).get
+      vp9(i + 4) = '9'
+    }
+    val vp9Row = MediaKernels.videoMetaRow(vp9)
+    assert(vp9Row.getString(0) == "webm" && vp9Row.getString(4) == "V_VP9")
+    assert(MediaKernels.videoFrames(vp9, 8).isEmpty)
+    val av01 = Webm.encodeIvf(48, 48, vp8).clone()
+    av01(8) = 'A'; av01(9) = 'V'; av01(10) = '0'; av01(11) = '1'
+    val av01Row = MediaKernels.videoMetaRow(av01)
+    assert(av01Row.getString(0) == "ivf" && av01Row.getString(4) == "AV01")
+    assert(MediaKernels.videoFrames(av01, 8).isEmpty)
+    // supported VP8 containers report V_VP8 / VP80
+    assert(MediaKernels.videoMetaRow(Webm.encodeWebm(48, 48, vp8)).getString(4) == "V_VP8")
+    assert(MediaKernels.videoMetaRow(Webm.encodeIvf(48, 48, vp8)).getString(4) == "VP80")
+  }
+
+  test("animated WebP surfaces through video_meta (canvas, summed durations, VP8L codec)") {
+    val px = (0 until 3).map(k => GenImages.pattern(9L * 8 + k, 24, 16))
+    val webp = Webp.encodeAnimatedGray(24, 16, px, delayMs = 50)
+    val r = MediaKernels.videoMetaRow(webp)
+    assert(r.getString(0) == "webp", s"format ${r.getString(0)}")
+    assert(r.getInt(1) == 24 && r.getInt(2) == 16)
+    assert(r.getLong(3) == 150L, s"duration ${r.getLong(3)}") // 3 x 50 ms
+    assert(r.getString(4) == "VP8L")
+    // a STILL WebP stays image_meta's face (no animation flag)
+    assert(MediaKernels.videoMetaRow(
+      Webp.encodeGray(24, 16, px(0))).isNullAt(0))
+  }
+
   test("TIFF (both byte orders) and WebP (VP8X/VP8L) metadata parse") {
     assert(ImageKernels.imageMeta(ImageKernels.encodeTiffHeader(800, 600)) ==
       ("tiff", 800, 600, 0))
