@@ -2236,7 +2236,23 @@ object SparkEntry {
       new graft.engine.Engine(s).applyOperation(media,
         Map("operation" -> "audio_meta", "column" -> "content"), Map.empty, "gate")
         .select("media_id", "audio_format", "audio_channels", "audio_sample_rate",
-          "audio_bits", "audio_n_samples", "audio_duration_ms")
+          "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
+    }),
+
+    // compressed audio INSIDE containers is visible to the audio tier:
+    // WebM-Opus/Vorbis (even ids) and MP4-AAC (odd) report their track's
+    // declared codec/channels/rate/duration — previously these payloads
+    // fell through to a null-format row and silently vanished
+    "q_audio_meta_container" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 400).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.containerAudioFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "audio_format", "audio_channels", "audio_sample_rate",
+          "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
     }),
 
     // REAL PCM decode: integer signal features (energy, zero crossings,
@@ -4867,8 +4883,28 @@ object SparkEntry {
              AS audio_n_samples,
            (CASE fmt WHEN 0 THEN wav_n * 1000 // wav_rate
                      WHEN 1 THEN flac_n * 1000 // flac_rate
-                     ELSE mp3_n * 1000 // mp3_rate END)::BIGINT AS audio_duration_ms
+                     ELSE mp3_n * 1000 // mp3_rate END)::BIGINT AS audio_duration_ms,
+           CASE fmt WHEN 0 THEN 'pcm' WHEN 1 THEN 'flac' ELSE 'mp3' END
+             AS audio_codec
          FROM p""",
+
+    // container-held audio tracks: WebM (Matroska audio TrackEntry:
+    // CodecID + SamplingFrequency/Channels + Segment Duration) for even
+    // ids, MP4 (soun trak: stsd mp4a entry + mdhd duration) for odd —
+    // all fields id-derived, n_samples 0 (no sample decode by design)
+    "q_audio_meta_container" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'mp4' END AS audio_format,
+           (1 + (doc_id // 2) % 2)::INTEGER AS audio_channels,
+           (CASE (doc_id // 4) % 3 WHEN 0 THEN 22050 WHEN 1 THEN 44100
+                 ELSE 48000 END)::BIGINT AS audio_sample_rate,
+           (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 16 END)::INTEGER AS audio_bits,
+           0::BIGINT AS audio_n_samples,
+           (500 + (doc_id % 50) * 100)::BIGINT AS audio_duration_ms,
+           CASE WHEN doc_id % 4 = 0 THEN 'A_OPUS'
+                WHEN doc_id % 2 = 0 THEN 'A_VORBIS'
+                ELSE 'mp4a' END AS audio_codec
+         FROM documents WHERE doc_id < 400""",
 
     // samples regenerated from the fixture formula; features recomputed
     // independently (window lag for the sign-change count)

@@ -659,7 +659,8 @@ final class Engine(spark: SparkSession) {
       case "audio_meta" =>
         appendStructFields(df, Config.reqStr(op, "column", ctx), "audio_meta",
           Config.str(op, "prefix").getOrElse("audio_"),
-          Seq("format", "channels", "sample_rate", "bits", "n_samples", "duration_ms"))
+          Seq("format", "channels", "sample_rate", "bits", "n_samples",
+            "duration_ms", "codec"))
       case "audio_features" =>
         appendStructFields(df, Config.reqStr(op, "column", ctx), "audio_features",
           Config.str(op, "prefix").getOrElse("audio_"),

@@ -26,7 +26,8 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
     StructField("sample_rate", LongType, nullable = false),
     StructField("bits", IntegerType, nullable = false),
     StructField("n_samples", LongType, nullable = false),
-    StructField("duration_ms", LongType, nullable = false)))
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("codec", StringType, nullable = true)))
   override def prettyName: String = "audio_meta"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -64,24 +64,78 @@ object MediaKernels {
     Array(channels, rate, bits, dataLen / bytesPerFrame, dataOff, dataLen)
   }
 
-  /** struct(format, channels, sample_rate, bits, n_samples, duration_ms)
-    * — header parse only (WAV, FLAC STREAMINFO, MP3 frame walk); null
-    * format for unrecognized payloads. */
+  /** struct(format, channels, sample_rate, bits, n_samples, duration_ms,
+    * codec) — header parse only (WAV, FLAC STREAMINFO, MP3 frame walk),
+    * plus CONTAINER-held audio tracks: an MP4 `soun` trak (stsd entry
+    * fourcc + AudioSampleEntry channel/rate fields + mdhd duration) and a
+    * Matroska audio TrackEntry (CodecID + Audio element + Segment
+    * duration). Compressed container audio (Opus/Vorbis/AAC) surfaces its
+    * declared metadata with n_samples 0 — sample DECODE stays a non-goal,
+    * but the track is no longer invisible to the audio tier. Null format
+    * for unrecognized payloads. */
   def audioMetaRow(b: Array[Byte]): GenericInternalRow = {
+    def row(fmt: String, ch: Int, rate: Long, bits: Int, n: Long, dur: Long,
+            codec: String) =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(fmt),
+        ch, rate, bits, n, dur,
+        if (codec == null) null else UTF8String.fromString(codec)))
     val wav = wavInfo(b)
     if (wav != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("wav"),
-        wav(0).toInt, wav(1), wav(2).toInt, wav(3), wav(3) * 1000L / wav(1)))
+      return row("wav", wav(0).toInt, wav(1), wav(2).toInt, wav(3),
+        wav(3) * 1000L / wav(1), "pcm")
     val flac = flacInfo(b)
     if (flac != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("flac"),
-        flac(0).toInt, flac(1), flac(2).toInt, flac(3),
-        if (flac(1) > 0) flac(3) * 1000L / flac(1) else 0L))
+      return row("flac", flac(0).toInt, flac(1), flac(2).toInt, flac(3),
+        if (flac(1) > 0) flac(3) * 1000L / flac(1) else 0L, "flac")
     val mp3 = mp3Info(b)
     if (mp3 != null)
-      return new GenericInternalRow(Array[Any](UTF8String.fromString("mp3"),
-        mp3(0).toInt, mp3(1), 0, mp3(2), if (mp3(1) > 0) mp3(2) * 1000L / mp3(1) else 0L))
-    new GenericInternalRow(Array[Any](null, 0, 0L, 0, 0L, 0L))
+      return row("mp3", mp3(0).toInt, mp3(1), 0, mp3(2),
+        if (mp3(1) > 0) mp3(2) * 1000L / mp3(1) else 0L, "mp3")
+    val mt = mp4Tracks(b).find(t => t.handler == "soun" && t.codec != null)
+    if (mt.isDefined) {
+      val t = mt.get
+      return row("mp4", t.channels, t.sampleRate.toLong, t.bits, 0L,
+        t.durationMs, t.codec)
+    }
+    if (b != null && b.length >= 8 && (b(0) & 0xFF) == 0x1A &&
+      (b(1) & 0xFF) == 0x45 && (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) {
+      val at = Webm.tracks(b).find(t => t.trackType == 2 && t.codecId != null)
+      if (at.isDefined) {
+        val t = at.get
+        val wm = Webm.webmMeta(b)
+        return row("webm", t.channels, math.round(t.sampleRate), t.bitDepth,
+          0L, if (wm != null) wm(2) else 0L, t.codecId)
+      }
+    }
+    new GenericInternalRow(Array[Any](null, 0, 0L, 0, 0L, 0L, null))
+  }
+
+  /** Audio-only MP4 fixture: ftyp + moov(mvhd + trak(tkhd + mdia(mdhd +
+    * hdlr soun + minf(stbl(stsd(AudioSampleEntry)))))) — the metadata
+    * shape a real MP4-AAC file declares; no mdat. */
+  def encodeMp4Audio(codec: String, channels: Int, sampleRate: Int,
+                     bits: Int, durationMs: Long): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(durationMs) ++ new Array[Byte](80))
+    val tkhd = box("tkhd", new Array[Byte](84))
+    val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(durationMs) ++ u32(0x55C40000L))
+    val hdlr = box("hdlr", u32(0) ++ u32(0) ++ "soun".getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    // AudioSampleEntry (ISO 14496-12 §12.2.3): 6 reserved + 2 data-ref,
+    // 8 reserved, channelcount, samplesize, 4 reserved, samplerate 16.16
+    val entry = box(codec.padTo(4, ' ').take(4), new Array[Byte](16) ++
+      u16(channels) ++ u16(bits) ++ u32(0) ++ u32(sampleRate.toLong << 16))
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ entry)
+    val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stsd)))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
   }
 
   /** FLAC STREAMINFO (metadata block 0): (channels, sampleRate, bits,

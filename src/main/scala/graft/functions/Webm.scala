@@ -449,6 +449,51 @@ object Webm {
 
   // -------------------------------------------- fixture/test writers
 
+  /** Audio-only WebM fixture: EBML header + Segment(Info(TimecodeScale,
+    * Duration), Tracks(audio TrackEntry: CodecID + Audio(SamplingFrequency,
+    * Channels [, BitDepth when > 0]))) — the metadata shape a real
+    * WebM-Opus/Vorbis file declares; no clusters (audio_meta reads no
+    * sample data). */
+  def encodeWebmAudio(codecId: String, channels: Int, sampleRate: Double,
+                      bitDepth: Int, durationMs: Long): Array[Byte] = {
+    def sizeVint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+      val out = new Array[Byte](n)
+      var x = v | (1L << (7 * n))
+      var i = n - 1
+      while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+      out
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      var n = 1
+      while (n < 4 && (id >> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length) ++ payload
+    def uintEl(id: Long, v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      el(id, Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte))
+    }
+    def f64El(id: Long, v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      el(id, Array.tabulate(8)(i => ((bits >>> (8 * (7 - i))) & 0xFF).toByte))
+    }
+    val ebml = el(0x1A45DFA3L,
+      uintEl(0x4286, 1) ++ uintEl(0x42F7, 1) ++ uintEl(0x42F2, 4) ++
+        uintEl(0x42F3, 8) ++ el(0x4282, "webm".getBytes("US-ASCII")) ++
+        uintEl(0x4287, 2) ++ uintEl(0x4285, 2))
+    val info = el(0x1549A966L, uintEl(0x2AD7B1, 1000000L) ++
+      f64El(0x4489, durationMs.toDouble))
+    val audio = el(0xE1, f64El(0xB5, sampleRate) ++ uintEl(0x9F, channels) ++
+      (if (bitDepth > 0) uintEl(0x6264, bitDepth) else Array.emptyByteArray))
+    val entry = el(0xAE, uintEl(0xD7, 1) ++ uintEl(0x73C5, 1) ++
+      uintEl(0x83, 2) ++ el(0x86, codecId.getBytes("US-ASCII")) ++ audio)
+    ebml ++ el(0x18538067L, info ++ el(0x1654AE6BL, entry))
+  }
+
   /** Raw VP8 keyframe bitstreams into an IVF container (the codec-SDK
     * test format: trivial by construction, which is exactly why it is the
     * right hostile-fixture substrate). */

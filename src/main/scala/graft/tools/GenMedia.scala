@@ -56,6 +56,22 @@ object GenMedia {
     case _ => MediaKernels.encodeMp3Header(mp3Rate(id), mp3Frames(id))
   }
 
+  /** q_audio_meta_container payload: WebM-held Opus/Vorbis for even ids,
+    * MP4-AAC (mp4a) for odd — channels/rate/duration id-derived so the
+    * oracle is closed-form. Compressed container tracks carry no sample
+    * data; the gate pins that their DECLARED metadata surfaces. */
+  def containerAudioFixture(id: Long): Array[Byte] = {
+    val ch = 1 + ((id / 2) % 2).toInt
+    val rate = ((id / 4) % 3) match {
+      case 0 => 22050; case 1 => 44100; case _ => 48000
+    }
+    val durMs = 500L + (id % 50) * 100L
+    if (id % 2 == 0)
+      graft.functions.Webm.encodeWebmAudio(
+        if (id % 4 == 0) "A_OPUS" else "A_VORBIS", ch, rate.toDouble, 0, durMs)
+    else MediaKernels.encodeMp4Audio("mp4a", ch, rate, 16, durMs)
+  }
+
   def aviUsPerFrame: Long = 40000L // 25 fps
   def aviFrames(id: Long): Long = 25L + id % 100L
 

@@ -129,6 +129,32 @@ class MediaSpec extends SparkSpec {
       Webp.encodeGray(24, 16, px(0))).isNullAt(0))
   }
 
+  test("container-held audio tracks surface through audio_meta (Opus/Vorbis/AAC)") {
+    // WebM with an Opus audio track: declared metadata, n_samples 0
+    val opus = Webm.encodeWebmAudio("A_OPUS", 2, 48000.0, 0, 2500L)
+    val or = MediaKernels.audioMetaRow(opus)
+    assert(or.getString(0) == "webm" && or.getString(6) == "A_OPUS")
+    assert(or.getInt(1) == 2 && or.getLong(2) == 48000L && or.getLong(5) == 2500L)
+    assert(or.getLong(4) == 0L) // no sample decode, by design
+    // MP4 with an AAC (mp4a) soun trak
+    val aac = MediaKernels.encodeMp4Audio("mp4a", 1, 44100, 16, 3000L)
+    val ar = MediaKernels.audioMetaRow(aac)
+    assert(ar.getString(0) == "mp4" && ar.getString(6) == "mp4a")
+    assert(ar.getInt(1) == 1 && ar.getLong(2) == 44100L &&
+      ar.getInt(3) == 16 && ar.getLong(5) == 3000L)
+    // file-level faces carry their codec too
+    assert(MediaKernels.audioMetaRow(GenMedia.wavFixture(3L)).getString(6) == "pcm")
+    // a VIDEO-only MP4 has no soun trak: null-format row, not a phantom track
+    val vid = MediaKernels.encodeMp4Header(640, 360, 5000L, codec = "avc1")
+    assert(MediaKernels.audioMetaRow(vid).isNullAt(0))
+    // a video WebM (V_VP8 track only) likewise
+    val v = (0 until 2).map(k => graft.tools.Vp8VideoFixtures.frame(1, k))
+    assert(MediaKernels.audioMetaRow(Webm.encodeWebm(48, 48, v)).isNullAt(0))
+    // hostile: truncations never throw
+    for (good <- Seq(opus, aac); cut <- 0 to good.length by 7)
+      MediaKernels.audioMetaRow(java.util.Arrays.copyOf(good, cut))
+  }
+
   test("TIFF (both byte orders) and WebP (VP8X/VP8L) metadata parse") {
     assert(ImageKernels.imageMeta(ImageKernels.encodeTiffHeader(800, 600)) ==
       ("tiff", 800, 600, 0))
