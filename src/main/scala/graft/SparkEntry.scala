@@ -1890,6 +1890,45 @@ object SparkEntry {
         .select("doc_id", "bpe_tokens")
     }),
 
+    // FIXED-vocab token accounting: production pipelines budget tokens
+    // against a FROZEN tokenizer model file, not a corpus-trained one.
+    // The gate writes a fixed 60-merge model (the same table the
+    // q_bpe_count oracle embeds) in the community merges.txt shape
+    // (#version header + space-separated pairs), loads it through the
+    // YAML op's merges_file path at BYTE level (== char level on this
+    // ASCII corpus; multibyte semantics are BpeSpec-pinned), and composes
+    // token_budget on the resulting counts
+    "q_token_count_vocab" -> ((s, d) => {
+      val merges: Seq[(String, String)] = Seq(
+        ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+        ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+        ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+        ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+        ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+        ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+        ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+        ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+        ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+        ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+        ("e", "ctor"), ("or", "der"), ("v", "ector"), ("in", "e"),
+        ("l", "ine"), ("a", "b"), ("ab", "l"), ("abl", "e"), ("at", "a"),
+        ("d", "ata"), ("t", "able"), ("u", "p"), ("a", "g"), ("ag", "g"),
+        ("a", "lu"))
+      val f = java.nio.file.Files.createTempDirectory("graft-vocab")
+        .resolve("merges.txt")
+      java.nio.file.Files.write(f, ("#version: fixed-0.1\n" +
+        merges.map { case (l, r) => s"$l $r" }.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      val counted = new graft.engine.Engine(s).applyOperation(
+        t(s, d, "documents").select("doc_id", "text"),
+        Map("operation" -> "bpe_token_count", "column" -> "text",
+          "merges_file" -> f.toString, "byte_level" -> true),
+        Map.empty, "gate")
+      graft.functions.Sampling.tokenBudgetSample(counted, "doc_id", "bpe_tokens",
+        budget = 15000L)
+        .select("doc_id", "bpe_tokens")
+    }),
+
     // URL canonicalization: messy synthesized URLs (uppercase authority,
     // default port, tracking params, fragments, trailing slashes) through
     // normalizeUrl + urlDomain; the oracle applies the identical documented
@@ -4361,6 +4400,42 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
            FROM dc)
          SELECT doc_id, bpe_tokens FROM c WHERE before < 10000""",
+
+    // the FIXED 60-merge model file replayed as the same recursive CTE
+    // (byte level == char level on this ASCII corpus) + the 15000-token
+    // budget window — the q_bpe_budget shape against a frozen model
+    "q_token_count_vocab" ->
+      """WITH RECURSIVE wf AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+           FROM documents),
+         w2 AS (SELECT doc_id, word FROM wf WHERE word <> ''),
+         enc(word, toks, done) AS (
+           SELECT word, regexp_extract_all(word, '.'), false
+           FROM (SELECT DISTINCT word FROM w2)
+           UNION ALL
+           SELECT word,
+             CASE WHEN coalesce(list_min(pr), 999999) >= 999999 THEN toks
+                  ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:] END,
+             coalesce(list_min(pr), 999999) >= 999999
+           FROM (
+             SELECT word, toks, pr, list_position(pr, list_min(pr)) AS pos
+             FROM (
+               SELECT word, toks,
+                 list_transform(generate_series(1, len(toks) - 1),
+                   i -> coalesce(MAP(['e' || chr(31) || 'r', 'i' || chr(31) || 'n', 'o' || chr(31) || 'w', 'o' || chr(31) || 'r', 's' || chr(31) || 't', 'm' || chr(31) || 'er', 'a' || chr(31) || 't', 'l' || chr(31) || 'u', 'a' || chr(31) || 'r', 'p' || chr(31) || 'ar', 'j' || chr(31) || 'o', 'jo' || chr(31) || 'in', 'a' || chr(31) || 's', 'as' || chr(31) || 'h', 'h' || chr(31) || 'ash', 'r' || chr(31) || 'ow', 'at' || chr(31) || 'c', 'atc' || chr(31) || 'h', 'b' || chr(31) || 'atch', 'a' || chr(31) || 'n', 'c' || chr(31) || 'an', 's' || chr(31) || 'can', 'c' || chr(31) || 'o', 'c' || chr(31) || 'u', 'co' || chr(31) || 'lu', 'colu' || chr(31) || 'm', 'colum' || chr(31) || 'n', 'cu' || chr(31) || 'st', 'cust' || chr(31) || 'o', 'custo' || chr(31) || 'mer', 'f' || chr(31) || 'i', 'fi' || chr(31) || 'l', 'fil' || chr(31) || 't', 'filt' || chr(31) || 'er', 'a' || chr(31) || 'l', 'al' || chr(31) || 'l', 'm' || chr(31) || 'all', 's' || chr(31) || 'mall', 'g' || chr(31) || 'e', 'l' || chr(31) || 'ow', 'mer' || chr(31) || 'ge', 's' || chr(31) || 'low', 'c' || chr(31) || 't', 'ct' || chr(31) || 'or', 'd' || chr(31) || 'er', 'e' || chr(31) || 'ctor', 'or' || chr(31) || 'der', 'v' || chr(31) || 'ector', 'in' || chr(31) || 'e', 'l' || chr(31) || 'ine', 'a' || chr(31) || 'b', 'ab' || chr(31) || 'l', 'abl' || chr(31) || 'e', 'at' || chr(31) || 'a', 'd' || chr(31) || 'ata', 't' || chr(31) || 'able', 'u' || chr(31) || 'p', 'a' || chr(31) || 'g', 'ag' || chr(31) || 'g', 'a' || chr(31) || 'lu'], [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59])[toks[i] || chr(31) || toks[i + 1]][1], 999999)) AS pr
+               FROM enc WHERE NOT done))),
+         wtok AS (SELECT word, len(toks)::BIGINT AS n FROM enc WHERE done),
+         dc AS (
+           SELECT d.doc_id, coalesce(s.bpe_tokens, 0)::BIGINT AS bpe_tokens
+           FROM documents d LEFT JOIN (
+             SELECT doc_id, sum(n)::BIGINT AS bpe_tokens
+             FROM w2 JOIN wtok USING (word) GROUP BY doc_id) s USING (doc_id)),
+         c AS (
+           SELECT doc_id, bpe_tokens,
+             coalesce(sum(bpe_tokens) OVER (ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM dc)
+         SELECT doc_id, bpe_tokens FROM c WHERE before < 15000""",
 
     "q_url_normalize" ->
       """WITH u AS (

@@ -238,7 +238,7 @@ final class Engine(spark: SparkSession) {
     "image_hash" -> Set("column", "kind", "new_column"),
     "image_dedup" -> Set("id_column", "column", "max_hamming"),
     "bpe_token_count" -> Set("column", "new_column", "num_merges",
-      "max_word_types", "merges_file"),
+      "max_word_types", "merges_file", "byte_level"),
     "trigram_rarity" -> Set("id_column", "column", "vocab_size", "scale"),
     "lang_id" -> Set("column", "new_column"),
     "lang_id_trained" -> Set("column", "label_column", "top_k", "new_column"),
@@ -790,7 +790,8 @@ final class Engine(spark: SparkSession) {
             Config.int(op, "max_word_types").getOrElse(100000))
         }
         graft.functions.Bpe.withTokenCount(df, c, merges,
-          Config.str(op, "new_column").getOrElse("bpe_tokens"))
+          Config.str(op, "new_column").getOrElse("bpe_tokens"),
+          byteLevel = Config.bool(op, "byte_level"))
       // allowlist/blocklist by registrable domain (UT1-style curation):
       // domains inline (`domains:`) or one-per-line file (`domains_file`,
       // read driver-side and broadcast as a literal set — blocklists are

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * model is not literal-expressible); built by
  * [[graft.functions.Bpe.withTokenCount]] / `withEncoded`.
  */
-case class BpeTokenCount(child: Expression, pairKeys: Array[String], ranks: Array[Int])
+case class BpeTokenCount(child: Expression, pairKeys: Array[String], ranks: Array[Int],
+                         byteLevel: Boolean = false)
     extends UnaryExpression {
   require(pairKeys.length == ranks.length, "bpe_token_count: keys/ranks must be parallel")
   override def checkInputDataTypes(): TypeCheckResult =
@@ -29,13 +30,13 @@ case class BpeTokenCount(child: Expression, pairKeys: Array[String], ranks: Arra
 
   override protected def nullSafeEval(input: Any): Any =
     graft.functions.BpeKernels.tokenCount(
-      input.asInstanceOf[UTF8String].toString, pairKeys, ranks)
+      input.asInstanceOf[UTF8String].toString, pairKeys, ranks, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val keysRef = ctx.addReferenceObj("bpeKeys", pairKeys, "java.lang.String[]")
     val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeKernels.tokenCount($c.toString(), $keysRef, $ranksRef);")
+      s"${ev.value} = graft.functions.BpeKernels.tokenCount($c.toString(), $keysRef, $ranksRef, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
@@ -44,7 +45,8 @@ case class BpeTokenCount(child: Expression, pairKeys: Array[String], ranks: Arra
 
 /** The token stream itself (word order preserved) — the materialization
   * half, for pipelines that persist tokenized corpora. */
-case class BpeEncode(child: Expression, pairKeys: Array[String], ranks: Array[Int])
+case class BpeEncode(child: Expression, pairKeys: Array[String], ranks: Array[Int],
+                     byteLevel: Boolean = false)
     extends UnaryExpression {
   require(pairKeys.length == ranks.length, "bpe_encode: keys/ranks must be parallel")
   override def checkInputDataTypes(): TypeCheckResult =
@@ -56,7 +58,7 @@ case class BpeEncode(child: Expression, pairKeys: Array[String], ranks: Array[In
 
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(graft.functions.BpeKernels.encodeText(
-      input.asInstanceOf[UTF8String].toString, pairKeys, ranks)
+      input.asInstanceOf[UTF8String].toString, pairKeys, ranks, byteLevel)
       .map(UTF8String.fromString(_): AnyRef))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -67,7 +69,7 @@ case class BpeEncode(child: Expression, pairKeys: Array[String], ranks: Array[In
       val arr = ctx.freshName("bpeArr")
       val i = ctx.freshName("i")
       s"""java.lang.String[] $toks =
-         |  graft.functions.BpeKernels.encodeText($c.toString(), $keysRef, $ranksRef);
+         |  graft.functions.BpeKernels.encodeText($c.toString(), $keysRef, $ranksRef, $byteLevel);
          |Object[] $arr = new Object[$toks.length];
          |for (int $i = 0; $i < $toks.length; $i++) {
          |  $arr[$i] = org.apache.spark.unsafe.types.UTF8String.fromString($toks[$i]);

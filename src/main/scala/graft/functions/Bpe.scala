@@ -112,14 +112,18 @@ object Bpe {
       keys.foldLeft(keys.length.toLong)((h, k) => h * 1000003L + k.hashCode))
 
   /** Exact BPE token count per row under the trained merges — one fused
-    * codegen expression, no shuffle. */
+    * codegen expression, no shuffle. `byteLevel` switches the initial
+    * alphabet from chars to UTF-8 bytes (the fixed-tokenizer shape:
+    * budgets against a frozen 256-base-symbol model, never an
+    * out-of-alphabet miss). */
   def withTokenCount(df: DataFrame, textCol: String, merges: Seq[(String, String)],
-                     outCol: String = "bpe_tokens"): DataFrame = {
+                     outCol: String = "bpe_tokens",
+                     byteLevel: Boolean = false): DataFrame = {
     val (keys, ranks) = lookupArrays(merges)
     val spark = df.sparkSession
-    val fname = registryName("graft_bpe_count_", keys)
+    val fname = registryName(if (byteLevel) "graft_bpe_bcount_" else "graft_bpe_count_", keys)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
-      case Seq(t) => graft.expressions.BpeTokenCount(t, keys, ranks)
+      case Seq(t) => graft.expressions.BpeTokenCount(t, keys, ranks, byteLevel)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
     }, "built-in")
@@ -148,10 +152,13 @@ object Bpe {
     java.nio.file.Files.write(path,
       merges.map { case (l, r) => s"$l\t$r" }.mkString("", "\n", "\n").getBytes("UTF-8"))
 
+  /** Accepts both our tab-separated dump and the common community
+    * merges.txt shape (space-separated pairs, `#`-prefixed header
+    * lines) — a user points the op at the model file they already have. */
   def loadMerges(path: java.nio.file.Path): Seq[(String, String)] =
     new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
+      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val i = { val t = line.indexOf('\t'); if (t > 0) t else line.indexOf(' ') }
         require(i > 0, s"bad merge line: `$line`")
         (line.substring(0, i), line.substring(i + 1))
       }

@@ -69,6 +69,42 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadMerges(f) == merges)
   }
 
+  test("byte-level encode: UTF-8 bytes are the base alphabet; ASCII == char level") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // ASCII: byte level and char level coincide exactly
+    assert(BpeKernels.encodeWordBytes("low", Bpe.lookupArrays(merges)._1,
+      Bpe.lookupArrays(merges)._2).toSeq ==
+      BpeKernels.encodeWord("low", Bpe.lookupArrays(merges)._1,
+        Bpe.lookupArrays(merges)._2).toSeq)
+    // multibyte: 'é' is TWO UTF-8 bytes (0xC3 0xA9) — two base symbols at
+    // byte level, one at char level; a frozen byte-level model can never
+    // hit an out-of-alphabet symbol
+    val (k0, r0) = Bpe.lookupArrays(Seq.empty)
+    assert(BpeKernels.encodeWordBytes("é", k0, r0).length == 2)
+    assert(BpeKernels.encodeWord("é", k0, r0).length == 1)
+    // a merge over the two bytes of 'é' (latin-1 rendered) applies
+    val byteMerge = Seq((String.valueOf(0xC3.toChar), String.valueOf(0xA9.toChar)))
+    val (k1, r1) = Bpe.lookupArrays(byteMerge)
+    assert(BpeKernels.encodeWordBytes("é", k1, r1).length == 1)
+    // the YAML op flag threads through; counts differ on multibyte text
+    val df = Seq((1L, "café olé")).toDF("id", "text")
+    val engine = new graft.engine.Engine(spark)
+    def count(byteLevel: Boolean): Long = engine.applyOperation(df,
+      Map("operation" -> "bpe_token_count", "column" -> "text",
+        "num_merges" -> 1, "max_word_types" -> 10, "byte_level" -> byteLevel),
+      Map.empty, "spec").agg(sum("bpe_tokens")).head().getLong(0)
+    assert(count(true) == count(false) + 2, // one extra byte per é
+      s"byte=${count(true)} char=${count(false)}")
+  }
+
+  test("loadMerges accepts space-separated merges.txt with a #version header") {
+    val f = java.nio.file.Files.createTempFile("graft-bpe", ".txt")
+    java.nio.file.Files.write(f,
+      "#version: 0.2\nl o\nlo w\ne r\n".getBytes("UTF-8"))
+    assert(Bpe.loadMerges(f) == Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+  }
+
   test("bpe_token_count YAML op: inline training and merges_file paths agree") {
     import spark.implicits._
     val df = (Seq.fill(5)("low low") ++ Seq.fill(2)("lower")).toDF("text")
