@@ -1,0 +1,1545 @@
+"""Minimal baseline-profile H.264 I-frame (IDR) ENCODER plus a mirror
+decoder, from the PUBLIC ITU-T Rec. H.264 specification — the fixture
+generator for the graft native avc1 decode path (the gen_vp8_video.py
+role; this environment has no H.264 encoder to drive, so the encoder is
+implemented from the spec and the produced streams are anchored two
+independent ways: (1) the in-Python mirror decoder round-trips every
+stream bit-exactly, (2) decoded frames must pHash-match the SAME pattern
+content decoded through the unrelated JPEG/PNG image path in the gate).
+
+Scope (matching the Scala decoder in functions/H264.scala):
+  - Annex-B NAL units, emulation prevention, exp-Golomb
+  - SPS/PPS (baseline: CAVLC, frame_mbs_only, 4:2:0)
+  - IDR I-slices: I_PCM, I_16x16 (all 4 pred modes), I_4x4 (all 9 modes)
+  - CAVLC residuals (coeff_token / levels / total_zeros / run_before)
+  - exact integer inverse transforms + dequant per spec 8.5
+  - in-loop deblocking per spec 8.7 (I-frame bS: 4 on MB edges, 3 inside)
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from h264_tables import (COEFF_TOKEN, COEFF_TOKEN_CHROMA_DC, TOTAL_ZEROS,
+                         TOTAL_ZEROS_CHROMA_DC, RUN_BEFORE, validate)
+
+validate()
+
+ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+# Table 9-4, intra column: codeNum -> coded_block_pattern (must be a
+# permutation of 0..47 — asserted below).
+CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+             16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+             8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
+assert sorted(CBP_INTRA) == list(range(48)), "CBP intra mapping not a permutation"
+CBP_INTRA_INV = {v: i for i, v in enumerate(CBP_INTRA)}
+
+# dequant v (spec 8-252 LevelScale base) and the matching encoder MF
+QUANT_V = [(10, 16, 13), (11, 18, 14), (13, 20, 16),
+           (14, 23, 18), (16, 25, 20), (18, 29, 23)]
+QUANT_MF = [(13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+            (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559)]
+
+# Table 8-15: QPc from qPi (qPi < 30 -> identity)
+QPC_MAP = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+           38, 38, 38, 39, 39, 39, 39]
+
+# deblocking alpha/beta (Table 8-16) and tc0 (Table 8-17, rows bS 1..3)
+DB_ALPHA = [0]*16 + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25,
+                     28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113,
+                     127, 144, 162, 182, 203, 226, 255, 255]
+DB_BETA = [0]*16 + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9,
+                    10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16,
+                    16, 17, 17, 18, 18]
+DB_TC0 = [
+    [0]*16 + [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+              2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13],
+    [0]*16 + [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+              3, 3, 3, 4, 4, 5, 6, 6, 7, 8, 8, 10, 11, 12, 13, 17],
+    [0]*16 + [0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4,
+              4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23],
+]
+assert len(DB_ALPHA) == 52 and len(DB_BETA) == 52
+assert all(len(r) == 52 for r in DB_TC0)
+assert all(all(r[i] <= r[i+1] for i in range(51)) for r in [DB_ALPHA, DB_BETA] + DB_TC0)
+
+
+def clip3(lo, hi, v):
+    return lo if v < lo else hi if v > hi else v
+
+
+def clip255(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+# ------------------------------------------------------------- bit io
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put(self, bitstr):
+        self.bits.extend(1 if c == '1' else 0 for c in bitstr)
+
+    def ue(self, v):
+        v += 1
+        n = v.bit_length()
+        self.u(0, n - 1)
+        self.u(v, n)
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp_trailing(self):
+        self.bits.append(1)
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def align_zero(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes_raw(self):
+        assert len(self.bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | self.bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+    def put_bytes(self, bs):
+        assert len(self.bits) % 8 == 0
+        for b in bs:
+            self.u(b, 8)
+
+
+def emu_prevent(rbsp):
+    """Insert emulation_prevention_three_byte per spec 7.4.1."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def nal(nal_type, rbsp, ref_idc=3):
+    return b'\x00\x00\x00\x01' + bytes([(ref_idc << 5) | nal_type]) + emu_prevent(rbsp)
+
+
+class BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+
+    def bit(self):
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def u(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self):
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self):
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def align(self):
+        while self.pos % 8:
+            self.pos += 1
+
+
+# ------------------------------------------------------ CAVLC encode
+
+def _t1s_of(coeffs):
+    """Trailing ones: among the nonzero coeffs in scan order, how many
+    at the END are +-1 (max 3)."""
+    nz = [c for c in coeffs if c != 0]
+    t = 0
+    for c in reversed(nz):
+        if abs(c) == 1 and t < 3:
+            t += 1
+        else:
+            break
+    return nz, t
+
+
+def _coeff_token_code(nC, total, t1s):
+    if nC >= 8:
+        if total == 0:
+            return '000011'
+        return format(4 * (total - 1) + t1s, '06b')
+    if nC == -1:
+        return COEFF_TOKEN_CHROMA_DC[(total, t1s)]
+    cls = 0 if nC < 2 else 1 if nC < 4 else 2
+    return COEFF_TOKEN[cls][(total, t1s)]
+
+
+def _write_level(w, level, suffix_len):
+    """Encode one non-T1 level at the current suffixLength — the exact
+    inverse of the spec 9.2.2.1 decode: levelCode = (min(15, prefix) <<
+    suffixLength) + suffix, +15 when prefix >= 15 at suffixLength 0,
+    +(1 << (prefix-3)) - 4096 when prefix >= 16."""
+    code = 2 * level - 2 if level > 0 else -2 * level - 1
+    if suffix_len == 0 and code < 14:
+        prefix, size, suffix = code, 0, 0
+    elif suffix_len == 0 and code < 30:
+        prefix, size, suffix = 14, 4, code - 14
+    elif suffix_len > 0 and (code >> suffix_len) < 15:
+        prefix = code >> suffix_len
+        size, suffix = suffix_len, code & ((1 << suffix_len) - 1)
+    else:
+        c = code - ((15 << suffix_len) + (15 if suffix_len == 0 else 0))
+        if c < 4096:
+            prefix, size, suffix = 15, 12, c
+        else:
+            prefix = 16
+            while not (0 <= c - ((1 << (prefix - 3)) - 4096) < (1 << (prefix - 3))):
+                prefix += 1
+            size = prefix - 3
+            suffix = c - ((1 << (prefix - 3)) - 4096)
+    w.u(0, prefix); w.u(1, 1)
+    if size:
+        w.u(suffix, size)
+
+
+def encode_block(w, coeffs, nC, max_coeffs=16):
+    """CAVLC-encode one zigzag-ordered coefficient block; returns
+    totalCoeff (the caller tracks nC context)."""
+    nz, t1s = _t1s_of(coeffs)
+    total = len(nz)
+    assert total <= max_coeffs
+    w.put(_coeff_token_code(nC, total, t1s))
+    if total == 0:
+        return 0
+    # trailing-one signs, highest frequency first
+    for c in reversed(nz[len(nz) - t1s:]):
+        w.u(1 if c < 0 else 0, 1)
+    # remaining levels, reverse scan order
+    suffix_len = 1 if total > 10 and t1s < 3 else 0
+    first = True
+    for idx in range(total - t1s - 1, -1, -1):
+        level = nz[idx]
+        if first and t1s < 3:
+            # spec: levelCode -= 2 symmetry — encode level shifted
+            # toward zero by one magnitude step
+            level = level - 1 if level > 0 else level + 1
+            assert level != 0
+        _write_level(w, level, suffix_len)
+        if suffix_len == 0:
+            suffix_len = 1
+        actual = abs(nz[idx])
+        if actual > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+        first = False
+    # total_zeros
+    positions = [i for i, c in enumerate(coeffs) if c != 0]
+    total_zeros = positions[-1] + 1 - total
+    if total < max_coeffs:
+        if nC == -1:
+            w.put(TOTAL_ZEROS_CHROMA_DC[total - 1][total_zeros])
+        else:
+            w.put(TOTAL_ZEROS[total - 1][total_zeros])
+    # run_before, highest frequency first
+    zeros_left = total_zeros
+    for k in range(len(positions) - 1, 0, -1):
+        if zeros_left == 0:
+            break
+        run = positions[k] - positions[k - 1] - 1
+        if zeros_left <= 6:
+            w.put(RUN_BEFORE[zeros_left - 1][run])
+        else:
+            if run < 7:
+                w.u(7 - run, 3)
+            else:
+                w.u(0, 3)
+                w.u(0, run - 7)
+                w.u(1, 1)
+        zeros_left -= run
+    return total
+
+
+def decode_block(r, nC, max_coeffs=16):
+    """Mirror CAVLC decode; returns the zigzag-ordered coefficients."""
+    # coeff_token
+    if nC >= 8:
+        v = r.u(6)
+        if v == 3:
+            total, t1s = 0, 0
+        else:
+            total, t1s = v // 4 + 1, v % 4
+    else:
+        table = (COEFF_TOKEN_CHROMA_DC if nC == -1 else
+                 COEFF_TOKEN[0 if nC < 2 else 1 if nC < 4 else 2])
+        rev = {code: nt for nt, code in table.items()}
+        s = ''
+        while s not in rev:
+            s += str(r.bit())
+            assert len(s) <= 16, "coeff_token overrun"
+        total, t1s = rev[s]
+    if total == 0:
+        return [0] * max_coeffs
+    levels = [0] * total
+    for i in range(t1s):
+        levels[total - 1 - i] = -1 if r.bit() else 1
+    suffix_len = 1 if total > 10 and t1s < 3 else 0
+    for i in range(total - t1s):
+        pos = total - t1s - 1 - i
+        prefix = 0
+        while r.bit() == 0:
+            prefix += 1
+        if suffix_len == 0:
+            if prefix < 14:
+                code = prefix
+            elif prefix == 14:
+                code = 14 + r.u(4)
+            else:
+                size = prefix - 3
+                code = (15 << 0) + r.u(size) + 15
+                if prefix >= 16:
+                    code += (1 << (prefix - 3)) - 4096
+        else:
+            if prefix < 15:
+                code = (prefix << suffix_len) + r.u(suffix_len)
+            else:
+                size = prefix - 3 if prefix >= 16 else 12
+                code = (15 << suffix_len) + r.u(size)
+                if prefix >= 16:
+                    code += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1s < 3:
+            code += 2
+        level = (code + 2) >> 1 if code % 2 == 0 else -((code + 1) >> 1)
+        levels[pos] = level
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    if total < max_coeffs:
+        row = (TOTAL_ZEROS_CHROMA_DC[total - 1] if nC == -1
+               else TOTAL_ZEROS[total - 1])
+        rev = {code: tz for tz, code in enumerate(row)}
+        s = ''
+        while s not in rev:
+            s += str(r.bit())
+            assert len(s) <= 10, "total_zeros overrun"
+        total_zeros = rev[s]
+    else:
+        total_zeros = 0
+    # run_before
+    runs = [0] * total
+    zeros_left = total_zeros
+    for k in range(total - 1, 0, -1):
+        if zeros_left == 0:
+            break
+        if zeros_left <= 6:
+            rev = {code: run for run, code in enumerate(RUN_BEFORE[zeros_left - 1])}
+            s = ''
+            while s not in rev:
+                s += str(r.bit())
+                assert len(s) <= 3
+            run = rev[s]
+        else:
+            v = r.u(3)
+            if v:
+                run = 7 - v
+            else:
+                run = 7
+                while r.bit() == 0:
+                    run += 1
+        runs[k] = run
+        zeros_left -= run
+    runs[0] = zeros_left
+    coeffs = [0] * max_coeffs
+    pos = -1
+    for k in range(total):
+        pos += runs[k] + 1
+        coeffs[pos] = levels[k]
+    return coeffs
+
+
+def _fuzz_cavlc(n=4000, seed=1234):
+    """Round-trip random coefficient blocks through encode+decode for
+    every nC class — the layer-level self check."""
+    import random
+    rnd = random.Random(seed)
+    for it in range(n):
+        max_c = rnd.choice([16, 15, 4])
+        nC = rnd.choice([-1, 0, 1, 2, 3, 4, 7, 8, 16] if max_c == 4 else
+                        [0, 1, 2, 3, 4, 7, 8, 16])
+        if max_c == 4:
+            nC = -1 if rnd.random() < 0.7 else nC
+        n_nz = rnd.randint(0, max_c if nC != -1 else 4)
+        coeffs = [0] * max_c
+        pos = rnd.sample(range(max_c), n_nz)
+        for p in pos:
+            mag = rnd.choice([1, 1, 1, 2, 3, 5, 17, 300, 3000])
+            coeffs[p] = mag * rnd.choice([1, -1])
+        w = BitWriter()
+        encode_block(w, coeffs, nC, max_c)
+        w.rbsp_trailing()
+        r = BitReader(w.bytes_raw())
+        got = decode_block(r, nC, max_c)
+        assert got == coeffs, f"cavlc mismatch it={it} nC={nC} {coeffs} -> {got}"
+
+
+# ------------------------------------------------- transforms & quant
+
+def forward4x4(b):
+    """Core forward transform Cf * B * Cf^T (encoder side)."""
+    t = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a0, a1, a2, a3 = b[i]
+        s0, s1 = a0 + a3, a1 + a2
+        d0, d1 = a0 - a3, a1 - a2
+        t[i] = [s0 + s1, 2 * d0 + d1, s0 - s1, d0 - 2 * d1]
+    o = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a0, a1, a2, a3 = t[0][j], t[1][j], t[2][j], t[3][j]
+        s0, s1 = a0 + a3, a1 + a2
+        d0, d1 = a0 - a3, a1 - a2
+        o[0][j], o[1][j], o[2][j], o[3][j] = \
+            s0 + s1, 2 * d0 + d1, s0 - s1, d0 - 2 * d1
+    return o
+
+
+def inverse4x4(d):
+    """Spec 8.5.12.2 inverse core transform; caller adds (r+32)>>6."""
+    t = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a0, a1, a2, a3 = d[i]
+        e0, e1 = a0 + a2, a0 - a2
+        e2, e3 = (a1 >> 1) - a3, a1 + (a3 >> 1)
+        t[i] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    o = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a0, a1, a2, a3 = t[0][j], t[1][j], t[2][j], t[3][j]
+        e0, e1 = a0 + a2, a0 - a2
+        e2, e3 = (a1 >> 1) - a3, a1 + (a3 >> 1)
+        o[0][j], o[1][j], o[2][j], o[3][j] = \
+            e0 + e3, e1 + e2, e1 - e2, e0 - e3
+    return o
+
+
+def hadamard4(b, scale_down):
+    """4x4 Hadamard (its own inverse up to scale); encoder uses
+    scale_down=True for the //2 of the forward luma-DC transform."""
+    t = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a0, a1, a2, a3 = b[i]
+        s0, s1 = a0 + a3, a1 + a2
+        d0, d1 = a0 - a3, a1 - a2
+        t[i] = [s0 + s1, d0 + d1, s0 - s1, d0 - d1]
+    o = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a0, a1, a2, a3 = t[0][j], t[1][j], t[2][j], t[3][j]
+        s0, s1 = a0 + a3, a1 + a2
+        d0, d1 = a0 - a3, a1 - a2
+        v = [s0 + s1, d0 + d1, s0 - s1, d0 - d1]
+        for i in range(4):
+            o[i][j] = v[i] >> 1 if scale_down else v[i]
+    return o
+
+
+def hadamard2(b):
+    a, bb = b[0]
+    c, d = b[1]
+    return [[a + bb + c + d, a - bb + c - d],
+            [a + bb - c - d, a - bb - c + d]]
+
+
+def _vpos(i, j):
+    if (i % 2, j % 2) == (0, 0):
+        return 0
+    if (i % 2, j % 2) == (1, 1):
+        return 1
+    return 2
+
+
+def dequant_ac(z, qp, i, j):
+    """Spec 8.5.12.1: d = (c * LevelScale(qp%6, i, j)) << (qp/6)."""
+    return (z * QUANT_V[qp % 6][_vpos(i, j)]) << (qp // 6)
+
+
+def quant_ac(w, qp, i, j):
+    mf = QUANT_MF[qp % 6][_vpos(i, j)]
+    f = (1 << (15 + qp // 6)) // 3  # intra rounding
+    s = 1 if w >= 0 else -1
+    return s * ((abs(w) * mf + f) >> (15 + qp // 6))
+
+
+def dequant_luma_dc(f, qp):
+    """Spec 8-258/8-259 after the inverse Hadamard. LevelScale carries
+    the flat weightScale 16: LS = 16 * v."""
+    ls = 16 * QUANT_V[qp % 6][0]
+    if qp >= 36:
+        return (f * ls) << (qp // 6 - 6)
+    return (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def quant_luma_dc(y, qp):
+    mf = QUANT_MF[qp % 6][0]
+    f = 2 * ((1 << (15 + qp // 6)) // 3)
+    s = 1 if y >= 0 else -1
+    return s * ((abs(y) * mf + f) >> (16 + qp // 6))
+
+
+def dequant_chroma_dc(f, qp):
+    """4:2:0 chroma DC after the 2x2 transform: ((f*LS) << (qp/6)) >> 5
+    with LS = 16 * v (flat weightScale)."""
+    return ((f * 16 * QUANT_V[qp % 6][0]) << (qp // 6)) >> 5
+
+
+def quant_chroma_dc(y, qp):
+    mf = QUANT_MF[qp % 6][0]
+    f = 2 * ((1 << (15 + qp // 6)) // 3)
+    s = 1 if y >= 0 else -1
+    return s * ((abs(y) * mf + f) >> (16 + qp // 6))
+
+
+def qpc_of(qpy, offset=0):
+    qpi = clip3(0, 51, qpy + offset)
+    return qpi if qpi < 30 else QPC_MAP[qpi - 30]
+
+
+# ---------------------------------------------------- intra prediction
+
+# in-MB 4x4 block Z order: (bx, by) in 4x4 units -> luma4x4BlkIdx
+ZIDX = {}
+for _idx in range(16):
+    ZIDX[(((_idx >> 2) & 1) * 2 + (_idx & 1),
+          (_idx >> 3) * 2 + ((_idx >> 1) & 1))] = _idx
+
+
+def above_right_avail(x, y, W):
+    """Is the above-right 4x4 neighbor of the block at plane (x,y)
+    decoded yet, under raster-MB + in-MB Z decode order?"""
+    if y == 0 or x + 4 >= W:
+        return False
+    if (y - 1) // 16 < y // 16:
+        return True  # the MB row above is fully decoded
+    if (x + 4) // 16 > x // 16:
+        return False  # the MB to our right is not decoded yet
+    return ZIDX[(((x + 4) % 16) // 4, ((y - 1) % 16) // 4)] < \
+        ZIDX[((x % 16) // 4, (y % 16) // 4)]
+
+
+def pred4x4(plane, W, H, x, y, mode):
+    """Spec 8.3.1.2 modes 0-8 at plane position (x,y) from RECONSTRUCTED
+    neighbors; unavailable above-right substitutes p[3,-1]."""
+    up = y > 0
+    left = x > 0
+    ar = above_right_avail(x, y, W)
+    a = [0] * 8  # pa(i) = p[i, -1], i 0..7
+    if up:
+        for i in range(4):
+            a[i] = plane[y - 1][x + i]
+        for i in range(4, 8):
+            a[i] = plane[y - 1][x + i] if ar else a[3]
+    l = [plane[y + j][x - 1] for j in range(4)] if left else [0] * 4
+    q = plane[y - 1][x - 1] if (up and left) else 0
+    def pa(i):  # p[i, -1] with i == -1 meaning the corner
+        return q if i < 0 else a[i]
+    def pl(j):  # p[-1, j] with j == -1 meaning the corner
+        return q if j < 0 else l[j]
+    o = [[0] * 4 for _ in range(4)]
+    for y4 in range(4):
+        for x4 in range(4):
+            if mode == 0:  # Vertical
+                assert up
+                v = a[x4]
+            elif mode == 1:  # Horizontal
+                assert left
+                v = l[y4]
+            elif mode == 2:  # DC
+                if up and left:
+                    v = (sum(a[:4]) + sum(l) + 4) >> 3
+                elif up:
+                    v = (sum(a[:4]) + 2) >> 2
+                elif left:
+                    v = (sum(l) + 2) >> 2
+                else:
+                    v = 128
+            elif mode == 3:  # Diagonal-Down-Left
+                assert up
+                if x4 == 3 and y4 == 3:
+                    v = (a[6] + 3 * a[7] + 2) >> 2
+                else:
+                    k = x4 + y4
+                    v = (a[k] + 2 * a[k + 1] + a[k + 2] + 2) >> 2
+            elif mode == 4:  # Diagonal-Down-Right
+                assert up and left
+                if x4 > y4:
+                    k = x4 - y4
+                    v = (pa(k - 2) + 2 * pa(k - 1) + pa(k) + 2) >> 2
+                elif x4 < y4:
+                    k = y4 - x4
+                    v = (pl(k - 2) + 2 * pl(k - 1) + pl(k) + 2) >> 2
+                else:
+                    v = (pa(0) + 2 * q + pl(0) + 2) >> 2
+            elif mode == 5:  # Vertical-Right
+                assert up and left
+                z = 2 * x4 - y4
+                k = x4 - (y4 >> 1)
+                if z >= 0 and z % 2 == 0:
+                    v = (pa(k - 1) + pa(k) + 1) >> 1
+                elif z >= 0:
+                    v = (pa(k - 2) + 2 * pa(k - 1) + pa(k) + 2) >> 2
+                elif z == -1:
+                    v = (pl(0) + 2 * q + pa(0) + 2) >> 2
+                else:
+                    v = (pl(y4 - 1) + 2 * pl(y4 - 2) + pl(y4 - 3) + 2) >> 2
+            elif mode == 6:  # Horizontal-Down
+                assert up and left
+                z = 2 * y4 - x4
+                k = y4 - (x4 >> 1)
+                if z >= 0 and z % 2 == 0:
+                    v = (pl(k - 1) + pl(k) + 1) >> 1
+                elif z >= 0:
+                    v = (pl(k - 2) + 2 * pl(k - 1) + pl(k) + 2) >> 2
+                elif z == -1:
+                    v = (pa(0) + 2 * q + pl(0) + 2) >> 2
+                else:
+                    v = (pa(x4 - 1) + 2 * pa(x4 - 2) + pa(x4 - 3) + 2) >> 2
+            elif mode == 7:  # Vertical-Left
+                assert up
+                k = x4 + (y4 >> 1)
+                if y4 % 2 == 0:
+                    v = (a[k] + a[k + 1] + 1) >> 1
+                else:
+                    v = (a[k] + 2 * a[k + 1] + a[k + 2] + 2) >> 2
+            elif mode == 8:  # Horizontal-Up
+                assert left
+                z = x4 + 2 * y4
+                k = y4 + (x4 >> 1)
+                if z < 5 and z % 2 == 0:
+                    v = (l[k] + l[k + 1] + 1) >> 1
+                elif z < 5:
+                    v = (l[k] + 2 * l[k + 1] + l[k + 2] + 2) >> 2
+                elif z == 5:
+                    v = (l[2] + 3 * l[3] + 2) >> 2
+                else:
+                    v = l[3]
+            else:
+                raise ValueError(mode)
+            o[y4][x4] = v
+    return o
+
+
+def pred_block_nxn(plane, x, y, n, mode, chroma):
+    """16x16 luma (modes: 0 V, 1 H, 2 DC, 3 Plane) or 8x8 chroma
+    (modes: 0 DC, 1 H, 2 V, 3 Plane) prediction at (x,y)."""
+    up = y > 0
+    left = x > 0
+    a = [plane[y - 1][x + i] for i in range(n)] if up else None
+    l = [plane[y + j][x - 1] for j in range(n)] if left else None
+    q = plane[y - 1][x - 1] if (up and left) else 0
+    o = [[0] * n for _ in range(n)]
+    if chroma:
+        vmode, hmode, dcmode, pmode = 2, 1, 0, 3
+    else:
+        vmode, hmode, dcmode, pmode = 0, 1, 2, 3
+    if mode == dcmode:
+        if chroma:
+            # chroma DC is per 4x4 sub-block (spec 8.3.4.1)
+            for by in (0, 4):
+                for bx in (0, 4):
+                    au = a[bx:bx + 4] if up else None
+                    lu = l[by:by + 4] if left else None
+                    # corner blocks use both; edge-adjacent use the edge
+                    if bx == by:
+                        if au is not None and lu is not None:
+                            dc = (sum(au) + sum(lu) + 4) >> 3
+                        elif au is not None:
+                            dc = (sum(au) + 2) >> 2
+                        elif lu is not None:
+                            dc = (sum(lu) + 2) >> 2
+                        else:
+                            dc = 128
+                    elif bx > by:  # top-right block prefers above
+                        if au is not None:
+                            dc = (sum(au) + 2) >> 2
+                        elif lu is not None:
+                            dc = (sum(lu) + 2) >> 2
+                        else:
+                            dc = 128
+                    else:  # bottom-left block prefers left
+                        if lu is not None:
+                            dc = (sum(lu) + 2) >> 2
+                        elif au is not None:
+                            dc = (sum(au) + 2) >> 2
+                        else:
+                            dc = 128
+                    for j in range(4):
+                        for i in range(4):
+                            o[by + j][bx + i] = dc
+        else:
+            if up and left:
+                dc = (sum(a) + sum(l) + 16) >> 5
+            elif up:
+                dc = (sum(a) + 8) >> 4
+            elif left:
+                dc = (sum(l) + 8) >> 4
+            else:
+                dc = 128
+            for j in range(n):
+                for i in range(n):
+                    o[j][i] = dc
+    elif mode == vmode:
+        assert up
+        for j in range(n):
+            for i in range(n):
+                o[j][i] = a[i]
+    elif mode == hmode:
+        assert left
+        for j in range(n):
+            for i in range(n):
+                o[j][i] = l[j]
+    elif mode == pmode:
+        assert up and left
+        half = n // 2
+        H = sum((i + 1) * (a[half + i] - (a[half - 2 - i] if half - 2 - i >= 0 else q))
+                for i in range(half))
+        V = sum((j + 1) * (l[half + j] - (l[half - 2 - j] if half - 2 - j >= 0 else q))
+                for j in range(half))
+        if n == 16:
+            b = (5 * H + 32) >> 6
+            c = (5 * V + 32) >> 6
+        else:
+            b = (17 * H + 16) >> 5
+            c = (17 * V + 16) >> 5
+        aa = 16 * (a[n - 1] + l[n - 1])
+        for j in range(n):
+            for i in range(n):
+                o[j][i] = clip255((aa + b * (i - half + 1) + c * (j - half + 1) + 16) >> 5)
+    else:
+        raise ValueError(mode)
+    return o
+
+
+# ------------------------------------------------------------ deblock
+
+def deblock(yp, up, vp, W, H, mbqp, deblock_off_a=0, deblock_off_b=0):
+    """In-loop deblocking, spec 8.7, I-slice shape: bS = 4 on MB-boundary
+    edges, 3 on internal edges; in-place, MB raster order, vertical edges
+    then horizontal. mbqp[mby][mbx] = the MB's QPy (0 for I_PCM)."""
+    mbs_x, mbs_y = W // 16, H // 16
+
+    def filt_line(pl, pos, stride, bs, index_a, alpha, beta, chroma):
+        p = [pl[pos - stride * (k + 1)] for k in range(4)]
+        q = [pl[pos + stride * k] for k in range(4)]
+        if abs(p[0] - q[0]) >= alpha or abs(p[1] - p[0]) >= beta or \
+           abs(q[1] - q[0]) >= beta:
+            return
+        if bs == 4:
+            ap = abs(p[2] - p[0]) < beta
+            aq = abs(q[2] - q[0]) < beta
+            strong = abs(p[0] - q[0]) < (alpha >> 2) + 2
+            if not chroma and ap and strong:
+                pl[pos - stride] = (p[2] + 2 * p[1] + 2 * p[0] + 2 * q[0] + q[1] + 4) >> 3
+                pl[pos - 2 * stride] = (p[2] + p[1] + p[0] + q[0] + 2) >> 2
+                pl[pos - 3 * stride] = (2 * p[3] + 3 * p[2] + p[1] + p[0] + q[0] + 4) >> 3
+            else:
+                pl[pos - stride] = (2 * p[1] + p[0] + q[1] + 2) >> 2
+            if not chroma and aq and strong:
+                pl[pos] = (q[2] + 2 * q[1] + 2 * q[0] + 2 * p[0] + p[1] + 4) >> 3
+                pl[pos + stride] = (q[2] + q[1] + q[0] + p[0] + 2) >> 2
+                pl[pos + 2 * stride] = (2 * q[3] + 3 * q[2] + q[1] + q[0] + p[0] + 4) >> 3
+            else:
+                pl[pos] = (2 * q[1] + q[0] + p[1] + 2) >> 2
+        else:
+            tc0 = DB_TC0[bs - 1][index_a]
+            ap = abs(p[2] - p[0]) < beta
+            aq = abs(q[2] - q[0]) < beta
+            tc = tc0 + (0 if chroma else (1 if ap else 0) + (1 if aq else 0)) + \
+                (1 if chroma else 0)
+            delta = clip3(-tc, tc, ((q[0] - p[0]) * 4 + (p[1] - q[1]) + 4) >> 3)
+            pl[pos - stride] = clip255(p[0] + delta)
+            pl[pos] = clip255(q[0] - delta)
+            if not chroma and ap:
+                pl[pos - 2 * stride] = p[1] + clip3(-tc0, tc0,
+                    (p[2] + ((p[0] + q[0] + 1) >> 1) - 2 * p[1]) >> 1)
+            if not chroma and aq:
+                pl[pos + stride] = q[1] + clip3(-tc0, tc0,
+                    (q[2] + ((q[0] + p[0] + 1) >> 1) - 2 * q[1]) >> 1)
+
+    def edges_of(mbx, mby):
+        for mb_plane_qp, pl, pw, mb_sz, edge_step in (
+                ('y', yp, W, 16, 4), ('u', up, W // 2, 8, 4), ('v', vp, W // 2, 8, 4)):
+            chroma = mb_plane_qp != 'y'
+            qp_here = mbqp[mby][mbx]
+            # vertical edges
+            for e in range(0, mb_sz, edge_step):
+                if e == 0 and mbx == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                qp_l = mbqp[mby][mbx - 1] if e == 0 else qp_here
+                qav = (qp_here + qp_l + 1) >> 1
+                if chroma:
+                    qav = (qpc_of(qp_here) + qpc_of(qp_l) + 1) >> 1
+                index_a = clip3(0, 51, qav + deblock_off_a)
+                index_b = clip3(0, 51, qav + deblock_off_b)
+                alpha, beta = DB_ALPHA[index_a], DB_BETA[index_b]
+                if alpha == 0 or beta == 0:
+                    continue
+                x0 = mbx * mb_sz + e
+                for yy in range(mb_sz):
+                    filt_line(pl, (mby * mb_sz + yy) * pw + x0, 1,
+                              bs, index_a, alpha, beta, chroma)
+            # horizontal edges
+            for e in range(0, mb_sz, edge_step):
+                if e == 0 and mby == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                qp_t = mbqp[mby - 1][mbx] if e == 0 else qp_here
+                qav = (qp_here + qp_t + 1) >> 1
+                if chroma:
+                    qav = (qpc_of(qp_here) + qpc_of(qp_t) + 1) >> 1
+                index_a = clip3(0, 51, qav + deblock_off_a)
+                index_b = clip3(0, 51, qav + deblock_off_b)
+                alpha, beta = DB_ALPHA[index_a], DB_BETA[index_b]
+                if alpha == 0 or beta == 0:
+                    continue
+                y0 = mby * mb_sz + e
+                for xx in range(mb_sz):
+                    filt_line(pl, y0 * pw + mbx * mb_sz + xx, pw,
+                              bs, index_a, alpha, beta, chroma)
+
+    for mby in range(mbs_y):
+        for mbx in range(mbs_x):
+            edges_of(mbx, mby)
+
+
+# ----------------------------------------------------------- encoder
+
+def write_sps(W, H):
+    w = BitWriter()
+    w.u(66, 8)       # profile_idc: baseline
+    w.u(0xC0, 8)     # constraint_set0/1, reserved
+    w.u(10, 8)       # level_idc
+    w.ue(0)          # sps_id
+    w.ue(0)          # log2_max_frame_num_minus4
+    w.ue(2)          # pic_order_cnt_type = 2 (no slice POC syntax)
+    w.ue(1)          # max_num_ref_frames
+    w.u(0, 1)        # gaps_in_frame_num_value_allowed
+    w.ue(W // 16 - 1)
+    w.ue(H // 16 - 1)
+    w.u(1, 1)        # frame_mbs_only
+    w.u(0, 1)        # direct_8x8_inference
+    w.u(0, 1)        # frame_cropping
+    w.u(0, 1)        # vui
+    w.rbsp_trailing()
+    return nal(7, w.bytes_raw())
+
+
+def write_pps(qp, deblock_control=True):
+    w = BitWriter()
+    w.ue(0)          # pps_id
+    w.ue(0)          # sps_id
+    w.u(0, 1)        # entropy_coding_mode = CAVLC
+    w.u(0, 1)        # bottom_field_pic_order_in_frame_present
+    w.ue(0)          # num_slice_groups_minus1
+    w.ue(0)          # num_ref_idx_l0_default_active_minus1
+    w.ue(0)          # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)        # weighted_pred
+    w.u(0, 2)        # weighted_bipred_idc
+    w.se(qp - 26)    # pic_init_qp_minus26
+    w.se(0)          # pic_init_qs_minus26
+    w.se(0)          # chroma_qp_index_offset
+    w.u(1 if deblock_control else 0, 1)  # deblocking_filter_control_present
+    w.u(0, 1)        # constrained_intra_pred
+    w.u(0, 1)        # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return nal(8, w.bytes_raw())
+
+
+def zigzag_of(block4):
+    return [block4[z // 4][z % 4] for z in (ZIGZAG[k] for k in range(16))]
+
+
+def unzigzag(coeffs):
+    b = [[0] * 4 for _ in range(4)]
+    for k in range(16):
+        z = ZIGZAG[k]
+        b[z // 4][z % 4] = coeffs[k]
+    return b
+
+
+class FrameCtx:
+    """Shared encoder/decoder state for one frame: recon planes and the
+    CAVLC nC context grids."""
+    def __init__(self, W, H):
+        self.W, self.H = W, H
+        self.y = [[0] * W for _ in range(H)]
+        self.u = [[0] * (W // 2) for _ in range(H // 2)]
+        self.v = [[0] * (W // 2) for _ in range(H // 2)]
+        # totalCoeff per 4x4 block; -1 = not yet decoded/outside
+        self.tc_y = [[-1] * (W // 4) for _ in range(H // 4)]
+        self.tc_u = [[-1] * (W // 8) for _ in range(H // 8)]
+        self.tc_v = [[-1] * (W // 8) for _ in range(H // 8)]
+        # intra4x4 pred mode per luma 4x4 block; -1 = not Intra_4x4
+        self.i4mode = [[-1] * (W // 4) for _ in range(H // 4)]
+
+    def nc(self, grid, bx, by):
+        nA = grid[by][bx - 1] if bx > 0 else -1
+        nB = grid[by - 1][bx] if by > 0 else -1
+        if nA >= 0 and nB >= 0:
+            return (nA + nB + 1) >> 1
+        if nA >= 0:
+            return nA
+        if nB >= 0:
+            return nB
+        return 0
+
+    def pred_i4_mode(self, bx, by):
+        mA = self.i4mode[by][bx - 1] if bx > 0 else None
+        mB = self.i4mode[by - 1][bx] if by > 0 else None
+        if mA is None or mB is None:
+            return 2
+        return min(mA if mA >= 0 else 2, mB if mB >= 0 else 2)
+
+
+def _block_xy(mbx, mby, blk):
+    bx = ((blk >> 2) & 1) * 2 + (blk & 1)
+    by = (blk >> 3) * 2 + ((blk >> 1) & 1)
+    return mbx * 16 + bx * 4, mby * 16 + by * 4
+
+
+def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
+                 deblock_idc=0, qp_deltas=None):
+    """One IDR frame. mb_plan(mbx, mby) -> ('pcm',) | ('i16', mode,
+    chroma_mode) | ('i4', [16 modes], chroma_mode). qp_deltas optional
+    per-MB-index mb_qp_delta values (exercises QP tracking)."""
+    mbs_x, mbs_y = W // 16, H // 16
+    ctx = FrameCtx(W, H)
+    w = BitWriter()
+    # slice header (IDR)
+    w.ue(0)          # first_mb_in_slice
+    w.ue(7)          # slice_type: I (all slices of the picture)
+    w.ue(0)          # pps_id
+    w.u(0, 4)        # frame_num (log2_max_frame_num = 4)
+    w.ue(0)          # idr_pic_id
+    w.u(0, 1)        # no_output_of_prior_pics
+    w.u(0, 1)        # long_term_reference
+    w.se(0)          # slice_qp_delta
+    w.ue(deblock_idc)  # disable_deblocking_filter_idc
+    if deblock_idc != 1:
+        w.se(0)      # slice_alpha_c0_offset_div2
+        w.se(0)      # slice_beta_offset_div2
+    qpy = qp
+    mbqp = [[0] * mbs_x for _ in range(mbs_y)]
+
+    def sub16(plane, x0, y0, n):
+        return [[plane[y0 + j][x0 + i] for i in range(n)] for j in range(n)]
+
+    for mby in range(mbs_y):
+        for mbx in range(mbs_x):
+            plan = mb_plan(mbx, mby)
+            mbi = mby * mbs_x + mbx
+            delta = (qp_deltas or {}).get(mbi, 0)
+            if plan[0] == 'pcm':
+                w.ue(25)
+                w.align_zero()
+                for j in range(16):
+                    for i in range(16):
+                        s = src_y[mby * 16 + j][mbx * 16 + i]
+                        w.u(s, 8)
+                        ctx.y[mby * 16 + j][mbx * 16 + i] = s
+                for pl, src in ((ctx.u, src_u), (ctx.v, src_v)):
+                    for j in range(8):
+                        for i in range(8):
+                            s = src[mby * 8 + j][mbx * 8 + i]
+                            w.u(s, 8)
+                            pl[mby * 8 + j][mbx * 8 + i] = s
+                for by in range(4):
+                    for bx in range(4):
+                        ctx.tc_y[mby * 4 + by][mbx * 4 + bx] = 16
+                for by in range(2):
+                    for bx in range(2):
+                        ctx.tc_u[mby * 2 + by][mbx * 2 + bx] = 16
+                        ctx.tc_v[mby * 2 + by][mbx * 2 + bx] = 16
+                mbqp[mby][mbx] = 0  # spec: QPy = 0 for I_PCM deblocking
+                continue
+
+            up_ok, left_ok = mby > 0, mbx > 0
+
+            def clamp16(m):
+                if m == 0 and not up_ok:
+                    return 2
+                if m == 1 and not left_ok:
+                    return 2
+                if m == 3 and not (up_ok and left_ok):
+                    return 2
+                return m
+
+            def clamp_ch(m):
+                if m == 2 and not up_ok:
+                    return 0
+                if m == 1 and not left_ok:
+                    return 0
+                if m == 3 and not (up_ok and left_ok):
+                    return 0
+                return m
+
+            def clamp4(m, x, y):
+                upb, leftb = y > 0, x > 0
+                if m in (0, 3, 7) and not upb:
+                    return 2 if not leftb else 1
+                if m in (1, 8) and not leftb:
+                    return 2 if not upb else 0
+                if m in (4, 5, 6) and not (upb and leftb):
+                    return 2
+                return m
+
+            if plan[0] == 'i16':
+                mode = clamp16(plan[1])
+                cmode = clamp_ch(plan[2])
+                pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False)
+                newqp = clip3(0, 51, qpy + delta)
+                # transform + quant all 16 blocks
+                dcq = [[0] * 4 for _ in range(4)]
+                acq = [None] * 16
+                for blk in range(16):
+                    x, y = _block_xy(mbx, mby, blk)
+                    bi, bj = (x % 16) // 4, (y % 16) // 4
+                    r = [[src_y[y + j][x + i] - pred[(y % 16) + j][(x % 16) + i]
+                          for i in range(4)] for j in range(4)]
+                    wq = forward4x4(r)
+                    dcq[bj][bi] = wq[0][0]
+                    zz = zigzag_of(wq)[1:]
+                    acq[blk] = [quant_ac(c, newqp,
+                                         ZIGZAG[k + 1] // 4, ZIGZAG[k + 1] % 4)
+                                for k, c in enumerate(zz)]
+                dch = hadamard4(dcq, True)
+                dcz = [[quant_luma_dc(dch[j][i], newqp) for i in range(4)]
+                       for j in range(4)]
+                cbp_luma = 15 if any(any(c for c in b) for b in acq) else 0
+                # chroma
+                cpred = {}
+                cdcz = {}
+                cacq = {}
+                qpc = qpc_of(newqp)
+                for pn, (pl, src) in (('u', (ctx.u, src_u)), ('v', (ctx.v, src_v))):
+                    cpred[pn] = pred_block_nxn(pl, mbx * 8, mby * 8, 8, cmode, True)
+                    dc2 = [[0] * 2 for _ in range(2)]
+                    acs = [None] * 4
+                    for blk in range(4):
+                        bx, by = blk % 2, blk // 2
+                        r = [[src[mby * 8 + by * 4 + j][mbx * 8 + bx * 4 + i] -
+                              cpred[pn][by * 4 + j][bx * 4 + i]
+                              for i in range(4)] for j in range(4)]
+                        wq = forward4x4(r)
+                        dc2[by][bx] = wq[0][0]
+                        zz = zigzag_of(wq)[1:]
+                        acs[blk] = [quant_ac(c, qpc, ZIGZAG[k + 1] // 4,
+                                             ZIGZAG[k + 1] % 4)
+                                    for k, c in enumerate(zz)]
+                    dch2 = hadamard2(dc2)
+                    cdcz[pn] = [[quant_chroma_dc(dch2[j][i], qpc)
+                                 for i in range(2)] for j in range(2)]
+                    cacq[pn] = acs
+                any_cac = any(any(c for c in b) for pn in 'uv' for b in cacq[pn])
+                any_cdc = any(cdcz[pn][j][i] for pn in 'uv'
+                              for j in range(2) for i in range(2))
+                cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+                mb_type = 1 + mode + 4 * cbp_chroma + 12 * (cbp_luma // 15)
+                w.ue(mb_type)
+                w.ue(cmode)
+                w.se(delta)
+                qpy = newqp
+                mbqp[mby][mbx] = qpy
+                # ---- residuals: luma DC (nC context of blk 0)
+                bx0, by0 = mbx * 4, mby * 4
+                dczz = zigzag_of(dcz)
+                encode_block(w, dczz, ctx.nc(ctx.tc_y, bx0, by0), 16)
+                # luma AC in Z order
+                for blk in range(16):
+                    x, y = _block_xy(mbx, mby, blk)
+                    gx, gy = x // 4, y // 4
+                    if cbp_luma:
+                        tc = encode_block(w, acq[blk],
+                                          ctx.nc(ctx.tc_y, gx, gy), 15)
+                        ctx.tc_y[gy][gx] = tc
+                    else:
+                        ctx.tc_y[gy][gx] = 0
+                self_recon_i16(ctx, mbx, mby, pred, dcz, acq, cbp_luma, qpy)
+                encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq,
+                                    cpred, qpc)
+                for by in range(4):
+                    for bx in range(4):
+                        ctx.i4mode[mby * 4 + by][mbx * 4 + bx] = -1
+                continue
+
+            # ---- Intra_4x4
+            assert plan[0] == 'i4'
+            cmode = clamp_ch(plan[2])
+            newqp = clip3(0, 51, qpy + delta)
+            qpc = qpc_of(newqp)
+            modes = []
+            flags = []
+            blocks = []
+            for blk in range(16):
+                x, y = _block_xy(mbx, mby, blk)
+                m = clamp4(plan[1][blk], x, y)
+                predm = ctx.pred_i4_mode(x // 4, y // 4)
+                if m == predm:
+                    flags.append((1, 0))
+                else:
+                    flags.append((0, m if m < predm else m - 1))
+                ctx.i4mode[y // 4][x // 4] = m
+                modes.append(m)
+                pred = pred4x4(ctx.y, W, H, x, y, m)
+                r = [[src_y[y + j][x + i] - pred[j][i] for i in range(4)]
+                     for j in range(4)]
+                wq = forward4x4(r)
+                zz = zigzag_of(wq)
+                zq = [quant_ac(c, newqp, ZIGZAG[k] // 4, ZIGZAG[k] % 4)
+                      for k, c in enumerate(zz)]
+                blocks.append(zq)
+                # progressive reconstruction (later blocks predict from it;
+                # an all-zero quadrant drops residuals that are zero anyway)
+                dqz = [dequant_ac(zq[k], newqp, ZIGZAG[k] // 4, ZIGZAG[k] % 4)
+                       for k in range(16)]
+                recon_block(ctx.y, x, y, pred, unzigzag(dqz))
+            cbp_luma = 0
+            for quad in range(4):
+                qblks = [b for b in range(16) if (b >> 2 & 1) == (quad & 1)
+                         and (b >> 3) == (quad >> 1)]
+                if any(any(blocks[b]) for b in qblks):
+                    cbp_luma |= 1 << quad
+            # chroma (same machinery as I16)
+            cpred = {}
+            cdcz = {}
+            cacq = {}
+            for pn, (pl, src) in (('u', (ctx.u, src_u)), ('v', (ctx.v, src_v))):
+                cpred[pn] = pred_block_nxn(pl, mbx * 8, mby * 8, 8, cmode, True)
+                dc2 = [[0] * 2 for _ in range(2)]
+                acs = [None] * 4
+                for blk in range(4):
+                    bx, by = blk % 2, blk // 2
+                    r = [[src[mby * 8 + by * 4 + j][mbx * 8 + bx * 4 + i] -
+                          cpred[pn][by * 4 + j][bx * 4 + i]
+                          for i in range(4)] for j in range(4)]
+                    wq = forward4x4(r)
+                    dc2[by][bx] = wq[0][0]
+                    zz = zigzag_of(wq)[1:]
+                    acs[blk] = [quant_ac(c, qpc, ZIGZAG[k + 1] // 4,
+                                         ZIGZAG[k + 1] % 4)
+                                for k, c in enumerate(zz)]
+                dch2 = hadamard2(dc2)
+                cdcz[pn] = [[quant_chroma_dc(dch2[j][i], qpc)
+                             for i in range(2)] for j in range(2)]
+                cacq[pn] = acs
+            any_cac = any(any(c for c in b) for pn in 'uv' for b in cacq[pn])
+            any_cdc = any(cdcz[pn][j][i] for pn in 'uv'
+                          for j in range(2) for i in range(2))
+            cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+            cbp = cbp_luma + 16 * cbp_chroma
+            w.ue(0)  # mb_type I_4x4
+            for f, rem in flags:
+                w.u(f, 1)
+                if not f:
+                    w.u(rem, 3)
+            w.ue(cmode)
+            w.ue(CBP_INTRA_INV[cbp])
+            if cbp:
+                w.se(delta)
+                qpy = newqp
+            mbqp[mby][mbx] = qpy
+            for blk in range(16):
+                x, y = _block_xy(mbx, mby, blk)
+                gx, gy = x // 4, y // 4
+                quad = (1 if (x % 16) >= 8 else 0) + (2 if (y % 16) >= 8 else 0)
+                if cbp_luma & (1 << quad):
+                    tc = encode_block(w, blocks[blk],
+                                      ctx.nc(ctx.tc_y, gx, gy), 16)
+                    ctx.tc_y[gy][gx] = tc
+                else:
+                    ctx.tc_y[gy][gx] = 0
+            encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq,
+                                cpred, qpc)
+    w.rbsp_trailing()
+    body = nal(5, w.bytes_raw())
+    if deblock_idc != 1:
+        deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), W, H, mbqp)
+    return body, ctx, mbqp
+
+
+def flat(rows):
+    """Row-list planes exposed as a flat index (deblock mutates rows in
+    place through this adapter)."""
+    width = len(rows[0])
+
+    class Flat:
+        def __getitem__(self, i):
+            return rows[i // width][i % width]
+
+        def __setitem__(self, i, val):
+            rows[i // width][i % width] = val
+    return Flat()
+
+
+def recon_block(plane, x, y, pred, dq):
+    r = inverse4x4(dq)
+    for j in range(4):
+        for i in range(4):
+            plane[y + j][x + i] = clip255(pred[j][i] + ((r[j][i] + 32) >> 6))
+
+
+def self_recon_i16(ctx, mbx, mby, pred, dcz, acq, cbp_luma, qp):
+    dci = hadamard4(unzigzag_dc(dcz), False)
+    for blk in range(16):
+        x, y = _block_xy(mbx, mby, blk)
+        bi, bj = (x % 16) // 4, (y % 16) // 4
+        d = [[0] * 4 for _ in range(4)]
+        if cbp_luma:
+            for k, c in enumerate(acq[blk]):
+                z = ZIGZAG[k + 1]
+                d[z // 4][z % 4] = dequant_ac(c, qp, z // 4, z % 4)
+        d[0][0] = dequant_luma_dc(dci[bj][bi], qp)
+        p = [[pred[(y % 16) + j][(x % 16) + i] for i in range(4)] for j in range(4)]
+        recon_block(ctx.y, x, y, p, d)
+
+
+def unzigzag_dc(dcz):
+    return dcz  # the DC matrix is kept unscanned by callers
+
+
+def encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq, cpred, qpc):
+    for pn, grid, plane in (('u', ctx.tc_u, ctx.u), ('v', ctx.tc_v, ctx.v)):
+        if cbp_chroma:
+            dzz = [cdcz[pn][0][0], cdcz[pn][0][1], cdcz[pn][1][0], cdcz[pn][1][1]]
+            encode_block(w, dzz, -1, 4)
+    for pn, grid, plane in (('u', ctx.tc_u, ctx.u), ('v', ctx.tc_v, ctx.v)):
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            gx, gy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                tc = encode_block(w, cacq[pn][blk], ctx.nc(grid, gx, gy), 15)
+                grid[gy][gx] = tc
+            else:
+                grid[gy][gx] = 0
+        # reconstruction
+        dci = hadamard2(cdcz[pn]) if cbp_chroma else [[0, 0], [0, 0]]
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            d = [[0] * 4 for _ in range(4)]
+            if cbp_chroma == 2:
+                for k, c in enumerate(cacq[pn][blk]):
+                    z = ZIGZAG[k + 1]
+                    d[z // 4][z % 4] = dequant_ac(c, qpc, z // 4, z % 4)
+            if cbp_chroma:
+                d[0][0] = dequant_chroma_dc(dci[by][bx], qpc)
+            p = [[cpred[pn][by * 4 + j][bx * 4 + i] for i in range(4)]
+                 for j in range(4)]
+            recon_block(plane, mbx * 8 + bx * 4, mby * 8 + by * 4, p, d)
+
+
+# ----------------------------------------------------- mirror decoder
+
+def split_nals(data):
+    """Annex-B start-code scan -> de-escaped RBSP payloads with their
+    nal_unit_type."""
+    out = []
+    i = 0
+    n = len(data)
+    while i + 3 < n:
+        if data[i] == 0 and data[i + 1] == 0 and \
+           (data[i + 2] == 1 or (data[i + 2] == 0 and i + 4 <= n and data[i + 3] == 1)):
+            start = i + (3 if data[i + 2] == 1 else 4)
+            j = start
+            while j + 2 < n and not (data[j] == 0 and data[j + 1] == 0 and
+                                     data[j + 2] in (0, 1)):
+                j += 1
+            end = j if j + 2 < n else n
+            raw = data[start:end]
+            # strip emulation prevention
+            rbsp = bytearray()
+            zeros = 0
+            for b in raw:
+                if zeros >= 2 and b == 3:
+                    zeros = 0
+                    continue
+                rbsp.append(b)
+                zeros = zeros + 1 if b == 0 else 0
+            out.append((raw[0] & 0x1F, bytes(rbsp[1:])))
+            i = end
+        else:
+            i += 1
+    return out
+
+
+def decode_stream(data):
+    """Mirror decode of streams this module encodes: returns (y, u, v)
+    plane row-lists after deblocking. Baseline IDR CAVLC only."""
+    sps = pps = None
+    frame = None
+    for typ, rbsp in split_nals(data):
+        r = BitReader(rbsp)
+        if typ == 7:
+            r.u(24)
+            assert r.ue() == 0
+            assert r.ue() == 0  # log2_max_frame_num_minus4
+            poc = r.ue()
+            assert poc == 2
+            r.ue()  # max_num_ref_frames
+            r.u(1)
+            wmb = r.ue() + 1
+            hmb = r.ue() + 1
+            assert r.u(1) == 1  # frame_mbs_only
+            r.u(1)
+            assert r.u(1) == 0  # no cropping
+            r.u(1)
+            sps = (wmb * 16, hmb * 16)
+        elif typ == 8:
+            assert r.ue() == 0 and r.ue() == 0
+            assert r.u(1) == 0  # CAVLC
+            r.u(1)
+            assert r.ue() == 0
+            r.ue(); r.ue(); r.u(1); r.u(2)
+            qp = 26 + r.se()
+            r.se()
+            chroma_off = r.se()
+            dbc = r.u(1)
+            r.u(1); r.u(1)
+            pps = (qp, chroma_off, dbc)
+        elif typ == 5:
+            frame = _decode_slice(r, sps, pps)
+    return frame
+
+
+def _decode_slice(r, sps, pps):
+    W, H = sps
+    qp0, chroma_off, dbc = pps
+    assert r.ue() == 0  # first_mb
+    st = r.ue()
+    assert st in (2, 7)
+    assert r.ue() == 0
+    r.u(4)  # frame_num
+    r.ue()  # idr_pic_id
+    r.u(1); r.u(1)
+    qpy = qp0 + r.se()
+    deblock_idc = 0
+    if dbc:
+        deblock_idc = r.ue()
+        if deblock_idc != 1:
+            r.se(); r.se()
+    mbs_x, mbs_y = W // 16, H // 16
+    ctx = FrameCtx(W, H)
+    mbqp = [[0] * mbs_x for _ in range(mbs_y)]
+    for mby in range(mbs_y):
+        for mbx in range(mbs_x):
+            mb_type = r.ue()
+            if mb_type == 25:  # I_PCM
+                r.align()
+                for j in range(16):
+                    for i in range(16):
+                        ctx.y[mby * 16 + j][mbx * 16 + i] = r.u(8)
+                for pl in (ctx.u, ctx.v):
+                    for j in range(8):
+                        for i in range(8):
+                            pl[mby * 8 + j][mbx * 8 + i] = r.u(8)
+                for by in range(4):
+                    for bx in range(4):
+                        ctx.tc_y[mby * 4 + by][mbx * 4 + bx] = 16
+                        ctx.i4mode[mby * 4 + by][mbx * 4 + bx] = -1
+                for by in range(2):
+                    for bx in range(2):
+                        ctx.tc_u[mby * 2 + by][mbx * 2 + bx] = 16
+                        ctx.tc_v[mby * 2 + by][mbx * 2 + bx] = 16
+                mbqp[mby][mbx] = 0
+                continue
+            if mb_type == 0:  # I_4x4
+                flags = []
+                for blk in range(16):
+                    f = r.u(1)
+                    flags.append((f, 0 if f else r.u(3)))
+                cmode = r.ue()
+                cbp = CBP_INTRA[r.ue()]
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    qpy = clip3(0, 51, qpy + r.se())
+                mbqp[mby][mbx] = qpy
+                qpc = qpc_of(qpy, chroma_off)
+                for blk in range(16):
+                    x, y = _block_xy(mbx, mby, blk)
+                    gx, gy = x // 4, y // 4
+                    predm = ctx.pred_i4_mode(gx, gy)
+                    f, rem = flags[blk]
+                    m = predm if f else (rem if rem < predm else rem + 1)
+                    ctx.i4mode[gy][gx] = m
+                    pred = pred4x4(ctx.y, W, H, x, y, m)
+                    quad = (1 if (x % 16) >= 8 else 0) + (2 if (y % 16) >= 8 else 0)
+                    if cbp_luma & (1 << quad):
+                        zq = decode_block(r, ctx.nc(ctx.tc_y, gx, gy), 16)
+                        ctx.tc_y[gy][gx] = sum(1 for c in zq if c)
+                    else:
+                        zq = [0] * 16
+                        ctx.tc_y[gy][gx] = 0
+                    dqz = [dequant_ac(zq[k], qpy, ZIGZAG[k] // 4, ZIGZAG[k] % 4)
+                           for k in range(16)]
+                    recon_block(ctx.y, x, y, pred, unzigzag(dqz))
+                _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc)
+                continue
+            # I_16x16: mb_type 1..24
+            assert 1 <= mb_type <= 24, f"mb_type {mb_type}"
+            mode = (mb_type - 1) % 4
+            cbp_chroma = ((mb_type - 1) // 4) % 3
+            cbp_luma = 15 * ((mb_type - 1) // 12)
+            cmode = r.ue()
+            qpy = clip3(0, 51, qpy + r.se())
+            mbqp[mby][mbx] = qpy
+            qpc = qpc_of(qpy, chroma_off)
+            pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False)
+            dczz = decode_block(r, ctx.nc(ctx.tc_y, mbx * 4, mby * 4), 16)
+            dcq = unzigzag(dczz)
+            acq = [None] * 16
+            for blk in range(16):
+                x, y = _block_xy(mbx, mby, blk)
+                gx, gy = x // 4, y // 4
+                if cbp_luma:
+                    zq = decode_block(r, ctx.nc(ctx.tc_y, gx, gy), 15)
+                    acq[blk] = zq
+                    ctx.tc_y[gy][gx] = sum(1 for c in zq if c)
+                else:
+                    acq[blk] = [0] * 15
+                    ctx.tc_y[gy][gx] = 0
+                ctx.i4mode[gy][gx] = -1
+            self_recon_i16(ctx, mbx, mby, pred, dcq, acq, cbp_luma, qpy)
+            _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc)
+    if deblock_idc != 1:
+        deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), W, H, mbqp)
+    return ctx.y, ctx.u, ctx.v
+
+
+def _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc):
+    dcs = {}
+    for pn in 'uv':
+        if cbp_chroma:
+            z = decode_block(r, -1, 4)
+            dcs[pn] = [[z[0], z[1]], [z[2], z[3]]]
+        else:
+            dcs[pn] = [[0, 0], [0, 0]]
+    for pn, grid, plane in (('u', ctx.tc_u, ctx.u), ('v', ctx.tc_v, ctx.v)):
+        pred = pred_block_nxn(plane, mbx * 8, mby * 8, 8, cmode, True)
+        acs = [None] * 4
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            gx, gy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                zq = decode_block(r, ctx.nc(grid, gx, gy), 15)
+                acs[blk] = zq
+                grid[gy][gx] = sum(1 for c in zq if c)
+            else:
+                acs[blk] = [0] * 15
+                grid[gy][gx] = 0
+        dci = hadamard2(dcs[pn]) if cbp_chroma else [[0, 0], [0, 0]]
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            d = [[0] * 4 for _ in range(4)]
+            for k, c in enumerate(acs[blk]):
+                z = ZIGZAG[k + 1]
+                d[z // 4][z % 4] = dequant_ac(c, qpc, z // 4, z % 4)
+            if cbp_chroma:
+                d[0][0] = dequant_chroma_dc(dci[by][bx], qpc)
+            p = [[pred[by * 4 + j][bx * 4 + i] for i in range(4)] for j in range(4)]
+            recon_block(plane, mbx * 8 + bx * 4, mby * 8 + by * 4, p, d)
+
+
+# -------------------------------------------------------- self checks
+
+MASK64 = (1 << 64) - 1
+
+
+def mix64(x):
+    x = (x + 0x9E3779B97F4A7C15) & MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & MASK64
+    return x ^ (x >> 31)
+
+
+def pattern(seed, w, h):
+    """GenImages.pattern verbatim (the cross-codec content anchor)."""
+    return [[min(mix64((seed * 1000003 + (y // 4) * 131 + (x // 4)) & MASK64) & 0xFF, 250)
+             for x in range(w)] for y in range(h)]
+
+
+def halved(px):
+    """Simple 2x2 mean downsample for the chroma planes."""
+    h, w = len(px), len(px[0])
+    return [[(px[2 * j][2 * i] + px[2 * j][2 * i + 1] +
+              px[2 * j + 1][2 * i] + px[2 * j + 1][2 * i + 1] + 2) >> 2
+             for i in range(w // 2)] for j in range(h // 2)]
+
+
+def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None):
+    """Pattern-content frame through the encoder; returns (annexb bytes,
+    recon planes)."""
+    y = pattern(seed, W, H)
+    u = [[128] * (W // 2) for _ in range(H // 2)]
+    v = halved(pattern(seed + 7, W, H))
+    body, ctx, _ = encode_frame(y, u, v, W, H, qp, plan,
+                                deblock_idc=deblock_idc, qp_deltas=qp_deltas)
+    return write_sps(W, H) + write_pps(qp) + body, (ctx.y, ctx.u, ctx.v), (y, u, v)
+
+
+def _psnr(a, b):
+    import math
+    se = n = 0
+    for ra, rb in zip(a, b):
+        for xa, xb in zip(ra, rb):
+            se += (xa - xb) ** 2
+            n += 1
+    return 99.0 if se == 0 else 10 * math.log10(255 * 255 * n / se)
+
+
+def selftest():
+    _fuzz_cavlc()
+    W = H = 48
+    plans = {
+        'pcm': lambda mbx, mby: ('pcm',),
+        'i16': lambda mbx, mby: ('i16', (mbx + mby * 3) % 4, (mbx + mby) % 4),
+        'i4': lambda mbx, mby: ('i4', [(mbx * 16 + mby * 5 + k) % 9 for k in range(16)],
+                                (mbx + mby) % 4),
+        'mixed': lambda mbx, mby: [('pcm',), ('i16', (mbx + mby) % 4, mby % 4),
+                                   ('i4', [(mbx + k) % 9 for k in range(16)], mbx % 4)
+                                   ][(mbx + mby) % 3],
+    }
+    for name, plan in plans.items():
+        for qp in (8, 20, 30):
+            for dbi in (0, 1):
+                stream, recon, src = encode_ydata(3, W, H, qp, plan,
+                                                  deblock_idc=dbi,
+                                                  qp_deltas={4: 2, 7: -3})
+                got = decode_stream(stream)
+                for pi, pname in enumerate('yuv'):
+                    assert got[pi] == recon[pi], \
+                        f"{name} qp={qp} dbi={dbi}: {pname} recon mismatch"
+                p = _psnr(got[0], src[0])
+                floor = 99 if name == 'pcm' else (40 if qp <= 8 else 28 if qp <= 20 else 20)
+                assert p >= floor, f"{name} qp={qp}: PSNR {p:.1f} < {floor}"
+                print(f"  {name:5s} qp={qp:2d} deblock={1-dbi} PSNR={p:5.1f} "
+                      f"bytes={len(stream)} OK")
+    print("h264_codec: encoder <-> mirror-decoder round-trip passes")
+
+
+if __name__ == "__main__":
+    selftest()
