@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.tools.H264Fixtures
+
+/** Native H.264 baseline I-frame decoder: every fixture must reproduce
+  * the INDEPENDENT Python spec implementation's decode bit-exactly
+  * (tools/h264_codec.py emits the expected plane hashes), plus the
+  * VP8-style anchors — content pHash vs the unrelated JPEG path, and
+  * totality over hostile bytes. */
+class H264Spec extends SparkSpec {
+
+  private def fnv(plane: Array[Int]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < plane.length) { h = (h ^ plane(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  test("all 16 fixtures decode bit-exactly to the Python implementation's planes") {
+    for (i <- 0 until H264Fixtures.count) {
+      val f = H264.decodeAnnexB(H264Fixtures.streamAt(i))
+      assert(f != null, s"fixture $i failed to decode")
+      assert(f.w == 48 && f.h == 48, s"fixture $i dims ${f.w}x${f.h}")
+      assert(fnv(f.y) == H264Fixtures.expY(i), s"fixture $i: Y plane differs")
+      assert(fnv(f.u) == H264Fixtures.expU(i), s"fixture $i: U plane differs")
+      assert(fnv(f.v) == H264Fixtures.expV(i), s"fixture $i: V plane differs")
+    }
+  }
+
+  test("decoded frames are perceptual near-dups of JPEG frames of the same pattern") {
+    // the cross-codec anchor INDEPENDENT of the shared tables: the same
+    // GenImages.pattern content through the unrelated JPEG path must
+    // land within a few pHash bits; distinct patterns stay far apart
+    def grayPng(f: H264.Frame): Array[Byte] =
+      ImageKernels.encodePng(f.w, f.h, f.y)
+    for (base <- 1 to 4; k <- 0 until 4) {
+      val h264 = ImageKernels.phash(grayPng(H264.decodeAnnexB(
+        H264Fixtures.stream(base, k))))
+      val jpeg = ImageKernels.phash(graft.tools.GenMedia.videoFrameJpeg(base.toLong, k))
+      val d = java.lang.Long.bitCount(h264 ^ jpeg)
+      assert(d <= 3, s"base=$base k=$k: H264-vs-JPEG pHash distance $d > 3")
+    }
+    val a = ImageKernels.phash(grayPng(H264.decodeAnnexB(H264Fixtures.stream(1, 0))))
+    val b = ImageKernels.phash(grayPng(H264.decodeAnnexB(H264Fixtures.stream(3, 2))))
+    assert(java.lang.Long.bitCount(a ^ b) > 10, "cross-pattern pair too close")
+  }
+
+  test("hostile: truncations and corruption never throw; CABAC and junk are null") {
+    for (i <- 0 until H264Fixtures.count) {
+      val good = H264Fixtures.streamAt(i)
+      for (cut <- Seq(0, 3, 7, 20, good.length / 3, good.length / 2, good.length - 1))
+        H264.decodeAnnexB(java.util.Arrays.copyOf(good, cut)) // no throw
+      val rnd = new scala.util.Random(11 + i)
+      for (_ <- 0 until 200) {
+        val c = good.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        H264.decodeAnnexB(c) // no throw on corruption
+      }
+    }
+    assert(H264.decodeAnnexB("definitely not a NAL stream at all".getBytes) == null)
+    assert(H264.decodeAnnexB(Array.emptyByteArray) == null)
+    assert(H264.decodeAnnexB(null) == null)
+    // a CABAC PPS (entropy_coding_mode_flag = 1) is rejected, not mis-parsed
+    val cabac = H264Fixtures.stream(1, 0).clone()
+    // locate the PPS NAL (type 8) and flip its first RBSP bit region:
+    // pps starts 0,0,0,1,0x68, payload begins "101" (ue(0),ue(0)) then the
+    // entropy bit — flipping bit 2 of the first payload byte sets it
+    val idx = (0 until cabac.length - 5).find(j =>
+      cabac(j) == 0 && cabac(j + 1) == 0 && cabac(j + 2) == 0 &&
+        cabac(j + 3) == 1 && (cabac(j + 4) & 0x1F) == 8).get
+    cabac(idx + 5) = (cabac(idx + 5) | 0x20).toByte
+    assert(H264.decodeAnnexB(cabac) == null)
+  }
+}
