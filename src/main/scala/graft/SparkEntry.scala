@@ -2461,6 +2461,30 @@ object SparkEntry {
           min(expr("image_phash(frame)")).as("phash"))
     }),
 
+    // real H.264 VIDEO: avc1 MP4s (avcC + length-prefixed IDR samples
+    // through stsz/stsc/stco) wrapping 4 native baseline CAVLC keyframes
+    // each (tools/H264Fixtures — I_PCM/I_16x16/I_4x4 families, varying
+    // QP/modes/deblock); every frame decodes through the native ITU-T
+    // H.264 path on executors, snapshots as a gray PNG, and must both
+    // pin to the oracle's pHash constants AND hash identically on every
+    // executor (n_hashes=1 — container walk + decode determinism)
+    "q_video_frames_h264" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 240).as[Long]
+        .mapPartitions(_.map(id => (id % 12,
+          graft.tools.GenMedia.h264VideoFixture(id % 12))))
+        .toDF("vid", "content")
+      val frames = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_frames", "column" -> "content",
+          "max_frames" -> 8), Map.empty, "gate")
+      frames.groupBy("vid", "frame_index")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(expr("image_phash(frame)")).as("n_hashes"),
+          min(expr("image_phash(frame)")).as("phash"))
+    }),
+
     // ================================================ corpus cleaning ops
     // PII redaction over text with synthesized email/IP/phone per row (the
     // raw corpus contains none — the construction makes the regexes fire)
@@ -5075,6 +5099,27 @@ object SparkEntry {
                (3, 2, -2931598068071317081), (3, 3, -3408370078018625745),
                (4, 0, -424367030519774589), (4, 1, 109707021242833343),
                (4, 2, -696320392787150201), (4, 3, -1423025430127559325))
+              t(base, fidx, phash))
+         SELECT c.vid, p.fidx AS frame_index, c.n_rows,
+           1::BIGINT AS n_hashes, p.phash::BIGINT AS phash
+         FROM c JOIN p ON p.base = c.vid % 4 + 1""",
+
+    // pinned pHashes of the 16 embedded native-encoded H.264 baseline
+    // keyframes (bases 1..4 x frames 0..3): a regression anywhere in the
+    // avcC/stsd walk, the CAVLC tables, intra prediction, dequant or the
+    // deblocking filter flips them; vid -> base is vid % 4 + 1
+    "q_video_frames_h264" ->
+      """WITH c AS (SELECT doc_id % 12 AS vid, count(*)::BIGINT AS n_rows
+                    FROM documents WHERE doc_id < 240 GROUP BY 1),
+            p AS (SELECT * FROM (VALUES
+               (1, 0, -5911842460359768959), (1, 1, -4367245356331379901),
+               (1, 2, 6075181718218525173), (1, 3, 2628736512514743017),
+               (2, 0, -1541267189407364191), (2, 1, 7820846899659986897),
+               (2, 2, 4315518646593552491), (2, 3, 3254997444723453163),
+               (3, 0, 3831853729669327327), (3, 1, 716668274781294701),
+               (3, 2, -2931598068608179801), (3, 3, -3408370078018625745),
+               (4, 0, -424367030519774589), (4, 1, 109707021242833343),
+               (4, 2, -696320392787150201), (4, 3, -1423060614499648149))
               t(base, fidx, phash))
          SELECT c.vid, p.fidx AS frame_index, c.n_rows,
            1::BIGINT AS n_hashes, p.phash::BIGINT AS phash

@@ -759,17 +759,63 @@ object MediaKernels {
     out.toArray
   }
 
-  /** ISO BMFF sample walk for JPEG-coded video tracks: locate the first
-    * trak whose stsd entry format is `jpeg`/`mjpa`/`mjpb`, then resolve
-    * every sample's file offset through stsc (sample-to-chunk runs), stco/
-    * co64 (chunk offsets) and stsz (sample sizes). */
+  /** ISO BMFF sample walk for decodable video tracks: locate the first
+    * trak whose stsd entry format is `jpeg`/`mjpa`/`mjpb` (T.81 samples
+    * for the native Jpeg decoder) or `avc1`/`avc3` (length-prefixed
+    * H.264 NALs for the native [[H264]] baseline decoder, SPS/PPS from
+    * the avcC record), then resolve every sample's file offset through
+    * stsc (sample-to-chunk runs), stco/co64 (chunk offsets) and stsz
+    * (sample sizes). avc1 keyframe detection is NAL-type 5 (IDR) —
+    * non-IDR samples are skipped by design (keyframes-only tier). */
   private def mp4Frames(b: Array[Byte]): Array[Array[Byte]] = {
     if (b.length < 16 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
     var sizes: Array[Int] = null
     var chunkOffsets: Array[Long] = null
     var stsc: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
     var isJpeg = false
+    var isAvc = false
+    var avcSps: Array[Byte] = null
+    var avcPps: Array[Byte] = null
+    var avcLenSize = 4
     var done = false
+    def parseAvcc(d: Int, e: Int): Unit = {
+      // boxes after the 78-byte VisualSampleEntry header: find avcC
+      var p = d + 8 + 78
+      while (p + 8 <= e && avcSps == null) {
+        val sz = be32(b, p).toInt
+        if (sz < 8 || p + sz > e) return
+        if (b(p + 4) == 'a' && b(p + 5) == 'v' && b(p + 6) == 'c' && b(p + 7) == 'C'
+          && sz >= 8 + 7) {
+          var q = p + 8 + 4 // skip version/profile/compat/level
+          avcLenSize = (b(q) & 3) + 1
+          q += 1
+          val nSps = b(q) & 0x1F
+          q += 1
+          var i = 0
+          while (i < nSps && q + 2 <= e) {
+            val len = ((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)
+            q += 2
+            if (q + len > e) return
+            if (avcSps == null) avcSps = java.util.Arrays.copyOfRange(b, q, q + len)
+            q += len
+            i += 1
+          }
+          if (q >= e) return
+          val nPps = b(q) & 0xFF
+          q += 1
+          i = 0
+          while (i < nPps && q + 2 <= e) {
+            val len = ((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)
+            q += 2
+            if (q + len > e) return
+            if (avcPps == null) avcPps = java.util.Arrays.copyOfRange(b, q, q + len)
+            q += len
+            i += 1
+          }
+        }
+        p += sz
+      }
+    }
     def walk(start: Int, end: Int, inTrak: Boolean): Unit = {
       var p = start
       while (p + 8 <= end && !done) {
@@ -785,16 +831,24 @@ object MediaKernels {
         typ match {
           case "moov" => walk(d, e, inTrak)
           case "trak" =>
-            // reset per-track state; keep only the first jpeg track
-            val (s0, c0, sc0, j0) = (sizes, chunkOffsets, stsc, isJpeg)
-            sizes = null; chunkOffsets = null; stsc = null; isJpeg = false
+            // reset per-track state; keep only the first decodable track
+            val (s0, c0, sc0, j0, a0, asps0, apps0, al0) =
+              (sizes, chunkOffsets, stsc, isJpeg, isAvc, avcSps, avcPps, avcLenSize)
+            sizes = null; chunkOffsets = null; stsc = null
+            isJpeg = false; isAvc = false; avcSps = null; avcPps = null; avcLenSize = 4
             walk(d, e, inTrak = true)
-            if (isJpeg && sizes != null && chunkOffsets != null && stsc != null) done = true
-            else { sizes = s0; chunkOffsets = c0; stsc = sc0; isJpeg = j0 }
+            if ((isJpeg || (isAvc && avcSps != null && avcPps != null)) &&
+              sizes != null && chunkOffsets != null && stsc != null) done = true
+            else {
+              sizes = s0; chunkOffsets = c0; stsc = sc0; isJpeg = j0
+              isAvc = a0; avcSps = asps0; avcPps = apps0; avcLenSize = al0
+            }
           case "mdia" | "minf" | "stbl" if inTrak => walk(d, e, inTrak)
           case "stsd" if inTrak && size >= hdr + 16 =>
             val fmt = new String(b, d + 8 + 4, 4, "US-ASCII")
             isJpeg = fmt == "jpeg" || fmt == "mjpa" || fmt == "mjpb"
+            isAvc = fmt == "avc1" || fmt == "avc3"
+            if (isAvc) parseAvcc(d + 8, math.min(e, d + 8 + be32(b, d + 8).toInt))
           case "stsz" if inTrak && size >= hdr + 12 =>
             val fixed = be32(b, d + 4).toInt
             val n = be32(b, d + 8).toInt
@@ -826,9 +880,29 @@ object MediaKernels {
     if (!done) return Array.empty
     // expand stsc runs into a per-chunk sample count, then slice samples
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def avcSample(off: Int, sz: Int): Unit = {
+      // length-prefixed NALs; decode IDR (type 5) keyframes natively
+      val idrs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var p = off
+      val end = off + sz
+      while (p + avcLenSize <= end) {
+        var len = 0L
+        var i = 0
+        while (i < avcLenSize) { len = (len << 8) | (b(p + i) & 0xFF); i += 1 }
+        p += avcLenSize
+        if (len <= 0 || p + len > end) return
+        if ((b(p) & 0x1F) == 5)
+          idrs += java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+        p += len.toInt
+      }
+      if (idrs.nonEmpty) {
+        val f = H264.decodeAvcc(avcSps, avcPps, idrs.toSeq)
+        if (f != null) out += ImageKernels.encodePng(f.w, f.h, f.y)
+      }
+    }
     var sample = 0
     var ci = 0
-    while (ci < chunkOffsets.length && sample < sizes.length) {
+    while (ci < chunkOffsets.length && sample < sizes.length && out.length < 512) {
       var run = 0
       while (run + 1 < stsc.length && stsc(run + 1)._1 <= ci + 1) run += 1
       val perChunk = stsc(run)._2
@@ -836,9 +910,11 @@ object MediaKernels {
       var k = 0
       while (k < perChunk && sample < sizes.length) {
         val sz = sizes(sample)
-        if (sz >= 3 && off >= 0 && off + sz <= b.length &&
-          (b(off.toInt) & 0xFF) == 0xFF && (b(off.toInt + 1) & 0xFF) == 0xD8)
-          out += java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+        if (sz >= 3 && off >= 0 && off + sz <= b.length) {
+          if (isJpeg && (b(off.toInt) & 0xFF) == 0xFF && (b(off.toInt + 1) & 0xFF) == 0xD8)
+            out += java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+          else if (isAvc) avcSample(off.toInt, sz)
+        }
         off += sz
         sample += 1
         k += 1
@@ -900,6 +976,89 @@ object MediaKernels {
     tag("RIFF"); w32(4 + hdrl.length + movi.length); tag("AVI ")
     bos.write(hdrl); bos.write(movi)
     bos.toByteArray
+  }
+
+  /** avc1 MP4 writer for fixtures/tests: ftyp + mdat (one sample per
+    * input Annex-B stream — its IDR NALs length-prefixed) + moov with a
+    * full stbl whose stsd entry is avc1 + avcC (SPS/PPS lifted from the
+    * first stream). The container shape real crawl MP4 video carries. */
+  def encodeAvc1Mp4(width: Int, height: Int,
+                    annexB: Seq[Array[Byte]]): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    // raw NAL units (header + escaped payload) from an Annex-B stream
+    def rawNals(s: Array[Byte]): Seq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      while (i + 3 < s.length) {
+        if (s(i) == 0 && s(i + 1) == 0 &&
+          (s(i + 2) == 1 || (s(i + 2) == 0 && i + 4 <= s.length && s(i + 3) == 1))) {
+          val start = i + (if (s(i + 2) == 1) 3 else 4)
+          var j = start
+          while (j + 2 < s.length && !(s(j) == 0 && s(j + 1) == 0 &&
+            (s(j + 2) == 0 || s(j + 2) == 1))) j += 1
+          val end = if (j + 2 < s.length) j else s.length
+          if (end > start) out += java.util.Arrays.copyOfRange(s, start, end)
+          i = end
+        } else i += 1
+      }
+      out.toSeq
+    }
+    val firstNals = rawNals(annexB.head)
+    val sps = firstNals.find(n => (n(0) & 0x1F) == 7).get
+    val pps = firstNals.find(n => (n(0) & 0x1F) == 8).get
+    val samples = annexB.map { s =>
+      rawNals(s).filter(n => (n(0) & 0x1F) == 5)
+        .flatMap(n => u32(n.length.toLong) ++ n).toArray
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512) ++
+      "isomavc1".getBytes("US-ASCII"))
+    val mdatPayload = samples.toArray.flatten
+    val mdatOff = ftyp.length.toLong + 8
+    val mdat = box("mdat", mdatPayload)
+    val perChunk = 2
+    val nChunks = (samples.length + perChunk - 1) / perChunk
+    val chunkOffs = new Array[Long](nChunks)
+    var off = mdatOff
+    var i = 0
+    while (i < samples.length) {
+      if (i % perChunk == 0) chunkOffs(i / perChunk) = off
+      off += samples(i).length
+      i += 1
+    }
+    val avcc = box("avcC", Array[Byte](1, sps(1), sps(2), sps(3), 0xFF.toByte,
+      0xE1.toByte) ++ u16(sps.length) ++ sps ++ Array[Byte](1) ++
+      u16(pps.length) ++ pps)
+    // VisualSampleEntry: 78 fixed bytes, dims at +24, then the avcC box
+    val entryBody = new Array[Byte](78)
+    entryBody(7) = 1 // data_reference_index
+    u16(width).copyToArray(entryBody, 24)
+    u16(height).copyToArray(entryBody, 26)
+    entryBody(28) = 0; entryBody(29) = 0x48 // 72 dpi 16.16
+    entryBody(32) = 0; entryBody(33) = 0x48
+    entryBody(40) = 0; entryBody(41) = 1 // frame_count
+    entryBody(74) = 0; entryBody(75) = 24 // depth
+    entryBody(76) = 0xFF.toByte; entryBody(77) = 0xFF.toByte
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ box("avc1", entryBody ++ avcc))
+    val stts = box("stts", u32(0) ++ u32(1) ++ u32(samples.length.toLong) ++ u32(1000))
+    val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(perChunk.toLong) ++ u32(1))
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(samples.length.toLong) ++
+      samples.toArray.flatMap(f => u32(f.length.toLong)))
+    val stco = box("stco", u32(0) ++ u32(nChunks.toLong) ++ chunkOffs.flatMap(u32))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val hdlr = box("hdlr", u32(0) ++ u32(0) ++ "vide".getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(samples.length * 1000L) ++ u32(0x55C40000L))
+    val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", stbl))
+    val tkhd = box("tkhd", new Array[Byte](76) ++
+      u32(width.toLong << 16) ++ u32(height.toLong << 16))
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(samples.length * 1000L) ++ new Array[Byte](80))
+    ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
   }
 
   /** JPEG-sample MP4 writer for fixtures/tests: ftyp + mdat(frames) +

@@ -134,6 +134,16 @@ object GenMedia {
     else graft.functions.Webm.encodeIvf(48, 48, frames)
   }
 
+  /** Real H.264 video: 4 native-encoded baseline IDR frames of
+    * pattern(base*16+k) content (tools/H264Fixtures, bases 1..4) in an
+    * avc1 MP4 — the SAME frame content the JPEG/VP8 video fixtures
+    * carry, so avc1 video near-dups them cross-codec. */
+  def h264VideoFixture(vid: Long): Array[Byte] = {
+    val base = (vid % 4).toInt + 1
+    MediaKernels.encodeAvc1Mp4(48, 48,
+      (0 until 4).map(k => H264Fixtures.stream(base, k)))
+  }
+
   /** q_video_meta_webm payload: WebM for even ids / IVF for odd, with
     * id-derived frame count n = 2 + id%3, so dims and duration are
     * closed-form: WebM writes Duration = n*33 ms (timecode scale 1 ms);

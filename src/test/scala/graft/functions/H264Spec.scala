@@ -46,6 +46,42 @@ class H264Spec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ b) > 10, "cross-pattern pair too close")
   }
 
+  test("avc1 MP4: container walk feeds the native decoder; snapshots match direct decode") {
+    for (base <- 1 to 4) {
+      val mp4 = graft.tools.GenMedia.h264VideoFixture(base - 1L)
+      val got = MediaKernels.videoFrames(mp4, 16)
+      assert(got.length == 4, s"base=$base: expected 4 frames, got ${got.length}")
+      for (k <- 0 until 4) {
+        val direct = H264.decodeAnnexB(H264Fixtures.stream(base, k))
+        val png = ImageKernels.encodePng(direct.w, direct.h, direct.y)
+        assert(java.util.Arrays.equals(got(k), png),
+          s"base=$base k=$k: container frame differs from direct decode")
+      }
+      // sampling applies; video_meta reports the avc1 codec WITH frames now
+      assert(MediaKernels.videoFrames(mp4, 2).length == 2)
+      val m = MediaKernels.videoMetaRow(mp4)
+      assert(m.getString(0) == "mp4" && m.getString(4) == "avc1")
+      assert(m.getInt(1) == 48 && m.getInt(2) == 48)
+    }
+  }
+
+  test("cross-codec video_dedup: avc1 MP4 groups with MJPEG AVI of the same content") {
+    import spark.implicits._
+    // ids i and i+4 carry the SAME pattern content, avc1-MP4 vs MJPEG-AVI
+    val media = (0L until 8L).map { i =>
+      val base = i % 4
+      if (i < 4) (i, graft.tools.GenMedia.h264VideoFixture(base))
+      else (i, MediaKernels.encodeMjpegAvi(48, 48, 40000L,
+        (0 until 4).map(k => graft.tools.GenMedia.videoFrameJpeg(base + 1, k))))
+    }.toDF("media_id", "content")
+    val groups = Images.videoDedupGroups(media, "media_id", "content",
+      maxHamming = 3, maxFrames = 4, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 4L)
+      assert(groups(i) == (i, 2L) && groups(i + 4) == (i, 2L),
+        s"pair $i: ${groups(i)} / ${groups(i + 4)} — avc1 and MJPEG did not group")
+  }
+
   test("hostile: truncations and corruption never throw; CABAC and junk are null") {
     for (i <- 0 until H264Fixtures.count) {
       val good = H264Fixtures.streamAt(i)

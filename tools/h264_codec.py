@@ -924,7 +924,7 @@ def _block_xy(mbx, mby, blk):
 
 
 def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
-                 deblock_idc=0, qp_deltas=None):
+                 deblock_idc=0, qp_deltas=None, pps_qp=26):
     """One IDR frame. mb_plan(mbx, mby) -> ('pcm',) | ('i16', mode,
     chroma_mode) | ('i4', [16 modes], chroma_mode). qp_deltas optional
     per-MB-index mb_qp_delta values (exercises QP tracking)."""
@@ -939,7 +939,10 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
     w.ue(0)          # idr_pic_id
     w.u(0, 1)        # no_output_of_prior_pics
     w.u(0, 1)        # long_term_reference
-    w.se(0)          # slice_qp_delta
+    # the slice carries its QP relative to the PPS base — ALL fixtures
+    # share one identical PPS, so an MP4 avcC lifted from any stream
+    # decodes every sample correctly
+    w.se(qp - pps_qp)  # slice_qp_delta
     w.ue(deblock_idc)  # disable_deblocking_filter_idc
     if deblock_idc != 1:
         w.se(0)      # slice_alpha_c0_offset_div2
@@ -1498,7 +1501,7 @@ def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None):
     v = halved(pattern(seed + 7, W, H))
     body, ctx, _ = encode_frame(y, u, v, W, H, qp, plan,
                                 deblock_idc=deblock_idc, qp_deltas=qp_deltas)
-    return write_sps(W, H) + write_pps(qp) + body, (ctx.y, ctx.u, ctx.v), (y, u, v)
+    return write_sps(W, H) + write_pps(26) + body, (ctx.y, ctx.u, ctx.v), (y, u, v)
 
 
 def _psnr(a, b):
