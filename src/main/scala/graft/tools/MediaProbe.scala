@@ -67,6 +67,9 @@ object MediaProbe {
 
     leg("frames_10k")(frames(10000L))
     leg("frames_100k")(frames(100000L))
+    // the 100x closure (r16 VERDICT #7): 1M videos / 4M frames — wall
+    // must stay ~linear in video count (narrow decode, no shuffle)
+    leg("frames_1m")(frames(1000000L))
 
     def dedup(n: Long): Long = graft.functions.Images.videoDedupGroups(
       media(n), "media_id", "content", maxHamming = 3, maxFrames = 4,
@@ -74,6 +77,9 @@ object MediaProbe {
 
     leg("dedup_10k")(dedup(10000L))
     leg("dedup_100k")(dedup(100000L))
+    // candidate pairs ∝ true near-dup density (constant by construction:
+    // always n/2 cross-container pairs), never videos² or frames²
+    leg("dedup_1m")(dedup(1000000L))
 
     // the 9th ingest face at scale: batch 1 = n unique videos indexed,
     // batch 2 = n/2 cross-container re-encodes (all dropped via the
