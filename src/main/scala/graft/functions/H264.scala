@@ -33,6 +33,24 @@ object H264 {
 
   private final class Reader(val data: Array[Byte]) {
     var pos = 0
+    /** Bit index of the final set bit — the rbsp_stop_bit; slice data
+      * ends when pos reaches it (more_rbsp_data()). */
+    val lastOneBit: Int = {
+      var i = data.length - 1
+      var r = 0
+      var found = false
+      while (i >= 0 && !found) {
+        if (data(i) != 0) {
+          var k = 0
+          while (k < 8 && !found) {
+            if ((data(i) & (1 << k)) != 0) { r = i * 8 + (7 - k); found = true }
+            k += 1
+          }
+        }
+        i -= 1
+      }
+      r
+    }
     def bit(): Int = {
       if ((pos >> 3) >= data.length) abort()
       val b = (data(pos >> 3) >> (7 - (pos & 7))) & 1
@@ -284,16 +302,29 @@ object H264 {
     val tcU = Array.fill(H / 8, W / 8)(-1)
     val tcV = Array.fill(H / 8, W / 8)(-1)
     val i4mode = Array.fill(H / 4, W / 4)(-1)
-    def nc(grid: Array[Array[Int]], bx: Int, by: Int): Int = {
-      val nA = if (bx > 0) grid(by)(bx - 1) else -1
-      val nB = if (by > 0) grid(by - 1)(bx) else -1
+    // neighbors in a DIFFERENT slice are unavailable for intra
+    // prediction and nC context — the per-MB slice map decides
+    val mbSlice = Array.fill(H / 16, W / 16)(-1)
+    def availLeft(x: Int, y: Int, sid: Int, mbs: Int): Boolean =
+      x > 0 && (x % mbs != 0 || mbSlice(y / mbs)((x - 1) / mbs) == sid)
+    def availUp(x: Int, y: Int, sid: Int, mbs: Int): Boolean =
+      y > 0 && (y % mbs != 0 || mbSlice((y - 1) / mbs)(x / mbs) == sid)
+    def availAr(x: Int, y: Int, sid: Int): Boolean = {
+      if (!aboveRightAvail(x, y, W)) false
+      else if ((y - 1) / 16 == y / 16 && (x + 4) / 16 == x / 16) true
+      else mbSlice((y - 1) / 16)((x + 4) / 16) == sid
+    }
+    def nc(grid: Array[Array[Int]], bx: Int, by: Int,
+           aLeft: Boolean, aUp: Boolean): Int = {
+      val nA = if (aLeft) grid(by)(bx - 1) else -1
+      val nB = if (aUp) grid(by - 1)(bx) else -1
       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
       else if (nA >= 0) nA
       else if (nB >= 0) nB
       else 0
     }
-    def predI4Mode(bx: Int, by: Int): Int = {
-      if (bx == 0 || by == 0) return 2
+    def predI4Mode(bx: Int, by: Int, aLeft: Boolean, aUp: Boolean): Int = {
+      if (!aLeft || !aUp) return 2
       val mA = i4mode(by)(bx - 1)
       val mB = i4mode(by - 1)(bx)
       math.min(if (mA >= 0) mA else 2, if (mB >= 0) mB else 2)
@@ -405,12 +436,11 @@ object H264 {
     ZIDX(((y - 1) % 16) / 4)(((x + 4) % 16) / 4) < ZIDX((y % 16) / 4)((x % 16) / 4)
   }
 
-  /** Spec 8.3.1.2 modes 0-8; output row-major 4x4 into `o`. */
+  /** Spec 8.3.1.2 modes 0-8; output row-major 4x4 into `o`;
+    * availability (incl. slice boundaries) decided by the caller. */
   private def pred4x4(plane: Array[Int], stride: Int, W: Int,
-                      x: Int, y: Int, mode: Int, o: Array[Int]): Unit = {
-    val up = y > 0
-    val left = x > 0
-    val ar = aboveRightAvail(x, y, W)
+                      x: Int, y: Int, mode: Int, o: Array[Int],
+                      up: Boolean, left: Boolean, ar: Boolean): Unit = {
     val a = new Array[Int](8)
     if (up) {
       var i = 0
@@ -490,9 +520,8 @@ object H264 {
   /** 16x16 luma (0 V, 1 H, 2 DC, 3 Plane) or 8x8 chroma (0 DC, 1 H,
     * 2 V, 3 Plane) prediction into `o` (row-major n*n). */
   private def predNxN(plane: Array[Int], stride: Int, x: Int, y: Int,
-                      n: Int, mode: Int, chroma: Boolean, o: Array[Int]): Unit = {
-    val up = y > 0
-    val left = x > 0
+                      n: Int, mode: Int, chroma: Boolean, o: Array[Int],
+                      up: Boolean, left: Boolean): Unit = {
     val a = new Array[Int](n)
     val l = new Array[Int](n)
     if (up) { var i = 0; while (i < n) { a(i) = plane((y - 1) * stride + x + i); i += 1 } }
@@ -679,11 +708,17 @@ object H264 {
 
   // -------------------------------------------------------- the slice
 
+  /** One slice of the picture; returns (deblockIdc, nextUndecodedMb).
+    * Real encoders split an IDR across several slices — the MB loop
+    * stops at the slice's rbsp_stop_bit (more_rbsp_data()), and
+    * neighbors in a different slice are unavailable. */
   private def decodeSlice(r: Reader, sps: Sps, pps: Pps, ctx: Ctx,
-                          mbqp: Array[Array[Int]]): Int = {
+                          mbqp: Array[Array[Int]], expectMb: Int): (Int, Int) = {
     val mbsX = sps.w / 16
     val mbsY = sps.h / 16
     val firstMb = r.ue()
+    if (firstMb != expectMb) abort() // missing/overlapping slice
+    val sid = firstMb // unique per slice of this picture
     val sliceType = r.ue()
     if (sliceType != 2 && sliceType != 7) abort() // I slices only
     if (r.ue() != 0) abort() // pps_id
@@ -703,9 +738,12 @@ object H264 {
     val pred8 = new Array[Int](64)
     val d = new Array[Int](16)
     var mbi = firstMb
-    while (mbi < mbsX * mbsY) {
+    while (mbi < mbsX * mbsY && r.pos < r.lastOneBit) {
       val mbx = mbi % mbsX
       val mby = mbi / mbsX
+      ctx.mbSlice(mby)(mbx) = sid
+      val upOk = ctx.availUp(mbx * 16, mby * 16, sid, 16)
+      val leftOk = ctx.availLeft(mbx * 16, mby * 16, sid, 16)
       val mbType = r.ue()
       if (mbType == 25) { // I_PCM
         r.align()
@@ -772,14 +810,17 @@ object H264 {
           val y = mby * 16 + blkY(blk) * 4
           val gx = x / 4
           val gy = y / 4
-          val predm = ctx.predI4Mode(gx, gy)
+          val aL = ctx.availLeft(x, y, sid, 16)
+          val aU = ctx.availUp(x, y, sid, 16)
+          val predm = ctx.predI4Mode(gx, gy, aL, aU)
           val m = if (flags(blk) == 1) predm
           else if (rems(blk) < predm) rems(blk) else rems(blk) + 1
           ctx.i4mode(gy)(gx) = m
-          pred4x4(ctx.y, ctx.W, ctx.W, x, y, m, pred4)
+          pred4x4(ctx.y, ctx.W, ctx.W, x, y, m, pred4,
+            aU, aL, ctx.availAr(x, y, sid))
           val quad = (if ((x % 16) >= 8) 1 else 0) + (if ((y % 16) >= 8) 2 else 0)
           if ((cbpLuma & (1 << quad)) != 0)
-            ctx.tcY(gy)(gx) = decodeBlock(r, ctx.nc(ctx.tcY, gx, gy), 16, zz)
+            ctx.tcY(gy)(gx) = decodeBlock(r, ctx.nc(ctx.tcY, gx, gy, aL, aU), 16, zz)
           else { java.util.Arrays.fill(zz, 0); ctx.tcY(gy)(gx) = 0 }
           var k = 0
           java.util.Arrays.fill(d, 0)
@@ -791,7 +832,8 @@ object H264 {
           reconBlock(ctx.y, ctx.W, x, y, pred4, d)
           blk += 1
         }
-        decodeChroma(r, ctx, mbx, mby, cbpChroma, cmode, qpc, zz, pred8, d)
+        decodeChroma(r, ctx, mbx, mby, cbpChroma, cmode, qpc, zz, pred8, d,
+          sid, upOk, leftOk)
       } else if (mbType >= 1 && mbType <= 24) { // I_16x16
         val mode = (mbType - 1) % 4
         val cbpChroma = ((mbType - 1) / 4) % 3
@@ -801,8 +843,9 @@ object H264 {
         qpy = ((qpy + r.se()) + 52) % 52
         mbqp(mby)(mbx) = qpy
         val qpc = qpcOf(qpy, pps.chromaOff)
-        predNxN(ctx.y, ctx.W, mbx * 16, mby * 16, 16, mode, chroma = false, pred16)
-        decodeBlock(r, ctx.nc(ctx.tcY, mbx * 4, mby * 4), 16, zz)
+        predNxN(ctx.y, ctx.W, mbx * 16, mby * 16, 16, mode, chroma = false,
+          pred16, upOk, leftOk)
+        decodeBlock(r, ctx.nc(ctx.tcY, mbx * 4, mby * 4, leftOk, upOk), 16, zz)
         // un-zigzag the DC matrix, inverse Hadamard, dequant
         val dcm = new Array[Int](16)
         var k = 0
@@ -818,7 +861,8 @@ object H264 {
           java.util.Arrays.fill(d, 0)
           if (cbpLuma != 0) {
             java.util.Arrays.fill(ac, 0)
-            val tc = decodeBlock(r, ctx.nc(ctx.tcY, gx, gy), 15, ac)
+            val tc = decodeBlock(r, ctx.nc(ctx.tcY, gx, gy,
+              ctx.availLeft(x, y, sid, 16), ctx.availUp(x, y, sid, 16)), 15, ac)
             ctx.tcY(gy)(gx) = tc
             var kk = 0
             while (kk < 15) {
@@ -841,16 +885,18 @@ object H264 {
           reconBlock(ctx.y, ctx.W, x, y, pred4, d)
           blk += 1
         }
-        decodeChroma(r, ctx, mbx, mby, cbpChroma, cmode, qpc, zz, pred8, d)
+        decodeChroma(r, ctx, mbx, mby, cbpChroma, cmode, qpc, zz, pred8, d,
+          sid, upOk, leftOk)
       } else abort()
       mbi += 1
     }
-    deblockIdc
+    (deblockIdc, mbi)
   }
 
   private def decodeChroma(r: Reader, ctx: Ctx, mbx: Int, mby: Int,
                            cbpChroma: Int, cmode: Int, qpc: Int,
-                           zz: Array[Int], pred8: Array[Int], d: Array[Int]): Unit = {
+                           zz: Array[Int], pred8: Array[Int], d: Array[Int],
+                           sid: Int, upOk: Boolean, leftOk: Boolean): Unit = {
     val cw = ctx.W / 2
     val dcs = Array.fill(2)(new Array[Int](4))
     if (cbpChroma != 0) {
@@ -866,7 +912,8 @@ object H264 {
     while (pi < 2) {
       val pl = if (pi == 0) ctx.u else ctx.v
       val grid = if (pi == 0) ctx.tcU else ctx.tcV
-      predNxN(pl, cw, mbx * 8, mby * 8, 8, cmode, chroma = true, pred8)
+      predNxN(pl, cw, mbx * 8, mby * 8, 8, cmode, chroma = true, pred8,
+        upOk, leftOk)
       val acs = Array.fill(4)(new Array[Int](15))
       var blk = 0
       while (blk < 4) {
@@ -874,7 +921,9 @@ object H264 {
         val gy = mby * 2 + blk / 2
         if (cbpChroma == 2) {
           java.util.Arrays.fill(ac, 0)
-          val tc = decodeBlock(r, ctx.nc(grid, gx, gy), 15, ac)
+          val tc = decodeBlock(r, ctx.nc(grid, gx, gy,
+            ctx.availLeft(gx * 4, gy * 4, sid, 8),
+            ctx.availUp(gx * 4, gy * 4, sid, 8)), 15, ac)
           Array.copy(ac, 0, acs(blk), 0, 15)
           grid(gy)(gx) = tc
         } else grid(gy)(gx) = 0
@@ -912,8 +961,9 @@ object H264 {
 
   // ------------------------------------------------------ entry points
 
-  /** Decode the first IDR picture of an Annex-B stream (SPS+PPS+IDR).
-    * Null on hostile/unsupported input. */
+  /** Decode the first IDR picture of an Annex-B stream (SPS+PPS+IDR,
+    * the picture possibly split across several slice NALs). Null on
+    * hostile/unsupported/incomplete input. */
   def decodeAnnexB(b: Array[Byte]): Frame = {
     if (b == null || b.length < 8) return null
     try {
@@ -922,31 +972,35 @@ object H264 {
       var ctx: Ctx = null
       var mbqp: Array[Array[Int]] = null
       var deblockIdc = 1
-      var got = false
+      var nextMb = 0
+      var total = Int.MaxValue
       splitNals(b).foreach { case (typ, rbsp) =>
         typ match {
           case 7 => sps = parseSps(rbsp)
           case 8 => pps = parsePps(rbsp)
-          case 5 if sps != null && pps != null && !got =>
+          case 5 if sps != null && pps != null && nextMb < total =>
             if (ctx == null) {
               ctx = new Ctx(sps.w, sps.h)
               mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
+              total = (sps.w / 16) * (sps.h / 16)
             }
-            deblockIdc = decodeSlice(new Reader(rbsp), sps, pps, ctx, mbqp)
-            got = true
+            val (dbi, nxt) =
+              decodeSlice(new Reader(rbsp), sps, pps, ctx, mbqp, nextMb)
+            deblockIdc = dbi
+            nextMb = nxt
           case _ => ()
         }
       }
-      if (!got) return null
+      if (ctx == null || nextMb < total) return null // no/incomplete picture
       if (deblockIdc != 1) deblock(ctx, mbqp, pps.chromaOff)
       crop(ctx, sps)
     } catch { case _: Abort | _: ArrayIndexOutOfBoundsException |
                    _: NegativeArraySizeException => null }
   }
 
-  /** Decode one IDR picture given raw (already de-escaped) SPS/PPS RBSPs
-    * and the escaped IDR NAL payloads — the avcC + length-prefixed-sample
-    * shape MP4 carries. */
+  /** Decode one IDR picture given raw SPS/PPS NAL units and the escaped
+    * IDR NAL payloads (possibly several slices) — the avcC +
+    * length-prefixed-sample shape MP4 carries. */
   def decodeAvcc(spsNal: Array[Byte], ppsNal: Array[Byte],
                  idrNals: Seq[Array[Byte]]): Frame = {
     if (spsNal == null || ppsNal == null || idrNals == null || idrNals.isEmpty)
@@ -957,10 +1011,14 @@ object H264 {
       val ctx = new Ctx(sps.w, sps.h)
       val mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
       var deblockIdc = 1
+      var nextMb = 0
       idrNals.foreach { nal =>
-        deblockIdc = decodeSlice(
-          new Reader(unescape(nal, 0, nal.length)), sps, pps, ctx, mbqp)
+        val (dbi, nxt) = decodeSlice(
+          new Reader(unescape(nal, 0, nal.length)), sps, pps, ctx, mbqp, nextMb)
+        deblockIdc = dbi
+        nextMb = nxt
       }
+      if (nextMb < (sps.w / 16) * (sps.h / 16)) return null // incomplete
       if (deblockIdc != 1) deblock(ctx, mbqp, pps.chromaOff)
       crop(ctx, sps)
     } catch { case _: Abort | _: ArrayIndexOutOfBoundsException |

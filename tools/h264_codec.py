@@ -542,12 +542,10 @@ def above_right_avail(x, y, W):
         ZIDX[((x % 16) // 4, (y % 16) // 4)]
 
 
-def pred4x4(plane, W, H, x, y, mode):
+def pred4x4(plane, W, H, x, y, mode, up, left, ar):
     """Spec 8.3.1.2 modes 0-8 at plane position (x,y) from RECONSTRUCTED
-    neighbors; unavailable above-right substitutes p[3,-1]."""
-    up = y > 0
-    left = x > 0
-    ar = above_right_avail(x, y, W)
+    neighbors; availability (incl. slice boundaries) decided by caller;
+    unavailable above-right substitutes p[3,-1]."""
     a = [0] * 8  # pa(i) = p[i, -1], i 0..7
     if up:
         for i in range(4):
@@ -644,11 +642,10 @@ def pred4x4(plane, W, H, x, y, mode):
     return o
 
 
-def pred_block_nxn(plane, x, y, n, mode, chroma):
+def pred_block_nxn(plane, x, y, n, mode, chroma, up, left):
     """16x16 luma (modes: 0 V, 1 H, 2 DC, 3 Plane) or 8x8 chroma
-    (modes: 0 DC, 1 H, 2 V, 3 Plane) prediction at (x,y)."""
-    up = y > 0
-    left = x > 0
+    (modes: 0 DC, 1 H, 2 V, 3 Plane) prediction at (x,y); availability
+    (incl. slice boundaries) decided by caller."""
     a = [plane[y - 1][x + i] for i in range(n)] if up else None
     l = [plane[y + j][x - 1] for j in range(n)] if left else None
     q = plane[y - 1][x - 1] if (up and left) else 0
@@ -884,8 +881,9 @@ def unzigzag(coeffs):
 
 
 class FrameCtx:
-    """Shared encoder/decoder state for one frame: recon planes and the
-    CAVLC nC context grids."""
+    """Shared encoder/decoder state for one frame: recon planes, the
+    CAVLC nC context grids, and the per-MB slice map (neighbors in a
+    DIFFERENT slice are unavailable for intra prediction and nC)."""
     def __init__(self, W, H):
         self.W, self.H = W, H
         self.y = [[0] * W for _ in range(H)]
@@ -897,10 +895,31 @@ class FrameCtx:
         self.tc_v = [[-1] * (W // 8) for _ in range(H // 8)]
         # intra4x4 pred mode per luma 4x4 block; -1 = not Intra_4x4
         self.i4mode = [[-1] * (W // 4) for _ in range(H // 4)]
+        self.mb_slice = [[-1] * (W // 16) for _ in range(H // 16)]
 
-    def nc(self, grid, bx, by):
-        nA = grid[by][bx - 1] if bx > 0 else -1
-        nB = grid[by - 1][bx] if by > 0 else -1
+    def avail_left(self, x, y, sid, mbs=16):
+        """Is the block left of plane (x,y) available (in picture AND
+        same slice)? mbs = MB size in this plane's units (16 luma, 8
+        chroma)."""
+        return x > 0 and (x % mbs != 0 or
+                          self.mb_slice[y // mbs][(x - 1) // mbs] == sid)
+
+    def avail_up(self, x, y, sid, mbs=16):
+        return y > 0 and (y % mbs != 0 or
+                          self.mb_slice[(y - 1) // mbs][x // mbs] == sid)
+
+    def avail_ar(self, x, y, sid):
+        """Above-right availability for a luma 4x4 block: decode order
+        AND slice membership."""
+        if not above_right_avail(x, y, self.W):
+            return False
+        if (y - 1) // 16 == y // 16 and (x + 4) // 16 == x // 16:
+            return True  # same MB
+        return self.mb_slice[(y - 1) // 16][(x + 4) // 16] == sid
+
+    def nc(self, grid, bx, by, aleft, aup):
+        nA = grid[by][bx - 1] if aleft else -1
+        nB = grid[by - 1][bx] if aup else -1
         if nA >= 0 and nB >= 0:
             return (nA + nB + 1) >> 1
         if nA >= 0:
@@ -909,11 +928,11 @@ class FrameCtx:
             return nB
         return 0
 
-    def pred_i4_mode(self, bx, by):
-        mA = self.i4mode[by][bx - 1] if bx > 0 else None
-        mB = self.i4mode[by - 1][bx] if by > 0 else None
-        if mA is None or mB is None:
+    def pred_i4_mode(self, bx, by, aleft, aup):
+        if not aleft or not aup:
             return 2
+        mA = self.i4mode[by][bx - 1]
+        mB = self.i4mode[by - 1][bx]
         return min(mA if mA >= 0 else 2, mB if mB >= 0 else 2)
 
 
@@ -924,39 +943,41 @@ def _block_xy(mbx, mby, blk):
 
 
 def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
-                 deblock_idc=0, qp_deltas=None, pps_qp=26):
+                 deblock_idc=0, qp_deltas=None, pps_qp=26, slices=1):
     """One IDR frame. mb_plan(mbx, mby) -> ('pcm',) | ('i16', mode,
     chroma_mode) | ('i4', [16 modes], chroma_mode). qp_deltas optional
     per-MB-index mb_qp_delta values (exercises QP tracking)."""
     mbs_x, mbs_y = W // 16, H // 16
+    n_mbs = mbs_x * mbs_y
     ctx = FrameCtx(W, H)
-    w = BitWriter()
-    # slice header (IDR)
-    w.ue(0)          # first_mb_in_slice
-    w.ue(7)          # slice_type: I (all slices of the picture)
-    w.ue(0)          # pps_id
-    w.u(0, 4)        # frame_num (log2_max_frame_num = 4)
-    w.ue(0)          # idr_pic_id
-    w.u(0, 1)        # no_output_of_prior_pics
-    w.u(0, 1)        # long_term_reference
-    # the slice carries its QP relative to the PPS base — ALL fixtures
-    # share one identical PPS, so an MP4 avcC lifted from any stream
-    # decodes every sample correctly
-    w.se(qp - pps_qp)  # slice_qp_delta
-    w.ue(deblock_idc)  # disable_deblocking_filter_idc
-    if deblock_idc != 1:
-        w.se(0)      # slice_alpha_c0_offset_div2
-        w.se(0)      # slice_beta_offset_div2
-    qpy = qp
     mbqp = [[0] * mbs_x for _ in range(mbs_y)]
-
-    def sub16(plane, x0, y0, n):
-        return [[plane[y0 + j][x0 + i] for i in range(n)] for j in range(n)]
-
-    for mby in range(mbs_y):
-        for mbx in range(mbs_x):
+    nals = []
+    # contiguous MB ranges, one slice NAL each; neighbors across a slice
+    # boundary are UNAVAILABLE for intra prediction and nC context
+    bounds = [round(s * n_mbs / slices) for s in range(slices + 1)]
+    for sid in range(slices):
+        w = BitWriter()
+        # slice header (IDR)
+        w.ue(bounds[sid])  # first_mb_in_slice
+        w.ue(7)          # slice_type: I (all slices of the picture)
+        w.ue(0)          # pps_id
+        w.u(0, 4)        # frame_num (log2_max_frame_num = 4)
+        w.ue(0)          # idr_pic_id
+        w.u(0, 1)        # no_output_of_prior_pics
+        w.u(0, 1)        # long_term_reference
+        # the slice carries its QP relative to the PPS base — ALL fixtures
+        # share one identical PPS, so an MP4 avcC lifted from any stream
+        # decodes every sample correctly
+        w.se(qp - pps_qp)  # slice_qp_delta
+        w.ue(deblock_idc)  # disable_deblocking_filter_idc
+        if deblock_idc != 1:
+            w.se(0)      # slice_alpha_c0_offset_div2
+            w.se(0)      # slice_beta_offset_div2
+        qpy = qp
+        for mbi in range(bounds[sid], bounds[sid + 1]):
+            mby, mbx = mbi // mbs_x, mbi % mbs_x
+            ctx.mb_slice[mby][mbx] = sid
             plan = mb_plan(mbx, mby)
-            mbi = mby * mbs_x + mbx
             delta = (qp_deltas or {}).get(mbi, 0)
             if plan[0] == 'pcm':
                 w.ue(25)
@@ -982,7 +1003,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                 mbqp[mby][mbx] = 0  # spec: QPy = 0 for I_PCM deblocking
                 continue
 
-            up_ok, left_ok = mby > 0, mbx > 0
+            up_ok = ctx.avail_up(mbx * 16, mby * 16, sid)
+            left_ok = ctx.avail_left(mbx * 16, mby * 16, sid)
 
             def clamp16(m):
                 if m == 0 and not up_ok:
@@ -1003,7 +1025,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                 return m
 
             def clamp4(m, x, y):
-                upb, leftb = y > 0, x > 0
+                upb = ctx.avail_up(x, y, sid)
+                leftb = ctx.avail_left(x, y, sid)
                 if m in (0, 3, 7) and not upb:
                     return 2 if not leftb else 1
                 if m in (1, 8) and not leftb:
@@ -1015,7 +1038,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
             if plan[0] == 'i16':
                 mode = clamp16(plan[1])
                 cmode = clamp_ch(plan[2])
-                pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False)
+                pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False,
+                                      up_ok, left_ok)
                 newqp = clip3(0, 51, qpy + delta)
                 # transform + quant all 16 blocks
                 dcq = [[0] * 4 for _ in range(4)]
@@ -1041,7 +1065,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                 cacq = {}
                 qpc = qpc_of(newqp)
                 for pn, (pl, src) in (('u', (ctx.u, src_u)), ('v', (ctx.v, src_v))):
-                    cpred[pn] = pred_block_nxn(pl, mbx * 8, mby * 8, 8, cmode, True)
+                    cpred[pn] = pred_block_nxn(pl, mbx * 8, mby * 8, 8, cmode, True,
+                                           up_ok, left_ok)
                     dc2 = [[0] * 2 for _ in range(2)]
                     acs = [None] * 4
                     for blk in range(4):
@@ -1072,20 +1097,23 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                 # ---- residuals: luma DC (nC context of blk 0)
                 bx0, by0 = mbx * 4, mby * 4
                 dczz = zigzag_of(dcz)
-                encode_block(w, dczz, ctx.nc(ctx.tc_y, bx0, by0), 16)
+                encode_block(w, dczz,
+                             ctx.nc(ctx.tc_y, bx0, by0, left_ok, up_ok), 16)
                 # luma AC in Z order
                 for blk in range(16):
                     x, y = _block_xy(mbx, mby, blk)
                     gx, gy = x // 4, y // 4
                     if cbp_luma:
                         tc = encode_block(w, acq[blk],
-                                          ctx.nc(ctx.tc_y, gx, gy), 15)
+                                          ctx.nc(ctx.tc_y, gx, gy,
+                                                 ctx.avail_left(x, y, sid),
+                                                 ctx.avail_up(x, y, sid)), 15)
                         ctx.tc_y[gy][gx] = tc
                     else:
                         ctx.tc_y[gy][gx] = 0
                 self_recon_i16(ctx, mbx, mby, pred, dcz, acq, cbp_luma, qpy)
                 encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq,
-                                    cpred, qpc)
+                                    cpred, qpc, sid)
                 for by in range(4):
                     for bx in range(4):
                         ctx.i4mode[mby * 4 + by][mbx * 4 + bx] = -1
@@ -1102,14 +1130,19 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
             for blk in range(16):
                 x, y = _block_xy(mbx, mby, blk)
                 m = clamp4(plan[1][blk], x, y)
-                predm = ctx.pred_i4_mode(x // 4, y // 4)
+                predm = ctx.pred_i4_mode(x // 4, y // 4,
+                                         ctx.avail_left(x, y, sid),
+                                         ctx.avail_up(x, y, sid))
                 if m == predm:
                     flags.append((1, 0))
                 else:
                     flags.append((0, m if m < predm else m - 1))
                 ctx.i4mode[y // 4][x // 4] = m
                 modes.append(m)
-                pred = pred4x4(ctx.y, W, H, x, y, m)
+                pred = pred4x4(ctx.y, W, H, x, y, m,
+                               ctx.avail_up(x, y, sid),
+                               ctx.avail_left(x, y, sid),
+                               ctx.avail_ar(x, y, sid))
                 r = [[src_y[y + j][x + i] - pred[j][i] for i in range(4)]
                      for j in range(4)]
                 wq = forward4x4(r)
@@ -1133,7 +1166,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
             cdcz = {}
             cacq = {}
             for pn, (pl, src) in (('u', (ctx.u, src_u)), ('v', (ctx.v, src_v))):
-                cpred[pn] = pred_block_nxn(pl, mbx * 8, mby * 8, 8, cmode, True)
+                cpred[pn] = pred_block_nxn(pl, mbx * 8, mby * 8, 8, cmode, True,
+                                           up_ok, left_ok)
                 dc2 = [[0] * 2 for _ in range(2)]
                 acs = [None] * 4
                 for blk in range(4):
@@ -1173,14 +1207,17 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                 quad = (1 if (x % 16) >= 8 else 0) + (2 if (y % 16) >= 8 else 0)
                 if cbp_luma & (1 << quad):
                     tc = encode_block(w, blocks[blk],
-                                      ctx.nc(ctx.tc_y, gx, gy), 16)
+                                      ctx.nc(ctx.tc_y, gx, gy,
+                                             ctx.avail_left(x, y, sid),
+                                             ctx.avail_up(x, y, sid)), 16)
                     ctx.tc_y[gy][gx] = tc
                 else:
                     ctx.tc_y[gy][gx] = 0
             encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq,
-                                cpred, qpc)
-    w.rbsp_trailing()
-    body = nal(5, w.bytes_raw())
+                                cpred, qpc, sid)
+        w.rbsp_trailing()
+        nals.append(nal(5, w.bytes_raw()))
+    body = b''.join(nals)
     if deblock_idc != 1:
         deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), W, H, mbqp)
     return body, ctx, mbqp
@@ -1226,7 +1263,8 @@ def unzigzag_dc(dcz):
     return dcz  # the DC matrix is kept unscanned by callers
 
 
-def encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq, cpred, qpc):
+def encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq, cpred,
+                        qpc, sid):
     for pn, grid, plane in (('u', ctx.tc_u, ctx.u), ('v', ctx.tc_v, ctx.v)):
         if cbp_chroma:
             dzz = [cdcz[pn][0][0], cdcz[pn][0][1], cdcz[pn][1][0], cdcz[pn][1][1]]
@@ -1236,7 +1274,10 @@ def encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq, cpred, qpc):
             bx, by = blk % 2, blk // 2
             gx, gy = mbx * 2 + bx, mby * 2 + by
             if cbp_chroma == 2:
-                tc = encode_block(w, cacq[pn][blk], ctx.nc(grid, gx, gy), 15)
+                tc = encode_block(w, cacq[pn][blk],
+                                  ctx.nc(grid, gx, gy,
+                                         ctx.avail_left(gx * 4, gy * 4, sid, 8),
+                                         ctx.avail_up(gx * 4, gy * 4, sid, 8)), 15)
                 grid[gy][gx] = tc
             else:
                 grid[gy][gx] = 0
@@ -1290,11 +1331,27 @@ def split_nals(data):
     return out
 
 
+def _last_one_bit(data):
+    """Bit index of the final set bit — the rbsp_stop_bit; slice data
+    ends when the reader reaches it (more_rbsp_data())."""
+    for i in range(len(data) - 1, -1, -1):
+        if data[i]:
+            b = data[i]
+            for k in range(8):
+                if b & (1 << k):
+                    return i * 8 + (7 - k)
+    return 0
+
+
 def decode_stream(data):
     """Mirror decode of streams this module encodes: returns (y, u, v)
-    plane row-lists after deblocking. Baseline IDR CAVLC only."""
+    plane row-lists after deblocking. Baseline IDR CAVLC only; one
+    picture, possibly split across several slice NALs."""
     sps = pps = None
-    frame = None
+    ctx = None
+    mbqp = None
+    deblock_idc = 1
+    next_mb = 0
     for typ, rbsp in split_nals(data):
         r = BitReader(rbsp)
         if typ == 7:
@@ -1325,14 +1382,24 @@ def decode_stream(data):
             r.u(1); r.u(1)
             pps = (qp, chroma_off, dbc)
         elif typ == 5:
-            frame = _decode_slice(r, sps, pps)
-    return frame
+            if ctx is None:
+                ctx = FrameCtx(sps[0], sps[1])
+                mbqp = [[0] * (sps[0] // 16) for _ in range(sps[1] // 16)]
+            deblock_idc, next_mb = _decode_slice(r, sps, pps, ctx, mbqp,
+                                                 next_mb)
+    if ctx is None:
+        return None
+    if deblock_idc != 1:
+        deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), ctx.W, ctx.H, mbqp)
+    return ctx.y, ctx.u, ctx.v
 
 
-def _decode_slice(r, sps, pps):
+def _decode_slice(r, sps, pps, ctx, mbqp, expect_mb):
     W, H = sps
     qp0, chroma_off, dbc = pps
-    assert r.ue() == 0  # first_mb
+    first_mb = r.ue()
+    assert first_mb == expect_mb, f"slice starts at {first_mb}, want {expect_mb}"
+    sid = first_mb  # any id unique per slice works for the availability map
     st = r.ue()
     assert st in (2, 7)
     assert r.ue() == 0
@@ -1346,94 +1413,106 @@ def _decode_slice(r, sps, pps):
         if deblock_idc != 1:
             r.se(); r.se()
     mbs_x, mbs_y = W // 16, H // 16
-    ctx = FrameCtx(W, H)
-    mbqp = [[0] * mbs_x for _ in range(mbs_y)]
-    for mby in range(mbs_y):
-        for mbx in range(mbs_x):
-            mb_type = r.ue()
-            if mb_type == 25:  # I_PCM
-                r.align()
-                for j in range(16):
-                    for i in range(16):
-                        ctx.y[mby * 16 + j][mbx * 16 + i] = r.u(8)
-                for pl in (ctx.u, ctx.v):
-                    for j in range(8):
-                        for i in range(8):
-                            pl[mby * 8 + j][mbx * 8 + i] = r.u(8)
-                for by in range(4):
-                    for bx in range(4):
-                        ctx.tc_y[mby * 4 + by][mbx * 4 + bx] = 16
-                        ctx.i4mode[mby * 4 + by][mbx * 4 + bx] = -1
-                for by in range(2):
-                    for bx in range(2):
-                        ctx.tc_u[mby * 2 + by][mbx * 2 + bx] = 16
-                        ctx.tc_v[mby * 2 + by][mbx * 2 + bx] = 16
-                mbqp[mby][mbx] = 0
-                continue
-            if mb_type == 0:  # I_4x4
-                flags = []
-                for blk in range(16):
-                    f = r.u(1)
-                    flags.append((f, 0 if f else r.u(3)))
-                cmode = r.ue()
-                cbp = CBP_INTRA[r.ue()]
-                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-                if cbp:
-                    qpy = clip3(0, 51, qpy + r.se())
-                mbqp[mby][mbx] = qpy
-                qpc = qpc_of(qpy, chroma_off)
-                for blk in range(16):
-                    x, y = _block_xy(mbx, mby, blk)
-                    gx, gy = x // 4, y // 4
-                    predm = ctx.pred_i4_mode(gx, gy)
-                    f, rem = flags[blk]
-                    m = predm if f else (rem if rem < predm else rem + 1)
-                    ctx.i4mode[gy][gx] = m
-                    pred = pred4x4(ctx.y, W, H, x, y, m)
-                    quad = (1 if (x % 16) >= 8 else 0) + (2 if (y % 16) >= 8 else 0)
-                    if cbp_luma & (1 << quad):
-                        zq = decode_block(r, ctx.nc(ctx.tc_y, gx, gy), 16)
-                        ctx.tc_y[gy][gx] = sum(1 for c in zq if c)
-                    else:
-                        zq = [0] * 16
-                        ctx.tc_y[gy][gx] = 0
-                    dqz = [dequant_ac(zq[k], qpy, ZIGZAG[k] // 4, ZIGZAG[k] % 4)
-                           for k in range(16)]
-                    recon_block(ctx.y, x, y, pred, unzigzag(dqz))
-                _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc)
-                continue
-            # I_16x16: mb_type 1..24
-            assert 1 <= mb_type <= 24, f"mb_type {mb_type}"
-            mode = (mb_type - 1) % 4
-            cbp_chroma = ((mb_type - 1) // 4) % 3
-            cbp_luma = 15 * ((mb_type - 1) // 12)
+    last_one = _last_one_bit(r.data)
+    mbi = first_mb
+    while mbi < mbs_x * mbs_y and r.pos < last_one:
+        mby, mbx = mbi // mbs_x, mbi % mbs_x
+        mbi += 1
+        ctx.mb_slice[mby][mbx] = sid
+        up_ok = ctx.avail_up(mbx * 16, mby * 16, sid)
+        left_ok = ctx.avail_left(mbx * 16, mby * 16, sid)
+        mb_type = r.ue()
+        if mb_type == 25:  # I_PCM
+            r.align()
+            for j in range(16):
+                for i in range(16):
+                    ctx.y[mby * 16 + j][mbx * 16 + i] = r.u(8)
+            for pl in (ctx.u, ctx.v):
+                for j in range(8):
+                    for i in range(8):
+                        pl[mby * 8 + j][mbx * 8 + i] = r.u(8)
+            for by in range(4):
+                for bx in range(4):
+                    ctx.tc_y[mby * 4 + by][mbx * 4 + bx] = 16
+                    ctx.i4mode[mby * 4 + by][mbx * 4 + bx] = -1
+            for by in range(2):
+                for bx in range(2):
+                    ctx.tc_u[mby * 2 + by][mbx * 2 + bx] = 16
+                    ctx.tc_v[mby * 2 + by][mbx * 2 + bx] = 16
+            mbqp[mby][mbx] = 0
+            continue
+        if mb_type == 0:  # I_4x4
+            flags = []
+            for blk in range(16):
+                f = r.u(1)
+                flags.append((f, 0 if f else r.u(3)))
             cmode = r.ue()
-            qpy = clip3(0, 51, qpy + r.se())
+            cbp = CBP_INTRA[r.ue()]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qpy = clip3(0, 51, qpy + r.se())
             mbqp[mby][mbx] = qpy
             qpc = qpc_of(qpy, chroma_off)
-            pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False)
-            dczz = decode_block(r, ctx.nc(ctx.tc_y, mbx * 4, mby * 4), 16)
-            dcq = unzigzag(dczz)
-            acq = [None] * 16
             for blk in range(16):
                 x, y = _block_xy(mbx, mby, blk)
                 gx, gy = x // 4, y // 4
-                if cbp_luma:
-                    zq = decode_block(r, ctx.nc(ctx.tc_y, gx, gy), 15)
-                    acq[blk] = zq
+                al = ctx.avail_left(x, y, sid)
+                au = ctx.avail_up(x, y, sid)
+                predm = ctx.pred_i4_mode(gx, gy, al, au)
+                f, rem = flags[blk]
+                m = predm if f else (rem if rem < predm else rem + 1)
+                ctx.i4mode[gy][gx] = m
+                pred = pred4x4(ctx.y, W, H, x, y, m, au, al,
+                               ctx.avail_ar(x, y, sid))
+                quad = (1 if (x % 16) >= 8 else 0) + (2 if (y % 16) >= 8 else 0)
+                if cbp_luma & (1 << quad):
+                    zq = decode_block(r, ctx.nc(ctx.tc_y, gx, gy, al, au), 16)
                     ctx.tc_y[gy][gx] = sum(1 for c in zq if c)
                 else:
-                    acq[blk] = [0] * 15
+                    zq = [0] * 16
                     ctx.tc_y[gy][gx] = 0
-                ctx.i4mode[gy][gx] = -1
-            self_recon_i16(ctx, mbx, mby, pred, dcq, acq, cbp_luma, qpy)
-            _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc)
-    if deblock_idc != 1:
-        deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), W, H, mbqp)
-    return ctx.y, ctx.u, ctx.v
+                dqz = [dequant_ac(zq[k], qpy, ZIGZAG[k] // 4, ZIGZAG[k] % 4)
+                       for k in range(16)]
+                recon_block(ctx.y, x, y, pred, unzigzag(dqz))
+            _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc, sid,
+                           up_ok, left_ok)
+            continue
+        # I_16x16: mb_type 1..24
+        assert 1 <= mb_type <= 24, f"mb_type {mb_type}"
+        mode = (mb_type - 1) % 4
+        cbp_chroma = ((mb_type - 1) // 4) % 3
+        cbp_luma = 15 * ((mb_type - 1) // 12)
+        cmode = r.ue()
+        qpy = clip3(0, 51, qpy + r.se())
+        mbqp[mby][mbx] = qpy
+        qpc = qpc_of(qpy, chroma_off)
+        pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False,
+                              up_ok, left_ok)
+        dczz = decode_block(r, ctx.nc(ctx.tc_y, mbx * 4, mby * 4,
+                                      left_ok, up_ok), 16)
+        dcq = unzigzag(dczz)
+        acq = [None] * 16
+        for blk in range(16):
+            x, y = _block_xy(mbx, mby, blk)
+            gx, gy = x // 4, y // 4
+            if cbp_luma:
+                zq = decode_block(r, ctx.nc(ctx.tc_y, gx, gy,
+                                            ctx.avail_left(x, y, sid),
+                                            ctx.avail_up(x, y, sid)), 15)
+                acq[blk] = zq
+                ctx.tc_y[gy][gx] = sum(1 for c in zq if c)
+            else:
+                acq[blk] = [0] * 15
+                ctx.tc_y[gy][gx] = 0
+            ctx.i4mode[gy][gx] = -1
+        self_recon_i16(ctx, mbx, mby, pred, dcq, acq, cbp_luma, qpy)
+        _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc, sid,
+                       up_ok, left_ok)
+    return deblock_idc, mbi
 
 
-def _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc):
+def _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc, sid,
+                   up_ok, left_ok):
     dcs = {}
     for pn in 'uv':
         if cbp_chroma:
@@ -1442,13 +1521,16 @@ def _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc):
         else:
             dcs[pn] = [[0, 0], [0, 0]]
     for pn, grid, plane in (('u', ctx.tc_u, ctx.u), ('v', ctx.tc_v, ctx.v)):
-        pred = pred_block_nxn(plane, mbx * 8, mby * 8, 8, cmode, True)
+        pred = pred_block_nxn(plane, mbx * 8, mby * 8, 8, cmode, True,
+                              up_ok, left_ok)
         acs = [None] * 4
         for blk in range(4):
             bx, by = blk % 2, blk // 2
             gx, gy = mbx * 2 + bx, mby * 2 + by
             if cbp_chroma == 2:
-                zq = decode_block(r, ctx.nc(grid, gx, gy), 15)
+                zq = decode_block(r, ctx.nc(grid, gx, gy,
+                    ctx.avail_left(gx * 4, gy * 4, sid, 8),
+                    ctx.avail_up(gx * 4, gy * 4, sid, 8)), 15)
                 acs[blk] = zq
                 grid[gy][gx] = sum(1 for c in zq if c)
             else:
@@ -1493,14 +1575,16 @@ def halved(px):
              for i in range(w // 2)] for j in range(h // 2)]
 
 
-def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None):
+def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None,
+                 slices=1):
     """Pattern-content frame through the encoder; returns (annexb bytes,
     recon planes)."""
     y = pattern(seed, W, H)
     u = [[128] * (W // 2) for _ in range(H // 2)]
     v = halved(pattern(seed + 7, W, H))
     body, ctx, _ = encode_frame(y, u, v, W, H, qp, plan,
-                                deblock_idc=deblock_idc, qp_deltas=qp_deltas)
+                                deblock_idc=deblock_idc, qp_deltas=qp_deltas,
+                                slices=slices)
     return write_sps(W, H) + write_pps(26) + body, (ctx.y, ctx.u, ctx.v), (y, u, v)
 
 
@@ -1529,18 +1613,21 @@ def selftest():
     for name, plan in plans.items():
         for qp in (8, 20, 30):
             for dbi in (0, 1):
-                stream, recon, src = encode_ydata(3, W, H, qp, plan,
-                                                  deblock_idc=dbi,
-                                                  qp_deltas={4: 2, 7: -3})
-                got = decode_stream(stream)
-                for pi, pname in enumerate('yuv'):
-                    assert got[pi] == recon[pi], \
-                        f"{name} qp={qp} dbi={dbi}: {pname} recon mismatch"
-                p = _psnr(got[0], src[0])
-                floor = 99 if name == 'pcm' else (40 if qp <= 8 else 28 if qp <= 20 else 20)
-                assert p >= floor, f"{name} qp={qp}: PSNR {p:.1f} < {floor}"
-                print(f"  {name:5s} qp={qp:2d} deblock={1-dbi} PSNR={p:5.1f} "
-                      f"bytes={len(stream)} OK")
+                for slices in (1, 3):
+                    stream, recon, src = encode_ydata(3, W, H, qp, plan,
+                                                      deblock_idc=dbi,
+                                                      qp_deltas={4: 2, 7: -3},
+                                                      slices=slices)
+                    got = decode_stream(stream)
+                    for pi, pname in enumerate('yuv'):
+                        assert got[pi] == recon[pi], \
+                            f"{name} qp={qp} dbi={dbi} s={slices}: {pname} recon mismatch"
+                    p = _psnr(got[0], src[0])
+                    floor = 99 if name == 'pcm' else \
+                        (40 if qp <= 8 else 28 if qp <= 20 else 20)
+                    assert p >= floor, f"{name} qp={qp}: PSNR {p:.1f} < {floor}"
+                    print(f"  {name:5s} qp={qp:2d} deblock={1-dbi} slices={slices} "
+                          f"PSNR={p:5.1f} bytes={len(stream)} OK")
     print("h264_codec: encoder <-> mirror-decoder round-trip passes")
 
 
