@@ -12,5 +12,25 @@ object H264Probe {
       val ph = ImageKernels.phash(ImageKernels.encodePng(f.w, f.h, f.y))
       println(s"PHASH base=$base k=$k ${ph}L")
     }
+    if (args.contains("perf")) {
+      // single-thread decode throughput over the fixture mix (all MB
+      // families / QPs / deblock settings), JIT-warmed
+      val streams = (0 until 16).map(H264Fixtures.streamAt)
+      var px = 0L
+      var i = 0
+      while (i < 2000) { // warm-up
+        val f = H264.decodeAnnexB(streams(i % 16)); px += f.w * f.h; i += 1
+      }
+      val t0 = System.nanoTime()
+      px = 0L
+      i = 0
+      while (i < 20000) {
+        val f = H264.decodeAnnexB(streams(i % 16))
+        px += f.w.toLong * f.h
+        i += 1
+      }
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"H264 PERF ${px / 1e6 / s}%.1f Mpx/s single-thread (${20000 / s}%.0f frames/s)")
+    }
   }
 }
