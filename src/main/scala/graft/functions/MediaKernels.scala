@@ -107,6 +107,20 @@ object MediaKernels {
           0L, if (wm != null) wm(2) else 0L, t.codecId)
       }
     }
+    val avi = aviAudioTrack(b)
+    if (avi != null) {
+      // wFormatTag -> a readable codec identifier (raw hex otherwise)
+      val codec = avi(0) match {
+        case 0x0001 => "pcm"
+        case 0x0055 => "mp3"
+        case 0x00FF => "aac"
+        case 0x2000 => "ac3"
+        case tag => f"0x$tag%04x"
+      }
+      val am = aviMeta(b)
+      return row("avi", avi(1), avi(2).toLong, avi(3), 0L,
+        if (am != null) am(2) else 0L, codec)
+    }
     new GenericInternalRow(Array[Any](null, 0, 0L, 0, 0L, 0L, null))
   }
 
@@ -456,6 +470,85 @@ object MediaKernels {
     }
     try walk(0, b.length) catch { case _: Exception => () }
     out.toSeq
+  }
+
+  /** AVI `auds` stream walk: the first audio stream's WAVEFORMATEX from
+    * the strf chunk FOLLOWING its `auds` strh — (formatTag, channels,
+    * sampleRate, bits) or null. The third container-audio face next to
+    * Matroska Tracks and the MP4 soun trak. */
+  private[functions] def aviAudioTrack(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 24 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return null
+    var found: Array[Int] = null
+    var inAuds = false
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end && found == null) {
+        val tag = new String(b, p, 4, "US-ASCII")
+        val len = le32(b, p + 4).toInt
+        val d = p + 8
+        if (d + len > end || len < 0) return
+        if (tag == "LIST" && len >= 4) { inAuds = false; walk(d + 4, d + len) }
+        else if (tag == "strh" && len >= 8)
+          inAuds = b(d) == 'a' && b(d + 1) == 'u' && b(d + 2) == 'd' && b(d + 3) == 's'
+        else if (tag == "strf" && inAuds && len >= 16)
+          found = Array(le16(b, d), le16(b, d + 2), le32(b, d + 4).toInt,
+            le16(b, d + 14))
+        p = d + len + (len & 1)
+      }
+    }
+    try walk(12, b.length) catch { case _: Exception => () }
+    found
+  }
+
+  /** Minimal audio-AVI fixture: RIFF(AVI ) → LIST(hdrl) → avih +
+    * LIST(strl: strh auds + strf WAVEFORMATEX). */
+  def encodeAviAudio(formatTag: Int, channels: Int, sampleRate: Int,
+                     bits: Int, usPerFrame: Long, totalFrames: Long): Array[Byte] = {
+    def w32(a: Array[Byte], p: Int, v: Long): Unit = {
+      a(p) = v.toByte; a(p + 1) = (v >> 8).toByte
+      a(p + 2) = (v >> 16).toByte; a(p + 3) = (v >> 24).toByte
+    }
+    def w16(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = v.toByte; a(p + 1) = (v >> 8).toByte
+    }
+    val avih = new Array[Byte](8 + 56)
+    "avih".getBytes("US-ASCII").copyToArray(avih, 0)
+    w32(avih, 4, 56)
+    w32(avih, 8, usPerFrame)
+    w32(avih, 8 + 16, totalFrames)
+    val strh = new Array[Byte](8 + 56)
+    "strh".getBytes("US-ASCII").copyToArray(strh, 0)
+    w32(strh, 4, 56)
+    "auds".getBytes("US-ASCII").copyToArray(strh, 8)
+    val strf = new Array[Byte](8 + 16)
+    "strf".getBytes("US-ASCII").copyToArray(strf, 0)
+    w32(strf, 4, 16)
+    w16(strf, 8, formatTag)
+    w16(strf, 10, channels)
+    w32(strf, 12, sampleRate)
+    w32(strf, 16, sampleRate.toLong * channels * (bits / 8)) // avg bytes/s
+    w16(strf, 20, channels * (bits / 8)) // block align
+    w16(strf, 22, bits)
+    val strl = new Array[Byte](12 + strh.length + strf.length)
+    "LIST".getBytes("US-ASCII").copyToArray(strl, 0)
+    w32(strl, 4, 4 + strh.length + strf.length)
+    "strl".getBytes("US-ASCII").copyToArray(strl, 8)
+    strh.copyToArray(strl, 12)
+    strf.copyToArray(strl, 12 + strh.length)
+    val hdrl = new Array[Byte](12 + avih.length + strl.length)
+    "LIST".getBytes("US-ASCII").copyToArray(hdrl, 0)
+    w32(hdrl, 4, 4 + avih.length + strl.length)
+    "hdrl".getBytes("US-ASCII").copyToArray(hdrl, 8)
+    avih.copyToArray(hdrl, 12)
+    strl.copyToArray(hdrl, 12 + avih.length)
+    val out = new Array[Byte](12 + hdrl.length)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    w32(out, 4, 4 + hdrl.length)
+    "AVI ".getBytes("US-ASCII").copyToArray(out, 8)
+    hdrl.copyToArray(out, 12)
+    out
   }
 
   /** AVI `strh` walk: the fccHandler fourcc of the first `vids` stream

@@ -142,6 +142,20 @@ class MediaSpec extends SparkSpec {
     assert(ar.getString(0) == "mp4" && ar.getString(6) == "mp4a")
     assert(ar.getInt(1) == 1 && ar.getLong(2) == 44100L &&
       ar.getInt(3) == 16 && ar.getLong(5) == 3000L)
+    // AVI-held audio: strh auds + strf WAVEFORMATEX (the third container)
+    val aviMp3 = MediaKernels.encodeAviAudio(0x55, 2, 44100, 0, 40000L, 250L)
+    val vr = MediaKernels.audioMetaRow(aviMp3)
+    assert(vr.getString(0) == "avi" && vr.getString(6) == "mp3")
+    assert(vr.getInt(1) == 2 && vr.getLong(2) == 44100L)
+    assert(vr.getLong(5) == 40000L * 250L / 1000L) // avih duration
+    val aviPcm = MediaKernels.encodeAviAudio(1, 1, 8000, 16, 0L, 0L)
+    val pr = MediaKernels.audioMetaRow(aviPcm)
+    assert(pr.getString(6) == "pcm" && pr.getInt(3) == 16)
+    // a VIDEO-only AVI (vids strh) has no phantom audio track
+    val vidAvi = MediaKernels.encodeAviHeader(320, 240, 40000L, 25L, codec = "MJPG")
+    assert(MediaKernels.audioMetaRow(vidAvi).isNullAt(0))
+    for (cut <- 0 to aviMp3.length by 5) // hostile: truncations total
+      MediaKernels.audioMetaRow(java.util.Arrays.copyOf(aviMp3, cut))
     // file-level faces carry their codec too
     assert(MediaKernels.audioMetaRow(GenMedia.wavFixture(3L)).getString(6) == "pcm")
     // a VIDEO-only MP4 has no soun trak: null-format row, not a phantom track
