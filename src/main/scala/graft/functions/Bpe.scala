@@ -131,14 +131,17 @@ object Bpe {
       coalesce(call_function(fname, col(textCol).cast("string")), lit(0L)))
   }
 
-  /** The token stream itself (array column, word order preserved). */
+  /** The token stream itself (array column, word order preserved);
+    * `byteLevel` keeps it consistent with same-flag token counts. */
   def withEncoded(df: DataFrame, textCol: String, merges: Seq[(String, String)],
-                  outCol: String = "bpe_toks"): DataFrame = {
+                  outCol: String = "bpe_toks",
+                  byteLevel: Boolean = false): DataFrame = {
     val (keys, ranks) = lookupArrays(merges)
     val spark = df.sparkSession
-    val fname = registryName("graft_bpe_encode_", keys)
+    val fname = registryName(
+      if (byteLevel) "graft_bpe_bencode_" else "graft_bpe_encode_", keys)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
-      case Seq(t) => graft.expressions.BpeEncode(t, keys, ranks)
+      case Seq(t) => graft.expressions.BpeEncode(t, keys, ranks, byteLevel)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
     }, "built-in")
@@ -152,12 +155,16 @@ object Bpe {
     java.nio.file.Files.write(path,
       merges.map { case (l, r) => s"$l\t$r" }.mkString("", "\n", "\n").getBytes("UTF-8"))
 
-  /** Accepts both our tab-separated dump and the common community
-    * merges.txt shape (space-separated pairs, `#`-prefixed header
-    * lines) — a user points the op at the model file they already have. */
+  /** Accepts both our tab-separated dump and the merges.txt SHAPE
+    * (space-separated pairs, `#`-prefixed header lines, CRLF or LF).
+    * Scope note: the file's SYMBOLS are taken literally — GPT-2-family
+    * vocabularies that remap bytes through bytes_to_unicode (Ġ-prefixed
+    * space carriers etc.) use a different alphabet and pre-tokenizer and
+    * will NOT reproduce that tokenizer's counts here; byte-level mode's
+    * alphabet is the raw latin-1 byte rendering (BpeKernels). */
   def loadMerges(path: java.nio.file.Path): Seq[(String, String)] =
     new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+      .split("\r?\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val i = { val t = line.indexOf('\t'); if (t > 0) t else line.indexOf(' ') }
         require(i > 0, s"bad merge line: `$line`")
         (line.substring(0, i), line.substring(i + 1))

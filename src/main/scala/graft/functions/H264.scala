@@ -602,7 +602,12 @@ object H264 {
 
   // ---------------------------------------------------------- deblock
 
-  private def deblock(ctx: Ctx, mbqp: Array[Array[Int]], chromaOff: Int): Unit = {
+  /** In-loop deblocking (spec 8.7). mbParams(mby)(mbx) packs the MB's
+    * SLICE parameters as idc | (offA+64) << 8 | (offB+64) << 16: idc 1
+    * skips the MB entirely, idc 2 skips MB-boundary edges whose
+    * neighbor is in a different slice, offsets shift indexA/indexB. */
+  private def deblock(ctx: Ctx, mbqp: Array[Array[Int]], chromaOff: Int,
+                      mbParams: Array[Array[Int]]): Unit = {
     val mbsX = ctx.W / 16
     val mbsY = ctx.H / 16
     def filtLine(pl: Array[Int], pos: Int, stride: Int, bs: Int,
@@ -647,58 +652,70 @@ object H264 {
     while (mby < mbsY) {
       var mbx = 0
       while (mbx < mbsX) {
-        var pi = 0
-        while (pi < 3) {
-          val chroma = pi != 0
-          val pl = if (pi == 0) ctx.y else if (pi == 1) ctx.u else ctx.v
-          val pw = if (chroma) ctx.W / 2 else ctx.W
-          val mbSz = if (chroma) 8 else 16
-          val qpHere = mbqp(mby)(mbx)
-          var e = 0
-          while (e < mbSz) { // vertical edges
-            if (!(e == 0 && mbx == 0)) {
-              val bs = if (e == 0) 4 else 3
-              val qpOther = if (e == 0) mbqp(mby)(mbx - 1) else qpHere
-              val qav =
-                if (chroma) (qpcOf(qpHere, chromaOff) + qpcOf(qpOther, chromaOff) + 1) >> 1
-                else (qpHere + qpOther + 1) >> 1
-              val indexA = clip3(0, 51, qav)
-              val alpha = DB_ALPHA(indexA)
-              val beta = DB_BETA(indexA)
-              if (alpha != 0 && beta != 0) {
-                val x0 = mbx * mbSz + e
-                var yy = 0
-                while (yy < mbSz) {
-                  filtLine(pl, (mby * mbSz + yy) * pw + x0, 1, bs, indexA, alpha, beta, chroma)
-                  yy += 1
+        val packed = mbParams(mby)(mbx)
+        val idc = packed & 0xFF
+        val offA = ((packed >> 8) & 0xFF) - 64
+        val offB = ((packed >> 16) & 0xFF) - 64
+        if (idc != 1) {
+          var pi = 0
+          while (pi < 3) {
+            val chroma = pi != 0
+            val pl = if (pi == 0) ctx.y else if (pi == 1) ctx.u else ctx.v
+            val pw = if (chroma) ctx.W / 2 else ctx.W
+            val mbSz = if (chroma) 8 else 16
+            val qpHere = mbqp(mby)(mbx)
+            var e = 0
+            while (e < mbSz) { // vertical edges
+              val crossSlice = e == 0 && mbx > 0 &&
+                ctx.mbSlice(mby)(mbx - 1) != ctx.mbSlice(mby)(mbx)
+              if (!(e == 0 && mbx == 0) && !(idc == 2 && crossSlice)) {
+                val bs = if (e == 0) 4 else 3
+                val qpOther = if (e == 0) mbqp(mby)(mbx - 1) else qpHere
+                val qav =
+                  if (chroma) (qpcOf(qpHere, chromaOff) + qpcOf(qpOther, chromaOff) + 1) >> 1
+                  else (qpHere + qpOther + 1) >> 1
+                val indexA = clip3(0, 51, qav + offA)
+                val indexB = clip3(0, 51, qav + offB)
+                val alpha = DB_ALPHA(indexA)
+                val beta = DB_BETA(indexB)
+                if (alpha != 0 && beta != 0) {
+                  val x0 = mbx * mbSz + e
+                  var yy = 0
+                  while (yy < mbSz) {
+                    filtLine(pl, (mby * mbSz + yy) * pw + x0, 1, bs, indexA, alpha, beta, chroma)
+                    yy += 1
+                  }
                 }
               }
+              e += 4
             }
-            e += 4
-          }
-          e = 0
-          while (e < mbSz) { // horizontal edges
-            if (!(e == 0 && mby == 0)) {
-              val bs = if (e == 0) 4 else 3
-              val qpOther = if (e == 0) mbqp(mby - 1)(mbx) else qpHere
-              val qav =
-                if (chroma) (qpcOf(qpHere, chromaOff) + qpcOf(qpOther, chromaOff) + 1) >> 1
-                else (qpHere + qpOther + 1) >> 1
-              val indexA = clip3(0, 51, qav)
-              val alpha = DB_ALPHA(indexA)
-              val beta = DB_BETA(indexA)
-              if (alpha != 0 && beta != 0) {
-                val y0 = mby * mbSz + e
-                var xx = 0
-                while (xx < mbSz) {
-                  filtLine(pl, y0 * pw + mbx * mbSz + xx, pw, bs, indexA, alpha, beta, chroma)
-                  xx += 1
+            e = 0
+            while (e < mbSz) { // horizontal edges
+              val crossSlice = e == 0 && mby > 0 &&
+                ctx.mbSlice(mby - 1)(mbx) != ctx.mbSlice(mby)(mbx)
+              if (!(e == 0 && mby == 0) && !(idc == 2 && crossSlice)) {
+                val bs = if (e == 0) 4 else 3
+                val qpOther = if (e == 0) mbqp(mby - 1)(mbx) else qpHere
+                val qav =
+                  if (chroma) (qpcOf(qpHere, chromaOff) + qpcOf(qpOther, chromaOff) + 1) >> 1
+                  else (qpHere + qpOther + 1) >> 1
+                val indexA = clip3(0, 51, qav + offA)
+                val indexB = clip3(0, 51, qav + offB)
+                val alpha = DB_ALPHA(indexA)
+                val beta = DB_BETA(indexB)
+                if (alpha != 0 && beta != 0) {
+                  val y0 = mby * mbSz + e
+                  var xx = 0
+                  while (xx < mbSz) {
+                    filtLine(pl, y0 * pw + mbx * mbSz + xx, pw, bs, indexA, alpha, beta, chroma)
+                    xx += 1
+                  }
                 }
               }
+              e += 4
             }
-            e += 4
+            pi += 1
           }
-          pi += 1
         }
         mbx += 1
       }
@@ -713,7 +730,8 @@ object H264 {
     * stops at the slice's rbsp_stop_bit (more_rbsp_data()), and
     * neighbors in a different slice are unavailable. */
   private def decodeSlice(r: Reader, sps: Sps, pps: Pps, ctx: Ctx,
-                          mbqp: Array[Array[Int]], expectMb: Int): (Int, Int) = {
+                          mbqp: Array[Array[Int]], mbParams: Array[Array[Int]],
+                          expectMb: Int): Int = {
     val mbsX = sps.w / 16
     val mbsY = sps.h / 16
     val firstMb = r.ue()
@@ -728,10 +746,18 @@ object H264 {
     var qpy = pps.qp + r.se()
     if (qpy < 0 || qpy > 51) abort()
     var deblockIdc = 0
+    var offA = 0
+    var offB = 0
     if (pps.deblockCtl) {
       deblockIdc = r.ue()
-      if (deblockIdc != 1) { r.se(); r.se() }
+      if (deblockIdc > 2) abort()
+      if (deblockIdc != 1) {
+        offA = r.se() * 2
+        offB = r.se() * 2
+        if (offA < -12 || offA > 12 || offB < -12 || offB > 12) abort()
+      }
     }
+    val packedParams = (deblockIdc & 0xFF) | ((offA + 64) << 8) | ((offB + 64) << 16)
     val zz = new Array[Int](16)
     val pred16 = new Array[Int](256)
     val pred4 = new Array[Int](16)
@@ -742,6 +768,7 @@ object H264 {
       val mbx = mbi % mbsX
       val mby = mbi / mbsX
       ctx.mbSlice(mby)(mbx) = sid
+      mbParams(mby)(mbx) = packedParams
       val upOk = ctx.availUp(mbx * 16, mby * 16, sid, 16)
       val leftOk = ctx.availLeft(mbx * 16, mby * 16, sid, 16)
       val mbType = r.ue()
@@ -890,7 +917,7 @@ object H264 {
       } else abort()
       mbi += 1
     }
-    (deblockIdc, mbi)
+    mbi
   }
 
   private def decodeChroma(r: Reader, ctx: Ctx, mbx: Int, mby: Int,
@@ -971,7 +998,7 @@ object H264 {
       var pps: Pps = null
       var ctx: Ctx = null
       var mbqp: Array[Array[Int]] = null
-      var deblockIdc = 1
+      var mbParams: Array[Array[Int]] = null
       var nextMb = 0
       var total = Int.MaxValue
       splitNals(b).foreach { case (typ, rbsp) =>
@@ -980,19 +1007,23 @@ object H264 {
           case 8 => pps = parsePps(rbsp)
           case 5 if sps != null && pps != null && nextMb < total =>
             if (ctx == null) {
+              total = (sps.w / 16) * (sps.h / 16)
+              // allocation guard: a legal I-picture needs well over one
+              // bit per MB — refuse hostile SPS dims whose frame context
+              // would dwarf the actual stream (the 4 KB 8192x8192 bomb)
+              if (b.length.toLong * 64L < total) abort()
               ctx = new Ctx(sps.w, sps.h)
               mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
-              total = (sps.w / 16) * (sps.h / 16)
+              // default params = idc 1 (off) until a slice stamps its MBs
+              mbParams = Array.fill(sps.h / 16, sps.w / 16)(1)
             }
-            val (dbi, nxt) =
-              decodeSlice(new Reader(rbsp), sps, pps, ctx, mbqp, nextMb)
-            deblockIdc = dbi
-            nextMb = nxt
+            nextMb = decodeSlice(new Reader(rbsp), sps, pps, ctx, mbqp,
+              mbParams, nextMb)
           case _ => ()
         }
       }
       if (ctx == null || nextMb < total) return null // no/incomplete picture
-      if (deblockIdc != 1) deblock(ctx, mbqp, pps.chromaOff)
+      deblock(ctx, mbqp, pps.chromaOff, mbParams)
       crop(ctx, sps)
     } catch { case _: Abort | _: ArrayIndexOutOfBoundsException |
                    _: NegativeArraySizeException => null }
@@ -1008,18 +1039,20 @@ object H264 {
     try {
       val sps = parseSps(unescape(spsNal, 0, spsNal.length))
       val pps = parsePps(unescape(ppsNal, 0, ppsNal.length))
+      // allocation guard, same rationale as decodeAnnexB
+      if (idrNals.iterator.map(_.length.toLong).sum * 64L <
+        (sps.w / 16).toLong * (sps.h / 16)) abort()
       val ctx = new Ctx(sps.w, sps.h)
       val mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
-      var deblockIdc = 1
+      val mbParams = Array.fill(sps.h / 16, sps.w / 16)(1)
       var nextMb = 0
       idrNals.foreach { nal =>
-        val (dbi, nxt) = decodeSlice(
-          new Reader(unescape(nal, 0, nal.length)), sps, pps, ctx, mbqp, nextMb)
-        deblockIdc = dbi
-        nextMb = nxt
+        nextMb = decodeSlice(
+          new Reader(unescape(nal, 0, nal.length)), sps, pps, ctx, mbqp,
+          mbParams, nextMb)
       }
       if (nextMb < (sps.w / 16) * (sps.h / 16)) return null // incomplete
-      if (deblockIdc != 1) deblock(ctx, mbqp, pps.chromaOff)
+      deblock(ctx, mbqp, pps.chromaOff, mbParams)
       crop(ctx, sps)
     } catch { case _: Abort | _: ArrayIndexOutOfBoundsException |
                    _: NegativeArraySizeException => null }

@@ -789,7 +789,7 @@ object MediaKernels {
         val avi = aviFrames(b)
         if (avi != null) avi
         else {
-          val mp4 = mp4Frames(b)
+          val mp4 = mp4Frames(b, math.min(max, 256))
           if (mp4 != null) mp4
           else {
             // real VP8 video: WebM (Matroska) and IVF keyframes through
@@ -860,7 +860,7 @@ object MediaKernels {
     * stsc (sample-to-chunk runs), stco/co64 (chunk offsets) and stsz
     * (sample sizes). avc1 keyframe detection is NAL-type 5 (IDR) —
     * non-IDR samples are skipped by design (keyframes-only tier). */
-  private def mp4Frames(b: Array[Byte]): Array[Array[Byte]] = {
+  private def mp4Frames(b: Array[Byte], max: Int): Array[Array[Byte]] = {
     if (b.length < 16 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
     var sizes: Array[Int] = null
     var chunkOffsets: Array[Long] = null
@@ -971,7 +971,29 @@ object MediaKernels {
     }
     walk(0, b.length, inTrak = false)
     if (!done) return Array.empty
-    // expand stsc runs into a per-chunk sample count, then slice samples
+    // resolve every sample's (offset, size) through the stsc runs FIRST
+    // (cheap pointer arithmetic), then evenly select at most `max`
+    // samples BEFORE the expensive per-sample decode — an avc1 video
+    // with hundreds of keyframes costs `max` H.264 decodes, not all of
+    // them (the decode-then-discard shape this replaces)
+    val locs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var sample = 0
+    var ci = 0
+    while (ci < chunkOffsets.length && sample < sizes.length) {
+      var run = 0
+      while (run + 1 < stsc.length && stsc(run + 1)._1 <= ci + 1) run += 1
+      val perChunk = stsc(run)._2
+      var off = chunkOffsets(ci)
+      var k = 0
+      while (k < perChunk && sample < sizes.length) {
+        val sz = sizes(sample)
+        if (sz >= 3 && off >= 0 && off + sz <= b.length) locs += ((off, sz))
+        off += sz
+        sample += 1
+        k += 1
+      }
+      ci += 1
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def avcSample(off: Int, sz: Int): Unit = {
       // length-prefixed NALs; decode IDR (type 5) keyframes natively
@@ -993,26 +1015,15 @@ object MediaKernels {
         if (f != null) out += ImageKernels.encodePng(f.w, f.h, f.y)
       }
     }
-    var sample = 0
-    var ci = 0
-    while (ci < chunkOffsets.length && sample < sizes.length && out.length < 512) {
-      var run = 0
-      while (run + 1 < stsc.length && stsc(run + 1)._1 <= ci + 1) run += 1
-      val perChunk = stsc(run)._2
-      var off = chunkOffsets(ci)
-      var k = 0
-      while (k < perChunk && sample < sizes.length) {
-        val sz = sizes(sample)
-        if (sz >= 3 && off >= 0 && off + sz <= b.length) {
-          if (isJpeg && (b(off.toInt) & 0xFF) == 0xFF && (b(off.toInt + 1) & 0xFF) == 0xD8)
-            out += java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
-          else if (isAvc) avcSample(off.toInt, sz)
-        }
-        off += sz
-        sample += 1
-        k += 1
-      }
-      ci += 1
+    val n = locs.length
+    val sel =
+      if (n <= max) 0 until n
+      else (0 until max).map(i => (i.toLong * n / max).toInt)
+    sel.foreach { si =>
+      val (off, sz) = locs(si)
+      if (isJpeg && (b(off.toInt) & 0xFF) == 0xFF && (b(off.toInt + 1) & 0xFF) == 0xD8)
+        out += java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+      else if (isAvc) avcSample(off.toInt, sz)
     }
     out.toArray
   }

@@ -103,6 +103,26 @@ class BpeSpec extends SparkSpec {
     java.nio.file.Files.write(f,
       "#version: 0.2\nl o\nlo w\ne r\n".getBytes("UTF-8"))
     assert(Bpe.loadMerges(f) == Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+    // CRLF (Windows-saved) files must not leave \r on the right symbol —
+    // a trailing \r makes every merge silently dead
+    val crlf = java.nio.file.Files.createTempFile("graft-bpe", ".txt")
+    java.nio.file.Files.write(crlf,
+      "#version: 0.2\r\nl o\r\nlo w\r\n".getBytes("UTF-8"))
+    assert(Bpe.loadMerges(crlf) == Seq(("l", "o"), ("lo", "w")))
+  }
+
+  test("withEncoded byteLevel agrees with same-flag token counts on multibyte text") {
+    import spark.implicits._
+    val df = Seq((1L, "café olé")).toDF("id", "text")
+    val merges = Seq((String.valueOf(0xC3.toChar), String.valueOf(0xA9.toChar)))
+    val toks = Bpe.withEncoded(df, "text", merges, byteLevel = true)
+      .select("bpe_toks").as[Seq[String]].head()
+    val count = Bpe.withTokenCount(df, "text", merges, byteLevel = true)
+      .select("bpe_tokens").as[Long].head()
+    assert(toks.length.toLong == count,
+      s"encode length ${toks.length} != count $count")
+    // the é byte-pair merged into one token in both faces
+    assert(count == 4 + 3) // c,a,f,<é> + o,l,<é>
   }
 
   test("bpe_token_count YAML op: inline training and merges_file paths agree") {

@@ -82,6 +82,47 @@ class H264Spec extends SparkSpec {
         s"pair $i: ${groups(i)} / ${groups(i + 4)} — avc1 and MJPEG did not group")
   }
 
+  test("hostile SPS dimensions cannot force frame-context allocation (4KB bomb)") {
+    // hand-write an SPS declaring 512x512 MBs (8192x8192 px, ~440 MB of
+    // frame context) followed by a tiny "IDR": the allocation guard must
+    // reject BEFORE building planes — and fast
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def u(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      val x = v + 1
+      val n = 32 - Integer.numberOfLeadingZeros(x)
+      u(0, n - 1); u(x, n)
+    }
+    u(66, 8); u(0xC0, 8); u(10, 8) // profile/constraints/level
+    ue(0); ue(0); ue(2); ue(1)     // sps_id, log2mfn, poc=2, refs
+    u(0, 1)
+    ue(511); ue(511)               // 512 x 512 MBs
+    u(1, 1); u(0, 1); u(0, 1); u(0, 1)
+    u(1, 1) // rbsp stop
+    while (bits.length % 8 != 0) bits += 0
+    val sps = bits.grouped(8).map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    // a KNOWN-GOOD PPS lifted from a real fixture stream (raw NAL incl.
+    // header) — so the rejection is the allocation guard, not PPS junk
+    val fix = H264Fixtures.stream(1, 0)
+    val ppsAt = (0 until fix.length - 5).find(i =>
+      fix(i) == 0 && fix(i + 1) == 0 && fix(i + 2) == 0 && fix(i + 3) == 1 &&
+        (fix(i + 4) & 0x1F) == 8).get
+    val ppsEnd = (ppsAt + 4 until fix.length - 3).find(i =>
+      fix(i) == 0 && fix(i + 1) == 0 && fix(i + 2) == 0 && fix(i + 3) == 1).get
+    val ppsNal = java.util.Arrays.copyOfRange(fix, ppsAt + 4, ppsEnd)
+    def nal(t: Int, p: Array[Byte]) =
+      Array[Byte](0, 0, 0, 1, (0x60 | t).toByte) ++ p
+    val bomb = nal(7, sps) ++ Array[Byte](0, 0, 0, 1) ++ ppsNal ++
+      nal(5, Array[Byte](0x08.toByte, 0x80.toByte, 0, 0, 0, 0, 0, 0))
+    assert(bomb.length < 128)
+    val t0 = System.nanoTime()
+    assert(H264.decodeAnnexB(bomb) == null)
+    assert((System.nanoTime() - t0) / 1e6 < 200, "bomb rejection too slow")
+    // same guard on the avcC path
+    assert(H264.decodeAvcc(nal(7, sps).drop(4), ppsNal,
+      Seq(Array[Byte](0x25, 0x08.toByte, 0x80.toByte, 0, 0))) == null)
+  }
+
   test("hostile: truncations and corruption never throw; CABAC and junk are null") {
     for (i <- 0 until H264Fixtures.count) {
       val good = H264Fixtures.streamAt(i)

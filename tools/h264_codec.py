@@ -734,11 +734,19 @@ def pred_block_nxn(plane, x, y, n, mode, chroma, up, left):
 
 # ------------------------------------------------------------ deblock
 
-def deblock(yp, up, vp, W, H, mbqp, deblock_off_a=0, deblock_off_b=0):
+def deblock(yp, up, vp, W, H, mbqp, mb_params=None, mb_slice=None):
     """In-loop deblocking, spec 8.7, I-slice shape: bS = 4 on MB-boundary
     edges, 3 on internal edges; in-place, MB raster order, vertical edges
-    then horizontal. mbqp[mby][mbx] = the MB's QPy (0 for I_PCM)."""
+    then horizontal. mbqp[mby][mbx] = the MB's QPy (0 for I_PCM).
+    mb_params[mby][mbx] = the MB's SLICE deblock parameters
+    (disable_idc, filterOffsetA, filterOffsetB): idc 1 skips the MB's
+    edges entirely, idc 2 skips MB-boundary edges whose neighbor lies in
+    a DIFFERENT slice (mb_slice map), offsets shift indexA/indexB."""
     mbs_x, mbs_y = W // 16, H // 16
+    if mb_params is None:
+        mb_params = [[(0, 0, 0)] * mbs_x for _ in range(mbs_y)]
+    if mb_slice is None:
+        mb_slice = [[0] * mbs_x for _ in range(mbs_y)]
 
     def filt_line(pl, pos, stride, bs, index_a, alpha, beta, chroma):
         p = [pl[pos - stride * (k + 1)] for k in range(4)]
@@ -779,6 +787,9 @@ def deblock(yp, up, vp, W, H, mbqp, deblock_off_a=0, deblock_off_b=0):
                     (q[2] + ((q[0] + p[0] + 1) >> 1) - 2 * q[1]) >> 1)
 
     def edges_of(mbx, mby):
+        idc, off_a, off_b = mb_params[mby][mbx]
+        if idc == 1:
+            return  # this MB's slice disables the filter
         for mb_plane_qp, pl, pw, mb_sz, edge_step in (
                 ('y', yp, W, 16, 4), ('u', up, W // 2, 8, 4), ('v', vp, W // 2, 8, 4)):
             chroma = mb_plane_qp != 'y'
@@ -787,13 +798,15 @@ def deblock(yp, up, vp, W, H, mbqp, deblock_off_a=0, deblock_off_b=0):
             for e in range(0, mb_sz, edge_step):
                 if e == 0 and mbx == 0:
                     continue
+                if e == 0 and idc == 2 and                         mb_slice[mby][mbx - 1] != mb_slice[mby][mbx]:
+                    continue  # idc 2: no filtering across slice boundaries
                 bs = 4 if e == 0 else 3
                 qp_l = mbqp[mby][mbx - 1] if e == 0 else qp_here
                 qav = (qp_here + qp_l + 1) >> 1
                 if chroma:
                     qav = (qpc_of(qp_here) + qpc_of(qp_l) + 1) >> 1
-                index_a = clip3(0, 51, qav + deblock_off_a)
-                index_b = clip3(0, 51, qav + deblock_off_b)
+                index_a = clip3(0, 51, qav + off_a)
+                index_b = clip3(0, 51, qav + off_b)
                 alpha, beta = DB_ALPHA[index_a], DB_BETA[index_b]
                 if alpha == 0 or beta == 0:
                     continue
@@ -805,13 +818,15 @@ def deblock(yp, up, vp, W, H, mbqp, deblock_off_a=0, deblock_off_b=0):
             for e in range(0, mb_sz, edge_step):
                 if e == 0 and mby == 0:
                     continue
+                if e == 0 and idc == 2 and                         mb_slice[mby - 1][mbx] != mb_slice[mby][mbx]:
+                    continue
                 bs = 4 if e == 0 else 3
                 qp_t = mbqp[mby - 1][mbx] if e == 0 else qp_here
                 qav = (qp_here + qp_t + 1) >> 1
                 if chroma:
                     qav = (qpc_of(qp_here) + qpc_of(qp_t) + 1) >> 1
-                index_a = clip3(0, 51, qav + deblock_off_a)
-                index_b = clip3(0, 51, qav + deblock_off_b)
+                index_a = clip3(0, 51, qav + off_a)
+                index_b = clip3(0, 51, qav + off_b)
                 alpha, beta = DB_ALPHA[index_a], DB_BETA[index_b]
                 if alpha == 0 or beta == 0:
                     continue
@@ -943,7 +958,8 @@ def _block_xy(mbx, mby, blk):
 
 
 def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
-                 deblock_idc=0, qp_deltas=None, pps_qp=26, slices=1):
+                 deblock_idc=0, qp_deltas=None, pps_qp=26, slices=1,
+                 deblock_off2=(0, 0)):
     """One IDR frame. mb_plan(mbx, mby) -> ('pcm',) | ('i16', mode,
     chroma_mode) | ('i4', [16 modes], chroma_mode). qp_deltas optional
     per-MB-index mb_qp_delta values (exercises QP tracking)."""
@@ -951,6 +967,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
     n_mbs = mbs_x * mbs_y
     ctx = FrameCtx(W, H)
     mbqp = [[0] * mbs_x for _ in range(mbs_y)]
+    mb_params = [[(deblock_idc, deblock_off2[0] * 2, deblock_off2[1] * 2)] * mbs_x
+                 for _ in range(mbs_y)]
     nals = []
     # contiguous MB ranges, one slice NAL each; neighbors across a slice
     # boundary are UNAVAILABLE for intra prediction and nC context
@@ -971,8 +989,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
         w.se(qp - pps_qp)  # slice_qp_delta
         w.ue(deblock_idc)  # disable_deblocking_filter_idc
         if deblock_idc != 1:
-            w.se(0)      # slice_alpha_c0_offset_div2
-            w.se(0)      # slice_beta_offset_div2
+            w.se(deblock_off2[0])  # slice_alpha_c0_offset_div2
+            w.se(deblock_off2[1])  # slice_beta_offset_div2
         qpy = qp
         for mbi in range(bounds[sid], bounds[sid + 1]):
             mby, mbx = mbi // mbs_x, mbi % mbs_x
@@ -1218,8 +1236,8 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
         w.rbsp_trailing()
         nals.append(nal(5, w.bytes_raw()))
     body = b''.join(nals)
-    if deblock_idc != 1:
-        deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), W, H, mbqp)
+    deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), W, H, mbqp,
+            mb_params, ctx.mb_slice)
     return body, ctx, mbqp
 
 
@@ -1350,7 +1368,7 @@ def decode_stream(data):
     sps = pps = None
     ctx = None
     mbqp = None
-    deblock_idc = 1
+    mb_params = None
     next_mb = 0
     for typ, rbsp in split_nals(data):
         r = BitReader(rbsp)
@@ -1385,16 +1403,18 @@ def decode_stream(data):
             if ctx is None:
                 ctx = FrameCtx(sps[0], sps[1])
                 mbqp = [[0] * (sps[0] // 16) for _ in range(sps[1] // 16)]
-            deblock_idc, next_mb = _decode_slice(r, sps, pps, ctx, mbqp,
-                                                 next_mb)
+                mb_params = [[(0, 0, 0)] * (sps[0] // 16)
+                             for _ in range(sps[1] // 16)]
+            next_mb = _decode_slice(r, sps, pps, ctx, mbqp, mb_params,
+                                    next_mb)
     if ctx is None:
         return None
-    if deblock_idc != 1:
-        deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), ctx.W, ctx.H, mbqp)
+    deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), ctx.W, ctx.H, mbqp,
+            mb_params, ctx.mb_slice)
     return ctx.y, ctx.u, ctx.v
 
 
-def _decode_slice(r, sps, pps, ctx, mbqp, expect_mb):
+def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb):
     W, H = sps
     qp0, chroma_off, dbc = pps
     first_mb = r.ue()
@@ -1408,10 +1428,12 @@ def _decode_slice(r, sps, pps, ctx, mbqp, expect_mb):
     r.u(1); r.u(1)
     qpy = qp0 + r.se()
     deblock_idc = 0
+    off_a = off_b = 0
     if dbc:
         deblock_idc = r.ue()
         if deblock_idc != 1:
-            r.se(); r.se()
+            off_a = r.se() * 2
+            off_b = r.se() * 2
     mbs_x, mbs_y = W // 16, H // 16
     last_one = _last_one_bit(r.data)
     mbi = first_mb
@@ -1419,6 +1441,7 @@ def _decode_slice(r, sps, pps, ctx, mbqp, expect_mb):
         mby, mbx = mbi // mbs_x, mbi % mbs_x
         mbi += 1
         ctx.mb_slice[mby][mbx] = sid
+        mb_params[mby][mbx] = (deblock_idc, off_a, off_b)
         up_ok = ctx.avail_up(mbx * 16, mby * 16, sid)
         left_ok = ctx.avail_left(mbx * 16, mby * 16, sid)
         mb_type = r.ue()
@@ -1508,7 +1531,7 @@ def _decode_slice(r, sps, pps, ctx, mbqp, expect_mb):
         self_recon_i16(ctx, mbx, mby, pred, dcq, acq, cbp_luma, qpy)
         _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc, sid,
                        up_ok, left_ok)
-    return deblock_idc, mbi
+    return mbi
 
 
 def _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc, sid,
@@ -1576,7 +1599,7 @@ def halved(px):
 
 
 def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None,
-                 slices=1):
+                 slices=1, deblock_off2=(0, 0)):
     """Pattern-content frame through the encoder; returns (annexb bytes,
     recon planes)."""
     y = pattern(seed, W, H)
@@ -1584,7 +1607,7 @@ def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None,
     v = halved(pattern(seed + 7, W, H))
     body, ctx, _ = encode_frame(y, u, v, W, H, qp, plan,
                                 deblock_idc=deblock_idc, qp_deltas=qp_deltas,
-                                slices=slices)
+                                slices=slices, deblock_off2=deblock_off2)
     return write_sps(W, H) + write_pps(26) + body, (ctx.y, ctx.u, ctx.v), (y, u, v)
 
 
@@ -1614,10 +1637,15 @@ def selftest():
         for qp in (8, 20, 30):
             for dbi in (0, 1):
                 for slices in (1, 3):
+                    # idc 2 (filter within slices only) + nonzero offsets
+                    # join the matrix via the slice count
+                    idc = 2 if (dbi == 0 and slices == 3) else dbi
+                    offs = (-2, 1) if idc != 1 and qp == 20 else (0, 0)
                     stream, recon, src = encode_ydata(3, W, H, qp, plan,
-                                                      deblock_idc=dbi,
+                                                      deblock_idc=idc,
                                                       qp_deltas={4: 2, 7: -3},
-                                                      slices=slices)
+                                                      slices=slices,
+                                                      deblock_off2=offs)
                     got = decode_stream(stream)
                     for pi, pname in enumerate('yuv'):
                         assert got[pi] == recon[pi], \
