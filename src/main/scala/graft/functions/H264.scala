@@ -135,8 +135,11 @@ object H264 {
   // --------------------------------------------------- parameter sets
 
   private final case class Sps(w: Int, h: Int,
-                               cropR: Int, cropB: Int, log2MaxFrameNum: Int)
-  private final case class Pps(qp: Int, chromaOff: Int, deblockCtl: Boolean)
+                               cropL: Int, cropT: Int, cropR: Int, cropB: Int,
+                               log2MaxFrameNum: Int,
+                               pocType: Int, log2MaxPocLsb: Int)
+  private final case class Pps(qp: Int, chromaOff: Int, deblockCtl: Boolean,
+                               picOrder: Boolean, cabac: Boolean)
 
   private def parseSps(rbsp: Array[Byte]): Sps = {
     val r = new Reader(rbsp)
@@ -154,29 +157,36 @@ object H264 {
     }
     val log2MaxFrameNum = r.ue() + 4
     val poc = r.ue()
-    if (poc == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+    // POC type 0 puts pic_order_cnt_lsb in every slice header — the
+    // slice parse must consume it (log2MaxPocLsb threads through Sps)
+    var log2MaxPocLsb = 0
+    if (poc == 0) log2MaxPocLsb = r.ue() + 4
     else if (poc == 1) abort() // exotic; out of scope
+    if (log2MaxPocLsb > 16) abort()
     r.ue() // max_num_ref_frames
     r.u(1)
     val wmb = r.ue() + 1
     val hmb = r.ue() + 1
     if (wmb <= 0 || hmb <= 0 || wmb > 512 || hmb > 512) abort()
+    // hard absolute pixel cap (2^24 px = 65536 MBs, comfortably past 4K)
+    // BEFORE any frame-context allocation from these untrusted fields
+    if (wmb.toLong * hmb > 65536L) abort()
     if (r.u(1) != 1) abort() // frame_mbs_only required
     r.u(1) // direct_8x8_inference
-    var cropR = 0; var cropB = 0
-    if (r.u(1) == 1) { // frame_cropping
-      val l = r.ue(); val rr = r.ue(); val t = r.ue(); val bb = r.ue()
-      if (l != 0 || t != 0) abort() // left/top crop out of scope
-      cropR = rr * 2; cropB = bb * 2 // CropUnit 2 for 4:2:0 frames
+    var cropL = 0; var cropT = 0; var cropR = 0; var cropB = 0
+    if (r.u(1) == 1) { // frame_cropping; CropUnit 2 for 4:2:0 frames
+      cropL = r.ue() * 2; cropR = r.ue() * 2
+      cropT = r.ue() * 2; cropB = r.ue() * 2
     }
-    Sps(wmb * 16, hmb * 16, cropR, cropB, log2MaxFrameNum)
+    Sps(wmb * 16, hmb * 16, cropL, cropT, cropR, cropB, log2MaxFrameNum,
+      poc, log2MaxPocLsb)
   }
 
   private def parsePps(rbsp: Array[Byte]): Pps = {
     val r = new Reader(rbsp)
     if (r.ue() != 0 || r.ue() != 0) abort() // pps_id / sps_id
-    if (r.u(1) != 0) abort() // CABAC unsupported (not baseline)
-    r.u(1)
+    val cabac = r.u(1) == 1 // entropy_coding_mode_flag
+    val picOrder = r.u(1) == 1 // bottom_field_pic_order_in_frame_present
     if (r.ue() != 0) abort() // slice groups out of scope
     r.ue(); r.ue(); r.u(1); r.u(2)
     val qp = 26 + r.se()
@@ -184,9 +194,12 @@ object H264 {
     val chromaOff = r.se()
     val dbc = r.u(1) == 1
     r.u(1) // constrained_intra_pred (I-only decode: no behavior change)
-    r.u(1)
+    // redundant slices put redundant_pic_cnt in every slice header,
+    // which this decoder does not consume — fail closed like the other
+    // out-of-scope features (slice groups, POC type 1)
+    if (r.u(1) != 0) abort()
     if (qp < 0 || qp > 51) abort()
-    Pps(qp, chromaOff, dbc)
+    Pps(qp, chromaOff, dbc, picOrder, cabac)
   }
 
   // --------------------------------------------------- tables & maths
@@ -734,6 +747,7 @@ object H264 {
                           expectMb: Int): Int = {
     val mbsX = sps.w / 16
     val mbsY = sps.h / 16
+    if (pps.cabac) abort() // CABAC slices take the decodeSliceCabac path
     val firstMb = r.ue()
     if (firstMb != expectMb) abort() // missing/overlapping slice
     val sid = firstMb // unique per slice of this picture
@@ -742,6 +756,10 @@ object H264 {
     if (r.ue() != 0) abort() // pps_id
     r.u(sps.log2MaxFrameNum) // frame_num
     r.ue() // idr_pic_id
+    if (sps.pocType == 0) {
+      r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
+      if (pps.picOrder) r.se() // delta_pic_order_cnt_bottom
+    }
     r.u(1); r.u(1) // dec_ref_pic_marking (IDR)
     var qpy = pps.qp + r.se()
     if (qpy < 0 || qpy > 51) abort()
@@ -1008,10 +1026,11 @@ object H264 {
           case 5 if sps != null && pps != null && nextMb < total =>
             if (ctx == null) {
               total = (sps.w / 16) * (sps.h / 16)
-              // allocation guard: a legal I-picture needs well over one
-              // bit per MB — refuse hostile SPS dims whose frame context
-              // would dwarf the actual stream (the 4 KB 8192x8192 bomb)
-              if (b.length.toLong * 64L < total) abort()
+              // allocation guard: a legal I-picture needs well over two
+              // bits per MB — refuse hostile SPS dims whose frame context
+              // would dwarf the actual stream (the 4 KB 8192x8192 bomb);
+              // parseSps additionally hard-caps total pixels at 2^24
+              if (b.length.toLong * 4L < total) abort()
               ctx = new Ctx(sps.w, sps.h)
               mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
               // default params = idc 1 (off) until a slice stamps its MBs
@@ -1039,8 +1058,9 @@ object H264 {
     try {
       val sps = parseSps(unescape(spsNal, 0, spsNal.length))
       val pps = parsePps(unescape(ppsNal, 0, ppsNal.length))
-      // allocation guard, same rationale as decodeAnnexB
-      if (idrNals.iterator.map(_.length.toLong).sum * 64L <
+      // allocation guard, same rationale as decodeAnnexB (parseSps
+      // hard-caps total pixels at 2^24 before this point)
+      if (idrNals.iterator.map(_.length.toLong).sum * 4L <
         (sps.w / 16).toLong * (sps.h / 16)) abort()
       val ctx = new Ctx(sps.w, sps.h)
       val mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
@@ -1059,19 +1079,23 @@ object H264 {
   }
 
   private def crop(ctx: Ctx, sps: Sps): Frame = {
-    val w = ctx.W - sps.cropR
-    val h = ctx.H - sps.cropB
+    val w = ctx.W - sps.cropL - sps.cropR
+    val h = ctx.H - sps.cropT - sps.cropB
     if (w <= 0 || h <= 0) return null
     if (w == ctx.W && h == ctx.H) return Frame(w, h, ctx.y, ctx.u, ctx.v)
     val y = new Array[Int](w * h)
     val u = new Array[Int]((w / 2) * (h / 2))
     val v = new Array[Int]((w / 2) * (h / 2))
     var j = 0
-    while (j < h) { Array.copy(ctx.y, j * ctx.W, y, j * w, w); j += 1 }
+    while (j < h) {
+      Array.copy(ctx.y, (sps.cropT + j) * ctx.W + sps.cropL, y, j * w, w)
+      j += 1
+    }
     j = 0
     while (j < h / 2) {
-      Array.copy(ctx.u, j * (ctx.W / 2), u, j * (w / 2), w / 2)
-      Array.copy(ctx.v, j * (ctx.W / 2), v, j * (w / 2), w / 2)
+      val src = (sps.cropT / 2 + j) * (ctx.W / 2) + sps.cropL / 2
+      Array.copy(ctx.u, src, u, j * (w / 2), w / 2)
+      Array.copy(ctx.v, src, v, j * (w / 2), w / 2)
       j += 1
     }
     Frame(w, h, y, u, v)

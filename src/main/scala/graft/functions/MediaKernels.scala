@@ -987,7 +987,12 @@ object MediaKernels {
       var k = 0
       while (k < perChunk && sample < sizes.length) {
         val sz = sizes(sample)
-        if (sz >= 3 && off >= 0 && off + sz <= b.length) locs += ((off, sz))
+        // jpeg tracks: drop non-SOI samples HERE so they don't occupy
+        // even-spaced selection slots (a track with some invalid samples
+        // must still yield `max` decodable frames when enough exist)
+        if (sz >= 3 && off >= 0 && off + sz <= b.length &&
+          (!isJpeg || ((b(off.toInt) & 0xFF) == 0xFF && (b(off.toInt + 1) & 0xFF) == 0xD8)))
+          locs += ((off, sz))
         off += sz
         sample += 1
         k += 1

@@ -17,11 +17,14 @@ class H264Spec extends SparkSpec {
     h
   }
 
-  test("all 16 fixtures decode bit-exactly to the Python implementation's planes") {
-    for (i <- 0 until H264Fixtures.count) {
+  test("all fixtures decode bit-exactly to the Python implementation's planes") {
+    // 0-15: core matrix; 16-19: POC-0, POC-0 + pic_order_present,
+    // right/bottom crop to odd-MB 44x36, left/top crop to 46x44
+    for (i <- 0 until H264Fixtures.extCount) {
       val f = H264.decodeAnnexB(H264Fixtures.streamAt(i))
       assert(f != null, s"fixture $i failed to decode")
-      assert(f.w == 48 && f.h == 48, s"fixture $i dims ${f.w}x${f.h}")
+      assert(f.w == H264Fixtures.expW(i) && f.h == H264Fixtures.expH(i),
+        s"fixture $i dims ${f.w}x${f.h}")
       assert(fnv(f.y) == H264Fixtures.expY(i), s"fixture $i: Y plane differs")
       assert(fnv(f.u) == H264Fixtures.expU(i), s"fixture $i: U plane differs")
       assert(fnv(f.v) == H264Fixtures.expV(i), s"fixture $i: V plane differs")
@@ -124,7 +127,7 @@ class H264Spec extends SparkSpec {
   }
 
   test("hostile: truncations and corruption never throw; CABAC and junk are null") {
-    for (i <- 0 until H264Fixtures.count) {
+    for (i <- 0 until H264Fixtures.extCount) {
       val good = H264Fixtures.streamAt(i)
       for (cut <- Seq(0, 3, 7, 20, good.length / 3, good.length / 2, good.length - 1))
         H264.decodeAnnexB(java.util.Arrays.copyOf(good, cut)) // no throw

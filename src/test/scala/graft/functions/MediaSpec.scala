@@ -116,6 +116,19 @@ class MediaSpec extends SparkSpec {
     assert(MediaKernels.videoMetaRow(Webm.encodeIvf(48, 48, vp8)).getString(4) == "VP80")
   }
 
+  test("jpeg MP4: invalid samples don't occupy even-spaced selection slots") {
+    // 4 decodable JPEGs interleaved with 2 junk samples: asking for 4
+    // frames must return ALL 4 valid ones (non-SOI samples are dropped
+    // BEFORE the even-spaced selection, not after)
+    val good = (0 until 4).map(k => GenMedia.videoFrameJpeg(5L, k))
+    val junk = Array.fill(64)(0x41.toByte)
+    val mixed = Seq(good(0), junk, good(1), junk, good(2), good(3))
+    val mp4 = MediaKernels.encodeJpegMp4(48, 48, mixed)
+    val got = MediaKernels.videoFrames(mp4, 4)
+    assert(got.length == 4, s"expected all 4 valid frames, got ${got.length}")
+    assert(got.zip(good).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
   test("animated WebP surfaces through video_meta (canvas, summed durations, VP8L codec)") {
     val px = (0 until 3).map(k => GenImages.pattern(9L * 8 + k, 24, 16))
     val webp = Webp.encodeAnimatedGray(24, 16, px, delayMs = 50)

@@ -71,17 +71,66 @@ def gen_one(base, k):
     return stream, fnv(got[0]), fnv(got[1]), fnv(got[2])
 
 
+def crop_planes(planes, W, H, crop):
+    cl, cr, ct, cb = [c * 2 for c in crop]
+    y, u, v = planes
+    return ([row[cl:W - cr] for row in y[ct:H - cb]],
+            [row[cl // 2:(W - cr) // 2] for row in u[ct // 2:(H - cb) // 2]],
+            [row[cl // 2:(W - cr) // 2] for row in v[ct // 2:(H - cb) // 2]])
+
+
+def gen_extra(idx):
+    """Fixtures 16-19 exercise slice-header/SPS surface beyond the core
+    matrix: POC type 0 (pic_order_cnt_lsb in the slice header), POC 0 +
+    bottom_field_pic_order_in_frame_present (delta_pic_order_cnt_bottom),
+    right/bottom crop to odd-MB 44x36, and left/top crop to 46x44."""
+    seed = 80 + idx
+    y = pattern(seed, W, H)
+    u = [[128] * (W // 2) for _ in range(H // 2)]
+    v = [[128] * (W // 2) for _ in range(H // 2)]
+    plan = plan_for(1 + idx % 4, idx)
+    qp = 10 + 4 * (idx % 3)
+    poc = 0 if idx in (0, 1) else 2
+    pic_order = idx == 1
+    crop = None
+    if idx == 2:
+        crop = (0, 2, 0, 6)   # 48x48 -> 44x36 (right/bottom, odd MBs)
+    elif idx == 3:
+        crop = (1, 0, 2, 0)   # 48x48 -> 46x44 (left/top)
+    body, ctx, _ = encode_frame(y, u, v, W, H, qp, plan, deblock_idc=idx % 3,
+                                slices=1 + idx % 2, poc_type=poc,
+                                pic_order_present=pic_order)
+    stream = (write_sps(W, H, poc_type=poc, crop=crop) +
+              write_pps(26, pic_order_present=pic_order) + body)
+    got = decode_stream(stream)
+    exp = crop_planes((ctx.y, ctx.u, ctx.v), W, H, crop) if crop \
+        else (ctx.y, ctx.u, ctx.v)
+    for p in range(3):
+        assert got[p] == exp[p], f"extra fixture {idx}: plane {p} mismatch"
+    ww = W - (crop[0] + crop[1]) * 2 if crop else W
+    hh = H - (crop[2] + crop[3]) * 2 if crop else H
+    return stream, (fnv(got[0]), fnv(got[1]), fnv(got[2])), (ww, hh)
+
+
 def main():
     print("running codec selftest first ...")
     selftest()
     streams = []
     hashes = []
+    dims = []
     for base in range(1, 5):
         for k in range(4):
             s, hy, hu, hv = gen_one(base, k)
             streams.append(s)
             hashes.append((hy, hu, hv))
+            dims.append((W, H))
             print(f"  base={base} k={k}: {len(s)} bytes")
+    for idx in range(4):
+        s, h, wh = gen_extra(idx)
+        streams.append(s)
+        hashes.append(h)
+        dims.append(wh)
+        print(f"  extra {idx}: {len(s)} bytes dims={wh}")
     b64 = [base64.b64encode(s).decode() for s in streams]
 
     def chunked(s):
@@ -92,6 +141,9 @@ def main():
     hy = ", ".join(f"{h[0]}L" for h in hashes)
     hu = ", ".join(f"{h[1]}L" for h in hashes)
     hv = ", ".join(f"{h[2]}L" for h in hashes)
+    ws = ", ".join(str(d[0]) for d in dims)
+    hs = ", ".join(str(d[1]) for d in dims)
+    ext_count = len(streams)
     scala = f"""package graft.tools
 
 /** GENERATED by tools/gen_h264_fixtures.py — 16 baseline H.264 IDR
@@ -111,7 +163,12 @@ object H264Fixtures {{
   def stream(base: Int, k: Int): Array[Byte] =
     java.util.Base64.getDecoder.decode(b64((base - 1) * 4 + k))
 
+  /** The core 16-fixture matrix (the q_video_frames_h264 gate rotation). */
   val count: Int = 16
+
+  /** Core matrix + 4 extras: POC-0, POC-0 + pic_order_present,
+    * right/bottom crop to 44x36, left/top crop to 46x44. */
+  val extCount: Int = {ext_count}
 
   def streamAt(i: Int): Array[Byte] =
     java.util.Base64.getDecoder.decode(b64(i))
@@ -120,6 +177,8 @@ object H264Fixtures {{
   val expY: Array[Long] = Array({hy})
   val expU: Array[Long] = Array({hu})
   val expV: Array[Long] = Array({hv})
+  val expW: Array[Int] = Array({ws})
+  val expH: Array[Int] = Array({hs})
 }}
 """
     with open(OUT, "w") as f:

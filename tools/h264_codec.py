@@ -842,32 +842,41 @@ def deblock(yp, up, vp, W, H, mbqp, mb_params=None, mb_slice=None):
 
 # ----------------------------------------------------------- encoder
 
-def write_sps(W, H):
+def write_sps(W, H, poc_type=2, crop=None, profile=66):
+    """crop = (left, right, top, bottom) in CropUnits (2 px each for
+    4:2:0 frames); poc_type 0 puts pic_order_cnt_lsb in slice headers."""
     w = BitWriter()
-    w.u(66, 8)       # profile_idc: baseline
-    w.u(0xC0, 8)     # constraint_set0/1, reserved
+    w.u(profile, 8)  # profile_idc: 66 baseline / 77 main
+    w.u(0xC0 if profile == 66 else 0x40, 8)  # constraint flags
     w.u(10, 8)       # level_idc
     w.ue(0)          # sps_id
     w.ue(0)          # log2_max_frame_num_minus4
-    w.ue(2)          # pic_order_cnt_type = 2 (no slice POC syntax)
+    w.ue(poc_type)   # pic_order_cnt_type
+    if poc_type == 0:
+        w.ue(0)      # log2_max_pic_order_cnt_lsb_minus4 -> u(4) per slice
     w.ue(1)          # max_num_ref_frames
     w.u(0, 1)        # gaps_in_frame_num_value_allowed
     w.ue(W // 16 - 1)
     w.ue(H // 16 - 1)
     w.u(1, 1)        # frame_mbs_only
     w.u(0, 1)        # direct_8x8_inference
-    w.u(0, 1)        # frame_cropping
+    if crop:
+        w.u(1, 1)    # frame_cropping
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(0, 1)
     w.u(0, 1)        # vui
     w.rbsp_trailing()
     return nal(7, w.bytes_raw())
 
 
-def write_pps(qp, deblock_control=True):
+def write_pps(qp, deblock_control=True, pic_order_present=False, cabac=False):
     w = BitWriter()
     w.ue(0)          # pps_id
     w.ue(0)          # sps_id
-    w.u(0, 1)        # entropy_coding_mode = CAVLC
-    w.u(0, 1)        # bottom_field_pic_order_in_frame_present
+    w.u(1 if cabac else 0, 1)  # entropy_coding_mode
+    w.u(1 if pic_order_present else 0, 1)  # bottom_field_pic_order_in_frame_present
     w.ue(0)          # num_slice_groups_minus1
     w.ue(0)          # num_ref_idx_l0_default_active_minus1
     w.ue(0)          # num_ref_idx_l1_default_active_minus1
@@ -959,7 +968,7 @@ def _block_xy(mbx, mby, blk):
 
 def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                  deblock_idc=0, qp_deltas=None, pps_qp=26, slices=1,
-                 deblock_off2=(0, 0)):
+                 deblock_off2=(0, 0), poc_type=2, pic_order_present=False):
     """One IDR frame. mb_plan(mbx, mby) -> ('pcm',) | ('i16', mode,
     chroma_mode) | ('i4', [16 modes], chroma_mode). qp_deltas optional
     per-MB-index mb_qp_delta values (exercises QP tracking)."""
@@ -981,6 +990,10 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
         w.ue(0)          # pps_id
         w.u(0, 4)        # frame_num (log2_max_frame_num = 4)
         w.ue(0)          # idr_pic_id
+        if poc_type == 0:
+            w.u(0, 4)    # pic_order_cnt_lsb (log2_max_pic_order_cnt_lsb = 4)
+            if pic_order_present:
+                w.se(0)  # delta_pic_order_cnt_bottom
         w.u(0, 1)        # no_output_of_prior_pics
         w.u(0, 1)        # long_term_reference
         # the slice carries its QP relative to the PPS base — ALL fixtures
@@ -1373,32 +1386,41 @@ def decode_stream(data):
     for typ, rbsp in split_nals(data):
         r = BitReader(rbsp)
         if typ == 7:
-            r.u(24)
+            prof = r.u(8)
+            assert prof in (66, 77), f"profile {prof}"
+            r.u(16)
             assert r.ue() == 0
             assert r.ue() == 0  # log2_max_frame_num_minus4
             poc = r.ue()
-            assert poc == 2
+            log2_poc_lsb = 0
+            if poc == 0:
+                log2_poc_lsb = r.ue() + 4
+            else:
+                assert poc == 2
             r.ue()  # max_num_ref_frames
             r.u(1)
             wmb = r.ue() + 1
             hmb = r.ue() + 1
             assert r.u(1) == 1  # frame_mbs_only
             r.u(1)
-            assert r.u(1) == 0  # no cropping
+            crop = (0, 0, 0, 0)
+            if r.u(1):  # frame_cropping: (l, r, t, b) in 2-px CropUnits
+                crop = (r.ue() * 2, r.ue() * 2, r.ue() * 2, r.ue() * 2)
             r.u(1)
-            sps = (wmb * 16, hmb * 16)
+            sps = (wmb * 16, hmb * 16, poc, log2_poc_lsb, crop)
         elif typ == 8:
             assert r.ue() == 0 and r.ue() == 0
             assert r.u(1) == 0  # CAVLC
-            r.u(1)
+            pic_order = r.u(1)
             assert r.ue() == 0
             r.ue(); r.ue(); r.u(1); r.u(2)
             qp = 26 + r.se()
             r.se()
             chroma_off = r.se()
             dbc = r.u(1)
-            r.u(1); r.u(1)
-            pps = (qp, chroma_off, dbc)
+            r.u(1)
+            assert r.u(1) == 0  # redundant_pic_cnt_present (mirror aborts)
+            pps = (qp, chroma_off, dbc, pic_order)
         elif typ == 5:
             if ctx is None:
                 ctx = FrameCtx(sps[0], sps[1])
@@ -1411,12 +1433,19 @@ def decode_stream(data):
         return None
     deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), ctx.W, ctx.H, mbqp,
             mb_params, ctx.mb_slice)
+    cl, cr, ct, cb = sps[4]
+    if cl or cr or ct or cb:
+        W, H = ctx.W, ctx.H
+        y = [row[cl:W - cr] for row in ctx.y[ct:H - cb]]
+        u = [row[cl // 2:(W - cr) // 2] for row in ctx.u[ct // 2:(H - cb) // 2]]
+        v = [row[cl // 2:(W - cr) // 2] for row in ctx.v[ct // 2:(H - cb) // 2]]
+        return y, u, v
     return ctx.y, ctx.u, ctx.v
 
 
 def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb):
-    W, H = sps
-    qp0, chroma_off, dbc = pps
+    W, H, poc, log2_poc_lsb = sps[0], sps[1], sps[2], sps[3]
+    qp0, chroma_off, dbc, pic_order = pps
     first_mb = r.ue()
     assert first_mb == expect_mb, f"slice starts at {first_mb}, want {expect_mb}"
     sid = first_mb  # any id unique per slice works for the availability map
@@ -1425,6 +1454,10 @@ def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb):
     assert r.ue() == 0
     r.u(4)  # frame_num
     r.ue()  # idr_pic_id
+    if poc == 0:
+        r.u(log2_poc_lsb)  # pic_order_cnt_lsb
+        if pic_order:
+            r.se()  # delta_pic_order_cnt_bottom
     r.u(1); r.u(1)
     qpy = qp0 + r.se()
     deblock_idc = 0
