@@ -66,6 +66,18 @@ object BenchFormat {
       }
     }
 
+  /** A candidate re-baseline sweep measurably SLOWER than the standing
+    * floor must not BECOME the floor: round 17 accidentally promoted an
+    * intermediate slow-box sweep to BENCH_BEST and it had to be
+    * hand-reverted from git. Refuse when the candidate's total over the
+    * comparable set exceeds the floor total by >5% — a genuine full
+    * clean sweep on a healthy box lands at or under the floor it is
+    * meant to replace. SPARK_GRAFT_REBASE_FORCE=1 overrides for
+    * deliberate resets (e.g. a known, accepted regression). */
+  def rebaseRefusedSlower(minSum: Double, bestSum: Double,
+                          force: Boolean): Boolean =
+    !force && bestSum > 0 && minSum > 1.05 * bestSum
+
   /** Whole-run contention verdict. The per-query 3×-best trip alone was
     * defused in round 9 by post-sweep re-reps that landed during the same
     * burst — so also trip on aggregate evidence: the sum of mins over
@@ -473,6 +485,10 @@ object BenchFormat {
  *     outgoing baseline (min-merged) into BENCH_BEST_HISTORY.json. Policy:
  *     re-baseline once per round from the final same-box clean sweep;
  *     vs_best then reads ~1.0-1.1 and a 1.5× entry means something again.
+ *     The guard is IN CODE (r17 hand-reverted an accidental slow-box
+ *     promotion): a candidate sweep totalling >1.05× the standing floor
+ *     over the comparable set is refused unless
+ *     SPARK_GRAFT_REBASE_FORCE=1 deliberately resets the floor.
  *
  * Action: `noop` datasource write — forces full evaluation of every
  * projection (a count() would let Catalyst prune the very operators being
@@ -671,13 +687,18 @@ object Bench {
     // the all-time record survives for archaeology. Without the flag the
     // historic min-merge below keeps ratcheting as before.
     val rebase = sys.env.get("SPARK_GRAFT_REBASE_BEST").contains("1")
+    val rebaseForce = sys.env.get("SPARK_GRAFT_REBASE_FORCE").contains("1")
+    val rebaseSlower = BenchFormat.rebaseRefusedSlower(minSum, bestSum, rebaseForce)
     val rebaseOk = rebase && !machineContended && failures.isEmpty &&
-      only.isEmpty && suspectFast.isEmpty
+      only.isEmpty && suspectFast.isEmpty && !rebaseSlower
     if (rebase && !rebaseOk)
       System.err.println("[bench] SPARK_GRAFT_REBASE_BEST=1 IGNORED — " +
-        s"rebase needs a full clean sweep (contended=$machineContended, " +
-        s"failed=${failures.size}, filtered=${only.isDefined}, " +
-        s"suspectFast=${suspectFast.size}); min-merging as usual")
+        s"rebase needs a full clean sweep at or under the standing floor " +
+        s"(contended=$machineContended, failed=${failures.size}, " +
+        s"filtered=${only.isDefined}, suspectFast=${suspectFast.size}, " +
+        s"slowerThanFloor=$rebaseSlower [min_sum_vs_best=" +
+        f"${if (bestSum > 0) minSum / bestSum else 1.0}%.3f, >1.05 refuses; " +
+        "SPARK_GRAFT_REBASE_FORCE=1 overrides]); min-merging as usual")
     val newBest =
       if (rebaseOk) {
         val histPath = bestPath.resolveSibling(

@@ -255,6 +255,19 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!BenchFormat.fastSuspect(0.0, Vector(0.054)))
   }
 
+  test("rebaseRefusedSlower: a sweep >5% over the standing floor cannot become it") {
+    // the r17 accident: a slow-box sweep (1.19x floor) promoted to BENCH_BEST
+    assert(BenchFormat.rebaseRefusedSlower(118.6, 100.0, force = false))
+    // at or under the floor (the intended re-baseline shape) is allowed
+    assert(!BenchFormat.rebaseRefusedSlower(97.2, 100.0, force = false))
+    // within the 5% tolerance band is allowed (same-box noise)
+    assert(!BenchFormat.rebaseRefusedSlower(104.9, 100.0, force = false))
+    // deliberate reset overrides
+    assert(!BenchFormat.rebaseRefusedSlower(118.6, 100.0, force = true))
+    // no standing floor -> nothing to protect
+    assert(!BenchFormat.rebaseRefusedSlower(118.6, 0.0, force = false))
+  }
+
   test("mergeBest: failed/suspect mins never enter the baseline") {
     val prev = Map("q_a" -> 0.2, "q_b" -> 0.5, "q_gone" -> 1.0)
     val mins = Map("q_a" -> 0.1, "q_b" -> 0.05, "q_new" -> 0.3)
