@@ -2485,6 +2485,28 @@ object SparkEntry {
           min(expr("image_phash(frame)")).as("phash"))
     }),
 
+    // avc1 profile/entropy diagnosability: the codec column must make an
+    // UNDECODABLE avc1 file (High-profile CABAC, the x264 default shape)
+    // distinguishable from a decodable baseline-CAVLC one — bare "avc1"
+    // recreated the silent zero-frame drop the column exists to solve.
+    // Even ids: native baseline streams (4 frames, avc1/baseline-cavlc);
+    // odd ids: the same bytes DECLARING high+cabac (0 frames,
+    // avc1/high-cabac) — profile and entropy parsed from the avcC record
+    "q_video_meta_avc" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .mapPartitions(_.map(id => (id,
+          if (id % 2 == 0) graft.tools.GenMedia.h264VideoFixture(id)
+          else graft.tools.GenMedia.h264UndecodableFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
+        .selectExpr("media_id", "video_codec",
+          "size(video_frames(content, 4)) AS n_frames")
+    }),
+
     // ================================================ corpus cleaning ops
     // PII redaction over text with synthesized email/IP/phone per row (the
     // raw corpus contains none — the construction makes the regexes fire)
@@ -5059,6 +5081,15 @@ object SparkEntry {
            CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 2 THEN 'jpeg'
                 WHEN 1 THEN 'MJPG' ELSE 'XVID' END AS video_codec
          FROM documents""",
+
+    // construction: even = decodable baseline-CAVLC (4 samples), odd =
+    // the same bytes declaring High-profile CABAC (undecodable, 0 frames)
+    "q_video_meta_avc" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1/baseline-cavlc'
+                ELSE 'avc1/high-cabac' END AS video_codec,
+           (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END)::INTEGER AS n_frames
+         FROM documents WHERE doc_id < 200""",
 
     // duration = (2 + id%5) frames x (3 + id%7) cs x 10 ms/cs
     "q_video_meta_gif" ->

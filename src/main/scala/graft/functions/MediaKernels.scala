@@ -410,6 +410,79 @@ object MediaKernels {
   final case class Mp4Track(handler: String, codec: String, channels: Int,
                             sampleRate: Int, bits: Int, durationMs: Long)
 
+  /** avc1/avc3 profile+entropy detail from the avcC record inside the
+    * stsd entry: "avc1/baseline-cavlc", "avc1/high-cabac", ... . The bare
+    * fourcc made an undecodable file (CABAC, High-profile tools) look
+    * identical to a decodable baseline one, recreating the silent
+    * zero-frame drop the codec column exists to diagnose. Profile comes
+    * from the declared AVCProfileIndication; entropy from the first
+    * PPS's entropy_coding_mode_flag. Falls back to the bare fourcc when
+    * no avcC is present (header-only declarations). */
+  private[functions] def avcDetail(b: Array[Byte], entry: Int, entryEnd: Int,
+                                   fourcc: String): String = {
+    var p = entry + 8 + 78 // boxes after the VisualSampleEntry header
+    while (p + 8 <= entryEnd) {
+      val sz = be32(b, p).toInt
+      if (sz < 8 || p + sz > entryEnd) return fourcc
+      if (b(p + 4) == 'a' && b(p + 5) == 'v' && b(p + 6) == 'c' &&
+        b(p + 7) == 'C' && sz >= 8 + 7) {
+        val profile = b(p + 9) & 0xFF
+        val profName = profile match {
+          case 66 => "baseline"
+          case 77 => "main"
+          case 88 => "extended"
+          case 100 => "high"
+          case 110 => "high10"
+          case 122 => "high422"
+          case 244 => "high444"
+          case other => s"p$other"
+        }
+        // walk to the first PPS: skip the SPS entries
+        var q = p + 8 + 5
+        val nSps = b(q) & 0x1F
+        q += 1
+        var i = 0
+        while (i < nSps && q + 2 <= entryEnd) {
+          q += 2 + (((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF))
+          i += 1
+        }
+        if (q + 3 > entryEnd || (b(q) & 0xFF) == 0) return s"$fourcc/$profName"
+        val ppsLen = ((b(q + 1) & 0xFF) << 8) | (b(q + 2) & 0xFF)
+        if (ppsLen < 2 || q + 3 + ppsLen > entryEnd) return s"$fourcc/$profName"
+        // PPS RBSP after the NAL header: ue(pps_id) ue(sps_id) then the
+        // entropy_coding_mode_flag — a bounded 3-symbol exp-Golomb read
+        // (emulation prevention can't fire this early: it needs 2 zero
+        // BYTES, impossible within the first two ue() of a legal PPS)
+        var pos = 0
+        val base = q + 4 // skip the 1-byte NAL header
+        val limit = (ppsLen - 1) * 8
+        def bit(): Int = {
+          if (pos >= limit) return -1
+          val v = (b(base + (pos >> 3)) >> (7 - (pos & 7))) & 1
+          pos += 1
+          v
+        }
+        def skipUe(): Boolean = { // false on truncation/overrun
+          var zeros = 0
+          var bv = bit()
+          while (bv == 0) { zeros += 1; if (zeros > 16) return false; bv = bit() }
+          if (bv < 0) return false
+          var k = 0
+          while (k < zeros) { if (bit() < 0) return false; k += 1 }
+          true
+        }
+        if (!skipUe() || !skipUe()) return s"$fourcc/$profName"
+        return bit() match {
+          case 1 => s"$fourcc/$profName-cabac"
+          case 0 => s"$fourcc/$profName-cavlc"
+          case _ => s"$fourcc/$profName"
+        }
+      }
+      p += sz
+    }
+    fourcc
+  }
+
   private[functions] def mp4Tracks(b: Array[Byte]): Seq[Mp4Track] = {
     if (b == null || b.length < 16 ||
       !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return Nil
@@ -453,7 +526,12 @@ object MediaKernels {
           case "hdlr" if inTrak && size >= hdr + 12 =>
             handler = new String(b, d + 8, 4, "US-ASCII")
           case "stsd" if inTrak && size >= hdr + 16 =>
-            codec = new String(b, d + 8 + 4, 4, "US-ASCII").trim
+            val fourcc = new String(b, d + 8 + 4, 4, "US-ASCII").trim
+            val entryE = math.min(e.toLong, d + 8L + be32(b, d + 8)).toInt
+            codec =
+              if (fourcc == "avc1" || fourcc == "avc3")
+                avcDetail(b, d + 8, entryE, fourcc)
+              else fourcc
             // AudioSampleEntry fixed layout (only meaningful for soun
             // handlers; harmless zeros otherwise): channelcount at
             // entry+24, samplesize at entry+26, samplerate 16.16 at +32

@@ -144,6 +144,32 @@ object GenMedia {
       (0 until 4).map(k => H264Fixtures.stream(base, k)))
   }
 
+  /** An avc1 MP4 DECLARING High-profile CABAC (SPS profile_idc byte →
+    * 100, PPS entropy_coding_mode_flag → 1) over baseline slice bytes:
+    * guaranteed to decode ZERO frames (parseSps expects High-profile
+    * extension fields that are not present, so every slice aborts)
+    * while video_meta's codec column reads "avc1/high-cabac" from the
+    * declared avcC bits — the diagnosable undecodable arm of
+    * q_video_meta_avc, the real-world x264-default shape. */
+  def h264UndecodableFixture(vid: Long): Array[Byte] = {
+    val base = (vid % 4).toInt + 1
+    val streams = (0 until 4).map { k =>
+      val s = H264Fixtures.stream(base, k).clone()
+      var i = 0
+      while (i + 5 < s.length) {
+        if (s(i) == 0 && s(i + 1) == 0 && s(i + 2) == 0 && s(i + 3) == 1) {
+          val t = s(i + 4) & 0x1F
+          if (t == 7) s(i + 5) = 100.toByte // SPS profile_idc
+          // PPS payload opens ue(0) ue(0) = "11", entropy flag is bit 2
+          if (t == 8) s(i + 5) = (s(i + 5) | 0x20).toByte
+        }
+        i += 1
+      }
+      s
+    }
+    MediaKernels.encodeAvc1Mp4(48, 48, streams)
+  }
+
   /** q_video_meta_webm payload: WebM for even ids / IVF for odd, with
     * id-derived frame count n = 2 + id%3, so dims and duration are
     * closed-form: WebM writes Duration = n*33 ms (timecode scale 1 ms);

@@ -60,10 +60,10 @@ class H264Spec extends SparkSpec {
         assert(java.util.Arrays.equals(got(k), png),
           s"base=$base k=$k: container frame differs from direct decode")
       }
-      // sampling applies; video_meta reports the avc1 codec WITH frames now
+      // sampling applies; video_meta reports profile+entropy WITH frames
       assert(MediaKernels.videoFrames(mp4, 2).length == 2)
       val m = MediaKernels.videoMetaRow(mp4)
-      assert(m.getString(0) == "mp4" && m.getString(4) == "avc1")
+      assert(m.getString(0) == "mp4" && m.getString(4) == "avc1/baseline-cavlc")
       assert(m.getInt(1) == 48 && m.getInt(2) == 48)
     }
   }

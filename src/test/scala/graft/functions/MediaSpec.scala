@@ -116,6 +116,21 @@ class MediaSpec extends SparkSpec {
     assert(MediaKernels.videoMetaRow(Webm.encodeIvf(48, 48, vp8)).getString(4) == "VP80")
   }
 
+  test("avc1 codec column carries profile+entropy; CABAC files say why they drop frames") {
+    // decodable native baseline stream: profile+entropy suffix, frames flow
+    val ok = GenMedia.h264VideoFixture(2L)
+    assert(MediaKernels.videoMetaRow(ok).getString(4) == "avc1/baseline-cavlc")
+    assert(MediaKernels.videoFrames(ok, 8).length == 4)
+    // the x264-default shape (High-profile CABAC declared in avcC):
+    // ZERO frames, and the codec column says exactly why
+    val cabac = GenMedia.h264UndecodableFixture(3L)
+    assert(MediaKernels.videoMetaRow(cabac).getString(4) == "avc1/high-cabac")
+    assert(MediaKernels.videoFrames(cabac, 8).isEmpty)
+    // header-only declaration (no avcC record): bare fourcc, no guess
+    val bare = MediaKernels.encodeMp4Header(640, 360, 5000L, codec = "avc1")
+    assert(MediaKernels.videoMetaRow(bare).getString(4) == "avc1")
+  }
+
   test("jpeg MP4: invalid samples don't occupy even-spaced selection slots") {
     // 4 decodable JPEGs interleaved with 2 junk samples: asking for 4
     // frames must return ALL 4 valid ones (non-SOI samples are dropped
