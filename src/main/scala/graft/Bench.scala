@@ -545,6 +545,21 @@ object Bench {
       // labels) so reps and queries don't evict each other and every rep
       // does the full work
       spark.catalog.clearCache()
+      // clearCache() covers Dataset-level persists only. localCheckpoint()ed
+      // RDDs (pagerank/hits lineage cuts, CC loops) live in the RDD-level
+      // persistentRdds map and are otherwise reclaimed only when the driver
+      // GCs the Dataset and the ContextCleaner gets around to it — in a
+      // single local-mode JVM running 200+ queries x 4 passes those blocks
+      // accumulate in the shared block manager and slow late reps (the
+      // round-17 q_pagerank 6.7->7.4->8.1 monotone-rep artifact). Nothing
+      // from a finished rep is ever recomputed, so drop them eagerly.
+      // SPARK_GRAFT_LEAK_RDDS=1 disables the release for A/B attribution.
+      if (!sys.env.get("SPARK_GRAFT_LEAK_RDDS").contains("1")) {
+        val leaked = spark.sparkContext.getPersistentRDDs
+        if (sys.env.get("SPARK_GRAFT_RDD_DEBUG").contains("1") && leaked.nonEmpty)
+          System.err.println(s"[bench] $name: releasing ${leaked.size} leftover persistent RDDs")
+        leaked.values.foreach(_.unpersist(blocking = false))
+      }
       t
     }
     def measure(name: String)(f: => Unit): Unit =
