@@ -968,13 +968,18 @@ def _block_xy(mbx, mby, blk):
 
 def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                  deblock_idc=0, qp_deltas=None, pps_qp=26, slices=1,
-                 deblock_off2=(0, 0), poc_type=2, pic_order_present=False):
+                 deblock_off2=(0, 0), poc_type=2, pic_order_present=False,
+                 cabac=False):
     """One IDR frame. mb_plan(mbx, mby) -> ('pcm',) | ('i16', mode,
     chroma_mode) | ('i4', [16 modes], chroma_mode). qp_deltas optional
-    per-MB-index mb_qp_delta values (exercises QP tracking)."""
+    per-MB-index mb_qp_delta values (exercises QP tracking). cabac=True
+    entropy-codes the slice data with the Main-profile CABAC layer
+    (slice headers stay Exp-Golomb; pair with write_pps(cabac=True) and
+    write_sps(profile=77))."""
     mbs_x, mbs_y = W // 16, H // 16
     n_mbs = mbs_x * mbs_y
     ctx = FrameCtx(W, H)
+    cst = CabacPicState(mbs_x, mbs_y) if cabac else None
     mbqp = [[0] * mbs_x for _ in range(mbs_y)]
     mb_params = [[(deblock_idc, deblock_off2[0] * 2, deblock_off2[1] * 2)] * mbs_x
                  for _ in range(mbs_y)]
@@ -1004,6 +1009,13 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
         if deblock_idc != 1:
             w.se(deblock_off2[0])  # slice_alpha_c0_offset_div2
             w.se(deblock_off2[1])  # slice_beta_offset_div2
+        cab = models = None
+        if cabac:
+            while len(w.bits) % 8:  # cabac_alignment_one_bit (7.3.4)
+                w.bits.append(1)
+            cab = CabacEnc(w)
+            models = cabac_init_models(qp)  # SliceQPy before any delta
+            cst.last_delta_nz = False
         qpy = qp
         for mbi in range(bounds[sid], bounds[sid + 1]):
             mby, mbx = mbi // mbs_x, mbi % mbs_x
@@ -1011,7 +1023,14 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
             plan = mb_plan(mbx, mby)
             delta = (qp_deltas or {}).get(mbi, 0)
             if plan[0] == 'pcm':
-                w.ue(25)
+                if cabac:
+                    # mb_type bin string "1 1": the second bin is the
+                    # terminate bin, whose 1 flushes the engine so the
+                    # raw samples can ride byte-aligned (9.3.1.2)
+                    cabac_enc_mb_type(cab, models, cst, ctx, sid, mbx, mby, 25)
+                    cst.set_pcm(mbx, mby)
+                else:
+                    w.ue(25)
                 w.align_zero()
                 for j in range(16):
                     for i in range(16):
@@ -1032,6 +1051,9 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                         ctx.tc_u[mby * 2 + by][mbx * 2 + bx] = 16
                         ctx.tc_v[mby * 2 + by][mbx * 2 + bx] = 16
                 mbqp[mby][mbx] = 0  # spec: QPy = 0 for I_PCM deblocking
+                if cabac:  # engine re-initializes after pcm samples
+                    cab = CabacEnc(w)
+                    cab.terminate(1 if mbi == bounds[sid + 1] - 1 else 0)
                 continue
 
             up_ok = ctx.avail_up(mbx * 16, mby * 16, sid)
@@ -1120,34 +1142,57 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                               for j in range(2) for i in range(2))
                 cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
                 mb_type = 1 + mode + 4 * cbp_chroma + 12 * (cbp_luma // 15)
-                w.ue(mb_type)
-                w.ue(cmode)
-                w.se(delta)
+                if cabac:
+                    cabac_enc_mb_type(cab, models, cst, ctx, sid, mbx, mby,
+                                      mb_type, cbp_luma, cbp_chroma)
+                    cst.kind[mby][mbx] = 1
+                    cst.cbp_luma[mby][mbx] = cbp_luma
+                    cst.cbp_chroma[mby][mbx] = cbp_chroma
+                    cabac_enc_cmode(cab, models, cst, ctx, sid, mbx, mby, cmode)
+                    cst.cmode[mby][mbx] = cmode
+                    cabac_enc_qp_delta(cab, models, cst, delta)
+                else:
+                    w.ue(mb_type)
+                    w.ue(cmode)
+                    w.se(delta)
                 qpy = newqp
                 mbqp[mby][mbx] = qpy
                 # ---- residuals: luma DC (nC context of blk 0)
                 bx0, by0 = mbx * 4, mby * 4
                 dczz = zigzag_of(dcz)
-                encode_block(w, dczz,
-                             ctx.nc(ctx.tc_y, bx0, by0, left_ok, up_ok), 16)
+                if cabac:
+                    cst.cbf_dc_y[mby][mbx] = cabac_enc_residual(
+                        cab, models, 0, dczz,
+                        cst.cbf_dc_y_inc(ctx, sid, mbx, mby))
+                else:
+                    encode_block(w, dczz,
+                                 ctx.nc(ctx.tc_y, bx0, by0, left_ok, up_ok), 16)
                 # luma AC in Z order
                 for blk in range(16):
                     x, y = _block_xy(mbx, mby, blk)
                     gx, gy = x // 4, y // 4
                     if cbp_luma:
-                        tc = encode_block(w, acq[blk],
-                                          ctx.nc(ctx.tc_y, gx, gy,
-                                                 ctx.avail_left(x, y, sid),
-                                                 ctx.avail_up(x, y, sid)), 15)
-                        ctx.tc_y[gy][gx] = tc
+                        if cabac:
+                            cst.cbf_y[gy][gx] = cabac_enc_residual(
+                                cab, models, 1, acq[blk],
+                                cst.cbf_y_inc(ctx, sid, mbx, mby, gx, gy))
+                        else:
+                            tc = encode_block(w, acq[blk],
+                                              ctx.nc(ctx.tc_y, gx, gy,
+                                                     ctx.avail_left(x, y, sid),
+                                                     ctx.avail_up(x, y, sid)), 15)
+                            ctx.tc_y[gy][gx] = tc
                     else:
                         ctx.tc_y[gy][gx] = 0
                 self_recon_i16(ctx, mbx, mby, pred, dcz, acq, cbp_luma, qpy)
                 encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq,
-                                    cpred, qpc, sid)
+                                    cpred, qpc, sid,
+                                    cab=cab, models=models, cst=cst)
                 for by in range(4):
                     for bx in range(4):
                         ctx.i4mode[mby * 4 + by][mbx * 4 + bx] = -1
+                if cabac:
+                    cab.terminate(1 if mbi == bounds[sid + 1] - 1 else 0)
                 continue
 
             # ---- Intra_4x4
@@ -1221,31 +1266,54 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
                           for j in range(2) for i in range(2))
             cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
             cbp = cbp_luma + 16 * cbp_chroma
-            w.ue(0)  # mb_type I_4x4
-            for f, rem in flags:
-                w.u(f, 1)
-                if not f:
-                    w.u(rem, 3)
-            w.ue(cmode)
-            w.ue(CBP_INTRA_INV[cbp])
-            if cbp:
-                w.se(delta)
-                qpy = newqp
+            if cabac:
+                cabac_enc_mb_type(cab, models, cst, ctx, sid, mbx, mby, 0)
+                cst.kind[mby][mbx] = 0
+                cabac_enc_i4_modes(cab, models, flags)
+                cabac_enc_cmode(cab, models, cst, ctx, sid, mbx, mby, cmode)
+                cst.cmode[mby][mbx] = cmode
+                cabac_enc_cbp(cab, models, cst, ctx, sid, mbx, mby, cbp)
+                cst.cbp_luma[mby][mbx] = cbp_luma
+                cst.cbp_chroma[mby][mbx] = cbp_chroma
+                if cbp:
+                    cabac_enc_qp_delta(cab, models, cst, delta)
+                    qpy = newqp
+                else:
+                    cst.last_delta_nz = False
+            else:
+                w.ue(0)  # mb_type I_4x4
+                for f, rem in flags:
+                    w.u(f, 1)
+                    if not f:
+                        w.u(rem, 3)
+                w.ue(cmode)
+                w.ue(CBP_INTRA_INV[cbp])
+                if cbp:
+                    w.se(delta)
+                    qpy = newqp
             mbqp[mby][mbx] = qpy
             for blk in range(16):
                 x, y = _block_xy(mbx, mby, blk)
                 gx, gy = x // 4, y // 4
                 quad = (1 if (x % 16) >= 8 else 0) + (2 if (y % 16) >= 8 else 0)
                 if cbp_luma & (1 << quad):
-                    tc = encode_block(w, blocks[blk],
-                                      ctx.nc(ctx.tc_y, gx, gy,
-                                             ctx.avail_left(x, y, sid),
-                                             ctx.avail_up(x, y, sid)), 16)
-                    ctx.tc_y[gy][gx] = tc
+                    if cabac:
+                        cst.cbf_y[gy][gx] = cabac_enc_residual(
+                            cab, models, 2, blocks[blk],
+                            cst.cbf_y_inc(ctx, sid, mbx, mby, gx, gy))
+                    else:
+                        tc = encode_block(w, blocks[blk],
+                                          ctx.nc(ctx.tc_y, gx, gy,
+                                                 ctx.avail_left(x, y, sid),
+                                                 ctx.avail_up(x, y, sid)), 16)
+                        ctx.tc_y[gy][gx] = tc
                 else:
                     ctx.tc_y[gy][gx] = 0
             encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq,
-                                cpred, qpc, sid)
+                                cpred, qpc, sid,
+                                cab=cab, models=models, cst=cst)
+            if cabac:
+                cab.terminate(1 if mbi == bounds[sid + 1] - 1 else 0)
         w.rbsp_trailing()
         nals.append(nal(5, w.bytes_raw()))
     body = b''.join(nals)
@@ -1295,21 +1363,31 @@ def unzigzag_dc(dcz):
 
 
 def encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq, cpred,
-                        qpc, sid):
+                        qpc, sid, cab=None, models=None, cst=None):
     for pn, grid, plane in (('u', ctx.tc_u, ctx.u), ('v', ctx.tc_v, ctx.v)):
         if cbp_chroma:
             dzz = [cdcz[pn][0][0], cdcz[pn][0][1], cdcz[pn][1][0], cdcz[pn][1][1]]
-            encode_block(w, dzz, -1, 4)
+            if cab is not None:
+                cst.cbf_dc_c[pn][mby][mbx] = cabac_enc_residual(
+                    cab, models, 3, dzz,
+                    cst.cbf_dc_c_inc(ctx, sid, mbx, mby, pn))
+            else:
+                encode_block(w, dzz, -1, 4)
     for pn, grid, plane in (('u', ctx.tc_u, ctx.u), ('v', ctx.tc_v, ctx.v)):
         for blk in range(4):
             bx, by = blk % 2, blk // 2
             gx, gy = mbx * 2 + bx, mby * 2 + by
             if cbp_chroma == 2:
-                tc = encode_block(w, cacq[pn][blk],
-                                  ctx.nc(grid, gx, gy,
-                                         ctx.avail_left(gx * 4, gy * 4, sid, 8),
-                                         ctx.avail_up(gx * 4, gy * 4, sid, 8)), 15)
-                grid[gy][gx] = tc
+                if cab is not None:
+                    cst.cbf_c[pn][gy][gx] = cabac_enc_residual(
+                        cab, models, 4, cacq[pn][blk],
+                        cst.cbf_c_inc(ctx, sid, mbx, mby, gx, gy, pn))
+                else:
+                    tc = encode_block(w, cacq[pn][blk],
+                                      ctx.nc(grid, gx, gy,
+                                             ctx.avail_left(gx * 4, gy * 4, sid, 8),
+                                             ctx.avail_up(gx * 4, gy * 4, sid, 8)), 15)
+                    grid[gy][gx] = tc
             else:
                 grid[gy][gx] = 0
         # reconstruction
@@ -1326,6 +1404,552 @@ def encode_chroma_resid(w, ctx, mbx, mby, cbp_chroma, cdcz, cacq, cpred,
             p = [[cpred[pn][by * 4 + j][bx * 4 + i] for i in range(4)]
                  for j in range(4)]
             recon_block(plane, mbx * 8 + bx * 4, mby * 8 + by * 4, p, d)
+
+
+# ------------------------------------------------------- CABAC (9.3)
+# Arithmetic entropy layer for Main-profile I slices: engine (9.3.3.2 /
+# 9.3.4), context initialization (9.3.1.1), I-slice binarizations
+# (9.3.2) and context-increment derivations (9.3.3.1). Shares the
+# single table transcription in h264_tables (see the provenance note
+# there). The encoder and decoder below are exact mirrors; the
+# H264CabacSpec fuzz round-trips them bin-exactly, and gen_h264_tables
+# emits the same tables for the Scala decoder.
+
+from h264_tables import (RANGE_TAB_LPS, TRANS_IDX_LPS, CTX_INIT_I,
+                         CABAC_CBF_BASE, CABAC_SIG_BASE, CABAC_LAST_BASE,
+                         CABAC_ABS_BASE, CABAC_CAT_OFF_CBF,
+                         CABAC_CAT_OFF_SIG, CABAC_CAT_OFF_ABS)
+
+
+def cabac_init_models(slice_qp):
+    """pStateIdx/valMPS per ctxIdx 0..275 from the slice QP (9.3.1.1)."""
+    models = []
+    qp = clip3(0, 51, slice_qp)
+    for m, n in CTX_INIT_I:
+        pre = clip3(1, 126, ((m * qp) >> 4) + n)
+        models.append([63 - pre, 0] if pre <= 63 else [pre - 64, 1])
+    return models
+
+
+class CabacEnc:
+    """Arithmetic encoder (9.3.4) writing through a BitWriter. The
+    firstBitFlag discard plus the flush shape keep the emitted bit
+    count equal to the mirror decoder's consumed count at every
+    terminate — which is what makes I_PCM byte alignment and engine
+    re-initialization land on the same bit both sides."""
+
+    def __init__(self, w):
+        self.w = w
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
+
+    def _putbit(self, b):
+        if self.first:
+            self.first = False
+        else:
+            self.w.u(b, 1)
+        while self.outstanding:
+            self.w.u(1 - b, 1)
+            self.outstanding -= 1
+
+    def _renorm(self):
+        while self.range < 256:
+            if self.low >= 512:
+                self._putbit(1)
+                self.low -= 512
+            elif self.low < 256:
+                self._putbit(0)
+            else:
+                self.outstanding += 1
+                self.low -= 256
+            self.low <<= 1
+            self.range <<= 1
+
+    def decision(self, models, idx, b):
+        st, mps = models[idx]
+        rlps = RANGE_TAB_LPS[st][(self.range >> 6) & 3]
+        self.range -= rlps
+        if b != mps:
+            self.low += self.range
+            self.range = rlps
+            if st == 0:
+                models[idx][1] = 1 - mps
+            models[idx][0] = TRANS_IDX_LPS[st]
+        else:
+            models[idx][0] = min(st + 1, 62)
+        self._renorm()
+
+    def bypass(self, b):
+        self.low <<= 1
+        if b:
+            self.low += self.range
+        if self.low >= 1024:
+            self._putbit(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._putbit(0)
+        else:
+            self.outstanding += 1
+            self.low -= 512
+
+    def terminate(self, b):
+        self.range -= 2
+        if b:
+            self.low += self.range
+            self._flush()
+        else:
+            self._renorm()
+
+    def _flush(self):
+        self.range = 2
+        self._renorm()
+        self._putbit((self.low >> 9) & 1)
+        self.w.u(((self.low >> 7) & 3) | 1, 2)
+
+
+class CabacDec:
+    """Arithmetic decoder (9.3.3.2) reading from a BitReader."""
+
+    def __init__(self, r):
+        self.r = r
+        self.range = 510
+        self.offset = r.u(9)
+
+    def _renorm(self):
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self.r.bit()
+
+    def decision(self, models, idx):
+        st, mps = models[idx]
+        rlps = RANGE_TAB_LPS[st][(self.range >> 6) & 3]
+        self.range -= rlps
+        if self.offset >= self.range:
+            b = 1 - mps
+            self.offset -= self.range
+            self.range = rlps
+            if st == 0:
+                models[idx][1] = 1 - mps
+            models[idx][0] = TRANS_IDX_LPS[st]
+        else:
+            b = mps
+            models[idx][0] = min(st + 1, 62)
+        self._renorm()
+        return b
+
+    def bypass(self):
+        self.offset = (self.offset << 1) | self.r.bit()
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminate(self):
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        self._renorm()
+        return 0
+
+
+class CabacPicState:
+    """Picture-level neighbor state the context-increment derivations
+    read (9.3.3.1.1): per-MB kind/cbp/chroma-mode and per-block
+    coded_block_flag grids. Shared by slices of one picture; contexts
+    themselves re-initialize per slice. mb kind: 0 I_NxN, 1 I_16x16,
+    2 I_PCM, -1 undecoded."""
+
+    def __init__(self, mbs_x, mbs_y):
+        self.mbs_x, self.mbs_y = mbs_x, mbs_y
+        self.kind = [[-1] * mbs_x for _ in range(mbs_y)]
+        self.cbp_luma = [[0] * mbs_x for _ in range(mbs_y)]
+        self.cbp_chroma = [[0] * mbs_x for _ in range(mbs_y)]
+        self.cmode = [[0] * mbs_x for _ in range(mbs_y)]
+        self.cbf_y = [[0] * (4 * mbs_x) for _ in range(4 * mbs_y)]
+        self.cbf_dc_y = [[0] * mbs_x for _ in range(mbs_y)]
+        self.cbf_c = {'u': [[0] * (2 * mbs_x) for _ in range(2 * mbs_y)],
+                      'v': [[0] * (2 * mbs_x) for _ in range(2 * mbs_y)]}
+        self.cbf_dc_c = {'u': [[0] * mbs_x for _ in range(mbs_y)],
+                         'v': [[0] * mbs_x for _ in range(mbs_y)]}
+        self.last_delta_nz = False  # reset at each slice start
+
+    def set_pcm(self, mbx, mby):
+        self.kind[mby][mbx] = 2
+        for by in range(4):
+            for bx in range(4):
+                self.cbf_y[mby * 4 + by][mbx * 4 + bx] = 1
+        self.cbf_dc_y[mby][mbx] = 1
+        for pn in 'uv':
+            for by in range(2):
+                for bx in range(2):
+                    self.cbf_c[pn][mby * 2 + by][mbx * 2 + bx] = 1
+            self.cbf_dc_c[pn][mby][mbx] = 1
+        self.last_delta_nz = False
+
+    # --- context increments (ctx = FrameCtx for slice availability) ---
+
+    def mb_type_inc(self, ctx, sid, mbx, mby):
+        inc = 0
+        if ctx.avail_left(mbx * 16, mby * 16, sid) and \
+                self.kind[mby][mbx - 1] != 0:
+            inc += 1
+        if ctx.avail_up(mbx * 16, mby * 16, sid) and \
+                self.kind[mby - 1][mbx] != 0:
+            inc += 1
+        return inc
+
+    def cmode_inc(self, ctx, sid, mbx, mby):
+        inc = 0
+        if ctx.avail_left(mbx * 16, mby * 16, sid) and \
+                self.kind[mby][mbx - 1] != 2 and self.cmode[mby][mbx - 1] != 0:
+            inc += 1
+        if ctx.avail_up(mbx * 16, mby * 16, sid) and \
+                self.kind[mby - 1][mbx] != 2 and self.cmode[mby - 1][mbx] != 0:
+            inc += 1
+        return inc
+
+    def _cbp_luma_cond(self, ctx, sid, mbx, mby, cur_bits, nbx, nby, nblk):
+        """condTermFlag for one neighboring 8x8 luma block: 1 iff the
+        neighbor exists in this slice, is not I_PCM and its cbp bit is
+        CLEAR (9.3.3.1.1.4 inverts the luma polarity)."""
+        if nbx == mbx and nby == mby:  # within the current macroblock
+            return 0 if (cur_bits >> nblk) & 1 else 1
+        if not (0 <= nbx < self.mbs_x and 0 <= nby < self.mbs_y):
+            return 0
+        if nbx < mbx:
+            avail = ctx.avail_left(mbx * 16, mby * 16, sid)
+        else:
+            avail = ctx.avail_up(mbx * 16, mby * 16, sid)
+        if not avail or self.kind[nby][nbx] == 2:
+            return 0
+        return 0 if (self.cbp_luma[nby][nbx] >> nblk) & 1 else 1
+
+    def cbp_luma_inc(self, ctx, sid, mbx, mby, blk, cur_bits):
+        if blk in (0, 2):
+            a = self._cbp_luma_cond(ctx, sid, mbx, mby, cur_bits,
+                                    mbx - 1, mby, blk + 1)
+        else:
+            a = self._cbp_luma_cond(ctx, sid, mbx, mby, cur_bits,
+                                    mbx, mby, blk - 1)
+        if blk in (0, 1):
+            b = self._cbp_luma_cond(ctx, sid, mbx, mby, cur_bits,
+                                    mbx, mby - 1, blk + 2)
+        else:
+            b = self._cbp_luma_cond(ctx, sid, mbx, mby, cur_bits,
+                                    mbx, mby, blk - 2)
+        return a + 2 * b
+
+    def _cbp_chroma_cond(self, ctx, sid, mbx, mby, left, want2):
+        nbx, nby = (mbx - 1, mby) if left else (mbx, mby - 1)
+        avail = ctx.avail_left(mbx * 16, mby * 16, sid) if left \
+            else ctx.avail_up(mbx * 16, mby * 16, sid)
+        if not avail:
+            return 0
+        if self.kind[nby][nbx] == 2:
+            return 1
+        c = self.cbp_chroma[nby][nbx]
+        return 1 if (c == 2 if want2 else c != 0) else 0
+
+    def cbp_chroma_inc(self, ctx, sid, mbx, mby, bin_idx):
+        want2 = bin_idx == 1
+        a = self._cbp_chroma_cond(ctx, sid, mbx, mby, True, want2)
+        b = self._cbp_chroma_cond(ctx, sid, mbx, mby, False, want2)
+        return (4 if want2 else 0) + a + 2 * b
+
+    def _mb_cond(self, ctx, sid, mbx, mby, left, grid):
+        """condTermFlag for a per-MB coded_block_flag neighbor (cats 0
+        and 3): unavailable -> 1 (intra picture), I_PCM -> 1, else the
+        stored flag (0 when that MB carried no such transform block)."""
+        nbx, nby = (mbx - 1, mby) if left else (mbx, mby - 1)
+        avail = ctx.avail_left(mbx * 16, mby * 16, sid) if left \
+            else ctx.avail_up(mbx * 16, mby * 16, sid)
+        if not avail:
+            return 1
+        if self.kind[nby][nbx] == 2:
+            return 1
+        return grid[nby][nbx]
+
+    def cbf_dc_y_inc(self, ctx, sid, mbx, mby):
+        a = self._mb_cond(ctx, sid, mbx, mby, True, self.cbf_dc_y)
+        b = self._mb_cond(ctx, sid, mbx, mby, False, self.cbf_dc_y)
+        return a + 2 * b
+
+    def cbf_dc_c_inc(self, ctx, sid, mbx, mby, pn):
+        a = self._mb_cond(ctx, sid, mbx, mby, True, self.cbf_dc_c[pn])
+        b = self._mb_cond(ctx, sid, mbx, mby, False, self.cbf_dc_c[pn])
+        return a + 2 * b
+
+    def _blk_flag(self, ctx, sid, mbx, mby, ngx, ngy, grid, per):
+        """condTermFlag for the neighboring sub-block at grid (ngx,
+        ngy), where the CURRENT macroblock is (mbx, mby)."""
+        if ngx < 0 or ngy < 0:
+            return 1
+        nmbx, nmby = ngx // per, ngy // per
+        if nmbx == mbx and nmby == mby:
+            return grid[ngy][ngx]
+        # neighbor lies in the left or up macroblock
+        if nmbx < mbx:
+            avail = ctx.avail_left(mbx * 16, mby * 16, sid)
+        else:
+            avail = ctx.avail_up(mbx * 16, mby * 16, sid)
+        if not avail:
+            return 1
+        if self.kind[nmby][nmbx] == 2:
+            return 1
+        return grid[ngy][ngx]
+
+    def cbf_y_inc(self, ctx, sid, mbx, mby, gx, gy):
+        a = self._blk_flag(ctx, sid, mbx, mby, gx - 1, gy, self.cbf_y, 4)
+        b = self._blk_flag(ctx, sid, mbx, mby, gx, gy - 1, self.cbf_y, 4)
+        return a + 2 * b
+
+    def cbf_c_inc(self, ctx, sid, mbx, mby, gx, gy, pn):
+        a = self._blk_flag(ctx, sid, mbx, mby, gx - 1, gy, self.cbf_c[pn], 2)
+        b = self._blk_flag(ctx, sid, mbx, mby, gx, gy - 1, self.cbf_c[pn], 2)
+        return a + 2 * b
+
+
+# --- I-slice syntax coders: encode/decode mirrors ---
+
+def cabac_enc_mb_type(cab, models, st, ctx, sid, mbx, mby, mb_type,
+                      cbp_luma=0, cbp_chroma=0):
+    inc = st.mb_type_inc(ctx, sid, mbx, mby)
+    if mb_type == 0:  # I_NxN
+        cab.decision(models, 3 + inc, 0)
+        return
+    cab.decision(models, 3 + inc, 1)
+    if mb_type == 25:  # I_PCM: terminate bin drains + flushes the engine
+        cab.terminate(1)
+        return
+    cab.terminate(0)
+    m = mb_type - 1
+    pm = m % 4
+    cab.decision(models, 6, 1 if cbp_luma == 15 else 0)
+    if cbp_chroma == 0:
+        cab.decision(models, 7, 0)
+    else:
+        cab.decision(models, 7, 1)
+        cab.decision(models, 8, 1 if cbp_chroma == 2 else 0)
+    cab.decision(models, 9, (pm >> 1) & 1)
+    cab.decision(models, 10, pm & 1)
+
+
+def cabac_dec_mb_type(cab, models, st, ctx, sid, mbx, mby):
+    inc = st.mb_type_inc(ctx, sid, mbx, mby)
+    if cab.decision(models, 3 + inc) == 0:
+        return 0
+    if cab.terminate():
+        return 25
+    b2 = cab.decision(models, 6)
+    cbp_chroma = 0
+    if cab.decision(models, 7):
+        cbp_chroma = 2 if cab.decision(models, 8) else 1
+    pm = 2 * cab.decision(models, 9) + cab.decision(models, 10)
+    return 1 + pm + 4 * cbp_chroma + 12 * b2
+
+
+def cabac_enc_i4_modes(cab, models, flags):
+    for f, rem in flags:
+        cab.decision(models, 68, f)
+        if not f:  # FL cMax 7, LSB-first (9.3.2.4)
+            cab.decision(models, 69, rem & 1)
+            cab.decision(models, 69, (rem >> 1) & 1)
+            cab.decision(models, 69, (rem >> 2) & 1)
+
+
+def cabac_dec_i4_modes(cab, models):
+    flags = []
+    for _ in range(16):
+        f = cab.decision(models, 68)
+        rem = 0
+        if not f:
+            rem = cab.decision(models, 69)
+            rem |= cab.decision(models, 69) << 1
+            rem |= cab.decision(models, 69) << 2
+        flags.append((f, rem))
+    return flags
+
+
+def cabac_enc_cmode(cab, models, st, ctx, sid, mbx, mby, cmode):
+    inc = st.cmode_inc(ctx, sid, mbx, mby)
+    cab.decision(models, 64 + inc, 1 if cmode > 0 else 0)
+    if cmode > 0:
+        cab.decision(models, 67, 1 if cmode > 1 else 0)
+        if cmode > 1:
+            cab.decision(models, 67, 1 if cmode > 2 else 0)
+
+
+def cabac_dec_cmode(cab, models, st, ctx, sid, mbx, mby):
+    inc = st.cmode_inc(ctx, sid, mbx, mby)
+    if not cab.decision(models, 64 + inc):
+        return 0
+    if not cab.decision(models, 67):
+        return 1
+    return 2 if not cab.decision(models, 67) else 3
+
+
+def cabac_enc_cbp(cab, models, st, ctx, sid, mbx, mby, cbp):
+    luma, chroma = cbp & 15, cbp >> 4
+    cur = 0
+    for blk in range(4):
+        b = (luma >> blk) & 1
+        inc = st.cbp_luma_inc(ctx, sid, mbx, mby, blk, cur)
+        cab.decision(models, 73 + inc, b)
+        cur |= b << blk
+    inc = st.cbp_chroma_inc(ctx, sid, mbx, mby, 0)
+    cab.decision(models, 77 + inc, 1 if chroma != 0 else 0)
+    if chroma != 0:
+        inc = st.cbp_chroma_inc(ctx, sid, mbx, mby, 1)
+        cab.decision(models, 77 + inc, 1 if chroma == 2 else 0)
+
+
+def cabac_dec_cbp(cab, models, st, ctx, sid, mbx, mby):
+    luma = 0
+    for blk in range(4):
+        inc = st.cbp_luma_inc(ctx, sid, mbx, mby, blk, luma)
+        luma |= cab.decision(models, 73 + inc) << blk
+    inc = st.cbp_chroma_inc(ctx, sid, mbx, mby, 0)
+    chroma = 0
+    if cab.decision(models, 77 + inc):
+        inc = st.cbp_chroma_inc(ctx, sid, mbx, mby, 1)
+        chroma = 2 if cab.decision(models, 77 + inc) else 1
+    return luma | (chroma << 4)
+
+
+def cabac_enc_qp_delta(cab, models, st, delta):
+    k = 2 * delta - 1 if delta > 0 else -2 * delta
+    inc = 1 if st.last_delta_nz else 0
+    if k == 0:
+        cab.decision(models, 60 + inc, 0)
+    else:
+        cab.decision(models, 60 + inc, 1)
+        for i in range(1, k):
+            cab.decision(models, 62 if i == 1 else 63, 1)
+        cab.decision(models, 62 if k == 1 else 63, 0)
+    st.last_delta_nz = delta != 0
+
+
+def cabac_dec_qp_delta(cab, models, st):
+    inc = 1 if st.last_delta_nz else 0
+    k = 0
+    if cab.decision(models, 60 + inc):
+        k = 1
+        while cab.decision(models, 62 if k == 1 else 63):
+            k += 1
+            assert k <= 110, "mb_qp_delta runaway"
+    delta = (k + 1) // 2 if k % 2 else -(k // 2)
+    st.last_delta_nz = delta != 0
+    return delta
+
+
+def cabac_enc_residual(cab, models, cat, coeffs, cbf_inc):
+    """coeffs scan-ordered, length = maxNumCoeff. Returns the
+    coded_block_flag it wrote."""
+    cbf = 1 if any(coeffs) else 0
+    cab.decision(models, CABAC_CBF_BASE + CABAC_CAT_OFF_CBF[cat] + cbf_inc,
+                 cbf)
+    if not cbf:
+        return 0
+    n = len(coeffs)
+    last = max(i for i in range(n) if coeffs[i])
+    sig_base = CABAC_SIG_BASE + CABAC_CAT_OFF_SIG[cat]
+    last_base = CABAC_LAST_BASE + CABAC_CAT_OFF_SIG[cat]
+    for i in range(n - 1):
+        inc = min(i, 2) if cat == 3 else i
+        s = 1 if coeffs[i] else 0
+        cab.decision(models, sig_base + inc, s)
+        if s:
+            lf = 1 if i == last else 0
+            cab.decision(models, last_base + inc, lf)
+            if lf:
+                break
+    abs_base = CABAC_ABS_BASE + CABAC_CAT_OFF_ABS[cat]
+    eq1 = gt1 = 0
+    for i in range(last, -1, -1):
+        c = coeffs[i]
+        if not c:
+            continue
+        v = abs(c) - 1
+        inc0 = 0 if gt1 else min(4, 1 + eq1)
+        inc_rest = 5 + min(4 - (1 if cat == 3 else 0), gt1)
+        pre = min(v, 14)
+        for b in range(pre):
+            cab.decision(models, abs_base + (inc0 if b == 0 else inc_rest), 1)
+        if pre < 14:
+            cab.decision(models, abs_base + (inc0 if pre == 0 else inc_rest), 0)
+        else:  # UEG0 suffix, bypass (9.3.2.3)
+            suf = v - 14
+            k = 0
+            while suf >= (1 << k):
+                cab.bypass(1)
+                suf -= 1 << k
+                k += 1
+            cab.bypass(0)
+            while k:
+                k -= 1
+                cab.bypass((suf >> k) & 1)
+        cab.bypass(1 if c < 0 else 0)
+        if v == 0:
+            eq1 += 1
+        else:
+            gt1 += 1
+    return 1
+
+
+def cabac_dec_residual(cab, models, cat, n, cbf_inc):
+    """Returns (cbf, coeffs list of length n, scan-ordered)."""
+    cbf = cab.decision(models,
+                       CABAC_CBF_BASE + CABAC_CAT_OFF_CBF[cat] + cbf_inc)
+    coeffs = [0] * n
+    if not cbf:
+        return 0, coeffs
+    sig_base = CABAC_SIG_BASE + CABAC_CAT_OFF_SIG[cat]
+    last_base = CABAC_LAST_BASE + CABAC_CAT_OFF_SIG[cat]
+    sig = [0] * n
+    numcoeff = n
+    i = 0
+    while i < numcoeff - 1:
+        inc = min(i, 2) if cat == 3 else i
+        if cab.decision(models, sig_base + inc):
+            sig[i] = 1
+            if cab.decision(models, last_base + inc):
+                numcoeff = i + 1
+        i += 1
+    if numcoeff == n:
+        sig[n - 1] = 1  # the last coefficient is implied significant
+    else:
+        pass  # sig[numcoeff-1] already set when its last-flag fired
+    abs_base = CABAC_ABS_BASE + CABAC_CAT_OFF_ABS[cat]
+    eq1 = gt1 = 0
+    for i in range(numcoeff - 1, -1, -1):
+        if not sig[i]:
+            continue
+        inc0 = 0 if gt1 else min(4, 1 + eq1)
+        inc_rest = 5 + min(4 - (1 if cat == 3 else 0), gt1)
+        v = 0
+        while v < 14 and cab.decision(
+                models, abs_base + (inc0 if v == 0 else inc_rest)):
+            v += 1
+        if v == 14:  # UEG0 suffix
+            k = 0
+            while cab.bypass():
+                v += 1 << k
+                k += 1
+                assert k <= 30, "UEG0 runaway"
+            while k:
+                k -= 1
+                v += cab.bypass() << k
+        level = v + 1
+        if cab.bypass():
+            level = -level
+        coeffs[i] = level
+        if v == 0:
+            eq1 += 1
+        else:
+            gt1 += 1
+    return 1, coeffs
 
 
 # ----------------------------------------------------- mirror decoder
@@ -1382,6 +2006,7 @@ def decode_stream(data):
     ctx = None
     mbqp = None
     mb_params = None
+    cst = None
     next_mb = 0
     for typ, rbsp in split_nals(data):
         r = BitReader(rbsp)
@@ -1410,7 +2035,7 @@ def decode_stream(data):
             sps = (wmb * 16, hmb * 16, poc, log2_poc_lsb, crop)
         elif typ == 8:
             assert r.ue() == 0 and r.ue() == 0
-            assert r.u(1) == 0  # CAVLC
+            cabac = r.u(1)  # entropy_coding_mode_flag
             pic_order = r.u(1)
             assert r.ue() == 0
             r.ue(); r.ue(); r.u(1); r.u(2)
@@ -1420,15 +2045,17 @@ def decode_stream(data):
             dbc = r.u(1)
             r.u(1)
             assert r.u(1) == 0  # redundant_pic_cnt_present (mirror aborts)
-            pps = (qp, chroma_off, dbc, pic_order)
+            pps = (qp, chroma_off, dbc, pic_order, cabac)
         elif typ == 5:
             if ctx is None:
                 ctx = FrameCtx(sps[0], sps[1])
                 mbqp = [[0] * (sps[0] // 16) for _ in range(sps[1] // 16)]
                 mb_params = [[(0, 0, 0)] * (sps[0] // 16)
                              for _ in range(sps[1] // 16)]
+                cst = CabacPicState(sps[0] // 16, sps[1] // 16) \
+                    if pps[4] else None
             next_mb = _decode_slice(r, sps, pps, ctx, mbqp, mb_params,
-                                    next_mb)
+                                    next_mb, cst)
     if ctx is None:
         return None
     deblock(flat(ctx.y), flat(ctx.u), flat(ctx.v), ctx.W, ctx.H, mbqp,
@@ -1443,9 +2070,9 @@ def decode_stream(data):
     return ctx.y, ctx.u, ctx.v
 
 
-def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb):
+def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb, cst=None):
     W, H, poc, log2_poc_lsb = sps[0], sps[1], sps[2], sps[3]
-    qp0, chroma_off, dbc, pic_order = pps
+    qp0, chroma_off, dbc, pic_order, cabac = pps
     first_mb = r.ue()
     assert first_mb == expect_mb, f"slice starts at {first_mb}, want {expect_mb}"
     sid = first_mb  # any id unique per slice works for the availability map
@@ -1467,6 +2094,10 @@ def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb):
         if deblock_idc != 1:
             off_a = r.se() * 2
             off_b = r.se() * 2
+    if cabac:
+        return _slice_data_cabac(r, ctx, cst, mbqp, mb_params, sid,
+                                 first_mb, qpy, deblock_idc, off_a, off_b,
+                                 chroma_off)
     mbs_x, mbs_y = W // 16, H // 16
     last_one = _last_one_bit(r.data)
     mbi = first_mb
@@ -1605,6 +2236,161 @@ def _decode_chroma(r, ctx, mbx, mby, cbp_chroma, cmode, qpc, sid,
             recon_block(plane, mbx * 8 + bx * 4, mby * 8 + by * 4, p, d)
 
 
+def _slice_data_cabac(r, ctx, cst, mbqp, mb_params, sid, first_mb, qp_slice,
+                      deblock_idc, off_a, off_b, chroma_off):
+    """Mirror of the CABAC slice_data() loop: the arithmetic layer of
+    _decode_slice, sharing every reconstruction helper."""
+    W, H = ctx.W, ctx.H
+    mbs_x, mbs_y = W // 16, H // 16
+    while r.pos % 8:
+        assert r.bit() == 1, "cabac_alignment_one_bit must be 1"
+    cab = CabacDec(r)
+    models = cabac_init_models(qp_slice)
+    cst.last_delta_nz = False
+    qpy = qp_slice
+    mbi = first_mb
+    while True:
+        assert mbi < mbs_x * mbs_y, "CABAC slice overruns the picture"
+        mby, mbx = mbi // mbs_x, mbi % mbs_x
+        ctx.mb_slice[mby][mbx] = sid
+        mb_params[mby][mbx] = (deblock_idc, off_a, off_b)
+        up_ok = ctx.avail_up(mbx * 16, mby * 16, sid)
+        left_ok = ctx.avail_left(mbx * 16, mby * 16, sid)
+        mb_type = cabac_dec_mb_type(cab, models, cst, ctx, sid, mbx, mby)
+        if mb_type == 25:  # I_PCM: raw samples, engine re-init after
+            r.align()
+            for j in range(16):
+                for i in range(16):
+                    ctx.y[mby * 16 + j][mbx * 16 + i] = r.u(8)
+            for pl in (ctx.u, ctx.v):
+                for j in range(8):
+                    for i in range(8):
+                        pl[mby * 8 + j][mbx * 8 + i] = r.u(8)
+            for by in range(4):
+                for bx in range(4):
+                    ctx.i4mode[mby * 4 + by][mbx * 4 + bx] = -1
+            mbqp[mby][mbx] = 0
+            cst.set_pcm(mbx, mby)
+            cab = CabacDec(r)
+        elif mb_type == 0:  # I_NxN
+            cst.kind[mby][mbx] = 0
+            flags = cabac_dec_i4_modes(cab, models)
+            cmode = cabac_dec_cmode(cab, models, cst, ctx, sid, mbx, mby)
+            cst.cmode[mby][mbx] = cmode
+            cbp = cabac_dec_cbp(cab, models, cst, ctx, sid, mbx, mby)
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            cst.cbp_luma[mby][mbx] = cbp_luma
+            cst.cbp_chroma[mby][mbx] = cbp_chroma
+            if cbp:
+                qpy = clip3(0, 51, qpy + cabac_dec_qp_delta(cab, models, cst))
+            else:
+                cst.last_delta_nz = False
+            mbqp[mby][mbx] = qpy
+            qpc = qpc_of(qpy, chroma_off)
+            for blk in range(16):
+                x, y = _block_xy(mbx, mby, blk)
+                gx, gy = x // 4, y // 4
+                al = ctx.avail_left(x, y, sid)
+                au = ctx.avail_up(x, y, sid)
+                predm = ctx.pred_i4_mode(gx, gy, al, au)
+                f, rem = flags[blk]
+                m = predm if f else (rem if rem < predm else rem + 1)
+                ctx.i4mode[gy][gx] = m
+                pred = pred4x4(ctx.y, W, H, x, y, m, au, al,
+                               ctx.avail_ar(x, y, sid))
+                quad = (1 if (x % 16) >= 8 else 0) + (2 if (y % 16) >= 8 else 0)
+                if cbp_luma & (1 << quad):
+                    cbf, zq = cabac_dec_residual(
+                        cab, models, 2, 16,
+                        cst.cbf_y_inc(ctx, sid, mbx, mby, gx, gy))
+                    cst.cbf_y[gy][gx] = cbf
+                else:
+                    zq = [0] * 16
+                dqz = [dequant_ac(zq[k], qpy, ZIGZAG[k] // 4, ZIGZAG[k] % 4)
+                       for k in range(16)]
+                recon_block(ctx.y, x, y, pred, unzigzag(dqz))
+            _decode_chroma_cabac(cab, models, cst, ctx, mbx, mby, cbp_chroma,
+                                 cmode, qpc, sid, up_ok, left_ok)
+        else:  # I_16x16
+            assert 1 <= mb_type <= 24, f"mb_type {mb_type}"
+            mode = (mb_type - 1) % 4
+            cbp_chroma = ((mb_type - 1) // 4) % 3
+            cbp_luma = 15 * ((mb_type - 1) // 12)
+            cst.kind[mby][mbx] = 1
+            cst.cbp_luma[mby][mbx] = cbp_luma
+            cst.cbp_chroma[mby][mbx] = cbp_chroma
+            cmode = cabac_dec_cmode(cab, models, cst, ctx, sid, mbx, mby)
+            cst.cmode[mby][mbx] = cmode
+            qpy = clip3(0, 51, qpy + cabac_dec_qp_delta(cab, models, cst))
+            mbqp[mby][mbx] = qpy
+            qpc = qpc_of(qpy, chroma_off)
+            pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False,
+                                  up_ok, left_ok)
+            cbf, dczz = cabac_dec_residual(
+                cab, models, 0, 16, cst.cbf_dc_y_inc(ctx, sid, mbx, mby))
+            cst.cbf_dc_y[mby][mbx] = cbf
+            dcq = unzigzag(dczz)
+            acq = [None] * 16
+            for blk in range(16):
+                x, y = _block_xy(mbx, mby, blk)
+                gx, gy = x // 4, y // 4
+                if cbp_luma:
+                    cbf, zq = cabac_dec_residual(
+                        cab, models, 1, 15,
+                        cst.cbf_y_inc(ctx, sid, mbx, mby, gx, gy))
+                    cst.cbf_y[gy][gx] = cbf
+                    acq[blk] = zq
+                else:
+                    acq[blk] = [0] * 15
+                ctx.i4mode[gy][gx] = -1
+            self_recon_i16(ctx, mbx, mby, pred, dcq, acq, cbp_luma, qpy)
+            _decode_chroma_cabac(cab, models, cst, ctx, mbx, mby, cbp_chroma,
+                                 cmode, qpc, sid, up_ok, left_ok)
+        mbi += 1
+        if cab.terminate():  # end_of_slice_flag
+            break
+    return mbi
+
+
+def _decode_chroma_cabac(cab, models, cst, ctx, mbx, mby, cbp_chroma, cmode,
+                         qpc, sid, up_ok, left_ok):
+    dcs = {}
+    for pn in 'uv':
+        if cbp_chroma:
+            cbf, z = cabac_dec_residual(
+                cab, models, 3, 4, cst.cbf_dc_c_inc(ctx, sid, mbx, mby, pn))
+            cst.cbf_dc_c[pn][mby][mbx] = cbf
+            dcs[pn] = [[z[0], z[1]], [z[2], z[3]]]
+        else:
+            dcs[pn] = [[0, 0], [0, 0]]
+    for pn, plane in (('u', ctx.u), ('v', ctx.v)):
+        pred = pred_block_nxn(plane, mbx * 8, mby * 8, 8, cmode, True,
+                              up_ok, left_ok)
+        acs = [None] * 4
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            gx, gy = mbx * 2 + bx, mby * 2 + by
+            if cbp_chroma == 2:
+                cbf, zq = cabac_dec_residual(
+                    cab, models, 4, 15,
+                    cst.cbf_c_inc(ctx, sid, mbx, mby, gx, gy, pn))
+                cst.cbf_c[pn][gy][gx] = cbf
+                acs[blk] = zq
+            else:
+                acs[blk] = [0] * 15
+        dci = hadamard2(dcs[pn]) if cbp_chroma else [[0, 0], [0, 0]]
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            d = [[0] * 4 for _ in range(4)]
+            for k, c in enumerate(acs[blk]):
+                z = ZIGZAG[k + 1]
+                d[z // 4][z % 4] = dequant_ac(c, qpc, z // 4, z % 4)
+            if cbp_chroma:
+                d[0][0] = dequant_chroma_dc(dci[by][bx], qpc)
+            p = [[pred[by * 4 + j][bx * 4 + i] for i in range(4)] for j in range(4)]
+            recon_block(plane, mbx * 8 + bx * 4, mby * 8 + by * 4, p, d)
+
+
 # -------------------------------------------------------- self checks
 
 MASK64 = (1 << 64) - 1
@@ -1632,7 +2418,7 @@ def halved(px):
 
 
 def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None,
-                 slices=1, deblock_off2=(0, 0)):
+                 slices=1, deblock_off2=(0, 0), cabac=False):
     """Pattern-content frame through the encoder; returns (annexb bytes,
     recon planes)."""
     y = pattern(seed, W, H)
@@ -1640,8 +2426,11 @@ def encode_ydata(seed, W, H, qp, plan, deblock_idc=0, qp_deltas=None,
     v = halved(pattern(seed + 7, W, H))
     body, ctx, _ = encode_frame(y, u, v, W, H, qp, plan,
                                 deblock_idc=deblock_idc, qp_deltas=qp_deltas,
-                                slices=slices, deblock_off2=deblock_off2)
-    return write_sps(W, H) + write_pps(26) + body, (ctx.y, ctx.u, ctx.v), (y, u, v)
+                                slices=slices, deblock_off2=deblock_off2,
+                                cabac=cabac)
+    return (write_sps(W, H, profile=77 if cabac else 66) +
+            write_pps(26, cabac=cabac) + body,
+            (ctx.y, ctx.u, ctx.v), (y, u, v))
 
 
 def _psnr(a, b):
@@ -1689,6 +2478,27 @@ def selftest():
                     assert p >= floor, f"{name} qp={qp}: PSNR {p:.1f} < {floor}"
                     print(f"  {name:5s} qp={qp:2d} deblock={1-dbi} slices={slices} "
                           f"PSNR={p:5.1f} bytes={len(stream)} OK")
+    # same matrix through the CABAC entropy layer; the pixel recon must
+    # equal the CAVLC recon of the same plan/qp (entropy-layer identity:
+    # both code the identical quantized coefficients)
+    for name, plan in plans.items():
+        for qp in (8, 20, 30):
+            for slices in (1, 3):
+                cv_stream, cv_recon, _ = encode_ydata(
+                    3, W, H, qp, plan, deblock_idc=0,
+                    qp_deltas={4: 2, 7: -3}, slices=slices)
+                cb_stream, cb_recon, _ = encode_ydata(
+                    3, W, H, qp, plan, deblock_idc=0,
+                    qp_deltas={4: 2, 7: -3}, slices=slices, cabac=True)
+                got = decode_stream(cb_stream)
+                for pi, pname in enumerate('yuv'):
+                    assert got[pi] == cb_recon[pi], \
+                        f"cabac {name} qp={qp} s={slices}: {pname} mismatch"
+                    assert got[pi] == cv_recon[pi], \
+                        f"cabac-vs-cavlc {name} qp={qp} s={slices}: {pname}"
+                r = len(cb_stream) / len(cv_stream)
+                print(f"  cabac {name:5s} qp={qp:2d} slices={slices} "
+                      f"bytes={len(cb_stream)} ({r:4.2f}x cavlc) OK")
     print("h264_codec: encoder <-> mirror-decoder round-trip passes")
 
 
