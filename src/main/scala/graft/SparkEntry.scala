@@ -2485,13 +2485,35 @@ object SparkEntry {
           min(expr("image_phash(frame)")).as("phash"))
     }),
 
+    // Main-profile CABAC avc1 (the x264-default entropy mode): 8 videos
+    // x 2 embedded CABAC IDR keyframes through the arithmetic entropy
+    // layer; pinned pHashes catch a regression anywhere in the CABAC
+    // engine, context modeling, or the shared reconstruction stack
+    "q_video_frames_h264_cabac" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 160).as[Long]
+        .mapPartitions(_.map(id => (id % 8,
+          graft.tools.GenMedia.h264CabacVideoFixture(id % 8))))
+        .toDF("vid", "content")
+      val frames = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_frames", "column" -> "content",
+          "max_frames" -> 4), Map.empty, "gate")
+      frames.groupBy("vid", "frame_index")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(expr("image_phash(frame)")).as("n_hashes"),
+          min(expr("image_phash(frame)")).as("phash"))
+    }),
+
     // avc1 profile/entropy diagnosability: the codec column must make an
-    // UNDECODABLE avc1 file (High-profile CABAC, the x264 default shape)
-    // distinguishable from a decodable baseline-CAVLC one — bare "avc1"
-    // recreated the silent zero-frame drop the column exists to solve.
-    // Even ids: native baseline streams (4 frames, avc1/baseline-cavlc);
-    // odd ids: the same bytes DECLARING high+cabac (0 frames,
-    // avc1/high-cabac) — profile and entropy parsed from the avcC record
+    // UNDECODABLE avc1 file distinguishable from a decodable one — bare
+    // "avc1" recreated the silent zero-frame drop the column exists to
+    // solve. Even ids: native baseline streams (4 frames,
+    // avc1/baseline-cavlc); odd ids: the same bytes DECLARING high+cabac
+    // (0 frames — the SPS misparses under the declared profile, and
+    // since r18 the declared entropy mode alone no longer implies
+    // undecodable: Main/High CABAC I-slices decode natively)
     "q_video_meta_avc" -> ((s, d) => {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
@@ -5151,6 +5173,23 @@ object SparkEntry {
                (3, 2, -2931598068608179801), (3, 3, -3408370078018625745),
                (4, 0, -424367030519774589), (4, 1, 109707021242833343),
                (4, 2, -696320392787150201), (4, 3, -1423060614499648149))
+              t(base, fidx, phash))
+         SELECT c.vid, p.fidx AS frame_index, c.n_rows,
+           1::BIGINT AS n_hashes, p.phash::BIGINT AS phash
+         FROM c JOIN p ON p.base = c.vid % 4 + 1""",
+
+    // pinned pHashes of the 8 embedded Main-profile CABAC keyframes
+    // (bases 1..4 x frames 0..1): a regression anywhere in the CABAC
+    // arithmetic engine, the context models, or the shared intra/
+    // dequant/deblock stack flips them; vid -> base is vid % 4 + 1
+    "q_video_frames_h264_cabac" ->
+      """WITH c AS (SELECT doc_id % 8 AS vid, count(*)::BIGINT AS n_rows
+                    FROM documents WHERE doc_id < 160 GROUP BY 1),
+            p AS (SELECT * FROM (VALUES
+               (1, 0, -5911842460359768959), (1, 1, -4367245356331379901),
+               (2, 0, -1541267189407364191), (2, 1, 7820846899659986897),
+               (3, 0, 3831853729669327327), (3, 1, 716668274781294701),
+               (4, 0, -424367030519774589), (4, 1, 109707021242833343))
               t(base, fidx, phash))
          SELECT c.vid, p.fidx AS frame_index, c.n_rows,
            1::BIGINT AS n_hashes, p.phash::BIGINT AS phash

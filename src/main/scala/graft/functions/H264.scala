@@ -1,25 +1,35 @@
 package graft.functions
 
-/** Native baseline-profile H.264 (AVC) I-frame decoder — the avc1 face
-  * of the video tier, closing the dominant-crawl-codec gap: real-world
-  * MP4 video is overwhelmingly avc1, and before this path such files
-  * yielded zero frames silently. Scope mirrors the VP8 face: IDR
-  * keyframes only (what the near-dup vote consumes), CAVLC entropy
-  * coding (baseline has no CABAC), 4:2:0, I_PCM / I_16x16 / I_4x4
+/** Native H.264 (AVC) I-frame decoder — the avc1 face of the video
+  * tier, closing the dominant-crawl-codec gap: real-world MP4 video is
+  * overwhelmingly avc1, and before this path such files yielded zero
+  * frames silently. Scope mirrors the VP8 face: IDR keyframes only
+  * (what the near-dup vote consumes), 4:2:0, I_PCM / I_16x16 / I_4x4
   * macroblocks with all intra prediction modes, exact integer inverse
-  * transforms (spec 8.5) and in-loop deblocking (spec 8.7).
+  * transforms (spec 8.5), in-loop deblocking (spec 8.7), and BOTH
+  * entropy layers: baseline CAVLC (clause 9.2) and Main-profile
+  * I-slice CABAC (clause 9.3 — the x264-default entropy mode, so
+  * genuine crawl MP4 decodes). High-profile streams decode when they
+  * use none of the High-only coding tools (no 8x8 transform, no
+  * scaling matrices, no split Cr offset — parsePps fails closed on
+  * each).
   *
   * Implemented from the PUBLIC ITU-T Rec. H.264 specification. CAVLC
-  * code tables ride in [[H264Tables]] (generated, provenance documented
-  * there); correctness anchors: the independent Python spec
+  * code tables and CABAC state/init tables ride in [[H264Tables]]
+  * (generated, provenance documented there and in
+  * tools/h264_tables.py; the CABAC context-init priors are a
+  * best-effort transcription this environment cannot re-verify — the
+  * engine, binarizations and context derivations carry no such
+  * caveat). Correctness anchors: the independent Python spec
   * implementation in tools/h264_codec.py must reproduce every decode
-  * bit-exactly (H264Spec), and the q_video_frames_h264 gate pins
+  * bit-exactly (H264Spec), and the q_video_frames_h264 gates pin
   * decoded-frame pHashes against the SAME pattern content decoded
   * through the unrelated JPEG/PNG image path.
   *
   * Totality: every entry point returns null on hostile/unsupported
-  * bytes (CABAC, non-4:2:0, truncations, corrupt VLC) — never throws,
-  * never allocates from untrusted length fields beyond sane caps.
+  * bytes (non-4:2:0, truncations, corrupt VLC/arithmetic state) —
+  * never throws, never allocates from untrusted length fields beyond
+  * sane caps.
   */
 object H264 {
 
@@ -198,6 +208,15 @@ object H264 {
     // which this decoder does not consume — fail closed like the other
     // out-of-scope features (slice groups, POC type 1)
     if (r.u(1) != 0) abort()
+    // High-profile PPS extension (more_rbsp_data after the baseline
+    // fields): 8x8 transforms and scaling matrices change the slice
+    // syntax and the dequant — fail closed; a distinct Cr offset would
+    // silently split qpc, so only accept it when equal to the Cb one
+    if (r.pos < r.lastOneBit) {
+      if (r.u(1) != 0) abort() // transform_8x8_mode_flag
+      if (r.u(1) != 0) abort() // pic_scaling_matrix_present_flag
+      if (r.se() != chromaOff) abort() // second_chroma_qp_index_offset
+    }
     if (qp < 0 || qp > 51) abort()
     Pps(qp, chromaOff, dbc, picOrder, cabac)
   }
@@ -1004,6 +1023,612 @@ object H264 {
     }
   }
 
+  // ------------------------------------------------------- CABAC (9.3)
+  // Main-profile I-slice arithmetic entropy layer: engine (9.3.3.2),
+  // context initialization (9.3.1.1), binarizations (9.3.2) and
+  // context-increment derivations (9.3.3.1). Tables ride in
+  // [[H264Tables]] (single transcription shared with the Python fixture
+  // codec — see tools/h264_tables.py for the provenance note: the
+  // engine/binarization/derivation logic follows the public spec
+  // exactly; the context-init PRIORS are a best-effort transcription
+  // that this environment cannot re-verify, which leaves every
+  // fixture/gate bit-exact but marks third-party-stream conformance as
+  // pending one external check of those constants).
+
+  /** Arithmetic decoder; models pack pStateIdx << 1 | valMPS. */
+  private final class Cabac(r: Reader) {
+    private[this] var range = 510
+    private[this] var offset = r.u(9)
+    def decision(models: Array[Int], idx: Int): Int = {
+      val m = models(idx)
+      val st = m >> 1
+      val mps = m & 1
+      val rlps = H264Tables.rangeTabLps((st << 2) | ((range >> 6) & 3))
+      range -= rlps
+      var b = 0
+      if (offset >= range) {
+        b = 1 - mps
+        offset -= range
+        range = rlps
+        val nmps = if (st == 0) 1 - mps else mps
+        models(idx) = (H264Tables.transIdxLps(st) << 1) | nmps
+      } else {
+        b = mps
+        models(idx) = (math.min(st + 1, 62) << 1) | mps
+      }
+      while (range < 256) { range <<= 1; offset = (offset << 1) | r.bit() }
+      b
+    }
+    def bypass(): Int = {
+      offset = (offset << 1) | r.bit()
+      if (offset >= range) { offset -= range; 1 } else 0
+    }
+    /** end_of_slice_flag / the I_PCM bin. When this returns 1 the
+      * reader's bit position equals the encoder's flushed output end
+      * (the engine's 9-bit pre-read exactly offsets the flush tail), so
+      * byte-aligned pcm samples follow directly. */
+    def terminate(): Int = {
+      range -= 2
+      if (offset >= range) 1
+      else {
+        while (range < 256) { range <<= 1; offset = (offset << 1) | r.bit() }
+        0
+      }
+    }
+  }
+
+  private def cabacInitModels(sliceQp: Int): Array[Int] = {
+    val qp = clip3(0, 51, sliceQp)
+    val out = new Array[Int](276)
+    var i = 0
+    while (i < 276) {
+      val m = H264Tables.ctxInitI(2 * i)
+      val n = H264Tables.ctxInitI(2 * i + 1)
+      val pre = clip3(1, 126, ((m * qp) >> 4) + n)
+      out(i) = if (pre <= 63) (63 - pre) << 1 else ((pre - 64) << 1) | 1
+      i += 1
+    }
+    out
+  }
+
+  // residual-section bases and per-category offsets (Table 9-40)
+  private val CBF_BASE = 85
+  private val SIG_BASE = 105
+  private val LAST_BASE = 166
+  private val ABS_BASE = 227
+  private val CAT_OFF_CBF = Array(0, 4, 8, 12, 16)
+  private val CAT_OFF_SIG = Array(0, 15, 29, 44, 47)
+  private val CAT_OFF_ABS = Array(0, 10, 20, 30, 39)
+
+  /** Picture-level neighbor state for the context-increment
+    * derivations (9.3.3.1.1); slices share it, context models do not.
+    * kind: -1 undecoded, 0 I_NxN, 1 I_16x16, 2 I_PCM. */
+  private final class CabacPic(val mbsX: Int, val mbsY: Int) {
+    val kind = Array.fill(mbsY, mbsX)(-1)
+    val cbpLuma = Array.fill(mbsY, mbsX)(0)
+    val cbpChroma = Array.fill(mbsY, mbsX)(0)
+    val cmode = Array.fill(mbsY, mbsX)(0)
+    val cbfY = Array.fill(mbsY * 4, mbsX * 4)(0)
+    val cbfDcY = Array.fill(mbsY, mbsX)(0)
+    val cbfC = Array.fill(2)(Array.fill(mbsY * 2, mbsX * 2)(0))
+    val cbfDcC = Array.fill(2)(Array.fill(mbsY, mbsX)(0))
+    var lastDeltaNz = false
+
+    def setPcm(mbx: Int, mby: Int): Unit = {
+      kind(mby)(mbx) = 2
+      var j = 0
+      while (j < 4) {
+        var i = 0
+        while (i < 4) { cbfY(mby * 4 + j)(mbx * 4 + i) = 1; i += 1 }
+        j += 1
+      }
+      cbfDcY(mby)(mbx) = 1
+      var c = 0
+      while (c < 2) {
+        j = 0
+        while (j < 2) {
+          var i = 0
+          while (i < 2) { cbfC(c)(mby * 2 + j)(mbx * 2 + i) = 1; i += 1 }
+          j += 1
+        }
+        cbfDcC(c)(mby)(mbx) = 1
+        c += 1
+      }
+      lastDeltaNz = false
+    }
+
+    def mbTypeInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int): Int = {
+      var inc = 0
+      if (ctx.availLeft(mbx * 16, mby * 16, sid, 16) &&
+        kind(mby)(mbx - 1) != 0) inc += 1
+      if (ctx.availUp(mbx * 16, mby * 16, sid, 16) &&
+        kind(mby - 1)(mbx) != 0) inc += 1
+      inc
+    }
+
+    def cmodeInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int): Int = {
+      var inc = 0
+      if (ctx.availLeft(mbx * 16, mby * 16, sid, 16) &&
+        kind(mby)(mbx - 1) != 2 && cmode(mby)(mbx - 1) != 0) inc += 1
+      if (ctx.availUp(mbx * 16, mby * 16, sid, 16) &&
+        kind(mby - 1)(mbx) != 2 && cmode(mby - 1)(mbx) != 0) inc += 1
+      inc
+    }
+
+    /** coded_block_pattern luma condTermFlag (inverted polarity per
+      * 9.3.3.1.1.4): 1 iff the neighboring 8x8 block exists in this
+      * slice, is not I_PCM and its cbp bit is CLEAR. curBits carries
+      * the current macroblock's already-coded luma bins. */
+    private def cbpLumaCond(ctx: Ctx, sid: Int, mbx: Int, mby: Int,
+                            curBits: Int, nbx: Int, nby: Int,
+                            nblk: Int): Int = {
+      if (nbx == mbx && nby == mby)
+        return if (((curBits >> nblk) & 1) != 0) 0 else 1
+      val avail =
+        if (nbx < mbx) ctx.availLeft(mbx * 16, mby * 16, sid, 16)
+        else ctx.availUp(mbx * 16, mby * 16, sid, 16)
+      if (!avail || kind(nby)(nbx) == 2) return 0
+      if (((cbpLuma(nby)(nbx) >> nblk) & 1) != 0) 0 else 1
+    }
+
+    def cbpLumaInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int, blk: Int,
+                   curBits: Int): Int = {
+      val a =
+        if (blk == 0 || blk == 2)
+          cbpLumaCond(ctx, sid, mbx, mby, curBits, mbx - 1, mby, blk + 1)
+        else cbpLumaCond(ctx, sid, mbx, mby, curBits, mbx, mby, blk - 1)
+      val b =
+        if (blk == 0 || blk == 1)
+          cbpLumaCond(ctx, sid, mbx, mby, curBits, mbx, mby - 1, blk + 2)
+        else cbpLumaCond(ctx, sid, mbx, mby, curBits, mbx, mby, blk - 2)
+      a + 2 * b
+    }
+
+    private def cbpChromaCond(ctx: Ctx, sid: Int, mbx: Int, mby: Int,
+                              left: Boolean, want2: Boolean): Int = {
+      val avail =
+        if (left) ctx.availLeft(mbx * 16, mby * 16, sid, 16)
+        else ctx.availUp(mbx * 16, mby * 16, sid, 16)
+      if (!avail) return 0
+      val nbx = if (left) mbx - 1 else mbx
+      val nby = if (left) mby else mby - 1
+      if (kind(nby)(nbx) == 2) return 1
+      val c = cbpChroma(nby)(nbx)
+      if (if (want2) c == 2 else c != 0) 1 else 0
+    }
+
+    def cbpChromaInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int,
+                     binIdx: Int): Int = {
+      val want2 = binIdx == 1
+      val a = cbpChromaCond(ctx, sid, mbx, mby, left = true, want2)
+      val b = cbpChromaCond(ctx, sid, mbx, mby, left = false, want2)
+      (if (want2) 4 else 0) + a + 2 * b
+    }
+
+    /** coded_block_flag condTermFlag for a per-MB transform block (DC
+      * categories 0 and 3): unavailable -> 1 (intra picture), I_PCM ->
+      * 1, else the stored flag (0 when the neighbor carried no such
+      * block). */
+    private def mbCond(ctx: Ctx, sid: Int, mbx: Int, mby: Int,
+                       left: Boolean, grid: Array[Array[Int]]): Int = {
+      val avail =
+        if (left) ctx.availLeft(mbx * 16, mby * 16, sid, 16)
+        else ctx.availUp(mbx * 16, mby * 16, sid, 16)
+      if (!avail) return 1
+      val nbx = if (left) mbx - 1 else mbx
+      val nby = if (left) mby else mby - 1
+      if (kind(nby)(nbx) == 2) 1 else grid(nby)(nbx)
+    }
+
+    def cbfDcYInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int): Int =
+      mbCond(ctx, sid, mbx, mby, left = true, cbfDcY) +
+        2 * mbCond(ctx, sid, mbx, mby, left = false, cbfDcY)
+
+    def cbfDcCInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int, c: Int): Int =
+      mbCond(ctx, sid, mbx, mby, left = true, cbfDcC(c)) +
+        2 * mbCond(ctx, sid, mbx, mby, left = false, cbfDcC(c))
+
+    /** coded_block_flag condTermFlag for a sub-block neighbor (cats
+      * 1/2/4) at grid (ngx, ngy), per blocks-per-MB-edge `per`. */
+    private def blkFlag(ctx: Ctx, sid: Int, mbx: Int, mby: Int,
+                        ngx: Int, ngy: Int, grid: Array[Array[Int]],
+                        per: Int): Int = {
+      if (ngx < 0 || ngy < 0) return 1
+      val nmbx = ngx / per
+      val nmby = ngy / per
+      if (nmbx == mbx && nmby == mby) return grid(ngy)(ngx)
+      val avail =
+        if (nmbx < mbx) ctx.availLeft(mbx * 16, mby * 16, sid, 16)
+        else ctx.availUp(mbx * 16, mby * 16, sid, 16)
+      if (!avail || kind(nmby)(nmbx) == 2) 1 else grid(ngy)(ngx)
+    }
+
+    def cbfYInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int,
+                gx: Int, gy: Int): Int =
+      blkFlag(ctx, sid, mbx, mby, gx - 1, gy, cbfY, 4) +
+        2 * blkFlag(ctx, sid, mbx, mby, gx, gy - 1, cbfY, 4)
+
+    def cbfCInc(ctx: Ctx, sid: Int, mbx: Int, mby: Int,
+                gx: Int, gy: Int, c: Int): Int =
+      blkFlag(ctx, sid, mbx, mby, gx - 1, gy, cbfC(c), 2) +
+        2 * blkFlag(ctx, sid, mbx, mby, gx, gy - 1, cbfC(c), 2)
+  }
+
+  /** mb_type for I slices (Table 9-36): 0 I_NxN, 25 I_PCM, 1..24
+    * I_16x16 (pred + 4*cbpChroma + 12*cbpLuma15). */
+  private def cabacMbType(cab: Cabac, models: Array[Int], pic: CabacPic,
+                          ctx: Ctx, sid: Int, mbx: Int, mby: Int): Int = {
+    val inc = pic.mbTypeInc(ctx, sid, mbx, mby)
+    if (cab.decision(models, 3 + inc) == 0) return 0
+    if (cab.terminate() == 1) return 25
+    val b2 = cab.decision(models, 6)
+    var cbpChroma = 0
+    if (cab.decision(models, 7) == 1)
+      cbpChroma = if (cab.decision(models, 8) == 1) 2 else 1
+    val pm = 2 * cab.decision(models, 9) + cab.decision(models, 10)
+    1 + pm + 4 * cbpChroma + 12 * b2
+  }
+
+  private def cabacCmode(cab: Cabac, models: Array[Int], pic: CabacPic,
+                         ctx: Ctx, sid: Int, mbx: Int, mby: Int): Int = {
+    val inc = pic.cmodeInc(ctx, sid, mbx, mby)
+    if (cab.decision(models, 64 + inc) == 0) return 0
+    if (cab.decision(models, 67) == 0) return 1
+    if (cab.decision(models, 67) == 0) 2 else 3
+  }
+
+  private def cabacCbp(cab: Cabac, models: Array[Int], pic: CabacPic,
+                       ctx: Ctx, sid: Int, mbx: Int, mby: Int): Int = {
+    var luma = 0
+    var blk = 0
+    while (blk < 4) {
+      val inc = pic.cbpLumaInc(ctx, sid, mbx, mby, blk, luma)
+      luma |= cab.decision(models, 73 + inc) << blk
+      blk += 1
+    }
+    var chroma = 0
+    if (cab.decision(models, 77 + pic.cbpChromaInc(ctx, sid, mbx, mby, 0)) == 1)
+      chroma =
+        if (cab.decision(models, 77 + pic.cbpChromaInc(ctx, sid, mbx, mby, 1)) == 1) 2
+        else 1
+    luma | (chroma << 4)
+  }
+
+  private def cabacQpDelta(cab: Cabac, models: Array[Int],
+                           pic: CabacPic): Int = {
+    val inc = if (pic.lastDeltaNz) 1 else 0
+    var k = 0
+    if (cab.decision(models, 60 + inc) == 1) {
+      k = 1
+      while (cab.decision(models, if (k == 1) 62 else 63) == 1) {
+        k += 1
+        if (k > 110) abort() // unary runaway on hostile bits
+      }
+    }
+    val delta = if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    pic.lastDeltaNz = delta != 0
+    delta
+  }
+
+  /** residual_block_cabac (7.3.5.3.3): coded_block_flag, significance
+    * map, levels in reverse scan order. Fills `out` (length n,
+    * scan-ordered) and returns the coded_block_flag. */
+  private def cabacResidual(cab: Cabac, models: Array[Int], cat: Int,
+                            n: Int, cbfInc: Int, out: Array[Int]): Int = {
+    java.util.Arrays.fill(out, 0, n, 0)
+    if (cab.decision(models, CBF_BASE + CAT_OFF_CBF(cat) + cbfInc) == 0)
+      return 0
+    val sigBase = SIG_BASE + CAT_OFF_SIG(cat)
+    val lastBase = LAST_BASE + CAT_OFF_SIG(cat)
+    val sig = new Array[Boolean](n)
+    var numCoeff = n
+    var i = 0
+    while (i < numCoeff - 1) {
+      val inc = if (cat == 3) math.min(i, 2) else i
+      if (cab.decision(models, sigBase + inc) == 1) {
+        sig(i) = true
+        if (cab.decision(models, lastBase + inc) == 1) numCoeff = i + 1
+      }
+      i += 1
+    }
+    if (numCoeff == n) sig(n - 1) = true // implied significant
+    val absBase = ABS_BASE + CAT_OFF_ABS(cat)
+    var eq1 = 0
+    var gt1 = 0
+    i = numCoeff - 1
+    while (i >= 0) {
+      if (sig(i)) {
+        val inc0 = if (gt1 != 0) 0 else math.min(4, 1 + eq1)
+        val incRest = 5 + math.min(if (cat == 3) 3 else 4, gt1)
+        var v = 0
+        while (v < 14 &&
+          cab.decision(models, absBase + (if (v == 0) inc0 else incRest)) == 1)
+          v += 1
+        if (v == 14) { // UEG0 suffix in bypass (9.3.2.3)
+          var k = 0
+          while (cab.bypass() == 1) {
+            v += 1 << k
+            k += 1
+            if (k > 30) abort()
+          }
+          while (k > 0) { k -= 1; v += cab.bypass() << k }
+        }
+        var level = v + 1
+        if (cab.bypass() == 1) level = -level
+        out(i) = level
+        if (v == 0) eq1 += 1 else gt1 += 1
+      }
+      i -= 1
+    }
+    1
+  }
+
+  /** CABAC twin of [[decodeSlice]]: same reconstruction, arithmetic
+    * entropy layer. `pic` carries the picture-level neighbor state. */
+  private def decodeSliceCabac(r: Reader, sps: Sps, pps: Pps, ctx: Ctx,
+                               mbqp: Array[Array[Int]],
+                               mbParams: Array[Array[Int]],
+                               expectMb: Int, pic: CabacPic): Int = {
+    val mbsX = sps.w / 16
+    val mbsY = sps.h / 16
+    val firstMb = r.ue()
+    if (firstMb != expectMb) abort()
+    val sid = firstMb
+    val sliceType = r.ue()
+    if (sliceType != 2 && sliceType != 7) abort()
+    if (r.ue() != 0) abort() // pps_id
+    r.u(sps.log2MaxFrameNum)
+    r.ue() // idr_pic_id
+    if (sps.pocType == 0) {
+      r.u(sps.log2MaxPocLsb)
+      if (pps.picOrder) r.se()
+    }
+    r.u(1); r.u(1) // dec_ref_pic_marking (IDR)
+    var qpy = pps.qp + r.se()
+    if (qpy < 0 || qpy > 51) abort()
+    var deblockIdc = 0
+    var offA = 0
+    var offB = 0
+    if (pps.deblockCtl) {
+      deblockIdc = r.ue()
+      if (deblockIdc > 2) abort()
+      if (deblockIdc != 1) {
+        offA = r.se() * 2
+        offB = r.se() * 2
+        if (offA < -12 || offA > 12 || offB < -12 || offB > 12) abort()
+      }
+    }
+    val packedParams = (deblockIdc & 0xFF) | ((offA + 64) << 8) | ((offB + 64) << 16)
+    while (r.pos % 8 != 0) if (r.bit() != 1) abort() // cabac_alignment_one_bit
+    var cab = new Cabac(r)
+    val models = cabacInitModels(qpy)
+    pic.lastDeltaNz = false
+    val zz = new Array[Int](16)
+    val ac = new Array[Int](15)
+    val pred16 = new Array[Int](256)
+    val pred4 = new Array[Int](16)
+    val pred8 = new Array[Int](64)
+    val d = new Array[Int](16)
+    var mbi = firstMb
+    var done = false
+    while (!done) {
+      if (mbi >= mbsX * mbsY) abort() // slice overruns the picture
+      val mbx = mbi % mbsX
+      val mby = mbi / mbsX
+      ctx.mbSlice(mby)(mbx) = sid
+      mbParams(mby)(mbx) = packedParams
+      val upOk = ctx.availUp(mbx * 16, mby * 16, sid, 16)
+      val leftOk = ctx.availLeft(mbx * 16, mby * 16, sid, 16)
+      val mbType = cabacMbType(cab, models, pic, ctx, sid, mbx, mby)
+      if (mbType == 25) { // I_PCM: raw samples; engine re-inits after
+        r.align()
+        var j = 0
+        while (j < 16) {
+          var i = 0
+          while (i < 16) { ctx.y((mby * 16 + j) * ctx.W + mbx * 16 + i) = r.u(8); i += 1 }
+          j += 1
+        }
+        var pi = 0
+        while (pi < 2) {
+          val pl = if (pi == 0) ctx.u else ctx.v
+          j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) { pl((mby * 8 + j) * (ctx.W / 2) + mbx * 8 + i) = r.u(8); i += 1 }
+            j += 1
+          }
+          pi += 1
+        }
+        var by = 0
+        while (by < 4) {
+          var bx = 0
+          while (bx < 4) { ctx.i4mode(mby * 4 + by)(mbx * 4 + bx) = -1; bx += 1 }
+          by += 1
+        }
+        mbqp(mby)(mbx) = 0
+        pic.setPcm(mbx, mby)
+        cab = new Cabac(r)
+      } else if (mbType == 0) { // Intra_4x4
+        pic.kind(mby)(mbx) = 0
+        val flags = new Array[Int](16)
+        val rems = new Array[Int](16)
+        var blk = 0
+        while (blk < 16) {
+          flags(blk) = cab.decision(models, 68)
+          if (flags(blk) == 0) { // FL cMax 7 is LSB-first (9.3.2.4)
+            var rem = cab.decision(models, 69)
+            rem |= cab.decision(models, 69) << 1
+            rem |= cab.decision(models, 69) << 2
+            rems(blk) = rem
+          }
+          blk += 1
+        }
+        val cmode = cabacCmode(cab, models, pic, ctx, sid, mbx, mby)
+        pic.cmode(mby)(mbx) = cmode
+        val cbp = cabacCbp(cab, models, pic, ctx, sid, mbx, mby)
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4 // the TU binarization caps this at 2
+        pic.cbpLuma(mby)(mbx) = cbpLuma
+        pic.cbpChroma(mby)(mbx) = cbpChroma
+        if (cbp != 0) qpy = ((qpy + cabacQpDelta(cab, models, pic)) + 52) % 52
+        else pic.lastDeltaNz = false
+        mbqp(mby)(mbx) = qpy
+        val qpc = qpcOf(qpy, pps.chromaOff)
+        blk = 0
+        while (blk < 16) {
+          val x = mbx * 16 + blkX(blk) * 4
+          val y = mby * 16 + blkY(blk) * 4
+          val gx = x / 4
+          val gy = y / 4
+          val aL = ctx.availLeft(x, y, sid, 16)
+          val aU = ctx.availUp(x, y, sid, 16)
+          val predm = ctx.predI4Mode(gx, gy, aL, aU)
+          val m = if (flags(blk) == 1) predm
+          else if (rems(blk) < predm) rems(blk) else rems(blk) + 1
+          ctx.i4mode(gy)(gx) = m
+          pred4x4(ctx.y, ctx.W, ctx.W, x, y, m, pred4,
+            aU, aL, ctx.availAr(x, y, sid))
+          val quad = (if ((x % 16) >= 8) 1 else 0) + (if ((y % 16) >= 8) 2 else 0)
+          if ((cbpLuma & (1 << quad)) != 0)
+            pic.cbfY(gy)(gx) = cabacResidual(cab, models, 2, 16,
+              pic.cbfYInc(ctx, sid, mbx, mby, gx, gy), zz)
+          else java.util.Arrays.fill(zz, 0)
+          var k = 0
+          java.util.Arrays.fill(d, 0)
+          while (k < 16) {
+            val z = ZIGZAG(k)
+            d(z) = dequantAc(zz(k), qpy, z / 4, z % 4)
+            k += 1
+          }
+          reconBlock(ctx.y, ctx.W, x, y, pred4, d)
+          blk += 1
+        }
+        decodeChromaCabac(cab, models, pic, ctx, sid, mbx, mby, cbpChroma,
+          cmode, qpc, zz, ac, pred8, d, upOk, leftOk)
+      } else if (mbType >= 1 && mbType <= 24) { // I_16x16
+        val mode = (mbType - 1) % 4
+        val cbpChroma = ((mbType - 1) / 4) % 3
+        val cbpLuma = 15 * ((mbType - 1) / 12)
+        pic.kind(mby)(mbx) = 1
+        pic.cbpLuma(mby)(mbx) = cbpLuma
+        pic.cbpChroma(mby)(mbx) = cbpChroma
+        val cmode = cabacCmode(cab, models, pic, ctx, sid, mbx, mby)
+        pic.cmode(mby)(mbx) = cmode
+        qpy = ((qpy + cabacQpDelta(cab, models, pic)) + 52) % 52
+        mbqp(mby)(mbx) = qpy
+        val qpc = qpcOf(qpy, pps.chromaOff)
+        predNxN(ctx.y, ctx.W, mbx * 16, mby * 16, 16, mode, chroma = false,
+          pred16, upOk, leftOk)
+        pic.cbfDcY(mby)(mbx) = cabacResidual(cab, models, 0, 16,
+          pic.cbfDcYInc(ctx, sid, mbx, mby), zz)
+        val dcm = new Array[Int](16)
+        var k = 0
+        while (k < 16) { dcm(ZIGZAG(k)) = zz(k); k += 1 }
+        val dci = hadamard4(dcm)
+        var blk = 0
+        while (blk < 16) {
+          val x = mbx * 16 + blkX(blk) * 4
+          val y = mby * 16 + blkY(blk) * 4
+          val gx = x / 4
+          val gy = y / 4
+          java.util.Arrays.fill(d, 0)
+          if (cbpLuma != 0) {
+            pic.cbfY(gy)(gx) = cabacResidual(cab, models, 1, 15,
+              pic.cbfYInc(ctx, sid, mbx, mby, gx, gy), ac)
+            var kk = 0
+            while (kk < 15) {
+              val z = ZIGZAG(kk + 1)
+              d(z) = dequantAc(ac(kk), qpy, z / 4, z % 4)
+              kk += 1
+            }
+          }
+          ctx.i4mode(gy)(gx) = -1
+          d(0) = dequantLumaDc(dci(blkY(blk) * 4 + blkX(blk)), qpy)
+          var j = 0
+          while (j < 4) {
+            var i2 = 0
+            while (i2 < 4) {
+              pred4(j * 4 + i2) = pred16((blkY(blk) * 4 + j) * 16 + blkX(blk) * 4 + i2)
+              i2 += 1
+            }
+            j += 1
+          }
+          reconBlock(ctx.y, ctx.W, x, y, pred4, d)
+          blk += 1
+        }
+        decodeChromaCabac(cab, models, pic, ctx, sid, mbx, mby, cbpChroma,
+          cmode, qpc, zz, ac, pred8, d, upOk, leftOk)
+      } else abort()
+      mbi += 1
+      done = cab.terminate() == 1 // end_of_slice_flag
+    }
+    mbi
+  }
+
+  private def decodeChromaCabac(cab: Cabac, models: Array[Int],
+                                pic: CabacPic, ctx: Ctx, sid: Int,
+                                mbx: Int, mby: Int, cbpChroma: Int,
+                                cmode: Int, qpc: Int, zz: Array[Int],
+                                ac: Array[Int], pred8: Array[Int],
+                                d: Array[Int], upOk: Boolean,
+                                leftOk: Boolean): Unit = {
+    val cw = ctx.W / 2
+    val dcs = Array.fill(2)(new Array[Int](4))
+    if (cbpChroma != 0) {
+      var pi = 0
+      while (pi < 2) {
+        pic.cbfDcC(pi)(mby)(mbx) = cabacResidual(cab, models, 3, 4,
+          pic.cbfDcCInc(ctx, sid, mbx, mby, pi), zz)
+        Array.copy(zz, 0, dcs(pi), 0, 4)
+        pi += 1
+      }
+    }
+    var pi = 0
+    while (pi < 2) {
+      val pl = if (pi == 0) ctx.u else ctx.v
+      predNxN(pl, cw, mbx * 8, mby * 8, 8, cmode, chroma = true, pred8,
+        upOk, leftOk)
+      val acs = Array.fill(4)(new Array[Int](15))
+      var blk = 0
+      while (blk < 4) {
+        val gx = mbx * 2 + blk % 2
+        val gy = mby * 2 + blk / 2
+        if (cbpChroma == 2) {
+          pic.cbfC(pi)(gy)(gx) = cabacResidual(cab, models, 4, 15,
+            pic.cbfCInc(ctx, sid, mbx, mby, gx, gy, pi), ac)
+          Array.copy(ac, 0, acs(blk), 0, 15)
+        }
+        blk += 1
+      }
+      val f = dcs(pi)
+      val dci = Array(f(0) + f(1) + f(2) + f(3), f(0) - f(1) + f(2) - f(3),
+        f(0) + f(1) - f(2) - f(3), f(0) - f(1) - f(2) + f(3))
+      blk = 0
+      while (blk < 4) {
+        val bx = blk % 2
+        val by = blk / 2
+        java.util.Arrays.fill(d, 0)
+        var kk = 0
+        while (kk < 15) {
+          val z = ZIGZAG(kk + 1)
+          d(z) = dequantAc(acs(blk)(kk), qpc, z / 4, z % 4)
+          kk += 1
+        }
+        if (cbpChroma != 0) d(0) = dequantChromaDc(dci(blk), qpc)
+        val p4 = new Array[Int](16)
+        var j = 0
+        while (j < 4) {
+          var i2 = 0
+          while (i2 < 4) { p4(j * 4 + i2) = pred8((by * 4 + j) * 8 + bx * 4 + i2); i2 += 1 }
+          j += 1
+        }
+        reconBlock(pl, cw, mbx * 8 + bx * 4, mby * 8 + by * 4, p4, d)
+        blk += 1
+      }
+      pi += 1
+    }
+  }
+
   // ------------------------------------------------------ entry points
 
   /** Decode the first IDR picture of an Annex-B stream (SPS+PPS+IDR,
@@ -1017,6 +1642,7 @@ object H264 {
       var ctx: Ctx = null
       var mbqp: Array[Array[Int]] = null
       var mbParams: Array[Array[Int]] = null
+      var pic: CabacPic = null
       var nextMb = 0
       var total = Int.MaxValue
       splitNals(b).foreach { case (typ, rbsp) =>
@@ -1035,9 +1661,13 @@ object H264 {
               mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
               // default params = idc 1 (off) until a slice stamps its MBs
               mbParams = Array.fill(sps.h / 16, sps.w / 16)(1)
+              if (pps.cabac) pic = new CabacPic(sps.w / 16, sps.h / 16)
             }
-            nextMb = decodeSlice(new Reader(rbsp), sps, pps, ctx, mbqp,
-              mbParams, nextMb)
+            nextMb =
+              if (pps.cabac) decodeSliceCabac(new Reader(rbsp), sps, pps,
+                ctx, mbqp, mbParams, nextMb, pic)
+              else decodeSlice(new Reader(rbsp), sps, pps, ctx, mbqp,
+                mbParams, nextMb)
           case _ => ()
         }
       }
@@ -1065,11 +1695,14 @@ object H264 {
       val ctx = new Ctx(sps.w, sps.h)
       val mbqp = Array.fill(sps.h / 16, sps.w / 16)(0)
       val mbParams = Array.fill(sps.h / 16, sps.w / 16)(1)
+      val pic = if (pps.cabac) new CabacPic(sps.w / 16, sps.h / 16) else null
       var nextMb = 0
       idrNals.foreach { nal =>
-        nextMb = decodeSlice(
-          new Reader(unescape(nal, 0, nal.length)), sps, pps, ctx, mbqp,
-          mbParams, nextMb)
+        val rr = new Reader(unescape(nal, 0, nal.length))
+        nextMb =
+          if (pps.cabac) decodeSliceCabac(rr, sps, pps, ctx, mbqp,
+            mbParams, nextMb, pic)
+          else decodeSlice(rr, sps, pps, ctx, mbqp, mbParams, nextMb)
       }
       if (nextMb < (sps.w / 16) * (sps.h / 16)) return null // incomplete
       deblock(ctx, mbqp, pps.chromaOff, mbParams)

@@ -144,6 +144,17 @@ object GenMedia {
       (0 until 4).map(k => H264Fixtures.stream(base, k)))
   }
 
+  /** avc1 MP4 whose samples are Main-profile CABAC IDR streams (the
+    * x264-default entropy mode) — 2 frames per video, same pattern
+    * content as [[h264VideoFixture]]'s first two frames of the same
+    * base, so the two entropy layers are cross-dup anchors of each
+    * other. video_meta reads "avc1/main-cabac" from the avcC. */
+  def h264CabacVideoFixture(vid: Long): Array[Byte] = {
+    val base = (vid % 4).toInt + 1
+    MediaKernels.encodeAvc1Mp4(48, 48,
+      (0 until 2).map(k => H264Fixtures.cabacStream(base, k)))
+  }
+
   /** An avc1 MP4 DECLARING High-profile CABAC (SPS profile_idc byte →
     * 100, PPS entropy_coding_mode_flag → 1) over baseline slice bytes:
     * guaranteed to decode ZERO frames (parseSps expects High-profile

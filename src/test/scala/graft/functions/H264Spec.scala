@@ -141,9 +141,11 @@ class H264Spec extends SparkSpec {
     assert(H264.decodeAnnexB("definitely not a NAL stream at all".getBytes) == null)
     assert(H264.decodeAnnexB(Array.emptyByteArray) == null)
     assert(H264.decodeAnnexB(null) == null)
-    // a CABAC PPS (entropy_coding_mode_flag = 1) is rejected, not mis-parsed
+    // CAVLC slice bits MISDECLARED as CABAC (entropy flag flipped in the
+    // PPS) must come back null, never a garbage frame: the arithmetic
+    // decode of VLC bits runs out of macroblock budget or trips an
+    // invalid-syntax abort long before a full picture "succeeds"
     val cabac = H264Fixtures.stream(1, 0).clone()
-    // locate the PPS NAL (type 8) and flip its first RBSP bit region:
     // pps starts 0,0,0,1,0x68, payload begins "101" (ue(0),ue(0)) then the
     // entropy bit — flipping bit 2 of the first payload byte sets it
     val idx = (0 until cabac.length - 5).find(j =>
@@ -151,5 +153,96 @@ class H264Spec extends SparkSpec {
         cabac(j + 3) == 1 && (cabac(j + 4) & 0x1F) == 8).get
     cabac(idx + 5) = (cabac(idx + 5) | 0x20).toByte
     assert(H264.decodeAnnexB(cabac) == null)
+  }
+
+  // ------------------------------------------------- CABAC entropy layer
+
+  test("CABAC fixtures decode bit-exactly to the Python implementation's planes") {
+    for (i <- 0 until H264Fixtures.cabacCount) {
+      val f = H264.decodeAnnexB(H264Fixtures.cabacStreamAt(i))
+      assert(f != null, s"cabac fixture $i failed to decode")
+      assert(f.w == 48 && f.h == 48, s"cabac fixture $i dims ${f.w}x${f.h}")
+      assert(fnv(f.y) == H264Fixtures.cabacExpY(i), s"cabac fixture $i: Y differs")
+      assert(fnv(f.u) == H264Fixtures.cabacExpU(i), s"cabac fixture $i: U differs")
+      assert(fnv(f.v) == H264Fixtures.cabacExpV(i), s"cabac fixture $i: V differs")
+    }
+  }
+
+  test("CABAC decodes are perceptual dups of the CAVLC and JPEG paths (same content)") {
+    // cross-ENTROPY anchor: fixture (base, k) carries the same pattern
+    // content in both layers; and the cross-CODEC anchor independent of
+    // every shared table: the unrelated JPEG path of the same pattern
+    def ph(f: H264.Frame): Long =
+      ImageKernels.phash(ImageKernels.encodePng(f.w, f.h, f.y))
+    for (base <- 1 to 4; k <- 0 until 2) {
+      val cb = ph(H264.decodeAnnexB(H264Fixtures.cabacStream(base, k)))
+      val cv = ph(H264.decodeAnnexB(H264Fixtures.stream(base, k)))
+      val jp = ImageKernels.phash(graft.tools.GenMedia.videoFrameJpeg(base.toLong, k))
+      assert(java.lang.Long.bitCount(cb ^ cv) <= 3,
+        s"base=$base k=$k: CABAC-vs-CAVLC pHash ${java.lang.Long.bitCount(cb ^ cv)} > 3")
+      assert(java.lang.Long.bitCount(cb ^ jp) <= 3,
+        s"base=$base k=$k: CABAC-vs-JPEG pHash ${java.lang.Long.bitCount(cb ^ jp)} > 3")
+    }
+    val a = ph(H264.decodeAnnexB(H264Fixtures.cabacStream(1, 0)))
+    val b = ph(H264.decodeAnnexB(H264Fixtures.cabacStream(3, 1)))
+    assert(java.lang.Long.bitCount(a ^ b) > 10, "cross-pattern CABAC pair too close")
+  }
+
+  test("avc1 MP4 with Main-CABAC samples: container walk decodes; codec column says so") {
+    for (base <- 1 to 4) {
+      val mp4 = graft.tools.GenMedia.h264CabacVideoFixture(base - 1L)
+      val got = MediaKernels.videoFrames(mp4, 16)
+      assert(got.length == 2, s"base=$base: expected 2 frames, got ${got.length}")
+      for (k <- 0 until 2) {
+        val direct = H264.decodeAnnexB(H264Fixtures.cabacStream(base, k))
+        val png = ImageKernels.encodePng(direct.w, direct.h, direct.y)
+        assert(java.util.Arrays.equals(got(k), png),
+          s"base=$base k=$k: container frame differs from direct decode")
+      }
+      val m = MediaKernels.videoMetaRow(mp4)
+      assert(m.getString(0) == "mp4" && m.getString(4) == "avc1/main-cabac")
+      assert(m.getInt(1) == 48 && m.getInt(2) == 48)
+    }
+  }
+
+  test("cross-codec video_dedup: Main-CABAC MP4 groups with MJPEG AVI of the same content") {
+    import spark.implicits._
+    // ids i and i+4 carry the SAME pattern content: avc1 Main-CABAC MP4
+    // vs MJPEG-AVI (frames 0..1 of each base on both sides)
+    val media = (0L until 8L).map { i =>
+      val base = i % 4
+      if (i < 4) (i, graft.tools.GenMedia.h264CabacVideoFixture(base))
+      else (i, MediaKernels.encodeMjpegAvi(48, 48, 40000L,
+        (0 until 2).map(k => graft.tools.GenMedia.videoFrameJpeg(base + 1, k))))
+    }.toDF("media_id", "content")
+    val groups = Images.videoDedupGroups(media, "media_id", "content",
+      maxHamming = 3, maxFrames = 4, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 4L)
+      assert(groups(i) == (i, 2L) && groups(i + 4) == (i, 2L),
+        s"pair $i: ${groups(i)} / ${groups(i + 4)} — CABAC MP4 and MJPEG did not group")
+  }
+
+  test("hostile CABAC: truncations and corruption never throw, bombs stay null") {
+    for (i <- 0 until H264Fixtures.cabacCount) {
+      val good = H264Fixtures.cabacStreamAt(i)
+      for (cut <- Seq(0, 3, 7, 20, good.length / 3, good.length / 2, good.length - 1))
+        H264.decodeAnnexB(java.util.Arrays.copyOf(good, cut)) // no throw
+      val rnd = new scala.util.Random(23 + i)
+      for (_ <- 0 until 200) {
+        val c = good.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        val f = H264.decodeAnnexB(c) // no throw on corruption
+        if (f != null) // a survivable flip still yields sane dimensions
+          assert(f.w == 48 && f.h == 48)
+      }
+    }
+    // CABAC slice bits misdeclared as CAVLC: null, not garbage
+    val cavlc = H264Fixtures.cabacStream(1, 0).clone()
+    val idx = (0 until cavlc.length - 5).find(j =>
+      cavlc(j) == 0 && cavlc(j + 1) == 0 && cavlc(j + 2) == 0 &&
+        cavlc(j + 3) == 1 && (cavlc(j + 4) & 0x1F) == 8).get
+    cavlc(idx + 5) = (cavlc(idx + 5) & ~0x20).toByte
+    assert(H264.decodeAnnexB(cavlc) == null)
   }
 }

@@ -112,6 +112,32 @@ def gen_extra(idx):
     return stream, (fnv(got[0]), fnv(got[1]), fnv(got[2])), (ww, hh)
 
 
+def gen_cabac(base, k):
+    """Main-profile CABAC fixture: SAME pattern content as the CAVLC
+    fixture (base, k) — so its decode pHash-matches across the entropy
+    layers and across codecs — entropy-coded with the clause-9.3 layer.
+    Cycles MB families (incl. I_PCM's engine re-init), QP, deblock,
+    mb_qp_delta and the 2-slice split."""
+    seed = base * 16 + k
+    y = pattern(seed, W, H)
+    u = [[128] * (W // 2) for _ in range(H // 2)]
+    v = [[128] * (W // 2) for _ in range(H // 2)]
+    qp = 6 + 2 * ((base * 4 + k) % 6)
+    dbi = (base + k) % 3
+    offs = ((base + k) % 3 - 1, (base * 2 + k) % 3 - 1) if dbi != 1 else (0, 0)
+    deltas = {2: 1, 5: -1} if (base + k) % 3 != 0 else None
+    slices = 1 + ((base + k) % 2)
+    body, ctx, _ = encode_frame(y, u, v, W, H, qp, plan_for(base, k),
+                                deblock_idc=dbi, qp_deltas=deltas,
+                                slices=slices, deblock_off2=offs,
+                                cabac=True)
+    stream = (write_sps(W, H, profile=77) + write_pps(26, cabac=True) + body)
+    got = decode_stream(stream)
+    assert got[0] == ctx.y and got[1] == ctx.u and got[2] == ctx.v, \
+        f"cabac mirror mismatch base={base} k={k}"
+    return stream, fnv(got[0]), fnv(got[1]), fnv(got[2])
+
+
 def main():
     print("running codec selftest first ...")
     selftest()
@@ -131,19 +157,34 @@ def main():
         hashes.append(h)
         dims.append(wh)
         print(f"  extra {idx}: {len(s)} bytes dims={wh}")
+    cstreams = []
+    chashes = []
+    for base in range(1, 5):
+        for k in range(2):
+            s, hy, hu, hv = gen_cabac(base, k)
+            cstreams.append(s)
+            chashes.append((hy, hu, hv))
+            print(f"  cabac base={base} k={k}: {len(s)} bytes")
     b64 = [base64.b64encode(s).decode() for s in streams]
+    cb64 = [base64.b64encode(s).decode() for s in cstreams]
 
     def chunked(s):
         return '" +\n      "'.join(s[i:i + 72] for i in range(0, len(s), 72))
 
     entries = ",\n".join(
         f'    "{chunked(b)}"' for b in b64)
+    centries = ",\n".join(
+        f'    "{chunked(b)}"' for b in cb64)
     hy = ", ".join(f"{h[0]}L" for h in hashes)
     hu = ", ".join(f"{h[1]}L" for h in hashes)
     hv = ", ".join(f"{h[2]}L" for h in hashes)
+    chy = ", ".join(f"{h[0]}L" for h in chashes)
+    chu = ", ".join(f"{h[1]}L" for h in chashes)
+    chv = ", ".join(f"{h[2]}L" for h in chashes)
     ws = ", ".join(str(d[0]) for d in dims)
     hs = ", ".join(str(d[1]) for d in dims)
     ext_count = len(streams)
+    cabac_count = len(cstreams)
     scala = f"""package graft.tools
 
 /** GENERATED by tools/gen_h264_fixtures.py — 16 baseline H.264 IDR
@@ -179,6 +220,26 @@ object H264Fixtures {{
   val expV: Array[Long] = Array({hv})
   val expW: Array[Int] = Array({ws})
   val expH: Array[Int] = Array({hs})
+
+  private val cb64: Array[String] = Array(
+{centries})
+
+  /** Main-profile CABAC fixtures (bases 1..4 x frames 0..1): the SAME
+    * pattern content as the CAVLC fixtures at (base, k), entropy-coded
+    * with the clause-9.3 arithmetic layer (I_PCM engine re-init,
+    * multi-slice, mb_qp_delta in rotation). 48x48 each. */
+  val cabacCount: Int = {cabac_count}
+
+  def cabacStream(base: Int, k: Int): Array[Byte] =
+    java.util.Base64.getDecoder.decode(cb64((base - 1) * 2 + k))
+
+  def cabacStreamAt(i: Int): Array[Byte] =
+    java.util.Base64.getDecoder.decode(cb64(i))
+
+  /** FNV-1a of the Python mirror decode of each CABAC fixture. */
+  val cabacExpY: Array[Long] = Array({chy})
+  val cabacExpU: Array[Long] = Array({chu})
+  val cabacExpV: Array[Long] = Array({chv})
 }}
 """
     with open(OUT, "w") as f:
