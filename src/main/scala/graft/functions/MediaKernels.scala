@@ -936,8 +936,13 @@ object MediaKernels {
     * H.264 NALs for the native [[H264]] baseline decoder, SPS/PPS from
     * the avcC record), then resolve every sample's file offset through
     * stsc (sample-to-chunk runs), stco/co64 (chunk offsets) and stsz
-    * (sample sizes). avc1 keyframe detection is NAL-type 5 (IDR) —
-    * non-IDR samples are skipped by design (keyframes-only tier). */
+    * (sample sizes) — PLUS, for fragmented MP4 (the DASH/streaming-
+    * origin shape where the moov's stbl is empty and samples live in
+    * movie fragments), through moof/traf/tfhd/trun with
+    * default-sample-size inheritance from tfhd and the moov's
+    * mvex/trex (ISO 14496-12 clause 8.8). avc1 keyframe detection is
+    * NAL-type 5 (IDR) — non-IDR samples are skipped by design
+    * (keyframes-only tier). */
   private def mp4Frames(b: Array[Byte], max: Int): Array[Array[Byte]] = {
     if (b.length < 16 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
     var sizes: Array[Int] = null
@@ -948,7 +953,11 @@ object MediaKernels {
     var avcSps: Array[Byte] = null
     var avcPps: Array[Byte] = null
     var avcLenSize = 4
+    var trackId = -1 // from tkhd; matches tfhd track_IDs in fragments
     var done = false
+    // mvex/trex defaults per track_ID -> default_sample_size (bounded:
+    // real files carry a handful of tracks)
+    val trexSize = scala.collection.mutable.HashMap.empty[Int, Int]
     def parseAvcc(d: Int, e: Int): Unit = {
       // boxes after the 78-byte VisualSampleEntry header: find avcC
       var p = d + 8 + 78
@@ -1003,18 +1012,29 @@ object MediaKernels {
           case "moov" => walk(d, e, inTrak)
           case "trak" =>
             // reset per-track state; keep only the first decodable track
-            val (s0, c0, sc0, j0, a0, asps0, apps0, al0) =
-              (sizes, chunkOffsets, stsc, isJpeg, isAvc, avcSps, avcPps, avcLenSize)
+            val (s0, c0, sc0, j0, a0, asps0, apps0, al0, t0) =
+              (sizes, chunkOffsets, stsc, isJpeg, isAvc, avcSps, avcPps,
+                avcLenSize, trackId)
             sizes = null; chunkOffsets = null; stsc = null
-            isJpeg = false; isAvc = false; avcSps = null; avcPps = null; avcLenSize = 4
+            isJpeg = false; isAvc = false; avcSps = null; avcPps = null
+            avcLenSize = 4; trackId = -1
             walk(d, e, inTrak = true)
             if ((isJpeg || (isAvc && avcSps != null && avcPps != null)) &&
               sizes != null && chunkOffsets != null && stsc != null) done = true
             else {
               sizes = s0; chunkOffsets = c0; stsc = sc0; isJpeg = j0
               isAvc = a0; avcSps = asps0; avcPps = apps0; avcLenSize = al0
+              trackId = t0
             }
           case "mdia" | "minf" | "stbl" if inTrak => walk(d, e, inTrak)
+          case "tkhd" if inTrak && size >= hdr + 16 =>
+            val v = b(d) & 0xFF // FullBox version; track_ID after the times
+            val idOff = d + 4 + (if (v == 1) 16 else 8)
+            if (idOff + 4 <= e) trackId = be32(b, idOff).toInt
+          case "mvex" if !inTrak => walk(d, e, inTrak)
+          case "trex" if !inTrak && size >= hdr + 24 =>
+            if (trexSize.size < 64)
+              trexSize(be32(b, d + 4).toInt) = be32(b, d + 16).toInt
           case "stsd" if inTrak && size >= hdr + 16 =>
             val fmt = new String(b, d + 8 + 4, 4, "US-ASCII")
             isJpeg = fmt == "jpeg" || fmt == "mjpa" || fmt == "mjpb"
@@ -1076,6 +1096,96 @@ object MediaKernels {
         k += 1
       }
       ci += 1
+    }
+    // fragmented samples: scan top-level moof boxes and resolve each
+    // traf's trun entries for the chosen track. Sizes inherit
+    // per-sample -> tfhd default -> trex default; offsets anchor at
+    // tfhd base_data_offset when present, else the moof start
+    // (default-base-is-moof and the first-traf convention coincide
+    // here), advancing through contiguous runs.
+    val trexDefault = trexSize.getOrElse(trackId, -1)
+    def parseTraf(d: Int, e: Int, moofStart: Long): Unit = {
+      var tfTrack = -1
+      var base = moofStart
+      var defSize = trexDefault
+      var cursor = -1L
+      var p = d
+      while (p + 8 <= e && locs.length <= (1 << 20)) {
+        val size = be32(b, p)
+        if (size < 8 || p + size > e) return
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        val q0 = p + 8
+        if (typ == "tfhd" && size >= 16) {
+          val flags = be32(b, q0).toInt & 0xFFFFFF
+          tfTrack = be32(b, q0 + 4).toInt
+          var q = q0 + 8
+          if ((flags & 0x1) != 0 && q + 8 <= e) { // base_data_offset
+            base = (be32(b, q) << 32) | be32(b, q + 4); q += 8
+          }
+          if ((flags & 0x2) != 0) q += 4 // sample_description_index
+          if ((flags & 0x8) != 0) q += 4 // default_sample_duration
+          if ((flags & 0x10) != 0 && q + 4 <= e) { // default_sample_size
+            defSize = be32(b, q).toInt; q += 4
+          }
+        } else if (typ == "trun" && size >= 16 &&
+          (tfTrack == trackId || trackId <= 0)) {
+          val flags = be32(b, q0).toInt & 0xFFFFFF
+          val n = be32(b, q0 + 4).toInt
+          var q = q0 + 8
+          if (n >= 0 && n <= (1 << 20)) {
+            if ((flags & 0x1) != 0 && q + 4 <= e) { // data_offset (signed)
+              cursor = base + be32(b, q).toInt; q += 4
+            } else if (cursor < 0) cursor = base
+            if ((flags & 0x4) != 0) q += 4 // first_sample_flags
+            var i = 0
+            var ok = true
+            while (i < n && ok && locs.length <= (1 << 20)) {
+              if ((flags & 0x100) != 0) q += 4 // sample_duration
+              var sz = defSize
+              if ((flags & 0x200) != 0) {
+                if (q + 4 <= e) { sz = be32(b, q).toInt; q += 4 } else ok = false
+              }
+              if ((flags & 0x400) != 0) q += 4 // sample_flags
+              if ((flags & 0x800) != 0) q += 4 // composition offset
+              if (ok && q <= e && sz > 0) {
+                if (sz >= 3 && cursor >= 0 && cursor + sz <= b.length &&
+                  (!isJpeg || ((b(cursor.toInt) & 0xFF) == 0xFF &&
+                    (b(cursor.toInt + 1) & 0xFF) == 0xD8)))
+                  locs += ((cursor, sz))
+                cursor += sz
+              } else ok = false
+              i += 1
+            }
+          }
+        }
+        p += size.toInt
+      }
+    }
+    var fp = 0
+    while (fp + 8 <= b.length && locs.length <= (1 << 20)) {
+      var size = be32(b, fp)
+      var hdr = 8
+      if (size == 1 && fp + 16 <= b.length) {
+        size = (be32(b, fp + 8) << 32) | be32(b, fp + 12); hdr = 16
+      } else if (size == 0) size = b.length - fp
+      if (size < hdr || fp + size > b.length) fp = b.length
+      else {
+        if (b(fp + 4) == 'm' && b(fp + 5) == 'o' && b(fp + 6) == 'o' &&
+          b(fp + 7) == 'f') {
+          var tp = fp + hdr
+          val te = fp + size.toInt
+          while (tp + 8 <= te) {
+            val tsz = be32(b, tp)
+            if (tsz < 8 || tp + tsz > te) { tp = te } else {
+              if (b(tp + 4) == 't' && b(tp + 5) == 'r' && b(tp + 6) == 'a' &&
+                b(tp + 7) == 'f')
+                parseTraf(tp + 8, tp + tsz.toInt, fp.toLong)
+              tp += tsz.toInt
+            }
+          }
+        }
+        fp += size.toInt
+      }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def avcSample(off: Int, sz: Int): Unit = {
@@ -1246,6 +1356,101 @@ object MediaKernels {
     val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
       u32(samples.length * 1000L) ++ new Array[Byte](80))
     ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+  }
+
+  /** FRAGMENTED avc1 MP4 writer for fixtures/tests: ftyp + moov whose
+    * stbl is EMPTY (zero-entry stts/stsc/stsz/stco) with mvex/trex
+    * defaults, then one moof+mdat pair per sample — the DASH/streaming-
+    * origin shape. Even samples carry their size per-sample in the
+    * trun; odd samples inherit it from tfhd's default_sample_size, so
+    * both inheritance paths of the reader are exercised. */
+  def encodeAvc1FragMp4(width: Int, height: Int,
+                        annexB: Seq[Array[Byte]]): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def rawNals(s: Array[Byte]): Seq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      while (i + 3 < s.length) {
+        if (s(i) == 0 && s(i + 1) == 0 &&
+          (s(i + 2) == 1 || (s(i + 2) == 0 && i + 4 <= s.length && s(i + 3) == 1))) {
+          val start = i + (if (s(i + 2) == 1) 3 else 4)
+          var j = start
+          while (j + 2 < s.length && !(s(j) == 0 && s(j + 1) == 0 &&
+            (s(j + 2) == 0 || s(j + 2) == 1))) j += 1
+          val end = if (j + 2 < s.length) j else s.length
+          if (end > start) out += java.util.Arrays.copyOfRange(s, start, end)
+          i = end
+        } else i += 1
+      }
+      out.toSeq
+    }
+    val firstNals = rawNals(annexB.head)
+    val sps = firstNals.find(n => (n(0) & 0x1F) == 7).get
+    val pps = firstNals.find(n => (n(0) & 0x1F) == 8).get
+    val samples = annexB.map { s =>
+      rawNals(s).filter(n => (n(0) & 0x1F) == 5)
+        .flatMap(n => u32(n.length.toLong) ++ n).toArray
+    }
+    val avcc = box("avcC", Array[Byte](1, sps(1), sps(2), sps(3), 0xFF.toByte,
+      0xE1.toByte) ++ u16(sps.length) ++ sps ++ Array[Byte](1) ++
+      u16(pps.length) ++ pps)
+    val entryBody = new Array[Byte](78)
+    entryBody(7) = 1
+    u16(width).copyToArray(entryBody, 24)
+    u16(height).copyToArray(entryBody, 26)
+    entryBody(29) = 0x48; entryBody(33) = 0x48
+    entryBody(41) = 1
+    entryBody(75) = 24
+    entryBody(76) = 0xFF.toByte; entryBody(77) = 0xFF.toByte
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ box("avc1", entryBody ++ avcc))
+    // fragmented: every sample table is declared but EMPTY
+    val stbl = box("stbl", stsd ++ box("stts", u32(0) ++ u32(0)) ++
+      box("stsc", u32(0) ++ u32(0)) ++
+      box("stsz", u32(0) ++ u32(0) ++ u32(0)) ++
+      box("stco", u32(0) ++ u32(0)))
+    val hdlr = box("hdlr", u32(0) ++ u32(0) ++ "vide".getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(samples.length * 1000L) ++ u32(0x55C40000L))
+    val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", stbl))
+    val tkhdBody = new Array[Byte](76) ++
+      u32(width.toLong << 16) ++ u32(height.toLong << 16)
+    u32(1L).copyToArray(tkhdBody, 12) // track_ID = 1
+    val tkhd = box("tkhd", tkhdBody)
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
+      u32(samples.length * 1000L) ++ new Array[Byte](80))
+    // trex: track 1, description 1, zero default duration/size/flags
+    val mvex = box("mvex", box("trex", u32(0) ++ u32(1) ++ u32(1) ++
+      u32(0) ++ u32(0) ++ u32(0)))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia) ++ mvex)
+    val ftyp = box("ftyp", "iso5".getBytes("US-ASCII") ++ u32(512) ++
+      "iso5avc1".getBytes("US-ASCII"))
+    val frags = samples.zipWithIndex.flatMap { case (sample, i) =>
+      val mfhd = box("mfhd", u32(0) ++ u32(i + 1L))
+      val (tfhd, trun) =
+        if (i % 2 == 0) {
+          // size rides per-sample in the trun; default-base-is-moof
+          (box("tfhd", u32(0x20000) ++ u32(1)),
+            box("trun", u32(0x201) ++ u32(1) ++ u32(0 /*patched*/) ++
+              u32(sample.length.toLong)))
+        } else {
+          // size inherits from tfhd's default_sample_size
+          (box("tfhd", u32(0x20010) ++ u32(1) ++ u32(sample.length.toLong)),
+            box("trun", u32(0x1) ++ u32(1) ++ u32(0 /*patched*/)))
+        }
+      val moof = box("moof", mfhd ++ box("traf", tfhd ++ trun))
+      // trun data_offset (moof-relative) = past this moof + mdat header;
+      // it is the LAST 4 or 8 bytes of the moof depending on the shape
+      val dataOff = moof.length + 8
+      val patchAt = moof.length - (if (i % 2 == 0) 8 else 4)
+      u32(dataOff.toLong).copyToArray(moof, patchAt)
+      moof ++ box("mdat", sample)
+    }
+    ftyp ++ moov ++ frags
   }
 
   /** JPEG-sample MP4 writer for fixtures/tests: ftyp + mdat(frames) +

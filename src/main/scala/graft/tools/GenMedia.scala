@@ -155,6 +155,21 @@ object GenMedia {
       (0 until 2).map(k => H264Fixtures.cabacStream(base, k)))
   }
 
+  /** FRAGMENTED avc1 MP4 (moof/tfhd/trun, empty moov stbl — the DASH/
+    * streaming-origin shape): the SAME four baseline streams per base
+    * as [[h264VideoFixture]], so its decode pins the identical pHashes
+    * and classic-vs-fragmented containers are cross-dups. Odd vids mix
+    * in CABAC samples so the fragment walk feeds both entropy layers. */
+  def h264FragVideoFixture(vid: Long): Array[Byte] = {
+    // vid 0..7 covers bases 1..4 x {CAVLC, CABAC}: base from vid/2,
+    // entropy arm from vid%2
+    val base = ((vid / 2) % 4).toInt + 1
+    val streams =
+      if (vid % 2 == 0) (0 until 4).map(k => H264Fixtures.stream(base, k))
+      else (0 until 2).map(k => H264Fixtures.cabacStream(base, k))
+    MediaKernels.encodeAvc1FragMp4(48, 48, streams)
+  }
+
   /** An avc1 MP4 DECLARING High-profile CABAC (SPS profile_idc byte →
     * 100, PPS entropy_coding_mode_flag → 1) over baseline slice bytes:
     * guaranteed to decode ZERO frames (parseSps expects High-profile

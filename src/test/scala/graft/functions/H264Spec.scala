@@ -223,6 +223,80 @@ class H264Spec extends SparkSpec {
         s"pair $i: ${groups(i)} / ${groups(i + 4)} — CABAC MP4 and MJPEG did not group")
   }
 
+  // --------------------------------------------------- fragmented MP4
+
+  test("fragmented MP4 (moof/tfhd/trun): sample walk matches the classic container") {
+    for (base <- 1 to 4) {
+      // even vid: 4 baseline samples (size per-sample in the trun /
+      // inherited from tfhd, alternating); must equal the classic
+      // container's decodes frame for frame
+      val frag = graft.tools.GenMedia.h264FragVideoFixture((base - 1) * 2L)
+      val classic = graft.tools.GenMedia.h264VideoFixture(base - 1L)
+      val a = MediaKernels.videoFrames(frag, 16)
+      val b = MediaKernels.videoFrames(classic, 16)
+      assert(a.length == 4, s"base=$base: frag walk found ${a.length} samples")
+      for (k <- 0 until 4)
+        assert(java.util.Arrays.equals(a(k), b(k)),
+          s"base=$base k=$k: fragmented decode differs from classic")
+      // sampling applies to fragment-resolved samples too
+      assert(MediaKernels.videoFrames(frag, 2).length == 2)
+      // odd vid: CABAC samples through the fragment walk
+      val fragCabac = graft.tools.GenMedia.h264FragVideoFixture((base - 1) * 2L + 1)
+      val c = MediaKernels.videoFrames(fragCabac, 16)
+      assert(c.length == 2, s"base=$base: cabac frag walk found ${c.length}")
+      for (k <- 0 until 2) {
+        val direct = H264.decodeAnnexB(H264Fixtures.cabacStream(base, k))
+        assert(java.util.Arrays.equals(c(k),
+          ImageKernels.encodePng(direct.w, direct.h, direct.y)))
+      }
+      // moov-declared metadata still resolves (codec column included)
+      val m = MediaKernels.videoMetaRow(frag)
+      assert(m.getString(0) == "mp4" && m.getString(4) == "avc1/baseline-cavlc")
+      assert(m.getInt(1) == 48 && m.getInt(2) == 48)
+    }
+  }
+
+  test("cross-container video_dedup: fragmented MP4 groups with classic MP4") {
+    import spark.implicits._
+    val media = (0L until 8L).map { i =>
+      val base = i % 4
+      if (i < 4) (i, graft.tools.GenMedia.h264FragVideoFixture(base * 2)) // CAVLC arm of base+1
+      else (i, graft.tools.GenMedia.h264VideoFixture(base))               // classic of base+1
+    }.toDF("media_id", "content")
+    val groups = Images.videoDedupGroups(media, "media_id", "content",
+      maxHamming = 3, maxFrames = 4, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 4L)
+      assert(groups(i) == (i, 2L) && groups(i + 4) == (i, 2L),
+        s"pair $i: fragmented and classic MP4 did not group")
+  }
+
+  test("hostile fragmented MP4: truncation/corruption never throw, bounded walks") {
+    for (vid <- 0L until 4L) {
+      val good = graft.tools.GenMedia.h264FragVideoFixture(vid)
+      for (cut <- Seq(0, 8, 40, good.length / 4, good.length / 2, good.length - 3))
+        MediaKernels.videoFrames(java.util.Arrays.copyOf(good, cut), 8) // no throw
+      val rnd = new scala.util.Random(37 + vid.toInt)
+      for (_ <- 0 until 150) {
+        val c = good.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        MediaKernels.videoFrames(c, 8) // no throw on corruption
+      }
+    }
+    // a trun declaring 2^31-ish samples must not allocate: the per-trun
+    // cap and the global loc cap bound the walk
+    val bomb = graft.tools.GenMedia.h264FragVideoFixture(0).clone()
+    // locate the first trun and patch its sample_count to 0x7FFFFFFF
+    val at = (0 until bomb.length - 8).find(j =>
+      bomb(j + 4) == 't' && bomb(j + 5) == 'r' && bomb(j + 6) == 'u' &&
+        bomb(j + 7) == 'n').get
+    bomb(at + 12) = 0x7F.toByte; bomb(at + 13) = 0xFF.toByte
+    bomb(at + 14) = 0xFF.toByte; bomb(at + 15) = 0xFF.toByte
+    val t0 = System.nanoTime()
+    MediaKernels.videoFrames(bomb, 8) // no throw, no runaway
+    assert((System.nanoTime() - t0) / 1e6 < 500, "trun bomb walk too slow")
+  }
+
   test("hostile CABAC: truncations and corruption never throw, bombs stay null") {
     for (i <- 0 until H264Fixtures.cabacCount) {
       val good = H264Fixtures.cabacStreamAt(i)
