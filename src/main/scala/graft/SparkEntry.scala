@@ -5035,9 +5035,12 @@ object SparkEntry {
              64 + (doc_id % 32) * 4 AS wav_n,
              16000 + (doc_id % 5) * 4000 AS flac_rate,
              10000 + doc_id * 7 AS flac_n,
-             CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                                    ELSE 32000 END AS mp3_rate,
-             (4 + doc_id % 7) * 1152 AS mp3_n
+             CASE (doc_id // 3) % 7 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  WHEN 2 THEN 32000 WHEN 3 THEN 22050 WHEN 4 THEN 16000
+                  WHEN 5 THEN 11025 ELSE 8000 END AS mp3_rate,
+             -- LSF generations (rates below 32000) carry 576 samples/frame
+             (4 + doc_id % 7) *
+               (CASE WHEN (doc_id // 3) % 7 < 3 THEN 1152 ELSE 576 END) AS mp3_n
            FROM documents)
          SELECT doc_id AS media_id,
            CASE fmt WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3' END AS audio_format,

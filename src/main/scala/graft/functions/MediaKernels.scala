@@ -183,29 +183,39 @@ object MediaKernels {
         ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
       p = 10 + size
     }
-    val rates = Array(44100L, 48000L, 32000L, 0L)
-    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    // MPEG-1 and the LSF variants (MPEG-2 at half rates, MPEG-2.5 at
+    // quarter rates — the low-bitrate shapes common in crawl audio);
+    // Layer III only. LSF frames carry 576 samples over 72*br/sr bytes
+    // vs MPEG-1's 1152 over 144*br/sr. Per-frame bitrate reads make the
+    // walk VBR-correct without needing a Xing header.
+    val ratesV1 = Array(44100L, 48000L, 32000L, 0L)
+    val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val brLsf = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
     var frames = 0L
     var channels = 0L
     var rate = 0L
+    var spf = 1152L
     while (p + 4 <= b.length) {
       if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xE0) != 0xE0) {
-        return if (frames > 0) Array(channels, rate, frames * 1152L) else null
+        return if (frames > 0) Array(channels, rate, frames * spf) else null
       }
-      val versionBits = (b(p + 1) >> 3) & 0x3
+      val versionBits = (b(p + 1) >> 3) & 0x3 // 3 MPEG-1, 2 MPEG-2, 0 MPEG-2.5
       val layerBits = (b(p + 1) >> 1) & 0x3
-      if (versionBits != 3 || layerBits != 1) return null // MPEG-1 Layer III only
-      val br = bitrates((b(p + 2) >> 4) & 0xF)
-      val sr = rates((b(p + 2) >> 2) & 0x3)
+      if (versionBits == 1 || layerBits != 1) return null // Layer III only
+      val v1 = versionBits == 3
+      val div = if (v1) 1 else if (versionBits == 2) 2 else 4
+      val sr = ratesV1((b(p + 2) >> 2) & 0x3) / div
+      val br = (if (v1) brV1 else brLsf)((b(p + 2) >> 4) & 0xF)
       if (br == 0 || sr == 0) return null
       val padding = (b(p + 2) >> 1) & 0x1
       val mode = (b(p + 3) >> 6) & 0x3
       channels = if (mode == 3) 1L else 2L
       rate = sr
+      spf = if (v1) 1152L else 576L
       frames += 1
-      p += (144L * br * 1000L / sr).toInt + padding
+      p += ((if (v1) 144L else 72L) * br * 1000L / sr).toInt + padding
     }
-    if (frames > 0) Array(channels, rate, frames * 1152L) else null
+    if (frames > 0) Array(channels, rate, frames * spf) else null
   }
 
   /** Minimal FLAC STREAMINFO metadata fixture. */
@@ -222,21 +232,28 @@ object MediaKernels {
     out
   }
 
-  /** Minimal MPEG-1 Layer III fixture: `frames` zero-payload frames at
-    * 128 kbps / the given sample rate (44100/48000/32000), stereo. */
+  /** Minimal Layer III fixture: `frames` zero-payload frames, stereo.
+    * MPEG-1 at 44100/48000/32000 (128 kbps), or the LSF variants when
+    * `sampleRate` is a half (MPEG-2) or quarter (MPEG-2.5) rate
+    * (64 kbps). */
   def encodeMp3Header(sampleRate: Long, frames: Int): Array[Byte] = {
-    val srIdx = sampleRate match {
-      case 44100L => 0; case 48000L => 1; case 32000L => 2
+    val (srIdx, verBits, div) = sampleRate match {
+      case 44100L => (0, 3, 1); case 48000L => (1, 3, 1); case 32000L => (2, 3, 1)
+      case 22050L => (0, 2, 2); case 24000L => (1, 2, 2); case 16000L => (2, 2, 2)
+      case 11025L => (0, 0, 4); case 12000L => (1, 0, 4); case 8000L => (2, 0, 4)
       case other => throw new IllegalArgumentException(s"unsupported mp3 rate $other")
     }
-    val frameLen = (144L * 128 * 1000L / sampleRate).toInt
+    val v1 = div == 1
+    val br = if (v1) 128 else 64
+    val brIdx = if (v1) 9 else 8 // 128 kbps MPEG-1 / 64 kbps LSF
+    val frameLen = ((if (v1) 144L else 72L) * br * 1000L / sampleRate).toInt
     val out = new Array[Byte](frameLen * frames)
     var f = 0
     while (f < frames) {
       val p = f * frameLen
       out(p) = 0xFF.toByte
-      out(p + 1) = 0xFB.toByte // MPEG-1 Layer III, no CRC
-      out(p + 2) = ((9 << 4) | (srIdx << 2)).toByte // 128 kbps, no padding
+      out(p + 1) = (0xE0 | (verBits << 3) | (1 << 1) | 1).toByte // L3, no CRC
+      out(p + 2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
       out(p + 3) = 0x00 // stereo
       f += 1
     }

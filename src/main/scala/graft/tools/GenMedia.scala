@@ -46,7 +46,10 @@ object GenMedia {
 
   def flacRate(id: Long): Long = 16000L + (id % 5) * 4000L
   def flacSamples(id: Long): Long = 10000L + id * 7L
-  def mp3Rate(id: Long): Long = Seq(44100L, 48000L, 32000L)(((id / 3) % 3).toInt)
+  /** Rotates all three MPEG generations: MPEG-1 full rates, MPEG-2 half
+    * rates, MPEG-2.5 quarter rates (LSF frames carry 576 samples). */
+  def mp3Rate(id: Long): Long = Seq(44100L, 48000L, 32000L,
+    22050L, 16000L, 11025L, 8000L)(((id / 3) % 7).toInt)
   def mp3Frames(id: Long): Int = 4 + (id % 7).toInt
 
   /** q_audio_meta payload: format rotates wav/flac/mp3 by id%3. */

@@ -68,6 +68,14 @@ class MediaSpec extends SparkSpec {
     val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 5) ++ new Array[Byte](5)
     val tagged = MediaKernels.audioMetaRow(id3 ++ mp3)
     assert(tagged.getString(0) == "mp3" && tagged.getLong(4) == 10L * 1152L)
+    // LSF variants: MPEG-2 (half rates) and MPEG-2.5 (quarter rates)
+    // carry 576 samples per frame over 72*br/sr-byte frames
+    for (sr <- Seq(22050L, 16000L, 11025L, 8000L)) {
+      val lsf = MediaKernels.audioMetaRow(MediaKernels.encodeMp3Header(sr, 7))
+      assert(lsf.getString(0) == "mp3" && lsf.getLong(2) == sr &&
+        lsf.getLong(4) == 7L * 576L, s"LSF rate $sr")
+      assert(lsf.getLong(5) == 7L * 576L * 1000L / sr, s"LSF duration $sr")
+    }
   }
 
   test("AVI avih metadata: dims and usPerFrame x frames duration") {
