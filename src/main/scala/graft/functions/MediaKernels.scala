@@ -785,7 +785,7 @@ object MediaKernels {
   private[functions] def mp4Meta(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 16) return null
     if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return null
-    var width = 0L; var height = 0L; var durMs = 0L
+    var width = 0L; var height = 0L; var durMs = 0L; var tscale = 0L
     def walk(start: Int, end: Int): Unit = {
       var p = start
       while (p + 8 <= end) {
@@ -798,18 +798,29 @@ object MediaKernels {
         } else if (size == 0) size = end - p // box extends to end
         if (size < hdr || p + size > end) return // corrupt — stop cleanly
         typ match {
-          case "moov" | "trak" => walk(p + hdr, p + size.toInt)
+          case "moov" | "trak" | "mvex" => walk(p + hdr, p + size.toInt)
           case "mvhd" if size >= hdr + 20 =>
             val v = b(p + hdr) & 0xFF
             if (v == 1 && size >= hdr + 32) {
               val ts = be32(b, p + hdr + 20)
               val dur = (be32(b, p + hdr + 24) << 32) | be32(b, p + hdr + 28)
+              tscale = ts
               if (ts > 0) durMs = dur * 1000L / ts
             } else {
               val ts = be32(b, p + hdr + 12)
               val dur = be32(b, p + hdr + 16)
+              tscale = ts
               if (ts > 0) durMs = dur * 1000L / ts
             }
+          case "mehd" if size >= hdr + 8 =>
+            // fragmented files commonly declare mvhd duration 0 and put
+            // the whole-movie duration in mvex/mehd (fragment_duration)
+            val v = b(p + hdr) & 0xFF
+            val dur =
+              if (v == 1 && size >= hdr + 12)
+                (be32(b, p + hdr + 4) << 32) | be32(b, p + hdr + 8)
+              else be32(b, p + hdr + 4)
+            if (durMs == 0 && tscale > 0) durMs = dur * 1000L / tscale
           case "tkhd" =>
             // width/height are the LAST 8 bytes of the box, 16.16 fixed
             val wOff = p + size.toInt - 8
@@ -1438,11 +1449,13 @@ object MediaKernels {
       u32(width.toLong << 16) ++ u32(height.toLong << 16)
     u32(1L).copyToArray(tkhdBody, 12) // track_ID = 1
     val tkhd = box("tkhd", tkhdBody)
+    // the authentic fragmented shape: mvhd declares duration 0, the
+    // whole-movie duration rides in mvex/mehd (fragment_duration)
     val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
-      u32(samples.length * 1000L) ++ new Array[Byte](80))
+      u32(0) ++ new Array[Byte](80))
     // trex: track 1, description 1, zero default duration/size/flags
-    val mvex = box("mvex", box("trex", u32(0) ++ u32(1) ++ u32(1) ++
-      u32(0) ++ u32(0) ++ u32(0)))
+    val mvex = box("mvex", box("mehd", u32(0) ++ u32(samples.length * 1000L)) ++
+      box("trex", u32(0) ++ u32(1) ++ u32(1) ++ u32(0) ++ u32(0) ++ u32(0)))
     val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia) ++ mvex)
     val ftyp = box("ftyp", "iso5".getBytes("US-ASCII") ++ u32(512) ++
       "iso5avc1".getBytes("US-ASCII"))

@@ -31,6 +31,22 @@ object H264Probe {
       }
       val s = (System.nanoTime() - t0) / 1e9
       println(f"H264 PERF ${px / 1e6 / s}%.1f Mpx/s single-thread (${20000 / s}%.0f frames/s)")
+      // CABAC leg: same content, arithmetic entropy layer
+      val cstreams = (0 until H264Fixtures.cabacCount).map(H264Fixtures.cabacStreamAt)
+      i = 0
+      while (i < 2000) { // warm-up
+        H264.decodeAnnexB(cstreams(i % cstreams.length)); i += 1
+      }
+      val t1 = System.nanoTime()
+      px = 0L
+      i = 0
+      while (i < 20000) {
+        val f = H264.decodeAnnexB(cstreams(i % cstreams.length))
+        px += f.w.toLong * f.h
+        i += 1
+      }
+      val s1 = (System.nanoTime() - t1) / 1e9
+      println(f"H264 CABAC PERF ${px / 1e6 / s1}%.1f Mpx/s single-thread (${20000 / s1}%.0f frames/s)")
     }
   }
 }

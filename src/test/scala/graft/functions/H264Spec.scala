@@ -249,10 +249,13 @@ class H264Spec extends SparkSpec {
         assert(java.util.Arrays.equals(c(k),
           ImageKernels.encodePng(direct.w, direct.h, direct.y)))
       }
-      // moov-declared metadata still resolves (codec column included)
+      // moov-declared metadata still resolves (codec column included);
+      // duration comes from mvex/mehd — the fixture's mvhd declares 0,
+      // the authentic fragmented shape
       val m = MediaKernels.videoMetaRow(frag)
       assert(m.getString(0) == "mp4" && m.getString(4) == "avc1/baseline-cavlc")
       assert(m.getInt(1) == 48 && m.getInt(2) == 48)
+      assert(m.getLong(3) == 4000L, s"mehd duration: ${m.getLong(3)}")
     }
   }
 
