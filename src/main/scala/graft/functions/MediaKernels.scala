@@ -1386,6 +1386,46 @@ object MediaKernels {
     ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
   }
 
+  /** Matroska H.264 writer for fixtures/tests: EBML + Tracks(TrackEntry
+    * V_MPEG4/ISO/AVC with the avcC record in CodecPrivate) + Cluster
+    * (one SimpleBlock of length-prefixed IDR NALs per input Annex-B
+    * stream) — the MKV shape real crawl H.264 ships in alongside MP4. */
+  def encodeMkvAvc(width: Int, height: Int,
+                   annexB: Seq[Array[Byte]]): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def rawNals(s: Array[Byte]): Seq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      while (i + 3 < s.length) {
+        if (s(i) == 0 && s(i + 1) == 0 &&
+          (s(i + 2) == 1 || (s(i + 2) == 0 && i + 4 <= s.length && s(i + 3) == 1))) {
+          val start = i + (if (s(i + 2) == 1) 3 else 4)
+          var j = start
+          while (j + 2 < s.length && !(s(j) == 0 && s(j + 1) == 0 &&
+            (s(j + 2) == 0 || s(j + 2) == 1))) j += 1
+          val end = if (j + 2 < s.length) j else s.length
+          if (end > start) out += java.util.Arrays.copyOfRange(s, start, end)
+          i = end
+        } else i += 1
+      }
+      out.toSeq
+    }
+    val firstNals = rawNals(annexB.head)
+    val sps = firstNals.find(n => (n(0) & 0x1F) == 7).get
+    val pps = firstNals.find(n => (n(0) & 0x1F) == 8).get
+    val avcc = Array[Byte](1, sps(1), sps(2), sps(3), 0xFF.toByte,
+      0xE1.toByte) ++ u16(sps.length) ++ sps ++ Array[Byte](1) ++
+      u16(pps.length) ++ pps
+    val frames = annexB.map { s =>
+      rawNals(s).filter(n => (n(0) & 0x1F) == 5)
+        .flatMap(n => u32(n.length.toLong) ++ n).toArray
+    }
+    Webm.encodeWebm(width, height, frames,
+      codecId = "V_MPEG4/ISO/AVC", codecPrivate = avcc)
+  }
+
   /** FRAGMENTED avc1 MP4 writer for fixtures/tests: ftyp + moov whose
     * stbl is EMPTY (zero-entry stts/stsc/stsz/stco) with mvex/trex
     * defaults, then one moof+mdat pair per sample — the DASH/streaming-

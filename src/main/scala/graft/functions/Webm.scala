@@ -74,20 +74,29 @@ object Webm {
   // ------------------------------------------------------- Matroska/WebM
 
   /** Matroska/WebM walk: EBML header → Segment → (Tracks → the `V_VP8`
-    * track number) + Clusters → SimpleBlock / BlockGroup>Block payloads
-    * of that track whose bitstream opens as a VP8 keyframe. Unknown-size
-    * elements (streamed Segments/Clusters set every size bit) extend to
-    * their parent's end. Laced blocks are skipped — VP8 video blocks are
-    * one-frame-per-block in practice (lacing exists for tiny audio
-    * frames). Null when the EBML magic is absent. */
+    * or `V_MPEG4/ISO/AVC` track number) + Clusters → SimpleBlock /
+    * BlockGroup>Block payloads of that track. VP8 blocks snapshot when
+    * the bitstream opens as a keyframe; AVC blocks carry length-prefixed
+    * NALs (length size and SPS/PPS from the TrackEntry's CodecPrivate
+    * avcC record) whose IDR NALs feed the native [[H264]] decoder —
+    * Matroska is the other container real crawl H.264 ships in.
+    * Unknown-size elements (streamed Segments/Clusters set every size
+    * bit) extend to their parent's end. Null when the EBML magic is
+    * absent. */
   private[functions] def webmFrames(b: Array[Byte]): Array[Array[Byte]] = {
     if (b == null || b.length < 8 ||
       !((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
         (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     // -1 = no Tracks element seen (accept blocks by bitstream shape);
-    // 0 = Tracks seen but none V_VP8 (reject all); else the VP8 track
+    // 0 = Tracks seen but no decodable video track (reject all);
+    // else the VP8 track number
     var vp8Track = -1L
+    // the V_MPEG4/ISO/AVC track, with its CodecPrivate avcC fields
+    var avcTrack = -1L
+    var avcSps: Array[Byte] = null
+    var avcPps: Array[Byte] = null
+    var avcLenSize = 4
 
     def vintLen(first: Int): Int = {
       var m = 0x80; var n = 1
@@ -138,10 +147,47 @@ object Webm {
       v
     }
 
-    /** One TrackEntry: remember the track number when CodecID is V_VP8. */
+    /** avcC record (the MP4 box payload, verbatim in CodecPrivate):
+      * version, profile/compat/level, lengthSizeMinusOne, then SPS/PPS
+      * entry lists. True when an SPS and a PPS were extracted. */
+    def parseAvcPrivate(d: Int, e: Int): Boolean = {
+      if (d + 7 > e || (b(d) & 0xFF) != 1) return false
+      avcLenSize = (b(d + 4) & 3) + 1
+      var q = d + 5
+      val nSps = b(q) & 0x1F
+      q += 1
+      var i = 0
+      while (i < nSps && q + 2 <= e) {
+        val len = ((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)
+        q += 2
+        if (q + len > e) return false
+        if (avcSps == null) avcSps = java.util.Arrays.copyOfRange(b, q, q + len)
+        q += len
+        i += 1
+      }
+      if (q >= e) return false
+      val nPps = b(q) & 0xFF
+      q += 1
+      i = 0
+      while (i < nPps && q + 2 <= e) {
+        val len = ((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)
+        q += 2
+        if (q + len > e) return false
+        if (avcPps == null) avcPps = java.util.Arrays.copyOfRange(b, q, q + len)
+        q += len
+        i += 1
+      }
+      avcSps != null && avcPps != null
+    }
+
+    /** One TrackEntry: remember the track number when CodecID is V_VP8
+      * or V_MPEG4/ISO/AVC (the latter with a parseable CodecPrivate). */
     def trackEntry(start: Int, end: Int): Unit = {
       var num = -1L
       var isVp8 = false
+      var isAvc = false
+      var privAt = -1
+      var privEnd = -1
       var p = start
       while (p < end) {
         val (id, idn) = readId(p)
@@ -153,12 +199,41 @@ object Webm {
         id match {
           case 0xD7 => num = uint(d, sz.toInt) // TrackNumber
           case 0x86 => // CodecID
-            isVp8 = sz == 5 && new String(b, d, 5, "US-ASCII") == "V_VP8"
+            val s = new String(b, d, sz.toInt, "US-ASCII")
+            isVp8 = s == "V_VP8"
+            isAvc = s == "V_MPEG4/ISO/AVC"
+          case 0x63A2 => privAt = d; privEnd = d + sz.toInt // CodecPrivate
           case _ => ()
         }
         p = d + sz.toInt
       }
       if (isVp8 && num > 0) vp8Track = num
+      else if (isAvc && num > 0 && privAt >= 0) {
+        avcSps = null; avcPps = null
+        if (parseAvcPrivate(privAt, privEnd)) avcTrack = num
+      }
+    }
+
+    /** One AVC block frame: length-prefixed NALs; IDR NALs (type 5)
+      * feed the native decoder, non-IDR frames skip (keyframes-only). */
+    def avcSnapshot(off: Int, len: Int): Unit = {
+      val idrs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var p = off
+      val end = off + len
+      while (p + avcLenSize <= end) {
+        var l = 0L
+        var i = 0
+        while (i < avcLenSize) { l = (l << 8) | (b(p + i) & 0xFF); i += 1 }
+        p += avcLenSize
+        if (l <= 0 || p + l > end) return
+        if ((b(p) & 0x1F) == 5)
+          idrs += java.util.Arrays.copyOfRange(b, p, p + l.toInt)
+        p += l.toInt
+      }
+      if (idrs.nonEmpty) {
+        val f = H264.decodeAvcc(avcSps, avcPps, idrs.toSeq)
+        if (f != null) out += ImageKernels.encodePng(f.w, f.h, f.y)
+      }
     }
 
     /** A (Simple)Block payload: track vint, 2-byte timecode, flags, then
@@ -167,11 +242,17 @@ object Webm {
     def block(start: Int, end: Int): Unit = {
       val (track, tn) = readVint(start) // track number is a plain vint
       if (track < 0 || start + tn + 3 > end) return
-      if (vp8Track == 0L || (vp8Track > 0 && track != vp8Track)) return
+      val isAvcBlk = avcTrack > 0 && track == avcTrack
+      val isVp8Blk =
+        if (vp8Track == -1L) !isAvcBlk // no Tracks element: shape-based
+        else vp8Track > 0 && track == vp8Track
+      if (!isAvcBlk && !isVp8Blk) return
+      def emit(off: Int, len: Int): Unit =
+        if (isAvcBlk) avcSnapshot(off, len) else snapshot(b, off, len, out)
       val flags = b(start + tn + 2) & 0xFF
       var p = start + tn + 3
       val lacing = flags & 0x06
-      if (lacing == 0) { snapshot(b, p, end - p, out); return }
+      if (lacing == 0) { emit(p, end - p); return }
       if (p >= end) return
       val n = (b(p) & 0xFF) + 1
       p += 1
@@ -222,7 +303,7 @@ object Webm {
       while (i < n) {
         val sz = sizes(i)
         if (sz < 0 || p + sz > end) return
-        snapshot(b, p, sz, out)
+        emit(p, sz)
         p += sz
         i += 1
       }
@@ -519,7 +600,8 @@ object Webm {
     * 4 (fixed, equal-size frames only) or 6 (EBML))). */
   def encodeWebm(w: Int, h: Int, frames: Seq[Array[Byte]],
                  lacing: Int = 0, blockGroups: Boolean = false,
-                 trackNum: Int = 1): Array[Byte] = {
+                 trackNum: Int = 1, codecId: String = "V_VP8",
+                 codecPrivate: Array[Byte] = null): Array[Byte] = {
     def sizeVint(v: Long): Array[Byte] = {
       var n = 1
       while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
@@ -563,7 +645,9 @@ object Webm {
       el(0x4489, Array.tabulate(8)(i => ((durBits >>> (8 * (7 - i))) & 0xFF).toByte)))
     val video = el(0xE0, uintEl(0xB0, w) ++ uintEl(0xBA, h))
     val entry = el(0xAE, uintEl(0xD7, trackNum) ++ uintEl(0x73C5, 1) ++
-      uintEl(0x83, 1) ++ el(0x86, "V_VP8".getBytes("US-ASCII")) ++ video)
+      uintEl(0x83, 1) ++ el(0x86, codecId.getBytes("US-ASCII")) ++
+      (if (codecPrivate != null) el(0x63A2, codecPrivate)
+       else Array.emptyByteArray) ++ video)
     val tracks = el(0x1654AE6BL, entry)
     val blocks =
       if (lacing == 0)

@@ -163,6 +163,18 @@ object GenMedia {
     * as [[h264VideoFixture]], so its decode pins the identical pHashes
     * and classic-vs-fragmented containers are cross-dups. Odd vids mix
     * in CABAC samples so the fragment walk feeds both entropy layers. */
+  /** Matroska-held H.264 (V_MPEG4/ISO/AVC + avcC CodecPrivate): the
+    * same streams per base as the MP4 fixtures — even vids CAVLC x4,
+    * odd vids CABAC x2 — so MKV, classic MP4 and fragmented MP4 of the
+    * same base are mutual cross-container dups. base = vid/2 + 1. */
+  def mkvAvcVideoFixture(vid: Long): Array[Byte] = {
+    val base = ((vid / 2) % 4).toInt + 1
+    val streams =
+      if (vid % 2 == 0) (0 until 4).map(k => H264Fixtures.stream(base, k))
+      else (0 until 2).map(k => H264Fixtures.cabacStream(base, k))
+    MediaKernels.encodeMkvAvc(48, 48, streams)
+  }
+
   def h264FragVideoFixture(vid: Long): Array[Byte] = {
     // vid 0..7 covers bases 1..4 x {CAVLC, CABAC}: base from vid/2,
     // entropy arm from vid%2

@@ -274,6 +274,62 @@ class H264Spec extends SparkSpec {
         s"pair $i: fragmented and classic MP4 did not group")
   }
 
+  test("Matroska H.264 (V_MPEG4/ISO/AVC): blocks feed the native decoder") {
+    for (base <- 1 to 4) {
+      // CAVLC arm: MKV frames must equal the classic MP4 container's
+      val mkv = graft.tools.GenMedia.mkvAvcVideoFixture((base - 1) * 2L)
+      val mp4 = graft.tools.GenMedia.h264VideoFixture(base - 1L)
+      val a = MediaKernels.videoFrames(mkv, 16)
+      val b = MediaKernels.videoFrames(mp4, 16)
+      assert(a.length == 4, s"base=$base: MKV walk found ${a.length} blocks")
+      for (k <- 0 until 4)
+        assert(java.util.Arrays.equals(a(k), b(k)),
+          s"base=$base k=$k: MKV decode differs from MP4")
+      // CABAC arm through the Matroska path
+      val mkvC = graft.tools.GenMedia.mkvAvcVideoFixture((base - 1) * 2L + 1)
+      val c = MediaKernels.videoFrames(mkvC, 16)
+      assert(c.length == 2)
+      for (k <- 0 until 2) {
+        val direct = H264.decodeAnnexB(H264Fixtures.cabacStream(base, k))
+        assert(java.util.Arrays.equals(c(k),
+          ImageKernels.encodePng(direct.w, direct.h, direct.y)))
+      }
+      // codec column surfaces the Matroska CodecID verbatim
+      val m = MediaKernels.videoMetaRow(mkv)
+      assert(m.getString(0) == "webm" && m.getString(4) == "V_MPEG4/ISO/AVC")
+      assert(m.getInt(1) == 48 && m.getInt(2) == 48)
+    }
+  }
+
+  test("cross-container video_dedup: MKV H.264 groups with fragmented MP4") {
+    import spark.implicits._
+    val media = (0L until 8L).map { i =>
+      val base = i % 4
+      if (i < 4) (i, graft.tools.GenMedia.mkvAvcVideoFixture(base * 2))
+      else (i, graft.tools.GenMedia.h264FragVideoFixture(base * 2))
+    }.toDF("media_id", "content")
+    val groups = Images.videoDedupGroups(media, "media_id", "content",
+      maxHamming = 3, maxFrames = 4, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 4L)
+      assert(groups(i) == (i, 2L) && groups(i + 4) == (i, 2L),
+        s"pair $i: MKV and fragmented MP4 did not group")
+  }
+
+  test("hostile MKV-AVC: truncation/corruption never throw") {
+    for (vid <- 0L until 4L) {
+      val good = graft.tools.GenMedia.mkvAvcVideoFixture(vid)
+      for (cut <- Seq(0, 5, 30, good.length / 3, good.length - 2))
+        MediaKernels.videoFrames(java.util.Arrays.copyOf(good, cut), 8)
+      val rnd = new scala.util.Random(51 + vid.toInt)
+      for (_ <- 0 until 150) {
+        val c = good.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        MediaKernels.videoFrames(c, 8) // no throw on corruption
+      }
+    }
+  }
+
   test("hostile fragmented MP4: truncation/corruption never throw, bounded walks") {
     for (vid <- 0L until 4L) {
       val good = graft.tools.GenMedia.h264FragVideoFixture(vid)
