@@ -2529,6 +2529,27 @@ object SparkEntry {
           min(expr("image_phash(frame)")).as("phash"))
     }),
 
+    // MPEG transport stream (the HLS segment shape): PAT -> PMT ->
+    // H.264 PES walk; same 8-video rotation, dims read from the SPS
+    // and duration from the PES PTS span since the container declares
+    // neither
+    "q_video_frames_ts" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 160).as[Long]
+        .mapPartitions(_.map(id => (id % 8,
+          graft.tools.GenMedia.tsAvcVideoFixture(id % 8))))
+        .toDF("vid", "content")
+      val frames = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_frames", "column" -> "content",
+          "max_frames" -> 4), Map.empty, "gate")
+      frames.groupBy("vid", "frame_index")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(expr("image_phash(frame)")).as("n_hashes"),
+          min(expr("image_phash(frame)")).as("phash"))
+    }),
+
     // Matroska-held H.264 (V_MPEG4/ISO/AVC + avcC CodecPrivate — the
     // other container real crawl H.264 ships in): same 8-video rotation
     // as the fMP4 gate; block payloads are length-prefixed NALs whose
@@ -5231,6 +5252,26 @@ object SparkEntry {
     // (whose pHashes coincide with CAVLC frames 0..1 — same content)
     // Matroska gate: identical pinned pHashes (same embedded
     // streams as the MP4 containers), base = vid // 2 + 1
+    // MPEG-TS gate: identical pinned pHashes (same embedded
+    // streams as the other containers), base = vid // 2 + 1
+    "q_video_frames_ts" ->
+      """WITH c AS (SELECT doc_id % 8 AS vid, count(*)::BIGINT AS n_rows
+                    FROM documents WHERE doc_id < 160 GROUP BY 1),
+            p AS (SELECT * FROM (VALUES
+               (1, 0, -5911842460359768959), (1, 1, -4367245356331379901),
+               (1, 2, 6075181718218525173), (1, 3, 2628736512514743017),
+               (2, 0, -1541267189407364191), (2, 1, 7820846899659986897),
+               (2, 2, 4315518646593552491), (2, 3, 3254997444723453163),
+               (3, 0, 3831853729669327327), (3, 1, 716668274781294701),
+               (3, 2, -2931598068608179801), (3, 3, -3408370078018625745),
+               (4, 0, -424367030519774589), (4, 1, 109707021242833343),
+               (4, 2, -696320392787150201), (4, 3, -1423060614499648149))
+              t(base, fidx, phash))
+         SELECT c.vid, p.fidx AS frame_index, c.n_rows,
+           1::BIGINT AS n_hashes, p.phash::BIGINT AS phash
+         FROM c JOIN p ON p.base = c.vid // 2 + 1
+         WHERE c.vid % 2 = 0 OR p.fidx < 2""",
+
     "q_video_frames_mkv_avc" ->
       """WITH c AS (SELECT doc_id % 8 AS vid, count(*)::BIGINT AS n_rows
                     FROM documents WHERE doc_id < 160 GROUP BY 1),

@@ -1711,6 +1711,15 @@ object H264 {
                    _: NegativeArraySizeException => null }
   }
 
+  /** Display dimensions from a raw (unescaped) SPS RBSP — container
+    * metadata for formats that declare none themselves (MPEG-TS).
+    * Null on unparseable/unsupported SPS. */
+  private[functions] def spsDisplayDims(rbsp: Array[Byte]): (Int, Int) =
+    try {
+      val s = parseSps(rbsp)
+      (s.w - s.cropL - s.cropR, s.h - s.cropT - s.cropB)
+    } catch { case _: Abort | _: ArrayIndexOutOfBoundsException => null }
+
   private def crop(ctx: Ctx, sps: Sps): Frame = {
     val w = ctx.W - sps.cropL - sps.cropR
     val h = ctx.H - sps.cropT - sps.cropB

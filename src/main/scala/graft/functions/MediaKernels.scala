@@ -395,6 +395,8 @@ object MediaKernels {
         if (codec == null) null else UTF8String.fromString(codec)))
     val m = mp4Meta(b)
     if (m != null) return row("mp4", m, mp4VideoCodec(b))
+    val ts = MpegTs.tsMeta(b)
+    if (ts != null) return row("mpegts", ts._1, ts._2)
     val a = aviMeta(b)
     if (a != null) return row("avi", a, aviVideoCodec(b))
     val iv = Webm.ivfMeta(b)
@@ -892,9 +894,12 @@ object MediaKernels {
     if (b == null || max <= 0) return Array.empty
     val all =
       try {
-        val avi = aviFrames(b)
+        val avi = aviFrames(b, math.min(max, 256))
         if (avi != null) avi
         else {
+          val ts = MpegTs.tsFrames(b, math.min(max, 256))
+          if (ts != null) ts
+          else {
           val mp4 = mp4Frames(b, math.min(max, 256))
           if (mp4 != null) mp4
           else {
@@ -917,6 +922,7 @@ object MediaKernels {
               }
             }
           }
+          }
         }
       } catch { case _: Exception => Array.empty[Array[Byte]] }
     sampleEven(all, math.min(max, 256))
@@ -931,13 +937,49 @@ object MediaKernels {
   /** AVI `movi` chunk walk: stream-data chunks `NNdc`/`NNdb` whose payload
     * opens with a JPEG SOI are frames (MJPEG stores one complete JPEG per
     * chunk). `rec ` LISTs nest one level of grouping. */
-  private def aviFrames(b: Array[Byte]): Array[Array[Byte]] = {
+  private def aviFrames(b: Array[Byte], max: Int): Array[Array[Byte]] = {
     if (b.length < 24 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // H.264-in-AVI: stream chunks carry Annex-B byte streams (SPS/PPS
+    // in-band ahead of each IDR, or carried once and remembered here).
+    // Chunk LOCATIONS of IDR-bearing payloads collect first; the
+    // expensive decodes run only on the <= max selected chunks.
+    val avcLocs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var avcSpsAt = -1; var avcSpsLen = 0
+    var avcPpsAt = -1; var avcPpsLen = 0
     def isFrameTag(p: Int): Boolean =
       b(p) >= '0' && b(p) <= '9' && b(p + 1) >= '0' && b(p + 1) <= '9' &&
         b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')
+    def isStartCode(p: Int, end: Int): Boolean =
+      p + 4 <= end && b(p) == 0 && b(p + 1) == 0 &&
+        (b(p + 2) == 1 || (b(p + 2) == 0 && b(p + 3) == 1))
+    /** Scan an Annex-B chunk: remember SPS/PPS positions, true iff an
+      * IDR NAL is present (cheap byte scan, no decode). */
+    def scanAnnexB(d: Int, end: Int): Boolean = {
+      var idr = false
+      var p = d
+      while (p + 4 <= end) {
+        if (b(p) == 0 && b(p + 1) == 0 &&
+          (b(p + 2) == 1 || (b(p + 2) == 0 && p + 4 < end && b(p + 3) == 1))) {
+          val at = p + (if (b(p + 2) == 1) 3 else 4)
+          if (at < end) {
+            var q = at
+            while (q + 2 < end && !(b(q) == 0 && b(q + 1) == 0 &&
+              (b(q + 2) == 0 || b(q + 2) == 1))) q += 1
+            val nend = if (q + 2 < end) q else end
+            (b(at) & 0x1F) match {
+              case 7 => avcSpsAt = at; avcSpsLen = nend - at
+              case 8 => avcPpsAt = at; avcPpsLen = nend - at
+              case 5 => idr = true
+              case _ => ()
+            }
+            p = nend
+          } else p = end
+        } else p += 1
+      }
+      idr
+    }
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var p = start
       while (p + 8 <= end) {
@@ -950,11 +992,29 @@ object MediaKernels {
         } else if (inMovi && isFrameTag(p) && len >= 3 &&
           (b(d) & 0xFF) == 0xFF && (b(d + 1) & 0xFF) == 0xD8) {
           out += java.util.Arrays.copyOfRange(b, d, d + len)
+        } else if (inMovi && isFrameTag(p) && isStartCode(d, d + len)) {
+          if (scanAnnexB(d, d + len)) avcLocs += ((d, len))
         }
         p = d + len + (len & 1)
       }
     }
     walk(12, b.length, inMovi = false)
+    if (out.isEmpty && avcLocs.nonEmpty && avcSpsAt >= 0 && avcPpsAt >= 0) {
+      val n = avcLocs.length
+      val sel = if (n <= max) 0 until n
+      else (0 until max).map(i => (i.toLong * n / max).toInt)
+      // prepend the remembered SPS/PPS: redundant when in-band (a
+      // re-parse of identical parameter sets), essential when not
+      val prefix = Array[Byte](0, 0, 0, 1) ++
+        java.util.Arrays.copyOfRange(b, avcSpsAt, avcSpsAt + avcSpsLen) ++
+        Array[Byte](0, 0, 0, 1) ++
+        java.util.Arrays.copyOfRange(b, avcPpsAt, avcPpsAt + avcPpsLen)
+      sel.foreach { si =>
+        val (d, len) = avcLocs(si)
+        val f = H264.decodeAnnexB(prefix ++ java.util.Arrays.copyOfRange(b, d, d + len))
+        if (f != null) out += ImageKernels.encodePng(f.w, f.h, f.y)
+      }
+    }
     out.toArray
   }
 
@@ -1252,7 +1312,8 @@ object MediaKernels {
   /** MJPEG AVI writer for fixtures/tests: full RIFF with hdrl (avih +
     * strl/strh/strf) and a movi list carrying one `00dc` JPEG per frame. */
   def encodeMjpegAvi(width: Int, height: Int, usPerFrame: Long,
-                     frames: Seq[Array[Byte]]): Array[Byte] = {
+                     frames: Seq[Array[Byte]],
+                     fourcc: String = "MJPG"): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       bos.write(v.toInt & 0xFF); bos.write((v >> 8).toInt & 0xFF)
@@ -1281,13 +1342,13 @@ object MediaKernels {
     le(avih, 32, width.toLong); le(avih, 36, height.toLong)
     val strh = new Array[Byte](56)
     "vids".getBytes("US-ASCII").copyToArray(strh, 0)
-    "MJPG".getBytes("US-ASCII").copyToArray(strh, 4)
+    fourcc.getBytes("US-ASCII").copyToArray(strh, 4)
     le(strh, 20, usPerFrame); le(strh, 24, 1000000L) // rate scale/rate
     le(strh, 32, frames.length.toLong)
     val strf = new Array[Byte](40) // BITMAPINFOHEADER
     le(strf, 0, 40); le(strf, 4, width.toLong); le(strf, 8, height.toLong)
     strf(12) = 1; le(strf, 14, 24L << 16) // planes=1, bits=24 (packed odd, fine for fixture)
-    "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
+    fourcc.getBytes("US-ASCII").copyToArray(strf, 16)
     def bare(t: String, body: Array[Byte]): Array[Byte] = {
       val o = new Array[Byte](8 + body.length + (body.length & 1))
       t.getBytes("US-ASCII").copyToArray(o, 0)

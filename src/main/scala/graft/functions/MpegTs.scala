@@ -1,0 +1,327 @@
+package graft.functions
+
+/** MPEG transport stream (ISO/IEC 13818-1) — the container HLS ships
+  * video in, and with it a large share of crawl-origin video segments.
+  * Reference behavior anchor: the reference pipeline ingests opaque
+  * binary columns and this module makes `.ts` segments first-class in
+  * the video tier (reference has no media decode at all — this is the
+  * beyond-reference modality surface, same tier as the MP4/MKV faces).
+  *
+  * Scope: 188-byte packets, PAT → PMT → the first video elementary
+  * stream (stream_type 0x1B = H.264 feeds the native [[H264]] decoder;
+  * other video types surface through the codec column for
+  * diagnosability), PES payload extraction across packets (adaptation
+  * fields honored), PTS span for duration. IDR access units decode;
+  * non-IDR pictures skip (the keyframes-only tier contract).
+  *
+  * Totality: every entry point returns null/empty on hostile bytes —
+  * bounds-checked reads, capped collections, no allocation from
+  * untrusted length fields beyond the input's own size.
+  */
+object MpegTs {
+
+  @inline private def pidOf(b: Array[Byte], p: Int): Int =
+    ((b(p + 1) & 0x1F) << 8) | (b(p + 2) & 0xFF)
+
+  /** Payload offset inside the packet at p, honoring the adaptation
+    * field; -1 when the packet carries no payload or is malformed. */
+  private def payloadOff(b: Array[Byte], p: Int): Int = {
+    val afc = (b(p + 3) >> 4) & 3
+    if ((afc & 1) == 0) return -1
+    var off = p + 4
+    if ((afc & 2) != 0) off = p + 5 + (b(p + 4) & 0xFF)
+    if (off > p + 188) -1 else off
+  }
+
+  private[functions] def isTs(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 * 188 &&
+      (b(0) & 0xFF) == 0x47 && (b(188) & 0xFF) == 0x47
+
+  /** (videoPid, streamType) via PAT → PMT; (-1, -1) when absent. */
+  private def findVideoPid(b: Array[Byte]): (Int, Int) = {
+    var pmtPid = -1
+    var p = 0
+    while (p + 188 <= b.length && pmtPid < 0) {
+      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == 0 &&
+        ((b(p + 1) >> 6) & 1) == 1) {
+        val off = payloadOff(b, p)
+        if (off > 0 && off < p + 188) {
+          val s = off + 1 + (b(off) & 0xFF) // pointer_field
+          if (s + 8 <= p + 188 && (b(s) & 0xFF) == 0x00) {
+            val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
+            var q = s + 8
+            val qe = math.min(s + 3 + slen - 4, p + 188)
+            while (q + 4 <= qe && pmtPid < 0) {
+              val prog = ((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)
+              if (prog != 0)
+                pmtPid = ((b(q + 2) & 0x1F) << 8) | (b(q + 3) & 0xFF)
+              q += 4
+            }
+          }
+        }
+      }
+      p += 188
+    }
+    if (pmtPid <= 0) return (-1, -1)
+    p = 0
+    while (p + 188 <= b.length) {
+      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == pmtPid &&
+        ((b(p + 1) >> 6) & 1) == 1) {
+        val off = payloadOff(b, p)
+        if (off > 0 && off < p + 188) {
+          val s = off + 1 + (b(off) & 0xFF)
+          if (s + 12 <= p + 188 && (b(s) & 0xFF) == 0x02) {
+            val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
+            val pil = ((b(s + 10) & 0x0F) << 8) | (b(s + 11) & 0xFF)
+            var q = s + 12 + pil
+            val qe = math.min(s + 3 + slen - 4, p + 188)
+            while (q + 5 <= qe) {
+              val st = b(q) & 0xFF
+              val epid = ((b(q + 1) & 0x1F) << 8) | (b(q + 2) & 0xFF)
+              val eil = ((b(q + 3) & 0x0F) << 8) | (b(q + 4) & 0xFF)
+              // the known VIDEO stream types; first one wins
+              if (st == 0x1B || st == 0x01 || st == 0x02 || st == 0x10 ||
+                st == 0x24) return (epid, st)
+              q += 5 + eil
+            }
+            return (-1, -1)
+          }
+        }
+      }
+      p += 188
+    }
+    (-1, -1)
+  }
+
+  /** Concatenated elementary-stream bytes of `vidPid` with PES headers
+    * stripped, plus the (min, max) PTS seen (-1 when none). */
+  private def esBytes(b: Array[Byte], vidPid: Int): (Array[Byte], Long, Long) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var minPts = -1L
+    var maxPts = -1L
+    var p = 0
+    while (p + 188 <= b.length) {
+      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == vidPid) {
+        var off = payloadOff(b, p)
+        if (off > 0) {
+          if (((b(p + 1) >> 6) & 1) == 1) { // PES start
+            if (off + 9 <= p + 188 && b(off) == 0 && b(off + 1) == 0 &&
+              b(off + 2) == 1) {
+              val flags2 = b(off + 7) & 0xFF
+              val hdrLen = b(off + 8) & 0xFF
+              if ((flags2 & 0x80) != 0 && off + 14 <= p + 188) {
+                // 33-bit PTS over 5 marker-interleaved bytes
+                val q = off + 9
+                val pts = (((b(q) >> 1) & 0x7).toLong << 30) |
+                  ((b(q + 1) & 0xFF).toLong << 22) |
+                  (((b(q + 2) >> 1) & 0x7F).toLong << 15) |
+                  ((b(q + 3) & 0xFF).toLong << 7) |
+                  ((b(q + 4) >> 1) & 0x7F).toLong
+                if (minPts < 0 || pts < minPts) minPts = pts
+                if (pts > maxPts) maxPts = pts
+              }
+              off = off + 9 + hdrLen
+            } else off = -1
+          }
+          if (off > 0 && off <= p + 188) bos.write(b, off, p + 188 - off)
+        }
+      }
+      p += 188
+    }
+    (bos.toByteArray, minPts, maxPts)
+  }
+
+  /** NAL units of an Annex-B buffer as (offset, length, type) triples,
+    * capped. */
+  private def scanNals(es: Array[Byte]): Array[(Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var i = 0
+    while (i + 3 < es.length && out.length < (1 << 20)) {
+      if (es(i) == 0 && es(i + 1) == 0 &&
+        (es(i + 2) == 1 || (es(i + 2) == 0 && i + 4 < es.length && es(i + 3) == 1))) {
+        val at = i + (if (es(i + 2) == 1) 3 else 4)
+        var j = at
+        while (j + 2 < es.length && !(es(j) == 0 && es(j + 1) == 0 &&
+          (es(j + 2) == 0 || es(j + 2) == 1))) j += 1
+        val end = if (j + 2 < es.length) j else es.length
+        if (end > at) out += ((at, end - at, es(at) & 0x1F))
+        i = end
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Decoded IDR keyframes (grayscale PNG snapshots) of an H.264
+    * transport stream, at most `max`, evenly selected BEFORE the
+    * expensive decodes (consecutive IDR NALs form one picture's
+    * slices). Null when the buffer is not a transport stream or
+    * carries no decodable H.264 video. */
+  private[functions] def tsFrames(b: Array[Byte], max: Int): Array[Array[Byte]] = {
+    if (!isTs(b)) return null
+    val (vidPid, streamType) = findVideoPid(b)
+    if (vidPid < 0 || streamType != 0x1B) return null
+    val (es, _, _) = esBytes(b, vidPid)
+    val nals = scanNals(es)
+    var spsAt = -1; var spsLen = 0
+    var ppsAt = -1; var ppsLen = 0
+    // group consecutive IDR NALs (one picture's slices)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // nal index range
+    var i = 0
+    while (i < nals.length) {
+      val (at, len, typ) = nals(i)
+      typ match {
+        case 7 => spsAt = at; spsLen = len
+        case 8 => ppsAt = at; ppsLen = len
+        case 5 =>
+          var j = i
+          while (j + 1 < nals.length && nals(j + 1)._3 == 5) j += 1
+          groups += ((i, j))
+          i = j
+        case _ => ()
+      }
+      i += 1
+    }
+    if (groups.isEmpty || spsAt < 0 || ppsAt < 0) return Array.empty
+    val n = groups.length
+    val sel = if (n <= max) 0 until n
+    else (0 until max).map(k => (k.toLong * n / max).toInt)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val sps = java.util.Arrays.copyOfRange(es, spsAt, spsAt + spsLen)
+    val pps = java.util.Arrays.copyOfRange(es, ppsAt, ppsAt + ppsLen)
+    sel.foreach { gi =>
+      val (from, to) = groups(gi)
+      val idrs = (from to to).map { k =>
+        val (at, len, _) = nals(k)
+        java.util.Arrays.copyOfRange(es, at, at + len)
+      }
+      val f = H264.decodeAvcc(sps, pps, idrs)
+      if (f != null) out += ImageKernels.encodePng(f.w, f.h, f.y)
+    }
+    out.toArray
+  }
+
+  /** (width, height, durationMs) + codec for video_meta: dimensions
+    * from the first SPS in the elementary stream (the container itself
+    * declares none), duration from the PES PTS span at 90 kHz. Null
+    * when not a transport stream with a video program. */
+  private[functions] def tsMeta(b: Array[Byte]): (Array[Long], String) = {
+    if (!isTs(b)) return null
+    val (vidPid, streamType) = findVideoPid(b)
+    if (vidPid < 0) return null
+    val codec = streamType match {
+      case 0x1B => "h264"
+      case 0x24 => "hevc"
+      case 0x02 => "mpeg2"
+      case 0x01 => "mpeg1"
+      case 0x10 => "mpeg4"
+      case other => f"0x$other%02x"
+    }
+    val (es, minPts, maxPts) = esBytes(b, vidPid)
+    var w = 0L
+    var h = 0L
+    if (streamType == 0x1B) {
+      val nals = scanNals(es)
+      val sps = nals.find(_._3 == 7)
+      if (sps.isDefined) {
+        val (at, len, _) = sps.get
+        val dims = H264.spsDisplayDims(
+          H264.unescape(es, at, at + len))
+        if (dims != null) { w = dims._1; h = dims._2 }
+      }
+    }
+    val durMs = if (minPts >= 0 && maxPts > minPts) (maxPts - minPts) / 90 else 0L
+    (Array(w, h, durMs), codec)
+  }
+
+  // ------------------------------------------------------------ writer
+
+  /** MPEG CRC-32 (poly 0x04C11DB7, init all-ones, no reflection) over
+    * PSI sections. */
+  private def mpegCrc32(d: Array[Byte], from: Int, to: Int): Long = {
+    var crc = 0xFFFFFFFFL
+    var i = from
+    while (i < to) {
+      crc ^= (d(i) & 0xFFL) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04C11DB7L) & 0xFFFFFFFFL
+        else (crc << 1) & 0xFFFFFFFFL
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Single-program H.264 transport stream for fixtures/tests: PAT +
+    * PMT (stream_type 0x1B, PID 0x100) + one PES per input Annex-B
+    * stream (PTS at 30 fps / 90 kHz), 188-byte packets with adaptation-
+    * field stuffing — the HLS segment shape. */
+  def encodeH264Ts(annexB: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val counters = scala.collection.mutable.HashMap.empty[Int, Int]
+    def packet(pid: Int, pusi: Boolean, payload: Array[Byte], from: Int,
+               len: Int): Unit = {
+      val cc = counters.getOrElse(pid, 0)
+      counters(pid) = (cc + 1) & 0xF
+      val pkt = new Array[Byte](188)
+      pkt(0) = 0x47
+      pkt(1) = (((if (pusi) 1 else 0) << 6) | (pid >> 8)).toByte
+      pkt(2) = (pid & 0xFF).toByte
+      if (len >= 184) {
+        pkt(3) = (0x10 | cc).toByte // payload only
+        System.arraycopy(payload, from, pkt, 4, 184)
+      } else {
+        // adaptation field pads the remainder ahead of the payload
+        pkt(3) = (0x30 | cc).toByte
+        val afLen = 183 - len
+        pkt(4) = afLen.toByte
+        if (afLen > 0) {
+          pkt(5) = 0 // no flags
+          java.util.Arrays.fill(pkt, 6, 6 + afLen - 1, 0xFF.toByte)
+        }
+        System.arraycopy(payload, from, pkt, 188 - len, len)
+      }
+      bos.write(pkt)
+    }
+    def psi(pid: Int, section: Array[Byte]): Unit = {
+      val crc = mpegCrc32(section, 0, section.length)
+      val body = Array[Byte](0) ++ section ++ Array( // pointer_field 0
+        (crc >> 24).toByte, (crc >> 16).toByte, (crc >> 8).toByte, crc.toByte)
+      packet(pid, pusi = true, body, 0, body.length)
+    }
+    val pmtPid = 0x1000
+    val vidPid = 0x100
+    // PAT: one program (1) -> pmtPid
+    val patLen = 5 + 4 + 4 // post-length header + program + CRC
+    psi(0, Array[Byte](0x00, (0xB0 | (patLen >> 8)).toByte, (patLen & 0xFF).toByte,
+      0, 1, 0xC1.toByte, 0, 0,
+      0, 1, (0xE0 | (pmtPid >> 8)).toByte, (pmtPid & 0xFF).toByte))
+    // PMT: program 1, PCR = video PID, one H.264 stream
+    val pmtLen = 5 + 4 + 5 + 4
+    psi(pmtPid, Array[Byte](0x02, (0xB0 | (pmtLen >> 8)).toByte, (pmtLen & 0xFF).toByte,
+      0, 1, 0xC1.toByte, 0, 0,
+      (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte, 0xF0.toByte, 0,
+      0x1B, (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte, 0xF0.toByte, 0))
+    annexB.zipWithIndex.foreach { case (es, i) =>
+      val pts = 90000L / 30 * 3 * i // 30 fps at 90 kHz, x3 so values stay distinct
+      def mk(v: Long, marker: Int): Array[Byte] = Array(
+        ((marker << 4) | (((v >> 30) & 0x7) << 1).toInt | 1).toByte,
+        ((v >> 22) & 0xFF).toByte,
+        ((((v >> 15) & 0x7F) << 1) | 1).toByte,
+        ((v >> 7) & 0xFF).toByte,
+        (((v & 0x7F) << 1) | 1).toByte)
+      val pes = Array[Byte](0, 0, 1, 0xE0.toByte, 0, 0, // unbounded length
+        0x80.toByte, 0x80.toByte, 5) ++ mk(pts, 2) ++ es
+      var p = 0
+      var first = true
+      while (p < pes.length) {
+        val len = math.min(184, pes.length - p)
+        packet(vidPid, first, pes, p, len)
+        first = false
+        p += len
+      }
+    }
+    bos.toByteArray
+  }
+}

@@ -163,6 +163,28 @@ object GenMedia {
     * as [[h264VideoFixture]], so its decode pins the identical pHashes
     * and classic-vs-fragmented containers are cross-dups. Odd vids mix
     * in CABAC samples so the fragment walk feeds both entropy layers. */
+  /** MPEG transport stream (the HLS segment shape): PAT + PMT
+    * (stream_type 0x1B) + one PES per H.264 IDR picture, 90 kHz PTS.
+    * Same base/arm rotation as the other H.264 containers. */
+  def tsAvcVideoFixture(vid: Long): Array[Byte] = {
+    val base = ((vid / 2) % 4).toInt + 1
+    val streams =
+      if (vid % 2 == 0) (0 until 4).map(k => H264Fixtures.stream(base, k))
+      else (0 until 2).map(k => H264Fixtures.cabacStream(base, k))
+    graft.functions.MpegTs.encodeH264Ts(streams)
+  }
+
+  /** AVI-held H.264 ("H264" strh fourcc, Annex-B byte streams in the
+    * movi chunks — SPS/PPS in-band ahead of each IDR): same base/arm
+    * rotation as the other H.264 containers. base = vid/2 + 1. */
+  def aviAvcVideoFixture(vid: Long): Array[Byte] = {
+    val base = ((vid / 2) % 4).toInt + 1
+    val streams =
+      if (vid % 2 == 0) (0 until 4).map(k => H264Fixtures.stream(base, k))
+      else (0 until 2).map(k => H264Fixtures.cabacStream(base, k))
+    MediaKernels.encodeMjpegAvi(48, 48, 40000L, streams, fourcc = "H264")
+  }
+
   /** Matroska-held H.264 (V_MPEG4/ISO/AVC + avcC CodecPrivate): the
     * same streams per base as the MP4 fixtures — even vids CAVLC x4,
     * odd vids CABAC x2 — so MKV, classic MP4 and fragmented MP4 of the

@@ -316,6 +316,85 @@ class H264Spec extends SparkSpec {
         s"pair $i: MKV and fragmented MP4 did not group")
   }
 
+  test("MPEG-TS (HLS segment shape): PAT/PMT/PES walk feeds the native decoder") {
+    for (base <- 1 to 4) {
+      val ts = graft.tools.GenMedia.tsAvcVideoFixture((base - 1) * 2L)
+      val mp4 = graft.tools.GenMedia.h264VideoFixture(base - 1L)
+      val a = MediaKernels.videoFrames(ts, 16)
+      val b = MediaKernels.videoFrames(mp4, 16)
+      assert(a.length == 4, s"base=$base: TS walk found ${a.length} pictures")
+      for (k <- 0 until 4)
+        assert(java.util.Arrays.equals(a(k), b(k)),
+          s"base=$base k=$k: TS decode differs from MP4")
+      assert(MediaKernels.videoFrames(ts, 2).length == 2) // sample-then-decode
+      // CABAC arm through the TS path
+      val tsC = graft.tools.GenMedia.tsAvcVideoFixture((base - 1) * 2L + 1)
+      assert(MediaKernels.videoFrames(tsC, 16).length == 2)
+      // meta: dims from the SPS (the container declares none), duration
+      // from the PES PTS span, codec from the PMT stream_type
+      val m = MediaKernels.videoMetaRow(ts)
+      assert(m.getString(0) == "mpegts" && m.getString(4) == "h264")
+      assert(m.getInt(1) == 48 && m.getInt(2) == 48)
+      assert(m.getLong(3) == 3L * 9000 / 90, s"PTS-span duration: ${m.getLong(3)}")
+    }
+    // hostile: truncation/corruption never throw
+    val good = graft.tools.GenMedia.tsAvcVideoFixture(0)
+    for (cut <- Seq(0, 100, 188, 189, 376, good.length / 2, good.length - 7))
+      MediaKernels.videoFrames(java.util.Arrays.copyOf(good, cut), 8)
+    val rnd = new scala.util.Random(71)
+    for (_ <- 0 until 150) {
+      val c = good.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      MediaKernels.videoFrames(c, 8)
+    }
+  }
+
+  test("cross-container video_dedup: MPEG-TS groups with AVI-held H.264") {
+    import spark.implicits._
+    val media = (0L until 8L).map { i =>
+      val base = i % 4
+      if (i < 4) (i, graft.tools.GenMedia.tsAvcVideoFixture(base * 2))
+      else (i, graft.tools.GenMedia.aviAvcVideoFixture(base * 2))
+    }.toDF("media_id", "content")
+    val groups = Images.videoDedupGroups(media, "media_id", "content",
+      maxHamming = 3, maxFrames = 4, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L until 4L)
+      assert(groups(i) == (i, 2L) && groups(i + 4) == (i, 2L),
+        s"pair $i: TS and AVI H.264 did not group")
+  }
+
+  test("AVI-held H.264 (H264 fourcc, Annex-B chunks): decodes and samples") {
+    for (base <- 1 to 4) {
+      val avi = graft.tools.GenMedia.aviAvcVideoFixture((base - 1) * 2L)
+      val mp4 = graft.tools.GenMedia.h264VideoFixture(base - 1L)
+      val a = MediaKernels.videoFrames(avi, 16)
+      val b = MediaKernels.videoFrames(mp4, 16)
+      assert(a.length == 4, s"base=$base: AVI walk found ${a.length} chunks")
+      for (k <- 0 until 4)
+        assert(java.util.Arrays.equals(a(k), b(k)),
+          s"base=$base k=$k: AVI decode differs from MP4")
+      // sample-then-decode: only the selected chunks decode
+      assert(MediaKernels.videoFrames(avi, 2).length == 2)
+      // CABAC arm
+      val aviC = graft.tools.GenMedia.aviAvcVideoFixture((base - 1) * 2L + 1)
+      assert(MediaKernels.videoFrames(aviC, 16).length == 2)
+      // codec column reads the strh fourcc
+      val m = MediaKernels.videoMetaRow(avi)
+      assert(m.getString(0) == "avi" && m.getString(4) == "H264")
+    }
+    // hostile: truncation/corruption never throw
+    val good = graft.tools.GenMedia.aviAvcVideoFixture(0)
+    for (cut <- Seq(0, 11, 40, good.length / 2, good.length - 2))
+      MediaKernels.videoFrames(java.util.Arrays.copyOf(good, cut), 8)
+    val rnd = new scala.util.Random(67)
+    for (_ <- 0 until 150) {
+      val c = good.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      MediaKernels.videoFrames(c, 8)
+    }
+  }
+
   test("hostile MKV-AVC: truncation/corruption never throw") {
     for (vid <- 0L until 4L) {
       val good = graft.tools.GenMedia.mkvAvcVideoFixture(vid)
