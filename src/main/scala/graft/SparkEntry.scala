@@ -2529,6 +2529,25 @@ object SparkEntry {
           min(expr("image_phash(frame)")).as("phash"))
     }),
 
+    // MPEG-TS metadata: the container declares neither dimensions nor
+    // duration — dims come from the first SPS in the elementary stream,
+    // duration from the PES PTS span (90 kHz), codec from the PMT
+    // stream_type; frame count differs per entropy arm (4 CAVLC / 2
+    // CABAC), so the PTS-span duration is parity-derived
+    "q_video_meta_ts" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 320).as[Long]
+        .mapPartitions(_.map(id => (id,
+          graft.tools.GenMedia.tsAvcVideoFixture(id % 8))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
+        .selectExpr("media_id", "video_format", "video_width", "video_height",
+          "video_duration_ms", "video_codec")
+    }),
+
     // MPEG transport stream (the HLS segment shape): PAT -> PMT ->
     // H.264 PES walk; same 8-video rotation, dims read from the SPS
     // and duration from the PES PTS span since the container declares
@@ -5252,6 +5271,16 @@ object SparkEntry {
     // (whose pHashes coincide with CAVLC frames 0..1 — same content)
     // Matroska gate: identical pinned pHashes (same embedded
     // streams as the MP4 containers), base = vid // 2 + 1
+    // PTS span = (frames - 1) * 9000 ticks / 90 = (frames - 1) * 100 ms,
+    // frames = 4 on the CAVLC arm (even vid) / 2 on the CABAC arm (odd)
+    "q_video_meta_ts" ->
+      """SELECT doc_id AS media_id, 'mpegts' AS video_format,
+           48::INTEGER AS video_width, 48::INTEGER AS video_height,
+           (CASE WHEN doc_id % 2 = 0 THEN 300 ELSE 100 END)::BIGINT
+             AS video_duration_ms,
+           'h264' AS video_codec
+         FROM documents WHERE doc_id < 320""",
+
     // MPEG-TS gate: identical pinned pHashes (same embedded
     // streams as the other containers), base = vid // 2 + 1
     "q_video_frames_ts" ->
