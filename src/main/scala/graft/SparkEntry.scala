@@ -2294,6 +2294,22 @@ object SparkEntry {
           "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
     }),
 
+    // STREAM-container audio (previously null rows): MP3 and ADTS-AAC
+    // elementary streams inside MPEG-TS (PAT->PMT audio stream_type ->
+    // PES-stripped ES walk), and Ogg-held Vorbis/Opus identification
+    // headers with last-granule durations — all fields id-derived
+    "q_audio_meta_stream" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 400).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.streamAudioFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "audio_format", "audio_channels", "audio_sample_rate",
+          "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
+    }),
+
     // REAL PCM decode: integer signal features (energy, zero crossings,
     // peak) over samples the oracle regenerates from the fixture formula —
     // a wrong byte anywhere in encode OR decode breaks the hash match
@@ -5134,6 +5150,32 @@ object SparkEntry {
            CASE WHEN doc_id % 4 = 0 THEN 'A_OPUS'
                 WHEN doc_id % 2 = 0 THEN 'A_VORBIS'
                 ELSE 'mp4a' END AS audio_codec
+         FROM documents WHERE doc_id < 400""",
+
+    // stream-container audio: TS arms walk the real elementary stream
+    // (frame counts -> exact n_samples/duration); Ogg arms read the
+    // identification header + final granule (Opus granules are 48 kHz-
+    // domain, so n_samples stays 0 and only the duration is exact)
+    "q_audio_meta_stream" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 4 < 2 THEN 'mpegts' ELSE 'ogg' END AS audio_format,
+           (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 + (doc_id // 4) % 2 END)::INTEGER
+             AS audio_channels,
+           (CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 WHEN 2 THEN (CASE (doc_id // 8) % 3 WHEN 0 THEN 22050
+                              WHEN 1 THEN 44100 ELSE 48000 END)
+                 ELSE 48000 END)::BIGINT AS audio_sample_rate,
+           0::INTEGER AS audio_bits,
+           (CASE doc_id % 4 WHEN 0 THEN (4 + doc_id % 6) * 1152
+                 WHEN 1 THEN (4 + doc_id % 6) * 1024
+                 WHEN 2 THEN (CASE (doc_id // 8) % 3 WHEN 0 THEN 22050
+                              WHEN 1 THEN 44100 ELSE 48000 END) * (1 + doc_id % 5)
+                 ELSE 0 END)::BIGINT AS audio_n_samples,
+           (CASE doc_id % 4 WHEN 0 THEN (4 + doc_id % 6) * 1152 * 1000 // 44100
+                 WHEN 1 THEN (4 + doc_id % 6) * 1024 * 1000 // 48000
+                 ELSE (1 + doc_id % 5) * 1000 END)::BIGINT AS audio_duration_ms,
+           CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'aac'
+                WHEN 2 THEN 'vorbis' ELSE 'opus' END AS audio_codec
          FROM documents WHERE doc_id < 400""",
 
     // samples regenerated from the fixture formula; features recomputed

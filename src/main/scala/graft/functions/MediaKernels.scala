@@ -91,6 +91,21 @@ object MediaKernels {
     if (mp3 != null)
       return row("mp3", mp3(0).toInt, mp3(1), 0, mp3(2),
         if (mp3(1) > 0) mp3(2) * 1000L / mp3(1) else 0L, "mp3")
+    if (MpegTs.isTs(b)) {
+      val ta = MpegTs.tsAudioInfo(b, mp3Info)
+      if (ta != null) {
+        val (m, codec) = ta
+        return row("mpegts", m(0).toInt, m(1), 0, m(2),
+          if (m(1) > 0) m(2) * 1000L / m(1) else 0L, codec)
+      }
+    }
+    if (Ogg.isOgg(b)) {
+      val oa = Ogg.audioInfo(b)
+      if (oa != null) {
+        val (m, codec) = oa
+        return row("ogg", m(0).toInt, m(1), 0, m(2), m(3), codec)
+      }
+    }
     val mt = mp4Tracks(b).find(t => t.handler == "soun" && t.codec != null)
     if (mt.isDefined) {
       val t = mt.get
@@ -255,6 +270,30 @@ object MediaKernels {
       out(p + 1) = (0xE0 | (verBits << 3) | (1 << 1) | 1).toByte // L3, no CRC
       out(p + 2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
       out(p + 3) = 0x00 // stereo
+      f += 1
+    }
+    out
+  }
+
+  /** Minimal ADTS AAC fixture: `frames` header-only frames (7-byte
+    * frame length, AAC-LC profile) at the given rate/channels — the
+    * metadata shape an ADTS elementary stream declares. */
+  def encodeAdtsHeader(sampleRate: Long, channels: Int, frames: Int): Array[Byte] = {
+    val rates = Array(96000L, 88200L, 64000L, 48000L, 44100L, 32000L,
+      24000L, 22050L, 16000L, 12000L, 11025L, 8000L, 7350L)
+    val sfIdx = rates.indexOf(sampleRate)
+    require(sfIdx >= 0, s"unsupported adts rate $sampleRate")
+    val out = new Array[Byte](7 * frames)
+    var f = 0
+    while (f < frames) {
+      val p = f * 7
+      out(p) = 0xFF.toByte
+      out(p + 1) = 0xF1.toByte // MPEG-4, layer 00, no CRC
+      out(p + 2) = ((1 << 6) | (sfIdx << 2) | (channels >> 2)).toByte // AAC-LC
+      out(p + 3) = (((channels & 3) << 6) | (7 >> 11)).toByte
+      out(p + 4) = ((7 >> 3) & 0xFF).toByte
+      out(p + 5) = (((7 & 7) << 5) | 0x1F).toByte // fullness hi
+      out(p + 6) = 0xFC.toByte // fullness lo, 1 raw data block
       f += 1
     }
     out

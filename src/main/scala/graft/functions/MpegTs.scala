@@ -233,6 +233,116 @@ object MpegTs {
     (Array(w, h, durMs), codec)
   }
 
+  /** The first AUDIO elementary stream declared in the PMT:
+    * (pid, streamType); (-1, -1) when none. */
+  private def findAudioPid(b: Array[Byte]): (Int, Int) = {
+    var pmtPid = -1
+    var p = 0
+    while (p + 188 <= b.length && pmtPid < 0) {
+      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == 0 &&
+        ((b(p + 1) >> 6) & 1) == 1) {
+        val off = payloadOff(b, p)
+        if (off > 0 && off < p + 188) {
+          val s = off + 1 + (b(off) & 0xFF)
+          if (s + 8 <= p + 188 && (b(s) & 0xFF) == 0x00) {
+            val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
+            var q = s + 8
+            val qe = math.min(s + 3 + slen - 4, p + 188)
+            while (q + 4 <= qe && pmtPid < 0) {
+              if ((((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)) != 0)
+                pmtPid = ((b(q + 2) & 0x1F) << 8) | (b(q + 3) & 0xFF)
+              q += 4
+            }
+          }
+        }
+      }
+      p += 188
+    }
+    if (pmtPid <= 0) return (-1, -1)
+    p = 0
+    while (p + 188 <= b.length) {
+      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == pmtPid &&
+        ((b(p + 1) >> 6) & 1) == 1) {
+        val off = payloadOff(b, p)
+        if (off > 0 && off < p + 188) {
+          val s = off + 1 + (b(off) & 0xFF)
+          if (s + 12 <= p + 188 && (b(s) & 0xFF) == 0x02) {
+            val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
+            val pil = ((b(s + 10) & 0x0F) << 8) | (b(s + 11) & 0xFF)
+            var q = s + 12 + pil
+            val qe = math.min(s + 3 + slen - 4, p + 188)
+            while (q + 5 <= qe) {
+              val st = b(q) & 0xFF
+              val epid = ((b(q + 1) & 0x1F) << 8) | (b(q + 2) & 0xFF)
+              val eil = ((b(q + 3) & 0x0F) << 8) | (b(q + 4) & 0xFF)
+              // the known AUDIO stream types
+              if (st == 0x03 || st == 0x04 || st == 0x0F || st == 0x11 ||
+                st == 0x81) return (epid, st)
+              q += 5 + eil
+            }
+            return (-1, -1)
+          }
+        }
+      }
+      p += 188
+    }
+    (-1, -1)
+  }
+
+  /** ADTS sampling_frequency_index (ISO 14496-3). */
+  private val AdtsRates = Array(96000L, 88200L, 64000L, 48000L, 44100L,
+    32000L, 24000L, 22050L, 16000L, 12000L, 11025L, 8000L, 7350L)
+
+  /** ADTS AAC elementary-stream walk: (channels, rate, totalSamples) —
+    * 1024 samples per raw data block; null when the ES is not ADTS. */
+  private def adtsInfo(es: Array[Byte]): Array[Long] = {
+    var p = 0
+    var frames = 0L
+    var blocks = 0L
+    var ch = 0L
+    var rate = 0L
+    while (p + 7 <= es.length) {
+      if ((es(p) & 0xFF) != 0xFF || (es(p + 1) & 0xF0) != 0xF0)
+        return if (frames > 0) Array(ch, rate, blocks * 1024L) else null
+      val sfIdx = (es(p + 2) >> 2) & 0xF
+      if (sfIdx >= AdtsRates.length) return null
+      rate = AdtsRates(sfIdx)
+      ch = (((es(p + 2) & 1) << 2) | ((es(p + 3) >> 6) & 3)).toLong
+      val frameLen = ((es(p + 3) & 0x3) << 11) |
+        ((es(p + 4) & 0xFF) << 3) | ((es(p + 5) >> 5) & 0x7)
+      if (frameLen < 7) return null
+      blocks += 1 + (es(p + 6) & 0x3)
+      frames += 1
+      p += frameLen
+    }
+    if (frames > 0) Array(ch, rate, blocks * 1024L) else null
+  }
+
+  /** Audio metadata of a transport stream: (channels, rate,
+    * totalSamples, codec) — MP3 streams reuse the Layer-III frame walk,
+    * ADTS AAC walks its headers; other declared audio types surface
+    * codec-only. Null when the buffer is not a TS with an audio
+    * program. */
+  private[functions] def tsAudioInfo(
+      b: Array[Byte],
+      mp3Walk: Array[Byte] => Array[Long]): (Array[Long], String) = {
+    if (!isTs(b)) return null
+    val (pid, streamType) = findAudioPid(b)
+    if (pid < 0) return null
+    val (es, _, _) = esBytes(b, pid)
+    streamType match {
+      case 0x03 | 0x04 =>
+        val m = mp3Walk(es)
+        (if (m != null) m else Array(0L, 0L, 0L), "mp3")
+      case 0x0F =>
+        val m = adtsInfo(es)
+        (if (m != null) m else Array(0L, 0L, 0L), "aac")
+      case 0x11 => (Array(0L, 0L, 0L), "latm-aac")
+      case 0x81 => (Array(0L, 0L, 0L), "ac3")
+      case other => (Array(0L, 0L, 0L), f"0x$other%02x")
+    }
+  }
+
   // ------------------------------------------------------------ writer
 
   /** MPEG CRC-32 (poly 0x04C11DB7, init all-ones, no reflection) over
@@ -257,7 +367,17 @@ object MpegTs {
     * PMT (stream_type 0x1B, PID 0x100) + one PES per input Annex-B
     * stream (PTS at 30 fps / 90 kHz), 188-byte packets with adaptation-
     * field stuffing — the HLS segment shape. */
-  def encodeH264Ts(annexB: Seq[Array[Byte]]): Array[Byte] = {
+  def encodeH264Ts(annexB: Seq[Array[Byte]]): Array[Byte] =
+    encodeTs(0x1B, 0xE0, annexB)
+
+  /** Single-program AUDIO transport stream: same PSI shape with the
+    * given stream_type (0x03/0x04 MP3, 0x0F ADTS AAC) and audio PES
+    * stream_id, one PES per payload. */
+  def encodeAudioTs(streamType: Int, payloads: Seq[Array[Byte]]): Array[Byte] =
+    encodeTs(streamType, 0xC0, payloads)
+
+  private def encodeTs(streamType: Int, pesStreamId: Int,
+                       payloads: Seq[Array[Byte]]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val counters = scala.collection.mutable.HashMap.empty[Int, Int]
     def packet(pid: Int, pusi: Boolean, payload: Array[Byte], from: Int,
@@ -302,8 +422,9 @@ object MpegTs {
     psi(pmtPid, Array[Byte](0x02, (0xB0 | (pmtLen >> 8)).toByte, (pmtLen & 0xFF).toByte,
       0, 1, 0xC1.toByte, 0, 0,
       (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte, 0xF0.toByte, 0,
-      0x1B, (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte, 0xF0.toByte, 0))
-    annexB.zipWithIndex.foreach { case (es, i) =>
+      streamType.toByte, (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte,
+      0xF0.toByte, 0))
+    payloads.zipWithIndex.foreach { case (es, i) =>
       val pts = 90000L / 30 * 3 * i // 30 fps at 90 kHz, x3 so values stay distinct
       def mk(v: Long, marker: Int): Array[Byte] = Array(
         ((marker << 4) | (((v >> 30) & 0x7) << 1).toInt | 1).toByte,
@@ -311,7 +432,7 @@ object MpegTs {
         ((((v >> 15) & 0x7F) << 1) | 1).toByte,
         ((v >> 7) & 0xFF).toByte,
         (((v & 0x7F) << 1) | 1).toByte)
-      val pes = Array[Byte](0, 0, 1, 0xE0.toByte, 0, 0, // unbounded length
+      val pes = Array[Byte](0, 0, 1, pesStreamId.toByte, 0, 0, // unbounded
         0x80.toByte, 0x80.toByte, 5) ++ mk(pts, 2) ++ es
       var p = 0
       var first = true

@@ -1,0 +1,167 @@
+package graft.functions
+
+/** Ogg container metadata (RFC 3533) for the audio tier: the page walk
+  * plus the Vorbis / Opus / FLAC identification headers — the crawl
+  * shapes `.ogg`/`.opus`/`.oga` files carry. Metadata only (sample
+  * decode of these codecs is a stated non-goal; this face makes the
+  * files VISIBLE to audio_meta with channels/rate/duration instead of
+  * null rows — the codec column's diagnosability contract).
+  *
+  * Duration comes from the LAST page's granule position: Vorbis
+  * granules are PCM sample counts at the declared rate; Opus granules
+  * are always in the 48 kHz domain regardless of input rate.
+  *
+  * Totality: bounds-checked page walk, capped page count, null on
+  * anything that is not an Ogg stream.
+  */
+object Ogg {
+
+  @inline private def le32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+
+  @inline private def le64(b: Array[Byte], p: Int): Long =
+    le32(b, p) | (le32(b, p + 4) << 32)
+
+  private[functions] def isOgg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 28 &&
+      b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'
+
+  private def starts(b: Array[Byte], d: Int, s: String): Boolean = {
+    val m = s.getBytes("ISO-8859-1")
+    if (d + m.length > b.length) return false
+    var i = 0
+    while (i < m.length) { if (b(d + i) != m(i)) return false; i += 1 }
+    true
+  }
+
+  /** (channels, rate, nSamples, durationMs, codec); null when not Ogg
+    * or no recognized identification header. nSamples is the final
+    * granule for Vorbis (PCM frames at `rate`); 0 for Opus/FLAC whose
+    * granule domain differs from the declared rate. */
+  private[functions] def audioInfo(b: Array[Byte]): (Array[Long], String) = {
+    if (!isOgg(b)) return null
+    var codec: String = null
+    var ch = 0L
+    var rate = 0L
+    var granRate = 0L
+    var lastGranule = -1L
+    var first = true
+    var p = 0
+    var pages = 0
+    while (p + 27 <= b.length && pages < (1 << 20) &&
+      b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S') {
+      val nseg = b(p + 26) & 0xFF
+      if (p + 27 + nseg > b.length) return finish(codec, ch, rate, granRate, lastGranule)
+      var plen = 0
+      var i = 0
+      while (i < nseg) { plen += b(p + 27 + i) & 0xFF; i += 1 }
+      val d = p + 27 + nseg
+      if (d + plen > b.length) return finish(codec, ch, rate, granRate, lastGranule)
+      val granule = le64(b, p + 6)
+      if (granule >= 0) lastGranule = granule // -1 = no packet boundary
+      if (first) {
+        first = false
+        if (starts(b, d, "vorbis") && plen >= 30) {
+          codec = "vorbis"
+          ch = b(d + 11) & 0xFF
+          rate = le32(b, d + 12)
+          granRate = rate
+        } else if (starts(b, d, "OpusHead") && plen >= 19) {
+          codec = "opus"
+          ch = b(d + 9) & 0xFF
+          rate = le32(b, d + 12) // declared input rate; playback is 48 kHz
+          granRate = 48000L
+        } else if (starts(b, d, "FLAC") && plen >= 13) {
+          codec = "flac"
+        }
+      }
+      p = d + plen
+      pages += 1
+    }
+    finish(codec, ch, rate, granRate, lastGranule)
+  }
+
+  private def finish(codec: String, ch: Long, rate: Long, granRate: Long,
+                     lastGranule: Long): (Array[Long], String) = {
+    if (codec == null) return null
+    val dur = if (lastGranule > 0 && granRate > 0) lastGranule * 1000L / granRate else 0L
+    val n = if (codec == "vorbis" && lastGranule > 0) lastGranule else 0L
+    (Array(ch, rate, n, dur), codec)
+  }
+
+  // ------------------------------------------------------------ writer
+
+  /** Ogg page CRC (poly 0x04C11DB7, init 0, no reflection, no xor-out)
+    * over the page with its CRC field zeroed. */
+  private def oggCrc(page: Array[Byte]): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < page.length) {
+      crc ^= (page(i) & 0xFFL) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04C11DB7L) & 0xFFFFFFFFL
+        else (crc << 1) & 0xFFFFFFFFL
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def page(serial: Long, seq: Long, granule: Long, headerType: Int,
+                   payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 255 * 255, "fixture page too large")
+    val nseg = payload.length / 255 + 1
+    val out = new Array[Byte](27 + nseg + payload.length)
+    "OggS".getBytes("US-ASCII").copyToArray(out, 0)
+    out(5) = headerType.toByte
+    var g = granule
+    var i = 0
+    while (i < 8) { out(6 + i) = (g & 0xFF).toByte; g >>= 8; i += 1 }
+    var v = serial
+    i = 0
+    while (i < 4) { out(14 + i) = (v & 0xFF).toByte; v >>= 8; i += 1 }
+    v = seq
+    i = 0
+    while (i < 4) { out(18 + i) = (v & 0xFF).toByte; v >>= 8; i += 1 }
+    out(26) = nseg.toByte
+    var rem = payload.length
+    i = 0
+    while (i < nseg) {
+      out(27 + i) = math.min(rem, 255).toByte
+      rem -= 255
+      i += 1
+    }
+    payload.copyToArray(out, 27 + nseg)
+    val crc = oggCrc(out)
+    out(22) = crc.toByte
+    out(23) = (crc >> 8).toByte
+    out(24) = (crc >> 16).toByte
+    out(25) = (crc >> 24).toByte
+    out
+  }
+
+  /** Ogg audio metadata fixture: a BOS page with the codec's
+    * identification header and an EOS page whose granule encodes the
+    * stream length (Vorbis: `samples` at `rate`; Opus: `samples` in
+    * the 48 kHz domain). */
+  def encodeOggAudio(codec: String, channels: Int, rate: Long,
+                     samples: Long): Array[Byte] = {
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    val ident = codec match {
+      case "vorbis" =>
+        "vorbis".getBytes("ISO-8859-1") ++ le(0, 4) ++
+          Array(channels.toByte) ++ le(rate, 4) ++ le(0, 12) ++
+          Array(0xB8.toByte, 0x01.toByte) // blocksizes + framing bit
+      case "opus" =>
+        "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, channels.toByte) ++
+          le(312, 2) ++ le(rate, 4) ++ le(0, 2) ++ Array[Byte](0)
+      case other => throw new IllegalArgumentException(s"ogg fixture: $other")
+    }
+    page(0x6772616CL, 0, -1L, 2, ident) ++ // BOS, no packet ends here
+      page(0x6772616CL, 1, samples, 4, Array[Byte](0)) // EOS
+  }
+}

@@ -163,6 +163,32 @@ object GenMedia {
     * as [[h264VideoFixture]], so its decode pins the identical pHashes
     * and classic-vs-fragmented containers are cross-dups. Odd vids mix
     * in CABAC samples so the fragment walk feeds both entropy layers. */
+  /** q_audio_meta_stream payload — the stream-container audio shapes:
+    * id%4 = 0: MP3 elementary stream in MPEG-TS (stream_type 0x03);
+    * 1: ADTS AAC in MPEG-TS (0x0F); 2: Ogg Vorbis; 3: Ogg Opus. All
+    * fields id-derived so the oracle is closed-form. */
+  def streamAudioFixture(id: Long): Array[Byte] = {
+    val frames = 4 + (id % 6).toInt
+    (id % 4) match {
+      case 0 =>
+        graft.functions.MpegTs.encodeAudioTs(0x03,
+          Seq(MediaKernels.encodeMp3Header(44100L, frames)))
+      case 1 =>
+        val ch = 1 + ((id / 4) % 2).toInt
+        graft.functions.MpegTs.encodeAudioTs(0x0F,
+          Seq(MediaKernels.encodeAdtsHeader(48000L, ch, frames)))
+      case 2 =>
+        val ch = 1 + ((id / 4) % 2).toInt
+        val rate = Seq(22050L, 44100L, 48000L)(((id / 8) % 3).toInt)
+        graft.functions.Ogg.encodeOggAudio("vorbis", ch, rate,
+          rate * (1 + id % 5))
+      case _ =>
+        val ch = 1 + ((id / 4) % 2).toInt
+        graft.functions.Ogg.encodeOggAudio("opus", ch, 48000L,
+          48000L * (1 + id % 5))
+    }
+  }
+
   /** MPEG transport stream (the HLS segment shape): PAT + PMT
     * (stream_type 0x1B) + one PES per H.264 IDR picture, 90 kHz PTS.
     * Same base/arm rotation as the other H.264 containers. */

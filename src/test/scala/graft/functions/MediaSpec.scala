@@ -78,6 +78,43 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("stream-container audio: TS elementary streams and Ogg headers parse exactly") {
+    // MP3 inside MPEG-TS: the ES walk reuses the Layer-III frame walk
+    val tsMp3 = MpegTs.encodeAudioTs(0x03,
+      Seq(MediaKernels.encodeMp3Header(44100L, 6)))
+    val tm = MediaKernels.audioMetaRow(tsMp3)
+    assert(tm.getString(0) == "mpegts" && tm.getString(6) == "mp3")
+    assert(tm.getInt(1) == 2 && tm.getLong(2) == 44100L && tm.getLong(4) == 6L * 1152L)
+    // ADTS AAC inside MPEG-TS
+    val tsAac = MpegTs.encodeAudioTs(0x0F,
+      Seq(MediaKernels.encodeAdtsHeader(48000L, 2, 9)))
+    val ta = MediaKernels.audioMetaRow(tsAac)
+    assert(ta.getString(0) == "mpegts" && ta.getString(6) == "aac")
+    assert(ta.getInt(1) == 2 && ta.getLong(2) == 48000L && ta.getLong(4) == 9L * 1024L)
+    // Ogg Vorbis: identification header + final-granule duration
+    val ogv = Ogg.encodeOggAudio("vorbis", 2, 44100L, 88200L)
+    val ov = MediaKernels.audioMetaRow(ogv)
+    assert(ov.getString(0) == "ogg" && ov.getString(6) == "vorbis")
+    assert(ov.getInt(1) == 2 && ov.getLong(2) == 44100L &&
+      ov.getLong(4) == 88200L && ov.getLong(5) == 2000L)
+    // Ogg Opus: granules live in the 48 kHz domain
+    val ogo = Ogg.encodeOggAudio("opus", 1, 48000L, 144000L)
+    val oo = MediaKernels.audioMetaRow(ogo)
+    assert(oo.getString(0) == "ogg" && oo.getString(6) == "opus")
+    assert(oo.getInt(1) == 1 && oo.getLong(5) == 3000L)
+    // hostile: truncation and corruption never throw
+    for (good <- Seq(tsMp3, tsAac, ogv, ogo)) {
+      for (cut <- Seq(0, 5, 27, 100, good.length / 2, good.length - 3))
+        MediaKernels.audioMetaRow(java.util.Arrays.copyOf(good, cut))
+      val rnd = new scala.util.Random(83)
+      for (_ <- 0 until 100) {
+        val c = good.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        MediaKernels.audioMetaRow(c)
+      }
+    }
+  }
+
   test("AVI avih metadata: dims and usPerFrame x frames duration") {
     val avi = MediaKernels.encodeAviHeader(720, 480, 33333L, 300L)
     val r = MediaKernels.videoMetaRow(avi)
