@@ -103,6 +103,15 @@ object MediaKernels {
       val oa = Ogg.audioInfo(b)
       if (oa != null) {
         val (m, codec) = oa
+        if (codec == "flac") {
+          // Ogg is pure carriage for FLAC: exact fields come from the
+          // reconstructed native stream's STREAMINFO
+          val native = Ogg.flacNative(b)
+          val fi = if (native != null) flacInfo(native) else null
+          if (fi != null)
+            return row("ogg", fi(0).toInt, fi(1), fi(2).toInt, fi(3),
+              if (fi(1) > 0) fi(3) * 1000L / fi(1) else 0L, "flac")
+        }
         return row("ogg", m(0).toInt, m(1), 0, m(2), m(3), codec)
       }
     }
@@ -311,7 +320,13 @@ object MediaKernels {
     if (w != null) w
     else if (b != null && b.length > 4 &&
       b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') Flac.decode16(b)
-    else null
+    else if (Ogg.isOgg(b)) {
+      // Ogg-FLAC is pure carriage: reconstruct the native stream and
+      // decode losslessly — fingerprints match .flac/.wav of the same
+      // recording exactly
+      val native = Ogg.flacNative(b)
+      if (native != null) Flac.decode16(native) else null
+    } else null
   }
 
   /** Interleaved integer samples normalized to the 16-bit range, or null.

@@ -90,6 +90,40 @@ object Ogg {
     (Array(ch, rate, n, dur), codec)
   }
 
+  /** Reconstruct the NATIVE FLAC stream from an Ogg-FLAC file: page
+    * payloads concatenate to the packet byte stream, whose first packet
+    * is the 9-byte mapping prefix (0x7F "FLAC" major minor nheaders)
+    * followed by the native "fLaC" signature — everything after the
+    * prefix IS the native stream (metadata blocks + frames), whatever
+    * the page/packet split. Null when not Ogg-FLAC. The native bytes
+    * feed [[Flac]] directly, so Ogg is pure carriage: the same
+    * recording fingerprints identically from .flac and .oga. */
+  private[functions] def flacNative(b: Array[Byte]): Array[Byte] = {
+    if (!isOgg(b)) return null
+    val bos = new java.io.ByteArrayOutputStream()
+    var p = 0
+    var pages = 0
+    while (p + 27 <= b.length && pages < (1 << 20) &&
+      b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S') {
+      val nseg = b(p + 26) & 0xFF
+      if (p + 27 + nseg > b.length) return null
+      var plen = 0
+      var i = 0
+      while (i < nseg) { plen += b(p + 27 + i) & 0xFF; i += 1 }
+      val d = p + 27 + nseg
+      if (d + plen > b.length) return null
+      bos.write(b, d, plen)
+      p = d + plen
+      pages += 1
+    }
+    val all = bos.toByteArray
+    if (all.length < 13 || (all(0) & 0xFF) != 0x7F ||
+      all(1) != 'F' || all(2) != 'L' || all(3) != 'A' || all(4) != 'C' ||
+      !(all(9) == 'f' && all(10) == 'L' && all(11) == 'a' && all(12) == 'C'))
+      return null
+    java.util.Arrays.copyOfRange(all, 9, all.length)
+  }
+
   // ------------------------------------------------------------ writer
 
   /** Ogg page CRC (poly 0x04C11DB7, init 0, no reflection, no xor-out)
@@ -141,6 +175,20 @@ object Ogg {
     out(24) = (crc >> 16).toByte
     out(25) = (crc >> 24).toByte
     out
+  }
+
+  /** Ogg-FLAC file from a native FLAC stream (RFC-style mapping): BOS
+    * page carries the 9-byte mapping prefix + "fLaC" + STREAMINFO; the
+    * rest of the native stream rides an EOS page with the total-sample
+    * granule. */
+  def encodeOggFlac(native: Array[Byte], totalSamples: Long): Array[Byte] = {
+    require(native.length > 42 && native(0) == 'f' && native(1) == 'L' &&
+      native(2) == 'a' && native(3) == 'C', "not a native FLAC stream")
+    val head = Array[Byte](0x7F, 'F', 'L', 'A', 'C', 1, 0, 0, 1) ++
+      java.util.Arrays.copyOfRange(native, 0, 42) // fLaC + STREAMINFO
+    val rest = java.util.Arrays.copyOfRange(native, 42, native.length)
+    page(0x666C6163L, 0, -1L, 2, head) ++
+      page(0x666C6163L, 1, totalSamples, 4, rest)
   }
 
   /** Ogg audio metadata fixture: a BOS page with the codec's

@@ -35,13 +35,19 @@ object GenMedia {
     if (id >= 250) base * 2 else base
   }
 
-  /** Container alternates WAV/FLAC on (id%250 + id/250) parity, so EVERY
-    * constructed near-dup pair (i, i+250) crosses containers; FLAC decode
-    * is lossless, so the fingerprints are bit-identical either way. */
+  /** Container rotates WAV / FLAC / Ogg-FLAC on (id%250 + id/250) mod 3,
+    * so EVERY constructed near-dup pair (i, i+250) crosses containers
+    * and all three appear on both sides; FLAC decode is lossless and
+    * Ogg is pure carriage, so fingerprints are bit-identical in all
+    * three. */
   def audioDedupFixture(id: Long): Array[Byte] = {
     val samples = Array.tabulate(256)(i => audioDedupSample(id, i))
-    if ((id % 250 + id / 250) % 2 == 0) MediaKernels.encodeWav(16000, samples)
-    else graft.functions.Flac.encodeMono16(16000, samples)
+    (id % 250 + id / 250) % 3 match {
+      case 0 => MediaKernels.encodeWav(16000, samples)
+      case 1 => graft.functions.Flac.encodeMono16(16000, samples)
+      case _ => graft.functions.Ogg.encodeOggFlac(
+        graft.functions.Flac.encodeMono16(16000, samples), 256L)
+    }
   }
 
   def flacRate(id: Long): Long = 16000L + (id % 5) * 4000L

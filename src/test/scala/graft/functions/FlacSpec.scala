@@ -48,14 +48,21 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("audio dedup fixture: every (i, i+250) pair crosses containers with equal fingerprints") {
+    def kind(x: Array[Byte]): Char = x(0) match {
+      case 'R' => 'w' // RIFF WAV
+      case 'f' => 'f' // native fLaC
+      case 'O' => 'o' // Ogg-FLAC
+      case other => fail(s"unknown container byte $other")
+    }
+    val seen = scala.collection.mutable.Set.empty[Char]
     (0L until 10L).foreach { i =>
       val a = graft.tools.GenMedia.audioDedupFixture(i)
       val b = graft.tools.GenMedia.audioDedupFixture(i + 250)
-      val aWav = a(0) == 'R'
-      val bWav = b(0) == 'R'
-      assert(aWav != bWav, s"pair ($i, ${i + 250}) must cross WAV/FLAC")
+      assert(kind(a) != kind(b), s"pair ($i, ${i + 250}) must cross containers")
+      seen += kind(a); seen += kind(b)
       assert(MediaKernels.audioFingerprint(a) == MediaKernels.audioFingerprint(b))
     }
+    assert(seen == Set('w', 'f', 'o'), s"rotation must cover all three: $seen")
   }
 
   test("stereo round-trips through every channel assignment, bit-exact") {

@@ -102,8 +102,23 @@ class MediaSpec extends SparkSpec {
     val oo = MediaKernels.audioMetaRow(ogo)
     assert(oo.getString(0) == "ogg" && oo.getString(6) == "opus")
     assert(oo.getInt(1) == 1 && oo.getLong(5) == 3000L)
+    // Ogg-FLAC is pure carriage: the same recording yields IDENTICAL
+    // PCM (and therefore fingerprints) from WAV, native FLAC and
+    // Ogg-FLAC; audio_meta reports the exact STREAMINFO fields
+    val samples = Array.tabulate(256)(i => ((i * 37) % 4001) - 2000)
+    val native = Flac.encodeMono16(16000, samples)
+    val oggFlac = Ogg.encodeOggFlac(native, 256L)
+    val wav = MediaKernels.encodeWav(16000, samples)
+    assert(java.util.Arrays.equals(MediaKernels.pcmSamples(oggFlac),
+      MediaKernels.pcmSamples(native)))
+    assert(java.util.Arrays.equals(MediaKernels.pcmSamples(oggFlac),
+      MediaKernels.pcmSamples(wav)))
+    val of = MediaKernels.audioMetaRow(oggFlac)
+    assert(of.getString(0) == "ogg" && of.getString(6) == "flac")
+    assert(of.getInt(1) == 1 && of.getLong(2) == 16000L &&
+      of.getInt(3) == 16 && of.getLong(4) == 256L)
     // hostile: truncation and corruption never throw
-    for (good <- Seq(tsMp3, tsAac, ogv, ogo)) {
+    for (good <- Seq(tsMp3, tsAac, ogv, ogo, oggFlac)) {
       for (cut <- Seq(0, 5, 27, 100, good.length / 2, good.length - 3))
         MediaKernels.audioMetaRow(java.util.Arrays.copyOf(good, cut))
       val rnd = new scala.util.Random(83)
