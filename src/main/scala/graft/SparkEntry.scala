@@ -101,6 +101,25 @@ object SparkEntry {
     // bytes already in parquet, no temp-file detour): each document
     // rendered into a format rotated by id (rtf/doc/docx/pptx), extracted
     // back by the auto-sniffing fused expression — identity round-trip
+    // subtitle text FROM video containers: Matroska S_TEXT/UTF8 tracks
+    // feed doc_text like any document format (auto-sniffed by the EBML
+    // magic) — the crawl shape where a video file's only usable text is
+    // its subtitle track
+    "q_doc_text_mkv" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300).as[Long]
+        .mapPartitions(_.map { id =>
+          val cues = (0 until 2 + (id % 3).toInt).map(k => s"cue $id line $k")
+          (id, graft.functions.Webm.encodeMkvSubtitles(cues))
+        })
+        .toDF("doc_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "doc_text", "column" -> "content",
+          "format" -> "auto"), Map.empty, "gate")
+        .select("doc_id", "text")
+    }),
+
     "q_doc_text" -> ((s, d) => {
       val rows = t(s, d, "documents").filter(col("doc_id") < 40)
         .select("doc_id", "text").orderBy("doc_id").collect()
@@ -3285,6 +3304,14 @@ object SparkEntry {
 
     // binary-column extraction inverts the per-format writers exactly,
     // so the oracle is the identity round-trip
+    // cue text rebuilt with the same id-derived strings
+    "q_doc_text_mkv" ->
+      """SELECT doc_id,
+           list_aggregate(list_transform(generate_series(0, 1 + doc_id % 3),
+             k -> 'cue ' || doc_id || ' line ' || k), 'string_agg', chr(10))
+             AS text
+         FROM documents WHERE doc_id < 300""",
+
     "q_doc_text" ->
       "SELECT doc_id, text FROM documents WHERE doc_id < 40",
 

@@ -43,6 +43,8 @@ object DocKernels {
       (b(2) & 0xFF) == 0x11 && (b(3) & 0xFF) == 0xE0) "doc"
     else if (hasPrefix(b, "WEBVTT") ||
       (b.length >= 9 && (b(0) & 0xFF) == 0xEF && hasPrefix(java.util.Arrays.copyOfRange(b, 3, 9), "WEBVTT"))) "vtt"
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "mkv"
     else if (b(0) == 'P' && b(1) == 'K') {
       // ZIP: walk entry NAMES only (no payload reads) to tell the OOXML
       // family members apart
@@ -80,6 +82,7 @@ object DocKernels {
       case "pdf" => graft.engine.Pdf.extractText(bytes).mkString("\n")
       case "srt" => graft.engine.Subtitles.parseSrt(bytes).map(_._3).mkString("\n")
       case "vtt" => graft.engine.Subtitles.parseVtt(bytes).map(_._3).mkString("\n")
+      case "mkv" => Webm.subtitleText(bytes) // S_TEXT tracks: text FROM video
       case "eml" => graft.engine.Eml.parseEml(bytes).text
       case other =>
         throw new IllegalArgumentException(s"doc_text: unsupported format `$other`")

@@ -535,6 +535,153 @@ object Webm {
     * Channels [, BitDepth when > 0]))) — the metadata shape a real
     * WebM-Opus/Vorbis file declares; no clusters (audio_meta reads no
     * sample data). */
+  /** Cue text of the first S_TEXT/UTF8 or S_TEXT/ASS subtitle track
+    * (TrackType 0x11) in stream order, newline-joined — text FROM video
+    * containers for the document tier. ASS blocks carry the cue in the
+    * 9th comma-separated dialogue field. Null when the buffer is not
+    * Matroska or declares no text subtitle track. */
+  private[functions] def subtitleText(b: Array[Byte]): String = {
+    if (b == null || b.length < 8 ||
+      !((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+        (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)) return null
+    def vintLen(first: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (first & m) == 0) { m >>= 1; n += 1 }
+      if (n > 8) -1 else n
+    }
+    def readId(p: Int): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val n = vintLen(b(p) & 0xFF)
+      if (n < 0 || n > 4 || p + n > b.length) return (-1L, 0)
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      (v, n)
+    }
+    def readSize(p: Int): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val first = b(p) & 0xFF
+      val n = vintLen(first)
+      if (n < 0 || p + n > b.length) return (-1L, 0)
+      var v = (first & (0xFF >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -2L else v, n)
+    }
+    var subTrack = -1L
+    var isAss = false
+    val cues = scala.collection.mutable.ArrayBuffer.empty[String]
+    def trackEntry(start: Int, end: Int): Unit = {
+      var num = -1L
+      var typ = -1L
+      var codec: String = null
+      var p = start
+      while (p < end) {
+        val (id, idn) = readId(p)
+        if (id < 0) return
+        val (sz, szn) = readSize(p + idn)
+        if (sz < 0) return
+        val d = p + idn + szn
+        if (d + sz > end) return
+        id match {
+          case 0xD7 =>
+            var v = 0L; var i = 0
+            while (i < sz.toInt) { v = (v << 8) | (b(d + i) & 0xFF); i += 1 }
+            num = v
+          case 0x83 => typ = if (sz >= 1) b(d) & 0xFF else -1
+          case 0x86 => codec = new String(b, d, sz.toInt, "US-ASCII")
+          case _ => ()
+        }
+        p = d + sz.toInt
+      }
+      if (typ == 0x11 && num > 0 && subTrack < 0 && codec != null &&
+        (codec == "S_TEXT/UTF8" || codec == "S_TEXT/ASS")) {
+        subTrack = num
+        isAss = codec == "S_TEXT/ASS"
+      }
+    }
+    def block(start: Int, end: Int): Unit = {
+      if (subTrack <= 0 || start >= end) return
+      val first = b(start) & 0xFF
+      val tn = vintLen(first)
+      if (tn < 0 || start + tn + 3 > end) return
+      var track = (first & (0xFF >>> tn)).toLong
+      var i = 1
+      while (i < tn) { track = (track << 8) | (b(start + i) & 0xFF); i += 1 }
+      if (track != subTrack) return
+      val d = start + tn + 3 // timecode(2) + flags(1); no lacing for text
+      if (d >= end) return
+      val raw = new String(b, d, end - d, "UTF-8")
+      val text = if (!isAss) raw else {
+        val parts = raw.split(",", 9)
+        if (parts.length == 9) parts(8) else raw
+      }
+      if (text.nonEmpty && cues.length < (1 << 16)) cues += text
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var p = start
+      while (p < end && depth < 16) {
+        val (id, idn) = readId(p)
+        if (id < 0) return
+        val (sz0, szn) = readSize(p + idn)
+        if (sz0 == -1L) return
+        val d = p + idn + szn
+        val e = if (sz0 == -2L) end
+        else if (d + sz0 > end || sz0 > Int.MaxValue) return
+        else (d + sz0).toInt
+        id match {
+          case 0x18538067 | 0x1654AE6B | 0x1F43B675 | 0xA0 =>
+            walk(d, e, depth + 1)
+          case 0xAE => trackEntry(d, e)
+          case 0xA3 | 0xA1 => block(d, e)
+          case _ => ()
+        }
+        p = e
+      }
+    }
+    walk(0, b.length, 0)
+    if (subTrack <= 0) null else cues.mkString("\n")
+  }
+
+  /** Matroska subtitle fixture: Tracks(TrackEntry type 0x11 with the
+    * given S_TEXT codec) + one SimpleBlock per cue. */
+  def encodeMkvSubtitles(cues: Seq[String],
+                         codecId: String = "S_TEXT/UTF8"): Array[Byte] = {
+    def sizeVint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+      val out = new Array[Byte](n)
+      var x = v | (1L << (7 * n))
+      var i = n - 1
+      while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+      out
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      var n = 1
+      while (n < 4 && (id >> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length) ++ payload
+    def uintEl(id: Long, v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      el(id, Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte))
+    }
+    val ebml = el(0x1A45DFA3L,
+      uintEl(0x4286, 1) ++ uintEl(0x42F7, 1) ++ uintEl(0x42F2, 4) ++
+        uintEl(0x42F3, 8) ++ el(0x4282, "matroska".getBytes("US-ASCII")) ++
+        uintEl(0x4287, 2) ++ uintEl(0x4285, 2))
+    val info = el(0x1549A966L, uintEl(0x2AD7B1, 1000000L))
+    val entry = el(0xAE, uintEl(0xD7, 1) ++ uintEl(0x73C5, 1) ++
+      uintEl(0x83, 0x11) ++ el(0x86, codecId.getBytes("US-ASCII")))
+    val blocks = cues.zipWithIndex.map { case (c, i) =>
+      el(0xA3, Array[Byte](0x81.toByte, ((i * 500) >> 8).toByte,
+        (i * 500).toByte, 0x80.toByte) ++ c.getBytes("UTF-8"))
+    }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
+    val cluster = el(0x1F43B675L, uintEl(0xE7, 0) ++ blocks)
+    ebml ++ el(0x18538067L, info ++ el(0x1654AE6BL, entry) ++ cluster)
+  }
+
   def encodeWebmAudio(codecId: String, channels: Int, sampleRate: Double,
                       bitDepth: Int, durationMs: Long): Array[Byte] = {
     def sizeVint(v: Long): Array[Byte] = {

@@ -78,6 +78,28 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("Matroska subtitle tracks feed doc_text (S_TEXT/UTF8 + ASS dialogue)") {
+    val mkv = Webm.encodeMkvSubtitles(Seq("Hello there", "General text"))
+    assert(DocKernels.docText(mkv, "auto") == "Hello there\nGeneral text")
+    assert(DocKernels.docText(mkv, "mkv") == "Hello there\nGeneral text")
+    // ASS: the cue rides the 9th comma-separated dialogue field
+    val ass = Webm.encodeMkvSubtitles(
+      Seq("0,0,Default,,0,0,0,,Actual dialogue text"), codecId = "S_TEXT/ASS")
+    assert(DocKernels.docText(ass, "auto") == "Actual dialogue text")
+    // a video-only Matroska has no subtitle track -> null, not empty
+    val video = graft.tools.GenMedia.mkvAvcVideoFixture(0)
+    assert(DocKernels.docText(video, "mkv") == null)
+    // hostile: truncation/corruption never throw
+    for (cut <- Seq(0, 4, 9, mkv.length / 2, mkv.length - 2))
+      DocKernels.docText(java.util.Arrays.copyOf(mkv, cut), "auto")
+    val rnd = new scala.util.Random(91)
+    for (_ <- 0 until 100) {
+      val c = mkv.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      DocKernels.docText(c, "auto")
+    }
+  }
+
   test("stream-container audio: TS elementary streams and Ogg headers parse exactly") {
     // MP3 inside MPEG-TS: the ES walk reuses the Layer-III frame walk
     val tsMp3 = MpegTs.encodeAudioTs(0x03,
