@@ -71,6 +71,32 @@ object MediaProbe {
     // must stay ~linear in video count (narrow decode, no shuffle)
     leg("frames_1m")(frames(1000000L))
 
+    // H.264 container-matrix throughput: videos rotating all five
+    // carriage shapes (classic MP4 / fragmented MP4 / Matroska / AVI /
+    // MPEG-TS) across both entropy layers (CAVLC and CABAC arms by vid
+    // parity inside each container fixture). Decode-bound: wall must
+    // track video count; content duplication is irrelevant here (no
+    // dedup join — the H.264 fixture set has only 4 content bases,
+    // which would collapse a dedup leg into giant groups by design).
+    def avcFixture(id: Long): Array[Byte] = (id % 5) match {
+      case 0 => GenMedia.h264VideoFixture(id)
+      case 1 => GenMedia.h264FragVideoFixture(id % 8)
+      case 2 => GenMedia.mkvAvcVideoFixture(id % 8)
+      case 3 => GenMedia.aviAvcVideoFixture(id % 8)
+      case _ => GenMedia.tsAvcVideoFixture(id % 8)
+    }
+    def avcFrames(n: Long): Long = spark.range(n).repartition(32)
+      .mapPartitions(_.map(id => (id, avcFixture(id))))
+      .toDF("media_id", "content")
+      .select(posexplode(call_function("video_frames", col("content"), lit(4)))
+        .as(Seq("fidx", "frame")))
+      .select(call_function("image_phash", col("frame")).as("sig"))
+      .filter(col("sig").isNotNull).count()
+
+    leg("avc_frames_10k")(avcFrames(10000L))
+    leg("avc_frames_100k")(avcFrames(100000L))
+    leg("avc_frames_1m")(avcFrames(1000000L))
+
     def dedup(n: Long): Long = graft.functions.Images.videoDedupGroups(
       media(n), "media_id", "content", maxHamming = 3, maxFrames = 4,
       minMatches = 2).filter(col("n_group") > 1).count()
