@@ -46,6 +46,7 @@ object Ogg {
     var rate = 0L
     var granRate = 0L
     var lastGranule = -1L
+    var serial = -1L // granules only count for the identified stream
     var first = true
     var p = 0
     var pages = 0
@@ -59,9 +60,11 @@ object Ogg {
       val d = p + 27 + nseg
       if (d + plen > b.length) return finish(codec, ch, rate, granRate, lastGranule)
       val granule = le64(b, p + 6)
-      if (granule >= 0) lastGranule = granule // -1 = no packet boundary
+      if (granule >= 0 && le32(b, p + 14) == serial)
+        lastGranule = granule // -1 = no packet boundary
       if (first) {
         first = false
+        serial = le32(b, p + 14)
         if (starts(b, d, "vorbis") && plen >= 30) {
           codec = "vorbis"
           ch = b(d + 11) & 0xFF
@@ -103,6 +106,10 @@ object Ogg {
     val bos = new java.io.ByteArrayOutputStream()
     var p = 0
     var pages = 0
+    // multiplexed Ogg interleaves logical streams by serial number —
+    // only the FLAC stream's pages (the one whose BOS packet opens with
+    // the 0x7F "FLAC" mapping prefix) may concatenate
+    var flacSerial = -1L
     while (p + 27 <= b.length && pages < (1 << 20) &&
       b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S') {
       val nseg = b(p + 26) & 0xFF
@@ -112,7 +119,11 @@ object Ogg {
       while (i < nseg) { plen += b(p + 27 + i) & 0xFF; i += 1 }
       val d = p + 27 + nseg
       if (d + plen > b.length) return null
-      bos.write(b, d, plen)
+      val serial = le32(b, p + 14)
+      if (flacSerial < 0 && (b(p + 5) & 0x02) != 0 && plen >= 5 &&
+        (b(d) & 0xFF) == 0x7F && b(d + 1) == 'F' && b(d + 2) == 'L' &&
+        b(d + 3) == 'A' && b(d + 4) == 'C') flacSerial = serial
+      if (serial == flacSerial) bos.write(b, d, plen)
       p = d + plen
       pages += 1
     }
