@@ -112,6 +112,32 @@ def gen_extra(idx):
     return stream, (fnv(got[0]), fnv(got[1]), fnv(got[2])), (ww, hh)
 
 
+def gen_qp_edge(idx):
+    """QP range-edge fixtures (both entropy layers): slice QP 0 with
+    negative per-MB deltas and QP 51 with positive ones. Pins the spec
+    mod-52 QP arithmetic (7.4.5): the signaled mb_qp_delta is the
+    EFFECTIVE change — an encoder that signals a clipped request raw
+    decodes qp 50 where it meant 0 (found by the round-18 randomized
+    cross-implementation sweep)."""
+    qp = 0 if idx % 2 == 0 else 51
+    cabac = idx >= 2
+    seed = 120 + idx
+    y = pattern(seed, W, H)
+    u = [[128] * (W // 2) for _ in range(H // 2)]
+    v = [[128] * (W // 2) for _ in range(H // 2)]
+    deltas = {i: (-2 if qp == 0 else 2) for i in range(4)}
+    body, ctx, _ = encode_frame(y, u, v, W, H, qp,
+                                plan_for(1 + idx % 2, idx),
+                                qp_deltas=deltas, slices=1 + idx % 2,
+                                cabac=cabac)
+    stream = (write_sps(W, H, profile=77 if cabac else 66) +
+              write_pps(26, cabac=cabac) + body)
+    got = decode_stream(stream)
+    assert got[0] == ctx.y and got[1] == ctx.u and got[2] == ctx.v, \
+        f"qp-edge mirror mismatch idx={idx}"
+    return stream, fnv(got[0]), fnv(got[1]), fnv(got[2])
+
+
 def gen_cabac(base, k):
     """Main-profile CABAC fixture: SAME pattern content as the CAVLC
     fixture (base, k) — so its decode pHash-matches across the entropy
@@ -157,6 +183,12 @@ def main():
         hashes.append(h)
         dims.append(wh)
         print(f"  extra {idx}: {len(s)} bytes dims={wh}")
+    for idx in (0, 1):  # CAVLC qp-edge fixtures join the extras
+        s, hy, hu, hv = gen_qp_edge(idx)
+        streams.append(s)
+        hashes.append((hy, hu, hv))
+        dims.append((W, H))
+        print(f"  qp-edge cavlc {idx}: {len(s)} bytes")
     cstreams = []
     chashes = []
     for base in range(1, 5):
@@ -165,6 +197,11 @@ def main():
             cstreams.append(s)
             chashes.append((hy, hu, hv))
             print(f"  cabac base={base} k={k}: {len(s)} bytes")
+    for idx in (2, 3):  # CABAC qp-edge fixtures join the cabac set
+        s, hy, hu, hv = gen_qp_edge(idx)
+        cstreams.append(s)
+        chashes.append((hy, hu, hv))
+        print(f"  qp-edge cabac {idx}: {len(s)} bytes")
     b64 = [base64.b64encode(s).decode() for s in streams]
     cb64 = [base64.b64encode(s).decode() for s in cstreams]
 

@@ -988,6 +988,10 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
     # boundary are UNAVAILABLE for intra prediction and nC context
     bounds = [round(s * n_mbs / slices) for s in range(slices + 1)]
     for sid in range(slices):
+        if bounds[sid] == bounds[sid + 1]:
+            continue  # empty slice (more slices than MBs): a CABAC slice
+            # cannot represent zero macroblocks (end_of_slice_flag follows
+            # the first MB), and an empty CAVLC NAL is pure waste
         w = BitWriter()
         # slice header (IDR)
         w.ue(bounds[sid])  # first_mb_in_slice
@@ -1021,7 +1025,10 @@ def encode_frame(src_y, src_u, src_v, W, H, qp, mb_plan,
             mby, mbx = mbi // mbs_x, mbi % mbs_x
             ctx.mb_slice[mby][mbx] = sid
             plan = mb_plan(mbx, mby)
-            delta = (qp_deltas or {}).get(mbi, 0)
+            # the SIGNALED mb_qp_delta must be the effective change: the
+            # decoder applies spec mod-52 arithmetic, so a clipped
+            # request (qp 0, delta -2) signaled raw would wrap to 50
+            delta = clip3(0, 51, qpy + (qp_deltas or {}).get(mbi, 0)) - qpy
             if plan[0] == 'pcm':
                 if cabac:
                     # mb_type bin string "1 1": the second bin is the
@@ -2137,7 +2144,7 @@ def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb, cst=None):
             cbp = CBP_INTRA[r.ue()]
             cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
             if cbp:
-                qpy = clip3(0, 51, qpy + r.se())
+                qpy = (qpy + r.se() + 52) % 52  # spec mod-52 (7.4.5)
             mbqp[mby][mbx] = qpy
             qpc = qpc_of(qpy, chroma_off)
             for blk in range(16):
@@ -2170,7 +2177,7 @@ def _decode_slice(r, sps, pps, ctx, mbqp, mb_params, expect_mb, cst=None):
         cbp_chroma = ((mb_type - 1) // 4) % 3
         cbp_luma = 15 * ((mb_type - 1) // 12)
         cmode = r.ue()
-        qpy = clip3(0, 51, qpy + r.se())
+        qpy = (qpy + r.se() + 52) % 52  # spec mod-52 (7.4.5)
         mbqp[mby][mbx] = qpy
         qpc = qpc_of(qpy, chroma_off)
         pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False,
@@ -2282,7 +2289,7 @@ def _slice_data_cabac(r, ctx, cst, mbqp, mb_params, sid, first_mb, qp_slice,
             cst.cbp_luma[mby][mbx] = cbp_luma
             cst.cbp_chroma[mby][mbx] = cbp_chroma
             if cbp:
-                qpy = clip3(0, 51, qpy + cabac_dec_qp_delta(cab, models, cst))
+                qpy = (qpy + cabac_dec_qp_delta(cab, models, cst) + 52) % 52
             else:
                 cst.last_delta_nz = False
             mbqp[mby][mbx] = qpy
@@ -2321,7 +2328,7 @@ def _slice_data_cabac(r, ctx, cst, mbqp, mb_params, sid, first_mb, qp_slice,
             cst.cbp_chroma[mby][mbx] = cbp_chroma
             cmode = cabac_dec_cmode(cab, models, cst, ctx, sid, mbx, mby)
             cst.cmode[mby][mbx] = cmode
-            qpy = clip3(0, 51, qpy + cabac_dec_qp_delta(cab, models, cst))
+            qpy = (qpy + cabac_dec_qp_delta(cab, models, cst) + 52) % 52
             mbqp[mby][mbx] = qpy
             qpc = qpc_of(qpy, chroma_off)
             pred = pred_block_nxn(ctx.y, mbx * 16, mby * 16, 16, mode, False,
