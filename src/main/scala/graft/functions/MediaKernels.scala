@@ -91,6 +91,16 @@ object MediaKernels {
     if (mp3 != null)
       return row("mp3", mp3(0).toInt, mp3(1), 0, mp3(2),
         if (mp3(1) > 0) mp3(2) * 1000L / mp3(1) else 0L, "mp3")
+    // raw ADTS .aac files (0xFFF sync, layer bits 00 — disjoint from the
+    // MP3 sync whose layer bits are non-zero, so the walks cannot both
+    // claim one payload)
+    if (b != null && b.length >= 7 && (b(0) & 0xFF) == 0xFF &&
+      (b(1) & 0xF6) == 0xF0) {
+      val aac = MpegTs.adtsInfo(b)
+      if (aac != null)
+        return row("aac", aac(0).toInt, aac(1), 0, aac(2),
+          if (aac(1) > 0) aac(2) * 1000L / aac(1) else 0L, "aac")
+    }
     if (MpegTs.isTs(b)) {
       val ta = MpegTs.tsAudioInfo(b, mp3Info)
       if (ta != null) {

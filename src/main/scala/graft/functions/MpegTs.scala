@@ -294,8 +294,9 @@ object MpegTs {
     32000L, 24000L, 22050L, 16000L, 12000L, 11025L, 8000L, 7350L)
 
   /** ADTS AAC elementary-stream walk: (channels, rate, totalSamples) —
-    * 1024 samples per raw data block; null when the ES is not ADTS. */
-  private def adtsInfo(es: Array[Byte]): Array[Long] = {
+    * 1024 samples per raw data block; null when the ES is not ADTS.
+    * Also serves RAW .aac files (ADTS is its own file format). */
+  private[functions] def adtsInfo(es: Array[Byte]): Array[Long] = {
     var p = 0
     var frames = 0L
     var blocks = 0L

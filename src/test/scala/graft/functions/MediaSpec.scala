@@ -124,6 +124,12 @@ class MediaSpec extends SparkSpec {
     val oo = MediaKernels.audioMetaRow(ogo)
     assert(oo.getString(0) == "ogg" && oo.getString(6) == "opus")
     assert(oo.getInt(1) == 1 && oo.getLong(5) == 3000L)
+    // raw ADTS .aac files (ADTS is its own file format, not only a TS
+    // payload): sync pattern disjoint from MP3's (layer bits 00)
+    val rawAac = MediaKernels.encodeAdtsHeader(44100L, 2, 5)
+    val ra = MediaKernels.audioMetaRow(rawAac)
+    assert(ra.getString(0) == "aac" && ra.getString(6) == "aac")
+    assert(ra.getInt(1) == 2 && ra.getLong(2) == 44100L && ra.getLong(4) == 5L * 1024L)
     // Ogg-FLAC is pure carriage: the same recording yields IDENTICAL
     // PCM (and therefore fingerprints) from WAV, native FLAC and
     // Ogg-FLAC; audio_meta reports the exact STREAMINFO fields
