@@ -461,6 +461,8 @@ object MediaKernels {
     if (m != null) return row("mp4", m, mp4VideoCodec(b))
     val ts = MpegTs.tsMeta(b)
     if (ts != null) return row("mpegts", ts._1, ts._2)
+    val es = MpegTs.annexBMeta(b)
+    if (es != null) return row("h264-es", es, "h264")
     val a = aviMeta(b)
     if (a != null) return row("avi", a, aviVideoCodec(b))
     val iv = Webm.ivfMeta(b)
@@ -964,6 +966,10 @@ object MediaKernels {
           val ts = MpegTs.tsFrames(b, math.min(max, 256))
           if (ts != null) ts
           else {
+          // raw Annex-B .h264/.264 elementary-stream dumps
+          val es = MpegTs.annexBFrames(b, math.min(max, 256))
+          if (es != null) es
+          else {
           val mp4 = mp4Frames(b, math.min(max, 256))
           if (mp4 != null) mp4
           else {
@@ -985,6 +991,7 @@ object MediaKernels {
                 }
               }
             }
+          }
           }
           }
         }

@@ -161,6 +161,45 @@ object MpegTs {
     val (vidPid, streamType) = findVideoPid(b)
     if (vidPid < 0 || streamType != 0x1B) return null
     val (es, _, _) = esBytes(b, vidPid)
+    esFrames(es, max)
+  }
+
+  /** A raw Annex-B H.264 elementary-stream FILE (.h264/.264 crawl
+    * dumps): must open with a start code followed by a parameter-set or
+    * IDR NAL, and its first SPS must parse — stricter than the
+    * start-code shape alone so arbitrary zero-prefixed binaries don't
+    * detour through the decoder. */
+  private[functions] def isAnnexB(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 8) return false
+    val at =
+      if (b(0) == 0 && b(1) == 0 && b(2) == 1) 3
+      else if (b(0) == 0 && b(1) == 0 && b(2) == 0 && b(3) == 1) 4
+      else return false
+    val typ = b(at) & 0x1F
+    if (typ != 7 && typ != 8 && typ != 5 && typ != 9) return false
+    val nals = scanNals(b)
+    nals.exists(_._3 == 7) && {
+      val (o, l, _) = nals.find(_._3 == 7).get
+      H264.spsDisplayDims(H264.unescape(b, o, o + l)) != null
+    }
+  }
+
+  /** Frames of a raw Annex-B elementary stream (same selection and
+    * grouping as the TS path). Null when not Annex-B H.264. */
+  private[functions] def annexBFrames(b: Array[Byte], max: Int): Array[Array[Byte]] =
+    if (!isAnnexB(b)) null else esFrames(b, max)
+
+  /** (width, height, 0) + "h264" for a raw Annex-B file: dims from the
+    * first SPS; an elementary stream carries no timing. */
+  private[functions] def annexBMeta(b: Array[Byte]): Array[Long] = {
+    if (!isAnnexB(b)) return null
+    val nals = scanNals(b)
+    val (o, l, _) = nals.find(_._3 == 7).get
+    val dims = H264.spsDisplayDims(H264.unescape(b, o, o + l))
+    if (dims == null) null else Array(dims._1.toLong, dims._2.toLong, 0L)
+  }
+
+  private def esFrames(es: Array[Byte], max: Int): Array[Array[Byte]] = {
     val nals = scanNals(es)
     var spsAt = -1; var spsLen = 0
     var ppsAt = -1; var ppsLen = 0

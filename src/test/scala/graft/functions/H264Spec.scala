@@ -364,6 +364,32 @@ class H264Spec extends SparkSpec {
         s"pair $i: TS and AVI H.264 did not group")
   }
 
+  test("raw Annex-B .h264 elementary-stream files decode through videoFrames") {
+    for (base <- 1 to 4) {
+      // a multi-picture raw dump = the 4 fixture streams concatenated
+      val es = (0 until 4).map(k => H264Fixtures.stream(base, k))
+        .reduce(_ ++ _)
+      val mp4 = graft.tools.GenMedia.h264VideoFixture(base - 1L)
+      val a = MediaKernels.videoFrames(es, 16)
+      val b = MediaKernels.videoFrames(mp4, 16)
+      assert(a.length == 4, s"base=$base: ES walk found ${a.length} pictures")
+      for (k <- 0 until 4)
+        assert(java.util.Arrays.equals(a(k), b(k)),
+          s"base=$base k=$k: raw-ES decode differs from MP4")
+      assert(MediaKernels.videoFrames(es, 2).length == 2) // sample-then-decode
+      // CABAC raw dumps too
+      val esC = (0 until 2).map(k => H264Fixtures.cabacStream(base, k)).reduce(_ ++ _)
+      assert(MediaKernels.videoFrames(esC, 16).length == 2)
+      // meta: dims from the SPS; an elementary stream carries no timing
+      val m = MediaKernels.videoMetaRow(es)
+      assert(m.getString(0) == "h264-es" && m.getString(4) == "h264")
+      assert(m.getInt(1) == 48 && m.getInt(2) == 48 && m.getLong(3) == 0L)
+    }
+    // strictness: arbitrary zero-prefixed binaries must NOT detour here
+    assert(MediaKernels.videoFrames(Array[Byte](0, 0, 1, 0x41, 9, 9, 9, 9), 4).isEmpty)
+    assert(MediaKernels.videoMetaRow(Array[Byte](0, 0, 0, 1, 0x67, 0, 0, 0)).isNullAt(0))
+  }
+
   test("AVI-held H.264 (H264 fourcc, Annex-B chunks): decodes and samples") {
     for (base <- 1 to 4) {
       val avi = graft.tools.GenMedia.aviAvcVideoFixture((base - 1) * 2L)
