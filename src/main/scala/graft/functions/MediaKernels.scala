@@ -1016,7 +1016,12 @@ object MediaKernels {
     // in-band ahead of each IDR, or carried once and remembered here).
     // Chunk LOCATIONS of IDR-bearing payloads collect first; the
     // expensive decodes run only on the <= max selected chunks.
-    val avcLocs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // each location remembers the SPS/PPS ACTIVE when its chunk was
+    // scanned (in-band sets in the same chunk land before the IDR, so
+    // they are current by then) — a stream whose parameter sets change
+    // mid-file decodes each picture with the sets in effect for it
+    val avcLocs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, Int, Int)]
     var avcSpsAt = -1; var avcSpsLen = 0
     var avcPpsAt = -1; var avcPpsLen = 0
     def isFrameTag(p: Int): Boolean =
@@ -1064,24 +1069,25 @@ object MediaKernels {
           (b(d) & 0xFF) == 0xFF && (b(d + 1) & 0xFF) == 0xD8) {
           out += java.util.Arrays.copyOfRange(b, d, d + len)
         } else if (inMovi && isFrameTag(p) && isStartCode(d, d + len)) {
-          if (scanAnnexB(d, d + len)) avcLocs += ((d, len))
+          if (scanAnnexB(d, d + len) && avcSpsAt >= 0 && avcPpsAt >= 0)
+            avcLocs += ((d, len, avcSpsAt, avcSpsLen, avcPpsAt, avcPpsLen))
         }
         p = d + len + (len & 1)
       }
     }
     walk(12, b.length, inMovi = false)
-    if (out.isEmpty && avcLocs.nonEmpty && avcSpsAt >= 0 && avcPpsAt >= 0) {
+    if (out.isEmpty && avcLocs.nonEmpty) {
       val n = avcLocs.length
       val sel = if (n <= max) 0 until n
       else (0 until max).map(i => (i.toLong * n / max).toInt)
-      // prepend the remembered SPS/PPS: redundant when in-band (a
-      // re-parse of identical parameter sets), essential when not
-      val prefix = Array[Byte](0, 0, 0, 1) ++
-        java.util.Arrays.copyOfRange(b, avcSpsAt, avcSpsAt + avcSpsLen) ++
-        Array[Byte](0, 0, 0, 1) ++
-        java.util.Arrays.copyOfRange(b, avcPpsAt, avcPpsAt + avcPpsLen)
       sel.foreach { si =>
-        val (d, len) = avcLocs(si)
+        val (d, len, sAt, sLen, pAt, pLen) = avcLocs(si)
+        // prepend the chunk's active SPS/PPS: redundant when in-band (a
+        // re-parse of identical parameter sets), essential when not
+        val prefix = Array[Byte](0, 0, 0, 1) ++
+          java.util.Arrays.copyOfRange(b, sAt, sAt + sLen) ++
+          Array[Byte](0, 0, 0, 1) ++
+          java.util.Arrays.copyOfRange(b, pAt, pAt + pLen)
         val f = H264.decodeAnnexB(prefix ++ java.util.Arrays.copyOfRange(b, d, d + len))
         if (f != null) out += ImageKernels.encodePng(f.w, f.h, f.y)
       }
@@ -1258,36 +1264,40 @@ object MediaKernels {
     }
     // fragmented samples: scan top-level moof boxes and resolve each
     // traf's trun entries for the chosen track. Sizes inherit
-    // per-sample -> tfhd default -> trex default; offsets anchor at
-    // tfhd base_data_offset when present, else the moof start
-    // (default-base-is-moof and the first-traf convention coincide
-    // here), advancing through contiguous runs.
-    val trexDefault = trexSize.getOrElse(trackId, -1)
-    def parseTraf(d: Int, e: Int, moofStart: Long): Unit = {
+    // per-sample -> tfhd default -> that track's trex default; offsets
+    // anchor at tfhd base_data_offset when present, at the moof start
+    // when the 0x020000 default-base-is-moof flag is set, else at the
+    // END of the previous traf's data (the 14496-12 clause 8.8.7
+    // default — a multi-track moof whose video traf is not first still
+    // anchors correctly). Every traf's truns advance the running
+    // cursor, even for non-selected tracks, so the next traf's default
+    // base is right; only the selected track records sample locations.
+    def parseTraf(d: Int, e: Int, moofStart: Long, prevEnd: Long): Long = {
       var tfTrack = -1
-      var base = moofStart
-      var defSize = trexDefault
+      var base = prevEnd
+      var defSize = -1
       var cursor = -1L
       var p = d
       while (p + 8 <= e && locs.length <= (1 << 20)) {
         val size = be32(b, p)
-        if (size < 8 || p + size > e) return
+        if (size < 8 || p + size > e) return math.max(cursor, prevEnd)
         val typ = new String(b, p + 4, 4, "US-ASCII")
         val q0 = p + 8
         if (typ == "tfhd" && size >= 16) {
           val flags = be32(b, q0).toInt & 0xFFFFFF
           tfTrack = be32(b, q0 + 4).toInt
+          defSize = trexSize.getOrElse(tfTrack, -1)
           var q = q0 + 8
           if ((flags & 0x1) != 0 && q + 8 <= e) { // base_data_offset
             base = (be32(b, q) << 32) | be32(b, q + 4); q += 8
-          }
+          } else if ((flags & 0x20000) != 0) base = moofStart
           if ((flags & 0x2) != 0) q += 4 // sample_description_index
           if ((flags & 0x8) != 0) q += 4 // default_sample_duration
           if ((flags & 0x10) != 0 && q + 4 <= e) { // default_sample_size
             defSize = be32(b, q).toInt; q += 4
           }
-        } else if (typ == "trun" && size >= 16 &&
-          (tfTrack == trackId || trackId <= 0)) {
+        } else if (typ == "trun" && size >= 16) {
+          val record = tfTrack == trackId || trackId <= 0
           val flags = be32(b, q0).toInt & 0xFFFFFF
           val n = be32(b, q0 + 4).toInt
           var q = q0 + 8
@@ -1307,7 +1317,7 @@ object MediaKernels {
               if ((flags & 0x400) != 0) q += 4 // sample_flags
               if ((flags & 0x800) != 0) q += 4 // composition offset
               if (ok && q <= e && sz > 0) {
-                if (sz >= 3 && cursor >= 0 && cursor + sz <= b.length &&
+                if (record && sz >= 3 && cursor >= 0 && cursor + sz <= b.length &&
                   (!isJpeg || ((b(cursor.toInt) & 0xFF) == 0xFF &&
                     (b(cursor.toInt + 1) & 0xFF) == 0xD8)))
                   locs += ((cursor, sz))
@@ -1319,6 +1329,7 @@ object MediaKernels {
         }
         p += size.toInt
       }
+      math.max(cursor, prevEnd)
     }
     var fp = 0
     while (fp + 8 <= b.length && locs.length <= (1 << 20)) {
@@ -1333,12 +1344,13 @@ object MediaKernels {
           b(fp + 7) == 'f') {
           var tp = fp + hdr
           val te = fp + size.toInt
+          var prevEnd = fp.toLong // first traf's default base = moof start
           while (tp + 8 <= te) {
             val tsz = be32(b, tp)
             if (tsz < 8 || tp + tsz > te) { tp = te } else {
               if (b(tp + 4) == 't' && b(tp + 5) == 'r' && b(tp + 6) == 'a' &&
                 b(tp + 7) == 'f')
-                parseTraf(tp + 8, tp + tsz.toInt, fp.toLong)
+                prevEnd = parseTraf(tp + 8, tp + tsz.toInt, fp.toLong, prevEnd)
               tp += tsz.toInt
             }
           }
@@ -1565,7 +1577,8 @@ object MediaKernels {
     * trun; odd samples inherit it from tfhd's default_sample_size, so
     * both inheritance paths of the reader are exercised. */
   def encodeAvc1FragMp4(width: Int, height: Int,
-                        annexB: Seq[Array[Byte]]): Array[Byte] = {
+                        annexB: Seq[Array[Byte]],
+                        leadJunk: Int = 0): Array[Byte] = {
     def u32(v: Long): Array[Byte] =
       Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
@@ -1626,31 +1639,55 @@ object MediaKernels {
     val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++
       u32(0) ++ new Array[Byte](80))
     // trex: track 1, description 1, zero default duration/size/flags
+    // (+ a track-2 trex when the multi-track shape is requested)
     val mvex = box("mvex", box("mehd", u32(0) ++ u32(samples.length * 1000L)) ++
-      box("trex", u32(0) ++ u32(1) ++ u32(1) ++ u32(0) ++ u32(0) ++ u32(0)))
+      box("trex", u32(0) ++ u32(1) ++ u32(1) ++ u32(0) ++ u32(0) ++ u32(0)) ++
+      (if (leadJunk > 0)
+        box("trex", u32(0) ++ u32(2) ++ u32(1) ++ u32(0) ++ u32(0) ++ u32(0))
+      else Array.empty[Byte]))
     val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia) ++ mvex)
     val ftyp = box("ftyp", "iso5".getBytes("US-ASCII") ++ u32(512) ++
       "iso5avc1".getBytes("US-ASCII"))
     val frags = samples.zipWithIndex.flatMap { case (sample, i) =>
       val mfhd = box("mfhd", u32(0) ++ u32(i + 1L))
-      val (tfhd, trun) =
-        if (i % 2 == 0) {
-          // size rides per-sample in the trun; default-base-is-moof
-          (box("tfhd", u32(0x20000) ++ u32(1)),
-            box("trun", u32(0x201) ++ u32(1) ++ u32(0 /*patched*/) ++
-              u32(sample.length.toLong)))
-        } else {
-          // size inherits from tfhd's default_sample_size
-          (box("tfhd", u32(0x20010) ++ u32(1) ++ u32(sample.length.toLong)),
-            box("trun", u32(0x1) ++ u32(1) ++ u32(0 /*patched*/)))
-        }
-      val moof = box("moof", mfhd ++ box("traf", tfhd ++ trun))
-      // trun data_offset (moof-relative) = past this moof + mdat header;
-      // it is the LAST 4 or 8 bytes of the moof depending on the shape
-      val dataOff = moof.length + 8
-      val patchAt = moof.length - (if (i % 2 == 0) 8 else 4)
-      u32(dataOff.toLong).copyToArray(moof, patchAt)
-      moof ++ box("mdat", sample)
+      if (leadJunk > 0) {
+        // multi-track moof: a leading track-2 traf (no base_data_offset
+        // — the FIRST traf anchors at the moof start, trun carries
+        // data_offset + per-sample size) followed by the VIDEO traf
+        // with no base/offset fields anywhere, whose clause-8.8.7
+        // default base is the END of traf A's data
+        val junk = Array.fill[Byte](leadJunk)(0x5A)
+        val tfhdA = box("tfhd", u32(0) ++ u32(2))
+        val trunA = box("trun", u32(0x201) ++ u32(1) ++ u32(0 /*patched*/) ++
+          u32(leadJunk.toLong))
+        val trafA = box("traf", tfhdA ++ trunA)
+        val trafB = box("traf",
+          box("tfhd", u32(0x10) ++ u32(1) ++ u32(sample.length.toLong)) ++
+            box("trun", u32(0) ++ u32(1)))
+        val moof = box("moof", mfhd ++ trafA ++ trafB)
+        val patchAt = 8 + mfhd.length + 8 + tfhdA.length + 16
+        u32(moof.length + 8L).copyToArray(moof, patchAt)
+        moof ++ box("mdat", junk ++ sample)
+      } else {
+        val (tfhd, trun) =
+          if (i % 2 == 0) {
+            // size rides per-sample in the trun; default-base-is-moof
+            (box("tfhd", u32(0x20000) ++ u32(1)),
+              box("trun", u32(0x201) ++ u32(1) ++ u32(0 /*patched*/) ++
+                u32(sample.length.toLong)))
+          } else {
+            // size inherits from tfhd's default_sample_size
+            (box("tfhd", u32(0x20010) ++ u32(1) ++ u32(sample.length.toLong)),
+              box("trun", u32(0x1) ++ u32(1) ++ u32(0 /*patched*/)))
+          }
+        val moof = box("moof", mfhd ++ box("traf", tfhd ++ trun))
+        // trun data_offset (moof-relative) = past this moof + mdat header;
+        // it is the LAST 4 or 8 bytes of the moof depending on the shape
+        val dataOff = moof.length + 8
+        val patchAt = moof.length - (if (i % 2 == 0) 8 else 4)
+        u32(dataOff.toLong).copyToArray(moof, patchAt)
+        moof ++ box("mdat", sample)
+      }
     }
     ftyp ++ moov ++ frags
   }

@@ -37,61 +37,80 @@ object MpegTs {
     b != null && b.length >= 2 * 188 &&
       (b(0) & 0xFF) == 0x47 && (b(188) & 0xFF) == 0x47
 
-  /** (videoPid, streamType) via PAT → PMT; (-1, -1) when absent. */
-  private def findVideoPid(b: Array[Byte]): (Int, Int) = {
-    var pmtPid = -1
+  /** First complete PSI section with table_id `tid` on `pid`,
+    * reassembled across packets: the PUSI packet's pointer_field locates
+    * the section start, then continuation packets (same PID, PUSI=0)
+    * append payload in stream order until section_length (clause
+    * 2.4.4) is satisfied — a PMT with many streams/descriptors spans
+    * packets and must NOT be clamped to the first 188 bytes. Returns
+    * the full section bytes (3-byte header + body incl. CRC) or null. */
+  private def psiSection(b: Array[Byte], pid: Int, tid: Int): Array[Byte] = {
     var p = 0
-    while (p + 188 <= b.length && pmtPid < 0) {
-      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == 0 &&
+    while (p + 188 <= b.length) {
+      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == pid &&
         ((b(p + 1) >> 6) & 1) == 1) {
         val off = payloadOff(b, p)
         if (off > 0 && off < p + 188) {
           val s = off + 1 + (b(off) & 0xFF) // pointer_field
-          if (s + 8 <= p + 188 && (b(s) & 0xFF) == 0x00) {
+          if (s + 3 <= p + 188 && (b(s) & 0xFF) == tid) {
             val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
-            var q = s + 8
-            val qe = math.min(s + 3 + slen - 4, p + 188)
-            while (q + 4 <= qe && pmtPid < 0) {
-              val prog = ((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)
-              if (prog != 0)
-                pmtPid = ((b(q + 2) & 0x1F) << 8) | (b(q + 3) & 0xFF)
-              q += 4
+            val total = 3 + slen
+            val sec = new java.io.ByteArrayOutputStream()
+            sec.write(b, s, math.min(total, p + 188 - s))
+            var q = p + 188
+            while (sec.size < total && q + 188 <= b.length) {
+              if ((b(q) & 0xFF) == 0x47 && pidOf(b, q) == pid &&
+                ((b(q + 1) >> 6) & 1) == 0) {
+                val o2 = payloadOff(b, q)
+                if (o2 > 0 && o2 < q + 188)
+                  sec.write(b, o2, math.min(total - sec.size, q + 188 - o2))
+              }
+              q += 188
             }
+            return if (sec.size >= total) sec.toByteArray else null
           }
         }
       }
       p += 188
     }
+    null
+  }
+
+  /** (pid, streamType) of the first PMT elementary stream whose
+    * stream_type `want` accepts, via PAT → PMT over reassembled PSI
+    * sections; (-1, -1) when absent. */
+  private def findPid(b: Array[Byte], want: Int => Boolean): (Int, Int) = {
+    val pat = psiSection(b, 0, 0x00)
+    if (pat == null || pat.length < 12) return (-1, -1)
+    var pmtPid = -1
+    var q = 8
+    val qe = pat.length - 4 // section bytes minus CRC
+    while (q + 4 <= qe && pmtPid < 0) {
+      val prog = ((pat(q) & 0xFF) << 8) | (pat(q + 1) & 0xFF)
+      if (prog != 0)
+        pmtPid = ((pat(q + 2) & 0x1F) << 8) | (pat(q + 3) & 0xFF)
+      q += 4
+    }
     if (pmtPid <= 0) return (-1, -1)
-    p = 0
-    while (p + 188 <= b.length) {
-      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == pmtPid &&
-        ((b(p + 1) >> 6) & 1) == 1) {
-        val off = payloadOff(b, p)
-        if (off > 0 && off < p + 188) {
-          val s = off + 1 + (b(off) & 0xFF)
-          if (s + 12 <= p + 188 && (b(s) & 0xFF) == 0x02) {
-            val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
-            val pil = ((b(s + 10) & 0x0F) << 8) | (b(s + 11) & 0xFF)
-            var q = s + 12 + pil
-            val qe = math.min(s + 3 + slen - 4, p + 188)
-            while (q + 5 <= qe) {
-              val st = b(q) & 0xFF
-              val epid = ((b(q + 1) & 0x1F) << 8) | (b(q + 2) & 0xFF)
-              val eil = ((b(q + 3) & 0x0F) << 8) | (b(q + 4) & 0xFF)
-              // the known VIDEO stream types; first one wins
-              if (st == 0x1B || st == 0x01 || st == 0x02 || st == 0x10 ||
-                st == 0x24) return (epid, st)
-              q += 5 + eil
-            }
-            return (-1, -1)
-          }
-        }
-      }
-      p += 188
+    val pmt = psiSection(b, pmtPid, 0x02)
+    if (pmt == null || pmt.length < 16) return (-1, -1)
+    val pil = ((pmt(10) & 0x0F) << 8) | (pmt(11) & 0xFF)
+    q = 12 + pil
+    val pe = pmt.length - 4
+    while (q + 5 <= pe) {
+      val st = pmt(q) & 0xFF
+      val epid = ((pmt(q + 1) & 0x1F) << 8) | (pmt(q + 2) & 0xFF)
+      val eil = ((pmt(q + 3) & 0x0F) << 8) | (pmt(q + 4) & 0xFF)
+      if (want(st)) return (epid, st)
+      q += 5 + eil
     }
     (-1, -1)
   }
+
+  /** (videoPid, streamType) via PAT → PMT; (-1, -1) when absent. */
+  private def findVideoPid(b: Array[Byte]): (Int, Int) =
+    findPid(b, st => st == 0x1B || st == 0x01 || st == 0x02 ||
+      st == 0x10 || st == 0x24)
 
   /** Concatenated elementary-stream bytes of `vidPid` with PES headers
     * stripped, plus the (min, max) PTS seen (-1 when none). */
@@ -203,8 +222,13 @@ object MpegTs {
     val nals = scanNals(es)
     var spsAt = -1; var spsLen = 0
     var ppsAt = -1; var ppsLen = 0
-    // group consecutive IDR NALs (one picture's slices)
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // nal index range
+    // group consecutive IDR NALs (one picture's slices), each with the
+    // parameter sets ACTIVE at that point in the stream — a segment
+    // whose SPS/PPS change mid-stream decodes every picture with the
+    // sets in effect for it, not whichever happened to come last
+    final case class Group(from: Int, to: Int, spsAt: Int, spsLen: Int,
+                           ppsAt: Int, ppsLen: Int)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var i = 0
     while (i < nals.length) {
       val (at, len, typ) = nals(i)
@@ -214,22 +238,25 @@ object MpegTs {
         case 5 =>
           var j = i
           while (j + 1 < nals.length && nals(j + 1)._3 == 5) j += 1
-          groups += ((i, j))
+          groups += Group(i, j, spsAt, spsLen, ppsAt, ppsLen)
           i = j
         case _ => ()
       }
       i += 1
     }
-    if (groups.isEmpty || spsAt < 0 || ppsAt < 0) return Array.empty
-    val n = groups.length
+    // a group preceding any parameter set (join-in-progress capture)
+    // can't decode; drop it rather than borrowing later sets
+    val decodable = groups.filter(g => g.spsAt >= 0 && g.ppsAt >= 0)
+    if (decodable.isEmpty) return Array.empty
+    val n = decodable.length
     val sel = if (n <= max) 0 until n
     else (0 until max).map(k => (k.toLong * n / max).toInt)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    val sps = java.util.Arrays.copyOfRange(es, spsAt, spsAt + spsLen)
-    val pps = java.util.Arrays.copyOfRange(es, ppsAt, ppsAt + ppsLen)
     sel.foreach { gi =>
-      val (from, to) = groups(gi)
-      val idrs = (from to to).map { k =>
+      val g = decodable(gi)
+      val sps = java.util.Arrays.copyOfRange(es, g.spsAt, g.spsAt + g.spsLen)
+      val pps = java.util.Arrays.copyOfRange(es, g.ppsAt, g.ppsAt + g.ppsLen)
+      val idrs = (g.from to g.to).map { k =>
         val (at, len, _) = nals(k)
         java.util.Arrays.copyOfRange(es, at, at + len)
       }
@@ -274,59 +301,9 @@ object MpegTs {
 
   /** The first AUDIO elementary stream declared in the PMT:
     * (pid, streamType); (-1, -1) when none. */
-  private def findAudioPid(b: Array[Byte]): (Int, Int) = {
-    var pmtPid = -1
-    var p = 0
-    while (p + 188 <= b.length && pmtPid < 0) {
-      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == 0 &&
-        ((b(p + 1) >> 6) & 1) == 1) {
-        val off = payloadOff(b, p)
-        if (off > 0 && off < p + 188) {
-          val s = off + 1 + (b(off) & 0xFF)
-          if (s + 8 <= p + 188 && (b(s) & 0xFF) == 0x00) {
-            val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
-            var q = s + 8
-            val qe = math.min(s + 3 + slen - 4, p + 188)
-            while (q + 4 <= qe && pmtPid < 0) {
-              if ((((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)) != 0)
-                pmtPid = ((b(q + 2) & 0x1F) << 8) | (b(q + 3) & 0xFF)
-              q += 4
-            }
-          }
-        }
-      }
-      p += 188
-    }
-    if (pmtPid <= 0) return (-1, -1)
-    p = 0
-    while (p + 188 <= b.length) {
-      if ((b(p) & 0xFF) == 0x47 && pidOf(b, p) == pmtPid &&
-        ((b(p + 1) >> 6) & 1) == 1) {
-        val off = payloadOff(b, p)
-        if (off > 0 && off < p + 188) {
-          val s = off + 1 + (b(off) & 0xFF)
-          if (s + 12 <= p + 188 && (b(s) & 0xFF) == 0x02) {
-            val slen = ((b(s + 1) & 0x0F) << 8) | (b(s + 2) & 0xFF)
-            val pil = ((b(s + 10) & 0x0F) << 8) | (b(s + 11) & 0xFF)
-            var q = s + 12 + pil
-            val qe = math.min(s + 3 + slen - 4, p + 188)
-            while (q + 5 <= qe) {
-              val st = b(q) & 0xFF
-              val epid = ((b(q + 1) & 0x1F) << 8) | (b(q + 2) & 0xFF)
-              val eil = ((b(q + 3) & 0x0F) << 8) | (b(q + 4) & 0xFF)
-              // the known AUDIO stream types
-              if (st == 0x03 || st == 0x04 || st == 0x0F || st == 0x11 ||
-                st == 0x81) return (epid, st)
-              q += 5 + eil
-            }
-            return (-1, -1)
-          }
-        }
-      }
-      p += 188
-    }
-    (-1, -1)
-  }
+  private def findAudioPid(b: Array[Byte]): (Int, Int) =
+    findPid(b, st => st == 0x03 || st == 0x04 || st == 0x0F ||
+      st == 0x11 || st == 0x81)
 
   /** ADTS sampling_frequency_index (ISO 14496-3). */
   private val AdtsRates = Array(96000L, 88200L, 64000L, 48000L, 44100L,
@@ -406,18 +383,20 @@ object MpegTs {
   /** Single-program H.264 transport stream for fixtures/tests: PAT +
     * PMT (stream_type 0x1B, PID 0x100) + one PES per input Annex-B
     * stream (PTS at 30 fps / 90 kHz), 188-byte packets with adaptation-
-    * field stuffing — the HLS segment shape. */
-  def encodeH264Ts(annexB: Seq[Array[Byte]]): Array[Byte] =
-    encodeTs(0x1B, 0xE0, annexB)
+    * field stuffing — the HLS segment shape. `pmtPad` > 0 inserts that
+    * many program-descriptor bytes so the PMT section spans multiple
+    * packets (exercises PSI reassembly). */
+  def encodeH264Ts(annexB: Seq[Array[Byte]], pmtPad: Int = 0): Array[Byte] =
+    encodeTs(0x1B, 0xE0, annexB, pmtPad)
 
   /** Single-program AUDIO transport stream: same PSI shape with the
     * given stream_type (0x03/0x04 MP3, 0x0F ADTS AAC) and audio PES
     * stream_id, one PES per payload. */
   def encodeAudioTs(streamType: Int, payloads: Seq[Array[Byte]]): Array[Byte] =
-    encodeTs(streamType, 0xC0, payloads)
+    encodeTs(streamType, 0xC0, payloads, 0)
 
   private def encodeTs(streamType: Int, pesStreamId: Int,
-                       payloads: Seq[Array[Byte]]): Array[Byte] = {
+                       payloads: Seq[Array[Byte]], pmtPad: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val counters = scala.collection.mutable.HashMap.empty[Int, Int]
     def packet(pid: Int, pusi: Boolean, payload: Array[Byte], from: Int,
@@ -448,7 +427,16 @@ object MpegTs {
       val crc = mpegCrc32(section, 0, section.length)
       val body = Array[Byte](0) ++ section ++ Array( // pointer_field 0
         (crc >> 24).toByte, (crc >> 16).toByte, (crc >> 8).toByte, crc.toByte)
-      packet(pid, pusi = true, body, 0, body.length)
+      // sections longer than one packet continue in PUSI=0 packets on
+      // the same PID (clause 2.4.4 segmentation)
+      var p = 0
+      var first = true
+      while (p < body.length) {
+        val len = math.min(184, body.length - p)
+        packet(pid, first, body, p, len)
+        first = false
+        p += len
+      }
     }
     val pmtPid = 0x1000
     val vidPid = 0x100
@@ -457,13 +445,21 @@ object MpegTs {
     psi(0, Array[Byte](0x00, (0xB0 | (patLen >> 8)).toByte, (patLen & 0xFF).toByte,
       0, 1, 0xC1.toByte, 0, 0,
       0, 1, (0xE0 | (pmtPid >> 8)).toByte, (pmtPid & 0xFF).toByte))
-    // PMT: program 1, PCR = video PID, one H.264 stream
-    val pmtLen = 5 + 4 + 5 + 4
+    // PMT: program 1, PCR = video PID, one stream; pmtPad > 0 rides as
+    // a registration descriptor in the program-info loop
+    val pad: Array[Byte] =
+      if (pmtPad <= 0) Array.empty
+      else Array[Byte](0x05, (pmtPad - 2).toByte) ++
+        Array.tabulate[Byte](pmtPad - 2)(i => ('A' + i % 26).toByte)
+    require(pad.length < (1 << 10), "pmtPad too large for a PSI section")
+    val pmtLen = 5 + 4 + pad.length + 5 + 4
     psi(pmtPid, Array[Byte](0x02, (0xB0 | (pmtLen >> 8)).toByte, (pmtLen & 0xFF).toByte,
       0, 1, 0xC1.toByte, 0, 0,
-      (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte, 0xF0.toByte, 0,
-      streamType.toByte, (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte,
-      0xF0.toByte, 0))
+      (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte,
+      (0xF0 | (pad.length >> 8)).toByte, (pad.length & 0xFF).toByte) ++ pad ++
+      Array[Byte](streamType.toByte,
+        (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte,
+        0xF0.toByte, 0))
     payloads.zipWithIndex.foreach { case (es, i) =>
       val pts = 90000L / 30 * 3 * i // 30 fps at 90 kHz, x3 so values stay distinct
       def mk(v: Long, marker: Int): Array[Byte] = Array(

@@ -47,7 +47,6 @@ object Ogg {
     var granRate = 0L
     var lastGranule = -1L
     var serial = -1L // granules only count for the identified stream
-    var first = true
     var p = 0
     var pages = 0
     while (p + 27 <= b.length && pages < (1 << 20) &&
@@ -60,10 +59,13 @@ object Ogg {
       val d = p + 27 + nseg
       if (d + plen > b.length) return finish(codec, ch, rate, granRate, lastGranule)
       val granule = le64(b, p + 6)
-      if (granule >= 0 && le32(b, p + 14) == serial)
+      if (codec != null && granule >= 0 && le32(b, p + 14) == serial)
         lastGranule = granule // -1 = no packet boundary
-      if (first) {
-        first = false
+      // scan EVERY BOS page (header_type 0x02) until a recognized audio
+      // identification header locks the serial — multiplexed files
+      // (e.g. Theora+Vorbis, skeleton-bearing) put the audio BOS on a
+      // later page, not the first
+      if (codec == null && (b(p + 5) & 0x02) != 0) {
         serial = le32(b, p + 14)
         if (starts(b, d, "vorbis") && plen >= 30) {
           codec = "vorbis"
@@ -155,8 +157,9 @@ object Ogg {
     crc
   }
 
-  private def page(serial: Long, seq: Long, granule: Long, headerType: Int,
-                   payload: Array[Byte]): Array[Byte] = {
+  private[functions] def page(serial: Long, seq: Long, granule: Long,
+                              headerType: Int,
+                              payload: Array[Byte]): Array[Byte] = {
     require(payload.length < 255 * 255, "fixture page too large")
     val nseg = payload.length / 255 + 1
     val out = new Array[Byte](27 + nseg + payload.length)
