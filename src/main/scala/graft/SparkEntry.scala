@@ -2214,6 +2214,23 @@ object SparkEntry {
           "image_orientation")
     }),
 
+    // AVIF/HEIC visibility (ISO-BMFF meta/pitm/iprp walk, 23008-12):
+    // codec-bearing format + PRIMARY-item dimensions — the fixture's
+    // thumbnail ispe rides first in ipco, so these rows are wrong
+    // unless pitm -> ipma property association resolves. Decode stays
+    // a documented non-goal (AV1/HEVC tables have no validation path
+    // here); this is the q_video_meta_avc diagnosability pattern
+    // applied to images.
+    "q_image_meta_avif" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenImages.heifFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "image_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "image_format", "image_width", "image_height")
+    }),
+
     // perceptual image near-dedup: ids i and i+250 share a base pattern
     // (the copy carries a faint low-frequency gradient AND a different
     // container format — id%5 rotates PNG / BMP / baseline JPEG / TIFF /
@@ -5095,6 +5112,15 @@ object SparkEntry {
            (16 + (doc_id % 5) * 8)::INTEGER AS image_width,
            (12 + (doc_id % 3) * 8)::INTEGER AS image_height,
            (CASE WHEN doc_id % 6 = 3 THEN 1 + doc_id % 8 ELSE 0 END)::INTEGER AS image_orientation
+         FROM documents""",
+
+    // HEIF fixtures are closed-form in doc_id: codec alternates, dims
+    // are id arithmetic — the oracle never touches a box
+    "q_image_meta_avif" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS image_format,
+           (64 + (doc_id % 7) * 16)::INTEGER AS image_width,
+           (48 + (doc_id % 5) * 16)::INTEGER AS image_height
          FROM documents""",
 
     // construction: ids i and i+250 carry the same base pattern (the copy

@@ -68,7 +68,158 @@ object ImageKernels {
     } else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b.length >= 16 && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
       webpMeta(b)
+    } else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' &&
+      b(6) == 'y' && b(7) == 'p') {
+      heifMeta(b)
     } else null
+  }
+
+  /** HEIF-family brand of an ftyp box: "avif" / "heic" for the codec
+    * brands, "heif" for the generic mif1/msf1 structural brands, null
+    * for every non-HEIF brand set (plain MP4 video stays with the
+    * video tier). Major, then compatible brands. */
+  private def heifBrand(b: Array[Byte]): String = {
+    val sz = be32(b, 0)
+    if (sz < 16 || sz > b.length) return null
+    var generic: String = null
+    var p = 8
+    while (p + 4 <= sz) {
+      if (p != 12) { // 12..15 is minor_version, not a brand
+        val brand = new String(b, p, 4, "US-ASCII")
+        brand match {
+          case "avif" | "avis" => return "avif"
+          case "heic" | "heix" | "heim" | "heis" | "hevc" | "hevx" =>
+            return "heic"
+          case "mif1" | "msf1" => generic = "heif"
+          case _ => ()
+        }
+      }
+      p += 4
+    }
+    generic
+  }
+
+  /** AVIF/HEIC still images (ISO-BMFF 14496-12 clause 8.11 + HEIF
+    * 23008-12 clause 6): after the ftyp brand gates, meta/pitm/iprp
+    * {ipco,ipma} resolve the PRIMARY item's spatial extents (ispe) and
+    * its codec-config box (av1C → avif, hvcC → heic) — a thumbnail
+    * item's ispe must NOT win. Metadata only: AV1/HEVC sample decode
+    * is a documented non-goal (normative coefficient tables with no
+    * validation path in this environment); this walk makes the files
+    * VISIBLE to image_meta with real dimensions and a codec-bearing
+    * format instead of null rows — the diagnosability contract the
+    * video tier already keeps for avc1/high-cabac. Pure box grammar,
+    * no codec tables. Totality: bounds-checked, capped property count,
+    * null on any malformed structure. */
+  private def heifMeta(b: Array[Byte]): (String, Int, Int, Int) = {
+    val brand = heifBrand(b)
+    if (brand == null) return null
+    // locate the top-level meta box (unsigned 32-bit sizes as Long so
+    // hostile sizes can't wrap the walk negative)
+    @inline def usz(p: Int): Long = be32(b, p).toLong & 0xFFFFFFFFL
+    var metaD = -1; var metaE = -1
+    var p = 0
+    while (p + 8 <= b.length && metaD < 0) {
+      val sz = usz(p)
+      if (sz < 8 || p + sz > b.length) return null
+      if (b(p + 4) == 'm' && b(p + 5) == 'e' && b(p + 6) == 't' && b(p + 7) == 'a') {
+        metaD = p + 12 // FullBox: skip version/flags
+        metaE = (p + sz).toInt
+      }
+      p += sz.toInt
+    }
+    if (metaD < 0) return null
+    // children of interest inside meta
+    var primaryItem = -1L
+    var ipcoD = -1; var ipcoE = -1
+    var ipmaD = -1; var ipmaE = -1
+    def walkMeta(start: Int, end: Int): Unit = {
+      var q = start
+      while (q + 8 <= end) {
+        val sz = usz(q)
+        if (sz < 8 || q + sz > end) return
+        val typ = new String(b, q + 4, 4, "US-ASCII")
+        val d = q + 8
+        typ match {
+          case "pitm" if sz >= 14 =>
+            val v = b(d) & 0xFF
+            primaryItem =
+              if (v == 0) ((b(d + 4) & 0xFFL) << 8) | (b(d + 5) & 0xFFL)
+              else if (sz >= 16) be32(b, d + 4)
+              else -1L
+          case "iprp" => walkMeta(d, (q + sz).toInt)
+          case "ipco" => ipcoD = d; ipcoE = (q + sz).toInt
+          case "ipma" => ipmaD = d; ipmaE = (q + sz).toInt
+          case _ => ()
+        }
+        q += sz.toInt
+      }
+    }
+    walkMeta(metaD, metaE)
+    if (ipcoD < 0) return null
+    // ipco children, in declaration order (property indices are 1-based)
+    val propTyp = scala.collection.mutable.ArrayBuffer.empty[String]
+    val propOff = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var q = ipcoD
+    while (q + 8 <= ipcoE && propTyp.length < 256) {
+      val sz = usz(q)
+      if (sz < 8 || q + sz > ipcoE) return null
+      propTyp += new String(b, q + 4, 4, "US-ASCII")
+      propOff += q + 8
+      q += sz.toInt
+    }
+    // the primary item's property indices via ipma; fall back to "all"
+    // when pitm/ipma are absent (single-item files)
+    var indices: Seq[Int] = propTyp.indices.map(_ + 1)
+    if (primaryItem > 0 && ipmaD >= 0 && ipmaD + 8 <= ipmaE) {
+      val v = b(ipmaD) & 0xFF
+      val wide = (b(ipmaD + 3) & 1) != 0 // flags bit 0: 15-bit indices
+      val n = be32(b, ipmaD + 4).toInt
+      var e = ipmaD + 8
+      var i = 0
+      var found = false
+      while (i < n && !found && e < ipmaE) {
+        val itemId =
+          if (v < 1) { if (e + 2 > ipmaE) return null else ((b(e) & 0xFFL) << 8) | (b(e + 1) & 0xFFL) }
+          else { if (e + 4 > ipmaE) return null else be32(b, e) }
+        e += (if (v < 1) 2 else 4)
+        if (e >= ipmaE) return null
+        val ac = b(e) & 0xFF
+        e += 1
+        val mine = itemId == primaryItem
+        val idx = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var k = 0
+        while (k < ac) {
+          if (wide) {
+            if (e + 2 > ipmaE) return null
+            idx += ((b(e) & 0x7F) << 8) | (b(e + 1) & 0xFF)
+            e += 2
+          } else {
+            if (e + 1 > ipmaE) return null
+            idx += b(e) & 0x7F
+            e += 1
+          }
+          k += 1
+        }
+        if (mine) { indices = idx.toSeq; found = true }
+        i += 1
+      }
+    }
+    var w = 0; var h = 0
+    var codec: String = null
+    indices.foreach { ix =>
+      if (ix >= 1 && ix <= propTyp.length) {
+        val t = propTyp(ix - 1)
+        val d = propOff(ix - 1)
+        if (t == "ispe" && w == 0 && d + 12 <= ipcoE) {
+          w = be32(b, d + 4); h = be32(b, d + 8)
+        } else if (t == "av1C") codec = "avif"
+        else if (t == "hvcC") codec = "heic"
+      }
+    }
+    if (w <= 0 || h <= 0) return null
+    val fmt = if (codec != null) codec else brand
+    (fmt, w, h, 0)
   }
 
   /** TIFF baseline: IFD0 tags 0x0100 ImageWidth / 0x0101 ImageLength
@@ -142,6 +293,44 @@ object ImageKernels {
     out.write(Array[Byte](payload.length.toByte, 0, 0, 0), 0, 4)
     out.write(payload, 0, payload.length)
     out.toByteArray
+  }
+
+  /** AVIF/HEIC metadata fixture (the 23008-12 still-image shape):
+    * ftyp(brand) + meta{hdlr pict, pitm → item 1, iprp{ipco[thumbnail
+    * ispe FIRST, primary ispe, av1C/hvcC], ipma}} + a stub mdat. The
+    * thumbnail item's ispe deliberately precedes the primary's so a
+    * naive first-ispe reader picks the WRONG dimensions — the walk
+    * must resolve pitm → ipma → the primary's property indices.
+    * `codec` is "av01" (AVIF) or "hvc1" (HEIC). */
+  def encodeHeifHeader(codec: String, w: Int, h: Int,
+                       thumbW: Int, thumbH: Int): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ payload)
+    val isAv1 = codec == "av01"
+    val brand = if (isAv1) "avif" else "heic"
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ u32(0) ++
+      (brand + "mif1").getBytes("US-ASCII"))
+    val hdlr = full("hdlr", u32(0) ++ "pict".getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    val pitm = full("pitm", u16(1))
+    val ispeThumb = full("ispe", u32(thumbW.toLong) ++ u32(thumbH.toLong))
+    val ispeMain = full("ispe", u32(w.toLong) ++ u32(h.toLong))
+    // config payload is opaque to the metadata walk; 4 stub bytes
+    val cfg = box(if (isAv1) "av1C" else "hvcC",
+      Array[Byte](0x81.toByte, 0, 0, 0))
+    val ipco = box("ipco", ispeThumb ++ ispeMain ++ cfg)
+    def assoc(essential: Boolean, idx: Int): Byte =
+      (((if (essential) 1 else 0) << 7) | idx).toByte
+    val ipma = full("ipma", u32(2) ++
+      u16(1) ++ Array[Byte](2, assoc(essential = false, 2), assoc(essential = true, 3)) ++
+      u16(2) ++ Array[Byte](1, assoc(essential = false, 1)))
+    val meta = full("meta", hdlr ++ pitm ++ box("iprp", ipco ++ ipma))
+    ftyp ++ meta ++ box("mdat", Array[Byte](0x5A, 0x5A, 0x5A, 0x5A))
   }
 
   /** Little-endian uncompressed 8-bit grayscale TIFF (single strip) —

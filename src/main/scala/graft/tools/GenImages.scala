@@ -40,6 +40,18 @@ object GenImages {
     }
   }
 
+  /** The q_image_meta_avif payload: AVIF/HEIC still-image metadata
+    * fixtures — codec alternates by id (av1C → "avif", hvcC → "heic"),
+    * primary dims are id arithmetic, and a thumbnail item with
+    * DIFFERENT dims rides FIRST in ipco so only correct pitm → ipma
+    * property resolution reads the primary extents. */
+  def heifFixture(id: Long): Array[Byte] = {
+    val w = 64 + (id % 7).toInt * 16
+    val h = 48 + (id % 5).toInt * 16
+    ImageKernels.encodeHeifHeader(
+      if (id % 2 == 0) "av01" else "hvc1", w, h, w / 4, h / 4)
+  }
+
   /** The q_image_phash_dedup payload: ids i and i+250 are perceptual
     * near-duplicates (same base pattern, faint gradient on the copy),
     * carried in different container formats — id%4 rotates PNG / BMP /

@@ -74,6 +74,22 @@ class ContainerRobustnessSpec extends AnyFunSuite {
     assert(pngDims(frames(1)) == ((44, 36)))
   }
 
+  test("AVIF/HEIC: primary-item ispe wins over the thumbnail's; codec box names the format") {
+    val avif = ImageKernels.imageMeta(ImageKernels.encodeHeifHeader("av01", 320, 240, 80, 60))
+    assert(avif == (("avif", 320, 240, 0)))
+    val heic = ImageKernels.imageMeta(ImageKernels.encodeHeifHeader("hvc1", 112, 80, 28, 20))
+    assert(heic == (("heic", 112, 80, 0)))
+    // a plain MP4 VIDEO (isom brand) must NOT be claimed by the image face
+    val mp4 = MediaKernels.encodeAvc1Mp4(48, 48,
+      Seq(H264Fixtures.stream(1, 0)))
+    assert(ImageKernels.imageMeta(mp4) == null)
+    // truncated/hostile shells return null, never throw
+    val good = ImageKernels.encodeHeifHeader("av01", 320, 240, 80, 60)
+    (1 until good.length by 7).foreach { n =>
+      ImageKernels.imageMeta(java.util.Arrays.copyOf(good, n))
+    }
+  }
+
   test("fMP4: a video traf that is not the moof's first traf anchors at the previous traf's data end") {
     val streams = (0 until 4).map(k => H264Fixtures.stream(1, k))
     val multi = MediaKernels.encodeAvc1FragMp4(48, 48, streams, leadJunk = 37)

@@ -15,7 +15,9 @@ class MediaHostilitySpec extends AnyFunSuite {
       "ogg-flac" -> Ogg.encodeOggFlac(Flac.encodeMono16(16000,
         Array.tabulate(256)(i => ((i * 37) % 4001) - 2000)), 256L),
       "mkv-subs" -> Webm.encodeMkvSubtitles(Seq("alpha", "beta", "gamma")),
-      "adts" -> MediaKernels.encodeAdtsHeader(22050L, 1, 4)
+      "adts" -> MediaKernels.encodeAdtsHeader(22050L, 1, 4),
+      "avif" -> ImageKernels.encodeHeifHeader("av01", 128, 96, 32, 24),
+      "heic" -> ImageKernels.encodeHeifHeader("hvc1", 200, 150, 50, 37)
     )
     val rnd = new scala.util.Random(20260816L)
     val t0 = System.nanoTime()
@@ -33,6 +35,7 @@ class MediaHostilitySpec extends AnyFunSuite {
         MediaKernels.videoFrames(buf, 4)
         MediaKernels.videoMetaRow(buf)
         MediaKernels.audioMetaRow(buf)
+        ImageKernels.imageMetaRow(buf)
         DocKernels.docText(buf, "auto")
         i += 1
       }
