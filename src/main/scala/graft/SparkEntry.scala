@@ -2475,6 +2475,52 @@ object SparkEntry {
           "min_matches" -> 2), Map.empty, "gate")
     }),
 
+    // APNG joins the animated tier: 4 full-canvas frames through the
+    // acTL/fcTL/fdAT walk + compositor; every snapshot must come back
+    // BYTE-identical to the still-PNG encode of the same plane (the
+    // strongest possible frames contract), hash-identical on every
+    // executor
+    "q_video_frames_apng" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 240).as[Long]
+        .mapPartitions(_.map(id => (id % 12,
+          graft.tools.GenMedia.apngVideoFixture(id % 12))))
+        .toDF("vid", "content")
+      val frames = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_frames", "column" -> "content",
+          "max_frames" -> 8), Map.empty, "gate")
+      // the still route: the same planes encoded directly (48 tiny
+      // driver-built rows, the bounded gate-fixture shape)
+      val stills = s.createDataFrame((0 until 12).flatMap(v =>
+        (0 until 4).map(k => (v.toLong, k,
+          graft.functions.ImageKernels.encodePng(48, 48,
+            graft.tools.GenImages.pattern(v * 16L + k, 48, 48))))))
+        .toDF("vid", "frame_index", "still")
+      frames.join(stills, Seq("vid", "frame_index"))
+        .groupBy("vid", "frame_index")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(expr("image_phash(frame)")).as("n_hashes"),
+          min(col("frame") === col("still")).as("still_exact"))
+    }),
+
+    // cross-container ANIMATED dedup: the same four planes as GIF (even
+    // ids) and APNG (odd ids) must group pairwise through the banded
+    // pHash join — GIF's luma-palette snapshots and APNG's composited
+    // snapshots hash identically
+    "q_video_dedup_apng" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.apngGifDedupFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_dedup", "id_column" -> "media_id",
+          "column" -> "content", "max_hamming" -> 3, "max_frames" -> 4,
+          "min_matches" -> 2), Map.empty, "gate")
+    }),
+
     // WebM/IVF through the video_meta face: Matroska Info Duration x
     // TimecodeScale + Video PixelWidth/Height, and the IVF header's
     // timebase arithmetic — frame count id-derived, oracle closed-form
@@ -5308,6 +5354,22 @@ object SparkEntry {
     "q_video_dedup" ->
       """SELECT doc_id AS media_id, doc_id % 100 AS keep_id, 2::BIGINT AS n_group
          FROM documents WHERE doc_id < 200""",
+
+    // APNG frames: 20 ids per vid at sf0.01, 4 frames each, every
+    // snapshot byte-equal to the still encode and hash-stable across
+    // executors — closed-form all-true
+    "q_video_frames_apng" ->
+      """WITH c AS (SELECT doc_id % 12 AS vid, count(*)::BIGINT AS n_rows
+                    FROM documents WHERE doc_id < 240 GROUP BY 1)
+         SELECT c.vid, k::INTEGER AS frame_index, c.n_rows,
+           1::BIGINT AS n_hashes, true AS still_exact
+         FROM c, unnest(generate_series(0, 3)) AS u(k)""",
+
+    // GIF (even id) and APNG (odd id) of the same planes group pairwise
+    "q_video_dedup_apng" ->
+      """SELECT doc_id AS media_id, doc_id - doc_id % 2 AS keep_id,
+           2::BIGINT AS n_group
+         FROM documents WHERE doc_id < 120""",
 
     // every sampled frame must come back byte- and hash-identical to the
     // bare JPEG it was packaged from

@@ -823,7 +823,10 @@ object ImageKernels {
   /** PNG: 8-bit gray (0), RGB (2), palette (3, PLTE-mapped), gray+alpha
     * (4), RGBA (6), plus 1/2/4-bit gray and palette (the icon/diagram
     * depths); filters 0-4; non-interlaced AND Adam7 interlaced. */
-  private def decodePng(b: Array[Byte]): Gray = {
+  /** `alphaOut`, when non-null (length w*h, caller-filled with 255),
+    * receives the alpha channel for gray+alpha / RGBA color types —
+    * the APNG compositor's OVER blend needs it; plain decode ignores it. */
+  private def decodePng(b: Array[Byte], alphaOut: Array[Int] = null): Gray = {
     val w = be32(b, 16); val h = be32(b, 20)
     val bitDepth = b(24) & 0xFF; val colorType = b(25) & 0xFF; val interlace = b(28) & 0xFF
     if (interlace > 1) return null
@@ -940,6 +943,9 @@ object ImageKernels {
                 case 2 => v // gray+alpha: luma is the gray sample
                 case _ => luma(cur(o), cur(o + sampleBytes), cur(o + 2 * sampleBytes))
               }
+            if (alphaOut != null && (channels == 2 || channels == 4))
+              alphaOut((y0 + y * ys) * w + (x0 + x * xs)) =
+                cur(o + (channels - 1) * sampleBytes)
             x += 1
           }
           System.arraycopy(cur, 0, prev, 0, stride)
@@ -1569,6 +1575,241 @@ object ImageKernels {
     * when no global palette). Returns null for non-GIF, an empty array
     * when nothing composites (hard cap 512 frames — sampling happens in
     * the caller); never throws on hostile bytes. */
+  /** APNG animation (pure chunk structure over the still-PNG decoder —
+    * no new tables): acTL declares the animation, each fcTL describes a
+    * frame region (x, y, w, h, dispose_op, blend_op); the first frame's
+    * data rides the ordinary IDAT stream when its fcTL precedes IDAT,
+    * later frames ride fdAT chunks (IDAT payload behind a 4-byte
+    * sequence number). Frames composite onto the canvas — dispose 0
+    * none / 1 background / 2 previous (region-scoped; a first-frame
+    * dispose 2 demotes to 1 per spec), blend 0 source / 1 over, both
+    * alpha-weighted in the grayscale projection (transparent → luma
+    * 0) — and every composited state snapshots as a grayscale PNG,
+    * exactly the GIF/animated-WebP contract. Null when not a PNG or
+    * when no acTL precedes IDAT (still PNGs stay in the image tier). */
+  private[functions] def apngFrames(b: Array[Byte]): Array[Array[Byte]] = {
+    try {
+      val parsed = apngParse(b)
+      if (parsed == null) return null
+      val (w, h, ihdrTail, plteRaw, fcs) = parsed
+      val canvas = new Array[Int](w * h)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val hasAlphaCh = (ihdrTail(1) & 0xFF) == 4 || (ihdrTail(1) & 0xFF) == 6
+      fcs.foreach { fc =>
+        if (frames.length < 512 && fc.data.length > 0) {
+          val mini = apngMiniPng(fc.w, fc.h, ihdrTail, plteRaw, fc.data)
+          val alpha = if (hasAlphaCh) Array.fill(fc.w * fc.h)(255) else null
+          val g = decodePng(mini, alpha)
+          if (g != null && g.px.length == fc.w * fc.h) {
+            val dispose = if (fc.dispose == 2 && frames.isEmpty) 1 else fc.dispose
+            val before = if (dispose == 2) canvas.clone() else null
+            var y = 0
+            while (y < fc.h) {
+              val cy = fc.y + y
+              if (cy >= 0 && cy < h) {
+                var x = 0
+                while (x < fc.w) {
+                  val cx = fc.x + x
+                  if (cx >= 0 && cx < w) {
+                    val l = g.px(y * fc.w + x)
+                    val a = if (alpha == null) 255 else alpha(y * fc.w + x)
+                    canvas(cy * w + cx) =
+                      if (fc.blend == 1) (l * a + canvas(cy * w + cx) * (255 - a)) / 255
+                      else l * a / 255 // source replaces, incl. alpha
+                  }
+                  x += 1
+                }
+              }
+              y += 1
+            }
+            frames += encodePng(w, h, canvas.clone())
+            dispose match {
+              case 1 =>
+                var ry = math.max(0, fc.y)
+                while (ry < math.min(h, fc.y + fc.h)) {
+                  var rx = math.max(0, fc.x)
+                  while (rx < math.min(w, fc.x + fc.w)) { canvas(ry * w + rx) = 0; rx += 1 }
+                  ry += 1
+                }
+              case 2 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+              case _ => ()
+            }
+          }
+        }
+      }
+      frames.toArray
+    } catch { case _: Exception => null }
+  }
+
+  /** (w, h, durationMs) of an APNG for video_meta — delays sum over the
+    * fcTLs (delay_den 0 means 100 per spec). Null when not an APNG. */
+  private[functions] def apngMeta(b: Array[Byte]): Array[Long] = {
+    val parsed = try apngParse(b) catch { case _: Exception => null }
+    if (parsed == null) return null
+    val (w, h, _, _, fcs) = parsed
+    var durMs = 0L
+    fcs.foreach { fc =>
+      val den = if (fc.delayDen == 0) 100 else fc.delayDen
+      durMs += fc.delayNum * 1000L / den
+    }
+    Array(w.toLong, h.toLong, durMs)
+  }
+
+  private final case class ApngFc(w: Int, h: Int, x: Int, y: Int,
+                                  delayNum: Int, delayDen: Int,
+                                  dispose: Int, blend: Int,
+                                  data: Array[Byte])
+
+  /** One chunk walk: (canvasW, canvasH, IHDR bytes 8..12 (depth/color/
+    * compression/filter/interlace), raw PLTE chunk or null, frames in
+    * stream order). Null unless PNG signature + an acTL before IDAT. */
+  private def apngParse(b: Array[Byte])
+      : (Int, Int, Array[Byte], Array[Byte], Seq[ApngFc]) = {
+    if (b == null || b.length < 41 || (b(0) & 0xFF) != 0x89 ||
+      b(1) != 'P' || b(2) != 'N' || b(3) != 'G') return null
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return null
+    val ihdrTail = java.util.Arrays.copyOfRange(b, 24, 29)
+    var plteRaw: Array[Byte] = null
+    var hasActl = false
+    var sawIdat = false
+    val fcs = scala.collection.mutable.ArrayBuffer.empty[(Array[Int], java.io.ByteArrayOutputStream)]
+    var p = 8
+    var stop = false
+    while (!stop && p + 8 <= b.length) {
+      val len = be32(b, p)
+      if (len < 0 || p + 12L + len > b.length) stop = true
+      else {
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        val d = p + 8
+        typ match {
+          case "acTL" => if (!sawIdat) hasActl = true
+          case "PLTE" =>
+            plteRaw = java.util.Arrays.copyOfRange(b, p, p + 12 + len)
+          case "fcTL" if len >= 26 && fcs.length < 512 =>
+            fcs += ((Array(be32(b, d + 4), be32(b, d + 8), be32(b, d + 12),
+              be32(b, d + 16),
+              ((b(d + 20) & 0xFF) << 8) | (b(d + 21) & 0xFF),
+              ((b(d + 22) & 0xFF) << 8) | (b(d + 23) & 0xFF),
+              b(d + 24) & 0xFF, b(d + 25) & 0xFF),
+              new java.io.ByteArrayOutputStream()))
+          case "IDAT" =>
+            // part of the animation only when the FIRST fcTL precedes
+            // IDAT (fcs nonempty by now); a default image whose fcTL
+            // comes later is not a frame — its data must not attach
+            if (fcs.length == 1) fcs.head._2.write(b, d, len)
+            sawIdat = true
+          case "fdAT" if len >= 4 && fcs.nonEmpty =>
+            fcs.last._2.write(b, d + 4, len - 4)
+          case "IEND" => stop = true
+          case _ => ()
+        }
+        p += 12 + len
+      }
+    }
+    if (!hasActl) return null
+    val out = fcs.toSeq.flatMap { case (f, data) =>
+      val fw = f(0); val fh = f(1)
+      if (fw <= 0 || fh <= 0 || fw.toLong * fh > 16L * 1024 * 1024) None
+      else Some(ApngFc(fw, fh, f(2), f(3), f(4), f(5), f(6), f(7),
+        data.toByteArray))
+    }
+    (w, h, ihdrTail, plteRaw, out)
+  }
+
+  /** Per-frame mini-PNG for the still decoder: same depth/color/
+    * interlace as the parent IHDR, the frame's region dimensions, the
+    * parent's PLTE, the frame's data as IDAT. decodePng ignores chunk
+    * CRCs, so none are computed. */
+  private def apngMiniPng(fw: Int, fh: Int, ihdrTail: Array[Byte],
+                          plteRaw: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def u32(v: Int): Unit = {
+      out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)
+      out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    u32(13); out.write("IHDR".getBytes("US-ASCII"))
+    u32(fw); u32(fh); out.write(ihdrTail, 0, 5); u32(0)
+    if (plteRaw != null) out.write(plteRaw, 0, plteRaw.length)
+    u32(data.length); out.write("IDAT".getBytes("US-ASCII"))
+    out.write(data, 0, data.length); u32(0)
+    u32(0); out.write("IEND".getBytes("US-ASCII")); u32(0)
+    out.toByteArray
+  }
+
+  /** APNG fixture frame: a region at (x, y) with dispose/blend ops; a
+    * null `alpha` paints opaque. */
+  final case class ApngFrame(x: Int, y: Int, w: Int, h: Int,
+                             dispose: Int, blend: Int,
+                             gray: Array[Int], alpha: Array[Int] = null)
+
+  /** APNG fixture encoder: grayscale (color type 0) unless any frame
+    * carries alpha (then gray+alpha, color type 4, missing alphas
+    * opaque). First frame must be full-canvas per spec. Frame 0's data
+    * rides IDAT behind its fcTL; later frames ride fdAT with the shared
+    * sequence counter. */
+  def encodeApng(w: Int, h: Int, frames: Seq[ApngFrame],
+                 delayNum: Int = 4, delayDen: Int = 100): Array[Byte] = {
+    require(frames.nonEmpty && frames.head.w == w && frames.head.h == h &&
+      frames.head.x == 0 && frames.head.y == 0, "first frame must be full-canvas")
+    val withAlpha = frames.exists(_.alpha != null)
+    val channels = if (withAlpha) 2 else 1
+    def deflate(f: ApngFrame): Array[Byte] = {
+      val raw = new Array[Byte]((f.w * channels + 1) * f.h)
+      var y = 0
+      while (y < f.h) {
+        var x = 0
+        while (x < f.w) {
+          val o = y * (f.w * channels + 1) + 1 + x * channels
+          raw(o) = (f.gray(y * f.w + x) & 0xFF).toByte
+          if (withAlpha)
+            raw(o + 1) = (if (f.alpha == null) 255 else f.alpha(y * f.w + x) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      comp.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >> 24).toByte, (len >> 16).toByte, (len >> 8).toByte, len.toByte), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(Array((c >> 24).toByte, (c >> 16).toByte, (c >> 8).toByte, c.toByte), 0, 4)
+    }
+    def u32b(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16b(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    chunk("IHDR", u32b(w) ++ u32b(h) ++
+      Array[Byte](8, if (withAlpha) 4 else 0, 0, 0, 0))
+    chunk("acTL", u32b(frames.length) ++ u32b(0))
+    var seq = 0
+    frames.zipWithIndex.foreach { case (f, i) =>
+      chunk("fcTL", u32b(seq) ++ u32b(f.w) ++ u32b(f.h) ++ u32b(f.x) ++
+        u32b(f.y) ++ u16b(delayNum) ++ u16b(delayDen) ++
+        Array(f.dispose.toByte, f.blend.toByte))
+      seq += 1
+      val data = deflate(f)
+      if (i == 0) chunk("IDAT", data)
+      else { chunk("fdAT", u32b(seq) ++ data); seq += 1 }
+    }
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
   private[functions] def gifFrames(b: Array[Byte]): Array[Array[Byte]] = {
     try {
       if (b == null || b.length < 14 ||

@@ -475,6 +475,8 @@ object MediaKernels {
     if (g != null) return row("gif", g, "lzw")
     val wp = Webp.animMeta(b)
     if (wp != null) return row("webp", wp, Webp.animCodec(b))
+    val ap = ImageKernels.apngMeta(b)
+    if (ap != null) return row("apng", ap, "png")
     new GenericInternalRow(Array[Any](null, 0, 0, 0L, null))
   }
 
@@ -981,13 +983,18 @@ object MediaKernels {
               val mkv = Webm.webmFrames(b)
               if (mkv != null) mkv
               else {
-                // animated GIFs and animated WebPs are crawl video too:
-                // composited canvas snapshots re-encoded as grayscale PNGs
+                // animated GIFs, animated WebPs and APNGs are crawl
+                // video too: composited canvas snapshots re-encoded as
+                // grayscale PNGs
                 val gif = ImageKernels.gifFrames(b)
                 if (gif != null) gif
                 else {
                   val webp = Webp.animFrames(b)
-                  if (webp != null) webp else Array.empty[Array[Byte]]
+                  if (webp != null) webp
+                  else {
+                    val apng = ImageKernels.apngFrames(b)
+                    if (apng != null) apng else Array.empty[Array[Byte]]
+                  }
                 }
               }
             }

@@ -285,6 +285,27 @@ object GenMedia {
     * near-lossless JPEG encoder, so the match also crosses CODECS (the
     * q_image_phash_dedup JPEG-vs-PNG margin family); distinct base seeds
     * stay far apart in pHash. */
+  /** q_video_frames_apng payload: 4 full-canvas grayscale frames
+    * (GenImages.pattern), dispose 0 / blend 0 — every composited
+    * snapshot must equal the still-PNG encode of the same plane,
+    * byte-for-byte. */
+  def apngVideoFixture(vid: Long): Array[Byte] =
+    graft.functions.ImageKernels.encodeApng(48, 48,
+      (0 until 4).map(k => graft.functions.ImageKernels.ApngFrame(
+        0, 0, 48, 48, 0, 0, GenImages.pattern(vid * 16 + k, 48, 48))))
+
+  /** q_video_dedup_apng payload: even ids an animated GIF, odd ids an
+    * APNG of the SAME four planes (base = id / 2) — the banded pHash
+    * join must group each cross-container pair. */
+  def apngGifDedupFixture(id: Long): Array[Byte] = {
+    val base = id / 2
+    if (id % 2 == 0)
+      graft.functions.ImageKernels.encodeGifAnimated(48, 48,
+        (0 until 4).map(k =>
+          (0, 0, 48, 48, 0, -1, GenImages.pattern(base * 16 + k, 48, 48))))
+    else apngVideoFixture(base)
+  }
+
   def videoDedupFixture(id: Long): Array[Byte] = {
     val base = id % 100
     val container = if (id < 100) id % 4 else (id % 4 + 1) % 4

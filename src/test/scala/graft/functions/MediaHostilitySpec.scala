@@ -17,7 +17,8 @@ class MediaHostilitySpec extends AnyFunSuite {
       "mkv-subs" -> Webm.encodeMkvSubtitles(Seq("alpha", "beta", "gamma")),
       "adts" -> MediaKernels.encodeAdtsHeader(22050L, 1, 4),
       "avif" -> ImageKernels.encodeHeifHeader("av01", 128, 96, 32, 24),
-      "heic" -> ImageKernels.encodeHeifHeader("hvc1", 200, 150, 50, 37)
+      "heic" -> ImageKernels.encodeHeifHeader("hvc1", 200, 150, 50, 37),
+      "apng" -> graft.tools.GenMedia.apngVideoFixture(2)
     )
     val rnd = new scala.util.Random(20260816L)
     val t0 = System.nanoTime()
