@@ -3,13 +3,20 @@ package graft.functions
 import org.scalatest.funsuite.AnyFunSuite
 import graft.tools.H264Fixtures
 
-/** Randomized cross-implementation sweep: decodes the corpora
-  * tools/gen_h264_sweep.py writes to /tmp (random dims, MB mixes,
-  * full-range QPs, slices, deltas; mirror-verified at generation time)
-  * and requires bit-exact planes from the Scala decoder. Auto-cancels
-  * when the corpus files are absent — regenerate with
-  * `python3 tools/gen_h264_sweep.py` to arm it. The qp-edge fixture
-  * check below always runs (the bug class the sweep caught). */
+/** Randomized cross-implementation sweep against the Python mirror
+  * codec, two layers:
+  *
+  *  - a COMMITTED compact corpus (src/test/resources/h264_sweep,
+  *    24 streams/entropy layer, distinct seeds) that ALWAYS runs —
+  *    a fresh clone keeps this assurance with no pre-step;
+  *  - the deep /tmp corpora tools/gen_h264_sweep.py writes (default
+  *    120, up to 500/layer: random dims, MB mixes, full-range QPs,
+  *    slices, deltas; mirror-verified at generation time), which
+  *    auto-cancel when absent — regenerate with
+  *    `python3 tools/gen_h264_sweep.py` to arm them.
+  *
+  * Every stream must decode bit-exactly. The qp-edge fixture check
+  * below always runs (the bug class the sweep caught). */
 class H264SweepSpec extends AnyFunSuite {
 
   private def fnv(a: Array[Int]): Long = {
@@ -19,10 +26,7 @@ class H264SweepSpec extends AnyFunSuite {
     h
   }
 
-  private def sweep(path: String): Unit = {
-    assume(new java.io.File(path).exists,
-      s"$path absent — run tools/gen_h264_sweep.py")
-    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+  private def check(lines: Seq[String]): Unit = {
     for ((line, idx) <- lines.zipWithIndex) {
       val p = line.split(" ")
       val f = H264.decodeAnnexB(java.util.Base64.getDecoder.decode(p(0)))
@@ -32,6 +36,26 @@ class H264SweepSpec extends AnyFunSuite {
         fnv(f.v) == p(5).toLong, s"[$idx] planes differ from Python")
     }
     info(s"${lines.size} streams bit-exact")
+  }
+
+  private def sweep(path: String): Unit = {
+    assume(new java.io.File(path).exists,
+      s"$path absent — run tools/gen_h264_sweep.py")
+    check(scala.io.Source.fromFile(path).getLines().toSeq)
+  }
+
+  private def resource(name: String): Unit = {
+    val in = getClass.getResourceAsStream(s"/h264_sweep/$name")
+    assert(in != null, s"committed corpus /h264_sweep/$name missing")
+    check(scala.io.Source.fromInputStream(in).getLines().toSeq)
+  }
+
+  test("committed CABAC corpus decodes bit-exactly (always runs)") {
+    resource("cabac_sweep.txt")
+  }
+
+  test("committed CAVLC corpus decodes bit-exactly (always runs)") {
+    resource("cavlc_sweep.txt")
   }
 
   test("randomized CABAC corpus decodes bit-exactly") {

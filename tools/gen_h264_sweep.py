@@ -70,6 +70,17 @@ def sweep(seed, n, cabac, out_path):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-    sweep(2026, n, True, '/tmp/cabac_sweep.txt')
-    sweep(777, n, False, '/tmp/cavlc_sweep.txt')
+    if len(sys.argv) > 1 and sys.argv[1] == '--resource':
+        # compact ALWAYS-RUN corpus committed under test resources (the
+        # deep /tmp sweep stays the optional assurance layer); distinct
+        # seeds so the committed streams are not a subset of any /tmp run
+        res = os.path.join(os.path.dirname(__file__), '..',
+                           'src', 'test', 'resources', 'h264_sweep')
+        os.makedirs(res, exist_ok=True)
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+        sweep(40119, n, True, os.path.join(res, 'cabac_sweep.txt'))
+        sweep(50119, n, False, os.path.join(res, 'cavlc_sweep.txt'))
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+        sweep(2026, n, True, '/tmp/cabac_sweep.txt')
+        sweep(777, n, False, '/tmp/cavlc_sweep.txt')
