@@ -35,6 +35,14 @@ object BenchFormat {
   def jsMap(m: collection.Seq[(String, Double)], decimals: Int): String =
     m.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }.mkString("{", ",", "}")
 
+  /** {"name":[a,b,...],...} for per-rep telemetry arrays (raw samples,
+    * GC seconds, storage MB) — slow-window claims must be evidenced in
+    * the artifact itself, not inferred after the fact. */
+  def jsArrays(m: collection.Seq[(String, Vector[Double])], decimals: Int): String =
+    m.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(fmt(_, decimals)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+
   /** Flat {"name":number,...} parser for files this object itself writes. */
   def parseFlat(s: String): Map[String, Double] =
     """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
@@ -528,12 +536,26 @@ object Bench {
     // rep timings per query, insertion-ordered
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val bodies = scala.collection.mutable.LinkedHashMap[String, () => Unit]()
+    // per-rep telemetry, appended by rep() in lockstep with the time the
+    // caller records (cleared after the warm-up pass so indexes align):
+    // GC seconds during the rep and block-manager storage in use AFTER
+    // the rep's cleanup — the two signals that tell a within-JVM slow
+    // mode (GC thrash, block accumulation) apart from a busy box
+    val gcSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val storeSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
     // name -> first error. A throwing query still gets a wall time (so the
     // driver-contract queries map stays complete), but that time measures
     // the failure, not the work — it must never min-merge into BENCH_BEST
     // (round 9: q_sessionize threw in ~0.05s and became a fake best-ever).
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     def rep(name: String): Double = {
+      val gc0 = gcMs()
       val t = time {
         try bodies(name)()
         catch { case e: Throwable =>
@@ -560,6 +582,10 @@ object Bench {
           System.err.println(s"[bench] $name: releasing ${leaked.size} leftover persistent RDDs")
         leaked.values.foreach(_.unpersist(blocking = false))
       }
+      gcSamples(name) = gcSamples.getOrElse(name, Vector.empty) :+ (gcMs() - gc0) / 1000.0
+      storeSamples(name) = storeSamples.getOrElse(name, Vector.empty) :+
+        spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (max, remaining) => (max - remaining).toDouble }.sum / 1e6
       t
     }
     def measure(name: String)(f: => Unit): Unit =
@@ -595,6 +621,10 @@ object Bench {
     // extra pass; skippable for local iteration via SPARK_GRAFT_NOWARM=1.
     if (!sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
       bodies.keys.foreach(rep)
+    // telemetry indexes must align with the recorded samples — drop the
+    // warm-up pass's entries (every later rep() call pairs 1:1 with a
+    // sample the caller records)
+    gcSamples.clear(); storeSamples.clear()
     bodies.keys.foreach { name =>
       samples(name) = (1 to reps).map(_ => rep(name)).toVector
     }
@@ -755,8 +785,10 @@ object Bench {
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     val minSumVsBest = if (bestSum > 0) minSum / bestSum else 1.0
+    val gcJs = BenchFormat.jsArrays(gcSamples.toSeq, 3)
+    val storeJs = BenchFormat.jsArrays(storeSamples.toSeq, 1)
     val fullJson =
-      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"samples_gc_sec":$gcJs,"samples_storage_mb":$storeJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     // A contended run must not become the round's official artifact: its
     // +20%-ish uniform inflation makes cross-round per-query diffs
     // unattributable (the r15 lesson). The round-numbered snapshot below

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -73,9 +73,21 @@ object Graph {
             .persist()
         else null
       var ranks = nodes.withColumn("rank", lit(Mass / n))
+      var prevCkpt: Set[Int] = Set.empty // superseded checkpoint block ids
       var it = 0
       while (it < iters) {
-        if (redistribute) ranks = ranks.localCheckpoint(true)
+        if (redistribute) {
+          // each round's checkpoint consumes the previous round's blocks;
+          // release them NOW instead of waiting for driver GC + the
+          // ContextCleaner — in a long-lived JVM (the bench sweep) the
+          // per-iteration block-sets otherwise pile up in the shared
+          // block manager and late reps bog down (the r18 dangling
+          // rep-bimodality attribution)
+          val (ck, ids) = checkpointTracked(ranks)
+          releaseTracked(ranks.sparkSession, prevCkpt)
+          prevCkpt = ids
+          ranks = ck
+        }
         // contribution of u to each neighbor: rank_u * d DIV (1e6 * deg_u)
         // — integral DIV, NOT `/`: Spark's `/` on longs is double
         // division, and rank*d reaches 10^18 > 2^53 where doubles drop
@@ -108,9 +120,29 @@ object Graph {
       // the frame is garbage-collected — unlike a persist() the caller
       // could never safely release
       val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+      releaseTracked(out.sparkSession, prevCkpt) // the final iteration's blocks
       e2.unpersist()
       out
     } finally { nodes.unpersist(); e.unpersist() }
+  }
+
+  /** localCheckpoint plus the ids of the persistent-RDD entries it
+    * created, so a superseded iteration's blocks can be released the
+    * moment the next checkpoint has consumed them. Without this the
+    * blocks wait for the Dataset to be garbage-collected AND the
+    * ContextCleaner to run — unbounded lag in a long-lived driver. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ck = df.localCheckpoint(eager = true)
+    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def releaseTracked(spark: SparkSession, ids: Set[Int]): Unit = {
+    if (ids.nonEmpty) {
+      val live = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) — PageRank's complement for
@@ -143,15 +175,23 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().persist()
     try {
       require(nodes.count() > 0, "hits: edge frame has no valid edges")
+      // a half-step's checkpoint blocks become releasable once the
+      // checkpoint TWO half-steps later has materialized (h_{k-1} feeds
+      // only a_k; a_{k-1} feeds only h_{k-1} and is superseded by a_k) —
+      // same eager-release discipline as pageRank's redistribute loop
+      var pending: List[Set[Int]] = Nil
       def normalize(raw0: DataFrame, outCol: String): DataFrame = {
         // Unlike pageRank (no mid-loop actions, ONE materializing pass at
         // the end), the L1 quotient is data-dependent, forcing a scalar
         // action per half-step — so each half-step MUST cut its lineage
         // first, or action k re-executes half-steps 1..k-1 from scratch
-        // (measured 7x wall on the bench graph). localCheckpoint stores
-        // node-cardinality rows; blocks are reclaimed by the
-        // ContextCleaner when the frame is collected.
-        val raw = raw0.localCheckpoint(true)
+        // (measured 7x wall on the bench graph).
+        val (raw, ids) = checkpointTracked(raw0)
+        pending = pending :+ ids
+        if (pending.size > 2) {
+          releaseTracked(raw.sparkSession, pending.head)
+          pending = pending.tail
+        }
         // Σraw is one Long scalar (bounded driver state); div not `/` —
         // the long `/` is double division and drops low bits past 2^53
         val total = raw.agg(sum("raw")).head().getLong(0)
@@ -176,6 +216,7 @@ object Graph {
       val out = h.join(a, Seq("node"))
         .select(col("node"), col("h").as("hub"), col("a").as("authority"))
         .localCheckpoint(true)
+      pending.foreach(releaseTracked(out.sparkSession, _)) // final a & h blocks
       out
     } finally { nodes.unpersist(); e.unpersist() }
   }

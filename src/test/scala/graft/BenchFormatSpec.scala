@@ -319,4 +319,17 @@ class BenchFormatSpec extends AnyFunSuite {
       Map("q_x" -> 1.5, "q_y" -> 2.0))
     assert(BenchFormat.parseFlat("not json at all") == Map.empty[String, Double])
   }
+
+  test("per-rep telemetry arrays (GC sec / storage MB) render as valid JSON maps") {
+    val js = BenchFormat.jsArrays(Seq(
+      "q_a" -> Vector(0.012, 0.5, 16.83),
+      "q_b" -> Vector(128.0),
+      "q_c" -> Vector.empty[Double]), 3)
+    assert(js == """{"q_a":[0.012,0.5,16.83],"q_b":[128],"q_c":[]}""")
+    // arrays embed inside the BENCH_RESULTS envelope without breaking a
+    // JSON parse (the artifact is what evidences slow-window claims)
+    val envelope = s"""{"samples_gc_sec":$js,"samples_storage_mb":$js}"""
+    assert(envelope.count(_ == '{') == envelope.count(_ == '}'))
+    assert(envelope.count(_ == '[') == envelope.count(_ == ']'))
+  }
 }
