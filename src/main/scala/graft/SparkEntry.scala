@@ -2388,6 +2388,26 @@ object SparkEntry {
           "column" -> "content", "max_hamming" -> 0), Map.empty, "gate")
     }),
 
+    // LOSSY cross-codec audio dedup (the audio analogue of the video
+    // tier's cross-container gates): pairs (i, i+250) are the same
+    // recording — the copy at half amplitude — rotating WAV / FLAC /
+    // Ogg-VORBIS containers, the Vorbis arm decoded by the NATIVE
+    // floor1/residue/IMDCT decoder and genuinely lossy (~45 dB). The
+    // 60-bit spectral fingerprint (Haar band-energy delta signs) is
+    // bit-identical for the lossless pair members and hamming-near for
+    // the lossy ones; the banded join + CC must recover exactly the
+    // constructed pairing.
+    "q_audio_dedup_lossy" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 500).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.lossyAudioDedupFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_dedup_lossy", "id_column" -> "media_id",
+          "column" -> "content", "max_hamming" -> 8), Map.empty, "gate")
+    }),
+
     // resize: grayscale PNG thumbnails of the image fixtures; correctness
     // checked through the metadata of the RE-DECODED thumbnail payload
     "q_image_thumbnail" -> ((s, d) => {
@@ -5312,6 +5332,13 @@ object SparkEntry {
          FROM d WHERE w < 63 GROUP BY doc_id""",
 
     "q_audio_dedup" ->
+      """SELECT doc_id AS media_id, doc_id % 250 AS keep_id,
+           count(*) OVER (PARTITION BY doc_id % 250)::BIGINT AS n_group
+         FROM documents WHERE doc_id < 500""",
+
+    // lossy tier: the same closed-form pairing — (i, i+250) group,
+    // nothing else merges
+    "q_audio_dedup_lossy" ->
       """SELECT doc_id AS media_id, doc_id % 250 AS keep_id,
            count(*) OVER (PARTITION BY doc_id % 250)::BIGINT AS n_group
          FROM documents WHERE doc_id < 500""",

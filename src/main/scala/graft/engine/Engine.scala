@@ -228,6 +228,7 @@ final class Engine(spark: SparkSession) {
     "audio_meta" -> Set("column", "prefix"),
     "audio_fingerprint" -> Set("column", "new_column"),
     "audio_dedup" -> Set("id_column", "column", "max_hamming"),
+    "audio_dedup_lossy" -> Set("id_column", "column", "max_hamming"),
     "image_thumbnail" -> Set("column", "new_column", "width", "height"),
     "doc_text" -> Set("column", "new_column", "format"),
     "decode_text" -> Set("column", "new_column", "charset", "charset_column"),
@@ -693,6 +694,10 @@ final class Engine(spark: SparkSession) {
         graft.functions.Images.audioDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "max_hamming").getOrElse(2))
+      case "audio_dedup_lossy" =>
+        graft.functions.Images.audioDedupLossyGroups(df,
+          Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
+          Config.int(op, "max_hamming").getOrElse(8))
       case "video_dedup" =>
         graft.functions.Images.videoDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),

@@ -119,6 +119,47 @@ case class AudioFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit LOSSY-TOLERANT spectral fingerprint (16 time segments x 4
+  * Haar octave bands, sign-of-delta — the audio pHash): bit-identical
+  * across lossless containers of the same recording, hamming-near
+  * across its Ogg-Vorbis encode (native decode). NULL for undecodable
+  * or <128-sample payloads. */
+case class AudioFingerprintSpectral(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_fingerprint_spectral requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_fingerprint_spectral"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val r = graft.functions.MediaKernels.audioFingerprintSpectral(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.longValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("asfp")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = -1L;
+      if (!${childGen.isNull}) {
+        java.lang.Long $r =
+          graft.functions.MediaKernels.audioFingerprintSpectral(${childGen.value});
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r.longValue(); }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFingerprintSpectral =
+    copy(child = newChild)
+}
+
 /** Grayscale PNG thumbnail at fixed target dimensions — NULL for
   * undecodable payloads. */
 case class ImageThumbnail(child: Expression, w: Int, h: Int) extends UnaryExpression {

@@ -264,6 +264,13 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"audio_fingerprint takes 1 argument, got ${other.size}")
       }),
+    ("audio_fingerprint_spectral",
+      "_FUNC_(binary) - 60-bit lossy-tolerant spectral fingerprint incl. native Ogg-Vorbis decode (NULL if undecodable)",
+      {
+        case Seq(b) => AudioFingerprintSpectral(b)
+        case other => throw new IllegalArgumentException(
+          s"audio_fingerprint_spectral takes 1 argument, got ${other.size}")
+      }),
     ("image_thumbnail",
       "_FUNC_(binary, width, height) - grayscale PNG thumbnail (NULL if undecodable)",
       {

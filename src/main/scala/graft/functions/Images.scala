@@ -158,6 +158,21 @@ object Images {
       idCol, "__afp__", maxHamming)
   }
 
+  /** LOSSY-tolerant audio near-dedup groups: the 60-bit spectral
+    * fingerprint (Haar band-energy delta signs over native decode incl.
+    * Ogg-Vorbis) through the same banded signature join — the same
+    * recording groups across WAV, FLAC and its lossy Vorbis encode.
+    * Scale shape identical to [[audioDedupGroups]]: codegen fingerprint,
+    * banded 16-bit-chunk equi-join, never all-pairs. */
+  def audioDedupLossyGroups(df: DataFrame, idCol: String, binCol: String,
+                            maxHamming: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    sigDedupGroups(
+      df.select(col(idCol),
+        call_function("audio_fingerprint_spectral", col(binCol)).as("__asfp__")),
+      idCol, "__asfp__", maxHamming)
+  }
+
   /** Video near-dedup groups: up to `maxFrames` evenly-sampled JPEG
     * frames per video ([[MediaKernels.videoFrames]]), pHash per frame,
     * frame-level banded 16-bit-chunk matches across videos, and a vote —

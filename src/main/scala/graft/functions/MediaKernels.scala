@@ -412,6 +412,78 @@ object MediaKernels {
     fp
   }
 
+  /** Interleaved PCM16 from ANY decodable audio container, including
+    * the LOSSY tier: the exact paths first ([[pcmSamples]]: WAV, FLAC,
+    * Ogg-FLAC — integer-exact, so lossless pairs keep bit-identical
+    * fingerprints), then native Ogg-Vorbis decode ([[Vorbis.decode]]).
+    * Null when nothing decodes. */
+  private[functions] def pcmSamplesAny(b: Array[Byte]): Array[Int] = {
+    val exact = pcmSamples(b)
+    if (exact != null) return exact
+    if (Ogg.isOgg(b)) {
+      val d = Vorbis.decode(b)
+      if (d != null) return d.pcm
+    }
+    null
+  }
+
+  /** 60-bit LOSSY-TOLERANT spectral fingerprint: the PCM stream cuts
+    * into 16 equal time segments; within each, 8-sample block-wise Haar
+    * analysis accumulates energy in 4 octave bands (pairwise diffs at
+    * three scales + the residual low band — integer sums/diffs only);
+    * bit (t,b) is set iff segment t's band-b energy exceeds segment
+    * t-1's. Sign-of-delta over band energies is invariant under global
+    * amplitude scaling AND robust to quantization noise (band energies
+    * are large sums; a lossy codec perturbs them fractionally), so the
+    * same recording groups across WAV/FLAC (bit-identical fingerprints)
+    * and Ogg-Vorbis (hamming-near) — the audio analogue of pHash, where
+    * [[audioFingerprint]] is the analogue of an exact hash. NULL when
+    * undecodable or shorter than 16x8 samples. */
+  def audioFingerprintSpectral(b: Array[Byte]): java.lang.Long = {
+    val s = pcmSamplesAny(b)
+    if (s == null || s.length < 128) return null
+    val e = Array.ofDim[Long](16, 4)
+    val segLen = s.length / 16
+    val a = new Array[Long](4)
+    var t = 0
+    while (t < 16) {
+      val from = t * segLen
+      var p = from
+      while (p + 8 <= from + segLen) {
+        var i = 0
+        while (i < 4) {
+          val x0 = s(p + 2 * i).toLong
+          val x1 = s(p + 2 * i + 1).toLong
+          e(t)(0) += (x0 - x1) * (x0 - x1)
+          a(i) = x0 + x1
+          i += 1
+        }
+        val d2a = a(0) - a(1)
+        val d2b = a(2) - a(3)
+        e(t)(1) += d2a * d2a + d2b * d2b
+        val d3 = a(0) + a(1) - a(2) - a(3)
+        e(t)(2) += d3 * d3
+        val a3 = a(0) + a(1) + a(2) + a(3)
+        e(t)(3) += a3 * a3
+        p += 8
+      }
+      t += 1
+    }
+    var fp = 0L
+    var bit = 0
+    t = 1
+    while (t < 16) {
+      var bnd = 0
+      while (bnd < 4) {
+        if (e(t)(bnd) > e(t - 1)(bnd)) fp |= 1L << bit
+        bit += 1
+        bnd += 1
+      }
+      t += 1
+    }
+    fp
+  }
+
   /** Minimal PCM16 mono WAV encoder (fixtures + sink). */
   def encodeWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -960,6 +960,251 @@ object Vorbis {
     } catch { case _: Exception => null } // a bad packet skips, not aborts
   }
 
+  // --------------------------------------------------------- encoder
+  // Fixture encoder (executor-side Ogg-Vorbis payload generation for
+  // the lossy-dedup gates): mono, single 256-sample blocksize, flat
+  // 0 dB floor, residue type 0 with a two-pass scalar cascade (coarse
+  // 2048-level grid + fine correction) — a strict subset of what the
+  // decoder above and the Python mirror accept. SNR ~ 45-100 dB
+  // depending on content: lossy, but spectrally faithful.
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var bits = 0
+    def write(value: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        if (((value >> i) & 1) != 0) cur |= 1 << bits
+        bits += 1
+        if (bits == 8) { buf.write(cur); cur = 0; bits = 0 }
+        i += 1
+      }
+    }
+    def writeLong(value: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        if (((value >> i) & 1) != 0) cur |= 1 << bits
+        bits += 1
+        if (bits == 8) { buf.write(cur); cur = 0; bits = 0 }
+        i += 1
+      }
+    }
+    /** Huffman codeword for a FLAT complete book: entry == codeword,
+      * written MSB-first. */
+    def code(entry: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { write((entry >> i) & 1, 1); i -= 1 }
+    }
+    def data(): Array[Byte] = {
+      if (bits > 0) { buf.write(cur); cur = 0; bits = 0 }
+      buf.toByteArray
+    }
+  }
+
+  private def float32Pack(x0: Double): Long = {
+    if (x0 == 0) return 0L
+    var x = x0
+    var sign = 0L
+    if (x < 0) { sign = 1L << 31; x = -x }
+    var exp = math.floor(math.log(x) / math.log(2.0)).toInt
+    var mant = math.round(x / math.pow(2.0, exp - 20))
+    if (mant >= (1L << 21)) { mant >>= 1; exp += 1 }
+    sign | ((exp - 20 + 788).toLong << 21) | (mant & 0x1FFFFF)
+  }
+
+  private val EncN = 256
+  private lazy val encCos: Array[Array[Double]] = {
+    val n = EncN
+    Array.tabulate(n)(j => Array.tabulate(n / 2)(k =>
+      math.cos(math.Pi / (2.0 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))))
+  }
+
+  /** Mono PCM16 -> Ogg-Vorbis (fixture subset). `twoPass = true` is
+    * near-transparent (the fine pass reconstructs to < 0.5 LSB on
+    * typical content); `twoPass = false` keeps only the 11-bit coarse
+    * grid — genuinely lossy (~45 dB), the shape the lossy-dedup gates
+    * need so their tolerance claim is actually exercised. */
+  def encode(rate: Int, samples: Array[Int], twoPass: Boolean = true): Array[Byte] = {
+    val n = EncN
+    val n2 = n / 2
+    val nsamp = samples.length
+    val frames = (nsamp + n2 - 1) / n2 + 1
+    val w = blockWindow(n, prevShort = false, nextShort = false, n)
+    // forward MDCT per frame (scale 4/n pairs with the unscaled IMDCT)
+    val specs = Array.tabulate(frames) { i =>
+      val start = i * n2 - n2 // center c_i = i*n/2
+      val seg = Array.tabulate(n)(k => {
+        val at = start + k
+        (if (at >= 0 && at < nsamp) samples(at).toDouble else 0.0) * w(k)
+      })
+      Array.tabulate(n2)(k => {
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += seg(j) * encCos(j)(k); j += 1 }
+        acc * 4.0 / n
+      })
+    }
+    var maxAbs = 1.0
+    specs.foreach(_.foreach(v => if (math.abs(v) > maxAbs) maxAbs = math.abs(v)))
+    val a = math.pow(2.0, ilog(maxAbs.toInt)).max(1.0)
+    val coarseMin = float32Unpack(float32Pack(-a))
+    val coarseDelta = float32Unpack(float32Pack(2.0 * a / 2047))
+    val fineMin = float32Unpack(float32Pack(-2.0 * coarseDelta))
+    val fineDelta = float32Unpack(float32Pack(4.0 * coarseDelta / 2047))
+
+    // ---- headers
+    val ident = new BitWriter
+    ident.write(1, 8) // packet type: identification
+    "vorbis".foreach(c => ident.write(c, 8))
+    ident.writeLong(0L, 32)
+    ident.write(1, 8)
+    ident.writeLong(rate.toLong, 32)
+    ident.writeLong(0L, 32); ident.writeLong(0L, 32); ident.writeLong(0L, 32)
+    ident.write(ilog(n - 1), 4)
+    ident.write(ilog(n - 1), 4)
+    ident.write(1, 1)
+
+    val comment = new BitWriter
+    comment.write(3, 8) // packet type: comment
+    "vorbis".foreach(c => comment.write(c, 8))
+    val vendor = "graft"
+    comment.writeLong(vendor.length.toLong, 32)
+    vendor.foreach(c => comment.write(c, 8))
+    comment.writeLong(0L, 32)
+    comment.write(1, 1)
+
+    val setup = new BitWriter
+    setup.write(5, 8) // packet type: setup
+    "vorbis".foreach(c => setup.write(c, 8))
+    setup.write(3, 8) // 4 books
+    // book 0: classbook dim 4, 16 entries, flat len 4, lookup 0
+    def flatBook(dims: Int, entries: Int, len: Int): Unit = {
+      setup.write(0x564342, 24)
+      setup.write(dims, 16)
+      setup.write(entries, 24)
+      setup.write(0, 1) // not ordered
+      setup.write(0, 1) // not sparse
+      var i = 0
+      while (i < entries) { setup.write(len - 1, 5); i += 1 }
+    }
+    flatBook(4, 16, 4)
+    setup.write(0, 4) // lookup 0
+    // book 1: coarse scalar (dim 1, 2048 entries, flat len 11, lookup 2)
+    def scalarBook(mn: Double, dl: Double): Unit = {
+      flatBook(1, 2048, 11)
+      setup.write(2, 4)
+      setup.writeLong(float32Pack(mn), 32)
+      setup.writeLong(float32Pack(dl), 32)
+      setup.write(10, 4) // value_bits - 1 = 10 (11-bit multiplicands)
+      setup.write(0, 1) // sequence_p
+      var i = 0
+      while (i < 2048) { setup.write(i, 11); i += 1 }
+    }
+    scalarBook(coarseMin, coarseDelta)
+    // book 2: floor post book (dim 1, 256 entries, flat len 8, lookup 0)
+    flatBook(1, 256, 8)
+    setup.write(0, 4)
+    // book 3: fine scalar
+    scalarBook(fineMin, fineDelta)
+    setup.write(0, 6) // time count - 1
+    setup.write(0, 16)
+    setup.write(0, 6) // floor count - 1
+    setup.write(1, 16) // floor type 1
+    setup.write(1, 5) // partitions
+    setup.write(0, 4) // class 0
+    setup.write(0, 3) // class dim - 1 = 0 (one post)
+    setup.write(0, 2) // subclasses
+    setup.write(2 + 1, 8) // subclass book 2 (+1 on the wire)
+    setup.write(0, 2) // multiplier - 1
+    setup.write(7, 4) // rangebits
+    setup.write(64, 7) // the one extra post at x = 64
+    setup.write(0, 6) // residue count - 1
+    setup.write(0, 16) // residue type 0
+    setup.write(0, 24) // begin
+    setup.write(0xFFFFFF, 24) // end (capped to n/2 at decode)
+    setup.write(31, 24) // psize - 1 = 31
+    setup.write(1, 6) // classifications - 1 = 1
+    setup.write(0, 8) // classbook
+    var ci = 0
+    while (ci < 2) { // cascade per class: pass 0, plus pass 1 when twoPass
+      setup.write(if (twoPass) 3 else 1, 3)
+      setup.write(0, 1)
+      ci += 1
+    }
+    ci = 0
+    while (ci < 2) {
+      setup.write(1, 8) // pass-0 book: coarse
+      if (twoPass) setup.write(3, 8) // pass-1 book: fine
+      ci += 1
+    }
+    setup.write(0, 6) // mapping count - 1
+    setup.write(0, 16) // type 0
+    setup.write(0, 1) // one submap
+    setup.write(0, 1) // no coupling
+    setup.write(0, 2)
+    setup.write(0, 8) // time
+    setup.write(0, 8) // floor 0
+    setup.write(0, 8) // residue 0
+    setup.write(0, 6) // mode count - 1
+    setup.write(0, 1) // blockflag
+    setup.write(0, 16)
+    setup.write(0, 16)
+    setup.write(0, 8) // mapping 0
+    setup.write(1, 1)
+
+    // ---- audio packets
+    val pagesBuf = new java.io.ByteArrayOutputStream()
+    val serial = 0x67766273L
+    pagesBuf.write(Ogg.page(serial, 0, -1L, 2, ident.data()))
+    pagesBuf.write(Ogg.page(serial, 1, -1L, 0, comment.data()))
+    pagesBuf.write(Ogg.page(serial, 2, -1L, 0, setup.data()))
+    var seq = 3L
+    var granule = 0L
+    var fi = 0
+    while (fi < frames) {
+      val pkt = new BitWriter
+      pkt.write(0, 1) // audio packet
+      // (single mode: zero mode bits)
+      pkt.write(1, 1) // floor nonzero
+      pkt.write(255, 8) // y0
+      pkt.write(255, 8) // y1
+      pkt.code(0, 8) // the one extra post: val 0 -> on the line (flat)
+      // residue: pts = 128/32 = 4, classbook dim 4 -> one classword
+      val spec = specs(fi)
+      val recon = new Array[Double](n2)
+      var pass = 0
+      val nPasses = if (twoPass) 2 else 1
+      while (pass < nPasses) {
+        val (mn, dl) = if (pass == 0) (coarseMin, coarseDelta) else (fineMin, fineDelta)
+        var pc = 0
+        while (pc < 4) {
+          if (pass == 0 && pc == 0) pkt.code(0, 4) // classes all 0
+          val off = pc * 32
+          var k = 0
+          while (k < 32) {
+            val v = spec(off + k) - recon(off + k)
+            var q = math.round((v - mn) / dl).toInt
+            if (q < 0) q = 0
+            if (q > 2047) q = 2047
+            recon(off + k) += q * dl + mn
+            pkt.code(q, 11)
+            k += 1
+          }
+          pc += 1
+        }
+        pass += 1
+      }
+      if (fi > 0) granule += n2
+      val isLast = fi == frames - 1
+      val g = if (fi == 0) -1L else if (isLast) math.min(granule, nsamp.toLong) else granule
+      pagesBuf.write(Ogg.page(serial, seq, g, if (isLast) 4 else 0, pkt.data()))
+      seq += 1
+      fi += 1
+    }
+    pagesBuf.toByteArray
+  }
+
   /** (channels, rate, nSamples) without decoding samples — null when
     * not Vorbis. Used by audio_meta as a cheap existence probe. */
   def info(b: Array[Byte]): Array[Long] = {

@@ -35,6 +35,44 @@ object GenMedia {
     if (id >= 250) base * 2 else base
   }
 
+  /** Lossy-dedup fixture signal: a 3-sinusoid mix whose per-segment
+    * amplitude envelopes derive from the base via mix64 — strong
+    * time x band structure (the spectral fingerprint's 16 segments x
+    * 4 Haar octaves), so distinct bases differ in ~30 of 60 bits while
+    * Vorbis quantization noise perturbs band energies fractionally
+    * (zero-to-few bit flips). 2048 samples at 16 kHz. */
+  def lossyAudioSample(base: Long, i: Int): Int = {
+    val seg = i / 128 // 16 segments of 128
+    var v = 0.0
+    var h = 0
+    val freqs = Array(0.031, 0.117, 0.342) // low / mid / high octaves
+    while (h < 3) {
+      val amp = 500 + (graft.functions.Dedup.mix64(
+        base * 7919L + seg * 131L + h * 17L + 5L) & 0x1FFFL).toDouble // 500..8691
+      v += amp * math.sin(2 * math.Pi * freqs(h) * i)
+      h += 1
+    }
+    math.max(-30000, math.min(30000, v.toInt))
+  }
+
+  /** q_audio_dedup_lossy payload: pairs (i, i+250) are the SAME
+    * recording — the copy at HALF amplitude (scale invariance) — with
+    * the container rotating WAV / FLAC / Ogg-VORBIS on
+    * (id%250 + id/250) mod 3, so every pair crosses containers and the
+    * lossy codec appears on both sides. The Vorbis arm is the native
+    * encoder's single-pass (~45 dB) mode: genuinely lossy, so the
+    * gate's hamming tolerance is actually exercised. */
+  def lossyAudioDedupFixture(id: Long): Array[Byte] = {
+    val base = id % 250
+    val raw = Array.tabulate(2048)(i => lossyAudioSample(base, i))
+    val samples = if (id >= 250) raw.map(_ / 2) else raw
+    (id % 250 + id / 250) % 3 match {
+      case 0 => MediaKernels.encodeWav(16000, samples)
+      case 1 => graft.functions.Flac.encodeMono16(16000, samples)
+      case _ => graft.functions.Vorbis.encode(16000, samples, twoPass = false)
+    }
+  }
+
   /** Container rotates WAV / FLAC / Ogg-FLAC on (id%250 + id/250) mod 3,
     * so EVERY constructed near-dup pair (i, i+250) crosses containers
     * and all three appear on both sides; FLAC decode is lossless and

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.GenMedia
+
+/** The lossy-tolerant audio tier: spectral-fingerprint laws (lossless
+  * bit-identity, amplitude-scale invariance, Vorbis hamming-nearness,
+  * cross-base separation) and the native Vorbis encoder's quality
+  * contract. */
+class LossyAudioSpec extends AnyFunSuite {
+
+  private def sig(base: Long): Array[Int] =
+    Array.tabulate(2048)(i => GenMedia.lossyAudioSample(base, i))
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("spectral fingerprint is bit-identical across lossless containers") {
+    val s = sig(7)
+    val w = MediaKernels.audioFingerprintSpectral(MediaKernels.encodeWav(16000, s))
+    val f = MediaKernels.audioFingerprintSpectral(Flac.encodeMono16(16000, s))
+    val of = MediaKernels.audioFingerprintSpectral(
+      Ogg.encodeOggFlac(Flac.encodeMono16(16000, s), s.length.toLong))
+    assert(w != null && w == f && f == of)
+  }
+
+  test("spectral fingerprint is invariant under amplitude scaling") {
+    val s = sig(11)
+    val w1 = MediaKernels.audioFingerprintSpectral(MediaKernels.encodeWav(16000, s))
+    val w2 = MediaKernels.audioFingerprintSpectral(
+      MediaKernels.encodeWav(16000, s.map(_ / 2)))
+    val w3 = MediaKernels.audioFingerprintSpectral(
+      MediaKernels.encodeWav(16000, s.map(v => -v)))
+    assert(w1 == w2 && w1 == w3) // energies are squares: sign flip too
+  }
+
+  test("Vorbis copy is genuinely lossy yet hamming-near; distinct bases stay far") {
+    var worstPair = 0
+    var bestCross = Int.MaxValue
+    for (base <- 0 until 24) {
+      val s = sig(base)
+      val wav = MediaKernels.encodeWav(16000, s)
+      val ogg = Vorbis.encode(16000, s, twoPass = false)
+      val d = Vorbis.decode(ogg)
+      assert(d != null && d.pcm.length == s.length)
+      assert(!d.pcm.sameElements(s), s"base $base: single-pass decode must be lossy")
+      val fw = MediaKernels.audioFingerprintSpectral(wav)
+      val fo = MediaKernels.audioFingerprintSpectral(ogg)
+      assert(fw != null && fo != null)
+      val h = hamming(fw, fo)
+      worstPair = math.max(worstPair, h)
+      assert(h <= 3, s"base $base: lossy pair hamming $h")
+      if (base > 0) {
+        val prev = MediaKernels.audioFingerprintSpectral(
+          MediaKernels.encodeWav(16000, sig(base - 1)))
+        val cross = hamming(fw, prev)
+        bestCross = math.min(bestCross, cross)
+        assert(cross >= 16, s"bases ${base - 1}/$base too close: $cross")
+      }
+    }
+    info(s"worst lossy-pair hamming $worstPair, closest cross-base $bestCross")
+  }
+
+  test("native Vorbis encoder quality: single-pass > 38 dB, two-pass > 60 dB") {
+    val s = sig(3)
+    def snr(got: Array[Int]): Double = {
+      var e = 0.0
+      var p = 0.0
+      val m = math.min(s.length, got.length)
+      (0 until m).foreach { i =>
+        val d = (s(i) - got(i)).toDouble
+        e += d * d
+        p += s(i).toDouble * s(i)
+      }
+      if (e == 0) 999.0 else 10 * math.log10(p / e)
+    }
+    val one = Vorbis.decode(Vorbis.encode(16000, s, twoPass = false))
+    val two = Vorbis.decode(Vorbis.encode(16000, s))
+    assert(one != null && two != null)
+    assert(snr(one.pcm) > 38, s"single-pass snr ${snr(one.pcm)}")
+    assert(snr(two.pcm) > 60, s"two-pass snr ${snr(two.pcm)}")
+  }
+
+  test("audio_meta sees the native-encoded Vorbis stream with exact fields") {
+    val s = sig(5)
+    val m = MediaKernels.audioMetaRow(Vorbis.encode(16000, s))
+    assert(m.getString(0) == "ogg" && m.getString(6) == "vorbis")
+    assert(m.getInt(1) == 1 && m.getLong(2) == 16000L)
+    assert(m.getLong(4) == s.length.toLong) // granule-trimmed sample count
+  }
+
+  test("audio features flow through the lossy decode path") {
+    val s = sig(9)
+    val ogg = Vorbis.encode(16000, s, twoPass = false)
+    // the EXACT tier must NOT claim a lossy payload
+    assert(MediaKernels.audioFingerprint(ogg) == null)
+    // ... while the spectral tier decodes it
+    assert(MediaKernels.audioFingerprintSpectral(ogg) != null)
+  }
+}

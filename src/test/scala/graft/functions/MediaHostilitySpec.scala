@@ -18,7 +18,10 @@ class MediaHostilitySpec extends AnyFunSuite {
       "adts" -> MediaKernels.encodeAdtsHeader(22050L, 1, 4),
       "avif" -> ImageKernels.encodeHeifHeader("av01", 128, 96, 32, 24),
       "heic" -> ImageKernels.encodeHeifHeader("hvc1", 200, 150, 50, 37),
-      "apng" -> graft.tools.GenMedia.apngVideoFixture(2)
+      "apng" -> graft.tools.GenMedia.apngVideoFixture(2),
+      "ogg-vorbis-real" -> Vorbis.encode(16000,
+        Array.tabulate(2048)(i => graft.tools.GenMedia.lossyAudioSample(1, i)),
+        twoPass = false)
     )
     val rnd = new scala.util.Random(20260816L)
     val t0 = System.nanoTime()
@@ -36,6 +39,7 @@ class MediaHostilitySpec extends AnyFunSuite {
         MediaKernels.videoFrames(buf, 4)
         MediaKernels.videoMetaRow(buf)
         MediaKernels.audioMetaRow(buf)
+        MediaKernels.audioFingerprintSpectral(buf)
         ImageKernels.imageMetaRow(buf)
         DocKernels.docText(buf, "auto")
         i += 1
