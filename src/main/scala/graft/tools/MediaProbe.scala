@@ -96,6 +96,9 @@ object MediaProbe {
     leg("avc_frames_10k")(avcFrames(10000L))
     leg("avc_frames_100k")(avcFrames(100000L))
     leg("avc_frames_1m")(avcFrames(1000000L))
+    // one more decade (r18 VERDICT #7): 10M videos / 32M frames —
+    // confirms the trend holds past block-manager comfort
+    leg("avc_frames_10m")(avcFrames(10000000L))
 
     def dedup(n: Long): Long = graft.functions.Images.videoDedupGroups(
       media(n), "media_id", "content", maxHamming = 3, maxFrames = 4,
