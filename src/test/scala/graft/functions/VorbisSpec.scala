@@ -3,7 +3,7 @@ package graft.functions
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Cross-implementation check of the native Vorbis decoder: the
-  * committed corpus (src/test/resources/vorbis/corpus.txt) holds 18
+  * committed corpus (src/test/resources/vorbis/corpus.txt) holds 24
   * Ogg-Vorbis streams generated AND decoded by the independent Python
   * codec (tools/vorbis_codec.py) — mono/stereo, square-polar coupling,
   * residue types 0/1/2 with multi-pass cascades, codebook lookup types
@@ -43,7 +43,7 @@ class VorbisSpec extends AnyFunSuite {
         i += 1
       }
     }
-    info(s"18 streams, max deviation $maxDiff LSB")
+    info(s"${corpus().size} streams, max deviation $maxDiff LSB")
   }
 
   test("info reads channels/rate/granule without sample decode") {

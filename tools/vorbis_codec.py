@@ -751,16 +751,60 @@ def ogg_packets(data):
 # ------------------------------------------------------------ encoder
 
 
-def make_scalar_book(levels, max_abs):
+def kraft_lengths(n, rnd, max_len=24):
+    """A random Kraft-complete length assignment for n leaves: start
+    from a 2-leaf tree and split random leaves until n remain."""
+    lens = [1, 1]
+    while len(lens) < n:
+        i = rnd.randrange(len(lens))
+        if lens[i] >= max_len:
+            continue
+        l = lens.pop(i)
+        lens.extend([l + 1, l + 1])
+    return lens
+
+
+def make_scalar_book(levels, max_abs, rnd=None, style="flat"):
     """Dim-1 lookup-type-2 book: `levels` uniform quantization values
-    over [-max_abs, max_abs], flat code lengths (complete tree)."""
-    bits = ilog(levels - 1)
-    assert (1 << bits) == levels
+    over [-max_abs, max_abs]. style:
+      flat    — complete tree, equal lengths;
+      varlen  — random Kraft-complete lengths (real-Huffman shape);
+      ordered — varlen lengths sorted ascending, serialized via the
+                ordered (run-length) representation;
+      sparse  — varlen plus unused entries interleaved (the decoder
+                must skip them in both the length list and the
+                codeword assignment)."""
+    if style == "flat":
+        bits = ilog(levels - 1)
+        assert (1 << bits) == levels
+        lengths = [bits] * levels
+        used = list(range(levels))
+        entries = levels
+    elif style in ("varlen", "ordered"):
+        lengths = kraft_lengths(levels, rnd)
+        if style == "ordered":
+            lengths.sort()
+        used = list(range(levels))
+        entries = levels
+    else:  # sparse
+        lengths = kraft_lengths(levels, rnd)
+        out = []
+        used = []
+        for i, l in enumerate(lengths):
+            if rnd.random() < 0.15:
+                out.append(0)  # unused slot
+            used.append(len(out))
+            out.append(l)
+        lengths = out
+        entries = len(out)
     mn = float32_unpack(float32_pack(-max_abs))
-    dl = float32_unpack(float32_pack(2.0 * max_abs / (levels - 1)))
-    return Codebook(1, [bits] * levels, lookup_type=2, min_v=mn, delta_v=dl,
-                    value_bits=ilog(levels - 1), sequence_p=0,
-                    multiplicands=list(range(levels)))
+    dl = float32_unpack(float32_pack(2.0 * max_abs / (entries - 1)))
+    cb = Codebook(1, lengths, lookup_type=2, min_v=mn, delta_v=dl,
+                  value_bits=max(1, ilog(entries - 1)), sequence_p=0,
+                  multiplicands=list(range(entries)), sparse=(style == "sparse"),
+                  ordered=(style == "ordered"))
+    cb.used_entries = used  # quantizer clamps to these
+    return cb
 
 
 def write_comment_packet():
@@ -881,13 +925,17 @@ class Encoder:
                               value_bits=ilog(lv - 1), sequence_p=0,
                               multiplicands=list(range(lv)))
         else:
-            coarse = make_scalar_book(cfg.get("levels", 2048), max_abs)
+            coarse = make_scalar_book(cfg.get("levels", 2048), max_abs,
+                                      rnd=self.rnd,
+                                      style=cfg.get("book_style", "flat"))
         books.append(coarse)
         fbook = Codebook(1, [8] * 256, lookup_type=0)
         books.append(fbook)
         pass_books = [1]
         if two_pass:
-            fine = make_scalar_book(2048, 2.0 * coarse.delta_v)
+            fine = make_scalar_book(2048, 2.0 * coarse.delta_v,
+                                    rnd=self.rnd,
+                                    style=cfg.get("book_style", "flat"))
             books.append(fine)
             pass_books.append(3)
 
@@ -1050,7 +1098,14 @@ class Encoder:
     def quantize(self, book, vals):
         if book.lookup_type == 2 and book.dims == 1:
             q = int(round((vals[0] - book.min_v) / book.delta_v))
-            return max(0, min(book.entries - 1, q))
+            q = max(0, min(book.entries - 1, q))
+            used = getattr(book, "used_entries", None)
+            if used is not None and book.lengths[q] == 0:
+                import bisect
+                i = bisect.bisect_left(used, q)
+                cands = [used[j] for j in (i - 1, i) if 0 <= j < len(used)]
+                q = min(cands, key=lambda e: abs(e - q))
+            return q
         lv = book.lookup_values()
         entry = 0
         mult = 1
@@ -1314,7 +1369,7 @@ def selftest():
     print("selftest OK")
 
 
-def gen_corpus(path, n_streams=18):
+def gen_corpus(path, n_streams=24):
     rows = []
     rnd = random.Random(20260816)
     for t in range(n_streams):
@@ -1327,24 +1382,40 @@ def gen_corpus(path, n_streams=18):
                    coupling=(ch == 2 and t % 2 == 0),
                    lookup1=(t % 5 == 0),
                    two_pass=(t % 5 == 0 or t % 6 == 1),
-                   page_max_segs=(5 if t % 7 == 0 else 255))
+                   page_max_segs=(5 if t % 7 == 0 else 255),
+                   # real-Huffman shapes: variable-length, ordered
+                   # (run-length serialized) and sparse codebooks
+                   book_style=["flat", "varlen", "ordered", "sparse"][t % 4])
         if t % 4 == 3:
             cfg["floor_posts"] = [(20, 0), (45, 0), (90, 0), (110, 0)]
             cfg["multiplier"] = 1 + t % 2
             rng0 = FLOOR1_RANGES[cfg["multiplier"] - 1]
             cfg["floor_ys"] = [rng0 - 1, rng0 - 20, 5, 12, 3, 8]
             cfg["two_pass"] = True
-        ns = 1536 + 256 * (t % 3)
+        if t >= 18:
+            # the real-world long-block shapes: all-2048 and 512/2048
+            # mixed (window transitions at production size)
+            cfg["bs0"] = 512 if t % 2 else 2048
+            cfg["bs1"] = 2048
+            cfg["levels"] = 2048
+        ns = 1536 + 256 * (t % 3) + (4096 if t >= 18 else 0)
         sig = test_signal(ns, ch, seed=t)
         ogg = Encoder(cfg, rnd=random.Random(t)).encode(sig)
         got = Decoder(ogg).decode()
         q = snr(sig[:len(got)], got[:len(sig)])
         assert q > 25, (t, q)
+        if t % 9 == 4:
+            # multiplexed shape: a foreign BOS page precedes the Vorbis
+            # stream — decoders must lock to the Vorbis serial (expected
+            # PCM computed from the un-muxed stream above)
+            foreign = ogg_page(999, 0, -1, 0x02,
+                               b"\x80theora" + bytes(40), [47])
+            ogg = foreign + ogg
         pcm = struct.pack(f"<{len(got)}h", *got)
         rows.append((base64.b64encode(ogg).decode(), ch, cfg["rate"],
                      base64.b64encode(pcm).decode()))
         print(f"stream {t}: ch={ch} bs={cfg['bs0']}/{cfg['bs1']} "
-              f"rt={cfg['residue_type']} snr={q:.1f}")
+              f"rt={cfg['residue_type']} books={cfg['book_style']} snr={q:.1f}")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         for r in rows:
