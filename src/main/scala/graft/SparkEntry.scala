@@ -2391,8 +2391,9 @@ object SparkEntry {
     // LOSSY cross-codec audio dedup (the audio analogue of the video
     // tier's cross-container gates): pairs (i, i+250) are the same
     // recording — the copy at half amplitude — rotating WAV / FLAC /
-    // Ogg-VORBIS containers, the Vorbis arm decoded by the NATIVE
-    // floor1/residue/IMDCT decoder and genuinely lossy (~45 dB). The
+    // Ogg-VORBIS / MATROSKA-VORBIS containers, the Vorbis arms decoded
+    // by the NATIVE floor1/residue/IMDCT decoder (Ogg page demux and
+    // A_VORBIS block walk respectively) and genuinely lossy (~45 dB). The
     // 60-bit spectral fingerprint (Haar band-energy delta signs) is
     // bit-identical for the lossless pair members and hamming-near for
     // the lossy ones; the banded join + CC must recover exactly the

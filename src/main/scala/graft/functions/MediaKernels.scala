@@ -423,6 +423,16 @@ object MediaKernels {
     if (Ogg.isOgg(b)) {
       val d = Vorbis.decode(b)
       if (d != null) return d.pcm
+    } else if (b != null && b.length >= 8 && (b(0) & 0xFF) == 0x1A &&
+      (b(1) & 0xFF) == 0x45 && (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) {
+      // Matroska A_VORBIS (the .webm audio crawl shape): the same
+      // decoder from the container's packet stream — no granule in
+      // Matroska, so every produced sample is kept
+      val pkts = Webm.vorbisPackets(b)
+      if (pkts != null) {
+        val d = Vorbis.decodePacketStream(pkts, -1L)
+        if (d != null) return d.pcm
+      }
     }
     null
   }

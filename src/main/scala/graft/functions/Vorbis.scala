@@ -821,8 +821,18 @@ object Vorbis {
     try {
       val pk = packets(b)
       if (pk == null) return null
-      val (pkts, lastGranule) = pk
-      if (pkts.length < 4) return null
+      decodePacketStream(pk._1, pk._2)
+    } catch { case _: Exception => null }
+  }
+
+  /** The container-independent core: decode a raw Vorbis packet
+    * sequence (identification, comment, setup, audio...) with an
+    * optional final-granule trim (negative = keep everything) — Ogg
+    * hands packets with a granule, Matroska hands packets without one.
+    * Null on anything undecodable. */
+  def decodePacketStream(pkts: Array[Array[Byte]], lastGranule: Long): Decoded = {
+    try {
+      if (pkts == null || pkts.length < 4) return null
       if (pkts(1).length < 7 || pkts(1)(0) != 3 || !startsWith(pkts(1), 1, "vorbis"))
         return null
       val s = new Setup(pkts(0), pkts(2))
@@ -1026,6 +1036,23 @@ object Vorbis {
     * grid — genuinely lossy (~45 dB), the shape the lossy-dedup gates
     * need so their tolerance claim is actually exercised. */
   def encode(rate: Int, samples: Array[Int], twoPass: Boolean = true): Array[Byte] = {
+    val (pkts, granules) = encodePacketSeq(rate, samples, twoPass)
+    val pagesBuf = new java.io.ByteArrayOutputStream()
+    val serial = 0x67766273L
+    var i = 0
+    while (i < pkts.length) {
+      val ht = if (i == 0) 2 else if (i == pkts.length - 1) 4 else 0
+      pagesBuf.write(Ogg.page(serial, i.toLong, granules(i), ht, pkts(i)))
+      i += 1
+    }
+    pagesBuf.toByteArray
+  }
+
+  /** The encoder's raw packet sequence (identification, comment, setup,
+    * audio...) plus per-packet granules — the container-independent
+    * half, so the Matroska fixture can wrap the SAME packets. */
+  def encodePacketSeq(rate: Int, samples: Array[Int],
+                      twoPass: Boolean = true): (Array[Array[Byte]], Array[Long]) = {
     val n = EncN
     val n2 = n / 2
     val nsamp = samples.length
@@ -1154,12 +1181,9 @@ object Vorbis {
     setup.write(1, 1)
 
     // ---- audio packets
-    val pagesBuf = new java.io.ByteArrayOutputStream()
-    val serial = 0x67766273L
-    pagesBuf.write(Ogg.page(serial, 0, -1L, 2, ident.data()))
-    pagesBuf.write(Ogg.page(serial, 1, -1L, 0, comment.data()))
-    pagesBuf.write(Ogg.page(serial, 2, -1L, 0, setup.data()))
-    var seq = 3L
+    val outPkts = scala.collection.mutable.ArrayBuffer[Array[Byte]](
+      ident.data(), comment.data(), setup.data())
+    val outGran = scala.collection.mutable.ArrayBuffer[Long](-1L, -1L, -1L)
     var granule = 0L
     var fi = 0
     while (fi < frames) {
@@ -1198,11 +1222,11 @@ object Vorbis {
       if (fi > 0) granule += n2
       val isLast = fi == frames - 1
       val g = if (fi == 0) -1L else if (isLast) math.min(granule, nsamp.toLong) else granule
-      pagesBuf.write(Ogg.page(serial, seq, g, if (isLast) 4 else 0, pkt.data()))
-      seq += 1
+      outPkts += pkt.data()
+      outGran += g
       fi += 1
     }
-    pagesBuf.toByteArray
+    (outPkts.toArray, outGran.toArray)
   }
 
   /** (channels, rate, nSamples) without decoding samples — null when

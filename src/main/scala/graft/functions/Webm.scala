@@ -642,6 +642,288 @@ object Webm {
     if (subTrack <= 0) null else cues.mkString("\n")
   }
 
+  /** Vorbis packet sequence from a Matroska A_VORBIS track: the three
+    * header packets ride the TrackEntry's CodecPrivate in Xiph lacing
+    * (count byte 2, then 255-sum lengths for the first two, remainder =
+    * setup), audio packets ride Block/SimpleBlock payloads — all four
+    * lacing modes (none / Xiph / fixed / EBML). Matroska carries no
+    * Vorbis granule; the decoder keeps every produced sample. Null when
+    * the buffer is not Matroska or has no A_VORBIS track. */
+  private[functions] def vorbisPackets(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b == null || b.length < 8 ||
+      !((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+        (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3)) return null
+    def vintLen(first: Int): Int = {
+      var m = 0x80; var n = 1
+      while (n <= 8 && (first & m) == 0) { m >>= 1; n += 1 }
+      if (n > 8) -1 else n
+    }
+    def readId(p: Int): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val n = vintLen(b(p) & 0xFF)
+      if (n < 0 || n > 4 || p + n > b.length) return (-1L, 0)
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      (v, n)
+    }
+    def readSize(p: Int): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val first = b(p) & 0xFF
+      val n = vintLen(first)
+      if (n < 0 || p + n > b.length) return (-1L, 0)
+      var v = (first & (0xFF >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -2L else v, n)
+    }
+    var vorbisTrack = -1L
+    var headers: Array[Array[Byte]] = null
+    val audio = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    /** CodecPrivate Xiph lacing: count byte (must be 2), 255-sum sizes
+      * for the first two packets, remainder is the third. */
+    def parsePrivate(d: Int, e: Int): Array[Array[Byte]] = {
+      if (d >= e || (b(d) & 0xFF) != 2) return null
+      var p = d + 1
+      val sizes = new Array[Int](2)
+      var i = 0
+      while (i < 2) {
+        var sz = 0
+        var v = 255
+        while (v == 255 && p < e) { v = b(p) & 0xFF; sz += v; p += 1 }
+        if (v == 255) return null
+        sizes(i) = sz
+        i += 1
+      }
+      val rest = e - p - sizes(0) - sizes(1)
+      if (rest <= 0) return null
+      val out = new Array[Array[Byte]](3)
+      out(0) = java.util.Arrays.copyOfRange(b, p, p + sizes(0))
+      out(1) = java.util.Arrays.copyOfRange(b, p + sizes(0), p + sizes(0) + sizes(1))
+      out(2) = java.util.Arrays.copyOfRange(b, p + sizes(0) + sizes(1), e)
+      out
+    }
+
+    def trackEntry(start: Int, end: Int): Unit = {
+      var num = -1L
+      var typ = -1L
+      var codec: String = null
+      var privAt = -1
+      var privEnd = -1
+      var p = start
+      while (p < end) {
+        val (id, idn) = readId(p)
+        if (id < 0) return
+        val (sz, szn) = readSize(p + idn)
+        if (sz < 0) return
+        val d = p + idn + szn
+        if (d + sz > end) return
+        id match {
+          case 0xD7 =>
+            var v = 0L; var i = 0
+            while (i < sz.toInt) { v = (v << 8) | (b(d + i) & 0xFF); i += 1 }
+            num = v
+          case 0x83 => typ = if (sz >= 1) b(d) & 0xFF else -1
+          case 0x86 => codec = new String(b, d, sz.toInt, "US-ASCII")
+          case 0x63A2 => privAt = d; privEnd = d + sz.toInt
+          case _ => ()
+        }
+        p = d + sz.toInt
+      }
+      if (typ == 2 && num > 0 && vorbisTrack < 0 && codec == "A_VORBIS" &&
+        privAt >= 0) {
+        val h = parsePrivate(privAt, privEnd)
+        if (h != null) { vorbisTrack = num; headers = h }
+      }
+    }
+
+    def block(start: Int, end: Int): Unit = {
+      if (vorbisTrack <= 0 || start >= end || audio.length >= (1 << 18)) return
+      val first = b(start) & 0xFF
+      val tn = vintLen(first)
+      if (tn < 0 || start + tn + 3 > end) return
+      var track = (first & (0xFF >>> tn)).toLong
+      var i = 1
+      while (i < tn) { track = (track << 8) | (b(start + i) & 0xFF); i += 1 }
+      if (track != vorbisTrack) return
+      val flags = b(start + tn + 2) & 0xFF
+      var p = start + tn + 3
+      (flags & 0x06) match {
+        case 0x00 => // no lacing: one packet
+          if (p < end) audio += java.util.Arrays.copyOfRange(b, p, end)
+        case 0x02 => // Xiph: count byte, 255-sum sizes, remainder last
+          if (p >= end) return
+          val n = (b(p) & 0xFF) + 1
+          p += 1
+          val sizes = new Array[Int](n)
+          var k = 0
+          while (k < n - 1) {
+            var sz = 0
+            var v = 255
+            while (v == 255 && p < end) { v = b(p) & 0xFF; sz += v; p += 1 }
+            if (v == 255) return
+            sizes(k) = sz
+            k += 1
+          }
+          var used = 0
+          k = 0
+          while (k < n - 1) { used += sizes(k); k += 1 }
+          sizes(n - 1) = end - p - used
+          if (sizes(n - 1) < 0) return
+          k = 0
+          while (k < n) {
+            audio += java.util.Arrays.copyOfRange(b, p, p + sizes(k))
+            p += sizes(k)
+            k += 1
+          }
+        case 0x04 => // fixed-size lacing: count byte, equal splits
+          if (p >= end) return
+          val n = (b(p) & 0xFF) + 1
+          p += 1
+          val each = (end - p) / n
+          if (each <= 0 || (end - p) % n != 0) return
+          var k = 0
+          while (k < n) {
+            audio += java.util.Arrays.copyOfRange(b, p, p + each)
+            p += each
+            k += 1
+          }
+        case _ => // EBML lacing: count, first size vint, signed deltas
+          if (p >= end) return
+          val n = (b(p) & 0xFF) + 1
+          p += 1
+          val sizes = new Array[Int](n)
+          // first size: plain unsigned vint
+          var fl = vintLen(b(p) & 0xFF)
+          if (fl < 0 || p + fl > end) return
+          var v = ((b(p) & 0xFF) & (0xFF >>> fl)).toLong
+          var i2 = 1
+          while (i2 < fl) { v = (v << 8) | (b(p + i2) & 0xFF); i2 += 1 }
+          p += fl
+          sizes(0) = v.toInt
+          var k = 1
+          while (k < n - 1) {
+            fl = vintLen(b(p) & 0xFF)
+            if (fl < 0 || p + fl > end) return
+            var dv = ((b(p) & 0xFF) & (0xFF >>> fl)).toLong
+            i2 = 1
+            while (i2 < fl) { dv = (dv << 8) | (b(p + i2) & 0xFF); i2 += 1 }
+            p += fl
+            val signed = dv - ((1L << (7 * fl - 1)) - 1) // signed vint bias
+            sizes(k) = sizes(k - 1) + signed.toInt
+            if (sizes(k) < 0) return
+            k += 1
+          }
+          var used = 0
+          k = 0
+          while (k < n - 1) { used += sizes(k); k += 1 }
+          sizes(n - 1) = end - p - used
+          if (sizes(n - 1) < 0) return
+          k = 0
+          while (k < n) {
+            if (p + sizes(k) > end) return
+            audio += java.util.Arrays.copyOfRange(b, p, p + sizes(k))
+            p += sizes(k)
+            k += 1
+          }
+      }
+    }
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var p = start
+      while (p < end && depth < 16) {
+        val (id, idn) = readId(p)
+        if (id < 0) return
+        val (sz0, szn) = readSize(p + idn)
+        if (sz0 == -1L) return
+        val d = p + idn + szn
+        val e = if (sz0 == -2L) end
+        else if (d + sz0 > end || sz0 > Int.MaxValue) return
+        else (d + sz0).toInt
+        id match {
+          case 0x18538067 | 0x1654AE6B | 0x1F43B675 | 0xA0 =>
+            walk(d, e, depth + 1)
+          case 0xAE => trackEntry(d, e)
+          case 0xA3 | 0xA1 => block(d, e)
+          case _ => ()
+        }
+        p = e
+      }
+    }
+    walk(0, b.length, 0)
+    if (headers == null) return null
+    (headers ++ audio).toArray
+  }
+
+  /** Matroska A_VORBIS fixture: TrackEntry (type 2, CodecPrivate =
+    * Xiph-laced 3 header packets) + Clusters whose SimpleBlocks carry
+    * the audio packets — the first blocks Xiph-laced in pairs, the rest
+    * unlaced, so both block shapes are exercised. Input is the
+    * [[Vorbis.encodePacketSeq]] sequence. */
+  def encodeMkvVorbis(pkts: Array[Array[Byte]],
+                      sampleRate: Double = 16000.0): Array[Byte] = {
+    require(pkts.length >= 4, "need headers + audio packets")
+    def sizeVint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+      val out = new Array[Byte](n)
+      var x = v | (1L << (7 * n))
+      var i = n - 1
+      while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+      out
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      var n = 1
+      while (n < 4 && (id >> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length) ++ payload
+    def uintEl(id: Long, v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      el(id, Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte))
+    }
+    def xiphSizes(len: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var rem = len
+      while (rem >= 255) { out.write(255); rem -= 255 }
+      out.write(rem)
+      out.toByteArray
+    }
+    val ebml = el(0x1A45DFA3L,
+      uintEl(0x4286, 1) ++ uintEl(0x42F7, 1) ++ uintEl(0x42F2, 4) ++
+        uintEl(0x42F3, 8) ++ el(0x4282, "matroska".getBytes("US-ASCII")) ++
+        uintEl(0x4287, 2) ++ uintEl(0x4285, 2))
+    val info = el(0x1549A966L, uintEl(0x2AD7B1, 1000000L))
+    val priv = Array[Byte](2) ++ xiphSizes(pkts(0).length) ++
+      xiphSizes(pkts(1).length) ++ pkts(0) ++ pkts(1) ++ pkts(2)
+    val rateBits = java.lang.Double.doubleToLongBits(sampleRate)
+    val rateEl = el(0xB5, Array.tabulate(8)(i =>
+      ((rateBits >>> (8 * (7 - i))) & 0xFF).toByte))
+    val entry = el(0xAE, uintEl(0xD7, 1) ++ uintEl(0x73C5, 1) ++
+      uintEl(0x83, 2) ++ el(0x86, "A_VORBIS".getBytes("US-ASCII")) ++
+      el(0x63A2, priv) ++ el(0xE1, rateEl ++ uintEl(0x9F, 1)))
+    val audio = pkts.drop(3)
+    val blocks = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < audio.length) {
+      if (i + 1 < audio.length && i < 4) {
+        // Xiph-laced pair (flags bit 0x02)
+        val body = Array[Byte](0x81.toByte, 0, 0, 0x02.toByte, 1) ++
+          xiphSizes(audio(i).length) ++ audio(i) ++ audio(i + 1)
+        blocks.write(el(0xA3, body))
+        i += 2
+      } else {
+        blocks.write(el(0xA3,
+          Array[Byte](0x81.toByte, 0, 0, 0) ++ audio(i)))
+        i += 1
+      }
+    }
+    val cluster = el(0x1F43B675L, uintEl(0xE7, 0) ++ blocks.toByteArray)
+    ebml ++ el(0x18538067L, info ++ el(0x1654AE6BL, entry) ++ cluster)
+  }
+
   /** Matroska subtitle fixture: Tracks(TrackEntry type 0x11 with the
     * given S_TEXT codec) + one SimpleBlock per cue. */
   def encodeMkvSubtitles(cues: Seq[String],

@@ -57,19 +57,23 @@ object GenMedia {
 
   /** q_audio_dedup_lossy payload: pairs (i, i+250) are the SAME
     * recording — the copy at HALF amplitude (scale invariance) — with
-    * the container rotating WAV / FLAC / Ogg-VORBIS on
-    * (id%250 + id/250) mod 3, so every pair crosses containers and the
-    * lossy codec appears on both sides. The Vorbis arm is the native
-    * encoder's single-pass (~45 dB) mode: genuinely lossy, so the
-    * gate's hamming tolerance is actually exercised. */
+    * the container rotating WAV / FLAC / Ogg-VORBIS / MATROSKA-VORBIS
+    * on (id%250 + id/250) mod 4, so every pair crosses containers and
+    * the lossy codec appears on both sides in both carriages. The
+    * Vorbis arms are the native encoder's single-pass (~45 dB) mode:
+    * genuinely lossy, so the gate's hamming tolerance is actually
+    * exercised; the Matroska arm wraps the SAME packet sequence in
+    * A_VORBIS blocks (Xiph-laced + unlaced). */
   def lossyAudioDedupFixture(id: Long): Array[Byte] = {
     val base = id % 250
     val raw = Array.tabulate(2048)(i => lossyAudioSample(base, i))
     val samples = if (id >= 250) raw.map(_ / 2) else raw
-    (id % 250 + id / 250) % 3 match {
+    (id % 250 + id / 250) % 4 match {
       case 0 => MediaKernels.encodeWav(16000, samples)
       case 1 => graft.functions.Flac.encodeMono16(16000, samples)
-      case _ => graft.functions.Vorbis.encode(16000, samples, twoPass = false)
+      case 2 => graft.functions.Vorbis.encode(16000, samples, twoPass = false)
+      case _ => graft.functions.Webm.encodeMkvVorbis(
+        graft.functions.Vorbis.encodePacketSeq(16000, samples, twoPass = false)._1)
     }
   }
 

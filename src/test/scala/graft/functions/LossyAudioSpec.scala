@@ -89,6 +89,34 @@ class LossyAudioSpec extends AnyFunSuite {
     assert(m.getLong(4) == s.length.toLong) // granule-trimmed sample count
   }
 
+  test("Matroska A_VORBIS decodes to the SAME PCM as the Ogg carriage of the same packets") {
+    val s = sig(13)
+    val (pkts, _) = Vorbis.encodePacketSeq(16000, s, twoPass = false)
+    val mkv = Webm.encodeMkvVorbis(pkts)
+    val ogg = Vorbis.encode(16000, s, twoPass = false)
+    val viaMkv = MediaKernels.pcmSamplesAny(mkv)
+    val viaOgg = MediaKernels.pcmSamplesAny(ogg)
+    assert(viaMkv != null && viaOgg != null)
+    // Ogg trims to the final granule; Matroska has none — the MKV route
+    // keeps the full overlap-add tail, whose prefix must match exactly
+    assert(viaMkv.length >= viaOgg.length)
+    assert(java.util.Arrays.equals(viaMkv.take(viaOgg.length), viaOgg))
+    // fingerprints agree across the two carriages of the same encode
+    val fm = MediaKernels.audioFingerprintSpectral(mkv)
+    val fo = MediaKernels.audioFingerprintSpectral(ogg)
+    assert(fm != null && fo != null && hamming(fm, fo) <= 2)
+    // hostile: truncations and flips never throw
+    (1 until mkv.length by 131).foreach { n =>
+      MediaKernels.pcmSamplesAny(java.util.Arrays.copyOf(mkv, n))
+    }
+    val rnd = new scala.util.Random(99L)
+    (0 until 200).foreach { _ =>
+      val c = mkv.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      MediaKernels.audioFingerprintSpectral(c)
+    }
+  }
+
   test("audio features flow through the lossy decode path") {
     val s = sig(9)
     val ogg = Vorbis.encode(16000, s, twoPass = false)
