@@ -1830,6 +1830,38 @@ object SparkEntry {
         .select(col("media_id"), col("batch").cast("long").as("batch"))
     }),
 
+    // the LOSSY streaming face: the same delta-vs-index discipline over
+    // the spectral fingerprint — batch 1's ids >= 250 are lossy Vorbis /
+    // half-amplitude copies of indexed recordings (4-container rotation)
+    // and must drop within hamming 8; 240..249 are new bases and survive
+    "q_stream_ingest_audio_lossy" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-si-audl")
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      def fx(df: DataFrame) = df.as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.lossyAudioDedupFixture(id))))
+        .toDF("media_id", "content")
+      fx(ids.filter(col("doc_id") < 200)).write.parquet(s"$dir/src")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val src = s.readStream.schema(schema).parquet(s"$dir/src")
+      val q = graft.streaming.Streams.incrementalAudioDedupIngest(src,
+        "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 8,
+        checkpointDir = s"$dir/ckpt",
+        fingerprint = "audio_fingerprint_spectral")
+      try {
+        q.processAllAvailable()
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).coalesce(1)
+          .write.mode("append").parquet(s"$dir/src")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/out")
+        .select(col("media_id"), col("batch").cast("long").as("batch"))
+    }),
+
     "q_dedup_near" -> ((s, d) => {
       val docs = t(s, d, "documents")
       new graft.engine.Engine(s).applyOperation(docs,
@@ -4501,6 +4533,14 @@ object SparkEntry {
     // same closed form: audio fingerprints key on id%250 and the >= 250
     // double-amplitude cross-container re-encodes collide exactly
     "q_stream_ingest_audio" ->
+      """SELECT doc_id AS media_id, 0::BIGINT AS batch FROM documents WHERE doc_id < 200
+         UNION ALL
+         SELECT doc_id AS media_id, 1::BIGINT AS batch FROM documents
+         WHERE doc_id >= 240 AND doc_id < 250""",
+
+    // lossy face: same delta discipline; ids >= 250 are near-dup copies
+    // of indexed bases and drop, 240..249 are new bases and survive
+    "q_stream_ingest_audio_lossy" ->
       """SELECT doc_id AS media_id, 0::BIGINT AS batch FROM documents WHERE doc_id < 200
          UNION ALL
          SELECT doc_id AS media_id, 1::BIGINT AS batch FROM documents

@@ -254,7 +254,9 @@ object Streams {
   def incrementalAudioDedupIngest(docs: DataFrame, idCol: String, binCol: String,
                                   indexDir: String, outDir: String,
                                   maxHamming: Int = 0,
-                                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                                  checkpointDir: String,
+                                  fingerprint: String = "audio_fingerprint")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.Images
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -263,7 +265,7 @@ object Streams {
         graft.expressions.GraftFunctions.register(spark)
         val index = existingSigIndex(spark, indexDir, excludeBatch = batchId)
         val sigs = batch.withColumn("__sig__",
-          call_function("audio_fingerprint", col(binCol)))
+          call_function(fingerprint, col(binCol)))
         val kept = Images.sigDedupIncremental(sigs, index, idCol, "__sig__", maxHamming)
           .persist()
         try {
