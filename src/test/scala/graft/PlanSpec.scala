@@ -328,6 +328,14 @@ class PlanSpec extends SparkSpec {
       "video dedup must never degrade to an all-pairs join")
   }
 
+  test("audio_dedup_lossy: banded equi-join over codegen fingerprints, never all-pairs") {
+    // same hammingPairs64 family as the exact tier; the Vorbis decode
+    // rides inside the fingerprint projection (narrow), never a shuffle
+    val p = formatted("q_audio_dedup_lossy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lossy audio dedup must never degrade to an all-pairs join")
+  }
+
   test("json_extract: pure narrow codegen over the scan, zero exchanges") {
     val p = formatted("q_json_extract")
     assert(p.contains("get_json_object"), "extraction must be in the projection")
