@@ -77,7 +77,33 @@ object Vorbis {
       pos += 1
       b
     }
+
+    /** The next `n` (<= 12) bits in Huffman order (first stream bit =
+      * MSB of the code), WITHOUT consuming, left-aligned to n bits when
+      * fewer remain. One 3-byte load + a 12-bit reversal table instead
+      * of a per-bit walk — the codebook fast path's hot read. Returns
+      * the code in the high part of the pair and the available count. */
+    def peekMsb(n: Int): (Int, Int) = {
+      val avail = math.min(n.toLong, limit - pos).toInt
+      val byteAt = pos >> 3
+      val off = pos & 7
+      var raw = 0
+      var k = 0
+      while (k < 3 && byteAt + k < data.length) {
+        raw |= (data(byteAt + k) & 0xFF) << (8 * k)
+        k += 1
+      }
+      val lsb = (raw >>> off) & ((1 << avail) - 1) // stream order, LSB-first
+      val code = Rev12(lsb) >>> (12 - avail) // first stream bit -> code MSB
+      (code << (n - avail), avail)
+    }
+
+    def skip(n: Int): Unit = pos += n
   }
+
+  /** 12-bit reversal table for the Huffman peek. */
+  private val Rev12: Array[Int] =
+    Array.tabulate(1 << 12)(i => Integer.reverse(i) >>> 20)
 
   @inline private def ilog(x0: Int): Int = {
     var x = x0
@@ -190,7 +216,43 @@ object Vorbis {
     @inline private def key(len: Int, code: Int): Long =
       (len.toLong << 33) | (code.toLong & 0xFFFFFFFFL)
 
+    // fast path: one table read resolves every codeword of length <=
+    // fastBits (packed (len << 24) | (entry + 1); 0 = fall back to the
+    // bit-by-bit map walk for the long-tail codes)
+    private val fastBits: Int = {
+      var mx = 0
+      var e = 0
+      while (e < entries) { if (lengths(e) > mx) mx = lengths(e); e += 1 }
+      math.min(mx, 12)
+    }
+    private val fast = new Array[Int](1 << fastBits)
+    locally {
+      val it = dec.entrySet().iterator()
+      while (it.hasNext) {
+        val kv = it.next()
+        val len = (kv.getKey >>> 33).toInt
+        val code = (kv.getKey & 0xFFFFFFFFL).toInt
+        if (len <= fastBits && entries < (1 << 24)) {
+          val base = code << (fastBits - len)
+          var i = 0
+          while (i < (1 << (fastBits - len))) {
+            fast(base | i) = (len << 24) | (kv.getValue.intValue() + 1)
+            i += 1
+          }
+        }
+      }
+    }
+
     def decodeEntry(r: BitReader): Int = {
+      val (peek, avail) = r.peekMsb(fastBits)
+      val f = fast(peek)
+      if (f != 0) {
+        val len = f >>> 24
+        if (len <= avail) {
+          r.skip(len)
+          return (f & 0xFFFFFF) - 1
+        }
+      }
       var code = 0
       var len = 0
       while (len <= 32) {
@@ -837,7 +899,10 @@ object Vorbis {
         return null
       val s = new Setup(pkts(0), pkts(2))
       val ch = s.channels
-      val out = Array.fill(ch)(new scala.collection.mutable.ArrayBuffer[Double]())
+      // growable primitive buffers (a boxed collection here was the
+      // decode path's hottest allocation)
+      var out = Array.fill(ch)(new Array[Double](8192))
+      var len = 0
       var prevRight: Array[Array[Double]] = null
       var prevN = 0
       var pi = 3
@@ -847,20 +912,26 @@ object Vorbis {
           val (pcm, n) = res
           if (prevRight != null) {
             val span = (prevN + n) / 4
-            if (out(0).length + span > MaxOutSamples) return null
+            if (len + span > MaxOutSamples) return null
+            if (len + span > out(0).length) {
+              val cap = math.max(out(0).length * 2, len + span)
+              out = out.map(a => java.util.Arrays.copyOf(a, cap))
+            }
             val shift = n / 4 - prevN / 4
             var j = 0
             while (j < ch) {
+              val o = out(j)
               var i = 0
               while (i < span) {
                 val a = if (i < prevN / 2) prevRight(j)(i) else 0.0
                 val ci = i + shift
                 val c = if (ci >= 0 && ci < n / 2) pcm(j)(ci) else 0.0
-                out(j) += a + c
+                o(len + i) = a + c
                 i += 1
               }
               j += 1
             }
+            len += span
           }
           prevRight = Array.tabulate(ch)(j =>
             java.util.Arrays.copyOfRange(pcm(j), n / 2, n))
@@ -868,9 +939,8 @@ object Vorbis {
         }
         pi += 1
       }
-      val produced = out(0).length.toLong
-      val total = if (lastGranule >= 0) math.min(lastGranule, produced)
-      else produced
+      val total = if (lastGranule >= 0) math.min(lastGranule, len.toLong)
+      else len.toLong
       val pcm = new Array[Int]((total * ch).toInt)
       var i = 0
       while (i < total) {
