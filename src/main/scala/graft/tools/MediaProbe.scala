@@ -100,6 +100,21 @@ object MediaProbe {
     // confirms the trend holds past block-manager comfort
     leg("avc_frames_10m")(avcFrames(10000000L))
 
+    // lossy audio tier: fixture synth (incl. the native Vorbis ENCODE on
+    // two of four arms) -> container walk -> native decode -> spectral
+    // fingerprint, all inside one narrow projection — wall must track
+    // row count (no shuffle until a dedup join)
+    def lossyAudio(n: Long): Long = spark.range(n).repartition(32)
+      .mapPartitions(_.map(id =>
+        (id, GenMedia.lossyAudioDedupFixture(id % 500))))
+      .toDF("media_id", "content")
+      .select(call_function("audio_fingerprint_spectral", col("content")).as("sig"))
+      .filter(col("sig").isNotNull).count()
+
+    leg("audio_lossy_10k")(lossyAudio(10000L))
+    leg("audio_lossy_100k")(lossyAudio(100000L))
+    leg("audio_lossy_1m")(lossyAudio(1000000L))
+
     def dedup(n: Long): Long = graft.functions.Images.videoDedupGroups(
       media(n), "media_id", "content", maxHamming = 3, maxFrames = 4,
       minMatches = 2).filter(col("n_group") > 1).count()
