@@ -1833,7 +1833,7 @@ object SparkEntry {
     // the LOSSY streaming face: the same delta-vs-index discipline over
     // the spectral fingerprint — batch 1's ids >= 250 are lossy Vorbis /
     // half-amplitude copies of indexed recordings (4-container rotation)
-    // and must drop within hamming 8; 240..249 are new bases and survive
+    // and must drop within hamming 7; 240..249 are new bases and survive
     "q_stream_ingest_audio_lossy" -> ((s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-si-audl")
@@ -1849,7 +1849,7 @@ object SparkEntry {
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
       val q = graft.streaming.Streams.incrementalAudioDedupIngest(src,
-        "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 8,
+        "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 7,
         checkpointDir = s"$dir/ckpt",
         fingerprint = "audio_fingerprint_spectral")
       try {
@@ -2438,7 +2438,7 @@ object SparkEntry {
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
         Map("operation" -> "audio_dedup_lossy", "id_column" -> "media_id",
-          "column" -> "content", "max_hamming" -> 8), Map.empty, "gate")
+          "column" -> "content", "max_hamming" -> 7), Map.empty, "gate")
     }),
 
     // resize: grayscale PNG thumbnails of the image fixtures; correctness

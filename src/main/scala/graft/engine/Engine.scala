@@ -697,7 +697,7 @@ final class Engine(spark: SparkSession) {
       case "audio_dedup_lossy" =>
         graft.functions.Images.audioDedupLossyGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
-          Config.int(op, "max_hamming").getOrElse(8))
+          Config.int(op, "max_hamming").getOrElse(7))
       case "video_dedup" =>
         graft.functions.Images.videoDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),

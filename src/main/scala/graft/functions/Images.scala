@@ -64,11 +64,21 @@ object Images {
     // frame for the session's lifetime). Eager callers that want the
     // signature computed once across both band-join sides persist the
     // input themselves and unpersist after materializing (sigDedupGroups).
+    //
+    // Band count is pigeonhole-sized to the tolerance: recall is
+    // GUARANTEED only when the error count is strictly below the band
+    // count (some band must then match exactly), so <=3 rides the
+    // cheap 4x16 join, 4..7 the 8x8 join, and >=8 a 16x4 join whose
+    // wider-collision selectivity cost is the price of guaranteed
+    // recall up to 15 (prefer tolerances <= 7 at scale).
+    val nBands = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+    val bandBits = 64 / nBands
+    val bandMask = (1L << bandBits) - 1
     val docs = sigs.filter(col(sigCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"), col(sigCol).cast(LongType).as("sig"))
     val banded = docs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => call_function("shiftright", col("sig"), b * bandBits).bitwiseAND(bandMask)))
         .as(Seq("band", "chunk")))
     val l = banded.toDF("a_id", "a_sig", "band", "chunk")
     val r = banded.toDF("b_id", "b_sig", "band", "chunk")
@@ -130,8 +140,12 @@ object Images {
     * scanned all-pairs. */
   def sigDedupIncremental(delta: DataFrame, index: DataFrame, idCol: String,
                           sigCol: String, maxHamming: Int = 3): DataFrame = {
-    def bands(c: Column) = posexplode(transform(sequence(lit(0), lit(3)),
-      b => call_function("shiftright", c, b * 16).bitwiseAND(0xFFFFL)))
+    // pigeonhole-sized banding, same policy as hammingPairs64
+    val nBands = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+    val bandBits = 64 / nBands
+    val bandMask = (1L << bandBits) - 1
+    def bands(c: Column) = posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+      b => call_function("shiftright", c, b * bandBits).bitwiseAND(bandMask)))
     val dl = delta.filter(col(sigCol).isNotNull)
       .select(col(idCol).cast(LongType).as("a_id"), col(sigCol).cast(LongType).as("a_sig"))
     val dlB = dl.select(col("a_id"), col("a_sig"), bands(col("a_sig")).as(Seq("band", "chunk")))
@@ -165,7 +179,7 @@ object Images {
     * Scale shape identical to [[audioDedupGroups]]: codegen fingerprint,
     * banded 16-bit-chunk equi-join, never all-pairs. */
   def audioDedupLossyGroups(df: DataFrame, idCol: String, binCol: String,
-                            maxHamming: Int = 8): DataFrame = {
+                            maxHamming: Int = 7): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     sigDedupGroups(
       df.select(col(idCol),
