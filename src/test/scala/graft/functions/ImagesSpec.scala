@@ -437,6 +437,30 @@ class ImagesSpec extends SparkSpec {
     assert(ImageKernels.thumbnail("junk".getBytes, 8, 8) == null)
   }
 
+  test("banded hamming recall is pigeonhole-guaranteed at every tolerance tier") {
+    import spark.implicits._
+    // a pair at hamming 4 with one flipped bit in EACH 16-bit chunk:
+    // invisible to a fixed 4x16 band join, mandatory for the 8x8 tier
+    val a = 0x123456789ABCDEF0L
+    val spread4 = a ^ 0x0001000100010001L
+    // hamming 7: one flip in each of seven 8-bit bands, band 0 clean
+    val h7 = a ^ 0x0101010101010100L
+    val sigs = Seq((1L, a), (2L, spread4), (3L, h7)).toDF("id", "sig")
+    val p4 = Images.hammingPairs64(sigs, "id", "sig", 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p4.contains((1L, 2L)), "hamming-4 pair must be found by the 8x8 tier")
+    val p7 = Images.hammingPairs64(sigs, "id", "sig", 7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p7.contains((1L, 3L)), "hamming-7 pair must be found")
+    // and a pair at hamming 8 whose errors hit all eight 8-bit bands:
+    // only the 16x4 tier can see it
+    val spread8 = a ^ 0x0101010101010101L
+    val sigs8 = Seq((1L, a), (2L, spread8)).toDF("id", "sig")
+    val p8 = Images.hammingPairs64(sigs8, "id", "sig", 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p8.contains((1L, 2L)), "hamming-8 pair must be found by the 16x4 tier")
+  }
+
   test("image_meta YAML op appends metadata columns via the engine dispatch") {
     import spark.implicits._
     val media = Seq((0L, GenImages.metaFixture(0L)), (3L, GenImages.metaFixture(3L)))
