@@ -543,12 +543,22 @@ object Bench {
     // mode (GC thrash, block accumulation) apart from a busy box
     val gcSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val storeSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val loadSamples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMs(): Long = {
       var s = 0L
       gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
       s
     }
+    // 1-minute system load after each rep: with GC time and storage it
+    // completes the slow-window discriminator (busy box reads high load
+    // with flat GC/storage; a JVM-internal mode reads the opposite)
+    def loadAvg(): Double =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "US-ASCII")
+        s.split(" ")(0).toDouble
+      } catch { case _: Exception => -1.0 }
     // name -> first error. A throwing query still gets a wall time (so the
     // driver-contract queries map stays complete), but that time measures
     // the failure, not the work — it must never min-merge into BENCH_BEST
@@ -586,6 +596,7 @@ object Bench {
       storeSamples(name) = storeSamples.getOrElse(name, Vector.empty) :+
         spark.sparkContext.getExecutorMemoryStatus.values
           .map { case (max, remaining) => (max - remaining).toDouble }.sum / 1e6
+      loadSamples(name) = loadSamples.getOrElse(name, Vector.empty) :+ loadAvg()
       t
     }
     def measure(name: String)(f: => Unit): Unit =
@@ -624,7 +635,7 @@ object Bench {
     // telemetry indexes must align with the recorded samples — drop the
     // warm-up pass's entries (every later rep() call pairs 1:1 with a
     // sample the caller records)
-    gcSamples.clear(); storeSamples.clear()
+    gcSamples.clear(); storeSamples.clear(); loadSamples.clear()
     bodies.keys.foreach { name =>
       samples(name) = (1 to reps).map(_ => rep(name)).toVector
     }
@@ -787,8 +798,9 @@ object Bench {
     val minSumVsBest = if (bestSum > 0) minSum / bestSum else 1.0
     val gcJs = BenchFormat.jsArrays(gcSamples.toSeq, 3)
     val storeJs = BenchFormat.jsArrays(storeSamples.toSeq, 1)
+    val loadJs = BenchFormat.jsArrays(loadSamples.toSeq, 2)
     val fullJson =
-      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"samples_gc_sec":$gcJs,"samples_storage_mb":$storeJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"samples_gc_sec":$gcJs,"samples_storage_mb":$storeJs,"samples_loadavg":$loadJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     // A contended run must not become the round's official artifact: its
     // +20%-ish uniform inflation makes cross-round per-query diffs
     // unattributable (the r15 lesson). The round-numbered snapshot below
