@@ -2346,6 +2346,20 @@ object SparkEntry {
           "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
     }),
 
+    // the Mac/Sun-era lossless formats: AIFF (80-bit extended-float
+    // rate), AIFC sowt, and Sun .au at PCM16 / G.711 mu-law / A-law —
+    // all fields closed-form in doc_id, G.711 expansions formula-derived
+    "q_audio_meta_legacy" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.legacyAudioFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "audio_format", "audio_channels", "audio_sample_rate",
+          "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
+    }),
+
     // compressed audio INSIDE containers is visible to the audio tier:
     // WebM-Opus/Vorbis (even ids) and MP4-AAC (odd) report their track's
     // declared codec/channels/rate/duration — previously these payloads
@@ -5298,6 +5312,27 @@ object SparkEntry {
     // CodecID + SamplingFrequency/Channels + Segment Duration) for even
     // ids, MP4 (soun trak: stsd mp4a entry + mdhd duration) for odd —
     // all fields id-derived, n_samples 0 (no sample decode by design)
+    // legacy fixture fields are id arithmetic; duration = n*1000/rate
+    // (integer division both sides)
+    "q_audio_meta_legacy" ->
+      """WITH p AS (
+           SELECT doc_id,
+             doc_id % 5 AS arm,
+             (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   ELSE 22050 END)::BIGINT AS rate,
+             (200 + (doc_id % 7) * 50)::BIGINT AS n
+           FROM documents)
+         SELECT doc_id AS media_id,
+           CASE WHEN arm < 2 THEN 'aiff' ELSE 'au' END AS audio_format,
+           1 AS audio_channels,
+           rate AS audio_sample_rate,
+           (CASE WHEN arm <= 2 THEN 16 ELSE 8 END) AS audio_bits,
+           n AS audio_n_samples,
+           (n * 1000) // rate AS audio_duration_ms,
+           CASE arm WHEN 0 THEN 'pcm' WHEN 1 THEN 'sowt' WHEN 2 THEN 'pcm'
+                    WHEN 3 THEN 'ulaw' ELSE 'alaw' END AS audio_codec
+         FROM p""",
+
     "q_audio_meta_container" ->
       """SELECT doc_id AS media_id,
            CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'mp4' END AS audio_format,

@@ -56,6 +56,151 @@ object MediaKernels {
     mkWav(channels, rate, bits, dataOff, dataLen, b)
   }
 
+  /** AIFF / AIFF-C (the big-endian RIFF cousin old Mac-era crawls
+    * carry): FORM/AIFF or FORM/AIFC, COMM (channels, frames, bits,
+    * 80-bit extended-float rate; AIFC adds a compression fourcc — NONE
+    * and sowt byte-order PCM supported), SSND (offset field, PCM).
+    * Returns (channels, rate, bits, nFrames, dataOff, littleEndian) or
+    * null. */
+  private[functions] def aiffInfo(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 38) return null
+    if (!(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+      (b(11) == 'F' || b(11) == 'C'))) return null
+    val aifc = b(11) == 'C'
+    var channels = 0L; var frames = 0L; var bits = 0L; var rate = 0L
+    var little = 0L
+    var dataOff = -1L
+    var compOk = !aifc
+    var p = 12
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val len = be32(b, p + 4)
+      if (len < 0 || len > Int.MaxValue - 16) return null
+      val d = p + 8
+      if (id == "COMM" && len >= 18 && d + 18 <= b.length) {
+        channels = ((b(d) & 0xFF) << 8) | (b(d + 1) & 0xFF)
+        frames = be32(b, d + 2)
+        bits = ((b(d + 6) & 0xFF) << 8) | (b(d + 7) & 0xFF)
+        // 80-bit IEEE extended: 15-bit exponent (bias 16383), 64-bit
+        // mantissa with explicit leading 1 — sample rates are small
+        // integers, so the integer part is exact
+        val exp = (((b(d + 8) & 0x7F) << 8) | (b(d + 9) & 0xFF)) - 16383
+        var mant = 0L
+        var i = 0
+        while (i < 8) { mant = (mant << 8) | (b(d + 10 + i) & 0xFFL); i += 1 }
+        if (exp >= 0 && exp <= 62) rate = mant >>> (63 - exp)
+        if (aifc && len >= 22 && d + 22 <= b.length) {
+          val fourcc = new String(b, d + 18, 4, "US-ASCII")
+          compOk = fourcc == "NONE" || fourcc == "sowt"
+          if (fourcc == "sowt") little = 1L
+        }
+      } else if (id == "SSND" && len >= 8 && d + 8 <= b.length) {
+        dataOff = d + 8 + be32(b, d) // offset field skips alignment pad
+      }
+      p = d + len.toInt + (len.toInt & 1)
+    }
+    if (channels <= 0 || channels > 64 || rate <= 0 || bits <= 0 ||
+      dataOff < 0 || dataOff > b.length || frames < 0 || !compOk ||
+      (bits != 8 && bits != 16)) return null
+    Array(channels, rate, bits, frames, dataOff, little)
+  }
+
+  /** Interleaved PCM16 from an AIFF/AIFC payload (8-bit signed scaled
+    * x257, 16-bit BE or sowt LE), or null. */
+  private[functions] def aiffSamples(b: Array[Byte]): Array[Int] = {
+    val i = aiffInfo(b)
+    if (i == null) return null
+    val bits = i(2).toInt
+    val off = i(4).toInt
+    val little = i(5) == 1L
+    val bytesPer = bits / 8
+    val n0 = i(0) * i(3) // channels x frames (Long: hostile counts)
+    val n = math.min(n0, (b.length - off).toLong / bytesPer).toInt
+    if (n <= 0) return null
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val p = off + bytesPer * k
+      out(k) =
+        if (bits == 8) b(p) * 257 // AIFF 8-bit is SIGNED (unlike WAV)
+        else if (little) ((b(p) & 0xFF) | (b(p + 1) << 8)).toShort.toInt
+        else (((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)).toShort.toInt
+      k += 1
+    }
+    out
+  }
+
+  /** Sun/NeXT .au: magic ".snd", u32 dataOffset / dataSize / encoding /
+    * rate / channels (all BE). Encodings: 1 G.711 mu-law, 2 int8,
+    * 3 int16 BE, 27 G.711 A-law — the G.711 expansions are closed-form
+    * (no tables). Returns (channels, rate, bits, nSamples, dataOff,
+    * encoding) or null. */
+  private[functions] def auInfo(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 24) return null
+    if (!(b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')) return null
+    val dataOff = be32(b, 4)
+    val dataSize0 = be32(b, 8)
+    val enc = be32(b, 12)
+    val rate = be32(b, 16)
+    val ch = be32(b, 20)
+    if (dataOff < 24 || dataOff >= b.length || rate <= 0 || ch <= 0 || ch > 16)
+      return null
+    val bytesPer = enc match {
+      case 1 | 2 | 27 => 1L
+      case 3 => 2L
+      case _ => return null
+    }
+    val avail = b.length - dataOff
+    val dataSize = if (dataSize0 > 0 && dataSize0 <= avail) dataSize0 else avail
+    val bits = if (enc == 3) 16L else 8L
+    Array(ch, rate, bits, dataSize / bytesPer, dataOff, enc)
+  }
+
+  /** G.711 mu-law expansion (closed form, ITU-T G.711): magnitude =
+    * ((mantissa << 3) + 0x84 << exponent) - 0x84. */
+  @inline private def ulaw(code0: Int): Int = {
+    val u = ~code0 & 0xFF
+    val exp = (u >> 4) & 7
+    val mant = u & 0xF
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law expansion (closed form). */
+  @inline private def alaw(code0: Int): Int = {
+    val a = (code0 ^ 0x55) & 0xFF
+    val exp = (a >> 4) & 7
+    val mant = a & 0xF
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Interleaved PCM16 from a .au payload, or null. */
+  private[functions] def auSamples(b: Array[Byte]): Array[Int] = {
+    val i = auInfo(b)
+    if (i == null) return null
+    val off = i(4).toInt
+    val enc = i(5).toInt
+    val n = i(3).toInt
+    if (n <= 0) return null
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) = enc match {
+        case 1 => ulaw(b(off + k) & 0xFF)
+        case 2 => b(off + k) * 257 // signed int8
+        case 27 => alaw(b(off + k) & 0xFF)
+        case _ => (((b(off + 2 * k) & 0xFF) << 8) | (b(off + 2 * k + 1) & 0xFF))
+          .toShort.toInt
+      }
+      k += 1
+    }
+    out
+  }
+
   private def mkWav(channels: Long, rate: Long, bits: Long,
                     dataOff: Long, dataLen: Long, b: Array[Byte]): Array[Long] = {
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataOff < 0) return null
@@ -87,6 +232,20 @@ object MediaKernels {
     if (flac != null)
       return row("flac", flac(0).toInt, flac(1), flac(2).toInt, flac(3),
         if (flac(1) > 0) flac(3) * 1000L / flac(1) else 0L, "flac")
+    val aif = aiffInfo(b)
+    if (aif != null)
+      return row("aiff", aif(0).toInt, aif(1), aif(2).toInt, aif(3),
+        if (aif(1) > 0) aif(3) * 1000L / aif(1) else 0L,
+        if (aif(5) == 1L) "sowt" else "pcm")
+    val au = auInfo(b)
+    if (au != null)
+      return row("au", au(0).toInt, au(1), au(2).toInt, au(3) / au(0),
+        if (au(1) > 0) au(3) / au(0) * 1000L / au(1) else 0L,
+        au(5) match {
+          case 1L => "ulaw"
+          case 27L => "alaw"
+          case _ => "pcm"
+        })
     val mp3 = mp3Info(b)
     if (mp3 != null)
       return row("mp3", mp3(0).toInt, mp3(1), 0, mp3(2),
@@ -336,7 +495,15 @@ object MediaKernels {
       // recording exactly
       val native = Ogg.flacNative(b)
       if (native != null) Flac.decode16(native) else null
-    } else null
+    } else {
+      // the legacy lossless pair: AIFF/AIFC (big-endian / sowt PCM,
+      // identical normalization, so fingerprints match WAV/FLAC of the
+      // same recording) and Sun .au (PCM16/int8 exact; G.711 mu-law /
+      // A-law expand via the closed-form formulas — the FILE decodes
+      // deterministically, its fingerprint is its own)
+      val aiff = aiffSamples(b)
+      if (aiff != null) aiff else auSamples(b)
+    }
   }
 
   /** Interleaved integer samples normalized to the 16-bit range, or null.
@@ -492,6 +659,88 @@ object MediaKernels {
       t += 1
     }
     fp
+  }
+
+  /** Minimal PCM16 mono AIFF (or AIFC/sowt) encoder — fixtures. */
+  def encodeAiff(sampleRate: Int, samples: Array[Int],
+                 sowt: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def be32(v: Int): Unit = { be16((v >> 16) & 0xFFFF); be16(v & 0xFFFF) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val commLen = if (sowt) 24 else 18 // AIFC: fourcc + empty pstring
+    val dataLen = samples.length * 2
+    tag("FORM")
+    be32(4 + (8 + commLen) + (8 + 8 + dataLen) + (if (sowt) 12 else 0))
+    tag(if (sowt) "AIFC" else "AIFF")
+    if (sowt) { tag("FVER"); be32(4); be32(0xA2805140) } // AIFC version 1
+    tag("COMM"); be32(commLen)
+    be16(1) // channels
+    be32(samples.length)
+    be16(16)
+    // 80-bit extended float: exponent chosen so mantissa's top bit is 1
+    var exp = 0
+    var m = sampleRate
+    while (m > 1) { m >>= 1; exp += 1 }
+    be16(16383 + exp)
+    var mant = sampleRate.toLong << (63 - exp)
+    var i = 0
+    while (i < 8) { out.write(((mant >>> (56 - 8 * i)) & 0xFF).toInt); i += 1 }
+    if (sowt) { tag("sowt"); be16(0) } // 0-length pstring, padded
+    tag("SSND"); be32(8 + dataLen); be32(0); be32(0)
+    i = 0
+    while (i < samples.length) {
+      val v = samples(i) & 0xFFFF
+      if (sowt) { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      else { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** G.711 mu-law compression (closed-form inverse of [[ulaw]]) —
+    * fixture encoder for the .au lossy arm. */
+  private[functions] def ulawEncode(pcm0: Int): Int = {
+    val Bias = 0x84
+    var pcm = pcm0
+    val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+    if (pcm > 32635) pcm = 32635
+    pcm += Bias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (pcm & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (pcm >> (exp + 3)) & 0xF
+    (~(sign | (exp << 4) | mant)) & 0xFF
+  }
+
+  /** Minimal mono .au encoder: encoding 1 (mu-law), 2 (int8), 3
+    * (PCM16 BE). */
+  def encodeAu(encoding: Int, sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val bytesPer = if (encoding == 3) 2 else 1
+    val out = new Array[Byte](24 + samples.length * bytesPer)
+    def be32(p: Int, v: Int): Unit = {
+      out(p) = (v >> 24).toByte; out(p + 1) = (v >> 16).toByte
+      out(p + 2) = (v >> 8).toByte; out(p + 3) = v.toByte
+    }
+    out(0) = '.'; out(1) = 's'; out(2) = 'n'; out(3) = 'd'
+    be32(4, 24)
+    be32(8, samples.length * bytesPer)
+    be32(12, encoding)
+    be32(16, sampleRate)
+    be32(20, 1)
+    var i = 0
+    while (i < samples.length) {
+      encoding match {
+        case 1 => out(24 + i) = ulawEncode(samples(i)).toByte
+        case 2 => out(24 + i) = (samples(i) / 257).toByte
+        case 27 => out(24 + i) = (samples(i) & 0xFF).toByte // raw A-law codes
+        case _ =>
+          out(24 + 2 * i) = (samples(i) >> 8).toByte
+          out(24 + 2 * i + 1) = samples(i).toByte
+      }
+      i += 1
+    }
+    out
   }
 
   /** Minimal PCM16 mono WAV encoder (fixtures + sink). */

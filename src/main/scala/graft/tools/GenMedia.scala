@@ -68,27 +68,46 @@ object GenMedia {
     val base = id % 250
     val raw = Array.tabulate(2048)(i => lossyAudioSample(base, i))
     val samples = if (id >= 250) raw.map(_ / 2) else raw
-    (id % 250 + id / 250) % 4 match {
+    (id % 250 + id / 250) % 5 match {
       case 0 => MediaKernels.encodeWav(16000, samples)
       case 1 => graft.functions.Flac.encodeMono16(16000, samples)
       case 2 => graft.functions.Vorbis.encode(16000, samples, twoPass = false)
-      case _ => graft.functions.Webm.encodeMkvVorbis(
+      case 3 => graft.functions.Webm.encodeMkvVorbis(
         graft.functions.Vorbis.encodePacketSeq(16000, samples, twoPass = false)._1)
+      case _ => MediaKernels.encodeAu(1, 16000, samples) // G.711 mu-law
     }
   }
 
-  /** Container rotates WAV / FLAC / Ogg-FLAC on (id%250 + id/250) mod 3,
-    * so EVERY constructed near-dup pair (i, i+250) crosses containers
-    * and all three appear on both sides; FLAC decode is lossless and
-    * Ogg is pure carriage, so fingerprints are bit-identical in all
-    * three. */
+  /** Container rotates WAV / FLAC / Ogg-FLAC / AIFF / .au-PCM16 on
+    * (id%250 + id/250) mod 5, so EVERY constructed near-dup pair
+    * (i, i+250) crosses containers and all five appear on both sides;
+    * every arm is lossless with identical normalization, so
+    * fingerprints are bit-identical in all five. */
   def audioDedupFixture(id: Long): Array[Byte] = {
     val samples = Array.tabulate(256)(i => audioDedupSample(id, i))
-    (id % 250 + id / 250) % 3 match {
+    (id % 250 + id / 250) % 5 match {
       case 0 => MediaKernels.encodeWav(16000, samples)
       case 1 => graft.functions.Flac.encodeMono16(16000, samples)
-      case _ => graft.functions.Ogg.encodeOggFlac(
+      case 2 => graft.functions.Ogg.encodeOggFlac(
         graft.functions.Flac.encodeMono16(16000, samples), 256L)
+      case 3 => MediaKernels.encodeAiff(16000, samples, sowt = id % 2 == 0)
+      case _ => MediaKernels.encodeAu(3, 16000, samples)
+    }
+  }
+
+  /** q_audio_meta_legacy payload: the Mac/Sun-era lossless formats —
+    * id%5 rotates AIFF / AIFC-sowt / .au PCM16 / .au G.711 mu-law /
+    * .au A-law; all fields id-derived so the oracle is closed-form. */
+  def legacyAudioFixture(id: Long): Array[Byte] = {
+    val rate = Seq(8000, 16000, 22050)((id % 3).toInt)
+    val n = 200 + (id % 7).toInt * 50
+    val samples = Array.tabulate(n)(i => lossyAudioSample(id % 100, i))
+    (id % 5) match {
+      case 0 => MediaKernels.encodeAiff(rate, samples)
+      case 1 => MediaKernels.encodeAiff(rate, samples, sowt = true)
+      case 2 => MediaKernels.encodeAu(3, rate, samples)
+      case 3 => MediaKernels.encodeAu(1, rate, samples)
+      case _ => MediaKernels.encodeAu(27, rate, samples)
     }
   }
 

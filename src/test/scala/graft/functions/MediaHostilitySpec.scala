@@ -21,7 +21,10 @@ class MediaHostilitySpec extends AnyFunSuite {
       "apng" -> graft.tools.GenMedia.apngVideoFixture(2),
       "ogg-vorbis-real" -> Vorbis.encode(16000,
         Array.tabulate(2048)(i => graft.tools.GenMedia.lossyAudioSample(1, i)),
-        twoPass = false)
+        twoPass = false),
+      "mkv-vorbis" -> graft.tools.GenMedia.lossyAudioDedupFixture(3),
+      "aiff" -> graft.tools.GenMedia.legacyAudioFixture(1),
+      "au-ulaw" -> graft.tools.GenMedia.legacyAudioFixture(3)
     )
     val rnd = new scala.util.Random(20260816L)
     val t0 = System.nanoTime()
