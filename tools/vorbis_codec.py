@@ -978,7 +978,15 @@ class Encoder:
         residue.write(setup)
         setup.write(0, 6)
         setup.write(0, 16)
-        setup.write(0, 1)
+        submaps2 = self.cfg.get("submaps2", False) and ch == 2 and not coupling
+        if submaps2:
+            # two submaps, one channel each (mux [0, 1]) — both point at
+            # the same floor/residue configs; the DECODE path differs
+            # (residues run per submap, one channel per vector set)
+            setup.write(1, 1)
+            setup.write(1, 4)  # submaps - 1
+        else:
+            setup.write(0, 1)
         if coupling:
             setup.write(1, 1)
             setup.write(0, 8)
@@ -987,9 +995,13 @@ class Encoder:
         else:
             setup.write(0, 1)
         setup.write(0, 2)
-        setup.write(0, 8)
-        setup.write(0, 8)
-        setup.write(0, 8)
+        if submaps2:
+            setup.write(0, 4)  # mux ch0 -> submap 0
+            setup.write(1, 4)  # mux ch1 -> submap 1
+        for _ in range(2 if submaps2 else 1):
+            setup.write(0, 8)
+            setup.write(0, 8)
+            setup.write(0, 8)
         setup.write(len(modes) - 1, 6)
         for bf, mapping in modes:
             setup.write(bf, 1)
@@ -1017,8 +1029,13 @@ class Encoder:
                 pkt.write(ys[1], ybits)
                 for yy in ys[2:]:
                     fbook.encode_entry(pkt, yy)
-            self.write_residue(pkt, residue, books, pass_books,
-                               [list(v) for v in res], rtype, ch)
+            if submaps2:
+                for j in range(ch):  # one residue call per submap
+                    self.write_residue(pkt, residue, books, pass_books,
+                                       [list(res[j])], rtype, 1)
+            else:
+                self.write_residue(pkt, residue, books, pass_books,
+                                   [list(v) for v in res], rtype, ch)
             if i > 0:
                 granule += (sizes[i - 1] + n) // 4
             packets.append((pkt.data(), granule if i > 0 else -1))
@@ -1382,6 +1399,7 @@ def gen_corpus(path, n_streams=24):
                    coupling=(ch == 2 and t % 2 == 0),
                    lookup1=(t % 5 == 0),
                    two_pass=(t % 5 == 0 or t % 6 == 1),
+                   submaps2=(t in (9, 21)),  # stereo, no coupling at these t
                    page_max_segs=(5 if t % 7 == 0 else 255),
                    # real-Huffman shapes: variable-length, ordered
                    # (run-length serialized) and sparse codebooks
