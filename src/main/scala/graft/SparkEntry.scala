@@ -2346,6 +2346,21 @@ object SparkEntry {
           "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
     }),
 
+    // Ogg-Theora (.ogv): picture dims, fps and granule-split frame
+    // count from the identification header — the last silently-null
+    // video container; decode stays a documented non-goal (VP3-family
+    // tables, the High-8x8 validation-path class)
+    "q_video_meta_theora" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.theoraFixture(id))))
+        .toDF("media_id", "content")
+      new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "video_meta", "column" -> "content"), Map.empty, "gate")
+        .select("media_id", "video_format", "video_width", "video_height",
+          "video_duration_ms", "video_codec")
+    }),
+
     // the Mac/Sun-era lossless formats: AIFF (80-bit extended-float
     // rate), AIFC sowt, and Sun .au at PCM16 / G.711 mu-law / A-law —
     // all fields closed-form in doc_id, G.711 expansions formula-derived
@@ -5312,6 +5327,18 @@ object SparkEntry {
     // CodecID + SamplingFrequency/Channels + Segment Duration) for even
     // ids, MP4 (soun trak: stsd mp4a entry + mdhd duration) for odd —
     // all fields id-derived, n_samples 0 (no sample decode by design)
+    // theora fixture fields are id arithmetic; duration =
+    // frames*1000*frd/frn with frd=1 (integer division both sides)
+    "q_video_meta_theora" ->
+      """SELECT doc_id AS media_id, 'ogg' AS video_format,
+           (160 + (doc_id % 9) * 16)::INTEGER AS video_width,
+           (120 + (doc_id % 5) * 16)::INTEGER AS video_height,
+           ((10 + doc_id % 40) * 1000) //
+             (CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 25 ELSE 24 END)
+             AS video_duration_ms,
+           'theora' AS video_codec
+         FROM documents""",
+
     // legacy fixture fields are id arithmetic; duration = n*1000/rate
     // (integer division both sides)
     "q_audio_meta_legacy" ->

@@ -808,6 +808,8 @@ object MediaKernels {
     if (wp != null) return row("webp", wp, Webp.animCodec(b))
     val ap = ImageKernels.apngMeta(b)
     if (ap != null) return row("apng", ap, "png")
+    val th = Ogg.theoraInfo(b)
+    if (th != null) return row("ogg", th, "theora")
     new GenericInternalRow(Array[Any](null, 0, 0, 0L, null))
   }
 

@@ -77,6 +77,11 @@ object Ogg {
           ch = b(d + 9) & 0xFF
           rate = le32(b, d + 12) // declared input rate; playback is 48 kHz
           granRate = 48000L
+        } else if (starts(b, d, "Speex   ") && plen >= 52) {
+          codec = "speex"
+          rate = le32(b, d + 36)
+          ch = le32(b, d + 48)
+          granRate = rate
         } else if (starts(b, d, "FLAC") && plen >= 13) {
           codec = "flac"
         }
@@ -93,6 +98,105 @@ object Ogg {
     val dur = if (lastGranule > 0 && granRate > 0) lastGranule * 1000L / granRate else 0L
     val n = if (codec == "vorbis" && lastGranule > 0) lastGranule else 0L
     (Array(ch, rate, n, dur), codec)
+  }
+
+  /** Theora video metadata from an Ogg stream (the .ogv crawl shape):
+    * (picture width, picture height, durationMs). The identification
+    * header's fields are byte-aligned big-endian (Theora I spec 6.2):
+    * PICW/PICH 24-bit at offsets 14/17, frame rate FRN/FRD 32-bit at
+    * 22/26, and KFGSHIFT (5 bits of the 16-bit field at offset 40)
+    * splits granules into keyframe<<shift | delta — frames = the two
+    * summed. Decode is a documented non-goal (VP3-family coefficient
+    * tables, same no-validation-path class as High-8x8); this walk
+    * makes .ogv files VISIBLE to video_meta. Null when no Theora BOS. */
+  private[functions] def theoraInfo(b: Array[Byte]): Array[Long] = {
+    if (!isOgg(b)) return null
+    var serial = -1L
+    var lastGranule = -1L
+    var picw = 0L
+    var pich = 0L
+    var frn = 0L
+    var frd = 0L
+    var kfg = 0
+    def be24(p: Int): Long =
+      ((b(p) & 0xFFL) << 16) | ((b(p + 1) & 0xFFL) << 8) | (b(p + 2) & 0xFFL)
+    def be32s(p: Int): Long = (be24(p) << 8) | (b(p + 3) & 0xFFL)
+    var p = 0
+    var pages = 0
+    while (p + 27 <= b.length && pages < (1 << 20) &&
+      b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S') {
+      val nseg = b(p + 26) & 0xFF
+      if (p + 27 + nseg > b.length) return mkTheora(picw, pich, frn, frd, kfg, lastGranule)
+      var plen = 0
+      var i = 0
+      while (i < nseg) { plen += b(p + 27 + i) & 0xFF; i += 1 }
+      val d = p + 27 + nseg
+      if (d + plen > b.length) return mkTheora(picw, pich, frn, frd, kfg, lastGranule)
+      val granule = le64(b, p + 6)
+      if (serial >= 0 && granule >= 0 && le32(b, p + 14) == serial)
+        lastGranule = granule
+      if (serial < 0 && (b(p + 5) & 0x02) != 0 && plen >= 42 &&
+        (b(d) & 0xFF) == 0x80 && starts(b, d + 1, "theora")) {
+        serial = le32(b, p + 14)
+        picw = be24(d + 14)
+        pich = be24(d + 17)
+        frn = be32s(d + 22)
+        frd = be32s(d + 26)
+        val tail = ((b(d + 40) & 0xFF) << 8) | (b(d + 41) & 0xFF)
+        kfg = (tail >> 5) & 0x1F
+      }
+      p = d + plen
+      pages += 1
+    }
+    mkTheora(picw, pich, frn, frd, kfg, lastGranule)
+  }
+
+  private def mkTheora(picw: Long, pich: Long, frn: Long, frd: Long,
+                       kfg: Int, lastGranule: Long): Array[Long] = {
+    if (picw <= 0 || pich <= 0) return null
+    val frames =
+      if (lastGranule <= 0) 0L
+      else (lastGranule >> kfg) + (lastGranule & ((1L << kfg) - 1))
+    val dur = if (frn > 0 && frames > 0) frames * 1000L * frd / frn else 0L
+    Array(picw, pich, dur)
+  }
+
+  /** Ogg-Theora metadata fixture: BOS page with the identification
+    * header + an EOS page whose granule encodes `frames` as
+    * keyframe<<kfgShift (all frames since one keyframe split evenly
+    * for nonzero delta coverage). */
+  def encodeOggTheora(picw: Int, pich: Int, frn: Long, frd: Long,
+                      kfgShift: Int, frames: Long): Array[Byte] = {
+    val ident = new Array[Byte](42)
+    ident(0) = 0x80.toByte
+    "theora".getBytes("US-ASCII").copyToArray(ident, 1)
+    ident(7) = 3; ident(8) = 2; ident(9) = 1 // version 3.2.1
+    def be16(p: Int, v: Int): Unit = {
+      ident(p) = (v >> 8).toByte; ident(p + 1) = v.toByte
+    }
+    def be24(p: Int, v: Long): Unit = {
+      ident(p) = (v >> 16).toByte; ident(p + 1) = (v >> 8).toByte
+      ident(p + 2) = v.toByte
+    }
+    def be32(p: Int, v: Long): Unit = {
+      ident(p) = (v >> 24).toByte; be24(p + 1, v & 0xFFFFFF)
+    }
+    be16(10, (picw + 15) / 16)
+    be16(12, (pich + 15) / 16)
+    be24(14, picw)
+    be24(17, pich)
+    be32(22, frn)
+    be32(26, frd)
+    be24(30, 0); be24(33, 0) // PAR
+    ident(36) = 0 // colorspace
+    be24(37, 0) // nominal bitrate
+    val tail = (48 << 10) | ((kfgShift & 0x1F) << 5) // QUAL 48, PF/Res 0
+    ident(40) = (tail >> 8).toByte
+    ident(41) = tail.toByte
+    val half = frames / 2
+    val granule = (half << kfgShift) | (frames - half)
+    page(0x74686F72L, 0, -1L, 2, ident) ++
+      page(0x74686F72L, 1, granule, 4, Array[Byte](0))
   }
 
   /** Reconstruct the NATIVE FLAC stream from an Ogg-FLAC file: page

@@ -111,6 +111,17 @@ object GenMedia {
     }
   }
 
+  /** q_video_meta_theora payload: .ogv identification headers with
+    * id-derived picture dims, frame rate and granule-split frame count
+    * (keyframe<<kfgshift | delta) — closed-form oracle. */
+  def theoraFixture(id: Long): Array[Byte] = {
+    val picw = 160 + (id % 9).toInt * 16
+    val pich = 120 + (id % 5).toInt * 16
+    val frn = Seq(30L, 25L, 24L)((id % 3).toInt)
+    val frames = 10 + (id % 40)
+    graft.functions.Ogg.encodeOggTheora(picw, pich, frn, 1L, 6, frames)
+  }
+
   def flacRate(id: Long): Long = 16000L + (id % 5) * 4000L
   def flacSamples(id: Long): Long = 10000L + id * 7L
   /** Rotates all three MPEG generations: MPEG-1 full rates, MPEG-2 half

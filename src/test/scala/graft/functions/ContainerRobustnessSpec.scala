@@ -74,6 +74,23 @@ class ContainerRobustnessSpec extends AnyFunSuite {
     assert(pngDims(frames(1)) == ((44, 36)))
   }
 
+  test("Ogg-Theora video_meta and Speex audio_meta surface dims/codec (decode non-goals)") {
+    val ogv = Ogg.encodeOggTheora(320, 240, 30L, 1L, 6, 45L)
+    val m = MediaKernels.videoMetaRow(ogv)
+    assert(m.getString(0) == "ogg" && m.getString(4) == "theora")
+    assert(m.getInt(1) == 320 && m.getInt(2) == 240 && m.getLong(3) == 1500L)
+    // a Speex BOS identifies with rate + channels (metadata only)
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    val speexIdent = "Speex   ".getBytes("ISO-8859-1") ++ new Array[Byte](28) ++
+      le(8000L, 4) ++ le(0, 8) ++ le(1L, 4) ++ new Array[Byte](28)
+    val spx = Ogg.page(777L, 0, -1L, 2, speexIdent) ++
+      Ogg.page(777L, 1, 16000L, 4, Array[Byte](0))
+    val a = MediaKernels.audioMetaRow(spx)
+    assert(a.getString(0) == "ogg" && a.getString(6) == "speex")
+    assert(a.getInt(1) == 1 && a.getLong(2) == 8000L && a.getLong(5) == 2000L)
+  }
+
   test("AVIF/HEIC: primary-item ispe wins over the thumbnail's; codec box names the format") {
     val avif = ImageKernels.imageMeta(ImageKernels.encodeHeifHeader("av01", 320, 240, 80, 60))
     assert(avif == (("avif", 320, 240, 0)))

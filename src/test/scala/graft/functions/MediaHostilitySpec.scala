@@ -24,7 +24,8 @@ class MediaHostilitySpec extends AnyFunSuite {
         twoPass = false),
       "mkv-vorbis" -> graft.tools.GenMedia.lossyAudioDedupFixture(3),
       "aiff" -> graft.tools.GenMedia.legacyAudioFixture(1),
-      "au-ulaw" -> graft.tools.GenMedia.legacyAudioFixture(3)
+      "au-ulaw" -> graft.tools.GenMedia.legacyAudioFixture(3),
+      "ogv-theora" -> graft.tools.GenMedia.theoraFixture(7)
     )
     val rnd = new scala.util.Random(20260816L)
     val t0 = System.nanoTime()
