@@ -175,6 +175,12 @@ object BenchFormat {
     * it shares with its predecessor (capped at 35), then its suffix.
     * Composes with [[tokEncode]] (codes are uppercase, the count char is
     * positional, so no ambiguity). */
+  /** Length-marker alphabet for [[prefixEncode]]: JSON-string-safe
+    * punctuation DISJOINT from name chars ([a-z0-9_]) and token codes
+    * ([A-Z]), so entries self-delimit with no separator — at 200+
+    * queries the comma alone cost more than the whole envelope. */
+  private val PfxLenChars = "!#$%&()*+-./:;<=>?@[]^`{|}~'"
+
   def prefixEncode(names: Seq[String]): String = {
     val sb = new StringBuilder
     var prev = ""
@@ -182,9 +188,9 @@ object BenchFormat {
       if (i == 0) sb.append(n)
       else {
         var k = 0
-        val max = math.min(math.min(prev.length, n.length), 35)
+        val max = math.min(math.min(prev.length, n.length), PfxLenChars.length - 1)
         while (k < max && prev(k) == n(k)) k += 1
-        sb.append(',').append(java.lang.Integer.toString(k, 36)).append(n.substring(k))
+        sb.append(PfxLenChars(k)).append(n.substring(k))
       }
       prev = n
     }
@@ -194,15 +200,28 @@ object BenchFormat {
   /** Inverse of [[prefixEncode]]. */
   def prefixDecode(s: String): Seq[String] = {
     if (s.isEmpty) return Nil
-    val parts = s.split(",", -1)
-    val out = scala.collection.mutable.ArrayBuffer[String](parts(0))
-    var prev = parts(0)
-    parts.iterator.drop(1).foreach { p =>
-      val k = java.lang.Integer.parseInt(p.take(1), 36)
-      val n = prev.take(k) + p.drop(1)
-      out += n
-      prev = n
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    var start = 0
+    var prev = ""
+    def flush(upTo: Int): Unit = {
+      if (out.isEmpty) { prev = s.substring(start, upTo); out += prev }
     }
+    // first entry runs to the first length-marker char; each later entry
+    // is [marker][suffix] where marker's index = shared-prefix length
+    var k = -1
+    while (i < s.length) {
+      val m = PfxLenChars.indexOf(s.charAt(i))
+      if (m >= 0) {
+        if (out.isEmpty) flush(i)
+        else { prev = prev.substring(0, k) + s.substring(start, i); out += prev }
+        k = m
+        start = i + 1
+      }
+      i += 1
+    }
+    if (out.isEmpty) flush(s.length)
+    else { prev = prev.substring(0, k) + s.substring(start); out += prev }
     out.toSeq
   }
 

@@ -52,6 +52,8 @@ class FlacSpec extends AnyFunSuite {
       case 'R' => 'w' // RIFF WAV
       case 'f' => 'f' // native fLaC
       case 'O' => 'o' // Ogg-FLAC
+      case 'F' => 'a' // FORM AIFF/AIFC
+      case '.' => 'u' // Sun .au
       case other => fail(s"unknown container byte $other")
     }
     val seen = scala.collection.mutable.Set.empty[Char]
@@ -62,7 +64,8 @@ class FlacSpec extends AnyFunSuite {
       seen += kind(a); seen += kind(b)
       assert(MediaKernels.audioFingerprint(a) == MediaKernels.audioFingerprint(b))
     }
-    assert(seen == Set('w', 'f', 'o'), s"rotation must cover all three: $seen")
+    assert(seen == Set('w', 'f', 'o', 'a', 'u'),
+      s"rotation must cover all five lossless containers: $seen")
   }
 
   test("stereo round-trips through every channel assignment, bit-exact") {
