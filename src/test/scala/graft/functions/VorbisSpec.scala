@@ -46,6 +46,31 @@ class VorbisSpec extends AnyFunSuite {
     info(s"${corpus().size} streams, max deviation $maxDiff LSB")
   }
 
+  test("deep randomized sweep decodes bit-near (auto-cancels when absent)") {
+    // the H.264 two-layer pattern: tools/vorbis_codec.py sweep writes
+    // 200 randomized-config streams to /tmp — regenerate with
+    // `python3 tools/vorbis_codec.py sweep` to arm this layer
+    val f = new java.io.File("/tmp/vorbis_sweep.txt")
+    assume(f.exists, "/tmp/vorbis_sweep.txt absent — run tools/vorbis_codec.py sweep")
+    var n = 0
+    scala.io.Source.fromFile(f).getLines().zipWithIndex.foreach { case (line, idx) =>
+      val p = line.split(" ")
+      val ogg = java.util.Base64.getDecoder.decode(p(0))
+      val pcmBytes = java.util.Base64.getDecoder.decode(p(3))
+      val d = Vorbis.decode(ogg)
+      assert(d != null, s"[$idx] null decode")
+      assert(d.pcm.length == pcmBytes.length / 2, s"[$idx] length")
+      var i = 0
+      while (i < d.pcm.length) {
+        val exp = ((pcmBytes(2 * i) & 0xFF) | (pcmBytes(2 * i + 1) << 8)).toShort.toInt
+        assert(math.abs(d.pcm(i) - exp) <= 2, s"[$idx] sample $i")
+        i += 1
+      }
+      n += 1
+    }
+    info(s"$n randomized streams within 2 LSB")
+  }
+
   test("info reads channels/rate/granule without sample decode") {
     val (ogg, ch, rate, pcm) = corpus().head
     val m = Vorbis.info(ogg)

@@ -1441,6 +1441,52 @@ def gen_corpus(path, n_streams=24):
     print(f"wrote {len(rows)} streams -> {path}")
 
 
+def gen_sweep(path, n_streams=200, seed=319):
+    """Deep randomized sweep to /tmp (the H.264 two-layer pattern): the
+    committed 24-stream corpus always runs; this larger randomized layer
+    arms VorbisSpec's deep test when present."""
+    rows = []
+    rnd = random.Random(seed)
+    for t in range(n_streams):
+        ch = rnd.choice([1, 1, 2])
+        bs0 = rnd.choice([128, 256, 512])
+        bs1 = bs0 * rnd.choice([1, 2, 4])
+        coupling = ch == 2 and rnd.random() < 0.5
+        cfg = dict(channels=ch, rate=rnd.choice([8000, 16000, 22050, 44100]),
+                   bs0=bs0, bs1=min(bs1, 2048),
+                   residue_type=rnd.randrange(3),
+                   coupling=coupling,
+                   lookup1=rnd.random() < 0.25,
+                   two_pass=rnd.random() < 0.5,
+                   submaps2=(ch == 2 and not coupling and rnd.random() < 0.3),
+                   page_max_segs=rnd.choice([255, 255, 255, 5, 11]),
+                   book_style=rnd.choice(["flat", "varlen", "ordered", "sparse"]))
+        if cfg["lookup1"]:
+            cfg["two_pass"] = True
+        if rnd.random() < 0.3:
+            cfg["multiplier"] = rnd.randint(1, 4)
+            rng0 = FLOOR1_RANGES[cfg["multiplier"] - 1]
+            nposts = rnd.randint(1, 6)
+            xs = sorted(rnd.sample(range(2, (1 << 7) - 1), nposts))
+            cfg["rangebits"] = 7
+            cfg["floor_posts"] = [(x, 0) for x in xs]
+            cfg["floor_ys"] = [rng0 - 1, rng0 - 1 - rnd.randint(0, 25)] +                 [rnd.randint(0, 14) for _ in range(nposts)]
+            cfg["two_pass"] = True
+        ns = rnd.randrange(1024, 4096, 128)
+        sig = test_signal(ns, ch, seed=seed * 1000 + t)
+        ogg = Encoder(cfg, rnd=random.Random(t)).encode(sig)
+        got = Decoder(ogg).decode()
+        q = snr(sig[:len(got)], got[:len(sig)])
+        assert q > 20, (t, q, cfg)
+        pcm = struct.pack(f"<{len(got)}h", *got)
+        rows.append((base64.b64encode(ogg).decode(), ch, cfg["rate"],
+                     base64.b64encode(pcm).decode()))
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(" ".join(map(str, r)) + "\n")
+    print(f"wrote {len(rows)} streams -> {path}")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "selftest"
     if cmd == "selftest":
@@ -1449,3 +1495,6 @@ if __name__ == "__main__":
         gen_corpus(os.path.join(os.path.dirname(__file__), "..", "src",
                                 "test", "resources", "vorbis",
                                 "corpus.txt"))
+    elif cmd == "sweep":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+        gen_sweep("/tmp/vorbis_sweep.txt", n)
