@@ -2346,6 +2346,31 @@ object SparkEntry {
           "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
     }),
 
+    // storage normalization: every lossless/lossy arm of the 5-container
+    // rotation re-encodes to mono Ogg-Vorbis ON EXECUTORS via the native
+    // encoder; correctness observed through the TRANSCODED payload's
+    // audio_meta (exact closed-form fields: the encoder's granule trim
+    // preserves the sample count) and a spectral-fingerprint proximity
+    // bit (the transcode must still sound like the source)
+    "q_audio_transcode" -> ((s, d) => {
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 500).as[Long]
+        .mapPartitions(_.map(id => (id, graft.tools.GenMedia.lossyAudioDedupFixture(id))))
+        .toDF("media_id", "content")
+      val out = new graft.engine.Engine(s).applyOperation(media,
+        Map("operation" -> "audio_transcode", "column" -> "content"),
+        Map.empty, "gate")
+      val meta = new graft.engine.Engine(s).applyOperation(
+        out.select(col("media_id"), col("content"), col("audio_ogg")),
+        Map("operation" -> "audio_meta", "column" -> "audio_ogg"), Map.empty, "gate")
+      meta.select(col("media_id"), col("audio_format"), col("audio_channels"),
+        col("audio_sample_rate"), col("audio_n_samples"), col("audio_codec"),
+        (expr("abs(bit_count(audio_fingerprint_spectral(content) ^ " +
+          "audio_fingerprint_spectral(audio_ogg)))") <= 7).as("fp_near"))
+    }),
+
     // Ogg-Theora (.ogv): picture dims, fps and granule-split frame
     // count from the identification header — the last silently-null
     // video container; decode stays a documented non-goal (VP3-family
@@ -5327,6 +5352,16 @@ object SparkEntry {
     // CodecID + SamplingFrequency/Channels + Segment Duration) for even
     // ids, MP4 (soun trak: stsd mp4a entry + mdhd duration) for odd —
     // all fields id-derived, n_samples 0 (no sample decode by design)
+    // every transcoded payload is mono 16 kHz Vorbis with the sample
+    // count preserved by the encoder's granule trim; proximity is
+    // closed-form true
+    "q_audio_transcode" ->
+      """SELECT doc_id AS media_id, 'ogg' AS audio_format,
+           1 AS audio_channels, 16000::BIGINT AS audio_sample_rate,
+           2048::BIGINT AS audio_n_samples, 'vorbis' AS audio_codec,
+           true AS fp_near
+         FROM documents WHERE doc_id < 500""",
+
     // theora fixture fields are id arithmetic; duration =
     // frames*1000*frd/frn with frd=1 (integer division both sides)
     "q_video_meta_theora" ->

@@ -229,6 +229,7 @@ final class Engine(spark: SparkSession) {
     "audio_fingerprint" -> Set("column", "new_column"),
     "audio_dedup" -> Set("id_column", "column", "max_hamming"),
     "audio_dedup_lossy" -> Set("id_column", "column", "max_hamming"),
+    "audio_transcode" -> Set("column", "new_column", "quality"),
     "image_thumbnail" -> Set("column", "new_column", "width", "height"),
     "doc_text" -> Set("column", "new_column", "format"),
     "decode_text" -> Set("column", "new_column", "charset", "charset_column"),
@@ -694,6 +695,13 @@ final class Engine(spark: SparkSession) {
         graft.functions.Images.audioDedupGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),
           Config.int(op, "max_hamming").getOrElse(2))
+      case "audio_transcode" =>
+        graft.expressions.GraftFunctions.register(df.sparkSession)
+        df.withColumn(Config.str(op, "new_column").getOrElse("audio_ogg"),
+          org.apache.spark.sql.functions.call_function("audio_transcode_vorbis",
+            org.apache.spark.sql.functions.col(Config.reqStr(op, "column", ctx)),
+            org.apache.spark.sql.functions.lit(
+              Config.str(op, "quality").contains("transparent"))))
       case "audio_dedup_lossy" =>
         graft.functions.Images.audioDedupLossyGroups(df,
           Config.reqStr(op, "id_column", ctx), Config.reqStr(op, "column", ctx),

@@ -160,6 +160,45 @@ case class AudioFingerprintSpectral(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Transcode any decodable audio payload to mono Ogg-Vorbis at the
+  * source rate (native encoder; multi-channel downmixes by average).
+  * `transparent` selects the near-lossless two-pass grid; otherwise the
+  * ~45 dB single-pass mode. NULL for undecodable payloads. */
+case class AudioTranscodeVorbis(child: Expression, transparent: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_transcode_vorbis requires a binary argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_transcode_vorbis"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.functions.MediaKernels.audioTranscodeVorbis(
+      v.asInstanceOf[Array[Byte]], transparent)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("atv")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      byte[] ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        byte[] $r = graft.functions.MediaKernels.audioTranscodeVorbis(
+          ${childGen.value}, $transparent);
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioTranscodeVorbis =
+    copy(child = newChild)
+}
+
 /** Grayscale PNG thumbnail at fixed target dimensions — NULL for
   * undecodable payloads. */
 case class ImageThumbnail(child: Expression, w: Int, h: Int) extends UnaryExpression {

@@ -271,6 +271,19 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"audio_fingerprint_spectral takes 1 argument, got ${other.size}")
       }),
+    ("audio_transcode_vorbis",
+      "_FUNC_(binary[, transparent]) - re-encode any decodable audio as mono Ogg-Vorbis at the source rate (NULL if undecodable)",
+      {
+        case Seq(b) => AudioTranscodeVorbis(b, transparent = false)
+        case Seq(b, t) => t match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) =>
+            AudioTranscodeVorbis(b, v)
+          case _ => throw new IllegalArgumentException(
+            "audio_transcode_vorbis: transparent must be a boolean literal")
+        }
+        case other => throw new IllegalArgumentException(
+          s"audio_transcode_vorbis takes 1-2 arguments, got ${other.size}")
+      }),
     ("image_thumbnail",
       "_FUNC_(binary, width, height) - grayscale PNG thumbnail (NULL if undecodable)",
       {

@@ -604,6 +604,78 @@ object MediaKernels {
     null
   }
 
+  /** (interleaved PCM16, channels, rate) from any decodable audio
+    * container (exact tier + native Vorbis in Ogg or Matroska), or
+    * null — the channel-aware face [[pcmSamplesAny]] callers use when
+    * they must downmix or resample rather than fingerprint. */
+  private[functions] def decodeAny(b: Array[Byte]): (Array[Int], Int, Int) = {
+    val w = wavInfo(b)
+    if (w != null) {
+      val s = wavSamples(b)
+      if (s != null) return (s, w(0).toInt, w(1).toInt)
+    }
+    if (b != null && b.length > 4 &&
+      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      val i = flacInfo(b)
+      val s = Flac.decode16(b)
+      if (i != null && s != null) return (s, i(0).toInt, i(1).toInt)
+    }
+    if (Ogg.isOgg(b)) {
+      val native = Ogg.flacNative(b)
+      if (native != null) {
+        val i = flacInfo(native)
+        val s = Flac.decode16(native)
+        if (i != null && s != null) return (s, i(0).toInt, i(1).toInt)
+      }
+      val d = Vorbis.decode(b)
+      if (d != null) return (d.pcm, d.channels, d.rate)
+    }
+    val aif = aiffInfo(b)
+    if (aif != null) {
+      val s = aiffSamples(b)
+      if (s != null) return (s, aif(0).toInt, aif(1).toInt)
+    }
+    val au = auInfo(b)
+    if (au != null) {
+      val s = auSamples(b)
+      if (s != null) return (s, au(0).toInt, au(1).toInt)
+    }
+    if (b != null && b.length >= 8 && (b(0) & 0xFF) == 0x1A &&
+      (b(1) & 0xFF) == 0x45 && (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) {
+      val pkts = Webm.vorbisPackets(b)
+      if (pkts != null) {
+        val d = Vorbis.decodePacketStream(pkts, -1L)
+        if (d != null) return (d.pcm, d.channels, d.rate)
+      }
+    }
+    null
+  }
+
+  /** Transcode any decodable audio payload to mono Ogg-Vorbis at the
+    * source rate via the NATIVE encoder — the storage-normalization op
+    * a crawl pipeline runs before archiving audio (multi-channel inputs
+    * downmix by per-frame average). `transparent = true` uses the
+    * near-lossless two-pass mode; false the ~45 dB single-pass grid.
+    * Null when undecodable. */
+  def audioTranscodeVorbis(b: Array[Byte], transparent: Boolean): Array[Byte] = {
+    val d = decodeAny(b)
+    if (d == null) return null
+    val (pcm, ch, rate) = d
+    if (rate <= 0 || pcm.length == 0) return null
+    val mono =
+      if (ch <= 1) pcm
+      else {
+        val n = pcm.length / ch
+        Array.tabulate(n) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < ch) { acc += pcm(i * ch + j); j += 1 }
+          (acc / ch).toInt
+        }
+      }
+    Vorbis.encode(rate, mono, twoPass = transparent)
+  }
+
   /** 60-bit LOSSY-TOLERANT spectral fingerprint: the PCM stream cuts
     * into 16 equal time segments; within each, 8-sample block-wise Haar
     * analysis accumulates energy in 4 octave bands (pairwise diffs at

@@ -117,6 +117,37 @@ class LossyAudioSpec extends AnyFunSuite {
     }
   }
 
+  test("audio_transcode: stereo downmixes, transparent mode round-trips near-losslessly") {
+    val s0 = sig(17)
+    // interleave a fake stereo WAV (L = s, R = s/2) by hand
+    val inter = new Array[Int](s0.length * 2)
+    (0 until s0.length).foreach { i =>
+      inter(2 * i) = s0(i)
+      inter(2 * i + 1) = s0(i) / 2
+    }
+    val stereo = {
+      val mono = MediaKernels.encodeWav(16000, inter)
+      // patch channels=2 and byte-rate/block-align in the fmt chunk
+      mono(22) = 2
+      mono(32) = 4
+      mono
+    }
+    val ogg = MediaKernels.audioTranscodeVorbis(stereo, transparent = true)
+    assert(ogg != null)
+    val d = Vorbis.decode(ogg)
+    assert(d != null && d.channels == 1)
+    assert(d.pcm.length == s0.length) // frames, not interleaved samples
+    // downmix = per-frame average, transparent grid -> exact expected mono
+    var i = 0
+    while (i < s0.length) {
+      val want = (s0(i).toLong + s0(i) / 2) / 2
+      assert(math.abs(d.pcm(i) - want) <= 1, s"frame $i")
+      i += 1
+    }
+    // undecodable payloads stay null
+    assert(MediaKernels.audioTranscodeVorbis("junk".getBytes, transparent = false) == null)
+  }
+
   test("audio features flow through the lossy decode path") {
     val s = sig(9)
     val ogg = Vorbis.encode(16000, s, twoPass = false)
