@@ -197,9 +197,26 @@ object BenchFormat {
     sb.toString
   }
 
-  /** Inverse of [[prefixEncode]]. */
+  /** Inverse of [[prefixEncode]]. Also decodes the pre-round-19 legacy
+    * layout (comma-separated entries, base-36 shared-prefix count as the
+    * first char of each later entry) so qpfx lines from earlier BENCH
+    * artifacts round-trip instead of silently returning one bogus name —
+    * a comma can never appear in the current format ([[PfxLenChars]] has
+    * none and names are [a-z0-9_A-Z]). */
   def prefixDecode(s: String): Seq[String] = {
     if (s.isEmpty) return Nil
+    if (s.contains(',')) {
+      val parts = s.split(",", -1)
+      val out = scala.collection.mutable.ArrayBuffer(parts.head)
+      var prev = parts.head
+      parts.iterator.drop(1).foreach { e =>
+        require(e.nonEmpty, s"legacy qpfx: empty entry in $s")
+        val k = java.lang.Integer.parseInt(e.substring(0, 1), 36)
+        prev = prev.substring(0, math.min(k, prev.length)) + e.substring(1)
+        out += prev
+      }
+      return out.toSeq
+    }
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     var start = 0

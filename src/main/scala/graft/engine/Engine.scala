@@ -843,11 +843,11 @@ final class Engine(spark: SparkSession) {
             val sorted = domains.distinct.sorted.toArray
             val fname = "graft_domain_match_" + java.lang.Long.toHexString(
               sorted.foldLeft(7L)((h, k) => h * 1000003L + k.hashCode))
-            df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+            graft.expressions.GraftFunctions.registerIfAbsent(df.sparkSession, fname, {
               case Seq(h) => graft.expressions.DomainMatch(h, sorted)
               case other => throw new IllegalArgumentException(
                 s"$fname takes 1 argument, got ${other.size}")
-            }, "built-in")
+            })
             org.apache.spark.sql.functions.call_function(fname, dom)
           }
         mode match {

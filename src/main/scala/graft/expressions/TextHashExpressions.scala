@@ -324,13 +324,42 @@ object GraftFunctions {
           s"decode_text takes (binary[, charset-literal]), got $other")
       }))
 
+  // Sessions already registered — register() is called from every operator
+  // entry point for safety, and re-registering the same names spams one
+  // SimpleFunctionRegistry "replaced a previously registered function" WARN
+  // per function per call. Weak keys: a retired session must not be pinned.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
   /** Register into an existing session's function registry (temp functions —
-    * the no-config path; tests and notebook sessions). */
+    * the no-config path; tests and notebook sessions). Idempotent per
+    * session AND per registry: a cloned session (streaming micro-batches,
+    * newSession()) copies the parent's temp functions, so the probe skips
+    * re-registering — re-registration is harmless but WARNs "replaced a
+    * previously registered function" once per function per call. */
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val reg = spark.sessionState.functionRegistry
+      val probe = org.apache.spark.sql.catalyst.FunctionIdentifier(all.head._1)
+      if (!reg.functionExists(probe))
+        all.foreach { case (name, _, builder) =>
+          reg.createOrReplaceTempFunction(name, builder, "built-in")
+        }
     }
+
+  /** Register a CONTENT-KEYED temp function only when absent: callers name
+    * these by hashing the model/params, so an existing entry under the same
+    * name is the same function — re-registering would be a no-op that WARNs
+    * "replaced a previously registered function" on every reuse. */
+  def registerIfAbsent(
+      spark: SparkSession, fname: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fname)))
+      reg.createOrReplaceTempFunction(fname, builder, "built-in")
+  }
 
   // Scala Column faces: resolved through the session registry at analysis
   // (call_function), so the analyzing session must have passed through

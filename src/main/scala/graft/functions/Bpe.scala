@@ -122,11 +122,11 @@ object Bpe {
     val (keys, ranks) = lookupArrays(merges)
     val spark = df.sparkSession
     val fname = registryName(if (byteLevel) "graft_bpe_bcount_" else "graft_bpe_count_", keys)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+    graft.expressions.GraftFunctions.registerIfAbsent(spark, fname, {
       case Seq(t) => graft.expressions.BpeTokenCount(t, keys, ranks, byteLevel)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
-    }, "built-in")
+    })
     df.withColumn(outCol,
       coalesce(call_function(fname, col(textCol).cast("string")), lit(0L)))
   }
@@ -140,11 +140,11 @@ object Bpe {
     val spark = df.sparkSession
     val fname = registryName(
       if (byteLevel) "graft_bpe_bencode_" else "graft_bpe_encode_", keys)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+    graft.expressions.GraftFunctions.registerIfAbsent(spark, fname, {
       case Seq(t) => graft.expressions.BpeEncode(t, keys, ranks, byteLevel)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
-    }, "built-in")
+    })
     df.withColumn(outCol, call_function(fname, col(textCol).cast("string")))
   }
 

@@ -132,17 +132,42 @@ object Graph {
     * blocks wait for the Dataset to be garbage-collected AND the
     * ContextCleaner to run — unbounded lag in a long-lived driver. */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val ck = df.localCheckpoint(eager = true)
-    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    // Track ONLY the RDD this checkpoint persisted — the LogicalRDD leaf
+    // the returned frame wraps. A global before/after diff of
+    // sc.getPersistentRDDs would also capture RDDs persisted by CONCURRENT
+    // jobs on the shared context, and releasing a foreign localCheckpoint's
+    // blocks is unrecoverable (lineage truncated): the victim job fails
+    // with missing-block errors instead of recomputing.
+    val ids = ck.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.toSet
+    (ck, ids)
   }
 
   private def releaseTracked(spark: SparkSession, ids: Set[Int]): Unit = {
     if (ids.nonEmpty) {
       val live = spark.sparkContext.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      val rdds = ids.flatMap(live.get)
+      if (rdds.nonEmpty) quietRddWarns {
+        rdds.foreach(_.unpersist(blocking = false))
+      }
     }
+  }
+
+  /** Unpersisting a CONSUMED localCheckpoint is the whole point of the
+    * tracked release, but RDD.unpersist WARNs "lineage ... truncated and
+    * cannot be recomputed after unpersisting" for every such block-set —
+    * one spurious warning per iteration per run. Expected and safe here
+    * (the next checkpoint has already materialized), so drop the emitting
+    * logger to ERROR for the duration of the call and restore. */
+  private def quietRddWarns[A](body: => A): A = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val name = "org.apache.spark.rdd.RDD"
+    val prev = LogManager.getLogger(name).getLevel
+    Configurator.setLevel(name, Level.ERROR)
+    try body finally Configurator.setLevel(name, prev)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) — PageRank's complement for

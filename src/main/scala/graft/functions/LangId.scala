@@ -71,12 +71,12 @@ object LangId {
     val spark = df.sparkSession
     val fname = "graft_lang_score_" + java.lang.Long.toHexString(
       keys.foldLeft(topK.toLong)((h, k) => h * 1000003L + k.hashCode))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+    graft.expressions.GraftFunctions.registerIfAbsent(spark, fname, {
       case Seq(t) => graft.expressions.LangScore(
         org.apache.spark.sql.catalyst.expressions.Lower(t), langs, keys, ranks, topK)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
-    }, "built-in")
+    })
     df.withColumn(outCol, call_function(fname, col(textCol).cast("string")))
   }
 

@@ -58,12 +58,24 @@ object MpegTs {
             val sec = new java.io.ByteArrayOutputStream()
             sec.write(b, s, math.min(total, p + 188 - s))
             var q = p + 188
-            while (sec.size < total && q + 188 <= b.length) {
-              if ((b(q) & 0xFF) == 0x47 && pidOf(b, q) == pid &&
-                ((b(q + 1) >> 6) & 1) == 0) {
+            var open = true
+            while (open && sec.size < total && q + 188 <= b.length) {
+              if ((b(q) & 0xFF) == 0x47 && pidOf(b, q) == pid) {
                 val o2 = payloadOff(b, q)
-                if (o2 > 0 && o2 < q + 188)
-                  sec.write(b, o2, math.min(total - sec.size, q + 188 - o2))
+                if (o2 > 0 && o2 < q + 188) {
+                  if (((b(q + 1) >> 6) & 1) == 0)
+                    sec.write(b, o2, math.min(total - sec.size, q + 188 - o2))
+                  else {
+                    // legal back-to-back packing (clause 2.4.4.2): a PUSI=1
+                    // packet whose pointer_field > 0 carries THIS section's
+                    // tail in the bytes before the next section's start —
+                    // consume them, then stop (the packet opens a new one)
+                    val tail = math.min(b(o2) & 0xFF, q + 188 - (o2 + 1))
+                    if (tail > 0)
+                      sec.write(b, o2 + 1, math.min(total - sec.size, tail))
+                    open = false
+                  }
+                }
               }
               q += 188
             }
@@ -386,17 +398,19 @@ object MpegTs {
     * field stuffing — the HLS segment shape. `pmtPad` > 0 inserts that
     * many program-descriptor bytes so the PMT section spans multiple
     * packets (exercises PSI reassembly). */
-  def encodeH264Ts(annexB: Seq[Array[Byte]], pmtPad: Int = 0): Array[Byte] =
-    encodeTs(0x1B, 0xE0, annexB, pmtPad)
+  def encodeH264Ts(annexB: Seq[Array[Byte]], pmtPad: Int = 0,
+                   backToBack: Boolean = false): Array[Byte] =
+    encodeTs(0x1B, 0xE0, annexB, pmtPad, backToBack)
 
   /** Single-program AUDIO transport stream: same PSI shape with the
     * given stream_type (0x03/0x04 MP3, 0x0F ADTS AAC) and audio PES
     * stream_id, one PES per payload. */
   def encodeAudioTs(streamType: Int, payloads: Seq[Array[Byte]]): Array[Byte] =
-    encodeTs(streamType, 0xC0, payloads, 0)
+    encodeTs(streamType, 0xC0, payloads, 0, backToBack = false)
 
   private def encodeTs(streamType: Int, pesStreamId: Int,
-                       payloads: Seq[Array[Byte]], pmtPad: Int): Array[Byte] = {
+                       payloads: Seq[Array[Byte]], pmtPad: Int,
+                       backToBack: Boolean): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val counters = scala.collection.mutable.HashMap.empty[Int, Int]
     def packet(pid: Int, pusi: Boolean, payload: Array[Byte], from: Int,
@@ -423,19 +437,40 @@ object MpegTs {
       }
       bos.write(pkt)
     }
-    def psi(pid: Int, section: Array[Byte]): Unit = {
+    def psi(pid: Int, section: Array[Byte], backToBack: Boolean = false): Unit = {
       val crc = mpegCrc32(section, 0, section.length)
-      val body = Array[Byte](0) ++ section ++ Array( // pointer_field 0
+      val sec = section ++ Array(
         (crc >> 24).toByte, (crc >> 16).toByte, (crc >> 8).toByte, crc.toByte)
-      // sections longer than one packet continue in PUSI=0 packets on
-      // the same PID (clause 2.4.4 segmentation)
-      var p = 0
-      var first = true
-      while (p < body.length) {
-        val len = math.min(184, body.length - p)
-        packet(pid, first, body, p, len)
-        first = false
-        p += len
+      if (!backToBack || sec.length <= 183) {
+        // sections longer than one packet continue in PUSI=0 packets on
+        // the same PID (clause 2.4.4 segmentation)
+        val body = Array[Byte](0) ++ sec // pointer_field 0
+        var p = 0
+        var first = true
+        while (p < body.length) {
+          val len = math.min(184, body.length - p)
+          packet(pid, first, body, p, len)
+          first = false
+          p += len
+        }
+      } else {
+        // back-to-back packing (clause 2.4.4.2): the section's tail and the
+        // START of the next section share one PUSI=1 packet whose
+        // pointer_field counts the tail bytes — the mux shape the reader's
+        // mid-reassembly PUSI handling exists for. Emits the section, then
+        // a second copy opening inside the tail packet.
+        val tail = sec.length - 183
+        require(tail <= 183, "backToBack: section tail must fit one packet")
+        packet(pid, pusi = true, Array[Byte](0) ++ sec, 0, 184)
+        val p2 = Array[Byte](tail.toByte) ++ sec.slice(183, sec.length) ++ sec
+        var p = 0
+        var first = true
+        while (p < p2.length) {
+          val len = math.min(184, p2.length - p)
+          packet(pid, first, p2, p, len)
+          first = false
+          p += len
+        }
       }
     }
     val pmtPid = 0x1000
@@ -459,7 +494,7 @@ object MpegTs {
       (0xF0 | (pad.length >> 8)).toByte, (pad.length & 0xFF).toByte) ++ pad ++
       Array[Byte](streamType.toByte,
         (0xE0 | (vidPid >> 8)).toByte, (vidPid & 0xFF).toByte,
-        0xF0.toByte, 0))
+        0xF0.toByte, 0), backToBack)
     payloads.zipWithIndex.foreach { case (es, i) =>
       val pts = 90000L / 30 * 3 * i // 30 fps at 90 kHz, x3 so values stay distinct
       def mk(v: Long, marker: Int): Array[Byte] = Array(

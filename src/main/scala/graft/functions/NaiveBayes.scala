@@ -80,13 +80,13 @@ object NaiveBayes {
     val spark = df.sparkSession
     val fname = "graft_nb_score_" + java.lang.Long.toHexString(
       model.labels.foldLeft(model.norms.sum.toLong)((h, l) => h * 1000003L + l.hashCode))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+    graft.expressions.GraftFunctions.registerIfAbsent(spark, fname, {
       case Seq(t) => graft.expressions.NbScore(
         org.apache.spark.sql.catalyst.expressions.Lower(t),
         model.labels, model.bucketKeys, model.weights, model.norms, model.priors)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
-    }, "built-in")
+    })
     df.withColumn(outCol, call_function(fname, col(textCol).cast("string")))
   }
 

@@ -78,10 +78,18 @@ object Ogg {
           rate = le32(b, d + 12) // declared input rate; playback is 48 kHz
           granRate = 48000L
         } else if (starts(b, d, "Speex   ") && plen >= 52) {
-          codec = "speex"
-          rate = le32(b, d + 36)
-          ch = le32(b, d + 48)
-          granRate = rate
+          // rate/channels are raw le32 fields (unlike the single-byte
+          // Vorbis/Opus reads) — range-check before trusting, or a hostile
+          // BOS page surfaces negative / multi-billion values into
+          // audio_meta; out-of-range leaves the stream unidentified
+          val r0 = le32(b, d + 36)
+          val c0 = le32(b, d + 48)
+          if (c0 >= 1 && c0 <= 255 && r0 >= 1 && r0 <= 768000) {
+            codec = "speex"
+            rate = r0
+            ch = c0
+            granRate = r0
+          }
         } else if (starts(b, d, "FLAC") && plen >= 13) {
           codec = "flac"
         }

@@ -83,11 +83,11 @@ object Sketches {
     // task binary; the broadcast handle costs bytes once per executor
     val bc = d.sparkSession.sparkContext.broadcast(sketch)
     val fname = s"graft_cms_query_bc_${bc.id}"
-    d.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+    graft.expressions.GraftFunctions.registerIfAbsent(d.sparkSession, fname, {
       case Seq(k) => graft.expressions.CmsQueryBroadcast(k, bc)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
-    }, "built-in")
+    })
     d.filter(call_function(fname, col(keyCol)) >= lit(minCount))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as(countCol))
@@ -110,11 +110,11 @@ object Sketches {
       .head().getAs[Array[Byte]]("sk")
     val bc = d.sparkSession.sparkContext.broadcast(sketch)
     val fname = s"graft_bloom_contains_bc_${bc.id}"
-    d.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+    graft.expressions.GraftFunctions.registerIfAbsent(d.sparkSession, fname, {
       case Seq(key) => graft.expressions.BloomContainsBroadcast(key, bc)
       case other => throw new IllegalArgumentException(
         s"$fname takes 1 argument, got ${other.size}")
-    }, "built-in")
+    })
     val probe = call_function(fname, col(keyCol))
     if (keep) d.filter(probe) else d.filter(!probe)
   }

@@ -92,12 +92,12 @@ object Zorder {
     val fname = "graft_zorder_" + java.lang.Long.toHexString(
       mins.zip(maxs).foldLeft(bits.toLong * 31 + cols.size)((h, p) =>
         h * 1000003L + p._1 * 31 + p._2))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname, {
+    graft.expressions.GraftFunctions.registerIfAbsent(spark, fname, {
       case children if children.size == cols.size =>
         graft.expressions.ZorderKey(children.toIndexedSeq, bits, mins, steps)
       case other => throw new IllegalArgumentException(
         s"$fname takes ${cols.size} arguments, got ${other.size}")
-    }, "built-in")
+    })
     df.withColumn(keyCol, call_function(fname, cols.map(c => col(c).cast("long")): _*))
   }
 

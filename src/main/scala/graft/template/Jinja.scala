@@ -411,9 +411,11 @@ object Jinja {
         text.clear()
       }
       while (i < n) {
-        if (i + 1 < n && src.charAt(i) == '{' && (src.charAt(i + 1) == '{' || src.charAt(i + 1) == '%')) {
-          val isExpr = src.charAt(i + 1) == '{'
-          val close = if (isExpr) "}}" else "%}"
+        if (i + 1 < n && src.charAt(i) == '{' &&
+          (src.charAt(i + 1) == '{' || src.charAt(i + 1) == '%' || src.charAt(i + 1) == '#')) {
+          val kind = src.charAt(i + 1)
+          val isExpr = kind == '{'
+          val close = if (isExpr) "}}" else if (kind == '#') "#}" else "%}"
           var j = i + 2
           val lTrim = j < n && src.charAt(j) == '-'
           if (lTrim) j += 1
@@ -424,7 +426,11 @@ object Jinja {
           if (rTrim) bodyEnd -= 1
           val body = src.substring(j, bodyEnd).trim
           flushText(lTrim)
-          if (!isExpr && body == "raw") {
+          if (kind == '#') {
+            // {# comment #}: contributes nothing (Jinja strips comments);
+            // trim markers {#- -#} behave like the statement forms
+            i = end + 2
+          } else if (!isExpr && body == "raw") {
             // consume until endraw verbatim
             val rawEndRe = "\\{%-?\\s*endraw\\s*-?%\\}".r
             rawEndRe.findFirstMatchIn(src.substring(end + 2)) match {

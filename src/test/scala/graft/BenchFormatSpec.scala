@@ -197,6 +197,21 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(BenchFormat.prefixDecode(BenchFormat.prefixEncode(long)) == long)
   }
 
+  test("prefixDecode handles the pre-round-19 comma/base-36 legacy layout") {
+    // entries comma-separated; each later entry opens with one base-36
+    // char = shared-prefix length — qpfx lines from r18-and-earlier
+    // artifacts must decode, not come back as one bogus name
+    assert(BenchFormat.prefixDecode("q_agg,5_sum,2join") ==
+      Seq("q_agg", "q_agg_sum", "q_join"))
+    // prefix counts past 9 use letters ('f' = 15)
+    assert(BenchFormat.prefixDecode("q_dedup_minhash,f_lsh") ==
+      Seq("q_dedup_minhash", "q_dedup_minhash_lsh"))
+    // a malformed legacy entry raises instead of silently misdecoding
+    intercept[IllegalArgumentException] {
+      BenchFormat.prefixDecode("q_agg,,x")
+    }
+  }
+
   test("current SparkEntry suite keeps EVERY query name in the stdout line") {
     // realistic decisecond spread (r11 data shape: mostly 1-13 ds) — the
     // round-11 regression was exactly this case: the REAL suite at REAL

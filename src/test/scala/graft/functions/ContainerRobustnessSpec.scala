@@ -54,6 +54,39 @@ class ContainerRobustnessSpec extends AnyFunSuite {
     assert(MpegTs.tsFrames(tsControl, 8).length == 2)
   }
 
+  test("MPEG-TS: back-to-back section packing (tail shares a PUSI=1 packet) reassembles") {
+    // legal clause-2.4.4.2 mux shape: the PMT's tail rides in a packet
+    // that ALSO starts the next section (PUSI=1, pointer_field > 0) —
+    // a reader that only appends PUSI=0 continuations never completes
+    // the section and silently drops the program map
+    val streams = (0 until 2).map(k => H264Fixtures.stream(1, k))
+    val ts = MpegTs.encodeH264Ts(streams, pmtPad = 250, backToBack = true)
+    val (m, codec) = MpegTs.tsMeta(ts)
+    assert(codec == "h264" && m(0) == 48 && m(1) == 48)
+    val frames = MpegTs.tsFrames(ts, 8)
+    assert(frames != null && frames.length == 2)
+    frames.foreach(f => assert(pngDims(f) == ((48, 48))))
+  }
+
+  test("Ogg-Speex: out-of-range le32 rate/channels leave the stream unidentified") {
+    // rate/channels are raw le32 fields — a hostile BOS page must not
+    // surface negative or multi-billion values into audio_meta
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    def spx(rate: Long, ch: Long): Array[Byte] = {
+      val ident = "Speex   ".getBytes("ISO-8859-1") ++ new Array[Byte](28) ++
+        le(rate, 4) ++ le(0, 8) ++ le(ch, 4) ++ new Array[Byte](28)
+      Ogg.page(777L, 0, -1L, 2, ident) ++
+        Ogg.page(777L, 1, 16000L, 4, Array[Byte](0))
+    }
+    for ((r, c) <- Seq((0xFFFFFFFFL, 1L), (0L, 1L), (3000000000L, 2L),
+                       (8000L, 0L), (8000L, 0x80000000L), (8000L, 4096L)))
+      assert(Ogg.audioInfo(spx(r, c)) == null, s"rate=$r ch=$c must not identify")
+    // the in-range shape still identifies (control)
+    val ok = Ogg.audioInfo(spx(8000L, 1L))
+    assert(ok != null && ok._2 == "speex" && ok._1(0) == 1L && ok._1(1) == 8000L)
+  }
+
   test("MPEG-TS: mid-stream SPS/PPS change decodes each IDR with its active sets") {
     // stream 0 is 48x48; fixture 18 is the 44x36 right/bottom-crop SPS —
     // concatenated in one program, the first picture must decode with

@@ -122,4 +122,32 @@ class GraphSpec extends SparkSpec {
     assert(viaYaml.columns.toSeq == Seq("node", "hub", "authority"))
     assert(viaYaml.orderBy("node").collect().toSeq == out.orderBy("node").collect().toSeq)
   }
+
+  test("concurrent pageRank and hits on one context never release each other's checkpoints") {
+    // regression canary: checkpointTracked once derived its block-set by
+    // diffing the GLOBAL persistent-RDD registry around localCheckpoint, so
+    // a concurrent graph query's blocks could land in the diff and be
+    // unpersisted out from under it — unrecoverable for a localCheckpoint
+    // (lineage truncated), failing the victim with missing-block errors.
+    // Tracking now reads the checkpoint's own LogicalRDD id; parallel
+    // redistribute-mode runs must all succeed and stay exact.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val pairs = (0L until 40L).flatMap(i =>
+      Seq(i -> ((i * 7 + 3) % 40), i -> ((i + 1) % 40)))
+    val g = edges(pairs: _*)
+    val expectPr = Graph.pageRank(g, "src", "dst", 4, dangling = "redistribute")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectHits = Graph.hits(g, "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    (0 until 2).foreach { _ =>
+      val f1 = Future(Graph.pageRank(g, "src", "dst", 4, dangling = "redistribute")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      val f2 = Future(Graph.hits(g, "src", "dst", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+      assert(Await.result(f1, 180.seconds) == expectPr)
+      assert(Await.result(f2, 180.seconds) == expectHits)
+    }
+  }
 }

@@ -55,6 +55,17 @@ class JinjaSpec extends AnyFunSuite {
     assert(r("{% raw %}{{ not_evaluated }}{% endraw %}") == "{{ not_evaluated }}")
   }
 
+  test("comments are stripped (reference studentSchoolAttendanceEvent.jsont shape)") {
+    assert(r("a{# gone #}b") == "ab")
+    assert(r("x {#- trims -#} y") == "xy")
+    assert(r("{{ v }}{# {{ not_rendered }} expr inside comment #}", Map("v" -> 7L)) == "7")
+    // a comment inside {% raw %} stays verbatim (Jinja2 parity)
+    assert(r("{% raw %}{# kept #}{% endraw %}") == "{# kept #}")
+    intercept[Exception] { r("oops {# unterminated") }
+    // the reference benchmark template's trailing comment block renders away
+    assert(r("\"x\": 1{# ,\n \"y\": {{ d }} #}\n", Map("d" -> 3L)) == "\"x\": 1\n")
+  }
+
   test("dotted access into nested maps (jsonl sources)") {
     val ctx = Map("weather" -> Map("avg_days_of_rain" -> Map("January" -> 5L)))
     assert(r("{{weather.avg_days_of_rain.January}}", ctx) == "5")
