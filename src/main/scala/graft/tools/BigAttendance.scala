@@ -34,8 +34,15 @@ import scala.jdk.CollectionConverters._
 object BigAttendance {
   private val Base = "/tmp/graft_bigatt"
   private val Header = "day\tschool_id\tsession\tstudent_id\tattended\tduration"
-  /** Deterministic sample keys for the parity check (spread over 1..10M). */
-  private val SampleIds = Seq(17L, 424243L, 999983L, 5000011L, 9999991L)
+  /** Sample keys for the parity check: the first 5 distinct student_ids in
+    * the file — data-derived so they exist at ANY row count (fixed ids
+    * spread over 1..10M would all miss a small smoke run). */
+  private def sampleIds(): Seq[String] = {
+    val in = Files.lines(Paths.get(Base, "sources", "big_attendance.tsv"))
+    try in.skip(1).limit(200).iterator().asScala
+      .map(_.split("\t")(3)).toSeq.distinct.take(5)
+    finally in.close()
+  }
 
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(100000000L)
@@ -122,7 +129,9 @@ object BigAttendance {
 }
 """
     Files.writeString(Paths.get(Base, "templates", "studentSchoolAttendanceEvent.jsont"), tpl)
-    val yaml = s"""config:
+    val yaml = s"""version: 2
+
+config:
   output_dir: $Base/output/
 
 sources:
@@ -179,7 +188,7 @@ destinations:
     // with python Jinja2 (reference semantics) and diffs the sorted sets
     val checkDir = Paths.get(Base, "check")
     Files.createDirectories(checkDir)
-    val idStrs = SampleIds.map(_.toString)
+    val idStrs = sampleIds()
     val src = spark.read
       .option("sep", "\t").option("header", true)
       .csv(s"$Base/sources/big_attendance.tsv")
