@@ -7,13 +7,13 @@ package graft.functions
   * way Flac.scala does for lossless audio (beyond-reference modality
   * surface).
   *
-  * Scope: general Vorbis I with floor type 1 — all codebook shapes
-  * (ordered/sparse lengths, lookup types 0/1/2, sequence flag), residue
-  * types 0/1/2 with full 8-pass cascades, square-polar channel
-  * coupling, both blocksizes with window switching, multi-packet pages
-  * and packets spanning pages. Floor type 0 (the legacy LSP floor no
-  * crawl-era encoder emits) fails closed: decode returns null while
-  * audio_meta keeps reporting the stream's channels/rate/duration.
+  * Scope: general Vorbis I with BOTH floor types — floor 1 (the modern
+  * piecewise-linear dB floor) and floor 0 (the legacy LSP floor, spec
+  * 6.2: bark-warped map, p/q cosine products, amplitude/offset dB
+  * mapping) — all codebook shapes (ordered/sparse lengths, lookup types
+  * 0/1/2, sequence flag), residue types 0/1/2 with full 8-pass cascades,
+  * square-polar channel coupling, both blocksizes with window switching,
+  * multi-packet pages and packets spanning pages.
   *
   * Honesty note: Vorbis carries ALL its codebooks in the stream setup
   * header, so — unlike MP3's Table B.7 or H.264's 8x8 CABAC maps —
@@ -290,6 +290,132 @@ object Vorbis {
     }
   }
 
+  // ---------------------------------------------------------- floors
+
+  /** Per-packet floor interface shared by the two floor types: decode the
+    * packet-side data (null = unvoiced channel), then synthesize the curve
+    * the residue spectrum is multiplied by. */
+  private sealed trait VFloor {
+    def decodeHeader(r: BitReader, books: Array[Codebook]): AnyRef
+    def curve(data: AnyRef, n2: Int): Array[Double]
+  }
+
+  /** Floor type 0 — the legacy LSP floor (spec 6.2). The per-map-value
+    * p/q products follow the spec pseudocode; tools/vorbis_codec.py's
+    * selftest validates that transcription against a DIRECT complex
+    * evaluation of the LSP polynomial factorization (p = |P(e^{jw})|²/4,
+    * q = |Q|²/4 — an independent route to the same numbers), and the
+    * committed corpus pins this decoder to the Python mirror at ±2 LSB.
+    * amplitude_bits caps at 32 (one machine word, the oggpack_read bound —
+    * no real encoder exceeds ~20). */
+  private final class Floor0(r0: BitReader, books0: Array[Codebook]) extends VFloor {
+    val order: Int = r0.read(8)
+    val rate: Int = r0.read(16)
+    val barkMapSize: Int = r0.read(16)
+    val ampBits: Int = r0.read(6)
+    val ampOffset: Int = r0.read(8)
+    val bookList: Array[Int] = Array.fill(r0.read(4) + 1)(r0.read(8))
+    if (order < 1 || rate < 1 || barkMapSize < 1 || ampBits > 32)
+      fail("floor0 parameters")
+    if (bookList.exists(b => b >= books0.length || books0(b).lookupType == 0))
+      fail("floor0 book list")
+
+    /** bark(x) = 13.1 atan(.00074x) + 2.24 atan(.0000000185x²) + .0001x
+      * (spec 6.2.3). */
+    private def bark(x: Double): Double =
+      13.1 * math.atan(0.00074 * x) +
+        2.24 * math.atan(0.0000000185 * x * x) + 0.0001 * x
+
+    // map[i] per half-block size (spec 6.2.3 step 1), cached: block sizes
+    // repeat for the whole stream, the atan walk is per-size one-time
+    private val maps = new java.util.HashMap[Integer, Array[Int]]()
+    private def barkMap(n: Int): Array[Int] = {
+      var m = maps.get(n)
+      if (m == null) {
+        val c = barkMapSize / bark(0.5 * rate)
+        m = Array.tabulate(n)(i => math.min(barkMapSize - 1,
+          math.floor(bark(0.5 * rate * i / n) * c).toInt))
+        maps.put(n, m)
+      }
+      m
+    }
+
+    def decodeHeader(r: BitReader, books: Array[Codebook]): AnyRef = {
+      val amplitude = r.read(ampBits)
+      if (amplitude <= 0) return null
+      val bn = r.read(ilog(bookList.length))
+      if (bn >= bookList.length) fail("floor0 book number")
+      val b = books(bookList(bn))
+      // reads of `dims` coefficients until `order` are on hand; the spec's
+      // running `last` adds to every element of each vector AFTER which it
+      // becomes that vector's final element; overshoot past order is read
+      // but discarded at curve time
+      val coeffs = new Array[Double](order + b.dims)
+      val tmp = new Array[Double](b.dims)
+      var count = 0
+      var last = 0.0
+      while (count < order) {
+        b.vq(b.decodeEntry(r), tmp)
+        var i = 0
+        while (i < b.dims) { coeffs(count + i) = tmp(i) + last; i += 1 }
+        last = coeffs(count + b.dims - 1)
+        count += b.dims
+      }
+      (amplitude, coeffs)
+    }
+
+    def curve(data: AnyRef, n2: Int): Array[Double] = {
+      val (amplitude, coeffs) = data.asInstanceOf[(Int, Array[Double])]
+      val m = barkMap(n2)
+      val cosc = new Array[Double](order)
+      var i = 0
+      while (i < order) { cosc(i) = math.cos(coeffs(i)); i += 1 }
+      val scale = ((1L << ampBits) - 1).toDouble
+      val out = new Array[Double](n2)
+      i = 0
+      while (i < n2) {
+        val k = m(i)
+        val cw = math.cos(math.Pi * k / barkMapSize)
+        var p = 0.0
+        var q = 0.0
+        if ((order & 1) == 1) {
+          p = 1.0 - cw * cw
+          q = 0.25
+          var j = 0
+          while (j < (order - 1) / 2) {
+            val d = cosc(2 * j + 1) - cw
+            p *= 4.0 * d * d
+            j += 1
+          }
+          j = 0
+          while (j < (order + 1) / 2) {
+            val d = cosc(2 * j) - cw
+            q *= 4.0 * d * d
+            j += 1
+          }
+        } else {
+          p = (1.0 - cw) / 2.0
+          q = (1.0 + cw) / 2.0
+          var j = 0
+          while (j < order / 2) {
+            var d = cosc(2 * j + 1) - cw
+            p *= 4.0 * d * d
+            d = cosc(2 * j) - cw
+            q *= 4.0 * d * d
+            j += 1
+          }
+        }
+        val pq = p + q
+        val v =
+          if (pq <= 0) 0.0 // defined identically in the Python mirror
+          else math.exp(0.11512925 * (amplitude * ampOffset /
+            (scale * math.sqrt(pq)) - ampOffset))
+        while (i < n2 && m(i) == k) { out(i) = v; i += 1 }
+      }
+      out
+    }
+  }
+
   // ---------------------------------------------------------- floor 1
 
   /** floor1_inverse_dB_table from its closed form (see file header). */
@@ -297,7 +423,7 @@ object Vorbis {
     Array.tabulate(256)(i => math.pow(10.0, (i - 255) * 7.0 / 256.0))
   private val Floor1Ranges = Array(256, 128, 86, 64)
 
-  private final class Floor1(r: BitReader) {
+  private final class Floor1(r: BitReader) extends VFloor {
     val partitions: Int = r.read(5)
     val classList: Array[Int] = Array.fill(partitions)(r.read(4))
     private val maxClass = if (partitions == 0) -1 else classList.max
@@ -392,6 +518,9 @@ object Vorbis {
         x += 1
       }
     }
+
+    def curve(data: AnyRef, n2: Int): Array[Double] =
+      curve(data.asInstanceOf[Array[Int]], n2)
 
     /** Synthesized floor curve (length n2): the spec's integer
       * amplitude fit + line render, then the inverse-dB map. */
@@ -614,10 +743,12 @@ object Vorbis {
       var i = 0
       while (i < timeCount) { if (r.read(16) != 0) fail("time transform"); i += 1 }
     }
-    val floors: Array[Floor1] = Array.fill(r.read(6) + 1) {
-      val ft = r.read(16)
-      if (ft != 1) fail("floor type 0 unsupported") // legacy LSP floor
-      new Floor1(r)
+    val floors: Array[VFloor] = Array.fill(r.read(6) + 1) {
+      r.read(16) match {
+        case 0 => new Floor0(r, books) // legacy LSP floor
+        case 1 => new Floor1(r)
+        case _ => fail("reserved floor type")
+      }
     }
     val residues: Array[Residue] = Array.fill(r.read(6) + 1) {
       val rt = r.read(16)
@@ -877,8 +1008,8 @@ object Vorbis {
   // --------------------------------------------------------- decoding
 
   /** Decode an Ogg-Vorbis stream to interleaved PCM16. Null when the
-    * buffer is not decodable Vorbis (wrong container, floor 0, hostile
-    * bytes, over-cap output). */
+    * buffer is not decodable Vorbis (wrong container, hostile bytes,
+    * over-cap output). */
   def decode(b: Array[Byte]): Decoded = {
     try {
       val pk = packets(b)
@@ -972,7 +1103,7 @@ object Vorbis {
       val m = s.mappings(mappingIdx)
       val ch = s.channels
       // floors
-      val floorYs = new Array[Array[Int]](ch)
+      val floorYs = new Array[AnyRef](ch)
       val nonzero = new Array[Boolean](ch)
       var j = 0
       while (j < ch) {

@@ -271,6 +271,173 @@ class Codebook:
                 raise ValueError("codeword desync")
 
 
+# ------------------------------------------------------------ floor 0
+
+def bark(x):
+    """Spec 6.2.3: bark(x) = 13.1 atan(.00074x) + 2.24 atan(.0000000185x^2)
+    + .0001x."""
+    return (13.1 * math.atan(0.00074 * x)
+            + 2.24 * math.atan(0.0000000185 * x * x) + 0.0001 * x)
+
+
+class Floor0:
+    """Floor type 0 — the legacy LSP (Line Spectral Pair) floor (spec 6.2).
+    The curve is |H(e^{jw})|-style: two products p,q over the cosines of
+    the decoded coefficients, evaluated on a bark-warped frequency map,
+    mapped through exp(.11512925 * (amp*off/((2^bits-1) sqrt(p+q)) - off)).
+    The p/q product transcription is validated in selftest against a
+    DIRECT complex-polynomial evaluation of the LSP factorization
+    (P(z) = (1 -+ z^-1) prod(1 - 2cos(t)z^-1 + z^-2)): p = |P|^2/4,
+    q = |Q|^2/4 — an independent route to the same numbers."""
+
+    def __init__(self, order, rate, bark_map_size, amp_bits, amp_offset,
+                 book_list):
+        self.order = order
+        self.rate = rate
+        self.bark_map_size = bark_map_size
+        self.amp_bits = amp_bits
+        self.amp_offset = amp_offset
+        self.book_list = book_list
+        self._maps = {}
+
+    def write(self, w):
+        w.write(0, 16)
+        w.write(self.order, 8)
+        w.write(self.rate, 16)
+        w.write(self.bark_map_size, 16)
+        w.write(self.amp_bits, 6)
+        w.write(self.amp_offset, 8)
+        w.write(len(self.book_list) - 1, 4)
+        for b in self.book_list:
+            w.write(b, 8)
+
+    @staticmethod
+    def parse(r, books):
+        order = r.read(8)
+        rate = r.read(16)
+        bark_map_size = r.read(16)
+        amp_bits = r.read(6)
+        amp_offset = r.read(8)
+        book_list = [r.read(8) for _ in range(r.read(4) + 1)]
+        assert order >= 1 and rate >= 1 and bark_map_size >= 1, "floor0 params"
+        for b in book_list:
+            assert b < len(books) and books[b].lookup_type != 0, \
+                "floor0 book list"
+        return Floor0(order, rate, bark_map_size, amp_bits, amp_offset,
+                      book_list)
+
+    def bark_map(self, n):
+        """map[i] for i in 0..n-1 (spec 6.2.3 step 1), cached per n."""
+        m = self._maps.get(n)
+        if m is None:
+            c = self.bark_map_size / bark(0.5 * self.rate)
+            m = [min(self.bark_map_size - 1,
+                     int(math.floor(bark(0.5 * self.rate * i / n) * c)))
+                 for i in range(n)]
+            self._maps[n] = m
+        return m
+
+    def decode_header(self, r, books):
+        """(amplitude, coefficients) or None (amplitude 0 = unvoiced)."""
+        amplitude = r.read(self.amp_bits)
+        if amplitude <= 0:
+            return None
+        booknumber = r.read(ilog(len(self.book_list)))
+        assert booknumber < len(self.book_list), "floor0 book number"
+        b = books[self.book_list[booknumber]]
+        coeffs = []
+        last = 0.0
+        while len(coeffs) < self.order:
+            vec = [v + last for v in b.vq(b.decode_entry(r))]
+            last = vec[-1]
+            coeffs.extend(vec)
+        return (amplitude, coeffs)
+
+    def curve(self, data, n2):
+        """Synthesized curve (length n2) per spec 6.2.3 step 2; run-shared
+        over equal bark-map entries."""
+        amplitude, coeffs = data
+        m = self.bark_map(n2)
+        cosc = [math.cos(c) for c in coeffs[:self.order]]
+        scale = (1 << self.amp_bits) - 1
+        out = [0.0] * n2
+        i = 0
+        while i < n2:
+            k = m[i]
+            cw = math.cos(math.pi * k / self.bark_map_size)
+            if self.order % 2 == 1:
+                p = 1.0 - cw * cw
+                for j in range((self.order - 1) // 2):
+                    d = cosc[2 * j + 1] - cw
+                    p *= 4.0 * d * d
+                q = 0.25
+                for j in range((self.order + 1) // 2):
+                    d = cosc[2 * j] - cw
+                    q *= 4.0 * d * d
+            else:
+                p = (1.0 - cw) / 2.0
+                q = (1.0 + cw) / 2.0
+                for j in range(self.order // 2):
+                    d = cosc[2 * j + 1] - cw
+                    p *= 4.0 * d * d
+                    d = cosc[2 * j] - cw
+                    q *= 4.0 * d * d
+            pq = p + q
+            val = 0.0 if pq <= 0 else math.exp(
+                0.11512925 * (amplitude * self.amp_offset
+                              / (scale * math.sqrt(pq)) - self.amp_offset))
+            while i < n2 and m[i] == k:
+                out[i] = val
+                i += 1
+        return out
+
+
+def floor0_pq_direct(coeffs, order, omega):
+    """Independent p/q via the LSP polynomial factorization evaluated as
+    complex products at z = e^{j omega} — validates the spec-pseudocode
+    transcription in Floor0.curve (selftest)."""
+    z = complex(math.cos(omega), -math.sin(omega))  # z^-1
+    z2 = z * z
+    if order % 2 == 1:
+        P = 1 - z2
+        Q = complex(1.0)
+        for j in range((order - 1) // 2):
+            P *= 1 - 2 * math.cos(coeffs[2 * j + 1]) * z + z2
+        for j in range((order + 1) // 2):
+            Q *= 1 - 2 * math.cos(coeffs[2 * j]) * z + z2
+    else:
+        P = 1 - z
+        Q = 1 + z
+        for j in range(order // 2):
+            P *= 1 - 2 * math.cos(coeffs[2 * j + 1]) * z + z2
+            Q *= 1 - 2 * math.cos(coeffs[2 * j]) * z + z2
+    return abs(P) ** 2 / 4.0, abs(Q) ** 2 / 4.0
+
+
+def floor0_pq_spec(coeffs, order, omega):
+    """The spec-pseudocode p/q (same code shape as Floor0.curve)."""
+    cw = math.cos(omega)
+    cosc = [math.cos(c) for c in coeffs[:order]]
+    if order % 2 == 1:
+        p = 1.0 - cw * cw
+        for j in range((order - 1) // 2):
+            d = cosc[2 * j + 1] - cw
+            p *= 4.0 * d * d
+        q = 0.25
+        for j in range((order + 1) // 2):
+            d = cosc[2 * j] - cw
+            q *= 4.0 * d * d
+    else:
+        p = (1.0 - cw) / 2.0
+        q = (1.0 + cw) / 2.0
+        for j in range(order // 2):
+            d = cosc[2 * j + 1] - cw
+            p *= 4.0 * d * d
+            d = cosc[2 * j] - cw
+            q *= 4.0 * d * d
+    return p, q
+
+
 # ------------------------------------------------------------ floor 1
 
 INV_DB = [10.0 ** ((i - 255) * 7.0 / 256.0) for i in range(256)]
@@ -863,18 +1030,43 @@ class Encoder:
             centers.append(c)
 
         # ---- floor (fixed curve for the whole stream)
-        posts = cfg.get("floor_posts", [])
-        rangebits = cfg.get("rangebits", 7)
-        if posts:
-            xs = [0, 1 << rangebits] + [p[0] for p in posts]
-            class_dims = [len(posts)]
+        f0cfg = cfg.get("floor0")
+        ys = curves = None
+        if f0cfg:
+            # legacy LSP floor: book_list indices are patched in after the
+            # residue books are built (curve synthesis never consults them)
+            f0book, f0_dec, f0_ents = self.build_floor0(f0cfg)
+            floor = Floor0(f0cfg.get("order", 8),
+                           f0cfg.get("rate", cfg["rate"]),
+                           f0cfg.get("bark", 64),
+                           f0cfg.get("amp_bits", 6),
+                           f0cfg.get("amp_offset", 10), [0])
+            amp_max = (1 << floor.amp_bits) - 1
+            f0_amp = []
+            f0_tgt = []
+            for i in range(len(sizes)):
+                amps = []
+                tgts = []
+                for j in range(ch):
+                    silent = (ch == 1 and i == f0cfg.get("silent_frame", -1))
+                    amps.append(0 if silent
+                                else f0cfg.get("amplitude", amp_max))
+                    tgts.append((i + j) % len(f0_dec))
+                f0_amp.append(amps)
+                f0_tgt.append(tgts)
         else:
-            xs = [0, 1 << rangebits, (1 << rangebits) // 2]
-            class_dims = [1]
-        floor = Floor1(1, [0], class_dims, [0], [-1], [[2]],
-                       cfg.get("multiplier", 1), rangebits, xs)
-        ys = self.floor_ys(floor)
-        curves = {n: floor.curve(ys, n // 2) for n in set(sizes)}
+            posts = cfg.get("floor_posts", [])
+            rangebits = cfg.get("rangebits", 7)
+            if posts:
+                xs = [0, 1 << rangebits] + [p[0] for p in posts]
+                class_dims = [len(posts)]
+            else:
+                xs = [0, 1 << rangebits, (1 << rangebits) // 2]
+                class_dims = [1]
+            floor = Floor1(1, [0], class_dims, [0], [-1], [[2]],
+                           cfg.get("multiplier", 1), rangebits, xs)
+            ys = self.floor_ys(floor)
+            curves = {n: floor.curve(ys, n // 2) for n in set(sizes)}
 
         # ---- per-frame residue-domain vectors (spec / curve), coupled
         coupling = cfg.get("coupling", False) and ch == 2
@@ -891,9 +1083,20 @@ class Encoder:
                 seg = [(x[j][start + k] if 0 <= start + k < nsamp else 0.0)
                        * w[k] for k in range(n)]
                 specs.append(mdct_forward(seg, n))
-            curve = curves[n]
-            res = [[specs[j][k] / curve[k] for k in range(n // 2)]
-                   for j in range(ch)]
+            if f0cfg:
+                res = []
+                for j in range(ch):
+                    amp = f0_amp[i][j]
+                    if amp <= 0:
+                        res.append([0.0] * (n // 2))
+                    else:
+                        cv = floor.curve((amp, f0_dec[f0_tgt[i][j]]), n // 2)
+                        res.append([specs[j][k] / cv[k]
+                                    for k in range(n // 2)])
+            else:
+                curve = curves[n]
+                res = [[specs[j][k] / curve[k] for k in range(n // 2)]
+                       for j in range(ch)]
             if coupling:
                 m = []
                 a = []
@@ -938,6 +1141,22 @@ class Encoder:
                                     style=cfg.get("book_style", "flat"))
             books.append(fine)
             pass_books.append(3)
+
+        f0_booknum = 0
+        if f0cfg:
+            if f0cfg.get("decoy"):
+                # an extra VALID but unused VQ book listed FIRST, so the
+                # per-packet booknumber read (ilog(2) = 2 bits) is nonzero
+                decoy = Codebook(2, [2] * 4, lookup_type=1, min_v=0.0,
+                                 delta_v=1.0, value_bits=2, sequence_p=0,
+                                 multiplicands=[0, 1])
+                floor.book_list = [len(books), len(books) + 1]
+                books.append(decoy)
+                books.append(f0book)
+                f0_booknum = 1
+            else:
+                floor.book_list = [len(books)]
+                books.append(f0book)
 
         # ---- residue config
         rtype = cfg.get("residue_type", 0)
@@ -1013,8 +1232,9 @@ class Encoder:
         # ---- audio packets
         packets = []
         granule = 0
-        rng = FLOOR1_RANGES[floor.multiplier - 1]
-        ybits = ilog(rng - 1)
+        if not f0cfg:
+            rng = FLOOR1_RANGES[floor.multiplier - 1]
+            ybits = ilog(rng - 1)
         for i, (n, prev_short, next_short, res) in enumerate(frames):
             pkt = BitWriter()
             pkt.write(0, 1)
@@ -1023,13 +1243,24 @@ class Encoder:
             if n == n1 and two_sizes:
                 pkt.write(0 if prev_short else 1, 1)
                 pkt.write(0 if next_short else 1, 1)
-            for j in range(ch):
-                pkt.write(1, 1)
-                pkt.write(ys[0], ybits)
-                pkt.write(ys[1], ybits)
-                for yy in ys[2:]:
-                    fbook.encode_entry(pkt, yy)
-            if submaps2:
+            if f0cfg:
+                for j in range(ch):
+                    amp = f0_amp[i][j]
+                    pkt.write(amp, floor.amp_bits)
+                    if amp > 0:
+                        pkt.write(f0_booknum, ilog(len(floor.book_list)))
+                        for e in f0_ents[f0_tgt[i][j]]:
+                            f0book.encode_entry(pkt, e)
+            else:
+                for j in range(ch):
+                    pkt.write(1, 1)
+                    pkt.write(ys[0], ybits)
+                    pkt.write(ys[1], ybits)
+                    for yy in ys[2:]:
+                        fbook.encode_entry(pkt, yy)
+            if f0cfg and all(a <= 0 for a in f0_amp[i]):
+                pass  # every channel unvoiced: residue reads nothing
+            elif submaps2:
                 for j in range(ch):  # one residue call per submap
                     self.write_residue(pkt, residue, books, pass_books,
                                        [list(res[j])], rtype, 1)
@@ -1056,6 +1287,59 @@ class Encoder:
             return [rng - 1, rng - 1] + [0] * (posts - 2)
         assert len(ys) == posts
         return ys
+
+    def build_floor0(self, f0):
+        """Floor-0 fixture kit: near-uniform jittered LSP target vectors
+        and the dim-`dim` lookup-2 codebook holding their delta rows (the
+        decoder accumulates `last` across VQ reads, so rows hold
+        differences from the previous group's final element). Returns the
+        DECODED coefficient sets (quantized exactly as a decoder will see
+        them) so the encoder's curve matches the decode bit-for-bit."""
+        order = f0.get("order", 8)
+        dim = f0.get("dim", 4)
+        ntargets = f0.get("targets", 3)
+        groups = (order + dim - 1) // dim
+        targets = []
+        for _ in range(ntargets):
+            c = sorted(math.pi * (k + 1) / (order + 1)
+                       + self.rnd.uniform(-0.3, 0.3) / (order + 1)
+                       for k in range(order))
+            targets.append(c)
+        rows = []
+        for c in targets:
+            # pad past `order` (decode discards, but `last` still moves)
+            padded = list(c) + [c[-1] + 0.05 * (i + 1)
+                                for i in range(groups * dim - order)]
+            last = 0.0
+            for g in range(groups):
+                seg = padded[g * dim:(g + 1) * dim]
+                rows.append([v - last for v in seg])
+                last = seg[-1]
+        vals = [v for row in rows for v in row]
+        vbits = 12
+        mn, mx = min(vals), max(vals)
+        delta = (mx - mn) / ((1 << vbits) - 1) or 1.0
+        mnq = float32_unpack(float32_pack(mn))
+        dlq = float32_unpack(float32_pack(delta))
+        mults = [max(0, min((1 << vbits) - 1, int(round((v - mn) / delta))))
+                 for row in rows for v in row]
+        entries = len(rows)
+        book = Codebook(dim, [max(1, ilog(entries - 1))] * entries,
+                        lookup_type=2, min_v=mnq, delta_v=dlq,
+                        value_bits=vbits, sequence_p=0, multiplicands=mults)
+        dec_targets = []
+        target_entries = []
+        for t in range(ntargets):
+            coeffs, ents, last = [], [], 0.0
+            for g in range(groups):
+                e = t * groups + g
+                ents.append(e)
+                vec = [v + last for v in book.vq(e)]
+                last = vec[-1]
+                coeffs.extend(vec)
+            dec_targets.append(coeffs)
+            target_entries.append(ents)
+        return book, dec_targets, target_entries
 
     def write_residue(self, pkt, res, books, pass_books, vecs, rtype, ch):
         """Multi-pass encode mirroring the decoder's cascade walk: each
@@ -1196,8 +1480,11 @@ class Decoder:
         self.floors = []
         for _ in range(r.read(6) + 1):
             ft = r.read(16)
-            assert ft == 1, "floor type 0 unsupported"
-            self.floors.append(Floor1.parse(r))
+            if ft == 0:
+                self.floors.append(Floor0.parse(r, self.books))
+            else:
+                assert ft == 1, "reserved floor type"
+                self.floors.append(Floor1.parse(r))
         self.residues = []
         for _ in range(r.read(6) + 1):
             rt = r.read(16)
@@ -1367,6 +1654,21 @@ def selftest():
              floor_posts=[(20, 0), (60, 0), (100, 0)], two_pass=True),
         dict(channels=1, rate=16000, bs0=256, bs1=256, residue_type=0,
              page_max_segs=3),
+        # floor 0 (legacy LSP): even + odd order, order not divisible by
+        # the book dim (coefficient-discard path), two-book selection,
+        # a header rate different from the stream rate, an unvoiced frame
+        dict(channels=1, rate=16000, bs0=256, bs1=256, residue_type=0,
+             two_pass=True, floor0=dict(order=8, dim=4)),
+        dict(channels=1, rate=16000, bs0=256, bs1=256, residue_type=1,
+             two_pass=True,
+             # the silenced frame zeroes ~1 block of real audio, so
+             # full-signal SNR is bounded by construction — gate at 8 dB
+             min_snr=8,
+             floor0=dict(order=9, dim=4, amp_bits=4, bark=96, decoy=True,
+                         rate=8000, silent_frame=2)),
+        dict(channels=2, rate=22050, bs0=128, bs1=512, residue_type=2,
+             coupling=True, two_pass=True,
+             floor0=dict(order=10, dim=5, amp_offset=12, amplitude=40)),
     ]
     for i, cfg in enumerate(configs):
         ns = 2048
@@ -1382,11 +1684,26 @@ def selftest():
             (len(sig), len(got))
         q = snr(sig[:m], got[:m])
         print(f"cfg {i}: {len(ogg)} bytes, {len(got)} samples, snr {q:.1f} dB")
-        assert q > 25, f"cfg {i} snr too low: {q}"
+        assert q > cfg.get("min_snr", 25), f"cfg {i} snr too low: {q}"
+    # floor-0 p/q transcription vs DIRECT LSP-polynomial evaluation — an
+    # independent route to the same numbers (see floor0_pq_direct)
+    rnd = random.Random(7)
+    worst = 0.0
+    for _ in range(4000):
+        order = rnd.randrange(1, 13)
+        coeffs = sorted(rnd.uniform(0.02, math.pi - 0.02)
+                        for _ in range(order))
+        omega = rnd.uniform(0, math.pi)
+        ps, qs = floor0_pq_spec(coeffs, order, omega)
+        pd, qd = floor0_pq_direct(coeffs, order, omega)
+        for a, b in ((ps, pd), (qs, qd)):
+            worst = max(worst, abs(a - b) / max(abs(a), abs(b), 1e-300))
+    assert worst < 1e-6, worst  # two float routes; a transcription error is O(1)
+    print(f"floor0 p/q vs direct polynomial: max rel dev {worst:.2e} OK")
     print("selftest OK")
 
 
-def gen_corpus(path, n_streams=24):
+def gen_corpus(path, n_streams=30):
     rows = []
     rnd = random.Random(20260816)
     for t in range(n_streams):
@@ -1410,18 +1727,42 @@ def gen_corpus(path, n_streams=24):
             rng0 = FLOOR1_RANGES[cfg["multiplier"] - 1]
             cfg["floor_ys"] = [rng0 - 1, rng0 - 20, 5, 12, 3, 8]
             cfg["two_pass"] = True
-        if t >= 18:
+        if 18 <= t < 24:
             # the real-world long-block shapes: all-2048 and 512/2048
             # mixed (window transitions at production size)
             cfg["bs0"] = 512 if t % 2 else 2048
             cfg["bs1"] = 2048
             cfg["levels"] = 2048
-        ns = 1536 + 256 * (t % 3) + (4096 if t >= 18 else 0)
+        if t >= 24:
+            # floor 0 (legacy LSP): even/odd order, order not divisible
+            # by the book dim (discard path), decoy-book selection, a
+            # floor rate different from the stream rate, an unvoiced
+            # frame, coupling and window switching over LSP curves
+            cfg["two_pass"] = True
+            cfg["submaps2"] = False
+            cfg["floor0"] = [
+                dict(order=8, dim=4),
+                dict(order=9, dim=4, amp_bits=4, bark=96, decoy=True,
+                     rate=8000, silent_frame=2),
+                dict(order=10, dim=5, amp_offset=12, amplitude=40),
+                dict(order=1, dim=1, amp_offset=8),
+                dict(order=12, dim=4, bark=128, targets=5),
+                dict(order=7, dim=3, amp_bits=5, decoy=True),
+            ][t - 24]
+            if t == 26:
+                cfg["channels"] = 2
+                cfg["coupling"] = True
+                ch = 2
+            if t == 28:
+                cfg["bs0"], cfg["bs1"] = 256, 1024  # window switching
+        ns = 1536 + 256 * (t % 3) + (4096 if 18 <= t < 24 else 0)
+        ch = cfg["channels"]
         sig = test_signal(ns, ch, seed=t)
         ogg = Encoder(cfg, rnd=random.Random(t)).encode(sig)
         got = Decoder(ogg).decode()
         q = snr(sig[:len(got)], got[:len(sig)])
-        assert q > 25, (t, q)
+        assert q > (8 if cfg.get("floor0", {}).get("silent_frame", -1) >= 0
+                    else 25), (t, q)
         if t % 9 == 4:
             # multiplexed shape: a foreign BOS page precedes the Vorbis
             # stream — decoders must lock to the Vorbis serial (expected
@@ -1472,12 +1813,31 @@ def gen_sweep(path, n_streams=200, seed=319):
             cfg["floor_posts"] = [(x, 0) for x in xs]
             cfg["floor_ys"] = [rng0 - 1, rng0 - 1 - rnd.randint(0, 25)] +                 [rnd.randint(0, 14) for _ in range(nposts)]
             cfg["two_pass"] = True
+        if rnd.random() < 0.3:
+            # floor 0 (legacy LSP) replaces the floor-1 curve wholesale
+            order = rnd.randint(1, 12)
+            cfg["floor0"] = dict(
+                order=order,
+                dim=rnd.randint(1, min(6, order + 1)),
+                targets=rnd.randint(1, 5),
+                amp_bits=rnd.randint(3, 7),
+                amp_offset=rnd.randint(6, 14),
+                bark=rnd.choice([32, 64, 96, 128]),
+                decoy=rnd.random() < 0.3)
+            if rnd.random() < 0.5:
+                cfg["floor0"]["rate"] = rnd.choice([8000, 16000, 48000])
+            if ch == 1 and rnd.random() < 0.2:
+                cfg["floor0"]["silent_frame"] = rnd.randint(0, 3)
+            cfg["two_pass"] = True
+            cfg.pop("floor_posts", None)
+            cfg.pop("floor_ys", None)
         ns = rnd.randrange(1024, 4096, 128)
         sig = test_signal(ns, ch, seed=seed * 1000 + t)
         ogg = Encoder(cfg, rnd=random.Random(t)).encode(sig)
         got = Decoder(ogg).decode()
         q = snr(sig[:len(got)], got[:len(sig)])
-        assert q > 20, (t, q, cfg)
+        silent = cfg.get("floor0", {}).get("silent_frame", -1) >= 0
+        assert q > (5 if silent else 20), (t, q, cfg)
         pcm = struct.pack(f"<{len(got)}h", *got)
         rows.append((base64.b64encode(ogg).decode(), ch, cfg["rate"],
                      base64.b64encode(pcm).decode()))
