@@ -496,11 +496,92 @@ object Sources {
     val ext = Config.str(cfg, "type").getOrElse(
       fileName.substring(fileName.lastIndexOf('.') + 1).toLowerCase)
     val tmp = Files.createTempFile("graft-remote-", s".$ext")
-    val in = java.net.URI.create(url).toURL.openStream()
-    try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    val uri = java.net.URI.create(url)
+    if (uri.getScheme == "ftp") ftpFetch(uri, tmp)
+    else {
+      val in = uri.toURL.openStream()
+      try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
     val columns = Config.asList(cfg.getOrElse("columns", Nil)).map(_.toString)
     readFile(spark, tmp.toString, cfg, columns)
+  }
+
+  /** Minimal FTP RETR client — the reference's ftplib shape (source.py:
+    * 457-518: USER/PASS login, binary TYPE I, passive PASV, RETR into a
+    * buffer), driven directly because the JVM's own ftp: URL handler is
+    * shadowed once Spark registers Hadoop's FsUrlStreamHandlerFactory
+    * (whose FTPFileSystem needs fs.ftp.* cluster config instead of the
+    * URL's own credentials). Loopback-tested in SourcesSpec against a
+    * real protocol exchange. */
+  private def ftpFetch(uri: java.net.URI, out: java.nio.file.Path): Unit = {
+    val port = if (uri.getPort > 0) uri.getPort else 21
+    val (user, pass) = Option(uri.getUserInfo) match {
+      case Some(ui) =>
+        val i = ui.indexOf(':')
+        if (i >= 0) (ui.substring(0, i), ui.substring(i + 1)) else (ui, "")
+      case None => ("anonymous", "graft@") // RFC 1635 anonymous convention
+    }
+    val sock = new java.net.Socket(uri.getHost, port)
+    try {
+      sock.setSoTimeout(60000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "US-ASCII"))
+      val os = sock.getOutputStream
+      def send(cmd: String): Unit = {
+        os.write((cmd + "\r\n").getBytes("US-ASCII"))
+        os.flush()
+      }
+      def reply(): String = {
+        var l = in.readLine()
+        if (l == null) throw new java.io.IOException("ftp: connection closed")
+        if (l.length >= 4 && l.charAt(3) == '-') {
+          // multi-line reply: "123-..." continues until a "123 " line
+          val code = l.substring(0, 3)
+          var done = false
+          while (!done) {
+            val m = in.readLine()
+            if (m == null) throw new java.io.IOException("ftp: connection closed")
+            l = m
+            done = l.length >= 4 && l.startsWith(code) && l.charAt(3) == ' '
+          }
+        }
+        l
+      }
+      def expect(cmd: String, okFirst: Char): String = {
+        send(cmd)
+        val r = reply()
+        if (r.isEmpty || r.charAt(0) != okFirst)
+          throw new java.io.IOException(s"ftp: `$cmd` rejected: $r")
+        r
+      }
+      val greet = reply()
+      if (!greet.startsWith("2"))
+        throw new java.io.IOException(s"ftp: bad greeting: $greet")
+      send(s"USER $user")
+      val ur = reply()
+      if (ur.startsWith("3")) expect(s"PASS $pass", '2')
+      else if (!ur.startsWith("2"))
+        throw new java.io.IOException(s"ftp: login rejected: $ur")
+      expect("TYPE I", '2')
+      val pasv = expect("PASV", '2')
+      val m = """(\d+),(\d+),(\d+),(\d+),(\d+),(\d+)""".r.findFirstMatchIn(pasv)
+        .getOrElse(throw new java.io.IOException(s"ftp: unparsable PASV reply: $pasv"))
+      // connect back to the CONTROL host, not the advertised address —
+      // NAT-safe, what every modern client does
+      val dport = m.group(5).toInt * 256 + m.group(6).toInt
+      val data = new java.net.Socket(uri.getHost, dport)
+      try {
+        data.setSoTimeout(60000)
+        expect(s"RETR ${uri.getPath}", '1')
+        Files.copy(data.getInputStream, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally data.close()
+      val done = reply()
+      if (!done.startsWith("2"))
+        throw new java.io.IOException(s"ftp: transfer failed: $done")
+      send("QUIT")
+    } finally sock.close()
   }
 
   /** SQL source → Spark JDBC (strictly better than the reference's

@@ -277,6 +277,67 @@ class SourcesSpec extends SparkSpec {
     assert(df.head().getString(1) == "2")
   }
 
+  test("ftp:// connection source retrieves through the real FTP protocol (loopback server)") {
+    // reference nodes/source.py:457-518 fetches via ftplib RETR; this pins
+    // the ACTUAL protocol path (USER/PASS → TYPE → passive → CWD → RETR)
+    // against a minimal single-client loopback ftpd, not just file://
+    val dir = tmpDir
+    val payload = "a,b\n7,hi\n8,yo\n"
+    val loop = java.net.InetAddress.getLoopbackAddress
+    val ctrl = new java.net.ServerSocket(0, 1, loop)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new Thread(() => {
+      try {
+        val s = ctrl.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream, "US-ASCII"))
+        val out = new java.io.PrintWriter(s.getOutputStream, true)
+        def reply(l: String): Unit = { out.print(l + "\r\n"); out.flush() }
+        reply("220 graft test ftpd")
+        var data: java.net.ServerSocket = null
+        var line = in.readLine()
+        while (line != null) {
+          seen.add(line)
+          line.split(" ", 2)(0).toUpperCase match {
+            case "USER" => reply("331 need password")
+            case "PASS" => reply("230 logged in")
+            case "TYPE" => reply("200 type set")
+            case "CWD" => reply("250 ok")
+            case p @ ("EPSV" | "PASV") =>
+              if (data == null) data = new java.net.ServerSocket(0, 1, loop)
+              val port = data.getLocalPort
+              if (p == "EPSV") reply(s"229 Entering Extended Passive Mode (|||$port|)")
+              else reply(s"227 Entering Passive Mode (127,0,0,1,${port / 256},${port % 256})")
+            case "RETR" =>
+              reply("150 opening data connection")
+              val d = data.accept()
+              d.getOutputStream.write(payload.getBytes("UTF-8"))
+              d.close()
+              reply("226 transfer complete")
+            case "QUIT" => reply("221 bye"); line = null
+            case _ => reply("200 ok")
+          }
+          if (line != null) line = in.readLine()
+        }
+        s.close()
+      } catch { case _: Exception => () } // client closed first — fine
+    })
+    server.setDaemon(true)
+    server.start()
+    try {
+      val url = s"ftp://user:pw@127.0.0.1:${ctrl.getLocalPort}/sub/data.csv"
+      val df = Sources.read(spark, "ftp", Map("connection" -> url), dir)
+      assert(df.columns.toSeq == Seq("a", "b"))
+      assert(df.orderBy("a").collect().map(_.getString(1)).toSeq == Seq("hi", "yo"))
+      import scala.jdk.CollectionConverters._
+      val cmds = seen.asScala.map(_.split(" ")(0).toUpperCase).toSet
+      assert(cmds.contains("USER") && cmds.contains("RETR"),
+        s"protocol exchange incomplete: $cmds")
+      assert(cmds.contains("PASV") || cmds.contains("EPSV"),
+        s"no passive-mode negotiation seen: $cmds")
+    } finally ctrl.close()
+  }
+
   test("xlsx: writer/reader round-trip, sheet + skiprows + headerless options") {
     val dir = tmpDir
     val f = dir.resolve("book.xlsx")
