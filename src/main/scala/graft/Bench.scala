@@ -532,7 +532,21 @@ object BenchFormat {
  *     The guard is IN CODE (r17 hand-reverted an accidental slow-box
  *     promotion): a candidate sweep totalling >1.05× the standing floor
  *     over the comparable set is refused unless
- *     SPARK_GRAFT_REBASE_FORCE=1 deliberately resets the floor.
+ *     SPARK_GRAFT_REBASE_FORCE=1 deliberately resets the floor;
+ *  7. soft floor guard (r19: the official artifact shipped 38 source
+ *     gates at 2.0-2.7× floor — under the 3× trip, ~8% total inflation):
+ *     any min >1.5× its best-ever gets up to 2 extra reps, survivors are
+ *     listed in the artifact's `over_floor`, and a run whose
+ *     min_sum_vs_best exceeds 1.10 (≥10 comparable queries) is
+ *     `floor_inflated` and refuses the canonical write like a contended
+ *     run (SPARK_GRAFT_ALLOW_CONTENDED=1 overrides both).
+ *
+ * Artifact telemetry (per rep, arrays aligned with `samples`):
+ * `samples_gc_sec` (GC seconds during the rep), `samples_storage_mb`
+ * (block-manager bytes after the rep's cleanup), `samples_loadavg`
+ * (1-min system load when the rep ended) — the signals that tell a
+ * within-JVM slow mode apart from a busy box, IN the artifact so slow
+ * windows are evidenced, not inferred.
  *
  * Action: `noop` datasource write — forces full evaluation of every
  * projection (a count() would let Catalyst prune the very operators being

@@ -57,9 +57,9 @@ object GenMedia {
 
   /** q_audio_dedup_lossy payload: pairs (i, i+250) are the SAME
     * recording — the copy at HALF amplitude (scale invariance) — with
-    * the container rotating WAV / FLAC / Ogg-VORBIS / MATROSKA-VORBIS
-    * on (id%250 + id/250) mod 4, so every pair crosses containers and
-    * the lossy codec appears on both sides in both carriages. The
+    * the container rotating WAV / FLAC / Ogg-VORBIS / MATROSKA-VORBIS /
+    * G.711-mu-law-.au on (id%250 + id/250) mod 5, so every pair crosses
+    * containers and the lossy codecs appear on both sides. The
     * Vorbis arms are the native encoder's single-pass (~45 dB) mode:
     * genuinely lossy, so the gate's hamming tolerance is actually
     * exercised; the Matroska arm wraps the SAME packet sequence in

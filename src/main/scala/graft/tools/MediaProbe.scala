@@ -115,6 +115,28 @@ object MediaProbe {
     leg("audio_lossy_100k")(lossyAudio(100000L))
     leg("audio_lossy_1m")(lossyAudio(1000000L))
 
+    // audio_transcode at scale (r19 VERDICT #6): fixture synth -> decode
+    // (five container arms) -> downmix -> native Vorbis RE-ENCODE, per
+    // row inside one codegen projection — executor-heavy, zero shuffles,
+    // so wall must track row count. Both encoder modes measured: the
+    // one-pass lossy default and the two-pass "transparent" mode (the
+    // likely-expensive arm — the encoder runs its quantization twice).
+    def transcode(n: Long, transparent: Boolean): Long =
+      spark.range(n).repartition(32)
+        .mapPartitions(_.map(id =>
+          (id, GenMedia.lossyAudioDedupFixture(id % 500))))
+        .toDF("media_id", "content")
+        .select(call_function("audio_transcode_vorbis", col("content"),
+          lit(transparent)).as("ogg"))
+        .filter(col("ogg").isNotNull)
+        .select(length(col("ogg")).as("len"))
+        .agg(count(lit(1))).head().getLong(0)
+
+    leg("transcode_10k")(transcode(10000L, transparent = false))
+    leg("transcode_100k")(transcode(100000L, transparent = false))
+    leg("transcode_1m")(transcode(1000000L, transparent = false))
+    leg("transcode_2p_100k")(transcode(100000L, transparent = true))
+
     def dedup(n: Long): Long = graft.functions.Images.videoDedupGroups(
       media(n), "media_id", "content", maxHamming = 3, maxFrames = 4,
       minMatches = 2).filter(col("n_group") > 1).count()
