@@ -158,17 +158,29 @@ object Graph {
   /** Unpersisting a CONSUMED localCheckpoint is the whole point of the
     * tracked release, but RDD.unpersist WARNs "lineage ... truncated and
     * cannot be recomputed after unpersisting" for every such block-set —
-    * one spurious warning per iteration per run. Expected and safe here
-    * (the next checkpoint has already materialized), so drop the emitting
-    * logger to ERROR for the duration of the call and restore. */
+    * one spurious warning per iteration per run, emitted by the CONCRETE
+    * subclass logger (MapPartitionsRDD et al.). Expected and safe here
+    * (the next checkpoint has already materialized), so drop the rdd
+    * package logger to ERROR for the duration of the call and restore. */
   private def quietRddWarns[A](body: => A): A = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
-    val name = "org.apache.spark.rdd.RDD"
+    val name = "org.apache.spark.rdd"
     val prev = LogManager.getLogger(name).getLevel
     Configurator.setLevel(name, Level.ERROR)
     try body finally Configurator.setLevel(name, prev)
   }
+
+  /** The SAME expected warning also fires when the ContextCleaner (its
+    * own thread — out of reach of the call-scoped guard above) releases a
+    * dropped checkpoint's blocks after the frame is garbage-collected.
+    * Graft's own batch mains and specs call this once per process to pin
+    * the one emitting logger to ERROR; library users who want the
+    * warning keep it (nothing is touched unless this is called). */
+  def quietCheckpointReleaseWarns(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** HITS hubs & authorities (Kleinberg 1999) — PageRank's complement for
     * crawl curation: authorities rank CONTENT pages worth keeping, hubs

@@ -19,4 +19,5 @@ object SparkSpec {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
+  graft.functions.Graph.quietCheckpointReleaseWarns()
 }
