@@ -873,7 +873,7 @@ object Bench {
     // the whole artifact is window-inflated even if no query tripped the
     // 3× contention line (r19 shipped 1.17 official) — refuse the
     // canonical write like a contended run.
-    val floorInflated = comparable.size >= 10 && minSumVsBest > 1.10
+    val floorInflated = !rebaseOk && comparable.size >= 10 && minSumVsBest > 1.10
     val fullJson =
       s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"samples_gc_sec":$gcJs,"samples_storage_mb":$storeJs,"samples_loadavg":$loadJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"over_floor":${jsArr(overFloorQueries)},"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"floor_inflated":$floorInflated,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     // A contended run must not become the round's official artifact: its

@@ -165,6 +165,12 @@ object Graph {
   private def quietRddWarns[A](body: => A): A = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
+    // already quiet (graft's mains and specs pin the emitting logger once
+    // at startup): skip — Configurator.setLevel REBUILDS the logger
+    // configuration (~tens of ms), and paid twice per iteration it showed
+    // up as a 25-35% graph-query regression in the r20 sweep
+    if (!LogManager.getLogger("org.apache.spark.rdd.MapPartitionsRDD").isWarnEnabled)
+      return body
     val name = "org.apache.spark.rdd"
     val prev = LogManager.getLogger(name).getLevel
     Configurator.setLevel(name, Level.ERROR)
