@@ -1832,9 +1832,9 @@ object SparkEntry {
 
     // the LOSSY streaming face: the same delta-vs-index discipline over
     // the spectral fingerprint — batch 1's ids >= 250 are lossy Vorbis /
-    // half-amplitude copies of indexed recordings (5-container rotation:
-    // WAV/FLAC/Ogg-Vorbis/MKV-Vorbis/G.711-.au) and must drop within
-    // hamming 7; 240..249 are new bases and survive
+    // half-amplitude copies of indexed recordings (6-container rotation:
+    // WAV/FLAC/Ogg-Vorbis/MKV-Vorbis/G.711-.au/Ogg-Vorbis-floor-0) and
+    // must drop within hamming 7; 240..249 are new bases and survive
     "q_stream_ingest_audio_lossy" -> ((s, d) => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-si-audl")
@@ -2478,10 +2478,12 @@ object SparkEntry {
     // LOSSY cross-codec audio dedup (the audio analogue of the video
     // tier's cross-container gates): pairs (i, i+250) are the same
     // recording — the copy at half amplitude — rotating WAV / FLAC /
-    // Ogg-VORBIS / MATROSKA-VORBIS / G.711-mu-law-.au containers, the
-    // Vorbis arms decoded by the NATIVE floor/residue/IMDCT decoder (Ogg
-    // page demux and A_VORBIS block walk respectively) and genuinely
-    // lossy (~45 dB), the mu-law arm lossy by companding. The
+    // Ogg-VORBIS / MATROSKA-VORBIS / G.711-mu-law-.au / Ogg-VORBIS-FLOOR-0
+    // containers, the Vorbis arms decoded by the NATIVE floor/residue/
+    // IMDCT decoder (Ogg page demux and A_VORBIS block walk respectively)
+    // and genuinely lossy (~45 dB) — the sixth arm carries the legacy LSP
+    // floor, so floor-0 decode is oracle-gated from YAML, not just
+    // spec-pinned; the mu-law arm is lossy by companding. The
     // 60-bit spectral fingerprint (Haar band-energy delta signs) is
     // bit-identical for the lossless pair members and hamming-near for
     // the lossy ones; the banded join + CC must recover exactly the

@@ -320,21 +320,13 @@ object Vorbis {
     if (bookList.exists(b => b >= books0.length || books0(b).lookupType == 0))
       fail("floor0 book list")
 
-    /** bark(x) = 13.1 atan(.00074x) + 2.24 atan(.0000000185x²) + .0001x
-      * (spec 6.2.3). */
-    private def bark(x: Double): Double =
-      13.1 * math.atan(0.00074 * x) +
-        2.24 * math.atan(0.0000000185 * x * x) + 0.0001 * x
-
     // map[i] per half-block size (spec 6.2.3 step 1), cached: block sizes
     // repeat for the whole stream, the atan walk is per-size one-time
     private val maps = new java.util.HashMap[Integer, Array[Int]]()
     private def barkMap(n: Int): Array[Int] = {
       var m = maps.get(n)
       if (m == null) {
-        val c = barkMapSize / bark(0.5 * rate)
-        m = Array.tabulate(n)(i => math.min(barkMapSize - 1,
-          math.floor(bark(0.5 * rate * i / n) * c).toInt))
+        m = floor0BarkMap(rate, barkMapSize, n)
         maps.put(n, m)
       }
       m
@@ -366,54 +358,79 @@ object Vorbis {
 
     def curve(data: AnyRef, n2: Int): Array[Double] = {
       val (amplitude, coeffs) = data.asInstanceOf[(Int, Array[Double])]
-      val m = barkMap(n2)
-      val cosc = new Array[Double](order)
-      var i = 0
-      while (i < order) { cosc(i) = math.cos(coeffs(i)); i += 1 }
-      val scale = ((1L << ampBits) - 1).toDouble
-      val out = new Array[Double](n2)
-      i = 0
-      while (i < n2) {
-        val k = m(i)
-        val cw = math.cos(math.Pi * k / barkMapSize)
-        var p = 0.0
-        var q = 0.0
-        if ((order & 1) == 1) {
-          p = 1.0 - cw * cw
-          q = 0.25
-          var j = 0
-          while (j < (order - 1) / 2) {
-            val d = cosc(2 * j + 1) - cw
-            p *= 4.0 * d * d
-            j += 1
-          }
-          j = 0
-          while (j < (order + 1) / 2) {
-            val d = cosc(2 * j) - cw
-            q *= 4.0 * d * d
-            j += 1
-          }
-        } else {
-          p = (1.0 - cw) / 2.0
-          q = (1.0 + cw) / 2.0
-          var j = 0
-          while (j < order / 2) {
-            var d = cosc(2 * j + 1) - cw
-            p *= 4.0 * d * d
-            d = cosc(2 * j) - cw
-            q *= 4.0 * d * d
-            j += 1
-          }
-        }
-        val pq = p + q
-        val v =
-          if (pq <= 0) 0.0 // defined identically in the Python mirror
-          else math.exp(0.11512925 * (amplitude * ampOffset /
-            (scale * math.sqrt(pq)) - ampOffset))
-        while (i < n2 && m(i) == k) { out(i) = v; i += 1 }
-      }
-      out
+      floor0Curve(order, barkMapSize, ampBits, ampOffset, barkMap(n2),
+        amplitude, coeffs, n2)
     }
+  }
+
+  /** bark(x) = 13.1 atan(.00074x) + 2.24 atan(.0000000185x²) + .0001x
+    * (spec 6.2.3). */
+  private def bark(x: Double): Double =
+    13.1 * math.atan(0.00074 * x) +
+      2.24 * math.atan(0.0000000185 * x * x) + 0.0001 * x
+
+  /** Floor-0 bark-warped frequency map (spec 6.2.3 step 1) — shared by
+    * the decoder and the fixture encoder's floor-0 arm. */
+  private[functions] def floor0BarkMap(rate: Int, barkMapSize: Int,
+                                       n: Int): Array[Int] = {
+    val c = barkMapSize / bark(0.5 * rate)
+    Array.tabulate(n)(i => math.min(barkMapSize - 1,
+      math.floor(bark(0.5 * rate * i / n) * c).toInt))
+  }
+
+  /** Floor-0 curve synthesis (spec 6.2.3 step 2) from decoded
+    * (amplitude, coefficients) — shared by decode and the encoder so the
+    * fixture encoder's residue division uses the EXACT decode-side curve. */
+  private[functions] def floor0Curve(order: Int, barkMapSize: Int,
+                                     ampBits: Int, ampOffset: Int,
+                                     m: Array[Int], amplitude: Int,
+                                     coeffs: Array[Double], n2: Int): Array[Double] = {
+    val cosc = new Array[Double](order)
+    var i = 0
+    while (i < order) { cosc(i) = math.cos(coeffs(i)); i += 1 }
+    val scale = ((1L << ampBits) - 1).toDouble
+    val out = new Array[Double](n2)
+    i = 0
+    while (i < n2) {
+      val k = m(i)
+      val cw = math.cos(math.Pi * k / barkMapSize)
+      var p = 0.0
+      var q = 0.0
+      if ((order & 1) == 1) {
+        p = 1.0 - cw * cw
+        q = 0.25
+        var j = 0
+        while (j < (order - 1) / 2) {
+          val d = cosc(2 * j + 1) - cw
+          p *= 4.0 * d * d
+          j += 1
+        }
+        j = 0
+        while (j < (order + 1) / 2) {
+          val d = cosc(2 * j) - cw
+          q *= 4.0 * d * d
+          j += 1
+        }
+      } else {
+        p = (1.0 - cw) / 2.0
+        q = (1.0 + cw) / 2.0
+        var j = 0
+        while (j < order / 2) {
+          var d = cosc(2 * j + 1) - cw
+          p *= 4.0 * d * d
+          d = cosc(2 * j) - cw
+          q *= 4.0 * d * d
+          j += 1
+        }
+      }
+      val pq = p + q
+      val v =
+        if (pq <= 0) 0.0 // defined identically in the Python mirror
+        else math.exp(0.11512925 * (amplitude * ampOffset /
+          (scale * math.sqrt(pq)) - ampOffset))
+      while (i < n2 && m(i) == k) { out(i) = v; i += 1 }
+    }
+    out
   }
 
   // ---------------------------------------------------------- floor 1
@@ -1235,9 +1252,14 @@ object Vorbis {
     * near-transparent (the fine pass reconstructs to < 0.5 LSB on
     * typical content); `twoPass = false` keeps only the 11-bit coarse
     * grid — genuinely lossy (~45 dB), the shape the lossy-dedup gates
-    * need so their tolerance claim is actually exercised. */
-  def encode(rate: Int, samples: Array[Int], twoPass: Boolean = true): Array[Byte] = {
-    val (pkts, granules) = encodePacketSeq(rate, samples, twoPass)
+    * need so their tolerance claim is actually exercised. `floor0 = true`
+    * swaps the flat floor-1 for a legacy LSP floor-0 stream (fixed
+    * near-uniform 8-angle coefficient set, one VQ book): the residue is
+    * divided by the EXACT decode-side curve, so decoders reconstruct the
+    * same spectra — the gate-reachable face of floor-0 decode. */
+  def encode(rate: Int, samples: Array[Int], twoPass: Boolean = true,
+             floor0: Boolean = false): Array[Byte] = {
+    val (pkts, granules) = encodePacketSeq(rate, samples, twoPass, floor0)
     val pagesBuf = new java.io.ByteArrayOutputStream()
     val serial = 0x67766273L
     var i = 0
@@ -1253,14 +1275,15 @@ object Vorbis {
     * audio...) plus per-packet granules — the container-independent
     * half, so the Matroska fixture can wrap the SAME packets. */
   def encodePacketSeq(rate: Int, samples: Array[Int],
-                      twoPass: Boolean = true): (Array[Array[Byte]], Array[Long]) = {
+                      twoPass: Boolean = true,
+                      floor0: Boolean = false): (Array[Array[Byte]], Array[Long]) = {
     val n = EncN
     val n2 = n / 2
     val nsamp = samples.length
     val frames = (nsamp + n2 - 1) / n2 + 1
     val w = blockWindow(n, prevShort = false, nextShort = false, n)
     // forward MDCT per frame (scale 4/n pairs with the unscaled IMDCT)
-    val specs = Array.tabulate(frames) { i =>
+    val mdcts = Array.tabulate(frames) { i =>
       val start = i * n2 - n2 // center c_i = i*n/2
       val seg = Array.tabulate(n)(k => {
         val at = start + k
@@ -1273,6 +1296,43 @@ object Vorbis {
         acc * 4.0 / n
       })
     }
+    // floor-0 arm: a fixed near-uniform 8-angle LSP set, quantized through
+    // the VQ book exactly as a decoder will see it, and the curve computed
+    // by the SAME synthesis the decoder runs — the residue then carries
+    // spec/curve and every conforming decoder reconstructs spec
+    val F0Order = 8
+    val F0Bark = 64
+    val F0AmpBits = 6
+    val F0AmpOffset = 10
+    val F0Amp = 48
+    if (floor0) require(rate <= 65535, "floor0 header rate field is 16-bit")
+    val f0target = Array.tabulate(F0Order)(k =>
+      math.Pi * (k + 1) / (F0Order + 1.0) + 0.013 * (k % 3 - 1))
+    val f0rows: Array[Double] = {
+      val r0 = f0target.slice(0, 4)
+      val last = f0target(3)
+      val r1 = f0target.slice(4, 8).map(_ - last)
+      r0 ++ r1
+    }
+    val f0mn = float32Unpack(float32Pack(f0rows.min))
+    val f0dl = float32Unpack(float32Pack((f0rows.max - f0rows.min) / 4095.0))
+    val f0mult = f0rows.map(v =>
+      math.max(0, math.min(4095, math.round((v - f0mn) / f0dl).toInt)))
+    val f0coeffs: Array[Double] = {
+      val r0 = Array.tabulate(4)(i => f0mult(i) * f0dl + f0mn)
+      val last = r0(3)
+      val r1 = Array.tabulate(4)(i => f0mult(4 + i) * f0dl + f0mn + last)
+      r0 ++ r1
+    }
+    val f0curve: Array[Double] =
+      if (!floor0) null
+      else floor0Curve(F0Order, F0Bark, F0AmpBits, F0AmpOffset,
+        floor0BarkMap(rate, F0Bark, n2), F0Amp, f0coeffs, n2)
+    // residue-domain spectra: spec/curve under floor 0, spec itself under
+    // the flat 0 dB floor-1
+    val specs =
+      if (!floor0) mdcts
+      else mdcts.map(sp => Array.tabulate(n2)(k => sp(k) / f0curve(k)))
     var maxAbs = 1.0
     specs.foreach(_.foreach(v => if (math.abs(v) > maxAbs) maxAbs = math.abs(v)))
     val a = math.pow(2.0, ilog(maxAbs.toInt)).max(1.0)
@@ -1305,7 +1365,7 @@ object Vorbis {
     val setup = new BitWriter
     setup.write(5, 8) // packet type: setup
     "vorbis".foreach(c => setup.write(c, 8))
-    setup.write(3, 8) // 4 books
+    setup.write(if (floor0) 4 else 3, 8) // 4 books (+1 floor-0 LSP book)
     // book 0: classbook dim 4, 16 entries, flat len 4, lookup 0
     def flatBook(dims: Int, entries: Int, len: Int): Unit = {
       setup.write(0x564342, 24)
@@ -1335,9 +1395,31 @@ object Vorbis {
     setup.write(0, 4)
     // book 3: fine scalar
     scalarBook(fineMin, fineDelta)
+    if (floor0) {
+      // book 4: the LSP delta rows — dim 4, 2 entries (row 0 absolute,
+      // row 1 relative to row 0's last element), flat 1-bit codewords,
+      // lookup 2 with 12-bit multiplicands
+      flatBook(4, 2, 1)
+      setup.write(2, 4)
+      setup.writeLong(float32Pack(f0mn), 32)
+      setup.writeLong(float32Pack(f0dl), 32)
+      setup.write(11, 4) // value_bits - 1 = 11
+      setup.write(0, 1) // sequence_p
+      f0mult.foreach(m => setup.write(m, 12))
+    }
     setup.write(0, 6) // time count - 1
     setup.write(0, 16)
     setup.write(0, 6) // floor count - 1
+    if (floor0) {
+      setup.write(0, 16) // floor type 0 (legacy LSP)
+      setup.write(F0Order, 8)
+      setup.write(rate, 16)
+      setup.write(F0Bark, 16)
+      setup.write(F0AmpBits, 6)
+      setup.write(F0AmpOffset, 8)
+      setup.write(0, 4) // number_of_books - 1
+      setup.write(4, 8) // the LSP book
+    } else {
     setup.write(1, 16) // floor type 1
     setup.write(1, 5) // partitions
     setup.write(0, 4) // class 0
@@ -1347,6 +1429,7 @@ object Vorbis {
     setup.write(0, 2) // multiplier - 1
     setup.write(7, 4) // rangebits
     setup.write(64, 7) // the one extra post at x = 64
+    }
     setup.write(0, 6) // residue count - 1
     setup.write(0, 16) // residue type 0
     setup.write(0, 24) // begin
@@ -1391,10 +1474,17 @@ object Vorbis {
       val pkt = new BitWriter
       pkt.write(0, 1) // audio packet
       // (single mode: zero mode bits)
-      pkt.write(1, 1) // floor nonzero
-      pkt.write(255, 8) // y0
-      pkt.write(255, 8) // y1
-      pkt.code(0, 8) // the one extra post: val 0 -> on the line (flat)
+      if (floor0) {
+        pkt.write(F0Amp, F0AmpBits) // amplitude > 0: voiced
+        pkt.write(0, 1) // booknumber (ilog(1) = 1 bit)
+        pkt.code(0, 1) // row 0 (absolute angles)
+        pkt.code(1, 1) // row 1 (relative to row 0's last)
+      } else {
+        pkt.write(1, 1) // floor nonzero
+        pkt.write(255, 8) // y0
+        pkt.write(255, 8) // y1
+        pkt.code(0, 8) // the one extra post: val 0 -> on the line (flat)
+      }
       // residue: pts = 128/32 = 4, classbook dim 4 -> one classword
       val spec = specs(fi)
       val recon = new Array[Double](n2)

@@ -58,23 +58,26 @@ object GenMedia {
   /** q_audio_dedup_lossy payload: pairs (i, i+250) are the SAME
     * recording — the copy at HALF amplitude (scale invariance) — with
     * the container rotating WAV / FLAC / Ogg-VORBIS / MATROSKA-VORBIS /
-    * G.711-mu-law-.au on (id%250 + id/250) mod 5, so every pair crosses
-    * containers and the lossy codecs appear on both sides. The
-    * Vorbis arms are the native encoder's single-pass (~45 dB) mode:
-    * genuinely lossy, so the gate's hamming tolerance is actually
-    * exercised; the Matroska arm wraps the SAME packet sequence in
-    * A_VORBIS blocks (Xiph-laced + unlaced). */
+    * G.711-mu-law-.au / Ogg-VORBIS-FLOOR-0 on (id%250 + id/250) mod 6,
+    * so every pair crosses containers and the lossy codecs appear on
+    * both sides. The Vorbis arms are the native encoder's single-pass
+    * (~45 dB) mode: genuinely lossy, so the gate's hamming tolerance is
+    * actually exercised; the Matroska arm wraps the SAME packet sequence
+    * in A_VORBIS blocks (Xiph-laced + unlaced); the sixth arm carries the
+    * legacy LSP floor (decode exercised from YAML, not just specs). */
   def lossyAudioDedupFixture(id: Long): Array[Byte] = {
     val base = id % 250
     val raw = Array.tabulate(2048)(i => lossyAudioSample(base, i))
     val samples = if (id >= 250) raw.map(_ / 2) else raw
-    (id % 250 + id / 250) % 5 match {
+    (id % 250 + id / 250) % 6 match {
       case 0 => MediaKernels.encodeWav(16000, samples)
       case 1 => graft.functions.Flac.encodeMono16(16000, samples)
       case 2 => graft.functions.Vorbis.encode(16000, samples, twoPass = false)
       case 3 => graft.functions.Webm.encodeMkvVorbis(
         graft.functions.Vorbis.encodePacketSeq(16000, samples, twoPass = false)._1)
-      case _ => MediaKernels.encodeAu(1, 16000, samples) // G.711 mu-law
+      case 4 => MediaKernels.encodeAu(1, 16000, samples) // G.711 mu-law
+      case _ => graft.functions.Vorbis.encode(16000, samples,
+        twoPass = false, floor0 = true) // legacy LSP floor
     }
   }
 

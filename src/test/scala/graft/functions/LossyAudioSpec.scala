@@ -79,6 +79,23 @@ class LossyAudioSpec extends AnyFunSuite {
     assert(one != null && two != null)
     assert(snr(one.pcm) > 38, s"single-pass snr ${snr(one.pcm)}")
     assert(snr(two.pcm) > 60, s"two-pass snr ${snr(two.pcm)}")
+    // floor-0 arm: the residue carries spec/curve with the EXACT
+    // decode-side LSP curve, so fidelity matches the floor-1 shape; the
+    // stream exercises the legacy floor decode end-to-end from the
+    // Scala encoder (cross-checked against the Python mirror decoder —
+    // tools/vorbis_codec.py decodes this exact shape, see FIXTURES.md)
+    val f0one = Vorbis.decode(Vorbis.encode(16000, s, twoPass = false, floor0 = true))
+    val f0two = Vorbis.decode(Vorbis.encode(16000, s, floor0 = true))
+    assert(f0one != null && f0two != null)
+    assert(snr(f0one.pcm) > 38, s"floor0 single-pass snr ${snr(f0one.pcm)}")
+    assert(snr(f0two.pcm) > 60, s"floor0 two-pass snr ${snr(f0two.pcm)}")
+    // fingerprints must group the floor-0 and floor-1 encodes of the
+    // same recording (the property the lossy-dedup rotation arm needs)
+    val fpF1 = MediaKernels.audioFingerprintSpectral(Vorbis.encode(16000, s, twoPass = false))
+    val fpF0 = MediaKernels.audioFingerprintSpectral(Vorbis.encode(16000, s, twoPass = false, floor0 = true))
+    assert(fpF1 != null && fpF0 != null)
+    assert(java.lang.Long.bitCount(fpF1 ^ fpF0) <= 3,
+      s"floor0/floor1 fingerprint hamming ${java.lang.Long.bitCount(fpF1 ^ fpF0)}")
   }
 
   test("audio_meta sees the native-encoded Vorbis stream with exact fields") {
