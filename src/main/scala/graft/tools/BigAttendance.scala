@@ -46,6 +46,9 @@ object BigAttendance {
 
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(100000000L)
+    // `runsingle` = parity-mode single output file (the reference's exact
+    // output shape: ONE ~30GB jsonl, driver-streamed) — stricter
+    // apples-to-apples than the partitioned sink, slower by design
     val stages: Set[String] =
       if (args.length > 1) args(1).split(",").toSet else Set("gen", "run", "check")
     val spark = SparkSession.builder()
@@ -57,7 +60,8 @@ object BigAttendance {
       .getOrCreate()
     try {
       if (stages("gen")) gen(spark, rows)
-      if (stages("run")) run()
+      if (stages("run")) run(partitioned = true)
+      if (stages("runsingle")) run(partitioned = false)
       if (stages("check")) check(spark, rows)
     } finally spark.stop()
   }
@@ -106,7 +110,7 @@ object BigAttendance {
   /** Mirror of example_projects/01_simple/big_earthmover.yaml (+ template
     * templates/studentSchoolAttendanceEvent.jsont), pointed at [[Base]] and
     * switched to the partitioned sink — the shape a 100TB output needs. */
-  private def writeProject(): Path = {
+  private def writeProject(partitioned: Boolean): Path = {
     Files.createDirectories(Paths.get(Base, "templates"))
     val tpl = """{
   "id": "{{ school }}-{{ session }}-{{ day }}-{{ student_id }}-{{ status }}",
@@ -160,21 +164,26 @@ destinations:
     source: $$transformations.attendance
     template: $Base/templates/studentSchoolAttendanceEvent.jsont
     extension: jsonl
-    linearize: True
-    partitioned: True
+    linearize: True${if (partitioned) "\n    partitioned: True" else ""}
 """
     val f = Paths.get(Base, "graft.yaml")
     Files.writeString(f, yaml)
     f
   }
 
-  private def run(): Unit = {
-    val yaml = writeProject()
+  private def run(partitioned: Boolean): Unit = {
+    val yaml = writeProject(partitioned)
+    // the two sink shapes share the output path: clear the other shape's
+    // result first (and reclaim its ~30GB)
+    val target = Paths.get(Base, "output", "studentSchoolAttendanceEvents.jsonl")
+    if (Files.exists(target))
+      Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     val t0 = System.nanoTime()
     val code = graft.cli.Main.dispatch(Array("run", "-c", yaml.toString, "-f"))
     val secs = (System.nanoTime() - t0) / 1e9
     require(code == 0, s"[bigatt] cli run exited $code")
-    println(f"[bigatt] run: $secs%.1f s wall (CLI run, compile->DAG->execute->sink)")
+    val mode = if (partitioned) "partitioned sink" else "SINGLE-FILE sink (reference parity shape)"
+    println(f"[bigatt] run: $secs%.1f s wall (CLI run, compile->DAG->execute->$mode)")
   }
 
   private def check(spark: SparkSession, rows: Long): Unit = {
