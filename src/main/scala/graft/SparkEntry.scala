@@ -2347,7 +2347,7 @@ object SparkEntry {
           "audio_bits", "audio_n_samples", "audio_duration_ms", "audio_codec")
     }),
 
-    // storage normalization: every lossless/lossy arm of the 5-container
+    // storage normalization: every lossless/lossy arm of the 6-container
     // rotation re-encodes to mono Ogg-Vorbis ON EXECUTORS via the native
     // encoder; correctness observed through the TRANSCODED payload's
     // audio_meta (exact closed-form fields: the encoder's granule trim

@@ -101,7 +101,8 @@ object MediaProbe {
     leg("avc_frames_10m")(avcFrames(10000000L))
 
     // lossy audio tier: fixture synth (incl. the native Vorbis ENCODE on
-    // two of four arms) -> container walk -> native decode -> spectral
+    // three of six arms — one with the legacy LSP floor 0) -> container
+    // walk -> native decode -> spectral
     // fingerprint, all inside one narrow projection — wall must track
     // row count (no shuffle until a dedup join)
     def lossyAudio(n: Long): Long = spark.range(n).repartition(32)
