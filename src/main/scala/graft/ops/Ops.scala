@@ -196,14 +196,17 @@ object Ops {
   /** filter_rows (row.py:52-96): pandas-query dialect predicate; `exclude`
     * wraps in not(...). The translator compiles to a native Catalyst
     * predicate (pushdown-able), with pandas two-valued null semantics. */
-  def filterRows(df: DataFrame, query: String, behavior: String = "include"): DataFrame = {
-    val pred = PandasQuery.compile(query)
+  def filterRows(df: DataFrame, query: String, behavior: String = "include"): DataFrame =
     behavior match {
-      case "include" => df.filter(pred)
-      case "exclude" => df.filter(!pred)
+      // keep-mode: monotone queries compile WITHOUT the pandas-null
+      // coalesce wrappers (filter-equivalent; see compileForKeepFilter) so
+      // the comparisons push into the parquet scan — at 100TB the wrapped
+      // form reads every row group, the raw form skips on min/max stats
+      case "include" => df.filter(PandasQuery.compileForKeepFilter(query))
+      // exclude wraps in not(): null handling must stay exactly pandas'
+      case "exclude" => df.filter(!PandasQuery.compile(query))
       case other => err("filter_rows", s"`behavior` must be one of [include, exclude], not `$other`")
     }
-  }
 
   /** sort_rows (row.py:98-154): `+col`/`-col` prefixes; `descending` forces
     * all directions descending. Global sort → range-partitioned exchange. */

@@ -20,6 +20,27 @@ object PandasQuery {
 
   def compile(query: String): Column = new Parser(query).parseAll()
 
+  /** Compile for a KEEP-filter context. A query whose token stream has no
+    * negation (`not` / `~` / `!=`) is MONOTONE: under a Filter, its raw
+    * three-valued form keeps exactly the rows the pandas-null coalesced
+    * form keeps (a null leaf collapses to "dropped" at every AND/OR
+    * level on both sides — induction over the formula), and WITHOUT the
+    * coalesce wrappers Catalyst pushes the comparisons into the parquet
+    * scan (PushedFilters → row-group skipping), which the wrapped form
+    * forfeits. Non-monotone queries fall back to the exact pandas-null
+    * compile; `exclude` mode must always use [[compile]] (negation flips
+    * null handling). */
+  def compileForKeepFilter(query: String): Column =
+    if (monotone(query)) new Parser(query, raw = true).parseAll()
+    else compile(query)
+
+  private def monotone(query: String): Boolean =
+    !lex(query).exists {
+      case TOp("~") | TOp("!=") => true
+      case TIdent("not") => true
+      case _ => false
+    }
+
   // ---------------------------------------------------------------- lexer
   sealed trait Tok
   case class TIdent(s: String) extends Tok
@@ -74,8 +95,10 @@ object PandasQuery {
   }
 
   // --------------------------------------------------------------- parser
-  private class Parser(src: String) {
+  private class Parser(src: String, raw: Boolean = false) {
     private val toks = lex(src)
+    /** false-coalesce — identity in raw (monotone keep-filter) mode. */
+    private def fz(c: Column): Column = if (raw) c else coalesce(c, lit(false))
     private var pos = 0
     private def peek: Tok = toks(pos)
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -134,18 +157,18 @@ object PandasQuery {
         case TOp(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
           next(); val r = addExpr()
           op match {
-            case "==" => coalesce(l === r, lit(false))
-            case "!=" => coalesce(l =!= r, lit(true))
-            case "<"  => coalesce(l < r, lit(false))
-            case "<=" => coalesce(l <= r, lit(false))
-            case ">"  => coalesce(l > r, lit(false))
-            case ">=" => coalesce(l >= r, lit(false))
+            case "==" => fz(l === r)
+            case "!=" => if (raw) l =!= r else coalesce(l =!= r, lit(true))
+            case "<"  => fz(l < r)
+            case "<=" => fz(l <= r)
+            case ">"  => fz(l > r)
+            case ">=" => fz(l >= r)
           }
-        case TIdent("in") => next(); coalesce(l.isin(listLiteral(): _*), lit(false))
+        case TIdent("in") => next(); fz(l.isin(listLiteral(): _*))
         case TIdent("not") =>
           next()
           next() match {
-            case TIdent("in") => !coalesce(l.isin(listLiteral(): _*), lit(false))
+            case TIdent("in") => !fz(l.isin(listLiteral(): _*))
             case t => fail(s"expected 'in' after 'not', found $t")
           }
         case _ => l
@@ -219,14 +242,14 @@ object PandasQuery {
           val arg = strArg()
           expectOp(")")
           // pandas default is regex=True; a NaN cell yields NaN which the
-          // query treats as False — hence the coalesce.
-          coalesce(base.rlike(arg), lit(false))
+          // query treats as False — hence the (keep-mode-elided) coalesce.
+          fz(base.rlike(arg))
         case "startswith" =>
           val a = strArg(); expectOp(")")
-          coalesce(base.startsWith(a), lit(false))
+          fz(base.startsWith(a))
         case "endswith" =>
           val a = strArg(); expectOp(")")
-          coalesce(base.endsWith(a), lit(false))
+          fz(base.endsWith(a))
         case "len"   => expectOp(")"); length(base)
         case "lower" => expectOp(")"); lower(base)
         case "upper" => expectOp(")"); upper(base)

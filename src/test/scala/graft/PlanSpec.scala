@@ -28,6 +28,17 @@ class PlanSpec extends SparkSpec {
       "scan must read only the projected columns")
   }
 
+  test("monotone keep-filter pushes comparisons into the parquet scan") {
+    // the pandas-null coalesce wrappers forfeit pushdown; include-mode
+    // monotone queries must compile raw and reach PushedFilters so a
+    // 100TB scan skips row groups on min/max stats
+    val p = formatted("q_filter_rows")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThan(l_quantity") || p.contains("EqualTo(l_returnflag")),
+      "keep-filter comparisons must reach the parquet scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("dimension join broadcasts the small side") {
     val p = formatted("q_join_merge_key")
     assert(p.contains("BroadcastHashJoin"), "nation-sized side must broadcast")

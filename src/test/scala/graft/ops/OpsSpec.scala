@@ -67,6 +67,24 @@ class OpsSpec extends SparkSpec {
     assert(Ops.filterRows(df, "v == '5'", "exclude").select("k").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("monotone keep-filter (raw compile) keeps EXACTLY the pandas-null rows") {
+    // include-mode monotone queries compile without the coalesce wrappers
+    // (pushdown); nulls must still drop identically across and/or/in/str
+    val df = Seq(("a", "5", "xx"), ("b", null, "xy"), ("c", "7", null),
+      ("d", "5", "zz"), ("e", null, null)).toDF("k", "v", "s")
+    def keep(q: String): Seq[String] =
+      Ops.filterRows(df, q).select("k").as[String].collect().toSeq.sorted
+    assert(keep("v == '5'") == Seq("a", "d"))
+    assert(keep("v == '5' and s.str.contains('x')") == Seq("a"))
+    assert(keep("v == '5' or s.str.startswith('x')") == Seq("a", "b", "d"))
+    assert(keep("v in ['5', '7'] and s.str.contains('x')") == Seq("a"))
+    assert(keep("v in ['5', '7'] and s.str.endswith('y')") == Nil) // null v drops b
+    // negation falls back to the exact pandas-null compile: NaN != '5' is
+    // True, so the null-v rows are KEPT — the raw form would drop them
+    assert(keep("v != '5'") == Seq("b", "c", "e"))
+    assert(keep("not (v == '5')") == Seq("b", "c", "e"))
+  }
+
   test("sortRows with +/- prefixes and descending override") {
     val df = Seq(("a", "2"), ("b", "1"), ("c", "2")).toDF("k", "v")
     assert(Ops.sortRows(df, Seq("-v", "+k")).select("k").as[String].collect().toSeq == Seq("a", "c", "b"))
