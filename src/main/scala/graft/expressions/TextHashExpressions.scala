@@ -573,7 +573,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[MinhashSig].getName, null, name, usage, ""),
+        new ExpressionInfo(classOf[MinhashSig].getName, null, name, usage,
+          "", "", "", "", "", "", "built-in"),
         builder))
     }
 }

@@ -259,10 +259,10 @@ class OpsSpec extends SparkSpec {
     // new_column keeps the array; position_column adds 0-based ordinals
     val pos = Ops.explodeColumn(df, "arr", "w", Some("i"))
     assert(pos.columns.toSeq == Seq("id", "arr", "other", "i", "w"))
-    assert(pos.filter(col("id") === 1 && col("i") === 1).head.getAs[String]("w") == "b")
+    assert(pos.filter(col("id") === 1 && col("i") === 1).head().getAs[String]("w") == "b")
     // keep_empty: the empty-array row survives with a null element
     val outer = Ops.explodeColumn(df, "arr", keepEmpty = true)
-    assert(outer.count() == 4 && outer.filter(col("id") === 2).head.isNullAt(1))
+    assert(outer.count() == 4 && outer.filter(col("id") === 2).head().isNullAt(1))
     assert(intercept[IllegalArgumentException](
       Ops.explodeColumn(df, "other")).getMessage.contains("must be an array"))
     assert(intercept[IllegalArgumentException](
@@ -274,7 +274,7 @@ class OpsSpec extends SparkSpec {
     val out = Ops.castColumns(df, Seq("a" -> "bigint", "b" -> "double"))
     assert(out.schema("a").dataType == org.apache.spark.sql.types.LongType)
     assert(out.schema("b").dataType == org.apache.spark.sql.types.DoubleType)
-    assert(out.agg(sum("b")).head.getDouble(0) == 9.75)
+    assert(out.agg(sum("b")).head().getDouble(0) == 9.75)
     // ANSI: malformed numeric raises at execution, never silently nulls
     val bad = Ops.castColumns(Seq(Tuple1("oops")).toDF("a"), Seq("a" -> "bigint"))
     assertThrows[Exception](bad.collect())
