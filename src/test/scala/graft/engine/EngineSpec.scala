@@ -726,6 +726,61 @@ class EngineSpec extends SparkSpec {
     assert(lines.head.contains("\"name\": \"ann\"") && lines.head.contains("\"pop\": \"915\""))
   }
 
+  test("big_earthmover benchmark shape end-to-end (comment-bearing template, partitioned sink)") {
+    // the reference's published-benchmark pipeline at spec scale (the
+    // 100M-scale runs live in graft.tools.BigAttendance / PLANS.md):
+    // map_values + rename_columns + add_columns -> linearized Jinja with
+    // the reference template's trailing {# comment #} block -> partitioned
+    // JSONL; pins the comment-stripping + rotation of that exact shape
+    val dir = Files.createTempDirectory("graft-bigatt-shape")
+    Files.writeString(dir.resolve("att.tsv"),
+      "day\tsession\tstudent_id\tattended\n" +
+        "2019-09-02\t4\t77\tTRUE\n2019-09-03\t5\t78\tFALSE\n")
+    Files.writeString(dir.resolve("ev.jsont"),
+      "{ \"id\": \"{{ school }}-{{ session }}-{{ day }}-{{ student_id }}-{{ status }}\"," +
+        " \"st\": \"{{ status }}\" }{# ,\n  \"dropped\": {{ day }} #}")
+    Files.writeString(dir.resolve("p.yaml"),
+      s"""version: 2
+         |config:
+         |  output_dir: ${dir.resolve("out")}
+         |sources:
+         |  attendance:
+         |    file: att.tsv
+         |    header_rows: 1
+         |transformations:
+         |  attendance:
+         |    source: $$sources.attendance
+         |    operations:
+         |      - operation: map_values
+         |        column: attended
+         |        mapping:
+         |          "TRUE": absent
+         |          "FALSE": present
+         |      - operation: rename_columns
+         |        columns:
+         |          attended: status
+         |      - operation: add_columns
+         |        columns:
+         |          school: 12345
+         |destinations:
+         |  events:
+         |    source: $$transformations.attendance
+         |    template: ev.jsont
+         |    extension: jsonl
+         |    linearize: True
+         |    partitioned: True
+         |""".stripMargin)
+    new Engine(spark).run(dir.resolve("p.yaml").toString)
+    val outDir = dir.resolve("out").resolve("events.jsonl")
+    val lines = Files.list(outDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toList.sorted
+    assert(lines == List(
+      """{ "id": "12345-4-2019-09-02-77-absent", "st": "absent" }""",
+      """{ "id": "12345-5-2019-09-03-78-present", "st": "present" }"""))
+  }
+
   test("show_progress emits stage-level progress lines during a run") {
     val dir = Files.createTempDirectory("graft-progress")
     Files.writeString(dir.resolve("d.csv"), "a\n1\n2\n")
