@@ -539,7 +539,13 @@ object BenchFormat {
  *     listed in the artifact's `over_floor`, and a run whose
  *     min_sum_vs_best exceeds 1.10 (≥10 comparable queries) is
  *     `floor_inflated` and refuses the canonical write like a contended
- *     run (SPARK_GRAFT_ALLOW_CONTENDED=1 overrides both).
+ *     run (SPARK_GRAFT_ALLOW_CONTENDED=1 overrides both);
+ *  8. retry-on-inflation (r20: the round snapshot itself shipped from a
+ *     contended window): a sweep that lands machine_contended or
+ *     floor_inflated cools down SPARK_GRAFT_SWEEP_COOLDOWN_SEC (90) and
+ *     re-runs once (SPARK_GRAFT_SWEEP_RETRIES bounds the retries), so
+ *     the round artifact is clean or twice-confirmed — `sweep_attempts`
+ *     and `retries_exhausted` ride in the artifact.
  *
  * Artifact telemetry (per rep, arrays aligned with `samples`):
  * `samples_gc_sec` (GC seconds during the rep), `samples_storage_mb`
@@ -676,48 +682,13 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) => measure(name)(noop(fn(spark, sfDir))) }
 
-    // Warm-up canary: one UNRECORDED pass over the whole query set before
-    // rep 1. The round-14 bimodality study pinned ~4.7s of JIT warm-up to
-    // rep 1 and ~0.5s to rep 2 inside a 3-rep budget — exactly the noise
-    // that made cross-round per-query diffs unattributable. Costs one
-    // extra pass; skippable for local iteration via SPARK_GRAFT_NOWARM=1.
-    if (!sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
-      bodies.keys.foreach(rep)
-    // telemetry indexes must align with the recorded samples — drop the
-    // warm-up pass's entries (every later rep() call pairs 1:1 with a
-    // sample the caller records)
-    gcSamples.clear(); storeSamples.clear(); loadSamples.clear()
-    bodies.keys.foreach { name =>
-      samples(name) = (1 to reps).map(_ => rep(name)).toVector
-    }
-
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // Adaptive noise recovery: a query whose steady-state median exceeds
-    // 1.5× its min was measured while the machine was busy (a neighbor rep
-    // spiked, GC, scheduler). Give those queries up to 2 extra reps AFTER
-    // the full sweep — by then the burst has usually passed, and the MIN
-    // (the reported number) gets a fair shot at true steady state. Bounded
-    // cost: ≤2 × (noisy queries), never the whole suite again.
     def spreadOf(v: Vector[Double]): Double =
       if (v.min > 0) median(if (v.size > 1) v.tail else v) / v.min else 1.0
-    val noisyAfterSweep = samples.filter { case (_, v) => spreadOf(v) > 1.5 }.keys.toSeq
-    noisyAfterSweep.foreach { name =>
-      var extra = 0
-      while (extra < 2 && spreadOf(samples(name)) > 1.5) {
-        samples(name) = samples(name) :+ rep(name)
-        extra += 1
-      }
-    }
 
-    // Best-ever defense: when the WHOLE sweep ran contended, the spread
-    // heuristic above is blind (every rep is equally slow, spread looks
-    // fine). Compare each min against the best this query has EVER recorded
-    // on this box; a min 3× above best-ever is contention, not code — re-rep
-    // it (bounded), and if it still won't come down, say so in the artifact
-    // instead of letting a garbage number become official.
     // Best-ever mins are only comparable at the same scale factor: default
     // file is the official-scale BENCH_BEST.json for sf0.1 and an
     // SF-suffixed sibling otherwise, so a local sf0.01 run can never poison
@@ -732,47 +703,138 @@ object Bench {
       else Map.empty
     def overBest(name: String): Boolean =
       prevBest.get(name).exists(b => b > 0 && samples(name).min > 3.0 * b)
-    samples.keys.filter(overBest).toSeq.foreach { name =>
-      var extra = 0
-      while (extra < 3 && overBest(name)) {
-        samples(name) = samples(name) :+ rep(name)
-        extra += 1
-      }
-    }
-    // Soft floor guard (the r19 lesson): the official artifact shipped 38
-    // source gates at 2.0-2.7× their floors — under the 3× contention trip
-    // but far over healthy — from a loaded window, inflating the round
-    // total ~8% while the code they exercise was untouched. A min >1.5×
-    // its best-ever floor gets the same bounded re-rep treatment, and
-    // whatever stays over the line is FLAGGED in the artifact
-    // (`over_floor`) so an inflated number can never read as clean.
     def overFloor(name: String): Boolean =
       !failures.contains(name) &&
         prevBest.get(name).exists(b => b > 0 && samples(name).min > 1.5 * b)
-    samples.keys.filter(overFloor).toSeq.foreach { name =>
-      var extra = 0
-      while (extra < 2 && overFloor(name)) {
-        samples(name) = samples(name) :+ rep(name)
-        extra += 1
-      }
-    }
-    val contendedQueries = samples.keys.filter(overBest).toVector
-    val overFloorQueries = samples.keys.filter(overFloor).toVector.sorted
-
-    // Symmetric guard: a min FAR BELOW best-ever is as suspicious as one far
-    // above it — give it up to 2 extra reps; a genuine improvement reproduces
-    // (≥2 samples under 0.75× best), a glitch doesn't and gets quarantined
-    // from the best-ever merge below.
     def tooFast(name: String): Boolean =
       !failures.contains(name) &&
         BenchFormat.fastSuspect(prevBest.getOrElse(name, 0.0), samples(name))
-    samples.keys.filter(tooFast).toSeq.foreach { name =>
-      var extra = 0
-      while (extra < 2 && tooFast(name)) {
-        samples(name) = samples(name) :+ rep(name)
-        extra += 1
+
+    /** ONE full measurement pass (re-runnable: the r20 snapshot shipped
+      * floor-inflated because the sweep ran in a contended window and
+      * there was no second chance — see the retry loop below). */
+    def measurePass(warm: Boolean): Unit = {
+      samples.clear(); failures.clear()
+      // Warm-up canary: one UNRECORDED pass over the whole query set before
+      // rep 1. The round-14 bimodality study pinned ~4.7s of JIT warm-up to
+      // rep 1 and ~0.5s to rep 2 inside a 3-rep budget — exactly the noise
+      // that made cross-round per-query diffs unattributable. Costs one
+      // extra pass; skippable for local iteration via SPARK_GRAFT_NOWARM=1,
+      // and skipped on retry passes (the JVM is already warm).
+      if (warm && !sys.env.get("SPARK_GRAFT_NOWARM").contains("1"))
+        bodies.keys.foreach(rep)
+      // telemetry indexes must align with the recorded samples — drop the
+      // warm-up pass's entries (every later rep() call pairs 1:1 with a
+      // sample the caller records)
+      gcSamples.clear(); storeSamples.clear(); loadSamples.clear()
+      bodies.keys.foreach { name =>
+        samples(name) = (1 to reps).map(_ => rep(name)).toVector
+      }
+      // Adaptive noise recovery: a query whose steady-state median exceeds
+      // 1.5× its min was measured while the machine was busy (a neighbor rep
+      // spiked, GC, scheduler). Give those queries up to 2 extra reps AFTER
+      // the full sweep — by then the burst has usually passed, and the MIN
+      // (the reported number) gets a fair shot at true steady state. Bounded
+      // cost: ≤2 × (noisy queries), never the whole suite again.
+      val noisyAfterSweep = samples.filter { case (_, v) => spreadOf(v) > 1.5 }.keys.toSeq
+      noisyAfterSweep.foreach { name =>
+        var extra = 0
+        while (extra < 2 && spreadOf(samples(name)) > 1.5) {
+          samples(name) = samples(name) :+ rep(name)
+          extra += 1
+        }
+      }
+      // Best-ever defense: when the WHOLE sweep ran contended, the spread
+      // heuristic above is blind (every rep is equally slow, spread looks
+      // fine). Compare each min against the best this query has EVER
+      // recorded on this box; a min 3× above best-ever is contention, not
+      // code — re-rep it (bounded), and if it still won't come down, say so
+      // in the artifact instead of letting a garbage number become official.
+      samples.keys.filter(overBest).toSeq.foreach { name =>
+        var extra = 0
+        while (extra < 3 && overBest(name)) {
+          samples(name) = samples(name) :+ rep(name)
+          extra += 1
+        }
+      }
+      // Soft floor guard (the r19 lesson): the official artifact shipped 38
+      // source gates at 2.0-2.7× their floors — under the 3× contention trip
+      // but far over healthy — from a loaded window, inflating the round
+      // total ~8% while the code they exercise was untouched. A min >1.5×
+      // its best-ever floor gets the same bounded re-rep treatment, and
+      // whatever stays over the line is FLAGGED in the artifact
+      // (`over_floor`) so an inflated number can never read as clean.
+      samples.keys.filter(overFloor).toSeq.foreach { name =>
+        var extra = 0
+        while (extra < 2 && overFloor(name)) {
+          samples(name) = samples(name) :+ rep(name)
+          extra += 1
+        }
+      }
+      // Symmetric guard: a min FAR BELOW best-ever is as suspicious as one
+      // far above it — give it up to 2 extra reps; a genuine improvement
+      // reproduces (≥2 samples under 0.75× best), a glitch doesn't and gets
+      // quarantined from the best-ever merge below.
+      samples.keys.filter(tooFast).toSeq.foreach { name =>
+        var extra = 0
+        while (extra < 2 && tooFast(name)) {
+          samples(name) = samples(name) :+ rep(name)
+          extra += 1
+        }
       }
     }
+
+    /** The whole-run contention/inflation verdict over the CURRENT samples
+      * (the same arithmetic the artifact section repeats below). */
+    def sweepVerdict(): (Boolean, Boolean, Double) = {
+      val mins = samples.map { case (k, v) => k -> v.min }
+      val meds = samples.map { case (k, v) => k -> median(if (v.size > 1) v.tail else v) }
+      val spreads = samples.map { case (k, _) =>
+        k -> (if (mins(k) > 0) meds(k) / mins(k) else 1.0) }
+      val comparable = mins.keySet.filterNot(failures.contains)
+        .filter(k => prevBest.get(k).exists(_ > 0))
+      val minSum = comparable.toSeq.map(mins).sum
+      val bestSum = comparable.toSeq.map(prevBest).sum
+      val ratio = if (bestSum > 0) minSum / bestSum else 1.0
+      val mc = BenchFormat.assessContention(
+        samples.keys.count(overBest), samples.size, spreads.values.toSeq,
+        minSum, bestSum, comparable.size)
+      val fi = comparable.size >= 10 && ratio > 1.10
+      (mc, fi, ratio)
+    }
+
+    // Retry-on-inflation (r20 "what's wrong #1"): the r20 round snapshot
+    // shipped from a contended window (107.6s vs the 94.4s clean sweep) —
+    // the floor guard refused the canonical write but the round-numbered
+    // artifact still carried garbage numbers. When the sweep lands
+    // contended or floor-inflated, cool down and re-run it once (bounded —
+    // SPARK_GRAFT_SWEEP_RETRIES, default 1) so the committed artifact is
+    // clean or twice-confirmed (`retries_exhausted` in the artifact).
+    val rebase = sys.env.get("SPARK_GRAFT_REBASE_BEST").contains("1")
+    val allowContended = sys.env.get("SPARK_GRAFT_ALLOW_CONTENDED").contains("1")
+    val maxSweeps = 1 + sys.env.getOrElse("SPARK_GRAFT_SWEEP_RETRIES", "1").toInt.max(0)
+    val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_SWEEP_COOLDOWN_SEC", "90").toInt
+    var sweepAttempts = 0
+    var sweepDone = false
+    while (!sweepDone) {
+      sweepAttempts += 1
+      measurePass(warm = sweepAttempts == 1)
+      val (mc, fi, ratio) = sweepVerdict()
+      // a floor-inflation trip is moot when this sweep REPLACES the floor
+      if ((mc || (fi && !rebase)) && sweepAttempts < maxSweeps && !allowContended) {
+        System.err.println(f"[bench] sweep attempt $sweepAttempts: " +
+          f"machine_contended=$mc floor_inflated=$fi (min_sum_vs_best=$ratio%.3f) " +
+          f"— cooling down ${cooldownSec}s and re-running the sweep")
+        Thread.sleep(cooldownSec * 1000L)
+      } else sweepDone = true
+    }
+    val retriesExhausted = sweepAttempts >= maxSweeps && {
+      val (mc, fi, _) = sweepVerdict()
+      mc || (fi && !rebase)
+    }
+
+    val contendedQueries = samples.keys.filter(overBest).toVector
+    val overFloorQueries = samples.keys.filter(overFloor).toVector.sorted
     val suspectFast = samples.keys.filter(tooFast).toVector
 
     val mins = samples.map { case (k, v) => k -> v.min }
@@ -811,7 +873,6 @@ object Bench {
     // The outgoing baseline is min-merged into BENCH_BEST_HISTORY.json so
     // the all-time record survives for archaeology. Without the flag the
     // historic min-merge below keeps ratcheting as before.
-    val rebase = sys.env.get("SPARK_GRAFT_REBASE_BEST").contains("1")
     val rebaseForce = sys.env.get("SPARK_GRAFT_REBASE_FORCE").contains("1")
     val rebaseSlower = BenchFormat.rebaseRefusedSlower(minSum, bestSum, rebaseForce)
     val rebaseOk = rebase && !machineContended && failures.isEmpty &&
@@ -875,12 +936,11 @@ object Bench {
     // canonical write like a contended run.
     val floorInflated = !rebaseOk && comparable.size >= 10 && minSumVsBest > 1.10
     val fullJson =
-      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"samples_gc_sec":$gcJs,"samples_storage_mb":$storeJs,"samples_loadavg":$loadJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"over_floor":${jsArr(overFloorQueries)},"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"floor_inflated":$floorInflated,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${BenchFormat.fmt(total, 3)},"unit":"sec","queries":${jsm(mins)},"queries_median":${jsm(meds)},"queries_spread":${jsm(spreads)},"samples":$rawJs,"samples_gc_sec":$gcJs,"samples_storage_mb":$storeJs,"samples_loadavg":$loadJs,"vs_best":${BenchFormat.jsMap(vsBest, 3)},"contended_queries":$contendedJs,"over_floor":${jsArr(overFloorQueries)},"suspect_fast":${jsArr(suspectFast)},"failed_queries":$failedJs,"machine_contended":$machineContended,"floor_inflated":$floorInflated,"min_sum_vs_best":${BenchFormat.fmt(minSumVsBest, 3)},"sweep_attempts":$sweepAttempts,"retries_exhausted":$retriesExhausted,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     // A contended run must not become the round's official artifact: its
     // +20%-ish uniform inflation makes cross-round per-query diffs
     // unattributable (the r15 lesson). The round-numbered snapshot below
     // still records it; only the canonical overwrite is refused.
-    val allowContended = sys.env.get("SPARK_GRAFT_ALLOW_CONTENDED").contains("1")
     if ((machineContended || floorInflated) && !allowContended)
       // ... even on a fresh checkout: a contended run must never BECOME the
       // canonical artifact either, not just never replace a clean one.

@@ -522,8 +522,12 @@ object Sources {
         if (i >= 0) (ui.substring(0, i), ui.substring(i + 1)) else (ui, "")
       case None => ("anonymous", "graft@") // RFC 1635 anonymous convention
     }
-    val sock = new java.net.Socket(uri.getHost, port)
+    // connect() with an explicit timeout: `new Socket(host, port)` blocks
+    // for the OS default TCP connect timeout (minutes) on a blackholed
+    // host — the read-path soTimeout below never applies to connect
+    val sock = new java.net.Socket()
     try {
+      sock.connect(new java.net.InetSocketAddress(uri.getHost, port), 60000)
       sock.setSoTimeout(60000)
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(sock.getInputStream, "US-ASCII"))
@@ -570,8 +574,9 @@ object Sources {
       // connect back to the CONTROL host, not the advertised address —
       // NAT-safe, what every modern client does
       val dport = m.group(5).toInt * 256 + m.group(6).toInt
-      val data = new java.net.Socket(uri.getHost, dport)
+      val data = new java.net.Socket()
       try {
+        data.connect(new java.net.InetSocketAddress(uri.getHost, dport), 60000)
         data.setSoTimeout(60000)
         expect(s"RETR ${uri.getPath}", '1')
         Files.copy(data.getInputStream, out,

@@ -162,6 +162,10 @@ object Graph {
     * subclass logger (MapPartitionsRDD et al.). Expected and safe here
     * (the next checkpoint has already materialized), so drop the rdd
     * package logger to ERROR for the duration of the call and restore. */
+  private val rddWarnLock = new Object
+  private var rddWarnDepth = 0
+  private var rddWarnPrev: org.apache.logging.log4j.Level = null
+
   private def quietRddWarns[A](body: => A): A = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
@@ -171,10 +175,21 @@ object Graph {
     // up as a 25-35% graph-query regression in the r20 sweep
     if (!LogManager.getLogger("org.apache.spark.rdd.MapPartitionsRDD").isWarnEnabled)
       return body
+    // refcounted toggle: concurrent graph queries on the shared context
+    // otherwise interleave set/restore — one thread's restore could undo
+    // another's pin, or persist ERROR past the block process-wide
     val name = "org.apache.spark.rdd"
-    val prev = LogManager.getLogger(name).getLevel
-    Configurator.setLevel(name, Level.ERROR)
-    try body finally Configurator.setLevel(name, prev)
+    rddWarnLock.synchronized {
+      if (rddWarnDepth == 0) {
+        rddWarnPrev = LogManager.getLogger(name).getLevel
+        Configurator.setLevel(name, Level.ERROR)
+      }
+      rddWarnDepth += 1
+    }
+    try body finally rddWarnLock.synchronized {
+      rddWarnDepth -= 1
+      if (rddWarnDepth == 0) Configurator.setLevel(name, rddWarnPrev)
+    }
   }
 
   /** The SAME expected warning also fires when the ContextCleaner (its

@@ -74,12 +74,28 @@ object NaiveBayes {
     Model(labels, bucketKeys, weights, norms, priors)
   }
 
+  /** Content-complete 64-bit hash of EVERY builder-captured model field.
+    * registerIfAbsent is first-registration-wins, so the name must be a
+    * function of the whole model: hashing only labels + norm totals let
+    * two same-size retrains collide, silently scoring with the first
+    * model's weights for the life of the session. */
+  private def modelHash(m: Model): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(v: Long): Unit = { h ^= v; h *= 0x100000001b3L }
+    def mixStr(s: String): Unit = { mix(s.length.toLong); mix(s.hashCode.toLong) }
+    m.labels.foreach(mixStr)
+    m.bucketKeys.foreach { ks => mix(ks.length.toLong); ks.foreach(mixStr) }
+    m.weights.foreach { ws => mix(ws.length.toLong); ws.foreach(w => mix(w.toLong)) }
+    m.norms.foreach(n => mix(n.toLong))
+    m.priors.foreach(p => mix(p.toLong))
+    Dedup.mix64(h)
+  }
+
   /** Append the predicted label — one fused expression, no shuffle. */
   def withPrediction(df: DataFrame, textCol: String, model: Model,
                      outCol: String = "label_pred"): DataFrame = {
     val spark = df.sparkSession
-    val fname = "graft_nb_score_" + java.lang.Long.toHexString(
-      model.labels.foldLeft(model.norms.sum.toLong)((h, l) => h * 1000003L + l.hashCode))
+    val fname = "graft_nb_score_" + java.lang.Long.toHexString(modelHash(model))
     graft.expressions.GraftFunctions.registerIfAbsent(spark, fname, {
       case Seq(t) => graft.expressions.NbScore(
         org.apache.spark.sql.catalyst.expressions.Lower(t),

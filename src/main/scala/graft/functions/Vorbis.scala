@@ -1169,8 +1169,13 @@ object Vorbis {
       val pcm = new Array[Array[Double]](ch)
       j = 0
       while (j < ch) {
+        // nonzero(j) may be coupling-PROPAGATED onto a channel whose own
+        // floor packet data is null (unvoiced channel coupled to a voiced
+        // one — spec 4.3.6: it renders as silence while the packet still
+        // decodes); fl.curve(null, ...) would NPE and the catch below
+        // would drop the whole packet on ALL channels
         val spec =
-          if (nonzero(j)) {
+          if (nonzero(j) && floorYs(j) != null) {
             val fl = s.floors(m.smFloor(m.mux(j)))
             val curve = fl.curve(floorYs(j), n / 2)
             val sp = spectra(j)

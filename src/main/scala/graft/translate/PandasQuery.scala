@@ -29,10 +29,21 @@ object PandasQuery {
     * scan (PushedFilters → row-group skipping), which the wrapped form
     * forfeits. Non-monotone queries fall back to the exact pandas-null
     * compile; `exclude` mode must always use [[compile]] (negation flips
-    * null handling). */
+    * null handling).
+    *
+    * The induction only covers predicates combined by and/or up to the
+    * top: a predicate flowing into a COMPARISON or arithmetic operand
+    * (e.g. `s.str.contains('x') == False`, `(a > 5) == (b > 3)`) breaks
+    * it — there the pandas-mode INNER coalesce turns a null leaf into
+    * false, which the outer operator can flip back to true, so raw mode
+    * would drop rows [[compile]] keeps. The parser flags those shapes
+    * ([[Parser.rawUnsafe]]) and this falls back to the exact compile. */
   def compileForKeepFilter(query: String): Column =
-    if (monotone(query)) new Parser(query, raw = true).parseAll()
-    else compile(query)
+    if (monotone(query)) {
+      val p = new Parser(query, raw = true)
+      val c = p.parseAll()
+      if (p.rawUnsafe) compile(query) else c
+    } else compile(query)
 
   private def monotone(query: String): Boolean =
     !lex(query).exists {
@@ -97,8 +108,20 @@ object PandasQuery {
   // --------------------------------------------------------------- parser
   private class Parser(src: String, raw: Boolean = false) {
     private val toks = lex(src)
+    /** fz call sites built so far — fz is the single point where raw and
+      * pandas compilation diverge, so "operand contains a predicate" is
+      * exactly "predSites increased while parsing it". */
+    private var predSites = 0
+    /** Set when a predicate subexpression feeds a NON-logical operator
+      * (comparison/arithmetic/unary minus/method call/in-lhs): the elided
+      * inner coalesce is not filter-equivalent there and the caller must
+      * fall back to the exact pandas-null compile. */
+    var rawUnsafe = false
     /** false-coalesce — identity in raw (monotone keep-filter) mode. */
-    private def fz(c: Column): Column = if (raw) c else coalesce(c, lit(false))
+    private def fz(c: Column): Column = {
+      predSites += 1
+      if (raw) c else coalesce(c, lit(false))
+    }
     private var pos = 0
     private def peek: Tok = toks(pos)
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -152,10 +175,18 @@ object PandasQuery {
     // <=>: that would make a null-vs-null COLUMN comparison true, where
     // pandas' NaN == NaN is False.)
     private def cmpExpr(): Column = {
+      val p0 = predSites
       val l = addExpr()
+      val lHasPred = predSites > p0
       peek match {
         case TOp(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=")) =>
-          next(); val r = addExpr()
+          next()
+          val r0 = predSites
+          val r = addExpr()
+          // a predicate OPERAND of a comparison (boolean-equality forms
+          // like `s.str.contains('x') == False`) breaks raw/pandas
+          // filter-equivalence — flag for the keep-filter fallback
+          if (lHasPred || predSites > r0) rawUnsafe = true
           op match {
             case "==" => fz(l === r)
             case "!=" => if (raw) l =!= r else coalesce(l =!= r, lit(true))
@@ -164,9 +195,13 @@ object PandasQuery {
             case ">"  => fz(l > r)
             case ">=" => fz(l >= r)
           }
-        case TIdent("in") => next(); fz(l.isin(listLiteral(): _*))
+        case TIdent("in") =>
+          next()
+          if (lHasPred) rawUnsafe = true
+          fz(l.isin(listLiteral(): _*))
         case TIdent("not") =>
           next()
+          if (lHasPred) rawUnsafe = true
           next() match {
             case TIdent("in") => !fz(l.isin(listLiteral(): _*))
             case t => fail(s"expected 'in' after 'not', found $t")
@@ -176,40 +211,57 @@ object PandasQuery {
     }
 
     private def addExpr(): Column = {
+      val p0 = predSites
       var l = mulExpr()
+      var applied = false
       var go = true
       while (go) peek match {
-        case TOp("+") => next(); l = l + mulExpr()
-        case TOp("-") => next(); l = l - mulExpr()
+        case TOp("+") => next(); applied = true; l = l + mulExpr()
+        case TOp("-") => next(); applied = true; l = l - mulExpr()
         case _ => go = false
       }
+      // arithmetic over a predicate operand (e.g. `(a>5) + (b>3) >= 1`)
+      // also voids the raw/pandas filter-equivalence
+      if (applied && predSites > p0) rawUnsafe = true
       l
     }
 
     private def mulExpr(): Column = {
+      val p0 = predSites
       var l = unary()
+      var applied = false
       var go = true
       while (go) peek match {
-        case TOp("*") => next(); l = l * unary()
-        case TOp("/") => next(); l = l / unary()
-        case TOp("%") => next(); l = l % unary()
+        case TOp("*") => next(); applied = true; l = l * unary()
+        case TOp("/") => next(); applied = true; l = l / unary()
+        case TOp("%") => next(); applied = true; l = l % unary()
         case _ => go = false
       }
+      if (applied && predSites > p0) rawUnsafe = true
       l
     }
 
     private def unary(): Column = peek match {
-      case TOp("-") => next(); negate(unary())
+      case TOp("-") =>
+        next()
+        val p0 = predSites
+        val c = unary()
+        if (predSites > p0) rawUnsafe = true
+        negate(c)
       case _ => postfix()
     }
 
     private def negate(c: Column): Column = lit(0) - c
 
     private def postfix(): Column = {
+      val p0 = predSites
       var base = primary()
       var go = true
       while (go) peek match {
         case TOp(".") =>
+          // a method applied to a predicate-containing base (e.g.
+          // `(a > 5).isnull()`) sees the elided coalesce — not raw-safe
+          if (predSites > p0) rawUnsafe = true
           next()
           next() match {
             case TIdent("str") =>

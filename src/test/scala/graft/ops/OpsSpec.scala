@@ -85,6 +85,25 @@ class OpsSpec extends SparkSpec {
     assert(keep("not (v == '5')") == Seq("b", "c", "e"))
   }
 
+  test("boolean-equality keep-filters fall back to the exact pandas compile") {
+    // token-monotone but NOT raw-safe: a predicate operand of == sees the
+    // pandas-mode inner coalesce (null → false), which the outer == can
+    // flip back to true — raw compile would drop rows compile() keeps
+    val df = Seq(("a", "5", "xx"), ("b", null, "xy"), ("c", "7", null),
+      ("d", "5", "zz"), ("e", null, null)).toDF("k", "v", "s")
+    def keep(q: String): Seq[String] =
+      Ops.filterRows(df, q).select("k").as[String].collect().toSeq.sorted
+    def drop(q: String): Seq[String] =
+      Ops.filterRows(df, q, "exclude").select("k").as[String].collect().toSeq.sorted
+    // null s: pandas contains → False; False == False → True → row KEPT
+    assert(keep("s.str.contains('x') == False") == Seq("c", "d", "e"))
+    // include and exclude must PARTITION the rows (no row vanishing from both)
+    assert((keep("s.str.contains('x') == False") ++
+      drop("s.str.contains('x') == False")).sorted == Seq("a", "b", "c", "d", "e"))
+    // predicate == predicate: null leaves coalesce to false on BOTH sides
+    assert(keep("(v == '5') == (s.str.contains('x'))") == Seq("a", "c", "e"))
+  }
+
   test("sortRows with +/- prefixes and descending override") {
     val df = Seq(("a", "2"), ("b", "1"), ("c", "2")).toDF("k", "v")
     assert(Ops.sortRows(df, Seq("-v", "+k")).select("k").as[String].collect().toSeq == Seq("a", "c", "b"))
