@@ -27,6 +27,20 @@ object SparkEntry {
     else df
   }
 
+  /** Fan a tiny id frame out to the session's parallelism before payload
+    * synthesis. The multimodal gates derive their media payloads from
+    * `documents.doc_id` via mapPartitions, and a sub-128MB parquet scans
+    * as ONE partition — without this, fixture encode AND the downstream
+    * codec decode (which fuses into the same stage up to the first
+    * exchange) run single-task while the other cores idle. The exchange
+    * moves 8-byte ids; the heavy bytes are synthesized AFTER it (the
+    * optimization guide's "decide with small rows, move big rows once"
+    * discipline — §2.5 repartition-after-unsplittable-read). Row-wise
+    * payload synthesis is partitioning-independent, so results are
+    * byte-identical. */
+  private def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Flagship query (TPC-H Q1 shape) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -108,7 +122,7 @@ object SparkEntry {
     "q_doc_text_mkv" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 300).as[Long]
+        .filter(col("doc_id") < 300).transform(fanout).as[Long]
         .mapPartitions(_.map { id =>
           val cues = (0 until 2 + (id % 3).toInt).map(k => s"cue $id line $k")
           (id, graft.functions.Webm.encodeMkvSubtitles(cues))
@@ -1729,7 +1743,7 @@ object SparkEntry {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-si-img")
       val ids = t(s, d, "documents").select(col("doc_id"))
-      def fx(df: DataFrame) = df.as[Long]
+      def fx(df: DataFrame) = df.transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenImages.dedupFixture(id))))
         .toDF("media_id", "content")
       fx(ids.filter(col("doc_id") < 200)).write.parquet(s"$dir/src")
@@ -1771,7 +1785,7 @@ object SparkEntry {
           (0 until 4).map(k => graft.tools.GenMedia.videoFrameJpeg(id, k)))
         else graft.functions.MediaKernels.encodeJpegMp4(48, 48,
           (0 until 4).map(k => graft.tools.GenMedia.videoFrameJpeg(id - 100, k)))
-      def fx(df: DataFrame) = df.as[Long]
+      def fx(df: DataFrame) = df.transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, payload(id))))
         .toDF("media_id", "content")
       fx(ids.filter(col("doc_id") < 100)).write.parquet(s"$dir/src")
@@ -1805,7 +1819,7 @@ object SparkEntry {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-si-aud")
       val ids = t(s, d, "documents").select(col("doc_id"))
-      def fx(df: DataFrame) = df.as[Long]
+      def fx(df: DataFrame) = df.transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.audioDedupFixture(id))))
         .toDF("media_id", "content")
       fx(ids.filter(col("doc_id") < 200)).write.parquet(s"$dir/src")
@@ -1839,7 +1853,7 @@ object SparkEntry {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-si-audl")
       val ids = t(s, d, "documents").select(col("doc_id"))
-      def fx(df: DataFrame) = df.as[Long]
+      def fx(df: DataFrame) = df.transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.lossyAudioDedupFixture(id))))
         .toDF("media_id", "content")
       fx(ids.filter(col("doc_id") < 200)).write.parquet(s"$dir/src")
@@ -2238,7 +2252,7 @@ object SparkEntry {
     // the oracle states the expected metadata in closed form
     "q_image_meta" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenImages.metaFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2256,7 +2270,7 @@ object SparkEntry {
     // applied to images.
     "q_image_meta_avif" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenImages.heifFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2275,7 +2289,7 @@ object SparkEntry {
     "q_image_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 500).as[Long]
+        .filter(col("doc_id") < 500).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenImages.dedupFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2292,7 +2306,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 200).as[Long]
+        .filter(col("doc_id") < 200).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id,
           graft.tools.GenImages.bilevelFixture(id, 1),
           graft.tools.GenImages.bilevelFixture(id, 2),
@@ -2315,7 +2329,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 300).as[Long]
+        .filter(col("doc_id") < 300).transform(fanout).as[Long]
         .mapPartitions(_.map(id =>
           (id % 6, graft.tools.Vp8GateFixtures.fixture((id % 6).toInt))))
         .toDF("fixture_id", "content")
@@ -2338,7 +2352,7 @@ object SparkEntry {
     // oracle
     "q_audio_meta" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.audioMetaFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2357,7 +2371,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 500).as[Long]
+        .filter(col("doc_id") < 500).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.lossyAudioDedupFixture(id))))
         .toDF("media_id", "content")
       val out = new graft.engine.Engine(s).applyOperation(media,
@@ -2378,7 +2392,7 @@ object SparkEntry {
     // tables, the High-8x8 validation-path class)
     "q_video_meta_theora" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.theoraFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2392,7 +2406,7 @@ object SparkEntry {
     // all fields closed-form in doc_id, G.711 expansions formula-derived
     "q_audio_meta_legacy" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.legacyAudioFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2408,7 +2422,7 @@ object SparkEntry {
     "q_audio_meta_container" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 400).as[Long]
+        .filter(col("doc_id") < 400).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.containerAudioFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2424,7 +2438,7 @@ object SparkEntry {
     "q_audio_meta_stream" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 400).as[Long]
+        .filter(col("doc_id") < 400).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.streamAudioFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2438,7 +2452,7 @@ object SparkEntry {
     // a wrong byte anywhere in encode OR decode breaks the hash match
     "q_audio_features" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.wavFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2452,7 +2466,7 @@ object SparkEntry {
     // division, and reassembles the bit pattern with SQL shifts
     "q_audio_fingerprint" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.wavFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2467,7 +2481,7 @@ object SparkEntry {
     "q_audio_dedup" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 500).as[Long]
+        .filter(col("doc_id") < 500).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.audioDedupFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2491,7 +2505,7 @@ object SparkEntry {
     "q_audio_dedup_lossy" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 500).as[Long]
+        .filter(col("doc_id") < 500).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.lossyAudioDedupFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2503,7 +2517,7 @@ object SparkEntry {
     // checked through the metadata of the RE-DECODED thumbnail payload
     "q_image_thumbnail" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenImages.dedupFixture(id % 250))))
         .toDF("media_id", "content")
       val thumbed = new graft.engine.Engine(s).applyOperation(media,
@@ -2517,7 +2531,7 @@ object SparkEntry {
     // dimensions) over generated ftyp+moov fixtures
     "q_video_meta" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.videoMetaFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2536,7 +2550,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val ids = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 200).as[Long]
+        .filter(col("doc_id") < 200).transform(fanout).as[Long]
       val media = ids
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.videoFramesFixture(id))))
         .toDF("media_id", "content")
@@ -2558,7 +2572,7 @@ object SparkEntry {
     "q_video_meta_gif" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 300).as[Long]
+        .filter(col("doc_id") < 300).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.gifVideoFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2577,7 +2591,7 @@ object SparkEntry {
     "q_video_dedup" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 200).as[Long]
+        .filter(col("doc_id") < 200).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.videoDedupFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2595,7 +2609,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 240).as[Long]
+        .filter(col("doc_id") < 240).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id % 12,
           graft.tools.GenMedia.apngVideoFixture(id % 12))))
         .toDF("vid", "content")
@@ -2623,7 +2637,7 @@ object SparkEntry {
     "q_video_dedup_apng" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 120).as[Long]
+        .filter(col("doc_id") < 120).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.apngGifDedupFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2638,7 +2652,7 @@ object SparkEntry {
     "q_video_meta_webm" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 300).as[Long]
+        .filter(col("doc_id") < 300).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id, graft.tools.GenMedia.vp8MetaFixture(id))))
         .toDF("media_id", "content")
       new graft.engine.Engine(s).applyOperation(media,
@@ -2657,7 +2671,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 240).as[Long]
+        .filter(col("doc_id") < 240).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id % 12,
           graft.tools.GenMedia.vp8VideoFixture(id % 12))))
         .toDF("vid", "content")
@@ -2681,7 +2695,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 240).as[Long]
+        .filter(col("doc_id") < 240).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id % 12,
           graft.tools.GenMedia.h264VideoFixture(id % 12))))
         .toDF("vid", "content")
@@ -2702,7 +2716,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 160).as[Long]
+        .filter(col("doc_id") < 160).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id % 8,
           graft.tools.GenMedia.h264CabacVideoFixture(id % 8))))
         .toDF("vid", "content")
@@ -2725,7 +2739,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 160).as[Long]
+        .filter(col("doc_id") < 160).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id % 8,
           graft.tools.GenMedia.h264FragVideoFixture(id % 8))))
         .toDF("vid", "content")
@@ -2747,7 +2761,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 320).as[Long]
+        .filter(col("doc_id") < 320).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id,
           graft.tools.GenMedia.tsAvcVideoFixture(id % 8))))
         .toDF("media_id", "content")
@@ -2765,7 +2779,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 160).as[Long]
+        .filter(col("doc_id") < 160).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id % 8,
           graft.tools.GenMedia.tsAvcVideoFixture(id % 8))))
         .toDF("vid", "content")
@@ -2786,7 +2800,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 160).as[Long]
+        .filter(col("doc_id") < 160).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id % 8,
           graft.tools.GenMedia.mkvAvcVideoFixture(id % 8))))
         .toDF("vid", "content")
@@ -2811,7 +2825,7 @@ object SparkEntry {
       import s.implicits._
       graft.expressions.GraftFunctions.register(s)
       val media = t(s, d, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 200).as[Long]
+        .filter(col("doc_id") < 200).transform(fanout).as[Long]
         .mapPartitions(_.map(id => (id,
           if (id % 2 == 0) graft.tools.GenMedia.h264VideoFixture(id)
           else graft.tools.GenMedia.h264UndecodableFixture(id))))
