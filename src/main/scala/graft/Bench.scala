@@ -575,6 +575,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE's partition coalescing is BYTE-based (parallelismFirst respects
+      // minPartitionSize, default 1m) — for CPU-dense columns (codec decode,
+      // shingle/verify kernels) a sub-1MB shuffle coalesces to ONE task and
+      // serializes seconds of compute (r21 profile: q_similarity_join's
+      // verify stage, 0.9MB / 0.87s on one core). A lower floor restores
+      // parallelism exactly and only where bytes are small; at production
+      // scale partitions exceed any floor, so the setting is inert there.
+      // Env-parameterized so the driver's bench stays comparable/auditable.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Graph.quietCheckpointReleaseWarns()
@@ -666,7 +676,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
     if (only.forall(_.contains("etl_render"))) measure("etl_render") {
+      // repartition the scan: a sub-128MB parquet reads as few partitions,
+      // serializing the render on a sliver of the cores — the multi-part
+      // 100TB output shape this benchmark models is a parallel write
+      // (rows/bytes produced are identical; only file count changes)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
       val stringly = li.select(li.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
       val piped = graft.ops.Ops.addColumns(
         graft.ops.Ops.renameColumns(

@@ -286,7 +286,7 @@ object SparkEntry {
     // documents by word-shingle Jaccard — the record-linkage shape; the
     // oracle recomputes every cross-parity pair exactly
     "q_similarity_join" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
+      val docs = fanout(t(s, d, "documents")).select("doc_id", "text")
       graft.functions.Dedup.similarityJoin(
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", "doc_id", "text",
@@ -1497,7 +1497,7 @@ object SparkEntry {
         .when(col("lang") === "es", lit(" el los las una es y"))
         .when(col("lang") === "de", lit(" der die das und ist ein"))
         .otherwise(lit(" 的 是 了 在 和 有"))
-      val built = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      val built = fanout(t(s, d, "documents")).select(col("doc_id"), col("lang"),
         concat(col("text"), marker, marker, marker).as("text"))
       val profiles = graft.functions.LangId.trainProfiles(
         built.filter(col("doc_id") % 5 === 0), "lang", "text", topK = 300)
@@ -1506,7 +1506,7 @@ object SparkEntry {
     }),
 
     "q_quality" -> ((s, d) =>
-      t(s, d, "documents").select(
+      fanout(t(s, d, "documents")).select(
         col("doc_id"),
         TF.qualityScore(col("text"), Seq("the", "a", "of", "and", "to")).as("quality"),
         round(TF.punctRatio(col("text")), 4).as("punct_ratio"))),
@@ -1590,12 +1590,12 @@ object SparkEntry {
     // the verify step is exact — see the oracleSql comment); the signature
     // internals stay spec-checked in FunctionsSpec
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
+      Dedup.minhashLshPairs(fanout(t(s, d, "documents")), "doc_id", "text", threshold = 0.7)),
 
     // oracle: signatures dumped as literals (SimhashSigs) + brute-force
     // hamming in DuckDB — verifies the band join found EVERY hamming≤3 pair
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashPairs(fanout(t(s, d, "documents")), "doc_id", "text", maxHamming = 3)),
 
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosinePairsBlocked(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.42)),
@@ -1622,7 +1622,7 @@ object SparkEntry {
 
     // pairs → canonical duplicate groups (hash-min connected components)
     "q_dedup_groups" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = fanout(t(s, d, "documents"))
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7,
         maxDocFreq = Some(1000L))
       Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
@@ -1646,7 +1646,7 @@ object SparkEntry {
     // same keep set via the precomputed shingleIndex path (corpus shingled
     // once — the production daily-ingest shape); oracle identical by design
     "q_dedup_incr_indexed" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = fanout(t(s, d, "documents"))
       val index = Dedup.shingleIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       Dedup.dedupNearIncrementalIndexed(
         docs.filter(col("doc_id") % 5 === 0), index,
@@ -1669,7 +1669,10 @@ object SparkEntry {
       // full scale by q_dedup_incremental / q_dedup_incr_indexed
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 2000)
-      docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/src")
+      // delta-1 fans out to one file per core: all files exist before the
+      // stream starts (batch stamping unchanged) and micro-batch 1's
+      // shingle pass parallelizes instead of inheriting 1 scan partition
+      docs.filter(col("doc_id") % 5 =!= 0).transform(fanout).write.parquet(s"$dir/src")
       val src = s.readStream.schema(docs.schema).parquet(s"$dir/src")
       // delta 2 lands as ONE file (coalesce(1)): a trigger firing
       // mid-append would otherwise split the delta across two
@@ -1702,18 +1705,22 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft-si-doc")
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 1000)
-      def render(rows: Array[org.apache.spark.sql.Row], fmt: String): Seq[(Long, Array[Byte])] =
-        rows.map { r =>
+      // render ON EXECUTORS, fanned out: the former driver loop serialized
+      // 800 RTF + 200 DOCX renders (collect + one temp file each) on one
+      // core; per-row rendering is pure, so distributing it is
+      // byte-identical and ~core-count faster
+      import s.implicits._
+      def render(df: DataFrame, fmt: String): DataFrame = df.transform(fanout)
+        .as[(Long, String)].mapPartitions(_.map { case (id, text) =>
           val f = java.nio.file.Files.createTempFile("graft-sid", "." + fmt)
-          if (fmt == "rtf") graft.engine.Rtf.write(f, Seq(r.getString(1)))
-          else graft.engine.Docx.writeDocx(f, Seq(r.getString(1)))
+          if (fmt == "rtf") graft.engine.Rtf.write(f, Seq(text))
+          else graft.engine.Docx.writeDocx(f, Seq(text))
           val b = java.nio.file.Files.readAllBytes(f)
           java.nio.file.Files.delete(f)
-          (r.getLong(0), b)
-        }.toSeq
-      import s.implicits._
-      render(docs.filter(col("doc_id") % 5 =!= 0).collect(), "rtf")
-        .toDF("doc_id", "content").write.parquet(s"$dir/src")
+          (id, b)
+        }).toDF("doc_id", "content")
+      render(docs.filter(col("doc_id") % 5 =!= 0), "rtf")
+        .write.parquet(s"$dir/src")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -1728,8 +1735,8 @@ object SparkEntry {
         s"$dir/index", s"$dir/out", threshold = 0.7, checkpointDir = s"$dir/ckpt")
       val q = run()
       try q.processAllAvailable() finally q.stop()
-      render(docs.filter(col("doc_id") % 5 === 0).collect(), "docx")
-        .toDF("doc_id", "content").write.mode("append").parquet(s"$dir/src")
+      render(docs.filter(col("doc_id") % 5 === 0), "docx")
+        .write.mode("append").parquet(s"$dir/src")
       val q2 = run()
       try q2.processAllAvailable() finally q2.stop()
       s.read.parquet(s"$dir/out")
@@ -2840,7 +2847,7 @@ object SparkEntry {
     // PII redaction over text with synthesized email/IP/phone per row (the
     // raw corpus contains none — the construction makes the regexes fire)
     "q_pii_redact" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      fanout(t(s, d, "documents")).select(col("doc_id"),
         graft.functions.Corpus.redactPii(concat(
           col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com ip 10.0."), col("doc_id") % 256,
@@ -2849,7 +2856,7 @@ object SparkEntry {
     // word-level repetition signals on the raw corpus
     "q_rep_words" -> ((s, d) =>
       graft.functions.Corpus.withRepetitionStats(
-          t(s, d, "documents").select("doc_id", "text"), "text")
+          fanout(t(s, d, "documents")).select("doc_id", "text"), "text")
         .select(col("doc_id"),
           round(col("word_rep_ratio"), 4).as("word_rep_ratio"),
           round(col("top_ngram_char_ratio"), 4).as("top_ngram_char_ratio"))),
@@ -2858,7 +2865,7 @@ object SparkEntry {
     // (the raw corpus is single-line; the data-dependent prefix line makes
     // some documents self-duplicate)
     "q_rep_lines" -> ((s, d) => {
-      val built = t(s, d, "documents").select(col("doc_id"),
+      val built = fanout(t(s, d, "documents")).select(col("doc_id"),
         concat_ws("\n", col("text"),
           substr(col("text"), lit(1), col("doc_id") % 300 + 1),
           lit("shared footer line")).as("text"))

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -25,13 +26,45 @@ import org.apache.spark.sql.types.LongType
  * then bound relative link authority rather than a strict probability;
  * `dangling = "redistribute"` restores canonical-parity conservation
  * (each iteration spreads the dangling mass uniformly, damped, keeping
- * integer exactness at the cost of one scalar aggregate + lineage cut
- * per iteration).
+ * integer exactness at the cost of one scalar aggregate per iteration).
+ *
+ * r21 shuffle audit (optimization guide §2.4 — remove exchanges outright):
+ *  - the node set derives from ONE exploded pass over the cached edge
+ *    list (the former union-of-two-selects materialized both branches in
+ *    one stage, before the edge cache existed, scanning the source twice);
+ *  - out-degree is fused onto the edge list with a window over src — one
+ *    exchange — instead of groupBy(src) + self-join (two exchanges plus a
+ *    join), and it leaves the cached edge list hash-partitioned by src,
+ *    exactly the clustering the per-iteration rank join needs;
+ *  - the iteration loops persist() superseded frames instead of
+ *    localCheckpoint()ing them: a persist is materialized BY the scalar
+ *    action that follows (no extra job per iteration) and keeps the
+ *    logical output partitioning visible to the planner (a checkpointed
+ *    RDD scans as UnknownPartitioning, forcing the next iteration to
+ *    re-exchange both join sides). Cached parents short-circuit stage
+ *    submission, so per-iteration stage growth stays linear — the same
+ *    property the old per-iteration checkpoint bought, without its job.
  */
 object Graph {
   /** Total fixed-point mass (micro-rank units). rank*damping products stay
     * under 2^63: 10^12 * 10^6 = 10^18. */
   val Mass: Long = 1000000000000L
+
+  /** Optional plan evidence hook for the optimization rounds: when
+    * SPARK_GRAFT_PLAN_DIR is set, write the INTERNAL pre-checkpoint plan
+    * (the public frame is a localCheckpoint scan, which explains to a bare
+    * ExistingRDD). No behavior change when unset. */
+  private def dumpPlan(df: DataFrame, name: String): Unit =
+    sys.env.get("SPARK_GRAFT_PLAN_DIR").foreach { dir =>
+      try {
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(p.resolve(s"$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            .getBytes("UTF-8"))
+      } catch { case _: Exception => () }
+    }
 
   /** PageRank over an edge frame. Returns (node, rank) with ranks in
     * micro-units of [[Mass]]. `dampingPpm` = damping factor in parts per
@@ -53,18 +86,26 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // ONE exploded pass over the cached edge list — the former
+    // union-of-two-selects materialized both branches inside a single
+    // stage, BEFORE e's cache existed, so the source was scanned twice
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().persist()
     try {
       val n = nodes.count() // one pass; the cached node set feeds the loop
       require(n > 0, "pagerank: edge frame has no valid edges")
-      // out-degree fused into the edge list ONCE — one join per iteration,
-      // not two (the degree never changes across iterations)
-      val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src").persist()
+      // out-degree fused onto the edge list with ONE window exchange (the
+      // degree never changes across iterations); groupBy+join spent two
+      // exchanges and a join on the same thing. Bonus: the cached frame is
+      // hash-partitioned by src — the exact clustering the per-iteration
+      // rank join requires, so the edge side never re-exchanges.
+      val e2 = e.withColumn("out_deg", count(lit(1)).over(Window.partitionBy("src")))
+        .persist()
       val base = (Mass * (1000000L - dampingPpm) / 1000000L) / n
       // dangling-mass redistribution needs the node set WITHOUT outlinks;
-      // its per-iteration scalar sum forces a materialization, so (like
-      // HITS) the loop cuts lineage each round — the drop default stays a
+      // its per-iteration scalar sum forces a materialization, so the loop
+      // persists each round's ranks (the scalar action materializes the
+      // cache; no separate checkpoint job) — the drop default stays a
       // single lazy chain with zero mid-loop actions
       val redistribute = dangling == "redistribute"
       val danglingNodes =
@@ -73,20 +114,17 @@ object Graph {
             .persist()
         else null
       var ranks = nodes.withColumn("rank", lit(Mass / n))
-      var prevCkpt: Set[Int] = Set.empty // superseded checkpoint block ids
+      // persisted per-iteration frames, released once superseded: ranks_k
+      // is consumed by ranks_{k+1}'s materialization, so after iteration
+      // k+1's scalar action lands, ranks_k's cache can go. An over-eager
+      // release would cost a recompute (cache miss), never correctness —
+      // unlike the old localCheckpoint whose blocks were unrecoverable.
+      var livePersists: List[DataFrame] = Nil
       var it = 0
       while (it < iters) {
         if (redistribute) {
-          // each round's checkpoint consumes the previous round's blocks;
-          // release them NOW instead of waiting for driver GC + the
-          // ContextCleaner — in a long-lived JVM (the bench sweep) the
-          // per-iteration block-sets otherwise pile up in the shared
-          // block manager and late reps bog down (the r18 dangling
-          // rep-bimodality attribution)
-          val (ck, ids) = checkpointTracked(ranks)
-          releaseTracked(ranks.sparkSession, prevCkpt)
-          prevCkpt = ids
-          ranks = ck
+          ranks = ranks.persist()
+          livePersists = livePersists :+ ranks
         }
         // contribution of u to each neighbor: rank_u * d DIV (1e6 * deg_u)
         // — integral DIV, NOT `/`: Spark's `/` on longs is double
@@ -105,6 +143,11 @@ object Graph {
           else {
             val dm = ranks.join(danglingNodes, Seq("node"), "left_semi")
               .agg(coalesce(sum("rank"), lit(0L))).head().getLong(0)
+            // this action materialized ranks_k; ranks_{k-1} is superseded
+            if (livePersists.size > 1) {
+              livePersists.head.unpersist(blocking = false)
+              livePersists = livePersists.tail
+            }
             dm * dampingPpm / 1000000L / n
           }
         ranks = nodes
@@ -114,90 +157,25 @@ object Graph {
         it += 1
       }
       if (danglingNodes != null) danglingNodes.unpersist()
+      dumpPlan(ranks, s"pagerank_internal_$dangling")
       // ONE materializing pass (localCheckpoint also truncates the
       // iters-deep lineage, so downstream plans stay flat); the (node,
       // rank) blocks it stores are reclaimed by the ContextCleaner when
       // the frame is garbage-collected — unlike a persist() the caller
       // could never safely release
       val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
-      releaseTracked(out.sparkSession, prevCkpt) // the final iteration's blocks
+      livePersists.foreach(_.unpersist(blocking = false)) // final iterations' caches
       e2.unpersist()
       out
     } finally { nodes.unpersist(); e.unpersist() }
   }
 
-  /** localCheckpoint plus the ids of the persistent-RDD entries it
-    * created, so a superseded iteration's blocks can be released the
-    * moment the next checkpoint has consumed them. Without this the
-    * blocks wait for the Dataset to be garbage-collected AND the
-    * ContextCleaner to run — unbounded lag in a long-lived driver. */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val ck = df.localCheckpoint(eager = true)
-    // Track ONLY the RDD this checkpoint persisted — the LogicalRDD leaf
-    // the returned frame wraps. A global before/after diff of
-    // sc.getPersistentRDDs would also capture RDDs persisted by CONCURRENT
-    // jobs on the shared context, and releasing a foreign localCheckpoint's
-    // blocks is unrecoverable (lineage truncated): the victim job fails
-    // with missing-block errors instead of recomputing.
-    val ids = ck.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
-    }.toSet
-    (ck, ids)
-  }
-
-  private def releaseTracked(spark: SparkSession, ids: Set[Int]): Unit = {
-    if (ids.nonEmpty) {
-      val live = spark.sparkContext.getPersistentRDDs
-      val rdds = ids.flatMap(live.get)
-      if (rdds.nonEmpty) quietRddWarns {
-        rdds.foreach(_.unpersist(blocking = false))
-      }
-    }
-  }
-
-  /** Unpersisting a CONSUMED localCheckpoint is the whole point of the
-    * tracked release, but RDD.unpersist WARNs "lineage ... truncated and
-    * cannot be recomputed after unpersisting" for every such block-set —
-    * one spurious warning per iteration per run, emitted by the CONCRETE
-    * subclass logger (MapPartitionsRDD et al.). Expected and safe here
-    * (the next checkpoint has already materialized), so drop the rdd
-    * package logger to ERROR for the duration of the call and restore. */
-  private val rddWarnLock = new Object
-  private var rddWarnDepth = 0
-  private var rddWarnPrev: org.apache.logging.log4j.Level = null
-
-  private def quietRddWarns[A](body: => A): A = {
-    import org.apache.logging.log4j.{Level, LogManager}
-    import org.apache.logging.log4j.core.config.Configurator
-    // already quiet (graft's mains and specs pin the emitting logger once
-    // at startup): skip — Configurator.setLevel REBUILDS the logger
-    // configuration (~tens of ms), and paid twice per iteration it showed
-    // up as a 25-35% graph-query regression in the r20 sweep
-    if (!LogManager.getLogger("org.apache.spark.rdd.MapPartitionsRDD").isWarnEnabled)
-      return body
-    // refcounted toggle: concurrent graph queries on the shared context
-    // otherwise interleave set/restore — one thread's restore could undo
-    // another's pin, or persist ERROR past the block process-wide
-    val name = "org.apache.spark.rdd"
-    rddWarnLock.synchronized {
-      if (rddWarnDepth == 0) {
-        rddWarnPrev = LogManager.getLogger(name).getLevel
-        Configurator.setLevel(name, Level.ERROR)
-      }
-      rddWarnDepth += 1
-    }
-    try body finally rddWarnLock.synchronized {
-      rddWarnDepth -= 1
-      if (rddWarnDepth == 0) Configurator.setLevel(name, rddWarnPrev)
-    }
-  }
-
-  /** The SAME expected warning also fires when the ContextCleaner (its
-    * own thread — out of reach of the call-scoped guard above) releases a
-    * dropped checkpoint's blocks after the frame is garbage-collected.
-    * Graft's own batch mains and specs call this once per process to pin
-    * the one emitting logger to ERROR; library users who want the
-    * warning keep it (nothing is touched unless this is called). */
+  /** The "lineage has been truncated" WARN fires when the ContextCleaner
+    * (its own thread) releases a dropped checkpoint's blocks after the
+    * frame is garbage-collected. Graft's own batch mains and specs call
+    * this once per process to pin the one emitting logger to ERROR;
+    * library users who want the warning keep it (nothing is touched
+    * unless this is called). */
   def quietCheckpointReleaseWarns(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD",
@@ -219,7 +197,11 @@ object Graph {
     *
     * Scale shape per iteration: two equi-join + partial-agg groupBy
     * pairs (authority from src-join, hub from dst-join) — a fixed stage
-    * count over the edge list, nothing row-wise on the driver. */
+    * count over the edge list, nothing row-wise on the driver. The edge
+    * list is cached TWICE, hash-partitioned by src and by dst (guide
+    * §2.4: two operations keyed the same way share one exchange), so
+    * neither half-step re-shuffles the edges; only the fresh scores
+    * move. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 50, s"hits: iters must be in [1,50], got $iters")
@@ -229,25 +211,28 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().persist()
+    // each half-step joins the edge list on src OR dst: one persisted copy
+    // per clustering, built once, so the per-half-step join only exchanges
+    // the (tiny) fresh score frame — never the edges
+    val eBySrc = e.repartition(col("src")).persist()
+    val eByDst = e.repartition(col("dst")).persist()
     try {
       require(nodes.count() > 0, "hits: edge frame has no valid edges")
-      // a half-step's checkpoint blocks become releasable once the
-      // checkpoint TWO half-steps later has materialized (h_{k-1} feeds
-      // only a_k; a_{k-1} feeds only h_{k-1} and is superseded by a_k) —
-      // same eager-release discipline as pageRank's redistribute loop
-      var pending: List[Set[Int]] = Nil
+      // a half-step's cache becomes releasable once the frame TWO
+      // half-steps later has materialized (h_{k-1} feeds only a_k; a_{k-1}
+      // feeds only h_{k-1} and is superseded by a_k) — same eager-release
+      // discipline as before, with persist() instead of localCheckpoint:
+      // the L1 scalar action materializes the cache (no separate
+      // checkpoint job per half-step), partitioning stays visible to the
+      // planner, and an early release costs a recompute, not blocks.
+      var pending: List[DataFrame] = Nil
       def normalize(raw0: DataFrame, outCol: String): DataFrame = {
-        // Unlike pageRank (no mid-loop actions, ONE materializing pass at
-        // the end), the L1 quotient is data-dependent, forcing a scalar
-        // action per half-step — so each half-step MUST cut its lineage
-        // first, or action k re-executes half-steps 1..k-1 from scratch
-        // (measured 7x wall on the bench graph).
-        val (raw, ids) = checkpointTracked(raw0)
-        pending = pending :+ ids
+        val raw = raw0.persist()
+        pending = pending :+ raw
         if (pending.size > 2) {
-          releaseTracked(raw.sparkSession, pending.head)
+          pending.head.unpersist(blocking = false)
           pending = pending.tail
         }
         // Σraw is one Long scalar (bounded driver state); div not `/` —
@@ -257,12 +242,14 @@ object Graph {
         raw.select(col("node"), expr(s"raw div ${q}L").as(outCol))
       }
       def halfStep(scores: DataFrame, scoreCol: String,
-                   joinKey: String, groupKey: String): DataFrame =
+                   joinKey: String, groupKey: String): DataFrame = {
+        val ej = if (joinKey == "src") eBySrc else eByDst
         nodes.join(
-          scores.join(e, scores("node") === e(joinKey))
+          scores.join(ej, scores("node") === ej(joinKey))
             .groupBy(col(groupKey).as("node")).agg(sum(scoreCol).as("m")),
           Seq("node"), "left")
           .select(col("node"), coalesce(col("m"), lit(0L)).as("raw"))
+      }
       var h = nodes.withColumn("h", lit(HitsMass))
       var a: DataFrame = null
       var it = 0
@@ -271,11 +258,12 @@ object Graph {
         h = normalize(halfStep(a, "a", "dst", "src"), "h")
         it += 1
       }
-      val out = h.join(a, Seq("node"))
+      val joined = h.join(a, Seq("node"))
         .select(col("node"), col("h").as("hub"), col("a").as("authority"))
-        .localCheckpoint(true)
-      pending.foreach(releaseTracked(out.sparkSession, _)) // final a & h blocks
+      dumpPlan(joined, "hits_internal")
+      val out = joined.localCheckpoint(true)
+      pending.foreach(_.unpersist(blocking = false)) // final a & h caches
       out
-    } finally { nodes.unpersist(); e.unpersist() }
+    } finally { nodes.unpersist(); eBySrc.unpersist(); eByDst.unpersist(); e.unpersist() }
   }
 }
