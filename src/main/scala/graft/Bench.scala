@@ -585,6 +585,18 @@ object Bench {
       // Env-parameterized so the driver's bench stays comparable/auditable.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      // NOTE (r21 A/B, inconclusive → left at Spark default): guide §9's
+      // preferSortMergeJoin=false (+ AQE SHJ local-map threshold) was
+      // A/B'd 2×2 on the graph/dedup subset to kill the per-iteration
+      // sorts of the cached edge frame; deltas stayed inside window noise
+      // (17.5-17.9 vs 17.3-19.8 s totals, q_hits slightly WORSE under
+      // SHJ), so the default stays.
+      // NOTE (r21 A/B, rejected): canChangeCachedPlanOutputPartitioning=
+      // true was tried to let AQE re-coalesce the tiny cached graph/dedup
+      // frames — it consistently REGRESSED the graph loops (q_pagerank
+      // 2.9-3.0 -> 3.1-4.1 s across four alternating runs: coalescing the
+      // cache breaks the src/node co-partitioning the per-iteration joins
+      // rely on, re-adding exchanges). Default (false) kept deliberately.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Graph.quietCheckpointReleaseWarns()

@@ -1298,6 +1298,12 @@ object SparkEntry {
     // with identical concat in both engines so the extraction itself is
     // what's compared
     "q_json_extract" -> ((s, d) => {
+      // NOTE r21: fanout here measured 0.78->0.42 s (single-row-group scan
+      // serializes the 3 JSONPath parses locally) but was deliberately
+      // FORGONE: PlanSpec pins this gate zero-exchange — the scale-correct
+      // shape (at 100 TB the scan has many splits and an added full-row
+      // exchange is pure overhead), same call as q_quality_filter /
+      // q_html_to_text in the r21 text-tier fanout matrix.
       val ev = t(s, d, "events").select(col("event_id"),
         concat(lit("{\"a\": {\"b\": "), col("event_id") % 7,
           lit("}, \"tags\": [\""), col("event_type"), lit("\"]}")).as("js"))
@@ -1761,13 +1767,18 @@ object SparkEntry {
           org.apache.spark.sql.types.BinaryType)))
       val src = s.readStream.schema(schema).parquet(s"$dir/src")
       // single-file delta-2 append: atomic to the poller's listing (see
-      // q_stream_ingest_text)
+      // q_stream_ingest_text). repartition(1), NOT coalesce(1): coalesce
+      // propagates up through the synthesis mapPartitions and serializes
+      // the fixture encode onto one task — repartition keeps the encode on
+      // the fanned-out stage and only moves the finished bytes (a few MB)
+      // to the single writer task (guide §8: decide/move small, synthesize
+      // heavy bytes in parallel). Same one-file atomic-rename commit.
       val q = graft.streaming.Streams.incrementalImageDedupIngest(src,
         "media_id", "content", s"$dir/index", s"$dir/out", maxHamming = 3,
         checkpointDir = s"$dir/ckpt")
       try {
         q.processAllAvailable()
-        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).coalesce(1)
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).repartition(1)
           .write.mode("append").parquet(s"$dir/src")
         q.processAllAvailable()
       } finally q.stop()
@@ -1811,7 +1822,7 @@ object SparkEntry {
         fx(ids.filter(
           (col("doc_id") >= 100 && col("doc_id") < 150) ||
             (col("doc_id") >= 200 && col("doc_id") < 210) ||
-            (col("doc_id") >= 300 && col("doc_id") < 310))).coalesce(1)
+            (col("doc_id") >= 300 && col("doc_id") < 310))).repartition(1)
           .write.mode("append").parquet(s"$dir/src")
         q.processAllAvailable()
       } finally q.stop()
@@ -1843,7 +1854,7 @@ object SparkEntry {
         checkpointDir = s"$dir/ckpt")
       try {
         q.processAllAvailable()
-        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).coalesce(1)
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).repartition(1)
           .write.mode("append").parquet(s"$dir/src")
         q.processAllAvailable()
       } finally q.stop()
@@ -1876,7 +1887,7 @@ object SparkEntry {
         fingerprint = "audio_fingerprint_spectral")
       try {
         q.processAllAvailable()
-        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).coalesce(1)
+        fx(ids.filter(col("doc_id") >= 240 && col("doc_id") < 290)).repartition(1)
           .write.mode("append").parquet(s"$dir/src")
         q.processAllAvailable()
       } finally q.stop()

@@ -26,6 +26,9 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Bench's session so profiles diagnose the measured shape
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Graph.quietCheckpointReleaseWarns()
@@ -35,10 +38,27 @@ object ProfileQuery {
     final case class JobRec(id: Int, start: Long, var end: Long, desc: String)
     final case class StageRec(id: Int, name: String, dur: Long, tasks: Int,
                               shufRead: Long, shufWrite: Long, input: Long,
-                              runMs: Long)
+                              runMs: Long, deserMs: Long, gcMs: Long, cpuMs: Long)
     val jobs = mutable.LinkedHashMap[Int, JobRec]()
     val stageBuf = mutable.ArrayBuffer[StageRec]()
     @volatile var record = false
+    // micro-batch duration breakdown for the streaming gates: durationMs
+    // carries triggerExecution / addBatch / walCommit / latestOffset /
+    // queryPlanning / commitOffsets — the driver-gap anatomy
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (record) {
+          import scala.jdk.CollectionConverters._
+          val d = e.progress.durationMs.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          System.err.println(s"  [stream] batch=${e.progress.batchId} $d")
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (record) {
         val desc = Option(e.properties)
@@ -58,7 +78,10 @@ object ProfileQuery {
             if (m == null) 0 else m.shuffleReadMetrics.totalBytesRead,
             if (m == null) 0 else m.shuffleWriteMetrics.bytesWritten,
             if (m == null) 0 else m.inputMetrics.bytesRead,
-            if (m == null) 0 else m.executorRunTime)
+            if (m == null) 0 else m.executorRunTime,
+            if (m == null) 0 else m.executorDeserializeTime,
+            if (m == null) 0 else m.jvmGCTime,
+            if (m == null) 0 else m.executorCpuTime / 1000000L)
         }
       }
     })
@@ -97,7 +120,9 @@ object ProfileQuery {
       println("  -- slowest stages --")
       stageBuf.sortBy(-_.dur).take(25).foreach { s =>
         println(f"  stage ${s.id}%4d ${s.dur / 1000.0}%7.3f s  tasks=${s.tasks}%3d " +
-          f"run=${s.runMs / 1000.0}%6.2f s in=${s.input / 1e6}%8.2f MB " +
+          f"run=${s.runMs / 1000.0}%6.2f s cpu=${s.cpuMs / 1000.0}%6.2f s " +
+          f"deser=${s.deserMs / 1000.0}%5.2f s gc=${s.gcMs / 1000.0}%5.2f s " +
+          f"in=${s.input / 1e6}%8.2f MB " +
           f"sr=${s.shufRead / 1e6}%7.2f MB sw=${s.shufWrite / 1e6}%7.2f MB  ${s.name}")
       }
     }
