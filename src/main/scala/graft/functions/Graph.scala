@@ -79,28 +79,28 @@ object Graph {
       s"pagerank: damping_ppm must be in [0,1e6], got $dampingPpm")
     require(dangling == "drop" || dangling == "redistribute",
       s"pagerank: dangling must be drop|redistribute, got $dangling")
-    // edge list and node set are read `iters`+1 times — cache them for the
-    // duration of the single materializing pass below, then release
-    val e = edges
+    // ONE cached edge frame for the whole pass (r21 profile: the former
+    // separate `e` cache existed only to derive this frame and the node
+    // set, yet cost its own full columnar cache build+write per run —
+    // every consumer reads e2 equally well). out-degree is fused on with
+    // ONE window exchange (the degree never changes across iterations);
+    // groupBy+join spent two exchanges and a join on the same thing, and
+    // the window leaves the frame hash-partitioned by src, the exact
+    // clustering the per-iteration rank join keys on.
+    val e2 = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .withColumn("out_deg", count(lit(1)).over(Window.partitionBy("src")))
       .persist()
     // ONE exploded pass over the cached edge list — the former
     // union-of-two-selects materialized both branches inside a single
-    // stage, BEFORE e's cache existed, so the source was scanned twice
-    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+    // stage, BEFORE the edge cache existed, so the source was scanned twice
+    val nodes = e2.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().persist()
     try {
-      val n = nodes.count() // one pass; the cached node set feeds the loop
+      val n = nodes.count() // one pass; materializes e2's cache en route
       require(n > 0, "pagerank: edge frame has no valid edges")
-      // out-degree fused onto the edge list with ONE window exchange (the
-      // degree never changes across iterations); groupBy+join spent two
-      // exchanges and a join on the same thing. Bonus: the cached frame is
-      // hash-partitioned by src — the exact clustering the per-iteration
-      // rank join requires, so the edge side never re-exchanges.
-      val e2 = e.withColumn("out_deg", count(lit(1)).over(Window.partitionBy("src")))
-        .persist()
       val base = (Mass * (1000000L - dampingPpm) / 1000000L) / n
       // dangling-mass redistribution needs the node set WITHOUT outlinks;
       // its per-iteration scalar sum forces a materialization, so the loop
@@ -110,7 +110,7 @@ object Graph {
       val redistribute = dangling == "redistribute"
       val danglingNodes =
         if (redistribute)
-          nodes.join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+          nodes.join(e2.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
             .persist()
         else null
       var ranks = nodes.withColumn("rank", lit(Mass / n))
@@ -165,9 +165,8 @@ object Graph {
       // could never safely release
       val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
       livePersists.foreach(_.unpersist(blocking = false)) // final iterations' caches
-      e2.unpersist()
       out
-    } finally { nodes.unpersist(); e.unpersist() }
+    } finally { nodes.unpersist(); e2.unpersist() }
   }
 
   /** The "lineage has been truncated" WARN fires when the ContextCleaner
@@ -213,11 +212,16 @@ object Graph {
       .persist()
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().persist()
-    // each half-step joins the edge list on src OR dst: one persisted copy
-    // per clustering, built once, so the per-half-step join only exchanges
-    // the (tiny) fresh score frame — never the edges
-    val eBySrc = e.repartition(col("src")).persist()
-    val eByDst = e.repartition(col("dst")).persist()
+    // r21 plan audit: every half-step join BROADCASTS the fresh score
+    // frame (node count << edge bytes) and probes the edge CACHE — the
+    // edge side is never exchanged in either clustering. The former
+    // eBySrc/eByDst pre-partitioned copies (added on the §2.4 share-one-
+    // exchange theory) therefore never paid: each cost a full repartition
+    // + columnar cache build per run while the planner ignored their
+    // partitioning. One cache serves both half-steps. (In the regime
+    // where scores outgrow the broadcast threshold — ~10^9+ nodes — the
+    // planner shifts to SMJ and per-key edge copies become worth their
+    // build; that is a planner-visible size decision, not a local tune.)
     try {
       require(nodes.count() > 0, "hits: edge frame has no valid edges")
       // a half-step's cache becomes releasable once the frame TWO
@@ -243,7 +247,7 @@ object Graph {
       }
       def halfStep(scores: DataFrame, scoreCol: String,
                    joinKey: String, groupKey: String): DataFrame = {
-        val ej = if (joinKey == "src") eBySrc else eByDst
+        val ej = e
         nodes.join(
           scores.join(ej, scores("node") === ej(joinKey))
             .groupBy(col(groupKey).as("node")).agg(sum(scoreCol).as("m")),
@@ -264,6 +268,6 @@ object Graph {
       val out = joined.localCheckpoint(true)
       pending.foreach(_.unpersist(blocking = false)) // final a & h caches
       out
-    } finally { nodes.unpersist(); eBySrc.unpersist(); eByDst.unpersist(); e.unpersist() }
+    } finally { nodes.unpersist(); e.unpersist() }
   }
 }
