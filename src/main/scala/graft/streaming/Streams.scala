@@ -161,14 +161,47 @@ object Streams {
         val index = existingIndex(spark, indexDir, excludeBatch = batchId)
         val kept = Dedup.dedupNearIncrementalIndexed(batch, index, idCol, textCol,
           threshold, shingleSize, maxDocFreq).persist()
-        try {
-          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        try concurrently(
+          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"),
           Dedup.shingleIndex(kept, idCol, textCol, shingleSize)
-            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        } finally kept.unpersist()
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId"))
+        finally kept.unpersist()
         ()
       }
       .start()
+  }
+
+  /** Run the two independent batch-stamped writes of an ingest face
+    * CONCURRENTLY (guide §2.6: a second in-flight job's tasks back-fill
+    * executors freed by the first job's straggler tail — here each write
+    * is an AQE query of several small sequential stages, so the two
+    * queries interleave almost perfectly). Ordering was never
+    * load-bearing: both writes target the batch's OWN `batch=<id>`
+    * partition in overwrite mode and every replay-side index read
+    * EXCLUDES the in-flight batch, so a crash between / during the
+    * writes replays identically regardless of which write got how far.
+    * Failure semantics are unchanged — both futures are awaited and the
+    * first error rethrows, so the micro-batch fails (and replays) if
+    * EITHER write fails. The pool is created inside the batch call so
+    * its threads inherit the streaming thread's local properties (job
+    * group: q.stop() cancellation and UI attribution keep working);
+    * shared `kept` cache partitions are computed once — the second
+    * query's tasks block on the per-block write lock, then read. */
+  private def concurrently(a: => Unit, b: => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = a })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = b })
+      def awaited(f: java.util.concurrent.Future[Unit]): Option[Throwable] =
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+          case e: InterruptedException => Some(e)
+        }
+      val ea = awaited(fa) // await BOTH so no write outlives the batch call
+      val eb = awaited(fb)
+      ea.orElse(eb).foreach(t => throw t)
+    } finally pool.shutdown()
   }
 
   /** Streaming incremental DOCUMENT near-dedup ingest — document BYTES
@@ -199,11 +232,11 @@ object Streams {
         val index = existingIndex(spark, indexDir, excludeBatch = batchId)
         val kept = Dedup.dedupNearIncrementalIndexed(extracted, index, idCol, "__text__",
           threshold, shingleSize, maxDocFreq).persist()
-        try {
-          kept.drop("__text__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        try concurrently(
+          kept.drop("__text__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId"),
           Dedup.shingleIndex(kept, idCol, "__text__", shingleSize)
-            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        } finally kept.unpersist()
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId"))
+        finally kept.unpersist()
         ()
       }
       .start()
@@ -232,13 +265,13 @@ object Streams {
         val sigs = Images.perceptualHash(batch, binCol, "phash", "__sig__")
         val kept = Images.sigDedupIncremental(sigs, index, idCol, "__sig__", maxHamming)
           .persist()
-        try {
-          kept.drop("__sig__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        try concurrently(
+          kept.drop("__sig__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId"),
           kept.filter(col("__sig__").isNotNull)
             .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
               col("__sig__").cast(org.apache.spark.sql.types.LongType).as("sig"))
-            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        } finally kept.unpersist()
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId"))
+        finally kept.unpersist()
         ()
       }
       .start()
@@ -268,13 +301,13 @@ object Streams {
           call_function(fingerprint, col(binCol)))
         val kept = Images.sigDedupIncremental(sigs, index, idCol, "__sig__", maxHamming)
           .persist()
-        try {
-          kept.drop("__sig__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        try concurrently(
+          kept.drop("__sig__").write.mode("overwrite").parquet(s"$outDir/batch=$batchId"),
           kept.filter(col("__sig__").isNotNull)
             .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
               col("__sig__").cast(org.apache.spark.sql.types.LongType).as("sig"))
-            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        } finally kept.unpersist()
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId"))
+        finally kept.unpersist()
         ()
       }
       .start()
@@ -306,13 +339,13 @@ object Streams {
         try {
           val kept = Images.videoDedupIncrementalFromSigs(
             batch, sigs, index, idCol, maxHamming, minMatches).persist()
-          try {
-            kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          try concurrently(
+            kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"),
             sigs.join(
               kept.select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id")),
               Seq("id"), "left_semi")
-              .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-          } finally kept.unpersist()
+              .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId"))
+          finally kept.unpersist()
         } finally sigs.unpersist()
         ()
       }
@@ -359,12 +392,12 @@ object Streams {
           batch.schema(vecCol).dataType)
         val kept = graft.functions.Similarity.embeddingDedupIncremental(
           batch, index, idCol, vecCol, threshold).persist()
-        try {
-          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        try concurrently(
+          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"),
           kept.select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
             col(vecCol).as("vec"))
-            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        } finally kept.unpersist()
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId"))
+        finally kept.unpersist()
         ()
       }
       .start()
