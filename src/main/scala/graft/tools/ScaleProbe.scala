@@ -190,6 +190,27 @@ object ScaleProbe {
       if (tIncr >= 0 && tIncrIdx >= 0)
         require(incrIdxKept == incrKept,
           s"indexed incremental kept $incrIdxKept != text path $incrKept")
+      // the streaming-production shape of the same leg: index on DISK
+      // (parquet, re-read per delta — exactly what the stream-ingest
+      // faces' existingIndex does), not pre-cached in executor memory.
+      // This is the regime the fused-vs-narrow strategy crossover is
+      // about: the fused path re-shuffles + re-caches the scanned index
+      // per delta, the narrow path scans it twice and shuffles nothing
+      // corpus-sized.
+      val (incrDiskKept, tIncrDisk) =
+        if (!enabled("dedup_incr_disk")) leg(d, "dedup_incr_disk")(0L)
+        else {
+          val idxDir = java.nio.file.Files.createTempDirectory("graft-scale-idx").toString
+          Dedup.shingleIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+            .write.mode("overwrite").parquet(idxDir)
+          leg(d, "dedup_incr_disk")(
+            Dedup.dedupNearIncrementalIndexed(
+              docs.filter(col("doc_id") % 10 === 0), spark.read.parquet(idxDir),
+              "doc_id", "text", threshold = 0.7, maxDocFreq = Some(1000L)).count())
+        }
+      if (tIncr >= 0 && tIncrDisk >= 0)
+        require(incrDiskKept == incrKept,
+          s"disk-indexed incremental kept $incrDiskKept != text path $incrKept")
       // exact substring dedup: window-hash shuffle is O(total tokens), so
       // wall should track corpus size linearly like the cleaning tier
       val (ssFlags, tSpan) = leg(d, "substr_spans")(

@@ -253,6 +253,38 @@ class FunctionsSpec extends SparkSpec {
     val keptIndexed = Dedup.dedupNearIncrementalIndexed(batch, index, "doc_id", "text", threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet
     assert(keptIndexed == keptIds)
+
+    // the NARROW large-index strategy (corpus scanned, never shuffled —
+    // picked automatically past spark.graft.dedup.narrowIndexBytes; 0
+    // forces it) must be result-identical to the fused path above, pairs
+    // and keep set, with and without a live stop set. maxDocFreq=3 makes
+    // the base sentence's shared trigrams exceed the cap (base + its two
+    // mutations + their batch dups), so the stop-filtering arm is real.
+    val fusedPairs = Dedup.jaccardPairsIncremental(
+      batch, corpus, "doc_id", "text", threshold = 0.7)
+      .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    val fusedKeptCapped = Dedup.dedupNearIncremental(
+      batch, corpus, "doc_id", "text", threshold = 0.7, maxDocFreq = Some(3L))
+      .select("doc_id").as[Long].collect().toSet
+    spark.conf.set("spark.graft.dedup.narrowIndexBytes", "0")
+    try {
+      val narrowPairs = Dedup.jaccardPairsIncremental(
+        batch, corpus, "doc_id", "text", threshold = 0.7)
+        .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+      assert(narrowPairs == fusedPairs)
+      val narrowKept = Dedup.dedupNearIncremental(
+        batch, corpus, "doc_id", "text", threshold = 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      assert(narrowKept == keptIds)
+      val narrowKeptIndexed = Dedup.dedupNearIncrementalIndexed(
+        batch, index, "doc_id", "text", threshold = 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      assert(narrowKeptIndexed == keptIds)
+      val narrowKeptCapped = Dedup.dedupNearIncremental(
+        batch, corpus, "doc_id", "text", threshold = 0.7, maxDocFreq = Some(3L))
+        .select("doc_id").as[Long].collect().toSet
+      assert(narrowKeptCapped == fusedKeptCapped)
+    } finally spark.conf.unset("spark.graft.dedup.narrowIndexBytes")
   }
 
   test("capPerGroup: ≤k per group, identical to the single-window reference at any salt count") {
