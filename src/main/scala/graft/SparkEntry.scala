@@ -37,9 +37,19 @@ object SparkEntry {
     * optimization guide's "decide with small rows, move big rows once"
     * discipline — §2.5 repartition-after-unsplittable-read). Row-wise
     * payload synthesis is partitioning-independent, so results are
-    * byte-identical. */
-  private def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * byte-identical.
+    *
+    * GATED on actual scan parallelism (r22, VERDICT r21 #6): when the
+    * input already plans to at least the session's parallelism — the
+    * 100 TB regime, where scans arrive in many splits — the exchange buys
+    * nothing and costs a full extra pass over the rows, so it is skipped
+    * outright. The probe reads the planned partition count (driver-side
+    * planning only, no job); at sf scale every input is one row group, so
+    * the sf0.1 plans are identical to r21's (PlanSpec pins both sides). */
+  private[graft] def fanout(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Flagship query (TPC-H Q1 shape) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,6 +17,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same CPU-dense-stage AQE coalescing floor as the engine CLI and
+      // bench sessions (see cli.Main.buildSession) — results are
+      // partitioning-independent; this only restores parallelism on
+      // sub-1MB shuffles feeding expensive per-row kernels
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Graph.quietCheckpointReleaseWarns()

@@ -320,6 +320,16 @@ object Main {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // AQE's partition coalescing is BYTE-based (parallelismFirst floors at
+    // minPartitionSize, default 1m): a sub-1MB shuffle feeding a CPU-dense
+    // stage (codec decode, shingle/verify kernels) coalesces to ONE task
+    // and serializes seconds of compute. A 64k floor restores parallelism
+    // exactly and only in the tiny-bytes/expensive-rows regime; at
+    // production partition sizes it is inert. r21 shipped this in the
+    // bench session only — the engine's own sessions get the same conf so
+    // the fix exists in the product, not just the harness (VERDICT r21 #2).
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
     .getOrCreate()
 
   private def usage(): Unit =

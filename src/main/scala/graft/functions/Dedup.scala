@@ -280,7 +280,14 @@ object Dedup {
     val spark = batchDocs.sparkSession
     val crossover = BigInt(spark.conf.get(
       "spark.graft.dedup.narrowIndexBytes", (64L << 20).toString).toLong)
-    val corpusPlan = corpusDocs.queryExecution.optimizedPlan
+    // Probe on withCachedData (analysis — already done at Dataset creation —
+    // plus cache substitution), NOT optimizedPlan: running the Catalyst
+    // optimizer over the corpus subplan here cost ~0.1s of driver time PER
+    // CALL, paid once per q_dedup_incremental run and once per micro-batch
+    // in every ingest face (VERDICT r21 regression #5). The size estimate
+    // is the same relation-level sizeInBytes either way for the
+    // parquet-index and cached shapes this crossover discriminates.
+    val corpusPlan = corpusDocs.queryExecution.withCachedData
     val corpusCached = corpusPlan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
     if (crossover == 0 || (!corpusCached && corpusPlan.stats.sizeInBytes >= crossover))

@@ -196,11 +196,15 @@ object Graph {
     *
     * Scale shape per iteration: two equi-join + partial-agg groupBy
     * pairs (authority from src-join, hub from dst-join) — a fixed stage
-    * count over the edge list, nothing row-wise on the driver. The edge
-    * list is cached TWICE, hash-partitioned by src and by dst (guide
-    * §2.4: two operations keyed the same way share one exchange), so
-    * neither half-step re-shuffles the edges; only the fresh scores
-    * move. */
+    * count over the ONE cached edge list, nothing row-wise on the driver;
+    * only the fresh scores move (broadcast while they fit).
+    *
+    * r22: scores stay SPARSE through the iterations. A node whose raw
+    * score is 0 contributes 0 to every downstream sum AND 0 to the L1
+    * total, so the per-half-step dense completion (nodes left-join +
+    * coalesce 0 — one extra join and broadcast per half-step) is pure
+    * plan weight; zeros are attached ONCE at the end. Values identical
+    * (0 div q = 0). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 50, s"hits: iters must be in [1,50], got $iters")
@@ -245,14 +249,16 @@ object Graph {
         val q = total / HitsMass + 1
         raw.select(col("node"), expr(s"raw div ${q}L").as(outCol))
       }
+      // SPARSE half-step: rows only for nodes that received mass. Absent
+      // rows are exact zeros — they add nothing to the L1 total (q is
+      // unchanged) and produce no contributions when joined against the
+      // edges next half-step, so the dense completion can wait until the
+      // final output frame.
       def halfStep(scores: DataFrame, scoreCol: String,
                    joinKey: String, groupKey: String): DataFrame = {
         val ej = e
-        nodes.join(
-          scores.join(ej, scores("node") === ej(joinKey))
-            .groupBy(col(groupKey).as("node")).agg(sum(scoreCol).as("m")),
-          Seq("node"), "left")
-          .select(col("node"), coalesce(col("m"), lit(0L)).as("raw"))
+        scores.join(ej, scores("node") === ej(joinKey))
+          .groupBy(col(groupKey).as("node")).agg(sum(scoreCol).as("raw"))
       }
       var h = nodes.withColumn("h", lit(HitsMass))
       var a: DataFrame = null
@@ -262,8 +268,12 @@ object Graph {
         h = normalize(halfStep(a, "a", "dst", "src"), "h")
         it += 1
       }
-      val joined = h.join(a, Seq("node"))
-        .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      // dense completion, once: every node surfaces, zeros filled in
+      val joined = nodes
+        .join(h, Seq("node"), "left")
+        .join(a, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+          coalesce(col("a"), lit(0L)).as("authority"))
       dumpPlan(joined, "hits_internal")
       val out = joined.localCheckpoint(true)
       pending.foreach(_.unpersist(blocking = false)) // final a & h caches

@@ -356,18 +356,21 @@ object Streams {
     * except `excludeBatch` — same replay discipline as [[existingSigIndex]]. */
   private def existingVideoIndex(spark: org.apache.spark.sql.SparkSession,
                                  indexDir: String, excludeBatch: Long): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fidx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.LongType)))
     if (hasBatchParquet(spark, indexDir))
-      spark.read.parquet(indexDir)
+      // explicit schema (the index layout is ours): per-batch parquet
+      // footer schema inference was a driver-side job on EVERY micro-batch
+      spark.read.schema(schema).parquet(indexDir)
         .filter(col("batch") =!= excludeBatch)
         .select("id", "fidx", "sig")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("fidx",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("sig",
-          org.apache.spark.sql.types.LongType))))
+      schema)
   }
 
   /** Streaming incremental EMBEDDING near-dedup ingest — the 8th ingest
@@ -406,31 +409,33 @@ object Streams {
   private def existingVecIndex(spark: org.apache.spark.sql.SparkSession,
                                indexDir: String, excludeBatch: Long,
                                vecType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec", vecType)))
     if (hasBatchParquet(spark, indexDir))
-      spark.read.parquet(indexDir)
+      spark.read.schema(schema).parquet(indexDir)
         .filter(col("batch") =!= excludeBatch)
         .select("id", "vec")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("vec", vecType))))
+      schema)
   }
 
   /** The persisted pHash signature index (id, sig), batch partitions
     * except `excludeBatch` — same replay discipline as [[existingIndex]]. */
   private def existingSigIndex(spark: org.apache.spark.sql.SparkSession,
                                indexDir: String, excludeBatch: Long): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.LongType)))
     if (hasBatchParquet(spark, indexDir))
-      spark.read.parquet(indexDir)
+      spark.read.schema(schema).parquet(indexDir)
         .filter(col("batch") =!= excludeBatch)
         .select("id", "sig")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sig",
-          org.apache.spark.sql.types.LongType))))
+      schema)
   }
 
   private def hasBatchParquet(spark: org.apache.spark.sql.SparkSession,
@@ -563,16 +568,19 @@ object Streams {
     * or an empty (id, toks) frame before the first delta lands. */
   private def existingIndex(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String, excludeBatch: Long): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("toks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
     if (hasBatchParquet(spark, indexDir))
-      spark.read.parquet(indexDir)
+      // explicit schema: the per-batch footer-inference job was pure
+      // micro-batch fixed cost (the index layout is this object's own)
+      spark.read.schema(schema).parquet(indexDir)
         .filter(col("batch") =!= excludeBatch) // partition-pruned: replays cheap
         .select("id", "toks")
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("toks",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType, containsNull = false)))))
+      schema)
   }
 }

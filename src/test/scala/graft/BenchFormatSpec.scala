@@ -86,10 +86,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""machine_contended":true"""))
   }
 
-  test("token tier keeps the whole suite past the family-abbreviation limit") {
+  /** Parse the values-first tier: (plain kept entries name->ds, omitted
+    * count, max omitted ds). */
+  private def valuesTier(line: String): (Map[String, Long], Int, Long) = {
+    val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+    val entries = """"([^"]+)":(\d+)""".r.findAllMatchIn(qs)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val omitted = """"queries_omitted":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    val omax = """"qomax_ds":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toLong).getOrElse(0L)
+    (entries, omitted, omax)
+  }
+
+  test("values-first tier: past the complete-map limit, plain names + ds values for the slowest") {
     // 135 × 16-char names at realistic mixed timings: past what the
-    // prefix-strip and family tiers fit under the 1900 budget — every
-    // query must still be reconstructable from the announced transforms
+    // complete plain tiers fit under the 1900 budget. The r21 PERF lesson:
+    // the driver never decoded the token/prefix compressed tiers, so a
+    // name-complete valueless line gave it NOTHING — values with PLAIN
+    // keys must win, omission announced and bounded.
     val mid = (1 to 135).map(i => f"q_operator_n_$i%03d" -> (0.05 + (i % 37) * 0.113))
     val line = BenchFormat.stdoutLine(
       total = 12.0, mins = mid, spreadWarn = Nil,
@@ -97,18 +112,18 @@ class BenchFormatSpec extends AnyFunSuite {
       resultsFile = "/root/repo/BENCH_RESULTS.json",
       reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
     assert(line.length <= BenchFormat.StdoutBudget, s"line was ${line.length} chars")
-    assert(!line.contains("queries_omitted"), s"all 135 queries must survive: $line")
-    assert(!line.contains("\"qfast\":"), s"no fast-drop needed at this size: $line")
-    val names = decodedNames(line)
-    (1 to 135).foreach(i =>
-      assert(names.contains(f"q_operator_n_$i%03d"), s"missing query $i in $line"))
+    assert(line.contains("\"qunit\":\"ds\"") && line.contains("\"qprefix\":\"q_\""))
+    assert(!line.contains("\"qtok\":") && !line.contains("\"qabbr\":"),
+      s"values-first tier must not token-encode keys: ${line.take(200)}")
+    val (entries, omitted, omax) = valuesTier(line)
+    assert(entries.nonEmpty && entries.size + omitted == 135)
+    // kept = the slowest; every kept value bounds every omitted one
+    assert(entries.values.forall(_ >= omax), s"kept mins must be >= qomax_ds=$omax")
+    // keys are plainly the stripped names
+    entries.keys.foreach(k => assert(mid.exists(_._1 == "q_" + k), s"non-plain key $k"))
   }
 
-  test("fast-drop tier: 150 mixed-speed queries parse with every >=2ds query present") {
-    // VERDICT r11 #8 done-criterion: at ~150 queries whose names share no
-    // compressible structure (token compression gains ~nothing), the
-    // complete tiers no longer fit; the fast-drop tier must announce
-    // qmin_ds/qfast and keep the ENTIRE slow tail (the regression signal)
+  test("values-first tier keeps the ENTIRE slow tail at 150 incompressible names") {
     val rng = new scala.util.Random(42)
     val mixed = (1 to 150).map { i =>
       val name = "q_" + (1 to 18).map(_ => ('a' + rng.nextInt(26)).toChar).mkString + f"$i%03d"
@@ -120,32 +135,20 @@ class BenchFormatSpec extends AnyFunSuite {
       resultsFile = "/root/repo/BENCH_RESULTS.json",
       reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
     assert(line.length <= BenchFormat.StdoutBudget, s"line was ${line.length} chars")
-    assert(!line.contains("queries_omitted"), "fast-drop must fire before truncation")
-    assert(line.contains("\"qmin_ds\":") &&
-      (line.contains("\"qfast\":") || line.contains("\"qdrop\":")), line.take(200))
-    val names = decodedNames(line)
-    mixed.filter(e => math.round(e._2 * 10) >= 5).foreach { case (k, _) =>
-      assert(names.contains(k), s"slow query $k must survive fast-drop: $line")
+    val (entries, omitted, omax) = valuesTier(line)
+    assert(entries.size + omitted == 150)
+    // every slow query (>= 0.5s) rides with its value, plain-keyed
+    mixed.filter(_._2 >= 0.5).foreach { case (k, v) =>
+      assert(entries.get(k.drop(2)).contains(math.round(v * 10)),
+        s"slow query $k must ride the values tier: ${line.take(200)}")
     }
-    // the announced drops reconcile with the number of map entries —
-    // either the count-only qfast form or the name-listing qdrop form
-    val entryCount = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line)
-      .map(m => """"([^"]+)":""".r.findAllMatchIn(m.group(1)).size).getOrElse(0)
-    val announcedDrops = """"qfast":(\d+)""".r.findFirstMatchIn(line)
-      .map(_.group(1).toInt)
-      .orElse(""""qdrop":"([^"]*)"""".r.findFirstMatchIn(line)
-        .map(_.group(1).split(",").count(_.nonEmpty)))
-      .get
-    assert(announcedDrops == 150 - entryCount)
+    assert(omax <= 1, "only the sub-0.1s filler may be omitted")
   }
 
-  test("a suite too large to ever fit degrades to valid truncated JSON, never an unparseable line") {
-    // 300 queries with INCOMPRESSIBLE names (md5-derived — no shared
-    // substrings for the token table to exploit, unlike the real suite's
-    // family-structured names, which the high-qmin qdrop tiers now keep
-    // whole): even the name-listing tiers cannot fit ~9 KB of raw names,
-    // so the slowest-first truncation fallback must fire and stay
-    // structurally parseable
+  test("a suite too large to ever fit degrades to valid slowest-first JSON, never unparseable") {
+    // 300 queries with INCOMPRESSIBLE names (md5-derived): no complete
+    // tier can fit ~9 KB of raw names — the values-first tier must keep
+    // the slowest, announce the omission, and stay structurally parseable
     val huge = (1 to 300).map { i =>
       val noise = java.security.MessageDigest.getInstance("MD5")
         .digest(i.toString.getBytes).map("%02x".format(_)).mkString.take(24)
@@ -161,10 +164,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.startsWith("{") && line.endsWith("}"))
     // balanced braces = structurally parseable
     assert(line.count(_ == '{') == line.count(_ == '}'))
-    // every 45-second query survived the cut
+    // every 45-second query survived the cut (keys are "q_"-stripped,
+    // announced via qprefix)
     (50 to 300 by 50).foreach { i =>
-      val name = huge(i - 1)._1
-      assert(line.contains(name), s"slow query $name must survive truncation")
+      val name = huge(i - 1)._1.drop(2)
+      assert(line.contains("\"" + name + "\":450"),
+        s"slow query $name must survive the cut")
     }
   }
 
@@ -212,10 +217,13 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
-  test("current SparkEntry suite keeps EVERY query name in the stdout line") {
-    // realistic decisecond spread (r11 data shape: mostly 1-13 ds) — the
-    // round-11 regression was exactly this case: the REAL suite at REAL
-    // values outgrew the budget while the spec's synthetic case still fit
+  test("current SparkEntry suite ships a NON-EMPTY plain-keyed values map (the r21 PERF fix)") {
+    // realistic decisecond spread (r11 data shape: mostly 1-13 ds). At the
+    // REAL suite size the r21 line degraded to names-only `"queries":{}`
+    // and the driver's PERF computed zero per-query diffs and an empty
+    // scaling block — the values-first tier must instead carry plain
+    // stripped names + ds values for the slowest queries that fit, with
+    // the omitted (fast) tail announced and bounded.
     val names = "etl_render" +: SparkEntry.queries.keys.toSeq.sorted
     val mins = names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 13) * 0.1) }
     val line = BenchFormat.stdoutLine(
@@ -225,12 +233,17 @@ class BenchFormatSpec extends AnyFunSuite {
       reps = 3, cpus = "32", sfDir = "/root/testdata/sf0.1")
     assert(line.length <= BenchFormat.StdoutBudget,
       s"line was ${line.length} chars for ${names.size} queries")
-    assert(!line.contains("queries_omitted"), "no query may be dropped for the current suite")
-    assert(!line.contains("\"qfast\":"),
-      "count-only drops lose names — the current suite must keep every name " +
-        "(the name-listing qdrop form is acceptable; silent qfast is not)")
-    val decoded = decodedNames(line)
-    names.foreach(n => assert(decoded.contains(n), s"missing $n in $line"))
+    val (entries, omitted, omax) = valuesTier(line)
+    assert(entries.size >= 60,
+      s"the driver must see a usable per-query map; got ${entries.size} entries")
+    assert(entries.size + omitted == names.size)
+    assert(entries.values.forall(_ >= omax))
+    assert(!line.contains("\"qtok\":") && !line.contains("\"qpfx\":"),
+      "keys must be plain (qprefix-stripped only) — the driver decodes nothing else")
+    // every kept key is a real query name, stripped of at most "q_"
+    val nameSet = names.toSet
+    entries.keys.foreach(k =>
+      assert(nameSet.contains("q_" + k) || nameSet.contains(k), s"bogus key $k"))
   }
 
   test("familyAbbreviations: deterministic codes, reverse map round-trips every name") {

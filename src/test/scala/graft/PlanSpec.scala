@@ -28,6 +28,25 @@ class PlanSpec extends SparkSpec {
       "scan must read only the projected columns")
   }
 
+  test("fanout gates on scan parallelism: exchange on 1-split inputs, none when already parallel") {
+    // the 100 TB contract (VERDICT r21 #6): `fanout` exists to rescue
+    // single-row-group fixture scans; an input that already plans to >=
+    // session parallelism must pass through UNTOUCHED — at scale the scan
+    // parallelizes naturally and a corpus-wide RoundRobin exchange is pure
+    // extra cost
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    assert(narrow.rdd.getNumPartitions < p, "precondition: sf input is one split")
+    val fanned = SparkEntry.fanout(narrow)
+    val plan = fanned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Exchange") && plan.contains("RoundRobinPartitioning"),
+      s"single-split scan must still fan out (the r21 win is kept):\n$plan")
+    val wide = spark.range(0, 100000, 1, p * 2).toDF("doc_id")
+    val kept = SparkEntry.fanout(wide)
+    assert(kept eq wide,
+      "an already-parallel input must pass through with NO exchange")
+  }
+
   test("monotone keep-filter pushes comparisons into the parquet scan") {
     // the pandas-null coalesce wrappers forfeit pushdown; include-mode
     // monotone queries must compile raw and reach PushedFilters so a
